@@ -1,0 +1,68 @@
+"""End-to-end ingest plan — the reference's csvReader pipeline (SURVEY §3.1)
+as ONE declarative DataFrame flow:
+
+    read CSV (S1-S3) → validate/quarantine (V1-V3) → in-batch dedup +
+    anti-join vs store (D1-D2) → defaults (U3) → append (S5)
+
+The reference runs this as hard-coded control flow over 5-row buffers with
+txn-rollback-and-retry error isolation; here the insertable subset is
+computed declaratively before any write, so "one dup sinking the batch"
+can't happen by construction and the whole flow is a single Catalyst plan
+(filters and the 5-column projection reach the CSV scan; the anti-join
+broadcasts its small side).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from csv_crm_upload_spark.operators.dedup import anti_join_existing, dedupe_batch
+from csv_crm_upload_spark.operators.mutate import finalize_columns
+from csv_crm_upload_spark.operators.store import CustomerStore
+from csv_crm_upload_spark.operators.validate import validate_split
+from csv_crm_upload_spark.sources.csv_source import read_customers_csv
+
+
+@dataclass
+class IngestResult:
+    inserted: int
+    quarantined: int
+    duplicates: int
+
+
+def ingest_batch(batch: DataFrame, store: CustomerStore, now=None) -> IngestResult:
+    """Ingest one raw-CSV-shaped batch into the store."""
+    clean, quarantine = validate_split(batch)
+    existing = store.read()
+    deduped = dedupe_batch(clean)
+    insertable = anti_join_existing(deduped, existing)
+    finalized = finalize_columns(insertable, now=now)
+
+    # One pass of metrics without re-reading the source: counts are cheap
+    # aggregates; the write itself is the only action over the full rows.
+    n_clean = clean.count()
+    n_quarantine = quarantine.count()
+    n_insert = finalized.count()
+    if n_insert > 0:  # empty batches are no-ops (reference bug §2.10 avoided)
+        store.append(finalized)
+    return IngestResult(
+        inserted=n_insert,
+        quarantined=n_quarantine,
+        duplicates=n_clean - n_insert,
+    )
+
+
+def ingest_csv(
+    spark: SparkSession, path: str, store: CustomerStore, header: bool = True, now=None
+) -> IngestResult:
+    """Full-file batch ingest (the finite-run mode of the reference CLI)."""
+    return ingest_batch(read_customers_csv(spark, path, header=header), store, now=now)
+
+
+def pending_preview(store: CustomerStore) -> DataFrame:
+    """The reference's one recurring query: who is pending upload?
+    (reference database/database.go:18; SURVEY §7.2 flagship)."""
+    return store.pending().orderBy(F.col("id"))

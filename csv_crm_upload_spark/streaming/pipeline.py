@@ -1,0 +1,91 @@
+"""Structured Streaming pipeline (T1-T6) — the two reference services as
+two Spark constructs:
+
+csvReader  → a file-source streaming query: `readStream.csv(dir)` →
+  `foreachBatch(ingest)` with a checkpoint. Spark's micro-batch IS the
+  reference's row-buffer micro-batch (T1); `Trigger.AvailableNow` drains
+  finite input then stops (T2, the EOF flush at reference
+  csvreader.go:76-79); checkpointing makes stop/drain safe (T6,
+  uploader.go:64-69).
+
+crmIntegrator → an upload cycle over the store's pending set. The
+  reference wakes on an RPC signal OR a fibonacci-backoff poll timer
+  (T3/T4, uploader.go:71-97; signal coalescing listener.go:28-35). In
+  Spark the downstream watches the table itself, so "new data arrived" is
+  the trigger; the poll half is the streaming trigger interval / an outer
+  loop, and per-request retry lives in the sink (sinks.http_sink).
+
+Delivery: checkpointed ingest gives exactly-once store appends per input
+file; the HTTP sink stays at-least-once exactly like the reference
+(SURVEY §2.9).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from csv_crm_upload_spark.operators.store import CustomerStore
+from csv_crm_upload_spark.plans.ingest import ingest_batch
+from csv_crm_upload_spark.sinks.http_sink import successes, upload_pending
+from csv_crm_upload_spark.sources.csv_source import read_customers_csv_stream
+
+
+def run_ingest_stream(
+    spark: SparkSession,
+    input_dir: str,
+    store: CustomerStore,
+    checkpoint_dir: str,
+    header: bool = True,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming CSV-directory → store ingest. Returns the StreamingQuery.
+
+    With `available_now=True` the query drains all current input and
+    stops (finite-run mode, T2); otherwise it keeps watching the
+    directory like the reference's long-running reader.
+    """
+    stream = read_customers_csv_stream(
+        spark, input_dir, header=header, max_files_per_trigger=max_files_per_trigger
+    )
+
+    def process(batch_df, batch_id: int) -> None:
+        ingest_batch(batch_df, store)
+
+    writer = stream.writeStream.foreachBatch(process).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def run_upload_cycle(
+    store: CustomerStore,
+    crm_url: str,
+    concurrency: int = 25,
+    max_tries: int = 5,
+    sleep=None,
+) -> int:
+    """One crmIntegrator cycle: pending → POST (with per-row fib backoff)
+    → mark successes uploaded. Returns rows marked.
+
+    A signal/timer tick in the reference re-selects ALL pending rows
+    (SURVEY §3.2 note) — same here: each cycle reads the current pending
+    snapshot; the uploaded flag converges duplicates across cycles.
+    """
+    import time as _time
+
+    kwargs = {"sleep": sleep or _time.sleep}
+    pending = store.pending()
+    if pending.isEmpty():
+        return 0
+    results = upload_pending(pending, crm_url, concurrency=concurrency, max_tries=max_tries, **kwargs)
+    # Materialize the side-effecting job exactly once: a lazy re-evaluation
+    # of `results` would re-POST every row. persist + count pins the
+    # outcome before the success set feeds the flag-flip plan.
+    results = results.persist()
+    results.count()
+    try:
+        ok = successes(results)
+        return store.mark_uploaded(ok)
+    finally:
+        results.unpersist()
