@@ -1,0 +1,72 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Timing is end-to-end per query (plan + execute + drain results via a
+count-collect of the full result, no driver-side row materialization
+beyond the aggregate)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from csv_crm_upload_spark.session import get_spark
+
+# headline set: the perf-relevant plans (scan/join/agg/window/dedup/knn)
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_unshipped",
+    "q5_region_revenue",
+    "top_customers",
+    "w1_top_orders_per_customer",
+    "e1_sessionize",
+    "dd_exact_dups",
+    "dd_minhash_lsh",
+    "sim_knn_bruteforce",
+    "t2_quality_score",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entrymod.queries()
+
+    # warm the JVM + parquet footers once (not counted)
+    queries["a1_count"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        # force full execution; count() alone can prune plans, so drain
+        # through a cheap but complete aggregation of all output rows
+        df.agg({"*": "count"}).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

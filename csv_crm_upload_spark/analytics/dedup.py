@@ -1,0 +1,181 @@
+"""Deduplication family over `documents` — exact, n-gram Jaccard,
+MinHash+LSH, SimHash. The LLM-training-pipeline workhorses, each built
+shuffle-consciously:
+
+  * exact: one hash-groupBy on a fingerprint — the cheapest possible
+    dedup; at 100 TB this is a single shuffle on a 16-byte key.
+  * n-gram Jaccard: shingle → explode → self-join on shingle → per-pair
+    intersection counts. The frequent-shingle cap (max_df) bounds the
+    worst-case pair blowup that kills naive token-joins at scale.
+  * MinHash: k independent hash families realized as salted md5-derived
+    60-bit shingle hashes (min over md5(i:shingle)); LSH bands
+    hash-bucket signatures so candidate pairs are found with ONE shuffle
+    on (band, bucket) instead of an all-pairs join — the standard
+    sublinear near-dup path at 100 TB.
+  * SimHash: 64-bit sign-aggregated token hashes; near-dups = small
+    Hamming distance (here: identical 16-bit halves via banding).
+
+All arithmetic uses md5-derived integers so the DuckDB oracle can
+reproduce results bit-for-bit (no engine-private hash functions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MINHASH_K = 16  # signature length
+LSH_BANDS = 4  # 16 hashes → 4 bands × 4 rows
+
+
+def _norm_text() -> F.Column:
+    return F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+
+
+def _shingles(n: int = 3) -> F.Column:
+    """Word n-gram shingles (distinct) of normalized text."""
+    toks = F.split(_norm_text(), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
+def _hash60(col: F.Column) -> F.Column:
+    """Deterministic 60-bit integer from md5 hex — reproducible in DuckDB
+    via ('0x' || substr(md5(x),1,15))::BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def d_exact_dups(documents: DataFrame) -> DataFrame:
+    """Exact duplicate groups by content fingerprint: canonical (min)
+    doc_id + duplicate count for every group with >1 member."""
+    fp = F.md5(_norm_text())
+    return (
+        documents.select(fp.alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count(F.lit(1)).alias("n_dups"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def d_ngram_jaccard_pairs(
+    documents: DataFrame, n: int = 3, threshold: float = 0.6, max_df: int = 50
+) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram Jaccard similarity.
+
+    Shingles occurring in more than `max_df` docs are dropped before the
+    self-join (stop-shingle cap): they contribute little discrimination
+    but quadratic pairs. |A∩B| from the join, |A∪B| = |A|+|B|-|A∩B|.
+    """
+    sh = documents.select("doc_id", F.explode(_shingles(n)).alias("shingle"))
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    rare = sh.join(df_counts.filter(F.col("df") <= max_df), "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+
+    a = rare.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = rare.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def d_minhash_signatures(documents: DataFrame, n: int = 3) -> DataFrame:
+    """k=16 MinHash values per document over n-gram shingles: mh_i =
+    min over shingles of a 60-bit salted hash md5(f"{i}:{shingle}") —
+    k independent hash families without modular arithmetic (which would
+    overflow int64 under ANSI mode).
+
+    One explode + one groupBy with k min-aggregates — a single shuffle;
+    signature arithmetic is all JVM-side Column math.
+    """
+    sh = documents.select("doc_id", F.explode(_shingles(n)).alias("shingle"))
+    aggs = [
+        F.min(_hash60(F.concat_ws(":", F.lit(i), F.col("shingle")))).alias(f"mh_{i}")
+        for i in range(MINHASH_K)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def d_minhash_lsh_pairs(documents: DataFrame, n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding over MinHash signatures,
+    verified by estimated Jaccard (signature agreement rate).
+
+    Scale path: docs land in (band, bucket) groups — ONE shuffle on the
+    bucket key; only same-bucket pairs are compared, never all pairs.
+    """
+    sig = d_minhash_signatures(documents, n)
+    k = MINHASH_K
+    rows_per_band = k // LSH_BANDS
+    mh_cols = [F.col(f"mh_{i}") for i in range(k)]
+
+    bands = sig.select(
+        "doc_id",
+        *[
+            F.md5(F.concat_ws("_", F.lit(bi), *mh_cols[bi * rows_per_band : (bi + 1) * rows_per_band])).alias(
+                f"band_{bi}"
+            )
+            for bi in range(LSH_BANDS)
+        ],
+    )
+    stacked = bands.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.struct(F.lit(bi).alias("band"), F.col(f"band_{bi}").alias("bucket")) for bi in range(LSH_BANDS)])
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+    cand = (
+        stacked.alias("x")
+        .join(stacked.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(k)])
+    sb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(k)])
+    agree = sum((F.col(f"a_{i}") == F.col(f"b_{i}")).cast("int") for i in range(k))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("est_jaccard", F.round(agree.cast("double") / k, 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+def d_simhash(documents: DataFrame) -> DataFrame:
+    """64-bit SimHash per document from token hashes: bit b of the hash is
+    1 iff the sum of per-token signs at b is positive. Expressed as 64
+    conditional sums in one aggregation (single shuffle)."""
+    toks = documents.select(
+        "doc_id", F.explode(F.array_distinct(F.split(_norm_text(), " "))).alias("tok")
+    ).withColumn("h", _hash60(F.col("tok")))
+    bit_sums = [
+        F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"s_{b}")
+        for b in range(60)
+    ]
+    agg = toks.groupBy("doc_id").agg(*bit_sums)
+    simhash = sum(
+        F.when(F.col(f"s_{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        for b in range(60)
+    )
+    return agg.select("doc_id", simhash.alias("simhash"))

@@ -1,0 +1,207 @@
+"""Relational analytics over the driver testdata — the widened operator
+surface (SURVEY §7.1 step 7): grouped aggregation, multi-way joins,
+windows, rollups, top-k. The reference itself needs none of these
+(SURVEY §2.5) but a user switching engines expects them, and they are the
+perf-relevant plans at 100 TB.
+
+Cross-engine determinism notes (the DuckDB oracle hash-compares values):
+  * money/quantity sums go through DECIMAL so partial-aggregation order
+    can't change the result, then cast back to DOUBLE so both engines
+    return the same type;
+  * every top-k has a total order (tiebreak on the key);
+  * averages are computed as decimal-sum / count, rounded.
+
+Scale posture: all plans are shuffle-minimal — partial aggregation
+map-side, the small dimensions (region/nation/supplier/part/customer)
+broadcast under AQE, and no driver-side loops anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dec(col: str, prec: int = 18, scale: int = 4) -> F.Column:
+    return F.col(col).cast(f"decimal({prec},{scale})")
+
+
+def _dsum(expr, alias: str) -> F.Column:
+    """Order-independent double sum: exact decimal sum cast back to double."""
+    return F.sum(expr).cast("double").alias(alias)
+
+
+def q1_pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1 shape: pricing summary by returnflag/linestatus.
+
+    One shuffle (the groupBy); partial aggregates combine map-side.
+    """
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    # narrow the intermediate so the second product stays inside precision
+    # 38 (exact) in BOTH engines — otherwise each rounds differently
+    charge = disc_price.cast("decimal(18,8)") * (F.lit(1).cast("decimal(18,4)") + _dec("l_tax"))
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1999-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(_dec("l_quantity"), "sum_qty"),
+            _dsum(_dec("l_extendedprice"), "sum_base_price"),
+            _dsum(disc_price, "sum_disc_price"),
+            # rounded at the data's intrinsic scale (6dp): DuckDB's
+            # wide-decimal→double conversion is off by an ulp vs Spark's
+            # correctly-rounded BigDecimal path, and any coarser rounding
+            # can land on the exact half-grid of the data
+            F.round(F.sum(charge).cast("double"), 6).alias("sum_charge"),
+            # exact decimal sum → double, THEN divide/round: avoids
+            # engine-specific decimal-division scale rules
+            F.round(F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)), 4).alias("avg_qty"),
+            F.round(F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1)), 4).alias("avg_price"),
+            F.round(F.sum(_dec("l_discount")).cast("double") / F.count(F.lit(1)), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_top_unshipped_orders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q3 shape: top-10 open orders by revenue for one segment.
+
+    customer is small → broadcast; lineitem→orders join shuffles on the
+    orderkey (the natural co-partitioning key at scale).
+    """
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    return (
+        lineitem.filter(F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
+        .join(orders.filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer.filter(F.col("c_mktsegment") == "BUILDING")), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dsum(revenue, "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_region_revenue(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """TPC-H Q5 shape: revenue per nation where customer and supplier are
+    co-national. Dimension chain broadcasts; the two fact joins shuffle on
+    orderkey/suppkey."""
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(_dsum(revenue, "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+def top_customers_by_revenue(customer: DataFrame, orders: DataFrame, k: int = 20) -> DataFrame:
+    """Top-k customers by total order value (broadcast dim join + one agg)."""
+    return (
+        orders.groupBy("o_custkey")
+        .agg(_dsum(_dec("o_totalprice"), "total_revenue"), F.count(F.lit(1)).alias("order_cnt"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "c_mktsegment", "total_revenue", "order_cnt")
+        .orderBy(F.col("total_revenue").desc(), F.col("c_custkey"))
+        .limit(k)
+    )
+
+
+def w1_top_orders_per_customer(orders: DataFrame, n: int = 3) -> DataFrame:
+    """Window row_number: each customer's n largest orders. One shuffle on
+    the partition key; no global sort."""
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n)
+        .select("o_custkey", "o_orderkey", F.col("o_totalprice"), "rn")
+    )
+
+
+def w2_running_user_value(events: DataFrame) -> DataFrame:
+    """Running per-user cumulative value over event time (prefix sum).
+    Decimal accumulation keeps the prefix sums exact and engine-agnostic."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        F.sum(_dec("value", 18, 6)).over(w).cast("double").alias("running_value"),
+    )
+
+
+def g1_rollup_revenue(region: DataFrame, nation: DataFrame, customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """ROLLUP (region, nation) over order revenue — grouping-sets surface.
+
+    grouping_id disambiguates NULL-as-subtotal from NULL data, and gives
+    the oracle a deterministic key."""
+    joined = (
+        orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            _dsum(_dec("o_totalprice"), "revenue"),
+            F.count(F.lit(1)).alias("order_cnt"),
+        )
+        .select("r_name", "n_name", "gid", "revenue", "order_cnt")
+    )
+
+
+def e1_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the user is idle
+    longer than the gap. Pure window arithmetic — no state store needed in
+    batch; the streaming analog uses session windows (streaming module)."""
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = gap_minutes * 60
+    prev_ts = F.lag("ts").over(w_user)
+    is_new = F.when(
+        prev_ts.isNull() | ((F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)) > gap_s),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    with_flag = events.withColumn("is_new", is_new)
+    session_seq = F.sum("is_new").over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        with_flag.withColumn("session_seq", session_seq.cast("long"))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            _dsum(_dec("value", 18, 6), "session_value"),
+        )
+    )
+
+
+def e2_event_funnel(events: DataFrame) -> DataFrame:
+    """Per-type event stats — the A1 count generalized to grouped counts +
+    distinct users (approx at scale would be approx_count_distinct; exact
+    here because the oracle is exact)."""
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            _dsum(_dec("value", 18, 6), "total_value"),
+        )
+        .orderBy("event_type")
+    )

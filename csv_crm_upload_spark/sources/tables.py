@@ -10,13 +10,26 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from csv_crm_upload_spark.schemas import TABLE_NAMES
+from csv_crm_upload_spark.schemas import TABLE_NAMES, TESTDATA_SCHEMAS
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table. Plain parquet scan: pushdown-friendly."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Load one testdata table. Plain parquet scan: pushdown-friendly.
+
+    Parquet TIMESTAMP(NANOS) columns (events.ts) surface as nanos-longs
+    under `nanosAsLong`; convert to microsecond timestamps with integer
+    division (ns values exceed double's exact range — never go through
+    float)."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    want = TESTDATA_SCHEMAS.get(name)
+    if want is not None:
+        actual = dict(df.dtypes)
+        for field in want.fields:
+            if field.dataType.typeName() == "timestamp" and actual.get(field.name) == "bigint":
+                df = df.withColumn(field.name, F.expr(f"timestamp_micros({field.name} DIV 1000)"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
