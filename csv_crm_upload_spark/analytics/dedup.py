@@ -28,6 +28,17 @@ MINHASH_K = 16  # signature length
 LSH_BANDS = 4  # 16 hashes → 4 bands × 4 rows
 
 
+def _spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Repartition to full parallelism before CPU-heavy per-row hashing.
+
+    Small-file inputs (one parquet file → one split) would otherwise run
+    the whole md5/shingle map on a single core; the hash work dominates
+    the one cheap shuffle this costs. On a cluster the same holds whenever
+    upstream produced few/large splits."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism, key)
+
+
 def _norm_text() -> F.Column:
     return F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
 
@@ -68,7 +79,7 @@ def d_ngram_jaccard_pairs(
     self-join (stop-shingle cap): they contribute little discrimination
     but quadratic pairs. |A∩B| from the join, |A∪B| = |A|+|B|-|A∩B|.
     """
-    sh = documents.select("doc_id", F.explode(_shingles(n)).alias("shingle"))
+    sh = _spread(documents).select("doc_id", F.explode(_shingles(n)).alias("shingle"))
     df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     rare = sh.join(df_counts.filter(F.col("df") <= max_df), "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
@@ -103,10 +114,16 @@ def d_minhash_signatures(documents: DataFrame, n: int = 3) -> DataFrame:
     k independent hash families without modular arithmetic (which would
     overflow int64 under ANSI mode).
 
-    One explode + one groupBy with k min-aggregates — a single shuffle;
-    signature arithmetic is all JVM-side Column math.
+    Shape: one explode + one groupBy with k min-aggregates. The k mins
+    combine MAP-SIDE (partial aggregation), so the shuffle carries only
+    O(docs × k) partial rows, not the exploded shingle stream — this is
+    the scalable idiom at 100 TB. (A zero-shuffle array_min(transform(..))
+    formulation was tried and rejected: Catalyst's CollapseProject
+    re-inlines the shingle-building expression into all k columns, 16×ing
+    the tokenization work, and a map-only plan has no shuffle files for
+    downstream consumers to reuse.)
     """
-    sh = documents.select("doc_id", F.explode(_shingles(n)).alias("shingle"))
+    sh = _spread(documents).select("doc_id", F.explode(_shingles(n)).alias("shingle"))
     aggs = [
         F.min(_hash60(F.concat_ws(":", F.lit(i), F.col("shingle")))).alias(f"mh_{i}")
         for i in range(MINHASH_K)
@@ -121,7 +138,12 @@ def d_minhash_lsh_pairs(documents: DataFrame, n: int = 3, threshold: float = 0.5
     Scale path: docs land in (band, bucket) groups — ONE shuffle on the
     bucket key; only same-bucket pairs are compared, never all pairs.
     """
-    sig = d_minhash_signatures(documents, n)
+    # Persist: signatures are tiny (17 longs/doc) but feed THREE consumers
+    # (bands + both sides of the verification join); without a
+    # materialization point each consumer would recompute the full
+    # shingle+hash map stage. At cluster scale this is a checkpoint of the
+    # signature table — standard practice before LSH banding.
+    sig = d_minhash_signatures(documents, n).persist()
     k = MINHASH_K
     rows_per_band = k // LSH_BANDS
     mh_cols = [F.col(f"mh_{i}") for i in range(k)]
@@ -166,7 +188,7 @@ def d_simhash(documents: DataFrame) -> DataFrame:
     """64-bit SimHash per document from token hashes: bit b of the hash is
     1 iff the sum of per-token signs at b is positive. Expressed as 64
     conditional sums in one aggregation (single shuffle)."""
-    toks = documents.select(
+    toks = _spread(documents).select(
         "doc_id", F.explode(F.array_distinct(F.split(_norm_text(), " "))).alias("tok")
     ).withColumn("h", _hash60(F.col("tok")))
     bit_sums = [
