@@ -221,6 +221,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_knn_lsh": lambda s, sf: sim.knn_lsh(_t("embeddings")(s, sf)),
         # multimodal plumbing (relational stats over binary payloads)
         "mm_media_stats": lambda s, sf: mm.media_stats(mm.media_table(_t("documents")(s, sf))),
+        # joins/sets/having/distinct-agg widening
+        "j1_brand_margin": lambda s, sf: tpch.j1_brand_margin(_t("part")(s, sf), _t("lineitem")(s, sf)),
+        "set1_status_overlap": lambda s, sf: tpch.set1_status_overlap(_t("orders")(s, sf)),
+        "set2_exclusive_open": lambda s, sf: tpch.set2_exclusive_open(_t("orders")(s, sf)),
+        "h1_active_customers": lambda s, sf: tpch.h1_active_customers(_t("orders")(s, sf)),
+        "dagg1_distinct_suppliers": lambda s, sf: tpch.dagg1_distinct_suppliers(_t("lineitem")(s, sf)),
+        "dd_embed_neardup": lambda s, sf: sim.embed_neardup_pairs(_t("embeddings")(s, sf)),
     }
 
 
@@ -580,5 +587,50 @@ def oracle_sql() -> dict[str, str]:
                CAST(MIN(octet_length(payload)) AS INT) AS min_bytes,
                CAST(MAX(octet_length(payload)) AS INT) AS max_bytes
         FROM media GROUP BY kind ORDER BY kind
+    """
+
+    q["j1_brand_margin"] = """
+        SELECT p_brand,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) - CAST(p_retailprice AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4)) AS DECIMAL(18,8))) AS DOUBLE) AS total_margin,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand ORDER BY p_brand
+    """
+    q["set1_status_overlap"] = """
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """
+    q["set2_exclusive_open"] = """
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """
+    q["h1_active_customers"] = """
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
+    """
+    q["dagg1_distinct_suppliers"] = """
+        SELECT l_returnflag,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+               CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """
+    q["dd_embed_neardup"] = f"""
+        WITH sig AS (
+          SELECT vec_id, CAST({bucket_bits} AS INT) AS bucket FROM embeddings
+        ),
+        wb AS (SELECT e.vec_id, e.embedding, s.bucket FROM embeddings e JOIN sig s USING (vec_id)),
+        pairs AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 round(
+                   list_sum(list_transform(range(1, len(a.embedding) + 1), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+                   / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                      * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) AS cos_sim
+          FROM wb a JOIN wb b ON a.bucket = b.bucket
+          WHERE a.vec_id < b.vec_id
+        )
+        SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.9
     """
     return q

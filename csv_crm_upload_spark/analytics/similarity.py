@@ -123,3 +123,29 @@ def knn_lsh(embeddings: DataFrame, query_ids: list[int] | None = None, k: int = 
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cos_sim", "rank")
     )
+
+
+def embed_neardup_pairs(
+    embeddings: DataFrame, threshold: float = 0.9, n_planes: int = 8
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the vector cousin of
+    MinHash dedup: LSH-bucket by hyperplane signs, then exact cosine
+    within buckets, keep pairs ≥ threshold.
+
+    Scale path: the quadratic pair space shrinks to same-bucket pairs
+    (ONE shuffle on the bucket key); tighter buckets (more planes) trade
+    recall for cost exactly like LSH bands."""
+    sig = lsh_bucket_signature(embeddings, n_planes)
+    wb = embeddings.join(sig, "vec_id")
+    a = wb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "bucket")
+    b = wb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -205,3 +205,57 @@ def e2_event_funnel(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def j1_brand_margin(part: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Fact-to-dim join + grouped agg over `part`: realized margin per
+    brand. part broadcasts (tiny dim); lineitem aggregates partially
+    map-side after the join."""
+    margin = _dec("l_extendedprice") - _dec("p_retailprice") * _dec("l_quantity")
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            _dsum(margin, "total_margin"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def set1_status_overlap(orders: DataFrame) -> DataFrame:
+    """Set operation surface: customers with BOTH open and finished
+    orders (INTERSECT — dedup semantics per ANSI)."""
+    open_c = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    done_c = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_c.intersect(done_c)
+
+
+def set2_exclusive_open(orders: DataFrame) -> DataFrame:
+    """EXCEPT (distinct set semantics): customers with open orders but no
+    finished ones — exceptAll would keep surplus duplicates instead."""
+    open_c = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    done_c = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_c.subtract(done_c)
+
+
+def h1_active_customers(orders: DataFrame, min_orders: int = 15) -> DataFrame:
+    """GROUP BY + HAVING."""
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= min_orders)
+    )
+
+
+def dagg1_distinct_suppliers(lineitem: DataFrame) -> DataFrame:
+    """Multiple DISTINCT aggregates in one pass (Expand-based plan)."""
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("l_returnflag")
+    )
