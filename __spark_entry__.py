@@ -30,6 +30,7 @@ from csv_crm_upload_spark.analytics import multimodal as mm
 from csv_crm_upload_spark.analytics import similarity as sim
 from csv_crm_upload_spark.analytics import textstats as ts
 from csv_crm_upload_spark.analytics import tpch
+from csv_crm_upload_spark.streaming import windows as stw
 from csv_crm_upload_spark.operators.dedup import dedupe_batch
 from csv_crm_upload_spark.operators.mutate import finalize_columns
 from csv_crm_upload_spark.operators.validate import validate_split
@@ -228,6 +229,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h1_active_customers": lambda s, sf: tpch.h1_active_customers(_t("orders")(s, sf)),
         "dagg1_distinct_suppliers": lambda s, sf: tpch.dagg1_distinct_suppliers(_t("lineitem")(s, sf)),
         "dd_embed_neardup": lambda s, sf: sim.embed_neardup_pairs(_t("embeddings")(s, sf)),
+        # event-time streaming operators (batch-parity mode; the same
+        # functions run streaming with watermarks — see streaming/windows.py)
+        "st1_tumbling_counts": lambda s, sf: stw.tumbling_counts(_t("events")(s, sf)),
+        "st2_sliding_activity": lambda s, sf: stw.sliding_user_activity(_t("events")(s, sf)),
+        "st3_session_windows": lambda s, sf: stw.session_windows(_t("events")(s, sf)),
     }
 
 
@@ -632,5 +638,40 @@ def oracle_sql() -> dict[str, str]:
           WHERE a.vec_id < b.vec_id
         )
         SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.9
+    """
+
+    q["st1_tumbling_counts"] = """
+        SELECT date_trunc('hour', ts) AS window_start,
+               date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+               event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        FROM events GROUP BY 1, 2, 3
+    """
+    q["st2_sliding_activity"] = """
+        WITH expanded AS (
+          SELECT user_id,
+                 unnest([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS window_start
+          FROM events
+        )
+        SELECT window_start, user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM expanded GROUP BY 1, 2
+    """
+    q["st3_session_windows"] = """
+        WITH flagged AS (
+          SELECT user_id, event_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+          SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+          FROM flagged
+        )
+        SELECT MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+        FROM sess GROUP BY user_id, session_seq
     """
     return q
