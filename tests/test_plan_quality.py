@@ -1,0 +1,94 @@
+"""Physical-plan audits: the 100 TB posture is only real if the optimized
+plan shows it. These tests pin the plan properties that matter at scale —
+filter pushdown to parquet, column pruning, broadcast joins for small
+dims, map-side partial aggregation, and no Python UDFs in JVM-only paths."""
+
+from __future__ import annotations
+
+import io
+import re
+
+import pytest
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from csv_crm_upload_spark.sources.tables import load_table
+
+
+def plan_of(df) -> str:
+    import contextlib
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+QUERIES = entrymod.queries()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = plan_of(QUERIES["f1_filter_pending"](spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,O)]" in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    plan = plan_of(QUERIES["p1_projection"](spark, sf_dir))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert read_cols == {"c_custkey", "c_name", "c_mktsegment"}  # 3 of 5 cols only
+
+
+def test_q3_broadcasts_customer_dim(spark, sf_dir):
+    plan = plan_of(QUERIES["q3_top_unshipped"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # the big fact-fact join may be SMJ/shuffled-hash; the dim must broadcast
+    assert plan.count("BroadcastExchange") >= 1
+
+
+def test_q1_partial_aggregation_map_side(spark, sf_dir):
+    plan = plan_of(QUERIES["q1_pricing_summary"](spark, sf_dir))
+    # two HashAggregates (partial + final) around one shuffle on the keys
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan
+    assert "hashpartitioning(l_returnflag" in plan
+
+
+def test_anti_join_strategy(spark, sf_dir):
+    plan = plan_of(QUERIES["d1_anti_join"](spark, sf_dir))
+    assert "LeftAnti" in plan
+
+
+def test_no_python_udf_in_relational_paths(spark, sf_dir):
+    """Everything except the explicitly-Python multimodal path must stay
+    JVM-side (no BatchEvalPython / ArrowEvalPython in the plan)."""
+    for name, fn in QUERIES.items():
+        plan = plan_of(fn(spark, sf_dir))
+        assert "EvalPython" not in plan, f"{name} fell off the JVM fast path"
+
+
+def test_whole_stage_codegen_active(spark, sf_dir):
+    # under AQE, codegen stage markers (*(n)) only exist in the FINAL
+    # executed plan — run the query, then read it back
+    df = QUERIES["q1_pricing_summary"](spark, sf_dir)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in executed
+    assert re.search(r"\*\(\d+\) HashAggregate", executed), executed[:800]
+
+
+def test_ingest_validation_is_single_scan_predicate(spark, tmp_path):
+    """validate_split must be pure Column predicates over one scan — no
+    joins, no shuffles in the clean-path plan."""
+    from csv_crm_upload_spark.operators.validate import validate_split
+    from csv_crm_upload_spark.sources.csv_source import read_customers_csv
+
+    p = tmp_path / "x.csv"
+    p.write_text("1,a,b,a@x.com,1\n")
+    clean, quarantine = validate_split(read_customers_csv(spark, str(p), header=False))
+    for df in (clean, quarantine):
+        plan = plan_of(df)
+        assert "Exchange" not in plan  # map-only
+        assert "Join" not in plan
