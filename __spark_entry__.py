@@ -551,30 +551,39 @@ def oracle_sql() -> dict[str, str]:
         WHERE rn <= 5
     """
 
-    n_planes = 8
-    sign = (
-        "CASE WHEN (('0x' || substr(md5({p} || ':' || d.d), 1, 15))::BIGINT) % 2 = 0 "
-        "THEN 1.0 ELSE -1.0 END"
-    )
-    bucket_bits = " + ".join(
-        "CASE WHEN list_sum(list_transform(range(0, len(embedding)), d2 -> "
-        f"embedding[d2 + 1]::DOUBLE * (CASE WHEN (('0x' || substr(md5({p} || ':' || d2), 1, 15))::BIGINT) % 2 = 0 THEN 1.0 ELSE -1.0 END)"
-        f")) >= 0 THEN {1 << p} ELSE 0 END"
-        for p in range(n_planes)
+    # multi-table hyperplane LSH: bucket for table t = sum over planes p of
+    # [sign(v · h_{t,p}) >= 0] << p, components = md5(t:p:d) parity
+    def _bucket_bits(table: int, n_planes: int) -> str:
+        return " + ".join(
+            "CASE WHEN list_sum(list_transform(range(0, len(embedding)), d2 -> "
+            f"embedding[d2 + 1]::DOUBLE * (CASE WHEN (('0x' || substr(md5({table} || ':' || {p} || ':' || d2), 1, 15))::BIGINT) % 2 = 0 THEN 1.0 ELSE -1.0 END)"
+            f")) >= 0 THEN {1 << p} ELSE 0 END"
+            for p in range(n_planes)
+        )
+
+    n_tables, n_planes_knn = 8, 4
+    table_buckets_union = "\n          UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, CAST({_bucket_bits(t, n_planes_knn)} AS INT) AS bucket FROM embeddings"
+        for t in range(n_tables)
     )
     q["sim_knn_lsh"] = f"""
-        WITH sig AS (
-          SELECT vec_id, CAST({bucket_bits} AS INT) AS bucket FROM embeddings
+        WITH buckets AS (
+          {table_buckets_union}
         ),
-        wb AS (SELECT e.vec_id, e.embedding, s.bucket FROM embeddings e JOIN sig s USING (vec_id)),
-        q AS (
-          SELECT vec_id AS query_id, embedding AS q_emb, bucket AS q_bucket
-          FROM wb WHERE vec_id IN (0,1,2,3,4,5,6,7,8,9)
+        qb AS (
+          SELECT vec_id AS query_id, tbl, bucket FROM buckets
+          WHERE vec_id IN (0,1,2,3,4,5,6,7,8,9)
+        ),
+        cand AS (
+          SELECT DISTINCT qb.query_id, b.vec_id
+          FROM buckets b JOIN qb ON b.tbl = qb.tbl AND b.bucket = qb.bucket
+          WHERE b.vec_id <> qb.query_id
         ),
         scored AS (
-          SELECT q.query_id, e.vec_id, {_cos} AS cos_sim
-          FROM wb e JOIN q ON e.bucket = q.q_bucket
-          WHERE e.vec_id <> q.query_id
+          SELECT c.query_id, c.vec_id, {_cos} AS cos_sim
+          FROM cand c
+          JOIN (SELECT vec_id, embedding AS q_emb FROM embeddings) q ON q.vec_id = c.query_id
+          JOIN embeddings e ON e.vec_id = c.vec_id
         )
         SELECT query_id, vec_id, cos_sim, CAST(rn AS INT) AS rank
         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rn FROM scored)
@@ -625,7 +634,7 @@ def oracle_sql() -> dict[str, str]:
     """
     q["dd_embed_neardup"] = f"""
         WITH sig AS (
-          SELECT vec_id, CAST({bucket_bits} AS INT) AS bucket FROM embeddings
+          SELECT vec_id, CAST({_bucket_bits(0, 8)} AS INT) AS bucket FROM embeddings
         ),
         wb AS (SELECT e.vec_id, e.embedding, s.bucket FROM embeddings e JOIN sig s USING (vec_id)),
         pairs AS (

@@ -69,16 +69,34 @@ def knn_bruteforce(
     )
 
 
-def lsh_bucket_signature(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:
-    """Random-hyperplane LSH: bit p = sign(v · h_p). Returns vec_id +
-    integer bucket. Same-bucket vectors are cosine-similar w.h.p."""
+def _hp_sign(table: int, plane: int, dim_col) -> F.Column:
+    """Deterministic ±1 hyperplane component from md5(table:plane:dim)
+    parity — oracle-reproducible, unique per (table, plane)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(table), F.lit(plane), dim_col.cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return F.when(h % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+def _plane_term(table: int, plane: int):
+    # factory, NOT a defaulted lambda: F.transform dispatches on lambda
+    # arity, so extra default params would bind the element index
+    emb = F.col("embedding")
+    return lambda d: F.element_at(emb, d + 1).cast("double") * _hp_sign(table, plane, d)
+
+
+def _bucket_expr(table: int, n_planes: int) -> F.Column:
     emb = F.col("embedding")
     bits = []
     for p in range(n_planes):
-        # v · h_p with ±1 components: sum of ±v[d] — sequential fold
+        # v · h_p with ±1 components: sequential fold (engine-stable)
         idx = F.sequence(F.lit(0), F.size(emb) - 1)
         dot = F.aggregate(
-            F.transform(idx, lambda d: F.element_at(emb, d + 1).cast("double") * _hp_sign(p, d)),
+            F.transform(idx, _plane_term(table, p)),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
@@ -86,33 +104,67 @@ def lsh_bucket_signature(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:
     bucket = bits[0]
     for b in bits[1:]:
         bucket = bucket + b
-    return embeddings.select("vec_id", bucket.cast("int").alias("bucket"))
+    return bucket.cast("int")
 
 
-def _hp_sign(plane: int, dim_col) -> F.Column:
-    h = F.conv(
-        F.substring(F.md5(F.concat_ws(":", F.lit(plane), dim_col.cast("string"))), 1, 15), 16, 10
-    ).cast("long")
-    return F.when(h % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+def lsh_bucket_signature(embeddings: DataFrame, n_planes: int = 8, table: int = 0) -> DataFrame:
+    """Random-hyperplane LSH (one table): bit p = sign(v · h_p). Returns
+    vec_id + integer bucket. Same-bucket vectors are cosine-similar w.h.p."""
+    return embeddings.select("vec_id", _bucket_expr(table, n_planes).alias("bucket"))
 
 
-def knn_lsh(embeddings: DataFrame, query_ids: list[int] | None = None, k: int = 5, n_planes: int = 8) -> DataFrame:
-    """ANN top-k: candidates restricted to the query's LSH bucket, then
-    exact cosine rerank within bucket. Recall trades off with n_planes."""
+def multi_table_buckets(embeddings: DataFrame, n_tables: int = 8, n_planes: int = 4) -> DataFrame:
+    """L independent LSH tables (OR-amplification): (vec_id, table,
+    bucket) in long form. Each table's planes are salted independently;
+    candidate recall is 1-(1-p^planes)^tables — tune tables up for
+    recall, planes up for precision/cost."""
+    return embeddings.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("table"), _bucket_expr(t, n_planes).alias("bucket"))
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", "tb.table", "tb.bucket")
+
+
+def knn_lsh(
+    embeddings: DataFrame,
+    query_ids: list[int] | None = None,
+    k: int = 5,
+    n_tables: int = 8,
+    n_planes: int = 4,
+) -> DataFrame:
+    """ANN top-k: candidates = union of same-bucket vectors across L hash
+    tables (one shuffle on (table, bucket)), then exact cosine rerank of
+    the candidate set. The standard sublinear path: corpus is hashed once;
+    each query probes L buckets instead of scanning everything."""
     if query_ids is None:
         query_ids = list(range(10))
-    sig = lsh_bucket_signature(embeddings, n_planes)
-    with_bucket = embeddings.join(sig, "vec_id")
-    queries = with_bucket.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), F.col("bucket").alias("q_bucket")
+    buckets = multi_table_buckets(embeddings, n_tables, n_planes)
+    q_buckets = buckets.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), "table", "bucket"
     )
-    scored = (
-        with_bucket.join(F.broadcast(queries), F.col("bucket") == F.col("q_bucket"))
+    cand = (
+        buckets.join(F.broadcast(q_buckets), ["table", "bucket"])
         .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    queries = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    corpus = embeddings.select("vec_id", F.col("embedding").alias("c_emb"))
+    scored = (
+        cand.join(F.broadcast(queries), "query_id")
+        .join(corpus, "vec_id")
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos_sim"),
+            F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cos_sim"),
         )
     )
     from pyspark.sql import Window
