@@ -234,6 +234,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st1_tumbling_counts": lambda s, sf: stw.tumbling_counts(_t("events")(s, sf)),
         "st2_sliding_activity": lambda s, sf: stw.sliding_user_activity(_t("events")(s, sf)),
         "st3_session_windows": lambda s, sf: stw.session_windows(_t("events")(s, sf)),
+        "q6_forecast_revenue": lambda s, sf: tpch.q6_forecast_revenue(_t("lineitem")(s, sf)),
+        "d1_orders_by_month": lambda s, sf: tpch.d1_orders_by_month(_t("orders")(s, sf)),
     }
 
 
@@ -682,5 +684,22 @@ def oracle_sql() -> dict[str, str]:
                user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
         FROM sess GROUP BY user_id, session_seq
+    """
+
+    q["q6_forecast_revenue"] = """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount >= 0.03 AND l_discount <= 0.07
+          AND l_quantity < 25
+    """
+    q["d1_orders_by_month"] = """
+        SELECT CAST(year(o_orderdate) AS INT) AS y,
+               CAST(month(o_orderdate) AS INT) AS m,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS month_revenue
+        FROM orders GROUP BY 1, 2
     """
     return q

@@ -259,3 +259,34 @@ def dagg1_distinct_suppliers(lineitem: DataFrame) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+def q6_forecast_revenue(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q6 shape: tight multi-predicate scan + single agg — the
+    pushdown showcase (all four predicates reach the parquet reader;
+    zero joins, one partial-agg shuffle of a single row)."""
+    revenue = _dec("l_extendedprice") * _dec("l_discount")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 25)
+        )
+        .agg(_dsum(revenue, "revenue"), F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+def d1_orders_by_month(orders: DataFrame) -> DataFrame:
+    """Date-part extraction + grouped agg (calendar dimension surface)."""
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").cast("int").alias("y"),
+            F.month("o_orderdate").cast("int").alias("m"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum(_dec("o_totalprice"), "month_revenue"),
+        )
+    )

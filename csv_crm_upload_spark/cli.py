@@ -1,0 +1,95 @@
+"""CLI — the reference's two services as subcommands.
+
+  csvReader  (reference cmd/main.go)  → `ingest`: CSV file/dir → store
+  crmIntegrator (reference crm/main.go) → `upload`: pending → CRM → mark
+  plus `pending` (the recurring query) and `watch` (streaming ingest).
+
+Flags mirror the reference CLI/env surface: -noheader (cmd/main.go:29),
+buffer size (cmd/main.go:30 — Spark manages batching; kept for interface
+parity), CRM_SERVER_ADDR (crm/main.go:12), concurrency cap 25
+(uploader.go:17-18).
+
+Usage:
+  python -m csv_crm_upload_spark.cli ingest --csv data.csv --store /tmp/store
+  python -m csv_crm_upload_spark.cli pending --store /tmp/store
+  python -m csv_crm_upload_spark.cli upload --store /tmp/store --crm http://localhost:8089
+  python -m csv_crm_upload_spark.cli watch --dir incoming/ --store /tmp/store --checkpoint /tmp/ckpt
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="csv_crm_upload_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("ingest", help="batch-ingest a CSV file into the store")
+    pi.add_argument("--csv", required=True)
+    pi.add_argument("--store", required=True)
+    pi.add_argument("--noheader", action="store_true", help="CSV has no header row")
+
+    pp = sub.add_parser("pending", help="show customers pending upload")
+    pp.add_argument("--store", required=True)
+    pp.add_argument("--limit", type=int, default=20)
+
+    pu = sub.add_parser("upload", help="upload pending customers to the CRM")
+    pu.add_argument("--store", required=True)
+    pu.add_argument("--crm", default=os.environ.get("CRM_SERVER_ADDR", "http://localhost:8089"))
+    pu.add_argument("--concurrency", type=int, default=25)
+    pu.add_argument("--max-tries", type=int, default=5)
+
+    pw = sub.add_parser("watch", help="stream-ingest CSVs arriving in a directory")
+    pw.add_argument("--dir", required=True)
+    pw.add_argument("--store", required=True)
+    pw.add_argument("--checkpoint", required=True)
+    pw.add_argument("--noheader", action="store_true")
+    pw.add_argument("--continuous", action="store_true", help="keep watching (default: drain and stop)")
+
+    args = p.parse_args(argv)
+
+    from csv_crm_upload_spark.operators.store import CustomerStore
+    from csv_crm_upload_spark.session import get_spark
+
+    spark = get_spark(app_name=f"cli-{args.cmd}")
+    spark.sparkContext.setLogLevel("WARN")
+    store = CustomerStore(spark, args.store)
+
+    if args.cmd == "ingest":
+        from csv_crm_upload_spark.plans.ingest import ingest_csv
+
+        res = ingest_csv(spark, args.csv, store, header=not args.noheader)
+        print(f"inserted={res.inserted} quarantined={res.quarantined} duplicates={res.duplicates}")
+    elif args.cmd == "pending":
+        pending = store.pending()
+        n = pending.count()
+        pending.orderBy("id").show(args.limit, truncate=False)
+        print(f"pending={n}")
+    elif args.cmd == "upload":
+        from csv_crm_upload_spark.streaming.pipeline import run_upload_cycle
+
+        marked = run_upload_cycle(
+            store, args.crm, concurrency=args.concurrency, max_tries=args.max_tries
+        )
+        print(f"marked_uploaded={marked}")
+    elif args.cmd == "watch":
+        from csv_crm_upload_spark.streaming.pipeline import run_ingest_stream
+
+        q = run_ingest_stream(
+            spark,
+            args.dir,
+            store,
+            args.checkpoint,
+            header=not args.noheader,
+            available_now=not args.continuous,
+        )
+        q.awaitTermination()
+        print(f"store_rows={store.read().count()}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
