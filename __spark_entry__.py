@@ -236,6 +236,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st3_session_windows": lambda s, sf: stw.session_windows(_t("events")(s, sf)),
         "q6_forecast_revenue": lambda s, sf: tpch.q6_forecast_revenue(_t("lineitem")(s, sf)),
         "d1_orders_by_month": lambda s, sf: tpch.d1_orders_by_month(_t("orders")(s, sf)),
+        "pctl_order_value": lambda s, sf: tpch.pctl_order_value(_t("orders")(s, sf)),
+        "w3_order_quartiles": lambda s, sf: tpch.w3_order_quartiles(_t("orders")(s, sf)),
+        "str1_name_features": lambda s, sf: tpch.str1_name_features(_t("customer")(s, sf)),
     }
 
 
@@ -701,5 +704,31 @@ def oracle_sql() -> dict[str, str]:
                CAST(COUNT(*) AS BIGINT) AS n_orders,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS month_revenue
         FROM orders GROUP BY 1, 2
+    """
+
+    q["pctl_order_value"] = """
+        SELECT o_orderstatus,
+               round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+               round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+               round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+               round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """
+    q["w3_order_quartiles"] = """
+        SELECT o_orderkey, o_orderstatus,
+               round(percent_rank() OVER w, 6) AS pr,
+               CAST(ntile(4) OVER w AS INT) AS quartile
+        FROM orders WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """
+    q["str1_name_features"] = """
+        SELECT c_custkey,
+               upper(c_name) AS name_upper,
+               substr(c_name, 1, 8) AS name_prefix,
+               concat_ws('-', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS segment_key,
+               lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS padded_key,
+               replace(c_name, 'Customer', 'Cust') AS name_short,
+               contains(c_name, '0') AS has_zero,
+               CAST(length(c_name) AS INT) AS name_len
+        FROM customer
     """
     return q

@@ -290,3 +290,45 @@ def d1_orders_by_month(orders: DataFrame) -> DataFrame:
             _dsum(_dec("o_totalprice"), "month_revenue"),
         )
     )
+
+
+def pctl_order_value(orders: DataFrame) -> DataFrame:
+    """Exact percentiles (linear interpolation) per group — the sketch-free
+    baseline; at 100 TB swap for approx_percentile with documented error."""
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def w3_order_quartiles(orders: DataFrame) -> DataFrame:
+    """percent_rank + ntile within status partitions (per-key windows —
+    scales by partition key, unlike a global ORDER BY window)."""
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+def str1_name_features(customer: DataFrame) -> DataFrame:
+    """Scalar string-function surface: case, substring, concat, pad,
+    replace, predicate match — all JVM builtins."""
+    return customer.select(
+        "c_custkey",
+        F.upper(F.col("c_name")).alias("name_upper"),
+        F.substring(F.col("c_name"), 1, 8).alias("name_prefix"),
+        F.concat_ws("-", F.col("c_mktsegment"), F.col("c_custkey").cast("string")).alias("segment_key"),
+        F.lpad(F.col("c_custkey").cast("string"), 9, "0").alias("padded_key"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("name_short"),
+        F.col("c_name").contains("0").alias("has_zero"),
+        F.length(F.col("c_name")).alias("name_len"),
+    )
