@@ -49,5 +49,10 @@ def get_spark(
         # testdata events.parquet carries TIMESTAMP(NANOS); Spark has no
         # nanos timestamp — read as long, converted in sources.tables
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # static conf: managed (bucketed) tables live outside the repo
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"),
+        )
     )
     return builder.getOrCreate()
