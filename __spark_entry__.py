@@ -239,6 +239,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pctl_order_value": lambda s, sf: tpch.pctl_order_value(_t("orders")(s, sf)),
         "w3_order_quartiles": lambda s, sf: tpch.w3_order_quartiles(_t("orders")(s, sf)),
         "str1_name_features": lambda s, sf: tpch.str1_name_features(_t("customer")(s, sf)),
+        # sketch-based approximations: deliberately NO oracle entries —
+        # estimates are engine-specific; error envelopes are pinned in
+        # tests/test_training_ops.py instead
+        "approx_distinct_users": lambda s, sf: tpch.approx_distinct_users(_t("events")(s, sf)),
+        "approx_value_percentiles": lambda s, sf: tpch.approx_value_percentiles(_t("events")(s, sf)),
     }
 
 

@@ -332,3 +332,31 @@ def str1_name_features(customer: DataFrame) -> DataFrame:
         F.col("c_name").contains("0").alias("has_zero"),
         F.length(F.col("c_name")).alias("name_len"),
     )
+
+
+def approx_distinct_users(events: DataFrame) -> DataFrame:
+    """HLL++ distinct-count sketch — THE cardinality operator at 100 TB
+    (exact distinct shuffles every key; the sketch merges map-side in
+    fixed memory). No DuckDB oracle on purpose: sketch estimates are
+    implementation-specific; tests pin the error envelope instead."""
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def approx_value_percentiles(events: DataFrame) -> DataFrame:
+    """KLL-style approximate percentiles (accuracy 10000) — fixed-memory
+    alternative to exact sort-based percentiles at scale."""
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("pctls"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )

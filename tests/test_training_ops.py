@@ -109,3 +109,29 @@ def test_media_features_batch_shape(docs):
 def test_media_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         mm.decode_media(b"bytes", "image")
+
+
+def test_approx_sketches_error_envelope(spark, sf_dir):
+    """Sketches have no cross-engine oracle; pin their error bounds vs
+    exact answers instead."""
+    from csv_crm_upload_spark.analytics.tpch import (
+        approx_distinct_users,
+        approx_value_percentiles,
+    )
+    from csv_crm_upload_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    for r in approx_distinct_users(events).collect():
+        rel_err = abs(r["approx_users"] - exact[r["event_type"]]) / exact[r["event_type"]]
+        assert rel_err < 0.1, (r["event_type"], r["approx_users"], exact[r["event_type"]])
+
+    exact_p50 = {
+        r["event_type"]: r["p"]
+        for r in events.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("p")).collect()
+    }
+    for r in approx_value_percentiles(events).collect():
+        assert abs(r["pctls"][0] - exact_p50[r["event_type"]]) <= max(1.0, 0.1 * abs(exact_p50[r["event_type"]]))
