@@ -28,6 +28,14 @@ MINHASH_K = 16  # signature length
 LSH_BANDS = 4  # 16 hashes → 4 bands × 4 rows
 
 
+def _with_content(documents: DataFrame) -> DataFrame:
+    """Null-text docs carry no content signal: exclude them from content
+    dedup explicitly (engines disagree on greatest(NULL,..) inside the
+    shingle index arithmetic, so implicit behavior would be engine-
+    specific)."""
+    return documents.filter(F.col("text").isNotNull())
+
+
 def _spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
     """Repartition to full parallelism before CPU-heavy per-row hashing.
 
@@ -63,7 +71,7 @@ def d_exact_dups(documents: DataFrame) -> DataFrame:
     doc_id + duplicate count for every group with >1 member."""
     fp = F.md5(_norm_text())
     return (
-        documents.select(fp.alias("fingerprint"), "doc_id")
+        _with_content(documents).select(fp.alias("fingerprint"), "doc_id")
         .groupBy("fingerprint")
         .agg(F.min("doc_id").alias("canonical_doc_id"), F.count(F.lit(1)).alias("n_dups"))
         .filter(F.col("n_dups") > 1)
@@ -79,7 +87,7 @@ def d_ngram_jaccard_pairs(
     self-join (stop-shingle cap): they contribute little discrimination
     but quadratic pairs. |A∩B| from the join, |A∪B| = |A|+|B|-|A∩B|.
     """
-    sh = _spread(documents).select("doc_id", F.explode(_shingles(n)).alias("shingle"))
+    sh = _spread(_with_content(documents)).select("doc_id", F.explode(_shingles(n)).alias("shingle"))
     df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     rare = sh.join(df_counts.filter(F.col("df") <= max_df), "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
@@ -123,7 +131,7 @@ def d_minhash_signatures(documents: DataFrame, n: int = 3) -> DataFrame:
     the tokenization work, and a map-only plan has no shuffle files for
     downstream consumers to reuse.)
     """
-    sh = _spread(documents).select("doc_id", F.explode(_shingles(n)).alias("shingle"))
+    sh = _spread(_with_content(documents)).select("doc_id", F.explode(_shingles(n)).alias("shingle"))
     aggs = [
         F.min(_hash60(F.concat_ws(":", F.lit(i), F.col("shingle")))).alias(f"mh_{i}")
         for i in range(MINHASH_K)
@@ -188,7 +196,7 @@ def d_simhash(documents: DataFrame) -> DataFrame:
     """64-bit SimHash per document from token hashes: bit b of the hash is
     1 iff the sum of per-token signs at b is positive. Expressed as 64
     conditional sums in one aggregation (single shuffle)."""
-    toks = _spread(documents).select(
+    toks = _spread(_with_content(documents)).select(
         "doc_id", F.explode(F.array_distinct(F.split(_norm_text(), " "))).alias("tok")
     ).withColumn("h", _hash60(F.col("tok")))
     bit_sums = [

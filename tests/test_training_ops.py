@@ -135,3 +135,15 @@ def test_approx_sketches_error_envelope(spark, sf_dir):
     }
     for r in approx_value_percentiles(events).collect():
         assert abs(r["pctls"][0] - exact_p50[r["event_type"]]) <= max(1.0, 0.1 * abs(exact_p50[r["event_type"]]))
+
+
+def test_null_text_docs_excluded_from_dedup(spark):
+    docs = spark.createDataFrame(
+        [(1, None, "en", "s", 0), (2, "hello world one two", "en", "s", 19),
+         (3, "hello world one two", "en", "s", 19)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    sigs = dd.d_minhash_signatures(docs)
+    assert {r["doc_id"] for r in sigs.collect()} == {2, 3}
+    groups = dd.d_exact_dups(docs).collect()
+    assert len(groups) == 1 and groups[0]["n_dups"] == 2
