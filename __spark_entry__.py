@@ -244,6 +244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tests/test_training_ops.py instead
         "approx_distinct_users": lambda s, sf: tpch.approx_distinct_users(_t("events")(s, sf)),
         "approx_value_percentiles": lambda s, sf: tpch.approx_value_percentiles(_t("events")(s, sf)),
+        "asof_purchase_view": lambda s, sf: tpch.asof_purchase_view(_t("events")(s, sf)),
     }
 
 
@@ -735,5 +736,26 @@ def oracle_sql() -> dict[str, str]:
                contains(c_name, '0') AS has_zero,
                CAST(length(c_name) AS INT) AS name_len
         FROM customer
+    """
+
+    q["asof_purchase_view"] = """
+        WITH tagged AS (
+          SELECT user_id, event_id, ts, event_type, value,
+                 CASE WHEN event_type = 'view' THEN event_id END AS view_id_raw,
+                 CASE WHEN event_type = 'view' THEN ts END AS view_ts_raw
+          FROM events WHERE event_type IN ('view', 'purchase')
+        ),
+        enriched AS (
+          SELECT user_id, event_id, ts, event_type, value,
+                 last_value(view_id_raw IGNORE NULLS) OVER w AS asof_view_id,
+                 last_value(view_ts_raw IGNORE NULLS) OVER w AS asof_view_ts
+          FROM tagged
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+               CAST(round(CAST(value AS DECIMAL(18,6)), 4) AS DOUBLE) AS purchase_value,
+               asof_view_id, asof_view_ts
+        FROM enriched WHERE event_type = 'purchase'
     """
     return q

@@ -360,3 +360,48 @@ def approx_value_percentiles(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def asof_purchase_view(events: DataFrame) -> DataFrame:
+    """AS-OF join: each purchase matched to the latest prior (or
+    simultaneous) view by the same user.
+
+    Spark has no ASOF JOIN operator; the scalable formulation is a SINGLE
+    window pass over the interleaved event stream — last_value(view
+    fields) ignoring nulls, ordered by event time per user — instead of a
+    range self-join (which explodes on active users). One shuffle on
+    user_id, state bounded by the window frame."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = events.filter(F.col("event_type").isin("view", "purchase")).select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        "value",
+        F.when(F.col("event_type") == "view", F.col("event_id")).alias("view_id_raw"),
+        F.when(F.col("event_type") == "view", F.col("ts")).alias("view_ts_raw"),
+    )
+    enriched = tagged.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        "value",
+        F.last("view_id_raw", ignorenulls=True).over(w).alias("asof_view_id"),
+        F.last("view_ts_raw", ignorenulls=True).over(w).alias("asof_view_ts"),
+    )
+    return (
+        enriched.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.round(F.col("value").cast("decimal(18,6)"), 4).cast("double").alias("purchase_value"),
+            "asof_view_id",
+            "asof_view_ts",
+        )
+    )
