@@ -150,6 +150,15 @@ def q_a1_count(spark, sf):
     return _t("lineitem")(spark, sf).agg(F.count(F.lit(1)).alias("n"))
 
 
+def q_x3_json_props(spark, sf):
+    """X3 on real nested data: schema-directed JSON field extraction from
+    the events.props payload column (from_json — JVM-side, typed)."""
+    parsed = F.from_json(F.col("props"), "k INT")
+    return _t("events")(spark, sf).select(
+        "event_id", parsed["k"].alias("k"),
+    )
+
+
 def q_x2_x3_json_roundtrip(spark, sf):
     """X2+X3: to_json → from_json round-trip is the identity."""
     from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
@@ -184,6 +193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u3_defaults": q_u3_defaults,
         "a1_count": q_a1_count,
         "x2_x3_json_roundtrip": q_x2_x3_json_roundtrip,
+        "x3_json_props": q_x3_json_props,
         # widened relational surface
         "q1_pricing_summary": lambda s, sf: tpch.q1_pricing_summary(_t("lineitem")(s, sf)),
         "q3_top_unshipped": lambda s, sf: tpch.q3_top_unshipped_orders(
@@ -757,5 +767,9 @@ def oracle_sql() -> dict[str, str]:
                CAST(round(CAST(value AS DECIMAL(18,6)), 4) AS DOUBLE) AS purchase_value,
                asof_view_id, asof_view_ts
         FROM enriched WHERE event_type = 'purchase'
+    """
+
+    q["x3_json_props"] = """
+        SELECT event_id, CAST(props->>'k' AS INT) AS k FROM events
     """
     return q
