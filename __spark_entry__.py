@@ -255,6 +255,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_users": lambda s, sf: tpch.approx_distinct_users(_t("events")(s, sf)),
         "approx_value_percentiles": lambda s, sf: tpch.approx_value_percentiles(_t("events")(s, sf)),
         "asof_purchase_view": lambda s, sf: tpch.asof_purchase_view(_t("events")(s, sf)),
+        "pv1_status_by_priority": lambda s, sf: tpch.pv1_status_by_priority(_t("orders")(s, sf)),
+        "rx1_doc_mentions": lambda s, sf: tpch.rx1_doc_mentions(_t("documents")(s, sf)),
+        "arr1_embedding_stats": lambda s, sf: sim.arr1_embedding_stats(_t("embeddings")(s, sf)),
     }
 
 
@@ -771,5 +774,27 @@ def oracle_sql() -> dict[str, str]:
 
     q["x3_json_props"] = """
         SELECT event_id, CAST(props->>'k' AS INT) AS k FROM events
+    """
+
+    q["pv1_status_by_priority"] = """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS F,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS O,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS P
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """
+    q["rx1_doc_mentions"] = """
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents
+        WHERE text IS NOT NULL AND regexp_matches(text, '\\bmerge\\b')
+        GROUP BY source ORDER BY source
+    """
+    q["arr1_embedding_stats"] = """
+        SELECT vec_id,
+               CAST(len(embedding) AS INT) AS dim,
+               round(list_min(list_transform(embedding, x -> x::DOUBLE)), 6) AS min_val,
+               round(list_max(list_transform(embedding, x -> x::DOUBLE)), 6) AS max_val,
+               round(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))), 6) AS l2_norm
+        FROM embeddings
     """
     return q

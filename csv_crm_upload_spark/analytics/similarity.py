@@ -201,3 +201,16 @@ def embed_neardup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def arr1_embedding_stats(embeddings: DataFrame) -> DataFrame:
+    """Array-function surface over vectors: size, extremes, L2 norm —
+    all higher-order built-ins, no UDFs."""
+    emb = F.col("embedding")
+    return embeddings.select(
+        "vec_id",
+        F.size(emb).alias("dim"),
+        F.round(F.array_min(F.transform(emb, lambda x: x.cast("double"))), 6).alias("min_val"),
+        F.round(F.array_max(F.transform(emb, lambda x: x.cast("double"))), 6).alias("max_val"),
+        F.round(_norm(emb), 6).alias("l2_norm"),
+    )

@@ -405,3 +405,26 @@ def asof_purchase_view(events: DataFrame) -> DataFrame:
             "asof_view_ts",
         )
     )
+
+
+def pv1_status_by_priority(orders: DataFrame) -> DataFrame:
+    """Pivot (wide conditional aggregation): order counts per priority ×
+    status. Fixed pivot values — at scale an unbounded pivot column set
+    is a driver-side collect; always enumerate."""
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .orderBy("o_orderpriority")
+    )
+
+
+def rx1_doc_mentions(documents: DataFrame) -> DataFrame:
+    """Regexp word-boundary filtering + per-source counts."""
+    hit = F.col("text").rlike(r"\bmerge\b")
+    return (
+        documents.filter(F.col("text").isNotNull() & hit)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source")
+    )
