@@ -29,6 +29,7 @@ from csv_crm_upload_spark.analytics import dedup as dd
 from csv_crm_upload_spark.analytics import multimodal as mm
 from csv_crm_upload_spark.analytics import similarity as sim
 from csv_crm_upload_spark.analytics import textstats as ts
+from csv_crm_upload_spark.analytics import ivf
 from csv_crm_upload_spark.analytics import tpch
 from csv_crm_upload_spark.streaming import windows as stw
 from csv_crm_upload_spark.operators.dedup import dedupe_batch
@@ -258,6 +259,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pv1_status_by_priority": lambda s, sf: tpch.pv1_status_by_priority(_t("orders")(s, sf)),
         "rx1_doc_mentions": lambda s, sf: tpch.rx1_doc_mentions(_t("documents")(s, sf)),
         "arr1_embedding_stats": lambda s, sf: sim.arr1_embedding_stats(_t("embeddings")(s, sf)),
+        # IVF ANN: learned (data-dependent) centroids — no SQL oracle;
+        # exactness at full probe + recall floors pinned in tests
+        "sim_knn_ivf": lambda s, sf: ivf.knn_ivf(_t("embeddings")(s, sf)),
     }
 
 

@@ -1,0 +1,135 @@
+"""IVF (inverted-file) approximate nearest neighbor — the learned-
+partition counterpart to hyperplane LSH (similarity.py).
+
+Index build:
+  1. fit k centroids on a bounded deterministic sample (driver-side
+     numpy Lloyd's — the sample is capped, so driver memory is bounded
+     regardless of corpus size; this mirrors how FAISS-style IVF trains
+     coarse quantizers on a sample);
+  2. assign every vector to its nearest centroid — one broadcast of the
+     (k × dim) centroid matrix and a single map stage over the corpus.
+
+Search: probe the `nprobe` nearest cells per query, exact-rerank only
+those cells' members. At 100 TB: assignment is embarrassingly parallel,
+the cell join is one shuffle on cell_id, and recall/cost is tuned by
+(n_cells, nprobe) exactly as in standard IVF practice.
+
+No DuckDB oracle: centroids are learned (data-dependent), so the op is
+checked by recall-vs-brute-force tests instead (the driver records a
+rows-only check; see COVERAGE.md).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from csv_crm_upload_spark.analytics.similarity import cosine
+
+
+def fit_centroids(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    sample_cap: int = 4096,
+    n_iter: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Lloyd's k-means on a deterministic bounded sample (normalized
+    vectors, so euclidean k-means ≈ spherical/cosine k-means)."""
+    sample = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy("vec_id")  # deterministic sample: first N by key
+        .limit(sample_cap)
+        .collect()
+    )
+    x = np.array([r["embedding"] for r in sample], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    centroids = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
+    for _ in range(n_iter):
+        sims = x @ centroids.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(centroids)):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                centroids[c] = m / max(np.linalg.norm(m), 1e-12)
+    return centroids
+
+
+def assign_cells(embeddings: DataFrame, centroids: np.ndarray) -> DataFrame:
+    """vec_id → cell_id of nearest centroid. The centroid matrix rides
+    into the plan as array literals (broadcast-equivalent; k×dim doubles
+    is tiny) — one map stage, no shuffle."""
+    emb = F.col("embedding")
+    sims = [
+        F.aggregate(
+            F.zip_with(
+                emb,
+                F.array(*[F.lit(float(v)) for v in centroids[c]]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        for c in range(len(centroids))
+    ]
+    best = F.array_position(
+        F.array(*sims), F.array_max(F.array(*sims))
+    ) - 1  # 1-based → 0-based
+    return embeddings.select("vec_id", best.cast("int").alias("cell_id"))
+
+
+def knn_ivf(
+    embeddings: DataFrame,
+    query_ids: list[int] | None = None,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF search: per query, exact-rerank members of the nprobe nearest
+    cells only."""
+    if query_ids is None:
+        query_ids = list(range(10))
+    centroids = fit_centroids(embeddings, n_cells=n_cells)
+    cells = assign_cells(embeddings, centroids).persist()
+
+    # nprobe nearest cells per query: computed on the tiny query set
+    queries = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    q_rows = queries.collect()
+    qx = np.array([r["q_emb"] for r in q_rows], dtype=np.float64)
+    qx /= np.maximum(np.linalg.norm(qx, axis=1, keepdims=True), 1e-12)
+    probe_cells = (qx @ centroids.T).argsort(axis=1)[:, ::-1][:, :nprobe]
+    probes = [
+        (int(r["query_id"]), int(c)) for r, row in zip(q_rows, probe_cells) for c in row
+    ]
+    spark = embeddings.sparkSession
+    probe_df = spark.createDataFrame(probes, ["query_id", "cell_id"])
+
+    cand = (
+        cells.join(F.broadcast(probe_df), "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    corpus = embeddings.select("vec_id", F.col("embedding").alias("c_emb"))
+    scored = (
+        cand.join(F.broadcast(queries), "query_id")
+        .join(corpus, "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos_sim", "rank")
+    )

@@ -147,3 +147,25 @@ def test_null_text_docs_excluded_from_dedup(spark):
     assert {r["doc_id"] for r in sigs.collect()} == {2, 3}
     groups = dd.d_exact_dups(docs).collect()
     assert len(groups) == 1 and groups[0]["n_dups"] == 2
+
+
+def test_ivf_full_probe_equals_bruteforce(spark, sf_dir):
+    """With nprobe = n_cells, IVF scans every cell → must equal exact."""
+    from csv_crm_upload_spark.analytics.ivf import knn_ivf
+    from csv_crm_upload_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {(r["query_id"], r["vec_id"]): r["cos_sim"] for r in sim.knn_bruteforce(emb, k=5).collect()}
+    full = {(r["query_id"], r["vec_id"]): r["cos_sim"] for r in knn_ivf(emb, k=5, n_cells=8, nprobe=8).collect()}
+    assert full == exact
+
+
+def test_ivf_partial_probe_recall(spark, sf_dir):
+    from csv_crm_upload_spark.analytics.ivf import knn_ivf
+    from csv_crm_upload_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {(r["query_id"], r["vec_id"]) for r in sim.knn_bruteforce(emb, k=5).collect()}
+    approx = {(r["query_id"], r["vec_id"]) for r in knn_ivf(emb, k=5, n_cells=16, nprobe=4).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall
