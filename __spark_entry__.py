@@ -262,6 +262,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # IVF ANN: learned (data-dependent) centroids — no SQL oracle;
         # exactness at full probe + recall floors pinned in tests
         "sim_knn_ivf": lambda s, sf: ivf.knn_ivf(_t("embeddings")(s, sf)),
+        "sq1_big_spenders": lambda s, sf: tpch.sq1_big_spenders(
+            (_t("customer")(s, sf), _t("orders")(s, sf))
+        ),
+        "g2_grouping_sets": lambda s, sf: tpch.g2_grouping_sets(
+            _t("region")(s, sf), _t("nation")(s, sf), _t("customer")(s, sf), _t("orders")(s, sf)
+        ),
     }
 
 
@@ -800,5 +806,23 @@ def oracle_sql() -> dict[str, str]:
                round(list_max(list_transform(embedding, x -> x::DOUBLE)), 6) AS max_val,
                round(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))), 6) AS l2_norm
         FROM embeddings
+    """
+
+    q["sq1_big_spenders"] = """
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_totalprice > 400000.0
+        )
+    """
+    q["g2_grouping_sets"] = """
+        SELECT r_name, n_name, CAST(GROUPING(r_name, n_name) AS INT) AS gid,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS order_cnt
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name), (n_name), ())
     """
     return q

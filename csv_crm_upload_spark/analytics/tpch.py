@@ -428,3 +428,42 @@ def rx1_doc_mentions(documents: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("source")
     )
+
+
+def sq1_big_spenders(spark_customer_orders) -> DataFrame:
+    """Correlated EXISTS subquery (decorrelated by Catalyst into a
+    semi-join). Takes (customer, orders)."""
+    customer, orders = spark_customer_orders
+    spark = customer.sparkSession
+    customer.createOrReplaceTempView("_sq1_customer")
+    orders.createOrReplaceTempView("_sq1_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM _sq1_customer
+        WHERE EXISTS (
+          SELECT 1 FROM _sq1_orders
+          WHERE o_custkey = c_custkey AND o_totalprice > 400000.0
+        )
+        """
+    )
+
+
+def g2_grouping_sets(region: DataFrame, nation: DataFrame, customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Explicit GROUPING SETS ((region), (nation), ()) — the general form
+    rollup/cube specialize."""
+    joined = (
+        orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    spark = orders.sparkSession
+    joined.createOrReplaceTempView("_g2_joined")
+    return spark.sql(
+        """
+        SELECT r_name, n_name, CAST(grouping_id(r_name, n_name) AS INT) AS gid,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               COUNT(*) AS order_cnt
+        FROM _g2_joined
+        GROUP BY GROUPING SETS ((r_name), (n_name), ())
+        """
+    )
