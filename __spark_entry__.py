@@ -29,6 +29,7 @@ from csv_crm_upload_spark.analytics import dedup as dd
 from csv_crm_upload_spark.analytics import multimodal as mm
 from csv_crm_upload_spark.analytics import similarity as sim
 from csv_crm_upload_spark.analytics import textstats as ts
+from csv_crm_upload_spark.analytics import grouped_pandas as gp
 from csv_crm_upload_spark.analytics import ivf
 from csv_crm_upload_spark.analytics import tpch
 from csv_crm_upload_spark.streaming import windows as stw
@@ -268,6 +269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g2_grouping_sets": lambda s, sf: tpch.g2_grouping_sets(
             _t("region")(s, sf), _t("nation")(s, sf), _t("customer")(s, sf), _t("orders")(s, sf)
         ),
+        "pd1_source_char_stats": lambda s, sf: gp.source_char_stats(_t("documents")(s, sf)),
     }
 
 
@@ -824,5 +826,12 @@ def oracle_sql() -> dict[str, str]:
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY GROUPING SETS ((r_name), (n_name), ())
+    """
+
+    q["pd1_source_char_stats"] = """
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               round(quantile_cont(n_chars, 0.5), 4) AS median_chars,
+               round(quantile_cont(n_chars, 0.75) - quantile_cont(n_chars, 0.25), 4) AS iqr_chars
+        FROM documents GROUP BY source
     """
     return q
