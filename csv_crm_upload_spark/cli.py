@@ -31,6 +31,7 @@ def main(argv: list[str] | None = None) -> int:
     pi.add_argument("--csv", required=True)
     pi.add_argument("--store", required=True)
     pi.add_argument("--noheader", action="store_true", help="CSV has no header row")
+    pi.add_argument("--quarantine", default=None, help="directory for rejected rows (with reasons)")
 
     pp = sub.add_parser("pending", help="show customers pending upload")
     pp.add_argument("--store", required=True)
@@ -61,7 +62,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "ingest":
         from csv_crm_upload_spark.plans.ingest import ingest_csv
 
-        res = ingest_csv(spark, args.csv, store, header=not args.noheader)
+        res = ingest_csv(
+            spark, args.csv, store, header=not args.noheader, quarantine_dir=args.quarantine
+        )
         print(f"inserted={res.inserted} quarantined={res.quarantined} duplicates={res.duplicates}")
     elif args.cmd == "pending":
         pending = store.pending()

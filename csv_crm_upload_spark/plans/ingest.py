@@ -33,8 +33,17 @@ class IngestResult:
     duplicates: int
 
 
-def ingest_batch(batch: DataFrame, store: CustomerStore, now=None) -> IngestResult:
-    """Ingest one raw-CSV-shaped batch into the store."""
+def ingest_batch(
+    batch: DataFrame, store: CustomerStore, now=None, quarantine_dir: str | None = None
+) -> IngestResult:
+    """Ingest one raw-CSV-shaped batch into the store.
+
+    With `quarantine_dir`, rejected rows (validation failures AND
+    duplicate-key losers, each with a typed reason) are appended there —
+    the auditable upgrade over the reference's log-and-drop
+    (csvreader.go:80-82,90-101)."""
+    from csv_crm_upload_spark.operators.dedup import rejected_duplicates
+
     clean, quarantine = validate_split(batch)
     existing = store.read()
     deduped = dedupe_batch(clean)
@@ -48,6 +57,16 @@ def ingest_batch(batch: DataFrame, store: CustomerStore, now=None) -> IngestResu
     n_insert = finalized.count()
     if n_insert > 0:  # empty batches are no-ops (reference bug §2.10 avoided)
         store.append(finalized)
+    if quarantine_dir is not None:
+        dup_rejects = rejected_duplicates(clean, existing).select(
+            F.col("id").cast("string").alias("id"),
+            "first_name",
+            "last_name",
+            "email",
+            "phone",
+            "reason",
+        )
+        quarantine.unionByName(dup_rejects).write.mode("append").parquet(quarantine_dir)
     return IngestResult(
         inserted=n_insert,
         quarantined=n_quarantine,
@@ -56,10 +75,20 @@ def ingest_batch(batch: DataFrame, store: CustomerStore, now=None) -> IngestResu
 
 
 def ingest_csv(
-    spark: SparkSession, path: str, store: CustomerStore, header: bool = True, now=None
+    spark: SparkSession,
+    path: str,
+    store: CustomerStore,
+    header: bool = True,
+    now=None,
+    quarantine_dir: str | None = None,
 ) -> IngestResult:
     """Full-file batch ingest (the finite-run mode of the reference CLI)."""
-    return ingest_batch(read_customers_csv(spark, path, header=header), store, now=now)
+    return ingest_batch(
+        read_customers_csv(spark, path, header=header),
+        store,
+        now=now,
+        quarantine_dir=quarantine_dir,
+    )
 
 
 def pending_preview(store: CustomerStore) -> DataFrame:

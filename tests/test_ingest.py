@@ -94,3 +94,18 @@ def test_end_to_end_ingest_and_rerun(spark, bad_csv, tmp_path):
     res2 = ingest_csv(spark, bad_csv, store, header=False)
     assert res2.inserted == 0
     assert store.read().count() == 2
+
+
+def test_quarantine_persistence(spark, bad_csv, tmp_path):
+    store = CustomerStore(spark, str(tmp_path / "store"))
+    qdir = str(tmp_path / "quarantine")
+    res = ingest_csv(spark, bad_csv, store, header=False, quarantine_dir=qdir)
+    assert res.inserted == 2
+    q = spark.read.parquet(qdir)
+    reasons = {(r["id"], r["reason"]) for r in q.collect()}
+    # validation rejects AND the duplicate-key loser, each with its reason
+    assert reasons == {
+        ("500l", "bad_id"),
+        ("5004", "empty_email"),
+        ("5005", "duplicate_key"),
+    }
