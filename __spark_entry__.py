@@ -270,6 +270,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t("region")(s, sf), _t("nation")(s, sf), _t("customer")(s, sf), _t("orders")(s, sf)
         ),
         "pd1_source_char_stats": lambda s, sf: gp.source_char_stats(_t("documents")(s, sf)),
+        "q10_returned_revenue": lambda s, sf: tpch.q10_returned_revenue(
+            _t("customer")(s, sf), _t("orders")(s, sf), _t("lineitem")(s, sf), _t("nation")(s, sf)
+        ),
+        "q18_large_orders": lambda s, sf: tpch.q18_large_orders(
+            _t("customer")(s, sf), _t("orders")(s, sf), _t("lineitem")(s, sf)
+        ),
     }
 
 
@@ -833,5 +839,29 @@ def oracle_sql() -> dict[str, str]:
                round(quantile_cont(n_chars, 0.5), 4) AS median_chars,
                round(quantile_cont(n_chars, 0.75) - quantile_cont(n_chars, 0.25), 4) AS iqr_chars
         FROM documents GROUP BY source
+    """
+
+    q["q10_returned_revenue"] = """
+        SELECT c_custkey, c_name, n_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS lost_revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY lost_revenue DESC, c_custkey
+        LIMIT 20
+    """
+    q["q18_large_orders"] = """
+        SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+               CAST(big._qty AS DOUBLE) AS total_qty
+        FROM (
+          SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,4))) AS _qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 150.0
+        ) big
+        JOIN orders ON big.l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
     """
     return q

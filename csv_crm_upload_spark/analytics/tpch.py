@@ -467,3 +467,35 @@ def g2_grouping_sets(region: DataFrame, nation: DataFrame, customer: DataFrame, 
         GROUP BY GROUPING SETS ((r_name), (n_name), ())
         """
     )
+
+
+def q10_returned_revenue(customer: DataFrame, orders: DataFrame, lineitem: DataFrame, nation: DataFrame) -> DataFrame:
+    """TPC-H Q10 shape: customers ranked by revenue lost to returns.
+    Fact-fact shuffle on orderkey; dims broadcast; top-20 total order."""
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    return (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(_dsum(revenue, "lost_revenue"))
+        .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q18_large_orders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame, min_qty: float = 150.0) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold
+    (HAVING over a fact aggregate), joined back to customer."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("_qty"))
+        .filter(F.col("_qty") > F.lit(min_qty).cast("decimal(18,4)"))
+        .select("l_orderkey", F.col("_qty").cast("double").alias("total_qty"))
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+    )
