@@ -45,27 +45,30 @@ def main() -> None:
     queries["a1_count"](spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = queries[name]
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        # force full execution; count() alone can prune plans, so drain
-        # through a cheap but complete aggregation of all output rows
-        df.agg({"*": "count"}).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            df = fn(spark, sf_dir)
+            # force full execution; count() alone can prune plans, so drain
+            # through a cheap but complete aggregation of all output rows
+            df.agg({"*": "count"}).collect()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # one broken query must not sink the record
+            errors[name] = f"{type(e).__name__}: {e}"[:200]
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    record = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        record["errors"] = errors
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -21,7 +21,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Parquet TIMESTAMP(NANOS) columns (events.ts) surface as nanos-longs
     under `nanosAsLong`; convert to microsecond timestamps with integer
     division (ns values exceed double's exact range — never go through
-    float)."""
+    float). The conf is (re)set here at runtime so loads also work from
+    sessions not built by our factory (e.g. the driver's own)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     want = TESTDATA_SCHEMAS.get(name)
     if want is not None:
