@@ -22,8 +22,10 @@ surface here is identical.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -62,6 +64,31 @@ class CustomerStore:
             f.write(str(v))
         os.replace(tmp, self._latest_path)  # atomic pointer swap
 
+    @contextlib.contextmanager
+    def _write_lock(self, timeout_s: float = 60.0):
+        """Advisory single-writer lock (O_EXCL lockfile) around mutations:
+        two concurrent CLI invocations would otherwise both read version N
+        and race the pointer swap. Readers never take the lock — they see
+        the last committed snapshot (MVCC-style isolation, the minimal
+        form of a lakehouse table format's commit protocol)."""
+        lock = os.path.join(self.root, "_LOCK")
+        deadline = time.monotonic() + timeout_s
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                if time.monotonic() > deadline:
+                    raise TimeoutError(f"store write lock held: {lock}")
+                time.sleep(0.1)
+        try:
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            yield
+        finally:
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(lock)
+
     # -- operators ----------------------------------------------------------
     def read(self) -> DataFrame:
         """S4: full table scan of the current snapshot."""
@@ -77,27 +104,28 @@ class CustomerStore:
         them (no data copy — the parquet-level analog of a table-format
         ADD FILE commit) and adds the batch's new files.
         """
-        v = self._current_version()
-        new_v = v + 1
-        new_dir = self._version_dir(new_v)
-        staging = new_dir + ".staging"
-        # canonical column order: joins upstream may have reordered columns
+        # stage outside the lock (the expensive part), commit inside it
+        staging = os.path.join(self.root, f"staging_{os.getpid()}_{id(batch)}")
         batch = batch.select([f.name for f in CUSTOMER_SCHEMA.fields])
         batch.write.mode("overwrite").parquet(staging)
-        os.makedirs(new_dir, exist_ok=True)
-        # hard-link prior snapshot's files (no data copy), then move in new
-        if v >= 0:
-            for name in os.listdir(self._version_dir(v)):
+        with self._write_lock():
+            v = self._current_version()
+            new_v = v + 1
+            new_dir = self._version_dir(new_v)
+            os.makedirs(new_dir, exist_ok=True)
+            # hard-link prior snapshot's files (no data copy), move in new
+            if v >= 0:
+                for name in os.listdir(self._version_dir(v)):
+                    if name.endswith(".parquet"):
+                        os.link(
+                            os.path.join(self._version_dir(v), name),
+                            os.path.join(new_dir, f"prev_{name}"),
+                        )
+            for name in os.listdir(staging):
                 if name.endswith(".parquet"):
-                    os.link(
-                        os.path.join(self._version_dir(v), name),
-                        os.path.join(new_dir, f"prev_{name}"),
-                    )
-        for name in os.listdir(staging):
-            if name.endswith(".parquet"):
-                os.rename(os.path.join(staging, name), os.path.join(new_dir, name))
+                    os.rename(os.path.join(staging, name), os.path.join(new_dir, name))
+            self._commit(new_v)
         shutil.rmtree(staging, ignore_errors=True)
-        self._commit(new_v)
 
     def pending(self) -> DataFrame:
         """F1+P1: `SELECT id, first_name, last_name, email, phone FROM
@@ -112,13 +140,14 @@ class CustomerStore:
 
         Returns the number of rows flipped.
         """
-        table = self.read()
-        updated = mark_uploaded(table, succeeded_emails, now=now)
-        v = self._current_version()
-        new_v = v + 1
-        new_dir = self._version_dir(new_v)
-        updated.write.mode("overwrite").parquet(new_dir)
-        self._commit(new_v)
+        with self._write_lock():
+            table = self.read()
+            updated = mark_uploaded(table, succeeded_emails, now=now)
+            v = self._current_version()
+            new_v = v + 1
+            new_dir = self._version_dir(new_v)
+            updated.write.mode("overwrite").parquet(new_dir)
+            self._commit(new_v)
         flipped = (
             self.read().filter("uploaded").count() - table.filter("uploaded").count()
         )

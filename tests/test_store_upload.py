@@ -91,3 +91,20 @@ def test_failed_only_rows_stay_pending(spark, tmp_path):
         marked = run_upload_cycle(store, crm.url, concurrency=1, max_tries=2, sleep=lambda s: None)
     assert marked == 0
     assert store.pending().count() == 5  # at-least-once: re-sent next cycle
+
+
+def test_write_lock_blocks_then_releases(spark, tmp_path):
+    import os
+    import pytest as _pytest
+
+    store = _fresh_store(spark, tmp_path)
+    lock = os.path.join(store.root, "_LOCK")
+    open(lock, "w").write("held")  # simulate a crashed/concurrent writer
+    with _pytest.raises(TimeoutError):
+        with store._write_lock(timeout_s=0.5):
+            pass
+    os.remove(lock)
+    # after release, mutation works and data is intact
+    marked = store.mark_uploaded(spark.createDataFrame([("jon@x.com",)], ["email"]))
+    assert marked == 1
+    assert store.read().count() == 5
