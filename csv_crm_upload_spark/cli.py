@@ -49,6 +49,13 @@ def main(argv: list[str] | None = None) -> int:
     pw.add_argument("--checkpoint", required=True)
     pw.add_argument("--noheader", action="store_true")
     pw.add_argument("--continuous", action="store_true", help="keep watching (default: drain and stop)")
+    pw.add_argument(
+        "--buffer",
+        type=int,
+        default=None,
+        help="micro-batch size cap, as files per trigger (the reference's "
+        "-buffer row count maps to Spark's file-granularity trigger)",
+    )
 
     args = p.parse_args(argv)
 
@@ -88,6 +95,7 @@ def main(argv: list[str] | None = None) -> int:
             args.checkpoint,
             header=not args.noheader,
             available_now=not args.continuous,
+            max_files_per_trigger=args.buffer,
         )
         q.awaitTermination()
         print(f"store_rows={store.read().count()}")
