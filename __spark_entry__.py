@@ -276,6 +276,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_orders": lambda s, sf: tpch.q18_large_orders(
             _t("customer")(s, sf), _t("orders")(s, sf), _t("lineitem")(s, sf)
         ),
+        "l1_latest_order": lambda s, sf: tpch.l1_latest_order_per_customer(_t("orders")(s, sf)),
+        "sc1_above_avg_orders": lambda s, sf: tpch.sc1_above_avg_orders(_t("orders")(s, sf)),
     }
 
 
@@ -863,5 +865,22 @@ def oracle_sql() -> dict[str, str]:
         ) big
         JOIN orders ON big.l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
+    """
+
+    q["l1_latest_order"] = """
+        SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate DESC, o_orderkey DESC) AS _rn
+          FROM orders
+        ) WHERE _rn = 1
+    """
+    q["sc1_above_avg_orders"] = """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders o
+        WHERE o_totalprice > (
+          SELECT CAST(AVG(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+          FROM orders i WHERE i.o_custkey = o.o_custkey
+        )
     """
     return q

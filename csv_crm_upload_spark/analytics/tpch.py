@@ -499,3 +499,30 @@ def q18_large_orders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame
         .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
         .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
     )
+
+
+def l1_latest_order_per_customer(orders: DataFrame) -> DataFrame:
+    """Argmax-per-group (latest order per customer) via one window pass —
+    the dedup-to-latest pattern (CDC compaction, SCD current-row)."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        orders.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
+def sc1_above_avg_orders(orders: DataFrame) -> DataFrame:
+    """Correlated scalar-aggregate comparison: orders above their
+    customer's own average value. Decorrelates to a join against the
+    per-customer aggregate (no per-row subquery execution)."""
+    avg_by_cust = orders.groupBy(F.col("o_custkey").alias("_ck")).agg(
+        F.avg(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("_avg")
+    )
+    return (
+        orders.join(avg_by_cust, F.col("o_custkey") == F.col("_ck"))
+        .filter(F.col("o_totalprice") > F.col("_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
