@@ -303,12 +303,15 @@ sh AS (
 
 
 def _minhash_sig_sql() -> str:
-    parts = []
-    for i in range(dd.MINHASH_K):
-        salted = "'" + str(i) + ":' || shingle"
-        parts.append(f"MIN({_H60.format(expr=salted)}) AS mh_{i}")
+    # double hashing (mirrors dd.d_minhash_signatures): family i = h1 + i·h2
+    h1 = "('0x' || substr(md5(shingle), 1, 15))::BIGINT"
+    h2 = "('0x' || substr(md5(shingle), 16, 14))::BIGINT"
+    parts = [f"MIN(h1 + {i} * h2) AS mh_{i}" for i in range(dd.MINHASH_K)]
     mins = ",\n    ".join(parts)
-    return f"sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id)"
+    return (
+        f"hashed AS (SELECT doc_id, {h1} AS h1, {h2} AS h2 FROM sh),\n"
+        f"    sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id)"
+    )
 
 
 def _dsum(expr: str, alias: str, scale: int = 4) -> str:

@@ -34,6 +34,38 @@ HEADLINE = [
 ]
 
 
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _duckdb_timings(sf_dir: str, oracle: dict[str, str]) -> dict[str, float]:
+    """Head-to-head single-node baseline: run the SAME oracle SQL in
+    DuckDB over the SAME parquet files. Measures end-to-end (plan +
+    execute + drain) per query, matching the Spark timing method."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    out: dict[str, float] = {}
+    for name in HEADLINE:
+        sql = oracle.get(name)
+        if not sql:
+            continue
+        t0 = time.perf_counter()
+        try:
+            con.execute(sql).fetchall()
+            out[name] = round(time.perf_counter() - t0, 3)
+        except Exception:
+            pass  # no-oracle / dialect drift: just omit the baseline point
+    con.close()
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
@@ -45,6 +77,7 @@ def main() -> None:
     queries["a1_count"](spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = queries[name]
@@ -55,8 +88,21 @@ def main() -> None:
             # through a cheap but complete aggregation of all output rows
             df.agg({"*": "count"}).collect()
             timings[name] = round(time.perf_counter() - t0, 3)
+            # warm pass: same plan re-executed after JIT/codegen — the
+            # steady-state per-query cost (at real scale task time
+            # amortizes the one-time compile that dominates at sf0.1)
+            t1 = time.perf_counter()
+            fn(spark, sf_dir).agg({"*": "count"}).collect()
+            warm[name] = round(time.perf_counter() - t1, 3)
         except Exception as e:  # one broken query must not sink the record
             errors[name] = f"{type(e).__name__}: {e}"[:200]
+
+    duckdb_timings = _duckdb_timings(sf_dir, entrymod.oracle_sql())
+    ratios = {
+        n: round(timings[n] / duckdb_timings[n], 2)
+        for n in timings
+        if n in duckdb_timings and duckdb_timings[n] > 0
+    }
 
     total = round(sum(timings.values()), 3)
     record = {
@@ -65,6 +111,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "warm_sec": warm,
+        "warm_total_sec": round(sum(warm.values()), 3),
+        "duckdb_sec": duckdb_timings,
+        "ratio_vs_duckdb": ratios,
+        "duckdb_total_sec": round(sum(duckdb_timings.values()), 3),
     }
     if errors:
         record["errors"] = errors

@@ -117,10 +117,14 @@ def d_ngram_jaccard_pairs(
 
 
 def d_minhash_signatures(documents: DataFrame, n: int = 3) -> DataFrame:
-    """k=16 MinHash values per document over n-gram shingles: mh_i =
-    min over shingles of a 60-bit salted hash md5(f"{i}:{shingle}") —
-    k independent hash families without modular arithmetic (which would
-    overflow int64 under ANSI mode).
+    """k=16 MinHash values per document over n-gram shingles, built with
+    DOUBLE HASHING (Kirsch–Mitzenmacher): one md5 per shingle split into
+    h1 (60-bit) and h2 (56-bit), family i = h1 + i·h2. Equivalent quality
+    to k independent families for MinHash, at 1/k the hash CPU — the map
+    stage computes ONE md5 per shingle instead of 16 salted ones, and the
+    generated agg code shrinks to k trivial linear mins (fast to JIT).
+    Bit widths keep h1 + 15·h2 < 2^61, safe under ANSI int64 in both
+    engines.
 
     Shape: one explode + one groupBy with k min-aggregates. The k mins
     combine MAP-SIDE (partial aggregation), so the shuffle carries only
@@ -132,11 +136,17 @@ def d_minhash_signatures(documents: DataFrame, n: int = 3) -> DataFrame:
     downstream consumers to reuse.)
     """
     sh = _spread(_with_content(documents)).select("doc_id", F.explode(_shingles(n)).alias("shingle"))
+    md5hex = F.md5(F.col("shingle"))
+    pro = sh.select(
+        "doc_id",
+        F.conv(F.substring(md5hex, 1, 15), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(md5hex, 16, 14), 16, 10).cast("long").alias("h2"),
+    )
     aggs = [
-        F.min(_hash60(F.concat_ws(":", F.lit(i), F.col("shingle")))).alias(f"mh_{i}")
+        F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"mh_{i}")
         for i in range(MINHASH_K)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return pro.groupBy("doc_id").agg(*aggs)
 
 
 def d_minhash_lsh_pairs(documents: DataFrame, n: int = 3, threshold: float = 0.5) -> DataFrame:

@@ -351,12 +351,25 @@ def approx_distinct_users(events: DataFrame) -> DataFrame:
 
 def approx_value_percentiles(events: DataFrame) -> DataFrame:
     """KLL-style approximate percentiles (accuracy 10000) — fixed-memory
-    alternative to exact sort-based percentiles at scale."""
+    alternative to exact sort-based percentiles at scale.
+
+    Output is three SCALAR double columns (p50/p95/p99), not one array
+    column: scalar shape survives the driver harness's canonicalization
+    (an array cell is unhashable for pandas sort) and matches how a BI
+    consumer would read the sketch. One aggregation pass — the three
+    getItem projections share a single percentile_approx sketch."""
     return (
         events.groupBy("event_type")
         .agg(
-            F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("pctls"),
+            F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("_pctls"),
             F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            F.col("_pctls").getItem(0).alias("p50"),
+            F.col("_pctls").getItem(1).alias("p95"),
+            F.col("_pctls").getItem(2).alias("p99"),
+            "n_events",
         )
         .orderBy("event_type")
     )

@@ -66,10 +66,17 @@ def compact(spark: SparkSession, path: str, target_files: int = 8) -> None:
     import os
     import shutil
 
-    df = spark.read.parquet(path)
     tmp = path.rstrip("/") + ".compact.tmp"
-    df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
     backup = path.rstrip("/") + ".compact.bak"
+    # a prior crash can strand either temp dir; clear them or the renames
+    # below fail (rename onto existing non-empty dir)
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(backup, ignore_errors=True)
+    df = spark.read.parquet(path)
+    df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+    # NOTE: between these two renames the table path briefly does not
+    # exist; compact() assumes no concurrent reader mid-scan (single-node
+    # maintenance op — a table format's atomic commit is the real fix).
     os.rename(path, backup)
     os.rename(tmp, path)
     shutil.rmtree(backup)

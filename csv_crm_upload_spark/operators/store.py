@@ -4,49 +4,83 @@ The reference's store is a Postgres table with UNIQUE constraints and an
 index on the `uploaded` flag (reference init-db.sh:11-25); its whole query
 surface is four SQL statements (reference database/database.go:16-19).
 
-Spark-first realization: a versioned parquet table. Each mutation commits
-a NEW immutable version directory and atomically repoints `_LATEST` —
-the standard snapshot/commit pattern of lakehouse table formats, reduced
-to its minimum. This sidesteps the read-while-overwrite hazard (SURVEY
-§7.4) without requiring Delta in the container, and is how the keyed
-UPDATE (U1) stays correct on immutable columnar files.
+Spark-first realization: a versioned, HASH-BUCKETED parquet table. Each
+mutation commits a NEW immutable version directory and atomically repoints
+`_LATEST` — the snapshot/commit pattern of lakehouse table formats reduced
+to its minimum. Within a version, rows live in `b=K` subdirectories keyed
+by `pmod(xxhash64(email), n_buckets)`:
 
-Scale posture: appends are per-partition file writes (no shuffle);
-the pending scan is `filter(~uploaded).select(5 cols)` — Catalyst pushes
-both the predicate and the pruned column set to the parquet reader; the
-flag-flip rewrite broadcasts the (small) success set. On a real
-deployment the store would be Delta/Iceberg with MERGE INTO, partitioned
-or z-ordered so the rewrite touches only affected files; the operator
-surface here is identical.
+  * appends write only the buckets the batch touches; untouched buckets
+    are hard-linked from the prior version (an ADD FILE commit, no copy);
+  * the keyed UPDATE (U1, `mark_uploaded`) rewrites ONLY the buckets that
+    contain a success email — at 100 TB an upload cycle's flag flip costs
+    O(affected buckets), not O(table). This is the partition-pruned MERGE
+    a Delta/Iceberg table would give you, hand-rolled on plain parquet;
+  * the flip count is derived from the (small, broadcast) success set
+    joined against the pruned bucket read — never a full-table count.
+
+Uniqueness (D1) is enforced with optimistic concurrency: `append_unique`
+stages its anti-joined batch against the snapshot it observed, then
+re-verifies INSIDE the write lock — if another writer committed in
+between, the anti-join re-runs against the fresh snapshot before the
+pointer swap, so two concurrent ingests can never both insert the same
+id/email (the check-then-act race the reference avoids via Postgres
+UNIQUE).
 """
 
 from __future__ import annotations
 
 import contextlib
+import json
 import os
 import shutil
 import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from csv_crm_upload_spark.operators.mutate import mark_uploaded
 from csv_crm_upload_spark.schemas import CUSTOMER_SCHEMA
 
 PENDING_COLUMNS = ["id", "first_name", "last_name", "email", "phone"]
+DEFAULT_BUCKETS = 16
+_LOCK_MAX_AGE_S = 300.0  # break locks older than this even if pid unreadable
+
+
+def _bucket_col(n_buckets: int):
+    """Bucket id for a row: pmod(xxhash64(email), n) — email is the
+    reference's upload idempotency key, so success sets prune well."""
+    return F.pmod(F.xxhash64(F.col("email")), F.lit(n_buckets)).cast("int")
 
 
 class CustomerStore:
-    """Versioned parquet-backed `customers` table."""
+    """Versioned, hash-bucketed parquet-backed `customers` table."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, n_buckets: int = DEFAULT_BUCKETS):
         self.spark = spark
         self.root = root
         os.makedirs(root, exist_ok=True)
+        self.n_buckets = self._load_or_init_meta(n_buckets)
 
     # -- version plumbing ---------------------------------------------------
     @property
     def _latest_path(self) -> str:
         return os.path.join(self.root, "_LATEST")
+
+    def _load_or_init_meta(self, n_buckets: int) -> int:
+        """Bucket count is a table property: fixed at creation, read back
+        on open so every writer buckets identically."""
+        meta_path = os.path.join(self.root, "_META")
+        try:
+            with open(meta_path) as f:
+                return int(json.load(f)["n_buckets"])
+        except (FileNotFoundError, KeyError, ValueError):
+            tmp = meta_path + f".tmp.{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump({"n_buckets": n_buckets}, f)
+            os.replace(tmp, meta_path)
+            return n_buckets
 
     def _current_version(self) -> int:
         try:
@@ -67,10 +101,16 @@ class CustomerStore:
     @contextlib.contextmanager
     def _write_lock(self, timeout_s: float = 60.0):
         """Advisory single-writer lock (O_EXCL lockfile) around mutations:
-        two concurrent CLI invocations would otherwise both read version N
-        and race the pointer swap. Readers never take the lock — they see
-        the last committed snapshot (MVCC-style isolation, the minimal
-        form of a lakehouse table format's commit protocol)."""
+        two concurrent CLI invocations would otherwise race the pointer
+        swap. Readers never take the lock — they see the last committed
+        snapshot (MVCC-style isolation).
+
+        Stale-lock recovery: a writer that crashes between acquiring the
+        lock and its finally block leaves _LOCK behind; waiters break the
+        lock when its recorded pid is dead or the file exceeds a max age.
+        (Tiny race window between the liveness check and the remove —
+        acceptable for an advisory CLI lock; a table format's transaction
+        log is the real answer.)"""
         lock = os.path.join(self.root, "_LOCK")
         deadline = time.monotonic() + timeout_s
         while True:
@@ -78,8 +118,15 @@ class CustomerStore:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 break
             except FileExistsError:
+                if self._lock_is_stale(lock):
+                    with contextlib.suppress(FileNotFoundError):
+                        os.remove(lock)
+                    continue
                 if time.monotonic() > deadline:
-                    raise TimeoutError(f"store write lock held: {lock}")
+                    raise TimeoutError(
+                        f"store write lock held: {lock} — if no writer is "
+                        f"running, delete the file to recover"
+                    )
                 time.sleep(0.1)
         try:
             os.write(fd, str(os.getpid()).encode())
@@ -89,66 +136,180 @@ class CustomerStore:
             with contextlib.suppress(FileNotFoundError):
                 os.remove(lock)
 
+    @staticmethod
+    def _lock_is_stale(lock: str) -> bool:
+        pid = 0
+        try:
+            with open(lock) as f:
+                pid = int(f.read().strip() or "0")
+        except (OSError, ValueError):
+            pass
+        if pid:
+            try:
+                os.kill(pid, 0)  # signal 0: existence probe only
+                return False  # owner alive
+            except ProcessLookupError:
+                return True
+            except PermissionError:  # pragma: no cover
+                return False
+        try:  # pid not yet written (or unreadable): fall back to age
+            return (time.time() - os.path.getmtime(lock)) > _LOCK_MAX_AGE_S
+        except OSError:
+            return False  # vanished — the open() loop will retry
+
+    # -- staging / commit helpers ------------------------------------------
+    def _stage(self, batch: DataFrame) -> str:
+        """Write a batch to a staging dir, partitioned by bucket.
+        Runs OUTSIDE the lock (the expensive part)."""
+        staging = os.path.join(self.root, f"staging_{os.getpid()}_{uuid.uuid4().hex[:8]}")
+        cols = [f.name for f in CUSTOMER_SCHEMA.fields]
+        (
+            batch.select(*cols)
+            .withColumn("b", _bucket_col(self.n_buckets))
+            # cluster rows by bucket before the write: without this every
+            # task writes a file into every bucket it touches (tasks ×
+            # buckets small files — the classic streaming-sink killer)
+            .repartition(self.n_buckets, "b")
+            .write.mode("overwrite")
+            .partitionBy("b")
+            .parquet(staging)
+        )
+        return staging
+
+    @staticmethod
+    def _bucket_dirs(version_dir: str) -> dict[str, str]:
+        """{bucket dirname -> abs path} for one version (or staging) dir."""
+        if not os.path.isdir(version_dir):
+            return {}
+        return {
+            name: os.path.join(version_dir, name)
+            for name in os.listdir(version_dir)
+            if name.startswith("b=")
+        }
+
+    @staticmethod
+    def _link_files(src_dir: str, dst_dir: str, prefix: str = "") -> None:
+        os.makedirs(dst_dir, exist_ok=True)
+        for name in os.listdir(src_dir):
+            if name.endswith(".parquet"):
+                os.link(os.path.join(src_dir, name), os.path.join(dst_dir, f"{prefix}{name}"))
+
+    def _commit_merge(self, staging: str, replace_buckets: set[str] = frozenset()) -> int:
+        """Create version v+1 = prev version ∪ staged buckets. MUST be
+        called inside the write lock. Buckets named in `replace_buckets`
+        take ONLY the staged files (U1 rewrite); all other prior buckets
+        are hard-linked (no data copy). Returns the new version."""
+        v = self._current_version()
+        new_v = v + 1
+        new_dir = self._version_dir(new_v)
+        os.makedirs(new_dir, exist_ok=True)
+        prev = self._bucket_dirs(self._version_dir(v)) if v >= 0 else {}
+        staged = self._bucket_dirs(staging)
+        for bname, bpath in prev.items():
+            if bname not in replace_buckets:
+                self._link_files(bpath, os.path.join(new_dir, bname), prefix="p_")
+        for bname, bpath in staged.items():
+            self._link_files(bpath, os.path.join(new_dir, bname))
+        self._commit(new_v)
+        return new_v
+
     # -- operators ----------------------------------------------------------
     def read(self) -> DataFrame:
-        """S4: full table scan of the current snapshot."""
+        """S4: full table scan of the current snapshot. The bucket id is a
+        physical detail — dropped from the logical schema."""
         v = self._current_version()
         if v < 0:
             return self.spark.createDataFrame([], CUSTOMER_SCHEMA)
-        return self.spark.read.parquet(self._version_dir(v))
+        cols = [f.name for f in CUSTOMER_SCHEMA.fields]
+        return self.spark.read.parquet(self._version_dir(v)).select(*cols)
+
+    def _read_buckets(self, version_dir: str, buckets: list[str]) -> DataFrame:
+        """Pruned scan of selected buckets (partition pruning by path)."""
+        paths = [os.path.join(version_dir, b) for b in buckets]
+        return self.spark.read.option("basePath", version_dir).parquet(*paths)
 
     def append(self, batch: DataFrame) -> None:
-        """S5: append a finalized batch as a new snapshot.
+        """S5: append a finalized batch as a new snapshot. No uniqueness
+        check — callers that need D1 use append_unique."""
+        staging = self._stage(batch)
+        try:
+            with self._write_lock():
+                self._commit_merge(staging)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
 
-        Prior version files are immutable: the new snapshot hard-links
-        them (no data copy — the parquet-level analog of a table-format
-        ADD FILE commit) and adds the batch's new files.
-        """
-        # stage outside the lock (the expensive part), commit inside it
-        staging = os.path.join(self.root, f"staging_{os.getpid()}_{id(batch)}")
-        batch = batch.select([f.name for f in CUSTOMER_SCHEMA.fields])
-        batch.write.mode("overwrite").parquet(staging)
-        with self._write_lock():
-            v = self._current_version()
-            new_v = v + 1
-            new_dir = self._version_dir(new_v)
-            os.makedirs(new_dir, exist_ok=True)
-            # hard-link prior snapshot's files (no data copy), move in new
-            if v >= 0:
-                for name in os.listdir(self._version_dir(v)):
-                    if name.endswith(".parquet"):
-                        os.link(
-                            os.path.join(self._version_dir(v), name),
-                            os.path.join(new_dir, f"prev_{name}"),
-                        )
-            for name in os.listdir(staging):
-                if name.endswith(".parquet"):
-                    os.rename(os.path.join(staging, name), os.path.join(new_dir, name))
-            self._commit(new_v)
-        shutil.rmtree(staging, ignore_errors=True)
+    def append_unique(self, batch: DataFrame, keys: tuple[str, ...] = ("id", "email")) -> int:
+        """D1-correct append: stage the anti-joined batch optimistically
+        against the observed snapshot, then RE-VERIFY inside the write
+        lock — if another writer committed first, re-run the anti-join
+        against the fresh snapshot before the pointer swap. Only the
+        conflict path pays the recheck. Returns rows inserted."""
+        from csv_crm_upload_spark.operators.dedup import anti_join_existing
+
+        cols = [f.name for f in CUSTOMER_SCHEMA.fields]
+        v_seen = self._current_version()
+        insertable = anti_join_existing(batch.select(*cols), self.read(), keys)
+        staging = self._stage(insertable)
+        try:
+            with self._write_lock():
+                v_now = self._current_version()
+                if v_now != v_seen and v_now >= 0:
+                    # conflict: someone committed since we checked — redo
+                    # the anti-join against the fresh snapshot
+                    staged_df = self.spark.read.parquet(staging).select(*cols)
+                    rechecked = anti_join_existing(staged_df, self.read(), keys)
+                    restaged = self._stage(rechecked)
+                    shutil.rmtree(staging, ignore_errors=True)
+                    staging = restaged
+                inserted = self.spark.read.parquet(staging).count() if self._bucket_dirs(staging) else 0
+                if inserted > 0:
+                    self._commit_merge(staging)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        return inserted
 
     def pending(self) -> DataFrame:
         """F1+P1: `SELECT id, first_name, last_name, email, phone FROM
         customers WHERE uploaded = false` (reference database/database.go:18).
         Predicate + projection push down to the parquet scan."""
-        from pyspark.sql import functions as F
-
         return self.read().filter(~F.col("uploaded")).select(*PENDING_COLUMNS)
 
     def mark_uploaded(self, succeeded_emails: DataFrame, now=None) -> int:
         """U1+U2: flip the flag for confirmed uploads; new snapshot.
 
+        Partition-pruned: the success set (small — one upload cycle) maps
+        to its bucket ids; ONLY those buckets are read, recomputed via the
+        broadcast semi-join, and rewritten — every other bucket is
+        hard-linked into the new version untouched. The flip count comes
+        from the pruned read ∩ success set, not full-table counts.
         Returns the number of rows flipped.
         """
+        emails = succeeded_emails.select("email").distinct()
         with self._write_lock():
-            table = self.read()
-            updated = mark_uploaded(table, succeeded_emails, now=now)
             v = self._current_version()
-            new_v = v + 1
-            new_dir = self._version_dir(new_v)
-            updated.write.mode("overwrite").parquet(new_dir)
-            self._commit(new_v)
-        flipped = (
-            self.read().filter("uploaded").count() - table.filter("uploaded").count()
-        )
+            if v < 0:
+                return 0
+            vdir = self._version_dir(v)
+            hit_buckets = {
+                f"b={r['b']}"
+                for r in emails.select(_bucket_col(self.n_buckets).alias("b")).distinct().collect()
+            }
+            affected = sorted(hit_buckets & set(self._bucket_dirs(vdir)))
+            if not affected:
+                return 0
+            sub = self._read_buckets(vdir, affected)  # has partition col b
+            flipped = (
+                sub.filter(~F.col("uploaded"))
+                .join(F.broadcast(emails), "email", "left_semi")
+                .count()
+            )
+            if flipped == 0:
+                return 0
+            updated = mark_uploaded(sub, emails, now=now)  # b passes through
+            staging = os.path.join(self.root, f"staging_{os.getpid()}_{uuid.uuid4().hex[:8]}")
+            try:
+                updated.write.mode("overwrite").partitionBy("b").parquet(staging)
+                self._commit_merge(staging, replace_buckets=set(affected))
+            finally:
+                shutil.rmtree(staging, ignore_errors=True)
         return flipped

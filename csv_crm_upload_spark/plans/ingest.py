@@ -19,7 +19,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from csv_crm_upload_spark.operators.dedup import anti_join_existing, dedupe_batch
+from csv_crm_upload_spark.operators.dedup import dedupe_batch
 from csv_crm_upload_spark.operators.mutate import finalize_columns
 from csv_crm_upload_spark.operators.store import CustomerStore
 from csv_crm_upload_spark.operators.validate import validate_split
@@ -45,18 +45,18 @@ def ingest_batch(
     from csv_crm_upload_spark.operators.dedup import rejected_duplicates
 
     clean, quarantine = validate_split(batch)
+    # snapshot for the quarantine audit; uniqueness itself is enforced by
+    # append_unique, which re-verifies the anti-join against the CURRENT
+    # snapshot inside the store's write lock — so two concurrent ingests
+    # can't both pass a check taken against version N (check-then-act race)
     existing = store.read()
     deduped = dedupe_batch(clean)
-    insertable = anti_join_existing(deduped, existing)
-    finalized = finalize_columns(insertable, now=now)
+    finalized = finalize_columns(deduped, now=now)
 
-    # One pass of metrics without re-reading the source: counts are cheap
-    # aggregates; the write itself is the only action over the full rows.
     n_clean = clean.count()
     n_quarantine = quarantine.count()
-    n_insert = finalized.count()
-    if n_insert > 0:  # empty batches are no-ops (reference bug §2.10 avoided)
-        store.append(finalized)
+    # empty insertable sets commit no new version (reference bug §2.10 avoided)
+    n_insert = store.append_unique(finalized)
     if quarantine_dir is not None:
         dup_rejects = rejected_duplicates(clean, existing).select(
             F.col("id").cast("string").alias("id"),

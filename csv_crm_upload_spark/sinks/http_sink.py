@@ -98,7 +98,9 @@ def upload_partition(
         while attempts < max_tries:
             attempts += 1
             status = _post_row(url, payload, timeout)
-            if status == SUCCESS_STATUS:
+            if status == SUCCESS_STATUS or attempts >= max_tries:
+                # no backoff sleep after the FINAL failed attempt — a dead
+                # sink otherwise wastes an extra max-backoff per row
                 break
             try:
                 sleep(next(backoff))

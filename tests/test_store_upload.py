@@ -108,3 +108,103 @@ def test_write_lock_blocks_then_releases(spark, tmp_path):
     marked = store.mark_uploaded(spark.createDataFrame([("jon@x.com",)], ["email"]))
     assert marked == 1
     assert store.read().count() == 5
+
+
+# -- bucketed-store guarantees (round 2) ------------------------------------
+
+
+def _bucket_inodes(version_dir):
+    """{bucket dirname -> {filename-suffix -> inode}} for link-identity checks."""
+    import os
+
+    out = {}
+    for b in os.listdir(version_dir):
+        if not b.startswith("b="):
+            continue
+        bdir = os.path.join(version_dir, b)
+        out[b] = {os.stat(os.path.join(bdir, f)).st_ino for f in os.listdir(bdir) if f.endswith(".parquet")}
+    return out
+
+
+def test_mark_uploaded_rewrites_only_affected_buckets(spark, tmp_path):
+    """U1 at scale: the flag flip must touch O(affected buckets), not
+    O(table) — unaffected buckets are hard links of the prior version."""
+    store = _fresh_store(spark, tmp_path)
+    v_before = store._current_version()
+    before = _bucket_inodes(store._version_dir(v_before))
+    flipped = store.mark_uploaded(spark.createDataFrame([("jon@x.com",)], ["email"]))
+    assert flipped == 1
+    v_after = store._current_version()
+    after = _bucket_inodes(store._version_dir(v_after))
+
+    from pyspark.sql import functions as F
+    from csv_crm_upload_spark.operators.store import _bucket_col
+
+    hit = spark.createDataFrame([("jon@x.com",)], ["email"]).select(
+        _bucket_col(store.n_buckets).alias("b")
+    ).first()["b"]
+    hit_bucket = f"b={hit}"
+    assert hit_bucket in after
+    # affected bucket: genuinely rewritten (no shared inodes with before)
+    assert after[hit_bucket].isdisjoint(before.get(hit_bucket, set()))
+    # every other bucket: identical inode set (hard links, zero data copied)
+    for b, inodes in before.items():
+        if b != hit_bucket:
+            assert after[b] == inodes, f"unaffected bucket {b} was rewritten"
+
+
+def test_append_unique_drops_store_duplicates(spark, tmp_path):
+    store = _fresh_store(spark, tmp_path)
+    batch = finalize_columns(
+        spark.createDataFrame(
+            [(1, "dup", "id", "new1@x.com", "9"),       # id collides
+             (9, "dup", "email", "jon@x.com", "9"),      # email collides
+             (10, "fresh", "row", "ten@x.com", "10")],   # insertable
+            COLS,
+        )
+    )
+    inserted = store.append_unique(batch)
+    assert inserted == 1
+    assert store.read().count() == 6
+    assert store.read().filter("email = 'ten@x.com'").count() == 1
+
+
+def test_append_unique_reverifies_under_conflicting_commit(spark, tmp_path):
+    """The D1 check-then-act race: writer A's anti-join passes against
+    version N, writer B commits the same email, A must NOT also insert."""
+    import contextlib
+
+    store = _fresh_store(spark, tmp_path)
+    rival = CustomerStore(spark, store.root)
+    row = [(6, "zed", "q", "zed@x.com", "6")]
+    batch = finalize_columns(spark.createDataFrame(row, COLS))
+    real_lock = store._write_lock
+    fired = {"done": False}
+
+    @contextlib.contextmanager
+    def racing_lock(*a, **k):
+        # rival commits the same row AFTER our anti-join staged, BEFORE our lock
+        if not fired["done"]:
+            fired["done"] = True
+            rival.append(finalize_columns(spark.createDataFrame(row, COLS)))
+        with real_lock(*a, **k):
+            yield
+
+    store._write_lock = racing_lock
+    inserted = store.append_unique(batch)
+    assert inserted == 0  # re-verify inside the lock caught the conflict
+    assert store.read().filter("email = 'zed@x.com'").count() == 1
+
+
+def test_stale_lock_broken_when_owner_dead(spark, tmp_path):
+    import os
+    import subprocess
+
+    store = _fresh_store(spark, tmp_path)
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    with open(os.path.join(store.root, "_LOCK"), "w") as f:
+        f.write(str(proc.pid))  # dead owner
+    # mutation proceeds by breaking the stale lock instead of timing out
+    marked = store.mark_uploaded(spark.createDataFrame([("jane@x.com",)], ["email"]))
+    assert marked == 1

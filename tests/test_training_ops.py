@@ -134,7 +134,8 @@ def test_approx_sketches_error_envelope(spark, sf_dir):
         for r in events.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("p")).collect()
     }
     for r in approx_value_percentiles(events).collect():
-        assert abs(r["pctls"][0] - exact_p50[r["event_type"]]) <= max(1.0, 0.1 * abs(exact_p50[r["event_type"]]))
+        assert abs(r["p50"] - exact_p50[r["event_type"]]) <= max(1.0, 0.1 * abs(exact_p50[r["event_type"]]))
+        assert r["p50"] <= r["p95"] <= r["p99"]
 
 
 def test_null_text_docs_excluded_from_dedup(spark):
