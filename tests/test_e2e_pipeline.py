@@ -51,3 +51,53 @@ def test_full_pipeline_converges(spark, tmp_path):
     assert {r["email"] for r in final.collect()} == {
         "jon@x.com", "jane@x.com", "sam@x.com", "new@x.com"
     }
+
+
+def test_scale_ingest_upload_converges(spark, tmp_path):
+    """sf0.01-scale convergence: 1,500 customers from the driver fixture
+    flow CSV -> batch ingest (with injected dups/bad rows) -> flaky-sink
+    upload -> converge, under real batch counts (VERDICT r1 #7)."""
+    import csv
+    import os
+
+    from csv_crm_upload_spark.plans.ingest import ingest_csv
+    from csv_crm_upload_spark.sources.tables import load_table
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.01")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_nationkey"
+    )
+    rows = [
+        (r["c_custkey"], r["c_name"], r["c_mktsegment"],
+         f"c{r['c_custkey']}@mail.com", str(r["c_nationkey"]))
+        for r in cust.collect()
+    ]
+    n = len(rows)
+    assert n >= 1000  # sf0.01 fixture scale
+
+    path = tmp_path / "bulk.csv"
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        for row in rows:
+            w.writerow(row)
+        w.writerow(rows[0])                      # exact dup (id + email)
+        w.writerow(("bad_id", "x", "y", "z@mail.com", "1"))  # malformed id
+        w.writerow((n + 1, "no", "mail", "", "1"))           # missing email
+
+    store = CustomerStore(spark, str(tmp_path / "store"))
+    res = ingest_csv(spark, str(path), store, header=False)
+    assert res.inserted == n
+    assert res.duplicates == 1
+    assert res.quarantined == 2
+    assert store.pending().count() == n
+
+    with MockCRM(fail_every=7) as crm:  # ~14% of POSTs 503
+        marked = run_upload_cycle(store, crm.url, concurrency=8, max_tries=6, sleep=lambda s: None)
+        assert crm.failed > 0
+        assert marked == n
+        assert store.pending().count() == 0
+        # at-least-once converged: every customer delivered exactly once
+        assert len({p["email"] for p in crm.received}) == n
+        first_total = crm.total
+        assert run_upload_cycle(store, crm.url, sleep=lambda s: None) == 0
+        assert crm.total == first_total  # nothing re-POSTed
