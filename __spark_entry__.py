@@ -311,6 +311,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rj1_nearby_errors": lambda s, sf: tpch.rj1_nearby_error_counts(_t("events")(s, sf)),
         "t5_redact_pii": q_t5_redact_pii,
         "t6_char_entropy": lambda s, sf: ts.t6_char_entropy(_t("documents")(s, sf)),
+        "q7_nation_trade": lambda s, sf: tpch.q7_nation_trade(
+            _t("nation")(s, sf),
+            _t("customer")(s, sf),
+            _t("supplier")(s, sf),
+            _t("orders")(s, sf),
+            _t("lineitem")(s, sf),
+        ),
+        "w4_trailing_hour_value": lambda s, sf: tpch.w4_trailing_hour_value(_t("events")(s, sf)),
+        "w5_order_gaps": lambda s, sf: tpch.w5_order_gaps(_t("orders")(s, sf)),
+        "t7_vocab_topk": lambda s, sf: ts.t7_vocab_topk(_t("documents")(s, sf)),
     }
 
 
@@ -995,5 +1005,47 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, round(entropy(c), 6) AS char_entropy
         FROM chars GROUP BY doc_id
+    """
+    q["q7_nation_trade"] = f"""
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INT) AS ship_year,
+               CAST(SUM({_rev}) AS DOUBLE) AS volume
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+           OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """
+    q["w4_trailing_hour_value"] = """
+        SELECT user_id, event_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+                 PARTITION BY user_id
+                 ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS trailing_hour_value
+        FROM events
+    """
+    q["w5_order_gaps"] = """
+        SELECT o_custkey, o_orderkey,
+               CAST(date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS INT) AS days_since_prev,
+               CAST(date_diff('day', o_orderdate, lead(o_orderdate) OVER w) AS INT) AS days_to_next,
+               CAST(ntile(4) OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS spend_quartile
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """
+    q["t7_vocab_topk"] = f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_TOKS}) AS tok
+          FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+        )
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS tf,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM toks GROUP BY tok HAVING COUNT(DISTINCT doc_id) >= 2
+        ORDER BY tf DESC, tok LIMIT 100
     """
     return q

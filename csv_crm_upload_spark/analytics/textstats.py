@@ -157,3 +157,24 @@ def t6_char_entropy(documents: DataFrame) -> DataFrame:
     return documents.filter(F.col("text").isNotNull() & (F.length("text") > 0)).select(
         "doc_id", entropy(F.col("text")).alias("char_entropy")
     )
+
+
+def t7_vocab_topk(documents: DataFrame, k: int = 100, min_df: int = 2) -> DataFrame:
+    """Corpus vocabulary building — the BPE/tokenizer-training precursor:
+    token -> (term frequency, document frequency), top-k by tf. One
+    explode + one aggregation (map-side combine on the token key); the
+    min_df floor drops hapaxes before the top-k sort so the final order-by
+    touches only the surviving vocabulary."""
+    toks = documents.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.explode(_tokens()).alias("tok")
+    ).withColumn("tok", F.lower(F.col("tok")))
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .filter(F.col("df") >= min_df)
+        .orderBy(F.col("tf").desc(), F.col("tok"))
+        .limit(k)
+    )

@@ -645,3 +645,72 @@ def rj1_nearby_error_counts(events: DataFrame, window_s: int = 300) -> DataFrame
         matched.groupBy("purchase_event_id")
         .agg(F.count(F.col("e_sec")).alias("n_nearby_errors"))
     )
+
+
+def q7_nation_trade(
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by ship
+    year. Both direction filters ride the broadcast dimension joins; the
+    fact side shuffles once on orderkey. Year extraction happens after the
+    joins so the scan predicate stays simple."""
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    supp_n = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    cust_n = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        ((F.col("supp_nation") == nation_a) & (F.col("cust_nation") == nation_b))
+        | ((F.col("supp_nation") == nation_b) & (F.col("cust_nation") == nation_a))
+    )
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_n), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(cust_n), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("ship_year"))
+        .agg(_dsum(rev, "volume"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+def w4_trailing_hour_value(events: DataFrame) -> DataFrame:
+    """RANGE-frame window: per user, the sum of event values in the
+    TRAILING HOUR of event time (range between 3600s preceding and now,
+    keyed on the epoch second). The frame is value-based, not row-based —
+    the state a streaming engine would keep per key, expressed as one
+    window pass (single shuffle on user_id)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp(F.col("ts")))
+        .rangeBetween(-3600, 0)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        F.sum(_dec("value", 18, 6)).over(w).cast("double").alias("trailing_hour_value"),
+    )
+
+
+def w5_order_gaps(orders: DataFrame) -> DataFrame:
+    """lag/lead/ntile window surface: per customer, days since previous
+    order, days to next order, and spend quartile within the customer."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wq = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).cast("int").alias("days_since_prev"),
+        F.datediff(F.lead("o_orderdate").over(w), F.col("o_orderdate")).cast("int").alias("days_to_next"),
+        F.ntile(4).over(wq).cast("int").alias("spend_quartile"),
+    )

@@ -4,6 +4,10 @@
   crmIntegrator (reference crm/main.go) → `upload`: pending → CRM → mark
   plus `pending` (the recurring query) and `watch` (streaming ingest).
 
+Either store backend works for every subcommand: `--store <dir>` (the
+versioned-parquet table) or `--jdbc-url <url>` / $DATABASE_URL (any JDBC
+database — the reference's actual Postgres story, database/database.go).
+
 Flags mirror the reference CLI/env surface: -noheader (cmd/main.go:29),
 buffer size (cmd/main.go:30 — Spark manages batching; kept for interface
 parity), CRM_SERVER_ADDR (crm/main.go:12), concurrency cap 25
@@ -23,29 +27,53 @@ import os
 import sys
 
 
+def _add_store_args(sp) -> None:
+    sp.add_argument("--store", default=None, help="versioned-parquet store directory")
+    sp.add_argument(
+        "--jdbc-url",
+        default=os.environ.get("DATABASE_URL"),
+        help="JDBC store URL (reference DATABASE_URL conn string); "
+        "alternative to --store",
+    )
+
+
+def _open_store(spark, args):
+    if getattr(args, "store", None):
+        from csv_crm_upload_spark.operators.store import CustomerStore
+
+        return CustomerStore(spark, args.store)
+    if getattr(args, "jdbc_url", None):
+        from csv_crm_upload_spark.sinks.jdbc_store import JdbcCustomerStore
+
+        store = JdbcCustomerStore(spark, args.jdbc_url)
+        store.ensure_table()
+        return store
+    raise SystemExit("one of --store or --jdbc-url (or $DATABASE_URL) is required")
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="csv_crm_upload_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     pi = sub.add_parser("ingest", help="batch-ingest a CSV file into the store")
     pi.add_argument("--csv", required=True)
-    pi.add_argument("--store", required=True)
+    _add_store_args(pi)
     pi.add_argument("--noheader", action="store_true", help="CSV has no header row")
     pi.add_argument("--quarantine", default=None, help="directory for rejected rows (with reasons)")
 
     pp = sub.add_parser("pending", help="show customers pending upload")
-    pp.add_argument("--store", required=True)
+    _add_store_args(pp)
     pp.add_argument("--limit", type=int, default=20)
 
     pu = sub.add_parser("upload", help="upload pending customers to the CRM")
-    pu.add_argument("--store", required=True)
+    _add_store_args(pu)
     pu.add_argument("--crm", default=os.environ.get("CRM_SERVER_ADDR", "http://localhost:8089"))
     pu.add_argument("--concurrency", type=int, default=25)
     pu.add_argument("--max-tries", type=int, default=5)
 
     pw = sub.add_parser("watch", help="stream-ingest CSVs arriving in a directory")
     pw.add_argument("--dir", required=True)
-    pw.add_argument("--store", required=True)
+    _add_store_args(pw)
     pw.add_argument("--checkpoint", required=True)
     pw.add_argument("--noheader", action="store_true")
     pw.add_argument("--continuous", action="store_true", help="keep watching (default: drain and stop)")
@@ -59,12 +87,11 @@ def main(argv: list[str] | None = None) -> int:
 
     args = p.parse_args(argv)
 
-    from csv_crm_upload_spark.operators.store import CustomerStore
     from csv_crm_upload_spark.session import get_spark
 
     spark = get_spark(app_name=f"cli-{args.cmd}")
     spark.sparkContext.setLogLevel("WARN")
-    store = CustomerStore(spark, args.store)
+    store = _open_store(spark, args)
 
     if args.cmd == "ingest":
         from csv_crm_upload_spark.plans.ingest import ingest_csv

@@ -1,0 +1,38 @@
+"""CLI surface tests — both store backends behind the same subcommands
+(reference conn-string plumbing, X5)."""
+
+from __future__ import annotations
+
+from csv_crm_upload_spark.cli import main
+
+
+def _write_csv(tmp_path):
+    csv = tmp_path / "in.csv"
+    csv.write_text("1,jon,doe,jon@x.com,1\n2,jane,doe,jane@x.com,2\n")
+    return str(csv)
+
+
+def test_cli_ingest_pending_parquet(spark, tmp_path, capsys):
+    csv = _write_csv(tmp_path)
+    assert main(["ingest", "--csv", csv, "--store", str(tmp_path / "s"), "--noheader"]) == 0
+    assert "inserted=2" in capsys.readouterr().out
+    assert main(["pending", "--store", str(tmp_path / "s")]) == 0
+    assert "pending=2" in capsys.readouterr().out
+
+
+def test_cli_ingest_pending_jdbc(spark, tmp_path, capsys):
+    csv = _write_csv(tmp_path)
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    assert main(["ingest", "--csv", csv, "--jdbc-url", url, "--noheader"]) == 0
+    assert "inserted=2" in capsys.readouterr().out
+    # re-ingest: both unique keys collide, nothing inserted
+    assert main(["ingest", "--csv", csv, "--jdbc-url", url, "--noheader"]) == 0
+    assert "inserted=0" in capsys.readouterr().out
+
+
+def test_cli_requires_some_store(spark, tmp_path, monkeypatch):
+    import pytest
+
+    monkeypatch.delenv("DATABASE_URL", raising=False)
+    with pytest.raises(SystemExit):
+        main(["pending"])
