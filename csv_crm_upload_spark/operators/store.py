@@ -217,11 +217,41 @@ class CustomerStore:
     def read(self) -> DataFrame:
         """S4: full table scan of the current snapshot. The bucket id is a
         physical detail — dropped from the logical schema."""
-        v = self._current_version()
-        if v < 0:
+        return self.read_version(self._current_version())
+
+    def read_version(self, version: int) -> DataFrame:
+        """Time travel: scan snapshot `version` (every committed version
+        is immutable and remains readable until vacuumed) — the
+        `VERSION AS OF` surface of a lakehouse table format."""
+        if version < 0:
             return self.spark.createDataFrame([], CUSTOMER_SCHEMA)
+        vdir = self._version_dir(version)
+        if not os.path.isdir(vdir):
+            raise FileNotFoundError(f"version {version} not found (vacuumed?): {vdir}")
         cols = [f.name for f in CUSTOMER_SCHEMA.fields]
-        return self.spark.read.parquet(self._version_dir(v)).select(*cols)
+        return self.spark.read.parquet(vdir).select(*cols)
+
+    def versions(self) -> list[int]:
+        """Committed snapshot versions still on disk, oldest first."""
+        out = sorted(
+            int(name[1:])
+            for name in os.listdir(self.root)
+            if name.startswith("v") and name[1:].isdigit()
+        )
+        return out
+
+    def vacuum(self, keep_last: int = 1) -> list[int]:
+        """Drop all but the newest `keep_last` snapshots. Safe by
+        construction: versions share data through hard links, so deleting
+        an old version dir only releases blocks no newer version still
+        links. Returns the versions removed."""
+        keep_last = max(1, keep_last)
+        with self._write_lock():
+            current = self._current_version()
+            removed = [v for v in self.versions() if v <= current - keep_last]
+            for v in removed:
+                shutil.rmtree(self._version_dir(v), ignore_errors=True)
+        return removed
 
     def _read_buckets(self, version_dir: str, buckets: list[str]) -> DataFrame:
         """Pruned scan of selected buckets (partition pruning by path)."""

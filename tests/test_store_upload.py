@@ -208,3 +208,27 @@ def test_stale_lock_broken_when_owner_dead(spark, tmp_path):
     # mutation proceeds by breaking the stale lock instead of timing out
     marked = store.mark_uploaded(spark.createDataFrame([("jane@x.com",)], ["email"]))
     assert marked == 1
+
+
+def test_time_travel_and_vacuum(spark, tmp_path):
+    """Lakehouse surface on the versioned store: VERSION AS OF reads,
+    version listing, and hard-link-safe vacuum."""
+    import pytest as _pytest
+
+    store = _fresh_store(spark, tmp_path)               # v0: 5 rows pending
+    store.mark_uploaded(spark.createDataFrame([("jon@x.com",)], ["email"]))  # v1
+    store.append(finalize_columns(spark.createDataFrame([(6, "zed", "q", "z@x.com", "6")], COLS)))  # v2
+
+    assert store.versions() == [0, 1, 2]
+    assert store.read_version(0).filter("uploaded").count() == 0
+    assert store.read_version(1).filter("uploaded").count() == 1
+    assert store.read_version(2).count() == 6
+    assert store.read().count() == 6  # read() == latest
+
+    removed = store.vacuum(keep_last=1)
+    assert removed == [0, 1]
+    # latest still fully readable after old versions are gone (hard links)
+    assert store.read().count() == 6
+    assert store.read().filter("uploaded").count() == 1
+    with _pytest.raises(FileNotFoundError):
+        store.read_version(0)
