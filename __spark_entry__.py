@@ -321,6 +321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w4_trailing_hour_value": lambda s, sf: tpch.w4_trailing_hour_value(_t("events")(s, sf)),
         "w5_order_gaps": lambda s, sf: tpch.w5_order_gaps(_t("orders")(s, sf)),
         "t7_vocab_topk": lambda s, sf: ts.t7_vocab_topk(_t("documents")(s, sf)),
+        "t8_bigrams_udtf": lambda s, sf: ts.t8_bigrams_udtf(s, _t("documents")(s, sf)),
     }
 
 
@@ -1047,5 +1048,13 @@ def oracle_sql() -> dict[str, str]:
                CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
         FROM toks GROUP BY tok HAVING COUNT(DISTINCT doc_id) >= 2
         ORDER BY tf DESC, tok LIMIT 100
+    """
+    q["t8_bigrams_udtf"] = f"""
+        WITH toks AS (
+          SELECT doc_id, {_TOKS} AS t FROM documents WHERE text IS NOT NULL
+        )
+        SELECT doc_id, CAST(r.i AS INT) AS pos,
+               t[r.i + 1] || ' ' || t[r.i + 2] AS bigram
+        FROM toks, UNNEST(range(0, greatest(len(t) - 1, 0))) AS r(i)
     """
     return q

@@ -178,3 +178,32 @@ def t7_vocab_topk(documents: DataFrame, k: int = 100, min_df: int = 2) -> DataFr
         .orderBy(F.col("tf").desc(), F.col("tok"))
         .limit(k)
     )
+
+
+def t8_bigrams_udtf(spark, documents: DataFrame) -> DataFrame:
+    """Word bigrams with positions via a Python UDTF (table function) —
+    the one-row-in/many-rows-out UDF surface, driven through SQL LATERAL.
+
+    API-surface demonstration: the production path for n-gram expansion is
+    the Column-algebra shingle builder in analytics/dedup.py (JVM codegen,
+    no Python); a UDTF is the escape hatch when the row-to-rows logic
+    genuinely needs Python. Still partition-parallel: each executor runs
+    the UDTF over its split of the scan."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, bigram string")
+    class Bigrams:
+        def eval(self, text):
+            if text is None:
+                return
+            toks = text.strip().lower().split()
+            for i in range(len(toks) - 1):
+                yield i, toks[i] + " " + toks[i + 1]
+
+    spark.udtf.register("bigrams_udtf", Bigrams)
+    documents.createOrReplaceTempView("_t8_docs")
+    return spark.sql(
+        "SELECT d.doc_id, b.pos, b.bigram "
+        "FROM _t8_docs d, LATERAL bigrams_udtf(d.text) b "
+        "WHERE d.text IS NOT NULL"
+    )
