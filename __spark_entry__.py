@@ -322,6 +322,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w5_order_gaps": lambda s, sf: tpch.w5_order_gaps(_t("orders")(s, sf)),
         "t7_vocab_topk": lambda s, sf: ts.t7_vocab_topk(_t("documents")(s, sf)),
         "t8_bigrams_udtf": lambda s, sf: ts.t8_bigrams_udtf(s, _t("documents")(s, sf)),
+        "q8_market_share": lambda s, sf: tpch.q8_market_share(
+            _t("region")(s, sf),
+            _t("nation")(s, sf),
+            _t("customer")(s, sf),
+            _t("supplier")(s, sf),
+            _t("orders")(s, sf),
+            _t("lineitem")(s, sf),
+        ),
+        "g3_cube_status_priority": lambda s, sf: tpch.g3_cube_status_priority(_t("orders")(s, sf)),
+        "sk1_salted_brand_revenue": lambda s, sf: tpch.sk1_salted_brand_revenue(
+            _t("lineitem")(s, sf), _t("part")(s, sf)
+        ),
     }
 
 
@@ -1056,5 +1068,39 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST(r.i AS INT) AS pos,
                t[r.i + 1] || ' ' || t[r.i + 2] AS bigram
         FROM toks, UNNEST(range(0, greatest(len(t) - 1, 0))) AS r(i)
+    """
+    q["q8_market_share"] = f"""
+        WITH agg AS (
+          SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+                 CAST(SUM(CASE WHEN sn.n_name = 'NATION_1' THEN {_rev}
+                               ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS nation_rev,
+                 CAST(SUM({_rev}) AS DOUBLE) AS total_rev
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation cn ON c_nationkey = cn.n_nationkey
+          JOIN region ON cn.n_regionkey = r_regionkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation sn ON s_nationkey = sn.n_nationkey
+          WHERE r_name = 'EUROPE'
+          GROUP BY 1
+        )
+        SELECT order_year, round(nation_rev / total_rev, 6) AS mkt_share,
+               round(nation_rev, 4) AS nation_rev, round(total_rev, 4) AS total_rev
+        FROM agg ORDER BY order_year
+    """
+    q["g3_cube_status_priority"] = """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """
+    q["sk1_salted_brand_revenue"] = f"""
+        SELECT p_brand, CAST(SUM({_rev}) AS DOUBLE) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand ORDER BY p_brand
     """
     return q

@@ -714,3 +714,86 @@ def w5_order_gaps(orders: DataFrame) -> DataFrame:
         F.datediff(F.lead("o_orderdate").over(w), F.col("o_orderdate")).cast("int").alias("days_to_next"),
         F.ntile(4).over(wq).cast("int").alias("spend_quartile"),
     )
+
+
+def q8_market_share(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    target_nation: str = "NATION_1",
+    target_region: str = "EUROPE",
+) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of supplier revenue into a
+    region, by order year. Share = conditional-sum / total-sum computed in
+    ONE aggregation pass over the joined facts (no second scan); all
+    dimensions broadcast."""
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    supp_n = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cust_region = (
+        nation.join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == target_region)
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cust_region), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(supp_n), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == target_nation, rev).otherwise(F.lit(0).cast("decimal(18,4)")))
+            .cast("double")
+            .alias("nation_rev"),
+            F.sum(rev).cast("double").alias("total_rev"),
+        )
+        .select(
+            "order_year",
+            F.round(F.col("nation_rev") / F.col("total_rev"), 6).alias("mkt_share"),
+            F.round("nation_rev", 4).alias("nation_rev"),
+            F.round("total_rev", 4).alias("total_rev"),
+        )
+        .orderBy("order_year")
+    )
+
+
+def g3_cube_status_priority(orders: DataFrame) -> DataFrame:
+    """CUBE over (status, priority): all four grouping-set combinations in
+    one pass — completes the grouping-sets surface (rollup=g1, explicit
+    sets=g2, cube=g3)."""
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum(_dec("o_totalprice"), "revenue"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n_orders", "revenue")
+    )
+
+
+def sk1_salted_brand_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Brand revenue through the SALTED join operator (operators/skew.py):
+    result-identical to the plain join — this query routes the salting
+    path through the cross-engine oracle gate, proving the skew
+    mitigation preserves semantics exactly. (Deterministic salts: retries
+    and the oracle reproduce bit-identical results.)"""
+    from csv_crm_upload_spark.operators.skew import salted_join
+
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    joined = salted_join(
+        lineitem.select("l_partkey", "l_extendedprice", "l_discount"),
+        part.select("p_partkey", "p_brand").withColumnRenamed("p_partkey", "l_partkey"),
+        key="l_partkey",
+        n_salts=8,
+    )
+    return (
+        joined.groupBy("p_brand")
+        .agg(_dsum(rev, "revenue"), F.count(F.lit(1)).alias("n_lines"))
+        .orderBy("p_brand")
+    )

@@ -71,6 +71,14 @@ def main(argv: list[str] | None = None) -> int:
     pu.add_argument("--concurrency", type=int, default=25)
     pu.add_argument("--max-tries", type=int, default=5)
 
+    ps = sub.add_parser("serve", help="run the upload service loop (crmIntegrator)")
+    _add_store_args(ps)
+    ps.add_argument("--crm", default=os.environ.get("CRM_SERVER_ADDR", "http://localhost:8089"))
+    ps.add_argument("--interval", type=float, default=30.0, help="seconds between upload cycles")
+    ps.add_argument("--cycles", type=int, default=None, help="stop after N cycles (default: run forever)")
+    ps.add_argument("--concurrency", type=int, default=25)
+    ps.add_argument("--max-tries", type=int, default=5)
+
     pw = sub.add_parser("watch", help="stream-ingest CSVs arriving in a directory")
     pw.add_argument("--dir", required=True)
     _add_store_args(pw)
@@ -112,6 +120,18 @@ def main(argv: list[str] | None = None) -> int:
             store, args.crm, concurrency=args.concurrency, max_tries=args.max_tries
         )
         print(f"marked_uploaded={marked}")
+    elif args.cmd == "serve":
+        from csv_crm_upload_spark.streaming.pipeline import run_upload_service
+
+        marked = run_upload_service(
+            store,
+            args.crm,
+            interval_s=args.interval,
+            max_cycles=args.cycles,
+            concurrency=args.concurrency,
+            max_tries=args.max_tries,
+        )
+        print(f"cycles={len(marked)} marked_total={sum(marked)}")
     elif args.cmd == "watch":
         from csv_crm_upload_spark.streaming.pipeline import run_ingest_stream
 

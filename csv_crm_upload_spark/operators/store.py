@@ -240,6 +240,59 @@ class CustomerStore:
         )
         return out
 
+    def changes(self, v_from: int, v_to: int | None = None) -> DataFrame:
+        """CDC change feed between two snapshots (the CHANGES/table_changes
+        surface of a lakehouse format): rows tagged `_change_type` in
+        {insert, update_preimage, update_postimage, delete}.
+
+        Scale shape: versions share unchanged buckets through hard links,
+        so the diff first prunes to buckets whose FILE SETS differ (inode
+        comparison — free, no I/O), then row-diffs only those buckets with
+        exceptAll. An upload cycle's change feed costs O(affected
+        buckets), never O(table)."""
+        if v_to is None:
+            v_to = self._current_version()
+        cols = [f.name for f in CUSTOMER_SCHEMA.fields]
+
+        def _inodes(vdir: str) -> dict[str, frozenset]:
+            return {
+                b: frozenset(
+                    os.stat(os.path.join(p, f)).st_ino
+                    for f in os.listdir(p)
+                    if f.endswith(".parquet")
+                )
+                for b, p in self._bucket_dirs(vdir).items()
+            }
+
+        old_map = _inodes(self._version_dir(v_from)) if v_from >= 0 else {}
+        new_map = _inodes(self._version_dir(v_to)) if v_to >= 0 else {}
+        changed = sorted(
+            b
+            for b in set(old_map) | set(new_map)
+            if old_map.get(b) != new_map.get(b)
+        )
+
+        def _bucket_rows(vdir: str, present: dict) -> DataFrame:
+            sel = [b for b in changed if b in present]
+            if not sel:
+                return self.spark.createDataFrame([], CUSTOMER_SCHEMA)
+            return self._read_buckets(vdir, sel).select(*cols)
+
+        old = _bucket_rows(self._version_dir(v_from), old_map)
+        new = _bucket_rows(self._version_dir(v_to), new_map)
+        removed = old.exceptAll(new)
+        added = new.exceptAll(old)
+        rem_keys = removed.select("email").distinct()
+        add_keys = added.select("email").distinct()
+        tag = lambda df, t: df.withColumn("_change_type", F.lit(t))  # noqa: E731
+        return (
+            tag(added.join(rem_keys, "email", "left_anti"), "insert")
+            .unionByName(tag(added.join(rem_keys, "email", "left_semi"), "update_postimage"))
+            .unionByName(tag(removed.join(add_keys, "email", "left_semi"), "update_preimage"))
+            .unionByName(tag(removed.join(add_keys, "email", "left_anti"), "delete"))
+            .select("email", "_change_type", *[c for c in cols if c != "email"])
+        )
+
     def vacuum(self, keep_last: int = 1) -> list[int]:
         """Drop all but the newest `keep_last` snapshots. Safe by
         construction: versions share data through hard links, so deleting

@@ -89,3 +89,36 @@ def run_upload_cycle(
         return store.mark_uploaded(ok)
     finally:
         results.unpersist()
+
+
+def run_upload_service(
+    store: CustomerStore,
+    crm_url: str,
+    interval_s: float = 30.0,
+    max_cycles: int | None = None,
+    concurrency: int = 25,
+    max_tries: int = 5,
+    sleep=None,
+    tick_sleep=None,
+) -> list[int]:
+    """The crmIntegrator as a long-running service: upload cycles on a
+    poll ticker (reference crm service loop — a 30 s timer re-selecting
+    the pending set, uploader.go:71-97). Each tick is one full
+    pending→POST→mark cycle; an empty pending set costs one cheap
+    isEmpty() probe. `max_cycles` bounds the loop for finite runs/tests;
+    None = run until interrupted. Returns marked-count per cycle."""
+    import time as _time
+
+    tick = tick_sleep or _time.sleep
+    marked: list[int] = []
+    cycle = 0
+    while max_cycles is None or cycle < max_cycles:
+        marked.append(
+            run_upload_cycle(
+                store, crm_url, concurrency=concurrency, max_tries=max_tries, sleep=sleep
+            )
+        )
+        cycle += 1
+        if max_cycles is None or cycle < max_cycles:
+            tick(interval_s)
+    return marked

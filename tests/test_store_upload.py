@@ -232,3 +232,49 @@ def test_time_travel_and_vacuum(spark, tmp_path):
     assert store.read().filter("uploaded").count() == 1
     with _pytest.raises(FileNotFoundError):
         store.read_version(0)
+
+
+def test_changes_feed_between_versions(spark, tmp_path):
+    """CDC surface: per-version change feed with insert/update tags,
+    diffing ONLY buckets whose file sets changed."""
+    store = _fresh_store(spark, tmp_path)                                  # v0
+    store.mark_uploaded(spark.createDataFrame([("jon@x.com",)], ["email"]))  # v1
+    store.append(finalize_columns(spark.createDataFrame([(6, "zed", "q", "z@x.com", "6")], COLS)))  # v2
+
+    c01 = {(r["email"], r["_change_type"]) for r in store.changes(0, 1).collect()}
+    assert c01 == {("jon@x.com", "update_preimage"), ("jon@x.com", "update_postimage")}
+
+    c12 = {(r["email"], r["_change_type"]) for r in store.changes(1, 2).collect()}
+    assert c12 == {("z@x.com", "insert")}
+
+    c02 = {(r["email"], r["_change_type"]) for r in store.changes(0, 2).collect()}
+    assert c02 == {
+        ("jon@x.com", "update_preimage"),
+        ("jon@x.com", "update_postimage"),
+        ("z@x.com", "insert"),
+    }
+    # full-history feed from "before the table existed"
+    assert store.changes(-1, 0).filter("_change_type = 'insert'").count() == 5
+
+
+def test_upload_service_ticks(spark, tmp_path):
+    """Service loop: rows arriving between ticks go out on the next one."""
+    store = _fresh_store(spark, tmp_path)
+    ticks = []
+
+    with MockCRM() as crm:
+        def tick(interval):
+            ticks.append(interval)
+            # new customer lands between cycle 1 and cycle 2
+            store.append(finalize_columns(
+                spark.createDataFrame([(7, "late", "comer", "late@x.com", "7")], COLS)
+            ))
+
+        from csv_crm_upload_spark.streaming.pipeline import run_upload_service
+
+        marked = run_upload_service(
+            store, crm.url, interval_s=30.0, max_cycles=2, sleep=lambda s: None, tick_sleep=tick
+        )
+    assert marked == [5, 1]
+    assert ticks == [30.0]
+    assert store.pending().count() == 0
