@@ -334,6 +334,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sk1_salted_brand_revenue": lambda s, sf: tpch.sk1_salted_brand_revenue(
             _t("lineitem")(s, sf), _t("part")(s, sf)
         ),
+        "sk2_two_phase_status_revenue": lambda s, sf: tpch.sk2_two_phase_status_revenue(
+            _t("orders")(s, sf)
+        ),
+        "emb_label_centroids": lambda s, sf: tpch.emb_label_centroids(_t("embeddings")(s, sf)),
+        "fo1_order_event_coverage": lambda s, sf: tpch.fo1_daily_order_event_coverage(
+            _t("orders")(s, sf), _t("events")(s, sf)
+        ),
     }
 
 
@@ -1102,5 +1109,32 @@ def oracle_sql() -> dict[str, str]:
                CAST(COUNT(*) AS BIGINT) AS n_lines
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_brand ORDER BY p_brand
+    """
+    q["sk2_two_phase_status_revenue"] = """
+        SELECT o_orderstatus,
+               round(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 4) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY 1 ORDER BY 1
+    """
+    q["emb_label_centroids"] = """
+        SELECT label, CAST(r.i AS INT) AS dim,
+               round(avg(embedding[r.i + 1]::DOUBLE), 6) AS centroid_v,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs
+        FROM embeddings, UNNEST(range(0, len(embedding))) AS r(i)
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
+    q["fo1_order_event_coverage"] = """
+        WITH od AS (
+          SELECT CAST(o_orderdate AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_orders
+          FROM orders GROUP BY 1
+        ), ev AS (
+          SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM events GROUP BY 1
+        )
+        SELECT COALESCE(od.day, ev.day) AS day,
+               COALESCE(n_orders, 0) AS n_orders,
+               COALESCE(n_events, 0) AS n_events,
+               (n_orders IS NULL OR n_events IS NULL) AS one_sided
+        FROM od FULL OUTER JOIN ev ON od.day = ev.day
     """
     return q

@@ -797,3 +797,59 @@ def sk1_salted_brand_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
         .agg(_dsum(rev, "revenue"), F.count(F.lit(1)).alias("n_lines"))
         .orderBy("p_brand")
     )
+
+
+def sk2_two_phase_status_revenue(orders: DataFrame) -> DataFrame:
+    """Order revenue by status through the TWO-PHASE (salted) aggregation
+    operator — 3 statuses over 15k+ orders is exactly the hot-group shape
+    that straggles a naive single-phase agg. Oracle-paired to prove the
+    (key,salt)→key decomposition is result-identical to a direct GROUP BY
+    (exact decimal partials make it order-insensitive)."""
+    from csv_crm_upload_spark.operators.skew import two_phase_agg
+
+    return (
+        two_phase_agg(orders, key="o_orderstatus", agg_col="o_totalprice", n_salts=8)
+        .select(
+            "o_orderstatus",
+            F.round("total", 4).alias("revenue"),
+            F.col("cnt").alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def emb_label_centroids(embeddings: DataFrame) -> DataFrame:
+    """Per-label embedding centroids in LONG form (label, dim, value) —
+    the class-prototype computation behind nearest-centroid classification
+    and IVF coarse training. posexplode → one (label, dim) aggregation
+    with map-side combine: the shuffle carries labels × dims rows, never
+    raw vectors. Long form (not array columns) keeps the result
+    hash-comparable across engines."""
+    exploded = embeddings.select("label", F.posexplode("embedding").alias("dim", "v"))
+    return (
+        exploded.groupBy("label", "dim")
+        .agg(
+            F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_v"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
+def fo1_daily_order_event_coverage(orders: DataFrame, events: DataFrame) -> DataFrame:
+    """FULL OUTER join surface: daily order counts vs daily event counts —
+    days present on either side survive with nulls marked. Both sides
+    pre-aggregate BEFORE the join (the scalable shape: the join runs on
+    day-grain rows, not raw facts)."""
+    od = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    ev = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return od.join(ev, "day", "full_outer").select(
+        "day",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        (F.col("n_orders").isNull() | F.col("n_events").isNull()).alias("one_sided"),
+    )
