@@ -293,6 +293,31 @@ class CustomerStore:
             .select("email", "_change_type", *[c for c in cols if c != "email"])
         )
 
+    def compact(self) -> int:
+        """Bin-pack every bucket to one file in a NEW snapshot (readers of
+        older versions are untouched — compaction is just another commit).
+        Each append links the prior version's files and adds its own, so
+        a long append chain accumulates files per bucket; compaction
+        resets that to one file per bucket. Returns the new version."""
+        with self._write_lock():
+            v = self._current_version()
+            if v < 0:
+                return -1
+            table = self.read()
+            staging = os.path.join(self.root, f"staging_{os.getpid()}_{uuid.uuid4().hex[:8]}")
+            try:
+                (
+                    table.withColumn("b", _bucket_col(self.n_buckets))
+                    .repartition(self.n_buckets, "b")
+                    .write.mode("overwrite")
+                    .partitionBy("b")
+                    .parquet(staging)
+                )
+                all_buckets = set(self._bucket_dirs(self._version_dir(v)))
+                return self._commit_merge(staging, replace_buckets=all_buckets)
+            finally:
+                shutil.rmtree(staging, ignore_errors=True)
+
     def vacuum(self, keep_last: int = 1) -> list[int]:
         """Drop all but the newest `keep_last` snapshots. Safe by
         construction: versions share data through hard links, so deleting

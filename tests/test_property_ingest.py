@@ -72,3 +72,53 @@ def test_dedupe_batch_properties(spark, rows):
     # determinism: same input → same output
     again = [(r["id"], r["email"]) for r in dedupe_batch(df).collect()]
     assert sorted(got) == sorted(again)
+
+
+# ---- PII redaction invariants -------------------------------------------
+
+_word = st.text(alphabet="abcdefghijklmnop qrstuvwxyz", min_size=0, max_size=20)
+_email = st.builds(
+    lambda u, d: f"{u}@{d}.example",
+    st.text(alphabet="abcdefghij0123456789._", min_size=1, max_size=10).filter(
+        lambda s: s.strip("._") == s and s != ""
+    ),
+    st.text(alphabet="abcdefghij", min_size=1, max_size=8),
+)
+_phone = st.builds(
+    lambda a, b, c: f"+{a}-{b}-{c}",
+    st.integers(1, 99),
+    st.integers(100, 999),
+    st.integers(1000, 9999),
+)
+
+
+@given(
+    docs=st.lists(
+        st.tuples(_word, st.lists(st.one_of(_email, _phone), max_size=3), _word),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(**_SETTINGS)
+def test_redaction_removes_all_pii(spark, docs):
+    """For ANY text with planted emails/phones: the redacted output
+    contains no match of either pattern, and the per-row counts equal the
+    number of planted items of each kind."""
+    import re
+
+    from csv_crm_upload_spark.analytics.textstats import EMAIL_RE, PHONE_RE, t5_redact_pii
+
+    rows = []
+    for i, (pre, pii, post) in enumerate(docs):
+        text = pre + " " + " ".join(pii) + " " + post
+        n_e = sum("@" in p for p in pii)
+        n_p = len(pii) - n_e
+        rows.append((i, text, n_e, n_p))
+    df = spark.createDataFrame(rows, ["doc_id", "text", "want_e", "want_p"])
+    out = {r["doc_id"]: r for r in t5_redact_pii(df.select("doc_id", "text")).collect()}
+    for i, text, want_e, want_p in rows:
+        r = out[i]
+        assert re.search(EMAIL_RE, r["redacted"]) is None
+        assert re.search(PHONE_RE, r["redacted"]) is None
+        assert r["n_emails"] >= want_e  # planted ones all caught
+        assert r["n_phones"] >= want_p

@@ -278,3 +278,32 @@ def test_upload_service_ticks(spark, tmp_path):
     assert marked == [5, 1]
     assert ticks == [30.0]
     assert store.pending().count() == 0
+
+
+def test_store_compaction_binpacks_buckets(spark, tmp_path):
+    """After an append chain, compact() resets every bucket to one file in
+    a new snapshot; data identical, old versions still readable."""
+    import os
+
+    store = CustomerStore(spark, str(tmp_path / "store"), n_buckets=4)
+    for i in range(4):  # 4 appends -> growing per-bucket file chains
+        store.append(finalize_columns(spark.createDataFrame(
+            [(10 * i + j, "n", "m", f"u{10 * i + j}@x.com", "1") for j in range(5)], COLS
+        )))
+    v_before = store._current_version()
+    before_rows = sorted(r["email"] for r in store.read().collect())
+
+    def n_files(v):
+        vdir = store._version_dir(v)
+        return sum(
+            len([f for f in os.listdir(p) if f.endswith(".parquet")])
+            for p in store._bucket_dirs(vdir).values()
+        )
+
+    assert n_files(v_before) > 4  # accumulated chain
+    v_new = store.compact()
+    assert v_new == v_before + 1
+    assert n_files(v_new) <= 4  # one file per (non-empty) bucket
+    assert sorted(r["email"] for r in store.read().collect()) == before_rows
+    # prior version untouched and still readable
+    assert store.read_version(v_before).count() == 20
