@@ -107,3 +107,43 @@ def test_ingest_validation_is_single_scan_predicate(spark, tmp_path):
         plan = plan_of(df)
         assert "Exchange" not in plan  # map-only
         assert "Join" not in plan
+
+
+def test_range_join_is_banded_not_nested_loop(spark, sf_dir):
+    """rj1 must execute as an equi-join on the band bucket (hash join),
+    never a nested-loop theta join over the cross product."""
+    df = QUERIES["rj1_nearby_errors"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoopJoin" not in plan.replace("BroadcastNestedLoopJoin", "")
+    assert "CartesianProduct" not in plan
+    # the bucket key reaches the join condition
+    assert "bucket" in plan
+
+
+def test_new_fact_dim_joins_broadcast(spark, sf_dir):
+    """q14/q19/q8: the part/nation dimensions must broadcast — a
+    sort-merge shuffle of the fact table against a dim is the 100 TB
+    anti-pattern these plans exist to avoid."""
+    for name in ["q14_promo_revenue", "q19_disjunctive_revenue", "q8_market_share"]:
+        df = QUERIES[name](spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join"
+        assert "SortMergeJoin" not in plan, f"{name}: dim join fell back to sort-merge"
+
+
+def test_pending_scan_prunes_bucket_column(spark, tmp_path):
+    """The store's bucket id is physical layout: the pending scan must
+    read only the 5 logical columns (ReadSchema pruned) with the uploaded
+    predicate pushed."""
+    from csv_crm_upload_spark.operators.mutate import finalize_columns
+    from csv_crm_upload_spark.operators.store import CustomerStore
+
+    store = CustomerStore(spark, str(tmp_path / "s"))
+    store.append(finalize_columns(spark.createDataFrame(
+        [(1, "a", "b", "a@x.com", "1")], ["id", "first_name", "last_name", "email", "phone"]
+    )))
+    plan = store.pending()._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(uploaded), Not(EqualTo(uploaded,true))]" in plan
+    assert "ReadSchema: struct<id:bigint,first_name:string,last_name:string,email:string,phone:string,uploaded:boolean>" in plan
