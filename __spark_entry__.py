@@ -247,6 +247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_exact_dups": lambda s, sf: dd.d_exact_dups(_t("documents")(s, sf)),
         "dd_ngram_jaccard": lambda s, sf: dd.d_ngram_jaccard_pairs(_t("documents")(s, sf)),
         "dd_minhash_lsh": lambda s, sf: dd.d_minhash_lsh_pairs(_t("documents")(s, sf)),
+        "dd_dup_clusters": lambda s, sf: dd.d_dup_clusters(_t("documents")(s, sf)),
         "dd_simhash": lambda s, sf: dd.d_simhash(_t("documents")(s, sf)),
         # training-data pipeline: similarity search
         "sim_knn_bruteforce": lambda s, sf: sim.knn_bruteforce(_t("embeddings")(s, sf)),
@@ -601,8 +602,7 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT doc_id, {bi} AS band, band_{bi} AS bucket FROM bands" for bi in range(dd.LSH_BANDS)
     )
     agree = " + ".join(f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END" for i in range(k))
-    q["dd_minhash_lsh"] = f"""
-        WITH {_SHINGLE_CTE},
+    _lsh_ctes = f"""{_SHINGLE_CTE},
         {_minhash_sig_sql()},
         bands AS (
           SELECT doc_id, {band_exprs} FROM sig
@@ -614,12 +614,36 @@ def oracle_sql() -> dict[str, str]:
           SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
           FROM stacked x JOIN stacked y USING (band, bucket)
           WHERE x.doc_id < y.doc_id
-        )
-        SELECT doc_a, doc_b, round(({agree}) / {k}.0, 6) AS est_jaccard
-        FROM cand
-        JOIN sig sa ON sa.doc_id = doc_a
-        JOIN sig sb ON sb.doc_id = doc_b
-        WHERE round(({agree}) / {k}.0, 6) >= 0.5
+        ),
+        lsh_pairs AS (
+          SELECT doc_a, doc_b, round(({agree}) / {k}.0, 6) AS est_jaccard
+          FROM cand
+          JOIN sig sa ON sa.doc_id = doc_a
+          JOIN sig sb ON sb.doc_id = doc_b
+          WHERE round(({agree}) / {k}.0, 6) >= 0.5
+        )"""
+    q["dd_minhash_lsh"] = f"""
+        WITH {_lsh_ctes}
+        SELECT doc_a, doc_b, est_jaccard FROM lsh_pairs
+    """
+    # clusters: connected components of the near-dup graph, labeled by the
+    # min doc_id — recursive reachability closure over undirected edges
+    q["dd_dup_clusters"] = f"""
+        WITH RECURSIVE {_lsh_ctes},
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+          UNION ALL
+          SELECT doc_b AS src, doc_a AS dst FROM lsh_pairs
+        ),
+        comp AS (
+          SELECT DISTINCT src AS doc, src AS reach FROM edges
+          UNION
+          SELECT c.doc, e.dst AS reach FROM comp c JOIN edges e ON e.src = c.reach
+        ),
+        labels AS (SELECT doc, MIN(reach) AS component FROM comp GROUP BY doc)
+        SELECT component AS canonical_doc_id,
+               CAST(COUNT(*) AS BIGINT) AS cluster_size
+        FROM labels GROUP BY component ORDER BY component
     """
 
     bit_sums = ",\n            ".join(

@@ -219,3 +219,78 @@ def d_simhash(documents: DataFrame) -> DataFrame:
         for b in range(60)
     )
     return agg.select("doc_id", simhash.alias("simhash"))
+
+
+def d_dup_clusters(documents: DataFrame, n: int = 3, threshold: float = 0.5, max_iter: int = 20) -> DataFrame:
+    """Duplicate CLUSTERS from MinHash-LSH near-dup pairs: connected
+    components, each labeled by its minimum doc_id — what a dedup
+    pipeline actually ships (keep one canonical doc per cluster), not
+    just the pairwise evidence.
+
+    Spark has no graph operator; components come from iterative min-label
+    propagation: every node starts as its own label, then each round
+    takes the min of its label and its neighbors' labels, until a round
+    changes nothing. Each round is one join + one map-side-combining min
+    aggregation on doc_id — O(E) per round, rounds bounded by the
+    component diameter (near-dup clusters are shallow; max_iter caps
+    pathology). The convergence probe is a single-row count, never a
+    data collect. This is the standard large-scale connected-components
+    loop (cf. the hash-to-min variants in the literature).
+    """
+    pairs = d_minhash_lsh_pairs(documents, n=n, threshold=threshold)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+        .persist()
+    )
+    try:
+        for _ in range(max_iter):
+            neighbor_min = (
+                edges.join(labels, edges["dst"] == labels["doc_id"])
+                .groupBy("src")
+                .agg(F.min("component").alias("nbr_min"))
+            )
+            new_labels = (
+                labels.join(neighbor_min, labels["doc_id"] == F.col("src"), "left")
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                    ).alias("component"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .filter(F.col("n.component") < F.col("o.component"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        out = (
+            labels.groupBy("component")
+            .agg(
+                F.count(F.lit(1)).alias("cluster_size"),
+                F.min("doc_id").alias("_chk"),
+            )
+            .select(
+                F.col("component").alias("canonical_doc_id"),
+                F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            )
+            .orderBy("canonical_doc_id")
+        )
+        # materialize before unpersisting the lineage inputs
+        out = out.persist()
+        out.count()
+        return out
+    finally:
+        edges.unpersist()

