@@ -342,6 +342,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fo1_order_event_coverage": lambda s, sf: tpch.fo1_daily_order_event_coverage(
             _t("orders")(s, sf), _t("events")(s, sf)
         ),
+        "t9_top_tokens_per_source": lambda s, sf: ts.t9_top_tokens_per_source(
+            _t("documents")(s, sf)
+        ),
     }
 
 
@@ -1160,5 +1163,19 @@ def oracle_sql() -> dict[str, str]:
                COALESCE(n_events, 0) AS n_events,
                (n_orders IS NULL OR n_events IS NULL) AS one_sided
         FROM od FULL OUTER JOIN ev ON od.day = ev.day
+    """
+    q["t9_top_tokens_per_source"] = f"""
+        WITH counts AS (
+          SELECT source, unnest({_TOKS}) AS tok, 1 AS one
+          FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+        ), agg AS (
+          SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n
+          FROM counts GROUP BY 1, 2
+        )
+        SELECT source, tok, n, CAST(rn AS INT) AS rank
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, tok) AS rn
+          FROM agg
+        ) WHERE rn <= 5
     """
     return q

@@ -291,6 +291,7 @@ def d_dup_clusters(documents: DataFrame, n: int = 3, threshold: float = 0.5, max
         # materialize before unpersisting the lineage inputs
         out = out.persist()
         out.count()
+        labels.unpersist()
         return out
     finally:
         edges.unpersist()

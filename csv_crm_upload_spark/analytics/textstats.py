@@ -207,3 +207,26 @@ def t8_bigrams_udtf(spark, documents: DataFrame) -> DataFrame:
         "FROM _t8_docs d, LATERAL bigrams_udtf(d.text) b "
         "WHERE d.text IS NOT NULL"
     )
+
+
+def t9_top_tokens_per_source(documents: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k tokens per document source: explode → (source, token) counts
+    → per-source rank window. Composition surface (aggregate feeding a
+    window) and the per-shard vocabulary diagnostic in corpus curation.
+    Two shuffles total: the count groupBy and the rank partitionBy —
+    both on bounded-cardinality keys."""
+    from pyspark.sql import Window
+
+    counts = (
+        documents.filter(F.col("text").isNotNull())
+        .select("source", F.explode(_tokens()).alias("tok"))
+        .withColumn("tok", F.lower(F.col("tok")))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("n").desc(), F.col("tok"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("source", "tok", "n", "rank")
+    )

@@ -122,3 +122,42 @@ def run_upload_service(
         if max_cycles is None or cycle < max_cycles:
             tick(interval_s)
     return marked
+
+
+def run_ingest_upload_stream(
+    spark: SparkSession,
+    input_dir: str,
+    store: CustomerStore,
+    checkpoint_dir: str,
+    crm_url: str,
+    header: bool = True,
+    available_now: bool = True,
+    concurrency: int = 25,
+    max_tries: int = 5,
+    sleep=None,
+):
+    """The two reference services COUPLED, as one streaming query: each
+    micro-batch ingests its CSVs and then immediately runs an upload
+    cycle — the arrival of data IS the cross-service wake-up signal (T3:
+    the reference's RPC notify from csvReader to crmIntegrator,
+    listener.go:28-35), with no signal plumbing to lose or coalesce.
+    Returns the StreamingQuery.
+
+    At-least-once end to end: the checkpoint makes ingest exactly-once
+    per input file; a crash between POST and flag-flip re-sends on the
+    next cycle exactly as the reference does."""
+
+    def process(batch_df, batch_id: int) -> None:
+        from csv_crm_upload_spark.plans.ingest import ingest_batch as _ingest
+
+        res = _ingest(batch_df, store)
+        if res.inserted > 0:
+            run_upload_cycle(
+                store, crm_url, concurrency=concurrency, max_tries=max_tries, sleep=sleep
+            )
+
+    stream = read_customers_csv_stream(spark, input_dir, header=header)
+    writer = stream.writeStream.foreachBatch(process).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
