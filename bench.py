@@ -19,7 +19,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as entrymod
 from csv_crm_upload_spark.session import get_spark
 
-# headline set: the perf-relevant plans (scan/join/agg/window/dedup/knn)
+# headline set: the perf-relevant plans (scan/join/agg/window/dedup/knn).
+# KEPT STABLE across rounds so the driver's totals stay comparable.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_top_unshipped",
@@ -31,6 +32,15 @@ HEADLINE = [
     "dd_minhash_lsh",
     "sim_knn_bruteforce",
     "t2_quality_score",
+]
+
+# round-2+ additions, timed and reported but NOT in the headline total
+EXTRA = [
+    "dd_dup_clusters",
+    "rj1_nearby_errors",
+    "q7_nation_trade",
+    "t7_vocab_topk",
+    "t6_char_entropy",
 ]
 
 
@@ -97,6 +107,18 @@ def main() -> None:
         except Exception as e:  # one broken query must not sink the record
             errors[name] = f"{type(e).__name__}: {e}"[:200]
 
+    extra: dict[str, float] = {}
+    for name in EXTRA:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        try:
+            fn(spark, sf_dir).agg({"*": "count"}).collect()
+            extra[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:
+            errors[name] = f"{type(e).__name__}: {e}"[:200]
+
     duckdb_timings = _duckdb_timings(sf_dir, entrymod.oracle_sql())
     ratios = {
         n: round(timings[n] / duckdb_timings[n], 2)
@@ -113,6 +135,7 @@ def main() -> None:
         "sf": sf,
         "warm_sec": warm,
         "warm_total_sec": round(sum(warm.values()), 3),
+        "extra_sec": extra,
         "duckdb_sec": duckdb_timings,
         "ratio_vs_duckdb": ratios,
         "duckdb_total_sec": round(sum(duckdb_timings.values()), 3),

@@ -237,26 +237,34 @@ def d_dup_clusters(documents: DataFrame, n: int = 3, threshold: float = 0.5, max
     data collect. This is the standard large-scale connected-components
     loop (cf. the hash-to-min variants in the literature).
     """
+    # The label tables are tiny (one row per doc in any pair): run the loop
+    # on a handful of partitions — 32-partition shuffles of a few thousand
+    # rows are pure scheduling overhead.
+    n_parts = 8
     pairs = d_minhash_lsh_pairs(documents, n=n, threshold=threshold)
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .repartition(n_parts, "dst")
         .persist()
     )
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("component", F.col("doc_id"))
-        .persist()
+        .repartition(n_parts, "doc_id")
+        .localCheckpoint(eager=True)
     )
     try:
+        prev_sum = None
         for _ in range(max_iter):
+            # step 1 — neighbor min: pull the smallest label across edges
             neighbor_min = (
                 edges.join(labels, edges["dst"] == labels["doc_id"])
                 .groupBy("src")
                 .agg(F.min("component").alias("nbr_min"))
             )
-            new_labels = (
+            stepped = (
                 labels.join(neighbor_min, labels["doc_id"] == F.col("src"), "left")
                 .select(
                     "doc_id",
@@ -264,18 +272,35 @@ def d_dup_clusters(documents: DataFrame, n: int = 3, threshold: float = 0.5, max
                         F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
                     ).alias("component"),
                 )
-                .persist()
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "doc_id")
-                .filter(F.col("n.component") < F.col("o.component"))
-                .count()
+            # step 2 — pointer halving: component := label(component). This
+            # jump along the label graph halves chain length every round,
+            # so rounds are O(log diameter) instead of O(diameter).
+            ptr = stepped.select(
+                F.col("doc_id").alias("p_doc"), F.col("component").alias("p_comp")
             )
-            labels.unpersist()
+            halved = (
+                stepped.join(ptr, stepped["component"] == ptr["p_doc"], "left")
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("component"), F.coalesce(F.col("p_comp"), F.col("component"))
+                    ).alias("component"),
+                )
+                .repartition(n_parts, "doc_id")
+            )
+            # localCheckpoint (eager): materializes this round AND truncates
+            # lineage — without it the plan grows per round and analysis
+            # time dominates (the classic iterative-algorithm trap).
+            new_labels = halved.localCheckpoint(eager=True)
+            # convergence probe: labels only ever DECREASE, so the label
+            # sum strictly decreases iff any row changed — one aggregate
+            # over the tiny checkpointed table, no join
+            new_sum = new_labels.agg(F.sum("component")).first()[0]
             labels = new_labels
-            if changed == 0:
+            if new_sum == prev_sum:
                 break
+            prev_sum = new_sum
         out = (
             labels.groupBy("component")
             .agg(
@@ -291,7 +316,6 @@ def d_dup_clusters(documents: DataFrame, n: int = 3, threshold: float = 0.5, max
         # materialize before unpersisting the lineage inputs
         out = out.persist()
         out.count()
-        labels.unpersist()
         return out
     finally:
         edges.unpersist()
