@@ -345,6 +345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t9_top_tokens_per_source": lambda s, sf: ts.t9_top_tokens_per_source(
             _t("documents")(s, sf)
         ),
+        "mix1_corpus_mixture": lambda s, sf: ts.mix1_corpus_mixture(_t("documents")(s, sf)),
     }
 
 
@@ -1177,5 +1178,16 @@ def oracle_sql() -> dict[str, str]:
           SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, tok) AS rn
           FROM agg
         ) WHERE rn <= 5
+    """
+    q["mix1_corpus_mixture"] = """
+        WITH gated AS (
+          SELECT doc_id, source, lang, n_chars,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS g,
+                 CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 80
+                             WHEN 'src2' THEN 60 WHEN 'src3' THEN 30
+                             ELSE 50 END AS r
+          FROM documents
+        )
+        SELECT doc_id, source, lang, n_chars FROM gated WHERE g < r
     """
     return q

@@ -230,3 +230,33 @@ def t9_top_tokens_per_source(documents: DataFrame, k: int = 5) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("source", "tok", "n", "rank")
     )
+
+
+# corpus mixing rates: source -> keep percentage (out of 100)
+MIXTURE_RATES = {"src0": 100, "src1": 80, "src2": 60, "src3": 30}
+DEFAULT_RATE = 50
+
+
+def mix1_corpus_mixture(documents: DataFrame, rates: dict | None = None) -> DataFrame:
+    """Deterministic stratified corpus sampling — the data-mixing step of
+    a training pipeline (per-source keep rates, e.g. downsample web,
+    keep all wiki). Sampling is HASH-GATED, not RNG-gated: a doc is kept
+    iff pmod(md5_60(doc_id), 100) < rate[source]. Deterministic across
+    retries, engines, and cluster sizes (no seed plumbing, no
+    partition-order sensitivity — the properties Bernoulli sample() can't
+    give you), and map-only: a pure filter that pushes down to the scan
+    at 100 TB."""
+    rates = rates or MIXTURE_RATES
+    gate = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast("long"),
+        F.lit(100),
+    )
+    rate_col = F.lit(DEFAULT_RATE)
+    for src, pct in sorted(rates.items()):
+        rate_col = F.when(F.col("source") == src, F.lit(pct)).otherwise(rate_col)
+    return (
+        documents.withColumn("_gate", gate)
+        .withColumn("_rate", rate_col)
+        .filter(F.col("_gate") < F.col("_rate"))
+        .select("doc_id", "source", "lang", "n_chars")
+    )

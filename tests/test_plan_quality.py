@@ -147,3 +147,21 @@ def test_pending_scan_prunes_bucket_column(spark, tmp_path):
     plan = store.pending()._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(uploaded), Not(EqualTo(uploaded,true))]" in plan
     assert "ReadSchema: struct<id:bigint,first_name:string,last_name:string,email:string,phone:string,uploaded:boolean>" in plan
+
+
+# sim_knn_bruteforce is a DELIBERATE broadcast cross join (tiny query set
+# against the corpus — the exact baseline); everything else must never
+# plan a cartesian product.
+CROSS_SANCTIONED = {"sim_knn_bruteforce"}
+
+
+def test_no_query_plans_a_cartesian_product(spark, sf_dir):
+    """Global sweep: no query may fall into CartesianProduct or a
+    non-broadcast nested loop — the silent quadratic trap that looks fine
+    at sf0.001 and detonates at 100 TB. Plan-only (no execution)."""
+    for name, fn in QUERIES.items():
+        plan = plan_of(fn(spark, sf_dir))
+        if name in CROSS_SANCTIONED:
+            assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" not in plan
+            continue
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
