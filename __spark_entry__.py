@@ -346,6 +346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t("documents")(s, sf)
         ),
         "mix1_corpus_mixture": lambda s, sf: ts.mix1_corpus_mixture(_t("documents")(s, sf)),
+        "pack1_sequence_packing": lambda s, sf: ts.pack1_sequence_packing(_t("documents")(s, sf)),
     }
 
 
@@ -1189,5 +1190,22 @@ def oracle_sql() -> dict[str, str]:
           FROM documents
         )
         SELECT doc_id, source, lang, n_chars FROM gated WHERE g < r
+    """
+    q["pack1_sequence_packing"] = """
+        WITH sized AS (
+          SELECT doc_id, source,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+          FROM documents WHERE text IS NOT NULL
+        ), cum AS (
+          SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+                 CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+          FROM sized
+        )
+        SELECT doc_id, source, n_tokens,
+               cum_tokens - n_tokens AS stream_offset,
+               CAST(floor((cum_tokens - n_tokens) / 512.0) AS BIGINT) AS bin_id
+        FROM cum
     """
     return q

@@ -260,3 +260,37 @@ def mix1_corpus_mixture(documents: DataFrame, rates: dict | None = None) -> Data
         .filter(F.col("_gate") < F.col("_rate"))
         .select("doc_id", "source", "lang", "n_chars")
     )
+
+
+def pack1_sequence_packing(documents: DataFrame, budget: int = 512) -> DataFrame:
+    """Sequence packing for training-batch construction: concatenate each
+    source's documents (deterministic doc_id order) into a token stream
+    and cut it into fixed-budget bins — every doc gets its stream offset
+    and the bin its first token lands in (GPT-style packing with
+    documents crossing bin boundaries, the standard high-utilization
+    packing).
+
+    One window pass per source partition (prefix sum), no shuffle beyond
+    the source partitioning — at 100 TB each source's stream packs
+    independently and in parallel."""
+    from pyspark.sql import Window
+
+    toks = F.size(_tokens())
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_cum = (
+        documents.filter(F.col("text").isNotNull())
+        .select("doc_id", "source", toks.alias("n_tokens"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    )
+    offset = (F.col("cum_tokens") - F.col("n_tokens")).cast("bigint")
+    return with_cum.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        offset.alias("stream_offset"),
+        F.floor(offset / budget).cast("bigint").alias("bin_id"),
+    )
