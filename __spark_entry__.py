@@ -347,6 +347,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "mix1_corpus_mixture": lambda s, sf: ts.mix1_corpus_mixture(_t("documents")(s, sf)),
         "pack1_sequence_packing": lambda s, sf: ts.pack1_sequence_packing(_t("documents")(s, sf)),
+        "q13_customer_distribution": lambda s, sf: tpch.q13_customer_order_distribution(
+            _t("customer")(s, sf), _t("orders")(s, sf)
+        ),
+        "q15_top_supplier": lambda s, sf: tpch.q15_top_supplier(
+            _t("supplier")(s, sf), _t("lineitem")(s, sf)
+        ),
+        "q17_small_quantity_revenue": lambda s, sf: tpch.q17_small_quantity_revenue(
+            _t("lineitem")(s, sf), _t("part")(s, sf)
+        ),
+        "q21_suppliers_kept_waiting": lambda s, sf: tpch.q21_suppliers_kept_waiting(
+            _t("supplier")(s, sf), _t("lineitem")(s, sf), _t("orders")(s, sf), _t("nation")(s, sf)
+        ),
+        "q22_global_sales_opportunity": lambda s, sf: tpch.q22_global_sales_opportunity(
+            _t("customer")(s, sf), _t("orders")(s, sf)
+        ),
     }
 
 
@@ -1207,5 +1222,73 @@ def oracle_sql() -> dict[str, str]:
                cum_tokens - n_tokens AS stream_offset,
                CAST(floor((cum_tokens - n_tokens) / 512.0) AS BIGINT) AS bin_id
         FROM cum
+    """
+    q["q13_customer_distribution"] = """
+        SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        FROM (
+          SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey
+        )
+        GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """
+    q["q15_top_supplier"] = f"""
+        WITH window_rev AS (
+          SELECT l_suppkey, CAST(SUM({_rev}) AS DOUBLE) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, round(total_revenue, 4) AS total_revenue
+        FROM window_rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM window_rev)
+        ORDER BY s_suppkey
+    """
+    q["q17_small_quantity_revenue"] = """
+        WITH per_part AS (
+          SELECT l_partkey,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty
+          FROM lineitem GROUP BY l_partkey
+        )
+        SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0, 4) AS avg_yearly,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN per_part ON lineitem.l_partkey = per_part.l_partkey
+        WHERE p_brand = 'Brand#13' AND l_quantity < 0.2 * avg_qty
+    """
+    q["q21_suppliers_kept_waiting"] = """
+        WITH late AS (
+          SELECT DISTINCT l_orderkey, l_suppkey
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+        ),
+        allsupp AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+        SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM late l1
+        JOIN supplier ON l1.l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_1'
+          AND EXISTS (
+            SELECT 1 FROM allsupp a
+            WHERE a.l_orderkey = l1.l_orderkey AND a.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM late l2
+            WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+          )
+        GROUP BY s_name ORDER BY numwait DESC, s_name
+    """
+    q["q22_global_sales_opportunity"] = """
+        SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+        FROM customer c
+        WHERE c_acctbal > (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+            FROM customer WHERE c_acctbal > 0.0
+          )
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
     """
     return q

@@ -853,3 +853,136 @@ def fo1_daily_order_event_coverage(orders: DataFrame, events: DataFrame) -> Data
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
         (F.col("n_orders").isNull() | F.col("n_events").isNull()).alias("one_sided"),
     )
+
+
+def q13_customer_order_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q13 shape: histogram of customers by order count, INCLUDING
+    zero-order customers (the left join nobody remembers). Two
+    aggregations: per-customer count, then distribution — both map-side
+    combining; the join side is the already-aggregated order counts."""
+    per_cust = (
+        customer.join(orders, customer["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q15_top_supplier(supplier: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum revenue in a window
+    — the revenue 'view' plus a max-subquery, expressed as one agg + a
+    rank window over it (ties all surface, as in the spec)."""
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    window_rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(_dsum(rev, "total_revenue"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("total_revenue").desc())
+    top = (
+        window_rev.withColumn("_rk", F.rank().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    return (
+        top.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.round("total_revenue", 4).alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+def q17_small_quantity_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q17 shape: revenue from orders of less than 20% of a part's
+    average quantity. The correlated scalar subquery (avg per part)
+    becomes a pre-aggregated per-part table joined back — one extra agg
+    instead of one subquery per row."""
+    per_part_avg = lineitem.groupBy(F.col("l_partkey").alias("avg_pk")).agg(
+        (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    brand_parts = part.filter(F.col("p_brand") == "Brand#13").select("p_partkey")
+    return (
+        lineitem.join(F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(per_part_avg, F.col("l_partkey") == F.col("avg_pk"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round(F.sum(_dec("l_extendedprice")).cast("double") / 7.0, 4).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q21_suppliers_kept_waiting(
+    supplier: DataFrame, lineitem: DataFrame, orders: DataFrame, nation: DataFrame,
+    target_nation: str = "NATION_1",
+) -> DataFrame:
+    """TPC-H Q21 shape — the hardest standard query: suppliers in one
+    nation who were the ONLY late supplier on a multi-supplier order.
+    EXISTS (another supplier on the order) and NOT EXISTS (another LATE
+    supplier) become a left-semi and a left-anti join against
+    pre-aggregated per-order supplier sets — set algebra instead of
+    per-row correlated probes.
+
+    'Late' = l_shipdate > o_orderdate + 30 days (the fixture has no
+    commit/receipt dates; the fixed lateness window keeps the
+    multi-supplier/exclusive-lateness structure of the original)."""
+    li = lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+    late = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 30))
+
+    l1 = late.select("l_orderkey", "l_suppkey").distinct()
+    # EXISTS: some OTHER supplier on the same order
+    others = li.select("l_orderkey", F.col("l_suppkey").alias("o_supp")).distinct()
+    has_other = l1.join(
+        others,
+        (l1["l_orderkey"] == others["l_orderkey"]) & (l1["l_suppkey"] != others["o_supp"]),
+        "left_semi",
+    )
+    # NOT EXISTS: no OTHER supplier was ALSO late on that order
+    other_late = late.select("l_orderkey", F.col("l_suppkey").alias("x_supp")).distinct()
+    exclusive = has_other.join(
+        other_late,
+        (has_other["l_orderkey"] == other_late["l_orderkey"])
+        & (has_other["l_suppkey"] != other_late["x_supp"]),
+        "left_anti",
+    )
+    nat = nation.filter(F.col("n_name") == target_nation).select("n_nationkey")
+    return (
+        exclusive.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+    )
+
+
+def q22_global_sales_opportunity(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average account balance and
+    NO orders, tallied by market segment (the fixture has no phone
+    country codes; segment plays the grouping role). Scalar avg subquery
+    over positive balances + anti join against orders."""
+    pos_avg = customer.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("avg_bal")
+    )
+    rich = customer.join(F.broadcast(pos_avg)).filter(F.col("c_acctbal") > F.col("avg_bal"))
+    no_orders = rich.join(
+        orders.select("o_custkey"), rich["c_custkey"] == F.col("o_custkey"), "left_anti"
+    )
+    return (
+        no_orders.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _dsum(_dec("c_acctbal"), "totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
