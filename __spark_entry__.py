@@ -362,6 +362,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_global_sales_opportunity": lambda s, sf: tpch.q22_global_sales_opportunity(
             _t("customer")(s, sf), _t("orders")(s, sf)
         ),
+        "w6_order_position_stats": lambda s, sf: tpch.w6_order_position_stats(_t("orders")(s, sf)),
+        "er1_fuzzy_name_pairs": lambda s, sf: tpch.er1_fuzzy_name_pairs(_t("customer")(s, sf)),
     }
 
 
@@ -1290,5 +1292,25 @@ def oracle_sql() -> dict[str, str]:
           )
           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)
         GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """
+    q["w6_order_position_stats"] = """
+        SELECT o_custkey, o_orderkey,
+               round(percent_rank() OVER w, 6) AS price_pct_rank,
+               round(cume_dist() OVER w, 6) AS price_cume_dist,
+               nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                 AS second_cheapest_order
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """
+    q["er1_fuzzy_name_pairs"] = """
+        SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+               a.c_mktsegment AS seg,
+               CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_dist
+        FROM customer a JOIN customer b ON a.c_mktsegment = b.c_mktsegment
+        WHERE a.c_custkey < b.c_custkey
+          AND abs(len(a.c_name) - len(b.c_name)) <= 1
+          AND levenshtein(a.c_name, b.c_name) <= 1
     """
     return q

@@ -986,3 +986,51 @@ def q22_global_sales_opportunity(customer: DataFrame, orders: DataFrame) -> Data
         )
         .orderBy("c_mktsegment")
     )
+
+
+def w6_order_position_stats(orders: DataFrame) -> DataFrame:
+    """Distribution-position window functions: percent_rank, cume_dist,
+    and nth_value over each customer's order history — completes the
+    window-function surface (row_number/rank/lag/lead/ntile/frames are
+    covered elsewhere)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("price_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("price_cume_dist"),
+        F.nth_value("o_orderkey", 2).over(wf).alias("second_cheapest_order"),
+    )
+
+
+def er1_fuzzy_name_pairs(customer: DataFrame, max_distance: int = 1) -> DataFrame:
+    """Entity-resolution surface: near-identical customer names by
+    Levenshtein distance, with BLOCKING (market segment + name length) so
+    the candidate set is block-local pairs, never the full cross product
+    — the standard fuzzy-join shape at scale (block → compare → filter).
+    One shuffle on the block key."""
+    a = customer.select(
+        F.col("c_custkey").alias("cust_a"),
+        F.col("c_name").alias("name_a"),
+        F.col("c_mktsegment").alias("seg"),
+        F.length("c_name").alias("len_a"),
+    )
+    b = customer.select(
+        F.col("c_custkey").alias("cust_b"),
+        F.col("c_name").alias("name_b"),
+        F.col("c_mktsegment").alias("seg"),
+        F.length("c_name").alias("len_b"),
+    )
+    return (
+        a.join(b, "seg")
+        .filter(
+            (F.col("cust_a") < F.col("cust_b"))
+            & (F.abs(F.col("len_a") - F.col("len_b")) <= max_distance)
+        )
+        .withColumn("edit_dist", F.levenshtein(F.col("name_a"), F.col("name_b")))
+        .filter(F.col("edit_dist") <= max_distance)
+        .select("cust_a", "cust_b", "seg", F.col("edit_dist").cast("int").alias("edit_dist"))
+    )

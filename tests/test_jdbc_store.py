@@ -130,3 +130,21 @@ def test_upload_cycle_against_jdbc_store(spark, jdbc_store):
     assert marked == 3
     assert jdbc_store.pending().count() == 0
     assert {p["email"] for p in crm.received} == {r[3] for r in ROWS}
+
+
+def test_streaming_ingest_into_jdbc_store(spark, jdbc_store, tmp_path):
+    """The streaming ingest path is store-agnostic: CSVs stream into the
+    JDBC-backed table through the same checkpointed foreachBatch plan."""
+    from csv_crm_upload_spark.streaming.pipeline import run_ingest_stream
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    (inp / "a.csv").write_text("1,jon,doe,jon@x.com,1\nbad,row,x,y@x.com,2\n2,jane,doe,jane@x.com,2\n")
+    q = run_ingest_stream(spark, str(inp), jdbc_store, str(tmp_path / "ckpt"), header=False)
+    q.awaitTermination(120)
+    assert jdbc_store.pending().count() == 2  # bad row quarantined
+    # restart with a new file: checkpoint skips the old one
+    (inp / "b.csv").write_text("3,sam,lee,sam@x.com,3\n")
+    q2 = run_ingest_stream(spark, str(inp), jdbc_store, str(tmp_path / "ckpt"), header=False)
+    q2.awaitTermination(120)
+    assert jdbc_store.read().count() == 3
