@@ -364,6 +364,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "w6_order_position_stats": lambda s, sf: tpch.w6_order_position_stats(_t("orders")(s, sf)),
         "er1_fuzzy_name_pairs": lambda s, sf: tpch.er1_fuzzy_name_pairs(_t("customer")(s, sf)),
+        "hist1_price_histogram": lambda s, sf: tpch.hist1_price_histogram(_t("orders")(s, sf)),
+        "stat1_price_quantity_stats": lambda s, sf: tpch.stat1_price_quantity_stats(
+            _t("lineitem")(s, sf)
+        ),
     }
 
 
@@ -1312,5 +1316,21 @@ def oracle_sql() -> dict[str, str]:
         WHERE a.c_custkey < b.c_custkey
           AND abs(len(a.c_name) - len(b.c_name)) <= 1
           AND levenshtein(a.c_name, b.c_name) <= 1
+    """
+    q["hist1_price_histogram"] = """
+        SELECT CAST(floor(o_totalprice / 50000.0) AS INT) AS bin_id,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               round(MIN(o_totalprice), 2) AS bin_min,
+               round(MAX(o_totalprice), 2) AS bin_max,
+               CAST(floor(o_totalprice / 50000.0) AS INT) * 50000.0 AS bin_lo
+        FROM orders
+        GROUP BY 1 ORDER BY 1
+    """
+    q["stat1_price_quantity_stats"] = """
+        SELECT l_returnflag,
+               round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+               round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem GROUP BY 1 ORDER BY 1
     """
     return q

@@ -1034,3 +1034,36 @@ def er1_fuzzy_name_pairs(customer: DataFrame, max_distance: int = 1) -> DataFram
         .filter(F.col("edit_dist") <= max_distance)
         .select("cust_a", "cust_b", "seg", F.col("edit_dist").cast("int").alias("edit_dist"))
     )
+
+
+def hist1_price_histogram(orders: DataFrame, bin_width: float = 50000.0) -> DataFrame:
+    """Fixed-width value histogram of order prices — the profiling
+    primitive behind data-quality dashboards. Map-only binning + one
+    aggregation; bins are value-derived so no second pass for bounds."""
+    bin_id = F.floor(F.col("o_totalprice") / bin_width).cast("int")
+    return (
+        orders.groupBy(bin_id.alias("bin_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("bin_min"),
+            F.round(F.max("o_totalprice"), 2).alias("bin_max"),
+        )
+        .withColumn("bin_lo", (F.col("bin_id") * bin_width).cast("double"))
+        .orderBy("bin_id")
+    )
+
+
+def stat1_price_quantity_stats(lineitem: DataFrame) -> DataFrame:
+    """Bivariate statistics per return flag: Pearson correlation and
+    sample covariance of quantity vs extended price — the one-pass
+    streaming-moment aggregates (engines compute these with numerically
+    stable single-pass updates; rounding absorbs order effects)."""
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_covar"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("l_returnflag")
+    )
