@@ -12,8 +12,13 @@ Cross-engine determinism notes (the DuckDB oracle hash-compares values):
   * averages are computed as decimal-sum / count, rounded.
 
 Scale posture: all plans are shuffle-minimal — partial aggregation
-map-side, the small dimensions (region/nation/supplier/part/customer)
-broadcast under AQE, and no driver-side loops anywhere.
+map-side and no driver-side loops anywhere. Broadcast policy: only the
+FIXED-cardinality dimensions (region: 5 rows, nation: 25 rows, and
+single-row scalar aggregates) carry explicit `F.broadcast` hints.
+customer/supplier/part grow linearly with scale factor, so their join
+strategy is deliberately left to AQE's size-based runtime choice — it
+broadcasts them while they fit under the threshold and falls back to a
+shuffle join at scale, where a forced hint would OOM the executors.
 """
 
 from __future__ import annotations
@@ -66,14 +71,15 @@ def q1_pricing_summary(lineitem: DataFrame) -> DataFrame:
 def q3_top_unshipped_orders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     """TPC-H Q3 shape: top-10 open orders by revenue for one segment.
 
-    customer is small → broadcast; lineitem→orders join shuffles on the
-    orderkey (the natural co-partitioning key at scale).
+    The segment-filtered customer side is left to AQE (broadcast while
+    small, shuffle at scale — it grows with SF); lineitem→orders join
+    shuffles on the orderkey (the natural co-partitioning key at scale).
     """
     revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
     return (
         lineitem.filter(F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
         .join(orders.filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer.filter(F.col("c_mktsegment") == "BUILDING")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer.filter(F.col("c_mktsegment") == "BUILDING"), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(_dsum(revenue, "revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
@@ -90,13 +96,14 @@ def q5_region_revenue(
     lineitem: DataFrame,
 ) -> DataFrame:
     """TPC-H Q5 shape: revenue per nation where customer and supplier are
-    co-national. Dimension chain broadcasts; the two fact joins shuffle on
+    co-national. nation/region broadcast (fixed size); customer/supplier
+    join strategy is AQE's size-based choice; the fact joins shuffle on
     orderkey/suppkey."""
     revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
     return (
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
@@ -107,11 +114,12 @@ def q5_region_revenue(
 
 
 def top_customers_by_revenue(customer: DataFrame, orders: DataFrame, k: int = 20) -> DataFrame:
-    """Top-k customers by total order value (broadcast dim join + one agg)."""
+    """Top-k customers by total order value (one agg + dim join; the
+    post-agg side is at most |customer| rows, so AQE picks the join)."""
     return (
         orders.groupBy("o_custkey")
         .agg(_dsum(_dec("o_totalprice"), "total_revenue"), F.count(F.lit(1)).alias("order_cnt"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .select("c_custkey", "c_name", "c_mktsegment", "total_revenue", "order_cnt")
         .orderBy(F.col("total_revenue").desc(), F.col("c_custkey"))
         .limit(k)
@@ -150,7 +158,7 @@ def g1_rollup_revenue(region: DataFrame, nation: DataFrame, customer: DataFrame,
     grouping_id disambiguates NULL-as-subtotal from NULL data, and gives
     the oracle a deterministic key."""
     joined = (
-        orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
     )
@@ -209,11 +217,11 @@ def e2_event_funnel(events: DataFrame) -> DataFrame:
 
 def j1_brand_margin(part: DataFrame, lineitem: DataFrame) -> DataFrame:
     """Fact-to-dim join + grouped agg over `part`: realized margin per
-    brand. part broadcasts (tiny dim); lineitem aggregates partially
-    map-side after the join."""
+    brand. part's join strategy is AQE's size-based choice (it grows with
+    SF); lineitem aggregates partially map-side after the join."""
     margin = _dec("l_extendedprice") - _dec("p_retailprice") * _dec("l_quantity")
     return (
-        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand")
         .agg(
             _dsum(margin, "total_margin"),
@@ -465,7 +473,7 @@ def g2_grouping_sets(region: DataFrame, nation: DataFrame, customer: DataFrame, 
     """Explicit GROUPING SETS ((region), (nation), ()) — the general form
     rollup/cube specialize."""
     joined = (
-        orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
     )
@@ -484,12 +492,13 @@ def g2_grouping_sets(region: DataFrame, nation: DataFrame, customer: DataFrame, 
 
 def q10_returned_revenue(customer: DataFrame, orders: DataFrame, lineitem: DataFrame, nation: DataFrame) -> DataFrame:
     """TPC-H Q10 shape: customers ranked by revenue lost to returns.
-    Fact-fact shuffle on orderkey; dims broadcast; top-20 total order."""
+    Fact-fact shuffle on orderkey; nation broadcasts, customer is
+    AQE-chosen; top-20 total order."""
     revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
     return (
         lineitem.filter(F.col("l_returnflag") == "R")
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(_dsum(revenue, "lost_revenue"))
@@ -509,7 +518,7 @@ def q18_large_orders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame
     )
     return (
         big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
     )
 
@@ -567,15 +576,15 @@ def q4_priority_late_ship(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
 
 def q14_promo_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     """TPC-H Q14 shape: promotional-revenue share for one month —
-    conditional aggregation over a fact-dim join. The part dimension is
-    broadcast (no fact shuffle); both sums come out of ONE aggregation
+    conditional aggregation over a fact-dim join (strategy AQE-chosen —
+    broadcast while part is small); both sums come out of ONE aggregation
     pass; decimal-exact sums divide as doubles at the end."""
     rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
     month = lineitem.filter(
         (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
     )
-    joined = month.join(F.broadcast(part), month["l_partkey"] == part["p_partkey"])
+    joined = month.join(part, month["l_partkey"] == part["p_partkey"])
     agg = joined.agg(
         F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,4)")))
         .cast("double")
@@ -592,8 +601,8 @@ def q14_promo_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
 def q19_disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     """TPC-H Q19 shape: revenue under a DISJUNCTION of brand/size/quantity
     branches. Catalyst extracts the common l_partkey=p_partkey conjunct
-    so the join stays a single broadcast hash join with the OR applied as
-    a post-join filter — not a cross-product per branch."""
+    so the join stays a single equi-join (AQE-chosen strategy) with the
+    OR applied as a post-join filter — not a cross-product per branch."""
     rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
     branch1 = (
         (F.col("p_brand") == "Brand#13")
@@ -606,7 +615,7 @@ def q19_disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
         & F.col("l_quantity").between(10, 40)
     )
     return (
-        lineitem.join(F.broadcast(part), lineitem["l_partkey"] == part["p_partkey"])
+        lineitem.join(part, lineitem["l_partkey"] == part["p_partkey"])
         .filter(branch1 | branch2)
         .agg(_dsum(rev, "revenue"), F.count(F.lit(1)).alias("n_lines"))
     )
@@ -657,9 +666,10 @@ def q7_nation_trade(
     nation_b: str = "NATION_2",
 ) -> DataFrame:
     """TPC-H Q7 shape: bilateral trade volume between two nations by ship
-    year. Both direction filters ride the broadcast dimension joins; the
-    fact side shuffles once on orderkey. Year extraction happens after the
-    joins so the scan predicate stays simple."""
+    year. The nation lookups broadcast (25 rows); customer/supplier joins
+    are AQE's size-based choice; the fact side shuffles once on orderkey.
+    Year extraction happens after the joins so the scan predicate stays
+    simple."""
     rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
     supp_n = nation.select(
         F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
@@ -673,8 +683,8 @@ def q7_nation_trade(
     )
     return (
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(supp_n), F.col("s_nationkey") == F.col("s_nkey"))
         .join(F.broadcast(cust_n), F.col("c_nationkey") == F.col("c_nkey"))
         .filter(pair)
@@ -728,8 +738,8 @@ def q8_market_share(
 ) -> DataFrame:
     """TPC-H Q8 shape: one nation's share of supplier revenue into a
     region, by order year. Share = conditional-sum / total-sum computed in
-    ONE aggregation pass over the joined facts (no second scan); all
-    dimensions broadcast."""
+    ONE aggregation pass over the joined facts (no second scan); the
+    nation-derived lookups broadcast, customer/supplier are AQE-chosen."""
     rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
     supp_n = nation.select(
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
@@ -741,9 +751,9 @@ def q8_market_share(
     )
     return (
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(cust_region), F.col("c_nationkey") == F.col("cn_key"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(supp_n), F.col("s_nationkey") == F.col("sn_key"))
         .groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
         .agg(
@@ -894,7 +904,7 @@ def q15_top_supplier(supplier: DataFrame, lineitem: DataFrame) -> DataFrame:
         .drop("_rk")
     )
     return (
-        top.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        top.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", F.round("total_revenue", 4).alias("total_revenue"))
         .orderBy("s_suppkey")
     )
@@ -910,7 +920,7 @@ def q17_small_quantity_revenue(lineitem: DataFrame, part: DataFrame) -> DataFram
     )
     brand_parts = part.filter(F.col("p_brand") == "Brand#13").select("p_partkey")
     return (
-        lineitem.join(F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey"))
+        lineitem.join(brand_parts, F.col("l_partkey") == F.col("p_partkey"))
         .join(per_part_avg, F.col("l_partkey") == F.col("avg_pk"))
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(
@@ -958,7 +968,7 @@ def q21_suppliers_kept_waiting(
     )
     nat = nation.filter(F.col("n_name") == target_nation).select("n_nationkey")
     return (
-        exclusive.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        exclusive.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
@@ -1008,28 +1018,37 @@ def w6_order_position_stats(orders: DataFrame) -> DataFrame:
 
 def er1_fuzzy_name_pairs(customer: DataFrame, max_distance: int = 1) -> DataFrame:
     """Entity-resolution surface: near-identical customer names by
-    Levenshtein distance, with BLOCKING (market segment + name length) so
-    the candidate set is block-local pairs, never the full cross product
-    — the standard fuzzy-join shape at scale (block → compare → filter).
-    One shuffle on the block key."""
+    Levenshtein distance, with BLOCKING on (market segment, name-length
+    bucket) so candidate blocks are bounded — the standard fuzzy-join
+    shape at scale (block → compare → filter).
+
+    The length band is part of the EQUI-JOIN KEY, not a post-join filter:
+    the left side keeps its exact length as the bucket and the right side
+    explodes into its ±max_distance neighbor buckets (edit distance d can
+    change length by at most d), so each qualifying pair meets in exactly
+    one bucket and the shuffle only ever co-locates names whose lengths
+    can possibly match. Blocking on segment alone would make each block a
+    ~(n/segments)² cross product — quadratic in table size; this keeps
+    block size proportional to names-per-(segment, length), which is
+    stable as the table grows. One shuffle on the compound block key."""
     a = customer.select(
         F.col("c_custkey").alias("cust_a"),
         F.col("c_name").alias("name_a"),
         F.col("c_mktsegment").alias("seg"),
-        F.length("c_name").alias("len_a"),
+        F.length("c_name").alias("len_bucket"),
+    )
+    neighbor_buckets = F.array(
+        *[F.length("c_name") + F.lit(k) for k in range(-max_distance, max_distance + 1)]
     )
     b = customer.select(
         F.col("c_custkey").alias("cust_b"),
         F.col("c_name").alias("name_b"),
         F.col("c_mktsegment").alias("seg"),
-        F.length("c_name").alias("len_b"),
+        F.explode(neighbor_buckets).alias("len_bucket"),
     )
     return (
-        a.join(b, "seg")
-        .filter(
-            (F.col("cust_a") < F.col("cust_b"))
-            & (F.abs(F.col("len_a") - F.col("len_b")) <= max_distance)
-        )
+        a.join(b, ["seg", "len_bucket"])
+        .filter(F.col("cust_a") < F.col("cust_b"))
         .withColumn("edit_dist", F.levenshtein(F.col("name_a"), F.col("name_b")))
         .filter(F.col("edit_dist") <= max_distance)
         .select("cust_a", "cust_b", "seg", F.col("edit_dist").cast("int").alias("edit_dist"))

@@ -149,6 +149,34 @@ def test_pending_scan_prunes_bucket_column(spark, tmp_path):
     assert "ReadSchema: struct<id:bigint,first_name:string,last_name:string,email:string,phone:string,uploaded:boolean>" in plan
 
 
+def test_no_forced_broadcast_on_scale_growing_dims():
+    """customer/supplier/part grow linearly with scale factor — a forced
+    F.broadcast on them OOMs executors at 100×. Only fixed-cardinality
+    region/nation (and single-row aggregates) may carry the hint; AQE's
+    size-based choice covers the rest (the broadcast-join assertions in
+    this file prove AQE still broadcasts them at test scale)."""
+    import pathlib
+
+    src = pathlib.Path(__file__).parent.parent.joinpath(
+        "csv_crm_upload_spark/analytics/tpch.py"
+    ).read_text()
+    assert not re.search(r"F\.broadcast\((customer|supplier|part|brand_parts)\b", src)
+
+
+def test_er1_blocks_on_length_bucket_not_segment_alone(spark, sf_dir):
+    """er1's equi-join key must include the name-length bucket: blocking
+    on the 5-value segment alone makes each block a ~(n/5)² cross product
+    — the quadratic trap this rewrite closed."""
+    df = QUERIES["er1_fuzzy_name_pairs"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "len_bucket" in plan
+    # the bucket is in the join condition itself, not a post-join filter
+    m = re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[([^\]]*)\], \[([^\]]*)\]", plan)
+    assert m, plan[:800]
+    assert "len_bucket" in m.group(2) and "len_bucket" in m.group(3), m.group(0)
+
+
 # sim_knn_bruteforce is a DELIBERATE broadcast cross join (tiny query set
 # against the corpus — the exact baseline); everything else must never
 # plan a cartesian product.
