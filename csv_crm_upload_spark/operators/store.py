@@ -188,11 +188,16 @@ class CustomerStore:
         }
 
     @staticmethod
-    def _link_files(src_dir: str, dst_dir: str, prefix: str = "") -> None:
+    def _link_files(src_dir: str, dst_dir: str) -> None:
+        """Hard-link every parquet file under its ORIGINAL name. Names stay
+        collision-free across versions because each Spark write stamps its
+        part files with a per-job UUID; renaming here (e.g. a version
+        prefix) would grow filenames on every carried-over commit and hit
+        NAME_MAX on long-running serve/watch usage."""
         os.makedirs(dst_dir, exist_ok=True)
         for name in os.listdir(src_dir):
             if name.endswith(".parquet"):
-                os.link(os.path.join(src_dir, name), os.path.join(dst_dir, f"{prefix}{name}"))
+                os.link(os.path.join(src_dir, name), os.path.join(dst_dir, name))
 
     def _commit_merge(self, staging: str, replace_buckets: set[str] = frozenset()) -> int:
         """Create version v+1 = prev version ∪ staged buckets. MUST be
@@ -207,7 +212,7 @@ class CustomerStore:
         staged = self._bucket_dirs(staging)
         for bname, bpath in prev.items():
             if bname not in replace_buckets:
-                self._link_files(bpath, os.path.join(new_dir, bname), prefix="p_")
+                self._link_files(bpath, os.path.join(new_dir, bname))
         for bname, bpath in staged.items():
             self._link_files(bpath, os.path.join(new_dir, bname))
         self._commit(new_v)
@@ -252,6 +257,14 @@ class CustomerStore:
         buckets), never O(table)."""
         if v_to is None:
             v_to = self._current_version()
+        # a vacuumed endpoint must fail loudly, not read as an empty
+        # snapshot — silently treating missing v_from as {} would emit a
+        # plausible-but-wrong all-insert change feed
+        for v in (v_from, v_to):
+            if v >= 0 and not os.path.isdir(self._version_dir(v)):
+                raise FileNotFoundError(
+                    f"version {v} not found (vacuumed?): {self._version_dir(v)}"
+                )
         cols = [f.name for f in CUSTOMER_SCHEMA.fields]
 
         def _inodes(vdir: str) -> dict[str, frozenset]:

@@ -55,9 +55,11 @@ def ingest_batch(
 
     n_clean = clean.count()
     n_quarantine = quarantine.count()
-    # empty insertable sets commit no new version (reference bug §2.10 avoided)
-    n_insert = store.append_unique(finalized)
     if quarantine_dir is not None:
+        # the duplicate audit MUST evaluate before the append: a JDBC
+        # store's read() is lazy, so deferring this past append_unique
+        # would re-read the table with this batch already inserted and
+        # quarantine every successfully inserted row as a duplicate_key
         dup_rejects = rejected_duplicates(clean, existing).select(
             F.col("id").cast("string").alias("id"),
             "first_name",
@@ -67,6 +69,8 @@ def ingest_batch(
             "reason",
         )
         quarantine.unionByName(dup_rejects).write.mode("append").parquet(quarantine_dir)
+    # empty insertable sets commit no new version (reference bug §2.10 avoided)
+    n_insert = store.append_unique(finalized)
     return IngestResult(
         inserted=n_insert,
         quarantined=n_quarantine,

@@ -20,11 +20,13 @@ Spark-first realization:
 The container has no Postgres, but Spark ships the embedded Derby JDBC
 driver, so the integration tests run for real against
 `jdbc:derby:<dir>;create=true`; point `url` at Postgres/MySQL in
-production — the operator surface and SQL are ANSI.
+production — the DDL/DML is ANSI and timestamp literals go through the
+JDBC `{ts ...}` escape, which every JDBC driver translates.
 """
 
 from __future__ import annotations
 
+import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -140,10 +142,18 @@ class JdbcCustomerStore:
         """D1: drop known losers declaratively, then append. Unlike the
         parquet store there is no check-then-act race to close here — the
         DB's UNIQUE constraints reject concurrent duplicates server-side,
-        exactly the reference's guarantee."""
+        exactly the reference's guarantee.
+
+        The anti-join is materialized ONCE (localCheckpoint) so the
+        returned count and the appended rows come from the same snapshot
+        of the table — lazily re-running the JDBC read per action could
+        see a concurrent writer's rows in between. A duplicate that lands
+        AFTER the snapshot still hits the UNIQUE constraint server-side,
+        which aborts this batch's append (documented semantics: constraint
+        violations fail the batch rather than silently skipping rows)."""
         from csv_crm_upload_spark.operators.dedup import anti_join_existing
 
-        insertable = anti_join_existing(batch, self.read(), keys)
+        insertable = anti_join_existing(batch, self.read(), keys).localCheckpoint(eager=True)
         n = insertable.count()
         if n > 0:
             self.append(insertable)
@@ -173,7 +183,17 @@ class JdbcCustomerStore:
             .save()
         )
         try:
-            now_literal = f"TIMESTAMP('{now}')" if now is not None else "CURRENT_TIMESTAMP"
+            if now is not None:
+                # JDBC timestamp escape — translated by EVERY JDBC driver
+                # (Derby rejects the bare ANSI literal here; the function
+                # form TIMESTAMP('...') is Derby-only). The value is
+                # validated before interpolation: this string is the one
+                # non-parameterized literal in the statement
+                if not re.fullmatch(r"\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}(\.\d+)?", str(now)):
+                    raise ValueError(f"not a timestamp literal: {now!r}")
+                now_literal = f"{{ts '{now}'}}"
+            else:
+                now_literal = "CURRENT_TIMESTAMP"
             return self._execute(_update_sql(self.table, hits, now_literal))
         finally:
             self._execute(f"DROP TABLE {hits}")

@@ -111,6 +111,38 @@ def test_unique_constraint_is_server_side_backstop(spark, jdbc_store):
     assert "duplicate" in str(e.value).lower() or "23505" in str(e.value)
 
 
+def test_mark_uploaded_rejects_malformed_now(spark, jdbc_store):
+    """`now` is interpolated as a SQL literal — anything that isn't a
+    plain timestamp string must be rejected before it reaches the DB."""
+    jdbc_store.append(_finalized(spark, ROWS))
+    with pytest.raises(ValueError):
+        jdbc_store.mark_uploaded(
+            spark.createDataFrame([("jon@x.com",)], ["email"]),
+            now="2026-01-01'; DROP TABLE customers; --",
+        )
+    assert jdbc_store.read().count() == 3  # table intact
+
+
+def test_jdbc_ingest_quarantines_only_real_duplicates(spark, jdbc_store, tmp_path):
+    """The duplicate audit must evaluate against the PRE-append snapshot:
+    a lazy JDBC re-read after append_unique would see this batch's own
+    rows and quarantine every inserted row as a duplicate_key."""
+    from csv_crm_upload_spark.plans.ingest import ingest_batch
+
+    qdir = str(tmp_path / "quarantine")
+    raw = spark.createDataFrame(
+        [("1", "jon", "doe", "jon@x.com", "1"), ("2", "jane", "doe", "jane@x.com", "2")],
+        COLS,
+    )
+    r1 = ingest_batch(raw, jdbc_store, now="2026-01-01 00:00:00", quarantine_dir=qdir)
+    assert r1.inserted == 2 and r1.duplicates == 0
+    assert spark.read.parquet(qdir).filter("reason = 'duplicate_key'").count() == 0
+
+    r2 = ingest_batch(raw, jdbc_store, now="2026-01-02 00:00:00", quarantine_dir=qdir)
+    assert r2.inserted == 0 and r2.duplicates == 2
+    assert spark.read.parquet(qdir).filter("reason = 'duplicate_key'").count() == 2
+
+
 def test_partitioned_read_splits_by_id_range(spark, jdbc_store):
     jdbc_store.append(_finalized(spark, [(i, "n", "m", f"u{i}@x.com", str(i)) for i in range(1, 21)]))
     df = jdbc_store.read(num_partitions=4)

@@ -257,6 +257,53 @@ def test_changes_feed_between_versions(spark, tmp_path):
     assert store.changes(-1, 0).filter("_change_type = 'insert'").count() == 5
 
 
+def test_changes_raises_on_vacuumed_version(spark, tmp_path):
+    """A vacuumed endpoint must fail loudly: silently diffing against a
+    missing version dir would emit an all-insert change feed."""
+    import pytest as _pytest
+
+    store = _fresh_store(spark, tmp_path)                                  # v0
+    store.mark_uploaded(spark.createDataFrame([("jon@x.com",)], ["email"]))  # v1
+    store.append(finalize_columns(spark.createDataFrame([(6, "zed", "q", "z@x.com", "6")], COLS)))  # v2
+    store.vacuum(keep_last=1)
+    with _pytest.raises(FileNotFoundError):
+        store.changes(0, 2)
+    with _pytest.raises(FileNotFoundError):
+        store.changes(1)
+
+
+def test_carried_files_keep_original_names_across_commits(spark, tmp_path):
+    """Files surviving N commits must keep their original names — a
+    rename-per-commit scheme (e.g. stacking a prefix) grows filenames
+    unboundedly and hits NAME_MAX on long-running serve/watch usage."""
+    import os
+
+    store = _fresh_store(spark, tmp_path)  # v0
+    names_v0 = {
+        f
+        for _, _, files in os.walk(store._version_dir(0))
+        for f in files
+        if f.endswith(".parquet")
+    }
+    # 6 more commits: alternating appends and keyed flag flips
+    for i in range(3):
+        store.append(
+            finalize_columns(
+                spark.createDataFrame([(10 + i, "x", "y", f"x{i}@x.com", "0")], COLS)
+            )
+        )
+        store.mark_uploaded(spark.createDataFrame([(f"x{i}@x.com",)], ["email"]))
+    latest = store._version_dir(store._current_version())
+    names_latest = {
+        f for _, _, files in os.walk(latest) for f in files if f.endswith(".parquet")
+    }
+    # v0's surviving files appear under their ORIGINAL names, unprefixed
+    assert names_v0 & names_latest, "no v0 files survived — layout assumption broke"
+    assert not any(f.startswith("p_") for f in names_latest)
+    assert max(len(f) for f in names_latest) <= max(len(f) for f in names_v0)
+    assert store.read().count() == 8
+
+
 def test_upload_service_ticks(spark, tmp_path):
     """Service loop: rows arriving between ticks go out on the next one."""
     store = _fresh_store(spark, tmp_path)
