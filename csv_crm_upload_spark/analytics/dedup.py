@@ -237,11 +237,17 @@ def d_dup_clusters(documents: DataFrame, n: int = 3, threshold: float = 0.5, max
     data collect. This is the standard large-scale connected-components
     loop (cf. the hash-to-min variants in the literature).
     """
-    # The label tables are tiny (one row per doc in any pair): run the loop
-    # on a handful of partitions — 32-partition shuffles of a few thousand
-    # rows are pure scheduling overhead.
-    n_parts = 8
-    pairs = d_minhash_lsh_pairs(documents, n=n, threshold=threshold)
+    pairs = d_minhash_lsh_pairs(documents, n=n, threshold=threshold).persist()
+    # Size the loop's shuffles from the DATA, not a constant: the label
+    # tables carry one row per doc-in-a-pair, so wide shuffles of a few
+    # thousand rows are pure scheduling overhead locally, while a fixed
+    # small constant would serialize a billion-edge graph on a cluster.
+    # Target ~100k edges per partition, capped at 4x the cluster's
+    # parallelism; the count also materializes the persisted pairs once
+    # before the loop fans out over them.
+    n_pairs = pairs.count()
+    sc = documents.sparkSession.sparkContext
+    n_parts = max(1, min(4 * sc.defaultParallelism, 1 + (2 * n_pairs) // 100_000))
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -319,3 +325,4 @@ def d_dup_clusters(documents: DataFrame, n: int = 3, threshold: float = 0.5, max
         return out
     finally:
         edges.unpersist()
+        pairs.unpersist()

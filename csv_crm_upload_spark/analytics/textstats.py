@@ -262,7 +262,9 @@ def mix1_corpus_mixture(documents: DataFrame, rates: dict | None = None) -> Data
     )
 
 
-def pack1_sequence_packing(documents: DataFrame, budget: int = 512) -> DataFrame:
+def pack1_sequence_packing(
+    documents: DataFrame, budget: int = 512, n_shards: int | None = None
+) -> DataFrame:
     """Sequence packing for training-batch construction: concatenate each
     source's documents (deterministic doc_id order) into a token stream
     and cut it into fixed-budget bins — every doc gets its stream offset
@@ -270,26 +272,38 @@ def pack1_sequence_packing(documents: DataFrame, budget: int = 512) -> DataFrame
     documents crossing bin boundaries, the standard high-utilization
     packing).
 
-    One window pass per source partition (prefix sum), no shuffle beyond
-    the source partitioning — at 100 TB each source's stream packs
-    independently and in parallel."""
+    One window pass per stream partition (prefix sum), no shuffle beyond
+    the stream partitioning — each stream packs independently and in
+    parallel. A window partition is ONE task's worth of rows, so a single
+    giant source would serialize into one partition; pass `n_shards` to
+    split every source into `doc_id % n_shards` sub-streams with
+    per-shard offsets. Determinism trade, explicitly: sharded packing is
+    still fully deterministic for a given (budget, n_shards) — same
+    inputs, same bins — but the bin CONTENTS differ from the unsharded
+    stream (documents pack with their shard-mates, not their global
+    doc_id neighbors), so pick n_shards once per corpus snapshot."""
     from pyspark.sql import Window
 
     toks = F.size(_tokens())
+    base = documents.filter(F.col("text").isNotNull()).select(
+        "doc_id", "source", toks.alias("n_tokens")
+    )
+    stream_cols = ["source"]
+    if n_shards is not None and n_shards > 1:
+        base = base.withColumn(
+            "shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int")
+        )
+        stream_cols = ["source", "shard"]
     w = (
-        Window.partitionBy("source")
+        Window.partitionBy(*stream_cols)
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    with_cum = (
-        documents.filter(F.col("text").isNotNull())
-        .select("doc_id", "source", toks.alias("n_tokens"))
-        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
-    )
+    with_cum = base.withColumn("cum_tokens", F.sum("n_tokens").over(w))
     offset = (F.col("cum_tokens") - F.col("n_tokens")).cast("bigint")
     return with_cum.select(
         "doc_id",
-        "source",
+        *stream_cols,
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
         offset.alias("stream_offset"),
         F.floor(offset / budget).cast("bigint").alias("bin_id"),

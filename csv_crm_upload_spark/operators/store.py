@@ -374,9 +374,12 @@ class CustomerStore:
         try:
             with self._write_lock():
                 v_now = self._current_version()
-                if v_now != v_seen and v_now >= 0:
+                if v_now != v_seen and v_now >= 0 and self._bucket_dirs(staging):
                     # conflict: someone committed since we checked — redo
-                    # the anti-join against the fresh snapshot
+                    # the anti-join against the fresh snapshot. (An empty
+                    # staging dir — every batch row already lost the dup
+                    # race — has no parquet files to re-read; it falls
+                    # straight through to the inserted == 0 path.)
                     staged_df = self.spark.read.parquet(staging).select(*cols)
                     rechecked = anti_join_existing(staged_df, self.read(), keys)
                     restaged = self._stage(rechecked)

@@ -172,6 +172,30 @@ def test_ivf_partial_probe_recall(spark, sf_dir):
     assert recall >= 0.5, recall
 
 
+def test_sequence_packing_sharded_skewed_source(spark):
+    """A single giant source serializes into one window partition; with
+    n_shards the source splits into doc_id%k sub-streams, each with its
+    own contiguous offsets — verified against a per-shard recompute."""
+    from csv_crm_upload_spark.analytics.textstats import pack1_sequence_packing
+
+    rows = [(i, "w " * (i % 7 + 1), "en", "big", 2 * (i % 7 + 1)) for i in range(60)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    out = pack1_sequence_packing(docs, budget=8, n_shards=4).collect()
+    assert {r["shard"] for r in out} == {0, 1, 2, 3}
+    by_shard: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r["shard"], r["doc_id"])):
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rs in by_shard.items():
+        cum = 0
+        for r in rs:
+            assert r["doc_id"] % 4 == shard
+            assert r["stream_offset"] == cum, (shard, r)
+            assert r["bin_id"] == cum // 8
+            cum += r["n_tokens"]
+    # default (unsharded) path keeps its schema: no shard column
+    assert "shard" not in pack1_sequence_packing(docs).columns
+
+
 def test_dup_clusters_are_transitive(spark):
     """A≈B and B≈C must land in ONE cluster even when A,C don't share a
     band directly — the property pairwise output can't give you."""
