@@ -375,6 +375,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_users": lambda s, sf: tpch.approx_distinct_users(_t("events")(s, sf)),
         "approx_value_percentiles": lambda s, sf: tpch.approx_value_percentiles(_t("events")(s, sf)),
         "asof_purchase_view": lambda s, sf: tpch.asof_purchase_view(_t("events")(s, sf)),
+        # round-3 widening (enter the rotation window in round 4)
+        "t10_tfidf_top_terms": lambda s, sf: ts.t10_tfidf_top_terms(_t("documents")(s, sf)),
+        "samp1_stratified_sample": lambda s, sf: ts.samp1_stratified_sample(_t("documents")(s, sf)),
+        "pr1_doc_pagerank": lambda s, sf: dd.pr1_doc_pagerank(_t("documents")(s, sf)),
     }
 
 
@@ -677,6 +681,43 @@ def oracle_sql() -> dict[str, str]:
         SELECT component AS canonical_doc_id,
                CAST(COUNT(*) AS BIGINT) AS cluster_size
         FROM labels GROUP BY component ORDER BY component
+    """
+
+    # PageRank over the SAME near-dup graph, the fixed iteration count
+    # unrolled as plain CTEs (aggregation is not allowed in a recursive
+    # term): contributions rounded to 12 decimals and summed as DECIMAL
+    # (exact), damping arithmetic forced into IEEE doubles on both sides.
+    pr_iters = 5
+    pr_parts = ["""
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+          UNION ALL
+          SELECT doc_b AS src, doc_a AS dst FROM lsh_pairs
+        ),
+        deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_nodes FROM deg),
+        r0 AS (SELECT src AS doc_id, round(1.0 / n_nodes, 12) AS rank FROM deg, nn)"""]
+    for i in range(1, pr_iters + 1):
+        pr_parts.append(f""",
+        s{i} AS (
+          SELECT e.dst AS doc_id,
+                 SUM(CAST(round(r.rank / d.deg, 12) AS DECIMAL(28,12))) AS s
+          FROM edges e
+          JOIN r{i - 1} r ON e.src = r.doc_id
+          JOIN deg d ON d.src = e.src
+          GROUP BY e.dst
+        ),
+        r{i} AS (
+          SELECT deg.src AS doc_id,
+                 round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n_nodes
+                       + 0.85 * COALESCE(CAST(s{i}.s AS DOUBLE), 0.0), 12) AS rank
+          FROM deg CROSS JOIN nn
+          LEFT JOIN s{i} ON s{i}.doc_id = deg.src
+        )""")
+    q["pr1_doc_pagerank"] = f"""
+        WITH {_lsh_ctes},{"".join(pr_parts)}
+        SELECT r.doc_id, d.deg AS n_neighbors, round(r.rank, 8) AS pagerank
+        FROM r{pr_iters} r JOIN deg d ON d.src = r.doc_id
     """
 
     bit_sums = ",\n            ".join(
@@ -1333,6 +1374,43 @@ def oracle_sql() -> dict[str, str]:
         FROM orders
         GROUP BY 1 ORDER BY 1
     """
+    q["t10_tfidf_top_terms"] = f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_TOKS}) AS tok
+          FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+        ),
+        tf AS (
+          SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM toks GROUP BY 1, 2
+        ),
+        dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+        n AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+        ),
+        scored AS (
+          SELECT doc_id, tok, tf, df,
+                 round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 4) AS tfidf
+          FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+          WHERE df >= 2
+        )
+        SELECT doc_id, tok, tf, df, tfidf, CAST(rn AS INT) AS rank
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rn
+          FROM scored
+        ) WHERE rn <= 3
+    """
+    q["samp1_stratified_sample"] = """
+        SELECT doc_id, source, lang, n_chars, CAST(rn AS INT) AS sample_rank
+        FROM (
+          SELECT doc_id, source, lang, n_chars,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents
+        ) WHERE rn <= 50
+    """
+
     q["stat1_price_quantity_stats"] = """
         SELECT l_returnflag,
                round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,

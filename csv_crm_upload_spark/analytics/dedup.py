@@ -221,6 +221,85 @@ def d_simhash(documents: DataFrame) -> DataFrame:
     return agg.select("doc_id", simhash.alias("simhash"))
 
 
+def pr1_doc_pagerank(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    iters: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over the MinHash-LSH near-dup graph — centrality of each
+    document inside its duplicate neighborhood (the canonical-pick signal
+    that's robust to chains, unlike min-doc_id). The iterative
+    power-method pattern: each round is one join + one map-side-combining
+    aggregation over the edges, lineage truncated per round.
+
+    Determinism contract (the oracle unrolls the SAME fixed iteration
+    count): per-edge contributions are rounded to 12 decimals and summed
+    as DECIMAL (exact, order-independent); the damping arithmetic is
+    plain IEEE double ops both engines execute identically. The node
+    count enters as one scalar — bounded driver value, standard for
+    iterative algorithms (cf. the convergence probe in d_dup_clusters).
+    """
+    pairs = d_minhash_lsh_pairs(documents, n=n, threshold=threshold).persist()
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .persist()
+    )
+    try:
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+        n_nodes = deg.count()
+        if n_nodes == 0:
+            return documents.sparkSession.createDataFrame(
+                [], "doc_id long, n_neighbors bigint, pagerank double"
+            )
+        nodes = deg.select(F.col("src").alias("doc_id"))
+        teleport = (F.lit(1.0) - F.lit(damping)) / F.lit(float(n_nodes))
+        ranks = nodes.withColumn(
+            "rank", F.round(F.lit(1.0) / F.lit(float(n_nodes)), 12)
+        ).localCheckpoint(eager=True)
+        for _ in range(iters):
+            contrib = (
+                edges.join(deg, "src")
+                .join(ranks, edges["src"] == ranks["doc_id"])
+                .select(
+                    F.col("dst"),
+                    F.round(F.col("rank") / F.col("deg"), 12)
+                    .cast("decimal(28,12)")
+                    .alias("c"),
+                )
+            )
+            sums = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+            ranks = (
+                nodes.join(sums, nodes["doc_id"] == sums["dst"], "left")
+                .select(
+                    "doc_id",
+                    F.round(
+                        teleport
+                        + F.lit(damping)
+                        * F.coalesce(F.col("s").cast("double"), F.lit(0.0)),
+                        12,
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        out = (
+            ranks.join(deg, ranks["doc_id"] == deg["src"])
+            .select(
+                "doc_id",
+                F.col("deg").alias("n_neighbors"),
+                F.round(F.col("rank"), 8).alias("pagerank"),
+            )
+            .persist()
+        )
+        out.count()
+        return out
+    finally:
+        edges.unpersist()
+        pairs.unpersist()
+
+
 def d_dup_clusters(documents: DataFrame, n: int = 3, threshold: float = 0.5, max_iter: int = 20) -> DataFrame:
     """Duplicate CLUSTERS from MinHash-LSH near-dup pairs: connected
     components, each labeled by its minimum doc_id — what a dedup

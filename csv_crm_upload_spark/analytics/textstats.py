@@ -232,6 +232,68 @@ def t9_top_tokens_per_source(documents: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
+def t10_tfidf_top_terms(documents: DataFrame, k: int = 3, min_df: int = 2) -> DataFrame:
+    """TF-IDF keyword extraction: each document's top-k terms by
+    tf · (ln((N+1)/(df+1)) + 1) (smoothed idf), hapaxes dropped by the
+    min_df floor. The relevance-scoring primitive behind corpus search
+    and topic labeling.
+
+    Plan shape: one explode + two aggregations (tf on (doc, tok), df on
+    tok — both map-side combining) + one broadcast of the 1-row corpus
+    count + a per-doc rank window. Scores are rounded BEFORE ranking so
+    the top-k is deterministic cross-engine (tiebreak on the token)."""
+    from pyspark.sql import Window
+
+    has_text = F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    toks = (
+        documents.filter(has_text)
+        .select("doc_id", F.explode(_tokens()).alias("tok"))
+        .withColumn("tok", F.lower(F.col("tok")))
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = documents.filter(has_text).agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .filter(F.col("df") >= min_df)
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "tok", "tf", "df", "tfidf", "rank")
+    )
+
+
+def samp1_stratified_sample(documents: DataFrame, k: int = 50) -> DataFrame:
+    """EXACT-size deterministic stratified sampling: k documents per
+    source, chosen by md5(doc_id) pseudo-random order — the complement of
+    mix1's rate-gating (which keeps a deterministic fraction, not a fixed
+    count). Reproducible across runs and engines: the hash order is a
+    pure function of the keys, no RNG state. One rank window per source
+    partition."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(F.col("_h"), F.col("doc_id"))
+    return (
+        documents.select("doc_id", "source", "lang", "n_chars")
+        .withColumn("_h", h)
+        .withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("sample_rank") <= k)
+        .select("doc_id", "source", "lang", "n_chars", "sample_rank")
+    )
+
+
 # corpus mixing rates: source -> keep percentage (out of 100)
 MIXTURE_RATES = {"src0": 100, "src1": 80, "src2": 60, "src3": 30}
 DEFAULT_RATE = 50

@@ -331,6 +331,24 @@ class CustomerStore:
             finally:
                 shutil.rmtree(staging, ignore_errors=True)
 
+    def restore(self, version: int) -> int:
+        """RESTORE TO VERSION AS OF: re-commit an old snapshot as a NEW
+        version (the lakehouse rollback surface). History is preserved —
+        restore is just another commit that hard-links the old version's
+        files, so it is O(files) metadata work with zero data copy, and
+        readers of intermediate versions are untouched."""
+        with self._write_lock():
+            vdir = self._version_dir(version)
+            if version < 0 or not os.path.isdir(vdir):
+                raise FileNotFoundError(f"version {version} not found (vacuumed?): {vdir}")
+            new_v = self._current_version() + 1
+            new_dir = self._version_dir(new_v)
+            os.makedirs(new_dir, exist_ok=True)
+            for bname, bpath in self._bucket_dirs(vdir).items():
+                self._link_files(bpath, os.path.join(new_dir, bname))
+            self._commit(new_v)
+        return new_v
+
     def vacuum(self, keep_last: int = 1) -> list[int]:
         """Drop all but the newest `keep_last` snapshots. Safe by
         construction: versions share data through hard links, so deleting

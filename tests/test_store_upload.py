@@ -257,6 +257,27 @@ def test_changes_feed_between_versions(spark, tmp_path):
     assert store.changes(-1, 0).filter("_change_type = 'insert'").count() == 5
 
 
+def test_restore_to_old_version(spark, tmp_path):
+    """RESTORE = re-commit an old snapshot as a NEW version; history and
+    intermediate versions stay readable; vacuumed targets fail loudly."""
+    import pytest as _pytest
+
+    store = _fresh_store(spark, tmp_path)                                  # v0
+    store.mark_uploaded(spark.createDataFrame([("jon@x.com",)], ["email"]))  # v1
+    store.append(finalize_columns(spark.createDataFrame([(6, "zed", "q", "z@x.com", "6")], COLS)))  # v2
+
+    new_v = store.restore(0)
+    assert new_v == 3
+    assert store.versions() == [0, 1, 2, 3]
+    # current state == v0: 5 rows, nothing uploaded
+    assert store.read().count() == 5
+    assert store.read().filter("uploaded").count() == 0
+    # intermediate history untouched
+    assert store.read_version(2).count() == 6
+    with _pytest.raises(FileNotFoundError):
+        store.restore(99)
+
+
 def test_changes_raises_on_vacuumed_version(spark, tmp_path):
     """A vacuumed endpoint must fail loudly: silently diffing against a
     missing version dir would emit an all-insert change feed."""

@@ -196,6 +196,39 @@ def test_sequence_packing_sharded_skewed_source(spark):
     assert "shard" not in pack1_sequence_packing(docs).columns
 
 
+def test_pagerank_mass_and_centrality(spark):
+    """PageRank over the near-dup graph: total rank mass ≈ 1 (no dangling
+    nodes in an undirected graph) and a hub node outranks leaves."""
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu "
+        "nu xi omicron pi rho sigma tau upsilon phi chi psi omega one two"
+    )
+    rows = [(1, base, "en", "s", len(base))]
+    # 3 leaves, each a small perturbation of base: near base (hub), not
+    # necessarily near each other
+    for i, repl in enumerate([("one two", "one three"), ("alpha beta", "alpha zeta"), ("psi omega", "psi delta")]):
+        txt = base.replace(*repl)
+        rows.append((2 + i, txt, "en", "s", len(txt)))
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    pr = {r["doc_id"]: r for r in dd.pr1_doc_pagerank(docs, threshold=0.3).collect()}
+    assert set(pr) == {1, 2, 3, 4}
+    assert abs(sum(r["pagerank"] for r in pr.values()) - 1.0) < 1e-6
+    # the hub touches every leaf; leaves may also interconnect (they are
+    # all perturbations of the same base), so assert >= with hub at max —
+    # exact VALUES are hash-verified against the DuckDB unrolled oracle
+    hub = pr[1]
+    assert hub["n_neighbors"] == 3
+    assert all(hub["pagerank"] >= pr[d]["pagerank"] for d in (2, 3, 4))
+
+
+def test_pagerank_empty_graph(spark):
+    docs = spark.createDataFrame(
+        [(1, "totally unique text here", "en", "s", 24)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    assert dd.pr1_doc_pagerank(docs).count() == 0
+
+
 def test_dup_clusters_are_transitive(spark):
     """A≈B and B≈C must land in ONE cluster even when A,C don't share a
     band directly — the property pairwise output can't give you."""
