@@ -61,6 +61,11 @@ def main(argv: list[str] | None = None) -> int:
     pi.add_argument("--noheader", action="store_true", help="CSV has no header row")
     pi.add_argument("--quarantine", default=None, help="directory for rejected rows (with reasons)")
 
+    pm = sub.add_parser("merge", help="upsert a CSV into the store (MERGE keyed on email)")
+    pm.add_argument("--csv", required=True)
+    _add_store_args(pm)
+    pm.add_argument("--noheader", action="store_true", help="CSV has no header row")
+
     pp = sub.add_parser("pending", help="show customers pending upload")
     _add_store_args(pp)
     pp.add_argument("--limit", type=int, default=20)
@@ -108,6 +113,17 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.csv, store, header=not args.noheader, quarantine_dir=args.quarantine
         )
         print(f"inserted={res.inserted} quarantined={res.quarantined} duplicates={res.duplicates}")
+    elif args.cmd == "merge":
+        from csv_crm_upload_spark.operators.validate import validate_split
+        from csv_crm_upload_spark.sources.csv_source import read_customers_csv
+
+        if not hasattr(store, "merge"):
+            raise SystemExit("merge requires the versioned parquet store (--store)")
+        clean, _quarantine = validate_split(
+            read_customers_csv(spark, args.csv, header=not args.noheader)
+        )
+        res = store.merge(clean)
+        print(f"updated={res['updated']} inserted={res['inserted']} skipped={res['skipped']}")
     elif args.cmd == "pending":
         pending = store.pending()
         n = pending.count()

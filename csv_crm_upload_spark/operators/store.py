@@ -410,6 +410,90 @@ class CustomerStore:
             shutil.rmtree(staging, ignore_errors=True)
         return inserted
 
+    def merge(self, source: DataFrame, now=None) -> dict[str, int]:
+        """MERGE INTO — the Delta/Iceberg upsert surface on the versioned
+        store, keyed on email (the reference's idempotency key):
+        WHEN MATCHED → update first_name/last_name/phone, refresh
+        modified_ts (uploaded flag and created_ts are preserved);
+        WHEN NOT MATCHED → insert with U3 defaults.
+
+        Bucket-pruned like mark_uploaded: email determines the bucket, so
+        a source email exists in the table IFF it exists in the
+        affected-bucket read — only those buckets are read and rewritten;
+        every other bucket hard-links into the new version. The one
+        unavoidable wider touch is the id-uniqueness guard for inserts (a
+        column-pruned scan of ids — the UNIQUE(id) contract spans
+        buckets); id-conflicting inserts are SKIPPED, mirroring
+        append_unique's declarative-loser philosophy where Delta would
+        abort. Runs entirely inside the write lock (read+stage+commit =
+        one consistent snapshot transition).
+
+        Returns {"updated": n, "inserted": n, "skipped": n}.
+        """
+        from csv_crm_upload_spark.operators.dedup import dedupe_batch
+        from csv_crm_upload_spark.operators.mutate import finalize_columns
+
+        cols = [f.name for f in CUSTOMER_SCHEMA.fields]
+        ts = F.lit(now).cast("timestamp") if now is not None else F.current_timestamp()
+        src = dedupe_batch(source.select(*PENDING_COLUMNS))
+        upd = F.broadcast(
+            src.select(
+                F.col("email").alias("_m_email"),
+                F.col("first_name").alias("_m_first"),
+                F.col("last_name").alias("_m_last"),
+                F.col("phone").alias("_m_phone"),
+            )
+        )
+        with self._write_lock():
+            v = self._current_version()
+            vdir = self._version_dir(v)
+            if v >= 0:
+                hit_buckets = {
+                    f"b={r['b']}"
+                    for r in src.select(_bucket_col(self.n_buckets).alias("b")).distinct().collect()
+                }
+                affected = sorted(hit_buckets & set(self._bucket_dirs(vdir)))
+            else:
+                affected = []
+            if affected:
+                sub = self._read_buckets(vdir, affected)
+                matched = F.col("_m_email").isNotNull()
+                rewritten = (
+                    sub.join(upd, sub["email"] == F.col("_m_email"), "left")
+                    .withColumn("first_name", F.when(matched, F.col("_m_first")).otherwise(F.col("first_name")))
+                    .withColumn("last_name", F.when(matched, F.col("_m_last")).otherwise(F.col("last_name")))
+                    .withColumn("phone", F.when(matched, F.col("_m_phone")).otherwise(F.col("phone")))
+                    .withColumn("modified_ts", F.when(matched, ts).otherwise(F.col("modified_ts")))
+                    .select(*cols)
+                )
+                n_updated = sub.join(F.broadcast(src.select("email")), "email", "left_semi").count()
+                insert_cand = src.join(sub.select("email"), "email", "left_anti")
+            else:
+                rewritten = None
+                n_updated = 0
+                insert_cand = src
+            existing_ids = (
+                self.read_version(v).select("id") if v >= 0 else None
+            )
+            inserts = (
+                insert_cand.join(existing_ids, "id", "left_anti")
+                if existing_ids is not None
+                else insert_cand
+            )
+            n_inserted = inserts.count()
+            n_skipped = insert_cand.count() - n_inserted
+            if n_updated == 0 and n_inserted == 0:
+                return {"updated": 0, "inserted": 0, "skipped": n_skipped}
+            staged_df = finalize_columns(inserts, now=now).select(*cols)
+            if rewritten is not None:
+                staged_df = rewritten.unionByName(staged_df)
+            staging = self._stage(staged_df)
+            try:
+                self._commit_merge(staging, replace_buckets=set(affected))
+            finally:
+                shutil.rmtree(staging, ignore_errors=True)
+        return {"updated": n_updated, "inserted": n_inserted, "skipped": n_skipped}
+
     def pending(self) -> DataFrame:
         """F1+P1: `SELECT id, first_name, last_name, email, phone FROM
         customers WHERE uploaded = false` (reference database/database.go:18).

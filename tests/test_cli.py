@@ -30,6 +30,17 @@ def test_cli_ingest_pending_jdbc(spark, tmp_path, capsys):
     assert "inserted=0" in capsys.readouterr().out
 
 
+def test_cli_merge_upserts(spark, tmp_path, capsys):
+    csv = _write_csv(tmp_path)
+    store_dir = str(tmp_path / "s")
+    assert main(["ingest", "--csv", csv, "--store", store_dir, "--noheader"]) == 0
+    capsys.readouterr()
+    upsert = tmp_path / "up.csv"
+    upsert.write_text("1,jonathan,doe,jon@x.com,11\n3,ann,lee,ann@x.com,3\n")
+    assert main(["merge", "--csv", str(upsert), "--store", store_dir, "--noheader"]) == 0
+    assert "updated=1 inserted=1 skipped=0" in capsys.readouterr().out
+
+
 def test_cli_requires_some_store(spark, tmp_path, monkeypatch):
     import pytest
 

@@ -153,6 +153,73 @@ def test_mark_uploaded_rewrites_only_affected_buckets(spark, tmp_path):
             assert after[b] == inodes, f"unaffected bucket {b} was rewritten"
 
 
+def test_merge_upserts_update_insert_skip(spark, tmp_path):
+    """MERGE surface: matched emails update in place (flag + created_ts
+    preserved, modified_ts refreshed), new emails insert with defaults,
+    id-conflicting inserts are skipped — both UNIQUE constraints hold."""
+    store = _fresh_store(spark, tmp_path)
+    store.mark_uploaded(spark.createDataFrame([("jon@x.com",)], ["email"]))
+    src = spark.createDataFrame(
+        [(1, "jonathan", "doe", "jon@x.com", "11"),   # matched → update
+         (9, "new", "person", "nine@x.com", "9"),     # not matched → insert
+         (2, "dupid", "x", "other@x.com", "0")],      # id 2 taken → skip
+        COLS,
+    )
+    res = store.merge(src, now="2026-02-02 00:00:00")
+    assert res == {"updated": 1, "inserted": 1, "skipped": 1}
+
+    final = {r["email"]: r for r in store.read().collect()}
+    assert len(final) == 6 and "other@x.com" not in final
+    jon = final["jon@x.com"]
+    assert (jon["first_name"], jon["phone"]) == ("jonathan", "11")
+    assert jon["uploaded"] is True                       # flag preserved
+    assert str(jon["modified_ts"]).startswith("2026-02-02")
+    assert str(jon["created_ts"]) != str(jon["modified_ts"])  # created kept
+    nine = final["nine@x.com"]
+    assert nine["uploaded"] is False
+    assert str(nine["created_ts"]).startswith("2026-02-02")
+    assert final["jane@x.com"]["first_name"] == "jane"   # untouched row
+
+    # no-op merge (same matched values exist → still a matched update;
+    # empty source → zero commit)
+    v = store._current_version()
+    assert store.merge(spark.createDataFrame([], "id long, first_name string, last_name string, email string, phone string")) == {
+        "updated": 0, "inserted": 0, "skipped": 0,
+    }
+    assert store._current_version() == v
+
+
+def test_merge_rewrites_only_affected_buckets(spark, tmp_path):
+    """The MERGE must cost O(affected buckets): untouched buckets are
+    hard links (identical inodes) of the prior version."""
+    from csv_crm_upload_spark.operators.store import _bucket_col
+
+    store = _fresh_store(spark, tmp_path)
+    v_before = store._current_version()
+    before = _bucket_inodes(store._version_dir(v_before))
+    src = spark.createDataFrame([(1, "jonathan", "doe", "jon@x.com", "11")], COLS)
+    res = store.merge(src, now="2026-02-02 00:00:00")
+    assert res["updated"] == 1
+    after = _bucket_inodes(store._version_dir(store._current_version()))
+    hit = spark.createDataFrame([("jon@x.com",)], ["email"]).select(
+        _bucket_col(store.n_buckets).alias("b")
+    ).first()["b"]
+    hit_bucket = f"b={hit}"
+    assert after[hit_bucket].isdisjoint(before.get(hit_bucket, set()))
+    for b, inodes in before.items():
+        if b != hit_bucket:
+            assert after[b] == inodes, f"unaffected bucket {b} was rewritten"
+
+
+def test_merge_into_empty_store(spark, tmp_path):
+    store = CustomerStore(spark, str(tmp_path / "s"))
+    src = spark.createDataFrame([(1, "a", "b", "a@x.com", "1")], COLS)
+    assert store.merge(src, now="2026-02-02 00:00:00") == {
+        "updated": 0, "inserted": 1, "skipped": 0,
+    }
+    assert store.read().count() == 1
+
+
 def test_append_unique_drops_store_duplicates(spark, tmp_path):
     store = _fresh_store(spark, tmp_path)
     batch = finalize_columns(
