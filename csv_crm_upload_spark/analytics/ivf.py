@@ -82,19 +82,55 @@ def assign_cells(embeddings: DataFrame, centroids: np.ndarray) -> DataFrame:
     return embeddings.select("vec_id", best.cast("int").alias("cell_id"))
 
 
+def save_index(
+    embeddings: DataFrame, path: str, n_cells: int = 16, **fit_kwargs
+) -> np.ndarray:
+    """Persist an IVF index: centroids (one parquet of (cell_id, centroid
+    array)) + the full corpus cell assignment, partitioned BY cell_id so
+    a probe reads only its cells' files. This is the build-once /
+    query-many split of production ANN: the expensive assignment scan
+    runs once per corpus snapshot, then every query costs nprobe
+    partition-pruned reads."""
+    spark = embeddings.sparkSession
+    centroids = fit_centroids(embeddings, n_cells=n_cells, **fit_kwargs)
+    cent_rows = [(int(c), [float(v) for v in centroids[c]]) for c in range(len(centroids))]
+    spark.createDataFrame(cent_rows, "cell_id int, centroid array<double>").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/centroids")
+    assign_cells(embeddings, centroids).write.mode("overwrite").partitionBy(
+        "cell_id"
+    ).parquet(f"{path}/cells")
+    return centroids
+
+
+def load_index(spark, path: str) -> tuple[np.ndarray, DataFrame]:
+    """(centroid matrix, cell-assignment DataFrame) from a saved index."""
+    rows = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(), key=lambda r: r["cell_id"]
+    )
+    centroids = np.array([r["centroid"] for r in rows], dtype=np.float64)
+    return centroids, spark.read.parquet(f"{path}/cells")
+
+
 def knn_ivf(
     embeddings: DataFrame,
     query_ids: list[int] | None = None,
     k: int = 5,
     n_cells: int = 16,
     nprobe: int = 4,
+    index_path: str | None = None,
 ) -> DataFrame:
     """IVF search: per query, exact-rerank members of the nprobe nearest
-    cells only."""
+    cells only. With `index_path`, centroids and assignments come from
+    the persisted index (no fit, no assignment scan)."""
     if query_ids is None:
         query_ids = list(range(10))
-    centroids = fit_centroids(embeddings, n_cells=n_cells)
-    cells = assign_cells(embeddings, centroids).persist()
+    if index_path is not None:
+        centroids, cells = load_index(embeddings.sparkSession, index_path)
+        cells = cells.persist()
+    else:
+        centroids = fit_centroids(embeddings, n_cells=n_cells)
+        cells = assign_cells(embeddings, centroids).persist()
 
     # nprobe nearest cells per query: computed on the tiny query set
     queries = embeddings.filter(F.col("vec_id").isin(query_ids)).select(

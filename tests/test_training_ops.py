@@ -161,6 +161,24 @@ def test_ivf_full_probe_equals_bruteforce(spark, sf_dir):
     assert full == exact
 
 
+def test_ivf_persisted_index_matches_inline_fit(spark, sf_dir, tmp_path):
+    """Build-once/query-many: a persisted index must give the same
+    results as the inline fit (same seed → same centroids), and the
+    saved cell layout must be partitioned by cell_id."""
+    import os
+
+    from csv_crm_upload_spark.analytics.ivf import knn_ivf, save_index
+    from csv_crm_upload_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivf")
+    save_index(emb, idx, n_cells=8)
+    inline = {(r["query_id"], r["vec_id"]) for r in knn_ivf(emb, k=5, n_cells=8, nprobe=8).collect()}
+    saved = {(r["query_id"], r["vec_id"]) for r in knn_ivf(emb, k=5, nprobe=8, index_path=idx).collect()}
+    assert saved == inline
+    assert any(n.startswith("cell_id=") for n in os.listdir(f"{idx}/cells"))
+
+
 def test_ivf_partial_probe_recall(spark, sf_dir):
     from csv_crm_upload_spark.analytics.ivf import knn_ivf
     from csv_crm_upload_spark.sources.tables import load_table
