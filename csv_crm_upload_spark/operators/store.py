@@ -26,6 +26,20 @@ between, the anti-join re-runs against the fresh snapshot before the
 pointer swap, so two concurrent ingests can never both insert the same
 id/email (the check-then-act race the reference avoids via Postgres
 UNIQUE).
+
+Lakehouse surface mapping (what a Delta/Iceberg table would provide —
+the packages are absent from this environment, so the store implements
+the minimum of each on plain parquet + hard links):
+  MERGE INTO            → merge()            (bucket-pruned upsert)
+  UPDATE ... WHERE      → mark_uploaded()    (pruned keyed rewrite)
+  VERSION AS OF         → read_version()
+  RESTORE               → restore()
+  CHANGE DATA FEED      → changes()          (inode-pruned diff)
+  VACUUM                → vacuum()
+  OPTIMIZE / compaction → compact()
+Known limit vs a real table format: the advisory pid-liveness write lock
+is single-host; cross-host multi-writer needs a real format's atomic
+log commit (documented, not simulated).
 """
 
 from __future__ import annotations
