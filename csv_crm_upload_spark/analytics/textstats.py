@@ -232,6 +232,62 @@ def t9_top_tokens_per_source(documents: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
+def hh1_heavy_hitter_tokens(documents: DataFrame, k: int = 200, threshold_k: int = 100) -> DataFrame:
+    """Misra–Gries heavy hitters over the corpus token stream — the
+    bounded-memory frequent-items sketch: each partition keeps at most k
+    counters (one Arrow pass over its rows, O(k) memory regardless of
+    vocabulary size), partial summaries merge by grouped summation, and
+    tokens whose merged lower-bound count exceeds N/threshold_k are
+    reported.
+
+    Guarantee (inherited from MG mergeability, Agarwal et al. 2012): a
+    per-partition summary undercounts by at most N_p/k, so the merged
+    lower bound undercounts by at most N/k in total — any token with
+    true frequency > N/threshold_k + N/k is guaranteed to be reported,
+    with its reported count within N/k of truth. Deliberately NO SQL
+    oracle (the surviving counter set depends on partition stream order,
+    like any streaming sketch); the guarantee is pinned by a property
+    test instead. At 100 TB: vocabulary can exceed executor memory, so
+    the exact t7 groupBy is the verifier and THIS is the scan-time
+    monitor."""
+    import pandas as pd
+
+    def mg_partition(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for text in pdf["text"]:
+                if text is None:
+                    continue
+                for tok in text.strip().lower().split():
+                    if tok in counters:
+                        counters[tok] += 1
+                    elif len(counters) < k:
+                        counters[tok] = 1
+                    else:
+                        for key in list(counters):
+                            counters[key] -= 1
+                            if counters[key] == 0:
+                                del counters[key]
+        yield pd.DataFrame(
+            {"tok": list(counters), "lb": list(counters.values())}
+            if counters
+            else {"tok": pd.Series([], dtype=str), "lb": pd.Series([], dtype="int64")}
+        )
+
+    summaries = documents.select("text").mapInPandas(mg_partition, "tok string, lb long")
+    total = documents.select(F.size(_tokens()).alias("nt")).agg(
+        F.sum("nt").alias("n_total")
+    )
+    return (
+        summaries.groupBy("tok")
+        .agg(F.sum("lb").alias("est_count"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("est_count") * threshold_k > F.col("n_total"))
+        .select("tok", "est_count", "n_total")
+        .orderBy(F.col("est_count").desc(), F.col("tok"))
+    )
+
+
 def t10_tfidf_top_terms(documents: DataFrame, k: int = 3, min_df: int = 2) -> DataFrame:
     """TF-IDF keyword extraction: each document's top-k terms by
     tf · (ln((N+1)/(df+1)) + 1) (smoothed idf), hapaxes dropped by the

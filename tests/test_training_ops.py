@@ -214,6 +214,28 @@ def test_sequence_packing_sharded_skewed_source(spark):
     assert "shard" not in pack1_sequence_packing(docs).columns
 
 
+def test_heavy_hitter_guarantee(spark):
+    """Misra–Gries invariant: any token with true frequency above
+    N/threshold_k + N/k must be reported, with its count within N/k of
+    truth — regardless of how rows land in partitions."""
+    from csv_crm_upload_spark.analytics.textstats import hh1_heavy_hitter_tokens
+
+    # 400 docs of 10 unique junk tokens each + "hot" in every doc ×3:
+    # N = 400*13 = 5200, freq(hot) = 1200 >> N/50 + N/100
+    rows = [
+        (i, ("hot hot hot " + " ".join(f"junk{i}_{j}" for j in range(10))), "en", "s", 0)
+        for i in range(400)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    out = {r["tok"]: r for r in hh1_heavy_hitter_tokens(docs, k=100, threshold_k=50).collect()}
+    assert "hot" in out
+    n_total = out["hot"]["n_total"]
+    assert n_total == 400 * 13
+    assert 1200 - n_total // 100 <= out["hot"]["est_count"] <= 1200
+    # nothing rare sneaks past the threshold filter
+    assert all(r["est_count"] * 50 > n_total for r in out.values())
+
+
 def test_pagerank_mass_and_centrality(spark):
     """PageRank over the near-dup graph: total rank mass ≈ 1 (no dangling
     nodes in an undirected graph) and a hub node outranks leaves."""
