@@ -83,6 +83,12 @@ def main(argv: list[str] | None = None) -> int:
     ps.add_argument("--cycles", type=int, default=None, help="stop after N cycles (default: run forever)")
     ps.add_argument("--concurrency", type=int, default=25)
     ps.add_argument("--max-tries", type=int, default=5)
+    ps.add_argument(
+        "--incremental",
+        action="store_true",
+        help="CDC-pruned ticks: upload only rows changed since the last "
+        "cycle (parquet store only; quiet ticks cost metadata, not a scan)",
+    )
 
     pw = sub.add_parser("watch", help="stream-ingest CSVs arriving in a directory")
     pw.add_argument("--dir", required=True)
@@ -139,6 +145,8 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "serve":
         from csv_crm_upload_spark.streaming.pipeline import run_upload_service
 
+        if args.incremental and not hasattr(store, "changes"):
+            raise SystemExit("--incremental requires the versioned parquet store (--store)")
         marked = run_upload_service(
             store,
             args.crm,
@@ -146,6 +154,7 @@ def main(argv: list[str] | None = None) -> int:
             max_cycles=args.cycles,
             concurrency=args.concurrency,
             max_tries=args.max_tries,
+            incremental=args.incremental,
         )
         print(f"cycles={len(marked)} marked_total={sum(marked)}")
     elif args.cmd == "watch":

@@ -150,24 +150,47 @@ def run_upload_service(
     max_tries: int = 5,
     sleep=None,
     tick_sleep=None,
+    incremental: bool = False,
 ) -> list[int]:
     """The crmIntegrator as a long-running service: upload cycles on a
     poll ticker (reference crm service loop — a 30 s timer re-selecting
     the pending set, uploader.go:71-97). Each tick is one full
     pending→POST→mark cycle; an empty pending set costs one cheap
     isEmpty() probe. `max_cycles` bounds the loop for finite runs/tests;
-    None = run until interrupted. Returns marked-count per cycle."""
+    None = run until interrupted. Returns marked-count per cycle.
+
+    With `incremental=True` (parquet store only) ticks are CDC-pruned:
+    the first tick does a full cycle to establish the version cursor,
+    later ticks upload only rows changed since — and if the cursor's
+    version has been vacuumed out from under the service, the tick falls
+    back to one full cycle and re-establishes the cursor."""
     import time as _time
 
     tick = tick_sleep or _time.sleep
     marked: list[int] = []
     cycle = 0
+    cursor: int | None = None
     while max_cycles is None or cycle < max_cycles:
-        marked.append(
-            run_upload_cycle(
-                store, crm_url, concurrency=concurrency, max_tries=max_tries, sleep=sleep
+        if incremental and cursor is not None:
+            try:
+                n, cursor = run_upload_cycle_incremental(
+                    store, crm_url, cursor,
+                    concurrency=concurrency, max_tries=max_tries, sleep=sleep,
+                )
+            except FileNotFoundError:  # cursor vacuumed: full cycle, re-arm
+                cursor = store._current_version()
+                n = run_upload_cycle(
+                    store, crm_url, concurrency=concurrency, max_tries=max_tries, sleep=sleep
+                )
+            marked.append(n)
+        else:
+            if incremental:
+                cursor = store._current_version()
+            marked.append(
+                run_upload_cycle(
+                    store, crm_url, concurrency=concurrency, max_tries=max_tries, sleep=sleep
+                )
             )
-        )
         cycle += 1
         if max_cycles is None or cycle < max_cycles:
             tick(interval_s)

@@ -415,6 +415,27 @@ def test_upload_service_ticks(spark, tmp_path):
     assert store.pending().count() == 0
 
 
+def test_incremental_service_ticks_cdc_pruned(spark, tmp_path):
+    """serve --incremental: tick 1 full (arms the cursor), tick 2 uploads
+    only what changed in between — and nothing is ever re-POSTed."""
+    from csv_crm_upload_spark.streaming.pipeline import run_upload_service
+
+    store = _fresh_store(spark, tmp_path)
+    with MockCRM() as crm:
+        def tick(interval):
+            store.append(finalize_columns(
+                spark.createDataFrame([(7, "late", "comer", "late@x.com", "7")], COLS)
+            ))
+
+        marked = run_upload_service(
+            store, crm.url, interval_s=1.0, max_cycles=3,
+            sleep=lambda s: None, tick_sleep=tick, incremental=True,
+        )
+    assert marked == [5, 1, 1]
+    assert len(crm.received) == 7  # zero duplicate POSTs across ticks
+    assert store.pending().count() == 0
+
+
 def test_incremental_upload_cycle_uploads_only_changes(spark, tmp_path):
     """CDC-pruned upload: each tick POSTs only rows that changed since
     the last seen version — a quiet tick POSTs nothing, a new append
