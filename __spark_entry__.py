@@ -379,6 +379,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t10_tfidf_top_terms": lambda s, sf: ts.t10_tfidf_top_terms(_t("documents")(s, sf)),
         "samp1_stratified_sample": lambda s, sf: ts.samp1_stratified_sample(_t("documents")(s, sf)),
         "pr1_doc_pagerank": lambda s, sf: dd.pr1_doc_pagerank(_t("documents")(s, sf)),
+        # REAL media decode (WAV/BMP parsed executor-side; codec-bound
+        # rows quarantined) — no SQL oracle: DuckDB can't parse media
+        "mm2_real_media_features": lambda s, sf: mm.extract_real_features(
+            mm.media_table_real(_t("documents")(s, sf))
+        ),
     }
 
 

@@ -1,12 +1,17 @@
 """Multimodal column plumbing — image/audio/video as opaque binary
 columns with typed metadata.
 
-The decode/feature-extract steps need codec libraries that are NOT in
-this container, so the actual byte→pixels/samples decode is STUBBED
-(deterministic fake features, clearly marked). Everything Spark-side is
-real and tested: schema, binary handling, Arrow-batched Pandas UDF
-signatures, mapInPandas batch shapes, and partition sizing — the parts
-that must be right for a 100 TB media pipeline.
+Decode status, honestly: formats parseable with the stdlib decode FOR
+REAL — `decode_media` genuinely parses RIFF/WAVE PCM (sample rate,
+channels, duration, RMS) and uncompressed 24-bpp BMP (dimensions, mean
+pixel), and `media_table_real` synthesizes genuine WAV/BMP bytes
+executor-side. Compressed formats (JPEG/PNG/MP3/MP4) require codec
+libraries absent from this container; those rows raise
+NotImplementedError in decode_media and are QUARANTINED (decode_ok =
+false) by extract_real_features rather than failing the job. Everything
+Spark-side is real and tested: schema, binary handling, Arrow-batched
+UDF signatures, mapInPandas batch shapes, and partition sizing — the
+parts that must be right for a 100 TB media pipeline.
 
 Scale posture: media rows are large (MBs) — `media_table` keeps payload
 opaque binary so parquet stores it column-separated; feature extraction
@@ -24,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -62,12 +68,99 @@ def media_table(documents: DataFrame) -> DataFrame:
     )
 
 
-def decode_media(payload: bytes, kind: str):
-    """STUB: the real decode needs PIL/ffmpeg/librosa, none of which ship
-    in this container. A production build replaces this body; the Spark
-    plumbing around it does not change."""
+def synthesize_wav(seed: int, sample_rate: int = 8000, duration_s: float = 0.1) -> bytes:
+    """A REAL RIFF/WAVE file (PCM16 mono): deterministic sine tone whose
+    frequency is derived from the seed. Built with the stdlib only."""
+    import io
+    import math
+    import struct
+    import wave
+
+    n = int(sample_rate * duration_s)
+    freq = 220.0 + (seed % 24) * 20.0
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(
+            b"".join(
+                struct.pack("<h", int(12000 * math.sin(2 * math.pi * freq * i / sample_rate)))
+                for i in range(n)
+            )
+        )
+    return buf.getvalue()
+
+
+def synthesize_bmp(seed: int, width: int = 8, height: int = 8) -> bytes:
+    """A REAL uncompressed 24-bpp BMP with deterministic seed-derived
+    pixels. Built with the stdlib only."""
+    import struct
+
+    row_bytes = (width * 3 + 3) & ~3
+    img_size = row_bytes * height
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + img_size, 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    px = bytearray()
+    for y in range(height):
+        for x in range(width):
+            v = (seed * 31 + x * 7 + y * 13) % 256
+            px += bytes((v, (v * 3) % 256, (v * 5) % 256))
+        px += b"\x00" * (row_bytes - width * 3)
+    return header + info + bytes(px)
+
+
+def decode_media(payload: bytes, kind: str) -> list[float]:
+    """REAL decode for container-parseable formats (stdlib only, no codec
+    libraries needed):
+      * RIFF/WAVE PCM  → [sample_rate, n_channels, duration_s, rms]
+      * BMP 24-bpp     → [width, height, bpp, mean_pixel/255]
+    Compressed formats (JPEG/PNG/MP3/MP4...) genuinely require codec
+    libraries absent from this container and raise NotImplementedError —
+    the one remaining honest stub; extract_real_features quarantines
+    those rows instead of failing the job."""
+    import struct
+
+    if payload is None or len(payload) < 4:
+        raise NotImplementedError("media decode: empty or truncated payload")
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        import array
+        import io
+        import math
+        import wave
+
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            sr, nch, nf = w.getframerate(), w.getnchannels(), w.getnframes()
+            if w.getsampwidth() != 2:
+                raise NotImplementedError("WAV decode: only PCM16 supported")
+            raw = w.readframes(nf)
+        samples = array.array("h")
+        samples.frombytes(raw)
+        rms = (
+            math.sqrt(sum(s * s for s in samples) / len(samples)) / 32768.0
+            if len(samples)
+            else 0.0
+        )
+        return [float(sr), float(nch), round(nf / sr, 6), round(rms, 6)]
+    if payload[:2] == b"BM":
+        off = struct.unpack_from("<I", payload, 10)[0]
+        _, width, height, _, bpp = struct.unpack_from("<IiiHH", payload, 14)
+        compression = struct.unpack_from("<I", payload, 30)[0]
+        if bpp != 24 or compression != 0:
+            raise NotImplementedError("BMP decode: only uncompressed 24-bpp supported")
+        row_bytes = (width * 3 + 3) & ~3
+        total = 0
+        n_px = width * abs(height)
+        for y in range(abs(height)):
+            base = off + y * row_bytes
+            row = payload[base : base + width * 3]
+            total += sum(row)
+        mean = total / (n_px * 3) if n_px else 0.0
+        return [float(width), float(abs(height)), float(bpp), round(mean / 255.0, 6)]
     raise NotImplementedError(
-        "media decode requires codec libraries not present in this container"
+        "media decode: compressed formats require codec libraries not present "
+        "in this container (JPEG/PNG/MP3/MP4...)"
     )
 
 
@@ -102,6 +195,81 @@ def extract_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
             )
 
     return media.mapInPandas(run, MEDIA_FEATURE_SCHEMA)
+
+
+REAL_MEDIA_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("features", ArrayType(DoubleType()), True),
+        StructField("decode_ok", BooleanType(), False),
+    ]
+)
+
+
+def media_table_real(documents: DataFrame) -> DataFrame:
+    """Media table with REAL bytes: image rows carry genuine BMP files,
+    audio rows genuine PCM WAV files (both seed-derived from doc_id),
+    video rows an opaque blob standing in for a codec-bound format.
+    Synthesis happens executor-side in Arrow batches — payload bytes
+    never pass through the driver."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kinds = ["audio", "image", "video"]  # doc_id % 3 == 1 → image etc.
+
+        def build(row):
+            k = kinds[int(row["doc_id"]) % 3]
+            if k == "image":
+                return k, synthesize_bmp(int(row["doc_id"]))
+            if k == "audio":
+                return k, synthesize_wav(int(row["doc_id"]))
+            return k, (row["text"] or "").encode("utf-8")
+
+        for pdf in batches:
+            built = [build(r) for _, r in pdf.iterrows()]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "kind": [k for k, _ in built],
+                    "payload": [p for _, p in built],
+                }
+            )
+
+    return documents.select("doc_id", "text").mapInPandas(
+        run, "media_id long, kind string, payload binary"
+    )
+
+
+def extract_real_features(media: DataFrame) -> DataFrame:
+    """The decode stage with REAL decoding where the format allows it:
+    WAV/BMP rows produce genuine signal features; rows in codec-bound
+    formats are QUARANTINED (decode_ok=false, features null) instead of
+    failing the job — the per-row error isolation a production media
+    pipeline needs. Same Arrow-batched distributed shape as
+    extract_features."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, oks = [], []
+            for b in pdf["payload"]:
+                try:
+                    feats.append(decode_media(bytes(b), ""))
+                    oks.append(True)
+                except NotImplementedError:
+                    feats.append(None)
+                    oks.append(False)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(lambda b: 0 if b is None else len(b)),
+                    "features": feats,
+                    "decode_ok": oks,
+                }
+            )
+
+    return media.mapInPandas(run, REAL_MEDIA_FEATURE_SCHEMA)
 
 
 def media_stats(media: DataFrame) -> DataFrame:
