@@ -384,6 +384,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm2_real_media_features": lambda s, sf: mm.extract_real_features(
             mm.media_table_real(_t("documents")(s, sf))
         ),
+        "rep1_repetition_stats": lambda s, sf: ts.rep1_repetition_stats(_t("documents")(s, sf)),
+        "decon1_benchmark_overlap": lambda s, sf: ts.decon1_benchmark_overlap(
+            _t("documents")(s, sf)
+        ),
+        "chunk1_doc_chunks": lambda s, sf: ts.chunk1_doc_chunks(_t("documents")(s, sf)),
     }
 
 
@@ -1422,5 +1427,68 @@ def oracle_sql() -> dict[str, str]:
                round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
                CAST(COUNT(*) AS BIGINT) AS n_lines
         FROM lineitem GROUP BY 1 ORDER BY 1
+    """
+
+    # rep1/decon1/chunk1: word n-grams over the SAME normalized tokens as
+    # the dedup family; \x01-joined so the gram string is unambiguous.
+    q["rep1_repetition_stats"] = f"""
+        WITH t AS (
+          SELECT doc_id, {_TOKS} AS l FROM documents WHERE text IS NOT NULL
+        ),
+        g AS (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(l) - 1),
+                                       i -> l[i] || chr(1) || l[i + 1])) AS g
+          FROM t WHERE len(l) >= 2
+        ),
+        c AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY 1, 2)
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_ngrams,
+               CAST(COUNT(*) AS BIGINT) AS n_uniq_ngrams,
+               round((CAST(SUM(c) AS DOUBLE) - COUNT(*)) / CAST(SUM(c) AS DOUBLE), 6)
+                 AS dup_ngram_ratio,
+               round(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+                 AS top_ngram_frac
+        FROM c GROUP BY doc_id
+    """
+
+    q["decon1_benchmark_overlap"] = f"""
+        WITH t AS (
+          SELECT doc_id, source, {_TOKS} AS l
+          FROM documents WHERE text IS NOT NULL
+        ),
+        g AS (
+          SELECT doc_id, source,
+                 unnest(list_distinct(list_transform(
+                   generate_series(1, len(l) - 2),
+                   i -> l[i] || chr(1) || l[i + 1] || chr(1) || l[i + 2]))) AS g
+          FROM t WHERE len(l) >= 3
+        ),
+        b AS (
+          SELECT DISTINCT ('0x' || substr(md5(g), 1, 15))::BIGINT AS gh
+          FROM g WHERE source = 'src0'
+        ),
+        c AS (
+          SELECT doc_id, source, ('0x' || substr(md5(g), 1, 15))::BIGINT AS gh
+          FROM g WHERE source <> 'src0'
+        )
+        SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams
+        FROM c JOIN b USING (gh) GROUP BY 1, 2
+    """
+
+    q["chunk1_doc_chunks"] = f"""
+        WITH t AS (
+          SELECT doc_id, {_TOKS} AS l
+          FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+        ),
+        s AS (
+          SELECT doc_id, l, unnest(generate_series(1, len(l), 48)) AS start
+          FROM t
+        )
+        SELECT doc_id,
+               CAST((start - 1) // 48 AS INT) AS chunk_idx,
+               CAST(len(l[start : start + 63]) AS BIGINT) AS n_chunk_tokens,
+               array_to_string(l[start : start + 63], ' ') AS chunk_text
+        FROM s
     """
     return q

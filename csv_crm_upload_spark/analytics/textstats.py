@@ -426,3 +426,115 @@ def pack1_sequence_packing(
         offset.alias("stream_offset"),
         F.floor(offset / budget).cast("bigint").alias("bin_id"),
     )
+
+
+def _norm_tokens() -> F.Column:
+    """Whitespace-normalized lowercase tokens — the same normalization the
+    dedup family uses (analytics/dedup.py:_norm_text), so repetition /
+    contamination stats agree with the dedup pipeline's view of a doc."""
+    return F.split(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")), " ")
+
+
+def _word_ngrams(toks: F.Column, n: int) -> F.Column:
+    """Word n-grams of a token array, joined with \\x01 (a byte that
+    cannot appear inside a token). Docs with fewer than n tokens yield an
+    empty array — the guard matters because F.sequence(1, size-n+1)
+    would otherwise produce a DESCENDING sequence for short docs."""
+    starts = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.transform(starts, lambda i: F.concat_ws("\x01", F.slice(toks, i, n)))
+    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def rep1_repetition_stats(documents: DataFrame, n: int = 2) -> DataFrame:
+    """Within-document repetition signals (Gopher/MassiveText-style
+    quality filters): per doc, the fraction of duplicate word n-grams and
+    the share of the single most frequent n-gram. High values mark the
+    boilerplate/spam/template docs a training pipeline drops.
+
+    Shape at 100 TB: explode → two keyed aggregations, both partitioned
+    by doc_id (then (doc_id, gram)) — perfectly distributable, no
+    hot keys beyond single-doc size, no driver involvement. Reference
+    has no such operator; this extends the documents surface
+    (SURVEY.md training-ops mandate)."""
+    base = (
+        documents.filter(F.col("text").isNotNull())
+        .select("doc_id", F.explode(_word_ngrams(_norm_tokens(), n)).alias("g"))
+    )
+    counts = base.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    total = F.sum("c")
+    uniq = F.count(F.lit(1))
+    return counts.groupBy("doc_id").agg(
+        total.cast("bigint").alias("n_ngrams"),
+        uniq.cast("bigint").alias("n_uniq_ngrams"),
+        F.round((total - uniq).cast("double") / total.cast("double"), 6).alias(
+            "dup_ngram_ratio"
+        ),
+        F.round(F.max("c").cast("double") / total.cast("double"), 6).alias(
+            "top_ngram_frac"
+        ),
+    )
+
+
+def decon1_benchmark_overlap(
+    documents: DataFrame, benchmark_source: str = "src0", n: int = 3
+) -> DataFrame:
+    """Benchmark decontamination — flag corpus documents sharing any word
+    n-gram with a benchmark/eval set (here: one source plays the held-out
+    benchmark). The standard pre-training hygiene step: training docs
+    that textually overlap eval data inflate reported scores.
+
+    Scale: n-grams are hashed to 60-bit ints before the join (narrow
+    shuffle keys), each side deduped first. The benchmark side is
+    broadcast DELIBERATELY: an eval/benchmark set is small by nature
+    (thousands of docs, MBs of distinct n-gram hashes) and does not grow
+    with corpus scale — this is the one dimension-table-like broadcast
+    the corpus side can never provide. One broadcast join, one keyed
+    aggregation on doc_id; the corpus side streams through map-side."""
+    grams = F.explode(F.array_distinct(_word_ngrams(_norm_tokens(), n)))
+    base = documents.filter(F.col("text").isNotNull())
+    gh = F.conv(F.substring(F.md5(F.col("g")), 1, 15), 16, 10).cast("long").alias("gh")
+    bench = (
+        base.filter(F.col("source") == benchmark_source)
+        .select(grams.alias("g"))
+        .select(gh)
+        .distinct()
+    )
+    corpus = (
+        base.filter(F.col("source") != benchmark_source)
+        .select("doc_id", "source", grams.alias("g"))
+        .select("doc_id", "source", gh)
+    )
+    return (
+        corpus.join(F.broadcast(bench), "gh")
+        .groupBy("doc_id", "source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_ngrams"))
+    )
+
+
+def chunk1_doc_chunks(
+    documents: DataFrame, chunk: int = 64, stride: int = 48
+) -> DataFrame:
+    """Overlapping fixed-size token chunking — the context-window
+    splitting step of a training/RAG pipeline: each doc becomes chunks of
+    `chunk` tokens starting every `stride` tokens (overlap = chunk −
+    stride), last chunk ragged.
+
+    Map-only at 100 TB: sequence + posexplode + slice are all Column
+    algebra riding the scan — no shuffle, no Python, output partitioning
+    inherits the input's. One output row per chunk."""
+    toks = _norm_tokens()
+    base = (
+        documents.filter(F.col("text").isNotNull() & (F.trim(F.col("text")) != ""))
+        .select("doc_id", toks.alias("l"))
+    )
+    starts = F.sequence(F.lit(1), F.size("l"), F.lit(stride))
+    piece = F.slice(F.col("l"), F.col("start"), chunk)
+    return (
+        base.select("doc_id", F.col("l"), F.posexplode(starts).alias("chunk_idx", "start"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.size(piece).cast("bigint").alias("n_chunk_tokens"),
+            F.array_join(piece, " ").alias("chunk_text"),
+        )
+    )

@@ -331,3 +331,39 @@ def test_dup_clusters_are_transitive(spark):
     # and the chain was genuinely transitive if (1,3) wasn't a direct pair
     if (1, 3) not in pairs:
         assert True  # label propagation bridged the missing edge
+
+
+def test_repetition_stats_flags_boilerplate(spark):
+    rows = [
+        (1, "spam spam spam spam spam", "en", "s", 24),     # all bigrams identical
+        (2, "one two three four five", "en", "s", 23),      # all bigrams unique
+        (3, "solo", "en", "s", 4),                          # < 2 tokens → excluded
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    out = {r["doc_id"]: r for r in ts.rep1_repetition_stats(df).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n_ngrams"] == 4 and out[1]["n_uniq_ngrams"] == 1
+    assert out[1]["dup_ngram_ratio"] == 0.75 and out[1]["top_ngram_frac"] == 1.0
+    assert out[2]["dup_ngram_ratio"] == 0.0 and out[2]["top_ngram_frac"] == 0.25
+
+
+def test_decontamination_flags_benchmark_overlap(docs):
+    # doc 2 (src1) is an exact copy of the src0 benchmark doc; doc 3 is a
+    # near-copy (shares most trigrams); doc 4 shares none.
+    out = {r["doc_id"]: r["n_shared_ngrams"] for r in ts.decon1_benchmark_overlap(docs).collect()}
+    assert 2 in out and 3 in out and 4 not in out and 5 not in out
+    assert out[2] > out[3] > 0
+
+
+def test_chunking_covers_every_token_with_overlap(spark):
+    text = " ".join(f"tok{i}" for i in range(150))
+    df = spark.createDataFrame([(1, text, "en", "s", len(text))],
+                               ["doc_id", "text", "lang", "source", "n_chars"])
+    chunks = sorted(ts.chunk1_doc_chunks(df).collect(), key=lambda r: r["chunk_idx"])
+    # starts at 1, 49, 97, 145 → 4 chunks; last is ragged (150-145+1 = 6 tokens)
+    assert [c["n_chunk_tokens"] for c in chunks] == [64, 64, 54, 6]
+    assert chunks[0]["chunk_text"].startswith("tok0 ") and chunks[3]["chunk_text"] == " ".join(
+        f"tok{i}" for i in range(144, 150)
+    )
+    # consecutive chunks overlap by chunk - stride = 16 tokens
+    assert chunks[0]["chunk_text"].split()[48:] == chunks[1]["chunk_text"].split()[:16]
