@@ -37,6 +37,15 @@ the minimum of each on plain parquet + hard links):
   CHANGE DATA FEED      → changes()          (inode-pruned diff)
   VACUUM                → vacuum()
   OPTIMIZE / compaction → compact()
+  ALTER TABLE ADD COLUMN→ add_column()       (metadata-only evolution)
+
+Schema evolution semantics (add_column): adding a column is an O(1)
+metadata commit — NO data rewrite, matching Delta/Iceberg. Files written
+before the column existed simply lack it; reads merge schemas and fill
+the gap with the column's default. A column added WITH a default behaves
+like SQL `ADD COLUMN ... NOT NULL DEFAULT x` (reads coalesce NULL → x,
+so NULL is not representable in it); a column added without one is
+nullable and old rows read as NULL.
 Known limit vs a real table format: the advisory pid-liveness write lock
 is single-host; cross-host multi-writer needs a real format's atomic
 log commit (documented, not simulated).
@@ -82,19 +91,91 @@ class CustomerStore:
     def _latest_path(self) -> str:
         return os.path.join(self.root, "_LATEST")
 
+    @property
+    def _meta_path(self) -> str:
+        return os.path.join(self.root, "_META")
+
+    def _read_meta(self) -> dict:
+        with open(self._meta_path) as f:
+            return json.load(f)
+
+    def _write_meta(self, meta: dict) -> None:
+        tmp = self._meta_path + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._meta_path)
+
     def _load_or_init_meta(self, n_buckets: int) -> int:
         """Bucket count is a table property: fixed at creation, read back
         on open so every writer buckets identically."""
-        meta_path = os.path.join(self.root, "_META")
         try:
-            with open(meta_path) as f:
-                return int(json.load(f)["n_buckets"])
+            return int(self._read_meta()["n_buckets"])
         except (FileNotFoundError, KeyError, ValueError):
-            tmp = meta_path + f".tmp.{os.getpid()}"
-            with open(tmp, "w") as f:
-                json.dump({"n_buckets": n_buckets}, f)
-            os.replace(tmp, meta_path)
+            self._write_meta({"n_buckets": n_buckets})
             return n_buckets
+
+    # -- schema evolution ---------------------------------------------------
+    def _extras(self) -> list[dict]:
+        """Evolved columns [{name, type, default}], oldest first. Read
+        from _META on every call so concurrent processes observe an
+        add_column as soon as it commits."""
+        try:
+            return list(self._read_meta().get("extra_cols", []))
+        except (FileNotFoundError, ValueError):
+            return []
+
+    def _table_cols(self, extras: list[dict] | None = None) -> list[str]:
+        extras = self._extras() if extras is None else extras
+        return [f.name for f in CUSTOMER_SCHEMA.fields] + [e["name"] for e in extras]
+
+    def add_column(self, name: str, dtype: str, default=None) -> None:
+        """ALTER TABLE ADD COLUMN — metadata-only schema evolution.
+        O(1): no version commit, no data rewrite; every snapshot
+        (including time travel) reads with the widened schema, old files
+        fill with `default` (see module docstring for NULL semantics).
+        `dtype` is a Spark DDL type string ("string", "int", "double",
+        "timestamp", ...)."""
+        # validate the type string (and default castability) up front so a
+        # typo fails here, not in some later read
+        probe = self.spark.createDataFrame([], f"`{name}` {dtype}")
+        if default is not None:
+            probe.select(F.lit(default).cast(dtype)).schema  # noqa: B018
+        with self._write_lock():
+            meta = self._read_meta()
+            extras = meta.get("extra_cols", [])
+            taken = {f.name for f in CUSTOMER_SCHEMA.fields} | {e["name"] for e in extras}
+            if name in taken or name == "b":
+                raise ValueError(f"column already exists: {name}")
+            extras.append({"name": name, "type": dtype, "default": default})
+            meta["extra_cols"] = extras
+            self._write_meta(meta)
+
+    def _apply_extras(self, df: DataFrame, extras: list[dict]) -> DataFrame:
+        """Widen a physical scan to the logical schema: evolved columns
+        missing from every scanned file are added as default literals;
+        present ones coalesce NULL → default (files older than the column
+        return NULL for it under mergeSchema)."""
+        for e in extras:
+            d = F.lit(e["default"]).cast(e["type"])
+            if e["name"] not in df.columns:
+                df = df.withColumn(e["name"], d)
+            elif e["default"] is not None:
+                df = df.withColumn(e["name"], F.coalesce(F.col(e["name"]), d))
+        return df
+
+    def _conform(self, batch: DataFrame, extras: list[dict] | None = None) -> DataFrame:
+        """Project a writer's batch to the full table schema, defaulting
+        evolved columns the batch does not carry."""
+        extras = self._extras() if extras is None else extras
+        out = []
+        for f in CUSTOMER_SCHEMA.fields:
+            out.append(F.col(f.name))
+        for e in extras:
+            if e["name"] in batch.columns:
+                out.append(F.col(e["name"]).cast(e["type"]).alias(e["name"]))
+            else:
+                out.append(F.lit(e["default"]).cast(e["type"]).alias(e["name"]))
+        return batch.select(*out)
 
     def _current_version(self) -> int:
         try:
@@ -176,9 +257,8 @@ class CustomerStore:
         """Write a batch to a staging dir, partitioned by bucket.
         Runs OUTSIDE the lock (the expensive part)."""
         staging = os.path.join(self.root, f"staging_{os.getpid()}_{uuid.uuid4().hex[:8]}")
-        cols = [f.name for f in CUSTOMER_SCHEMA.fields]
         (
-            batch.select(*cols)
+            self._conform(batch)
             .withColumn("b", _bucket_col(self.n_buckets))
             # cluster rows by bucket before the write: without this every
             # task writes a file into every bucket it touches (tasks ×
@@ -242,13 +322,22 @@ class CustomerStore:
         """Time travel: scan snapshot `version` (every committed version
         is immutable and remains readable until vacuumed) — the
         `VERSION AS OF` surface of a lakehouse table format."""
+        extras = self._extras()
         if version < 0:
-            return self.spark.createDataFrame([], CUSTOMER_SCHEMA)
+            return self._apply_extras(
+                self.spark.createDataFrame([], CUSTOMER_SCHEMA), extras
+            )
         vdir = self._version_dir(version)
         if not os.path.isdir(vdir):
             raise FileNotFoundError(f"version {version} not found (vacuumed?): {vdir}")
-        cols = [f.name for f in CUSTOMER_SCHEMA.fields]
-        return self.spark.read.parquet(vdir).select(*cols)
+        reader = self.spark.read
+        if extras:
+            # snapshots can mix files written before/after an add_column —
+            # merge their footers into the widened schema
+            reader = reader.option("mergeSchema", "true")
+        return self._apply_extras(reader.parquet(vdir), extras).select(
+            *self._table_cols(extras)
+        )
 
     def versions(self) -> list[int]:
         """Committed snapshot versions still on disk, oldest first."""
@@ -279,7 +368,8 @@ class CustomerStore:
                 raise FileNotFoundError(
                     f"version {v} not found (vacuumed?): {self._version_dir(v)}"
                 )
-        cols = [f.name for f in CUSTOMER_SCHEMA.fields]
+        extras = self._extras()
+        cols = self._table_cols(extras)
 
         def _inodes(vdir: str) -> dict[str, frozenset]:
             return {
@@ -302,7 +392,9 @@ class CustomerStore:
         def _bucket_rows(vdir: str, present: dict) -> DataFrame:
             sel = [b for b in changed if b in present]
             if not sel:
-                return self.spark.createDataFrame([], CUSTOMER_SCHEMA)
+                return self._apply_extras(
+                    self.spark.createDataFrame([], CUSTOMER_SCHEMA), extras
+                )
             return self._read_buckets(vdir, sel).select(*cols)
 
         old = _bucket_rows(self._version_dir(v_from), old_map)
@@ -377,9 +469,14 @@ class CustomerStore:
         return removed
 
     def _read_buckets(self, version_dir: str, buckets: list[str]) -> DataFrame:
-        """Pruned scan of selected buckets (partition pruning by path)."""
+        """Pruned scan of selected buckets (partition pruning by path),
+        widened to the evolved schema like any other read."""
+        extras = self._extras()
         paths = [os.path.join(version_dir, b) for b in buckets]
-        return self.spark.read.option("basePath", version_dir).parquet(*paths)
+        reader = self.spark.read.option("basePath", version_dir)
+        if extras:
+            reader = reader.option("mergeSchema", "true")
+        return self._apply_extras(reader.parquet(*paths), extras)
 
     def append(self, batch: DataFrame) -> None:
         """S5: append a finalized batch as a new snapshot. No uniqueness
@@ -399,9 +496,9 @@ class CustomerStore:
         conflict path pays the recheck. Returns rows inserted."""
         from csv_crm_upload_spark.operators.dedup import anti_join_existing
 
-        cols = [f.name for f in CUSTOMER_SCHEMA.fields]
+        cols = self._table_cols()
         v_seen = self._current_version()
-        insertable = anti_join_existing(batch.select(*cols), self.read(), keys)
+        insertable = anti_join_existing(self._conform(batch), self.read(), keys)
         staging = self._stage(insertable)
         try:
             with self._write_lock():
@@ -447,7 +544,8 @@ class CustomerStore:
         from csv_crm_upload_spark.operators.dedup import dedupe_batch
         from csv_crm_upload_spark.operators.mutate import finalize_columns
 
-        cols = [f.name for f in CUSTOMER_SCHEMA.fields]
+        extras = self._extras()
+        cols = self._table_cols(extras)
         ts = F.lit(now).cast("timestamp") if now is not None else F.current_timestamp()
         src = dedupe_batch(source.select(*PENDING_COLUMNS))
         upd = F.broadcast(
@@ -498,7 +596,7 @@ class CustomerStore:
             n_skipped = insert_cand.count() - n_inserted
             if n_updated == 0 and n_inserted == 0:
                 return {"updated": 0, "inserted": 0, "skipped": n_skipped}
-            staged_df = finalize_columns(inserts, now=now).select(*cols)
+            staged_df = self._conform(finalize_columns(inserts, now=now), extras)
             if rewritten is not None:
                 staged_df = rewritten.unionByName(staged_df)
             staging = self._stage(staged_df)
