@@ -80,3 +80,124 @@ def compact(spark: SparkSession, path: str, target_files: int = 8) -> None:
     os.rename(path, backup)
     os.rename(tmp, path)
     shutil.rmtree(backup)
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering + zone-map file skipping — the data-skipping pair a
+# lakehouse OPTIMIZE ZORDER BY gives you, on plain parquet. Clustering
+# makes per-file min/max ranges NARROW on every clustered column at once;
+# the zone-map scan then skips files whose range cannot match a predicate.
+# At 100 TB this is the difference between "read 3 files" and "read the
+# table" for multi-column selective queries.
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 16  # per-column bucket resolution (16 bits → 65536 buckets)
+
+
+def _zvalue(df: DataFrame, cols: list[str]):
+    """Z-order key as a pure Column expression: linearly bucketize each
+    column into 16-bit space (width_bucket against the observed min/max —
+    one tiny agg job), then bit-interleave the buckets round-robin.
+    All JVM-side integer algebra; codegen keeps it in the scan stage."""
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"mn_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"mx_{c}") for c in cols],
+    ).collect()[0]
+    parts = []
+    for c in cols:
+        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        span = (mx - mn) or 1.0
+        b = F.least(
+            F.lit((1 << _Z_BITS) - 1),
+            F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * (1 << _Z_BITS)),
+        ).cast("long")
+        parts.append(b)
+    z = F.lit(0).cast("long")
+    k = len(cols)
+    for bit in range(_Z_BITS):
+        for j, b in enumerate(parts):
+            z = z + F.shiftleft(
+                F.shiftright(b, bit).bitwiseAND(F.lit(1)), bit * k + (k - 1 - j)
+            )
+    return z
+
+
+def cluster_zorder(df: DataFrame, path: str, cols: list[str], n_files: int = 16) -> None:
+    """OPTIMIZE ... ZORDER BY (cols): rewrite `df` so rows co-locate by
+    z-value — range-partitioned into n_files, sorted within each — giving
+    every output file a tight min/max envelope on EVERY clustered column.
+    One range shuffle (sampled boundaries), then a sorted write."""
+    z = _zvalue(df, cols)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def zonemap(path: str, cols: list[str]) -> list[dict]:
+    """Per-file min/max envelopes from parquet footers — metadata-only
+    (no row I/O), the scan planner's skipping index. Equivalent info to
+    a Delta add-file stats entry or an ORC/Iceberg zone map."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        f = os.path.join(path, name)
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        env = {"file": f}
+        for c in cols:
+            mn, mx = None, None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[c]).statistics
+                if st is None or not st.has_min_max:
+                    mn, mx = None, None
+                    break
+                mn = st.min if mn is None else min(mn, st.min)
+                mx = st.max if mx is None else max(mx, st.max)
+            env[c] = (mn, mx)
+        out.append(env)
+    return out
+
+
+def zonemap_scan(
+    spark: SparkSession, path: str, predicates: dict[str, tuple]
+) -> tuple[DataFrame, int, int]:
+    """File-skipping scan: read ONLY the files whose zone-map envelope
+    intersects every [lo, hi] predicate, then re-apply the predicates
+    exactly (the envelope is necessary, not sufficient). Returns
+    (DataFrame, files_read, files_total). Parquet row-group stats inside
+    the chosen files still prune further — this adds the FILE level a
+    plain directory scan lacks."""
+    from pyspark.sql import functions as F
+
+    zm = zonemap(path, list(predicates))
+    keep = []
+    for env in zm:
+        ok = True
+        for c, (lo, hi) in predicates.items():
+            mn, mx = env[c]
+            if mn is None or mx is None:  # no stats → cannot skip safely
+                continue
+            if mx < lo or mn > hi:
+                ok = False
+                break
+        if ok:
+            keep.append(env["file"])
+    if not keep:
+        df = spark.read.parquet(path).limit(0)
+    else:
+        df = spark.read.parquet(*keep)
+    for c, (lo, hi) in predicates.items():
+        df = df.filter((F.col(c) >= lo) & (F.col(c) <= hi))
+    return df, len(keep), len(zm)
