@@ -389,6 +389,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t("documents")(s, sf)
         ),
         "chunk1_doc_chunks": lambda s, sf: ts.chunk1_doc_chunks(_t("documents")(s, sf)),
+        "ohlc1_hourly_value": lambda s, sf: tpch.ohlc1_hourly_value(_t("events")(s, sf)),
+        "ts1_gapfill_hourly": lambda s, sf: tpch.ts1_gapfill_hourly(_t("events")(s, sf)),
     }
 
 
@@ -1490,5 +1492,43 @@ def oracle_sql() -> dict[str, str]:
                CAST(len(l[start : start + 63]) AS BIGINT) AS n_chunk_tokens,
                array_to_string(l[start : start + 63], ' ') AS chunk_text
         FROM s
+    """
+
+    q["ohlc1_hourly_value"] = """
+        WITH r AS (
+          SELECT date_trunc('hour', ts) AS h, event_type, value,
+                 first_value(value) OVER (
+                   PARTITION BY date_trunc('hour', ts), event_type
+                   ORDER BY ts, event_id) AS open_v,
+                 last_value(value) OVER (
+                   PARTITION BY date_trunc('hour', ts), event_type
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS close_v
+          FROM events
+        )
+        SELECT h AS window_start, event_type,
+               MIN(open_v) AS open, MAX(value) AS high,
+               MIN(value) AS low, MIN(close_v) AS close,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM r GROUP BY 1, 2
+    """
+
+    q["ts1_gapfill_hourly"] = """
+        WITH b AS (
+          SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+          FROM events
+        ),
+        spine AS (
+          SELECT unnest(generate_series(CAST(h0 AS TIMESTAMP), CAST(h1 AS TIMESTAMP),
+                                        INTERVAL 1 HOUR)) AS window_start
+          FROM b
+        ),
+        c AS (
+          SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+                 COUNT(*) AS n
+          FROM events GROUP BY 1
+        )
+        SELECT window_start, CAST(COALESCE(n, 0) AS BIGINT) AS n_events
+        FROM spine LEFT JOIN c USING (window_start)
     """
     return q

@@ -1086,3 +1086,68 @@ def stat1_price_quantity_stats(lineitem: DataFrame) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+def ohlc1_hourly_value(events: DataFrame) -> DataFrame:
+    """Hourly OHLC candlesticks per event type — the time-series rollup a
+    hypertable/continuous-aggregate system serves (open/high/low/close of
+    `value` per hour bucket). Open/close are defined by the deterministic
+    event order (ts, event_id) so the result is engine-reproducible even
+    under timestamp ties.
+
+    One shuffle + sort on (hour, event_type); open/close come from
+    first_value/last_value over the full frame, reduced in the same
+    grouped pass (they are partition constants, so min() is exact)."""
+    h = F.date_trunc("hour", F.col("ts"))
+    wf = Window.partitionBy("h", "event_type").orderBy("ts", "event_id")
+    wall = wf.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    per_row = events.select(
+        h.alias("h"), "event_type", "value", "ts", "event_id"
+    ).select(
+        "h",
+        "event_type",
+        "value",
+        F.first("value").over(wf).alias("open_v"),
+        F.last("value").over(wall).alias("close_v"),
+    )
+    return (
+        per_row.groupBy("h", "event_type")
+        .agg(
+            F.min("open_v").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.min("close_v").alias("close"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+        .select(
+            F.col("h").alias("window_start"),
+            "event_type", "open", "high", "low", "close", "n_events",
+        )
+    )
+
+
+def ts1_gapfill_hourly(events: DataFrame) -> DataFrame:
+    """Gap-filled hourly event counts — time_bucket_gapfill: every hour
+    between the observed min and max appears, zero-count hours included
+    (the downstream chart/model never has to infer missing buckets).
+
+    The hour spine is generated FROM the bounds row (sequence + explode
+    on a 1-row aggregate — no cartesian, no driver loop); the left join
+    to the grouped counts is between two tiny keyed sides, so AQE
+    broadcasts it. Scale: output cardinality is time-span/hour, not
+    row count."""
+    hour = F.date_trunc("hour", F.col("ts"))
+    bounds = events.agg(
+        F.min(hour).alias("h0"), F.max(hour).alias("h1")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("interval 1 hour"))
+        ).alias("window_start")
+    )
+    counts = events.groupBy(hour.alias("window_start")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return spine.join(counts, "window_start", "left").select(
+        "window_start", F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events")
+    )

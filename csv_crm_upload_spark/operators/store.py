@@ -412,22 +412,37 @@ class CustomerStore:
             .select("email", "_change_type", *[c for c in cols if c != "email"])
         )
 
-    def compact(self) -> int:
+    def compact(self, zorder_by: list[str] | None = None) -> int:
         """Bin-pack every bucket to one file in a NEW snapshot (readers of
         older versions are untouched — compaction is just another commit).
         Each append links the prior version's files and adds its own, so
         a long append chain accumulates files per bucket; compaction
-        resets that to one file per bucket. Returns the new version."""
+        resets that to one file per bucket. Returns the new version.
+
+        `zorder_by` additionally clusters rows WITHIN each bucket by the
+        interleaved-bit z-value of the given columns (OPTIMIZE ... ZORDER
+        BY): parquet row-group min/max envelopes on those columns become
+        tight, so point/range scans inside a bucket skip row groups —
+        the intra-bucket analog of the zone-map file skipping in
+        operators/layout.py."""
         with self._write_lock():
             v = self._current_version()
             if v < 0:
                 return -1
             table = self.read()
             staging = os.path.join(self.root, f"staging_{os.getpid()}_{uuid.uuid4().hex[:8]}")
+            sort_cols = ["b"]
+            if zorder_by:
+                from csv_crm_upload_spark.operators.layout import _zvalue
+
+                table = table.withColumn("_z", _zvalue(table, zorder_by))
+                sort_cols = ["b", "_z"]
             try:
                 (
                     table.withColumn("b", _bucket_col(self.n_buckets))
                     .repartition(self.n_buckets, "b")
+                    .sortWithinPartitions(*sort_cols)
+                    .drop("_z")
                     .write.mode("overwrite")
                     .partitionBy("b")
                     .parquet(staging)

@@ -487,3 +487,39 @@ def test_store_compaction_binpacks_buckets(spark, tmp_path):
     assert sorted(r["email"] for r in store.read().collect()) == before_rows
     # prior version untouched and still readable
     assert store.read_version(v_before).count() == 20
+
+
+def test_compact_zorder_sorts_within_buckets(spark, tmp_path):
+    """compact(zorder_by=[col]) must preserve the table exactly AND leave
+    each bucket file physically ordered by the z-value (for a single
+    column, z-order degenerates to a plain sort → assert ids ascending
+    per file, which is what makes row-group stats tight)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    store = _fresh_store(spark, tmp_path)
+    # a second append so buckets hold >1 file pre-compaction
+    store.append(
+        finalize_columns(
+            spark.createDataFrame(
+                [(i, f"n{i}", "x", f"u{i}@x.com", str(i)) for i in range(10, 40)], COLS
+            )
+        )
+    )
+    before = sorted(r["id"] for r in store.read().collect())
+    v = store.compact(zorder_by=["id"])
+    assert v == store._current_version()
+    after = sorted(r["id"] for r in store.read().collect())
+    assert after == before
+    vdir = store._version_dir(v)
+    checked = 0
+    for b in os.listdir(vdir):
+        if not b.startswith("b="):
+            continue
+        for f in os.listdir(os.path.join(vdir, b)):
+            if f.endswith(".parquet"):
+                ids = pq.read_table(os.path.join(vdir, b, f), columns=["id"])["id"].to_pylist()
+                assert ids == sorted(ids), f"bucket {b} not z-sorted"
+                checked += 1
+    assert checked > 0
