@@ -66,6 +66,10 @@ def main(argv: list[str] | None = None) -> int:
     _add_store_args(pm)
     pm.add_argument("--noheader", action="store_true", help="CSV has no header row")
 
+    pd = sub.add_parser("delete", help="delete rows matching a SQL predicate")
+    pd.add_argument("--where", required=True, help="SQL predicate, e.g. \"email LIKE '%@old.com'\"")
+    _add_store_args(pd)
+
     pp = sub.add_parser("pending", help="show customers pending upload")
     _add_store_args(pp)
     pp.add_argument("--limit", type=int, default=20)
@@ -130,6 +134,9 @@ def main(argv: list[str] | None = None) -> int:
         )
         res = store.merge(clean)
         print(f"updated={res['updated']} inserted={res['inserted']} skipped={res['skipped']}")
+    elif args.cmd == "delete":
+        n = store.delete(args.where)
+        print(f"deleted={n}")
     elif args.cmd == "pending":
         pending = store.pending()
         n = pending.count()

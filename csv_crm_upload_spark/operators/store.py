@@ -32,6 +32,7 @@ the packages are absent from this environment, so the store implements
 the minimum of each on plain parquet + hard links):
   MERGE INTO            → merge()            (bucket-pruned upsert)
   UPDATE ... WHERE      → mark_uploaded()    (pruned keyed rewrite)
+  DELETE ... WHERE      → delete()           (pruned predicate delete)
   VERSION AS OF         → read_version()
   RESTORE               → restore()
   CHANGE DATA FEED      → changes()          (inode-pruned diff)
@@ -330,6 +331,11 @@ class CustomerStore:
         vdir = self._version_dir(version)
         if not os.path.isdir(vdir):
             raise FileNotFoundError(f"version {version} not found (vacuumed?): {vdir}")
+        if not self._bucket_dirs(vdir):
+            # a legal empty snapshot (e.g. delete() removed every row)
+            return self._apply_extras(
+                self.spark.createDataFrame([], CUSTOMER_SCHEMA), extras
+            )
         reader = self.spark.read
         if extras:
             # snapshots can mix files written before/after an add_column —
@@ -620,6 +626,48 @@ class CustomerStore:
             finally:
                 shutil.rmtree(staging, ignore_errors=True)
         return {"updated": n_updated, "inserted": n_inserted, "skipped": n_skipped}
+
+    def delete(self, condition) -> int:
+        """DELETE FROM customers WHERE <condition> — the remaining
+        lakehouse mutation verb. `condition` is a SQL predicate string or
+        a Column; rows where it evaluates TRUE are removed (false and
+        NULL rows are kept — SQL DELETE semantics).
+
+        Bucket-pruned like every other mutation: one predicate-pushed
+        scan finds which buckets contain matches (≤ n_buckets rows
+        collected), only those buckets are rewritten without the matching
+        rows, the rest hard-link into the new version. A bucket whose
+        rows all match simply disappears from the new snapshot. The CDC
+        feed (changes()) reports the removed rows as `delete`.
+        Returns the number of rows deleted."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        is_hit = F.coalesce(cond, F.lit(False))
+        with self._write_lock():
+            v = self._current_version()
+            if v < 0:
+                return 0
+            vdir = self._version_dir(v)
+            all_buckets = sorted(self._bucket_dirs(vdir))
+            if not all_buckets:
+                return 0
+            full = self._read_buckets(vdir, all_buckets)  # carries b
+            hit_buckets = {
+                f"b={r['b']}"
+                for r in full.filter(is_hit).select("b").distinct().collect()
+            }
+            affected = sorted(hit_buckets)
+            if not affected:
+                return 0
+            sub = self._read_buckets(vdir, affected)
+            n_deleted = sub.filter(is_hit).count()
+            kept = sub.filter(~is_hit)
+            staging = os.path.join(self.root, f"staging_{os.getpid()}_{uuid.uuid4().hex[:8]}")
+            try:
+                kept.write.mode("overwrite").partitionBy("b").parquet(staging)
+                self._commit_merge(staging, replace_buckets=set(affected))
+            finally:
+                shutil.rmtree(staging, ignore_errors=True)
+        return n_deleted
 
     def pending(self) -> DataFrame:
         """F1+P1: `SELECT id, first_name, last_name, email, phone FROM

@@ -197,3 +197,13 @@ class JdbcCustomerStore:
             return self._execute(_update_sql(self.table, hits, now_literal))
         finally:
             self._execute(f"DROP TABLE {hits}")
+
+    def delete(self, where_sql: str) -> int:
+        """DELETE FROM customers WHERE <where_sql> — one set-based
+        server-side statement (the relational store's native verb; the
+        parquet store's delete() mirrors it with a pruned rewrite).
+        `where_sql` is a raw SQL predicate supplied by the operator — it
+        is interpolated, not parameterized, so treat it as trusted CLI
+        input (same trust level as the psql prompt it replaces).
+        Returns rows deleted."""
+        return self._execute(f"DELETE FROM {self.table} WHERE {where_sql}")

@@ -180,3 +180,11 @@ def test_streaming_ingest_into_jdbc_store(spark, jdbc_store, tmp_path):
     q2 = run_ingest_stream(spark, str(inp), jdbc_store, str(tmp_path / "ckpt"), header=False)
     q2.awaitTermination(120)
     assert jdbc_store.read().count() == 3
+
+
+def test_jdbc_delete_where(spark, jdbc_store):
+    jdbc_store.append(_finalized(spark, ROWS))
+    n = jdbc_store.delete("email = 'jon@x.com'")
+    assert n == 1
+    assert {r["email"] for r in jdbc_store.read().collect()} == {"jane@x.com", "ann@x.com"}
+    assert jdbc_store.delete("email = 'nobody@x.com'") == 0

@@ -523,3 +523,61 @@ def test_compact_zorder_sorts_within_buckets(spark, tmp_path):
                 assert ids == sorted(ids), f"bucket {b} not z-sorted"
                 checked += 1
     assert checked > 0
+
+
+def test_delete_where_removes_only_matches(spark, tmp_path):
+    """DELETE ... WHERE: matching rows go, NULL-predicate rows stay (SQL
+    semantics), untouched buckets hard-link (inode check), and the CDC
+    feed reports the removals as delete."""
+    import os
+
+    store = _fresh_store(spark, tmp_path)
+    v0 = store._current_version()
+
+    def inodes():
+        out = {}
+        vdir = store._version_dir(store._current_version())
+        for b in os.listdir(vdir):
+            if b.startswith("b="):
+                p = os.path.join(vdir, b)
+                out[b] = frozenset(
+                    os.stat(os.path.join(p, f)).st_ino for f in os.listdir(p)
+                )
+        return out
+
+    before = inodes()
+    # phone of id=3 is "3"; predicate is NULL for rows with NULL phone
+    n = store.delete("id >= 4")
+    assert n == 2
+    after = inodes()
+    left = {r["id"] for r in store.read().collect()}
+    assert left == {1, 2, 3}
+    # buckets without a deleted row must carry their files by hard link
+    untouched = [b for b in before if b in after and before[b] == after[b]]
+    assert untouched, "every bucket rewritten — delete is not pruned"
+    feed = store.changes(v0)
+    dels = {r["id"] for r in feed.filter("_change_type = 'delete'").collect()}
+    assert dels == {4, 5}
+
+
+def test_delete_null_predicate_rows_are_kept(spark, tmp_path):
+    store = _fresh_store(spark, tmp_path)
+    store.append(
+        finalize_columns(
+            spark.createDataFrame(
+                [(9, "no", "phone", "np@x.com", None)],
+                "id long, first_name string, last_name string, email string, phone string",
+            )
+        )
+    )
+    # phone IS NULL for id=9 → predicate NULL → row kept
+    n = store.delete("phone = 'nope'")
+    assert n == 0
+    assert store.read().count() == 6
+
+
+def test_delete_whole_bucket_disappears(spark, tmp_path):
+    store = _fresh_store(spark, tmp_path)
+    n = store.delete("id <= 5")
+    assert n == 5
+    assert store.read().count() == 0
