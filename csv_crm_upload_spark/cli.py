@@ -70,6 +70,9 @@ def main(argv: list[str] | None = None) -> int:
     pd.add_argument("--where", required=True, help="SQL predicate, e.g. \"email LIKE '%@old.com'\"")
     _add_store_args(pd)
 
+    ph = sub.add_parser("history", help="show the store's commit history (DESCRIBE HISTORY)")
+    _add_store_args(ph)
+
     pp = sub.add_parser("pending", help="show customers pending upload")
     _add_store_args(pp)
     pp.add_argument("--limit", type=int, default=20)
@@ -137,6 +140,13 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "delete":
         n = store.delete(args.where)
         print(f"deleted={n}")
+    elif args.cmd == "history":
+        import json as _json
+
+        if not hasattr(store, "history"):
+            raise SystemExit("history requires the versioned parquet store (--store)")
+        for entry in store.history():
+            print(_json.dumps(entry))
     elif args.cmd == "pending":
         pending = store.pending()
         n = pending.count()

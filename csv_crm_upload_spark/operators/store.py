@@ -188,11 +188,43 @@ class CustomerStore:
     def _version_dir(self, v: int) -> str:
         return os.path.join(self.root, f"v{v:08d}")
 
-    def _commit(self, v: int) -> None:
+    def _commit(self, v: int, op: str = "write", metrics: dict | None = None) -> None:
+        # commit metadata rides inside the version dir (underscore-prefixed
+        # → invisible to Spark's partition discovery) and is written BEFORE
+        # the pointer swap, so a version is never visible without its
+        # history entry
+        info = {
+            "version": v,
+            "operation": op,
+            "timestamp": time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime()),
+            "metrics": metrics or {},
+        }
+        vdir = self._version_dir(v)
+        if os.path.isdir(vdir):
+            with open(os.path.join(vdir, "_COMMIT.json"), "w") as f:
+                json.dump(info, f)
         tmp = self._latest_path + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(v))
         os.replace(tmp, self._latest_path)  # atomic pointer swap
+
+    def history(self) -> list[dict]:
+        """DESCRIBE HISTORY: one entry per still-on-disk snapshot, newest
+        first — operation, UTC timestamp, and operation metrics (rows
+        inserted/updated/deleted...). Versions vacuumed away are gone;
+        versions committed by pre-history builds read as operation
+        'unknown'. Driver-side metadata (O(versions)), no Spark job."""
+        out = []
+        for v in sorted(self.versions(), reverse=True):
+            path = os.path.join(self._version_dir(v), "_COMMIT.json")
+            try:
+                with open(path) as f:
+                    out.append(json.load(f))
+            except (FileNotFoundError, ValueError):
+                out.append(
+                    {"version": v, "operation": "unknown", "timestamp": None, "metrics": {}}
+                )
+        return out
 
     @contextlib.contextmanager
     def _write_lock(self, timeout_s: float = 60.0):
@@ -294,7 +326,13 @@ class CustomerStore:
             if name.endswith(".parquet"):
                 os.link(os.path.join(src_dir, name), os.path.join(dst_dir, name))
 
-    def _commit_merge(self, staging: str, replace_buckets: set[str] = frozenset()) -> int:
+    def _commit_merge(
+        self,
+        staging: str,
+        replace_buckets: set[str] = frozenset(),
+        op: str = "append",
+        metrics: dict | None = None,
+    ) -> int:
         """Create version v+1 = prev version ∪ staged buckets. MUST be
         called inside the write lock. Buckets named in `replace_buckets`
         take ONLY the staged files (U1 rewrite); all other prior buckets
@@ -310,7 +348,7 @@ class CustomerStore:
                 self._link_files(bpath, os.path.join(new_dir, bname))
         for bname, bpath in staged.items():
             self._link_files(bpath, os.path.join(new_dir, bname))
-        self._commit(new_v)
+        self._commit(new_v, op=op, metrics=metrics)
         return new_v
 
     # -- operators ----------------------------------------------------------
@@ -454,7 +492,12 @@ class CustomerStore:
                     .parquet(staging)
                 )
                 all_buckets = set(self._bucket_dirs(self._version_dir(v)))
-                return self._commit_merge(staging, replace_buckets=all_buckets)
+                return self._commit_merge(
+                    staging,
+                    replace_buckets=all_buckets,
+                    op="compact",
+                    metrics={"zorder_by": list(zorder_by or [])},
+                )
             finally:
                 shutil.rmtree(staging, ignore_errors=True)
 
@@ -473,7 +516,7 @@ class CustomerStore:
             os.makedirs(new_dir, exist_ok=True)
             for bname, bpath in self._bucket_dirs(vdir).items():
                 self._link_files(bpath, os.path.join(new_dir, bname))
-            self._commit(new_v)
+            self._commit(new_v, op="restore", metrics={"restored_version": version})
         return new_v
 
     def vacuum(self, keep_last: int = 1) -> list[int]:
@@ -537,7 +580,9 @@ class CustomerStore:
                     staging = restaged
                 inserted = self.spark.read.parquet(staging).count() if self._bucket_dirs(staging) else 0
                 if inserted > 0:
-                    self._commit_merge(staging)
+                    self._commit_merge(
+                        staging, op="append_unique", metrics={"rows_inserted": inserted}
+                    )
         finally:
             shutil.rmtree(staging, ignore_errors=True)
         return inserted
@@ -622,7 +667,16 @@ class CustomerStore:
                 staged_df = rewritten.unionByName(staged_df)
             staging = self._stage(staged_df)
             try:
-                self._commit_merge(staging, replace_buckets=set(affected))
+                self._commit_merge(
+                    staging,
+                    replace_buckets=set(affected),
+                    op="merge",
+                    metrics={
+                        "rows_updated": n_updated,
+                        "rows_inserted": n_inserted,
+                        "rows_skipped": n_skipped,
+                    },
+                )
             finally:
                 shutil.rmtree(staging, ignore_errors=True)
         return {"updated": n_updated, "inserted": n_inserted, "skipped": n_skipped}
@@ -664,7 +718,12 @@ class CustomerStore:
             staging = os.path.join(self.root, f"staging_{os.getpid()}_{uuid.uuid4().hex[:8]}")
             try:
                 kept.write.mode("overwrite").partitionBy("b").parquet(staging)
-                self._commit_merge(staging, replace_buckets=set(affected))
+                self._commit_merge(
+                    staging,
+                    replace_buckets=set(affected),
+                    op="delete",
+                    metrics={"rows_deleted": n_deleted},
+                )
             finally:
                 shutil.rmtree(staging, ignore_errors=True)
         return n_deleted
@@ -710,7 +769,12 @@ class CustomerStore:
             staging = os.path.join(self.root, f"staging_{os.getpid()}_{uuid.uuid4().hex[:8]}")
             try:
                 updated.write.mode("overwrite").partitionBy("b").parquet(staging)
-                self._commit_merge(staging, replace_buckets=set(affected))
+                self._commit_merge(
+                    staging,
+                    replace_buckets=set(affected),
+                    op="update",
+                    metrics={"rows_updated": flipped},
+                )
             finally:
                 shutil.rmtree(staging, ignore_errors=True)
         return flipped

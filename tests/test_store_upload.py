@@ -581,3 +581,28 @@ def test_delete_whole_bucket_disappears(spark, tmp_path):
     n = store.delete("id <= 5")
     assert n == 5
     assert store.read().count() == 0
+
+
+def test_history_records_operations_and_metrics(spark, tmp_path):
+    """DESCRIBE HISTORY surface: every mutation leaves a typed entry with
+    its row metrics, newest first, surviving vacuum for kept versions."""
+    store = _fresh_store(spark, tmp_path)                      # v0 append
+    store.mark_uploaded(spark.createDataFrame([("jon@x.com",)], ["email"]))  # v1
+    store.delete("id = 5")                                     # v2
+    store.merge(
+        spark.createDataFrame([(2, "j", "d", "jane@x.com", "2"),
+                               (6, "new", "p", "new@x.com", "6")], COLS)
+    )                                                          # v3
+    store.compact(zorder_by=["id"])                            # v4
+    hist = store.history()
+    assert [h["version"] for h in hist] == [4, 3, 2, 1, 0]
+    ops = {h["version"]: h["operation"] for h in hist}
+    assert ops == {0: "append", 1: "update", 2: "delete", 3: "merge", 4: "compact"}
+    m = {h["version"]: h["metrics"] for h in hist}
+    assert m[1] == {"rows_updated": 1}
+    assert m[2] == {"rows_deleted": 1}
+    assert m[3] == {"rows_updated": 1, "rows_inserted": 1, "rows_skipped": 0}
+    assert m[4] == {"zorder_by": ["id"]}
+    assert all(h["timestamp"] for h in hist)
+    store.vacuum(keep_last=2)
+    assert [h["version"] for h in store.history()] == [4, 3]
