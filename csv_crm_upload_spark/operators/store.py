@@ -587,7 +587,24 @@ class CustomerStore:
             shutil.rmtree(staging, ignore_errors=True)
         return inserted
 
-    def merge(self, source: DataFrame, now=None) -> dict[str, int]:
+    def _record_txn(self, app_id: str, version: int) -> None:
+        """Record an idempotent-writer watermark. MUST be called inside
+        the write lock (read-modify-write of _META)."""
+        meta = self._read_meta()
+        txn = meta.get("txn", {})
+        txn[app_id] = max(int(txn.get(app_id, -1)), int(version))
+        meta["txn"] = txn
+        self._write_meta(meta)
+
+    def last_txn(self, app_id: str) -> int:
+        """Highest transaction version recorded for an idempotent writer
+        (Delta's txnAppId/txnVersion surface); -1 if never seen."""
+        try:
+            return int(self._read_meta().get("txn", {}).get(app_id, -1))
+        except (FileNotFoundError, ValueError):
+            return -1
+
+    def merge(self, source: DataFrame, now=None, txn: tuple[str, int] | None = None) -> dict[str, int]:
         """MERGE INTO — the Delta/Iceberg upsert surface on the versioned
         store, keyed on email (the reference's idempotency key):
         WHEN MATCHED → update first_name/last_name/phone, refresh
@@ -606,6 +623,15 @@ class CustomerStore:
         one consistent snapshot transition).
 
         Returns {"updated": n, "inserted": n, "skipped": n}.
+
+        `txn=(app_id, version)` makes the merge an IDEMPOTENT WRITER
+        transaction (Delta's txnAppId/txnVersion): if `version` ≤ the
+        last recorded version for `app_id`, the merge is a no-op
+        ({"applied": False}) — the foreachBatch replay-after-restart
+        guard. The marker is recorded under the same write lock after the
+        data commit; a crash between the two re-applies the batch once,
+        which MERGE absorbs (same keys re-update to the same values, no
+        duplicate inserts) — at-least-once commit, exactly-once effect.
         """
         from csv_crm_upload_spark.operators.dedup import dedupe_batch
         from csv_crm_upload_spark.operators.mutate import finalize_columns
@@ -623,6 +649,11 @@ class CustomerStore:
             )
         )
         with self._write_lock():
+            if txn is not None:
+                app_id, txn_v = txn
+                meta = self._read_meta()
+                if int(meta.get("txn", {}).get(app_id, -1)) >= txn_v:
+                    return {"updated": 0, "inserted": 0, "skipped": 0, "applied": False}
             v = self._current_version()
             vdir = self._version_dir(v)
             if v >= 0:
@@ -661,6 +692,8 @@ class CustomerStore:
             n_inserted = inserts.count()
             n_skipped = insert_cand.count() - n_inserted
             if n_updated == 0 and n_inserted == 0:
+                if txn is not None:
+                    self._record_txn(*txn)
                 return {"updated": 0, "inserted": 0, "skipped": n_skipped}
             staged_df = self._conform(finalize_columns(inserts, now=now), extras)
             if rewritten is not None:
@@ -677,6 +710,8 @@ class CustomerStore:
                         "rows_skipped": n_skipped,
                     },
                 )
+                if txn is not None:
+                    self._record_txn(*txn)
             finally:
                 shutil.rmtree(staging, ignore_errors=True)
         return {"updated": n_updated, "inserted": n_inserted, "skipped": n_skipped}

@@ -234,3 +234,34 @@ def run_ingest_upload_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_merge_stream(
+    spark: SparkSession,
+    input_dir: str,
+    store: CustomerStore,
+    checkpoint_dir: str,
+    app_id: str = "merge-stream",
+    header: bool = True,
+    available_now: bool = True,
+):
+    """Streaming CDC-apply: a directory of upsert CSVs MERGEs into the
+    versioned store with exactly-once EFFECT — the streaming-upsert sink
+    a lakehouse serves with `foreachBatch + MERGE + txnAppId`.
+
+    foreachBatch re-delivers a batch after a crash (at-least-once); the
+    (app_id, batch_id) transaction marker recorded by store.merge turns
+    the replay into a no-op, and MERGE's key-idempotency absorbs the one
+    unprotected crash window (marker-not-yet-written). Validation rejects
+    never reach the table. Returns the StreamingQuery."""
+    from csv_crm_upload_spark.operators.validate import validate_split
+
+    def process(batch_df, batch_id: int) -> None:
+        clean, _quarantine = validate_split(batch_df)
+        store.merge(clean, txn=(app_id, batch_id))
+
+    stream = read_customers_csv_stream(spark, input_dir, header=header)
+    writer = stream.writeStream.foreachBatch(process).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
