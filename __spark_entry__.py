@@ -391,6 +391,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk1_doc_chunks": lambda s, sf: ts.chunk1_doc_chunks(_t("documents")(s, sf)),
         "ohlc1_hourly_value": lambda s, sf: tpch.ohlc1_hourly_value(_t("events")(s, sf)),
         "ts1_gapfill_hourly": lambda s, sf: tpch.ts1_gapfill_hourly(_t("events")(s, sf)),
+        # derived-partsupp TPC-H completion (Q2/Q9/Q11/Q16/Q20): partsupp is
+        # built deterministically from part × supplier with the identical
+        # integer arithmetic in the oracle CTE — see tpch.derived_partsupp
+        "q2_min_cost_supplier": lambda s, sf: tpch.q2_min_cost_supplier(
+            _t("part")(s, sf), _t("supplier")(s, sf), _t("nation")(s, sf), _t("region")(s, sf)
+        ),
+        "q9_product_type_profit": lambda s, sf: tpch.q9_product_type_profit(
+            _t("part")(s, sf),
+            _t("supplier")(s, sf),
+            _t("nation")(s, sf),
+            _t("orders")(s, sf),
+            _t("lineitem")(s, sf),
+        ),
+        "q11_important_stock": lambda s, sf: tpch.q11_important_stock(
+            _t("part")(s, sf), _t("supplier")(s, sf), _t("nation")(s, sf), _t("region")(s, sf)
+        ),
+        "q16_parts_supplier_relationship": lambda s, sf: tpch.q16_parts_supplier_relationship(
+            _t("part")(s, sf), _t("supplier")(s, sf)
+        ),
+        "q20_potential_promotion": lambda s, sf: tpch.q20_potential_promotion(
+            _t("part")(s, sf),
+            _t("supplier")(s, sf),
+            _t("nation")(s, sf),
+            _t("region")(s, sf),
+            _t("lineitem")(s, sf),
+        ),
     }
 
 
@@ -1530,5 +1556,130 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT window_start, CAST(COALESCE(n, 0) AS BIGINT) AS n_events
         FROM spine LEFT JOIN c USING (window_start)
+    """
+
+    # -- derived-partsupp TPC-H completion ---------------------------------
+    # The same deterministic derivation as tpch.derived_partsupp, as a CTE:
+    # 4 suppliers per part at stride floor(n_supp/4); availqty and
+    # supplycost (integer cents) from exact integer arithmetic.
+    partsupp_cte = """
+        s_cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_supp FROM supplier),
+        ps0 AS (
+          SELECT p_partkey AS ps_partkey,
+                 (p_partkey + i.i * CAST(FLOOR(n_supp / 4) AS BIGINT)) % n_supp AS ps_suppkey
+          FROM part CROSS JOIN s_cnt
+               CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (1), (2), (3)) AS i(i)
+        ),
+        partsupp AS (
+          SELECT ps_partkey, ps_suppkey,
+                 CAST(1 + (ps_partkey * 37 + ps_suppkey * 71) % 9999 AS BIGINT) AS ps_availqty,
+                 CAST(100 * (1 + (ps_partkey * 13 + ps_suppkey * 7) % 900)
+                      + ps_partkey % 100 AS BIGINT) AS ps_supplycost_cents
+          FROM ps0
+        )
+    """
+
+    q["q2_min_cost_supplier"] = f"""
+        WITH {partsupp_cte},
+        eligible AS (
+          SELECT ps_partkey, ps_supplycost_cents, s_acctbal, s_name, n_name
+          FROM partsupp
+          JOIN supplier ON ps_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          JOIN part ON ps_partkey = p_partkey
+          WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+        )
+        SELECT s_acctbal, s_name, n_name, ps_partkey AS p_partkey,
+               round(ps_supplycost_cents / 100.0, 2) AS supply_cost
+        FROM eligible e
+        WHERE ps_supplycost_cents = (
+          SELECT MIN(ps_supplycost_cents) FROM eligible e2
+          WHERE e2.ps_partkey = e.ps_partkey
+        )
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """
+
+    q["q9_product_type_profit"] = f"""
+        WITH {partsupp_cte}
+        SELECT n_name AS nation,
+               CAST(YEAR(o_orderdate) AS INT) AS o_year,
+               round(CAST(SUM(
+                 CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                           * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                      AS DECIMAL(28,8)) * CAST(100 AS DECIMAL(3,0)) AS DECIMAL(37,8))
+                 - CAST(CAST(CAST(ps_supplycost_cents AS DECIMAL(18,2))
+                             * CAST(l_quantity AS DECIMAL(18,4))
+                        AS DECIMAL(28,8)) AS DECIMAL(37,8))
+               ) AS DOUBLE), 4) AS sum_profit_cents
+        FROM lineitem
+        JOIN partsupp ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        JOIN part ON ps_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE p_name LIKE '%bolt%'
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """
+
+    q["q11_important_stock"] = f"""
+        WITH {partsupp_cte},
+        per_part AS (
+          SELECT ps_partkey,
+                 CAST(SUM(ps_supplycost_cents * ps_availqty) AS BIGINT) AS value_cents
+          FROM partsupp
+          JOIN supplier ON ps_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'ASIA'
+          GROUP BY ps_partkey
+        )
+        SELECT ps_partkey, value_cents
+        FROM per_part
+        WHERE value_cents * 10000 > (SELECT CAST(SUM(value_cents) AS BIGINT) FROM per_part)
+        ORDER BY value_cents DESC, ps_partkey
+    """
+
+    q["q16_parts_supplier_relationship"] = f"""
+        WITH {partsupp_cte}
+        SELECT p_brand, p_type, p_size,
+               CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+        FROM partsupp
+        JOIN part ON ps_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_size IN (1, 4, 7, 11, 14, 23, 36, 49)
+          AND ps_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 100.0
+          )
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """
+
+    q["q20_potential_promotion"] = f"""
+        WITH {partsupp_cte},
+        shipped AS (
+          SELECT l_partkey, l_suppkey,
+                 SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qty
+          FROM lineitem
+          JOIN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%') rp
+            ON l_partkey = rp.p_partkey
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+          GROUP BY l_partkey, l_suppkey
+        )
+        SELECT s_name, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+          AND s_suppkey IN (
+            SELECT ps_suppkey
+            FROM partsupp
+            JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+            WHERE CAST(ps_availqty AS DECIMAL(18,4)) * 2 > qty
+          )
+        ORDER BY s_name
     """
     return q

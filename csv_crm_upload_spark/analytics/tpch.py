@@ -1151,3 +1151,264 @@ def ts1_gapfill_hourly(events: DataFrame) -> DataFrame:
     return spine.join(counts, "window_start", "left").select(
         "window_start", F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events")
     )
+
+
+# ---------------------------------------------------------------------------
+# Derived-partsupp TPC-H completion: Q2 / Q9 / Q11 / Q16 / Q20
+# ---------------------------------------------------------------------------
+
+def derived_partsupp(part: DataFrame, supplier: DataFrame) -> DataFrame:
+    """The driver testdata ships no `partsupp` table, so the five TPC-H
+    queries that need one (Q2/Q9/Q11/Q16/Q20) derive it DETERMINISTICALLY
+    from part × supplier, mirroring dbgen's stride assignment (4 suppliers
+    per part at stride n_supp/4 — TPC-H spec §4.2.3). The DuckDB oracle
+    builds the identical table with identical integer arithmetic, so every
+    query downstream hash-compares exactly.
+
+    ps_supplycost is carried as INTEGER CENTS (bigint) end to end — money
+    stays in exact integer arithmetic in both engines and converts to
+    dollars only at the output edge.
+
+    Plan shape: map-side 4× row generation over the part scan plus a
+    broadcast of the 1-row supplier count — no shuffle. At 100 TB the
+    table is never materialized; it fuses into whichever join consumes it.
+    """
+    n_supp = F.broadcast(
+        supplier.agg(F.count(F.lit(1)).cast("long").alias("n_supp"))
+    )
+    ps0 = (
+        part.crossJoin(n_supp)
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            F.col("n_supp"),
+            F.explode(F.array(*[F.lit(i).cast("long") for i in range(4)])).alias("i"),
+        )
+        .select(
+            "ps_partkey",
+            (
+                (F.col("ps_partkey") + F.col("i") * F.floor(F.col("n_supp") / 4).cast("long"))
+                % F.col("n_supp")
+            ).alias("ps_suppkey"),
+        )
+    )
+    return ps0.select(
+        "ps_partkey",
+        "ps_suppkey",
+        (F.lit(1).cast("long") + (F.col("ps_partkey") * 37 + F.col("ps_suppkey") * 71) % 9999).alias(
+            "ps_availqty"
+        ),
+        (
+            F.lit(100).cast("long")
+            * (F.lit(1) + (F.col("ps_partkey") * 13 + F.col("ps_suppkey") * 7) % 900)
+            + F.col("ps_partkey") % 100
+        ).alias("ps_supplycost_cents"),
+    )
+
+
+def q2_min_cost_supplier(
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """TPC-H Q2 shape: for every ECONOMY part, the ASIA supplier(s)
+    offering the minimum supply cost (correlated-min re-join).
+
+    Plan: region/nation broadcast (fixed cardinality); supplier join left
+    to AQE. The correlated `cost = MIN(cost) OVER part` is the classic
+    agg-then-rejoin: one partial-agg groupBy on ps_partkey, one re-join on
+    (partkey, cents) — both shuffle on ps_partkey, so AQE plans them into
+    the same exchange. Integer-cents equality makes the min re-join exact
+    (no float-compare trap)."""
+    eligible = (
+        derived_partsupp(part, supplier)
+        .join(supplier, F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .join(
+            part.filter(F.col("p_type") == "ECONOMY").select("p_partkey"),
+            F.col("ps_partkey") == F.col("p_partkey"),
+        )
+        .select("ps_partkey", "ps_supplycost_cents", "s_acctbal", "s_name", "n_name")
+    )
+    min_cost = eligible.groupBy(F.col("ps_partkey").alias("mc_partkey")).agg(
+        F.min("ps_supplycost_cents").alias("mc_cents")
+    )
+    return (
+        eligible.join(
+            min_cost,
+            (F.col("ps_partkey") == F.col("mc_partkey"))
+            & (F.col("ps_supplycost_cents") == F.col("mc_cents")),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("ps_partkey").alias("p_partkey"),
+            F.round(F.col("ps_supplycost_cents") / 100.0, 2).alias("supply_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q9_product_type_profit(
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """TPC-H Q9 shape: profit (revenue − supply cost) by supplier nation
+    and order year for one part family ('%bolt%').
+
+    Plan: the part-name filter prunes partsupp BEFORE the fact join; the
+    lineitem⋈partsupp join is on the composite (partkey, suppkey) — the
+    natural co-partitioning key at scale; nation broadcast. Money: revenue
+    is lifted into CENTS (×100, exact decimal) so revenue−cost is a SINGLE
+    exact decimal sum, rounded once at the output edge (mirrors q1's
+    sum_charge discipline)."""
+    ps = (
+        derived_partsupp(part, supplier)
+        .join(
+            part.filter(F.col("p_name").like("%bolt%")).select("p_partkey"),
+            F.col("ps_partkey") == F.col("p_partkey"),
+        )
+        .select("ps_partkey", "ps_suppkey", "ps_supplycost_cents")
+    )
+    rev_cents = (
+        _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    ).cast("decimal(28,8)") * F.lit(100).cast("decimal(3,0)")
+    cost_cents = (
+        F.col("ps_supplycost_cents").cast("decimal(18,2)") * _dec("l_quantity")
+    ).cast("decimal(28,8)")
+    profit_cents = rev_cents.cast("decimal(37,8)") - cost_cents.cast("decimal(37,8)")
+    return (
+        lineitem.join(
+            ps,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(profit_cents).cast("double"), 4).alias("sum_profit_cents"))
+        .orderBy("nation", "o_year")
+    )
+
+
+def q11_important_stock(
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """TPC-H Q11 shape: per-part inventory value held by ASIA suppliers,
+    keeping parts whose value exceeds 1/10000 of the total.
+
+    Plan: one groupBy shuffle on ps_partkey with map-side partial sums;
+    the grand total is a 1-row broadcast; the threshold compare is PURE
+    BIGINT (value×10000 > total) — no float fraction, exact in both
+    engines. Products fit comfortably in int64 (value ≤ ~1e13)."""
+    asia_supp = (
+        supplier.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey")
+    )
+    per_part = (
+        derived_partsupp(part, supplier)
+        .join(asia_supp, F.col("ps_suppkey") == F.col("s_suppkey"))
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(F.col("ps_supplycost_cents") * F.col("ps_availqty"))
+            .cast("long")
+            .alias("value_cents")
+        )
+    )
+    total = F.broadcast(per_part.agg(F.sum("value_cents").cast("long").alias("total_cents")))
+    return (
+        per_part.crossJoin(total)
+        .filter(F.col("value_cents") * 10000 > F.col("total_cents"))
+        .select("ps_partkey", "value_cents")
+        .orderBy(F.col("value_cents").desc(), "ps_partkey")
+    )
+
+
+def q16_parts_supplier_relationship(part: DataFrame, supplier: DataFrame) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers offer each
+    (brand, type, size) combination, excluding one brand, a size set, and
+    a supplier denylist (anti join).
+
+    Plan: the part-side filters prune before the join; the denylist is a
+    broadcast anti join (it is a filtered scan of supplier, small by
+    selectivity); COUNT(DISTINCT suppkey) expands map-side to (grp, supp)
+    pairs then distinct-counts — one shuffle on the group key."""
+    sizes = [1, 4, 7, 11, 14, 23, 36, 49]
+    parts = part.filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(sizes)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    denylist = supplier.filter(F.col("s_acctbal") < 100.0).select("s_suppkey")
+    return (
+        derived_partsupp(part, supplier)
+        .join(parts, F.col("ps_partkey") == F.col("p_partkey"))
+        .join(denylist, F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+def q20_potential_promotion(
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """TPC-H Q20 shape: EUROPE suppliers holding excess stock (availqty >
+    half of what they shipped in 1997) of any 'red%' part.
+
+    Plan: the shipped-quantity agg groups on the same composite
+    (partkey, suppkey) the partsupp join uses — one co-partitioned
+    shuffle; the availqty > qty/2 compare is exact decimal
+    (2×availqty > qty avoids division); region/nation broadcast. The
+    distinct supplier set is at most |supplier|, so AQE picks the final
+    join strategy."""
+    red_parts = part.filter(F.col("p_name").like("red%")).select("p_partkey")
+    shipped = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(red_parts, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).alias("qty"))
+    )
+    excess = (
+        derived_partsupp(part, supplier)
+        .join(
+            shipped,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .filter(F.col("ps_availqty").cast("decimal(18,4)") * 2 > F.col("qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(excess, F.col("s_suppkey") == F.col("ps_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
