@@ -33,6 +33,7 @@ from csv_crm_upload_spark.analytics import grouped_pandas as gp
 from csv_crm_upload_spark.analytics import ivf
 from csv_crm_upload_spark.analytics import tpch
 from csv_crm_upload_spark.streaming import windows as stw
+from csv_crm_upload_spark.operators import expectations as dq
 from csv_crm_upload_spark.operators.dedup import dedupe_batch
 from csv_crm_upload_spark.operators.mutate import finalize_columns
 from csv_crm_upload_spark.operators.validate import validate_split
@@ -409,6 +410,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "q16_parts_supplier_relationship": lambda s, sf: tpch.q16_parts_supplier_relationship(
             _t("part")(s, sf), _t("supplier")(s, sf)
+        ),
+        "dq1_order_expectations": lambda s, sf: dq.dq1_order_expectations(
+            _t("orders")(s, sf)
         ),
         "q20_potential_promotion": lambda s, sf: tpch.q20_potential_promotion(
             _t("part")(s, sf),
@@ -1655,6 +1659,26 @@ def oracle_sql() -> dict[str, str]:
           )
         GROUP BY p_brand, p_type, p_size
         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """
+
+    q["dq1_order_expectations"] = """
+        WITH w AS (
+          SELECT
+            CAST(SUM(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END) AS BIGINT) AS positive_total,
+            CAST(SUM(CASE WHEN NOT (o_custkey IS NOT NULL) THEN 1 ELSE 0 END) AS BIGINT) AS has_customer,
+            CAST(SUM(CASE WHEN NOT (o_orderstatus IN ('O', 'F', 'P')) THEN 1 ELSE 0 END) AS BIGINT) AS known_status,
+            CAST(SUM(CASE WHEN NOT (o_orderdate >= TIMESTAMP '1992-01-01 00:00:00'
+                                    AND o_orderdate < TIMESTAMP '2026-01-01 00:00:00')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS date_in_range,
+            CAST(COUNT(*) AS BIGINT) AS n_rows
+          FROM orders
+        )
+        SELECT rule_name, n_violations, n_rows FROM (
+          SELECT 'positive_total' AS rule_name, positive_total AS n_violations, n_rows FROM w
+          UNION ALL SELECT 'has_customer', has_customer, n_rows FROM w
+          UNION ALL SELECT 'known_status', known_status, n_rows FROM w
+          UNION ALL SELECT 'date_in_range', date_in_range, n_rows FROM w
+        ) ORDER BY rule_name
     """
 
     q["q20_potential_promotion"] = f"""
