@@ -411,6 +411,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_parts_supplier_relationship": lambda s, sf: tpch.q16_parts_supplier_relationship(
             _t("part")(s, sf), _t("supplier")(s, sf)
         ),
+        "tri1_triangle_counts": lambda s, sf: dd.tri1_triangle_counts(
+            _t("documents")(s, sf)
+        ),
         "dq1_order_expectations": lambda s, sf: dq.dq1_order_expectations(
             _t("orders")(s, sf)
         ),
@@ -1659,6 +1662,23 @@ def oracle_sql() -> dict[str, str]:
           )
         GROUP BY p_brand, p_type, p_size
         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """
+
+    q["tri1_triangle_counts"] = f"""
+        WITH {_lsh_ctes},
+        tri AS (
+          SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+          FROM lsh_pairs e1
+          JOIN lsh_pairs e2 ON e1.doc_b = e2.doc_a
+          JOIN lsh_pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+        ),
+        corners AS (
+          SELECT a AS doc_id FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri
+        )
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM corners GROUP BY doc_id ORDER BY doc_id
     """
 
     q["dq1_order_expectations"] = """

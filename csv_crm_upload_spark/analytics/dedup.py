@@ -405,3 +405,77 @@ def d_dup_clusters(documents: DataFrame, n: int = 3, threshold: float = 0.5, max
     finally:
         edges.unpersist()
         pairs.unpersist()
+
+
+def tri1_triangle_counts(
+    documents: DataFrame, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Per-document triangle participation over the LSH near-dup graph —
+    the graph-analytics primitive behind clustering-coefficient /
+    community-density audits of a dedup candidate graph ("are my
+    near-dup clusters cliquish or chains?").
+
+    Algorithm: degree-oriented triangle enumeration (the standard
+    distributed formulation): orient every edge from its lower-degree
+    endpoint to the higher (id as tiebreak — a strict total order, so the
+    oriented graph is acyclic); enumerate wedges as pairs of OUT-edges of
+    a common source; close each wedge against the canonical edge set.
+    Every triangle then has exactly ONE vertex with two out-edges, so it
+    is counted exactly once, and the wedge count per vertex is bounded by
+    its out-degree² — out-degrees are O(sqrt(m)) under this orientation,
+    which is what keeps hub vertices from exploding the wedge join at
+    100 TB (the naive id-orientation puts all wedges on low-id hubs).
+    Three shuffles: degree agg, wedge self-join on the source, and the
+    closing semi-join on the (min,max) edge key.
+
+    Output: (doc_id, n_triangles) for every document in ≥1 triangle.
+    The DuckDB oracle enumerates triangles with the textbook 3-way join —
+    different enumeration order, identical triangle set.
+    """
+    edges = (
+        d_minhash_lsh_pairs(documents, n, threshold)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    both = edges.select(F.col("doc_a").alias("node")).unionAll(
+        edges.select(F.col("doc_b").alias("node"))
+    )
+    deg = both.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    with_deg = (
+        edges.join(deg.select(F.col("node").alias("doc_a"), F.col("deg").alias("deg_a")), "doc_a")
+        .join(deg.select(F.col("node").alias("doc_b"), F.col("deg").alias("deg_b")), "doc_b")
+    )
+    lower_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("doc_a") < F.col("doc_b"))
+    )
+    oriented = with_deg.select(
+        F.when(lower_first, F.col("doc_a")).otherwise(F.col("doc_b")).alias("src"),
+        F.when(lower_first, F.col("doc_b")).otherwise(F.col("doc_a")).alias("dst"),
+    )
+    wedges = (
+        oriented.alias("o1")
+        .join(oriented.alias("o2"), "src")
+        .filter(F.col("o1.dst") < F.col("o2.dst"))
+        .select(
+            F.col("src").alias("s"),
+            F.col("o1.dst").alias("x"),
+            F.col("o2.dst").alias("y"),
+        )
+    )
+    # close the wedge: (x, y) is already canonical (x < y) and the edge
+    # list is canonical (doc_a < doc_b), so one semi-join key
+    tri = wedges.join(
+        edges.select(F.col("doc_a").alias("x"), F.col("doc_b").alias("y")),
+        ["x", "y"],
+        "left_semi",
+    )
+    corners = (
+        tri.select(F.col("s").alias("doc_id"))
+        .unionAll(tri.select(F.col("x").alias("doc_id")))
+        .unionAll(tri.select(F.col("y").alias("doc_id")))
+    )
+    return (
+        corners.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+        .orderBy("doc_id")
+    )
