@@ -411,6 +411,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_parts_supplier_relationship": lambda s, sf: tpch.q16_parts_supplier_relationship(
             _t("part")(s, sf), _t("supplier")(s, sf)
         ),
+        "vq1_quantized_knn": lambda s, sf: sim.vq1_quantized_knn(
+            _t("embeddings")(s, sf)
+        ),
         "tri1_triangle_counts": lambda s, sf: dd.tri1_triangle_counts(
             _t("documents")(s, sf)
         ),
@@ -1662,6 +1665,44 @@ def oracle_sql() -> dict[str, str]:
           )
         GROUP BY p_brand, p_type, p_size
         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """
+
+    q["vq1_quantized_knn"] = """
+        WITH ex AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                 unnest(embedding) AS val
+          FROM embeddings
+        ),
+        stats AS (
+          SELECT pos, MIN(CAST(val AS DOUBLE)) AS mn, MAX(CAST(val AS DOUBLE)) AS mx
+          FROM ex GROUP BY pos
+        ),
+        codes AS (
+          SELECT vec_id, pos,
+                 CASE WHEN mx > mn
+                      THEN CAST(round((CAST(val AS DOUBLE) - mn) / (mx - mn) * 255, 0) AS INT)
+                      ELSE 0 END AS code
+          FROM ex JOIN stats USING (pos)
+        ),
+        qc AS (
+          SELECT vec_id AS query_id, pos, code AS q_code FROM codes
+          WHERE vec_id IN (0, 1, 2, 3, 4, 5, 6, 7, 8, 9)
+        ),
+        scored AS (
+          SELECT query_id, c.vec_id,
+                 CAST(SUM(CAST(c.code - 128 AS BIGINT) * CAST(q_code - 128 AS BIGINT)) AS BIGINT) AS dot_q
+          FROM codes c JOIN qc q USING (pos)
+          WHERE c.vec_id <> q.query_id
+          GROUP BY 1, 2
+        ),
+        ranked AS (
+          SELECT query_id, vec_id, dot_q,
+                 CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY dot_q DESC, vec_id) AS INT) AS rank
+          FROM scored
+        )
+        SELECT query_id, vec_id, dot_q, rank FROM ranked
+        WHERE rank <= 5 ORDER BY query_id, rank
     """
 
     q["tri1_triangle_counts"] = f"""

@@ -214,3 +214,92 @@ def arr1_embedding_stats(embeddings: DataFrame) -> DataFrame:
         F.round(F.array_max(F.transform(emb, lambda x: x.cast("double"))), 6).alias("max_val"),
         F.round(_norm(emb), 6).alias("l2_norm"),
     )
+
+
+def vq_codes(embeddings: DataFrame) -> DataFrame:
+    """Int8 scalar quantization (the FAISS SQ8 shape): per-dimension
+    min/max learned from the corpus, each float mapped to a 0..255 code.
+    64 floats/vec (256 B) become 64 bytes — the 4× compression that lets
+    a 100 TB embedding corpus fit hot storage tiers for ANN.
+
+    Plan: per-dim stats are one explode + groupBy(pos) with map-side
+    combining (the shuffle carries 64 rows per partition, not the vector
+    stream), folded into ONE 1-row broadcast of (mins[], maxs[]); code
+    assignment is a map-only transform over the scan. Constant dimensions
+    (max == min) code to 0 rather than dividing by zero.
+
+    Determinism: codes are round((v−mn)/(mx−mn)·255) in IEEE double —
+    identical arithmetic in the DuckDB oracle — and all downstream
+    scoring is INTEGER, so results hash-compare exactly.
+    """
+    dims = (
+        embeddings.select(F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(
+            F.min(F.col("val").cast("double")).alias("mn"),
+            F.max(F.col("val").cast("double")).alias("mx"),
+        )
+    )
+    stats = F.broadcast(
+        dims.agg(
+            F.array_sort(F.collect_list(F.struct("pos", "mn", "mx"))).alias("smm")
+        ).select(
+            F.transform("smm", lambda s: s.mn).alias("mins"),
+            F.transform("smm", lambda s: s.mx).alias("maxs"),
+        )
+    )
+
+    def code(v, i):
+        mn = F.element_at(F.col("mins"), i + 1)
+        mx = F.element_at(F.col("maxs"), i + 1)
+        return (
+            F.when(mx > mn, F.round((v.cast("double") - mn) / (mx - mn) * 255, 0))
+            .otherwise(F.lit(0.0))
+            .cast("int")
+        )
+
+    return embeddings.crossJoin(stats).select(
+        "vec_id", F.transform("embedding", code).alias("codes")
+    )
+
+
+def vq1_quantized_knn(
+    embeddings: DataFrame, query_ids: list[int] | None = None, k: int = 5
+) -> DataFrame:
+    """Top-k neighbors by CENTERED INTEGER dot product over SQ8 codes —
+    the asymmetric-distance ANN rerank, kept in exact int64 so ranking is
+    engine-independent (float dot products tie-break differently per
+    summation order; integer sums cannot).
+
+    Same sanctioned broadcast shape as knn_bruteforce: the tiny query
+    side broadcasts, the corpus streams map-only into a per-query top-k.
+    score = Σ (code_d−128)(code_q−128) ∈ [−64·128², 64·128²] ≪ 2⁶³.
+    """
+    if query_ids is None:
+        query_ids = list(range(10))
+    codes = vq_codes(embeddings)
+    queries = codes.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("codes").alias("q_codes")
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("q_codes"),
+            lambda d, q: (d - F.lit(128)).cast("long") * (q - F.lit(128)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", dot.alias("dot_q"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("dot_q").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "dot_q", "rank")
+    )

@@ -367,3 +367,20 @@ def test_chunking_covers_every_token_with_overlap(spark):
     )
     # consecutive chunks overlap by chunk - stride = 16 tokens
     assert chunks[0]["chunk_text"].split()[48:] == chunks[1]["chunk_text"].split()[:16]
+
+
+def test_sq8_codes_bounded_and_knn_recall(spark, sf_dir):
+    from csv_crm_upload_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = sim.vq_codes(emb)
+    bounds = codes.select(
+        F.min(F.array_min("codes")).alias("lo"), F.max(F.array_max("codes")).alias("hi")
+    ).collect()[0]
+    assert 0 <= bounds["lo"] and bounds["hi"] <= 255
+    # quantized ranking must still find most true neighbors (SQ8 keeps
+    # relative geometry; exact tie-free integer scoring)
+    exact = {(r["query_id"], r["vec_id"]) for r in sim.knn_bruteforce(emb, k=5).collect()}
+    quant = {(r["query_id"], r["vec_id"]) for r in sim.vq1_quantized_knn(emb, k=5).collect()}
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.5
