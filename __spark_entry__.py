@@ -33,6 +33,7 @@ from csv_crm_upload_spark.analytics import grouped_pandas as gp
 from csv_crm_upload_spark.analytics import ivf
 from csv_crm_upload_spark.analytics import tpch
 from csv_crm_upload_spark.streaming import windows as stw
+from csv_crm_upload_spark.operators import bloom
 from csv_crm_upload_spark.operators import expectations as dq
 from csv_crm_upload_spark.operators.dedup import dedupe_batch
 from csv_crm_upload_spark.operators.mutate import finalize_columns
@@ -410,6 +411,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "q16_parts_supplier_relationship": lambda s, sf: tpch.q16_parts_supplier_relationship(
             _t("part")(s, sf), _t("supplier")(s, sf)
+        ),
+        "bf1_bloom_pruned_revenue": lambda s, sf: bloom.bf1_bloom_pruned_revenue(
+            _t("customer")(s, sf), _t("orders")(s, sf)
         ),
         "vq1_quantized_knn": lambda s, sf: sim.vq1_quantized_knn(
             _t("embeddings")(s, sf)
@@ -1665,6 +1669,16 @@ def oracle_sql() -> dict[str, str]:
           )
         GROUP BY p_brand, p_type, p_size
         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """
+
+    # bloom-pruned semi join: the bloom stage only strips rows the exact
+    # join would drop anyway, so the oracle is the PLAIN semi join
+    q["bf1_bloom_pruned_revenue"] = """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM orders
+        WHERE o_orderstatus = 'O'
+          AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 7500.0)
     """
 
     q["vq1_quantized_knn"] = """
