@@ -412,6 +412,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_parts_supplier_relationship": lambda s, sf: tpch.q16_parts_supplier_relationship(
             _t("part")(s, sf), _t("supplier")(s, sf)
         ),
+        "norm1_zscore_value": lambda s, sf: tpch.norm1_zscore_value(
+            _t("events")(s, sf)
+        ),
         "bf1_bloom_pruned_revenue": lambda s, sf: bloom.bf1_bloom_pruned_revenue(
             _t("customer")(s, sf), _t("orders")(s, sf)
         ),
@@ -1669,6 +1672,23 @@ def oracle_sql() -> dict[str, str]:
           )
         GROUP BY p_brand, p_type, p_size
         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """
+
+    # z-score: exact-decimal moments, then one explicitly ordered double
+    # formula — identical IEEE evaluation in both engines
+    q["norm1_zscore_value"] = """
+        WITH g AS (
+          SELECT event_type,
+                 CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s,
+                 CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS ssq,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM events WHERE value IS NOT NULL GROUP BY event_type
+        )
+        SELECT event_id, e.event_type,
+               round((CAST(value AS DOUBLE) - s / n)
+                     / sqrt((ssq - s * s / n) / (n - 1)), 6) AS z_value
+        FROM events e JOIN g USING (event_type)
+        WHERE value IS NOT NULL AND n > 1 AND (ssq - s * s / n) > 0
     """
 
     # bloom-pruned semi join: the bloom stage only strips rows the exact

@@ -1412,3 +1412,37 @@ def q20_potential_promotion(
         .select("s_name", "n_name")
         .orderBy("s_name")
     )
+
+
+def norm1_zscore_value(events: DataFrame) -> DataFrame:
+    """Per-group z-score normalization (feature scaling) of event values:
+    z = (x − μ) / σ within each event_type — the standardization step a
+    feature pipeline applies before training.
+
+    Determinism discipline: μ and σ derive from EXACT decimal sums
+    (Σx and Σx² in decimal, cast to double once), then one explicitly
+    ordered double formula — so both engines evaluate bit-identical
+    arithmetic instead of their own streaming-moment implementations.
+    Plan: one map-side-combining groupBy over few groups, broadcast back
+    over the scan — two narrow stages, no wide shuffle of the fact."""
+    vals = events.filter(F.col("value").isNotNull())
+    vdec = F.col("value").cast("decimal(18,4)")
+    g = vals.groupBy("event_type").agg(
+        F.sum(vdec).cast("double").alias("s"),
+        F.sum(vdec * vdec).cast("double").alias("ssq"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    var_num = F.col("ssq") - F.col("s") * F.col("s") / F.col("n")
+    return (
+        vals.join(F.broadcast(g), "event_type")
+        .filter((F.col("n") > 1) & (var_num > 0))
+        .select(
+            "event_id",
+            "event_type",
+            F.round(
+                (F.col("value").cast("double") - F.col("s") / F.col("n"))
+                / F.sqrt(var_num / (F.col("n") - 1)),
+                6,
+            ).alias("z_value"),
+        )
+    )
