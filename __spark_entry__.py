@@ -412,6 +412,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_parts_supplier_relationship": lambda s, sf: tpch.q16_parts_supplier_relationship(
             _t("part")(s, sf), _t("supplier")(s, sf)
         ),
+        "mix2_quality_weighted_sample": lambda s, sf: ts.mix2_quality_weighted_sample(
+            _t("documents")(s, sf)
+        ),
+        "out1_iqr_outliers": lambda s, sf: tpch.out1_iqr_outliers(_t("events")(s, sf)),
         "norm1_zscore_value": lambda s, sf: tpch.norm1_zscore_value(
             _t("events")(s, sf)
         ),
@@ -1672,6 +1676,41 @@ def oracle_sql() -> dict[str, str]:
           )
         GROUP BY p_brand, p_type, p_size
         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """
+
+    # quality-weighted sampling: hash gate / 2^60 (exact power-of-two
+    # division) vs the 6-dp quality score — bit-identical keep decisions
+    q["mix2_quality_weighted_sample"] = f"""
+        WITH scored AS (
+          SELECT doc_id, source,
+                 round(CASE WHEN CAST(len({_RAW_TOKS}) AS INT) < 5 THEN 0.0
+                       ELSE least(1.0, CAST(len({_RAW_TOKS}) AS DOUBLE) / 100.0)
+                            * (1.0 - round(CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                                           / greatest(length(text), 1), 6)) END, 6) AS quality_score,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)
+                   / 1152921504606846976.0 AS g
+          FROM documents
+        )
+        SELECT doc_id, source, quality_score FROM scored WHERE g < quality_score
+    """
+
+    q["out1_iqr_outliers"] = """
+        WITH ranked AS (
+          SELECT event_id, event_type, value,
+                 row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM events WHERE value IS NOT NULL
+        ),
+        fences AS (
+          SELECT event_type,
+                 MAX(CASE WHEN rn = CAST(CEIL(n * 0.25) AS BIGINT) THEN value END) AS q1,
+                 MAX(CASE WHEN rn = CAST(CEIL(n * 0.75) AS BIGINT) THEN value END) AS q3
+          FROM ranked GROUP BY event_type
+        )
+        SELECT event_id, r.event_type, value
+        FROM ranked r JOIN fences USING (event_type)
+        WHERE value < q1 - 1.5 * (q3 - q1) OR value > q3 + 1.5 * (q3 - q1)
+        ORDER BY event_id
     """
 
     # z-score: exact-decimal moments, then one explicitly ordered double

@@ -36,6 +36,23 @@ def t1_token_count(documents: DataFrame) -> DataFrame:
     )
 
 
+def _quality_score_expr() -> F.Column:
+    """The composite quality score as a standalone Column (shared by
+    t2_quality_score and the quality-weighted sampler)."""
+    toks = _tokens()
+    n_tokens = F.size(toks)
+    n_chars = F.length("text")
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^\w\s]"), 0))
+    punct_ratio = F.round(n_punct.cast("double") / F.greatest(n_chars, F.lit(1)), 6)
+    return F.round(
+        F.when(n_tokens < 5, 0.0)
+        .otherwise(
+            F.least(F.lit(1.0), n_tokens.cast("double") / 100.0) * (F.lit(1.0) - punct_ratio)
+        ),
+        6,
+    )
+
+
 def t2_quality_score(documents: DataFrame) -> DataFrame:
     """Heuristic quality features: length, punctuation ratio, stopword
     ratio, mean token length — and a composite score. Mirrors the classic
@@ -50,13 +67,7 @@ def t2_quality_score(documents: DataFrame) -> DataFrame:
     mean_tok_len = F.round(
         (n_chars - n_tokens + 1).cast("double") / F.greatest(n_tokens, F.lit(1)), 6
     )
-    score = F.round(
-        F.when(n_tokens < 5, 0.0)
-        .otherwise(
-            F.least(F.lit(1.0), n_tokens.cast("double") / 100.0) * (F.lit(1.0) - punct_ratio)
-        ),
-        6,
-    )
+    score = _quality_score_expr()
     return documents.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
@@ -537,4 +548,28 @@ def chunk1_doc_chunks(
             F.size(piece).cast("bigint").alias("n_chunk_tokens"),
             F.array_join(piece, " ").alias("chunk_text"),
         )
+    )
+
+
+def mix2_quality_weighted_sample(documents: DataFrame) -> DataFrame:
+    """Quality-weighted corpus sampling: each document is kept with
+    probability equal to its quality score — the soft curriculum filter
+    ("keep good text, downsample junk proportionally") a pretraining
+    mix applies after hard dedup.
+
+    Like mix1, the gate is HASH-GATED, not RNG-gated: keep iff
+    md5_60(doc_id) / 2^60 < quality_score. The division is by a power of
+    two (exact in IEEE double) and the score is a fixed 6-dp rounded
+    value, so the keep decision is bit-identical across engines,
+    retries, and cluster sizes. Map-only — rides the scan."""
+    gate = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("double")
+        / F.lit(float(1 << 60))
+    )
+    return (
+        documents.withColumn("quality_score", _quality_score_expr())
+        .withColumn("_g", gate)
+        .filter(F.col("_g") < F.col("quality_score"))
+        .select("doc_id", "source", "quality_score")
     )

@@ -1446,3 +1446,42 @@ def norm1_zscore_value(events: DataFrame) -> DataFrame:
             ).alias("z_value"),
         )
     )
+
+
+def out1_iqr_outliers(events: DataFrame) -> DataFrame:
+    """Tukey-fence outlier detection per event type: rows outside
+    [q1 − 1.5·IQR, q3 + 1.5·IQR] — the data-cleaning pass a feature
+    pipeline runs before normalization.
+
+    Quartiles are EXACT order statistics (type-1: the ceil(q·n)-th
+    smallest with a total order), not interpolated percentiles — engines
+    disagree on interpolation rules, but the k-th element of a totally
+    ordered set is engine-independent. Plan: one window pass for ranks,
+    a 3-row conditional agg for the fences (broadcast back), then a
+    map-only filter."""
+    vals = events.filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = vals.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    k1 = F.ceil(F.col("n") * 0.25).cast("long")
+    k3 = F.ceil(F.col("n") * 0.75).cast("long")
+    fences = ranked.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == k1, F.col("value"))).alias("q1"),
+        F.max(F.when(F.col("rn") == k3, F.col("value"))).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    return (
+        ranked.join(F.broadcast(fences), "event_type")
+        .filter(
+            (F.col("value") < F.col("q1") - 1.5 * iqr)
+            | (F.col("value") > F.col("q3") + 1.5 * iqr)
+        )
+        .select("event_id", "event_type", "value")
+        .orderBy("event_id")
+    )
