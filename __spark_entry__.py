@@ -412,6 +412,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_parts_supplier_relationship": lambda s, sf: tpch.q16_parts_supplier_relationship(
             _t("part")(s, sf), _t("supplier")(s, sf)
         ),
+        "batch1_length_buckets": lambda s, sf: ts.batch1_length_buckets(
+            _t("documents")(s, sf)
+        ),
         "mix2_quality_weighted_sample": lambda s, sf: ts.mix2_quality_weighted_sample(
             _t("documents")(s, sf)
         ),
@@ -1676,6 +1679,22 @@ def oracle_sql() -> dict[str, str]:
           )
         GROUP BY p_brand, p_type, p_size
         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """
+
+    q["batch1_length_buckets"] = f"""
+        WITH t AS (
+          SELECT doc_id, CAST(len({_RAW_TOKS}) AS INT) AS n_tokens
+          FROM documents WHERE text IS NOT NULL
+        ),
+        b AS (
+          SELECT doc_id, n_tokens,
+                 CAST(ntile(16) OVER (ORDER BY n_tokens, doc_id) AS INT) AS bucket
+          FROM t
+        )
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens,
+               CAST(MAX(n_tokens) * COUNT(*) - SUM(n_tokens) AS BIGINT) AS padding_waste
+        FROM b GROUP BY bucket ORDER BY bucket
     """
 
     # quality-weighted sampling: hash gate / 2^60 (exact power-of-two

@@ -41,6 +41,11 @@ EXTRA = [
     "q7_nation_trade",
     "t7_vocab_topk",
     "t6_char_entropy",
+    # round-3 additions
+    "q9_product_type_profit",
+    "tri1_triangle_counts",
+    "vq1_quantized_knn",
+    "bf1_bloom_pruned_revenue",
 ]
 
 

@@ -573,3 +573,37 @@ def mix2_quality_weighted_sample(documents: DataFrame) -> DataFrame:
         .filter(F.col("_g") < F.col("quality_score"))
         .select("doc_id", "source", "quality_score")
     )
+
+
+def batch1_length_buckets(documents: DataFrame, n_buckets: int = 16) -> DataFrame:
+    """Length-bucketed batching stats — the padding-efficiency planner
+    for training-batch construction: rank documents by token count,
+    NTILE them into n_buckets equal-size groups, and report each
+    bucket's size range and PADDING WASTE (tokens of pad a max-length
+    batcher would add: bucket_max·n − Σtokens). Grouping similar-length
+    sequences is what keeps padding waste low; this query quantifies it.
+
+    All-integer arithmetic → engine-exact. The global NTILE is one
+    ordered pass (Spark runs it single-partition, like any global rank);
+    at 100 TB you'd range-partition on n_tokens first — the bucket
+    BOUNDARIES, not this audit query, are what the pipeline ships."""
+    from pyspark.sql import Window
+
+    toks = documents.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.size(_tokens()).alias("n_tokens")
+    )
+    w = Window.orderBy("n_tokens", "doc_id")
+    b = toks.withColumn("bucket", F.ntile(n_buckets).over(w))
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            (
+                F.max("n_tokens").cast("long") * F.count(F.lit(1))
+                - F.sum("n_tokens")
+            ).cast("long").alias("padding_waste"),
+        )
+        .orderBy("bucket")
+    )
