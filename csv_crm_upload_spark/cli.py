@@ -73,6 +73,10 @@ def main(argv: list[str] | None = None) -> int:
     ph = sub.add_parser("history", help="show the store's commit history (DESCRIBE HISTORY)")
     _add_store_args(ph)
 
+    pc = sub.add_parser("clone", help="shallow-clone the store (hard links, zero copy)")
+    pc.add_argument("--dest", required=True, help="destination store root")
+    _add_store_args(pc)
+
     pp = sub.add_parser("pending", help="show customers pending upload")
     _add_store_args(pp)
     pp.add_argument("--limit", type=int, default=20)
@@ -140,6 +144,11 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "delete":
         n = store.delete(args.where)
         print(f"deleted={n}")
+    elif args.cmd == "clone":
+        if not hasattr(store, "clone"):
+            raise SystemExit("clone requires the versioned parquet store (--store)")
+        cloned = store.clone(args.dest)
+        print(f"cloned={args.dest} rows={cloned.read().count()}")
     elif args.cmd == "history":
         import json as _json
 

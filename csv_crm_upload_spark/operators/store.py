@@ -38,6 +38,7 @@ the minimum of each on plain parquet + hard links):
   CHANGE DATA FEED      → changes()          (inode-pruned diff)
   VACUUM                → vacuum()
   OPTIMIZE / compaction → compact()
+  SHALLOW CLONE         → clone()            (hard-link zero-copy table)
   ALTER TABLE ADD COLUMN→ add_column()       (metadata-only evolution)
 
 Schema evolution semantics (add_column): adding a column is an O(1)
@@ -518,6 +519,35 @@ class CustomerStore:
                 self._link_files(bpath, os.path.join(new_dir, bname))
             self._commit(new_v, op="restore", metrics={"restored_version": version})
         return new_v
+
+    def clone(self, dest_root: str) -> "CustomerStore":
+        """SHALLOW CLONE (the `CREATE TABLE ... SHALLOW CLONE` lakehouse
+        surface): a new, independent store whose v0 hard-links every data
+        file of this store's CURRENT snapshot — O(buckets) metadata work,
+        zero bytes copied. Both tables then evolve independently: every
+        commit on either side writes new files and re-links untouched
+        ones, so the clone is copy-on-write by construction and no write
+        can ever leak through to the other table. Schema (bucket count +
+        evolved columns) carries over; history does NOT (the clone starts
+        at its own v0), matching shallow-clone semantics. Requires the
+        destination on the same filesystem (hard links)."""
+        src_v = self._current_version()
+        if src_v < 0:
+            raise FileNotFoundError("nothing to clone: store has no committed version")
+        if os.path.exists(os.path.join(dest_root, "_META")) or os.path.exists(
+            os.path.join(dest_root, "_LATEST")
+        ):
+            raise FileExistsError(f"clone destination is already a store: {dest_root}")
+        dest = CustomerStore(self.spark, dest_root, n_buckets=self.n_buckets)
+        dest._write_meta(self._read_meta())  # n_buckets + evolved columns
+        new_dir = dest._version_dir(0)
+        os.makedirs(new_dir, exist_ok=True)
+        for bname, bpath in self._bucket_dirs(self._version_dir(src_v)).items():
+            self._link_files(bpath, os.path.join(new_dir, bname))
+        dest._commit(
+            0, op="clone", metrics={"source_root": self.root, "source_version": src_v}
+        )
+        return dest
 
     def vacuum(self, keep_last: int = 1) -> list[int]:
         """Drop all but the newest `keep_last` snapshots. Safe by
