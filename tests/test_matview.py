@@ -120,3 +120,34 @@ def test_vacuumed_cursor_falls_back_to_full(spark, tmp_path):
     res = view.refresh()
     assert res["mode"] == "full"
     assert _actual(view) == _expected(store)
+
+
+def test_continuous_aggregate_via_streaming_ingest(spark, tmp_path):
+    """matview passed to run_ingest_stream stays fresh per micro-batch —
+    the continuous-aggregate surface."""
+    from csv_crm_upload_spark.streaming.pipeline import run_ingest_stream
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    (inp / "a.csv").write_text(
+        "id,first_name,last_name,email,phone\n"
+        "1,jon,doe,jon@x.com,1\n2,jane,doe,jane@y.com,2\n"
+    )
+    (inp / "b.csv").write_text(
+        "id,first_name,last_name,email,phone\n3,ann,lee,ann@x.com,3\n"
+    )
+    store = CustomerStore(spark, str(tmp_path / "store"))
+    view = MaterializedAggregate(
+        store, str(tmp_path / "view"), group_cols=["uploaded"], measures={"sum_id": "id"}
+    )
+    q = run_ingest_stream(
+        spark,
+        str(inp),
+        store,
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+        matview=view,
+    )
+    q.awaitTermination(120)
+    assert _actual(view) == _expected(store)
+    assert view.last_refreshed_version() == store._current_version()
