@@ -193,3 +193,36 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
             assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" not in plan
             continue
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+def test_q9_pushdown_pruning_and_partial_agg(spark, sf_dir):
+    """Derived-partsupp profit query: the part-name filter must reach the
+    parquet scan, lineitem must read only the 6 needed columns, and the
+    final agg must combine map-side."""
+    plan = plan_of(QUERIES["q9_product_type_profit"](spark, sf_dir))
+    assert "StringContains(p_name,bolt)" in plan
+    m = [
+        set(g.split(":")[0] for g in mm.group(1).split(","))
+        for mm in re.finditer(r"ReadSchema: struct<([^>]*)>", plan)
+    ]
+    li = [s for s in m if "l_extendedprice" in s]
+    assert li and li[0] == {
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    }
+    assert "partial_sum" in plan
+
+
+def test_bloom_probe_rides_fact_scan_stage(spark, sf_dir):
+    """The bloom probe must be a filter over the fact scan (one broadcast
+    of the 1-row bitmap), not a shuffle."""
+    from csv_crm_upload_spark.operators.bloom import build_bloom
+
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 7500.0)
+    bf = build_bloom(cust.select("c_custkey"), F.col("c_custkey"))
+    pruned = bf.prune(load_table(spark, sf_dir, "orders"), F.col("o_custkey"))
+    plan = plan_of(pruned)
+    # probe side: broadcast nested-loop of the single bitmap row, then a
+    # plain Filter — no exchange on the orders side before the filter
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "hashpartitioning(o_custkey" not in plan
