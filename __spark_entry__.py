@@ -412,6 +412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_parts_supplier_relationship": lambda s, sf: tpch.q16_parts_supplier_relationship(
             _t("part")(s, sf), _t("supplier")(s, sf)
         ),
+        "dd2_dedup_corpus": lambda s, sf: dd.dd2_dedup_corpus(_t("documents")(s, sf)),
         "batch1_length_buckets": lambda s, sf: ts.batch1_length_buckets(
             _t("documents")(s, sf)
         ),
@@ -1679,6 +1680,27 @@ def oracle_sql() -> dict[str, str]:
           )
         GROUP BY p_brand, p_type, p_size
         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """
+
+    # dedup deliverable: documents minus non-canonical cluster members
+    # (reuses the recursive component closure over lsh_pairs)
+    q["dd2_dedup_corpus"] = f"""
+        WITH RECURSIVE {_lsh_ctes},
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+          UNION ALL
+          SELECT doc_b AS src, doc_a AS dst FROM lsh_pairs
+        ),
+        comp AS (
+          SELECT DISTINCT src AS doc, src AS reach FROM edges
+          UNION
+          SELECT c.doc, e.dst AS reach FROM comp c JOIN edges e ON e.src = c.reach
+        ),
+        labels AS (SELECT doc, MIN(reach) AS component FROM comp GROUP BY doc)
+        SELECT doc_id, source, lang, n_chars
+        FROM documents
+        WHERE doc_id NOT IN (SELECT doc FROM labels WHERE doc <> component)
+        ORDER BY doc_id
     """
 
     q["batch1_length_buckets"] = f"""

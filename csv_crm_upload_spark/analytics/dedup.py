@@ -300,11 +300,15 @@ def pr1_doc_pagerank(
         pairs.unpersist()
 
 
-def d_dup_clusters(documents: DataFrame, n: int = 3, threshold: float = 0.5, max_iter: int = 20) -> DataFrame:
-    """Duplicate CLUSTERS from MinHash-LSH near-dup pairs: connected
-    components, each labeled by its minimum doc_id — what a dedup
-    pipeline actually ships (keep one canonical doc per cluster), not
-    just the pairwise evidence.
+def d_component_labels(
+    documents: DataFrame, n: int = 3, threshold: float = 0.5, max_iter: int = 20
+) -> DataFrame:
+    """Per-document connected-component labels (doc_id, component) over
+    the MinHash-LSH near-dup graph — the shared core of d_dup_clusters
+    (cluster inventory) and dd2_dedup_corpus (canonical-only corpus).
+    Only docs that appear in ≥1 near-dup pair are returned; singletons
+    are implicitly their own component. The result is lineage-truncated
+    (localCheckpoint), so callers can build on it freely.
 
     Spark has no graph operator; components come from iterative min-label
     propagation: every node starts as its own label, then each round
@@ -386,25 +390,48 @@ def d_dup_clusters(documents: DataFrame, n: int = 3, threshold: float = 0.5, max
             if new_sum == prev_sum:
                 break
             prev_sum = new_sum
-        out = (
-            labels.groupBy("component")
-            .agg(
-                F.count(F.lit(1)).alias("cluster_size"),
-                F.min("doc_id").alias("_chk"),
-            )
-            .select(
-                F.col("component").alias("canonical_doc_id"),
-                F.col("cluster_size").cast("bigint").alias("cluster_size"),
-            )
-            .orderBy("canonical_doc_id")
-        )
-        # materialize before unpersisting the lineage inputs
-        out = out.persist()
-        out.count()
-        return out
+        # labels is localCheckpoint-materialized → safe to return after
+        # the lineage inputs are unpersisted
+        return labels
     finally:
         edges.unpersist()
         pairs.unpersist()
+
+
+def d_dup_clusters(
+    documents: DataFrame, n: int = 3, threshold: float = 0.5, max_iter: int = 20
+) -> DataFrame:
+    """Duplicate CLUSTERS from MinHash-LSH near-dup pairs: connected
+    components, each labeled by its minimum doc_id — the cluster
+    inventory view (canonical id + size). See d_component_labels for the
+    algorithm; this is one map-side-combining count on its output."""
+    labels = d_component_labels(documents, n=n, threshold=threshold, max_iter=max_iter)
+    return (
+        labels.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .select(
+            F.col("component").alias("canonical_doc_id"),
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        )
+        .orderBy("canonical_doc_id")
+    )
+
+
+def dd2_dedup_corpus(documents: DataFrame, n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """The end deliverable of the dedup family: the corpus AFTER near-dup
+    removal — every LSH cluster collapsed to its canonical (minimum
+    doc_id) member, all other members dropped, singletons untouched.
+
+    One anti join of the (tiny) non-canonical label set against the
+    corpus scan: at 100 TB the expensive part is the clustering itself;
+    the removal pass is a broadcast anti join that rides the scan."""
+    labels = d_component_labels(documents, n=n, threshold=threshold)
+    drop = labels.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+    return (
+        documents.join(drop, "doc_id", "left_anti")
+        .select("doc_id", "source", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
 
 
 def tri1_triangle_counts(
