@@ -475,10 +475,13 @@ def tri1_triangle_counts(
     lower_first = (F.col("deg_a") < F.col("deg_b")) | (
         (F.col("deg_a") == F.col("deg_b")) & (F.col("doc_a") < F.col("doc_b"))
     )
+    # persist: the oriented edge table feeds BOTH sides of the wedge
+    # self-join; without a materialization point the degree join above
+    # recomputes once per side
     oriented = with_deg.select(
         F.when(lower_first, F.col("doc_a")).otherwise(F.col("doc_b")).alias("src"),
         F.when(lower_first, F.col("doc_b")).otherwise(F.col("doc_a")).alias("dst"),
-    )
+    ).persist()
     wedges = (
         oriented.alias("o1")
         .join(oriented.alias("o2"), "src")
