@@ -793,6 +793,33 @@ class CustomerStore:
                 shutil.rmtree(staging, ignore_errors=True)
         return n_deleted
 
+    def analyze(self) -> DataFrame:
+        """ANALYZE TABLE COMPUTE STATISTICS FOR ALL COLUMNS: one pass over
+        the current snapshot producing per-column row count, null count,
+        approx distinct count (HLL), and min/max (rendered as strings so
+        heterogeneous column types share one result schema) — the
+        statistics a cost-based optimizer (or a human sizing a join)
+        wants. Single scan, all aggregates combine map-side; cost is one
+        job regardless of column count."""
+        df = self.read()
+        cols = df.columns
+        aggs: list = [F.count(F.lit(1)).cast("long").alias("_n")]
+        for c in cols:
+            aggs += [
+                F.sum(F.col(c).isNull().cast("long")).cast("long").alias(f"{c}__nulls"),
+                F.approx_count_distinct(c).cast("long").alias(f"{c}__ndv"),
+                F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+                F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+            ]
+        row = df.agg(*aggs).collect()[0]
+        out = [
+            (c, row["_n"], row[f"{c}__nulls"], row[f"{c}__ndv"], row[f"{c}__min"], row[f"{c}__max"])
+            for c in cols
+        ]
+        return self.spark.createDataFrame(
+            out, ["column", "n_rows", "n_nulls", "approx_ndv", "min_value", "max_value"]
+        )
+
     def pending(self) -> DataFrame:
         """F1+P1: `SELECT id, first_name, last_name, email, phone FROM
         customers WHERE uploaded = false` (reference database/database.go:18).

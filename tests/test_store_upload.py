@@ -606,3 +606,14 @@ def test_history_records_operations_and_metrics(spark, tmp_path):
     assert all(h["timestamp"] for h in hist)
     store.vacuum(keep_last=2)
     assert [h["version"] for h in store.history()] == [4, 3]
+
+
+def test_analyze_reports_column_statistics(spark, tmp_path):
+    store = _fresh_store(spark, tmp_path)
+    stats = {r["column"]: r for r in store.analyze().collect()}
+    assert set(stats) == set(store.read().columns)
+    assert stats["id"]["n_rows"] == 5
+    assert stats["id"]["n_nulls"] == 0
+    assert stats["phone"]["approx_ndv"] == 5  # HLL exact at tiny scale
+    assert stats["id"]["min_value"] == "1" and stats["id"]["max_value"] == "5"
+    assert stats["uploaded"]["approx_ndv"] == 1  # all false at ingest
