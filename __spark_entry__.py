@@ -412,6 +412,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_parts_supplier_relationship": lambda s, sf: tpch.q16_parts_supplier_relationship(
             _t("part")(s, sf), _t("supplier")(s, sf)
         ),
+        "coh1_weekly_retention": lambda s, sf: tpch.coh1_weekly_retention(
+            _t("events")(s, sf)
+        ),
+        "hll1_mergeable_daily_uniques": lambda s, sf: tpch.hll1_mergeable_daily_uniques(
+            _t("events")(s, sf)
+        ),
         "dd2_dedup_corpus": lambda s, sf: dd.dd2_dedup_corpus(_t("documents")(s, sf)),
         "batch1_length_buckets": lambda s, sf: ts.batch1_length_buckets(
             _t("documents")(s, sf)
@@ -1681,6 +1687,23 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY p_brand, p_type, p_size
         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
     """
+
+    q["coh1_weekly_retention"] = """
+        WITH firsts AS (
+          -- DuckDB date_trunc('week') yields DATE; Spark yields TIMESTAMP
+          SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+          FROM events GROUP BY user_id
+        )
+        SELECT cohort_week,
+               CAST(date_diff('day', cohort_week,
+                              CAST(date_trunc('week', ts) AS TIMESTAMP)) / 7 AS INT) AS week_offset,
+               CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+        FROM events e JOIN firsts USING (user_id)
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
+    # hll1_mergeable_daily_uniques: deliberately NO oracle — HLL sketch
+    # binaries are engine-specific; estimates are pinned against exact
+    # distinct counts in tests/test_training_ops.py
 
     # dedup deliverable: documents minus non-canonical cluster members
     # (reuses the recursive component closure over lsh_pairs)

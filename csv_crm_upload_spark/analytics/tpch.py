@@ -1485,3 +1485,56 @@ def out1_iqr_outliers(events: DataFrame) -> DataFrame:
         .select("event_id", "event_type", "value")
         .orderBy("event_id")
     )
+
+
+def coh1_weekly_retention(events: DataFrame) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week, counted
+    distinct in each subsequent week offset — the product-analytics
+    triangle every events warehouse serves.
+
+    Two aggregations: min-ts per user (map-side combining), then a
+    distinct count per (cohort_week, week_offset) after a join back on
+    user_id — the join key is the natural co-partitioning key, so at
+    scale both sides shuffle once on user_id and the rest is local.
+    Week arithmetic is integer days/7 on week-truncated timestamps —
+    exact in both engines."""
+    firsts = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    joined = events.join(firsts, "user_id").select(
+        "user_id",
+        "cohort_week",
+        (
+            F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week")) / 7
+        ).cast("int").alias("week_offset"),
+    )
+    return (
+        joined.groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+def hll1_mergeable_daily_uniques(events: DataFrame) -> DataFrame:
+    """Mergeable cardinality sketches — the incremental-rollup pattern at
+    100 TB: per-day HLL sketches are built ONCE (map-side combining
+    binary sketch state), then any rollup (weekly, monthly, all-time)
+    UNIONS the stored sketches instead of rescanning raw events. This is
+    what makes "distinct users this quarter" a metadata-sized query.
+
+    Here: per-day sketch → per-day estimate, plus the union-of-all-days
+    estimate as an `all_days` row. No SQL oracle BY NATURE (sketch
+    binaries are engine-specific); the pytest pins the estimates against
+    exact distinct counts within HLL error bounds."""
+    daily = events.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    per_day = daily.select(
+        F.col("day").cast("string").alias("day"),
+        F.hll_sketch_estimate("sk").cast("long").alias("est_unique_users"),
+    )
+    total = daily.agg(
+        F.lit("all_days").alias("day"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("est_unique_users"),
+    )
+    return per_day.unionByName(total.select("day", "est_unique_users")).orderBy("day")

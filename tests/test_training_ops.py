@@ -384,3 +384,24 @@ def test_sq8_codes_bounded_and_knn_recall(spark, sf_dir):
     quant = {(r["query_id"], r["vec_id"]) for r in sim.vq1_quantized_knn(emb, k=5).collect()}
     recall = len(exact & quant) / len(exact)
     assert recall >= 0.5
+
+
+def test_hll_sketch_estimates_within_error(spark, sf_dir):
+    from csv_crm_upload_spark.analytics import tpch
+    from csv_crm_upload_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    est = {r["day"]: r["est_unique_users"] for r in tpch.hll1_mergeable_daily_uniques(events).collect()}
+    exact_total = events.select("user_id").distinct().count()
+    # default lgConfigK=12 → relative error ~1.6%; allow 5%
+    assert abs(est["all_days"] - exact_total) <= max(2, 0.05 * exact_total)
+    exact_day = {
+        str(r["day"]): r["n"]
+        for r in events.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    for day, e in est.items():
+        if day == "all_days":
+            continue
+        assert abs(e - exact_day[day]) <= max(2, 0.05 * exact_day[day])
