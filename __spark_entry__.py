@@ -412,6 +412,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_parts_supplier_relationship": lambda s, sf: tpch.q16_parts_supplier_relationship(
             _t("part")(s, sf), _t("supplier")(s, sf)
         ),
+        "cum1_cumulative_unique_users": lambda s, sf: tpch.cum1_cumulative_unique_users(
+            _t("events")(s, sf)
+        ),
         "coh1_weekly_retention": lambda s, sf: tpch.coh1_weekly_retention(
             _t("events")(s, sf)
         ),
@@ -1686,6 +1689,21 @@ def oracle_sql() -> dict[str, str]:
           )
         GROUP BY p_brand, p_type, p_size
         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """
+
+    q["cum1_cumulative_unique_users"] = """
+        WITH firsts AS (
+          SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS day
+          FROM events GROUP BY user_id
+        ),
+        daily AS (
+          SELECT day, CAST(COUNT(*) AS BIGINT) AS n_new_users FROM firsts GROUP BY day
+        )
+        SELECT day, n_new_users,
+               CAST(SUM(n_new_users) OVER (
+                 ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_users
+        FROM daily ORDER BY day
     """
 
     q["coh1_weekly_retention"] = """

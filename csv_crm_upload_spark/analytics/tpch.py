@@ -1538,3 +1538,24 @@ def hll1_mergeable_daily_uniques(events: DataFrame) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("est_unique_users"),
     )
     return per_day.unionByName(total.select("day", "est_unique_users")).orderBy("day")
+
+
+def cum1_cumulative_unique_users(events: DataFrame) -> DataFrame:
+    """Cumulative distinct users by day — the growth curve. A naive
+    per-day COUNT(DISTINCT user ≤ day) rescans history per day; the
+    scalable identity is: distinct-to-date = Σ first-appearances, so one
+    min-per-user agg + one tiny per-day count + a running sum over days.
+    At 100 TB the only big shuffle is the user_id agg; the cumulative
+    window runs over |days| rows."""
+    firsts = events.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("day")
+    )
+    daily_new = firsts.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily_new.select(
+        "day",
+        "n_new_users",
+        F.sum("n_new_users").over(w).cast("long").alias("cum_users"),
+    ).orderBy("day")
