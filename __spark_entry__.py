@@ -412,6 +412,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_parts_supplier_relationship": lambda s, sf: tpch.q16_parts_supplier_relationship(
             _t("part")(s, sf), _t("supplier")(s, sf)
         ),
+        "split1_train_val_test": lambda s, sf: ts.split1_train_val_test(
+            _t("documents")(s, sf)
+        ),
         "cum1_cumulative_unique_users": lambda s, sf: tpch.cum1_cumulative_unique_users(
             _t("events")(s, sf)
         ),
@@ -1689,6 +1692,19 @@ def oracle_sql() -> dict[str, str]:
           )
         GROUP BY p_brand, p_type, p_size
         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """
+
+    q["split1_train_val_test"] = """
+        WITH g AS (
+          SELECT source,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS gate
+          FROM documents
+        )
+        SELECT source,
+               CASE WHEN gate < 80 THEN 'train'
+                    WHEN gate < 90 THEN 'val' ELSE 'test' END AS split,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM g GROUP BY 1, 2 ORDER BY 1, 2
     """
 
     q["cum1_cumulative_unique_users"] = """

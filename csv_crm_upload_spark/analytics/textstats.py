@@ -607,3 +607,31 @@ def batch1_length_buckets(documents: DataFrame, n_buckets: int = 16) -> DataFram
         )
         .orderBy("bucket")
     )
+
+
+def split1_train_val_test(documents: DataFrame) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10) by hash range —
+    the split must be a PURE FUNCTION of the document id: stable across
+    reruns, engines, cluster sizes, and dataset growth (a new doc never
+    moves an old doc between splits — the leakage guarantee). Gate:
+    pmod(md5_60(doc_id), 100) → <80 train, <90 val, else test. Output is
+    the per-(source, split) audit matrix; the split column itself is the
+    same expression inlined wherever the pipeline partitions. Map-only +
+    one tiny agg."""
+    gate = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+            "long"
+        ),
+        F.lit(100),
+    )
+    split = (
+        F.when(gate < 80, F.lit("train"))
+        .when(gate < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        documents.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("source", "split")
+    )
