@@ -40,6 +40,7 @@ the minimum of each on plain parquet + hard links):
   OPTIMIZE / compaction → compact()
   SHALLOW CLONE         → clone()            (hard-link zero-copy table)
   ALTER TABLE ADD COLUMN→ add_column()       (metadata-only evolution)
+  ADD CONSTRAINT CHECK  → add_constraint()   (staged writes gated)
 
 Schema evolution semantics (add_column): adding a column is an O(1)
 metadata commit — NO data rewrite, matching Delta/Iceberg. Files written
@@ -70,6 +71,15 @@ from csv_crm_upload_spark.schemas import CUSTOMER_SCHEMA
 
 PENDING_COLUMNS = ["id", "first_name", "last_name", "email", "phone"]
 DEFAULT_BUCKETS = 16
+
+
+class ConstraintViolation(Exception):
+    """A staged write (or an ADD CONSTRAINT over existing data) broke a
+    CHECK constraint; `.violations` maps constraint name → row count."""
+
+    def __init__(self, violations: dict[str, int]):
+        self.violations = violations
+        super().__init__(f"CHECK constraint(s) violated: {violations}")
 _LOCK_MAX_AGE_S = 300.0  # break locks older than this even if pid unreadable
 
 
@@ -286,6 +296,45 @@ class CustomerStore:
         except OSError:
             return False  # vanished — the open() loop will retry
 
+    # -- CHECK constraints --------------------------------------------------
+    def _constraints(self) -> dict[str, str]:
+        try:
+            return dict(self._read_meta().get("constraints", {}))
+        except (FileNotFoundError, ValueError):
+            return {}
+
+    def add_constraint(self, name: str, expr: str) -> None:
+        """ALTER TABLE ADD CONSTRAINT name CHECK (expr) — Delta-style
+        declarative row constraints. EXISTING data is validated first
+        (one filter-count scan; the add fails if any row violates), then
+        every staged write is gated (see _stage). SQL CHECK NULL
+        semantics: a row where the expression is NULL passes. Constraints
+        are ingest gates — the reference holds its equivalents (NOT NULL,
+        UNIQUE) in Postgres DDL; flag-flip/delete rewrites of already-
+        accepted rows are not re-validated."""
+        F.expr(expr)  # syntax-check up front
+        bad = self.read().filter(F.expr(expr) == False).count()  # noqa: E712
+        if bad:
+            raise ConstraintViolation({name: bad})
+        with self._write_lock():
+            meta = self._read_meta()
+            cons = meta.get("constraints", {})
+            if name in cons:
+                raise ValueError(f"constraint already exists: {name}")
+            cons[name] = expr
+            meta["constraints"] = cons
+            self._write_meta(meta)
+
+    def drop_constraint(self, name: str) -> None:
+        with self._write_lock():
+            meta = self._read_meta()
+            cons = meta.get("constraints", {})
+            if name not in cons:
+                raise KeyError(f"no such constraint: {name}")
+            del cons[name]
+            meta["constraints"] = cons
+            self._write_meta(meta)
+
     # -- staging / commit helpers ------------------------------------------
     def _stage(self, batch: DataFrame) -> str:
         """Write a batch to a staging dir, partitioned by bucket.
@@ -302,6 +351,23 @@ class CustomerStore:
             .partitionBy("b")
             .parquet(staging)
         )
+        cons = self._constraints()
+        if cons and self._bucket_dirs(staging):
+            # validate the STAGED files (already materialized — no
+            # recompute of the batch plan), one agg job for all rules;
+            # sum skips the NULLs of (expr == false) on NULL expr rows,
+            # giving SQL CHECK null-passes semantics
+            staged = self.spark.read.parquet(staging)
+            row = staged.agg(
+                *[
+                    F.sum((F.expr(e) == False).cast("int")).alias(n)  # noqa: E712
+                    for n, e in cons.items()
+                ]
+            ).first()
+            bad = {n: int(v) for n, v in row.asDict().items() if v}
+            if bad:
+                shutil.rmtree(staging, ignore_errors=True)
+                raise ConstraintViolation(bad)
         return staging
 
     @staticmethod
