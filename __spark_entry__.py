@@ -412,6 +412,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_parts_supplier_relationship": lambda s, sf: tpch.q16_parts_supplier_relationship(
             _t("part")(s, sf), _t("supplier")(s, sf)
         ),
+        "lag1_conversion_lag_quartiles": lambda s, sf: tpch.lag1_conversion_lag_quartiles(
+            _t("events")(s, sf)
+        ),
         "split1_train_val_test": lambda s, sf: ts.split1_train_val_test(
             _t("documents")(s, sf)
         ),
@@ -1692,6 +1695,35 @@ def oracle_sql() -> dict[str, str]:
           )
         GROUP BY p_brand, p_type, p_size
         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """
+
+    q["lag1_conversion_lag_quartiles"] = """
+        WITH views AS (
+          SELECT user_id, MIN(ts) AS first_view
+          FROM events WHERE event_type = 'view' GROUP BY user_id
+        ),
+        fp AS (
+          SELECT e.user_id, first_view, MIN(ts) AS first_purchase
+          FROM events e JOIN views USING (user_id)
+          WHERE event_type = 'purchase' AND ts >= first_view
+          GROUP BY e.user_id, first_view
+        ),
+        lags AS (
+          SELECT user_id,
+                 CAST(date_diff('second', first_view, first_purchase) AS BIGINT) AS lag_seconds
+          FROM fp
+        ),
+        ranked AS (
+          SELECT lag_seconds,
+                 row_number() OVER (ORDER BY lag_seconds, user_id) AS rn,
+                 COUNT(*) OVER () AS n
+          FROM lags
+        )
+        SELECT q.quartile, lag_seconds, CAST(n AS BIGINT) AS n_converted
+        FROM ranked
+        JOIN (VALUES ('p25', 0.25), ('p50', 0.50), ('p75', 0.75)) AS q(quartile, frac)
+          ON rn = CAST(CEIL(n * frac) AS BIGINT)
+        ORDER BY q.quartile
     """
 
     q["split1_train_val_test"] = """

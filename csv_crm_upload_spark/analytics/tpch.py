@@ -1559,3 +1559,53 @@ def cum1_cumulative_unique_users(events: DataFrame) -> DataFrame:
         "n_new_users",
         F.sum("n_new_users").over(w).cast("long").alias("cum_users"),
     ).orderBy("day")
+
+
+def lag1_conversion_lag_quartiles(events: DataFrame) -> DataFrame:
+    """Funnel timing: per user, seconds from first 'view' to the first
+    'purchase' at-or-after it; output the exact quartiles of that lag
+    distribution — the time-to-convert metric behind funnel dashboards.
+
+    Quartiles are exact type-1 order statistics (same discipline as
+    out1_iqr_outliers: interpolation rules differ across engines, the
+    k-th element of a total order does not). Lags are integer seconds
+    (unix_timestamp difference ≡ DuckDB date_diff('second')). Plan: two
+    filtered min-aggs shuffling on user_id, then rank over the (small)
+    converted-user set."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    first_purchase = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(views, "user_id")
+        .filter(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id", "first_view")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    lags = first_purchase.select(
+        "user_id",
+        (
+            F.unix_timestamp("first_purchase") - F.unix_timestamp("first_view")
+        ).cast("long").alias("lag_seconds"),
+    )
+    w = Window.orderBy("lag_seconds", "user_id")
+    ranked = lags.select(
+        "lag_seconds",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    qs = [("p25", 0.25), ("p50", 0.50), ("p75", 0.75)]
+    picks = [
+        ranked.filter(F.col("rn") == F.ceil(F.col("n") * F.lit(frac)).cast("long")).select(
+            F.lit(label).alias("quartile"),
+            F.col("lag_seconds"),
+            F.col("n").cast("long").alias("n_converted"),
+        )
+        for label, frac in qs
+    ]
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("quartile")
