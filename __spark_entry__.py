@@ -412,6 +412,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_parts_supplier_relationship": lambda s, sf: tpch.q16_parts_supplier_relationship(
             _t("part")(s, sf), _t("supplier")(s, sf)
         ),
+        "anon1_k_anonymity": lambda s, sf: tpch.anon1_k_anonymity(
+            _t("customer")(s, sf)
+        ),
         "lag1_conversion_lag_quartiles": lambda s, sf: tpch.lag1_conversion_lag_quartiles(
             _t("events")(s, sf)
         ),
@@ -1695,6 +1698,16 @@ def oracle_sql() -> dict[str, str]:
           )
         GROUP BY p_brand, p_type, p_size
         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """
+
+    q["anon1_k_anonymity"] = """
+        SELECT c_nationkey AS nation, c_mktsegment AS segment,
+               CAST(FLOOR(c_acctbal / 1000) * 1000 AS BIGINT) AS balance_band,
+               CAST(COUNT(*) AS BIGINT) AS group_size
+        FROM customer
+        GROUP BY 1, 2, 3
+        HAVING COUNT(*) < 5
+        ORDER BY 1, 2, 3
     """
 
     q["lag1_conversion_lag_quartiles"] = """

@@ -1609,3 +1609,27 @@ def lag1_conversion_lag_quartiles(events: DataFrame) -> DataFrame:
     for p in picks[1:]:
         out = out.unionByName(p)
     return out.orderBy("quartile")
+
+
+def anon1_k_anonymity(customer: DataFrame, k: int = 5) -> DataFrame:
+    """K-anonymity audit over quasi-identifiers — the privacy check a
+    dataset release runs: any (nation, segment, balance-band) combination
+    shared by FEWER than k individuals is a re-identification risk and
+    must be generalized or suppressed before release.
+
+    One groupBy on the quasi-identifier tuple (map-side combining),
+    HAVING count < k — scan-shaped; the output is the violation list,
+    at most |combinations| rows. The balance band generalizes the
+    continuous column (floor to 1000s), the standard first step of
+    k-anonymization."""
+    band = (F.floor(F.col("c_acctbal") / 1000) * 1000).cast("long")
+    return (
+        customer.groupBy(
+            F.col("c_nationkey").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            band.alias("balance_band"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("group_size"))
+        .filter(F.col("group_size") < k)
+        .orderBy("nation", "segment", "balance_band")
+    )
