@@ -586,6 +586,46 @@ class CustomerStore:
             self._commit(new_v, op="restore", metrics={"restored_version": version})
         return new_v
 
+    def lookup(self, email: str) -> DataFrame:
+        """Bucket-pruned point lookup: compute the email's bucket id
+        driver-side (same pmod(xxhash64) as the writer) and read ONLY
+        that bucket's directory — a 1/n_buckets slice of the table
+        regardless of table size, the hash-index point read the
+        reference gets from its Postgres UNIQUE index. The residual
+        email filter then pushes into that one parquet scan."""
+        b = self.spark.range(1).select(
+            F.pmod(F.xxhash64(F.lit(email)), F.lit(self.n_buckets)).cast("int").alias("b")
+        ).first()["b"]
+        v = self._current_version()
+        if v < 0:
+            raise FileNotFoundError("store has no committed version yet")
+        vdir = self._version_dir(v)
+        if f"b={b}" not in self._bucket_dirs(vdir):
+            # the email's bucket holds no rows at all → provably absent,
+            # answered from metadata without any scan
+            extras = self._extras()
+            return self._apply_extras(
+                self.spark.createDataFrame([], CUSTOMER_SCHEMA), extras
+            )
+        return self._read_buckets(vdir, [f"b={b}"]).filter(F.col("email") == email)
+
+    def maybe_compact(
+        self, max_files_per_bucket: int = 8, zorder_by: list[str] | None = None
+    ) -> int | None:
+        """Auto-compaction policy: compact only when some bucket has
+        accumulated more than `max_files_per_bucket` files. The check is
+        pure metadata (os.listdir per bucket, no Spark job), so a
+        maintenance loop can call this every tick for free; returns the
+        new version when compaction ran, else None."""
+        v = self._current_version()
+        if v < 0:
+            return None
+        for _b, path in self._bucket_dirs(self._version_dir(v)).items():
+            n = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+            if n > max_files_per_bucket:
+                return self.compact(zorder_by=zorder_by)
+        return None
+
     def clone(self, dest_root: str) -> "CustomerStore":
         """SHALLOW CLONE (the `CREATE TABLE ... SHALLOW CLONE` lakehouse
         surface): a new, independent store whose v0 hard-links every data

@@ -4,6 +4,8 @@ with retry, SURVEY §2.9) and the FIXTURES.md §5 invariants."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from csv_crm_upload_spark.operators.mutate import finalize_columns
@@ -617,3 +619,32 @@ def test_analyze_reports_column_statistics(spark, tmp_path):
     assert stats["phone"]["approx_ndv"] == 5  # HLL exact at tiny scale
     assert stats["id"]["min_value"] == "1" and stats["id"]["max_value"] == "5"
     assert stats["uploaded"]["approx_ndv"] == 1  # all false at ingest
+
+
+def test_lookup_reads_single_bucket(spark, tmp_path):
+    store = _fresh_store(spark, tmp_path)
+    hit = store.lookup("jon@x.com")
+    rows = hit.collect()
+    assert len(rows) == 1 and rows[0]["id"] == 1
+    # pruning: the scan must touch exactly one bucket directory
+    files = hit.inputFiles()
+    assert files and len({f.split("/b=")[1].split("/")[0] for f in files}) == 1
+    assert store.lookup("nobody@x.com").count() == 0
+
+
+def test_maybe_compact_threshold(spark, tmp_path):
+    store = _fresh_store(spark, tmp_path)
+    assert store.maybe_compact(max_files_per_bucket=50) is None  # under threshold
+    for i in range(3):  # accumulate files in the same buckets
+        store.append(
+            finalize_columns(
+                spark.createDataFrame([(10 + i, "x", "y", f"x{i}@x.com", "0")], COLS)
+            )
+        )
+    before = store.read().count()
+    v = store.maybe_compact(max_files_per_bucket=1)
+    assert v is not None and store._current_version() == v
+    assert store.read().count() == before
+    # compacted: every bucket back to one file
+    for _b, p in store._bucket_dirs(store._version_dir(v)).items():
+        assert sum(1 for f in os.listdir(p) if f.endswith(".parquet")) == 1
