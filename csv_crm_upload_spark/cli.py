@@ -100,6 +100,20 @@ def main(argv: list[str] | None = None) -> int:
         help="CDC-pruned ticks: upload only rows changed since the last "
         "cycle (parquet store only; quiet ticks cost metadata, not a scan)",
     )
+    ps.add_argument(
+        "--auto-compact",
+        type=int,
+        default=None,
+        metavar="FILES",
+        help="compact when a bucket exceeds FILES files (metadata check each tick)",
+    )
+    ps.add_argument(
+        "--vacuum-keep",
+        type=int,
+        default=None,
+        metavar="N",
+        help="after each tick keep only the newest N snapshots",
+    )
 
     pw = sub.add_parser("watch", help="stream-ingest CSVs arriving in a directory")
     pw.add_argument("--dir", required=True)
@@ -181,6 +195,8 @@ def main(argv: list[str] | None = None) -> int:
             concurrency=args.concurrency,
             max_tries=args.max_tries,
             incremental=args.incremental,
+            auto_compact_files=args.auto_compact,
+            vacuum_keep=args.vacuum_keep,
         )
         print(f"cycles={len(marked)} marked_total={sum(marked)}")
     elif args.cmd == "watch":

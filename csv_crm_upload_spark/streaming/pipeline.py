@@ -161,6 +161,8 @@ def run_upload_service(
     sleep=None,
     tick_sleep=None,
     incremental: bool = False,
+    auto_compact_files: int | None = None,
+    vacuum_keep: int | None = None,
 ) -> list[int]:
     """The crmIntegrator as a long-running service: upload cycles on a
     poll ticker (reference crm service loop — a 30 s timer re-selecting
@@ -173,7 +175,16 @@ def run_upload_service(
     the first tick does a full cycle to establish the version cursor,
     later ticks upload only rows changed since — and if the cursor's
     version has been vacuumed out from under the service, the tick falls
-    back to one full cycle and re-establishes the cursor."""
+    back to one full cycle and re-establishes the cursor.
+
+    Maintenance rides the ticker (the way a lakehouse schedules OPTIMIZE
+    / VACUUM alongside the workload): after each cycle,
+    `auto_compact_files` runs the pure-metadata maybe_compact() check
+    and bin-packs only when some bucket exceeds the threshold;
+    `vacuum_keep` then drops all but the newest snapshots. A compaction
+    commits a new version whose rows are content-identical, so the next
+    incremental tick's change feed row-diffs to EMPTY — the tick pays a
+    one-off diff of the rewritten buckets, but never re-uploads."""
     import time as _time
 
     tick = tick_sleep or _time.sleep
@@ -201,6 +212,10 @@ def run_upload_service(
                     store, crm_url, concurrency=concurrency, max_tries=max_tries, sleep=sleep
                 )
             )
+        if auto_compact_files is not None and hasattr(store, "maybe_compact"):
+            store.maybe_compact(max_files_per_bucket=auto_compact_files)
+        if vacuum_keep is not None and hasattr(store, "vacuum"):
+            store.vacuum(keep_last=vacuum_keep)
         cycle += 1
         if max_cycles is None or cycle < max_cycles:
             tick(interval_s)

@@ -4,6 +4,8 @@ restart does not re-ingest."""
 
 from __future__ import annotations
 
+import os
+
 from csv_crm_upload_spark.operators.store import CustomerStore
 from csv_crm_upload_spark.streaming.pipeline import run_ingest_stream
 
@@ -73,3 +75,42 @@ def test_merge_stream_upserts_with_exactly_once_effect(spark, tmp_path):
     res2 = store.merge(clean, txn=("merge-stream", 2))
     assert res2.get("applied", True) in (True,) or res2["updated"] >= 0
     assert store.last_txn("merge-stream") == 2
+
+
+def test_service_maintenance_compacts_and_vacuums_without_reupload(spark, tmp_path):
+    """Maintenance riding the ticker: fragmented buckets get compacted,
+    old snapshots vacuumed, and the incremental cursor survives a
+    compaction-only version without re-POSTing anything."""
+    from csv_crm_upload_spark.operators.mutate import finalize_columns
+    from csv_crm_upload_spark.operators.store import CustomerStore
+    from csv_crm_upload_spark.streaming.pipeline import run_upload_service
+    from tests.mock_crm import MockCRM
+
+    store = CustomerStore(spark, str(tmp_path / "store"))
+    cols = ["id", "first_name", "last_name", "email", "phone"]
+    for i in range(3):  # three appends → multiple files per touched bucket
+        store.append(
+            finalize_columns(
+                spark.createDataFrame([(i + 1, "a", "b", f"m{i}@x.com", str(i))], cols)
+            )
+        )
+    with MockCRM() as crm:
+        marked = run_upload_service(
+            store,
+            crm.url,
+            interval_s=0,
+            max_cycles=3,
+            sleep=lambda s: None,
+            tick_sleep=lambda s: None,
+            incremental=True,
+            auto_compact_files=1,
+            vacuum_keep=2,
+        )
+        posts = len(crm.received)
+    assert marked[0] == 3 and sum(marked[1:]) == 0  # no re-upload after compaction
+    assert posts == 3
+    assert len(store.versions()) <= 2  # vacuumed
+    v = store._current_version()
+    for _b, p in store._bucket_dirs(store._version_dir(v)).items():
+        assert sum(1 for f in os.listdir(p) if f.endswith(".parquet")) == 1
+    assert store.pending().count() == 0
