@@ -412,6 +412,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_parts_supplier_relationship": lambda s, sf: tpch.q16_parts_supplier_relationship(
             _t("part")(s, sf), _t("supplier")(s, sf)
         ),
+        "wow1_weekly_growth": lambda s, sf: tpch.wow1_weekly_growth(
+            _t("events")(s, sf)
+        ),
         "anon1_k_anonymity": lambda s, sf: tpch.anon1_k_anonymity(
             _t("customer")(s, sf)
         ),
@@ -1698,6 +1701,19 @@ def oracle_sql() -> dict[str, str]:
           )
         GROUP BY p_brand, p_type, p_size
         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """
+
+    q["wow1_weekly_growth"] = """
+        WITH weekly AS (
+          SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+                 CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM events GROUP BY 1
+        )
+        SELECT week, n_events,
+               lag(n_events) OVER (ORDER BY week) AS prev_week,
+               round((n_events - lag(n_events) OVER (ORDER BY week))
+                     / lag(n_events) OVER (ORDER BY week) * 100, 2) AS pct_change
+        FROM weekly ORDER BY week
     """
 
     q["anon1_k_anonymity"] = """

@@ -1633,3 +1633,21 @@ def anon1_k_anonymity(customer: DataFrame, k: int = 5) -> DataFrame:
         .filter(F.col("group_size") < k)
         .orderBy("nation", "segment", "balance_band")
     )
+
+
+def wow1_weekly_growth(events: DataFrame) -> DataFrame:
+    """Week-over-week growth of event volume: weekly counts, previous
+    week via lag, percent change — the canonical trend transform.
+    Integer counts; the percent change is one double division + round(2)
+    (identical IEEE both engines). The window runs over |weeks| rows."""
+    weekly = events.groupBy(F.date_trunc("week", F.col("ts")).alias("week")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    w = Window.orderBy("week")
+    prev = F.lag("n_events").over(w)
+    return weekly.select(
+        "week",
+        "n_events",
+        prev.alias("prev_week"),
+        F.round((F.col("n_events") - prev) / prev * 100, 2).alias("pct_change"),
+    ).orderBy("week")
