@@ -412,6 +412,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_parts_supplier_relationship": lambda s, sf: tpch.q16_parts_supplier_relationship(
             _t("part")(s, sf), _t("supplier")(s, sf)
         ),
+        "co1_event_type_cooccurrence": lambda s, sf: tpch.co1_event_type_cooccurrence(
+            _t("events")(s, sf)
+        ),
         "wow1_weekly_growth": lambda s, sf: tpch.wow1_weekly_growth(
             _t("events")(s, sf)
         ),
@@ -1701,6 +1704,15 @@ def oracle_sql() -> dict[str, str]:
           )
         GROUP BY p_brand, p_type, p_size
         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """
+
+    q["co1_event_type_cooccurrence"] = """
+        WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM ut a JOIN ut b USING (user_id)
+        WHERE a.event_type < b.event_type
+        GROUP BY 1, 2 ORDER BY 1, 2
     """
 
     q["wow1_weekly_growth"] = """

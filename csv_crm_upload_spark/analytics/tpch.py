@@ -1651,3 +1651,26 @@ def wow1_weekly_growth(events: DataFrame) -> DataFrame:
         prev.alias("prev_week"),
         F.round((F.col("n_events") - prev) / prev * 100, 2).alias("pct_change"),
     ).orderBy("week")
+
+
+def co1_event_type_cooccurrence(events: DataFrame) -> DataFrame:
+    """Co-occurrence matrix: for every pair of event types, how many
+    users did both — the association-mining primitive (cross-sell /
+    funnel-adjacency analysis).
+
+    The distinct (user, type) projection bounds the self-join: each user
+    contributes at most C(|types|,2) pairs, so the join output is
+    O(users · types²) with tiny types — never O(events²). One shuffle on
+    user_id, map-side-combining count."""
+    ut = events.select("user_id", "event_type").distinct()
+    return (
+        ut.alias("a")
+        .join(ut.alias("b"), "user_id")
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("type_a", "type_b")
+    )
