@@ -466,6 +466,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t("region")(s, sf),
             _t("lineitem")(s, sf),
         ),
+        "corr1_spearman_orders": lambda s, sf: tpch.corr1_spearman_orders(
+            _t("orders")(s, sf)
+        ),
+        "unpiv1_status_counts": lambda s, sf: tpch.unpiv1_status_counts(
+            _t("orders")(s, sf)
+        ),
     }
 
 
@@ -2010,5 +2016,45 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(ps_availqty AS DECIMAL(18,4)) * 2 > qty
           )
         ORDER BY s_name
+    """
+
+    # corr1: integer Σd² (row_number ranks over a total order), one
+    # identically-ordered IEEE double formula rounded to 6 dp at the end
+    q["corr1_spearman_orders"] = """
+        WITH per_cust AS (
+          SELECT o_custkey,
+                 CAST(COUNT(*) AS BIGINT) AS n_orders,
+                 SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+          FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+          SELECT
+            CAST(ROW_NUMBER() OVER (ORDER BY n_orders, o_custkey) AS BIGINT) AS rx,
+            CAST(ROW_NUMBER() OVER (ORDER BY spend, o_custkey) AS BIGINT) AS ry
+          FROM per_cust
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2,
+               ROUND(
+                 1.0 - (6.0 * CAST(SUM((rx - ry) * (rx - ry)) AS DOUBLE))
+                     / (CAST(COUNT(*) AS DOUBLE)
+                        * (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE) - 1.0)),
+                 6) AS rho
+        FROM ranked
+    """
+
+    q["unpiv1_status_counts"] = """
+        WITH wide AS (
+          SELECT
+            CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+            CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+            CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+          FROM orders
+        )
+        SELECT * FROM (
+          SELECT 'n_f' AS metric, n_f AS n_orders FROM wide
+          UNION ALL SELECT 'n_o', n_o FROM wide
+          UNION ALL SELECT 'n_p', n_p FROM wide
+        ) ORDER BY metric
     """
     return q

@@ -1674,3 +1674,92 @@ def co1_event_type_cooccurrence(events: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
         .orderBy("type_a", "type_b")
     )
+
+
+def distributed_rank(
+    df: DataFrame, order_cols: list[str], out_col: str, n_parts: int | None = None
+) -> DataFrame:
+    """Global ROW_NUMBER without the single-partition window collapse.
+
+    `Window.orderBy(...)` with no partitionBy funnels the whole input
+    through ONE task — the textbook global-sort scale trap. The
+    distributed form is two-phase: range-repartition on the order key,
+    rank WITHIN each (now globally ordered) partition, then add
+    per-partition row-count offsets. The only driver-side data is one
+    count per partition (bounded by n_parts, not by rows).
+
+    `order_cols` must end in a unique tiebreaker so the total order is
+    well-defined no matter where the range boundaries fall."""
+    spark = df.sparkSession
+    n_parts = n_parts or spark.sparkContext.defaultParallelism
+    # localCheckpoint FREEZES the range partitioning: repartitionByRange
+    # picks boundaries by sampling, so a lazy recompute after the counts
+    # were collected could land rows in different partitions and corrupt
+    # the offsets. Materializing once pins partition contents for both
+    # the count job and the later window job.
+    parted = (
+        df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        r["_pid"]: r["n"]
+        for r in parted.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off = F.create_map(
+        *[F.lit(v) for pid in sorted(offsets) for v in (pid, offsets[pid])]
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    return parted.withColumn(
+        out_col, (F.row_number().over(w) + off[F.col("_pid")]).cast("long")
+    ).drop("_pid")
+
+
+def corr1_spearman_orders(orders: DataFrame) -> DataFrame:
+    """Spearman rank correlation between a customer's order COUNT and
+    total SPEND — "do frequent buyers spend more?" asked robustly (rank
+    correlation ignores the heavy price tail that wrecks Pearson).
+
+    Cross-engine exactness: ranks are integers (row_number over a total
+    order with the custkey tiebreaker), so Σd² is an INTEGER — the only
+    float is the final textbook formula rho = 1 − 6Σd²/(n(n²−1)), one
+    identically-ordered IEEE expression rounded to 6 dp in both engines.
+    Ranking uses the two-phase distributed_rank, not a single-partition
+    window; everything upstream is one groupBy shuffle on o_custkey."""
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend"),
+    )
+    ranked = distributed_rank(per_cust, ["n_orders", "o_custkey"], "rx")
+    ranked = distributed_rank(ranked, ["spend", "o_custkey"], "ry")
+    d = F.col("rx") - F.col("ry")
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(d * d).cast("long").alias("sum_d2"),
+    )
+    nd = F.col("n_customers").cast("double")
+    sd = F.col("sum_d2").cast("double")
+    rho = F.lit(1.0) - (F.lit(6.0) * sd) / (nd * (nd * nd - F.lit(1.0)))
+    return agg.select("n_customers", "sum_d2", F.round(rho, 6).alias("rho"))
+
+
+def unpiv1_status_counts(orders: DataFrame) -> DataFrame:
+    """UNPIVOT surface: one wide conditional-count row melted to
+    (metric, value) long form — the wide→long reshape every BI export
+    needs. The wide row is a single map-side-combining scan; the unpivot
+    itself is a zero-shuffle metadata rewrite of a 1-row relation."""
+    wide = orders.agg(
+        *[
+            F.sum(F.when(F.col("o_orderstatus") == s, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n_{s.lower()}")
+            for s in ("F", "O", "P")
+        ]
+    )
+    return wide.unpivot([], ["n_f", "n_o", "n_p"], "metric", "n_orders").orderBy(
+        "metric"
+    )
