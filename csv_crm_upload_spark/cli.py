@@ -73,6 +73,14 @@ def main(argv: list[str] | None = None) -> int:
     ph = sub.add_parser("history", help="show the store's commit history (DESCRIBE HISTORY)")
     _add_store_args(ph)
 
+    pf = sub.add_parser(
+        "forget",
+        help="GDPR erasure: remove an email from EVERY retained snapshot "
+        "(rewrites history; delete only affects new versions)",
+    )
+    pf.add_argument("--email", required=True)
+    _add_store_args(pf)
+
     pc = sub.add_parser("clone", help="shallow-clone the store (hard links, zero copy)")
     pc.add_argument("--dest", required=True, help="destination store root")
     _add_store_args(pc)
@@ -158,6 +166,11 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "delete":
         n = store.delete(args.where)
         print(f"deleted={n}")
+    elif args.cmd == "forget":
+        if not hasattr(store, "forget"):
+            raise SystemExit("forget requires the versioned parquet store (--store)")
+        n = store.forget(args.email)
+        print(f"forgotten={n}")
     elif args.cmd == "clone":
         if not hasattr(store, "clone"):
             raise SystemExit("clone requires the versioned parquet store (--store)")

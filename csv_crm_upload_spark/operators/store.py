@@ -34,13 +34,16 @@ the minimum of each on plain parquet + hard links):
   UPDATE ... WHERE      → mark_uploaded()    (pruned keyed rewrite)
   DELETE ... WHERE      → delete()           (pruned predicate delete)
   VERSION AS OF         → read_version()
+  TIMESTAMP AS OF       → read_as_of()       (commit-ledger resolution)
   RESTORE               → restore()
   CHANGE DATA FEED      → changes()          (inode-pruned diff)
   VACUUM                → vacuum()
   OPTIMIZE / compaction → compact()
   SHALLOW CLONE         → clone()            (hard-link zero-copy table)
   ALTER TABLE ADD COLUMN→ add_column()       (metadata-only evolution)
+  RENAME / DROP COLUMN  → rename_column() / drop_column()  (column mapping)
   ADD CONSTRAINT CHECK  → add_constraint()   (staged writes gated)
+  GDPR erase (RTBF)     → forget()           (history-rewriting erasure)
 
 Schema evolution semantics (add_column): adding a column is an O(1)
 metadata commit — NO data rewrite, matching Delta/Iceberg. Files written
@@ -158,21 +161,95 @@ class CustomerStore:
             taken = {f.name for f in CUSTOMER_SCHEMA.fields} | {e["name"] for e in extras}
             if name in taken or name == "b":
                 raise ValueError(f"column already exists: {name}")
-            extras.append({"name": name, "type": dtype, "default": default})
+            # physical-name hygiene: if this logical name ever existed as a
+            # physical column (dropped, or freed by a rename), data for it
+            # may survive in old files — a fresh physical name keeps that
+            # data from resurrecting (Delta column-mapping semantics)
+            used_phys = (
+                set(meta.get("retired_physicals", []))
+                | {e.get("physical", e["name"]) for e in extras}
+            )
+            entry = {"name": name, "type": dtype, "default": default}
+            if name in used_phys:
+                n = int(meta.get("phys_counter", 0)) + 1
+                meta["phys_counter"] = n
+                entry["physical"] = f"{name}__p{n}"
+            extras.append(entry)
             meta["extra_cols"] = extras
+            self._write_meta(meta)
+
+    def rename_column(self, old: str, new: str) -> None:
+        """ALTER TABLE RENAME COLUMN — metadata-only, for evolved columns.
+        The file (physical) name never changes; only the logical name in
+        _META does, so the rename is O(1) with zero data rewrite and old
+        snapshots read back under the NEW name (Delta column-mapping
+        `name` mode). Base schema columns are the reference's contract
+        (email is the merge/bucket key) and stay fixed."""
+        with self._write_lock():
+            meta = self._read_meta()
+            extras = meta.get("extra_cols", [])
+            match = [e for e in extras if e["name"] == old]
+            if not match:
+                raise ValueError(f"not an evolved column (only those rename): {old}")
+            taken = {f.name for f in CUSTOMER_SCHEMA.fields} | {e["name"] for e in extras}
+            if new in taken or new == "b":
+                raise ValueError(f"column already exists: {new}")
+            e = match[0]
+            e.setdefault("physical", e["name"])
+            e["name"] = new
+            meta["extra_cols"] = extras
+            self._write_meta(meta)
+
+    def drop_column(self, name: str) -> None:
+        """ALTER TABLE DROP COLUMN — metadata-only, for evolved columns.
+        O(1): the column vanishes from the logical schema instantly; file
+        bytes are reclaimed lazily as rewrites (compact/merge/delete)
+        regenerate the files without it. The physical name is retired so
+        a later add_column of the same name cannot resurrect old data."""
+        with self._write_lock():
+            meta = self._read_meta()
+            extras = meta.get("extra_cols", [])
+            match = [e for e in extras if e["name"] == name]
+            if not match:
+                raise ValueError(f"not an evolved column (only those drop): {name}")
+            retired = set(meta.get("retired_physicals", []))
+            retired.add(match[0].get("physical", match[0]["name"]))
+            meta["retired_physicals"] = sorted(retired)
+            meta["extra_cols"] = [e for e in extras if e["name"] != name]
             self._write_meta(meta)
 
     def _apply_extras(self, df: DataFrame, extras: list[dict]) -> DataFrame:
         """Widen a physical scan to the logical schema: evolved columns
         missing from every scanned file are added as default literals;
         present ones coalesce NULL → default (files older than the column
-        return NULL for it under mergeSchema)."""
+        return NULL for it under mergeSchema). Files store the PHYSICAL
+        name (column mapping — see rename_column); the scan surfaces the
+        current logical name."""
         for e in extras:
+            phys = e.get("physical", e["name"])
             d = F.lit(e["default"]).cast(e["type"])
-            if e["name"] not in df.columns:
+            # ONLY the physical name is read — every write path stores it,
+            # and falling back to a same-named column from files of a
+            # since-dropped column would resurrect dead data
+            if phys not in df.columns:
                 df = df.withColumn(e["name"], d)
-            elif e["default"] is not None:
-                df = df.withColumn(e["name"], F.coalesce(F.col(e["name"]), d))
+                continue
+            expr = F.coalesce(F.col(phys), d) if e["default"] is not None else F.col(phys)
+            if phys != e["name"]:
+                df = df.withColumn(e["name"], expr.cast(e["type"])).drop(phys)
+            else:
+                df = df.withColumn(e["name"], expr.cast(e["type"]))
+        return df
+
+    def _to_physical(self, df: DataFrame, extras: list[dict] | None = None) -> DataFrame:
+        """Map logical column names back to their physical (file) names —
+        the inverse of _apply_extras, applied immediately before any
+        parquet write so files always store physical names."""
+        extras = self._extras() if extras is None else extras
+        for e in extras:
+            phys = e.get("physical", e["name"])
+            if phys != e["name"] and e["name"] in df.columns:
+                df = df.withColumnRenamed(e["name"], phys)
         return df
 
     def _conform(self, batch: DataFrame, extras: list[dict] | None = None) -> DataFrame:
@@ -341,7 +418,7 @@ class CustomerStore:
         Runs OUTSIDE the lock (the expensive part)."""
         staging = os.path.join(self.root, f"staging_{os.getpid()}_{uuid.uuid4().hex[:8]}")
         (
-            self._conform(batch)
+            self._to_physical(self._conform(batch))
             .withColumn("b", _bucket_col(self.n_buckets))
             # cluster rows by bucket before the write: without this every
             # task writes a file into every bucket it touches (tasks ×
@@ -356,8 +433,10 @@ class CustomerStore:
             # validate the STAGED files (already materialized — no
             # recompute of the batch plan), one agg job for all rules;
             # sum skips the NULLs of (expr == false) on NULL expr rows,
-            # giving SQL CHECK null-passes semantics
-            staged = self.spark.read.parquet(staging)
+            # giving SQL CHECK null-passes semantics. _apply_extras maps
+            # physical file names back to logical so rules reference the
+            # names users know.
+            staged = self._apply_extras(self.spark.read.parquet(staging), self._extras())
             row = staged.agg(
                 *[
                     F.sum((F.expr(e) == False).cast("int")).alias(n)  # noqa: E712
@@ -448,6 +527,20 @@ class CustomerStore:
             reader = reader.option("mergeSchema", "true")
         return self._apply_extras(reader.parquet(vdir), extras).select(
             *self._table_cols(extras)
+        )
+
+    def read_as_of(self, ts: str) -> DataFrame:
+        """TIMESTAMP AS OF: scan the newest still-on-disk snapshot whose
+        commit timestamp is at or before `ts` (UTC 'YYYY-MM-DD HH:MM:SS',
+        the format history() records). Pure metadata resolution — one
+        walk of the commit ledger, then a normal read_version scan."""
+        for h in self.history():  # newest first
+            t = h.get("timestamp")
+            if t is not None and t <= ts:
+                return self.read_version(h["version"])
+        raise FileNotFoundError(
+            f"no snapshot committed at or before {ts} (earliest retained: "
+            f"{self.versions()[:1] or None})"
         )
 
     def versions(self) -> list[int]:
@@ -550,7 +643,8 @@ class CustomerStore:
                 sort_cols = ["b", "_z"]
             try:
                 (
-                    table.withColumn("b", _bucket_col(self.n_buckets))
+                    self._to_physical(table)
+                    .withColumn("b", _bucket_col(self.n_buckets))
                     .repartition(self.n_buckets, "b")
                     .sortWithinPartitions(*sort_cols)
                     .drop("_z")
@@ -888,7 +982,7 @@ class CustomerStore:
             kept = sub.filter(~is_hit)
             staging = os.path.join(self.root, f"staging_{os.getpid()}_{uuid.uuid4().hex[:8]}")
             try:
-                kept.write.mode("overwrite").partitionBy("b").parquet(staging)
+                self._to_physical(kept).write.mode("overwrite").partitionBy("b").parquet(staging)
                 self._commit_merge(
                     staging,
                     replace_buckets=set(affected),
@@ -898,6 +992,81 @@ class CustomerStore:
             finally:
                 shutil.rmtree(staging, ignore_errors=True)
         return n_deleted
+
+    def forget(self, email: str) -> int:
+        """GDPR erasure (right to be forgotten): physically remove every
+        row for `email` from EVERY retained snapshot. delete() is not
+        enough for compliance — it writes a new version while time travel
+        keeps serving the old rows until vacuum; forget() REWRITES
+        HISTORY in place, by design, under the write lock.
+
+        Cost is bucket-pruned twice over: only the email's hash bucket is
+        touched in each version, and because versions share bucket files
+        through hard links, each distinct file (inode) is examined and
+        rewritten ONCE — the rewritten file is re-linked into every
+        version that referenced the original, preserving the sharing.
+        Files that do not contain the email are left untouched (their
+        inodes and zone maps survive). Per-file filtering runs
+        driver-side via pyarrow — bounded by one bucket's files, 1/n_buckets
+        of the table regardless of scale; a cluster deployment would
+        distribute the per-file rewrite as a Spark job over file paths.
+
+        Returns the number of rows erased from the CURRENT snapshot."""
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        bucket_id = self.spark.range(1).select(
+            F.pmod(F.xxhash64(F.lit(email)), F.lit(self.n_buckets)).cast("int").alias("b")
+        ).first()["b"]
+        b = f"b={bucket_id}"
+        erased_current = 0
+        with self._write_lock():
+            current = self._current_version()
+            # inode → list of (version_dir_path, filename) hard links
+            sites: dict[int, list[tuple[str, str]]] = {}
+            for v in self.versions():
+                bdir = os.path.join(self._version_dir(v), b)
+                if not os.path.isdir(bdir):
+                    continue
+                for name in os.listdir(bdir):
+                    if name.endswith(".parquet"):
+                        ino = os.stat(os.path.join(bdir, name)).st_ino
+                        sites.setdefault(ino, []).append((bdir, name))
+            for ino, links in sites.items():
+                src = os.path.join(*links[0])
+                table = pq.read_table(src)
+                mask = pc.equal(table.column("email"), email)
+                n_hits = pc.sum(mask).as_py() or 0
+                if n_hits == 0:
+                    continue
+                if any(bdir == os.path.join(self._version_dir(current), b) for bdir, _ in links):
+                    erased_current += n_hits
+                kept = table.filter(pc.invert(mask))
+                if kept.num_rows:
+                    tmp = src + ".forget.tmp"
+                    pq.write_table(kept, tmp)
+                    # splice the new inode into every version that linked
+                    # the old one, keeping filenames (and thus sharing)
+                    first, rest = links[0], links[1:]
+                    os.replace(tmp, src)
+                    for bdir, name in rest:
+                        dst = os.path.join(bdir, name)
+                        dtmp = dst + ".forget.tmp"
+                        os.link(src, dtmp)
+                        os.replace(dtmp, dst)
+                else:
+                    for bdir, name in links:
+                        os.remove(os.path.join(bdir, name))
+            # a bucket left with zero files must disappear entirely — an
+            # empty directory would break the parquet scan's schema
+            # inference (and a legal empty snapshot is "no bucket dirs")
+            for v in self.versions():
+                bdir = os.path.join(self._version_dir(v), b)
+                if os.path.isdir(bdir) and not any(
+                    n.endswith(".parquet") for n in os.listdir(bdir)
+                ):
+                    shutil.rmtree(bdir, ignore_errors=True)
+        return int(erased_current)
 
     def analyze(self) -> DataFrame:
         """ANALYZE TABLE COMPUTE STATISTICS FOR ALL COLUMNS: one pass over
@@ -966,7 +1135,7 @@ class CustomerStore:
             updated = mark_uploaded(sub, emails, now=now)  # b passes through
             staging = os.path.join(self.root, f"staging_{os.getpid()}_{uuid.uuid4().hex[:8]}")
             try:
-                updated.write.mode("overwrite").partitionBy("b").parquet(staging)
+                self._to_physical(updated).write.mode("overwrite").partitionBy("b").parquet(staging)
                 self._commit_merge(
                     staging,
                     replace_buckets=set(affected),

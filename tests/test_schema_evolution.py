@@ -151,3 +151,78 @@ def test_add_column_rejects_duplicates_and_bad_types(spark, tmp_path):
     # second process opening the same root sees the evolved schema
     reopened = CustomerStore(spark, store.root)
     assert "tier" in reopened.read().columns
+
+
+def test_rename_column_is_metadata_only_and_reads_old_snapshots(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    store.add_column("tier", "string", default="std")
+    batch = spark.createDataFrame(
+        [(10, "new", "guy", "new@x.com", "9", "gold")], COLS + ["tier"]
+    )
+    store.append(finalize_columns(batch))
+    v_before = store._current_version()
+    store.rename_column("tier", "plan")
+    assert store._current_version() == v_before  # no data commit
+    got = {r["email"]: r["plan"] for r in store.read().collect()}
+    assert got["new@x.com"] == "gold" and got["jon@x.com"] == "std"
+    assert "tier" not in store.read().columns
+    # time travel reads under the NEW logical name too
+    old = store.read_version(0)
+    assert "plan" in old.columns and "tier" not in old.columns
+    # writers using the new name round-trip (files store the physical name)
+    store.append(
+        finalize_columns(
+            spark.createDataFrame([(11, "a", "b", "r2@x.com", "1", "silver")], COLS + ["plan"])
+        )
+    )
+    got = {r["email"]: r["plan"] for r in store.read().collect()}
+    assert got["r2@x.com"] == "silver"
+
+
+def test_drop_column_then_readd_does_not_resurrect_old_data(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    store.add_column("tier", "string", default=None)
+    store.append(
+        finalize_columns(
+            spark.createDataFrame([(10, "n", "g", "new@x.com", "9", "gold")], COLS + ["tier"])
+        )
+    )
+    store.drop_column("tier")
+    assert "tier" not in store.read().columns
+    # re-adding the same logical name gets a FRESH physical column: the
+    # 'gold' bytes still in old files must not come back
+    store.add_column("tier", "string", default="fresh")
+    got = {r["email"]: r["tier"] for r in store.read().collect()}
+    assert set(got.values()) == {"fresh"}
+
+
+def test_rename_guards(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    with pytest.raises(ValueError):
+        store.rename_column("email", "email2")  # base column: refused
+    with pytest.raises(ValueError):
+        store.drop_column("uploaded")
+    store.add_column("tier", "string")
+    with pytest.raises(ValueError):
+        store.rename_column("tier", "email")  # collision: refused
+
+
+def test_renamed_column_survives_rewrite_paths(spark, tmp_path):
+    """mark_uploaded/delete/compact rewrite buckets from the logical view;
+    files must come back out with PHYSICAL names so later reads still map."""
+    store = _store(spark, tmp_path)
+    store.add_column("tier", "string", default="std")
+    store.rename_column("tier", "plan")
+    store.append(
+        finalize_columns(
+            spark.createDataFrame([(10, "n", "g", "new@x.com", "9", "gold")], COLS + ["plan"])
+        )
+    )
+    store.mark_uploaded(spark.createDataFrame([("new@x.com",)], ["email"]))
+    store.compact()
+    got = {r["email"]: (r["plan"], r["uploaded"]) for r in store.read().collect()}
+    assert got["new@x.com"] == ("gold", True)
+    assert got["jon@x.com"][0] == "std"
+    store.delete(F.col("email") == "jon@x.com")
+    got = {r["email"]: r["plan"] for r in store.read().collect()}
+    assert "jon@x.com" not in got and got["new@x.com"] == "gold"
