@@ -472,6 +472,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpiv1_status_counts": lambda s, sf: tpch.unpiv1_status_counts(
             _t("orders")(s, sf)
         ),
+        "gini1_spend_concentration": lambda s, sf: tpch.gini1_spend_concentration(
+            _t("orders")(s, sf)
+        ),
+        "m1_event_transitions": lambda s, sf: tpch.m1_event_transitions(
+            _t("events")(s, sf)
+        ),
     }
 
 
@@ -2056,5 +2062,48 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL SELECT 'n_o', n_o FROM wide
           UNION ALL SELECT 'n_p', n_p FROM wide
         ) ORDER BY metric
+    """
+
+    # gini1: exact decimal S0/S1 (rank·spend ≤ decimal(38)); only the
+    # final formula is float, identical expression order, round 6
+    q["gini1_spend_concentration"] = """
+        WITH per_cust AS (
+          SELECT o_custkey,
+                 SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+          FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+          SELECT spend,
+                 CAST(ROW_NUMBER() OVER (ORDER BY spend, o_custkey) AS BIGINT) AS rn
+          FROM per_cust
+        ),
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+                 SUM(spend) AS s0,
+                 SUM(CAST(rn AS DECIMAL(18,0)) * spend) AS s1
+          FROM ranked
+        )
+        SELECT n_customers,
+               ROUND(CAST(s0 AS DOUBLE), 2) AS total_spend,
+               ROUND(
+                 (2.0 * CAST(s1 AS DOUBLE)
+                  - (CAST(n_customers AS DOUBLE) + 1.0) * CAST(s0 AS DOUBLE))
+                 / (CAST(n_customers AS DOUBLE) * CAST(s0 AS DOUBLE)),
+                 6) AS gini
+        FROM agg
+    """
+
+    q["m1_event_transitions"] = """
+        WITH seq AS (
+          SELECT user_id,
+                 LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_type,
+                 event_type AS next_type
+          FROM events
+        )
+        SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type
+        ORDER BY prev_type, next_type
     """
     return q

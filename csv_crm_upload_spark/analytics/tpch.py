@@ -1763,3 +1763,54 @@ def unpiv1_status_counts(orders: DataFrame) -> DataFrame:
     return wide.unpivot([], ["n_f", "n_o", "n_p"], "metric", "n_orders").orderBy(
         "metric"
     )
+
+
+def gini1_spend_concentration(orders: DataFrame) -> DataFrame:
+    """Gini coefficient of customer spend — "what share of revenue do the
+    top customers hold?" as one number (0 = equal, →1 = concentrated).
+    The whale-detection metric behind every marketplace health dashboard.
+
+    G = (2·Σ(i·xᵢ) − (n+1)·Σxᵢ) / (n·Σxᵢ) over spend sorted ascending
+    with rank i. Ranks come from distributed_rank (no single-partition
+    window); Σxᵢ and Σ(i·xᵢ) are EXACT decimal sums (rank·spend stays
+    within decimal(38) — 18-digit rank cap times 18,2 spend), so the
+    only float is the final formula, rounded to 6 dp identically in both
+    engines."""
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend")
+    )
+    ranked = distributed_rank(per_cust, ["spend", "o_custkey"], "rn")
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("spend").alias("s0"),
+        F.sum(F.col("rn").cast("decimal(18,0)") * F.col("spend")).alias("s1"),
+    )
+    nd = F.col("n_customers").cast("double")
+    s0 = F.col("s0").cast("double")
+    s1 = F.col("s1").cast("double")
+    gini = (F.lit(2.0) * s1 - (nd + F.lit(1.0)) * s0) / (nd * s0)
+    return agg.select(
+        "n_customers",
+        F.round(s0, 2).alias("total_spend"),
+        F.round(gini, 6).alias("gini"),
+    )
+
+
+def m1_event_transitions(events: DataFrame) -> DataFrame:
+    """Markov transition counts: for each user's event sequence (ordered
+    by ts with the event_id tiebreak), count (previous → next) event-type
+    pairs — the navigation/journey matrix behind "what do users do after
+    a view?". One KEYED window (partitionBy user_id — state scales with
+    users, never single-partition) + one map-side-combining count."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+        .orderBy("prev_type", "next_type")
+    )
