@@ -277,3 +277,14 @@ class JdbcCustomerStore:
         input (same trust level as the psql prompt it replaces).
         Returns rows deleted."""
         return self._execute(f"DELETE FROM {self.table} WHERE {where_sql}")
+
+    def forget(self, email: str) -> int:
+        """GDPR erasure — on a relational store a DELETE is already
+        physical (no immutable snapshots to scrub), so forget() is one
+        parameter-safe set-based DELETE; provided for API symmetry with
+        the parquet store's history-rewriting forget(). Returns rows
+        erased. (Storage-engine caveat: the database's own WAL/backup
+        retention is the remaining erasure surface, managed by DBAs —
+        outside the engine, as with any Postgres-backed CRM.)"""
+        safe = email.replace("'", "''")
+        return self._execute(f"DELETE FROM {self.table} WHERE email = '{safe}'")

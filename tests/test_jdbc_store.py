@@ -223,3 +223,13 @@ def test_apply_changes_replicates_parquet_store(spark, tmp_path, jdbc_store):
         .collect()
     }
     assert got == want
+
+
+def test_forget_erases_row_and_escapes_quotes(spark, jdbc_store):
+    jdbc_store.append(_finalized(spark, ROWS))
+    jdbc_store.append(_finalized(spark, [(4, "o", "brien", "o'brien@x.com", "4")]))
+    assert jdbc_store.forget("jane@x.com") == 1
+    assert jdbc_store.forget("ghost@x.com") == 0
+    assert jdbc_store.forget("o'brien@x.com") == 1  # quote-safe
+    left = {r["email"] for r in jdbc_store.read().collect()}
+    assert left == {"jon@x.com", "ann@x.com"}
