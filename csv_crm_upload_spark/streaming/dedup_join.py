@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from csv_crm_upload_spark.streaming.event_time import as_event_time as _as_event_time
+
 
 def stream_dedup_exact(
     events: DataFrame, key_cols: list[str] | None = None, delay: str = "30 minutes"
@@ -26,6 +28,7 @@ def stream_dedup_exact(
     watermark horizon are dropped, state expires after it."""
     keys = key_cols or ["user_id", "event_type"]
     if events.isStreaming:
+        events = _as_event_time(events, "ts")
         return events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(keys)
     return events.dropDuplicates(keys)
 
@@ -48,8 +51,8 @@ def stream_enrich_join(
         F.col("value").alias("purchase_value"),
     )
     if views.isStreaming:
-        v = v.withWatermark("view_ts", delay)
-        p = p.withWatermark("purchase_ts", delay)
+        v = _as_event_time(v, "view_ts").withWatermark("view_ts", delay)
+        p = _as_event_time(p, "purchase_ts").withWatermark("purchase_ts", delay)
     cond = (
         (F.col("v_user") == F.col("p_user"))
         & (F.col("view_ts") <= F.col("purchase_ts"))

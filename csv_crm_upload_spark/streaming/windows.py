@@ -19,9 +19,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from csv_crm_upload_spark.streaming.event_time import as_event_time
+
 
 def _maybe_watermark(events: DataFrame, delay: str) -> DataFrame:
-    return events.withWatermark("ts", delay) if events.isStreaming else events
+    if events.isStreaming:
+        return as_event_time(events, "ts").withWatermark("ts", delay)
+    return events
 
 
 def tumbling_counts(events: DataFrame, width: str = "1 hour", delay: str = "30 minutes") -> DataFrame:
