@@ -31,6 +31,7 @@ from csv_crm_upload_spark.analytics import similarity as sim
 from csv_crm_upload_spark.analytics import textstats as ts
 from csv_crm_upload_spark.analytics import grouped_pandas as gp
 from csv_crm_upload_spark.analytics import ivf
+from csv_crm_upload_spark.analytics import retrieval as rtr
 from csv_crm_upload_spark.analytics import tpch
 from csv_crm_upload_spark.streaming import windows as stw
 from csv_crm_upload_spark.operators import bloom
@@ -477,6 +478,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "m1_event_transitions": lambda s, sf: tpch.m1_event_transitions(
             _t("events")(s, sf)
+        ),
+        "bm25_1_search": lambda s, sf: rtr.bm25_search(_t("documents")(s, sf)),
+        "rag1_hybrid_search": lambda s, sf: rtr.hybrid_search(
+            _t("documents")(s, sf), _t("embeddings")(s, sf)
         ),
     }
 
@@ -2105,5 +2110,92 @@ def oracle_sql() -> dict[str, str]:
         FROM seq WHERE prev_type IS NOT NULL
         GROUP BY prev_type, next_type
         ORDER BY prev_type, next_type
+    """
+
+    # BM25 shared CTE chain (mirrors analytics.retrieval: k1=1.2, b=0.75,
+    # Lucene's +1 idf, scores rounded to 4 before ranking)
+    _QTERMS = ",".join(
+        f"({qid},'{t}')"
+        for qid, terms in sorted(rtr.DEFAULT_QUERIES.items())
+        for t in sorted(set(terms))
+    )
+    _BM25_CTES = f"""
+        d AS (
+          SELECT doc_id, {_TOKS} AS t FROM documents
+          WHERE text IS NOT NULL AND trim(text) <> ''
+        ),
+        toks AS (SELECT doc_id, unnest(t) AS tok FROM d),
+        tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+        tfdl AS (SELECT *, SUM(tf) OVER (PARTITION BY doc_id) AS dl FROM tf),
+        dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+        stats AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(len(t)) AS DOUBLE) / COUNT(*) AS avgdl
+          FROM d
+        ),
+        qt AS (
+          SELECT CAST(query_id AS BIGINT) AS query_id, tok
+          FROM (VALUES {_QTERMS}) AS v(query_id, tok)
+        ),
+        scored AS (
+          SELECT qt.query_id, tfdl.doc_id,
+                 round(SUM(
+                   ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                   * tf * (1.2 + 1.0)
+                   / (tf + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+                 ), 4) AS bm25
+          FROM tfdl JOIN qt USING (tok) JOIN dfreq USING (tok) CROSS JOIN stats
+          GROUP BY 1, 2
+        )"""
+    q["bm25_1_search"] = f"""
+        WITH {_BM25_CTES}
+        SELECT query_id, doc_id, bm25, CAST(rn AS INT) AS rank
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rn
+          FROM scored
+        ) WHERE rn <= 5
+    """
+
+    _pair_cos = (
+        "round("
+        "list_sum(list_transform(range(1, len(embedding) + 1), i -> embedding[i]::DOUBLE * q_emb[i]::DOUBLE))"
+        " / (sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))"
+        " * sqrt(list_sum(list_transform(q_emb, x -> x::DOUBLE * x::DOUBLE)))), 6)"
+    )
+    _QIDS = ",".join(str(k) for k in sorted(rtr.DEFAULT_QUERIES))
+    q["rag1_hybrid_search"] = f"""
+        WITH {_BM25_CTES},
+        cand AS (
+          SELECT query_id, doc_id, bm25 FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rn
+            FROM scored
+          ) WHERE rn <= 20
+        ),
+        qv AS (
+          SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+          WHERE vec_id IN ({_QIDS})
+        ),
+        pairs AS (
+          SELECT c.query_id, c.doc_id, c.bm25, e.embedding, qv.q_emb
+          FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id JOIN qv USING (query_id)
+        ),
+        cs AS (SELECT query_id, doc_id, bm25, {_pair_cos} AS cos_sim FROM pairs),
+        blended AS (
+          SELECT query_id, doc_id, bm25, cos_sim,
+                 round(
+                   0.5 * (bm25 - MIN(bm25) OVER (PARTITION BY query_id))
+                       / greatest(MAX(bm25) OVER (PARTITION BY query_id)
+                                  - MIN(bm25) OVER (PARTITION BY query_id), 1e-12)
+                 + 0.5 * (cos_sim - MIN(cos_sim) OVER (PARTITION BY query_id))
+                       / greatest(MAX(cos_sim) OVER (PARTITION BY query_id)
+                                  - MIN(cos_sim) OVER (PARTITION BY query_id), 1e-12)
+                 , 4) AS blend
+          FROM cs
+        )
+        SELECT query_id, doc_id, bm25, cos_sim, blend, CAST(rn AS INT) AS rank
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY blend DESC, doc_id) AS rn
+          FROM blended
+        ) WHERE rn <= 5
     """
     return q

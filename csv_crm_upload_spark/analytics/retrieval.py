@@ -1,0 +1,190 @@
+"""Distributed text retrieval — BM25 scoring and hybrid (lexical +
+embedding) re-ranking over the documents corpus.
+
+The missing half of corpus tooling next to t10's TF-IDF keyword
+extraction: given a small set of QUERIES, rank documents. This is the
+shape of retrieval behind RAG data curation, eval-set mining, and
+targeted corpus slicing at training scale.
+
+Scale posture (100 TB corpus, handful-to-thousands of queries):
+  * One explode + one (doc_id, tok) aggregation builds term frequencies
+    — map-side combining, single shuffle keyed by (doc, token).
+  * Document-frequency and corpus stats are aggregations over the tf
+    table: df shuffles on token (bounded by vocabulary size), N/avgdl
+    is a 1-row aggregate that broadcasts.
+  * The query set joins as a BROADCAST on token — scoring rides the tf
+    scan; no per-query pass over the corpus.
+  * Top-k per query ranks only matched (query, doc) pairs — candidate
+    set, never the corpus.
+Everything is built-in Column expressions; no Python UDFs.
+
+BM25 formula (Robertson/Okapi, the +1 idf variant Lucene uses so scores
+stay positive): idf = ln(1 + (N - df + 0.5)/(df + 0.5)),
+score(q, d) = Σ_{t ∈ q ∩ d} idf(t) · tf·(k1+1)/(tf + k1·(1 - b + b·dl/avgdl)).
+
+Reference parity note: the reference repo (a CSV→CRM uploader) has no
+retrieval surface; this extends the engine's LLM-data-pipeline family
+(SURVEY §6 widening) alongside dedup/similarity/textstats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from csv_crm_upload_spark.analytics.textstats import _tokens
+
+# Deterministic demo query set over the synthetic corpus vocabulary.
+# query_id doubles as the vec_id of the query's embedding for the hybrid
+# path (the synthetic embeddings table is keyed 0..N-1 like documents).
+DEFAULT_QUERIES: dict[int, list[str]] = {
+    0: ["spark", "join", "window"],
+    1: ["hash", "table", "merge"],
+    2: ["vector", "stream", "sort"],
+}
+
+
+def _query_terms_df(spark, queries: dict[int, list[str]]) -> DataFrame:
+    rows = [(qid, t) for qid, terms in sorted(queries.items()) for t in sorted(set(terms))]
+    return spark.createDataFrame(rows, "query_id long, tok string")
+
+
+def _tf_stats(documents: DataFrame):
+    """Shared retrieval statistics: (tf, dfreq, corpus-stats) frames.
+    tf carries each document's length so the scorer needs no extra join
+    back to the corpus."""
+    has_text = F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    toks = (
+        documents.filter(has_text)
+        .select("doc_id", F.explode(_tokens()).alias("tok"))
+        .withColumn("tok", F.lower(F.col("tok")))
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    # dl = Σ tf per doc: second agg re-uses tf's partitioning prefix, and
+    # the window avoids a join back to the corpus
+    tf = tf.withColumn("dl", F.sum("tf").over(Window.partitionBy("doc_id")))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    stats = documents.filter(has_text).select(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum(F.size(_tokens())) / F.count(F.lit(1))).alias("avgdl"),
+    )
+    return tf, dfreq, stats
+
+
+def bm25_scores(
+    documents: DataFrame,
+    queries: dict[int, list[str]] | None = None,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """All matched (query_id, doc_id, bm25) pairs, unranked — the
+    candidate-generation stage hybrid retrieval re-ranks."""
+    queries = DEFAULT_QUERIES if queries is None else queries
+    qdf = _query_terms_df(documents.sparkSession, queries)
+    tf, dfreq, stats = _tf_stats(documents)
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_sat = (F.col("tf") * (F.lit(k1) + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(qdf), "tok")
+        .join(dfreq, "tok")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(idf * tf_sat), 4).alias("bm25"))
+    )
+
+
+def bm25_search(
+    documents: DataFrame,
+    queries: dict[int, list[str]] | None = None,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents per query by BM25. Scores round to 4 decimals
+    BEFORE ranking (cross-engine determinism), ties break on doc_id."""
+    scored = bm25_scores(documents, queries, k1=k1, b=b)
+    w = Window.partitionBy("query_id").orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "bm25", "rank")
+    )
+
+
+def hybrid_search(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    queries: dict[int, list[str]] | None = None,
+    k: int = 5,
+    n_candidates: int = 20,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Two-stage hybrid retrieval: BM25 candidate generation, embedding
+    cosine re-rank, min-max-normalized blend — the standard hybrid
+    (lexical ∪ semantic) retrieval pattern.
+
+      blend = α · norm(bm25) + (1-α) · norm(cos_sim)
+
+    per query, where norm is min-max over that query's candidate set
+    (scale-free: BM25 magnitudes and cosine live on different scales).
+    Query vectors are the embeddings rows whose vec_id equals the
+    query_id; candidate vectors join on doc_id = vec_id (the synthetic
+    tables are key-aligned).
+
+    Scale: the cosine re-rank touches only `n_candidates` rows per query
+    — the embedding join is a semi-join of the candidate set, never a
+    scan of the vector table; query vectors broadcast."""
+    queries = DEFAULT_QUERIES if queries is None else queries
+    w_cand = Window.partitionBy("query_id").orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    cands = (
+        bm25_scores(documents, queries)
+        .withColumn("rn", F.row_number().over(w_cand))
+        .filter(F.col("rn") <= n_candidates)
+        .drop("rn")
+    )
+    qvecs = embeddings.filter(
+        F.col("vec_id").isin(*queries.keys())
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    pairs = cands.join(
+        embeddings.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    ).join(F.broadcast(qvecs), "query_id")
+
+    def _dot(a, bcol):
+        return F.aggregate(
+            F.zip_with(a, bcol, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def _norm(c):
+        return F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+
+    cos = F.round(
+        _dot(F.col("embedding"), F.col("q_emb"))
+        / (_norm(F.col("embedding")) * _norm(F.col("q_emb"))),
+        6,
+    )
+    scored = pairs.select("query_id", "doc_id", "bm25", cos.alias("cos_sim"))
+    wq = Window.partitionBy("query_id")
+    eps = F.lit(1e-12)
+    norm_bm25 = (F.col("bm25") - F.min("bm25").over(wq)) / F.greatest(
+        F.max("bm25").over(wq) - F.min("bm25").over(wq), eps
+    )
+    norm_cos = (F.col("cos_sim") - F.min("cos_sim").over(wq)) / F.greatest(
+        F.max("cos_sim").over(wq) - F.min("cos_sim").over(wq), eps
+    )
+    blended = scored.withColumn(
+        "blend", F.round(F.lit(alpha) * norm_bm25 + F.lit(1.0 - alpha) * norm_cos, 4)
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.col("blend").desc(), F.col("doc_id"))
+    return (
+        blended.withColumn("rank", F.row_number().over(w_rank).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "bm25", "cos_sim", "blend", "rank")
+    )

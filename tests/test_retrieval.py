@@ -1,0 +1,83 @@
+"""BM25 + hybrid retrieval semantics on hand-built corpora."""
+
+from __future__ import annotations
+
+from csv_crm_upload_spark.analytics import retrieval as rtr
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_bm25_ranks_term_matches_first(spark):
+    docs = _docs(
+        spark,
+        [
+            "spark join window spark join",  # all three query terms, repeated
+            "spark table scan",              # one query term
+            "filter sort value",             # no query terms
+            "join window batch",             # two query terms
+        ],
+    )
+    out = rtr.bm25_search(docs, {0: ["spark", "join", "window"]}, k=10)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert 2 not in rows, "doc with no query terms must not score"
+    assert rows[0].rank == 1, "doc matching all terms most often ranks first"
+    assert rows[0].bm25 > rows[3].bm25 > rows[1].bm25
+
+
+def test_bm25_idf_favors_rare_terms(spark):
+    # 'rare' appears in 1 of 5 docs, 'common' in all 5 — a one-term match
+    # on the rare term must outscore a one-term match on the common term
+    docs = _docs(
+        spark,
+        ["rare pad pad", "common pad pad", "common x y", "common y z", "common z x"],
+    )
+    out = rtr.bm25_search(docs, {0: ["rare"], 1: ["common"]}, k=1).collect()
+    by_q = {r.query_id: r.bm25 for r in out}
+    assert by_q[0] > by_q[1]
+
+
+def test_bm25_empty_and_null_text_excluded(spark):
+    docs = _docs(spark, ["spark join", "", "   "]).union(
+        _docs(spark, ["x"]).selectExpr(
+            "CAST(99 AS LONG) AS doc_id",
+            "CAST(NULL AS STRING) AS text",
+            "lang", "source", "n_chars",
+        )
+    )
+    out = rtr.bm25_search(docs, {0: ["spark"]}, k=10).collect()
+    assert [r.doc_id for r in out] == [0]
+
+
+def test_hybrid_blend_bounded_and_ranked(spark):
+    docs = _docs(
+        spark,
+        ["spark join spark join", "spark table scan filter", "window table scan x", "scan filter join y"],
+    )
+    embeddings = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0], 0),
+            (1, [0.9, 0.1, 0.0], 0),
+            (2, [0.0, 1.0, 0.0], 1),
+            (3, [0.0, 0.0, 1.0], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = rtr.hybrid_search(docs, embeddings, {0: ["spark", "join"]}, k=3).collect()
+    assert len(out) == 3
+    assert [r.rank for r in sorted(out, key=lambda r: r.rank)] == [1, 2, 3]
+    for r in out:
+        assert 0.0 <= r.blend <= 1.0
+        assert -1.0 <= r.cos_sim <= 1.0
+    # doc 0 matches both terms AND its vector is the query vector itself
+    assert sorted(out, key=lambda r: r.rank)[0].doc_id == 0
+
+
+def test_bm25_query_join_broadcasts(spark):
+    docs = _docs(spark, ["spark join window"] * 8)
+    plan = rtr.bm25_search(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, "query-term join must broadcast, not shuffle"
