@@ -479,6 +479,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m1_event_transitions": lambda s, sf: tpch.m1_event_transitions(
             _t("events")(s, sf)
         ),
+        "decay1_time_decayed_user_value": lambda s, sf: tpch.decay1_time_decayed_user_value(
+            _t("events")(s, sf)
+        ),
         "bm25_1_search": lambda s, sf: rtr.bm25_search(_t("documents")(s, sf)),
         "rag1_hybrid_search": lambda s, sf: rtr.hybrid_search(
             _t("documents")(s, sf), _t("embeddings")(s, sf)
@@ -2110,6 +2113,18 @@ def oracle_sql() -> dict[str, str]:
         FROM seq WHERE prev_type IS NOT NULL
         GROUP BY prev_type, next_type
         ORDER BY prev_type, next_type
+    """
+
+    q["decay1_time_decayed_user_value"] = """
+        WITH anchor AS (SELECT MAX(ts) AS t_max FROM events)
+        SELECT user_id,
+               round(CAST(SUM(CAST(
+                 value * pow(2.0, -(CAST(date_diff('microsecond', ts, t_max) AS DOUBLE) / 86400000000.0) / 7.0)
+               AS DECIMAL(28,12))) AS DOUBLE), 4) AS decayed_value,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events CROSS JOIN anchor
+        GROUP BY user_id
+        ORDER BY user_id
     """
 
     # BM25 shared CTE chain (mirrors analytics.retrieval: k1=1.2, b=0.75,

@@ -1814,3 +1814,36 @@ def m1_event_transitions(events: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
         .orderBy("prev_type", "next_type")
     )
+
+
+def decay1_time_decayed_user_value(events: DataFrame, half_life_days: float = 7.0) -> DataFrame:
+    """Recency-weighted user value: Σ value · 2^(-age/half_life), age
+    measured back from the corpus max timestamp — the batch-scalable
+    form of exponential decay scoring (recommendation recency, churn
+    risk, curriculum sampling weights).
+
+    Unlike a sequential EWMA (see streaming.stateful), the decay weight
+    here is a pure function of each row's timestamp, so the operator is
+    ONE map-only weight expression + one groupBy — no order dependence,
+    no window state; the 1-row max-ts aggregate broadcasts. Weighted sum
+    rounds to 4 before the top-level order (cross-engine determinism).
+    """
+    anchor = events.agg(F.max("ts").alias("t_max"))
+    # integer-microsecond age (exact: the data carries microsecond
+    # precision; timestampdiff handles TIMESTAMP and TIMESTAMP_NTZ alike,
+    # no epoch/timezone dependence)
+    age_days = F.expr("timestampdiff(MICROSECOND, ts, t_max)").cast("double") / F.lit(
+        86400.0 * 1e6
+    )
+    weight = F.pow(F.lit(2.0), -age_days / F.lit(half_life_days))
+    return (
+        events.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum((F.col("value") * weight).cast("decimal(28,12)")).cast("double"), 4
+            ).alias("decayed_value"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
