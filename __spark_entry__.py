@@ -210,7 +210,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     that queries without a prior driver CORRECTNESS row get verified first.
     Round 3 rotation: the 38 never-verified round-1/2 additions occupy
     13-50; `sim_knn_ivf` (oracle-free by design) and `stat1` wait for the
-    round-4 rotation along with the re-verification backlog."""
+    round-4 rotation along with the re-verification backlog.
+
+    ROUND-4 ROTATION TODO (after CORRECTNESS_r03 lands): move into slots
+    13-50 the still-never-verified tail — stat1, t10, samp1, pr1, rep1,
+    decon1, chunk1, ohlc1, ts1, q2, q9, q11, q16, co1, wow1, anon1, lag1,
+    split1, cum1, coh1, dd2, batch1, mix2, out1, norm1, bf1, vq1, tri1,
+    dq1, q20, corr1, unpiv1, gini1, m1, decay1, bp1, win1, bm25_1, rag1
+    (39 keys — rotate 38, keep §2 core pinned); sim_knn_ivf/hll1/mm2/
+    approx_* are oracle-free rows-only whenever sampled."""
     return {
         # reference-faithful core (SURVEY §2 ids) — pinned slots 1-12
         "s1_scan_customer": q_s1_scan_customer,
@@ -481,6 +489,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "decay1_time_decayed_user_value": lambda s, sf: tpch.decay1_time_decayed_user_value(
             _t("events")(s, sf)
+        ),
+        "bp1_boilerplate_phrases": lambda s, sf: ts.bp1_boilerplate_phrases(
+            _t("documents")(s, sf)
+        ),
+        "win1_winsorized_prices": lambda s, sf: tpch.win1_winsorized_prices(
+            _t("orders")(s, sf)
         ),
         "bm25_1_search": lambda s, sf: rtr.bm25_search(_t("documents")(s, sf)),
         "rag1_hybrid_search": lambda s, sf: rtr.hybrid_search(
@@ -2125,6 +2139,42 @@ def oracle_sql() -> dict[str, str]:
         FROM events CROSS JOIN anchor
         GROUP BY user_id
         ORDER BY user_id
+    """
+
+    q["bp1_boilerplate_phrases"] = f"""
+        WITH t AS (
+          SELECT doc_id, {_TOKS} AS l FROM documents
+          WHERE text IS NOT NULL AND trim(text) <> ''
+        ),
+        g AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                   generate_series(1, len(l) - 4),
+                   i -> l[i] || chr(1) || l[i+1] || chr(1) || l[i+2] || chr(1) || l[i+3] || chr(1) || l[i+4]
+                 ))) AS phrase
+          FROM t WHERE len(l) >= 5
+        )
+        SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM g GROUP BY phrase HAVING COUNT(*) >= 3
+        ORDER BY n_docs DESC, phrase
+    """
+
+    q["win1_winsorized_prices"] = """
+        WITH ranked AS (
+          SELECT o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+                 COUNT(*) OVER () AS n
+          FROM orders
+        ),
+        cuts AS (
+          SELECT MAX(CASE WHEN rn = CAST(ceil(n * 0.05) AS BIGINT) THEN o_totalprice END) AS p_lo,
+                 MAX(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT) THEN o_totalprice END) AS p_hi
+          FROM ranked
+        )
+        SELECT o_orderkey, o_totalprice,
+               greatest(p_lo, least(p_hi, o_totalprice)) AS winsorized
+        FROM orders CROSS JOIN cuts
+        ORDER BY o_orderkey
     """
 
     # BM25 shared CTE chain (mirrors analytics.retrieval: k1=1.2, b=0.75,

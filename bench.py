@@ -46,6 +46,8 @@ EXTRA = [
     "tri1_triangle_counts",
     "vq1_quantized_knn",
     "bf1_bloom_pruned_revenue",
+    "bm25_1_search",
+    "rag1_hybrid_search",
 ]
 
 

@@ -635,3 +635,30 @@ def split1_train_val_test(documents: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .orderBy("source", "split")
     )
+
+
+def bp1_boilerplate_phrases(
+    documents: DataFrame, n: int = 5, min_df: int = 3
+) -> DataFrame:
+    """Cross-document boilerplate detection: word n-gram phrases that
+    recur in ≥ min_df DISTINCT documents — the removal list a corpus
+    cleaning pass applies (headers, footers, licence blurbs, templated
+    spans), the cross-doc complement of rep1's within-doc repetition.
+
+    Plan: explode distinct (doc, phrase) pairs, one map-side-combining
+    count keyed by phrase, filter. The distinct-per-doc projection bounds
+    each document's contribution to its unique phrases, so a doc that
+    repeats its own boilerplate 1,000× still counts once — df semantics,
+    not tf. Phrase cardinality ~ corpus tokens; at 100 TB the same shape
+    as the shingle stage LSH dedup already runs."""
+    toks = _norm_tokens()
+    phrases = F.array_distinct(_word_ngrams(toks, n))
+    per_doc = documents.filter(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    ).select("doc_id", F.explode(phrases).alias("phrase"))
+    return (
+        per_doc.groupBy("phrase")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_df)
+        .orderBy(F.col("n_docs").desc(), "phrase")
+    )

@@ -1847,3 +1847,39 @@ def decay1_time_decayed_user_value(events: DataFrame, half_life_days: float = 7.
         )
         .orderBy("user_id")
     )
+
+
+def win1_winsorized_prices(orders: DataFrame, lo: float = 0.05, hi: float = 0.95) -> DataFrame:
+    """Winsorization: clip order values to exact [p05, p95] order
+    statistics — the outlier-taming transform a feature pipeline applies
+    before scaling (the clipping counterpart of out1's removal).
+
+    Same exact-quantile convention as out1: type-1 order statistics
+    (ceil(q·n)-th smallest under a total order) — engine-independent,
+    no interpolation. Plan: one global rank window for the two cut
+    points (a 1-row aggregate that broadcasts), then a map-only
+    greatest/least clip riding the scan."""
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    ranked = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    klo = F.ceil(F.col("n") * F.lit(lo)).cast("long")
+    khi = F.ceil(F.col("n") * F.lit(hi)).cast("long")
+    cuts = ranked.agg(
+        F.max(F.when(F.col("rn") == klo, F.col("o_totalprice"))).alias("p_lo"),
+        F.max(F.when(F.col("rn") == khi, F.col("o_totalprice"))).alias("p_hi"),
+    )
+    return (
+        orders.crossJoin(F.broadcast(cuts))
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.greatest(F.col("p_lo"), F.least(F.col("p_hi"), F.col("o_totalprice"))).alias(
+                "winsorized"
+            ),
+        )
+        .orderBy("o_orderkey")
+    )
