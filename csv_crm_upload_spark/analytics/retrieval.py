@@ -63,6 +63,11 @@ def _tf_stats(documents: DataFrame):
     # dl = Σ tf per doc: second agg re-uses tf's partitioning prefix, and
     # the window avoids a join back to the corpus
     tf = tf.withColumn("dl", F.sum("tf").over(Window.partitionBy("doc_id")))
+    # persist before the fan-out: tf feeds BOTH the scorer join and the
+    # document-frequency aggregation — without a materialization point
+    # Spark recomputes the corpus scan + explode + (doc,tok) shuffle for
+    # each consumer (plan-asserted by the bm25 shuffle budget)
+    tf = tf.persist()
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     stats = documents.filter(has_text).select(
         F.count(F.lit(1)).alias("n_docs"),

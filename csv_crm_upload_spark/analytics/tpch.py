@@ -1858,7 +1858,11 @@ def win1_winsorized_prices(orders: DataFrame, lo: float = 0.05, hi: float = 0.95
     (ceil(q·n)-th smallest under a total order) — engine-independent,
     no interpolation. Plan: one global rank window for the two cut
     points (a 1-row aggregate that broadcasts), then a map-only
-    greatest/least clip riding the scan."""
+    greatest/least clip riding the scan. Like batch1's global NTILE,
+    the unpartitioned rank is one ordered pass; at 100 TB swap the cut
+    computation for approx_percentile or a range-partitioned selection —
+    the clip stage (the part that touches every row) is map-only either
+    way."""
     w = Window.orderBy("o_totalprice", "o_orderkey")
     ranked = orders.select(
         "o_orderkey",

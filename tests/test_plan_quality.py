@@ -226,3 +226,39 @@ def test_bloom_probe_rides_fact_scan_stage(spark, sf_dir):
     # plain Filter — no exchange on the orders side before the filter
     assert "BroadcastNestedLoopJoin" in plan
     assert "hashpartitioning(o_custkey" not in plan
+
+
+def test_headline_shuffle_budgets(spark, sf_dir):
+    """Shuffle-count budgets for representative queries: the number of
+    Exchange nodes in the optimized plan is the scale contract — a
+    regression that adds a shuffle is a 100 TB cost even when sf0.01
+    timings look fine. Budgets are ceilings, not exact counts (AQE may
+    coalesce at runtime; broadcast exchanges are not counted).
+
+    Rationale per budget (post-agg ORDER BY / 1-row stats exchanges move
+    grouped or scalar rows — constant-size, counted but cheap):
+      q1     2 — group-agg shuffle + result order over 6 grouped rows
+      dd_exact_dups 2 — fingerprint groupBy + dup-group filter/join back
+      bm25_1_search 6 — tf agg, dl window, df agg over the PERSISTED tf
+             (the cached corpus subtree executes ONCE — its exchanges
+             appear under InMemoryRelation for each consumer but share
+             node ids), 1-row corpus stats, matched-pair score agg,
+             final per-query rank
+      decay1 3 — scalar anchor agg (1-row partial→final), user groupBy,
+             result order
+      win1   3 — global rank window + order (cut row broadcasts)
+    """
+    budgets = {
+        "q1_pricing_summary": 2,
+        "dd_exact_dups": 2,
+        "bm25_1_search": 6,
+        "decay1_time_decayed_user_value": 3,
+        "win1_winsorized_prices": 3,
+    }
+    for name, budget in budgets.items():
+        plan = plan_of(QUERIES[name](spark, sf_dir))
+        # unique shuffle-exchange node ids: a cached subtree prints once
+        # per consumer but executes once (same ids); broadcasts excluded
+        ids = set(re.findall(r"(?<!Broadcast)Exchange \((\d+)\)", plan))
+        n = len(ids)
+        assert n <= budget, f"{name}: {n} shuffles > budget {budget}\n{plan}"
