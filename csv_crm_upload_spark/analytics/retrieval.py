@@ -122,6 +122,79 @@ def bm25_search(
     )
 
 
+def save_text_index(documents: DataFrame, path: str, n_buckets: int = 64) -> None:
+    """Persist the BM25 inverted index: postings (doc, token, tf, dl)
+    partitioned BY a token hash bucket, document frequencies partitioned
+    the same way, and the 1-row corpus stats. The build-once /
+    query-many split of production retrieval (the text twin of
+    ivf.save_index): the corpus scan + (doc,token) shuffle run once per
+    snapshot, then every query reads ONLY the partitions its terms hash
+    into — partition pruning does the candidate selection before any
+    row is touched."""
+    tf, dfreq, stats = _tf_stats(documents)
+    bucket = F.pmod(F.hash("tok"), F.lit(n_buckets)).alias("tok_bucket")
+    tf.select("doc_id", "tok", "tf", "dl", bucket).write.mode("overwrite").partitionBy(
+        "tok_bucket"
+    ).parquet(f"{path}/postings")
+    dfreq.select("tok", "df", bucket).write.mode("overwrite").partitionBy(
+        "tok_bucket"
+    ).parquet(f"{path}/dfreq")
+    # the bucket modulus rides the 1-row stats file so probes recover it
+    # without relying on which partition dirs happened to materialize
+    stats.withColumn("n_buckets", F.lit(n_buckets)).write.mode("overwrite").parquet(
+        f"{path}/stats"
+    )
+
+
+def bm25_search_indexed(
+    spark,
+    index_path: str,
+    queries: dict[int, list[str]] | None = None,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k BM25 from a PERSISTED index — identical results to
+    bm25_search, but the per-query cost is partition-pruned reads of the
+    buckets the query terms hash into (plan-asserted in tests), never a
+    corpus pass. The term→bucket map is computed with the same F.hash on
+    the tiny query-term set (bounded collect, ≤ terms rows)."""
+    queries = DEFAULT_QUERIES if queries is None else queries
+    qdf = _query_terms_df(spark, queries)
+    stats = spark.read.parquet(f"{index_path}/stats")
+    n_buckets = stats.select("n_buckets").first()["n_buckets"]
+    stats = stats.drop("n_buckets")
+    q_buckets = qdf.select(
+        "query_id", "tok", F.pmod(F.hash("tok"), F.lit(n_buckets)).alias("tok_bucket")
+    )
+    wanted = sorted({r["tok_bucket"] for r in q_buckets.select("tok_bucket").distinct().collect()})
+    postings = spark.read.parquet(f"{index_path}/postings").filter(
+        F.col("tok_bucket").isin(wanted)
+    )
+    dfreq = spark.read.parquet(f"{index_path}/dfreq").filter(F.col("tok_bucket").isin(wanted))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_sat = (F.col("tf") * (F.lit(k1) + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        postings.join(F.broadcast(q_buckets.select("query_id", "tok")), "tok")
+        .join(dfreq.select("tok", "df"), "tok")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(idf * tf_sat), 4).alias("bm25"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "bm25", "rank")
+    )
+
+
 def hybrid_search(
     documents: DataFrame,
     embeddings: DataFrame,

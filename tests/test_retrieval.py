@@ -81,3 +81,29 @@ def test_bm25_query_join_broadcasts(spark):
     docs = _docs(spark, ["spark join window"] * 8)
     plan = rtr.bm25_search(docs)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, "query-term join must broadcast, not shuffle"
+
+
+def test_indexed_bm25_matches_inline_and_prunes_partitions(spark, sf_dir, tmp_path):
+    from csv_crm_upload_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = str(tmp_path / "text_index")
+    rtr.save_text_index(docs, idx, n_buckets=16)
+
+    inline = rtr.bm25_search(docs).collect()
+    indexed_df = rtr.bm25_search_indexed(spark, idx)
+    indexed = indexed_df.collect()
+    key = lambda r: (r.query_id, r.rank)
+    assert sorted(map(tuple, indexed), key=lambda t: (t[0], t[3])) == sorted(
+        map(tuple, inline), key=lambda t: (t[0], t[3])
+    ), "indexed search must equal the inline corpus pass"
+
+    # the probe must read only the buckets the query terms hash into —
+    # partition pruning visible in the scan node
+    indexed_df.collect()
+    plan = indexed_df._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    m = _re.search(r"PartitionFilters: \[tok_bucket#\d+ IN \(([^)]*)\)", plan)
+    assert m, f"no partition filter on tok_bucket:\n{plan[:1500]}"
+    assert len(m.group(1).split(",")) < 16, "probe read every bucket — pruning failed"
