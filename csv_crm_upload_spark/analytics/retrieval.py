@@ -69,8 +69,12 @@ def _tf_stats(documents: DataFrame):
     # each consumer (plan-asserted by the bm25 shuffle budget)
     tf = tf.persist()
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # total_tokens (exact long) travels with avgdl so incremental index
+    # maintenance can fold counts integer-exactly and re-derive the SAME
+    # double avgdl = total/n a fresh build computes
     stats = documents.filter(has_text).select(
         F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(_tokens())).cast("long").alias("total_tokens"),
         (F.sum(F.size(_tokens())) / F.count(F.lit(1))).alias("avgdl"),
     )
     return tf, dfreq, stats
@@ -144,6 +148,60 @@ def save_text_index(documents: DataFrame, path: str, n_buckets: int = 64) -> Non
     stats.withColumn("n_buckets", F.lit(n_buckets)).write.mode("overwrite").parquet(
         f"{path}/stats"
     )
+
+
+def update_text_index(new_documents: DataFrame, path: str) -> None:
+    """Incremental index maintenance for a corpus APPEND: tokenize ONLY
+    the new documents, append their postings to the bucket-partitioned
+    layout, and fold their term/document counts into dfreq and stats.
+
+    Cost: O(new docs) tokenize + O(vocab) dfreq merge — never a re-scan
+    of the indexed corpus. The merged dfreq/stats are staged to temp dirs
+    and swapped in with os.replace, so a concurrent probe reads either
+    the old or the new file set, not a half-written one.
+
+    Precondition (caller's dedup responsibility, same as any inverted
+    index): new_documents' doc_ids are not already indexed — the dedup
+    family upstream is exactly the tool for that.
+    """
+    import os
+    import shutil
+
+    spark = new_documents.sparkSession
+    old_stats = spark.read.parquet(f"{path}/stats").first()
+    n_buckets = old_stats["n_buckets"]
+    tf, delta_dfreq, delta_stats = _tf_stats(new_documents)
+    bucket = F.pmod(F.hash("tok"), F.lit(n_buckets)).alias("tok_bucket")
+
+    tf.select("doc_id", "tok", "tf", "dl", bucket).write.mode("append").partitionBy(
+        "tok_bucket"
+    ).parquet(f"{path}/postings")
+
+    # merge document frequencies: vocab-sized pass, staged then swapped
+    merged = (
+        spark.read.parquet(f"{path}/dfreq")
+        .select("tok", "df")
+        .unionByName(delta_dfreq)
+        .groupBy("tok")
+        .agg(F.sum("df").alias("df"))
+        .select("tok", "df", bucket)
+    )
+    merged.write.mode("overwrite").partitionBy("tok_bucket").parquet(f"{path}/dfreq_next")
+
+    # fold corpus stats with EXACT integer counts, then re-derive avgdl
+    # the same way a fresh build does (total/n double division) — the
+    # incremental index is bit-identical to a rebuild
+    d = delta_stats.first()
+    n_new = old_stats["n_docs"] + d["n_docs"]
+    tot_new = old_stats["total_tokens"] + d["total_tokens"]
+    spark.createDataFrame(
+        [(n_new, tot_new, tot_new / n_new, n_buckets)],
+        "n_docs long, total_tokens long, avgdl double, n_buckets int",
+    ).write.mode("overwrite").parquet(f"{path}/stats_next")
+
+    for name in ("dfreq", "stats"):
+        shutil.rmtree(f"{path}/{name}")
+        os.replace(f"{path}/{name}_next", f"{path}/{name}")
 
 
 def bm25_search_indexed(

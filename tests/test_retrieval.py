@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from csv_crm_upload_spark.analytics import retrieval as rtr
 
 
@@ -107,3 +109,33 @@ def test_indexed_bm25_matches_inline_and_prunes_partitions(spark, sf_dir, tmp_pa
     m = _re.search(r"PartitionFilters: \[tok_bucket#\d+ IN \(([^)]*)\)", plan)
     assert m, f"no partition filter on tok_bucket:\n{plan[:1500]}"
     assert len(m.group(1).split(",")) < 16, "probe read every bucket — pruning failed"
+
+
+def test_incremental_index_update_equals_rebuild(spark, sf_dir, tmp_path):
+    """Append half the corpus to an index built on the other half: search
+    results must be IDENTICAL to an index built on the full corpus in one
+    shot (integer-exact stats folding, merged dfreq, appended postings)."""
+    from csv_crm_upload_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    part_a = docs.filter(F.col("doc_id") % 2 == 0)
+    part_b = docs.filter(F.col("doc_id") % 2 == 1)
+
+    inc = str(tmp_path / "inc_idx")
+    full = str(tmp_path / "full_idx")
+    rtr.save_text_index(part_a, inc, n_buckets=16)
+    rtr.update_text_index(part_b, inc)
+    rtr.save_text_index(docs, full, n_buckets=16)
+
+    got = sorted(map(tuple, rtr.bm25_search_indexed(spark, inc).collect()))
+    want = sorted(map(tuple, rtr.bm25_search_indexed(spark, full).collect()))
+    assert got == want
+    # and both equal the inline corpus pass
+    inline = sorted(map(tuple, rtr.bm25_search(docs).collect()))
+    assert got == inline
+    # folded stats are integer-exact
+    si = spark.read.parquet(f"{inc}/stats").first()
+    sf = spark.read.parquet(f"{full}/stats").first()
+    assert (si["n_docs"], si["total_tokens"], si["avgdl"]) == (
+        sf["n_docs"], sf["total_tokens"], sf["avgdl"],
+    )
