@@ -500,6 +500,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rag1_hybrid_search": lambda s, sf: rtr.hybrid_search(
             _t("documents")(s, sf), _t("embeddings")(s, sf)
         ),
+        "rrf1_rank_fusion": lambda s, sf: rtr.rrf1_rank_fusion(
+            _t("documents")(s, sf), _t("embeddings")(s, sf)
+        ),
     }
 
 
@@ -2261,6 +2264,43 @@ def oracle_sql() -> dict[str, str]:
         FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY blend DESC, doc_id) AS rn
           FROM blended
+        ) WHERE rn <= 5
+    """
+
+    q["rrf1_rank_fusion"] = f"""
+        WITH {_BM25_CTES},
+        cand AS (
+          SELECT query_id, doc_id, bm25 FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rn
+            FROM scored
+          ) WHERE rn <= 20
+        ),
+        qv AS (
+          SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+          WHERE vec_id IN ({_QIDS})
+        ),
+        pairs AS (
+          SELECT c.query_id, c.doc_id, c.bm25, e.embedding, qv.q_emb
+          FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id JOIN qv USING (query_id)
+        ),
+        cs AS (SELECT query_id, doc_id, bm25, {_pair_cos} AS cos_sim FROM pairs),
+        ranked AS (
+          SELECT query_id, doc_id,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS INT)
+                   AS rank_bm25,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, doc_id) AS INT)
+                   AS rank_cos
+          FROM cs
+        ),
+        fused AS (
+          SELECT query_id, doc_id, rank_bm25, rank_cos,
+                 round(1.0 / (60 + rank_bm25) + 1.0 / (60 + rank_cos), 6) AS rrf
+          FROM ranked
+        )
+        SELECT query_id, doc_id, rank_bm25, rank_cos, rrf, CAST(rn AS INT) AS rank
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rn
+          FROM fused
         ) WHERE rn <= 5
     """
     return q

@@ -253,6 +253,93 @@ def bm25_search_indexed(
     )
 
 
+def _candidates_with_cosine(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    queries: dict[int, list[str]],
+    n_candidates: int,
+) -> DataFrame:
+    """Shared stage of the fusion searches: BM25 top-N candidates per
+    query, joined to their embedding vectors and cosine-scored against
+    the query vector. Touches only candidate rows — the embedding join
+    is a semi-join of the candidate set; query vectors broadcast."""
+    w_cand = Window.partitionBy("query_id").orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    cands = (
+        bm25_scores(documents, queries)
+        .withColumn("rn", F.row_number().over(w_cand))
+        .filter(F.col("rn") <= n_candidates)
+        .drop("rn")
+    )
+    qvecs = embeddings.filter(
+        F.col("vec_id").isin(*queries.keys())
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    pairs = cands.join(
+        embeddings.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    ).join(F.broadcast(qvecs), "query_id")
+
+    def _dot(a, bcol):
+        return F.aggregate(
+            F.zip_with(a, bcol, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def _norm(c):
+        return F.sqrt(
+            F.aggregate(c, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+        )
+
+    cos = F.round(
+        _dot(F.col("embedding"), F.col("q_emb"))
+        / (_norm(F.col("embedding")) * _norm(F.col("q_emb"))),
+        6,
+    )
+    return pairs.select("query_id", "doc_id", "bm25", cos.alias("cos_sim"))
+
+
+def rrf1_rank_fusion(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    queries: dict[int, list[str]] | None = None,
+    k: int = 5,
+    n_candidates: int = 20,
+    k_rrf: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (the other standard hybrid-retrieval
+    combiner, and the more robust one): fuse the BM25 ranking and the
+    cosine ranking of the SAME candidate set by
+
+        rrf = 1/(k_rrf + rank_bm25) + 1/(k_rrf + rank_cos)
+
+    RRF is rank-based, so unlike the min-max blend it is immune to score
+    scale and outliers — and INTEGER-exact up to the final two divisions
+    of small integers (identical IEEE in any engine): no rounding knife
+    edges at all. Same candidate-only cost shape as hybrid_search."""
+    queries = DEFAULT_QUERIES if queries is None else queries
+    scored = _candidates_with_cosine(documents, embeddings, queries, n_candidates)
+    w_bm = Window.partitionBy("query_id").orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    w_cos = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("doc_id"))
+    fused = scored.select(
+        "query_id",
+        "doc_id",
+        F.row_number().over(w_bm).cast("int").alias("rank_bm25"),
+        F.row_number().over(w_cos).cast("int").alias("rank_cos"),
+    ).withColumn(
+        "rrf",
+        F.round(
+            F.lit(1.0) / (F.lit(k_rrf) + F.col("rank_bm25"))
+            + F.lit(1.0) / (F.lit(k_rrf) + F.col("rank_cos")),
+            6,
+        ),
+    )
+    w_final = Window.partitionBy("query_id").orderBy(F.col("rrf").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w_final).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rank_bm25", "rank_cos", "rrf", "rank")
+    )
+
+
 def hybrid_search(
     documents: DataFrame,
     embeddings: DataFrame,
@@ -277,36 +364,7 @@ def hybrid_search(
     — the embedding join is a semi-join of the candidate set, never a
     scan of the vector table; query vectors broadcast."""
     queries = DEFAULT_QUERIES if queries is None else queries
-    w_cand = Window.partitionBy("query_id").orderBy(F.col("bm25").desc(), F.col("doc_id"))
-    cands = (
-        bm25_scores(documents, queries)
-        .withColumn("rn", F.row_number().over(w_cand))
-        .filter(F.col("rn") <= n_candidates)
-        .drop("rn")
-    )
-    qvecs = embeddings.filter(
-        F.col("vec_id").isin(*queries.keys())
-    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
-    pairs = cands.join(
-        embeddings.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
-    ).join(F.broadcast(qvecs), "query_id")
-
-    def _dot(a, bcol):
-        return F.aggregate(
-            F.zip_with(a, bcol, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    def _norm(c):
-        return F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
-
-    cos = F.round(
-        _dot(F.col("embedding"), F.col("q_emb"))
-        / (_norm(F.col("embedding")) * _norm(F.col("q_emb"))),
-        6,
-    )
-    scored = pairs.select("query_id", "doc_id", "bm25", cos.alias("cos_sim"))
+    scored = _candidates_with_cosine(documents, embeddings, queries, n_candidates)
     wq = Window.partitionBy("query_id")
     eps = F.lit(1e-12)
     norm_bm25 = (F.col("bm25") - F.min("bm25").over(wq)) / F.greatest(

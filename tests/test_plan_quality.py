@@ -248,6 +248,9 @@ def test_headline_shuffle_budgets(spark, sf_dir):
              result order
       win1   3 — global rank window + order (cut row broadcasts)
     """
+    # canonical cold plans: cached relations left over from other tests
+    # (session-scoped fixture) would re-shape the tree under audit
+    spark.catalog.clearCache()
     budgets = {
         "q1_pricing_summary": 2,
         "dd_exact_dups": 2,
