@@ -137,12 +137,46 @@ def main(argv: list[str] | None = None) -> int:
         "-buffer row count maps to Spark's file-granularity trigger)",
     )
 
+    px = sub.add_parser(
+        "index", help="build a persisted BM25 inverted index over a documents table"
+    )
+    px.add_argument("--docs", required=True, help="parquet path of the documents table")
+    px.add_argument("--out", required=True, help="index output directory")
+    px.add_argument("--buckets", type=int, default=64, help="token-hash partition count")
+
+    pq = sub.add_parser("search", help="BM25 top-k search over documents")
+    pq.add_argument("--terms", required=True, help="space-separated query terms")
+    pq.add_argument("--docs", default=None, help="documents parquet (inline corpus pass)")
+    pq.add_argument("--index", default=None, help="persisted index dir (partition-pruned probe)")
+    pq.add_argument("-k", type=int, default=5)
+
     args = p.parse_args(argv)
 
     from csv_crm_upload_spark.session import get_spark
 
     spark = get_spark(app_name=f"cli-{args.cmd}")
     spark.sparkContext.setLogLevel("WARN")
+
+    if args.cmd == "index":
+        from csv_crm_upload_spark.analytics.retrieval import save_text_index
+
+        save_text_index(spark.read.parquet(args.docs), args.out, n_buckets=args.buckets)
+        print(f"indexed={args.out}")
+        return 0
+    if args.cmd == "search":
+        from csv_crm_upload_spark.analytics import retrieval as rtr
+
+        terms = {0: args.terms.split()}
+        if args.index:
+            hits = rtr.bm25_search_indexed(spark, args.index, terms, k=args.k)
+        elif args.docs:
+            hits = rtr.bm25_search(spark.read.parquet(args.docs), terms, k=args.k)
+        else:
+            raise SystemExit("one of --docs or --index is required")
+        for r in hits.orderBy("rank").collect():
+            print(f"{r['rank']}\t{r['doc_id']}\t{r['bm25']}")
+        return 0
+
     store = _open_store(spark, args)
 
     if args.cmd == "ingest":

@@ -47,3 +47,18 @@ def test_cli_requires_some_store(spark, tmp_path, monkeypatch):
     monkeypatch.delenv("DATABASE_URL", raising=False)
     with pytest.raises(SystemExit):
         main(["pending"])
+
+
+def test_cli_index_and_search(spark, tmp_path, capsys, sf_dir):
+    docs = f"{sf_dir}/documents.parquet"
+    idx = str(tmp_path / "idx")
+    assert main(["index", "--docs", docs, "--out", idx, "--buckets", "16"]) == 0
+    assert f"indexed={idx}" in capsys.readouterr().out
+
+    assert main(["search", "--terms", "spark join window", "--index", idx, "-k", "3"]) == 0
+    indexed_out = capsys.readouterr().out.strip().splitlines()
+    assert len(indexed_out) == 3 and indexed_out[0].startswith("1\t")
+
+    assert main(["search", "--terms", "spark join window", "--docs", docs, "-k", "3"]) == 0
+    inline_out = capsys.readouterr().out.strip().splitlines()
+    assert indexed_out == inline_out, "indexed and inline CLI search must agree"
