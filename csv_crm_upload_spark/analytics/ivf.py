@@ -90,7 +90,13 @@ def save_index(
     a probe reads only its cells' files. This is the build-once /
     query-many split of production ANN: the expensive assignment scan
     runs once per corpus snapshot, then every query costs nprobe
-    partition-pruned reads."""
+    partition-pruned reads.
+
+    Portability note: the physical layout is self-describing (centroids
+    ride the index, probes re-derive cell ids from them), but cell
+    assignment is float argmin — consistent for any reader repeating the
+    same arithmetic, unlike the md5-derived integer conventions the
+    oracle-visible queries use for cross-engine bit-identity."""
     spark = embeddings.sparkSession
     centroids = fit_centroids(embeddings, n_cells=n_cells, **fit_kwargs)
     cent_rows = [(int(c), [float(v) for v in centroids[c]]) for c in range(len(centroids))]

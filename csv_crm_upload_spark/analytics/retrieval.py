@@ -45,14 +45,29 @@ DEFAULT_QUERIES: dict[int, list[str]] = {
 
 
 def _query_terms_df(spark, queries: dict[int, list[str]]) -> DataFrame:
-    rows = [(qid, t) for qid, terms in sorted(queries.items()) for t in sorted(set(terms))]
+    # query terms get the same case normalization as document tokens
+    # (_tf_frame lowercases), so matching is case-insensitive end to end
+    rows = [
+        (qid, t)
+        for qid, terms in sorted(queries.items())
+        for t in sorted({x.lower() for x in terms})
+    ]
     return spark.createDataFrame(rows, "query_id long, tok string")
 
 
-def _tf_stats(documents: DataFrame):
-    """Shared retrieval statistics: (tf, dfreq, corpus-stats) frames.
-    tf carries each document's length so the scorer needs no extra join
-    back to the corpus."""
+def _query_toks_df(spark, queries: dict[int, list[str]]) -> DataFrame:
+    # distinct token set deduplicated DRIVER-side (the query set is tiny)
+    # so the semi-join build side needs no Distinct exchange in the plan
+    toks = sorted({t.lower() for terms in queries.values() for t in terms})
+    return spark.createDataFrame([(t,) for t in toks], "tok string")
+
+
+def _tf_frame(documents: DataFrame) -> DataFrame:
+    """Postings frame (doc_id, tok, tf, dl): one explode + one (doc,tok)
+    aggregation with map-side combine, then dl = Σ tf per doc via a
+    window (re-uses the doc partitioning prefix — no join back to the
+    corpus). Not persisted: callers that fan out (index builds) own the
+    persist/unpersist lifecycle."""
     has_text = F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
     toks = (
         documents.filter(has_text)
@@ -60,24 +75,20 @@ def _tf_stats(documents: DataFrame):
         .withColumn("tok", F.lower(F.col("tok")))
     )
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    # dl = Σ tf per doc: second agg re-uses tf's partitioning prefix, and
-    # the window avoids a join back to the corpus
-    tf = tf.withColumn("dl", F.sum("tf").over(Window.partitionBy("doc_id")))
-    # persist before the fan-out: tf feeds BOTH the scorer join and the
-    # document-frequency aggregation — without a materialization point
-    # Spark recomputes the corpus scan + explode + (doc,tok) shuffle for
-    # each consumer (plan-asserted by the bm25 shuffle budget)
-    tf = tf.persist()
-    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    # total_tokens (exact long) travels with avgdl so incremental index
-    # maintenance can fold counts integer-exactly and re-derive the SAME
-    # double avgdl = total/n a fresh build computes
-    stats = documents.filter(has_text).select(
+    return tf.withColumn("dl", F.sum("tf").over(Window.partitionBy("doc_id")))
+
+
+def _corpus_stats(documents: DataFrame) -> DataFrame:
+    """1-row corpus statistics. total_tokens (exact long) travels with
+    avgdl so incremental index maintenance can fold counts
+    integer-exactly and re-derive the SAME double avgdl = total/n a
+    fresh build computes."""
+    has_text = F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    return documents.filter(has_text).select(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(_tokens())).cast("long").alias("total_tokens"),
         (F.sum(F.size(_tokens())) / F.count(F.lit(1))).alias("avgdl"),
     )
-    return tf, dfreq, stats
 
 
 def bm25_scores(
@@ -87,10 +98,25 @@ def bm25_scores(
     b: float = 0.75,
 ) -> DataFrame:
     """All matched (query_id, doc_id, bm25) pairs, unranked — the
-    candidate-generation stage hybrid retrieval re-ranks."""
+    candidate-generation stage hybrid retrieval re-ranks.
+
+    Shape: a single linear plan. Document frequencies are computed by a
+    window over tok on the postings AFTER a broadcast semi-join down to
+    the query-term vocabulary — df for a term counts every doc that
+    contains it either way, but the tok shuffle then moves only matched
+    postings instead of the whole vocabulary, and nothing consumes the
+    postings subtree twice (so no persist, and no cached-frame leak
+    across repeated calls)."""
     queries = DEFAULT_QUERIES if queries is None else queries
     qdf = _query_terms_df(documents.sparkSession, queries)
-    tf, dfreq, stats = _tf_stats(documents)
+    tf = _tf_frame(documents)
+    # semi-join first (one row per posting — no per-query duplication),
+    # so the df window below counts distinct docs exactly
+    matched = tf.join(
+        F.broadcast(_query_toks_df(documents.sparkSession, queries)), "tok", "left_semi"
+    )
+    matched = matched.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("tok")))
+    stats = _corpus_stats(documents)
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
@@ -100,8 +126,7 @@ def bm25_scores(
         + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
     )
     return (
-        tf.join(F.broadcast(qdf), "tok")
-        .join(dfreq, "tok")
+        matched.join(F.broadcast(qdf), "tok")
         .crossJoin(F.broadcast(stats))
         .groupBy("query_id", "doc_id")
         .agg(F.round(F.sum(idf * tf_sat), 4).alias("bm25"))
@@ -126,6 +151,32 @@ def bm25_search(
     )
 
 
+def _read_manifest(path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(path, "MANIFEST")) as f:
+        return json.load(f)
+
+
+def _commit_manifest(path: str, epoch: int, n_buckets: int) -> None:
+    """Atomically publish an index epoch: write a temp file, fsync, then
+    os.replace over MANIFEST (atomic on POSIX). The manifest is the ONLY
+    commit point — a probe resolves its epoch from here, so it reads one
+    fully-written snapshot, before or after, never a mix. On a real
+    cluster this pointer lives in a metastore / table-format commit log;
+    the single-file swap is the local-filesystem equivalent."""
+    import json
+    import os
+
+    tmp = os.path.join(path, f"MANIFEST.tmp.{epoch}")
+    with open(tmp, "w") as f:
+        json.dump({"epoch": epoch, "n_buckets": n_buckets}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(path, "MANIFEST"))
+
+
 def save_text_index(documents: DataFrame, path: str, n_buckets: int = 64) -> None:
     """Persist the BM25 inverted index: postings (doc, token, tf, dl)
     partitioned BY a token hash bucket, document frequencies partitioned
@@ -134,31 +185,48 @@ def save_text_index(documents: DataFrame, path: str, n_buckets: int = 64) -> Non
     ivf.save_index): the corpus scan + (doc,token) shuffle run once per
     snapshot, then every query reads ONLY the partitions its terms hash
     into — partition pruning does the candidate selection before any
-    row is touched."""
-    tf, dfreq, stats = _tf_stats(documents)
-    bucket = F.pmod(F.hash("tok"), F.lit(n_buckets)).alias("tok_bucket")
-    tf.select("doc_id", "tok", "tf", "dl", bucket).write.mode("overwrite").partitionBy(
-        "tok_bucket"
-    ).parquet(f"{path}/postings")
-    dfreq.select("tok", "df", bucket).write.mode("overwrite").partitionBy(
-        "tok_bucket"
-    ).parquet(f"{path}/dfreq")
-    # the bucket modulus rides the 1-row stats file so probes recover it
-    # without relying on which partition dirs happened to materialize
-    stats.withColumn("n_buckets", F.lit(n_buckets)).write.mode("overwrite").parquet(
-        f"{path}/stats"
-    )
+    row is touched.
+
+    Layout is EPOCH-VERSIONED (postings/epoch=K/tok_bucket=*, dfreq and
+    stats snapshots per epoch) with a MANIFEST file naming the current
+    epoch — see update_text_index for the commit protocol.
+
+    Portability note: physical bucket assignment uses F.hash (Spark's
+    internal Murmur3). Writer and prober share the function so the
+    layout is self-consistent, but unlike the md5-derived arithmetic in
+    the oracle-visible queries it is NOT portable across engines — a
+    non-Spark reader must re-derive buckets with Spark's Murmur3."""
+    tf = _tf_frame(documents).persist()
+    try:
+        bucket = F.pmod(F.hash("tok"), F.lit(n_buckets)).alias("tok_bucket")
+        tf.select("doc_id", "tok", "tf", "dl", bucket).write.mode("overwrite").partitionBy(
+            "tok_bucket"
+        ).parquet(f"{path}/postings/epoch=0")
+        dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+        dfreq.select("tok", "df", bucket).write.mode("overwrite").partitionBy(
+            "tok_bucket"
+        ).parquet(f"{path}/dfreq/epoch=0")
+        _corpus_stats(documents).write.mode("overwrite").parquet(f"{path}/stats/epoch=0")
+        _commit_manifest(path, 0, n_buckets)
+    finally:
+        tf.unpersist()
 
 
 def update_text_index(new_documents: DataFrame, path: str) -> None:
     """Incremental index maintenance for a corpus APPEND: tokenize ONLY
-    the new documents, append their postings to the bucket-partitioned
-    layout, and fold their term/document counts into dfreq and stats.
+    the new documents, write their postings as a NEW epoch partition,
+    and write fully-merged dfreq/stats snapshots for that epoch.
 
     Cost: O(new docs) tokenize + O(vocab) dfreq merge — never a re-scan
-    of the indexed corpus. The merged dfreq/stats are staged to temp dirs
-    and swapped in with os.replace, so a concurrent probe reads either
-    the old or the new file set, not a half-written one.
+    of the indexed corpus (old postings epochs are untouched; only the
+    vocab-sized dfreq table is rewritten).
+
+    Atomicity: all epoch-K+1 files land BEFORE the manifest swaps to
+    K+1 (single os.replace). A concurrent probe resolves its epoch from
+    the manifest once, so it sees the old snapshot or the new one, never
+    stale df/N against new postings. A crash mid-update leaves the
+    manifest at K and only orphan epoch-K+1 dirs, which the next update
+    removes before writing — no rollback needed.
 
     Precondition (caller's dedup responsibility, same as any inverted
     index): new_documents' doc_ids are not already indexed — the dedup
@@ -168,40 +236,63 @@ def update_text_index(new_documents: DataFrame, path: str) -> None:
     import shutil
 
     spark = new_documents.sparkSession
-    old_stats = spark.read.parquet(f"{path}/stats").first()
-    n_buckets = old_stats["n_buckets"]
-    tf, delta_dfreq, delta_stats = _tf_stats(new_documents)
-    bucket = F.pmod(F.hash("tok"), F.lit(n_buckets)).alias("tok_bucket")
+    m = _read_manifest(path)
+    epoch, n_buckets = m["epoch"], m["n_buckets"]
 
-    tf.select("doc_id", "tok", "tf", "dl", bucket).write.mode("append").partitionBy(
-        "tok_bucket"
-    ).parquet(f"{path}/postings")
+    # self-heal: drop orphan next-epoch dirs left by a crashed update
+    for sub in ("postings", "dfreq", "stats"):
+        base = os.path.join(path, sub)
+        if os.path.isdir(base):
+            for d in os.listdir(base):
+                if d.startswith("epoch=") and int(d.split("=", 1)[1]) > epoch:
+                    shutil.rmtree(os.path.join(base, d))
 
-    # merge document frequencies: vocab-sized pass, staged then swapped
-    merged = (
-        spark.read.parquet(f"{path}/dfreq")
-        .select("tok", "df")
-        .unionByName(delta_dfreq)
-        .groupBy("tok")
-        .agg(F.sum("df").alias("df"))
-        .select("tok", "df", bucket)
-    )
-    merged.write.mode("overwrite").partitionBy("tok_bucket").parquet(f"{path}/dfreq_next")
+    tf = _tf_frame(new_documents).persist()
+    try:
+        delta = _corpus_stats(new_documents).first()
+        if not delta["n_docs"]:
+            # nothing with text to append — a clean no-op, before any write
+            return
+        nxt = epoch + 1
+        bucket = F.pmod(F.hash("tok"), F.lit(n_buckets)).alias("tok_bucket")
+        tf.select("doc_id", "tok", "tf", "dl", bucket).write.mode("overwrite").partitionBy(
+            "tok_bucket"
+        ).parquet(f"{path}/postings/epoch={nxt}")
 
-    # fold corpus stats with EXACT integer counts, then re-derive avgdl
-    # the same way a fresh build does (total/n double division) — the
-    # incremental index is bit-identical to a rebuild
-    d = delta_stats.first()
-    n_new = old_stats["n_docs"] + d["n_docs"]
-    tot_new = old_stats["total_tokens"] + d["total_tokens"]
-    spark.createDataFrame(
-        [(n_new, tot_new, tot_new / n_new, n_buckets)],
-        "n_docs long, total_tokens long, avgdl double, n_buckets int",
-    ).write.mode("overwrite").parquet(f"{path}/stats_next")
+        # merge document frequencies: vocab-sized pass into a new snapshot
+        delta_dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+        merged = (
+            spark.read.parquet(f"{path}/dfreq/epoch={epoch}")
+            .select("tok", "df")
+            .unionByName(delta_dfreq)
+            .groupBy("tok")
+            .agg(F.sum("df").alias("df"))
+            .select("tok", "df", bucket)
+        )
+        merged.write.mode("overwrite").partitionBy("tok_bucket").parquet(
+            f"{path}/dfreq/epoch={nxt}"
+        )
 
-    for name in ("dfreq", "stats"):
-        shutil.rmtree(f"{path}/{name}")
-        os.replace(f"{path}/{name}_next", f"{path}/{name}")
+        # fold corpus stats with EXACT integer counts, then re-derive
+        # avgdl the same way a fresh build does (total/n double division)
+        # — the incremental index is bit-identical to a rebuild
+        old_stats = spark.read.parquet(f"{path}/stats/epoch={epoch}").first()
+        n_new = old_stats["n_docs"] + delta["n_docs"]
+        tot_new = old_stats["total_tokens"] + delta["total_tokens"]
+        spark.createDataFrame(
+            [(n_new, tot_new, tot_new / n_new)],
+            "n_docs long, total_tokens long, avgdl double",
+        ).write.mode("overwrite").parquet(f"{path}/stats/epoch={nxt}")
+
+        _commit_manifest(path, nxt, n_buckets)
+    finally:
+        tf.unpersist()
+
+
+def read_index_stats(spark, path: str):
+    """Corpus-stats Row of the CURRENT index epoch (manifest-resolved)."""
+    epoch = _read_manifest(path)["epoch"]
+    return spark.read.parquet(f"{path}/stats/epoch={epoch}").first()
 
 
 def bm25_search_indexed(
@@ -216,20 +307,29 @@ def bm25_search_indexed(
     bm25_search, but the per-query cost is partition-pruned reads of the
     buckets the query terms hash into (plan-asserted in tests), never a
     corpus pass. The term→bucket map is computed with the same F.hash on
-    the tiny query-term set (bounded collect, ≤ terms rows)."""
+    the tiny query-term set (bounded collect, ≤ terms rows).
+
+    The epoch is resolved from the manifest ONCE up front, so a probe
+    racing a concurrent update_text_index reads one consistent snapshot
+    (all postings epochs ≤ K with epoch-K dfreq/stats) — old or new,
+    never mixed."""
     queries = DEFAULT_QUERIES if queries is None else queries
     qdf = _query_terms_df(spark, queries)
-    stats = spark.read.parquet(f"{index_path}/stats")
-    n_buckets = stats.select("n_buckets").first()["n_buckets"]
-    stats = stats.drop("n_buckets")
+    m = _read_manifest(index_path)
+    epoch, n_buckets = m["epoch"], m["n_buckets"]
+    stats = spark.read.parquet(f"{index_path}/stats/epoch={epoch}")
     q_buckets = qdf.select(
         "query_id", "tok", F.pmod(F.hash("tok"), F.lit(n_buckets)).alias("tok_bucket")
     )
     wanted = sorted({r["tok_bucket"] for r in q_buckets.select("tok_bucket").distinct().collect()})
-    postings = spark.read.parquet(f"{index_path}/postings").filter(
+    postings = (
+        spark.read.parquet(f"{index_path}/postings")
+        .filter((F.col("epoch") <= epoch) & F.col("tok_bucket").isin(wanted))
+        .drop("epoch")
+    )
+    dfreq = spark.read.parquet(f"{index_path}/dfreq/epoch={epoch}").filter(
         F.col("tok_bucket").isin(wanted)
     )
-    dfreq = spark.read.parquet(f"{index_path}/dfreq").filter(F.col("tok_bucket").isin(wanted))
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))

@@ -130,31 +130,35 @@ def make_ewma_processor(alpha: float = 0.3, z_threshold: float = 3.0, min_events
             got = self._state.get() if self._state.exists() else None
             mean, var, n = got if got is not None else (0.0, 0.0, 0)
             out_rows = []
-            for pdf in rows:
-                for r in pdf.sort_values("event_id").itertuples(index=False):
-                    v = float(r.value)
-                    if n >= min_events and var > 0:
-                        z = (v - mean) / (var**0.5)
-                    else:
-                        z = 0.0
-                    if n == 0:
-                        mean, var = v, 0.0
-                    else:
-                        delta = v - mean
-                        incr = alpha * delta
-                        mean = mean + incr
-                        var = (1.0 - alpha) * (var + delta * incr)
-                    n += 1
-                    out_rows.append(
-                        (
-                            user_id,
-                            int(r.event_id),
-                            v,
-                            round(mean, 6),
-                            round(z, 4),
-                            bool(abs(z) > z_threshold),
-                        )
+            # `rows` is an iterator of Arrow-sized chunks: a micro-batch
+            # large enough to span chunks must still fold in global
+            # (event_id) order, so concatenate before sorting
+            chunks = list(rows)
+            batch = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+            for r in batch.sort_values("event_id").itertuples(index=False):
+                v = float(r.value)
+                if n >= min_events and var > 0:
+                    z = (v - mean) / (var**0.5)
+                else:
+                    z = 0.0
+                if n == 0:
+                    mean, var = v, 0.0
+                else:
+                    delta = v - mean
+                    incr = alpha * delta
+                    mean = mean + incr
+                    var = (1.0 - alpha) * (var + delta * incr)
+                n += 1
+                out_rows.append(
+                    (
+                        user_id,
+                        int(r.event_id),
+                        v,
+                        round(mean, 6),
+                        round(z, 4),
+                        bool(abs(z) > z_threshold),
                     )
+                )
             self._state.update((mean, var, n))
             yield pd.DataFrame(
                 out_rows,

@@ -239,11 +239,11 @@ def test_headline_shuffle_budgets(spark, sf_dir):
     grouped or scalar rows — constant-size, counted but cheap):
       q1     2 — group-agg shuffle + result order over 6 grouped rows
       dd_exact_dups 2 — fingerprint groupBy + dup-group filter/join back
-      bm25_1_search 6 — tf agg, dl window, df agg over the PERSISTED tf
-             (the cached corpus subtree executes ONCE — its exchanges
-             appear under InMemoryRelation for each consumer but share
-             node ids), 1-row corpus stats, matched-pair score agg,
-             final per-query rank
+      bm25_1_search 6 — tf agg, dl window, df window (over matched
+             postings only: the broadcast semi-join to the query vocab
+             runs BEFORE the tok shuffle), 1-row corpus stats, matched-
+             pair score agg, final per-query rank; one linear plan, no
+             persist
       decay1 3 — scalar anchor agg (1-row partial→final), user groupBy,
              result order
       win1   3 — global rank window + order (cut row broadcasts)

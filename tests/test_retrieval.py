@@ -55,6 +55,71 @@ def test_bm25_empty_and_null_text_excluded(spark):
     assert [r.doc_id for r in out] == [0]
 
 
+def test_query_terms_case_insensitive(spark):
+    # document tokens are lowercased at index time; query terms must get
+    # the identical normalization so "SPARK" finds "spark" (and a corpus
+    # "Spark" is found by "spark") on every path
+    docs = _docs(spark, ["Spark join window", "spark table", "filter sort"])
+    out = rtr.bm25_search(docs, {0: ["SPARK"]}, k=10).collect()
+    assert sorted(r.doc_id for r in out) == [0, 1]
+
+
+def test_update_with_empty_append_is_noop(spark, tmp_path):
+    """An append with zero usable rows (no rows at all, or only
+    empty/null text) must leave the index untouched — no new epoch, no
+    TypeError from folding NULL aggregate sums."""
+    docs = _docs(spark, ["spark join", "table scan"])
+    idx = str(tmp_path / "idx")
+    rtr.save_text_index(docs, idx, n_buckets=4)
+    before = sorted(map(tuple, rtr.bm25_search_indexed(spark, idx, {0: ["spark"]}).collect()))
+
+    rtr.update_text_index(_docs(spark, ["x"]).filter("doc_id < 0"), idx)  # 0 rows
+    rtr.update_text_index(_docs(spark, ["", "   "]), idx)  # rows, no text
+
+    after = sorted(map(tuple, rtr.bm25_search_indexed(spark, idx, {0: ["spark"]}).collect()))
+    assert before == after
+    assert rtr._read_manifest(idx)["epoch"] == 0, "empty appends must not commit an epoch"
+
+
+def test_probe_during_update_sees_old_or_new_snapshot(spark, sf_dir, tmp_path):
+    """A probe racing a concurrent update_text_index must always see ONE
+    consistent epoch — results equal to the pre-append index or the
+    post-append index, never new postings scored with stale df/N."""
+    import threading
+
+    from csv_crm_upload_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    part_a = docs.filter(F.col("doc_id") % 2 == 0)
+    part_b = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = str(tmp_path / "race_idx")
+    rtr.save_text_index(part_a, idx, n_buckets=8)
+
+    old = sorted(map(tuple, rtr.bm25_search_indexed(spark, idx).collect()))
+
+    errs = []
+
+    def updater():
+        try:
+            rtr.update_text_index(part_b, idx)
+        except Exception as e:  # surfaced below — a thread must not die silently
+            errs.append(e)
+
+    t = threading.Thread(target=updater)
+    t.start()
+    seen = []
+    while t.is_alive():
+        seen.append(sorted(map(tuple, rtr.bm25_search_indexed(spark, idx).collect())))
+    t.join()
+    assert not errs, errs
+    new = sorted(map(tuple, rtr.bm25_search_indexed(spark, idx).collect()))
+    assert new != old, "append must change results for this corpus split"
+    bad = [i for i, s in enumerate(seen) if s != old and s != new]
+    assert not bad, f"{len(bad)} probes saw a mixed snapshot (of {len(seen)})"
+    # at least one probe ran while the update was in flight
+    assert len(seen) >= 1
+
+
 def test_hybrid_blend_bounded_and_ranked(spark):
     docs = _docs(
         spark,
@@ -106,7 +171,7 @@ def test_indexed_bm25_matches_inline_and_prunes_partitions(spark, sf_dir, tmp_pa
     plan = indexed_df._jdf.queryExecution().executedPlan().toString()
     import re as _re
 
-    m = _re.search(r"PartitionFilters: \[tok_bucket#\d+ IN \(([^)]*)\)", plan)
+    m = _re.search(r"PartitionFilters: \[[^\]]*tok_bucket#\d+ IN \(([^)]*)\)", plan)
     assert m, f"no partition filter on tok_bucket:\n{plan[:1500]}"
     assert len(m.group(1).split(",")) < 16, "probe read every bucket — pruning failed"
 
@@ -134,8 +199,8 @@ def test_incremental_index_update_equals_rebuild(spark, sf_dir, tmp_path):
     inline = sorted(map(tuple, rtr.bm25_search(docs).collect()))
     assert got == inline
     # folded stats are integer-exact
-    si = spark.read.parquet(f"{inc}/stats").first()
-    sf = spark.read.parquet(f"{full}/stats").first()
+    si = rtr.read_index_stats(spark, inc)
+    sf = rtr.read_index_stats(spark, full)
     assert (si["n_docs"], si["total_tokens"], si["avgdl"]) == (
         sf["n_docs"], sf["total_tokens"], sf["avgdl"],
     )

@@ -226,6 +226,23 @@ def test_ewma_processor_logic_with_fake_state(spark):
     flags = {r["event_id"]: r["is_anomaly"] for r in run([rows])}
     assert flags[6] and not any(v for k, v in flags.items() if k != 6)
 
+    # a single micro-batch spanning multiple Arrow chunks must fold in
+    # GLOBAL event_id order even when a later chunk holds earlier ids —
+    # chunks are concatenated before the sort, not sorted per chunk
+    def run_chunks(chunks):
+        proc = make_ewma_processor()
+        h = FakeHandle()
+        proc.init(h)
+        return pd.concat(
+            list(proc.handleInputRows((7,), iter(chunks), None))
+        ).to_dict("records")
+
+    out_of_order = [
+        rows.iloc[4:].reset_index(drop=True),
+        rows.iloc[:4].reset_index(drop=True),
+    ]
+    assert run_chunks(out_of_order) == run([rows]), "chunk-spanning batch must sort globally"
+
 
 def test_socket_source_streaming_ingest(spark, tmp_path):
     """Network streaming source: CSV lines over a TCP socket -> the same
