@@ -36,18 +36,29 @@ HEADLINE = [
 
 # round-2+ additions, timed and reported but NOT in the headline total
 EXTRA = [
-    "dd_dup_clusters",
     "rj1_nearby_errors",
     "q7_nation_trade",
     "t7_vocab_topk",
     "t6_char_entropy",
     # round-3 additions
     "q9_product_type_profit",
-    "tri1_triangle_counts",
     "vq1_quantized_knn",
     "bf1_bloom_pruned_revenue",
     "bm25_1_search",
     "rag1_hybrid_search",
+]
+
+# graph family: timed AS A PIPELINE (round 4) — the LSH candidate-pair
+# table is materialized ONCE (dd_index_build) and every graph query
+# consumes it, instead of each query re-deriving the shingle→minhash→
+# band stage from the raw corpus. Same keys as earlier rounds so the
+# per-query numbers stay comparable; the index build cost is its own
+# line. Index-fed ≡ inline is pinned by tests/test_dedup_index.py.
+GRAPH_EXTRA = [
+    "dd_dup_clusters",
+    "tri1_triangle_counts",
+    "pr1_doc_pagerank",
+    "dd2_dedup_corpus",
 ]
 
 
@@ -131,6 +142,36 @@ def main() -> None:
             extra[name] = round(time.perf_counter() - t0, 3)
         except Exception as e:
             errors[name] = f"{type(e).__name__}: {e}"[:200]
+
+    # graph family over the persisted candidate-pair index (see GRAPH_EXTRA)
+    import shutil
+    import tempfile
+
+    from csv_crm_upload_spark.analytics import dedup as dd
+    from csv_crm_upload_spark.sources.tables import load_table
+
+    idx_dir = tempfile.mkdtemp(prefix="bench_dedup_idx_")
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        t0 = time.perf_counter()
+        dd.save_dedup_index(docs, idx_dir)
+        extra["dd_index_build"] = round(time.perf_counter() - t0, 3)
+        pairs = dd.load_dedup_index(spark, idx_dir)
+        graph_fns = {
+            "dd_dup_clusters": dd.d_dup_clusters,
+            "tri1_triangle_counts": dd.tri1_triangle_counts,
+            "pr1_doc_pagerank": dd.pr1_doc_pagerank,
+            "dd2_dedup_corpus": dd.dd2_dedup_corpus,
+        }
+        for name in GRAPH_EXTRA:
+            t0 = time.perf_counter()
+            try:
+                graph_fns[name](docs, pairs=pairs).agg({"*": "count"}).collect()
+                extra[name] = round(time.perf_counter() - t0, 3)
+            except Exception as e:
+                errors[name] = f"{type(e).__name__}: {e}"[:200]
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
 
     duckdb_timings = _duckdb_timings(sf_dir, entrymod.oracle_sql())
     ratios = {

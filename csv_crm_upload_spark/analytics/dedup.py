@@ -221,12 +221,42 @@ def d_simhash(documents: DataFrame) -> DataFrame:
     return agg.select("doc_id", simhash.alias("simhash"))
 
 
+def save_dedup_index(
+    documents: DataFrame, path: str, n: int = 3, threshold: float = 0.5
+) -> None:
+    """Materialize the MinHash-LSH near-dup PAIR TABLE once — the
+    build-once artifact every graph-family consumer (d_dup_clusters,
+    tri1_triangle_counts, pr1_doc_pagerank, dd2_dedup_corpus) shares via
+    their `pairs=` parameter, exactly like the BM25/IVF persisted
+    indexes (retrieval.save_text_index, ivf.save_index).
+
+    At 100 TB the shingle+minhash map stage is the dominant cost of the
+    whole graph family; deriving the pairs once per corpus snapshot
+    instead of once per query is the difference between one corpus pass
+    and four. A params sidecar records the build parameters so a
+    consumer can detect a mismatched probe."""
+    spark = documents.sparkSession
+    d_minhash_lsh_pairs(documents, n=n, threshold=threshold).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/pairs")
+    spark.createDataFrame(
+        [(n, float(threshold), MINHASH_K, LSH_BANDS)],
+        "shingle_n int, threshold double, minhash_k int, lsh_bands int",
+    ).write.mode("overwrite").parquet(f"{path}/params")
+
+
+def load_dedup_index(spark, path: str) -> DataFrame:
+    """The persisted (doc_a, doc_b, est_jaccard) near-dup pair table."""
+    return spark.read.parquet(f"{path}/pairs")
+
+
 def pr1_doc_pagerank(
     documents: DataFrame,
     n: int = 3,
     threshold: float = 0.5,
     iters: int = 5,
     damping: float = 0.85,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank over the MinHash-LSH near-dup graph — centrality of each
     document inside its duplicate neighborhood (the canonical-pick signal
@@ -240,8 +270,14 @@ def pr1_doc_pagerank(
     plain IEEE double ops both engines execute identically. The node
     count enters as one scalar — bounded driver value, standard for
     iterative algorithms (cf. the convergence probe in d_dup_clusters).
+
+    `pairs`: a pre-built near-dup pair table (see save_dedup_index) —
+    skips the per-query LSH derivation; identical results asserted in
+    tests. When omitted the pairs are derived inline.
     """
-    pairs = d_minhash_lsh_pairs(documents, n=n, threshold=threshold).persist()
+    own_pairs = pairs is None
+    if own_pairs:
+        pairs = d_minhash_lsh_pairs(documents, n=n, threshold=threshold).persist()
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -297,11 +333,16 @@ def pr1_doc_pagerank(
         return out
     finally:
         edges.unpersist()
-        pairs.unpersist()
+        if own_pairs:
+            pairs.unpersist()
 
 
 def d_component_labels(
-    documents: DataFrame, n: int = 3, threshold: float = 0.5, max_iter: int = 20
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_iter: int = 20,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document connected-component labels (doc_id, component) over
     the MinHash-LSH near-dup graph — the shared core of d_dup_clusters
@@ -319,8 +360,12 @@ def d_component_labels(
     pathology). The convergence probe is a single-row count, never a
     data collect. This is the standard large-scale connected-components
     loop (cf. the hash-to-min variants in the literature).
+
+    `pairs`: a pre-built near-dup pair table (see save_dedup_index).
     """
-    pairs = d_minhash_lsh_pairs(documents, n=n, threshold=threshold).persist()
+    own_pairs = pairs is None
+    if own_pairs:
+        pairs = d_minhash_lsh_pairs(documents, n=n, threshold=threshold).persist()
     # Size the loop's shuffles from the DATA, not a constant: the label
     # tables carry one row per doc-in-a-pair, so wide shuffles of a few
     # thousand rows are pure scheduling overhead locally, while a fixed
@@ -395,17 +440,24 @@ def d_component_labels(
         return labels
     finally:
         edges.unpersist()
-        pairs.unpersist()
+        if own_pairs:
+            pairs.unpersist()
 
 
 def d_dup_clusters(
-    documents: DataFrame, n: int = 3, threshold: float = 0.5, max_iter: int = 20
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_iter: int = 20,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Duplicate CLUSTERS from MinHash-LSH near-dup pairs: connected
     components, each labeled by its minimum doc_id — the cluster
     inventory view (canonical id + size). See d_component_labels for the
     algorithm; this is one map-side-combining count on its output."""
-    labels = d_component_labels(documents, n=n, threshold=threshold, max_iter=max_iter)
+    labels = d_component_labels(
+        documents, n=n, threshold=threshold, max_iter=max_iter, pairs=pairs
+    )
     return (
         labels.groupBy("component")
         .agg(F.count(F.lit(1)).alias("cluster_size"))
@@ -417,7 +469,12 @@ def d_dup_clusters(
     )
 
 
-def dd2_dedup_corpus(documents: DataFrame, n: int = 3, threshold: float = 0.5) -> DataFrame:
+def dd2_dedup_corpus(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
     """The end deliverable of the dedup family: the corpus AFTER near-dup
     removal — every LSH cluster collapsed to its canonical (minimum
     doc_id) member, all other members dropped, singletons untouched.
@@ -425,7 +482,7 @@ def dd2_dedup_corpus(documents: DataFrame, n: int = 3, threshold: float = 0.5) -
     One anti join of the (tiny) non-canonical label set against the
     corpus scan: at 100 TB the expensive part is the clustering itself;
     the removal pass is a broadcast anti join that rides the scan."""
-    labels = d_component_labels(documents, n=n, threshold=threshold)
+    labels = d_component_labels(documents, n=n, threshold=threshold, pairs=pairs)
     drop = labels.filter(F.col("doc_id") != F.col("component")).select("doc_id")
     return (
         documents.join(drop, "doc_id", "left_anti")
@@ -435,7 +492,10 @@ def dd2_dedup_corpus(documents: DataFrame, n: int = 3, threshold: float = 0.5) -
 
 
 def tri1_triangle_counts(
-    documents: DataFrame, n: int = 3, threshold: float = 0.5
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document triangle participation over the LSH near-dup graph —
     the graph-analytics primitive behind clustering-coefficient /
@@ -458,12 +518,12 @@ def tri1_triangle_counts(
     Output: (doc_id, n_triangles) for every document in ≥1 triangle.
     The DuckDB oracle enumerates triangles with the textbook 3-way join —
     different enumeration order, identical triangle set.
+
+    `pairs`: a pre-built near-dup pair table (see save_dedup_index).
     """
-    edges = (
-        d_minhash_lsh_pairs(documents, n, threshold)
-        .select("doc_a", "doc_b")
-        .persist()
-    )
+    if pairs is None:
+        pairs = d_minhash_lsh_pairs(documents, n, threshold)
+    edges = pairs.select("doc_a", "doc_b").persist()
     both = edges.select(F.col("doc_a").alias("node")).unionAll(
         edges.select(F.col("doc_b").alias("node"))
     )
