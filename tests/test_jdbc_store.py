@@ -233,3 +233,105 @@ def test_forget_erases_row_and_escapes_quotes(spark, jdbc_store):
     assert jdbc_store.forget("o'brien@x.com") == 1  # quote-safe
     left = {r["email"] for r in jdbc_store.read().collect()}
     assert left == {"jon@x.com", "ann@x.com"}
+
+
+def test_append_unique_constraint_violation_aborts_whole_batch(spark, jdbc_store):
+    """Documented semantics (jdbc_store.append_unique): a duplicate that
+    slips past the anti-join snapshot hits the server-side UNIQUE/PK
+    constraint and ABORTS the batch — within one insert transaction
+    nothing lands (rollback), rather than silently skipping the loser.
+    An INTERNAL duplicate models the race deterministically: the
+    anti-join only checks the table, so both rows reach the INSERT."""
+    jdbc_store.append(_finalized(spark, ROWS))
+    dup_batch = _finalized(
+        spark,
+        [(7, "a", "a", "a7@x.com", "7"), (7, "b", "b", "b7@x.com", "7")],
+    ).coalesce(1)  # one partition = one transaction = clean rollback
+    with pytest.raises(Exception):
+        jdbc_store.append_unique(dup_batch)
+    emails = {r["email"] for r in jdbc_store.read().collect()}
+    assert "a7@x.com" not in emails and "b7@x.com" not in emails
+    assert jdbc_store.read().count() == 3  # table exactly as before
+
+
+def test_concurrent_append_and_flip_against_derby(spark, jdbc_store):
+    """Two RACING writers against one Derby database — the relational
+    analog of tests/test_store_concurrency.py's two-process stress.
+
+    Environment note: a second OS process cannot boot the same EMBEDDED
+    Derby database (the page cache is in-JVM; a concurrent boot fails
+    with XSDB6, and Spark ships only derby/derbyshared/derbytools, no
+    network-server jars). The race therefore runs on two threads with
+    independent JDBC connections inside one JVM — the exact server-side
+    lock-manager + UNIQUE-constraint surface two Postgres clients would
+    hit; nothing in the client stack above the connection is shared.
+
+    Worker A appends ids 1..30 in chunks of 10 and flips 1..15; worker B
+    appends 11..40 and flips 26..40. Overlapping chunks that pass both
+    anti-join snapshots hit the UNIQUE constraint and abort that batch
+    (the documented semantics); the worker then RETRIES the chunk —
+    append_unique's fresh anti-join drops the now-present rows, so the
+    retry converges. Final invariants are Postgres's: no duplicate
+    id/email, every flip present, nothing else flipped."""
+    import threading
+
+    errors: list[BaseException] = []
+
+    def worker(lo: int, hi: int, mark_lo: int, mark_hi: int) -> None:
+        try:
+            ids = list(range(lo, hi))
+            for at in range(0, len(ids), 10):
+                chunk = ids[at : at + 10]
+                batch = _finalized(
+                    spark,
+                    [(i, f"fn{i}", f"ln{i}", f"u{i}@x.com", str(i)) for i in chunk],
+                )
+                for _attempt in range(8):
+                    try:
+                        n = jdbc_store.append_unique(batch)
+                        assert 0 <= n <= len(chunk)
+                        break
+                    except AssertionError:
+                        raise
+                    except Exception:
+                        continue  # batch aborted by the constraint race — retry
+                else:
+                    raise AssertionError(f"chunk {chunk[0]}..{chunk[-1]} never converged")
+            marks = spark.createDataFrame(
+                [(f"u{i}@x.com",) for i in range(mark_lo, mark_hi)], ["email"]
+            )
+            for _attempt in range(8):
+                try:
+                    flipped = jdbc_store.mark_uploaded(marks)
+                    assert 0 <= flipped <= mark_hi - mark_lo
+                    break
+                except AssertionError:
+                    raise
+                except Exception:
+                    continue  # lock contention with the other writer — retry
+            else:
+                raise AssertionError("mark_uploaded never converged")
+        except BaseException as e:  # surfaced by the main thread
+            errors.append(e)
+
+    ta = threading.Thread(target=worker, args=(1, 31, 1, 16))
+    tb = threading.Thread(target=worker, args=(11, 41, 26, 41))
+    ta.start()
+    tb.start()
+    ta.join(600)
+    tb.join(600)
+    assert not errors, errors
+
+    final = jdbc_store.read()
+    rows = final.collect()
+    # Postgres-UNIQUE invariant: no duplicate id or email survived the race
+    assert len(rows) == 40
+    assert final.select("id").distinct().count() == 40
+    assert final.select("email").distinct().count() == 40
+    # no lost updates: every marked email is uploaded in the final state
+    uploaded = {r["email"] for r in rows if r["uploaded"]}
+    expected = {f"u{i}@x.com" for i in range(1, 16)} | {
+        f"u{i}@x.com" for i in range(26, 41)
+    }
+    assert uploaded == expected
+    assert final.filter("NOT uploaded").count() == 40 - len(expected)
