@@ -31,6 +31,7 @@ from csv_crm_upload_spark.analytics import similarity as sim
 from csv_crm_upload_spark.analytics import textstats as ts
 from csv_crm_upload_spark.analytics import grouped_pandas as gp
 from csv_crm_upload_spark.analytics import ivf
+from csv_crm_upload_spark.analytics import pq as pqm
 from csv_crm_upload_spark.analytics import retrieval as rtr
 from csv_crm_upload_spark.analytics import tpch
 from csv_crm_upload_spark.streaming import windows as stw
@@ -405,6 +406,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # IVF ANN: learned (data-dependent) centroids — no SQL oracle;
         # exactness at full probe + recall floors pinned in tests
         "sim_knn_ivf": lambda s, sf: ivf.knn_ivf(_t("embeddings")(s, sf)),
+        # PQ/ADC ANN (round 4): learned codebooks — no SQL oracle; ADC
+        # identity + recall floors pinned in tests/test_pq.py
+        "pq1_quantized_knn": lambda s, sf: pqm.pq1_quantized_knn(_t("embeddings")(s, sf)),
         # widened relational surface
         "q1_pricing_summary": lambda s, sf: tpch.q1_pricing_summary(_t("lineitem")(s, sf)),
         "q3_top_unshipped": lambda s, sf: tpch.q3_top_unshipped_orders(

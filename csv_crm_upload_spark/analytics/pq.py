@@ -1,0 +1,209 @@
+"""Product quantization (PQ) ANN — the m-subspace learned vector codec
+(Jegou/Douze/Schmid, "Product Quantization for Nearest Neighbor
+Search", IEEE TPAMI 2011), the compression behind production IVF-PQ
+indexes, next to the repo's IVF coarse quantizer (ivf.py) and SQ8
+scalar quantizer (similarity.vq_codes).
+
+The embedding space splits into m contiguous subspaces; each subspace
+learns its own k-entry codebook (k ≤ 256 → one byte per subspace). A
+vector encodes to m small codes — at m=8 a 64-dim float32 vector
+(256 B) becomes 8 B, the 32× compression that turns an exhaustive
+candidate scan of a 100 TB embedding corpus into a RAM-tier operation
+(SQ8's 4× keeps full dimensionality; PQ trades more precision for far
+smaller codes — the two ends of the production quantization spectrum).
+
+Search uses ASYMMETRIC distance computation (ADC): the query stays
+full-precision; per (query, subspace) a k-entry table of partial dot
+products is computed once DRIVER-side (m·k doubles per query — tiny,
+from the ≤10 collected query vectors, same bounded-collect sanction as
+ivf.knn_ivf) and ships as a broadcast literal; scoring a corpus vector
+is m table lookups + a sum — map-only over the code scan, no shuffle
+until the final per-query top-k.
+
+No DuckDB oracle: codebooks are learned (data-dependent) like IVF's
+centroids, so the op is pinned by pytest instead —
+  * ADC identity: with codebooks that contain every distinct subvector,
+    encoding is lossless and ADC equals the exact dot product;
+  * recall floor vs knn_bruteforce on the synthetic corpus;
+  * code-shape invariants (m codes, each in [0, k)).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def fit_pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    sample_cap: int = 4096,
+    n_iter: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Per-subspace Lloyd's k-means on a deterministic bounded sample
+    (first `sample_cap` rows by vec_id — driver memory is bounded
+    regardless of corpus size, mirroring ivf.fit_centroids). Returns an
+    (m, k, dim/m) codebook tensor."""
+    sample = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(sample_cap)
+        .collect()
+    )
+    x = np.array([r["embedding"] for r in sample], dtype=np.float64)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    if len(x) < k:
+        raise ValueError(f"sample of {len(x)} rows cannot seed k={k} codes")
+    sub = dim // m
+    rng = np.random.RandomState(seed)
+    books = np.zeros((m, k, sub))
+    for j in range(m):
+        xs = x[:, j * sub : (j + 1) * sub]
+        cent = xs[rng.choice(len(xs), size=k, replace=False)].copy()
+        for _ in range(n_iter):
+            d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                members = xs[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def pq_encode(embeddings: DataFrame, codebooks: np.ndarray) -> DataFrame:
+    """vec_id → m nearest-codebook-entry codes. The codebook tensor
+    rides into the plan as array literals (m·k·sub doubles — tiny);
+    assignment is ONE map stage over the scan, no shuffle. Nearest entry
+    minimizes ||x_j − c||² = ||c||² − 2·x_j·c + const, computed as
+    argmax of (2·dot − ||c||²) so each candidate costs one fused
+    zip_with/aggregate pass."""
+    m, k, sub = codebooks.shape
+    emb = F.col("embedding")
+    code_cols = []
+    for j in range(m):
+        xs = F.slice(emb, j * sub + 1, sub)
+        scores = []
+        for c in range(k):
+            entry = codebooks[j, c]
+            dot = F.aggregate(
+                F.zip_with(
+                    xs,
+                    F.array(*[F.lit(float(v)) for v in entry]),
+                    lambda a, b: a.cast("double") * b,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            scores.append(2.0 * dot - F.lit(float(entry @ entry)))
+        code_cols.append(
+            (F.array_position(F.array(*scores), F.array_max(F.array(*scores))) - 1).cast(
+                "int"
+            )
+        )
+    return embeddings.select("vec_id", F.array(*code_cols).alias("codes"))
+
+
+def adc_scores(
+    codes: DataFrame,
+    query_vectors: list[tuple[int, list[float]]],
+    codebooks: np.ndarray,
+) -> DataFrame:
+    """(query_id, vec_id, adc_dot): asymmetric dot product of each
+    full-precision query against every encoded corpus vector — m lookups
+    into the query's broadcast (m·k)-entry table per row, map-only."""
+    m, k, _sub = codebooks.shape
+    sub = codebooks.shape[2]
+    spark = codes.sparkSession
+    rows = []
+    for qid, qvec in query_vectors:
+        q = np.asarray(qvec, dtype=np.float64)
+        # lut[j*k + c] = dot(q's j-th subvector, codebook[j][c])
+        lut = [
+            float(q[j * sub : (j + 1) * sub] @ codebooks[j, c])
+            for j in range(m)
+            for c in range(k)
+        ]
+        rows.append((int(qid), lut))
+    ludf = spark.createDataFrame(rows, "query_id long, lut array<double>")
+    subspace_term = F.zip_with(
+        F.col("codes"),
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda c, j: F.element_at(F.col("lut"), (j * k + c + 1).cast("int")),
+    )
+    adc = F.aggregate(subspace_term, F.lit(0.0), lambda acc, v: acc + v)
+    return (
+        codes.crossJoin(F.broadcast(ludf))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", F.round(adc, 6).alias("adc_dot"))
+    )
+
+
+def pq1_quantized_knn(
+    embeddings: DataFrame,
+    query_ids: list[int] | None = None,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    n_candidates: int = 50,
+) -> DataFrame:
+    """Top-k neighbors per query via the production PQ two-stage shape:
+    the 8-byte codes SELECT candidates, full precision DECIDES.
+
+      1. fit codebooks (bounded driver sample) and encode the corpus —
+         map-only over the scan;
+      2. ADC-score every code against broadcast per-query lookup tables
+         and keep the top `n_candidates` per query (the one wide pass,
+         over m-byte codes instead of full vectors);
+      3. exact-cosine rerank of the CANDIDATE SET only (a semi-join of
+         ~n_candidates·queries rows against the full-precision vectors —
+         never a second corpus scan at full width).
+
+    This candidate-then-refine split is why PQ codes can be lossy: ADC
+    only has to land true neighbors inside the candidate set, and the
+    rerank restores exact ordering. Ties break on vec_id (total order).
+    """
+    if query_ids is None:
+        query_ids = list(range(10))  # same default query set as knn_bruteforce
+    books = fit_pq_codebooks(embeddings, m=m, k=n_codes)
+    codes = pq_encode(embeddings, books)
+    qrows = (
+        embeddings.filter(F.col("vec_id").isin(query_ids))
+        .select("vec_id", "embedding")
+        .collect()
+    )  # bounded: ≤ len(query_ids) rows, the ivf.knn_ivf sanction
+    qvecs = [(r["vec_id"], list(r["embedding"])) for r in qrows]
+    scored = adc_scores(codes, qvecs, books)
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dot").desc(), F.col("vec_id")
+    )
+    cands = (
+        scored.withColumn("adc_rank", F.row_number().over(w_adc))
+        .filter(F.col("adc_rank") <= n_candidates)
+        .select("query_id", "vec_id")
+    )
+    from csv_crm_upload_spark.analytics.similarity import cosine
+
+    spark = embeddings.sparkSession
+    qdf = spark.createDataFrame(qvecs, "query_id long, q_emb array<double>")
+    reranked = (
+        cands.join(embeddings.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        reranked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos_sim", "rank")
+    )

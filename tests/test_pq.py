@@ -1,0 +1,71 @@
+"""Product-quantization ANN: lossless-codebook ADC identity, code-shape
+invariants, and recall floor vs the exact brute-force baseline — the
+oracle-free verification pattern of the IVF suite (learned codebooks
+have no SQL oracle)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from csv_crm_upload_spark.analytics import pq
+from csv_crm_upload_spark.analytics.similarity import knn_bruteforce
+from csv_crm_upload_spark.sources.tables import load_table
+
+
+def test_adc_identity_with_lossless_codebooks(spark):
+    """When every distinct subvector IS a codebook entry, encoding is
+    lossless and the asymmetric (ADC) score must equal the exact dot
+    product of the full-precision vectors."""
+    entries = [[1.0, 0.0], [0.0, 1.0], [2.0, 2.0]]
+    books = np.array([entries, entries])  # (m=2, k=3, sub=2)
+    corpus = {
+        0: [1.0, 0.0, 0.0, 1.0],
+        1: [2.0, 2.0, 1.0, 0.0],
+        2: [0.0, 1.0, 2.0, 2.0],
+    }
+    embeddings = spark.createDataFrame(
+        [(i, v) for i, v in corpus.items()], "vec_id long, embedding array<float>"
+    )
+    codes = pq.pq_encode(embeddings, books)
+    got_codes = {r["vec_id"]: list(r["codes"]) for r in codes.collect()}
+    assert got_codes == {0: [0, 1], 1: [2, 0], 2: [1, 2]}
+
+    q = [0.5, -1.0, 3.0, 2.0]
+    scored = pq.adc_scores(codes, [(9, q)], books)
+    got = {r["vec_id"]: r["adc_dot"] for r in scored.collect()}
+    for vid, vec in corpus.items():
+        exact = float(np.dot(q, vec))
+        assert got[vid] == pytest.approx(exact, abs=1e-6), vid
+
+
+def test_pq_codes_shape_and_range(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq.fit_pq_codebooks(emb, m=8, k=16)
+    assert books.shape[0] == 8 and books.shape[1] == 16
+    codes = pq.pq_encode(emb, books)
+    row = codes.agg(
+        {"codes": "count"}
+    ).collect()  # force full evaluation before per-row asserts
+    assert row[0][0] == emb.count()
+    from pyspark.sql import functions as F
+
+    bad = codes.filter(
+        (F.size("codes") != 8)
+        | (F.array_min("codes") < 0)
+        | (F.array_max("codes") >= 16)
+    ).count()
+    assert bad == 0
+
+
+def test_pq_recall_floor_vs_bruteforce(spark, sf_dir):
+    """PQ is lossy; what it must preserve is NEIGHBORHOOD. Pin a recall
+    floor of ADC top-5 against exact cosine top-5 on the synthetic
+    corpus (label-clustered vectors — the realistic regime for PQ)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = knn_bruteforce(emb, k=5)
+    approx = pq.pq1_quantized_knn(emb, k=5)
+    want = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    got = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(want & got) / len(want)
+    assert recall >= 0.5, f"recall@5 {recall:.2f} below floor"
