@@ -212,10 +212,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Round 1: original surface. Round 2: same. Round 3: the 38 round-1/2
     additions (pv1..hist1) — all went green in CORRECTNESS_r03. Round 4
     (this file): the 38 remaining never-driver-verified oracle-paired
-    queries (t10..rrf1 below). After this round only `stat1` and `unpiv1`
-    remain oracle-paired-but-never-sampled (they take slots 13-14 in the
-    ROUND-5 rotation); sim_knn_ivf/hll1/mm2/approx_* are oracle-free
-    rows-only whenever sampled."""
+    queries (t10..rrf1 below). After this round only `stat1`, `unpiv1`
+    and the round-4 addition `samp2` remain oracle-paired-but-never-
+    sampled (they take slots 13-15 in the ROUND-5 rotation);
+    sim_knn_ivf/pq1/hll1/mm2/approx_* are oracle-free rows-only
+    whenever sampled."""
     return {
         # reference-faithful core (SURVEY §2 ids) — pinned slots 1-12
         "s1_scan_customer": q_s1_scan_customer,
@@ -483,6 +484,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-4 slots were full) — see the docstring above
         "unpiv1_status_counts": lambda s, sf: tpch.unpiv1_status_counts(
             _t("orders")(s, sf)
+        ),
+        # round-4 widening (oracle-paired; enters the round-5 rotation)
+        "samp2_weighted_reservoir": lambda s, sf: ts.samp2_weighted_reservoir(
+            _t("documents")(s, sf)
         ),
     }
 
@@ -1514,6 +1519,24 @@ def oracle_sql() -> dict[str, str]:
                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
           FROM documents
         ) WHERE rn <= 50
+    """
+
+    q["samp2_weighted_reservoir"] = """
+        SELECT doc_id, source, n_chars, samp_key, CAST(rn AS INT) AS sample_rank
+        FROM (
+          SELECT doc_id, source, n_chars, samp_key,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY samp_key, doc_id) AS rn
+          FROM (
+            SELECT doc_id, source, n_chars,
+                   round(
+                     -ln(
+                       (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1.0)
+                       / 1152921504606846976.0
+                     ) / greatest(CAST(n_chars AS DOUBLE), 1.0), 6) AS samp_key
+            FROM documents
+          )
+        ) WHERE rn <= 10
     """
 
     q["stat1_price_quantity_stats"] = """

@@ -361,6 +361,41 @@ def samp1_stratified_sample(documents: DataFrame, k: int = 50) -> DataFrame:
     )
 
 
+def samp2_weighted_reservoir(documents: DataFrame, k: int = 10) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES
+    keys), k docs per source: each document draws a deterministic
+    pseudo-uniform u from md5(doc_id) and races with key −ln(u)/w — an
+    exponential draw with rate w — and the k SMALLEST keys per source
+    win. Distributionally equivalent to sequential weighted sampling
+    without replacement, but embarrassingly parallel: one map stage for
+    the keys + one per-source top-k window. (The A-ES key is exactly
+    what a streaming weighted-reservoir maintains; ranking all keys at
+    once is its batch formulation.)
+
+    Weight = n_chars (longer documents proportionally likelier),
+    floored at 1. Determinism: u is md5-derived (engine-identical
+    integer → same IEEE double both engines), ln agreement across
+    engines follows the bm25/t10 idf precedent, and keys round to 6 dp
+    BEFORE ranking with a doc_id tiebreak (the repo's total-order
+    convention)."""
+    from pyspark.sql import Window
+
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("double")
+    )
+    u = (h + F.lit(1.0)) / F.lit(float(1 << 60))
+    wgt = F.greatest(F.col("n_chars").cast("double"), F.lit(1.0))
+    key = F.round(-F.log(u) / wgt, 6)
+    win = Window.partitionBy("source").orderBy(F.col("samp_key").asc(), F.col("doc_id"))
+    return (
+        documents.select("doc_id", "source", "n_chars")
+        .withColumn("samp_key", key)
+        .withColumn("sample_rank", F.row_number().over(win).cast("int"))
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
 # corpus mixing rates: source -> keep percentage (out of 100)
 MIXTURE_RATES = {"src0": 100, "src1": 80, "src2": 60, "src3": 30}
 DEFAULT_RATE = 50
