@@ -31,6 +31,7 @@ from csv_crm_upload_spark.analytics import similarity as sim
 from csv_crm_upload_spark.analytics import textstats as ts
 from csv_crm_upload_spark.analytics import grouped_pandas as gp
 from csv_crm_upload_spark.analytics import ivf
+from csv_crm_upload_spark.analytics import clustering as clus
 from csv_crm_upload_spark.analytics import pq as pqm
 from csv_crm_upload_spark.analytics import retrieval as rtr
 from csv_crm_upload_spark.analytics import tpch
@@ -213,8 +214,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     additions (pv1..hist1) — all went green in CORRECTNESS_r03. Round 4
     (this file): the 38 remaining never-driver-verified oracle-paired
     queries (t10..rrf1 below). After this round only `stat1`, `unpiv1`
-    and the round-4 addition `samp2` remain oracle-paired-but-never-
-    sampled (they take slots 13-15 in the ROUND-5 rotation);
+    and the round-4 additions `samp2`/`kmeans1` remain oracle-paired-
+    but-never-sampled (they take slots 13-16 in the ROUND-5 rotation);
     sim_knn_ivf/pq1/hll1/mm2/approx_* are oracle-free rows-only
     whenever sampled."""
     return {
@@ -488,6 +489,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-4 widening (oracle-paired; enters the round-5 rotation)
         "samp2_weighted_reservoir": lambda s, sf: ts.samp2_weighted_reservoir(
             _t("documents")(s, sf)
+        ),
+        # oracle-paired ITERATIVE k-means: fixed deterministic rounds,
+        # the DuckDB oracle unrolls the same iterations as CTEs
+        "kmeans1_topic_clusters": lambda s, sf: clus.kmeans1_topic_clusters(
+            _t("embeddings")(s, sf)
         ),
     }
 
@@ -1537,6 +1543,57 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
           )
         ) WHERE rn <= 10
+    """
+
+    # kmeans1: the Spark side runs 2 fixed Lloyd's rounds with bounded
+    # k-row driver collects between them; the oracle UNROLLS the same
+    # two rounds as CTEs. Determinism pivots: 6-dp rounded dots before
+    # argmax (ties → lowest cluster_id), per-dim DECIMAL(28,12) means
+    # rounded to 12 dp, init = first k vectors by vec_id.
+    q["kmeans1_topic_clusters"] = """
+        WITH init AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster_id,
+                 embedding AS centroid
+          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+        ),
+        s1 AS (
+          SELECT e.vec_id, e.embedding, c.cluster_id,
+                 round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                       i -> e.embedding[i]::DOUBLE * c.centroid[i]::DOUBLE)), 6) AS sim
+          FROM embeddings e CROSS JOIN init c
+        ),
+        a1 AS (
+          SELECT vec_id, embedding, cluster_id, sim
+          FROM (SELECT *, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY sim DESC, cluster_id) AS rn FROM s1)
+          WHERE rn = 1
+        ),
+        m1 AS (
+          SELECT cluster_id, r.i,
+                 round(CAST(SUM(CAST(embedding[r.i] AS DECIMAL(28,12))) AS DOUBLE)
+                       / COUNT(*), 12) AS m
+          FROM a1, UNNEST(range(1, len(embedding) + 1)) AS r(i)
+          GROUP BY cluster_id, r.i
+        ),
+        c1 AS (
+          SELECT cluster_id, list(m ORDER BY i) AS centroid
+          FROM m1 GROUP BY cluster_id
+        ),
+        s2 AS (
+          SELECT e.vec_id, c.cluster_id,
+                 round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                       i -> e.embedding[i]::DOUBLE * c.centroid[i])), 6) AS sim
+          FROM embeddings e CROSS JOIN c1 c
+        ),
+        a2 AS (
+          SELECT vec_id, cluster_id, sim
+          FROM (SELECT *, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY sim DESC, cluster_id) AS rn FROM s2)
+          WHERE rn = 1
+        )
+        SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+               round(CAST(SUM(CAST(sim AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_sim
+        FROM a2 GROUP BY cluster_id ORDER BY cluster_id
     """
 
     q["stat1_price_quantity_stats"] = """

@@ -1,0 +1,116 @@
+"""Distributed full-corpus k-means over the embeddings table — the
+topic-clustering step of a training-data pipeline (slice a corpus by
+embedding neighborhood, budget per topic, spot mode collapse), and the
+full-corpus counterpart of ivf.fit_centroids' bounded-sample Lloyd's.
+
+Canonical Spark k-means shape (what MLlib does under the hood):
+  * centroids live on the DRIVER as a k-row list (bounded — the
+    sanctioned scalar-per-iteration pattern of pr1/d_dup_clusters) and
+    ride into the plan as broadcast array literals;
+  * ASSIGNMENT is map-only: per row, argmax over k fused dot-product
+    expressions — no shuffle, no crossJoin blowup;
+  * RECOMPUTE is one map-side-combining groupBy per iteration carrying
+    k rows of (count, 64 decimal sums) — the shuffle moves k rows per
+    partition, not the corpus.
+At 100 TB each iteration is one corpus scan + one tiny shuffle;
+iteration count is fixed (training-pipeline k-means runs a handful of
+rounds, not to convergence).
+
+Cross-engine determinism (this op is ORACLE-PAIRED, unusual for an
+iterative algorithm — the DuckDB oracle unrolls the same fixed
+iterations as CTEs):
+  * similarity = dot product ROUNDED to 6 dp before argmax; ties break
+    to the lowest cluster_id (array_position takes the FIRST max ≡
+    ORDER BY sim DESC, cluster_id);
+  * init centroids = the first k vectors by vec_id (pure function of
+    the data, no RNG);
+  * centroid recompute = per-dim DECIMAL(28,12) sums cast to double,
+    divided by the member count, F.round-ed to 12 dp IN THE PLAN (both
+    engines use half-away-from-zero rounding) before collection;
+  * empty clusters drop out identically in both engines (assignment
+    only considers surviving centroids).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot_lit(emb: F.Column, vec: list[float]) -> F.Column:
+    """Sequential left-fold dot product against a literal vector —
+    fold order matches DuckDB's list_sum(list_transform(...)) exactly
+    (the proven cross-engine idiom of the cosine oracles)."""
+    return F.aggregate(
+        F.zip_with(
+            emb,
+            F.array(*[F.lit(float(v)) for v in vec]),
+            lambda x, y: x.cast("double") * y,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def kmeans1_topic_clusters(
+    embeddings: DataFrame, k: int = 8, iters: int = 2
+) -> DataFrame:
+    """(cluster_id, n_members, mean_sim) after `iters` fixed Lloyd's
+    rounds from a deterministic init — mean_sim is the average (6-dp
+    rounded) dot product of members to their assigned centroid, the
+    cluster-cohesion readout."""
+    dim = len(embeddings.select("embedding").first()["embedding"])
+
+    init_rows = (
+        embeddings.select("vec_id", "embedding").orderBy("vec_id").limit(k).collect()
+    )
+    # (cluster_id, centroid) — cluster ids are the 0-based init order
+    cent: list[tuple[int, list[float]]] = [
+        (i, [float(v) for v in r["embedding"]]) for i, r in enumerate(init_rows)
+    ]
+
+    assigned = None
+    for it in range(iters):
+        sims = F.array(*[F.round(_dot_lit(F.col("embedding"), v), 6) for _cid, v in cent])
+        # FIRST max position ≡ lowest-cluster_id tiebreak (ids are in
+        # ascending order in `cent`)
+        best_pos = F.array_position(sims, F.array_max(sims)).cast("int") - 1
+        ids = F.array(*[F.lit(cid) for cid, _v in cent])
+        assigned = embeddings.select(
+            "vec_id",
+            "embedding",
+            F.element_at(ids, best_pos + 1).alias("cluster_id"),
+            F.element_at(sims, best_pos + 1).alias("sim"),
+        )
+        if it == iters - 1:
+            break  # the final assignment is the result — no recompute
+        # recompute: per-dim decimal-exact means, rounded IN THE PLAN
+        # (F.round half-away-from-zero == DuckDB round) before the
+        # bounded k-row collect
+        sums = [
+            F.round(
+                F.sum(
+                    F.element_at("embedding", d + 1).cast("double").cast("decimal(28,12)")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                12,
+            ).alias(f"m_{d}")
+            for d in range(dim)
+        ]
+        rows = assigned.groupBy("cluster_id").agg(*sums).collect()
+        cent = sorted(
+            (int(r["cluster_id"]), [r[f"m_{d}"] for d in range(dim)]) for r in rows
+        )
+
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.round(
+                F.sum(F.col("sim").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_sim"),
+        )
+        .orderBy("cluster_id")
+    )
