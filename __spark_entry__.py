@@ -32,6 +32,7 @@ from csv_crm_upload_spark.analytics import textstats as ts
 from csv_crm_upload_spark.analytics import grouped_pandas as gp
 from csv_crm_upload_spark.analytics import ivf
 from csv_crm_upload_spark.analytics import clustering as clus
+from csv_crm_upload_spark.plans import corpus_prep as prep
 from csv_crm_upload_spark.analytics import pq as pqm
 from csv_crm_upload_spark.analytics import retrieval as rtr
 from csv_crm_upload_spark.analytics import tpch
@@ -214,10 +215,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     additions (pv1..hist1) — all went green in CORRECTNESS_r03. Round 4
     (this file): the 38 remaining never-driver-verified oracle-paired
     queries (t10..rrf1 below). After this round only `stat1`, `unpiv1`
-    and the round-4 additions `samp2`/`kmeans1` remain oracle-paired-
-    but-never-sampled (they take slots 13-16 in the ROUND-5 rotation);
-    sim_knn_ivf/pq1/hll1/mm2/approx_* are oracle-free rows-only
-    whenever sampled."""
+    and the round-4 additions `samp2`/`kmeans1`/`prep1` remain oracle-
+    paired-but-never-sampled (they take slots 13-17 in the ROUND-5
+    rotation); sim_knn_ivf/pq1/hll1/mm2/approx_* are oracle-free
+    rows-only whenever sampled."""
     return {
         # reference-faithful core (SURVEY §2 ids) — pinned slots 1-12
         "s1_scan_customer": q_s1_scan_customer,
@@ -494,6 +495,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the DuckDB oracle unrolls the same iterations as CTEs
         "kmeans1_topic_clusters": lambda s, sf: clus.kmeans1_topic_clusters(
             _t("embeddings")(s, sf)
+        ),
+        # the COMPOSED corpus-prep pipeline (dedup → quality → split →
+        # pack) as one oracle-paired plan — see plans/corpus_prep.py
+        "prep1_corpus_manifest": lambda s, sf: prep.prepare_training_corpus(
+            _t("documents")(s, sf)
         ),
     }
 
@@ -1929,6 +1935,58 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
         WHERE doc_id NOT IN (SELECT doc FROM labels WHERE doc <> component)
         ORDER BY doc_id
+    """
+
+    # prep1: the WHOLE composed corpus-prep pipeline (dedup → quality
+    # gate → split → pack) as ONE oracle query — each stage reuses the
+    # SQL of its standalone verified operator (dd2 component closure,
+    # mix2 gate, split1 gate, pack1 prefix-sum window)
+    q["prep1_corpus_manifest"] = f"""
+        WITH RECURSIVE {_lsh_ctes},
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+          UNION ALL
+          SELECT doc_b AS src, doc_a AS dst FROM lsh_pairs
+        ),
+        comp AS (
+          SELECT DISTINCT src AS doc, src AS reach FROM edges
+          UNION
+          SELECT c.doc, e.dst AS reach FROM comp c JOIN edges e ON e.src = c.reach
+        ),
+        labels AS (SELECT doc, MIN(reach) AS component FROM comp GROUP BY doc),
+        deduped AS (
+          SELECT * FROM documents
+          WHERE doc_id NOT IN (SELECT doc FROM labels WHERE doc <> component)
+        ),
+        scored AS (
+          SELECT doc_id, source, text,
+                 round(CASE WHEN CAST(len({_RAW_TOKS}) AS INT) < 5 THEN 0.0
+                       ELSE least(1.0, CAST(len({_RAW_TOKS}) AS DOUBLE) / 100.0)
+                            * (1.0 - round(CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                                           / greatest(length(text), 1), 6)) END, 6) AS quality_score,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)
+                   / 1152921504606846976.0 AS g,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS sgate
+          FROM deduped
+        ),
+        kept AS (
+          SELECT doc_id, source, quality_score,
+                 CASE WHEN sgate < 80 THEN 'train'
+                      WHEN sgate < 90 THEN 'val' ELSE 'test' END AS split,
+                 CAST(len({_RAW_TOKS}) AS BIGINT) AS n_tokens
+          FROM scored WHERE g < quality_score
+        ),
+        packed AS (
+          SELECT doc_id, split, source, quality_score, n_tokens,
+                 CAST(SUM(n_tokens) OVER (
+                   PARTITION BY split, source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) - n_tokens AS BIGINT) AS stream_offset
+          FROM kept
+        )
+        SELECT doc_id, split, source, quality_score, n_tokens, stream_offset,
+               CAST(FLOOR(stream_offset / 512) AS BIGINT) AS bin_id
+        FROM packed
     """
 
     q["batch1_length_buckets"] = f"""

@@ -1,0 +1,112 @@
+"""End-to-end training-corpus preparation — the composed deliverable of
+the LLM-data-pipeline family: every stage is one of the engine's
+oracle-verified operators, chained into a single declarative plan.
+
+    raw documents
+      → near-dup removal        (dedup.d_component_labels — LSH
+                                 connected components, canonical = min
+                                 doc_id per cluster; consumes the
+                                 persisted pair index when given)
+      → quality-weighted keep   (textstats.mix2 gate: keep iff
+                                 md5_60(doc_id)/2^60 < quality_score)
+      → leakage-safe split      (textstats.split1 gate: hash-range
+                                 80/10/10 — a pure function of doc_id,
+                                 so corpus growth never moves a doc
+                                 between splits)
+      → sequence packing        (textstats.pack1 shape, streams keyed
+                                 by (split, source[, shard]) — packing
+                                 NEVER crosses a split boundary, the
+                                 contamination guard batch construction
+                                 needs)
+
+The output is the packing MANIFEST: one row per surviving document with
+its split, quality score, token count, stream offset, and training-bin
+id. At 100 TB the whole pipeline is: one LSH pass (or a read of the
+persisted pair index) + a broadcast anti-join riding the scan + two
+map-only gates + one window per (split, source) stream — no stage adds
+a corpus-wide shuffle beyond the ones its standalone operator already
+pays.
+
+Statistical note, explicit: the keep gate and the split gate both
+derive from md5(doc_id) (each matching its standalone oracle-verified
+operator exactly), so they are not independent draws; the split is
+applied AFTER the keep decision and remains a pure function of doc_id,
+which is the property that matters for leakage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from csv_crm_upload_spark.analytics import dedup as dd
+from csv_crm_upload_spark.analytics.textstats import _quality_score_expr, _tokens
+
+
+def _md5_60(col: F.Column) -> F.Column:
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+def split_expr() -> F.Column:
+    """The split1 hash-range assignment as a reusable Column."""
+    gate = F.pmod(_md5_60(F.col("doc_id")), F.lit(100))
+    return (
+        F.when(gate < 80, F.lit("train"))
+        .when(gate < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def prepare_training_corpus(
+    documents: DataFrame,
+    pairs: DataFrame | None = None,
+    pack_budget: int = 512,
+    n_shards: int | None = None,
+) -> DataFrame:
+    """The packing manifest for a cleaned, split corpus. `pairs` feeds
+    the dedup stage from a persisted candidate-pair index
+    (dedup.save_dedup_index) — the build-once path a production run
+    takes; omitted, the pairs derive inline."""
+    # 1. near-dup removal: canonical member per LSH cluster survives
+    labels = dd.d_component_labels(documents, pairs=pairs)
+    drop = labels.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+    deduped = documents.join(drop, "doc_id", "left_anti")
+
+    # 2. quality-weighted keep (the mix2 gate, map-only)
+    keep_gate = _md5_60(F.col("doc_id")).cast("double") / F.lit(float(1 << 60))
+    kept = deduped.withColumn("quality_score", _quality_score_expr()).filter(
+        keep_gate < F.col("quality_score")
+    )
+
+    # 3. leakage-safe split assignment (map-only)
+    staged = kept.withColumn("split", split_expr())
+
+    # 4. pack per (split, source[, shard]) stream — prefix-sum window
+    base = staged.select(
+        "doc_id",
+        "source",
+        "split",
+        "quality_score",
+        F.size(_tokens()).alias("n_tokens"),
+    )
+    stream_cols = ["split", "source"]
+    if n_shards is not None and n_shards > 1:
+        base = base.withColumn(
+            "shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int")
+        )
+        stream_cols = ["split", "source", "shard"]
+    w = (
+        Window.partitionBy(*stream_cols)
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = base.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    offset = (F.col("cum_tokens") - F.col("n_tokens")).cast("bigint")
+    return cum.select(
+        "doc_id",
+        *stream_cols,
+        "quality_score",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        offset.alias("stream_offset"),
+        F.floor(offset / pack_budget).cast("bigint").alias("bin_id"),
+    )
