@@ -59,6 +59,8 @@ GRAPH_EXTRA = [
     "tri1_triangle_counts",
     "pr1_doc_pagerank",
     "dd2_dedup_corpus",
+    # the composed corpus-prep pipeline consumes the same pair index
+    "prep1_corpus_manifest",
 ]
 
 
@@ -157,11 +159,14 @@ def main() -> None:
         dd.save_dedup_index(docs, idx_dir)
         extra["dd_index_build"] = round(time.perf_counter() - t0, 3)
         pairs = dd.load_dedup_index(spark, idx_dir)
+        from csv_crm_upload_spark.plans.corpus_prep import prepare_training_corpus
+
         graph_fns = {
             "dd_dup_clusters": dd.d_dup_clusters,
             "tri1_triangle_counts": dd.tri1_triangle_counts,
             "pr1_doc_pagerank": dd.pr1_doc_pagerank,
             "dd2_dedup_corpus": dd.dd2_dedup_corpus,
+            "prep1_corpus_manifest": prepare_training_corpus,
         }
         for name in GRAPH_EXTRA:
             t0 = time.perf_counter()

@@ -150,6 +150,22 @@ def main(argv: list[str] | None = None) -> int:
     pq.add_argument("--index", default=None, help="persisted index dir (partition-pruned probe)")
     pq.add_argument("-k", type=int, default=5)
 
+    pp = sub.add_parser(
+        "prep",
+        help="run the corpus-prep pipeline (dedup → quality → split → pack) "
+        "and write the packing manifest",
+    )
+    pp.add_argument("--docs", required=True, help="parquet path of the documents table")
+    pp.add_argument("--out", required=True, help="manifest output parquet directory")
+    pp.add_argument(
+        "--pairs-index",
+        default=None,
+        help="persisted near-dup pair index (dedup.save_dedup_index); "
+        "derived inline when omitted",
+    )
+    pp.add_argument("--budget", type=int, default=512, help="tokens per training bin")
+    pp.add_argument("--shards", type=int, default=None, help="sub-streams per source")
+
     args = p.parse_args(argv)
 
     from csv_crm_upload_spark.session import get_spark
@@ -162,6 +178,29 @@ def main(argv: list[str] | None = None) -> int:
 
         save_text_index(spark.read.parquet(args.docs), args.out, n_buckets=args.buckets)
         print(f"indexed={args.out}")
+        return 0
+    if args.cmd == "prep":
+        from csv_crm_upload_spark.analytics.dedup import load_dedup_index
+        from csv_crm_upload_spark.plans.corpus_prep import prepare_training_corpus
+
+        from pyspark.sql import functions as F
+
+        pairs = load_dedup_index(spark, args.pairs_index) if args.pairs_index else None
+        manifest = prepare_training_corpus(
+            spark.read.parquet(args.docs),
+            pairs=pairs,
+            pack_budget=args.budget,
+            n_shards=args.shards,
+        )
+        manifest.write.mode("overwrite").parquet(args.out)
+        counts = {
+            r["split"]: r["n"]
+            for r in spark.read.parquet(args.out)
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        print(f"manifest={args.out} splits={counts}")
         return 0
     if args.cmd == "search":
         from csv_crm_upload_spark.analytics import retrieval as rtr

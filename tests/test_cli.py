@@ -62,3 +62,28 @@ def test_cli_index_and_search(spark, tmp_path, capsys, sf_dir):
     assert main(["search", "--terms", "spark join window", "--docs", docs, "-k", "3"]) == 0
     inline_out = capsys.readouterr().out.strip().splitlines()
     assert indexed_out == inline_out, "indexed and inline CLI search must agree"
+
+
+def test_cli_prep_writes_manifest(spark, tmp_path, capsys, sf_dir):
+    docs = f"{sf_dir}/documents.parquet"
+    out = str(tmp_path / "manifest")
+    assert main(["prep", "--docs", docs, "--out", out]) == 0
+    printed = capsys.readouterr().out
+    assert f"manifest={out}" in printed and "train" in printed
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {
+        "doc_id", "split", "source", "quality_score",
+        "n_tokens", "stream_offset", "bin_id",
+    }
+    assert got.count() > 0
+
+    # index-fed run agrees with inline
+    from csv_crm_upload_spark.analytics.dedup import save_dedup_index
+
+    idx = str(tmp_path / "pidx")
+    save_dedup_index(spark.read.parquet(docs), idx)
+    out2 = str(tmp_path / "manifest2")
+    assert main(["prep", "--docs", docs, "--out", out2, "--pairs-index", idx]) == 0
+    a = sorted(map(tuple, spark.read.parquet(out).collect()))
+    b = sorted(map(tuple, spark.read.parquet(out2).collect()))
+    assert a == b

@@ -247,6 +247,12 @@ def test_headline_shuffle_budgets(spark, sf_dir):
       decay1 3 — scalar anchor agg (1-row partial→final), user groupBy,
              result order
       win1   3 — global rank window + order (cut row broadcasts)
+      samp2  1 — A-ES keys are map-only; the per-source top-k window is
+             the single shuffle
+      prep1  3 — the RETURNED manifest plan after the (eager) dedup
+             stage: anti-join exchange + packing window + gate/key agg;
+             the LSH/CC shuffles run once inside d_component_labels and
+             are budgeted by the dedup family's own tests
     """
     # canonical cold plans: cached relations left over from other tests
     # (session-scoped fixture) would re-shape the tree under audit
@@ -257,6 +263,8 @@ def test_headline_shuffle_budgets(spark, sf_dir):
         "bm25_1_search": 6,
         "decay1_time_decayed_user_value": 3,
         "win1_winsorized_prices": 3,
+        "samp2_weighted_reservoir": 1,
+        "prep1_corpus_manifest": 3,
     }
     for name, budget in budgets.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))
