@@ -149,6 +149,45 @@ def d_minhash_signatures(documents: DataFrame, n: int = 3) -> DataFrame:
     return pro.groupBy("doc_id").agg(*aggs)
 
 
+def _band_buckets(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) — LSH banding of a signature table: each
+    band's bucket is the md5 of its signature slice."""
+    k = MINHASH_K
+    rows_per_band = k // LSH_BANDS
+    mh_cols = [F.col(f"mh_{i}") for i in range(k)]
+    bands = sig.select(
+        "doc_id",
+        *[
+            F.md5(F.concat_ws("_", F.lit(bi), *mh_cols[bi * rows_per_band : (bi + 1) * rows_per_band])).alias(
+                f"band_{bi}"
+            )
+            for bi in range(LSH_BANDS)
+        ],
+    )
+    return bands.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.struct(F.lit(bi).alias("band"), F.col(f"band_{bi}").alias("bucket")) for bi in range(LSH_BANDS)])
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
+def _verify_pairs(cand: DataFrame, sig: DataFrame, threshold: float) -> DataFrame:
+    """Estimated-Jaccard verification of candidate (doc_a, doc_b) pairs:
+    signature agreement rate ≥ threshold."""
+    k = MINHASH_K
+    sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(k)])
+    sb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(k)])
+    agree = sum((F.col(f"a_{i}") == F.col(f"b_{i}")).cast("int") for i in range(k))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("est_jaccard", F.round(agree.cast("double") / k, 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
 def d_minhash_lsh_pairs(documents: DataFrame, n: int = 3, threshold: float = 0.5) -> DataFrame:
     """Candidate near-dup pairs via LSH banding over MinHash signatures,
     verified by estimated Jaccard (signature agreement rate).
@@ -162,26 +201,7 @@ def d_minhash_lsh_pairs(documents: DataFrame, n: int = 3, threshold: float = 0.5
     # shingle+hash map stage. At cluster scale this is a checkpoint of the
     # signature table — standard practice before LSH banding.
     sig = d_minhash_signatures(documents, n).persist()
-    k = MINHASH_K
-    rows_per_band = k // LSH_BANDS
-    mh_cols = [F.col(f"mh_{i}") for i in range(k)]
-
-    bands = sig.select(
-        "doc_id",
-        *[
-            F.md5(F.concat_ws("_", F.lit(bi), *mh_cols[bi * rows_per_band : (bi + 1) * rows_per_band])).alias(
-                f"band_{bi}"
-            )
-            for bi in range(LSH_BANDS)
-        ],
-    )
-    stacked = bands.select(
-        "doc_id",
-        F.explode(
-            F.array(*[F.struct(F.lit(bi).alias("band"), F.col(f"band_{bi}").alias("bucket")) for bi in range(LSH_BANDS)])
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
-
+    stacked = _band_buckets(sig)
     cand = (
         stacked.alias("x")
         .join(stacked.alias("y"), ["band", "bucket"])
@@ -189,17 +209,7 @@ def d_minhash_lsh_pairs(documents: DataFrame, n: int = 3, threshold: float = 0.5
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-
-    sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(k)])
-    sb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(k)])
-    agree = sum((F.col(f"a_{i}") == F.col(f"b_{i}")).cast("int") for i in range(k))
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("est_jaccard", F.round(agree.cast("double") / k, 6))
-        .filter(F.col("est_jaccard") >= threshold)
-        .select("doc_a", "doc_b", "est_jaccard")
-    )
+    return _verify_pairs(cand, sig, threshold)
 
 
 def d_simhash(documents: DataFrame) -> DataFrame:
@@ -226,28 +236,138 @@ def save_dedup_index(
 ) -> None:
     """Materialize the MinHash-LSH near-dup PAIR TABLE once — the
     build-once artifact every graph-family consumer (d_dup_clusters,
-    tri1_triangle_counts, pr1_doc_pagerank, dd2_dedup_corpus) shares via
-    their `pairs=` parameter, exactly like the BM25/IVF persisted
-    indexes (retrieval.save_text_index, ivf.save_index).
+    tri1_triangle_counts, pr1_doc_pagerank, dd2_dedup_corpus,
+    prepare_training_corpus) shares via their `pairs=` parameter,
+    exactly like the BM25/IVF persisted indexes.
 
     At 100 TB the shingle+minhash map stage is the dominant cost of the
     whole graph family; deriving the pairs once per corpus snapshot
     instead of once per query is the difference between one corpus pass
-    and four. A params sidecar records the build parameters so a
-    consumer can detect a mismatched probe."""
-    spark = documents.sparkSession
-    d_minhash_lsh_pairs(documents, n=n, threshold=threshold).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/pairs")
-    spark.createDataFrame(
-        [(n, float(threshold), MINHASH_K, LSH_BANDS)],
-        "shingle_n int, threshold double, minhash_k int, lsh_bands int",
-    ).write.mode("overwrite").parquet(f"{path}/params")
+    and four.
+
+    Layout is EPOCH-VERSIONED with the shared manifest commit protocol
+    (operators/manifest.py): per-epoch `pairs`, plus the SIGNATURES and
+    BAND BUCKETS that make `update_dedup_index` an O(new docs) append —
+    a corpus shard folds in without re-hashing the indexed corpus. The
+    manifest records the build parameters so a consumer can detect a
+    mismatched probe."""
+    from csv_crm_upload_spark.operators.manifest import commit_manifest
+
+    sig = d_minhash_signatures(documents, n).persist()
+    try:
+        bands = _band_buckets(sig)
+        cand = (
+            bands.alias("x")
+            .join(bands.alias("y"), ["band", "bucket"])
+            .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+            .distinct()
+        )
+        _verify_pairs(cand, sig, threshold).write.mode("overwrite").parquet(
+            f"{path}/pairs/epoch=0"
+        )
+        sig.write.mode("overwrite").parquet(f"{path}/signatures/epoch=0")
+        # bands are partitioned BY band so an incremental probe joins
+        # band-partition to band-partition
+        bands.write.mode("overwrite").partitionBy("band").parquet(
+            f"{path}/bands/epoch=0"
+        )
+        commit_manifest(
+            path,
+            {
+                "epoch": 0,
+                "shingle_n": n,
+                "threshold": float(threshold),
+                "minhash_k": MINHASH_K,
+                "lsh_bands": LSH_BANDS,
+            },
+        )
+    finally:
+        sig.unpersist()
 
 
 def load_dedup_index(spark, path: str) -> DataFrame:
-    """The persisted (doc_a, doc_b, est_jaccard) near-dup pair table."""
-    return spark.read.parquet(f"{path}/pairs")
+    """The persisted (doc_a, doc_b, est_jaccard) near-dup pair table —
+    the union of all committed epochs (manifest-resolved, so a racing
+    update is invisible: old-or-new, never a partial epoch)."""
+    from csv_crm_upload_spark.operators.manifest import read_manifest
+
+    epoch = read_manifest(path)["epoch"]
+    return (
+        spark.read.parquet(f"{path}/pairs")
+        .filter(F.col("epoch") <= epoch)
+        .drop("epoch")
+    )
+
+
+def update_dedup_index(new_documents: DataFrame, path: str) -> None:
+    """Incremental maintenance for a corpus APPEND: hash and band ONLY
+    the new documents, find every candidate pair with ≥1 new endpoint by
+    joining the new band buckets against ALL band buckets (old epochs
+    included — old↔old pairs are already stored), verify against the
+    stored signatures, and commit pairs/signatures/bands as a new epoch
+    via the shared manifest protocol.
+
+    Cost: O(new docs) shingle+minhash + one (band, bucket) join of the
+    NEW bands against the index — never a re-hash of the indexed corpus.
+    Because signatures are pure per-document functions, the incremental
+    pair set is EXACTLY what a full rebuild would produce (asserted in
+    tests). Same atomicity story as the text index: a crash self-heals,
+    a racing reader sees old-or-new.
+
+    Precondition (as for any index append): new doc_ids are not already
+    indexed."""
+    from csv_crm_upload_spark.operators.manifest import (
+        commit_manifest,
+        read_manifest,
+        remove_orphan_epochs,
+    )
+
+    spark = new_documents.sparkSession
+    m = read_manifest(path)
+    epoch, n, threshold = m["epoch"], m["shingle_n"], m["threshold"]
+    remove_orphan_epochs(path, ["pairs", "signatures", "bands"], epoch)
+
+    new_sig = d_minhash_signatures(new_documents, n).persist()
+    try:
+        if not new_sig.limit(1).count():
+            return  # nothing with content — clean no-op before any write
+        nxt = epoch + 1
+        new_bands = _band_buckets(new_sig).persist()
+        old_bands = (
+            spark.read.parquet(f"{path}/bands")
+            .filter(F.col("epoch") <= epoch)
+            .drop("epoch")
+        )
+        all_bands = old_bands.unionByName(new_bands)
+        # every candidate with ≥1 new endpoint, canonicalized (a < b)
+        raw = (
+            new_bands.alias("x")
+            .join(all_bands.alias("y"), ["band", "bucket"])
+            .filter(F.col("x.doc_id") != F.col("y.doc_id"))
+            .select(
+                F.least(F.col("x.doc_id"), F.col("y.doc_id")).alias("doc_a"),
+                F.greatest(F.col("x.doc_id"), F.col("y.doc_id")).alias("doc_b"),
+            )
+            .distinct()
+        )
+        old_sig = (
+            spark.read.parquet(f"{path}/signatures")
+            .filter(F.col("epoch") <= epoch)
+            .drop("epoch")
+        )
+        all_sig = old_sig.unionByName(new_sig)
+        _verify_pairs(raw, all_sig, threshold).write.mode("overwrite").parquet(
+            f"{path}/pairs/epoch={nxt}"
+        )
+        new_sig.write.mode("overwrite").parquet(f"{path}/signatures/epoch={nxt}")
+        new_bands.write.mode("overwrite").partitionBy("band").parquet(
+            f"{path}/bands/epoch={nxt}"
+        )
+        commit_manifest(path, {**m, "epoch": nxt})
+        new_bands.unpersist()
+    finally:
+        new_sig.unpersist()
 
 
 def pr1_doc_pagerank(

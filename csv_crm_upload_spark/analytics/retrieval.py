@@ -151,30 +151,22 @@ def bm25_search(
     )
 
 
-def _read_manifest(path: str) -> dict:
-    import json
-    import os
+from csv_crm_upload_spark.operators.manifest import (  # noqa: E402
+    commit_manifest,
+    read_manifest,
+    remove_orphan_epochs,
+)
 
-    with open(os.path.join(path, "MANIFEST")) as f:
-        return json.load(f)
+
+def _read_manifest(path: str) -> dict:
+    return read_manifest(path)
 
 
 def _commit_manifest(path: str, epoch: int, n_buckets: int) -> None:
-    """Atomically publish an index epoch: write a temp file, fsync, then
-    os.replace over MANIFEST (atomic on POSIX). The manifest is the ONLY
-    commit point — a probe resolves its epoch from here, so it reads one
-    fully-written snapshot, before or after, never a mix. On a real
-    cluster this pointer lives in a metastore / table-format commit log;
-    the single-file swap is the local-filesystem equivalent."""
-    import json
-    import os
-
-    tmp = os.path.join(path, f"MANIFEST.tmp.{epoch}")
-    with open(tmp, "w") as f:
-        json.dump({"epoch": epoch, "n_buckets": n_buckets}, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(path, "MANIFEST"))
+    """Atomic epoch publish — see operators/manifest.py for the commit
+    protocol (temp + fsync + os.replace; the manifest is the ONLY
+    commit point, so probes read one consistent snapshot)."""
+    commit_manifest(path, {"epoch": epoch, "n_buckets": n_buckets})
 
 
 def save_text_index(documents: DataFrame, path: str, n_buckets: int = 64) -> None:
@@ -232,20 +224,12 @@ def update_text_index(new_documents: DataFrame, path: str) -> None:
     index): new_documents' doc_ids are not already indexed — the dedup
     family upstream is exactly the tool for that.
     """
-    import os
-    import shutil
-
     spark = new_documents.sparkSession
     m = _read_manifest(path)
     epoch, n_buckets = m["epoch"], m["n_buckets"]
 
     # self-heal: drop orphan next-epoch dirs left by a crashed update
-    for sub in ("postings", "dfreq", "stats"):
-        base = os.path.join(path, sub)
-        if os.path.isdir(base):
-            for d in os.listdir(base):
-                if d.startswith("epoch=") and int(d.split("=", 1)[1]) > epoch:
-                    shutil.rmtree(os.path.join(base, d))
+    remove_orphan_epochs(path, ["postings", "dfreq", "stats"], epoch)
 
     tf = _tf_frame(new_documents).persist()
     try:

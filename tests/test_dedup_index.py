@@ -34,14 +34,52 @@ def test_index_fed_graph_family_matches_direct(spark, sf_dir, tmp_path):
         assert got == want, f"{fn.__name__}: index-fed result differs from direct"
 
 
-def test_index_params_sidecar(spark, sf_dir, tmp_path):
+def test_index_manifest_records_params(spark, sf_dir, tmp_path):
+    from csv_crm_upload_spark.operators.manifest import read_manifest
+
     docs = load_table(spark, sf_dir, "documents")
     idx = str(tmp_path / "dedup_idx")
     dd.save_dedup_index(docs, idx, n=3, threshold=0.5)
-    p = spark.read.parquet(f"{idx}/params").first()
-    assert (p["shingle_n"], p["threshold"], p["minhash_k"], p["lsh_bands"]) == (
-        3,
-        0.5,
-        dd.MINHASH_K,
-        dd.LSH_BANDS,
+    m = read_manifest(idx)
+    assert (m["epoch"], m["shingle_n"], m["threshold"]) == (0, 3, 0.5)
+    assert (m["minhash_k"], m["lsh_bands"]) == (dd.MINHASH_K, dd.LSH_BANDS)
+
+
+def test_incremental_pair_index_equals_rebuild(spark, sf_dir, tmp_path):
+    """Append half the corpus to an index built on the other half: the
+    loaded pair table must EQUAL a full one-shot rebuild (signatures are
+    pure per-doc functions, so the incremental candidate join loses
+    nothing), and graph consumers fed from it must match inline."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    part_a = docs.filter(F.col("doc_id") % 2 == 0)
+    part_b = docs.filter(F.col("doc_id") % 2 == 1)
+
+    inc = str(tmp_path / "inc_idx")
+    full = str(tmp_path / "full_idx")
+    dd.save_dedup_index(part_a, inc)
+    dd.update_dedup_index(part_b, inc)
+    dd.save_dedup_index(docs, full)
+
+    got = sorted(map(tuple, dd.load_dedup_index(spark, inc).collect()))
+    want = sorted(map(tuple, dd.load_dedup_index(spark, full).collect()))
+    assert got == want
+    assert got == sorted(map(tuple, dd.d_minhash_lsh_pairs(docs).collect()))
+
+    # a graph consumer fed from the incrementally-built index == inline
+    fed = sorted(
+        map(
+            tuple,
+            dd.d_dup_clusters(docs, pairs=dd.load_dedup_index(spark, inc)).collect(),
+        )
     )
+    inline = sorted(map(tuple, dd.d_dup_clusters(docs).collect()))
+    assert fed == inline
+
+    # empty append is a committed no-op
+    from csv_crm_upload_spark.operators.manifest import read_manifest
+
+    before = read_manifest(inc)["epoch"]
+    dd.update_dedup_index(docs.filter("doc_id < 0"), inc)
+    assert read_manifest(inc)["epoch"] == before
