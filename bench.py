@@ -46,6 +46,9 @@ EXTRA = [
     "bf1_bloom_pruned_revenue",
     "bm25_1_search",
     "rag1_hybrid_search",
+    # round-4 additions
+    "pq1_quantized_knn",
+    "kmeans1_topic_clusters",
 ]
 
 # graph family: timed AS A PIPELINE (round 4) — the LSH candidate-pair

@@ -83,3 +83,71 @@ def test_incremental_pair_index_equals_rebuild(spark, sf_dir, tmp_path):
     before = read_manifest(inc)["epoch"]
     dd.update_dedup_index(docs.filter("doc_id < 0"), inc)
     assert read_manifest(inc)["epoch"] == before
+
+
+def test_crashed_update_self_heals(spark, sf_dir, tmp_path):
+    """Orphan epoch dirs (a crash AFTER data writes but BEFORE the
+    manifest swap) must be invisible to readers and removed by the next
+    update, which then commits cleanly."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from csv_crm_upload_spark.operators.manifest import read_manifest
+
+    docs = load_table(spark, sf_dir, "documents")
+    part_a = docs.filter(F.col("doc_id") % 2 == 0)
+    part_b = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = str(tmp_path / "crash_idx")
+    dd.save_dedup_index(part_a, idx)
+    baseline = sorted(map(tuple, dd.load_dedup_index(spark, idx).collect()))
+
+    # simulate the crash: garbage epoch-1 dirs exist, manifest still at 0
+    for sub in ("pairs", "signatures", "bands"):
+        os.makedirs(f"{idx}/{sub}/epoch=1", exist_ok=True)
+        with open(f"{idx}/{sub}/epoch=1/part-00000.parquet", "w") as f:
+            f.write("not parquet")
+
+    # readers resolve through the manifest: orphans invisible
+    assert sorted(map(tuple, dd.load_dedup_index(spark, idx).collect())) == baseline
+
+    # the next update removes the orphans and commits epoch 1 for real
+    dd.update_dedup_index(part_b, idx)
+    assert read_manifest(idx)["epoch"] == 1
+    healed = sorted(map(tuple, dd.load_dedup_index(spark, idx).collect()))
+    assert healed == sorted(map(tuple, dd.d_minhash_lsh_pairs(docs).collect()))
+
+
+def test_probe_during_pair_index_update_sees_old_or_new(spark, sf_dir, tmp_path):
+    """A reader racing update_dedup_index must see the pre-append or the
+    post-append pair set, never a partial epoch (manifest-resolved)."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    part_a = docs.filter(F.col("doc_id") % 2 == 0)
+    part_b = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = str(tmp_path / "race_idx")
+    dd.save_dedup_index(part_a, idx)
+    old = sorted(map(tuple, dd.load_dedup_index(spark, idx).collect()))
+
+    errs = []
+
+    def updater():
+        try:
+            dd.update_dedup_index(part_b, idx)
+        except Exception as e:
+            errs.append(e)
+
+    t = threading.Thread(target=updater)
+    t.start()
+    seen = []
+    while t.is_alive():
+        seen.append(sorted(map(tuple, dd.load_dedup_index(spark, idx).collect())))
+    t.join()
+    assert not errs, errs
+    new = sorted(map(tuple, dd.load_dedup_index(spark, idx).collect()))
+    assert new != old
+    bad = [i for i, s in enumerate(seen) if s != old and s != new]
+    assert not bad, f"{len(bad)} probes saw a mixed snapshot (of {len(seen)})"
