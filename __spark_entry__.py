@@ -479,6 +479,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm2_real_media_features": lambda s, sf: mm.extract_real_features(
             mm.media_table_real(_t("documents")(s, sf))
         ),
+        # round-4: REAL nearest-neighbor BMP resize + quarantine stats —
+        # no SQL oracle (DuckDB can't parse media); pixel-exact pytest
+        "mm3_resize_stats": lambda s, sf: (
+            lambda rz: rz.groupBy("kind").agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum(F.col("resize_ok").cast("int")).alias("n_resized"),
+                F.sum(F.coalesce(F.octet_length("resized"), F.lit(0))).alias("resized_bytes"),
+            ).orderBy("kind")
+        )(mm.resize_images(mm.media_table_real(_t("documents")(s, sf)))),
         "hll1_mergeable_daily_uniques": lambda s, sf: tpch.hll1_mergeable_daily_uniques(
             _t("events")(s, sf)
         ),
