@@ -96,7 +96,13 @@ def save_index(
     ride the index, probes re-derive cell ids from them), but cell
     assignment is float argmin — consistent for any reader repeating the
     same arithmetic, unlike the md5-derived integer conventions the
-    oracle-visible queries use for cross-engine bit-identity."""
+    oracle-visible queries use for cross-engine bit-identity.
+
+    Cell files are EPOCH-VERSIONED (cells/epoch=K/cell_id=*) with the
+    shared manifest commit protocol (operators/manifest.py), so
+    update_index can append a corpus shard atomically."""
+    from csv_crm_upload_spark.operators.manifest import commit_manifest
+
     spark = embeddings.sparkSession
     centroids = fit_centroids(embeddings, n_cells=n_cells, **fit_kwargs)
     cent_rows = [(int(c), [float(v) for v in centroids[c]]) for c in range(len(centroids))]
@@ -105,17 +111,56 @@ def save_index(
     ).parquet(f"{path}/centroids")
     assign_cells(embeddings, centroids).write.mode("overwrite").partitionBy(
         "cell_id"
-    ).parquet(f"{path}/cells")
+    ).parquet(f"{path}/cells/epoch=0")
+    commit_manifest(path, {"epoch": 0, "n_cells": int(len(centroids))})
     return centroids
 
 
-def load_index(spark, path: str) -> tuple[np.ndarray, DataFrame]:
-    """(centroid matrix, cell-assignment DataFrame) from a saved index."""
+def update_index(new_embeddings: DataFrame, path: str) -> None:
+    """Incremental IVF maintenance for a corpus APPEND: assign ONLY the
+    new vectors to the STORED centroids (the coarse quantizer stays
+    fixed on append — standard IVF practice; retraining it is a rebuild)
+    and commit the assignments as a new epoch. O(new vectors), map-only,
+    atomic via the shared manifest protocol — a racing probe sees the
+    old or the new cell set, never a partial epoch."""
+    from csv_crm_upload_spark.operators.manifest import (
+        commit_manifest,
+        read_manifest,
+        remove_orphan_epochs,
+    )
+
+    spark = new_embeddings.sparkSession
+    m = read_manifest(path)
+    epoch = m["epoch"]
+    remove_orphan_epochs(path, ["cells"], epoch)
+    if not new_embeddings.limit(1).count():
+        return  # empty append is a clean no-op before any write
     rows = sorted(
         spark.read.parquet(f"{path}/centroids").collect(), key=lambda r: r["cell_id"]
     )
     centroids = np.array([r["centroid"] for r in rows], dtype=np.float64)
-    return centroids, spark.read.parquet(f"{path}/cells")
+    assign_cells(new_embeddings, centroids).write.mode("overwrite").partitionBy(
+        "cell_id"
+    ).parquet(f"{path}/cells/epoch={epoch + 1}")
+    commit_manifest(path, {**m, "epoch": epoch + 1})
+
+
+def load_index(spark, path: str) -> tuple[np.ndarray, DataFrame]:
+    """(centroid matrix, cell-assignment DataFrame) from a saved index —
+    the union of all committed epochs, manifest-resolved."""
+    from csv_crm_upload_spark.operators.manifest import read_manifest
+
+    epoch = read_manifest(path)["epoch"]
+    rows = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(), key=lambda r: r["cell_id"]
+    )
+    centroids = np.array([r["centroid"] for r in rows], dtype=np.float64)
+    cells = (
+        spark.read.parquet(f"{path}/cells")
+        .filter(F.col("epoch") <= epoch)
+        .drop("epoch")
+    )
+    return centroids, cells
 
 
 def knn_ivf(

@@ -212,7 +212,7 @@ def test_ivf_persisted_index_matches_inline_fit(spark, sf_dir, tmp_path):
     inline = {(r["query_id"], r["vec_id"]) for r in knn_ivf(emb, k=5, n_cells=8, nprobe=8).collect()}
     saved = {(r["query_id"], r["vec_id"]) for r in knn_ivf(emb, k=5, nprobe=8, index_path=idx).collect()}
     assert saved == inline
-    assert any(n.startswith("cell_id=") for n in os.listdir(f"{idx}/cells"))
+    assert any(n.startswith("cell_id=") for n in os.listdir(f"{idx}/cells/epoch=0"))
 
 
 def test_ivf_partial_probe_recall(spark, sf_dir):
@@ -405,3 +405,48 @@ def test_hll_sketch_estimates_within_error(spark, sf_dir):
         if day == "all_days":
             continue
         assert abs(e - exact_day[day]) <= max(2, 0.05 * exact_day[day])
+
+
+def test_ivf_incremental_append_equals_fixed_centroid_assignment(spark, sf_dir, tmp_path):
+    """Appending a corpus shard assigns ONLY the new vectors to the
+    stored centroids; the loaded cell set must equal a one-shot
+    assignment of the whole corpus against those same centroids, and a
+    FULL-probe search over the incrementally built index must equal
+    exact brute force (all cells probed → every vector a candidate)."""
+    from pyspark.sql import functions as F
+
+    from csv_crm_upload_spark.analytics.ivf import (
+        assign_cells,
+        knn_ivf,
+        load_index,
+        save_index,
+        update_index,
+    )
+    from csv_crm_upload_spark.operators.manifest import read_manifest
+    from csv_crm_upload_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    part_a = emb.filter(F.col("vec_id") % 2 == 0)
+    part_b = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = str(tmp_path / "ivf_inc")
+    save_index(part_a, idx, n_cells=8)
+    update_index(part_b, idx)
+
+    cents, cells = load_index(spark, idx)
+    got = {(r["vec_id"], r["cell_id"]) for r in cells.collect()}
+    want = {(r["vec_id"], r["cell_id"]) for r in assign_cells(emb, cents).collect()}
+    assert got == want
+
+    full_probe = {
+        (r["query_id"], r["vec_id"])
+        for r in knn_ivf(emb, k=5, nprobe=8, index_path=idx).collect()
+    }
+    exact = {
+        (r["query_id"], r["vec_id"]) for r in sim.knn_bruteforce(emb, k=5).collect()
+    }
+    assert full_probe == exact
+
+    # empty append: no epoch committed
+    before = read_manifest(idx)["epoch"]
+    update_index(emb.filter("vec_id < 0"), idx)
+    assert read_manifest(idx)["epoch"] == before
