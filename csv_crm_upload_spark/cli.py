@@ -55,8 +55,9 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="csv_crm_upload_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    pi = sub.add_parser("ingest", help="batch-ingest a CSV file into the store")
-    pi.add_argument("--csv", required=True)
+    pi = sub.add_parser("ingest", help="batch-ingest a CSV or JSONL file into the store")
+    pi.add_argument("--csv", default=None)
+    pi.add_argument("--jsonl", default=None, help="ingest a JSON-lines file instead of CSV")
     _add_store_args(pi)
     pi.add_argument("--noheader", action="store_true", help="CSV has no header row")
     pi.add_argument("--quarantine", default=None, help="directory for rejected rows (with reasons)")
@@ -219,11 +220,16 @@ def main(argv: list[str] | None = None) -> int:
     store = _open_store(spark, args)
 
     if args.cmd == "ingest":
-        from csv_crm_upload_spark.plans.ingest import ingest_csv
+        from csv_crm_upload_spark.plans.ingest import ingest_csv, ingest_jsonl
 
-        res = ingest_csv(
-            spark, args.csv, store, header=not args.noheader, quarantine_dir=args.quarantine
-        )
+        if bool(args.csv) == bool(args.jsonl):
+            raise SystemExit("ingest: exactly one of --csv or --jsonl is required")
+        if args.jsonl:
+            res = ingest_jsonl(spark, args.jsonl, store, quarantine_dir=args.quarantine)
+        else:
+            res = ingest_csv(
+                spark, args.csv, store, header=not args.noheader, quarantine_dir=args.quarantine
+            )
         print(f"inserted={res.inserted} quarantined={res.quarantined} duplicates={res.duplicates}")
     elif args.cmd == "merge":
         from csv_crm_upload_spark.operators.validate import validate_split

@@ -99,3 +99,22 @@ def pending_preview(store: CustomerStore) -> DataFrame:
     """The reference's one recurring query: who is pending upload?
     (reference database/database.go:18; SURVEY §7.2 flagship)."""
     return store.pending().orderBy(F.col("id"))
+
+def ingest_jsonl(
+    spark: SparkSession,
+    path: str,
+    store: CustomerStore,
+    now=None,
+    quarantine_dir: str | None = None,
+) -> IngestResult:
+    """Full-file batch ingest from JSON-lines — the identical pipeline
+    behind a different reader (sources/jsonl_source.py): validate,
+    quarantine, dedup, defaults, and append are all format-agnostic."""
+    from csv_crm_upload_spark.sources.jsonl_source import read_customers_jsonl
+
+    return ingest_batch(
+        read_customers_jsonl(spark, path),
+        store,
+        now=now,
+        quarantine_dir=quarantine_dir,
+    )
