@@ -215,10 +215,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     additions (pv1..hist1) — all went green in CORRECTNESS_r03. Round 4
     (this file): the 38 remaining never-driver-verified oracle-paired
     queries (t10..rrf1 below). After this round only `stat1`, `unpiv1`
-    and the round-4 additions `samp2`/`kmeans1`/`prep1` remain oracle-
-    paired-but-never-sampled (they take slots 13-17 in the ROUND-5
-    rotation); sim_knn_ivf/pq1/hll1/mm2/approx_* are oracle-free
-    rows-only whenever sampled."""
+    and the round-4 additions `samp2`/`kmeans1`/`prep1`/`dd3` remain
+    oracle-paired-but-never-sampled (they take slots 13-18 in the
+    ROUND-5 rotation); sim_knn_ivf/pq1/hll1/mm2/mm3/approx_* are
+    oracle-free rows-only whenever sampled."""
     return {
         # reference-faithful core (SURVEY §2 ids) — pinned slots 1-12
         "s1_scan_customer": q_s1_scan_customer,
@@ -510,6 +510,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prep1_corpus_manifest": lambda s, sf: prep.prepare_training_corpus(
             _t("documents")(s, sf)
         ),
+        # asymmetric containment dedup (sub-document duplication signal)
+        "dd3_containment_pairs": lambda s, sf: dd.d_containment_pairs(
+            _t("documents")(s, sf)
+        ),
     }
 
 
@@ -755,6 +759,27 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE round(CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter), 6) >= 0.6
+    """
+
+    q["dd3_containment_pairs"] = f"""
+        WITH {_SHINGLE_CTE},
+        dfc AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+        rare AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN dfc USING (shingle) WHERE df <= 50),
+        sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS set_size FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+          FROM rare a JOIN rare b USING (shingle)
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(CAST(n_inter AS DOUBLE) / sa.set_size, 6) AS containment_a,
+               round(CAST(n_inter AS DOUBLE) / sb.set_size, 6) AS containment_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(CAST(n_inter AS DOUBLE) / sa.set_size, 6) >= 0.8
+           OR round(CAST(n_inter AS DOUBLE) / sb.set_size, 6) >= 0.8
     """
 
     k = dd.MINHASH_K

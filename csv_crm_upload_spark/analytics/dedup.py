@@ -116,6 +116,48 @@ def d_ngram_jaccard_pairs(
     )
 
 
+def d_containment_pairs(
+    documents: DataFrame, n: int = 3, threshold: float = 0.8, max_df: int = 50
+) -> DataFrame:
+    """ASYMMETRIC near-dup pairs by shingle containment
+    C(A→B) = |A∩B| / |A| — the sub-document duplication signal Jaccard
+    misses: a short document quoted wholly inside a long one scores
+    containment 1.0 while its Jaccard stays low (union-dominated). The
+    standard second dedup pass of a training corpus (boilerplate pages
+    embedding shared cores, partial scrapes, quote farms).
+
+    Same bounded shape as d_ngram_jaccard_pairs: the max_df stop-shingle
+    cap bounds the self-join, |A∩B| comes from one (shingle) join, sizes
+    from one groupBy. Emits each unordered pair once (doc_a < doc_b)
+    with BOTH directions' scores; kept when either direction ≥
+    threshold."""
+    sh = _spread(_with_content(documents)).select("doc_id", F.explode(_shingles(n)).alias("shingle"))
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    rare = sh.join(df_counts.filter(F.col("df") <= max_df), "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+
+    a = rare.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = rare.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    c_a = F.round(F.col("n_inter").cast("double") / F.col("size_a"), 6)
+    c_b = F.round(F.col("n_inter").cast("double") / F.col("size_b"), 6)
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b")), "doc_b")
+        .withColumn("containment_a", c_a)
+        .withColumn("containment_b", c_b)
+        .filter(
+            (F.col("containment_a") >= threshold) | (F.col("containment_b") >= threshold)
+        )
+        .select("doc_a", "doc_b", "containment_a", "containment_b")
+    )
+
+
 def d_minhash_signatures(documents: DataFrame, n: int = 3) -> DataFrame:
     """k=16 MinHash values per document over n-gram shingles, built with
     DOUBLE HASHING (Kirsch–Mitzenmacher): one md5 per shingle split into

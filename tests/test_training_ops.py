@@ -450,3 +450,25 @@ def test_ivf_incremental_append_equals_fixed_centroid_assignment(spark, sf_dir, 
     before = read_manifest(idx)["epoch"]
     update_index(emb.filter("vec_id < 0"), idx)
     assert read_manifest(idx)["epoch"] == before
+
+
+def test_containment_catches_subdocument_duplication(spark):
+    """A short document wholly embedded in a long one: containment of
+    the short side is 1.0 while Jaccard stays union-dominated below any
+    dedup threshold — the signal this operator exists for."""
+    core = "alpha beta gamma delta epsilon zeta eta theta"
+    long_doc = core + " " + " ".join(f"filler{i} pad{i} extra{i}" for i in range(12))
+    rows = [
+        (1, core, "en", "s", len(core)),
+        (2, long_doc, "en", "s", len(long_doc)),
+        (3, "unrelated text about other things entirely different", "en", "s", 50),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    got = {(r["doc_a"], r["doc_b"]): r for r in dd.d_containment_pairs(docs, threshold=0.8).collect()}
+    assert (1, 2) in got
+    assert got[(1, 2)]["containment_a"] == 1.0  # every shingle of the core is in the long doc
+    assert got[(1, 2)]["containment_b"] < 0.5
+    assert not any(3 in k for k in got)
+    # and Jaccard alone would have missed it at its default threshold
+    jac = {(r["doc_a"], r["doc_b"]) for r in dd.d_ngram_jaccard_pairs(docs, threshold=0.6).collect()}
+    assert (1, 2) not in jac
