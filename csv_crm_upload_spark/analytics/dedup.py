@@ -230,12 +230,26 @@ def _verify_pairs(cand: DataFrame, sig: DataFrame, threshold: float) -> DataFram
     )
 
 
-def d_minhash_lsh_pairs(documents: DataFrame, n: int = 3, threshold: float = 0.5) -> DataFrame:
+def d_minhash_lsh_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int | None = None,
+) -> DataFrame:
     """Candidate near-dup pairs via LSH banding over MinHash signatures,
     verified by estimated Jaccard (signature agreement rate).
 
     Scale path: docs land in (band, bucket) groups — ONE shuffle on the
     bucket key; only same-bucket pairs are compared, never all pairs.
+
+    `max_bucket` (opt-in; None keeps the exact default semantics the
+    oracle replicates): the self-join is quadratic IN THE BUCKET, so a
+    pathological template corpus (thousands of near-identical docs in
+    one band bucket) costs |bucket|² pairs. Capping drops buckets larger
+    than `max_bucket` from candidate generation — the standard LSH
+    hot-bucket guard (recall trade documented: members of a dropped
+    bucket can still pair via their OTHER bands, and genuinely giant
+    duplicate groups are better handled by exact-dedup collapse first).
     """
     # Persist: signatures are tiny (17 longs/doc) but feed THREE consumers
     # (bands + both sides of the verification join); without a
@@ -244,6 +258,14 @@ def d_minhash_lsh_pairs(documents: DataFrame, n: int = 3, threshold: float = 0.5
     # signature table — standard practice before LSH banding.
     sig = d_minhash_signatures(documents, n).persist()
     stacked = _band_buckets(sig)
+    if max_bucket is not None:
+        ok = (
+            stacked.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("bkt_n"))
+            .filter(F.col("bkt_n") <= max_bucket)
+            .select("band", "bucket")
+        )
+        stacked = stacked.join(ok, ["band", "bucket"])
     cand = (
         stacked.alias("x")
         .join(stacked.alias("y"), ["band", "bucket"])

@@ -472,3 +472,25 @@ def test_containment_catches_subdocument_duplication(spark):
     # and Jaccard alone would have missed it at its default threshold
     jac = {(r["doc_a"], r["doc_b"]) for r in dd.d_ngram_jaccard_pairs(docs, threshold=0.6).collect()}
     assert (1, 2) not in jac
+
+
+def test_lsh_hot_bucket_cap(spark):
+    """The opt-in max_bucket guard: a template corpus flooding one band
+    bucket must not force |bucket|^2 candidates — capped, its intra-
+    bucket pairs drop from candidate generation (recall trade explicit),
+    while pairs in small buckets survive unchanged. Default (None) keeps
+    the oracle-verified semantics exactly."""
+    template = "one two three four five six seven eight nine ten " * 3
+    rows = [(i, template, "en", "s", len(template)) for i in range(30)]  # one hot group
+    rows += [
+        (100, "totally different words appear here in this document body", "en", "s", 60),
+        (101, "totally different words appear here in this document body", "en", "s", 60),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+
+    uncapped = dd.d_minhash_lsh_pairs(docs, threshold=0.5).collect()
+    capped = dd.d_minhash_lsh_pairs(docs, threshold=0.5, max_bucket=10).collect()
+    assert len(uncapped) == 30 * 29 // 2 + 1  # full template clique + the small pair
+    capped_pairs = {(r["doc_a"], r["doc_b"]) for r in capped}
+    assert (100, 101) in capped_pairs  # small bucket unaffected
+    assert not any(a < 100 and b < 100 for a, b in capped_pairs)  # hot clique dropped
