@@ -168,11 +168,29 @@ def pq1_quantized_knn(
     This candidate-then-refine split is why PQ codes can be lossy: ADC
     only has to land true neighbors inside the candidate set, and the
     rerank restores exact ordering. Ties break on vec_id (total order).
+
+    The fit+encode here runs per call (self-contained, oracle-free
+    queries() entry); the build-once/query-many split of the same
+    search lives in save_pq_index / pq_search_indexed.
     """
     if query_ids is None:
         query_ids = list(range(10))  # same default query set as knn_bruteforce
     books = fit_pq_codebooks(embeddings, m=m, k=n_codes)
     codes = pq_encode(embeddings, books)
+    return _pq_search(codes, books, embeddings, query_ids, k, n_candidates)
+
+
+def _pq_search(
+    codes: DataFrame,
+    books: np.ndarray,
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int,
+    n_candidates: int,
+) -> DataFrame:
+    """Shared ADC-candidates → exact-cosine-rerank stage used by both the
+    self-contained pq1_quantized_knn and the persisted-index probe
+    (pq_search_indexed), so the two paths are identical by construction."""
     qrows = (
         embeddings.filter(F.col("vec_id").isin(query_ids))
         .select("vec_id", "embedding")
@@ -207,3 +225,118 @@ def pq1_quantized_knn(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cos_sim", "rank")
     )
+
+
+def save_pq_index(
+    embeddings: DataFrame,
+    path: str,
+    m: int = 8,
+    n_codes: int = 16,
+    **fit_kwargs,
+) -> np.ndarray:
+    """Persist a PQ index: the learned codebooks (one parquet of
+    (subspace, code, entry array)) plus the encoded corpus. This is the
+    build-once/query-many split of production PQ — fit + the wide
+    encode scan (whose giant codegen expression dominates pq1's cold
+    cost) run once per corpus snapshot; every probe afterwards reads
+    only m-byte codes.
+
+    Code files are EPOCH-VERSIONED (codes/epoch=K) with the shared
+    manifest commit protocol (operators/manifest.py), so update_pq_index
+    can append a corpus shard atomically.
+
+    Portability note (same caveat as ivf.save_index): the layout is
+    self-describing — codebooks ride the index and probes rebuild their
+    ADC tables from them — but code assignment is float argmax,
+    consistent for any reader repeating the same arithmetic, unlike the
+    md5 integer conventions of the oracle-visible queries."""
+    from csv_crm_upload_spark.operators.manifest import commit_manifest
+
+    spark = embeddings.sparkSession
+    books = fit_pq_codebooks(embeddings, m=m, k=n_codes, **fit_kwargs)
+    mm, kk, _sub = books.shape
+    book_rows = [
+        (int(j), int(c), [float(v) for v in books[j, c]])
+        for j in range(mm)
+        for c in range(kk)
+    ]
+    spark.createDataFrame(
+        book_rows, "subspace int, code int, entry array<double>"
+    ).write.mode("overwrite").parquet(f"{path}/codebooks")
+    pq_encode(embeddings, books).write.mode("overwrite").parquet(
+        f"{path}/codes/epoch=0"
+    )
+    commit_manifest(path, {"epoch": 0, "m": int(mm), "k": int(kk)})
+    return books
+
+
+def update_pq_index(new_embeddings: DataFrame, path: str) -> None:
+    """Incremental PQ maintenance for a corpus APPEND: encode ONLY the
+    new vectors with the STORED codebooks (the codec stays fixed on
+    append — retraining it is a rebuild, exactly like IVF's coarse
+    quantizer) and commit their codes as a new epoch. O(new vectors),
+    map-only, atomic via the shared manifest protocol."""
+    from csv_crm_upload_spark.operators.manifest import (
+        commit_manifest,
+        read_manifest,
+        remove_orphan_epochs,
+    )
+
+    spark = new_embeddings.sparkSession
+    man = read_manifest(path)
+    epoch = man["epoch"]
+    remove_orphan_epochs(path, ["codes"], epoch)
+    if not new_embeddings.limit(1).count():
+        return  # empty append is a clean no-op before any write
+    books = _load_codebooks(spark, path)
+    pq_encode(new_embeddings, books).write.mode("overwrite").parquet(
+        f"{path}/codes/epoch={epoch + 1}"
+    )
+    commit_manifest(path, {**man, "epoch": epoch + 1})
+
+
+def _load_codebooks(spark, path: str) -> np.ndarray:
+    rows = spark.read.parquet(f"{path}/codebooks").collect()  # bounded: m·k rows
+    mm = 1 + max(r["subspace"] for r in rows)
+    kk = 1 + max(r["code"] for r in rows)
+    sub = len(rows[0]["entry"])
+    books = np.zeros((mm, kk, sub))
+    for r in rows:
+        books[r["subspace"], r["code"]] = r["entry"]
+    return books
+
+
+def load_pq_index(spark, path: str) -> tuple[np.ndarray, DataFrame]:
+    """(codebook tensor, codes DataFrame) from a saved index — the union
+    of all committed epochs, manifest-resolved so a racing update is
+    seen entirely or not at all."""
+    from csv_crm_upload_spark.operators.manifest import read_manifest
+
+    epoch = read_manifest(path)["epoch"]
+    books = _load_codebooks(spark, path)
+    codes = (
+        spark.read.option("basePath", f"{path}/codes")
+        .parquet(f"{path}/codes")
+        .filter(F.col("epoch") <= epoch)
+        .select("vec_id", "codes")
+    )
+    return books, codes
+
+
+def pq_search_indexed(
+    spark,
+    path: str,
+    embeddings: DataFrame,
+    query_ids: list[int] | None = None,
+    k: int = 5,
+    n_candidates: int = 50,
+) -> DataFrame:
+    """Probe a persisted PQ index: identical semantics to
+    pq1_quantized_knn (same _pq_search stage) minus the per-call fit +
+    corpus encode. `embeddings` supplies the full-precision vectors for
+    the query rows and the candidate rerank only — the wide ADC pass
+    runs over the stored m-byte codes."""
+    if query_ids is None:
+        query_ids = list(range(10))
+    books, codes = load_pq_index(spark, path)
+    return _pq_search(codes, books, embeddings, query_ids, k, n_candidates)

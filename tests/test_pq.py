@@ -69,3 +69,48 @@ def test_pq_recall_floor_vs_bruteforce(spark, sf_dir):
     got = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
     recall = len(want & got) / len(want)
     assert recall >= 0.5, f"recall@5 {recall:.2f} below floor"
+
+
+def test_pq_indexed_search_matches_direct(spark, sf_dir, tmp_path):
+    """The persisted-index probe must return exactly what the
+    self-contained pq1_quantized_knn returns (same fit params, same
+    corpus): build-once/query-many may not change results."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "pq_idx")
+    pq.save_pq_index(emb, path, m=8, n_codes=16)
+    direct = {
+        tuple(r)
+        for r in pq.pq1_quantized_knn(emb, k=5).collect()
+    }
+    indexed = {
+        tuple(r)
+        for r in pq.pq_search_indexed(spark, path, emb, k=5).collect()
+    }
+    assert indexed == direct and len(indexed) > 0
+
+
+def test_pq_index_incremental_append(spark, sf_dir, tmp_path):
+    """Appending a corpus shard as a new epoch must yield the same codes
+    the stored codebooks would assign directly, with the old epoch's
+    codes untouched; an empty append is a no-op."""
+    from csv_crm_upload_spark.operators.manifest import read_manifest
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    from pyspark.sql import functions as F
+
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    delta = emb.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "pq_idx")
+    books = pq.save_pq_index(base, path, m=8, n_codes=16)
+    pq.update_pq_index(delta, path)
+    assert read_manifest(path)["epoch"] == 1
+
+    _books2, codes = pq.load_pq_index(spark, path)
+    got = {r["vec_id"]: list(r["codes"]) for r in codes.collect()}
+    want = {
+        r["vec_id"]: list(r["codes"]) for r in pq.pq_encode(emb, books).collect()
+    }
+    assert got == want
+
+    pq.update_pq_index(delta.limit(0), path)
+    assert read_manifest(path)["epoch"] == 1  # empty append: clean no-op
