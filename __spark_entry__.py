@@ -212,13 +212,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pinned to the SURVEY §2 reference-contract core; slots 13-50 rotate so
     that queries without a prior driver CORRECTNESS row get verified first.
     Round 1: original surface. Round 2: same. Round 3: the 38 round-1/2
-    additions (pv1..hist1) — all went green in CORRECTNESS_r03. Round 4
-    (this file): the 38 remaining never-driver-verified oracle-paired
-    queries (t10..rrf1 below). After this round only `stat1`, `unpiv1`
-    and the round-4 additions `samp2`/`kmeans1`/`prep1`/`dd3` remain
-    oracle-paired-but-never-sampled (they take slots 13-18 in the
-    ROUND-5 rotation); sim_knn_ivf/pq1/hll1/mm2/mm3/approx_* are
-    oracle-free rows-only whenever sampled."""
+    additions (pv1..hist1) — all green in CORRECTNESS_r03. Round 4: the
+    38 remaining never-driver-verified oracle-paired queries (t10..rrf1)
+    — all green in CORRECTNESS_r04. Round 5 (this file): the final six
+    never-driver-sampled oracle-paired queries (`stat1`, `unpiv1`,
+    `samp2`, `kmeans1`, `prep1`, `dd3`) take slots 13-18, closing the
+    driver-verification ledger at 130/130; slots 19-50 re-sample round-4
+    keys. sim_knn_ivf/pq1/hll1/mm2/mm3/approx_* are oracle-free
+    rows-only whenever sampled."""
     return {
         # reference-faithful core (SURVEY §2 ids) — pinned slots 1-12
         "s1_scan_customer": q_s1_scan_customer,
@@ -233,9 +234,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a1_count": q_a1_count,
         "x2_x3_json_roundtrip": q_x2_x3_json_roundtrip,
         "x3_json_props": q_x3_json_props,
-        # --- rotation window (slots 13-50), round 4: the remaining
-        # never-driver-verified oracle-paired queries; overflow (stat1,
-        # unpiv1) leads the round-5 window ---
+        # --- rotation window (slots 13-50), round 5: the six oracle-paired
+        # queries that have never had a driver CORRECTNESS row lead the
+        # window (slots 13-18); the rest of the window re-samples r4 keys ---
+        "stat1_price_quantity_stats": lambda s, sf: tpch.stat1_price_quantity_stats(
+            _t("lineitem")(s, sf)
+        ),
+        "unpiv1_status_counts": lambda s, sf: tpch.unpiv1_status_counts(
+            _t("orders")(s, sf)
+        ),
+        "samp2_weighted_reservoir": lambda s, sf: ts.samp2_weighted_reservoir(
+            _t("documents")(s, sf)
+        ),
+        # oracle-paired ITERATIVE k-means: fixed deterministic rounds,
+        # the DuckDB oracle unrolls the same iterations as CTEs
+        "kmeans1_topic_clusters": lambda s, sf: clus.kmeans1_topic_clusters(
+            _t("embeddings")(s, sf)
+        ),
+        # the COMPOSED corpus-prep pipeline (dedup → quality → split →
+        # pack) as one oracle-paired plan — see plans/corpus_prep.py
+        "prep1_corpus_manifest": lambda s, sf: prep.prepare_training_corpus(
+            _t("documents")(s, sf)
+        ),
+        # asymmetric containment dedup (sub-document duplication signal)
+        "dd3_containment_pairs": lambda s, sf: dd.d_containment_pairs(
+            _t("documents")(s, sf)
+        ),
         "t10_tfidf_top_terms": lambda s, sf: ts.t10_tfidf_top_terms(_t("documents")(s, sf)),
         "samp1_stratified_sample": lambda s, sf: ts.samp1_stratified_sample(_t("documents")(s, sf)),
         "pr1_doc_pagerank": lambda s, sf: dd.pr1_doc_pagerank(_t("documents")(s, sf)),
@@ -401,11 +425,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w6_order_position_stats": lambda s, sf: tpch.w6_order_position_stats(_t("orders")(s, sf)),
         "er1_fuzzy_name_pairs": lambda s, sf: tpch.er1_fuzzy_name_pairs(_t("customer")(s, sf)),
         "hist1_price_histogram": lambda s, sf: tpch.hist1_price_histogram(_t("orders")(s, sf)),
-        # oracle-paired but deferred to the round-5 rotation window (the 38
-        # round-4 slots were full), together with unpiv1 at the bottom
-        "stat1_price_quantity_stats": lambda s, sf: tpch.stat1_price_quantity_stats(
-            _t("lineitem")(s, sf)
-        ),
         # IVF ANN: learned (data-dependent) centroids — no SQL oracle;
         # exactness at full probe + recall floors pinned in tests
         "sim_knn_ivf": lambda s, sf: ivf.knn_ivf(_t("embeddings")(s, sf)),
@@ -490,29 +509,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )(mm.resize_images(mm.media_table_real(_t("documents")(s, sf)))),
         "hll1_mergeable_daily_uniques": lambda s, sf: tpch.hll1_mergeable_daily_uniques(
             _t("events")(s, sf)
-        ),
-        # oracle-paired but deferred to the round-5 rotation window (the 38
-        # round-4 slots were full) — see the docstring above
-        "unpiv1_status_counts": lambda s, sf: tpch.unpiv1_status_counts(
-            _t("orders")(s, sf)
-        ),
-        # round-4 widening (oracle-paired; enters the round-5 rotation)
-        "samp2_weighted_reservoir": lambda s, sf: ts.samp2_weighted_reservoir(
-            _t("documents")(s, sf)
-        ),
-        # oracle-paired ITERATIVE k-means: fixed deterministic rounds,
-        # the DuckDB oracle unrolls the same iterations as CTEs
-        "kmeans1_topic_clusters": lambda s, sf: clus.kmeans1_topic_clusters(
-            _t("embeddings")(s, sf)
-        ),
-        # the COMPOSED corpus-prep pipeline (dedup → quality → split →
-        # pack) as one oracle-paired plan — see plans/corpus_prep.py
-        "prep1_corpus_manifest": lambda s, sf: prep.prepare_training_corpus(
-            _t("documents")(s, sf)
-        ),
-        # asymmetric containment dedup (sub-document duplication signal)
-        "dd3_containment_pairs": lambda s, sf: dd.d_containment_pairs(
-            _t("documents")(s, sf)
         ),
     }
 

@@ -188,16 +188,18 @@ def main() -> None:
     from csv_crm_upload_spark.analytics import pq as pqmod
 
     pq_dir = tempfile.mkdtemp(prefix="bench_pq_idx_")
+    stage = "pq_index_build"  # error key tracks the stage that actually threw
     try:
         emb = load_table(spark, sf_dir, "embeddings")
         t0 = time.perf_counter()
         pqmod.save_pq_index(emb, pq_dir)
         extra["pq_index_build"] = round(time.perf_counter() - t0, 3)
+        stage = "pq_indexed_knn"
         t0 = time.perf_counter()
         pqmod.pq_search_indexed(spark, pq_dir, emb).agg({"*": "count"}).collect()
         extra["pq_indexed_knn"] = round(time.perf_counter() - t0, 3)
     except Exception as e:
-        errors["pq_indexed_knn"] = f"{type(e).__name__}: {e}"[:200]
+        errors[stage] = f"{type(e).__name__}: {e}"[:200]
     finally:
         shutil.rmtree(pq_dir, ignore_errors=True)
 

@@ -98,21 +98,39 @@ def save_index(
     same arithmetic, unlike the md5-derived integer conventions the
     oracle-visible queries use for cross-engine bit-identity.
 
-    Cell files are EPOCH-VERSIONED (cells/epoch=K/cell_id=*) with the
-    shared manifest commit protocol (operators/manifest.py), so
-    update_index can append a corpus shard atomically."""
-    from csv_crm_upload_spark.operators.manifest import commit_manifest
+    Cell files AND centroids are EPOCH-VERSIONED (cells/epoch=K/
+    cell_id=*, centroids/epoch=K) with the shared manifest commit
+    protocol (operators/manifest.py), so update_index can append a
+    corpus shard atomically — and a REBUILD over a live index is atomic
+    too: new centroids+cells land under the next epoch and the
+    manifest's `base_epoch`/`centroid_epoch` advance together in one
+    commit, so a racing probe pairs old centroids with old cells or new
+    with new, never a mix (stale pre-rebuild epochs stay on disk for
+    readers holding the old manifest; harmless garbage)."""
+    from csv_crm_upload_spark.operators.manifest import commit_manifest, read_manifest
 
     spark = embeddings.sparkSession
+    try:
+        new_epoch = read_manifest(path)["epoch"] + 1  # rebuild over a live index
+    except FileNotFoundError:
+        new_epoch = 0
     centroids = fit_centroids(embeddings, n_cells=n_cells, **fit_kwargs)
     cent_rows = [(int(c), [float(v) for v in centroids[c]]) for c in range(len(centroids))]
     spark.createDataFrame(cent_rows, "cell_id int, centroid array<double>").write.mode(
         "overwrite"
-    ).parquet(f"{path}/centroids")
+    ).parquet(f"{path}/centroids/epoch={new_epoch}")
     assign_cells(embeddings, centroids).write.mode("overwrite").partitionBy(
         "cell_id"
-    ).parquet(f"{path}/cells/epoch=0")
-    commit_manifest(path, {"epoch": 0, "n_cells": int(len(centroids))})
+    ).parquet(f"{path}/cells/epoch={new_epoch}")
+    commit_manifest(
+        path,
+        {
+            "epoch": new_epoch,
+            "base_epoch": new_epoch,
+            "centroid_epoch": new_epoch,
+            "n_cells": int(len(centroids)),
+        },
+    )
     return centroids
 
 
@@ -135,29 +153,42 @@ def update_index(new_embeddings: DataFrame, path: str) -> None:
     remove_orphan_epochs(path, ["cells"], epoch)
     if not new_embeddings.limit(1).count():
         return  # empty append is a clean no-op before any write
-    rows = sorted(
-        spark.read.parquet(f"{path}/centroids").collect(), key=lambda r: r["cell_id"]
-    )
-    centroids = np.array([r["centroid"] for r in rows], dtype=np.float64)
+    centroids = _load_centroids(spark, path, m.get("centroid_epoch"))
+    dim = centroids.shape[1]
+    bad = new_embeddings.filter(F.size("embedding") != dim).count()
+    if bad:
+        raise ValueError(
+            f"{bad} appended vectors have dim != the stored centroids' {dim}"
+        )
     assign_cells(new_embeddings, centroids).write.mode("overwrite").partitionBy(
         "cell_id"
     ).parquet(f"{path}/cells/epoch={epoch + 1}")
     commit_manifest(path, {**m, "epoch": epoch + 1})
 
 
+def _load_centroids(spark, path: str, centroid_epoch: int | None = None) -> np.ndarray:
+    sub_path = (
+        f"{path}/centroids"
+        if centroid_epoch is None  # pre-versioning layout (flat dir)
+        else f"{path}/centroids/epoch={centroid_epoch}"
+    )
+    rows = sorted(spark.read.parquet(sub_path).collect(), key=lambda r: r["cell_id"])
+    return np.array([r["centroid"] for r in rows], dtype=np.float64)
+
+
 def load_index(spark, path: str) -> tuple[np.ndarray, DataFrame]:
     """(centroid matrix, cell-assignment DataFrame) from a saved index —
-    the union of all committed epochs, manifest-resolved."""
+    the union of the committed epochs in [base_epoch, epoch],
+    manifest-resolved so a racing update OR rebuild is seen entirely or
+    not at all."""
     from csv_crm_upload_spark.operators.manifest import read_manifest
 
-    epoch = read_manifest(path)["epoch"]
-    rows = sorted(
-        spark.read.parquet(f"{path}/centroids").collect(), key=lambda r: r["cell_id"]
-    )
-    centroids = np.array([r["centroid"] for r in rows], dtype=np.float64)
+    man = read_manifest(path)
+    epoch, base = man["epoch"], man.get("base_epoch", 0)
+    centroids = _load_centroids(spark, path, man.get("centroid_epoch"))
     cells = (
         spark.read.parquet(f"{path}/cells")
-        .filter(F.col("epoch") <= epoch)
+        .filter((F.col("epoch") >= base) & (F.col("epoch") <= epoch))
         .drop("epoch")
     )
     return centroids, cells

@@ -241,18 +241,29 @@ def save_pq_index(
     cost) run once per corpus snapshot; every probe afterwards reads
     only m-byte codes.
 
-    Code files are EPOCH-VERSIONED (codes/epoch=K) with the shared
-    manifest commit protocol (operators/manifest.py), so update_pq_index
-    can append a corpus shard atomically.
+    Code files AND codebooks are EPOCH-VERSIONED (codes/epoch=K,
+    codebooks/epoch=K) with the shared manifest commit protocol
+    (operators/manifest.py), so update_pq_index can append a corpus
+    shard atomically — and a REBUILD over a live index is atomic too:
+    the new codebooks+codes land under the next epoch and the manifest's
+    `base_epoch`/`codebook_epoch` advance together in one commit, so a
+    racing reader pairs old codebooks with old codes or new with new,
+    never a mix (stale pre-rebuild epoch dirs stay on disk for readers
+    still holding the old manifest; they are garbage, not a hazard, and
+    the next rebuild's commit supersedes them the same way).
 
     Portability note (same caveat as ivf.save_index): the layout is
     self-describing — codebooks ride the index and probes rebuild their
     ADC tables from them — but code assignment is float argmax,
     consistent for any reader repeating the same arithmetic, unlike the
     md5 integer conventions of the oracle-visible queries."""
-    from csv_crm_upload_spark.operators.manifest import commit_manifest
+    from csv_crm_upload_spark.operators.manifest import commit_manifest, read_manifest
 
     spark = embeddings.sparkSession
+    try:
+        new_epoch = read_manifest(path)["epoch"] + 1  # rebuild over a live index
+    except FileNotFoundError:
+        new_epoch = 0
     books = fit_pq_codebooks(embeddings, m=m, k=n_codes, **fit_kwargs)
     mm, kk, _sub = books.shape
     book_rows = [
@@ -262,11 +273,20 @@ def save_pq_index(
     ]
     spark.createDataFrame(
         book_rows, "subspace int, code int, entry array<double>"
-    ).write.mode("overwrite").parquet(f"{path}/codebooks")
+    ).write.mode("overwrite").parquet(f"{path}/codebooks/epoch={new_epoch}")
     pq_encode(embeddings, books).write.mode("overwrite").parquet(
-        f"{path}/codes/epoch=0"
+        f"{path}/codes/epoch={new_epoch}"
     )
-    commit_manifest(path, {"epoch": 0, "m": int(mm), "k": int(kk)})
+    commit_manifest(
+        path,
+        {
+            "epoch": new_epoch,
+            "base_epoch": new_epoch,
+            "codebook_epoch": new_epoch,
+            "m": int(mm),
+            "k": int(kk),
+        },
+    )
     return books
 
 
@@ -288,15 +308,29 @@ def update_pq_index(new_embeddings: DataFrame, path: str) -> None:
     remove_orphan_epochs(path, ["codes"], epoch)
     if not new_embeddings.limit(1).count():
         return  # empty append is a clean no-op before any write
-    books = _load_codebooks(spark, path)
+    books = _load_codebooks(spark, path, man.get("codebook_epoch"))
+    dim = books.shape[0] * books.shape[2]
+    # pq_encode's zip_with would silently null-pad a mismatched array, so
+    # a wrong-width shard must fail loudly, mirroring fit's dim % m check
+    bad = new_embeddings.filter(F.size("embedding") != dim).count()
+    if bad:
+        raise ValueError(
+            f"{bad} appended vectors have dim != the stored codec's "
+            f"{dim} (m={books.shape[0]} × sub={books.shape[2]})"
+        )
     pq_encode(new_embeddings, books).write.mode("overwrite").parquet(
         f"{path}/codes/epoch={epoch + 1}"
     )
     commit_manifest(path, {**man, "epoch": epoch + 1})
 
 
-def _load_codebooks(spark, path: str) -> np.ndarray:
-    rows = spark.read.parquet(f"{path}/codebooks").collect()  # bounded: m·k rows
+def _load_codebooks(spark, path: str, codebook_epoch: int | None = None) -> np.ndarray:
+    sub_path = (
+        f"{path}/codebooks"
+        if codebook_epoch is None  # pre-versioning layout (flat dir)
+        else f"{path}/codebooks/epoch={codebook_epoch}"
+    )
+    rows = spark.read.parquet(sub_path).collect()  # bounded: m·k rows
     mm = 1 + max(r["subspace"] for r in rows)
     kk = 1 + max(r["code"] for r in rows)
     sub = len(rows[0]["entry"])
@@ -308,16 +342,17 @@ def _load_codebooks(spark, path: str) -> np.ndarray:
 
 def load_pq_index(spark, path: str) -> tuple[np.ndarray, DataFrame]:
     """(codebook tensor, codes DataFrame) from a saved index — the union
-    of all committed epochs, manifest-resolved so a racing update is
-    seen entirely or not at all."""
+    of the committed epochs in [base_epoch, epoch], manifest-resolved so
+    a racing update OR rebuild is seen entirely or not at all."""
     from csv_crm_upload_spark.operators.manifest import read_manifest
 
-    epoch = read_manifest(path)["epoch"]
-    books = _load_codebooks(spark, path)
+    man = read_manifest(path)
+    epoch, base = man["epoch"], man.get("base_epoch", 0)
+    books = _load_codebooks(spark, path, man.get("codebook_epoch"))
     codes = (
         spark.read.option("basePath", f"{path}/codes")
         .parquet(f"{path}/codes")
-        .filter(F.col("epoch") <= epoch)
+        .filter((F.col("epoch") >= base) & (F.col("epoch") <= epoch))
         .select("vec_id", "codes")
     )
     return books, codes

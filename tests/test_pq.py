@@ -114,3 +114,53 @@ def test_pq_index_incremental_append(spark, sf_dir, tmp_path):
 
     pq.update_pq_index(delta.limit(0), path)
     assert read_manifest(path)["epoch"] == 1  # empty append: clean no-op
+
+
+def test_pq_rebuild_over_live_index_is_atomic(spark, sf_dir, tmp_path):
+    """Rebuilding over a LIVE index (save again at the same path) must be
+    one manifest commit: the new codebooks+codes land under the next
+    epoch and base_epoch/codebook_epoch advance together, so a reader
+    never pairs new codebooks with old codes. After the rebuild the
+    loaded codes are exactly a fresh encode of the rebuild corpus — the
+    pre-rebuild epochs are invisible."""
+    from pyspark.sql import functions as F
+
+    from csv_crm_upload_spark.operators.manifest import read_manifest
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    path = str(tmp_path / "pq_idx")
+    pq.save_pq_index(base, path, m=8, n_codes=16)
+    # rebuild over the live index with the FULL corpus and a different
+    # codec width so stale codebooks/codes would be detectably wrong
+    books2 = pq.save_pq_index(emb, path, m=4, n_codes=8)
+    man = read_manifest(path)
+    assert man["epoch"] == 1
+    assert man["base_epoch"] == 1 and man["codebook_epoch"] == 1
+    assert man["m"] == 4 and man["k"] == 8
+
+    loaded_books, codes = pq.load_pq_index(spark, path)
+    np.testing.assert_allclose(loaded_books, books2)
+    got = {r["vec_id"]: list(r["codes"]) for r in codes.collect()}
+    want = {r["vec_id"]: list(r["codes"]) for r in pq.pq_encode(emb, books2).collect()}
+    assert got == want  # no epoch-0 rows leak in, every row is 4-wide
+
+
+def test_pq_update_rejects_dim_mismatch(spark, sf_dir, tmp_path):
+    """pq_encode's zip_with would silently null-pad a mismatched array,
+    so update_pq_index must fail loudly on a wrong-width shard instead
+    of committing garbage codes."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "pq_idx")
+    pq.save_pq_index(emb, path, m=8, n_codes=16)  # codec width 64
+    narrow = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.slice("embedding", 1, 32).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="dim"):
+        pq.update_pq_index(narrow, path)
+    from csv_crm_upload_spark.operators.manifest import read_manifest
+
+    assert read_manifest(path)["epoch"] == 0  # nothing was committed

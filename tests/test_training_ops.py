@@ -452,6 +452,50 @@ def test_ivf_incremental_append_equals_fixed_centroid_assignment(spark, sf_dir, 
     assert read_manifest(idx)["epoch"] == before
 
 
+def test_ivf_rebuild_over_live_index_is_atomic(spark, sf_dir, tmp_path):
+    """Rebuilding over a LIVE IVF index must be one manifest commit:
+    new centroids+cells under the next epoch, base_epoch/centroid_epoch
+    advancing together — a racing probe never pairs new centroids with
+    old cells. Pre-rebuild epochs become invisible; a wrong-width append
+    against the stored centroids fails loudly."""
+    from pyspark.sql import functions as F
+
+    from csv_crm_upload_spark.analytics.ivf import (
+        assign_cells,
+        load_index,
+        save_index,
+        update_index,
+    )
+    from csv_crm_upload_spark.operators.manifest import read_manifest
+    from csv_crm_upload_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    idx = str(tmp_path / "ivf_rebuild")
+    save_index(base, idx, n_cells=8)
+    cents2 = save_index(emb, idx, n_cells=4)  # rebuild over the live index
+    man = read_manifest(idx)
+    assert man["epoch"] == 1
+    assert man["base_epoch"] == 1 and man["centroid_epoch"] == 1
+    assert man["n_cells"] == 4
+
+    loaded_cents, cells = load_index(spark, idx)
+    assert loaded_cents.shape == cents2.shape
+    got = {(r["vec_id"], r["cell_id"]) for r in cells.collect()}
+    want = {(r["vec_id"], r["cell_id"]) for r in assign_cells(emb, cents2).collect()}
+    assert got == want  # no epoch-0 assignments leak in
+
+    narrow = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.slice("embedding", 1, 32).alias("embedding"),
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="dim"):
+        update_index(narrow, idx)
+    assert read_manifest(idx)["epoch"] == 1  # nothing was committed
+
+
 def test_containment_catches_subdocument_duplication(spark):
     """A short document wholly embedded in a long one: containment of
     the short side is 1.0 while Jaccard stays union-dominated below any
