@@ -230,6 +230,33 @@ def _verify_pairs(cand: DataFrame, sig: DataFrame, threshold: float) -> DataFram
     )
 
 
+#: Default per-(band, bucket) membership cap for the PERSISTED index
+#: build path (save_dedup_index / update_dedup_index). The in-bucket
+#: self-join is quadratic, so one boilerplate-heavy bucket of B docs
+#: costs B²/2 candidate pairs — at 100 TB a single hot bucket would
+#: dominate the whole build. 1000 members bounds any one bucket's
+#: candidates at ~500k pairs while being far above what an honest
+#: near-dup neighborhood produces. The INLINE oracle-paired query
+#: (d_minhash_lsh_pairs) keeps max_bucket=None so its semantics stay
+#: exactly what the DuckDB oracle replicates.
+INDEX_MAX_BUCKET = 1000
+
+
+def _filter_hot_buckets(stacked: DataFrame, max_bucket: int | None) -> DataFrame:
+    """Drop (band, bucket) groups larger than `max_bucket` from candidate
+    generation — the standard LSH hot-bucket guard. Members of a dropped
+    bucket can still pair via their other bands."""
+    if max_bucket is None:
+        return stacked
+    ok = (
+        stacked.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("bkt_n"))
+        .filter(F.col("bkt_n") <= max_bucket)
+        .select("band", "bucket")
+    )
+    return stacked.join(ok, ["band", "bucket"])
+
+
 def d_minhash_lsh_pairs(
     documents: DataFrame,
     n: int = 3,
@@ -257,15 +284,7 @@ def d_minhash_lsh_pairs(
     # shingle+hash map stage. At cluster scale this is a checkpoint of the
     # signature table — standard practice before LSH banding.
     sig = d_minhash_signatures(documents, n).persist()
-    stacked = _band_buckets(sig)
-    if max_bucket is not None:
-        ok = (
-            stacked.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("bkt_n"))
-            .filter(F.col("bkt_n") <= max_bucket)
-            .select("band", "bucket")
-        )
-        stacked = stacked.join(ok, ["band", "bucket"])
+    stacked = _filter_hot_buckets(_band_buckets(sig), max_bucket)
     cand = (
         stacked.alias("x")
         .join(stacked.alias("y"), ["band", "bucket"])
@@ -296,7 +315,11 @@ def d_simhash(documents: DataFrame) -> DataFrame:
 
 
 def save_dedup_index(
-    documents: DataFrame, path: str, n: int = 3, threshold: float = 0.5
+    documents: DataFrame,
+    path: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int | None = INDEX_MAX_BUCKET,
 ) -> None:
     """Materialize the MinHash-LSH near-dup PAIR TABLE once — the
     build-once artifact every graph-family consumer (d_dup_clusters,
@@ -314,15 +337,25 @@ def save_dedup_index(
     BAND BUCKETS that make `update_dedup_index` an O(new docs) append —
     a corpus shard folds in without re-hashing the indexed corpus. The
     manifest records the build parameters so a consumer can detect a
-    mismatched probe."""
+    mismatched probe.
+
+    Unlike the inline oracle query, the PRODUCTION build caps hot
+    buckets by default (`max_bucket=INDEX_MAX_BUCKET`): a (band, bucket)
+    group larger than the cap is dropped from candidate generation, so
+    one boilerplate-heavy template bucket can't go quadratic in the
+    build join. The recall trade (a dropped bucket's members can still
+    pair via their other bands; giant exact-duplicate groups belong to
+    exact-dedup collapse anyway) is recorded in the manifest as
+    `max_bucket` so consumers know the artifact's contract."""
     from csv_crm_upload_spark.operators.manifest import commit_manifest
 
     sig = d_minhash_signatures(documents, n).persist()
     try:
         bands = _band_buckets(sig)
+        capped = _filter_hot_buckets(bands, max_bucket)
         cand = (
-            bands.alias("x")
-            .join(bands.alias("y"), ["band", "bucket"])
+            capped.alias("x")
+            .join(capped.alias("y"), ["band", "bucket"])
             .filter(F.col("x.doc_id") < F.col("y.doc_id"))
             .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
             .distinct()
@@ -332,7 +365,8 @@ def save_dedup_index(
         )
         sig.write.mode("overwrite").parquet(f"{path}/signatures/epoch=0")
         # bands are partitioned BY band so an incremental probe joins
-        # band-partition to band-partition
+        # band-partition to band-partition (UNCAPPED: the stored band
+        # table is the full truth; the cap is a candidate-time filter)
         bands.write.mode("overwrite").partitionBy("band").parquet(
             f"{path}/bands/epoch=0"
         )
@@ -344,6 +378,7 @@ def save_dedup_index(
                 "threshold": float(threshold),
                 "minhash_k": MINHASH_K,
                 "lsh_bands": LSH_BANDS,
+                "max_bucket": max_bucket,
             },
         )
     finally:
@@ -379,6 +414,15 @@ def update_dedup_index(new_documents: DataFrame, path: str) -> None:
     tests). Same atomicity story as the text index: a crash self-heals,
     a racing reader sees old-or-new.
 
+    The manifest's `max_bucket` cap applies here too, measured over the
+    COMBINED (old + new) bucket membership, so appends can't grow a
+    bucket's candidate join unboundedly. Append caveat (documented, not
+    hidden): if an append pushes a bucket past the cap, earlier epochs'
+    pairs from that bucket remain (append is monotone) while new pairs
+    stop — a full rebuild at that point would drop the bucket entirely.
+    Crossing the cap is precisely the "rebuild or exact-collapse first"
+    signal.
+
     Precondition (as for any index append): new doc_ids are not already
     indexed."""
     from csv_crm_upload_spark.operators.manifest import (
@@ -390,6 +434,7 @@ def update_dedup_index(new_documents: DataFrame, path: str) -> None:
     spark = new_documents.sparkSession
     m = read_manifest(path)
     epoch, n, threshold = m["epoch"], m["shingle_n"], m["threshold"]
+    max_bucket = m.get("max_bucket")
     remove_orphan_epochs(path, ["pairs", "signatures", "bands"], epoch)
 
     new_sig = d_minhash_signatures(new_documents, n).persist()
@@ -403,7 +448,9 @@ def update_dedup_index(new_documents: DataFrame, path: str) -> None:
             .filter(F.col("epoch") <= epoch)
             .drop("epoch")
         )
-        all_bands = old_bands.unionByName(new_bands)
+        all_bands = _filter_hot_buckets(
+            old_bands.unionByName(new_bands), max_bucket
+        )
         # every candidate with ≥1 new endpoint, canonicalized (a < b)
         raw = (
             new_bands.alias("x")

@@ -85,6 +85,54 @@ def test_incremental_pair_index_equals_rebuild(spark, sf_dir, tmp_path):
     assert read_manifest(inc)["epoch"] == before
 
 
+def test_index_build_caps_hot_buckets(spark, tmp_path):
+    """One planted mega-bucket (a template cluster far larger than the
+    cap) must NOT go quadratic in the index build: with max_bucket below
+    the cluster size, none of its intra-cluster pairs reach the artifact
+    — while an honest small near-dup pair elsewhere in the corpus is
+    still found. The cap rides the manifest; appends respect it measured
+    over COMBINED bucket size."""
+    from csv_crm_upload_spark.operators.manifest import read_manifest
+
+    # 40 near-identical template docs (same text => same band buckets)
+    template = "terms of service apply to all users of this web site always"
+    rows = [
+        (i, template, "en", "tmpl", len(template)) for i in range(40)
+    ]
+    # one honest near-dup pair with distinct content
+    base = (
+        "the quick brown fox jumps over the lazy dog in the quiet park "
+        "while birds sing softly above the green meadow near the bridge"
+    )
+    a = base + " today"
+    b = base + " tonight"
+    rows += [(100, a, "en", "web", len(a)), (101, b, "en", "web", len(b))]
+    rows += [(200, "completely unrelated prose about distributed query engines", "en", "web", 58)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+
+    idx = str(tmp_path / "hot_idx")
+    dd.save_dedup_index(docs, idx, max_bucket=10)
+    assert read_manifest(idx)["max_bucket"] == 10
+    pairs = {(r["doc_a"], r["doc_b"]) for r in dd.load_dedup_index(spark, idx).collect()}
+    assert (100, 101) in pairs  # honest pair survives
+    assert not any(p[0] < 40 and p[1] < 40 for p in pairs)  # mega-bucket dropped
+
+    # append growing the combined bucket past the cap: still no template
+    # pairs are generated (cap measured over old + new membership)
+    extra = spark.createDataFrame(
+        [(300 + i, template, "en", "tmpl", len(template)) for i in range(5)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    dd.update_dedup_index(extra, idx)
+    pairs2 = {(r["doc_a"], r["doc_b"]) for r in dd.load_dedup_index(spark, idx).collect()}
+    assert not any({p[0], p[1]} <= set(range(40)) | set(range(300, 305)) for p in pairs2 if p != (100, 101))
+
+    # uncapped build at the same path would have found the template pairs
+    # (sanity that the test corpus really is a mega-bucket)
+    uncapped = dd.d_minhash_lsh_pairs(docs)
+    assert uncapped.filter("doc_a < 40 and doc_b < 40").count() > 100
+
+
 def test_crashed_update_self_heals(spark, sf_dir, tmp_path):
     """Orphan epoch dirs (a crash AFTER data writes but BEFORE the
     manifest swap) must be invisible to readers and removed by the next
