@@ -33,6 +33,7 @@ from csv_crm_upload_spark.analytics import grouped_pandas as gp
 from csv_crm_upload_spark.analytics import ivf
 from csv_crm_upload_spark.analytics import clustering as clus
 from csv_crm_upload_spark.plans import corpus_prep as prep
+from csv_crm_upload_spark.analytics import ivfpq as ivfpqm
 from csv_crm_upload_spark.analytics import pq as pqm
 from csv_crm_upload_spark.analytics import retrieval as rtr
 from csv_crm_upload_spark.analytics import tpch
@@ -431,6 +432,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # PQ/ADC ANN (round 4): learned codebooks — no SQL oracle; ADC
         # identity + recall floors pinned in tests/test_pq.py
         "pq1_quantized_knn": lambda s, sf: pqm.pq1_quantized_knn(_t("embeddings")(s, sf)),
+        # IVF-PQ composed ANN (round 5): coarse cells select, PQ-ADC
+        # ranks within probed cells, exact cosine reranks — oracle-free
+        # (both quantizers learned); pinned by tests/test_ivfpq.py
+        "ivfpq1_quantized_knn": lambda s, sf: ivfpqm.ivfpq1_quantized_knn(
+            _t("embeddings")(s, sf)
+        ),
         # widened relational surface
         "q1_pricing_summary": lambda s, sf: tpch.q1_pricing_summary(_t("lineitem")(s, sf)),
         "q3_top_unshipped": lambda s, sf: tpch.q3_top_unshipped_orders(

@@ -203,6 +203,26 @@ def main() -> None:
     finally:
         shutil.rmtree(pq_dir, ignore_errors=True)
 
+    # IVF-PQ composed index: coarse cells select (partition-pruned code
+    # scan), PQ-ADC ranks within probed cells, exact cosine reranks.
+    from csv_crm_upload_spark.analytics import ivfpq as ivfpqmod
+
+    ivfpq_dir = tempfile.mkdtemp(prefix="bench_ivfpq_idx_")
+    stage = "ivfpq_index_build"
+    try:
+        emb = load_table(spark, sf_dir, "embeddings")
+        t0 = time.perf_counter()
+        ivfpqmod.save_ivfpq_index(emb, ivfpq_dir)
+        extra["ivfpq_index_build"] = round(time.perf_counter() - t0, 3)
+        stage = "ivfpq_indexed_knn"
+        t0 = time.perf_counter()
+        ivfpqmod.ivfpq_search(spark, ivfpq_dir, emb).agg({"*": "count"}).collect()
+        extra["ivfpq_indexed_knn"] = round(time.perf_counter() - t0, 3)
+    except Exception as e:
+        errors[stage] = f"{type(e).__name__}: {e}"[:200]
+    finally:
+        shutil.rmtree(ivfpq_dir, ignore_errors=True)
+
     duckdb_timings = _duckdb_timings(sf_dir, entrymod.oracle_sql())
     ratios = {
         n: round(timings[n] / duckdb_timings[n], 2)

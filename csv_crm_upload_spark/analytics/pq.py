@@ -110,6 +110,34 @@ def pq_encode(embeddings: DataFrame, codebooks: np.ndarray) -> DataFrame:
     return embeddings.select("vec_id", F.array(*code_cols).alias("codes"))
 
 
+def query_luts(spark, query_vectors, codebooks: np.ndarray) -> DataFrame:
+    """One (query_id, lut) row per query: lut[j*k + c] = dot(q's j-th
+    subvector, codebook[j][c]) — the m·k-entry ADC table, computed
+    driver-side from the bounded query set and shipped as a broadcast."""
+    m, k, sub = codebooks.shape
+    rows = []
+    for qid, qvec in query_vectors:
+        q = np.asarray(qvec, dtype=np.float64)
+        lut = [
+            float(q[j * sub : (j + 1) * sub] @ codebooks[j, c])
+            for j in range(m)
+            for c in range(k)
+        ]
+        rows.append((int(qid), lut))
+    return spark.createDataFrame(rows, "query_id long, lut array<double>")
+
+
+def adc_expr(m: int, k: int):
+    """ADC dot-product column over (codes, lut): m table lookups + a sum
+    per row — map-only, no shuffle."""
+    subspace_term = F.zip_with(
+        F.col("codes"),
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda c, j: F.element_at(F.col("lut"), (j * k + c + 1).cast("int")),
+    )
+    return F.aggregate(subspace_term, F.lit(0.0), lambda acc, v: acc + v)
+
+
 def adc_scores(
     codes: DataFrame,
     query_vectors: list[tuple[int, list[float]]],
@@ -119,29 +147,11 @@ def adc_scores(
     full-precision query against every encoded corpus vector — m lookups
     into the query's broadcast (m·k)-entry table per row, map-only."""
     m, k, _sub = codebooks.shape
-    sub = codebooks.shape[2]
-    spark = codes.sparkSession
-    rows = []
-    for qid, qvec in query_vectors:
-        q = np.asarray(qvec, dtype=np.float64)
-        # lut[j*k + c] = dot(q's j-th subvector, codebook[j][c])
-        lut = [
-            float(q[j * sub : (j + 1) * sub] @ codebooks[j, c])
-            for j in range(m)
-            for c in range(k)
-        ]
-        rows.append((int(qid), lut))
-    ludf = spark.createDataFrame(rows, "query_id long, lut array<double>")
-    subspace_term = F.zip_with(
-        F.col("codes"),
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda c, j: F.element_at(F.col("lut"), (j * k + c + 1).cast("int")),
-    )
-    adc = F.aggregate(subspace_term, F.lit(0.0), lambda acc, v: acc + v)
+    ludf = query_luts(codes.sparkSession, query_vectors, codebooks)
     return (
         codes.crossJoin(F.broadcast(ludf))
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", F.round(adc, 6).alias("adc_dot"))
+        .select("query_id", "vec_id", F.round(adc_expr(m, k), 6).alias("adc_dot"))
     )
 
 
@@ -206,6 +216,19 @@ def _pq_search(
         .filter(F.col("adc_rank") <= n_candidates)
         .select("query_id", "vec_id")
     )
+    return exact_rerank(cands, embeddings, qvecs, k)
+
+
+def exact_rerank(
+    cands: DataFrame,
+    embeddings: DataFrame,
+    qvecs: list[tuple[int, list[float]]],
+    k: int,
+) -> DataFrame:
+    """Full-precision cosine top-k over a (query_id, vec_id) CANDIDATE
+    set — a semi-join of ~n_candidates·queries rows against the vector
+    table, never a second corpus scan at full width. Ties break on
+    vec_id (total order). Shared by the PQ and IVF-PQ search paths."""
     from csv_crm_upload_spark.analytics.similarity import cosine
 
     spark = embeddings.sparkSession
