@@ -59,10 +59,11 @@ def fit_centroids(
     return centroids
 
 
-def assign_cells(embeddings: DataFrame, centroids: np.ndarray) -> DataFrame:
-    """vec_id → cell_id of nearest centroid. The centroid matrix rides
-    into the plan as array literals (broadcast-equivalent; k×dim doubles
-    is tiny) — one map stage, no shuffle."""
+def cell_id_expr(centroids: np.ndarray):
+    """Column expression (over `embedding`) for the nearest-centroid
+    cell id. The centroid matrix rides into the plan as array literals
+    (broadcast-equivalent; k×dim doubles is tiny) — usable in any map
+    stage, e.g. fused with PQ encoding in ivfpq._assign_and_encode."""
     emb = F.col("embedding")
     sims = [
         F.aggregate(
@@ -79,7 +80,12 @@ def assign_cells(embeddings: DataFrame, centroids: np.ndarray) -> DataFrame:
     best = F.array_position(
         F.array(*sims), F.array_max(F.array(*sims))
     ) - 1  # 1-based → 0-based
-    return embeddings.select("vec_id", best.cast("int").alias("cell_id"))
+    return best.cast("int")
+
+
+def assign_cells(embeddings: DataFrame, centroids: np.ndarray) -> DataFrame:
+    """vec_id → cell_id of nearest centroid — one map stage, no shuffle."""
+    return embeddings.select("vec_id", cell_id_expr(centroids).alias("cell_id"))
 
 
 def save_index(

@@ -53,6 +53,21 @@ from csv_crm_upload_spark.analytics import ivf as _ivf
 from csv_crm_upload_spark.analytics import pq as _pq
 
 
+def _assign_and_encode(
+    embeddings: DataFrame, centroids: np.ndarray, books: np.ndarray
+) -> DataFrame:
+    """(vec_id, codes, cell_id) in ONE map pass over the vector scan:
+    the cell argmax and the m code argmaxes are all expressions of the
+    same `embedding` column, so fusing them avoids the join (and its
+    corpus-wide shuffle) that composing assign_cells ∘ pq_encode would
+    cost — the whole build is scan → project → write."""
+    cell_expr = _ivf.cell_id_expr(centroids)
+    code_expr = _pq.codes_expr(books)
+    return embeddings.select(
+        "vec_id", code_expr.alias("codes"), cell_expr.alias("cell_id")
+    )
+
+
 def _probe_plan(
     embeddings: DataFrame,
     centroids: np.ndarray,
@@ -130,9 +145,7 @@ def ivfpq1_quantized_knn(
         query_ids = list(range(10))
     centroids = _ivf.fit_centroids(embeddings, n_cells=n_cells)
     books = _pq.fit_pq_codebooks(embeddings, m=m, k=n_codes)
-    cell_codes = _ivf.assign_cells(embeddings, centroids).join(
-        _pq.pq_encode(embeddings, books), "vec_id"
-    )
+    cell_codes = _assign_and_encode(embeddings, centroids, books)
     qvecs, probe_df = _probe_plan(embeddings, centroids, query_ids, nprobe)
     return _search(cell_codes, books, embeddings, qvecs, probe_df, k, n_candidates)
 
@@ -174,11 +187,9 @@ def save_ivfpq_index(
     spark.createDataFrame(
         book_rows, "subspace int, code int, entry array<double>"
     ).write.mode("overwrite").parquet(f"{path}/codebooks/epoch={new_epoch}")
-    _ivf.assign_cells(embeddings, centroids).join(
-        _pq.pq_encode(embeddings, books), "vec_id"
-    ).write.mode("overwrite").partitionBy("cell_id").parquet(
-        f"{path}/codes/epoch={new_epoch}"
-    )
+    _assign_and_encode(embeddings, centroids, books).write.mode(
+        "overwrite"
+    ).partitionBy("cell_id").parquet(f"{path}/codes/epoch={new_epoch}")
     commit_manifest(
         path,
         {
@@ -218,11 +229,9 @@ def update_ivfpq_index(new_embeddings: DataFrame, path: str) -> None:
         raise ValueError(
             f"{bad} appended vectors have dim != the stored codec's {dim}"
         )
-    _ivf.assign_cells(new_embeddings, centroids).join(
-        _pq.pq_encode(new_embeddings, books), "vec_id"
-    ).write.mode("overwrite").partitionBy("cell_id").parquet(
-        f"{path}/codes/epoch={epoch + 1}"
-    )
+    _assign_and_encode(new_embeddings, centroids, books).write.mode(
+        "overwrite"
+    ).partitionBy("cell_id").parquet(f"{path}/codes/epoch={epoch + 1}")
     commit_manifest(path, {**man, "epoch": epoch + 1})
 
 

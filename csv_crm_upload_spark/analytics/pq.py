@@ -77,13 +77,14 @@ def fit_pq_codebooks(
     return books
 
 
-def pq_encode(embeddings: DataFrame, codebooks: np.ndarray) -> DataFrame:
-    """vec_id → m nearest-codebook-entry codes. The codebook tensor
-    rides into the plan as array literals (m·k·sub doubles — tiny);
-    assignment is ONE map stage over the scan, no shuffle. Nearest entry
-    minimizes ||x_j − c||² = ||c||² − 2·x_j·c + const, computed as
-    argmax of (2·dot − ||c||²) so each candidate costs one fused
-    zip_with/aggregate pass."""
+def codes_expr(codebooks: np.ndarray):
+    """Column expression (over `embedding`) for the m nearest-codebook-
+    entry codes. The codebook tensor rides into the plan as array
+    literals (m·k·sub doubles — tiny). Nearest entry minimizes
+    ||x_j − c||² = ||c||² − 2·x_j·c + const, computed as argmax of
+    (2·dot − ||c||²) so each candidate costs one fused zip_with/
+    aggregate pass. Usable in any map stage, e.g. fused with the coarse
+    cell assignment in ivfpq._assign_and_encode."""
     m, k, sub = codebooks.shape
     emb = F.col("embedding")
     code_cols = []
@@ -107,7 +108,12 @@ def pq_encode(embeddings: DataFrame, codebooks: np.ndarray) -> DataFrame:
                 "int"
             )
         )
-    return embeddings.select("vec_id", F.array(*code_cols).alias("codes"))
+    return F.array(*code_cols)
+
+
+def pq_encode(embeddings: DataFrame, codebooks: np.ndarray) -> DataFrame:
+    """vec_id → m codes: ONE map stage over the scan, no shuffle."""
+    return embeddings.select("vec_id", codes_expr(codebooks).alias("codes"))
 
 
 def query_luts(spark, query_vectors, codebooks: np.ndarray) -> DataFrame:

@@ -1,0 +1,151 @@
+"""Corpus index maintenance riding a service ticker — the production
+shape of incremental indexing: corpus appends land as parquet shards in
+a drop directory, and each service tick folds ONLY the unseen shards
+into every registered persisted index (BM25 inverted index, LSH
+near-dup pair index, IVF cells, PQ codes, IVF-PQ codes) via their
+O(new docs) `update_*` entry points. The build-once artifacts stay
+fresh without a manual rebuild step, exactly the way a lakehouse
+schedules OPTIMIZE/VACUUM alongside the workload (cf.
+pipeline.run_upload_service's auto-compact/vacuum, which this service
+plugs into via its `index_service` hook).
+
+Scale story: a tick's cost is driven entirely by the NEW shards — each
+registered index's update reads only the new rows (their incremental
+contracts are pinned per-index: incremental ≡ rebuild for dedup/text,
+fixed-quantizer assignment for IVF/PQ/IVF-PQ) — plus each index's
+bounded merge state (vocab-sized dfreq for BM25, nothing for the
+others). A quiet tick costs one directory listing.
+
+Crash contract: the shard cursor is committed (atomic tmp+replace,
+operators/manifest.py style) after EACH shard batch finishes folding
+into ALL registered indexes. The per-index epoch commits are themselves
+atomic, so readers are never corrupted; the one crash window is
+between an index commit and the cursor commit, where a restart would
+re-fold the in-flight shard batch (double-indexing those doc_ids —
+the same "appends must be new ids" precondition every update_* already
+documents). A production deployment closes that window by recording
+the folded shard list inside each index's manifest payload; the single
+cursor keeps the local service simple and the window is one batch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+
+class CorpusIndexService:
+    """Folds newly landed corpus shards into registered persisted
+    indexes on each tick().
+
+    Parameters
+    ----------
+    docs_dir / emb_dir: drop directories watched for document shards
+        (consumed by the text + dedup indexes) and embedding shards
+        (consumed by the vector indexes). Either may be None.
+    text_index / dedup_index / ivf_index / pq_index / ivfpq_index:
+        paths of already-BUILT indexes (save_* must have run); None
+        skips that index.
+    cursor_path: where the processed-shard cursor lives; defaults to
+        `<first drop dir>/_index_service_cursor.json`.
+    """
+
+    def __init__(
+        self,
+        spark,
+        docs_dir: str | None = None,
+        emb_dir: str | None = None,
+        text_index: str | None = None,
+        dedup_index: str | None = None,
+        ivf_index: str | None = None,
+        pq_index: str | None = None,
+        ivfpq_index: str | None = None,
+        cursor_path: str | None = None,
+    ) -> None:
+        if docs_dir is None and emb_dir is None:
+            raise ValueError("at least one of docs_dir/emb_dir is required")
+        self.spark = spark
+        self.docs_dir = docs_dir
+        self.emb_dir = emb_dir
+        self.text_index = text_index
+        self.dedup_index = dedup_index
+        self.ivf_index = ivf_index
+        self.pq_index = pq_index
+        self.ivfpq_index = ivfpq_index
+        self.cursor_path = cursor_path or os.path.join(
+            docs_dir or emb_dir, "_index_service_cursor.json"
+        )
+        self._seen: set[str] = set()
+        if os.path.exists(self.cursor_path):
+            with open(self.cursor_path) as f:
+                self._seen = set(json.load(f)["seen"])
+
+    def _commit_cursor(self) -> None:
+        tmp = self.cursor_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"seen": sorted(self._seen)}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self.cursor_path)
+
+    @staticmethod
+    def _new_shards(drop_dir: str | None, seen: set[str]) -> list[str]:
+        """Unseen data entries (parquet files or part-file directories)
+        in the drop dir — hidden/metadata entries skipped."""
+        if drop_dir is None or not os.path.isdir(drop_dir):
+            return []
+        out = []
+        for name in sorted(os.listdir(drop_dir)):
+            if name.startswith((".", "_")):
+                continue
+            full = os.path.join(drop_dir, name)
+            if full not in seen and (
+                name.endswith(".parquet") or os.path.isdir(full)
+            ):
+                out.append(full)
+        return out
+
+    def tick(self) -> dict:
+        """One maintenance tick: fold every unseen shard batch into the
+        registered indexes, then commit the cursor. Returns
+        {"docs": [...folded...], "embeddings": [...folded...]} (empty
+        lists on a quiet tick, which costs one listing)."""
+        folded = {"docs": [], "embeddings": []}
+
+        doc_shards = self._new_shards(self.docs_dir, self._seen)
+        if doc_shards:
+            new_docs = self.spark.read.parquet(*doc_shards)
+            if self.text_index is not None:
+                from csv_crm_upload_spark.analytics.retrieval import (
+                    update_text_index,
+                )
+
+                update_text_index(new_docs, self.text_index)
+            if self.dedup_index is not None:
+                from csv_crm_upload_spark.analytics.dedup import update_dedup_index
+
+                update_dedup_index(new_docs, self.dedup_index)
+            self._seen.update(doc_shards)
+            folded["docs"] = doc_shards
+
+        emb_shards = self._new_shards(self.emb_dir, self._seen)
+        if emb_shards:
+            new_emb = self.spark.read.parquet(*emb_shards)
+            if self.ivf_index is not None:
+                from csv_crm_upload_spark.analytics.ivf import update_index
+
+                update_index(new_emb, self.ivf_index)
+            if self.pq_index is not None:
+                from csv_crm_upload_spark.analytics.pq import update_pq_index
+
+                update_pq_index(new_emb, self.pq_index)
+            if self.ivfpq_index is not None:
+                from csv_crm_upload_spark.analytics.ivfpq import update_ivfpq_index
+
+                update_ivfpq_index(new_emb, self.ivfpq_index)
+            self._seen.update(emb_shards)
+            folded["embeddings"] = emb_shards
+
+        if folded["docs"] or folded["embeddings"]:
+            self._commit_cursor()
+        return folded

@@ -163,6 +163,7 @@ def run_upload_service(
     incremental: bool = False,
     auto_compact_files: int | None = None,
     vacuum_keep: int | None = None,
+    index_service=None,
 ) -> list[int]:
     """The crmIntegrator as a long-running service: upload cycles on a
     poll ticker (reference crm service loop — a 30 s timer re-selecting
@@ -184,7 +185,13 @@ def run_upload_service(
     `vacuum_keep` then drops all but the newest snapshots. A compaction
     commits a new version whose rows are content-identical, so the next
     incremental tick's change feed row-diffs to EMPTY — the tick pays a
-    one-off diff of the rewritten buckets, but never re-uploads."""
+    one-off diff of the rewritten buckets, but never re-uploads.
+
+    `index_service` (a streaming.index_service.CorpusIndexService) also
+    rides the ticker: each cycle folds newly landed corpus shards into
+    the registered persisted indexes (BM25/LSH-pairs/IVF/PQ/IVF-PQ) via
+    their O(new docs) update paths, so the build-once artifacts stay
+    fresh without a manual step — a quiet tick costs one listing."""
     import time as _time
 
     tick = tick_sleep or _time.sleep
@@ -216,6 +223,8 @@ def run_upload_service(
             store.maybe_compact(max_files_per_bucket=auto_compact_files)
         if vacuum_keep is not None and hasattr(store, "vacuum"):
             store.vacuum(keep_last=vacuum_keep)
+        if index_service is not None:
+            index_service.tick()
         cycle += 1
         if max_cycles is None or cycle < max_cycles:
             tick(interval_s)
