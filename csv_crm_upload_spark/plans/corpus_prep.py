@@ -110,3 +110,45 @@ def prepare_training_corpus(
         offset.alias("stream_offset"),
         F.floor(offset / pack_budget).cast("bigint").alias("bin_id"),
     )
+
+
+def write_training_corpus(
+    documents: DataFrame,
+    path: str,
+    pairs: DataFrame | None = None,
+    pack_budget: int = 512,
+    n_shards: int | None = None,
+) -> None:
+    """Land the prepared corpus as FILES a trainer can read — the
+    deliverable form of prepare_training_corpus (whose manifest rows it
+    joins back to the surviving documents' text):
+
+        {path}/manifest/                  the packing manifest (parquet)
+        {path}/corpus/split=S/source=R/   packed rows WITH text, hive-
+                                          partitioned by (split, source)
+
+    Partitioning by split means no training bin can cross a split
+    boundary ON DISK: a trainer (or a contamination audit) reads
+    `split=train/` and physically cannot touch a val/test row, and
+    split-filtered scans prune at plan time (PartitionFilters). Within
+    a partition, rows carry (bin_id, stream_offset) so batch assembly
+    is a sort, not a shuffle.
+
+    The join back to `documents` is on doc_id — one shuffle of the
+    surviving manifest against the corpus scan (or a bucketed-join
+    no-op if both sides land bucketed by doc_id; see layout.py).
+    Deterministic end to end (every stage is a pure function of
+    doc_id/text), so a re-run OVERWRITES to the identical artifact —
+    idempotence is asserted in tests."""
+    from csv_crm_upload_spark.operators.layout import write_partitioned
+
+    manifest = prepare_training_corpus(
+        documents, pairs=pairs, pack_budget=pack_budget, n_shards=n_shards
+    )
+    manifest.write.mode("overwrite").parquet(f"{path}/manifest")
+    spark = documents.sparkSession
+    manifest_back = spark.read.parquet(f"{path}/manifest")  # reuse, don't recompute
+    packed = manifest_back.join(
+        documents.select("doc_id", "text"), "doc_id"
+    )
+    write_partitioned(packed, f"{path}/corpus", ["split", "source"])

@@ -75,3 +75,52 @@ def test_sharded_packing_deterministic_and_stream_scoped(spark, sf_dir):
         .count()
     )
     assert starts == 0
+
+
+def test_written_corpus_layout_and_idempotence(spark, sf_dir, tmp_path):
+    """write_training_corpus lands trainer-readable files: manifest
+    parquet + packed rows WITH text hive-partitioned by (split, source).
+    No split crosses a directory, split scans prune at plan time, and a
+    re-run overwrites to the identical artifact."""
+    import os
+
+    from csv_crm_upload_spark.plans.corpus_prep import write_training_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "corpus_out")
+    write_training_corpus(docs, path)
+
+    # physical layout: split directories, each containing source dirs
+    splits = {d for d in os.listdir(f"{path}/corpus") if d.startswith("split=")}
+    assert splits == {"split=train", "split=val", "split=test"}
+    for s in splits:
+        subs = [d for d in os.listdir(f"{path}/corpus/{s}") if d.startswith("source=")]
+        assert subs, f"{s} has no source partitions"
+
+    manifest = spark.read.parquet(f"{path}/manifest")
+    corpus = spark.read.parquet(f"{path}/corpus")
+    assert corpus.count() == manifest.count()
+    # every packed row carries text and its manifest row's packing fields
+    assert {"doc_id", "split", "source", "text", "bin_id", "stream_offset"} <= set(
+        corpus.columns
+    )
+    assert corpus.filter(F.col("text").isNull()).count() == 0
+
+    # no split crosses a directory: rows under split=train are train rows
+    train = spark.read.parquet(f"{path}/corpus/split=train")
+    assert train.count() == manifest.filter("split = 'train'").count()
+    assert set(train.columns) & {"split"} == set()  # split IS the directory
+
+    # split-filtered scans prune partitions at plan time
+    pruned = corpus.filter(F.col("split") == "train")
+    pruned.collect()
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(split" in plan
+
+    # re-run: identical artifact (deterministic end to end)
+    before = sorted(map(tuple, corpus.drop("text").collect()))
+    write_training_corpus(docs, path)
+    after = sorted(
+        map(tuple, spark.read.parquet(f"{path}/corpus").drop("text").collect())
+    )
+    assert after == before
