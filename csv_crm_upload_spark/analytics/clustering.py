@@ -58,7 +58,16 @@ def kmeans1_topic_clusters(
     """(cluster_id, n_members, mean_sim) after `iters` fixed Lloyd's
     rounds from a deterministic init — mean_sim is the average (6-dp
     rounded) dot product of members to their assigned centroid, the
-    cluster-cohesion readout."""
+    cluster-cohesion readout.
+
+    Width bound (deliberate): the per-round mean recompute emits `dim`
+    aggregate expressions, which is fine at embedding widths like the
+    testdata's 64 but becomes codegen pressure past ~1k dims. The
+    wide-dim rewrite — posexplode + groupBy(cluster_id, dim) — trades
+    that for a row-count blowup AND would break this operator's DuckDB
+    oracle (an unrolled per-dim CTE), so the per-dim-expression shape is
+    kept; treat ~1k dims as the documented ceiling of the oracle-paired
+    path."""
     dim = len(embeddings.select("embedding").first()["embedding"])
 
     init_rows = (

@@ -253,6 +253,10 @@ def test_headline_shuffle_budgets(spark, sf_dir):
              stage: anti-join exchange + packing window + gate/key agg;
              the LSH/CC shuffles run once inside d_component_labels and
              are budgeted by the dedup family's own tests
+      kmeans1 2 — the RETURNED readout plan: the final membership
+             combining agg + result order over k rows; each Lloyd's
+             round inside the loop is one combining shuffle (its own
+             job, asserted by the encode-stage test below via shape)
     """
     # canonical cold plans: cached relations left over from other tests
     # (session-scoped fixture) would re-shape the tree under audit
@@ -265,6 +269,7 @@ def test_headline_shuffle_budgets(spark, sf_dir):
         "win1_winsorized_prices": 3,
         "samp2_weighted_reservoir": 1,
         "prep1_corpus_manifest": 3,
+        "kmeans1_topic_clusters": 2,
     }
     for name, budget in budgets.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))
@@ -273,3 +278,28 @@ def test_headline_shuffle_budgets(spark, sf_dir):
         ids = set(re.findall(r"(?<!Broadcast)Exchange \((\d+)\)", plan))
         n = len(ids)
         assert n <= budget, f"{name}: {n} shuffles > budget {budget}\n{plan}"
+
+
+def test_quantizer_encode_stages_are_shuffle_free(spark, sf_dir):
+    """The corpus-wide encode passes of the vector indexes — PQ code
+    assignment and the fused IVF-PQ cell+code assignment — must plan
+    ZERO exchanges: they are pure projections over the vector scan
+    (quantizers ride in as literals), which is what makes index builds
+    and O(new docs) appends single-pass at 100 TB."""
+    import numpy as np
+
+    from csv_crm_upload_spark.analytics import ivf as _ivf
+    from csv_crm_upload_spark.analytics import ivfpq as _ivfpq
+    from csv_crm_upload_spark.analytics import pq as _pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = _pq.fit_pq_codebooks(emb, m=8, k=16)
+    cents = _ivf.fit_centroids(emb, n_cells=8)
+    for label, df in (
+        ("pq_encode", _pq.pq_encode(emb, books)),
+        ("ivf_assign", _ivf.assign_cells(emb, cents)),
+        ("ivfpq_assign_encode", _ivfpq._assign_and_encode(emb, cents, books)),
+    ):
+        plan = plan_of(df)
+        ids = set(re.findall(r"(?<!Broadcast)Exchange \((\d+)\)", plan))
+        assert not ids, f"{label}: encode stage plans {len(ids)} exchanges"
