@@ -261,6 +261,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd3_containment_pairs": lambda s, sf: dd.d_containment_pairs(
             _t("documents")(s, sf)
         ),
+        # --- round-5 additions (slots 19-21): event-pipeline operators ---
+        # AS-OF join via the union+keyed-window composition (oracle-paired)
+        "asof1_purchase_view_asof": lambda s, sf: tpch.asof1_purchase_view_asof(
+            _t("events")(s, sf)
+        ),
+        "sess1_user_sessions": lambda s, sf: tpch.sess1_user_sessions(
+            _t("events")(s, sf)
+        ),
+        "fun1_stage_funnel": lambda s, sf: tpch.fun1_stage_funnel(_t("events")(s, sf)),
         "t10_tfidf_top_terms": lambda s, sf: ts.t10_tfidf_top_terms(_t("documents")(s, sf)),
         "samp1_stratified_sample": lambda s, sf: ts.samp1_stratified_sample(_t("documents")(s, sf)),
         "pr1_doc_pagerank": lambda s, sf: dd.pr1_doc_pagerank(_t("documents")(s, sf)),
@@ -2274,6 +2283,97 @@ def oracle_sql() -> dict[str, str]:
         FROM agg
     """
 
+    # asof1: the same union + keyed-window composition the Spark side
+    # runs — last_value(... IGNORE NULLS) carries the latest prior view
+    # forward; (ts, event_id) is the total order both engines share
+    q["asof1_purchase_view_asof"] = """
+        WITH tagged AS (
+          SELECT event_id, user_id, ts, event_type,
+                 CASE WHEN event_type = 'view' THEN event_id END AS v_id,
+                 CASE WHEN event_type = 'view' THEN ts END AS v_ts
+          FROM events
+        ),
+        carried AS (
+          SELECT event_id, user_id, ts, event_type,
+                 LAST_VALUE(v_id IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS asof_view_id,
+                 LAST_VALUE(v_ts IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS asof_view_ts
+          FROM tagged
+        )
+        SELECT event_id AS purchase_id, user_id, asof_view_id,
+               CAST(date_diff('second', asof_view_ts, ts) AS BIGINT)
+                 AS view_to_purchase_s
+        FROM carried
+        WHERE event_type = 'purchase'
+        ORDER BY purchase_id
+    """
+    # sess1: lag marks session starts (gap strictly > 30 min in exact
+    # unix seconds), running sum numbers them, one rollup per session
+    q["sess1_user_sessions"] = """
+        WITH lagged AS (
+          SELECT user_id, ts, event_id,
+                 LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_ts
+          FROM events
+        ),
+        numbered AS (
+          SELECT user_id, ts,
+                 SUM(CASE WHEN prev_ts IS NULL
+                            OR date_diff('second', prev_ts, ts) > 1800
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_idx
+          FROM lagged
+        )
+        SELECT user_id,
+               CAST(session_idx AS BIGINT) AS session_idx,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MIN(ts) AS session_start,
+               MAX(ts) AS session_end,
+               CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT)
+                 AS duration_s
+        FROM numbered
+        GROUP BY user_id, session_idx
+        ORDER BY user_id, session_idx
+    """
+    # fun1: each stage's reach = min event ts at-or-after the previous
+    # stage's reach — the sequential-funnel chain of filtered min-aggs
+    q["fun1_stage_funnel"] = """
+        WITH s1 AS (
+          SELECT user_id, MIN(ts) AS reached_ts
+          FROM events WHERE event_type = 'view' GROUP BY user_id
+        ),
+        s2 AS (
+          SELECT e.user_id, MIN(e.ts) AS reached_ts
+          FROM events e JOIN s1 USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts >= s1.reached_ts
+          GROUP BY e.user_id
+        ),
+        s3 AS (
+          SELECT e.user_id, MIN(e.ts) AS reached_ts
+          FROM events e JOIN s2 USING (user_id)
+          WHERE e.event_type = 'signup' AND e.ts >= s2.reached_ts
+          GROUP BY e.user_id
+        ),
+        s4 AS (
+          SELECT e.user_id, MIN(e.ts) AS reached_ts
+          FROM events e JOIN s3 USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts >= s3.reached_ts
+          GROUP BY e.user_id
+        )
+        SELECT 1 AS stage_idx, 'view' AS stage,
+               CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+        UNION ALL SELECT 2, 'click', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+        UNION ALL SELECT 3, 'signup', CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
+        UNION ALL SELECT 4, 'purchase', CAST((SELECT COUNT(*) FROM s4) AS BIGINT)
+        ORDER BY stage_idx
+    """
     q["m1_event_transitions"] = """
         WITH seq AS (
           SELECT user_id,

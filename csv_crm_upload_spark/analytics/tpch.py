@@ -1816,6 +1816,137 @@ def m1_event_transitions(events: DataFrame) -> DataFrame:
     )
 
 
+def asof1_purchase_view_asof(events: DataFrame) -> DataFrame:
+    """AS-OF join — for every purchase, the most recent prior 'view' by
+    the same user (attribution: "which impression led to this sale").
+    The operator Spark lacks natively, composed the scalable way: tag
+    both streams, sort ONCE per user, and carry the latest left-side row
+    forward with last(ignore nulls) — one KEYED window over the union
+    instead of a per-row lookup join (which would be a range join that
+    explodes, or row-at-a-time Python). Both engines express the same
+    window, so the op stays oracle-paired despite being "custom".
+
+    Ordering contract (total, engine-exact): (ts, event_id) — a view in
+    the same microsecond as a purchase counts as prior iff its event_id
+    is smaller. Gap uses the repo's unix-seconds convention (lag1).
+    Purchases with no prior view surface with NULLs (LEFT as-of)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "view", F.col("event_id")).alias("v_id"),
+        F.when(F.col("event_type") == "view", F.col("ts")).alias("v_ts"),
+    )
+    carried = tagged.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last("v_id", ignorenulls=True).over(w).alias("asof_view_id"),
+        F.last("v_ts", ignorenulls=True).over(w).alias("asof_view_ts"),
+    )
+    return (
+        carried.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "asof_view_id",
+            (F.unix_timestamp("ts") - F.unix_timestamp("asof_view_ts"))
+            .cast("long")
+            .alias("view_to_purchase_s"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+def sess1_user_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Sessionization — split each user's event stream at inactivity
+    gaps > `gap_minutes` (the standard web-analytics session cut) and
+    emit one row per session with its size, bounds, and duration.
+
+    The classic two-window composition: lag(ts) marks session starts
+    (gap strictly greater than the cutoff, in the repo's exact
+    unix-seconds convention), a running sum of start markers numbers
+    sessions within the user, then one groupBy rolls sessions up. Both
+    windows and the final agg hash-partition on user_id — state scales
+    with users, never a global sort."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(
+        gap_s.isNull() | (gap_s > gap_minutes * 60), F.lit(1)
+    ).otherwise(F.lit(0))
+    numbered = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("session_idx"),
+    )
+    return (
+        numbered.groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select(
+            "user_id",
+            F.col("session_idx").cast("long").alias("session_idx"),
+            "n_events",
+            "session_start",
+            "session_end",
+            (F.unix_timestamp("session_end") - F.unix_timestamp("session_start"))
+            .cast("long")
+            .alias("duration_s"),
+        )
+        .orderBy("user_id", "session_idx")
+    )
+
+
+def fun1_stage_funnel(events: DataFrame) -> DataFrame:
+    """Ordered conversion funnel view → click → signup → purchase: a
+    user reaches stage k only via a stage-k event AT OR AFTER their
+    first stage-(k-1) reach — the sequential-funnel semantics dashboards
+    mean (a purchase before any view does NOT count).
+
+    Shape: one filtered min-agg per stage, each joined to the previous
+    stage's reach time (4 shuffles on user_id total, all map-side
+    combining); the final count-per-stage is a tiny agg. No window over
+    the whole stream, no per-user collect."""
+    stages = ["view", "click", "signup", "purchase"]
+    reach = (
+        events.filter(F.col("event_type") == stages[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("reached_ts"))
+    )
+    def stage_count(df, idx, stage):
+        return df.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+            F.lit(idx).alias("stage_idx"), F.lit(stage).alias("stage"), "n_users"
+        )
+
+    counts = [stage_count(reach, 1, stages[0])]
+    for i, stage in enumerate(stages[1:], start=2):
+        reach = (
+            events.filter(F.col("event_type") == stage)
+            .join(reach.select("user_id", F.col("reached_ts").alias("prev_ts")), "user_id")
+            .filter(F.col("ts") >= F.col("prev_ts"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("reached_ts"))
+        )
+        counts.append(stage_count(reach, i, stage))
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("stage_idx")
+
+
 def decay1_time_decayed_user_value(events: DataFrame, half_life_days: float = 7.0) -> DataFrame:
     """Recency-weighted user value: Σ value · 2^(-age/half_life), age
     measured back from the corpus max timestamp — the batch-scalable
