@@ -12,13 +12,28 @@ Composed, a probe touches nprobe/n_cells of the corpus, and what it
 touches is m-byte codes instead of full vectors — the two reductions
 multiply.
 
-This variant encodes RAW vectors rather than per-cell residuals: the
-ADC machinery (dot-product lookup tables) is then byte-identical to
-pq.py's and the stored codes are cell-independent, which is what makes
-`update_ivfpq_index` a pure O(new vectors) append. Residual encoding
-(IVFADC proper) is a precision refinement of the same layout, not a
-structural change, and is the natural next step if recall at a given
-(m, k) needs tightening.
+Two encodings share the layout, selected at build time and recorded in
+the manifest:
+  * raw (`residual=False`, default): codes quantize the vector itself —
+    the ADC machinery is byte-identical to pq.py's;
+  * residual (`residual=True`, IVFADC proper): codes quantize
+    x − mean[cell], the codebooks are fit on residuals of the same
+    bounded sample, and ADC adds a per-(query, probed-cell) constant
+    q·mean[cell] (computed driver-side and carried on the broadcast
+    probe table) to the residual lookup sum:
+      q·x ≈ q·mean[cell] + Σ_j q_j·book[j, code_j].
+    Cell SELECTION still uses the unit-normalized spherical centroids
+    (cosine cells), but the subtracted anchor is the cell's raw MEAN —
+    the mean minimizes residual energy by construction (Σ||x−μ||² =
+    Σ||x||² − n||μ||²), where subtracting the unit centroid can
+    INFLATE residuals when clusters are loose (2 − 2x·c > 1 whenever
+    x·c < 0.5). The same (m, k) budget then spends its precision on the
+    part of the vector the coarse stage didn't already explain; the
+    reconstruction gain vs raw PQ is asserted in tests. The means ride
+    the centroids parquet as a `mean_vec` column.
+Either way the stored codes remain a pure per-vector function of the
+FIXED quantizers, so `update_ivfpq_index` stays an O(new vectors)
+append for both.
 
 Index layout (`{path}/`):
   centroids/epoch=K   coarse quantizer (cell_id, centroid)
@@ -54,18 +69,71 @@ from csv_crm_upload_spark.analytics import pq as _pq
 
 
 def _assign_and_encode(
-    embeddings: DataFrame, centroids: np.ndarray, books: np.ndarray
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    books: np.ndarray,
+    means: np.ndarray | None = None,
 ) -> DataFrame:
     """(vec_id, codes, cell_id) in ONE map pass over the vector scan:
-    the cell argmax and the m code argmaxes are all expressions of the
-    same `embedding` column, so fusing them avoids the join (and its
+    the cell argmax, the (optional) residual subtraction against the
+    cell MEAN, and the m code argmaxes are all expressions of the same
+    `embedding` column, so fusing them avoids the join (and its
     corpus-wide shuffle) that composing assign_cells ∘ pq_encode would
-    cost — the whole build is scan → project → write."""
+    cost — the whole build is scan → project → write (zero exchanges,
+    plan-asserted). `means is None` selects raw-vector encoding."""
     cell_expr = _ivf.cell_id_expr(centroids)
-    code_expr = _pq.codes_expr(books)
-    return embeddings.select(
-        "vec_id", code_expr.alias("codes"), cell_expr.alias("cell_id")
+    if means is None:
+        return embeddings.select(
+            "vec_id", _pq.codes_expr(books).alias("codes"), cell_expr.alias("cell_id")
+        )
+    with_cell = embeddings.select("vec_id", "embedding", cell_expr.alias("cell_id"))
+    mean_table = F.array(
+        *[F.array(*[F.lit(float(v)) for v in means[c]]) for c in range(len(means))]
     )
+    res = F.zip_with(
+        F.col("embedding"),
+        F.element_at(mean_table, F.col("cell_id") + 1),
+        lambda a, b: a.cast("double") - b,
+    )
+    return with_cell.select(
+        "vec_id", _pq.codes_expr(books, col=res).alias("codes"), "cell_id"
+    )
+
+
+def _fit_residual_codebooks(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    m: int,
+    k: int,
+    sample_cap: int = 4096,
+    n_iter: int = 10,
+    seed: int = 42,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(codebooks, cell means): fit the PQ codec on CELL RESIDUALS of
+    the same bounded deterministic sample fit_pq_codebooks uses —
+    assign each sample vector to its cell by the identical raw-dot
+    argmax (numpy argmax == cell_id_expr's first-max tiebreak), anchor
+    at the cell's sample MEAN (see module docstring for why mean, not
+    unit centroid), fit on x − mean[cell]. Empty cells anchor at their
+    centroid (no member to mean)."""
+    sample = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(sample_cap)
+        .collect()
+    )
+    x = np.array([r["embedding"] for r in sample], dtype=np.float64)
+    assign = (x @ centroids.T).argmax(axis=1)
+    means = np.array(
+        [
+            x[assign == c].mean(axis=0) if (assign == c).any() else centroids[c]
+            for c in range(len(centroids))
+        ]
+    )
+    books = _pq.fit_books_from_matrix(
+        x - means[assign], m, k, n_iter=n_iter, seed=seed
+    )
+    return books, means
 
 
 def _probe_plan(
@@ -73,24 +141,38 @@ def _probe_plan(
     centroids: np.ndarray,
     query_ids: list[int],
     nprobe: int,
+    means: np.ndarray | None = None,
 ) -> tuple[list[tuple[int, list[float]]], DataFrame]:
-    """(bounded query vectors, broadcastable (query_id, cell_id) probe
-    table): nearest-nprobe cells per query, computed driver-side from
-    the ≤len(query_ids) collected query rows — the ivf.knn_ivf
-    bounded-collect sanction."""
+    """(bounded query vectors, broadcastable (query_id, cell_id,
+    qc_dot) probe table): nearest-nprobe cells per query, computed
+    driver-side from the ≤len(query_ids) collected query rows — the
+    ivf.knn_ivf bounded-collect sanction. `qc_dot` is the residual
+    ADC's per-(query, cell) constant q·mean[cell] (raw query vector —
+    ADC approximates raw dot products); 0.0 in raw mode so the scoring
+    expression is uniform."""
     qrows = (
         embeddings.filter(F.col("vec_id").isin(query_ids))
         .select("vec_id", "embedding")
         .collect()
     )
     qvecs = [(int(r["vec_id"]), list(r["embedding"])) for r in qrows]
-    qx = np.array([v for _, v in qvecs], dtype=np.float64)
-    qx /= np.maximum(np.linalg.norm(qx, axis=1, keepdims=True), 1e-12)
+    qraw = np.array([v for _, v in qvecs], dtype=np.float64)
+    qx = qraw / np.maximum(np.linalg.norm(qraw, axis=1, keepdims=True), 1e-12)
     nprobe = min(nprobe, len(centroids))
     probe_cells = (qx @ centroids.T).argsort(axis=1)[:, ::-1][:, :nprobe]
-    probes = [(qid, int(c)) for (qid, _), row in zip(qvecs, probe_cells) for c in row]
+    probes = [
+        (
+            qid,
+            int(c),
+            float(qraw[i] @ means[c]) if means is not None else 0.0,
+        )
+        for i, ((qid, _), row) in enumerate(zip(qvecs, probe_cells))
+        for c in row
+    ]
     spark = embeddings.sparkSession
-    return qvecs, spark.createDataFrame(probes, "query_id long, cell_id int")
+    return qvecs, spark.createDataFrame(
+        probes, "query_id long, cell_id int, qc_dot double"
+    )
 
 
 def _search(
@@ -114,7 +196,9 @@ def _search(
         .filter(F.col("vec_id") != F.col("query_id"))
         .join(F.broadcast(ludf), "query_id")
         .select(
-            "query_id", "vec_id", F.round(_pq.adc_expr(m, kk), 6).alias("adc_dot")
+            "query_id",
+            "vec_id",
+            F.round(F.col("qc_dot") + _pq.adc_expr(m, kk), 6).alias("adc_dot"),
         )
     )
     w_adc = Window.partitionBy("query_id").orderBy(
@@ -137,6 +221,7 @@ def ivfpq1_quantized_knn(
     m: int = 8,
     n_codes: int = 16,
     n_candidates: int = 50,
+    residual: bool = False,
 ) -> DataFrame:
     """Self-contained IVF-PQ search (fit + assign + encode inline) —
     the oracle-free queries() entry; the build-once/probe-many split of
@@ -144,9 +229,13 @@ def ivfpq1_quantized_knn(
     if query_ids is None:
         query_ids = list(range(10))
     centroids = _ivf.fit_centroids(embeddings, n_cells=n_cells)
-    books = _pq.fit_pq_codebooks(embeddings, m=m, k=n_codes)
-    cell_codes = _assign_and_encode(embeddings, centroids, books)
-    qvecs, probe_df = _probe_plan(embeddings, centroids, query_ids, nprobe)
+    means = None
+    if residual:
+        books, means = _fit_residual_codebooks(embeddings, centroids, m=m, k=n_codes)
+    else:
+        books = _pq.fit_pq_codebooks(embeddings, m=m, k=n_codes)
+    cell_codes = _assign_and_encode(embeddings, centroids, books, means=means)
+    qvecs, probe_df = _probe_plan(embeddings, centroids, query_ids, nprobe, means=means)
     return _search(cell_codes, books, embeddings, qvecs, probe_df, k, n_candidates)
 
 
@@ -156,13 +245,16 @@ def save_ivfpq_index(
     n_cells: int = 16,
     m: int = 8,
     n_codes: int = 16,
+    residual: bool = False,
     **fit_kwargs,
 ) -> None:
     """Build the composed index once per corpus snapshot: coarse
     centroids + PQ codebooks (both from bounded driver samples) and ONE
     corpus map pass producing (vec_id, codes) partitioned BY cell_id.
     Atomic for both fresh builds and rebuilds over a live index (next
-    epoch + base/centroid/codebook epoch advance in one commit)."""
+    epoch + base/centroid/codebook epoch advance in one commit).
+    `residual=True` builds IVFADC-style (see module docstring); the
+    choice is recorded in the manifest and honored by append + probe."""
     from csv_crm_upload_spark.operators.manifest import commit_manifest, read_manifest
 
     spark = embeddings.sparkSession
@@ -171,13 +263,23 @@ def save_ivfpq_index(
     except FileNotFoundError:
         new_epoch = 0
     centroids = _ivf.fit_centroids(embeddings, n_cells=n_cells, **fit_kwargs)
-    books = _pq.fit_pq_codebooks(embeddings, m=m, k=n_codes)
+    means = None
+    if residual:
+        books, means = _fit_residual_codebooks(embeddings, centroids, m=m, k=n_codes)
+    else:
+        books = _pq.fit_pq_codebooks(embeddings, m=m, k=n_codes)
+    anchor = means if means is not None else centroids
     cent_rows = [
-        (int(c), [float(v) for v in centroids[c]]) for c in range(len(centroids))
+        (
+            int(c),
+            [float(v) for v in centroids[c]],
+            [float(v) for v in anchor[c]],
+        )
+        for c in range(len(centroids))
     ]
-    spark.createDataFrame(cent_rows, "cell_id int, centroid array<double>").write.mode(
-        "overwrite"
-    ).parquet(f"{path}/centroids/epoch={new_epoch}")
+    spark.createDataFrame(
+        cent_rows, "cell_id int, centroid array<double>, mean_vec array<double>"
+    ).write.mode("overwrite").parquet(f"{path}/centroids/epoch={new_epoch}")
     mm, kk, _sub = books.shape
     book_rows = [
         (int(j), int(c), [float(v) for v in books[j, c]])
@@ -187,7 +289,7 @@ def save_ivfpq_index(
     spark.createDataFrame(
         book_rows, "subspace int, code int, entry array<double>"
     ).write.mode("overwrite").parquet(f"{path}/codebooks/epoch={new_epoch}")
-    _assign_and_encode(embeddings, centroids, books).write.mode(
+    _assign_and_encode(embeddings, centroids, books, means=means).write.mode(
         "overwrite"
     ).partitionBy("cell_id").parquet(f"{path}/codes/epoch={new_epoch}")
     commit_manifest(
@@ -200,6 +302,7 @@ def save_ivfpq_index(
             "n_cells": int(len(centroids)),
             "m": int(mm),
             "k": int(kk),
+            "residual": bool(residual),
         },
     )
 
@@ -229,7 +332,12 @@ def update_ivfpq_index(new_embeddings: DataFrame, path: str) -> None:
         raise ValueError(
             f"{bad} appended vectors have dim != the stored codec's {dim}"
         )
-    _assign_and_encode(new_embeddings, centroids, books).write.mode(
+    means = (
+        _load_means(spark, path, man["centroid_epoch"])
+        if man.get("residual", False)
+        else None
+    )
+    _assign_and_encode(new_embeddings, centroids, books, means=means).write.mode(
         "overwrite"
     ).partitionBy("cell_id").parquet(f"{path}/codes/epoch={epoch + 1}")
     commit_manifest(path, {**man, "epoch": epoch + 1})
@@ -241,6 +349,17 @@ def _load_centroids(spark, path: str, centroid_epoch: int) -> np.ndarray:
         key=lambda r: r["cell_id"],
     )  # bounded: n_cells rows
     return np.array([r["centroid"] for r in rows], dtype=np.float64)
+
+
+def _load_means(spark, path: str, centroid_epoch: int) -> np.ndarray:
+    """The residual anchors (cell means) from the centroids parquet;
+    falls back to the centroids for pre-mean_vec layouts."""
+    rows = sorted(
+        spark.read.parquet(f"{path}/centroids/epoch={centroid_epoch}").collect(),
+        key=lambda r: r["cell_id"],
+    )
+    key = "mean_vec" if "mean_vec" in rows[0].__fields__ else "centroid"
+    return np.array([r[key] for r in rows], dtype=np.float64)
 
 
 def ivfpq_search(
@@ -266,7 +385,12 @@ def ivfpq_search(
     epoch, base = man["epoch"], man["base_epoch"]
     centroids = _load_centroids(spark, path, man["centroid_epoch"])
     books = _pq._load_codebooks(spark, path, man["codebook_epoch"])
-    qvecs, probe_df = _probe_plan(embeddings, centroids, query_ids, nprobe)
+    means = (
+        _load_means(spark, path, man["centroid_epoch"])
+        if man.get("residual", False)
+        else None
+    )
+    qvecs, probe_df = _probe_plan(embeddings, centroids, query_ids, nprobe, means=means)
     probed_cells = sorted({r["cell_id"] for r in probe_df.collect()})  # ≤ q·nprobe
     cell_codes = (
         spark.read.option("basePath", f"{path}/codes")

@@ -55,6 +55,15 @@ def fit_pq_codebooks(
         .collect()
     )
     x = np.array([r["embedding"] for r in sample], dtype=np.float64)
+    return fit_books_from_matrix(x, m, k, n_iter=n_iter, seed=seed)
+
+
+def fit_books_from_matrix(
+    x: np.ndarray, m: int, k: int, n_iter: int = 10, seed: int = 42
+) -> np.ndarray:
+    """Per-subspace Lloyd's over an in-memory sample matrix — the codec
+    fit shared by raw-vector PQ (fit_pq_codebooks) and residual IVF-PQ
+    (ivfpq fits it on x − centroid[cell] of the same bounded sample)."""
     dim = x.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -77,16 +86,17 @@ def fit_pq_codebooks(
     return books
 
 
-def codes_expr(codebooks: np.ndarray):
-    """Column expression (over `embedding`) for the m nearest-codebook-
-    entry codes. The codebook tensor rides into the plan as array
-    literals (m·k·sub doubles — tiny). Nearest entry minimizes
-    ||x_j − c||² = ||c||² − 2·x_j·c + const, computed as argmax of
-    (2·dot − ||c||²) so each candidate costs one fused zip_with/
-    aggregate pass. Usable in any map stage, e.g. fused with the coarse
-    cell assignment in ivfpq._assign_and_encode."""
+def codes_expr(codebooks: np.ndarray, col=None):
+    """Column expression for the m nearest-codebook-entry codes of
+    `col` (default the `embedding` column — pass any array<double>
+    expression, e.g. a residual, for IVF-PQ). The codebook tensor rides
+    into the plan as array literals (m·k·sub doubles — tiny). Nearest
+    entry minimizes ||x_j − c||² = ||c||² − 2·x_j·c + const, computed as
+    argmax of (2·dot − ||c||²) so each candidate costs one fused
+    zip_with/aggregate pass. Usable in any map stage, e.g. fused with
+    the coarse cell assignment in ivfpq._assign_and_encode."""
     m, k, sub = codebooks.shape
-    emb = F.col("embedding")
+    emb = F.col("embedding") if col is None else col
     code_cols = []
     for j in range(m):
         xs = F.slice(emb, j * sub + 1, sub)

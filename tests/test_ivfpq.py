@@ -135,6 +135,109 @@ def test_ivfpq_incremental_append_equals_rebuild_with_fixed_quantizers(
     assert read_manifest(inc)["epoch"] == before
 
 
+def test_residual_encoding_reconstructs_better_than_raw(spark, sf_dir):
+    """The point of IVFADC residual encoding: quantizing x − mean[cell]
+    spends the same (m, k) bit budget on the unexplained part of the
+    vector, so mean reconstruction error must drop vs raw-vector PQ
+    with identical quantizer sizes (computed on the fit sample).
+    Anchoring at the cell MEAN also provably shrinks residual energy
+    (Σ||x−μ||² ≤ Σ||x||²), which subtracting a unit-normalized
+    centroid does not guarantee — both asserted."""
+    import numpy as np
+
+    from csv_crm_upload_spark.analytics import ivf as _ivf
+    from csv_crm_upload_spark.analytics import pq as _pq
+    from csv_crm_upload_spark.analytics.ivfpq import _fit_residual_codebooks
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = np.array(
+        [r["embedding"] for r in emb.orderBy("vec_id").limit(500).collect()],
+        dtype=np.float64,
+    )
+    cents = _ivf.fit_centroids(emb, n_cells=8)
+    assign = (x @ cents.T).argmax(axis=1)
+
+    def encode_decode(books, vecs):
+        m, k, sub = books.shape
+        out = np.zeros_like(vecs)
+        for j in range(m):
+            seg = vecs[:, j * sub : (j + 1) * sub]
+            d2 = ((seg[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            out[:, j * sub : (j + 1) * sub] = books[j][d2.argmin(axis=1)]
+        return out
+
+    raw_books = _pq.fit_pq_codebooks(emb, m=8, k=16)
+    res_books, means = _fit_residual_codebooks(emb, cents, m=8, k=16)
+    resid = x - means[assign]
+    assert (resid ** 2).sum() <= (x ** 2).sum()  # mean-anchor energy bound
+    raw_err = ((x - encode_decode(raw_books, x)) ** 2).sum(axis=1).mean()
+    res_recon = means[assign] + encode_decode(res_books, resid)
+    res_err = ((x - res_recon) ** 2).sum(axis=1).mean()
+    assert res_err < raw_err, f"residual {res_err:.4f} !< raw {raw_err:.4f}"
+
+
+def test_residual_full_probe_equals_bruteforce_and_indexed_matches_inline(
+    spark, sf_dir, tmp_path
+):
+    """Residual mode keeps both invariants of the raw path: full probe +
+    full candidate budget reproduces exact brute force (rerank undoes
+    lossiness), and the persisted-index probe equals the self-contained
+    search. The manifest records the mode; appends honor it."""
+    from csv_crm_upload_spark.operators.manifest import read_manifest
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    got = {
+        tuple(r)
+        for r in ivfpq.ivfpq1_quantized_knn(
+            emb, k=5, n_cells=8, nprobe=8, n_candidates=n, residual=True
+        ).collect()
+    }
+    want = {tuple(r) for r in knn_bruteforce(emb, k=5).collect()}
+    assert got == want
+
+    path = str(tmp_path / "ivfpq_res")
+    ivfpq.save_ivfpq_index(emb, path, n_cells=16, m=8, n_codes=16, residual=True)
+    assert read_manifest(path)["residual"] is True
+    inline = {
+        tuple(r)
+        for r in ivfpq.ivfpq1_quantized_knn(
+            emb, k=5, n_cells=16, nprobe=4, m=8, n_codes=16, residual=True
+        ).collect()
+    }
+    indexed = {
+        tuple(r) for r in ivfpq.ivfpq_search(spark, path, emb, k=5, nprobe=4).collect()
+    }
+    assert indexed == inline and len(indexed) > 0
+
+    # append in residual mode: codes follow the manifest's encoding
+    part_b = emb.filter(F.col("vec_id") % 2 == 1)
+    path2 = str(tmp_path / "ivfpq_res_inc")
+    ivfpq.save_ivfpq_index(
+        emb.filter(F.col("vec_id") % 2 == 0), path2, n_cells=8, m=8, n_codes=16,
+        residual=True,
+    )
+    ivfpq.update_ivfpq_index(part_b, path2)
+    man = read_manifest(path2)
+    from csv_crm_upload_spark.analytics import pq as _pq
+
+    cents = ivfpq._load_centroids(spark, path2, man["centroid_epoch"])
+    books = _pq._load_codebooks(spark, path2, man["codebook_epoch"])
+    means = ivfpq._load_means(spark, path2, man["centroid_epoch"])
+    want_codes = {
+        (r["vec_id"], r["cell_id"], tuple(r["codes"]))
+        for r in ivfpq._assign_and_encode(emb, cents, books, means=means).collect()
+    }
+    got_codes = {
+        (r["vec_id"], r["cell_id"], tuple(r["codes"]))
+        for r in spark.read.option("basePath", f"{path2}/codes")
+        .parquet(f"{path2}/codes")
+        .select("vec_id", "cell_id", "codes")
+        .collect()
+    }
+    assert got_codes == want_codes
+
+
 def test_ivfpq_rebuild_over_live_index_is_atomic(spark, sf_dir, tmp_path):
     """Rebuilding at the same path advances epoch/base_epoch/
     centroid_epoch/codebook_epoch in one commit; pre-rebuild epochs are
