@@ -284,6 +284,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # salted exact distinct: the skew-spread plan must equal the
         # plain COUNT(DISTINCT) — the salt refines partitioning only
         "skw1_salted_distinct_users": lambda s, sf: _q_skw1(s, sf),
+        # unigram-LM log-loss (perplexity proxy for quality filtering)
+        "ppl1_unigram_logloss": lambda s, sf: ts.ppl1_unigram_logloss(
+            _t("documents")(s, sf)
+        ),
+        # train vs held-out n-gram contamination under the split gate
+        "leak1_cross_split_leakage": lambda s, sf: ts.leak1_cross_split_leakage(
+            _t("documents")(s, sf)
+        ),
         "t10_tfidf_top_terms": lambda s, sf: ts.t10_tfidf_top_terms(_t("documents")(s, sf)),
         "samp1_stratified_sample": lambda s, sf: ts.samp1_stratified_sample(_t("documents")(s, sf)),
         "pr1_doc_pagerank": lambda s, sf: dd.pr1_doc_pagerank(_t("documents")(s, sf)),
@@ -2302,6 +2310,62 @@ def oracle_sql() -> dict[str, str]:
     q["skw1_salted_distinct_users"] = """
         SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         FROM events GROUP BY event_type ORDER BY event_type
+    """
+    # ppl1: −log2(count/total) per DISTINCT token rounded to 9 dp, then
+    # a DECIMAL-exact weighted sum per doc (the decay1/pr1 discipline
+    # for transcendental math)
+    q["ppl1_unigram_logloss"] = f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_TOKS}) AS tok
+          FROM documents WHERE text IS NOT NULL
+        ),
+        pdt AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+        tc AS (SELECT tok, COUNT(*) AS n_tok FROM toks GROUP BY 1),
+        tot AS (SELECT SUM(n_tok) AS n_total FROM tc)
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(SUM(CAST(c AS DECIMAL(12,0)) *
+                        CAST(ROUND(-log2(CAST(n_tok AS DOUBLE)
+                                         / CAST(n_total AS DOUBLE)), 9)
+                             AS DECIMAL(20,12))) AS DOUBLE)
+                 AS total_bits
+        FROM pdt JOIN tc USING (tok) CROSS JOIN tot
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """
+    # leak1: train vs held-out 5-gram overlap under the split1 gate —
+    # both sides corpus-sized, keyed join on the 60-bit gram hash
+    q["leak1_cross_split_leakage"] = f"""
+        WITH base AS (
+          SELECT doc_id,
+                 CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                           % 100 < 80 THEN 'train'
+                      WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                           % 100 < 90 THEN 'val'
+                      ELSE 'test' END AS split,
+                 {_TOKS} AS l
+          FROM documents WHERE text IS NOT NULL
+        ),
+        g AS (
+          SELECT doc_id, split,
+                 unnest(list_distinct(list_transform(
+                   generate_series(1, len(l) - 4),
+                   i -> l[i] || chr(1) || l[i+1] || chr(1) || l[i+2]
+                        || chr(1) || l[i+3] || chr(1) || l[i+4]))) AS g
+          FROM base WHERE len(l) >= 5
+        ),
+        tr AS (
+          SELECT DISTINCT ('0x' || substr(md5(g), 1, 15))::BIGINT AS gh
+          FROM g WHERE split = 'train'
+        ),
+        hd AS (
+          SELECT doc_id, split, ('0x' || substr(md5(g), 1, 15))::BIGINT AS gh
+          FROM g WHERE split <> 'train'
+        )
+        SELECT doc_id, split, CAST(COUNT(*) AS BIGINT) AS n_leaked_ngrams
+        FROM hd JOIN tr USING (gh)
+        GROUP BY 1, 2
+        ORDER BY doc_id
     """
     # asof1: the same union + keyed-window composition the Spark side
     # runs — last_value(... IGNORE NULLS) carries the latest prior view

@@ -557,6 +557,88 @@ def decon1_benchmark_overlap(
     )
 
 
+def ppl1_unigram_logloss(documents: DataFrame) -> DataFrame:
+    """Per-document average unigram log-loss (bits/token) under the
+    corpus's own unigram LM — the cheapest perplexity proxy a data
+    pipeline runs: high log-loss flags unusual/garbled text, low flags
+    boilerplate; both ends feed quality filtering and curriculum
+    weighting.
+
+    Determinism contract (the decay1/pr1 discipline for transcendental
+    math): −log2(count/total) is computed once per DISTINCT token —
+    both engines divide the same exact integers and take the same libm
+    log2 — then rounded to 9 dp BEFORE the per-doc weighted sum, which
+    runs in DECIMAL (exact, order-independent). The output is the EXACT
+    total (total_bits, decimal→double, deterministic) next to n_tokens
+    rather than a rounded average: dividing 9-dp-granular sums by
+    integer counts lands on half-way rounding boundaries systematically,
+    where Spark's BigDecimal HALF_UP and DuckDB's scaled-double round
+    disagree — the caller divides if an average is wanted.
+
+    Plan: one (doc, tok) combining agg + one tok-keyed count agg joined
+    back on tok (two keyed shuffles), the 1-row total broadcast — no
+    corpus-wide window, no driver data."""
+    toks = documents.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.explode(_norm_tokens()).alias("tok")
+    )
+    per_doc_tok = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tok_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
+    total = tok_counts.agg(F.sum("n_tok").alias("n_total"))
+    # decimal widths chosen so the product KEEPS scale 12: Spark caps
+    # decimal precision at 38 and sheds scale on overflow — a
+    # (28,12)×(28,12) product would silently round to 6 dp
+    bits = F.round(
+        -F.log2(F.col("n_tok").cast("double") / F.col("n_total")), 9
+    ).cast("decimal(20,12)")
+    contrib = F.col("c").cast("decimal(12,0)") * bits
+    return (
+        per_doc_tok.join(tok_counts, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(contrib).cast("double").alias("total_bits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def leak1_cross_split_leakage(documents: DataFrame, n: int = 5) -> DataFrame:
+    """Cross-split contamination audit: word n-grams shared between a
+    TRAIN document and a VAL/TEST document under the repo's leakage-safe
+    split (corpus_prep.split_expr) — the check that the held-out sets
+    are textually disjoint from training data, per held-out doc.
+
+    decon1 audits against an external benchmark (small, broadcast);
+    this audits train vs held-out WITHIN the corpus, so BOTH sides
+    scale with the corpus — the join is a keyed shuffle on the 60-bit
+    n-gram hash (narrow keys, each side deduped first), never a
+    broadcast. Output: one row per held-out doc with ≥1 leaked n-gram."""
+    from csv_crm_upload_spark.plans.corpus_prep import split_expr
+
+    base = documents.filter(F.col("text").isNotNull()).withColumn(
+        "split", split_expr()
+    )
+    grams = F.explode(F.array_distinct(_word_ngrams(_norm_tokens(), n)))
+    gh = F.conv(F.substring(F.md5(F.col("g")), 1, 15), 16, 10).cast("long").alias("gh")
+    train = (
+        base.filter(F.col("split") == "train").select(grams.alias("g")).select(gh).distinct()
+    )
+    held = (
+        base.filter(F.col("split") != "train")
+        .select("doc_id", "split", grams.alias("g"))
+        .select("doc_id", "split", gh)
+    )
+    return (
+        held.join(train, "gh")
+        .groupBy("doc_id", "split")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_leaked_ngrams"))
+        .orderBy("doc_id")
+    )
+
+
 def chunk1_doc_chunks(
     documents: DataFrame, chunk: int = 64, stride: int = 48
 ) -> DataFrame:
