@@ -292,6 +292,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leak1_cross_split_leakage": lambda s, sf: ts.leak1_cross_split_leakage(
             _t("documents")(s, sf)
         ),
+        # per-source unigram KL vs corpus (mixture-drift diagnostic)
+        "drift1_source_token_kl": lambda s, sf: ts.drift1_source_token_kl(
+            _t("documents")(s, sf)
+        ),
         "t10_tfidf_top_terms": lambda s, sf: ts.t10_tfidf_top_terms(_t("documents")(s, sf)),
         "samp1_stratified_sample": lambda s, sf: ts.samp1_stratified_sample(_t("documents")(s, sf)),
         "pr1_doc_pagerank": lambda s, sf: dd.pr1_doc_pagerank(_t("documents")(s, sf)),
@@ -2332,6 +2336,28 @@ def oracle_sql() -> dict[str, str]:
         FROM pdt JOIN tc USING (tok) CROSS JOIN tot
         GROUP BY doc_id
         ORDER BY doc_id
+    """
+    # drift1: per-(source, token) KL terms IEEE-identical in both
+    # engines, rounded to 9 dp, decimal-summed (the ppl1 discipline)
+    q["drift1_source_token_kl"] = f"""
+        WITH toks AS (
+          SELECT source, unnest({_TOKS}) AS tok
+          FROM documents WHERE text IS NOT NULL
+        ),
+        st AS (SELECT source, tok, COUNT(*) AS c_st FROM toks GROUP BY 1, 2),
+        s_tot AS (SELECT source, COUNT(*) AS n_s FROM toks GROUP BY 1),
+        ct AS (SELECT tok, COUNT(*) AS c_t FROM toks GROUP BY 1),
+        tot AS (SELECT SUM(c_t) AS n_c FROM ct)
+        SELECT source,
+               CAST(MAX(n_s) AS BIGINT) AS n_tokens,
+               CAST(SUM(CAST(ROUND(
+                 (CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE)) *
+                 log2((CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+                      / (CAST(c_t AS DOUBLE) / CAST(n_c AS DOUBLE))), 9)
+                 AS DECIMAL(20,12))) AS DOUBLE) AS kl_bits
+        FROM st JOIN s_tot USING (source) JOIN ct USING (tok) CROSS JOIN tot
+        GROUP BY source
+        ORDER BY source
     """
     # leak1: train vs held-out 5-gram overlap under the split1 gate —
     # both sides corpus-sized, keyed join on the 60-bit gram hash

@@ -605,6 +605,47 @@ def ppl1_unigram_logloss(documents: DataFrame) -> DataFrame:
     )
 
 
+def drift1_source_token_kl(documents: DataFrame) -> DataFrame:
+    """Per-source KL divergence (bits) of the source's unigram token
+    distribution from the whole corpus's — the mixture-drift diagnostic
+    a data-mixing pipeline watches: a source whose KL jumps between
+    snapshots changed its content character, and sources with extreme
+    KL dominate or starve the mixture weights.
+
+    KL(source ‖ corpus) = Σ_t p_s(t)·log2(p_s(t)/p_c(t)), summed over
+    the source's own tokens only (p_s(t) > 0, and p_c(t) > 0 whenever
+    p_s(t) > 0 since the corpus includes the source — no smoothing
+    needed). Same transcendental-determinism discipline as ppl1: each
+    term is IEEE-identical in both engines, rounded to 9 dp, summed in
+    DECIMAL; the exact total ships (kl_bits), not a rounded average.
+
+    Plan: three combining aggs (source×token, source, token) + one
+    keyed join back on tok and a broadcast of the 1-row corpus total —
+    everything hash-partitions on small keys; no windows, no driver
+    data."""
+    toks = documents.filter(F.col("text").isNotNull()).select(
+        "source", F.explode(_norm_tokens()).alias("tok")
+    )
+    st = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c_st"))
+    s_tot = toks.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    ct = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c_t"))
+    tot = ct.agg(F.sum("c_t").alias("n_c"))
+    p_s = F.col("c_st").cast("double") / F.col("n_s").cast("double")
+    p_c = F.col("c_t").cast("double") / F.col("n_c").cast("double")
+    term = F.round(p_s * F.log2(p_s / p_c), 9).cast("decimal(20,12)")
+    return (
+        st.join(s_tot, "source")
+        .join(ct, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.max("n_s").cast("long").alias("n_tokens"),
+            F.sum(term).cast("double").alias("kl_bits"),
+        )
+        .orderBy("source")
+    )
+
+
 def leak1_cross_split_leakage(documents: DataFrame, n: int = 5) -> DataFrame:
     """Cross-split contamination audit: word n-grams shared between a
     TRAIN document and a VAL/TEST document under the repo's leakage-safe
