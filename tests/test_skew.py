@@ -1,79 +1,88 @@
-"""Salting operators: exact equivalence to their unsalted forms on a
-PLANTED hot key (one key holding half the table), plus plan shape —
-the heavy stage must partition on (key, salt), which is the whole
-point."""
+"""Skew utilities: salted join and two-phase agg must be result-identical
+to their plain counterparts on skewed data, and the salted plan must
+actually spread the hot key."""
 
 from __future__ import annotations
 
-import re
-
 from pyspark.sql import functions as F
 
-from csv_crm_upload_spark.operators.skew import salted_count_distinct, salted_join
+from csv_crm_upload_spark.operators.skew import salted_join, two_phase_agg
 
 
-def _skewed_events(spark, n=20_000, hot_frac=0.5):
-    """user_id 7 owns `hot_frac` of all rows; values repeat so distinct
-    counting is non-trivial."""
-    return spark.range(n).select(
-        F.when(F.col("id") % 2 == 0, F.lit(7))
-        .otherwise(F.pmod(F.col("id"), 97))
-        .alias("user_id"),
-        F.pmod(F.col("id") * 31, 4096).alias("item_id"),
-        (F.col("id") % 13).cast("double").alias("value"),
+def _skewed(spark):
+    # 5000 rows on hot key 1, a few on others
+    hot = spark.range(5000).select(F.lit(1).alias("k"), F.col("id").alias("v"))
+    cold = spark.range(50).select((F.col("id") % 7 + 2).alias("k"), F.col("id").alias("v"))
+    return hot.unionAll(cold)
+
+
+def test_salted_join_matches_plain_join(spark):
+    big = _skewed(spark)
+    small = spark.createDataFrame([(1, "hot"), (2, "a"), (3, "b"), (99, "unused")], ["k", "label"])
+    plain = big.join(small, "k").groupBy("k", "label").count()
+    salted = salted_join(big, small, "k", n_salts=8).groupBy("k", "label").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_left(spark):
+    big = _skewed(spark)
+    small = spark.createDataFrame([(2, "a")], ["k", "label"])
+    plain = big.join(small, "k", "left")
+    salted = salted_join(big, small, "k", n_salts=4, how="left")
+    assert plain.count() == salted.count()
+    assert salted.filter(F.col("label").isNull()).count() == plain.filter(F.col("label").isNull()).count()
+
+
+def test_two_phase_agg_matches_plain(spark):
+    df = _skewed(spark)
+    plain = df.groupBy("k").agg(
+        F.sum(F.col("v").cast("decimal(28,6)")).cast("double").alias("total"),
+        F.count(F.lit(1)).alias("cnt"),
     )
+    twop = two_phase_agg(df, "k", "v", n_salts=8)
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, twop.collect()))
 
 
 def test_salted_count_distinct_is_exact_under_skew(spark):
-    df = _skewed_events(spark)
+    """Distincts don't combine, so this is the aggregate two_phase_agg
+    can't cover: the value-hash salt partitions the distinct set, and
+    the result must EQUAL plain COUNT(DISTINCT) — while stage 1
+    partitions on (key, _salt), spreading the hot key."""
+    import re
+
+    from csv_crm_upload_spark.operators.skew import salted_count_distinct
+
+    df = _skewed(spark).withColumn("item", F.pmod(F.col("v") * 31, 409))
     got = {
-        (r["user_id"], r["n_distinct"])
-        for r in salted_count_distinct(df, ["user_id"], "item_id").collect()
+        (r["k"], r["n_distinct"])
+        for r in salted_count_distinct(df, ["k"], "item").collect()
     }
     want = {
-        (r["user_id"], r["n_distinct"])
-        for r in df.groupBy("user_id")
-        .agg(F.count_distinct("item_id").cast("long").alias("n_distinct"))
+        (r["k"], r["n_distinct"])
+        for r in df.groupBy("k")
+        .agg(F.count_distinct("item").cast("long").alias("n_distinct"))
         .collect()
     }
     assert got == want and len(got) > 1
 
-    # the hot key really is hot, and stage 1 spreads it: the partial agg
-    # partitions on (user_id, _salt), not user_id alone
-    salted = salted_count_distinct(df, ["user_id"], "item_id")
-    plan = salted._jdf.queryExecution().executedPlan().toString()
-    assert re.search(r"hashpartitioning\(user_id#\d+L?, _salt#\d+", plan), plan[:1200]
-
-
-def test_salted_join_equals_plain_join_under_skew(spark):
-    facts = _skewed_events(spark)
-    dim = spark.range(97).select(
-        F.col("id").alias("user_id"), F.concat(F.lit("seg_"), F.col("id") % 5).alias("segment")
+    plan = (
+        salted_count_distinct(df, ["k"], "item")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
     )
-    got = sorted(
-        map(tuple, salted_join(facts, dim, "user_id", n_salts=8).collect())
-    )
-    want = sorted(
-        map(
-            tuple,
-            facts.join(dim, "user_id")
-            .select(*facts.columns, "segment")
-            .collect(),
-        )
-    )
-    assert got == want and len(got) > 0
-
-    # the join key carries the salt
-    sj = salted_join(facts, dim, "user_id", n_salts=8)
-    plan = sj._jdf.queryExecution().executedPlan().toString()
-    assert "_salt" in plan
+    assert re.search(r"hashpartitioning\(k#\d+L?, _salt#\d+", plan), plan[:1200]
 
 
-def test_salted_join_left_keeps_unmatched_facts(spark):
-    facts = _skewed_events(spark, n=1000)
-    dim = spark.range(5).select(  # most users unmatched
-        F.col("id").alias("user_id"), F.lit("x").alias("segment")
+def test_salt_actually_spreads_hot_key(spark):
+    df = _skewed(spark)
+    from csv_crm_upload_spark.operators.skew import _salt_col
+
+    salts = (
+        df.filter(F.col("k") == 1)
+        .withColumn("_salt", _salt_col(df, "k", 8))
+        .select("_salt")
+        .distinct()
+        .count()
     )
-    got = salted_join(facts, dim, "user_id", n_salts=4, how="left")
-    want = facts.join(dim, "user_id", "left").select(*facts.columns, "segment")
-    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert salts == 8  # the hot key's rows land in all salt buckets
