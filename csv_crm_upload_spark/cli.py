@@ -166,6 +166,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     pp.add_argument("--budget", type=int, default=512, help="tokens per training bin")
     pp.add_argument("--shards", type=int, default=None, help="sub-streams per source")
+    pp.add_argument(
+        "--materialize",
+        action="store_true",
+        help="also land the packed corpus WITH text under <out>/corpus, "
+        "hive-partitioned by (split, source) — the trainer-readable artifact",
+    )
 
     args = p.parse_args(argv)
 
@@ -187,21 +193,30 @@ def main(argv: list[str] | None = None) -> int:
         from pyspark.sql import functions as F
 
         pairs = load_dedup_index(spark, args.pairs_index) if args.pairs_index else None
-        manifest = prepare_training_corpus(
-            spark.read.parquet(args.docs),
-            pairs=pairs,
-            pack_budget=args.budget,
-            n_shards=args.shards,
-        )
-        manifest.write.mode("overwrite").parquet(args.out)
+        docs = spark.read.parquet(args.docs)
+        if args.materialize:
+            from csv_crm_upload_spark.plans.corpus_prep import write_training_corpus
+
+            write_training_corpus(
+                docs, args.out, pairs=pairs,
+                pack_budget=args.budget, n_shards=args.shards,
+            )
+            manifest_path = f"{args.out}/manifest"
+        else:
+            manifest = prepare_training_corpus(
+                docs, pairs=pairs, pack_budget=args.budget, n_shards=args.shards
+            )
+            manifest.write.mode("overwrite").parquet(args.out)
+            manifest_path = args.out
         counts = {
             r["split"]: r["n"]
-            for r in spark.read.parquet(args.out)
+            for r in spark.read.parquet(manifest_path)
             .groupBy("split")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
-        print(f"manifest={args.out} splits={counts}")
+        tag = " corpus=written" if args.materialize else ""
+        print(f"manifest={manifest_path} splits={counts}{tag}")
         return 0
     if args.cmd == "search":
         from csv_crm_upload_spark.analytics import retrieval as rtr

@@ -87,3 +87,22 @@ def test_cli_prep_writes_manifest(spark, tmp_path, capsys, sf_dir):
     a = sorted(map(tuple, spark.read.parquet(out).collect()))
     b = sorted(map(tuple, spark.read.parquet(out2).collect()))
     assert a == b
+
+
+def test_cli_prep_materialize_writes_corpus(spark, tmp_path, capsys, sf_dir):
+    """--materialize lands the trainer-readable artifact: manifest under
+    <out>/manifest plus packed rows WITH text partitioned by (split,
+    source); manifest rows agree with the manifest-only run."""
+    import os
+
+    docs = f"{sf_dir}/documents.parquet"
+    out = str(tmp_path / "artifact")
+    assert main(["prep", "--docs", docs, "--out", out, "--materialize"]) == 0
+    printed = capsys.readouterr().out
+    assert "corpus=written" in printed
+    splits = {d for d in os.listdir(f"{out}/corpus") if d.startswith("split=")}
+    assert splits == {"split=train", "split=val", "split=test"}
+    corpus = spark.read.parquet(f"{out}/corpus")
+    manifest = spark.read.parquet(f"{out}/manifest")
+    assert corpus.count() == manifest.count() > 0
+    assert "text" in corpus.columns
