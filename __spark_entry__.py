@@ -228,9 +228,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     38 remaining never-driver-verified oracle-paired queries (t10..rrf1)
     — all green in CORRECTNESS_r04. Round 5 (this file): the final six
     never-driver-sampled oracle-paired queries (`stat1`, `unpiv1`,
-    `samp2`, `kmeans1`, `prep1`, `dd3`) take slots 13-18, closing the
-    driver-verification ledger at 130/130; slots 19-50 re-sample round-4
-    keys. sim_knn_ivf/pq1/hll1/mm2/mm3/approx_* are oracle-free
+    `samp2`, `kmeans1`, `prep1`, `dd3`) take slots 13-18 — closing the
+    prior ledger — followed by the SEVEN new round-5 oracle-paired
+    operators (`asof1`, `sess1`, `fun1`, `skw1`, `ppl1`, `leak1`,
+    `drift1`) in slots 19-25; slots 26-50 re-sample round-4 keys.
+    sim_knn_ivf/pq1/ivfpq1/hll1/mm2/mm3/approx_* are oracle-free
     rows-only whenever sampled."""
     return {
         # reference-faithful core (SURVEY §2 ids) — pinned slots 1-12
