@@ -298,6 +298,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift1_source_token_kl": lambda s, sf: ts.drift1_source_token_kl(
             _t("documents")(s, sf)
         ),
+        # feature-hashed BoW document vectors (model-free text→vector)
+        "fh1_feature_hash_embed": lambda s, sf: ts.fh1_feature_hash_embed(
+            _t("documents")(s, sf)
+        ),
         "t10_tfidf_top_terms": lambda s, sf: ts.t10_tfidf_top_terms(_t("documents")(s, sf)),
         "samp1_stratified_sample": lambda s, sf: ts.samp1_stratified_sample(_t("documents")(s, sf)),
         "pr1_doc_pagerank": lambda s, sf: dd.pr1_doc_pagerank(_t("documents")(s, sf)),
@@ -2338,6 +2342,26 @@ def oracle_sql() -> dict[str, str]:
         FROM pdt JOIN tc USING (tok) CROSS JOIN tot
         GROUP BY doc_id
         ORDER BY doc_id
+    """
+    # fh1: signed feature hashing — md5_60 integer convention; DuckDB's
+    # % is remainder (can be negative) so pmod is spelled ((x % m) + m) % m
+    q["fh1_feature_hash_embed"] = f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_TOKS}) AS tok
+          FROM documents WHERE text IS NOT NULL
+        ),
+        hashed AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS dim,
+                 CASE WHEN (('0x' || substr(md5(tok), 1, 15))::BIGINT // 64) % 2 = 0
+                      THEN 1 ELSE -1 END AS sign
+          FROM toks
+        )
+        SELECT doc_id, dim, CAST(SUM(sign) AS BIGINT) AS weight
+        FROM hashed
+        GROUP BY doc_id, dim
+        HAVING SUM(sign) <> 0
+        ORDER BY doc_id, dim
     """
     # drift1: per-(source, token) KL terms IEEE-identical in both
     # engines, rounded to 9 dp, decimal-summed (the ppl1 discipline)

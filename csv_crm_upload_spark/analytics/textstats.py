@@ -605,6 +605,40 @@ def ppl1_unigram_logloss(documents: DataFrame) -> DataFrame:
     )
 
 
+def fh1_feature_hash_embed(documents: DataFrame, dim: int = 64) -> DataFrame:
+    """Feature-hashed bag-of-words document vectors (the hashing trick,
+    Weinberger et al., "Feature Hashing for Large Scale Multitask
+    Learning", ICML 2009) — model-free text→vector embedding INSIDE the
+    engine: each token hashes to a dimension and a ±1 sign; the doc's
+    vector is the signed count per dimension. The signed hash keeps the
+    estimator unbiased under collisions; no vocabulary is built, so the
+    op is one explode + one combining shuffle regardless of corpus size
+    — the embedding generator that feeds the ANN family when no model
+    is available.
+
+    LONG form (doc_id, dim, weight), the repo's oracle convention for
+    vector outputs (cf. emb_label_centroids); cancelled dimensions
+    (collision sum = 0) are dropped. Hash = the md5_60 integer
+    convention shared with the oracle: dim = h mod `dim`, sign from the
+    next bit."""
+    toks = documents.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.explode(_norm_tokens()).alias("tok")
+    )
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    d = F.pmod(h, F.lit(dim))
+    # sign bit via shiftright, NOT h/dim: double division loses the low
+    # bits of a 60-bit hash (53-bit mantissa) and flips parities
+    sign_bit = F.shiftright(h, dim.bit_length() - 1).bitwiseAND(F.lit(1))
+    sign = F.when(sign_bit == 0, F.lit(1)).otherwise(F.lit(-1))
+    return (
+        toks.select("doc_id", d.alias("dim"), sign.alias("sign"))
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("sign").cast("long").alias("weight"))
+        .filter(F.col("weight") != 0)
+        .orderBy("doc_id", "dim")
+    )
+
+
 def drift1_source_token_kl(documents: DataFrame) -> DataFrame:
     """Per-source KL divergence (bits) of the source's unigram token
     distribution from the whole corpus's — the mixture-drift diagnostic
