@@ -387,14 +387,16 @@ def save_dedup_index(
 
 def load_dedup_index(spark, path: str) -> DataFrame:
     """The persisted (doc_a, doc_b, est_jaccard) near-dup pair table —
-    the union of all committed epochs (manifest-resolved, so a racing
-    update is invisible: old-or-new, never a partial epoch)."""
+    the union of the committed epochs in [base_epoch, epoch]
+    (manifest-resolved, so a racing update OR compaction is invisible:
+    old-or-new, never a partial epoch)."""
     from csv_crm_upload_spark.operators.manifest import read_manifest
 
-    epoch = read_manifest(path)["epoch"]
+    m = read_manifest(path)
+    epoch, base = m["epoch"], m.get("base_epoch", 0)
     return (
         spark.read.parquet(f"{path}/pairs")
-        .filter(F.col("epoch") <= epoch)
+        .filter((F.col("epoch") >= base) & (F.col("epoch") <= epoch))
         .drop("epoch")
     )
 
@@ -442,10 +444,11 @@ def update_dedup_index(new_documents: DataFrame, path: str) -> None:
         if not new_sig.limit(1).count():
             return  # nothing with content — clean no-op before any write
         nxt = epoch + 1
+        base = m.get("base_epoch", 0)
         new_bands = _band_buckets(new_sig).persist()
         old_bands = (
             spark.read.parquet(f"{path}/bands")
-            .filter(F.col("epoch") <= epoch)
+            .filter((F.col("epoch") >= base) & (F.col("epoch") <= epoch))
             .drop("epoch")
         )
         all_bands = _filter_hot_buckets(
@@ -464,7 +467,7 @@ def update_dedup_index(new_documents: DataFrame, path: str) -> None:
         )
         old_sig = (
             spark.read.parquet(f"{path}/signatures")
-            .filter(F.col("epoch") <= epoch)
+            .filter((F.col("epoch") >= base) & (F.col("epoch") <= epoch))
             .drop("epoch")
         )
         all_sig = old_sig.unionByName(new_sig)
@@ -479,6 +482,41 @@ def update_dedup_index(new_documents: DataFrame, path: str) -> None:
         new_bands.unpersist()
     finally:
         new_sig.unpersist()
+
+
+def compact_dedup_index(spark, path: str) -> bool:
+    """OPTIMIZE for the pair index: fold every epoch in [base_epoch,
+    epoch] of pairs, signatures, AND bands into one new epoch, advancing
+    base_epoch in the same single-manifest commit the appends use —
+    atomic; racing readers see the old chain or the compacted one.
+    Restores the one-dir read shape appends gradually erode. Returns
+    False when already compact."""
+    from csv_crm_upload_spark.operators.manifest import (
+        commit_manifest,
+        read_manifest,
+        remove_orphan_epochs,
+    )
+
+    m = read_manifest(path)
+    epoch, base = m["epoch"], m.get("base_epoch", 0)
+    remove_orphan_epochs(path, ["pairs", "signatures", "bands"], epoch)
+    if base == epoch:
+        return False
+    nxt = epoch + 1
+    live = lambda sub: (
+        spark.read.parquet(f"{path}/{sub}")
+        .filter((F.col("epoch") >= base) & (F.col("epoch") <= epoch))
+        .drop("epoch")
+    )
+    live("pairs").write.mode("overwrite").parquet(f"{path}/pairs/epoch={nxt}")
+    live("signatures").write.mode("overwrite").parquet(
+        f"{path}/signatures/epoch={nxt}"
+    )
+    live("bands").write.mode("overwrite").partitionBy("band").parquet(
+        f"{path}/bands/epoch={nxt}"
+    )
+    commit_manifest(path, {**m, "epoch": nxt, "base_epoch": nxt})
+    return True
 
 
 def pr1_doc_pagerank(

@@ -182,6 +182,35 @@ def _load_centroids(spark, path: str, centroid_epoch: int | None = None) -> np.n
     return np.array([r["centroid"] for r in rows], dtype=np.float64)
 
 
+def compact_index(spark, path: str) -> bool:
+    """OPTIMIZE for the IVF index: fold the live cell epochs into one
+    new epoch (still partitioned BY cell_id) and advance base_epoch in
+    one manifest commit — atomic, quantizers untouched. Returns False
+    when already compact."""
+    from csv_crm_upload_spark.operators.manifest import (
+        commit_manifest,
+        read_manifest,
+        remove_orphan_epochs,
+    )
+
+    m = read_manifest(path)
+    epoch, base = m["epoch"], m.get("base_epoch", 0)
+    remove_orphan_epochs(path, ["cells"], epoch)
+    if base == epoch:
+        return False
+    nxt = epoch + 1
+    (
+        spark.read.parquet(f"{path}/cells")
+        .filter((F.col("epoch") >= base) & (F.col("epoch") <= epoch))
+        .drop("epoch")
+        .write.mode("overwrite")
+        .partitionBy("cell_id")
+        .parquet(f"{path}/cells/epoch={nxt}")
+    )
+    commit_manifest(path, {**m, "epoch": nxt, "base_epoch": nxt})
+    return True
+
+
 def load_index(spark, path: str) -> tuple[np.ndarray, DataFrame]:
     """(centroid matrix, cell-assignment DataFrame) from a saved index —
     the union of the committed epochs in [base_epoch, epoch],

@@ -362,6 +362,36 @@ def _load_means(spark, path: str, centroid_epoch: int) -> np.ndarray:
     return np.array([r[key] for r in rows], dtype=np.float64)
 
 
+def compact_ivfpq_index(spark, path: str) -> bool:
+    """OPTIMIZE for the IVF-PQ index: fold the live code epochs into one
+    new epoch (still partitioned BY cell_id, so probes keep their
+    pruning) and advance base_epoch in one manifest commit — atomic,
+    both quantizers untouched. Returns False when already compact."""
+    from csv_crm_upload_spark.operators.manifest import (
+        commit_manifest,
+        read_manifest,
+        remove_orphan_epochs,
+    )
+
+    man = read_manifest(path)
+    epoch, base = man["epoch"], man.get("base_epoch", 0)
+    remove_orphan_epochs(path, ["codes"], epoch)
+    if base == epoch:
+        return False
+    nxt = epoch + 1
+    (
+        spark.read.option("basePath", f"{path}/codes")
+        .parquet(f"{path}/codes")
+        .filter((F.col("epoch") >= base) & (F.col("epoch") <= epoch))
+        .select("vec_id", "codes", "cell_id")
+        .write.mode("overwrite")
+        .partitionBy("cell_id")
+        .parquet(f"{path}/codes/epoch={nxt}")
+    )
+    commit_manifest(path, {**man, "epoch": nxt, "base_epoch": nxt})
+    return True
+
+
 def ivfpq_search(
     spark,
     path: str,

@@ -379,6 +379,34 @@ def _load_codebooks(spark, path: str, codebook_epoch: int | None = None) -> np.n
     return books
 
 
+def compact_pq_index(spark, path: str) -> bool:
+    """OPTIMIZE for the PQ index: fold the live code epochs into one new
+    epoch and advance base_epoch in one manifest commit — atomic, the
+    codec untouched. Returns False when already compact."""
+    from csv_crm_upload_spark.operators.manifest import (
+        commit_manifest,
+        read_manifest,
+        remove_orphan_epochs,
+    )
+
+    man = read_manifest(path)
+    epoch, base = man["epoch"], man.get("base_epoch", 0)
+    remove_orphan_epochs(path, ["codes"], epoch)
+    if base == epoch:
+        return False
+    nxt = epoch + 1
+    (
+        spark.read.option("basePath", f"{path}/codes")
+        .parquet(f"{path}/codes")
+        .filter((F.col("epoch") >= base) & (F.col("epoch") <= epoch))
+        .select("vec_id", "codes")
+        .write.mode("overwrite")
+        .parquet(f"{path}/codes/epoch={nxt}")
+    )
+    commit_manifest(path, {**man, "epoch": nxt, "base_epoch": nxt})
+    return True
+
+
 def load_pq_index(spark, path: str) -> tuple[np.ndarray, DataFrame]:
     """(codebook tensor, codes DataFrame) from a saved index — the union
     of the committed epochs in [base_epoch, epoch], manifest-resolved so

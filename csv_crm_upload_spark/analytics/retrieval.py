@@ -279,6 +279,46 @@ def read_index_stats(spark, path: str):
     return spark.read.parquet(f"{path}/stats/epoch={epoch}").first()
 
 
+def compact_text_index(spark, path: str) -> bool:
+    """OPTIMIZE for the inverted index: fold every postings epoch in
+    [base_epoch, epoch] into ONE new epoch and advance base_epoch with
+    the same single-manifest commit the appends use — atomic, racing
+    probes see the old epoch chain or the compacted one, never a mix.
+
+    Appends are O(new docs) but each leaves an epoch dir; probe cost
+    grows with the epoch count (more files under every pruned bucket).
+    Compaction restores the one-dir-per-bucket read shape. dfreq/stats
+    are already full per-epoch SNAPSHOTS, so they rewrite as-is. Stale
+    pre-compaction epochs stay on disk for readers holding the old
+    manifest (harmless garbage, superseded at the next compaction).
+    Returns False (no-op) when the index is already compact."""
+    m = _read_manifest(path)
+    epoch, n_buckets = m["epoch"], m["n_buckets"]
+    base = m.get("base_epoch", 0)
+    remove_orphan_epochs(path, ["postings", "dfreq", "stats"], epoch)
+    if base == epoch:
+        return False  # single live epoch — nothing to fold
+    nxt = epoch + 1
+    (
+        spark.read.parquet(f"{path}/postings")
+        .filter((F.col("epoch") >= base) & (F.col("epoch") <= epoch))
+        .drop("epoch")
+        .write.mode("overwrite")
+        .partitionBy("tok_bucket")
+        .parquet(f"{path}/postings/epoch={nxt}")
+    )
+    spark.read.parquet(f"{path}/dfreq/epoch={epoch}").write.mode(
+        "overwrite"
+    ).partitionBy("tok_bucket").parquet(f"{path}/dfreq/epoch={nxt}")
+    spark.read.parquet(f"{path}/stats/epoch={epoch}").write.mode("overwrite").parquet(
+        f"{path}/stats/epoch={nxt}"
+    )
+    commit_manifest(
+        path, {"epoch": nxt, "base_epoch": nxt, "n_buckets": n_buckets}
+    )
+    return True
+
+
 def bm25_search_indexed(
     spark,
     index_path: str,
@@ -301,6 +341,7 @@ def bm25_search_indexed(
     qdf = _query_terms_df(spark, queries)
     m = _read_manifest(index_path)
     epoch, n_buckets = m["epoch"], m["n_buckets"]
+    base = m.get("base_epoch", 0)  # compaction floor (compact_text_index)
     stats = spark.read.parquet(f"{index_path}/stats/epoch={epoch}")
     q_buckets = qdf.select(
         "query_id", "tok", F.pmod(F.hash("tok"), F.lit(n_buckets)).alias("tok_bucket")
@@ -308,7 +349,11 @@ def bm25_search_indexed(
     wanted = sorted({r["tok_bucket"] for r in q_buckets.select("tok_bucket").distinct().collect()})
     postings = (
         spark.read.parquet(f"{index_path}/postings")
-        .filter((F.col("epoch") <= epoch) & F.col("tok_bucket").isin(wanted))
+        .filter(
+            (F.col("epoch") >= base)
+            & (F.col("epoch") <= epoch)
+            & F.col("tok_bucket").isin(wanted)
+        )
         .drop("epoch")
     )
     dfreq = spark.read.parquet(f"{index_path}/dfreq/epoch={epoch}").filter(

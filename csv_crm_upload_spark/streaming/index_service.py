@@ -48,6 +48,13 @@ class CorpusIndexService:
         skips that index.
     cursor_path: where the processed-shard cursor lives; defaults to
         `<first drop dir>/_index_service_cursor.json`.
+    compact_after: auto-OPTIMIZE threshold — after folding, any
+        registered index whose live epoch chain has grown past this many
+        appends (epoch − base_epoch ≥ compact_after) is compacted back
+        to one epoch via its compact_* entry point (each a single
+        atomic manifest commit). None disables. This is the read-side
+        half of the maintenance loop: appends keep writes O(new docs),
+        compaction keeps probes O(one dir per partition).
     """
 
     def __init__(
@@ -61,6 +68,7 @@ class CorpusIndexService:
         pq_index: str | None = None,
         ivfpq_index: str | None = None,
         cursor_path: str | None = None,
+        compact_after: int | None = None,
     ) -> None:
         if docs_dir is None and emb_dir is None:
             raise ValueError("at least one of docs_dir/emb_dir is required")
@@ -75,6 +83,7 @@ class CorpusIndexService:
         self.cursor_path = cursor_path or os.path.join(
             docs_dir or emb_dir, "_index_service_cursor.json"
         )
+        self.compact_after = compact_after
         self._seen: set[str] = set()
         if os.path.exists(self.cursor_path):
             with open(self.cursor_path) as f:
@@ -148,4 +157,39 @@ class CorpusIndexService:
 
         if folded["docs"] or folded["embeddings"]:
             self._commit_cursor()
+        if self.compact_after is not None:
+            self._maybe_compact()
         return folded
+
+    def _maybe_compact(self) -> None:
+        """OPTIMIZE any registered index whose live epoch chain has
+        outgrown `compact_after` appends — each compactor is its own
+        atomic manifest commit, so a crash between indexes leaves every
+        index individually consistent."""
+        from csv_crm_upload_spark.operators.manifest import read_manifest
+
+        compactors = []
+        if self.text_index is not None:
+            from csv_crm_upload_spark.analytics.retrieval import compact_text_index
+
+            compactors.append((self.text_index, compact_text_index))
+        if self.dedup_index is not None:
+            from csv_crm_upload_spark.analytics.dedup import compact_dedup_index
+
+            compactors.append((self.dedup_index, compact_dedup_index))
+        if self.ivf_index is not None:
+            from csv_crm_upload_spark.analytics.ivf import compact_index
+
+            compactors.append((self.ivf_index, compact_index))
+        if self.pq_index is not None:
+            from csv_crm_upload_spark.analytics.pq import compact_pq_index
+
+            compactors.append((self.pq_index, compact_pq_index))
+        if self.ivfpq_index is not None:
+            from csv_crm_upload_spark.analytics.ivfpq import compact_ivfpq_index
+
+            compactors.append((self.ivfpq_index, compact_ivfpq_index))
+        for path, compactor in compactors:
+            m = read_manifest(path)
+            if m["epoch"] - m.get("base_epoch", 0) >= self.compact_after:
+                compactor(self.spark, path)
