@@ -401,7 +401,9 @@ def load_dedup_index(spark, path: str) -> DataFrame:
     )
 
 
-def update_dedup_index(new_documents: DataFrame, path: str) -> None:
+def update_dedup_index(
+    new_documents: DataFrame, path: str, txn: tuple[str, int] | None = None
+) -> None:
     """Incremental maintenance for a corpus APPEND: hash and band ONLY
     the new documents, find every candidate pair with ≥1 new endpoint by
     joining the new band buckets against ALL band buckets (old epochs
@@ -431,10 +433,14 @@ def update_dedup_index(new_documents: DataFrame, path: str) -> None:
         commit_manifest,
         read_manifest,
         remove_orphan_epochs,
+        txn_already_applied,
+        with_txn,
     )
 
     spark = new_documents.sparkSession
     m = read_manifest(path)
+    if txn_already_applied(m, txn):
+        return  # replayed streaming batch: already folded
     epoch, n, threshold = m["epoch"], m["shingle_n"], m["threshold"]
     max_bucket = m.get("max_bucket")
     remove_orphan_epochs(path, ["pairs", "signatures", "bands"], epoch)
@@ -478,7 +484,7 @@ def update_dedup_index(new_documents: DataFrame, path: str) -> None:
         new_bands.write.mode("overwrite").partitionBy("band").parquet(
             f"{path}/bands/epoch={nxt}"
         )
-        commit_manifest(path, {**m, "epoch": nxt})
+        commit_manifest(path, with_txn({**m, "epoch": nxt}, txn))
         new_bands.unpersist()
     finally:
         new_sig.unpersist()

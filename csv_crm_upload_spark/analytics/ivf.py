@@ -140,7 +140,9 @@ def save_index(
     return centroids
 
 
-def update_index(new_embeddings: DataFrame, path: str) -> None:
+def update_index(
+    new_embeddings: DataFrame, path: str, txn: tuple[str, int] | None = None
+) -> None:
     """Incremental IVF maintenance for a corpus APPEND: assign ONLY the
     new vectors to the STORED centroids (the coarse quantizer stays
     fixed on append — standard IVF practice; retraining it is a rebuild)
@@ -151,10 +153,14 @@ def update_index(new_embeddings: DataFrame, path: str) -> None:
         commit_manifest,
         read_manifest,
         remove_orphan_epochs,
+        txn_already_applied,
+        with_txn,
     )
 
     spark = new_embeddings.sparkSession
     m = read_manifest(path)
+    if txn_already_applied(m, txn):
+        return  # replayed streaming batch: already folded
     epoch = m["epoch"]
     remove_orphan_epochs(path, ["cells"], epoch)
     if not new_embeddings.limit(1).count():
@@ -169,7 +175,7 @@ def update_index(new_embeddings: DataFrame, path: str) -> None:
     assign_cells(new_embeddings, centroids).write.mode("overwrite").partitionBy(
         "cell_id"
     ).parquet(f"{path}/cells/epoch={epoch + 1}")
-    commit_manifest(path, {**m, "epoch": epoch + 1})
+    commit_manifest(path, with_txn({**m, "epoch": epoch + 1}, txn))
 
 
 def _load_centroids(spark, path: str, centroid_epoch: int | None = None) -> np.ndarray:

@@ -307,7 +307,9 @@ def save_ivfpq_index(
     )
 
 
-def update_ivfpq_index(new_embeddings: DataFrame, path: str) -> None:
+def update_ivfpq_index(
+    new_embeddings: DataFrame, path: str, txn: tuple[str, int] | None = None
+) -> None:
     """O(new vectors) append: assign + encode ONLY the new vectors with
     the STORED quantizers (both stay fixed on append — retraining either
     is a rebuild) and commit as a new epoch. Wrong-width shards fail
@@ -316,10 +318,14 @@ def update_ivfpq_index(new_embeddings: DataFrame, path: str) -> None:
         commit_manifest,
         read_manifest,
         remove_orphan_epochs,
+        txn_already_applied,
+        with_txn,
     )
 
     spark = new_embeddings.sparkSession
     man = read_manifest(path)
+    if txn_already_applied(man, txn):
+        return  # replayed streaming batch: already folded
     epoch = man["epoch"]
     remove_orphan_epochs(path, ["codes"], epoch)
     if not new_embeddings.limit(1).count():
@@ -340,7 +346,7 @@ def update_ivfpq_index(new_embeddings: DataFrame, path: str) -> None:
     _assign_and_encode(new_embeddings, centroids, books, means=means).write.mode(
         "overwrite"
     ).partitionBy("cell_id").parquet(f"{path}/codes/epoch={epoch + 1}")
-    commit_manifest(path, {**man, "epoch": epoch + 1})
+    commit_manifest(path, with_txn({**man, "epoch": epoch + 1}, txn))
 
 
 def _load_centroids(spark, path: str, centroid_epoch: int) -> np.ndarray:

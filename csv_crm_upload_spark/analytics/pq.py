@@ -329,7 +329,9 @@ def save_pq_index(
     return books
 
 
-def update_pq_index(new_embeddings: DataFrame, path: str) -> None:
+def update_pq_index(
+    new_embeddings: DataFrame, path: str, txn: tuple[str, int] | None = None
+) -> None:
     """Incremental PQ maintenance for a corpus APPEND: encode ONLY the
     new vectors with the STORED codebooks (the codec stays fixed on
     append — retraining it is a rebuild, exactly like IVF's coarse
@@ -339,10 +341,14 @@ def update_pq_index(new_embeddings: DataFrame, path: str) -> None:
         commit_manifest,
         read_manifest,
         remove_orphan_epochs,
+        txn_already_applied,
+        with_txn,
     )
 
     spark = new_embeddings.sparkSession
     man = read_manifest(path)
+    if txn_already_applied(man, txn):
+        return  # replayed streaming batch: already folded
     epoch = man["epoch"]
     remove_orphan_epochs(path, ["codes"], epoch)
     if not new_embeddings.limit(1).count():
@@ -360,7 +366,7 @@ def update_pq_index(new_embeddings: DataFrame, path: str) -> None:
     pq_encode(new_embeddings, books).write.mode("overwrite").parquet(
         f"{path}/codes/epoch={epoch + 1}"
     )
-    commit_manifest(path, {**man, "epoch": epoch + 1})
+    commit_manifest(path, with_txn({**man, "epoch": epoch + 1}, txn))
 
 
 def _load_codebooks(spark, path: str, codebook_epoch: int | None = None) -> np.ndarray:

@@ -204,7 +204,9 @@ def save_text_index(documents: DataFrame, path: str, n_buckets: int = 64) -> Non
         tf.unpersist()
 
 
-def update_text_index(new_documents: DataFrame, path: str) -> None:
+def update_text_index(
+    new_documents: DataFrame, path: str, txn: tuple[str, int] | None = None
+) -> None:
     """Incremental index maintenance for a corpus APPEND: tokenize ONLY
     the new documents, write their postings as a NEW epoch partition,
     and write fully-merged dfreq/stats snapshots for that epoch.
@@ -223,9 +225,18 @@ def update_text_index(new_documents: DataFrame, path: str) -> None:
     Precondition (caller's dedup responsibility, same as any inverted
     index): new_documents' doc_ids are not already indexed — the dedup
     family upstream is exactly the tool for that.
+
+    `txn=(app_id, batch_id)`: replay guard for checkpointed streaming
+    folds — the batch id commits atomically WITH the epoch, so a
+    re-delivered foreachBatch batch no-ops instead of double-indexing
+    (see manifest.txn_already_applied).
     """
+    from csv_crm_upload_spark.operators.manifest import txn_already_applied, with_txn
+
     spark = new_documents.sparkSession
     m = _read_manifest(path)
+    if txn_already_applied(m, txn):
+        return  # replayed batch: already folded, atomic with its epoch
     epoch, n_buckets = m["epoch"], m["n_buckets"]
 
     # self-heal: drop orphan next-epoch dirs left by a crashed update
@@ -268,7 +279,10 @@ def update_text_index(new_documents: DataFrame, path: str) -> None:
             "n_docs long, total_tokens long, avgdl double",
         ).write.mode("overwrite").parquet(f"{path}/stats/epoch={nxt}")
 
-        _commit_manifest(path, nxt, n_buckets)
+        # {**m, ...}: preserve base_epoch (compaction floor) and any
+        # recorded txns — a fresh payload here would resurrect stale
+        # pre-compaction epochs for readers
+        commit_manifest(path, with_txn({**m, "epoch": nxt}, txn))
     finally:
         tf.unpersist()
 
@@ -313,9 +327,7 @@ def compact_text_index(spark, path: str) -> bool:
     spark.read.parquet(f"{path}/stats/epoch={epoch}").write.mode("overwrite").parquet(
         f"{path}/stats/epoch={nxt}"
     )
-    commit_manifest(
-        path, {"epoch": nxt, "base_epoch": nxt, "n_buckets": n_buckets}
-    )
+    commit_manifest(path, {**m, "epoch": nxt, "base_epoch": nxt})
     return True
 
 

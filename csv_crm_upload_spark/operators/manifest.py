@@ -33,6 +33,30 @@ def commit_manifest(path: str, payload: dict) -> None:
     os.replace(tmp, os.path.join(path, "MANIFEST"))
 
 
+def txn_already_applied(manifest: dict, txn: tuple[str, int] | None) -> bool:
+    """True when (app_id, batch_id) is at or below the manifest's last
+    recorded transaction for that app — the replay guard that makes a
+    checkpointed foreachBatch fold EXACTLY-ONCE in effect: the batch id
+    rides the SAME atomic manifest commit as the epoch it folded, so a
+    crash either committed both (replay no-ops) or neither (replay
+    redoes cleanly). The txnAppId pattern of lakehouse streaming writers
+    (cf. operators/store.py merge)."""
+    if txn is None:
+        return False
+    app, batch_id = txn
+    return manifest.get("last_txn", {}).get(app, -1) >= batch_id
+
+
+def with_txn(payload: dict, txn: tuple[str, int] | None) -> dict:
+    """Fold (app_id, batch_id) into a manifest payload about to commit."""
+    if txn is None:
+        return payload
+    app, batch_id = txn
+    last = dict(payload.get("last_txn", {}))
+    last[app] = batch_id
+    return {**payload, "last_txn": last}
+
+
 def remove_orphan_epochs(path: str, subdirs: list[str], current_epoch: int) -> None:
     """Self-heal after a crashed update: drop epoch dirs newer than the
     committed epoch (they were never published; partial files are fine

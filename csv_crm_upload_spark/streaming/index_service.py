@@ -193,3 +193,73 @@ class CorpusIndexService:
             m = read_manifest(path)
             if m["epoch"] - m.get("base_epoch", 0) >= self.compact_after:
                 compactor(self.spark, path)
+
+
+def run_index_maintenance_stream(
+    spark,
+    drop_dir: str,
+    checkpoint_dir: str,
+    kind: str = "documents",
+    text_index: str | None = None,
+    dedup_index: str | None = None,
+    ivf_index: str | None = None,
+    pq_index: str | None = None,
+    ivfpq_index: str | None = None,
+    available_now: bool = True,
+    app_id: str | None = None,
+):
+    """The STRUCTURED-STREAMING twin of CorpusIndexService.tick(): the
+    drop dir becomes a file source, Spark's checkpoint replaces the
+    shard cursor, and each micro-batch folds into the registered
+    indexes via their O(new docs) update paths. Returns the
+    StreamingQuery (availableNow=True drains current files and stops —
+    the finite-run mode; False keeps watching).
+
+    Crash contract — strictly stronger than the cursor service:
+    foreachBatch re-delivers a batch after a crash (at-least-once), and
+    each index's update records (app_id, batch_id) IN the same atomic
+    manifest commit as the epoch it folds (manifest.txn_already_applied)
+    — so a replayed batch no-ops per index and the fold is EXACTLY-ONCE
+    in effect, with no cross-commit window at all. `kind` selects the
+    shard schema: "documents" feeds the text/dedup indexes,
+    "embeddings" feeds the vector indexes."""
+    from csv_crm_upload_spark.schemas import TESTDATA_SCHEMAS
+
+    app = app_id or f"index-maint-{kind}"
+    # recursiveFileLookup: shards land as bare parquet files OR as
+    # directories of part files (df.write.parquet) — pick up both
+    stream = (
+        spark.readStream.schema(TESTDATA_SCHEMAS[kind])
+        .option("recursiveFileLookup", "true")
+        .parquet(drop_dir)
+    )
+
+    def process(batch_df, batch_id: int) -> None:
+        txn = (app, batch_id)
+        if text_index is not None:
+            from csv_crm_upload_spark.analytics.retrieval import update_text_index
+
+            update_text_index(batch_df, text_index, txn=txn)
+        if dedup_index is not None:
+            from csv_crm_upload_spark.analytics.dedup import update_dedup_index
+
+            update_dedup_index(batch_df, dedup_index, txn=txn)
+        if ivf_index is not None:
+            from csv_crm_upload_spark.analytics.ivf import update_index
+
+            update_index(batch_df, ivf_index, txn=txn)
+        if pq_index is not None:
+            from csv_crm_upload_spark.analytics.pq import update_pq_index
+
+            update_pq_index(batch_df, pq_index, txn=txn)
+        if ivfpq_index is not None:
+            from csv_crm_upload_spark.analytics.ivfpq import update_ivfpq_index
+
+            update_ivfpq_index(batch_df, ivfpq_index, txn=txn)
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
