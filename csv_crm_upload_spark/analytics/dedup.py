@@ -347,8 +347,14 @@ def save_dedup_index(
     pair via their other bands; giant exact-duplicate groups belong to
     exact-dedup collapse anyway) is recorded in the manifest as
     `max_bucket` so consumers know the artifact's contract."""
-    from csv_crm_upload_spark.operators.manifest import commit_manifest
+    from csv_crm_upload_spark.operators.manifest import commit_manifest, read_manifest
 
+    # Rebuild over a LIVE index is atomic (same pattern as the vector
+    # indexes): new epoch + base_epoch advance in one commit
+    try:
+        new_epoch = read_manifest(path)["epoch"] + 1
+    except FileNotFoundError:
+        new_epoch = 0
     sig = d_minhash_signatures(documents, n).persist()
     try:
         bands = _band_buckets(sig)
@@ -361,19 +367,20 @@ def save_dedup_index(
             .distinct()
         )
         _verify_pairs(cand, sig, threshold).write.mode("overwrite").parquet(
-            f"{path}/pairs/epoch=0"
+            f"{path}/pairs/epoch={new_epoch}"
         )
-        sig.write.mode("overwrite").parquet(f"{path}/signatures/epoch=0")
+        sig.write.mode("overwrite").parquet(f"{path}/signatures/epoch={new_epoch}")
         # bands are partitioned BY band so an incremental probe joins
         # band-partition to band-partition (UNCAPPED: the stored band
         # table is the full truth; the cap is a candidate-time filter)
         bands.write.mode("overwrite").partitionBy("band").parquet(
-            f"{path}/bands/epoch=0"
+            f"{path}/bands/epoch={new_epoch}"
         )
         commit_manifest(
             path,
             {
-                "epoch": 0,
+                "epoch": new_epoch,
+                "base_epoch": new_epoch,
                 "shingle_n": n,
                 "threshold": float(threshold),
                 "minhash_k": MINHASH_K,

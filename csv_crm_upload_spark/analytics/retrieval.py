@@ -188,18 +188,30 @@ def save_text_index(documents: DataFrame, path: str, n_buckets: int = 64) -> Non
     layout is self-consistent, but unlike the md5-derived arithmetic in
     the oracle-visible queries it is NOT portable across engines — a
     non-Spark reader must re-derive buckets with Spark's Murmur3."""
+    # Rebuild over a LIVE index is atomic (same pattern as the vector
+    # indexes): new epoch + base_epoch advance in one commit, so a
+    # racing probe pairs old postings with old stats or new with new
+    try:
+        new_epoch = read_manifest(path)["epoch"] + 1
+    except FileNotFoundError:
+        new_epoch = 0
     tf = _tf_frame(documents).persist()
     try:
         bucket = F.pmod(F.hash("tok"), F.lit(n_buckets)).alias("tok_bucket")
         tf.select("doc_id", "tok", "tf", "dl", bucket).write.mode("overwrite").partitionBy(
             "tok_bucket"
-        ).parquet(f"{path}/postings/epoch=0")
+        ).parquet(f"{path}/postings/epoch={new_epoch}")
         dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
         dfreq.select("tok", "df", bucket).write.mode("overwrite").partitionBy(
             "tok_bucket"
-        ).parquet(f"{path}/dfreq/epoch=0")
-        _corpus_stats(documents).write.mode("overwrite").parquet(f"{path}/stats/epoch=0")
-        _commit_manifest(path, 0, n_buckets)
+        ).parquet(f"{path}/dfreq/epoch={new_epoch}")
+        _corpus_stats(documents).write.mode("overwrite").parquet(
+            f"{path}/stats/epoch={new_epoch}"
+        )
+        commit_manifest(
+            path,
+            {"epoch": new_epoch, "base_epoch": new_epoch, "n_buckets": n_buckets},
+        )
     finally:
         tf.unpersist()
 

@@ -140,3 +140,33 @@ def test_index_service_auto_compacts_past_threshold(spark, sf_dir, tmp_path):
     got = sorted(map(tuple, rtr.bm25_search_indexed(spark, idx).collect()))
     want = sorted(map(tuple, rtr.bm25_search(docs).collect()))
     assert got == want
+
+
+def test_text_and_dedup_rebuild_over_live_index_is_atomic(spark, sf_dir, tmp_path):
+    """save_* over a LIVE index advances epoch + base_epoch in one
+    commit (the vector indexes' rebuild pattern, uniformly applied):
+    pre-rebuild epochs become invisible and results equal a fresh
+    build."""
+    docs = load_table(spark, sf_dir, "documents")
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+
+    t_idx = str(tmp_path / "text")
+    rtr.save_text_index(half, t_idx, n_buckets=16)
+    rtr.save_text_index(docs, t_idx, n_buckets=16)  # rebuild over live
+    m = read_manifest(t_idx)
+    assert m["epoch"] == 1 and m["base_epoch"] == 1
+    got = sorted(map(tuple, rtr.bm25_search_indexed(spark, t_idx).collect()))
+    want = sorted(map(tuple, rtr.bm25_search(docs).collect()))
+    assert got == want
+    assert rtr.read_index_stats(spark, t_idx)["n_docs"] == docs.filter(
+        F.col("text").isNotNull()
+    ).count()
+
+    d_idx = str(tmp_path / "dedup")
+    dd.save_dedup_index(half, d_idx)
+    dd.save_dedup_index(docs, d_idx)  # rebuild over live
+    m = read_manifest(d_idx)
+    assert m["epoch"] == 1 and m["base_epoch"] == 1
+    got = sorted(map(tuple, dd.load_dedup_index(spark, d_idx).collect()))
+    want = sorted(map(tuple, dd.d_minhash_lsh_pairs(docs).collect()))
+    assert got == want  # no epoch-0 pairs leak in
