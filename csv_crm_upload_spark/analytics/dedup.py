@@ -347,14 +347,12 @@ def save_dedup_index(
     pair via their other bands; giant exact-duplicate groups belong to
     exact-dedup collapse anyway) is recorded in the manifest as
     `max_bucket` so consumers know the artifact's contract."""
-    from csv_crm_upload_spark.operators.manifest import commit_manifest, read_manifest
+    from csv_crm_upload_spark.operators.manifest import commit_manifest, rebuild_epoch
 
     # Rebuild over a LIVE index is atomic (same pattern as the vector
-    # indexes): new epoch + base_epoch advance in one commit
-    try:
-        new_epoch = read_manifest(path)["epoch"] + 1
-    except FileNotFoundError:
-        new_epoch = 0
+    # indexes): new epoch + base_epoch advance in one commit; last_txn
+    # from the prior manifest is preserved (streaming replay guard)
+    new_epoch, prior = rebuild_epoch(path)
     sig = d_minhash_signatures(documents, n).persist()
     try:
         bands = _band_buckets(sig)
@@ -379,6 +377,7 @@ def save_dedup_index(
         commit_manifest(
             path,
             {
+                **prior,
                 "epoch": new_epoch,
                 "base_epoch": new_epoch,
                 "shingle_n": n,
@@ -464,9 +463,15 @@ def update_dedup_index(
             .filter((F.col("epoch") >= base) & (F.col("epoch") <= epoch))
             .drop("epoch")
         )
-        all_bands = _filter_hot_buckets(
-            old_bands.unionByName(new_bands), max_bucket
+        # restrict to buckets the SHARD actually touches before counting
+        # for the cap: buckets absent from new_bands produce no
+        # candidates anyway, and this keeps the append's extra pass
+        # proportional to the touched buckets, not the whole band table
+        new_keys = new_bands.select("band", "bucket").distinct()
+        relevant = old_bands.unionByName(new_bands).join(
+            new_keys, ["band", "bucket"], "left_semi"
         )
+        all_bands = _filter_hot_buckets(relevant, max_bucket)
         # every candidate with ≥1 new endpoint, canonicalized (a < b)
         raw = (
             new_bands.alias("x")
@@ -504,32 +509,13 @@ def compact_dedup_index(spark, path: str) -> bool:
     atomic; racing readers see the old chain or the compacted one.
     Restores the one-dir read shape appends gradually erode. Returns
     False when already compact."""
-    from csv_crm_upload_spark.operators.manifest import (
-        commit_manifest,
-        read_manifest,
-        remove_orphan_epochs,
-    )
+    from csv_crm_upload_spark.operators.manifest import compact_epochs
 
-    m = read_manifest(path)
-    epoch, base = m["epoch"], m.get("base_epoch", 0)
-    remove_orphan_epochs(path, ["pairs", "signatures", "bands"], epoch)
-    if base == epoch:
-        return False
-    nxt = epoch + 1
-    live = lambda sub: (
-        spark.read.parquet(f"{path}/{sub}")
-        .filter((F.col("epoch") >= base) & (F.col("epoch") <= epoch))
-        .drop("epoch")
+    return compact_epochs(
+        spark,
+        path,
+        union_dirs={"pairs": [], "signatures": [], "bands": ["band"]},
     )
-    live("pairs").write.mode("overwrite").parquet(f"{path}/pairs/epoch={nxt}")
-    live("signatures").write.mode("overwrite").parquet(
-        f"{path}/signatures/epoch={nxt}"
-    )
-    live("bands").write.mode("overwrite").partitionBy("band").parquet(
-        f"{path}/bands/epoch={nxt}"
-    )
-    commit_manifest(path, {**m, "epoch": nxt, "base_epoch": nxt})
-    return True
 
 
 def pr1_doc_pagerank(

@@ -113,13 +113,10 @@ def save_index(
     commit, so a racing probe pairs old centroids with old cells or new
     with new, never a mix (stale pre-rebuild epochs stay on disk for
     readers holding the old manifest; harmless garbage)."""
-    from csv_crm_upload_spark.operators.manifest import commit_manifest, read_manifest
+    from csv_crm_upload_spark.operators.manifest import commit_manifest, rebuild_epoch
 
     spark = embeddings.sparkSession
-    try:
-        new_epoch = read_manifest(path)["epoch"] + 1  # rebuild over a live index
-    except FileNotFoundError:
-        new_epoch = 0
+    new_epoch, prior = rebuild_epoch(path)  # atomic rebuild over a live index
     centroids = fit_centroids(embeddings, n_cells=n_cells, **fit_kwargs)
     cent_rows = [(int(c), [float(v) for v in centroids[c]]) for c in range(len(centroids))]
     spark.createDataFrame(cent_rows, "cell_id int, centroid array<double>").write.mode(
@@ -131,6 +128,7 @@ def save_index(
     commit_manifest(
         path,
         {
+            **prior,  # preserves last_txn across the rebuild
             "epoch": new_epoch,
             "base_epoch": new_epoch,
             "centroid_epoch": new_epoch,
@@ -167,10 +165,11 @@ def update_index(
         return  # empty append is a clean no-op before any write
     centroids = _load_centroids(spark, path, m.get("centroid_epoch"))
     dim = centroids.shape[1]
-    bad = new_embeddings.filter(F.size("embedding") != dim).count()
-    if bad:
+    # fail-fast probe (limit 1), not a full shard count: the guard must
+    # be loud, not an extra corpus-shard pass on every healthy append
+    if new_embeddings.filter(F.size("embedding") != dim).limit(1).count():
         raise ValueError(
-            f"{bad} appended vectors have dim != the stored centroids' {dim}"
+            f"appended vectors have dim != the stored centroids' {dim}"
         )
     assign_cells(new_embeddings, centroids).write.mode("overwrite").partitionBy(
         "cell_id"
@@ -193,28 +192,9 @@ def compact_index(spark, path: str) -> bool:
     new epoch (still partitioned BY cell_id) and advance base_epoch in
     one manifest commit — atomic, quantizers untouched. Returns False
     when already compact."""
-    from csv_crm_upload_spark.operators.manifest import (
-        commit_manifest,
-        read_manifest,
-        remove_orphan_epochs,
-    )
+    from csv_crm_upload_spark.operators.manifest import compact_epochs
 
-    m = read_manifest(path)
-    epoch, base = m["epoch"], m.get("base_epoch", 0)
-    remove_orphan_epochs(path, ["cells"], epoch)
-    if base == epoch:
-        return False
-    nxt = epoch + 1
-    (
-        spark.read.parquet(f"{path}/cells")
-        .filter((F.col("epoch") >= base) & (F.col("epoch") <= epoch))
-        .drop("epoch")
-        .write.mode("overwrite")
-        .partitionBy("cell_id")
-        .parquet(f"{path}/cells/epoch={nxt}")
-    )
-    commit_manifest(path, {**m, "epoch": nxt, "base_epoch": nxt})
-    return True
+    return compact_epochs(spark, path, union_dirs={"cells": ["cell_id"]})
 
 
 def load_index(spark, path: str) -> tuple[np.ndarray, DataFrame]:
@@ -260,6 +240,10 @@ def knn_ivf(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     q_rows = queries.collect()
+    if not q_rows:  # no query id exists: empty result, not an AxisError
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id long, vec_id long, cos_sim double, rank int"
+        )
     qx = np.array([r["q_emb"] for r in q_rows], dtype=np.float64)
     qx /= np.maximum(np.linalg.norm(qx, axis=1, keepdims=True), 1e-12)
     probe_cells = (qx @ centroids.T).argsort(axis=1)[:, ::-1][:, :nprobe]

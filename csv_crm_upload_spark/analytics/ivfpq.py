@@ -156,6 +156,11 @@ def _probe_plan(
         .collect()
     )
     qvecs = [(int(r["vec_id"]), list(r["embedding"])) for r in qrows]
+    spark = embeddings.sparkSession
+    if not qvecs:  # no query id exists: empty probe plan, not an AxisError
+        return [], spark.createDataFrame(
+            [], "query_id long, cell_id int, qc_dot double"
+        )
     qraw = np.array([v for _, v in qvecs], dtype=np.float64)
     qx = qraw / np.maximum(np.linalg.norm(qraw, axis=1, keepdims=True), 1e-12)
     nprobe = min(nprobe, len(centroids))
@@ -169,7 +174,6 @@ def _probe_plan(
         for i, ((qid, _), row) in enumerate(zip(qvecs, probe_cells))
         for c in row
     ]
-    spark = embeddings.sparkSession
     return qvecs, spark.createDataFrame(
         probes, "query_id long, cell_id int, qc_dot double"
     )
@@ -255,13 +259,10 @@ def save_ivfpq_index(
     epoch + base/centroid/codebook epoch advance in one commit).
     `residual=True` builds IVFADC-style (see module docstring); the
     choice is recorded in the manifest and honored by append + probe."""
-    from csv_crm_upload_spark.operators.manifest import commit_manifest, read_manifest
+    from csv_crm_upload_spark.operators.manifest import commit_manifest, rebuild_epoch
 
     spark = embeddings.sparkSession
-    try:
-        new_epoch = read_manifest(path)["epoch"] + 1  # rebuild over a live index
-    except FileNotFoundError:
-        new_epoch = 0
+    new_epoch, prior = rebuild_epoch(path)  # atomic rebuild over a live index
     centroids = _ivf.fit_centroids(embeddings, n_cells=n_cells, **fit_kwargs)
     means = None
     if residual:
@@ -295,6 +296,7 @@ def save_ivfpq_index(
     commit_manifest(
         path,
         {
+            **prior,  # preserves last_txn across the rebuild
             "epoch": new_epoch,
             "base_epoch": new_epoch,
             "centroid_epoch": new_epoch,
@@ -330,42 +332,45 @@ def update_ivfpq_index(
     remove_orphan_epochs(path, ["codes"], epoch)
     if not new_embeddings.limit(1).count():
         return  # empty append is a clean no-op before any write
-    centroids = _load_centroids(spark, path, man["centroid_epoch"])
+    centroids, means = _load_quantizer(spark, path, man)
     books = _pq._load_codebooks(spark, path, man["codebook_epoch"])
     dim = books.shape[0] * books.shape[2]
-    bad = new_embeddings.filter(F.size("embedding") != dim).count()
-    if bad:
+    # fail-fast probe (limit 1), not a full shard count
+    if new_embeddings.filter(F.size("embedding") != dim).limit(1).count():
         raise ValueError(
-            f"{bad} appended vectors have dim != the stored codec's {dim}"
+            f"appended vectors have dim != the stored codec's {dim}"
         )
-    means = (
-        _load_means(spark, path, man["centroid_epoch"])
-        if man.get("residual", False)
-        else None
-    )
     _assign_and_encode(new_embeddings, centroids, books, means=means).write.mode(
         "overwrite"
     ).partitionBy("cell_id").parquet(f"{path}/codes/epoch={epoch + 1}")
     commit_manifest(path, with_txn({**man, "epoch": epoch + 1}, txn))
 
 
-def _load_centroids(spark, path: str, centroid_epoch: int) -> np.ndarray:
+def _load_quantizer(spark, path: str, man: dict) -> tuple[np.ndarray, np.ndarray | None]:
+    """(centroids, residual means-or-None) in ONE read+collect of the
+    n_cells-row centroids parquet — means come back only when the
+    manifest says the index is residual-encoded (None selects raw mode
+    in _assign_and_encode/_probe_plan). Falls back to the centroid
+    column for pre-mean_vec layouts."""
     rows = sorted(
-        spark.read.parquet(f"{path}/centroids/epoch={centroid_epoch}").collect(),
+        spark.read.parquet(f"{path}/centroids/epoch={man['centroid_epoch']}").collect(),
         key=lambda r: r["cell_id"],
     )  # bounded: n_cells rows
-    return np.array([r["centroid"] for r in rows], dtype=np.float64)
+    centroids = np.array([r["centroid"] for r in rows], dtype=np.float64)
+    if not man.get("residual", False):
+        return centroids, None
+    key = "mean_vec" if "mean_vec" in rows[0].__fields__ else "centroid"
+    return centroids, np.array([r[key] for r in rows], dtype=np.float64)
+
+
+def _load_centroids(spark, path: str, centroid_epoch: int) -> np.ndarray:
+    return _load_quantizer(spark, path, {"centroid_epoch": centroid_epoch})[0]
 
 
 def _load_means(spark, path: str, centroid_epoch: int) -> np.ndarray:
-    """The residual anchors (cell means) from the centroids parquet;
-    falls back to the centroids for pre-mean_vec layouts."""
-    rows = sorted(
-        spark.read.parquet(f"{path}/centroids/epoch={centroid_epoch}").collect(),
-        key=lambda r: r["cell_id"],
-    )
-    key = "mean_vec" if "mean_vec" in rows[0].__fields__ else "centroid"
-    return np.array([r[key] for r in rows], dtype=np.float64)
+    return _load_quantizer(
+        spark, path, {"centroid_epoch": centroid_epoch, "residual": True}
+    )[1]
 
 
 def compact_ivfpq_index(spark, path: str) -> bool:
@@ -373,29 +378,9 @@ def compact_ivfpq_index(spark, path: str) -> bool:
     new epoch (still partitioned BY cell_id, so probes keep their
     pruning) and advance base_epoch in one manifest commit — atomic,
     both quantizers untouched. Returns False when already compact."""
-    from csv_crm_upload_spark.operators.manifest import (
-        commit_manifest,
-        read_manifest,
-        remove_orphan_epochs,
-    )
+    from csv_crm_upload_spark.operators.manifest import compact_epochs
 
-    man = read_manifest(path)
-    epoch, base = man["epoch"], man.get("base_epoch", 0)
-    remove_orphan_epochs(path, ["codes"], epoch)
-    if base == epoch:
-        return False
-    nxt = epoch + 1
-    (
-        spark.read.option("basePath", f"{path}/codes")
-        .parquet(f"{path}/codes")
-        .filter((F.col("epoch") >= base) & (F.col("epoch") <= epoch))
-        .select("vec_id", "codes", "cell_id")
-        .write.mode("overwrite")
-        .partitionBy("cell_id")
-        .parquet(f"{path}/codes/epoch={nxt}")
-    )
-    commit_manifest(path, {**man, "epoch": nxt, "base_epoch": nxt})
-    return True
+    return compact_epochs(spark, path, union_dirs={"codes": ["cell_id"]})
 
 
 def ivfpq_search(
@@ -419,13 +404,8 @@ def ivfpq_search(
 
     man = read_manifest(path)
     epoch, base = man["epoch"], man["base_epoch"]
-    centroids = _load_centroids(spark, path, man["centroid_epoch"])
+    centroids, means = _load_quantizer(spark, path, man)  # one read, both halves
     books = _pq._load_codebooks(spark, path, man["codebook_epoch"])
-    means = (
-        _load_means(spark, path, man["centroid_epoch"])
-        if man.get("residual", False)
-        else None
-    )
     qvecs, probe_df = _probe_plan(embeddings, centroids, query_ids, nprobe, means=means)
     probed_cells = sorted({r["cell_id"] for r in probe_df.collect()})  # ≤ q·nprobe
     cell_codes = (

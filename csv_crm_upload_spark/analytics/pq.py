@@ -296,13 +296,10 @@ def save_pq_index(
     ADC tables from them — but code assignment is float argmax,
     consistent for any reader repeating the same arithmetic, unlike the
     md5 integer conventions of the oracle-visible queries."""
-    from csv_crm_upload_spark.operators.manifest import commit_manifest, read_manifest
+    from csv_crm_upload_spark.operators.manifest import commit_manifest, rebuild_epoch
 
     spark = embeddings.sparkSession
-    try:
-        new_epoch = read_manifest(path)["epoch"] + 1  # rebuild over a live index
-    except FileNotFoundError:
-        new_epoch = 0
+    new_epoch, prior = rebuild_epoch(path)  # atomic rebuild over a live index
     books = fit_pq_codebooks(embeddings, m=m, k=n_codes, **fit_kwargs)
     mm, kk, _sub = books.shape
     book_rows = [
@@ -319,6 +316,7 @@ def save_pq_index(
     commit_manifest(
         path,
         {
+            **prior,  # preserves last_txn across the rebuild
             "epoch": new_epoch,
             "base_epoch": new_epoch,
             "codebook_epoch": new_epoch,
@@ -357,10 +355,10 @@ def update_pq_index(
     dim = books.shape[0] * books.shape[2]
     # pq_encode's zip_with would silently null-pad a mismatched array, so
     # a wrong-width shard must fail loudly, mirroring fit's dim % m check
-    bad = new_embeddings.filter(F.size("embedding") != dim).count()
-    if bad:
+    # — via a fail-fast probe (limit 1), not a full shard count
+    if new_embeddings.filter(F.size("embedding") != dim).limit(1).count():
         raise ValueError(
-            f"{bad} appended vectors have dim != the stored codec's "
+            f"appended vectors have dim != the stored codec's "
             f"{dim} (m={books.shape[0]} × sub={books.shape[2]})"
         )
     pq_encode(new_embeddings, books).write.mode("overwrite").parquet(
@@ -389,28 +387,9 @@ def compact_pq_index(spark, path: str) -> bool:
     """OPTIMIZE for the PQ index: fold the live code epochs into one new
     epoch and advance base_epoch in one manifest commit — atomic, the
     codec untouched. Returns False when already compact."""
-    from csv_crm_upload_spark.operators.manifest import (
-        commit_manifest,
-        read_manifest,
-        remove_orphan_epochs,
-    )
+    from csv_crm_upload_spark.operators.manifest import compact_epochs
 
-    man = read_manifest(path)
-    epoch, base = man["epoch"], man.get("base_epoch", 0)
-    remove_orphan_epochs(path, ["codes"], epoch)
-    if base == epoch:
-        return False
-    nxt = epoch + 1
-    (
-        spark.read.option("basePath", f"{path}/codes")
-        .parquet(f"{path}/codes")
-        .filter((F.col("epoch") >= base) & (F.col("epoch") <= epoch))
-        .select("vec_id", "codes")
-        .write.mode("overwrite")
-        .parquet(f"{path}/codes/epoch={nxt}")
-    )
-    commit_manifest(path, {**man, "epoch": nxt, "base_epoch": nxt})
-    return True
+    return compact_epochs(spark, path, union_dirs={"codes": []})
 
 
 def load_pq_index(spark, path: str) -> tuple[np.ndarray, DataFrame]:

@@ -162,13 +162,6 @@ def _read_manifest(path: str) -> dict:
     return read_manifest(path)
 
 
-def _commit_manifest(path: str, epoch: int, n_buckets: int) -> None:
-    """Atomic epoch publish — see operators/manifest.py for the commit
-    protocol (temp + fsync + os.replace; the manifest is the ONLY
-    commit point, so probes read one consistent snapshot)."""
-    commit_manifest(path, {"epoch": epoch, "n_buckets": n_buckets})
-
-
 def save_text_index(documents: DataFrame, path: str, n_buckets: int = 64) -> None:
     """Persist the BM25 inverted index: postings (doc, token, tf, dl)
     partitioned BY a token hash bucket, document frequencies partitioned
@@ -190,11 +183,12 @@ def save_text_index(documents: DataFrame, path: str, n_buckets: int = 64) -> Non
     non-Spark reader must re-derive buckets with Spark's Murmur3."""
     # Rebuild over a LIVE index is atomic (same pattern as the vector
     # indexes): new epoch + base_epoch advance in one commit, so a
-    # racing probe pairs old postings with old stats or new with new
-    try:
-        new_epoch = read_manifest(path)["epoch"] + 1
-    except FileNotFoundError:
-        new_epoch = 0
+    # racing probe pairs old postings with old stats or new with new;
+    # the prior manifest's last_txn is PRESERVED so streaming batches
+    # folded before the rebuild still no-op on replay
+    from csv_crm_upload_spark.operators.manifest import rebuild_epoch
+
+    new_epoch, prior = rebuild_epoch(path)
     tf = _tf_frame(documents).persist()
     try:
         bucket = F.pmod(F.hash("tok"), F.lit(n_buckets)).alias("tok_bucket")
@@ -210,7 +204,12 @@ def save_text_index(documents: DataFrame, path: str, n_buckets: int = 64) -> Non
         )
         commit_manifest(
             path,
-            {"epoch": new_epoch, "base_epoch": new_epoch, "n_buckets": n_buckets},
+            {
+                **prior,
+                "epoch": new_epoch,
+                "base_epoch": new_epoch,
+                "n_buckets": n_buckets,
+            },
         )
     finally:
         tf.unpersist()
@@ -318,29 +317,14 @@ def compact_text_index(spark, path: str) -> bool:
     pre-compaction epochs stay on disk for readers holding the old
     manifest (harmless garbage, superseded at the next compaction).
     Returns False (no-op) when the index is already compact."""
-    m = _read_manifest(path)
-    epoch, n_buckets = m["epoch"], m["n_buckets"]
-    base = m.get("base_epoch", 0)
-    remove_orphan_epochs(path, ["postings", "dfreq", "stats"], epoch)
-    if base == epoch:
-        return False  # single live epoch — nothing to fold
-    nxt = epoch + 1
-    (
-        spark.read.parquet(f"{path}/postings")
-        .filter((F.col("epoch") >= base) & (F.col("epoch") <= epoch))
-        .drop("epoch")
-        .write.mode("overwrite")
-        .partitionBy("tok_bucket")
-        .parquet(f"{path}/postings/epoch={nxt}")
+    from csv_crm_upload_spark.operators.manifest import compact_epochs
+
+    return compact_epochs(
+        spark,
+        path,
+        union_dirs={"postings": ["tok_bucket"]},
+        snapshot_dirs={"dfreq": ["tok_bucket"], "stats": []},
     )
-    spark.read.parquet(f"{path}/dfreq/epoch={epoch}").write.mode(
-        "overwrite"
-    ).partitionBy("tok_bucket").parquet(f"{path}/dfreq/epoch={nxt}")
-    spark.read.parquet(f"{path}/stats/epoch={epoch}").write.mode("overwrite").parquet(
-        f"{path}/stats/epoch={nxt}"
-    )
-    commit_manifest(path, {**m, "epoch": nxt, "base_epoch": nxt})
-    return True
 
 
 def bm25_search_indexed(

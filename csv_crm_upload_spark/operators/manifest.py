@@ -57,6 +57,67 @@ def with_txn(payload: dict, txn: tuple[str, int] | None) -> dict:
     return {**payload, "last_txn": last}
 
 
+def rebuild_epoch(path: str) -> tuple[int, dict]:
+    """(next epoch, prior manifest) for a save_* REBUILD over a possibly
+    live index: a fresh path starts at epoch 0 with an empty prior; a
+    live one advances past the committed epoch. The prior manifest is
+    returned so the rebuild's commit can PRESERVE cross-rebuild state —
+    above all `last_txn`, whose loss would void the streaming replay
+    guard for batches folded before the rebuild."""
+    try:
+        m = read_manifest(path)
+        return m["epoch"] + 1, m
+    except FileNotFoundError:
+        return 0, {}
+
+
+def compact_epochs(
+    spark,
+    path: str,
+    union_dirs: dict[str, list[str]],
+    snapshot_dirs: dict[str, list[str]] | None = None,
+) -> bool:
+    """The shared OPTIMIZE protocol all five persisted indexes use: fold
+    every epoch in [base_epoch, epoch] of each `union_dirs` entry
+    (subdir → partition columns to preserve) into ONE new epoch, copy
+    the latest snapshot of each `snapshot_dirs` entry (tables that are
+    already full per-epoch snapshots, e.g. BM25 dfreq/stats), then
+    advance epoch AND base_epoch in one atomic manifest commit that
+    preserves every other manifest field (params, last_txn). Returns
+    False (no write) when the index is already compact.
+
+    One implementation on purpose: protocol changes (epoch GC, txn
+    semantics) land here once instead of five drifting copies."""
+    from pyspark.sql import functions as F  # local: keep module os-only otherwise
+
+    snapshot_dirs = snapshot_dirs or {}
+    m = read_manifest(path)
+    epoch, base = m["epoch"], m.get("base_epoch", 0)
+    remove_orphan_epochs(path, [*union_dirs, *snapshot_dirs], epoch)
+    if base == epoch:
+        return False
+    nxt = epoch + 1
+    for sub, partition_cols in union_dirs.items():
+        df = (
+            spark.read.option("basePath", f"{path}/{sub}")
+            .parquet(f"{path}/{sub}")
+            .filter((F.col("epoch") >= base) & (F.col("epoch") <= epoch))
+            .drop("epoch")
+        )
+        writer = df.write.mode("overwrite")
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.parquet(f"{path}/{sub}/epoch={nxt}")
+    for sub, partition_cols in snapshot_dirs.items():
+        snap = spark.read.parquet(f"{path}/{sub}/epoch={epoch}")
+        writer = snap.write.mode("overwrite")
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.parquet(f"{path}/{sub}/epoch={nxt}")
+    commit_manifest(path, {**m, "epoch": nxt, "base_epoch": nxt})
+    return True
+
+
 def remove_orphan_epochs(path: str, subdirs: list[str], current_epoch: int) -> None:
     """Self-heal after a crashed update: drop epoch dirs newer than the
     committed epoch (they were never published; partial files are fine

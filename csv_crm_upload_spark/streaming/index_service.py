@@ -99,8 +99,13 @@ class CorpusIndexService:
 
     @staticmethod
     def _new_shards(drop_dir: str | None, seen: set[str]) -> list[str]:
-        """Unseen data entries (parquet files or part-file directories)
-        in the drop dir — hidden/metadata entries skipped."""
+        """Unseen COMPLETE data entries in the drop dir. A bare .parquet
+        file is complete by the atomic-rename convention (producers must
+        move files in, the same contract Spark's file sources assume); a
+        part-file DIRECTORY counts only once its _SUCCESS marker exists
+        — listing an in-flight df.write.parquet() dir would fold a
+        partial shard and permanently mark it seen, silently losing the
+        late rows from every index."""
         if drop_dir is None or not os.path.isdir(drop_dir):
             return []
         out = []
@@ -108,8 +113,12 @@ class CorpusIndexService:
             if name.startswith((".", "_")):
                 continue
             full = os.path.join(drop_dir, name)
-            if full not in seen and (
-                name.endswith(".parquet") or os.path.isdir(full)
+            if full in seen:
+                continue
+            if name.endswith(".parquet") and os.path.isfile(full):
+                out.append(full)
+            elif os.path.isdir(full) and os.path.exists(
+                os.path.join(full, "_SUCCESS")
             ):
                 out.append(full)
         return out

@@ -170,3 +170,24 @@ def test_text_and_dedup_rebuild_over_live_index_is_atomic(spark, sf_dir, tmp_pat
     got = sorted(map(tuple, dd.load_dedup_index(spark, d_idx).collect()))
     want = sorted(map(tuple, dd.d_minhash_lsh_pairs(docs).collect()))
     assert got == want  # no epoch-0 pairs leak in
+
+
+def test_rebuild_preserves_streaming_txn_guard(spark, sf_dir, tmp_path):
+    """A rebuild over a live index must PRESERVE last_txn: streaming
+    batches folded before the rebuild still no-op on replay afterwards
+    (re-folding them would double-index docs the rebuild already
+    contains)."""
+    docs = load_table(spark, sf_dir, "documents")
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = str(tmp_path / "text")
+    rtr.save_text_index(half_a, idx, n_buckets=16)
+    rtr.update_text_index(half_b, idx, txn=("stream", 7))
+    assert read_manifest(idx)["last_txn"] == {"stream": 7}
+
+    rtr.save_text_index(docs, idx, n_buckets=16)  # rebuild over live
+    m = read_manifest(idx)
+    assert m["last_txn"] == {"stream": 7}  # guard survives the rebuild
+    epoch = m["epoch"]
+    rtr.update_text_index(half_b, idx, txn=("stream", 7))  # replay
+    assert read_manifest(idx)["epoch"] == epoch  # no double-index

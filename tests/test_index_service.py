@@ -262,3 +262,31 @@ def test_update_txn_guard_across_index_families(spark, sf_dir, tmp_path):
         update(("app", 1))  # replay
         assert read_manifest(path)["epoch"] == e1, path
         assert read_manifest(path)["last_txn"]["app"] == 1, path
+
+
+def test_in_flight_shard_directories_are_not_folded(spark, sf_dir, tmp_path):
+    """A part-file directory without its _SUCCESS marker is in-flight:
+    the tick must skip it (and NOT mark it seen), then fold it once the
+    marker lands — no partial shard ever reaches an index."""
+    from csv_crm_upload_spark.operators.manifest import read_manifest
+
+    docs = load_table(spark, sf_dir, "documents")
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = str(tmp_path / "text_idx")
+    rtr.save_text_index(half_a, idx, n_buckets=16)
+
+    drop = str(tmp_path / "drop")
+    os.makedirs(drop)
+    half_b.write.parquet(f"{drop}/shard_b")
+    success = f"{drop}/shard_b/_SUCCESS"
+    os.remove(success)  # simulate the writer mid-flight
+
+    svc = CorpusIndexService(spark, docs_dir=drop, text_index=idx)
+    assert svc.tick() == {"docs": [], "embeddings": []}
+    assert read_manifest(idx)["epoch"] == 0  # nothing folded, nothing seen
+
+    open(success, "w").close()  # writer finishes
+    folded = svc.tick()
+    assert folded["docs"] == [f"{drop}/shard_b"]
+    assert read_manifest(idx)["epoch"] == 1
