@@ -118,6 +118,47 @@ def compact_epochs(
     return True
 
 
+def gc_stale_epochs(
+    path: str,
+    ranged_subdirs: list[str],
+    pinned_subdirs: dict[str, str] | None = None,
+) -> list[str]:
+    """Delete epoch dirs the CURRENT manifest can no longer reference:
+    for `ranged_subdirs` anything outside [base_epoch, epoch] (stale
+    pre-compaction/pre-rebuild chains plus uncommitted orphans); for
+    `pinned_subdirs` (subdir → manifest key, e.g. centroids →
+    centroid_epoch) anything except the pinned epoch. Returns the
+    removed paths.
+
+    Same contract as store.vacuum: callers assert no reader still holds
+    an OLDER manifest snapshot (readers resolve the manifest once per
+    probe, so the exposure window is one in-flight probe). Keep GC a
+    deliberate maintenance step, not part of every commit."""
+    m = read_manifest(path)
+    base, epoch = m.get("base_epoch", 0), m["epoch"]
+    removed: list[str] = []
+
+    def _sweep(sub: str, keep) -> None:
+        d = os.path.join(path, sub)
+        if not os.path.isdir(d):
+            return
+        for name in os.listdir(d):
+            if not name.startswith("epoch="):
+                continue
+            k = int(name.split("=", 1)[1])
+            if not keep(k):
+                full = os.path.join(d, name)
+                shutil.rmtree(full)
+                removed.append(full)
+
+    for sub in ranged_subdirs:
+        _sweep(sub, lambda k: base <= k <= epoch)
+    for sub, key in (pinned_subdirs or {}).items():
+        pinned = m[key]
+        _sweep(sub, lambda k: k == pinned)
+    return removed
+
+
 def remove_orphan_epochs(path: str, subdirs: list[str], current_epoch: int) -> None:
     """Self-heal after a crashed update: drop epoch dirs newer than the
     committed epoch (they were never published; partial files are fine

@@ -33,6 +33,20 @@ from __future__ import annotations
 import json
 import os
 
+#: Per-index physical layout for maintenance (compaction GC): epoch-
+#: RANGED subdirs live in [base_epoch, epoch]; PINNED subdirs are
+#: referenced by a single manifest key (quantizers survive appends).
+INDEX_LAYOUTS: dict[str, tuple[list[str], dict[str, str]]] = {
+    "text": (["postings", "dfreq", "stats"], {}),
+    "dedup": (["pairs", "signatures", "bands"], {}),
+    "ivf": (["cells"], {"centroids": "centroid_epoch"}),
+    "pq": (["codes"], {"codebooks": "codebook_epoch"}),
+    "ivfpq": (
+        ["codes"],
+        {"centroids": "centroid_epoch", "codebooks": "codebook_epoch"},
+    ),
+}
+
 
 class CorpusIndexService:
     """Folds newly landed corpus shards into registered persisted
@@ -202,6 +216,27 @@ class CorpusIndexService:
             m = read_manifest(path)
             if m["epoch"] - m.get("base_epoch", 0) >= self.compact_after:
                 compactor(self.spark, path)
+
+    def vacuum(self) -> list[str]:
+        """Delete stale epoch dirs every registered index's CURRENT
+        manifest can no longer reference (pre-compaction/pre-rebuild
+        chains). Deliberately NOT on the tick: like store.vacuum, the
+        caller asserts no probe still holds an older manifest. Returns
+        the removed paths."""
+        from csv_crm_upload_spark.operators.manifest import gc_stale_epochs
+
+        removed: list[str] = []
+        for kind, idx_path in (
+            ("text", self.text_index),
+            ("dedup", self.dedup_index),
+            ("ivf", self.ivf_index),
+            ("pq", self.pq_index),
+            ("ivfpq", self.ivfpq_index),
+        ):
+            if idx_path is not None:
+                ranged, pinned = INDEX_LAYOUTS[kind]
+                removed.extend(gc_stale_epochs(idx_path, ranged, pinned))
+        return removed
 
 
 def run_index_maintenance_stream(

@@ -191,3 +191,47 @@ def test_rebuild_preserves_streaming_txn_guard(spark, sf_dir, tmp_path):
     epoch = m["epoch"]
     rtr.update_text_index(half_b, idx, txn=("stream", 7))  # replay
     assert read_manifest(idx)["epoch"] == epoch  # no double-index
+
+
+def test_vacuum_removes_only_unreferenced_epochs(spark, sf_dir, tmp_path):
+    """After append + compaction, service.vacuum() deletes the stale
+    pre-compaction epochs but keeps the live chain AND the pinned
+    quantizer epochs — results unchanged, second vacuum removes
+    nothing."""
+    from csv_crm_upload_spark.streaming.index_service import CorpusIndexService
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    t_idx = str(tmp_path / "text")
+    v_idx = str(tmp_path / "ivfpq")
+    rtr.save_text_index(docs.filter(F.col("doc_id") % 2 == 0), t_idx, n_buckets=16)
+    rtr.update_text_index(docs.filter(F.col("doc_id") % 2 == 1), t_idx)
+    _ivfpq.save_ivfpq_index(emb.filter(F.col("vec_id") % 2 == 0), v_idx, n_cells=8)
+    _ivfpq.update_ivfpq_index(emb.filter(F.col("vec_id") % 2 == 1), v_idx)
+    rtr.compact_text_index(spark, t_idx)
+    _ivfpq.compact_ivfpq_index(spark, v_idx)
+
+    text_before = sorted(map(tuple, rtr.bm25_search_indexed(spark, t_idx).collect()))
+    ann_before = sorted(
+        map(tuple, _ivfpq.ivfpq_search(spark, v_idx, emb, nprobe=8).collect())
+    )
+
+    svc = CorpusIndexService(
+        spark, docs_dir=str(tmp_path / "unused_drop"), text_index=t_idx,
+        ivfpq_index=v_idx,
+    )
+    removed = svc.vacuum()
+    assert removed, "stale pre-compaction epochs should be deleted"
+    # live chain intact, pinned quantizers intact
+    m_t, m_v = read_manifest(t_idx), read_manifest(v_idx)
+    assert os.path.isdir(f"{t_idx}/postings/epoch={m_t['epoch']}")
+    assert os.path.isdir(f"{v_idx}/centroids/epoch={m_v['centroid_epoch']}")
+    assert not os.path.isdir(f"{t_idx}/postings/epoch=0")
+    assert not os.path.isdir(f"{v_idx}/codes/epoch=0")
+
+    assert sorted(map(tuple, rtr.bm25_search_indexed(spark, t_idx).collect())) == text_before
+    assert (
+        sorted(map(tuple, _ivfpq.ivfpq_search(spark, v_idx, emb, nprobe=8).collect()))
+        == ann_before
+    )
+    assert svc.vacuum() == []  # nothing stale remains
