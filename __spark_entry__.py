@@ -302,6 +302,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fh1_feature_hash_embed": lambda s, sf: ts.fh1_feature_hash_embed(
             _t("documents")(s, sf)
         ),
+        # SemDeDup: k-means cluster, then prune cosine-near lower-id twins
+        "sdd1_semantic_dedup": lambda s, sf: clus.sdd1_semantic_dedup(
+            _t("embeddings")(s, sf)
+        ),
+        # span-level exact dedup (Lee et al. 2021): excise repeated spans
+        "linedd1_span_dedup": lambda s, sf: dd.linedd1_span_dedup(
+            _t("documents")(s, sf)
+        ),
+        # temperature-scaled source mixture (mT5's p^alpha rebalancing)
+        "mix3_temperature_mixture": lambda s, sf: ts.mix3_temperature_mixture(
+            _t("documents")(s, sf)
+        ),
         "t10_tfidf_top_terms": lambda s, sf: ts.t10_tfidf_top_terms(_t("documents")(s, sf)),
         "samp1_stratified_sample": lambda s, sf: ts.samp1_stratified_sample(_t("documents")(s, sf)),
         "pr1_doc_pagerank": lambda s, sf: dd.pr1_doc_pagerank(_t("documents")(s, sf)),
@@ -2362,6 +2374,134 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY doc_id, dim
         HAVING SUM(sign) <> 0
         ORDER BY doc_id, dim
+    """
+    # sdd1: SemDeDup — the kmeans1 unrolled-CTE assignment (identical
+    # determinism pivots), then within-cluster lower-id cosine witnesses
+    # with the dd_embed_neardup 6-dp cosine idiom
+    q["sdd1_semantic_dedup"] = """
+        WITH init AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster_id,
+                 embedding AS centroid
+          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+        ),
+        s1 AS (
+          SELECT e.vec_id, e.embedding, c.cluster_id,
+                 round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                       i -> e.embedding[i]::DOUBLE * c.centroid[i]::DOUBLE)), 6) AS sim
+          FROM embeddings e CROSS JOIN init c
+        ),
+        a1 AS (
+          SELECT vec_id, embedding, cluster_id, sim
+          FROM (SELECT *, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY sim DESC, cluster_id) AS rn FROM s1)
+          WHERE rn = 1
+        ),
+        m1 AS (
+          SELECT cluster_id, r.i,
+                 round(CAST(SUM(CAST(embedding[r.i] AS DECIMAL(28,12))) AS DOUBLE)
+                       / COUNT(*), 12) AS m
+          FROM a1, UNNEST(range(1, len(embedding) + 1)) AS r(i)
+          GROUP BY cluster_id, r.i
+        ),
+        c1 AS (
+          SELECT cluster_id, list(m ORDER BY i) AS centroid
+          FROM m1 GROUP BY cluster_id
+        ),
+        s2 AS (
+          SELECT e.vec_id, c.cluster_id,
+                 round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                       i -> e.embedding[i]::DOUBLE * c.centroid[i])), 6) AS sim
+          FROM embeddings e CROSS JOIN c1 c
+        ),
+        a2 AS (
+          SELECT vec_id, cluster_id
+          FROM (SELECT *, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY sim DESC, cluster_id) AS rn FROM s2)
+          WHERE rn = 1
+        ),
+        wb AS (
+          SELECT a2.vec_id, a2.cluster_id, e.embedding
+          FROM a2 JOIN embeddings e USING (vec_id)
+        ),
+        wit AS (
+          SELECT b.vec_id AS vec_id, MIN(a.vec_id) AS dup_of
+          FROM wb a JOIN wb b
+            ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+          WHERE round(
+                  list_sum(list_transform(range(1, len(a.embedding) + 1),
+                        i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+                  / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                     * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))),
+                  6) >= 0.9
+          GROUP BY b.vec_id
+        )
+        SELECT w.vec_id, w.cluster_id,
+               (wit.dup_of IS NULL) AS is_kept, wit.dup_of
+        FROM wb w LEFT JOIN wit USING (vec_id)
+        ORDER BY w.vec_id
+    """
+    # linedd1: span-level exact dedup — first occurrence by (doc_id,
+    # span_idx) wins; chr(1)-joined span keys, space-rejoined output
+    q["linedd1_span_dedup"] = f"""
+        WITH t AS (
+          SELECT doc_id, {_TOKS} AS l FROM documents
+          WHERE text IS NOT NULL AND trim(text) <> ''
+        ),
+        sp AS (
+          SELECT doc_id, l, unnest(generate_series(1, len(l), 8)) AS start
+          FROM t
+        ),
+        spans AS (
+          SELECT doc_id,
+                 CAST((start - 1) // 8 AS INT) AS span_idx,
+                 CAST(len(list_slice(l, start, start + 7)) AS BIGINT) AS n_span_tokens,
+                 array_to_string(list_slice(l, start, start + 7), chr(1)) AS span_key
+          FROM sp
+        ),
+        flagged AS (
+          SELECT *,
+                 (row_number() OVER (
+                    PARTITION BY span_key ORDER BY doc_id, span_idx) = 1) AS keep
+          FROM spans
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_spans,
+               CAST(COALESCE(SUM(n_span_tokens) FILTER (WHERE keep), 0) AS BIGINT)
+                 AS n_tokens_kept,
+               COALESCE(string_agg(replace(span_key, chr(1), ' '), ' '
+                                   ORDER BY span_idx) FILTER (WHERE keep), '')
+                 AS cleaned_text
+        FROM flagged GROUP BY doc_id ORDER BY doc_id
+    """
+    # mix3: temperature mixture — pow rounded to 9 dp into DECIMAL before
+    # the exact renormalizing sum (ppl1 discipline); samp1's rank gate
+    q["mix3_temperature_mixture"] = """
+        WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+        w AS (
+          SELECT source, n_docs,
+                 CAST(round(pow(CAST(n_docs AS DOUBLE)
+                                / CAST(SUM(n_docs) OVER () AS DOUBLE), 0.7), 9)
+                      AS DECIMAL(18,9)) AS wt,
+                 SUM(n_docs) OVER () AS n_total
+          FROM c
+        ),
+        t AS (
+          SELECT source,
+                 CAST(floor(CAST(wt AS DOUBLE) / CAST(SUM(wt) OVER () AS DOUBLE)
+                      * floor(CAST(n_total AS DOUBLE) * 0.5 + 0.5) + 0.5) AS BIGINT)
+                   AS target_docs
+          FROM w
+        ),
+        r AS (
+          SELECT doc_id, source,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents
+        )
+        SELECT r.doc_id, r.source, CAST(r.rn AS INT) AS sample_rank, t.target_docs
+        FROM r JOIN t USING (source) WHERE r.rn <= t.target_docs
     """
     # drift1: per-(source, token) KL terms IEEE-identical in both
     # engines, rounded to 9 dp, decimal-summed (the ppl1 discipline)

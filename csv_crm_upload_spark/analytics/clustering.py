@@ -52,13 +52,13 @@ def _dot_lit(emb: F.Column, vec: list[float]) -> F.Column:
     )
 
 
-def kmeans1_topic_clusters(
+def kmeans_assignments(
     embeddings: DataFrame, k: int = 8, iters: int = 2
 ) -> DataFrame:
-    """(cluster_id, n_members, mean_sim) after `iters` fixed Lloyd's
-    rounds from a deterministic init — mean_sim is the average (6-dp
-    rounded) dot product of members to their assigned centroid, the
-    cluster-cohesion readout.
+    """(vec_id, embedding, cluster_id, sim) after `iters` fixed Lloyd's
+    rounds from the deterministic first-k-by-vec_id init — the shared
+    assignment core behind kmeans1_topic_clusters (cohesion readout) and
+    sdd1_semantic_dedup (SemDeDup's cluster-then-prune).
 
     Width bound (deliberate): the per-round mean recompute emits `dim`
     aggregate expressions, which is fine at embedding widths like the
@@ -111,8 +111,19 @@ def kmeans1_topic_clusters(
             (int(r["cluster_id"]), [r[f"m_{d}"] for d in range(dim)]) for r in rows
         )
 
+    return assigned
+
+
+def kmeans1_topic_clusters(
+    embeddings: DataFrame, k: int = 8, iters: int = 2
+) -> DataFrame:
+    """(cluster_id, n_members, mean_sim) after `iters` fixed Lloyd's
+    rounds — mean_sim is the average (6-dp rounded) dot product of
+    members to their assigned centroid, the cluster-cohesion readout.
+    Assignment core (and its determinism pivots): kmeans_assignments."""
     return (
-        assigned.groupBy("cluster_id")
+        kmeans_assignments(embeddings, k, iters)
+        .groupBy("cluster_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_members"),
             F.round(
@@ -122,4 +133,57 @@ def kmeans1_topic_clusters(
             ).alias("mean_sim"),
         )
         .orderBy("cluster_id")
+    )
+
+
+def sdd1_semantic_dedup(
+    embeddings: DataFrame, k: int = 8, iters: int = 2, threshold: float = 0.9
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    deduplication by cluster-then-prune: k-means the corpus embeddings,
+    then WITHIN each cluster drop any vector that has a cosine-similar
+    (>= threshold) neighbor with a lower vec_id. Catches paraphrase-level
+    duplication that exact/MinHash text dedup cannot see; the published
+    method's "keep one per semantic neighborhood" with a deterministic
+    keeper (lowest vec_id; the paper keeps the centroid-farthest —
+    equally arbitrary, but id-ordering is engine-stable and oracle-able).
+
+    Output: one row per vector — (vec_id, cluster_id, is_kept, dup_of)
+    where dup_of is the lowest-id witness that evicted it (NULL if kept).
+
+    Scale shape: the quadratic pair space is bounded to SAME-CLUSTER
+    pairs — one shuffle on cluster_id, never an all-pairs join; in
+    production k grows ∝ corpus size so the per-cluster candidate set
+    stays constant (the paper's own scaling argument). Assignment is the
+    map-only broadcast-centroid pass of kmeans_assignments; cosine is
+    6-dp rounded before the threshold so the keep set is engine-exact.
+    """
+    from csv_crm_upload_spark.analytics.similarity import cosine
+
+    assigned = kmeans_assignments(embeddings, k, iters).select(
+        "vec_id", "embedding", "cluster_id"
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "cluster_id"
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "cluster_id"
+    )
+    witnesses = (
+        a.join(b, "cluster_id")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_sim", F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .groupBy(F.col("vec_b").alias("vec_id"))
+        .agg(F.min("vec_a").alias("dup_of"))
+    )
+    return (
+        assigned.join(witnesses, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.col("dup_of").isNull().alias("is_kept"),
+            "dup_of",
+        )
+        .orderBy("vec_id")
     )

@@ -837,3 +837,71 @@ def tri1_triangle_counts(
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
         .orderBy("doc_id")
     )
+
+
+def linedd1_span_dedup(documents: DataFrame, span: int = 8) -> DataFrame:
+    """Exact SPAN-level dedup — the line/passage dedup of Lee et al.
+    2021 ("Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499) adapted to the corpus's newline-free text: each
+    doc is cut into non-overlapping `span`-token windows, and every
+    window that already occurred earlier in the corpus (ordered by
+    (doc_id, span_idx)) is REMOVED from the doc rather than the doc
+    being dropped — the surgical cousin of d_exact_dups, catching
+    boilerplate headers/footers and quoted passages whole-doc dedup
+    cannot touch.
+
+    Output: one row per non-empty doc — (doc_id, n_spans, n_kept_spans,
+    n_tokens_kept, cleaned_text) where cleaned_text is the doc with
+    every repeated span excised (kept spans rejoined in order; '' if
+    nothing survives).
+
+    Scale shape: two shuffles total — one on the span hash key (global
+    first-occurrence via row_number, the same partition-by-content
+    pattern as d_exact_dups), one back on doc_id to reassemble. The
+    span explode is map-only Column algebra (sequence + posexplode +
+    slice, exactly chunk1's machinery with stride == chunk). At 100 TB
+    the span-key shuffle is the dominant cost and is what the published
+    pipelines pay too; hot spans (the boilerplate being hunted) skew
+    that shuffle, but each group only needs its MIN — map-side combine
+    keeps the skew at the combiner, not the reducer."""
+    from pyspark.sql import Window
+
+    toks = F.split(_norm_text(), " ")
+    base = documents.filter(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    ).select("doc_id", toks.alias("l"))
+    starts = F.sequence(F.lit(1), F.size("l"), F.lit(span))
+    piece = F.slice(F.col("l"), F.col("start"), span)
+    spans = base.select(
+        "doc_id", F.col("l"), F.posexplode(starts).alias("span_idx", "start")
+    ).select(
+        "doc_id",
+        F.col("span_idx").cast("int").alias("span_idx"),
+        F.size(piece).cast("bigint").alias("n_span_tokens"),
+        F.array_join(piece, "\x01").alias("span_key"),
+    )
+    w = Window.partitionBy("span_key").orderBy("doc_id", "span_idx")
+    flagged = spans.withColumn("keep", F.row_number().over(w) == F.lit(1))
+    kept_piece = F.when(
+        F.col("keep"),
+        F.struct(
+            F.col("span_idx"), F.replace(F.col("span_key"), F.lit("\x01"), F.lit(" ")).alias("txt")
+        ),
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept_spans"),
+            F.coalesce(
+                F.sum(F.when(F.col("keep"), F.col("n_span_tokens"))), F.lit(0)
+            ).cast("bigint").alias("n_tokens_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_piece)), lambda x: x["txt"]
+                ),
+                " ",
+            ).alias("cleaned_text"),
+        )
+        .orderBy("doc_id")
+    )

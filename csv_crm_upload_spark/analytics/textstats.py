@@ -876,3 +876,64 @@ def bp1_boilerplate_phrases(
         .filter(F.col("n_docs") >= min_df)
         .orderBy(F.col("n_docs").desc(), "phrase")
     )
+
+
+def mix3_temperature_mixture(
+    documents: DataFrame, alpha: float = 0.7, budget_frac: float = 0.5
+) -> DataFrame:
+    """Temperature-scaled source mixing — the multilingual/multi-source
+    rebalancing rule of mT5/XLM-R (sample source s with probability
+    ∝ p_s^alpha, alpha<1 upweights small sources): compute each source's
+    corpus share p_s, temper it to p_s^alpha, renormalize into target
+    shares over a total budget of round(budget_frac·N) docs, and keep
+    each source's docs by deterministic hash rank (the samp1 gate) up to
+    its target count.
+
+    Output: the kept docs — (doc_id, source, sample_rank, target_docs).
+
+    Cross-engine determinism: the only transcendental (pow) runs once
+    per SOURCE (a handful of rows) and is 9-dp rounded into
+    DECIMAL(18,9) before the exact decimal sum, so the renormalizing
+    division divides two identical exact values in both engines (the
+    ppl1 discipline); targets come from one IEEE multiply + half-up
+    floor on those identical doubles.
+
+    Scale shape: the per-source counts are one combining shuffle to ~20
+    rows; targets broadcast back; the rank gate is one window per
+    source. At 100 TB the within-source ORDER BY (md5, doc_id) is the
+    cost — production converts target/n_docs into a RATE and reuses
+    mix1's O(1) hash-threshold gate instead (documented trade: rate
+    gates hit the target only in expectation)."""
+    counts = documents.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
+    n_total = F.sum("n_docs").over(w_all)
+    tempered = counts.withColumn(
+        "wt",
+        F.round(F.pow(F.col("n_docs").cast("double") / n_total, alpha), 9).cast(
+            "decimal(18,9)"
+        ),
+    ).withColumn("n_total", n_total)
+    budget = F.floor(F.col("n_total").cast("double") * budget_frac + 0.5)
+    targets = tempered.withColumn(
+        "target_docs",
+        F.floor(
+            F.col("wt").cast("double")
+            / F.sum("wt").over(w_all).cast("double")
+            * budget
+            + 0.5
+        ).cast("bigint"),
+    ).select("source", "target_docs")
+
+    w_src = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = documents.select(
+        "doc_id", "source", F.row_number().over(w_src).alias("sample_rank")
+    )
+    return (
+        ranked.join(F.broadcast(targets), "source")
+        .filter(F.col("sample_rank") <= F.col("target_docs"))
+        .select("doc_id", "source", "sample_rank", "target_docs")
+    )

@@ -31,3 +31,38 @@ def test_kmeans_single_cluster_degenerate(spark, sf_dir):
     assert len(out) == 1
     assert out[0]["cluster_id"] == 0
     assert out[0]["n_members"] == emb.count()
+
+
+def test_semantic_dedup_drops_planted_near_duplicate(spark, sf_dir):
+    """SemDeDup on the real corpus plus a PLANTED near-exact copy of an
+    existing vector: the copy (higher vec_id) must be evicted with the
+    original as its witness; the real corpus (max pairwise cos ≈ 0.51)
+    keeps every vector at the 0.9 default threshold."""
+    from pyspark.sql import functions as F
+
+    from csv_crm_upload_spark.analytics.clustering import sdd1_semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = emb.orderBy("vec_id").limit(1).collect()[0]
+    clone_id = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    clone = spark.createDataFrame(
+        [(clone_id, [float(v) for v in src["embedding"]], src["label"])],
+        schema=emb.schema,
+    )
+    out = sdd1_semantic_dedup(emb.unionByName(clone)).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    assert len(out) == emb.count() + 1
+    assert not by_id[clone_id]["is_kept"]
+    assert by_id[clone_id]["dup_of"] == src["vec_id"]
+    assert by_id[src["vec_id"]]["is_kept"]
+    # nobody else is evicted — the corpus has no semantic near-dups
+    assert sum(0 if r["is_kept"] else 1 for r in out) == 1
+
+
+def test_semantic_dedup_keeps_all_when_no_near_dups(spark, sf_dir):
+    from csv_crm_upload_spark.analytics.clustering import sdd1_semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = sdd1_semantic_dedup(emb).collect()
+    assert all(r["is_kept"] and r["dup_of"] is None for r in out)
+    assert len(out) == emb.count()

@@ -566,3 +566,53 @@ def test_feature_hashed_vectors_feed_ann_end_to_end(spark, sf_dir):
         assert by_vec.get(999_999) == 1.0, by_vec
     finally:
         vecs.unpersist()
+
+
+def test_span_dedup_excises_repeated_boilerplate(spark):
+    """linedd1: a boilerplate 8-token span planted at the head of three
+    docs survives only in the earliest (doc_id, span_idx) occurrence;
+    unique spans are untouched; a doc that is ALL boilerplate collapses
+    to an empty cleaned_text."""
+    from csv_crm_upload_spark.analytics.dedup import linedd1_span_dedup
+
+    bp = "one two three four five six seven eight"  # exactly one 8-token span
+    rows = [
+        (1, bp + " alpha beta gamma delta epsilon zeta eta theta", "en", "s", 0),
+        (2, bp + " unique words in the second document only here", "en", "s", 0),
+        (3, bp, "en", "s", 0),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    out = {r["doc_id"]: r for r in linedd1_span_dedup(docs).collect()}
+
+    assert out[1]["n_spans"] == 2 and out[1]["n_kept_spans"] == 2
+    assert out[1]["cleaned_text"] == rows[0][1]
+    # doc 2: boilerplate span removed, its own tail kept
+    assert out[2]["n_spans"] == 2 and out[2]["n_kept_spans"] == 1
+    assert out[2]["cleaned_text"] == "unique words in the second document only here"
+    assert out[2]["n_tokens_kept"] == 8
+    # doc 3: nothing left
+    assert out[3]["n_kept_spans"] == 0 and out[3]["cleaned_text"] == ""
+
+
+def test_temperature_mixture_upweights_small_sources(spark):
+    """mix3: with alpha<1 a small source's kept FRACTION must exceed a
+    big source's (the whole point of temperature rebalancing), targets
+    are met exactly by the rank gate, and the kept set is deterministic
+    across runs."""
+    from csv_crm_upload_spark.analytics.textstats import mix3_temperature_mixture
+
+    rows = [(i, f"tok{i} text body", "en", "big", 0) for i in range(900)] + [
+        (1000 + i, f"tok{i} small body", "en", "small", 0) for i in range(100)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    out = mix3_temperature_mixture(docs).collect()
+    kept = {"big": 0, "small": 0}
+    targets = {}
+    for r in out:
+        kept[r["source"]] += 1
+        targets[r["source"]] = r["target_docs"]
+    assert kept == {s: targets[s] for s in kept}  # rank gate hits targets exactly
+    assert kept["small"] / 100 > kept["big"] / 900  # upweighted
+    assert sum(kept.values()) <= 500 + len(kept)  # budget ± per-source rounding
+    again = mix3_temperature_mixture(docs).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
