@@ -229,9 +229,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     — all green in CORRECTNESS_r04. Round 5 (this file): the final six
     never-driver-sampled oracle-paired queries (`stat1`, `unpiv1`,
     `samp2`, `kmeans1`, `prep1`, `dd3`) take slots 13-18 — closing the
-    prior ledger — followed by the SEVEN new round-5 oracle-paired
-    operators (`asof1`, `sess1`, `fun1`, `skw1`, `ppl1`, `leak1`,
-    `drift1`) in slots 19-25; slots 26-50 re-sample round-4 keys.
+    prior ledger — followed by the new round-5 oracle-paired operators
+    (`asof1`, `sess1`, `fun1`, `skw1`, `ppl1`, `leak1`, `drift1`,
+    `fh1`, `sdd1`, `linedd1`, `mix3`) in slots 19-29; slots 30-50
+    re-sample round-4 keys.
     sim_knn_ivf/pq1/ivfpq1/hll1/mm2/mm3/approx_* are oracle-free
     rows-only whenever sampled."""
     return {

@@ -276,7 +276,7 @@ def vq_codes(embeddings: DataFrame) -> DataFrame:
             .cast("int")
         )
 
-    return embeddings.crossJoin(stats).select(
+    return embeddings.crossJoin(F.broadcast(stats)).select(
         "vec_id", F.transform("embedding", code).alias("codes")
     )
 
