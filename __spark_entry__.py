@@ -31,6 +31,7 @@ from csv_crm_upload_spark.analytics import similarity as sim
 from csv_crm_upload_spark.analytics import textstats as ts
 from csv_crm_upload_spark.analytics import grouped_pandas as gp
 from csv_crm_upload_spark.analytics import ivf
+from csv_crm_upload_spark.analytics import bpe
 from csv_crm_upload_spark.analytics import clustering as clus
 from csv_crm_upload_spark.plans import corpus_prep as prep
 from csv_crm_upload_spark.analytics import ivfpq as ivfpqm
@@ -231,8 +232,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     `samp2`, `kmeans1`, `prep1`, `dd3`) take slots 13-18 — closing the
     prior ledger — followed by the new round-5 oracle-paired operators
     (`asof1`, `sess1`, `fun1`, `skw1`, `ppl1`, `leak1`, `drift1`,
-    `fh1`, `sdd1`, `linedd1`, `mix3`) in slots 19-29; slots 30-50
-    re-sample round-4 keys.
+    `fh1`, `sdd1`, `linedd1`, `mix3`, `bpe1`) in slots 19-30; slots
+    31-50 re-sample round-4 keys.
     sim_knn_ivf/pq1/ivfpq1/hll1/mm2/mm3/approx_* are oracle-free
     rows-only whenever sampled."""
     return {
@@ -313,6 +314,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # temperature-scaled source mixture (mT5's p^alpha rebalancing)
         "mix3_temperature_mixture": lambda s, sf: ts.mix3_temperature_mixture(
+            _t("documents")(s, sf)
+        ),
+        # distributed BPE tokenizer training (first 3 merges, Sennrich 2016)
+        "bpe1_merge_steps": lambda s, sf: bpe.bpe1_merge_steps(
             _t("documents")(s, sf)
         ),
         "t10_tfidf_top_terms": lambda s, sf: ts.t10_tfidf_top_terms(_t("documents")(s, sf)),
@@ -2503,6 +2508,69 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT r.doc_id, r.source, CAST(r.rn AS INT) AS sample_rank, t.target_docs
         FROM r JOIN t USING (source) WHERE r.rn <= t.target_docs
+    """
+    # bpe1: three unrolled BPE merge steps — pair counts are Sennrich's
+    # overlapping adjacent counts over the frequency-weighted vocab; the
+    # leading-space replace encoding makes greedy non-overlap == replace()
+    q["bpe1_merge_steps"] = """
+        WITH v0 AS (
+          SELECT regexp_replace(word, '(.)', ' \\1', 'g') AS s, COUNT(*) AS freq
+          FROM (
+            SELECT unnest(string_split(
+                     lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) AS word
+            FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+          ) GROUP BY 1
+        ),
+        p1 AS (
+          SELECT l[r.i] || chr(1) || l[r.i + 1] AS pair, SUM(freq) AS cnt
+          FROM (SELECT string_split(substr(s, 2), ' ') AS l, freq FROM v0),
+               UNNEST(range(1, len(l))) AS r(i)
+          GROUP BY 1
+        ),
+        b1 AS (
+          SELECT string_split(pair, chr(1))[1] AS left_,
+                 string_split(pair, chr(1))[2] AS right_, cnt
+          FROM p1 ORDER BY cnt DESC, pair LIMIT 1
+        ),
+        v1 AS (
+          SELECT replace(v.s, ' ' || b.left_ || ' ' || b.right_,
+                         ' ' || b.left_ || b.right_) AS s, v.freq
+          FROM v0 v CROSS JOIN b1 b
+        ),
+        p2 AS (
+          SELECT l[r.i] || chr(1) || l[r.i + 1] AS pair, SUM(freq) AS cnt
+          FROM (SELECT string_split(substr(s, 2), ' ') AS l, freq FROM v1),
+               UNNEST(range(1, len(l))) AS r(i)
+          GROUP BY 1
+        ),
+        b2 AS (
+          SELECT string_split(pair, chr(1))[1] AS left_,
+                 string_split(pair, chr(1))[2] AS right_, cnt
+          FROM p2 ORDER BY cnt DESC, pair LIMIT 1
+        ),
+        v2 AS (
+          SELECT replace(v.s, ' ' || b.left_ || ' ' || b.right_,
+                         ' ' || b.left_ || b.right_) AS s, v.freq
+          FROM v1 v CROSS JOIN b2 b
+        ),
+        p3 AS (
+          SELECT l[r.i] || chr(1) || l[r.i + 1] AS pair, SUM(freq) AS cnt
+          FROM (SELECT string_split(substr(s, 2), ' ') AS l, freq FROM v2),
+               UNNEST(range(1, len(l))) AS r(i)
+          GROUP BY 1
+        ),
+        b3 AS (
+          SELECT string_split(pair, chr(1))[1] AS left_,
+                 string_split(pair, chr(1))[2] AS right_, cnt
+          FROM p3 ORDER BY cnt DESC, pair LIMIT 1
+        )
+        SELECT CAST(1 AS INT) AS step, left_ AS "left", right_ AS "right",
+               CAST(cnt AS BIGINT) AS n_occurrences FROM b1
+        UNION ALL
+        SELECT CAST(2 AS INT), left_, right_, CAST(cnt AS BIGINT) FROM b2
+        UNION ALL
+        SELECT CAST(3 AS INT), left_, right_, CAST(cnt AS BIGINT) FROM b3
+        ORDER BY step
     """
     # drift1: per-(source, token) KL terms IEEE-identical in both
     # engines, rounded to 9 dp, decimal-summed (the ppl1 discipline)

@@ -1,0 +1,97 @@
+"""Distributed BPE tokenizer training (fixed merge steps) — the
+vocabulary-induction step of a training-data pipeline (Sennrich et al.
+2016, arXiv:1508.07909): learn the S most frequent adjacent-symbol
+merges over the corpus vocabulary.
+
+Spark shape (the reason BPE distributes well):
+  * training runs over the VOCABULARY (distinct word, frequency) — one
+    combining shuffle collapses the corpus to its word list, and every
+    later step touches only that vocab table (mem-bounded: vocab grows
+    ~log corpus);
+  * each merge step is one map pass (bigram explode over the spaced
+    symbol string) + one combining groupBy to pair counts, then a
+    1-ROW driver collect of the argmax pair — the bounded
+    scalar-per-iteration pattern of kmeans1/pr1;
+  * applying a merge is a literal string replace riding the next scan —
+    no join, no shuffle.
+
+Cross-engine determinism (oracle-paired, like kmeans1): the greedy
+leftmost non-overlapping merge is exactly `replace()` semantics on a
+LEADING-space symbol encoding (' l o w'; the pattern ' x y' consumes
+its own leading space so a replacement can never overlap the next
+match — both engines' replace scans left-to-right and resumes after
+the replacement); argmax ties break (count DESC, left, right) in both
+engines; counts are exact integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _spaced_symbols(word: F.Column) -> F.Column:
+    """' l o w' — every character prefixed by a space (the leading-space
+    encoding the merge replace depends on)."""
+    return F.regexp_replace(word, "(.)", " $1")
+
+
+def bpe1_merge_steps(documents: DataFrame, steps: int = 3) -> DataFrame:
+    """The first `steps` BPE merges learned from the documents corpus —
+    (step, left, right, n_occurrences): at each step the most frequent
+    adjacent symbol pair across the frequency-weighted vocabulary is
+    merged everywhere and the next step recounts.
+
+    n_occurrences is the pair count that drove the argmax: adjacent
+    symbol pairs counted the way Sennrich's get_stats counts them
+    (every adjacent position, so 'a a a' counts (a,a) twice), weighted
+    by word frequency; the APPLY is greedy leftmost non-overlapping,
+    also per the reference implementation.
+    """
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    base = (
+        documents.filter(F.col("text").isNotNull() & (F.trim(F.col("text")) != ""))
+        .select(F.explode(F.split(norm, " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(_spaced_symbols(F.col("word")).alias("s"), "freq")
+    ).persist()
+    vocab = base
+    try:
+        merges: list[tuple[int, str, str, int]] = []
+        for step in range(1, steps + 1):
+            syms = F.split(F.substring(F.col("s"), 2, 1 << 30), " ")
+            starts = F.sequence(F.lit(1), F.size(syms) - 1)
+            pair = F.concat_ws(
+                "\x01",
+                F.element_at(syms, F.col("i")),
+                F.element_at(syms, F.col("i") + 1),
+            )
+            best = (
+                vocab.filter(F.size(syms) >= 2)
+                .select("freq", F.explode(starts).alias("i"), F.col("s"))
+                .select("freq", pair.alias("pair"))
+                .groupBy("pair")
+                .agg(F.sum("freq").cast("bigint").alias("cnt"))
+                .orderBy(F.col("cnt").desc(), "pair")
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            left, right = best[0]["pair"].split("\x01")
+            merges.append((step, left, right, int(best[0]["cnt"])))
+            vocab = vocab.select(
+                F.replace(
+                    F.col("s"),
+                    F.lit(f" {left} {right}"),
+                    F.lit(f" {left}{right}"),
+                ).alias("s"),
+                "freq",
+            )
+        spark = documents.sparkSession
+        return spark.createDataFrame(
+            merges, "step int, left string, right string, n_occurrences bigint"
+        )
+    finally:
+        base.unpersist()

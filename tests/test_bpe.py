@@ -1,0 +1,35 @@
+"""Distributed BPE training: exact merge sequence on the Sennrich
+example corpus, overlap counting vs greedy apply, early stop."""
+
+from __future__ import annotations
+
+from csv_crm_upload_spark.analytics.bpe import bpe1_merge_steps
+
+
+def _docs(spark, texts):
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+
+
+def test_bpe_learns_sennrich_example_merges(spark):
+    """vocab {low:5, lower:2, newest:6, widest:3} — step 1 ties (e,s)
+    and (s,t) at 9, lexicographic tie-break picks (e,s); step 2 merges
+    the new 'es' symbol with t (multi-char merge chaining); step 3 ties
+    (l,o)/(o,w) at 7, picks (l,o)."""
+    corpus = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    out = [tuple(r) for r in bpe1_merge_steps(_docs(spark, [corpus])).collect()]
+    assert out == [(1, "e", "s", 9), (2, "es", "t", 9), (3, "l", "o", 7)]
+
+
+def test_bpe_counts_overlapping_pairs_but_applies_greedily(spark):
+    """'aaaa' x3: (a,a) counts 9 (3 adjacent positions x freq 3 — the
+    Sennrich overlapping count), but the merge applies leftmost
+    non-overlapping, leaving 'aa aa'; step 2 merges (aa,aa); then the
+    vocab is a single symbol and training stops early."""
+    out = [tuple(r) for r in bpe1_merge_steps(_docs(spark, ["aaaa aaaa aaaa"])).collect()]
+    assert out == [(1, "a", "a", 9), (2, "aa", "aa", 3)]
+
+
+def test_bpe_empty_corpus_yields_no_merges(spark):
+    out = bpe1_merge_steps(_docs(spark, ["x", "y"])).collect()
+    assert out == []  # single-char words: no pairs anywhere
