@@ -232,8 +232,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     `samp2`, `kmeans1`, `prep1`, `dd3`) take slots 13-18 — closing the
     prior ledger — followed by the new round-5 oracle-paired operators
     (`asof1`, `sess1`, `fun1`, `skw1`, `ppl1`, `leak1`, `drift1`,
-    `fh1`, `sdd1`, `linedd1`, `mix3`, `bpe1`) in slots 19-30; slots
-    31-50 re-sample round-4 keys.
+    `fh1`, `sdd1`, `linedd1`, `mix3`, `bpe1`, `bpe2`) in slots 19-31;
+    slots 32-50 re-sample round-4 keys.
     sim_knn_ivf/pq1/ivfpq1/hll1/mm2/mm3/approx_* are oracle-free
     rows-only whenever sampled."""
     return {
@@ -320,6 +320,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe1_merge_steps": lambda s, sf: bpe.bpe1_merge_steps(
             _t("documents")(s, sf)
         ),
+        # BPE inference: per-doc segmentation stats under the learned merges
+        "bpe2_segment": lambda s, sf: bpe.bpe2_segment(_t("documents")(s, sf)),
         "t10_tfidf_top_terms": lambda s, sf: ts.t10_tfidf_top_terms(_t("documents")(s, sf)),
         "samp1_stratified_sample": lambda s, sf: ts.samp1_stratified_sample(_t("documents")(s, sf)),
         "pr1_doc_pagerank": lambda s, sf: dd.pr1_doc_pagerank(_t("documents")(s, sf)),
@@ -2571,6 +2573,77 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT CAST(3 AS INT), left_, right_, CAST(cnt AS BIGINT) FROM b3
         ORDER BY step
+    """
+    # bpe2: the bpe1 chain with the raw word carried through, then the
+    # per-word token counts joined back to every word occurrence
+    q["bpe2_segment"] = """
+        WITH words AS (
+          SELECT doc_id,
+                 unnest(string_split(
+                   lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) AS word
+          FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+        ),
+        v0 AS (
+          SELECT word, regexp_replace(word, '(.)', ' \\1', 'g') AS s, COUNT(*) AS freq
+          FROM words GROUP BY 1, 2
+        ),
+        p1 AS (
+          SELECT l[r.i] || chr(1) || l[r.i + 1] AS pair, SUM(freq) AS cnt
+          FROM (SELECT string_split(substr(s, 2), ' ') AS l, freq FROM v0),
+               UNNEST(range(1, len(l))) AS r(i)
+          GROUP BY 1
+        ),
+        b1 AS (
+          SELECT string_split(pair, chr(1))[1] AS left_,
+                 string_split(pair, chr(1))[2] AS right_
+          FROM p1 ORDER BY cnt DESC, pair LIMIT 1
+        ),
+        v1 AS (
+          SELECT v.word, replace(v.s, ' ' || b.left_ || ' ' || b.right_,
+                                 ' ' || b.left_ || b.right_) AS s, v.freq
+          FROM v0 v CROSS JOIN b1 b
+        ),
+        p2 AS (
+          SELECT l[r.i] || chr(1) || l[r.i + 1] AS pair, SUM(freq) AS cnt
+          FROM (SELECT string_split(substr(s, 2), ' ') AS l, freq FROM v1),
+               UNNEST(range(1, len(l))) AS r(i)
+          GROUP BY 1
+        ),
+        b2 AS (
+          SELECT string_split(pair, chr(1))[1] AS left_,
+                 string_split(pair, chr(1))[2] AS right_
+          FROM p2 ORDER BY cnt DESC, pair LIMIT 1
+        ),
+        v2 AS (
+          SELECT v.word, replace(v.s, ' ' || b.left_ || ' ' || b.right_,
+                                 ' ' || b.left_ || b.right_) AS s, v.freq
+          FROM v1 v CROSS JOIN b2 b
+        ),
+        p3 AS (
+          SELECT l[r.i] || chr(1) || l[r.i + 1] AS pair, SUM(freq) AS cnt
+          FROM (SELECT string_split(substr(s, 2), ' ') AS l, freq FROM v2),
+               UNNEST(range(1, len(l))) AS r(i)
+          GROUP BY 1
+        ),
+        b3 AS (
+          SELECT string_split(pair, chr(1))[1] AS left_,
+                 string_split(pair, chr(1))[2] AS right_
+          FROM p3 ORDER BY cnt DESC, pair LIMIT 1
+        ),
+        v3 AS (
+          SELECT v.word, replace(v.s, ' ' || b.left_ || ' ' || b.right_,
+                                 ' ' || b.left_ || b.right_) AS s
+          FROM v2 v CROSS JOIN b3 b
+        ),
+        m AS (
+          SELECT word, len(string_split(substr(s, 2), ' ')) AS n_toks FROM v3
+        )
+        SELECT w.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(length(w.word)) AS BIGINT) AS n_chars_tokenized,
+               CAST(SUM(m.n_toks) AS BIGINT) AS n_tokens
+        FROM words w JOIN m USING (word)
+        GROUP BY w.doc_id ORDER BY w.doc_id
     """
     # drift1: per-(source, token) KL terms IEEE-identical in both
     # engines, rounded to 9 dp, decimal-summed (the ppl1 discipline)

@@ -95,3 +95,45 @@ def bpe1_merge_steps(documents: DataFrame, steps: int = 3) -> DataFrame:
         )
     finally:
         base.unpersist()
+
+
+def bpe2_segment(documents: DataFrame, steps: int = 3) -> DataFrame:
+    """Tokenizer INFERENCE for the merges bpe1 learns: re-learn the
+    first `steps` merges, then apply them (in order, greedy leftmost
+    non-overlapping — the same replace encoding) to every word
+    occurrence and report per-doc segmentation stats —
+    (doc_id, n_words, n_chars_tokenized, n_tokens): n_tokens is the
+    doc's symbol count under the trained tokenizer (== n_chars before
+    any merge; each applied merge occurrence removes one symbol), the
+    compression readout a tokenizer sweep grades.
+
+    Scale shape: training is bpe1 (vocab-bounded); application is
+    MAP-ONLY — `steps` chained literal replaces riding the doc scan,
+    then one combining groupBy(doc_id). The merge rules ride into the
+    plan as literals (the broadcast-centroid pattern of kmeans)."""
+    rules = [
+        (r["left"], r["right"])
+        for r in bpe1_merge_steps(documents, steps).orderBy("step").collect()
+    ]
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    words = documents.filter(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    ).select("doc_id", F.explode(F.split(norm, " ")).alias("word"))
+    s = _spaced_symbols(F.col("word"))
+    for left, right in rules:
+        s = F.replace(s, F.lit(f" {left} {right}"), F.lit(f" {left}{right}"))
+    toks = F.split(F.substring(s, 2, 1 << 30), " ")
+    return (
+        words.select(
+            "doc_id",
+            F.length("word").alias("n_chars"),
+            F.size(toks).alias("n_toks"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_chars").cast("bigint").alias("n_chars_tokenized"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )

@@ -33,3 +33,14 @@ def test_bpe_counts_overlapping_pairs_but_applies_greedily(spark):
 def test_bpe_empty_corpus_yields_no_merges(spark):
     out = bpe1_merge_steps(_docs(spark, ["x", "y"])).collect()
     assert out == []  # single-char words: no pairs anywhere
+
+
+def test_bpe_segment_compression_on_sennrich_corpus(spark):
+    """After merges (e,s), (es,t), (l,o): low → 'lo w' (2), lower →
+    'lo w e r' (4), newest → 'n e w est' (4), widest → 'w i d est' (4);
+    16 words, 79 chars, 54 tokens."""
+    from csv_crm_upload_spark.analytics.bpe import bpe2_segment
+
+    corpus = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    out = [tuple(r) for r in bpe2_segment(_docs(spark, [corpus])).collect()]
+    assert out == [(0, 16, 79, 5 * 2 + 2 * 4 + 6 * 4 + 3 * 4)]
