@@ -33,6 +33,7 @@ from csv_crm_upload_spark.analytics import grouped_pandas as gp
 from csv_crm_upload_spark.analytics import ivf
 from csv_crm_upload_spark.analytics import bpe
 from csv_crm_upload_spark.analytics import clustering as clus
+from csv_crm_upload_spark.analytics import logreg
 from csv_crm_upload_spark.plans import corpus_prep as prep
 from csv_crm_upload_spark.analytics import ivfpq as ivfpqm
 from csv_crm_upload_spark.analytics import pq as pqm
@@ -232,8 +233,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     `samp2`, `kmeans1`, `prep1`, `dd3`) take slots 13-18 — closing the
     prior ledger — followed by the new round-5 oracle-paired operators
     (`asof1`, `sess1`, `fun1`, `skw1`, `ppl1`, `leak1`, `drift1`,
-    `fh1`, `sdd1`, `linedd1`, `mix3`, `bpe1`, `bpe2`) in slots 19-31;
-    slots 32-50 re-sample round-4 keys.
+    `fh1`, `sdd1`, `linedd1`, `mix3`, `bpe1`, `bpe2`, `lr1`) in slots
+    19-32; slots 33-50 re-sample round-4 keys.
     sim_knn_ivf/pq1/ivfpq1/hll1/mm2/mm3/approx_* are oracle-free
     rows-only whenever sampled."""
     return {
@@ -322,6 +323,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # BPE inference: per-doc segmentation stats under the learned merges
         "bpe2_segment": lambda s, sf: bpe.bpe2_segment(_t("documents")(s, sf)),
+        # distributed logistic regression (2 fixed GD steps, lang='en' gate)
+        "lr1_quality_classifier": lambda s, sf: logreg.lr1_quality_classifier(
+            _t("documents")(s, sf)
+        ),
         "t10_tfidf_top_terms": lambda s, sf: ts.t10_tfidf_top_terms(_t("documents")(s, sf)),
         "samp1_stratified_sample": lambda s, sf: ts.samp1_stratified_sample(_t("documents")(s, sf)),
         "pr1_doc_pagerank": lambda s, sf: dd.pr1_doc_pagerank(_t("documents")(s, sf)),
@@ -2644,6 +2649,60 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(m.n_toks) AS BIGINT) AS n_tokens
         FROM words w JOIN m USING (word)
         GROUP BY w.doc_id ORDER BY w.doc_id
+    """
+    # lr1: two unrolled full-batch GD steps — per-row sigmoid 9-dp
+    # rounded (ppl1 discipline), gradient terms 12-dp DECIMAL-summed
+    # (order-free), weight updates rounded IN the expression (kmeans
+    # discipline; Python round() is half-even and never touches weights)
+    q["lr1_quality_classifier"] = f"""
+        WITH f AS (
+          SELECT 1.0 AS x0,
+                 CAST(len(list_filter({_TOKS}, t -> list_contains({_STOP}, t))) AS DOUBLE)
+                   / CAST(len({_TOKS}) AS DOUBLE) AS x1,
+                 least(CAST(len({_TOKS}) AS DOUBLE), 256.0) / 256.0 AS x2,
+                 CAST(n_chars AS DOUBLE) / CAST(len({_TOKS}) AS DOUBLE) / 64.0 AS x3,
+                 CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+          FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+        ),
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM f),
+        g1 AS (
+          SELECT
+            CAST(SUM(CAST(round((p - y) * x0, 12) AS DECIMAL(28,12))) AS DOUBLE) AS g0,
+            CAST(SUM(CAST(round((p - y) * x1, 12) AS DECIMAL(28,12))) AS DOUBLE) AS g1,
+            CAST(SUM(CAST(round((p - y) * x2, 12) AS DECIMAL(28,12))) AS DOUBLE) AS g2,
+            CAST(SUM(CAST(round((p - y) * x3, 12) AS DECIMAL(28,12))) AS DOUBLE) AS g3
+          FROM (SELECT *, round(1.0 / (1.0 + exp(-(0.0 * x0 + 0.0 * x1
+                                                   + 0.0 * x2 + 0.0 * x3))), 9) AS p
+                FROM f)
+        ),
+        it1 AS (
+          SELECT round(0.0 - g0 / (SELECT n FROM nn), 12) AS w0,
+                 round(0.0 - g1 / (SELECT n FROM nn), 12) AS w1,
+                 round(0.0 - g2 / (SELECT n FROM nn), 12) AS w2,
+                 round(0.0 - g3 / (SELECT n FROM nn), 12) AS w3
+          FROM g1
+        ),
+        g2s AS (
+          SELECT
+            CAST(SUM(CAST(round((p - y) * x0, 12) AS DECIMAL(28,12))) AS DOUBLE) AS g0,
+            CAST(SUM(CAST(round((p - y) * x1, 12) AS DECIMAL(28,12))) AS DOUBLE) AS g1,
+            CAST(SUM(CAST(round((p - y) * x2, 12) AS DECIMAL(28,12))) AS DOUBLE) AS g2,
+            CAST(SUM(CAST(round((p - y) * x3, 12) AS DECIMAL(28,12))) AS DOUBLE) AS g3
+          FROM (SELECT f.*, round(1.0 / (1.0 + exp(-(w.w0 * x0 + w.w1 * x1
+                                                     + w.w2 * x2 + w.w3 * x3))), 9) AS p
+                FROM f CROSS JOIN it1 w)
+        ),
+        it2 AS (
+          SELECT round(w.w0 - g.g0 / (SELECT n FROM nn), 12) AS w0,
+                 round(w.w1 - g.g1 / (SELECT n FROM nn), 12) AS w1,
+                 round(w.w2 - g.g2 / (SELECT n FROM nn), 12) AS w2,
+                 round(w.w3 - g.g3 / (SELECT n FROM nn), 12) AS w3
+          FROM g2s g CROSS JOIN it1 w
+        )
+        SELECT 'intercept' AS feature, w0 AS weight FROM it2
+        UNION ALL SELECT 'stopword_ratio', w1 FROM it2
+        UNION ALL SELECT 'len_capped', w2 FROM it2
+        UNION ALL SELECT 'avg_tok_len', w3 FROM it2
     """
     # drift1: per-(source, token) KL terms IEEE-identical in both
     # engines, rounded to 9 dp, decimal-summed (the ppl1 discipline)

@@ -1,0 +1,96 @@
+"""Distributed logistic-regression training over the documents corpus —
+the quality/language filter model of a training-data pipeline (the
+fastText-classifier role: learn a linear gate from cheap per-doc
+features), and the repo's demonstration that FIXED-STEP gradient
+descent distributes the same way fixed-round Lloyd's does (kmeans1):
+
+  * the per-example pass (features, sigmoid, gradient contribution) is
+    MAP-ONLY and rides the scan;
+  * each GD step is one map-side-combining groupBy carrying 4 decimal
+    sums — the shuffle moves k+1 numbers per partition, not the corpus;
+  * weights live on the driver between steps (a 1-row collect, the
+    kmeans/pr1 bounded-scalar pattern) and re-enter the next plan as
+    literals.
+
+Cross-engine determinism (oracle-paired — the DuckDB oracle unrolls
+both GD steps as CTEs):
+  * features are exact per-row arithmetic: integer counts and single
+    IEEE divisions, identical in both engines;
+  * the only transcendental (sigmoid's exp) is rounded to 9 dp per row
+    before gradients (the ppl1 discipline);
+  * gradient terms are rounded to 12 dp into DECIMAL(28,12) so the
+    corpus sum is EXACT (order-free);
+  * weight updates are F.round-ed IN THE PLAN (half-away-from-zero in
+    both engines) before collection — driver Python never rounds
+    (Python's round() is half-even and would diverge).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+FEATURES = ["intercept", "stopword_ratio", "len_capped", "avg_tok_len"]
+
+
+def _feature_frame(documents: DataFrame) -> DataFrame:
+    """(doc_id, x0..x3, y): x0 intercept, x1 English-stopword fraction
+    (the discriminative signal for the lang='en' label), x2 token count
+    capped at 256 and scaled, x3 chars-per-token scaled by 64."""
+    toks = F.split(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")), " ")
+    stop = F.array(*[F.lit(w) for w in STOPWORDS])
+    nt = F.size(toks).cast("double")
+    nstop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).cast("double")
+    return documents.filter(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    ).select(
+        "doc_id",
+        F.lit(1.0).alias("x0"),
+        (nstop / nt).alias("x1"),
+        (F.least(nt, F.lit(256.0)) / F.lit(256.0)).alias("x2"),
+        (F.col("n_chars").cast("double") / nt / F.lit(64.0)).alias("x3"),
+        F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
+    )
+
+
+def lr1_quality_classifier(documents: DataFrame, iters: int = 2) -> DataFrame:
+    """(feature, weight) after `iters` full-batch GD steps (lr = 1.0)
+    from w = 0 on the lang='en' label — the learned linear quality /
+    language gate. The stopword-ratio weight coming out positive is the
+    semantic readout (English docs score higher under an English
+    stopword list); inference is a map-only dot product + threshold.
+    """
+    feats = _feature_frame(documents)
+    n = feats.count()  # bounded driver scalar (fixed by the corpus)
+    w = [0.0, 0.0, 0.0, 0.0]
+    for _ in range(iters):
+        z = (
+            F.lit(w[0]) * F.col("x0")
+            + F.lit(w[1]) * F.col("x1")
+            + F.lit(w[2]) * F.col("x2")
+            + F.lit(w[3]) * F.col("x3")
+        )
+        p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9)
+        d = p - F.col("y")
+        sums = [
+            F.sum(F.round(d * F.col(f"x{j}"), 12).cast("decimal(28,12)"))
+            .cast("double")
+            .alias(f"g{j}")
+            for j in range(4)
+        ]
+        # update rounded IN THE PLAN (half-away-from-zero both engines)
+        upd = feats.agg(*sums).select(
+            *[
+                F.round(F.lit(w[j]) - F.col(f"g{j}") / F.lit(float(n)), 12).alias(
+                    f"w{j}"
+                )
+                for j in range(4)
+            ]
+        ).collect()[0]
+        w = [float(upd[f"w{j}"]) for j in range(4)]
+    spark = documents.sparkSession
+    return spark.createDataFrame(
+        list(zip(FEATURES, w)), "feature string, weight double"
+    )

@@ -1,0 +1,49 @@
+"""Distributed logistic regression: learning on a separable planted
+corpus, determinism, and the bounded-driver iteration shape."""
+
+from __future__ import annotations
+
+from csv_crm_upload_spark.analytics.logreg import lr1_quality_classifier
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+
+
+def _planted(spark):
+    """en docs are stopword-dense, others stopword-free — linearly
+    separable on the stopword_ratio feature alone."""
+    en = "the of and to in is it the a of"
+    other = "spark join filter merge table scan shuffle sort agg write"
+    rows = [(i, en, "en", "s", len(en)) for i in range(20)] + [
+        (100 + i, other, "de", "s", len(other)) for i in range(20)
+    ]
+    return _docs(spark, rows)
+
+
+def test_logreg_learns_separable_stopword_signal(spark):
+    docs = _planted(spark)
+    w = {r["feature"]: r["weight"] for r in lr1_quality_classifier(docs, iters=20).collect()}
+    assert w["stopword_ratio"] > 0, w  # English stopword density predicts en
+    # the learned gate actually separates the two classes:
+    # z = w·x with x = (1, stop_ratio, len_capped, avg_tok_len)
+    x_en = (1.0, 1.0, 10 / 256, (30 / 10) / 64)
+    x_de = (1.0, 0.0, 10 / 256, (58 / 10) / 64)
+    feats = ["intercept", "stopword_ratio", "len_capped", "avg_tok_len"]
+    z_en = sum(w[f] * v for f, v in zip(feats, x_en))
+    z_de = sum(w[f] * v for f, v in zip(feats, x_de))
+    assert z_en > 0 > z_de, (z_en, z_de)
+
+
+def test_logreg_deterministic_across_runs(spark):
+    docs = _planted(spark)
+    a = sorted(map(tuple, lr1_quality_classifier(docs, iters=3).collect()))
+    b = sorted(map(tuple, lr1_quality_classifier(docs, iters=3).collect()))
+    assert a == b
+
+
+def test_logreg_zero_iters_returns_zero_weights(spark):
+    docs = _planted(spark)
+    out = lr1_quality_classifier(docs, iters=0).collect()
+    assert {r["weight"] for r in out} == {0.0}
+    assert len(out) == 4
