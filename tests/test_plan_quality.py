@@ -303,3 +303,32 @@ def test_quantizer_encode_stages_are_shuffle_free(spark, sf_dir):
         plan = plan_of(df)
         ids = set(re.findall(r"(?<!Broadcast)Exchange \((\d+)\)", plan))
         assert not ids, f"{label}: encode stage plans {len(ids)} exchanges"
+
+
+def test_round5_operator_shuffle_budgets(spark, sf_dir):
+    """Budgets for the round-5 additions (ceilings, broadcasts excluded):
+      sdd1    4 — Lloyd's assignment is map-only (centroid literals);
+              within-cluster pair join + witness groupBy + final
+              vec_id join/order move pair and row sets, never all-pairs
+      linedd1 3 — span-key window + doc_id reassembly + result order
+      mix3    3 — source-count agg (collapses to ~#sources rows),
+              per-source rank window, result shape; targets broadcast
+      bpe2    2 — the RETURNED segmentation readout: doc_id combining
+              agg + result order (the apply itself is 0-shuffle chained
+              replaces riding the scan; training steps are budgeted by
+              their own 1-agg shape)
+      lr1     0 — the returned frame is the driver-built weight table;
+              every GD step ran as one combining agg (map-side partials)
+    """
+    spark.catalog.clearCache()
+    budgets = {
+        "sdd1_semantic_dedup": 4,
+        "linedd1_span_dedup": 3,
+        "mix3_temperature_mixture": 3,
+        "bpe2_segment": 2,
+        "lr1_quality_classifier": 0,
+    }
+    for name, budget in budgets.items():
+        plan = plan_of(QUERIES[name](spark, sf_dir))
+        ids = set(re.findall(r"(?<!Broadcast)Exchange \((\d+)\)", plan))
+        assert len(ids) <= budget, f"{name}: {len(ids)} shuffles > budget {budget}\n{plan}"
