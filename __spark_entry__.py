@@ -233,8 +233,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     `samp2`, `kmeans1`, `prep1`, `dd3`) take slots 13-18 — closing the
     prior ledger — followed by the new round-5 oracle-paired operators
     (`asof1`, `sess1`, `fun1`, `skw1`, `ppl1`, `leak1`, `drift1`,
-    `fh1`, `sdd1`, `linedd1`, `mix3`, `bpe1`, `bpe2`, `lr1`) in slots
-    19-32; slots 33-50 re-sample round-4 keys.
+    `fh1`, `sdd1`, `linedd1`, `mix3`, `bpe1`, `bpe2`, `lr1`, `lr2`)
+    in slots 19-33; slots 34-50 re-sample round-4 keys.
     sim_knn_ivf/pq1/ivfpq1/hll1/mm2/mm3/approx_* are oracle-free
     rows-only whenever sampled."""
     return {
@@ -325,6 +325,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe2_segment": lambda s, sf: bpe.bpe2_segment(_t("documents")(s, sf)),
         # distributed logistic regression (2 fixed GD steps, lang='en' gate)
         "lr1_quality_classifier": lambda s, sf: logreg.lr1_quality_classifier(
+            _t("documents")(s, sf)
+        ),
+        # classifier inference: map-only scoring pass, per-lang readout
+        "lr2_classifier_scores": lambda s, sf: logreg.lr2_classifier_scores(
             _t("documents")(s, sf)
         ),
         "t10_tfidf_top_terms": lambda s, sf: ts.t10_tfidf_top_terms(_t("documents")(s, sf)),
@@ -2650,13 +2654,13 @@ def oracle_sql() -> dict[str, str]:
         FROM words w JOIN m USING (word)
         GROUP BY w.doc_id ORDER BY w.doc_id
     """
-    # lr1: two unrolled full-batch GD steps — per-row sigmoid 9-dp
+    # lr1/lr2: two unrolled full-batch GD steps — per-row sigmoid 9-dp
     # rounded (ppl1 discipline), gradient terms 12-dp DECIMAL-summed
     # (order-free), weight updates rounded IN the expression (kmeans
     # discipline; Python round() is half-even and never touches weights)
-    q["lr1_quality_classifier"] = f"""
+    _lr_chain = f"""
         WITH f AS (
-          SELECT 1.0 AS x0,
+          SELECT lang, 1.0 AS x0,
                  CAST(len(list_filter({_TOKS}, t -> list_contains({_STOP}, t))) AS DOUBLE)
                    / CAST(len({_TOKS}) AS DOUBLE) AS x1,
                  least(CAST(len({_TOKS}) AS DOUBLE), 256.0) / 256.0 AS x2,
@@ -2698,11 +2702,26 @@ def oracle_sql() -> dict[str, str]:
                  round(w.w2 - g.g2 / (SELECT n FROM nn), 12) AS w2,
                  round(w.w3 - g.g3 / (SELECT n FROM nn), 12) AS w3
           FROM g2s g CROSS JOIN it1 w
-        )
+        )"""
+    q["lr1_quality_classifier"] = _lr_chain + """
         SELECT 'intercept' AS feature, w0 AS weight FROM it2
         UNION ALL SELECT 'stopword_ratio', w1 FROM it2
         UNION ALL SELECT 'len_capped', w2 FROM it2
         UNION ALL SELECT 'avg_tok_len', w3 FROM it2
+    """
+    # lr2: the same trained weights applied map-only, per-lang readout
+    q["lr2_classifier_scores"] = _lr_chain + """
+        , scored AS (
+          SELECT f.lang,
+                 round(1.0 / (1.0 + exp(-(w.w0 * x0 + w.w1 * x1
+                                          + w.w2 * x2 + w.w3 * x3))), 9) AS p
+          FROM f CROSS JOIN it2 w
+        )
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN p >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_en,
+               round(CAST(SUM(CAST(p AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 9)
+                 AS mean_p
+        FROM scored GROUP BY lang ORDER BY lang
     """
     # drift1: per-(source, token) KL terms IEEE-identical in both
     # engines, rounded to 9 dp, decimal-summed (the ppl1 discipline)

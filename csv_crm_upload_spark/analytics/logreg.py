@@ -47,6 +47,7 @@ def _feature_frame(documents: DataFrame) -> DataFrame:
         F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
     ).select(
         "doc_id",
+        "lang",
         F.lit(1.0).alias("x0"),
         (nstop / nt).alias("x1"),
         (F.least(nt, F.lit(256.0)) / F.lit(256.0)).alias("x2"),
@@ -55,13 +56,10 @@ def _feature_frame(documents: DataFrame) -> DataFrame:
     )
 
 
-def lr1_quality_classifier(documents: DataFrame, iters: int = 2) -> DataFrame:
-    """(feature, weight) after `iters` full-batch GD steps (lr = 1.0)
-    from w = 0 on the lang='en' label — the learned linear quality /
-    language gate. The stopword-ratio weight coming out positive is the
-    semantic readout (English docs score higher under an English
-    stopword list); inference is a map-only dot product + threshold.
-    """
+def train_weights(documents: DataFrame, iters: int = 2) -> list[float]:
+    """The GD loop — w after `iters` full-batch steps (lr = 1.0) from
+    w = 0 on the lang='en' label; shared by lr1 (weight readout) and
+    lr2 (inference scoring)."""
     feats = _feature_frame(documents)
     n = feats.count()  # bounded driver scalar (fixed by the corpus)
     w = [0.0, 0.0, 0.0, 0.0]
@@ -90,7 +88,48 @@ def lr1_quality_classifier(documents: DataFrame, iters: int = 2) -> DataFrame:
             ]
         ).collect()[0]
         w = [float(upd[f"w{j}"]) for j in range(4)]
+    return w
+
+
+def lr1_quality_classifier(documents: DataFrame, iters: int = 2) -> DataFrame:
+    """(feature, weight) after `iters` GD steps — the learned linear
+    quality / language gate (see train_weights for the loop shape and
+    the module docstring for the determinism pivots); inference is a
+    map-only dot product + threshold (lr2_classifier_scores)."""
+    w = train_weights(documents, iters)
     spark = documents.sparkSession
     return spark.createDataFrame(
         list(zip(FEATURES, w)), "feature string, weight double"
+    )
+
+
+def lr2_classifier_scores(documents: DataFrame, iters: int = 2) -> DataFrame:
+    """Inference for the lr1 gate — per-lang readout of what the trained
+    model predicts: (lang, n_docs, n_pred_en, mean_p). MAP-ONLY scoring
+    (weights ride the plan as literals, one sigmoid per row) + one
+    combining groupBy(lang) — the shape a 100 TB corpus-wide filter pass
+    takes. mean_p is the decimal-exact mean of the 9-dp rounded
+    per-row probabilities (the kmeans mean_sim discipline)."""
+    w = train_weights(documents, iters)
+    feats = _feature_frame(documents)
+    z = (
+        F.lit(w[0]) * F.col("x0")
+        + F.lit(w[1]) * F.col("x1")
+        + F.lit(w[2]) * F.col("x2")
+        + F.lit(w[3]) * F.col("x3")
+    )
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9)
+    return (
+        feats.select("lang", p.alias("p"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum((F.col("p") >= 0.5).cast("long")).cast("bigint").alias("n_pred_en"),
+            F.round(
+                F.sum(F.col("p").cast("decimal(18,9)")).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("mean_p"),
+        )
+        .orderBy("lang")
     )

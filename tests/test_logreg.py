@@ -47,3 +47,14 @@ def test_logreg_zero_iters_returns_zero_weights(spark):
     out = lr1_quality_classifier(docs, iters=0).collect()
     assert {r["weight"] for r in out} == {0.0}
     assert len(out) == 4
+
+
+def test_logreg_inference_separates_planted_corpus(spark):
+    """lr2 on the separable corpus at iters=20: every en doc predicted
+    en, every de doc predicted not-en, and mean_p orders the classes."""
+    from csv_crm_upload_spark.analytics.logreg import lr2_classifier_scores
+
+    out = {r["lang"]: r for r in lr2_classifier_scores(_planted(spark), iters=20).collect()}
+    assert out["en"]["n_docs"] == 20 and out["en"]["n_pred_en"] == 20
+    assert out["de"]["n_docs"] == 20 and out["de"]["n_pred_en"] == 0
+    assert out["en"]["mean_p"] > 0.5 > out["de"]["mean_p"]
