@@ -34,6 +34,7 @@ from csv_crm_upload_spark.analytics import ivf
 from csv_crm_upload_spark.analytics import bpe
 from csv_crm_upload_spark.analytics import clustering as clus
 from csv_crm_upload_spark.analytics import logreg
+from csv_crm_upload_spark.analytics import nbayes
 from csv_crm_upload_spark.plans import corpus_prep as prep
 from csv_crm_upload_spark.analytics import ivfpq as ivfpqm
 from csv_crm_upload_spark.analytics import pq as pqm
@@ -233,8 +234,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     `samp2`, `kmeans1`, `prep1`, `dd3`) take slots 13-18 — closing the
     prior ledger — followed by the new round-5 oracle-paired operators
     (`asof1`, `sess1`, `fun1`, `skw1`, `ppl1`, `leak1`, `drift1`,
-    `fh1`, `sdd1`, `linedd1`, `mix3`, `bpe1`, `bpe2`, `lr1`, `lr2`)
-    in slots 19-33; slots 34-50 re-sample round-4 keys.
+    `fh1`, `sdd1`, `linedd1`, `mix3`, `bpe1`, `bpe2`, `lr1`, `lr2`,
+    `nb1`) in slots 19-34; slots 35-50 re-sample round-4 keys.
     sim_knn_ivf/pq1/ivfpq1/hll1/mm2/mm3/approx_* are oracle-free
     rows-only whenever sampled."""
     return {
@@ -329,6 +330,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # classifier inference: map-only scoring pass, per-lang readout
         "lr2_classifier_scores": lambda s, sf: logreg.lr2_classifier_scores(
+            _t("documents")(s, sf)
+        ),
+        # multinomial Naive Bayes langid: train + classify + confusion
+        "nb1_langid_confusion": lambda s, sf: nbayes.nb1_langid_confusion(
             _t("documents")(s, sf)
         ),
         "t10_tfidf_top_terms": lambda s, sf: ts.t10_tfidf_top_terms(_t("documents")(s, sf)),
@@ -2722,6 +2727,54 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(SUM(CAST(p AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 9)
                  AS mean_p
         FROM scored GROUP BY lang ORDER BY lang
+    """
+    # nb1: Laplace-smoothed multinomial NB — per-(token, class) log2
+    # conditionals 9-dp rounded (ppl1 discipline), integer-count ×
+    # DECIMAL products summed exactly, argmax ties to smallest class
+    q["nb1_langid_confusion"] = f"""
+        WITH base AS (
+          SELECT doc_id, lang, unnest({_TOKS}) AS tok
+          FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+        ),
+        clt AS (SELECT lang AS cand, tok, COUNT(*) AS c_lt FROM base GROUP BY 1, 2),
+        cs AS (
+          SELECT lang AS cand, COUNT(*) AS n_l, COUNT(DISTINCT doc_id) AS docs_l
+          FROM base GROUP BY 1
+        ),
+        v AS (SELECT COUNT(DISTINCT tok) AS vocab FROM base),
+        nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM base),
+        langs AS (
+          SELECT cand, n_l,
+                 round(log2(CAST(docs_l AS DOUBLE)
+                            / (SELECT CAST(n_docs AS DOUBLE) FROM nd)), 9) AS prior
+          FROM cs
+        ),
+        dtc AS (
+          SELECT doc_id, lang, tok, COUNT(*) AS cnt FROM base GROUP BY 1, 2, 3
+        ),
+        sc AS (
+          SELECT d.doc_id, d.lang, l.cand, l.prior,
+                 SUM(CAST(d.cnt AS DECIMAL(12,0)) *
+                     CAST(round(log2(CAST(COALESCE(c.c_lt, 0) + 1 AS DOUBLE)
+                                     / CAST(l.n_l + (SELECT vocab FROM v) AS DOUBLE)), 9)
+                          AS DECIMAL(20,12))) AS ll
+          FROM dtc d CROSS JOIN langs l
+          LEFT JOIN clt c ON c.cand = l.cand AND c.tok = d.tok
+          GROUP BY 1, 2, 3, 4
+        ),
+        scored AS (
+          SELECT doc_id, lang, cand,
+                 CAST(CAST(prior AS DECIMAL(20,12)) + ll AS DOUBLE) AS score
+          FROM sc
+        ),
+        pred AS (
+          SELECT lang, cand FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY doc_id ORDER BY score DESC, cand) AS rn
+            FROM scored) WHERE rn = 1
+        )
+        SELECT lang, cand AS pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM pred GROUP BY 1, 2 ORDER BY 1, 2
     """
     # drift1: per-(source, token) KL terms IEEE-identical in both
     # engines, rounded to 9 dp, decimal-summed (the ppl1 discipline)
