@@ -235,7 +235,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     prior ledger — followed by the new round-5 oracle-paired operators
     (`asof1`, `sess1`, `fun1`, `skw1`, `ppl1`, `leak1`, `drift1`,
     `fh1`, `sdd1`, `linedd1`, `mix3`, `bpe1`, `bpe2`, `lr1`, `lr2`,
-    `nb1`) in slots 19-34; slots 35-50 re-sample round-4 keys.
+    `nb1`, `path1`, `rfm1`) in slots 19-36; slots 37-50 re-sample
+    round-4 keys.
     sim_knn_ivf/pq1/ivfpq1/hll1/mm2/mm3/approx_* are oracle-free
     rows-only whenever sampled."""
     return {
@@ -335,6 +336,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multinomial Naive Bayes langid: train + classify + confusion
         "nb1_langid_confusion": lambda s, sf: nbayes.nb1_langid_confusion(
             _t("documents")(s, sf)
+        ),
+        # top-k 3-step behavioral paths (funnel path analysis)
+        "path1_event_trigrams": lambda s, sf: tpch.path1_event_trigrams(
+            _t("events")(s, sf)
+        ),
+        # RFM customer segmentation grid
+        "rfm1_customer_segments": lambda s, sf: tpch.rfm1_customer_segments(
+            _t("orders")(s, sf)
         ),
         "t10_tfidf_top_terms": lambda s, sf: ts.t10_tfidf_top_terms(_t("documents")(s, sf)),
         "samp1_stratified_sample": lambda s, sf: ts.samp1_stratified_sample(_t("documents")(s, sf)),
@@ -2775,6 +2784,46 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT lang, cand AS pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
         FROM pred GROUP BY 1, 2 ORDER BY 1, 2
+    """
+    # path1: consecutive event-type trigrams under the (ts, event_id)
+    # total order (asof1's determinism pivot); top-k via total order
+    q["path1_event_trigrams"] = """
+        WITH s AS (
+          SELECT event_type AS e1,
+                 lead(event_type, 1) OVER w AS e2,
+                 lead(event_type, 2) OVER w AS e3
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT e1 || '>' || e2 || '>' || e3 AS path,
+               CAST(COUNT(*) AS BIGINT) AS n_paths
+        FROM s WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        GROUP BY 1 ORDER BY n_paths DESC, path LIMIT 20
+    """
+    # rfm1: NTILE quartiles over (recency, frequency, monetary) with
+    # o_custkey tie-breaks; NTILE fills front buckets first, both engines
+    q["rfm1_customer_segments"] = """
+        WITH pc AS (
+          SELECT o_custkey, MAX(o_orderdate) AS last_order,
+                 COUNT(*) AS frequency,
+                 SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+          FROM orders GROUP BY 1
+        ),
+        a AS (SELECT MAX(last_order) AS anchor FROM pc),
+        seg AS (
+          SELECT o_custkey, monetary,
+                 ntile(4) OVER (ORDER BY date_diff('day', last_order,
+                                                   (SELECT anchor FROM a)),
+                                o_custkey) AS r_score,
+                 ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+                 ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+          FROM pc
+        )
+        SELECT r_score, f_score, m_score,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               floor(CAST(SUM(monetary) * 100 AS DOUBLE) / COUNT(*) + 0.5) / 100.0
+                 AS avg_monetary
+        FROM seg GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
     """
     # drift1: per-(source, token) KL terms IEEE-identical in both
     # engines, rounded to 9 dp, decimal-summed (the ppl1 discipline)

@@ -2018,3 +2018,81 @@ def win1_winsorized_prices(orders: DataFrame, lo: float = 0.05, hi: float = 0.95
         )
         .orderBy("o_orderkey")
     )
+
+
+def path1_event_trigrams(events: DataFrame, k: int = 20) -> DataFrame:
+    """Top-k 3-step behavioral paths — the path-analysis readout of a
+    product funnel (which event sequences dominate): consecutive
+    event-type trigrams per user under the (ts, event_id) total order,
+    counted corpus-wide. One window per user + one combining count agg;
+    the top-k is deterministic via the (count DESC, path) total order.
+    m1_event_transitions is the 2-step Markov edge view of the same
+    machinery."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e2 = F.lead("event_type", 1).over(w)
+    e3 = F.lead("event_type", 2).over(w)
+    return (
+        events.select(F.col("event_type").alias("e1"), e2.alias("e2"), e3.alias("e3"))
+        .filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .select(F.concat_ws(">", "e1", "e2", "e3").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_paths"))
+        .orderBy(F.col("n_paths").desc(), "path")
+        .limit(k)
+    )
+
+
+def rfm1_customer_segments(orders: DataFrame, q: int = 4) -> DataFrame:
+    """RFM segmentation — the classic customer scoring grid: per
+    customer, Recency (days since their last order relative to the
+    corpus's latest), Frequency (order count), Monetary (total spend,
+    exact decimal), each NTILE'd into q quartiles over a total order,
+    then one row per (r, f, m) segment with its population and average
+    spend.
+
+    The three global NTILEs are single-partition sorts over the
+    CUSTOMER-grained rollup (already reduced ~10:1 from orders) — the
+    batch1 caveat applies: at 100 TB you range-partition on each sort
+    key; the segment GRID (q^3 rows), not the per-customer scan, is
+    what ships. Recency ties (same-day customers) break by o_custkey in
+    the NTILE order, deterministic in both engines."""
+    from pyspark.sql import Window
+
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate")).alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+    )
+    anchor = per_cust.agg(F.max("last_order").alias("anchor"))
+    scored = per_cust.crossJoin(F.broadcast(anchor)).select(
+        "o_custkey",
+        F.datediff(F.col("anchor"), F.col("last_order")).alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    wr = Window.orderBy("recency_days", "o_custkey")
+    wf = Window.orderBy(F.col("frequency").desc(), "o_custkey")
+    wm = Window.orderBy(F.col("monetary").desc(), "o_custkey")
+    seg = scored.select(
+        "o_custkey",
+        "monetary",
+        F.ntile(q).over(wr).alias("r_score"),
+        F.ntile(q).over(wf).alias("f_score"),
+        F.ntile(q).over(wm).alias("m_score"),
+    )
+    # avg in integer CENTS: floor(cents/n + 0.5)/100 sidesteps Spark's
+    # round-via-shortest-decimal divergence at half-cent boundaries
+    # (exact while segment totals stay under 2^53 cents)
+    avg_cents = F.floor(
+        (F.sum("monetary") * F.lit(100)).cast("double") / F.count(F.lit(1)) + F.lit(0.5)
+    )
+    return (
+        seg.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            (avg_cents / F.lit(100.0)).alias("avg_monetary"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
