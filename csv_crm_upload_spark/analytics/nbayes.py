@@ -94,3 +94,204 @@ def nb1_langid_confusion(documents: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
         .orderBy("lang", "pred_lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted NB model — train once / classify many, with O(vocab) appends.
+# Counts are ADDITIVE, so the model folds new corpus shards exactly: every
+# epoch is a fully-merged snapshot (unlike the delta-chained postings of
+# the text index, the model IS vocab-sized, so a merged snapshot costs the
+# same O(vocab x L) pass a delta merge would). base_epoch == epoch always;
+# superseded snapshots are reclaimable via manifest.gc_stale_epochs.
+# ---------------------------------------------------------------------------
+
+NB_SUBDIRS = ["counts", "class_stats", "model_stats"]
+
+
+def _base_tokens(documents: DataFrame) -> DataFrame:
+    toks = F.split(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")), " ")
+    return documents.filter(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    ).select("doc_id", "lang", F.explode(toks).alias("tok"))
+
+
+def _write_snapshot(base: DataFrame, path: str, epoch: int, n_buckets: int) -> None:
+    """Land one fully-merged model snapshot as epoch dirs (no commit)."""
+    bucket = F.pmod(F.hash("tok"), F.lit(n_buckets)).alias("tok_bucket")
+    clt = base.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c_lt"))
+    clt.select("lang", "tok", "c_lt", bucket).write.mode("overwrite").partitionBy(
+        "tok_bucket"
+    ).parquet(f"{path}/counts/epoch={epoch}")
+    base.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_l"), F.countDistinct("doc_id").alias("docs_l")
+    ).write.mode("overwrite").parquet(f"{path}/class_stats/epoch={epoch}")
+    spark = base.sparkSession
+    vocab_n = base.select("tok").distinct().count()
+    n_docs = base.select("doc_id").distinct().count()
+    spark.createDataFrame(
+        [(vocab_n, n_docs)], "vocab_n bigint, n_docs bigint"
+    ).write.mode("overwrite").parquet(f"{path}/model_stats/epoch={epoch}")
+
+
+def save_nb_model(documents: DataFrame, path: str, n_buckets: int = 64) -> None:
+    """Persist the Laplace-smoothed NB model: (lang, tok) counts
+    partitioned by a token hash bucket (probes prune to their tokens'
+    buckets, the text-index convention), per-class totals, and the
+    1-row vocab/doc stats — all epoch-versioned under the shared
+    manifest protocol (atomic rebuild over a live model included)."""
+    from csv_crm_upload_spark.operators.manifest import commit_manifest, rebuild_epoch
+
+    new_epoch, prior = rebuild_epoch(path)
+    _write_snapshot(_base_tokens(documents), path, new_epoch, n_buckets)
+    commit_manifest(
+        path,
+        {**prior, "epoch": new_epoch, "base_epoch": new_epoch, "n_buckets": n_buckets},
+    )
+
+
+def update_nb_model(
+    new_documents: DataFrame, path: str, txn: tuple[str, int] | None = None
+) -> None:
+    """Fold a corpus APPEND into the model: tokenize ONLY the new docs,
+    merge their counts into the next fully-merged snapshot (an
+    O(vocab x L) pass — never a re-scan of the trained corpus), and
+    commit atomically. `txn` is the streaming replay guard (the batch id
+    commits WITH the epoch — manifest.txn_already_applied).
+
+    Precondition (caller's dedup responsibility): new doc_ids are not
+    already trained on — double-folding a shard would double its counts.
+    """
+    from csv_crm_upload_spark.operators.manifest import (
+        commit_manifest,
+        read_manifest,
+        remove_orphan_epochs,
+        txn_already_applied,
+        with_txn,
+    )
+
+    spark = new_documents.sparkSession
+    m = read_manifest(path)
+    if txn_already_applied(m, txn):
+        return
+    epoch, n_buckets = m["epoch"], m["n_buckets"]
+    remove_orphan_epochs(path, NB_SUBDIRS, epoch)
+
+    base = _base_tokens(new_documents).persist()
+    try:
+        if not base.limit(1).count():
+            return  # nothing with text — clean no-op before any write
+        nxt = epoch + 1
+        bucket = F.pmod(F.hash("tok"), F.lit(n_buckets)).alias("tok_bucket")
+        delta_clt = base.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c_lt"))
+        merged_clt = (
+            spark.read.parquet(f"{path}/counts/epoch={epoch}")
+            .select("lang", "tok", "c_lt")
+            .unionByName(delta_clt)
+            .groupBy("lang", "tok")
+            .agg(F.sum("c_lt").alias("c_lt"))
+        )
+        merged_clt.select("lang", "tok", "c_lt", bucket).write.mode(
+            "overwrite"
+        ).partitionBy("tok_bucket").parquet(f"{path}/counts/epoch={nxt}")
+
+        delta_cs = base.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_l"), F.countDistinct("doc_id").alias("docs_l")
+        )
+        (
+            spark.read.parquet(f"{path}/class_stats/epoch={epoch}")
+            .unionByName(delta_cs)
+            .groupBy("lang")
+            .agg(F.sum("n_l").alias("n_l"), F.sum("docs_l").alias("docs_l"))
+        ).write.mode("overwrite").parquet(f"{path}/class_stats/epoch={nxt}")
+
+        # vocab from the merged counts (exact, dedup-free by construction)
+        vocab_n = merged_clt.select("tok").distinct().count()
+        old_ms = spark.read.parquet(f"{path}/model_stats/epoch={epoch}").first()
+        n_new_docs = base.select("doc_id").distinct().count()
+        spark.createDataFrame(
+            [(vocab_n, old_ms["n_docs"] + n_new_docs)],
+            "vocab_n bigint, n_docs bigint",
+        ).write.mode("overwrite").parquet(f"{path}/model_stats/epoch={nxt}")
+
+        commit_manifest(
+            path,
+            with_txn(
+                {**m, "epoch": nxt, "base_epoch": nxt, "n_buckets": n_buckets}, txn
+            ),
+        )
+    finally:
+        base.unpersist()
+
+
+def classify_with_nb_model(documents: DataFrame, path: str) -> DataFrame:
+    """Classify arbitrary docs against the persisted model —
+    (doc_id, pred_lang, score): the trained counts do the work, the doc
+    side shuffles once on token, and the counts scan is PRUNED to the
+    buckets the docs' tokens hash into (bounded bucket-id collect, the
+    indexed-BM25 probe shape). Scoring is identical to
+    nb1_langid_confusion (9-dp log2 conditionals, exact DECIMAL sums,
+    smallest-class tie-break)."""
+    from csv_crm_upload_spark.operators.manifest import read_manifest
+
+    spark = documents.sparkSession
+    m = read_manifest(path)
+    epoch, n_buckets = m["epoch"], m["n_buckets"]
+
+    toks = F.split(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")), " ")
+    doc_toks = (
+        documents.filter(F.col("text").isNotNull() & (F.trim(F.col("text")) != ""))
+        .select("doc_id", F.explode(toks).alias("tok"))
+    )
+    dtc = doc_toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+
+    # bounded collect: the distinct buckets this doc set's tokens hash to
+    q_buckets = [
+        r["b"]
+        for r in doc_toks.select(
+            F.pmod(F.hash("tok"), F.lit(n_buckets)).alias("b")
+        ).distinct().collect()
+    ]
+    cond = (
+        spark.read.parquet(f"{path}/counts/epoch={epoch}")
+        .filter(F.col("tok_bucket").isin(q_buckets))
+        .select(F.col("lang").alias("cand"), "tok", "c_lt")
+    )
+    ms = spark.read.parquet(f"{path}/model_stats/epoch={epoch}").first()
+    langs = spark.read.parquet(f"{path}/class_stats/epoch={epoch}").select(
+        F.col("lang").alias("cand"),
+        "n_l",
+        F.round(
+            F.log2(F.col("docs_l").cast("double") / F.lit(float(ms["n_docs"]))), 9
+        ).alias("prior"),
+    )
+    logp = F.round(
+        F.log2(
+            (F.coalesce(F.col("c_lt"), F.lit(0)) + 1).cast("double")
+            / (F.col("n_l") + F.lit(ms["vocab_n"])).cast("double")
+        ),
+        9,
+    )
+    scored = (
+        dtc.crossJoin(F.broadcast(langs))
+        .join(cond, ["cand", "tok"], "left")
+        .groupBy("doc_id", "cand", "prior")
+        .agg(
+            F.sum(
+                F.col("cnt").cast("decimal(12,0)") * logp.cast("decimal(20,12)")
+            ).alias("ll")
+        )
+        .select(
+            "doc_id",
+            "cand",
+            (F.col("prior").cast("decimal(20,12)") + F.col("ll"))
+            .cast("double")
+            .alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("cand"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("cand").alias("pred_lang"), "score")
+        .orderBy("doc_id")
+    )

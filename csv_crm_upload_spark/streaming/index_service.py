@@ -57,9 +57,11 @@ class CorpusIndexService:
     docs_dir / emb_dir: drop directories watched for document shards
         (consumed by the text + dedup indexes) and embedding shards
         (consumed by the vector indexes). Either may be None.
-    text_index / dedup_index / ivf_index / pq_index / ivfpq_index:
-        paths of already-BUILT indexes (save_* must have run); None
-        skips that index.
+    text_index / dedup_index / ivf_index / pq_index / ivfpq_index /
+    nb_model: paths of already-BUILT indexes/models (save_* must have
+        run); None skips that index. The NB model's epochs are fully
+        merged snapshots, so it never needs compaction (gc of
+        superseded snapshots is a vacuum concern, not a read-path one).
     cursor_path: where the processed-shard cursor lives; defaults to
         `<first drop dir>/_index_service_cursor.json`.
     compact_after: auto-OPTIMIZE threshold — after folding, any
@@ -81,6 +83,7 @@ class CorpusIndexService:
         ivf_index: str | None = None,
         pq_index: str | None = None,
         ivfpq_index: str | None = None,
+        nb_model: str | None = None,
         cursor_path: str | None = None,
         compact_after: int | None = None,
     ) -> None:
@@ -94,6 +97,7 @@ class CorpusIndexService:
         self.ivf_index = ivf_index
         self.pq_index = pq_index
         self.ivfpq_index = ivfpq_index
+        self.nb_model = nb_model
         self.cursor_path = cursor_path or os.path.join(
             docs_dir or emb_dir, "_index_service_cursor.json"
         )
@@ -157,6 +161,10 @@ class CorpusIndexService:
                 from csv_crm_upload_spark.analytics.dedup import update_dedup_index
 
                 update_dedup_index(new_docs, self.dedup_index)
+            if self.nb_model is not None:
+                from csv_crm_upload_spark.analytics.nbayes import update_nb_model
+
+                update_nb_model(new_docs, self.nb_model)
             self._seen.update(doc_shards)
             folded["docs"] = doc_shards
 
