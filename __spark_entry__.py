@@ -235,8 +235,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     prior ledger — followed by the new round-5 oracle-paired operators
     (`asof1`, `sess1`, `fun1`, `skw1`, `ppl1`, `leak1`, `drift1`,
     `fh1`, `sdd1`, `linedd1`, `mix3`, `bpe1`, `bpe2`, `lr1`, `lr2`,
-    `nb1`, `path1`, `rfm1`) in slots 19-36; slots 37-50 re-sample
-    round-4 keys.
+    `nb1`, `nb2`, `path1`, `rfm1`) in slots 19-37; slots 38-50
+    re-sample round-4 keys.
     sim_knn_ivf/pq1/ivfpq1/hll1/mm2/mm3/approx_* are oracle-free
     rows-only whenever sampled."""
     return {
@@ -335,6 +335,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # multinomial Naive Bayes langid: train + classify + confusion
         "nb1_langid_confusion": lambda s, sf: nbayes.nb1_langid_confusion(
+            _t("documents")(s, sf)
+        ),
+        # NB holdout eval: train on split1's train gate, score val/test
+        "nb2_holdout_accuracy": lambda s, sf: nbayes.nb2_holdout_accuracy(
             _t("documents")(s, sf)
         ),
         # top-k 3-step behavioral paths (funnel path analysis)
@@ -2784,6 +2788,66 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT lang, cand AS pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
         FROM pred GROUP BY 1, 2 ORDER BY 1, 2
+    """
+    # nb2: NB trained on the train gate only, scored on val/test —
+    # integer outputs, same determinism pivots as nb1
+    q["nb2_holdout_accuracy"] = f"""
+        WITH ne AS (
+          SELECT doc_id, lang, text,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+                   AS gate
+          FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+        ),
+        tb AS (
+          SELECT doc_id, lang, unnest({_TOKS}) AS tok FROM ne WHERE gate < 80
+        ),
+        clt AS (SELECT lang AS cand, tok, COUNT(*) AS c_lt FROM tb GROUP BY 1, 2),
+        cs AS (
+          SELECT lang AS cand, COUNT(*) AS n_l, COUNT(DISTINCT doc_id) AS docs_l
+          FROM tb GROUP BY 1
+        ),
+        v AS (SELECT COUNT(DISTINCT tok) AS vocab FROM tb),
+        nt AS (SELECT COUNT(DISTINCT doc_id) AS n_train FROM tb),
+        langs AS (
+          SELECT cand, n_l,
+                 round(log2(CAST(docs_l AS DOUBLE)
+                            / (SELECT CAST(n_train AS DOUBLE) FROM nt)), 9) AS prior
+          FROM cs
+        ),
+        hb AS (
+          SELECT doc_id, lang,
+                 CASE WHEN gate < 90 THEN 'val' ELSE 'test' END AS split,
+                 unnest({_TOKS}) AS tok
+          FROM ne WHERE gate >= 80
+        ),
+        dtc AS (
+          SELECT doc_id, lang, split, tok, COUNT(*) AS cnt FROM hb GROUP BY 1, 2, 3, 4
+        ),
+        sc AS (
+          SELECT d.doc_id, d.lang, d.split, l.cand, l.prior,
+                 SUM(CAST(d.cnt AS DECIMAL(12,0)) *
+                     CAST(round(log2(CAST(COALESCE(c.c_lt, 0) + 1 AS DOUBLE)
+                                     / CAST(l.n_l + (SELECT vocab FROM v) AS DOUBLE)), 9)
+                          AS DECIMAL(20,12))) AS ll
+          FROM dtc d CROSS JOIN langs l
+          LEFT JOIN clt c ON c.cand = l.cand AND c.tok = d.tok
+          GROUP BY 1, 2, 3, 4, 5
+        ),
+        scored AS (
+          SELECT doc_id, lang, split, cand,
+                 CAST(CAST(prior AS DECIMAL(20,12)) + ll AS DOUBLE) AS score
+          FROM sc
+        ),
+        pred AS (
+          SELECT lang, split, cand FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY doc_id ORDER BY score DESC, cand) AS rn
+            FROM scored) WHERE rn = 1
+        )
+        SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN cand = lang THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_correct
+        FROM pred GROUP BY 1 ORDER BY 1
     """
     # path1: consecutive event-type trigrams under the (ts, event_id)
     # total order (asof1's determinism pivot); top-k via total order

@@ -295,3 +295,95 @@ def classify_with_nb_model(documents: DataFrame, path: str) -> DataFrame:
         .select("doc_id", F.col("cand").alias("pred_lang"), "score")
         .orderBy("doc_id")
     )
+
+
+def nb2_holdout_accuracy(documents: DataFrame) -> DataFrame:
+    """Leakage-safe holdout evaluation of the NB langid model —
+    (split, n_docs, n_correct): train ONLY on split1's train gate
+    (pmod(md5_60(doc_id), 100) < 80), classify the val and test docs,
+    count exact-match predictions. The eval-hygiene composition a
+    pipeline actually ships (nb1 is the self-consistency ceiling; this
+    is the generalization readout); integer outputs keep it
+    engine-exact with no ratio rounding hazards.
+
+    Scale shape is nb1's: the model is two combining aggs over the
+    TRAIN tokens, holdout docs shuffle once on token, class stats
+    broadcast. Tokens unseen in training fall through the same
+    Laplace (c+1) path via the left join's NULL."""
+    gate = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+            "long"
+        ),
+        F.lit(100),
+    )
+    nonempty = documents.filter(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    ).withColumn("_gate", gate)
+    toks = F.split(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")), " ")
+
+    train = nonempty.filter(F.col("_gate") < 80)
+    train_base = train.select("doc_id", "lang", F.explode(toks).alias("tok"))
+    clt = train_base.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c_lt"))
+    class_stats = train_base.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_l"), F.countDistinct("doc_id").alias("docs_l")
+    )
+    vocab_n = train_base.select("tok").distinct().count()
+    n_train = train.count()
+
+    hold = nonempty.filter(F.col("_gate") >= 80).select(
+        "doc_id",
+        "lang",
+        F.when(F.col("_gate") < 90, F.lit("val")).otherwise(F.lit("test")).alias(
+            "split"
+        ),
+        F.explode(toks).alias("tok"),
+    )
+    dtc = hold.groupBy("doc_id", "lang", "split", "tok").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    langs = class_stats.select(
+        F.col("lang").alias("cand"),
+        "n_l",
+        F.round(
+            F.log2(F.col("docs_l").cast("double") / F.lit(float(n_train))), 9
+        ).alias("prior"),
+    )
+    cond = clt.select(F.col("lang").alias("cand"), "tok", "c_lt")
+    logp = F.round(
+        F.log2(
+            (F.coalesce(F.col("c_lt"), F.lit(0)) + 1).cast("double")
+            / (F.col("n_l") + F.lit(vocab_n)).cast("double")
+        ),
+        9,
+    )
+    scored = (
+        dtc.crossJoin(F.broadcast(langs))
+        .join(cond, ["cand", "tok"], "left")
+        .groupBy("doc_id", "lang", "split", "cand", "prior")
+        .agg(
+            F.sum(
+                F.col("cnt").cast("decimal(12,0)") * logp.cast("decimal(20,12)")
+            ).alias("ll")
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "split",
+            "cand",
+            (F.col("prior").cast("decimal(20,12)") + F.col("ll"))
+            .cast("double")
+            .alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("cand"))
+    pred = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        pred.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum((F.col("cand") == F.col("lang")).cast("long"))
+            .cast("bigint")
+            .alias("n_correct"),
+        )
+        .orderBy("split")
+    )

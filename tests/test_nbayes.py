@@ -46,3 +46,17 @@ def test_nb_deterministic_across_runs(spark, sf_dir):
     a = sorted(map(tuple, nb1_langid_confusion(docs).collect()))
     b = sorted(map(tuple, nb1_langid_confusion(docs).collect()))
     assert a == b
+
+
+def test_nb_holdout_generalizes_on_separable_corpus(spark):
+    """Disjoint-vocabulary classes: the model trained on the hash-gated
+    train split classifies every holdout doc correctly."""
+    from csv_crm_upload_spark.analytics.nbayes import nb2_holdout_accuracy
+
+    rows = [(i, "alpha beta gamma", "aa", "s", 0) for i in range(0, 400, 2)] + [
+        (i, "delta epsilon zeta", "bb", "s", 0) for i in range(1, 400, 2)
+    ]
+    out = nb2_holdout_accuracy(_docs(spark, rows)).collect()
+    assert out, "hash gate must route some docs to holdout"
+    for r in out:
+        assert r["n_correct"] == r["n_docs"], (r["split"], r["n_correct"], r["n_docs"])
