@@ -49,6 +49,12 @@ EXTRA = [
     # round-4 additions
     "pq1_quantized_knn",
     "kmeans1_topic_clusters",
+    # round-5 additions
+    "sdd1_semantic_dedup",
+    "linedd1_span_dedup",
+    "bpe1_merge_steps",
+    "nb1_langid_confusion",
+    "lr1_quality_classifier",
 ]
 
 # graph family: timed AS A PIPELINE (round 4) — the LSH candidate-pair
