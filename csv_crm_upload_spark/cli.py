@@ -173,6 +173,27 @@ def main(argv: list[str] | None = None) -> int:
         "hive-partitioned by (split, source) — the trainer-readable artifact",
     )
 
+    pn = sub.add_parser(
+        "nb-train",
+        help="train (or incrementally update) the persisted Naive Bayes "
+        "langid model over a documents table",
+    )
+    pn.add_argument("--docs", required=True, help="parquet path of the documents table")
+    pn.add_argument("--out", required=True, help="model directory")
+    pn.add_argument("--buckets", type=int, default=64, help="token-hash partition count")
+    pn.add_argument(
+        "--append",
+        action="store_true",
+        help="fold --docs into an EXISTING model (O(vocab) merge) instead of rebuilding",
+    )
+
+    pcl = sub.add_parser(
+        "nb-classify", help="classify documents against a persisted NB model"
+    )
+    pcl.add_argument("--docs", required=True, help="parquet path of documents to classify")
+    pcl.add_argument("--model", required=True, help="model directory (nb-train output)")
+    pcl.add_argument("--limit", type=int, default=20, help="rows to print")
+
     args = p.parse_args(argv)
 
     from csv_crm_upload_spark.session import get_spark
@@ -217,6 +238,23 @@ def main(argv: list[str] | None = None) -> int:
         }
         tag = " corpus=written" if args.materialize else ""
         print(f"manifest={manifest_path} splits={counts}{tag}")
+        return 0
+    if args.cmd == "nb-train":
+        from csv_crm_upload_spark.analytics.nbayes import save_nb_model, update_nb_model
+
+        docs = spark.read.parquet(args.docs)
+        if args.append:
+            update_nb_model(docs, args.out)
+        else:
+            save_nb_model(docs, args.out, n_buckets=args.buckets)
+        print(f"model={args.out}")
+        return 0
+    if args.cmd == "nb-classify":
+        from csv_crm_upload_spark.analytics.nbayes import classify_with_nb_model
+
+        preds = classify_with_nb_model(spark.read.parquet(args.docs), args.model)
+        for r in preds.limit(args.limit).collect():
+            print(f"{r['doc_id']}\t{r['pred_lang']}\t{r['score']}")
         return 0
     if args.cmd == "search":
         from csv_crm_upload_spark.analytics import retrieval as rtr

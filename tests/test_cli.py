@@ -106,3 +106,28 @@ def test_cli_prep_materialize_writes_corpus(spark, tmp_path, capsys, sf_dir):
     manifest = spark.read.parquet(f"{out}/manifest")
     assert corpus.count() == manifest.count() > 0
     assert "text" in corpus.columns
+
+
+def test_cli_nb_train_append_classify(spark, tmp_path, capsys, sf_dir):
+    """nb-train builds the model, --append folds a second shard (epoch
+    advances), nb-classify prints predictions against it."""
+    import os
+
+    from csv_crm_upload_spark.operators.manifest import read_manifest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    half_a = str(tmp_path / "docs_a.parquet")
+    half_b = str(tmp_path / "docs_b.parquet")
+    docs.filter("doc_id % 2 = 0").write.parquet(half_a)
+    docs.filter("doc_id % 2 = 1").write.parquet(half_b)
+    model = str(tmp_path / "nb_model")
+
+    assert main(["nb-train", "--docs", half_a, "--out", model, "--buckets", "8"]) == 0
+    e0 = read_manifest(model)["epoch"]
+    assert main(["nb-train", "--docs", half_b, "--out", model, "--append"]) == 0
+    assert read_manifest(model)["epoch"] == e0 + 1
+
+    assert main(["nb-classify", "--docs", half_b, "--model", model, "--limit", "5"]) == 0
+    printed = [l for l in capsys.readouterr().out.splitlines() if "\t" in l]
+    assert len(printed) == 5
+    assert all(len(l.split("\t")) == 3 for l in printed)
