@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from csv_crm_upload_spark.analytics.textstats import norm_tokens
+
 
 def _spaced_symbols(word: F.Column) -> F.Column:
     """' l o w' — every character prefixed by a space (the leading-space
@@ -48,10 +50,9 @@ def bpe1_merge_steps(documents: DataFrame, steps: int = 3) -> DataFrame:
     by word frequency; the APPLY is greedy leftmost non-overlapping,
     also per the reference implementation.
     """
-    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
     base = (
         documents.filter(F.col("text").isNotNull() & (F.trim(F.col("text")) != ""))
-        .select(F.explode(F.split(norm, " ")).alias("word"))
+        .select(F.explode(norm_tokens()).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
         .select(_spaced_symbols(F.col("word")).alias("s"), "freq")
@@ -115,10 +116,9 @@ def bpe2_segment(documents: DataFrame, steps: int = 3) -> DataFrame:
         (r["left"], r["right"])
         for r in bpe1_merge_steps(documents, steps).orderBy("step").collect()
     ]
-    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
     words = documents.filter(
         F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
-    ).select("doc_id", F.explode(F.split(norm, " ")).alias("word"))
+    ).select("doc_id", F.explode(norm_tokens()).alias("word"))
     s = _spaced_symbols(F.col("word"))
     for left, right in rules:
         s = F.replace(s, F.lit(f" {left} {right}"), F.lit(f" {left}{right}"))

@@ -160,9 +160,12 @@ def sdd1_semantic_dedup(
     """
     from csv_crm_upload_spark.analytics.similarity import cosine
 
+    # persisted: the pair join consumes the assignment twice and the
+    # final left join a third time — uncached, the full map-only argmax
+    # pass over the corpus would run three times
     assigned = kmeans_assignments(embeddings, k, iters).select(
         "vec_id", "embedding", "cluster_id"
-    )
+    ).persist()
     a = assigned.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "cluster_id"
     )
@@ -177,7 +180,7 @@ def sdd1_semantic_dedup(
         .groupBy(F.col("vec_b").alias("vec_id"))
         .agg(F.min("vec_a").alias("dup_of"))
     )
-    return (
+    out = (
         assigned.join(witnesses, "vec_id", "left")
         .select(
             "vec_id",
@@ -187,3 +190,7 @@ def sdd1_semantic_dedup(
         )
         .orderBy("vec_id")
     )
+    # materialize before releasing the cache the plan depends on
+    out = out.localCheckpoint(eager=True)
+    assigned.unpersist()
+    return out

@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from csv_crm_upload_spark.analytics.textstats import norm_tokens
+
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
 
 FEATURES = ["intercept", "stopword_ratio", "len_capped", "avg_tok_len"]
@@ -39,7 +41,7 @@ def _feature_frame(documents: DataFrame) -> DataFrame:
     """(doc_id, x0..x3, y): x0 intercept, x1 English-stopword fraction
     (the discriminative signal for the lang='en' label), x2 token count
     capped at 256 and scaled, x3 chars-per-token scaled by 64."""
-    toks = F.split(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")), " ")
+    toks = norm_tokens()
     stop = F.array(*[F.lit(w) for w in STOPWORDS])
     nt = F.size(toks).cast("double")
     nstop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).cast("double")
@@ -60,7 +62,9 @@ def train_weights(documents: DataFrame, iters: int = 2) -> list[float]:
     """The GD loop — w after `iters` full-batch steps (lr = 1.0) from
     w = 0 on the lang='en' label; shared by lr1 (weight readout) and
     lr2 (inference scoring)."""
-    feats = _feature_frame(documents)
+    # persisted: the count plus every GD step re-consumes feats — without
+    # the cache that is 1+iters full tokenization passes (bpe1's pattern)
+    feats = _feature_frame(documents).persist()
     n = feats.count()  # bounded driver scalar (fixed by the corpus)
     w = [0.0, 0.0, 0.0, 0.0]
     for _ in range(iters):
@@ -88,6 +92,7 @@ def train_weights(documents: DataFrame, iters: int = 2) -> list[float]:
             ]
         ).collect()[0]
         w = [float(upd[f"w{j}"]) for j in range(4)]
+    feats.unpersist()
     return w
 
 

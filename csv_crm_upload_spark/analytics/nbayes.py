@@ -19,7 +19,9 @@ Cross-engine determinism (oracle-paired): every log2 conditional is
 rounded to 9 dp per DISTINCT (token, class) — the ppl1 discipline —
 then multiplied by integer counts into DECIMAL(20,12) so per-doc score
 sums are exact; argmax ties break to the lexicographically smallest
-class in both engines.
+class in both engines. The ONE scoring implementation (_best_class)
+serves the inline confusion readout, the persisted-model classify, and
+the holdout eval, so the discipline cannot drift between them.
 """
 
 from __future__ import annotations
@@ -27,41 +29,42 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from csv_crm_upload_spark.analytics.textstats import norm_tokens
 
-def nb1_langid_confusion(documents: DataFrame) -> DataFrame:
-    """Train Laplace-smoothed multinomial NB on (lang | tokens) over the
-    full corpus, classify every doc, and return the confusion matrix —
-    (lang, pred_lang, n_docs). The diagonal mass is the self-consistency
-    readout (how separable the corpus's classes are under their own
-    token statistics)."""
-    toks = F.split(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")), " ")
-    base = documents.filter(
-        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
-    ).select("doc_id", "lang", F.explode(toks).alias("tok"))
 
-    # model: per-(lang, tok) counts, per-lang token totals + doc priors
-    clt = base.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c_lt"))
-    class_stats = (
-        base.groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_l"),
-            F.countDistinct("doc_id").alias("docs_l"),
-        )
+def _nonempty(documents: DataFrame) -> DataFrame:
+    return documents.filter(F.col("text").isNotNull() & (F.trim(F.col("text")) != ""))
+
+
+def _base_tokens(documents: DataFrame) -> DataFrame:
+    """(doc_id, lang, tok) — one row per token OCCURRENCE."""
+    return _nonempty(documents).select(
+        "doc_id", "lang", F.explode(norm_tokens()).alias("tok")
     )
-    vocab_n = base.select("tok").distinct().count()  # scalar V (bounded)
-    n_docs = documents.filter(
-        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
-    ).count()
 
-    dtc = base.groupBy("doc_id", "lang", "tok").agg(F.count(F.lit(1)).alias("cnt"))
-    langs = class_stats.select(
+
+def _class_priors(class_stats: DataFrame, n_docs: int) -> DataFrame:
+    """(cand, n_l, prior) from (lang, n_l, docs_l) — L rows, broadcast
+    by every scorer."""
+    return class_stats.select(
         F.col("lang").alias("cand"),
         "n_l",
         F.round(F.log2(F.col("docs_l").cast("double") / F.lit(float(n_docs))), 9).alias(
             "prior"
         ),
     )
-    cond = clt.select(F.col("lang").alias("cand"), "tok", "c_lt")
+
+
+def _best_class(
+    dtc: DataFrame, langs: DataFrame, cond: DataFrame, vocab_n: int, keys: list[str]
+) -> DataFrame:
+    """THE scoring pass: per-doc argmax class under Laplace-smoothed NB.
+
+    dtc: (*keys, tok, cnt) doc token counts (keys[0] must be doc_id);
+    langs: (cand, n_l, prior); cond: (cand, tok, c_lt).
+    Returns (*keys, cand, score) — one row per doc, smallest-class
+    tie-break. Tokens with no (cand, tok) count fall through the same
+    (c+1)/(n_l+V) formula via the left join's NULL."""
     logp = F.round(
         F.log2(
             (F.coalesce(F.col("c_lt"), F.lit(0)) + 1).cast("double")
@@ -72,28 +75,58 @@ def nb1_langid_confusion(documents: DataFrame) -> DataFrame:
     scored = (
         dtc.crossJoin(F.broadcast(langs))
         .join(cond, ["cand", "tok"], "left")
-        .groupBy("doc_id", "lang", "cand", "prior")
+        .groupBy(*keys, "cand", "prior")
         .agg(
             F.sum(
                 F.col("cnt").cast("decimal(12,0)") * logp.cast("decimal(20,12)")
             ).alias("ll")
         )
         .select(
-            "doc_id",
-            "lang",
+            *keys,
             "cand",
-            (F.col("prior").cast("decimal(20,12)") + F.col("ll")).cast("double").alias(
-                "score"
-            ),
+            (F.col("prior").cast("decimal(20,12)") + F.col("ll"))
+            .cast("double")
+            .alias("score"),
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("cand"))
-    pred = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    w = Window.partitionBy(keys[0]).orderBy(F.col("score").desc(), F.col("cand"))
     return (
-        pred.groupBy("lang", F.col("cand").alias("pred_lang"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
-        .orderBy("lang", "pred_lang")
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
     )
+
+
+def nb1_langid_confusion(documents: DataFrame) -> DataFrame:
+    """Train Laplace-smoothed multinomial NB on (lang | tokens) over the
+    full corpus, classify every doc, and return the confusion matrix —
+    (lang, pred_lang, n_docs). The diagonal mass is the self-consistency
+    readout (how separable the corpus's classes are under their own
+    token statistics)."""
+    base = _base_tokens(documents).persist()
+    try:
+        clt = base.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c_lt"))
+        class_stats = base.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_l"), F.countDistinct("doc_id").alias("docs_l")
+        )
+        vocab_n = base.select("tok").distinct().count()
+        n_docs = _nonempty(documents).count()
+
+        dtc = base.groupBy("doc_id", "lang", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+        pred = _best_class(
+            dtc,
+            _class_priors(class_stats, n_docs),
+            clt.select(F.col("lang").alias("cand"), "tok", "c_lt"),
+            vocab_n,
+            keys=["doc_id", "lang"],
+        )
+        return (
+            pred.groupBy("lang", F.col("cand").alias("pred_lang"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+            .orderBy("lang", "pred_lang")
+        )
+    finally:
+        base.unpersist()
 
 
 # ---------------------------------------------------------------------------
@@ -102,35 +135,35 @@ def nb1_langid_confusion(documents: DataFrame) -> DataFrame:
 # epoch is a fully-merged snapshot (unlike the delta-chained postings of
 # the text index, the model IS vocab-sized, so a merged snapshot costs the
 # same O(vocab x L) pass a delta merge would). base_epoch == epoch always;
-# superseded snapshots are reclaimable via manifest.gc_stale_epochs.
+# superseded snapshots are reclaimed by CorpusIndexService.vacuum() /
+# manifest.gc_stale_epochs.
 # ---------------------------------------------------------------------------
 
 NB_SUBDIRS = ["counts", "class_stats", "model_stats"]
 
 
-def _base_tokens(documents: DataFrame) -> DataFrame:
-    toks = F.split(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")), " ")
-    return documents.filter(
-        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
-    ).select("doc_id", "lang", F.explode(toks).alias("tok"))
-
-
 def _write_snapshot(base: DataFrame, path: str, epoch: int, n_buckets: int) -> None:
-    """Land one fully-merged model snapshot as epoch dirs (no commit)."""
-    bucket = F.pmod(F.hash("tok"), F.lit(n_buckets)).alias("tok_bucket")
-    clt = base.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c_lt"))
-    clt.select("lang", "tok", "c_lt", bucket).write.mode("overwrite").partitionBy(
-        "tok_bucket"
-    ).parquet(f"{path}/counts/epoch={epoch}")
-    base.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_l"), F.countDistinct("doc_id").alias("docs_l")
-    ).write.mode("overwrite").parquet(f"{path}/class_stats/epoch={epoch}")
-    spark = base.sparkSession
-    vocab_n = base.select("tok").distinct().count()
-    n_docs = base.select("doc_id").distinct().count()
-    spark.createDataFrame(
-        [(vocab_n, n_docs)], "vocab_n bigint, n_docs bigint"
-    ).write.mode("overwrite").parquet(f"{path}/model_stats/epoch={epoch}")
+    """Land one fully-merged model snapshot as epoch dirs (no commit).
+    base is consumed by four jobs (counts, class stats, vocab, docs) —
+    persisted here so the tokenize lineage runs once."""
+    base = base.persist()
+    try:
+        bucket = F.pmod(F.hash("tok"), F.lit(n_buckets)).alias("tok_bucket")
+        clt = base.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c_lt"))
+        clt.select("lang", "tok", "c_lt", bucket).write.mode("overwrite").partitionBy(
+            "tok_bucket"
+        ).parquet(f"{path}/counts/epoch={epoch}")
+        base.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_l"), F.countDistinct("doc_id").alias("docs_l")
+        ).write.mode("overwrite").parquet(f"{path}/class_stats/epoch={epoch}")
+        spark = base.sparkSession
+        vocab_n = base.select("tok").distinct().count()
+        n_docs = base.select("doc_id").distinct().count()
+        spark.createDataFrame(
+            [(vocab_n, n_docs)], "vocab_n bigint, n_docs bigint"
+        ).write.mode("overwrite").parquet(f"{path}/model_stats/epoch={epoch}")
+    finally:
+        base.unpersist()
 
 
 def save_nb_model(documents: DataFrame, path: str, n_buckets: int = 64) -> None:
@@ -156,7 +189,8 @@ def update_nb_model(
     merge their counts into the next fully-merged snapshot (an
     O(vocab x L) pass — never a re-scan of the trained corpus), and
     commit atomically. `txn` is the streaming replay guard (the batch id
-    commits WITH the epoch — manifest.txn_already_applied).
+    commits WITH the epoch — manifest.txn_already_applied; wired through
+    run_index_maintenance_stream's nb_model parameter).
 
     Precondition (caller's dedup responsibility): new doc_ids are not
     already trained on — double-folding a shard would double its counts.
@@ -204,8 +238,15 @@ def update_nb_model(
             .agg(F.sum("n_l").alias("n_l"), F.sum("docs_l").alias("docs_l"))
         ).write.mode("overwrite").parquet(f"{path}/class_stats/epoch={nxt}")
 
-        # vocab from the merged counts (exact, dedup-free by construction)
-        vocab_n = merged_clt.select("tok").distinct().count()
+        # vocab from the files just written — NOT a re-run of the merge
+        # plan (re-reading epoch=nxt costs one column scan; recomputing
+        # merged_clt would redo the union+groupBy shuffle)
+        vocab_n = (
+            spark.read.parquet(f"{path}/counts/epoch={nxt}")
+            .select("tok")
+            .distinct()
+            .count()
+        )
         old_ms = spark.read.parquet(f"{path}/model_stats/epoch={epoch}").first()
         n_new_docs = base.select("doc_id").distinct().count()
         spark.createDataFrame(
@@ -228,19 +269,16 @@ def classify_with_nb_model(documents: DataFrame, path: str) -> DataFrame:
     (doc_id, pred_lang, score): the trained counts do the work, the doc
     side shuffles once on token, and the counts scan is PRUNED to the
     buckets the docs' tokens hash into (bounded bucket-id collect, the
-    indexed-BM25 probe shape). Scoring is identical to
-    nb1_langid_confusion (9-dp log2 conditionals, exact DECIMAL sums,
-    smallest-class tie-break)."""
+    indexed-BM25 probe shape). Scoring is _best_class — the same pass
+    nb1_langid_confusion runs inline."""
     from csv_crm_upload_spark.operators.manifest import read_manifest
 
     spark = documents.sparkSession
     m = read_manifest(path)
     epoch, n_buckets = m["epoch"], m["n_buckets"]
 
-    toks = F.split(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")), " ")
-    doc_toks = (
-        documents.filter(F.col("text").isNotNull() & (F.trim(F.col("text")) != ""))
-        .select("doc_id", F.explode(toks).alias("tok"))
+    doc_toks = _nonempty(documents).select(
+        "doc_id", F.explode(norm_tokens()).alias("tok")
     )
     dtc = doc_toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
 
@@ -257,133 +295,74 @@ def classify_with_nb_model(documents: DataFrame, path: str) -> DataFrame:
         .select(F.col("lang").alias("cand"), "tok", "c_lt")
     )
     ms = spark.read.parquet(f"{path}/model_stats/epoch={epoch}").first()
-    langs = spark.read.parquet(f"{path}/class_stats/epoch={epoch}").select(
-        F.col("lang").alias("cand"),
-        "n_l",
-        F.round(
-            F.log2(F.col("docs_l").cast("double") / F.lit(float(ms["n_docs"]))), 9
-        ).alias("prior"),
+    langs = _class_priors(
+        spark.read.parquet(f"{path}/class_stats/epoch={epoch}"), ms["n_docs"]
     )
-    logp = F.round(
-        F.log2(
-            (F.coalesce(F.col("c_lt"), F.lit(0)) + 1).cast("double")
-            / (F.col("n_l") + F.lit(ms["vocab_n"])).cast("double")
-        ),
-        9,
-    )
-    scored = (
-        dtc.crossJoin(F.broadcast(langs))
-        .join(cond, ["cand", "tok"], "left")
-        .groupBy("doc_id", "cand", "prior")
-        .agg(
-            F.sum(
-                F.col("cnt").cast("decimal(12,0)") * logp.cast("decimal(20,12)")
-            ).alias("ll")
-        )
-        .select(
-            "doc_id",
-            "cand",
-            (F.col("prior").cast("decimal(20,12)") + F.col("ll"))
-            .cast("double")
-            .alias("score"),
-        )
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("cand"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("cand").alias("pred_lang"), "score")
-        .orderBy("doc_id")
+    pred = _best_class(dtc, langs, cond, ms["vocab_n"], keys=["doc_id"])
+    return pred.select("doc_id", F.col("cand").alias("pred_lang"), "score").orderBy(
+        "doc_id"
     )
 
 
 def nb2_holdout_accuracy(documents: DataFrame) -> DataFrame:
     """Leakage-safe holdout evaluation of the NB langid model —
     (split, n_docs, n_correct): train ONLY on split1's train gate
-    (pmod(md5_60(doc_id), 100) < 80), classify the val and test docs,
-    count exact-match predictions. The eval-hygiene composition a
-    pipeline actually ships (nb1 is the self-consistency ceiling; this
-    is the generalization readout); integer outputs keep it
-    engine-exact with no ratio rounding hazards.
+    (pmod(md5_60(doc_id), 100) < 80 — the SAME corpus_prep._md5_60 the
+    split/leakage operators use), classify the val and test docs, count
+    exact-match predictions. The eval-hygiene composition a pipeline
+    actually ships (nb1 is the self-consistency ceiling; this is the
+    generalization readout); integer outputs keep it engine-exact with
+    no ratio rounding hazards.
 
     Scale shape is nb1's: the model is two combining aggs over the
     TRAIN tokens, holdout docs shuffle once on token, class stats
     broadcast. Tokens unseen in training fall through the same
     Laplace (c+1) path via the left join's NULL."""
-    gate = F.pmod(
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
-            "long"
-        ),
-        F.lit(100),
-    )
-    nonempty = documents.filter(
-        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
-    ).withColumn("_gate", gate)
-    toks = F.split(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")), " ")
+    from csv_crm_upload_spark.plans.corpus_prep import _md5_60
 
-    train = nonempty.filter(F.col("_gate") < 80)
-    train_base = train.select("doc_id", "lang", F.explode(toks).alias("tok"))
-    clt = train_base.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c_lt"))
-    class_stats = train_base.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_l"), F.countDistinct("doc_id").alias("docs_l")
-    )
-    vocab_n = train_base.select("tok").distinct().count()
-    n_train = train.count()
+    gate = F.pmod(_md5_60(F.col("doc_id")), F.lit(100))
+    nonempty = _nonempty(documents).withColumn("_gate", gate)
 
-    hold = nonempty.filter(F.col("_gate") >= 80).select(
-        "doc_id",
-        "lang",
-        F.when(F.col("_gate") < 90, F.lit("val")).otherwise(F.lit("test")).alias(
-            "split"
-        ),
-        F.explode(toks).alias("tok"),
+    train_base = (
+        nonempty.filter(F.col("_gate") < 80)
+        .select("doc_id", "lang", F.explode(norm_tokens()).alias("tok"))
+        .persist()
     )
-    dtc = hold.groupBy("doc_id", "lang", "split", "tok").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    langs = class_stats.select(
-        F.col("lang").alias("cand"),
-        "n_l",
-        F.round(
-            F.log2(F.col("docs_l").cast("double") / F.lit(float(n_train))), 9
-        ).alias("prior"),
-    )
-    cond = clt.select(F.col("lang").alias("cand"), "tok", "c_lt")
-    logp = F.round(
-        F.log2(
-            (F.coalesce(F.col("c_lt"), F.lit(0)) + 1).cast("double")
-            / (F.col("n_l") + F.lit(vocab_n)).cast("double")
-        ),
-        9,
-    )
-    scored = (
-        dtc.crossJoin(F.broadcast(langs))
-        .join(cond, ["cand", "tok"], "left")
-        .groupBy("doc_id", "lang", "split", "cand", "prior")
-        .agg(
-            F.sum(
-                F.col("cnt").cast("decimal(12,0)") * logp.cast("decimal(20,12)")
-            ).alias("ll")
+    try:
+        clt = train_base.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c_lt"))
+        class_stats = train_base.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_l"), F.countDistinct("doc_id").alias("docs_l")
         )
-        .select(
+        vocab_n = train_base.select("tok").distinct().count()
+        n_train = nonempty.filter(F.col("_gate") < 80).count()
+
+        hold = nonempty.filter(F.col("_gate") >= 80).select(
             "doc_id",
             "lang",
-            "split",
-            "cand",
-            (F.col("prior").cast("decimal(20,12)") + F.col("ll"))
-            .cast("double")
-            .alias("score"),
+            F.when(F.col("_gate") < 90, F.lit("val")).otherwise(F.lit("test")).alias(
+                "split"
+            ),
+            F.explode(norm_tokens()).alias("tok"),
         )
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("cand"))
-    pred = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    return (
-        pred.groupBy("split")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum((F.col("cand") == F.col("lang")).cast("long"))
-            .cast("bigint")
-            .alias("n_correct"),
+        dtc = hold.groupBy("doc_id", "lang", "split", "tok").agg(
+            F.count(F.lit(1)).alias("cnt")
         )
-        .orderBy("split")
-    )
+        pred = _best_class(
+            dtc,
+            _class_priors(class_stats, n_train),
+            clt.select(F.col("lang").alias("cand"), "tok", "c_lt"),
+            vocab_n,
+            keys=["doc_id", "lang", "split"],
+        )
+        return (
+            pred.groupBy("split")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum((F.col("cand") == F.col("lang")).cast("long"))
+                .cast("bigint")
+                .alias("n_correct"),
+            )
+            .orderBy("split")
+        )
+    finally:
+        train_base.unpersist()

@@ -481,6 +481,13 @@ def _norm_tokens() -> F.Column:
     return F.split(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")), " ")
 
 
+# public alias: the ONE tokenization every text operator (and the
+# oracle's _TOKS fragment) must share — import this instead of copying
+# the expression, so a normalization change cannot desynchronize a
+# module from the persisted artifacts or the DuckDB oracles
+norm_tokens = _norm_tokens
+
+
 def _word_ngrams(toks: F.Column, n: int) -> F.Column:
     """Word n-grams of a token array, joined with \\x01 (a byte that
     cannot appear inside a token). Docs with fewer than n tokens yield an

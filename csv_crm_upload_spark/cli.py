@@ -180,7 +180,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     pn.add_argument("--docs", required=True, help="parquet path of the documents table")
     pn.add_argument("--out", required=True, help="model directory")
-    pn.add_argument("--buckets", type=int, default=64, help="token-hash partition count")
+    pn.add_argument(
+        "--buckets",
+        type=int,
+        default=None,
+        help="token-hash partition count (build only, default 64; an "
+        "append keeps the existing model's layout)",
+    )
     pn.add_argument(
         "--append",
         action="store_true",
@@ -244,9 +250,15 @@ def main(argv: list[str] | None = None) -> int:
 
         docs = spark.read.parquet(args.docs)
         if args.append:
+            if args.buckets is not None:
+                raise SystemExit(
+                    "nb-train: --buckets conflicts with --append (the model's "
+                    "bucket layout is fixed at build; rebuild without --append "
+                    "to change it)"
+                )
             update_nb_model(docs, args.out)
         else:
-            save_nb_model(docs, args.out, n_buckets=args.buckets)
+            save_nb_model(docs, args.out, n_buckets=args.buckets or 64)
         print(f"model={args.out}")
         return 0
     if args.cmd == "nb-classify":

@@ -45,6 +45,9 @@ INDEX_LAYOUTS: dict[str, tuple[list[str], dict[str, str]]] = {
         ["codes"],
         {"centroids": "centroid_epoch", "codebooks": "codebook_epoch"},
     ),
+    # every NB epoch is a fully-merged snapshot (base_epoch == epoch),
+    # so gc reclaims ALL superseded model copies
+    "nb": (["counts", "class_stats", "model_stats"], {}),
 }
 
 
@@ -240,6 +243,7 @@ class CorpusIndexService:
             ("ivf", self.ivf_index),
             ("pq", self.pq_index),
             ("ivfpq", self.ivfpq_index),
+            ("nb", self.nb_model),
         ):
             if idx_path is not None:
                 ranged, pinned = INDEX_LAYOUTS[kind]
@@ -257,6 +261,7 @@ def run_index_maintenance_stream(
     ivf_index: str | None = None,
     pq_index: str | None = None,
     ivfpq_index: str | None = None,
+    nb_model: str | None = None,
     available_now: bool = True,
     app_id: str | None = None,
 ):
@@ -296,6 +301,10 @@ def run_index_maintenance_stream(
             from csv_crm_upload_spark.analytics.dedup import update_dedup_index
 
             update_dedup_index(batch_df, dedup_index, txn=txn)
+        if nb_model is not None:
+            from csv_crm_upload_spark.analytics.nbayes import update_nb_model
+
+            update_nb_model(batch_df, nb_model, txn=txn)
         if ivf_index is not None:
             from csv_crm_upload_spark.analytics.ivf import update_index
 

@@ -125,3 +125,53 @@ def test_nb_model_folds_on_service_tick(spark, sf_dir, tmp_path):
     ).count()
     preds = classify_with_nb_model(shard, model).collect()
     assert len(preds) == shard.filter(F.col("text").isNotNull()).count()
+
+
+def test_vacuum_reclaims_superseded_nb_snapshots(spark, sf_dir, tmp_path):
+    """Every NB epoch is a full snapshot, so after an append the
+    service's vacuum() must reclaim the superseded epoch dirs."""
+    import os
+
+    from csv_crm_upload_spark.streaming.index_service import CorpusIndexService
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = str(tmp_path / "nb")
+    save_nb_model(docs.filter(F.col("doc_id") < 300), model, n_buckets=8)
+    update_nb_model(docs.filter(F.col("doc_id") >= 300), model)
+    assert os.path.isdir(f"{model}/counts/epoch=0")
+    assert os.path.isdir(f"{model}/counts/epoch=1")
+
+    drop = str(tmp_path / "drop")
+    os.makedirs(drop)
+    svc = CorpusIndexService(spark, docs_dir=drop, nb_model=model)
+    removed = svc.vacuum()
+    assert any("epoch=0" in p for p in removed), removed
+    assert not os.path.isdir(f"{model}/counts/epoch=0")
+    # the live snapshot still classifies
+    assert classify_with_nb_model(docs.limit(10), model).count() > 0
+
+
+def test_streaming_maintenance_folds_nb_model(spark, sf_dir, tmp_path):
+    """run_index_maintenance_stream with nb_model: the checkpointed
+    fold advances the model exactly once, and a second availableNow run
+    over the same files no-ops (replay guard)."""
+    from csv_crm_upload_spark.operators.manifest import read_manifest
+    from csv_crm_upload_spark.streaming.index_service import (
+        run_index_maintenance_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = str(tmp_path / "nb")
+    save_nb_model(docs.filter(F.col("doc_id") < 300), model, n_buckets=8)
+    e0 = read_manifest(model)["epoch"]
+
+    drop = str(tmp_path / "drop")
+    docs.filter(F.col("doc_id") >= 300).write.parquet(f"{drop}/shard_a")
+    ckpt = str(tmp_path / "ckpt")
+    q = run_index_maintenance_stream(spark, drop, ckpt, nb_model=model)
+    q.awaitTermination(120)
+    assert read_manifest(model)["epoch"] == e0 + 1
+
+    q2 = run_index_maintenance_stream(spark, drop, ckpt, nb_model=model)
+    q2.awaitTermination(120)
+    assert read_manifest(model)["epoch"] == e0 + 1, "replay must no-op"
