@@ -55,9 +55,12 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="csv_crm_upload_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    pi = sub.add_parser("ingest", help="batch-ingest a CSV or JSONL file into the store")
+    pi = sub.add_parser(
+        "ingest", help="batch-ingest a CSV, JSONL, or ORC file into the store"
+    )
     pi.add_argument("--csv", default=None)
     pi.add_argument("--jsonl", default=None, help="ingest a JSON-lines file instead of CSV")
+    pi.add_argument("--orc", default=None, help="ingest an ORC file instead of CSV")
     _add_store_args(pi)
     pi.add_argument("--noheader", action="store_true", help="CSV has no header row")
     pi.add_argument("--quarantine", default=None, help="directory for rejected rows (with reasons)")
@@ -285,12 +288,14 @@ def main(argv: list[str] | None = None) -> int:
     store = _open_store(spark, args)
 
     if args.cmd == "ingest":
-        from csv_crm_upload_spark.plans.ingest import ingest_csv, ingest_jsonl
+        from csv_crm_upload_spark.plans.ingest import ingest_csv, ingest_jsonl, ingest_orc
 
-        if bool(args.csv) == bool(args.jsonl):
-            raise SystemExit("ingest: exactly one of --csv or --jsonl is required")
+        if sum(map(bool, (args.csv, args.jsonl, args.orc))) != 1:
+            raise SystemExit("ingest: exactly one of --csv, --jsonl, or --orc is required")
         if args.jsonl:
             res = ingest_jsonl(spark, args.jsonl, store, quarantine_dir=args.quarantine)
+        elif args.orc:
+            res = ingest_orc(spark, args.orc, store, quarantine_dir=args.quarantine)
         else:
             res = ingest_csv(
                 spark, args.csv, store, header=not args.noheader, quarantine_dir=args.quarantine

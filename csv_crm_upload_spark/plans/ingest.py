@@ -118,3 +118,23 @@ def ingest_jsonl(
         now=now,
         quarantine_dir=quarantine_dir,
     )
+
+
+def ingest_orc(
+    spark: SparkSession,
+    path: str,
+    store: CustomerStore,
+    now=None,
+    quarantine_dir: str | None = None,
+) -> IngestResult:
+    """Full-file batch ingest from ORC — the columnar third format
+    behind the same format-agnostic validate/quarantine/dedup/append
+    pipeline (sources/orc_source.py)."""
+    from csv_crm_upload_spark.sources.orc_source import read_customers_orc
+
+    return ingest_batch(
+        read_customers_orc(spark, path),
+        store,
+        now=now,
+        quarantine_dir=quarantine_dir,
+    )

@@ -114,3 +114,27 @@ def test_cli_ingest_jsonl_end_to_end(spark, tmp_path, capsys):
     assert "inserted=1" in out and "quarantined=1" in out
     emails = {r["email"] for r in CustomerStore(spark, root).read().collect()}
     assert emails == {"jon@x.com"}
+
+
+def test_orc_ingest_same_dispositions_as_csv(spark, tmp_path):
+    """The ORC path runs the identical pipeline: clean rows land, a bad
+    id and a missing email quarantine, a duplicate email rejects."""
+    from csv_crm_upload_spark.operators.store import CustomerStore
+    from csv_crm_upload_spark.plans.ingest import ingest_orc
+
+    rows = [
+        ("1", "jon", "doe", "jon@x.com", "111"),
+        ("bogus", "bad", "id", "bad@x.com", "222"),
+        ("3", "no", "mail", None, "333"),
+        ("4", "dup", "mail", "jon@x.com", "444"),
+        ("5", "ok", "row", "ok@x.com", "555"),
+    ]
+    src = str(tmp_path / "cust.orc")
+    spark.createDataFrame(
+        rows, ["id", "first_name", "last_name", "email", "phone"]
+    ).write.orc(src)
+
+    store = CustomerStore(spark, str(tmp_path / "store"))
+    res = ingest_orc(spark, src, store)
+    assert res.inserted == 2 and res.quarantined == 2 and res.duplicates == 1
+    assert sorted(r["id"] for r in store.read().collect()) == [1, 5]
