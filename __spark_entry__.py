@@ -235,8 +235,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     prior ledger — followed by the new round-5 oracle-paired operators
     (`asof1`, `sess1`, `fun1`, `skw1`, `ppl1`, `leak1`, `drift1`,
     `fh1`, `sdd1`, `linedd1`, `mix3`, `bpe1`, `bpe2`, `lr1`, `lr2`,
-    `nb1`, `nb2`, `path1`, `rfm1`) in slots 19-37; slots 38-50
-    re-sample round-4 keys.
+    `nb1`, `nb2`, `path1`, `rfm1`, `ri1`) in slots 19-38; slots
+    39-50 re-sample round-4 keys.
     sim_knn_ivf/pq1/ivfpq1/hll1/mm2/mm3/approx_* are oracle-free
     rows-only whenever sampled."""
     return {
@@ -348,6 +348,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # RFM customer segmentation grid
         "rfm1_customer_segments": lambda s, sf: tpch.rfm1_customer_segments(
             _t("orders")(s, sf)
+        ),
+        # cross-table referential-integrity audit (orphan FK counts)
+        "ri1_referential_integrity": lambda s, sf: tpch.ri1_referential_integrity(
+            _t("customer")(s, sf),
+            _t("orders")(s, sf),
+            _t("lineitem")(s, sf),
+            _t("part")(s, sf),
+            _t("supplier")(s, sf),
+            _t("nation")(s, sf),
         ),
         "t10_tfidf_top_terms": lambda s, sf: ts.t10_tfidf_top_terms(_t("documents")(s, sf)),
         "samp1_stratified_sample": lambda s, sf: ts.samp1_stratified_sample(_t("documents")(s, sf)),
@@ -2848,6 +2857,43 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CASE WHEN cand = lang THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_correct
         FROM pred GROUP BY 1 ORDER BY 1
+    """
+    # ri1: orphan FK counts per relationship — anti-join semantics
+    q["ri1_referential_integrity"] = """
+        WITH rel AS (
+          SELECT 'orders.o_custkey->customer' AS relationship,
+                 (SELECT COUNT(*) FROM orders) AS n_child_rows,
+                 (SELECT COUNT(*) FROM orders o
+                  WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                    WHERE c.c_custkey = o.o_custkey)) AS n_orphans
+          UNION ALL
+          SELECT 'lineitem.l_orderkey->orders',
+                 (SELECT COUNT(*) FROM lineitem),
+                 (SELECT COUNT(*) FROM lineitem l
+                  WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                    WHERE o.o_orderkey = l.l_orderkey))
+          UNION ALL
+          SELECT 'lineitem.l_partkey->part',
+                 (SELECT COUNT(*) FROM lineitem),
+                 (SELECT COUNT(*) FROM lineitem l
+                  WHERE NOT EXISTS (SELECT 1 FROM part p
+                                    WHERE p.p_partkey = l.l_partkey))
+          UNION ALL
+          SELECT 'lineitem.l_suppkey->supplier',
+                 (SELECT COUNT(*) FROM lineitem),
+                 (SELECT COUNT(*) FROM lineitem l
+                  WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                    WHERE s.s_suppkey = l.l_suppkey))
+          UNION ALL
+          SELECT 'customer.c_nationkey->nation',
+                 (SELECT COUNT(*) FROM customer),
+                 (SELECT COUNT(*) FROM customer c
+                  WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                    WHERE n.n_nationkey = c.c_nationkey))
+        )
+        SELECT relationship, CAST(n_child_rows AS BIGINT) AS n_child_rows,
+               CAST(n_orphans AS BIGINT) AS n_orphans
+        FROM rel ORDER BY relationship
     """
     # path1: consecutive event-type trigrams under the (ts, event_id)
     # total order (asof1's determinism pivot); top-k via total order

@@ -2096,3 +2096,44 @@ def rfm1_customer_segments(orders: DataFrame, q: int = 4) -> DataFrame:
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+def ri1_referential_integrity(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """Cross-table referential-integrity audit — the constraint
+    validation a warehouse runs after every load: for each foreign-key
+    relationship, how many child rows exist and how many are ORPHANS
+    (no matching parent). All-integer outputs; each relationship is one
+    LEFT ANTI join that Spark executes as a broadcast or shuffled hash
+    anti join on the key — no row data moves, only keys.
+
+    At 100 TB: anti joins on the fact tables shuffle once per
+    relationship on the FK; parent key sets are dimension-sized
+    (broadcast) except orders→customer, which co-partitions. The union
+    of five tiny (1-row) aggregates is driver-free."""
+    rels = [
+        ("orders.o_custkey->customer", orders, "o_custkey", customer, "c_custkey"),
+        ("lineitem.l_orderkey->orders", lineitem, "l_orderkey", orders, "o_orderkey"),
+        ("lineitem.l_partkey->part", lineitem, "l_partkey", part, "p_partkey"),
+        ("lineitem.l_suppkey->supplier", lineitem, "l_suppkey", supplier, "s_suppkey"),
+        ("customer.c_nationkey->nation", customer, "c_nationkey", nation, "n_nationkey"),
+    ]
+    out = None
+    for name, child, fk, parent, pk in rels:
+        orphans = child.select(F.col(fk).alias("k")).join(
+            parent.select(F.col(pk).alias("k")).distinct(), "k", "left_anti"
+        )
+        row = child.agg(
+            F.lit(name).alias("relationship"),
+            F.count(F.lit(1)).cast("bigint").alias("n_child_rows"),
+        ).crossJoin(
+            orphans.agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("relationship")
