@@ -30,9 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from csv_crm_upload_spark.analytics.textstats import norm_tokens
-
-STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+from csv_crm_upload_spark.analytics.textstats import EN_STOPWORDS, norm_tokens
 
 FEATURES = ["intercept", "stopword_ratio", "len_capped", "avg_tok_len"]
 
@@ -42,7 +40,7 @@ def _feature_frame(documents: DataFrame) -> DataFrame:
     (the discriminative signal for the lang='en' label), x2 token count
     capped at 256 and scaled, x3 chars-per-token scaled by 64."""
     toks = norm_tokens()
-    stop = F.array(*[F.lit(w) for w in STOPWORDS])
+    stop = F.array(*[F.lit(w) for w in EN_STOPWORDS])
     nt = F.size(toks).cast("double")
     nstop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).cast("double")
     return documents.filter(
