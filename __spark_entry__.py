@@ -235,8 +235,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     prior ledger — followed by the new round-5 oracle-paired operators
     (`asof1`, `sess1`, `fun1`, `skw1`, `ppl1`, `leak1`, `drift1`,
     `fh1`, `sdd1`, `linedd1`, `mix3`, `bpe1`, `bpe2`, `lr1`, `lr2`,
-    `nb1`, `nb2`, `path1`, `rfm1`, `ri1`) in slots 19-38; slots
-    39-50 re-sample round-4 keys.
+    `nb1`, `nb2`, `path1`, `rfm1`, `prep2`, `ri1`) in slots 19-39;
+    slots 40-50 re-sample round-4 keys.
     sim_knn_ivf/pq1/ivfpq1/hll1/mm2/mm3/approx_* are oracle-free
     rows-only whenever sampled."""
     return {
@@ -348,6 +348,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # RFM customer segmentation grid
         "rfm1_customer_segments": lambda s, sf: tpch.rfm1_customer_segments(
             _t("orders")(s, sf)
+        ),
+        # composed v2 pipeline: span-clean -> langid -> quality -> split -> pack
+        "prep2_monolingual_corpus": lambda s, sf: prep.prepare_training_corpus_v2(
+            _t("documents")(s, sf)
         ),
         # cross-table referential-integrity audit (orphan FK counts)
         "ri1_referential_integrity": lambda s, sf: tpch.ri1_referential_integrity(
@@ -2857,6 +2861,119 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CASE WHEN cand = lang THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_correct
         FROM pred GROUP BY 1 ORDER BY 1
+    """
+    # prep2: the composed v2 pipeline — linedd1's cleaning chain, nb1's
+    # self-trained langid chain, then prep1's quality/split/pack tail
+    # over the CLEANED text
+    q["prep2_monolingual_corpus"] = f"""
+        WITH t AS (
+          SELECT doc_id, {_TOKS} AS l FROM documents
+          WHERE text IS NOT NULL AND trim(text) <> ''
+        ),
+        sp AS (
+          SELECT doc_id, l, unnest(generate_series(1, len(l), 8)) AS start
+          FROM t
+        ),
+        spans AS (
+          SELECT doc_id,
+                 CAST((start - 1) // 8 AS INT) AS span_idx,
+                 array_to_string(list_slice(l, start, start + 7), chr(1)) AS span_key
+          FROM sp
+        ),
+        flagged AS (
+          SELECT *,
+                 (row_number() OVER (
+                    PARTITION BY span_key ORDER BY doc_id, span_idx) = 1) AS keep
+          FROM spans
+        ),
+        cleaned0 AS (
+          SELECT doc_id,
+                 COALESCE(string_agg(replace(span_key, chr(1), ' '), ' '
+                                     ORDER BY span_idx) FILTER (WHERE keep), '')
+                   AS ctext
+          FROM flagged GROUP BY doc_id
+        ),
+        cleaned AS (
+          SELECT c.doc_id, d.source, c.ctext AS text
+          FROM cleaned0 c JOIN documents d USING (doc_id)
+          WHERE c.ctext <> ''
+        ),
+        nbase AS (
+          SELECT doc_id, lang, unnest({_TOKS}) AS tok
+          FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+        ),
+        nclt AS (SELECT lang AS cand, tok, COUNT(*) AS c_lt FROM nbase GROUP BY 1, 2),
+        ncs AS (
+          SELECT lang AS cand, COUNT(*) AS n_l, COUNT(DISTINCT doc_id) AS docs_l
+          FROM nbase GROUP BY 1
+        ),
+        nv AS (SELECT COUNT(DISTINCT tok) AS vocab FROM nbase),
+        nnd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM nbase),
+        nlangs AS (
+          SELECT cand, n_l,
+                 round(log2(CAST(docs_l AS DOUBLE)
+                            / (SELECT CAST(n_docs AS DOUBLE) FROM nnd)), 9) AS prior
+          FROM ncs
+        ),
+        ndtc AS (
+          SELECT doc_id, tok, COUNT(*) AS cnt FROM nbase GROUP BY 1, 2
+        ),
+        nsc AS (
+          SELECT d.doc_id, l.cand, l.prior,
+                 SUM(CAST(d.cnt AS DECIMAL(12,0)) *
+                     CAST(round(log2(CAST(COALESCE(c.c_lt, 0) + 1 AS DOUBLE)
+                                     / CAST(l.n_l + (SELECT vocab FROM nv) AS DOUBLE)), 9)
+                          AS DECIMAL(20,12))) AS ll
+          FROM ndtc d CROSS JOIN nlangs l
+          LEFT JOIN nclt c ON c.cand = l.cand AND c.tok = d.tok
+          GROUP BY 1, 2, 3
+        ),
+        nscored AS (
+          SELECT doc_id, cand,
+                 CAST(CAST(prior AS DECIMAL(20,12)) + ll AS DOUBLE) AS score
+          FROM nsc
+        ),
+        prednb AS (
+          SELECT doc_id, cand FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY doc_id ORDER BY score DESC, cand) AS rn
+            FROM nscored) WHERE rn = 1
+        ),
+        endocs AS (
+          SELECT cl.doc_id, cl.source, cl.text
+          FROM cleaned cl JOIN prednb p USING (doc_id)
+          WHERE p.cand = 'en'
+        ),
+        scored AS (
+          SELECT doc_id, source, text,
+                 round(CASE WHEN CAST(len({_RAW_TOKS}) AS INT) < 5 THEN 0.0
+                       ELSE least(1.0, CAST(len({_RAW_TOKS}) AS DOUBLE) / 100.0)
+                            * (1.0 - round(CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                                           / greatest(length(text), 1), 6)) END, 6)
+                   AS quality_score,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)
+                   / 1152921504606846976.0 AS g,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS sgate
+          FROM endocs
+        ),
+        kept AS (
+          SELECT doc_id, source, quality_score,
+                 CASE WHEN sgate < 80 THEN 'train'
+                      WHEN sgate < 90 THEN 'val' ELSE 'test' END AS split,
+                 CAST(len({_RAW_TOKS}) AS BIGINT) AS n_tokens
+          FROM scored WHERE g < quality_score
+        ),
+        packed AS (
+          SELECT doc_id, split, source, quality_score, n_tokens,
+                 CAST(SUM(n_tokens) OVER (
+                   PARTITION BY split, source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) - n_tokens AS BIGINT) AS stream_offset
+          FROM kept
+        )
+        SELECT doc_id, split, source, quality_score, n_tokens, stream_offset,
+               CAST(FLOOR(stream_offset / 512) AS BIGINT) AS bin_id
+        FROM packed
     """
     # ri1: orphan FK counts per relationship — anti-join semantics
     q["ri1_referential_integrity"] = """

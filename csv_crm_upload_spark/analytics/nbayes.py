@@ -97,12 +97,12 @@ def _best_class(
     )
 
 
-def nb1_langid_confusion(documents: DataFrame) -> DataFrame:
-    """Train Laplace-smoothed multinomial NB on (lang | tokens) over the
-    full corpus, classify every doc, and return the confusion matrix —
-    (lang, pred_lang, n_docs). The diagonal mass is the self-consistency
-    readout (how separable the corpus's classes are under their own
-    token statistics)."""
+def nb_inline_predictions(documents: DataFrame) -> DataFrame:
+    """(doc_id, lang, cand) — every doc's NB-predicted class under the
+    model trained on the corpus itself (the self-train langid pass a
+    pipeline runs to FILTER a corpus, and the input to nb1's confusion
+    readout). Eagerly computed via localCheckpoint so the bounded
+    scalars (vocab, n_docs) and the persisted base release cleanly."""
     base = _base_tokens(documents).persist()
     try:
         clt = base.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c_lt"))
@@ -120,13 +120,23 @@ def nb1_langid_confusion(documents: DataFrame) -> DataFrame:
             vocab_n,
             keys=["doc_id", "lang"],
         )
-        return (
-            pred.groupBy("lang", F.col("cand").alias("pred_lang"))
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
-            .orderBy("lang", "pred_lang")
-        )
+        return pred.select("doc_id", "lang", "cand").localCheckpoint(eager=True)
     finally:
         base.unpersist()
+
+
+def nb1_langid_confusion(documents: DataFrame) -> DataFrame:
+    """Train Laplace-smoothed multinomial NB on (lang | tokens) over the
+    full corpus, classify every doc, and return the confusion matrix —
+    (lang, pred_lang, n_docs). The diagonal mass is the self-consistency
+    readout (how separable the corpus's classes are under their own
+    token statistics)."""
+    return (
+        nb_inline_predictions(documents)
+        .groupBy("lang", F.col("cand").alias("pred_lang"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("lang", "pred_lang")
+    )
 
 
 # ---------------------------------------------------------------------------

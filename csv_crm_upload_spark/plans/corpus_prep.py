@@ -152,3 +152,86 @@ def write_training_corpus(
         documents.select("doc_id", "text"), "doc_id"
     )
     write_partitioned(packed, f"{path}/corpus", ["split", "source"])
+
+
+def prepare_training_corpus_v2(
+    documents: DataFrame,
+    lang: str = "en",
+    span: int = 8,
+    pack_budget: int = 512,
+) -> DataFrame:
+    """The round-5 composition — the modern monolingual corpus-prep
+    pipeline, every stage an oracle-verified operator:
+
+        raw documents
+          → span-level cleaning    (dedup.linedd1_span_dedup — repeated
+                                    8-token spans EXCISED, not the doc
+                                    dropped; empty survivors removed)
+          → self-trained langid    (nbayes.nb_inline_predictions over
+                                    the RAW corpus; keep pred == lang —
+                                    the fastText-style language filter)
+          → quality-weighted keep  (the mix2 gate over the CLEANED text)
+          → leakage-safe split     (split1 hash gate, pure fn of doc_id)
+          → sequence packing       (per (split, source) stream)
+
+    Output manifest: (doc_id, split, source, quality_score, n_tokens,
+    stream_offset, bin_id) over CLEANED token counts.
+
+    Scale: stage 1 pays span dedup's two shuffles, stage 2 NB's three;
+    the gates are map-only and packing is one window per stream — no
+    stage adds a corpus-wide shuffle beyond its standalone operator
+    (pinned by the prep budgets test pattern)."""
+    from csv_crm_upload_spark.analytics.nbayes import nb_inline_predictions
+
+    # 1. span-level cleaning; survivors keep their cleaned text AS text
+    cleaned = (
+        documents.select("doc_id", "source")
+        .join(
+            dd.linedd1_span_dedup(documents, span=span).select(
+                "doc_id", "cleaned_text"
+            ),
+            "doc_id",
+        )
+        .filter(F.col("cleaned_text") != "")
+        .select("doc_id", "source", F.col("cleaned_text").alias("text"))
+    )
+
+    # 2. langid filter: NB self-trained on the raw corpus
+    keep_ids = (
+        nb_inline_predictions(documents)
+        .filter(F.col("cand") == lang)
+        .select("doc_id")
+    )
+    endocs = cleaned.join(keep_ids, "doc_id", "left_semi")
+
+    # 3. quality gate over the cleaned text (mix2's hash gate)
+    keep_gate = _md5_60(F.col("doc_id")).cast("double") / F.lit(float(1 << 60))
+    kept = endocs.withColumn("quality_score", _quality_score_expr()).filter(
+        keep_gate < F.col("quality_score")
+    )
+
+    # 4. split + 5. pack (prep1's tail, cleaned token counts)
+    staged = kept.withColumn("split", split_expr())
+    base = staged.select(
+        "doc_id",
+        "source",
+        "split",
+        "quality_score",
+        F.size(_tokens()).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("split", "source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = base.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    offset = (F.col("cum_tokens") - F.col("n_tokens")).cast("bigint")
+    return cum.select(
+        "doc_id",
+        "split",
+        "source",
+        "quality_score",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        offset.alias("stream_offset"),
+        F.floor(offset / pack_budget).cast("bigint").alias("bin_id"),
+    )

@@ -124,3 +124,45 @@ def test_written_corpus_layout_and_idempotence(spark, sf_dir, tmp_path):
         map(tuple, spark.read.parquet(f"{path}/corpus").drop("text").collect())
     )
     assert after == before
+
+
+def test_prep2_stage_effects(spark, sf_dir):
+    """The v2 composition's stage fingerprints: only NB-predicted-en
+    docs survive, token counts reflect the CLEANED text (never more
+    than the raw count), the quality/split gates match their standalone
+    operators, and packing never crosses a split boundary."""
+    from pyspark.sql import functions as F
+
+    from csv_crm_upload_spark.analytics.nbayes import nb_inline_predictions
+    from csv_crm_upload_spark.plans.corpus_prep import prepare_training_corpus_v2
+    from csv_crm_upload_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = prepare_training_corpus_v2(docs)
+    rows = out.collect()
+    assert rows, "pipeline must keep something"
+
+    en_ids = {
+        r["doc_id"]
+        for r in nb_inline_predictions(docs).filter(F.col("cand") == "en").collect()
+    }
+    assert {r["doc_id"] for r in rows} <= en_ids, "langid filter must hold"
+
+    raw_tokens = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n")
+        ).collect()
+    }
+    assert all(r["n_tokens"] <= raw_tokens[r["doc_id"]] for r in rows), (
+        "cleaned token counts cannot exceed raw"
+    )
+    # at least one surviving doc actually lost spans to the cleaner
+    assert any(r["n_tokens"] < raw_tokens[r["doc_id"]] for r in rows)
+
+    # bins are per-(split, source) streams: same bin id never spans splits
+    seen = {}
+    for r in rows:
+        key = (r["split"], r["source"], r["bin_id"])
+        seen.setdefault(key, set()).add(r["split"])
+    assert all(len(v) == 1 for v in seen.values())
