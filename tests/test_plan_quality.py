@@ -327,6 +327,10 @@ def test_round5_operator_shuffle_budgets(spark, sf_dir):
         "mix3_temperature_mixture": 3,
         "bpe2_segment": 2,
         "lr1_quality_classifier": 0,
+        # the RETURNED v2-composition plan: linedd1's two shuffles, the
+        # cleaned/langid joins, and the pack window (the NB langid stage
+        # ran eagerly inside nb_inline_predictions, budgeted on its own)
+        "prep2_monolingual_corpus": 5,
     }
     for name, budget in budgets.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))
