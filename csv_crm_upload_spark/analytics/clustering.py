@@ -158,24 +158,39 @@ def sdd1_semantic_dedup(
     map-only broadcast-centroid pass of kmeans_assignments; cosine is
     6-dp rounded before the threshold so the keep set is engine-exact.
     """
-    from csv_crm_upload_spark.analytics.similarity import cosine
+    from csv_crm_upload_spark.analytics.similarity import _dot, _norm
 
     # persisted: the pair join consumes the assignment twice and the
     # final left join a third time — uncached, the full map-only argmax
-    # pass over the corpus would run three times
+    # pass over the corpus would run three times. Norms are hoisted to
+    # a per-VECTOR column below the join (knn_bruteforce's trick): the
+    # per-PAIR expression is one dot product, not dot + two norms —
+    # same expression tree as cosine(), so bit-identical to the oracle.
     assigned = kmeans_assignments(embeddings, k, iters).select(
-        "vec_id", "embedding", "cluster_id"
+        "vec_id",
+        "embedding",
+        "cluster_id",
+        _norm(F.col("embedding")).alias("nrm"),
     ).persist()
     a = assigned.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "cluster_id"
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+        "cluster_id",
     )
     b = assigned.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "cluster_id"
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+        "cluster_id",
+    )
+    pair_cos = _dot(F.col("emb_a"), F.col("emb_b")) / (
+        F.col("nrm_a") * F.col("nrm_b")
     )
     witnesses = (
         a.join(b, "cluster_id")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos_sim", F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6))
+        .withColumn("cos_sim", F.round(pair_cos, 6))
         .filter(F.col("cos_sim") >= threshold)
         .groupBy(F.col("vec_b").alias("vec_id"))
         .agg(F.min("vec_a").alias("dup_of"))
