@@ -136,28 +136,14 @@ def kmeans1_topic_clusters(
     )
 
 
-def sdd1_semantic_dedup(
+def _sdd1_plan(
     embeddings: DataFrame, k: int = 8, iters: int = 2, threshold: float = 0.9
-) -> DataFrame:
-    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
-    deduplication by cluster-then-prune: k-means the corpus embeddings,
-    then WITHIN each cluster drop any vector that has a cosine-similar
-    (>= threshold) neighbor with a lower vec_id. Catches paraphrase-level
-    duplication that exact/MinHash text dedup cannot see; the published
-    method's "keep one per semantic neighborhood" with a deterministic
-    keeper (lowest vec_id; the paper keeps the centroid-farthest —
-    equally arbitrary, but id-ordering is engine-stable and oracle-able).
-
-    Output: one row per vector — (vec_id, cluster_id, is_kept, dup_of)
-    where dup_of is the lowest-id witness that evicted it (NULL if kept).
-
-    Scale shape: the quadratic pair space is bounded to SAME-CLUSTER
-    pairs — one shuffle on cluster_id, never an all-pairs join; in
-    production k grows ∝ corpus size so the per-cluster candidate set
-    stays constant (the paper's own scaling argument). Assignment is the
-    map-only broadcast-centroid pass of kmeans_assignments; cosine is
-    6-dp rounded before the threshold so the keep set is engine-exact.
-    """
+) -> tuple[DataFrame, DataFrame]:
+    """The LAZY SemDeDup plan plus the persisted assignment handle the
+    caller must release after materializing. Split out so the
+    shuffle-budget audit (tests/test_plan_quality.py) can inspect the
+    real plan — the public sdd1_semantic_dedup materializes eagerly,
+    which collapses its returned plan to a checkpoint scan."""
     from csv_crm_upload_spark.analytics.similarity import _dot, _norm
 
     # persisted: the pair join consumes the assignment twice and the
@@ -205,7 +191,38 @@ def sdd1_semantic_dedup(
         )
         .orderBy("vec_id")
     )
-    # materialize before releasing the cache the plan depends on
+    return out, assigned
+
+
+def sdd1_semantic_dedup(
+    embeddings: DataFrame, k: int = 8, iters: int = 2, threshold: float = 0.9
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    deduplication by cluster-then-prune: k-means the corpus embeddings,
+    then WITHIN each cluster drop any vector that has a cosine-similar
+    (>= threshold) neighbor with a lower vec_id. Catches paraphrase-level
+    duplication that exact/MinHash text dedup cannot see; the published
+    method's "keep one per semantic neighborhood" with a deterministic
+    keeper (lowest vec_id; the paper keeps the centroid-farthest —
+    equally arbitrary, but id-ordering is engine-stable and oracle-able).
+
+    Output: one row per vector — (vec_id, cluster_id, is_kept, dup_of)
+    where dup_of is the lowest-id witness that evicted it (NULL if kept).
+    EAGER: the result materializes via localCheckpoint before the
+    assignment cache releases (the pair join consumes the assignment
+    twice and the final left join a third time — uncached, the full
+    map-only argmax pass would run three times); the lazy plan audited
+    by the budget test lives in _sdd1_plan.
+
+    Scale shape: the quadratic pair space is bounded to SAME-CLUSTER
+    pairs — one shuffle on cluster_id, never an all-pairs join; in
+    production k grows ∝ corpus size so the per-cluster candidate set
+    stays constant (the paper's own scaling argument). Assignment is the
+    map-only broadcast-centroid pass of kmeans_assignments; per-vector
+    norms are hoisted below the pair join (knn_bruteforce's trick) so
+    the per-pair expression is one dot product; cosine is 6-dp rounded
+    before the threshold so the keep set is engine-exact."""
+    out, assigned = _sdd1_plan(embeddings, k, iters, threshold)
     out = out.localCheckpoint(eager=True)
     assigned.unpersist()
     return out

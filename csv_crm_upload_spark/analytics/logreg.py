@@ -63,35 +63,37 @@ def train_weights(documents: DataFrame, iters: int = 2) -> list[float]:
     # persisted: the count plus every GD step re-consumes feats — without
     # the cache that is 1+iters full tokenization passes (bpe1's pattern)
     feats = _feature_frame(documents).persist()
-    n = feats.count()  # bounded driver scalar (fixed by the corpus)
-    w = [0.0, 0.0, 0.0, 0.0]
-    for _ in range(iters):
-        z = (
-            F.lit(w[0]) * F.col("x0")
-            + F.lit(w[1]) * F.col("x1")
-            + F.lit(w[2]) * F.col("x2")
-            + F.lit(w[3]) * F.col("x3")
-        )
-        p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9)
-        d = p - F.col("y")
-        sums = [
-            F.sum(F.round(d * F.col(f"x{j}"), 12).cast("decimal(28,12)"))
-            .cast("double")
-            .alias(f"g{j}")
-            for j in range(4)
-        ]
-        # update rounded IN THE PLAN (half-away-from-zero both engines)
-        upd = feats.agg(*sums).select(
-            *[
-                F.round(F.lit(w[j]) - F.col(f"g{j}") / F.lit(float(n)), 12).alias(
-                    f"w{j}"
-                )
+    try:
+        n = feats.count()  # bounded driver scalar (fixed by the corpus)
+        w = [0.0, 0.0, 0.0, 0.0]
+        for _ in range(iters):
+            z = (
+                F.lit(w[0]) * F.col("x0")
+                + F.lit(w[1]) * F.col("x1")
+                + F.lit(w[2]) * F.col("x2")
+                + F.lit(w[3]) * F.col("x3")
+            )
+            p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9)
+            d = p - F.col("y")
+            sums = [
+                F.sum(F.round(d * F.col(f"x{j}"), 12).cast("decimal(28,12)"))
+                .cast("double")
+                .alias(f"g{j}")
                 for j in range(4)
             ]
-        ).collect()[0]
-        w = [float(upd[f"w{j}"]) for j in range(4)]
-    feats.unpersist()
-    return w
+            # update rounded IN THE PLAN (half-away-from-zero both engines)
+            upd = feats.agg(*sums).select(
+                *[
+                    F.round(F.lit(w[j]) - F.col(f"g{j}") / F.lit(float(n)), 12).alias(
+                        f"w{j}"
+                    )
+                    for j in range(4)
+                ]
+            ).collect()[0]
+            w = [float(upd[f"w{j}"]) for j in range(4)]
+        return w
+    finally:
+        feats.unpersist()
 
 
 def lr1_quality_classifier(documents: DataFrame, iters: int = 2) -> DataFrame:

@@ -2124,16 +2124,22 @@ def ri1_referential_integrity(
         ("lineitem.l_suppkey->supplier", lineitem, "l_suppkey", supplier, "s_suppkey"),
         ("customer.c_nationkey->nation", customer, "c_nationkey", nation, "n_nationkey"),
     ]
+    # each DISTINCT child is counted once (a parquet count(*) reads only
+    # footers, but lineitem appears in three relationships — one count,
+    # not three) and the scalar rides each relationship row as a literal
+    child_rows: dict[int, int] = {}
+    for _name, child, _fk, _parent, _pk in rels:
+        if id(child) not in child_rows:
+            child_rows[id(child)] = child.count()
     out = None
     for name, child, fk, parent, pk in rels:
         orphans = child.select(F.col(fk).alias("k")).join(
             parent.select(F.col(pk).alias("k")).distinct(), "k", "left_anti"
         )
-        row = child.agg(
+        row = orphans.agg(
             F.lit(name).alias("relationship"),
-            F.count(F.lit(1)).cast("bigint").alias("n_child_rows"),
-        ).crossJoin(
-            orphans.agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
+            F.lit(child_rows[id(child)]).cast("bigint").alias("n_child_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orphans"),
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("relationship")

@@ -261,7 +261,12 @@ def main(argv: list[str] | None = None) -> int:
                 )
             update_nb_model(docs, args.out)
         else:
-            save_nb_model(docs, args.out, n_buckets=args.buckets or 64)
+            if args.buckets is not None and args.buckets <= 0:
+                raise SystemExit("nb-train: --buckets must be positive")
+            save_nb_model(
+                docs, args.out,
+                n_buckets=args.buckets if args.buckets is not None else 64,
+            )
         print(f"model={args.out}")
         return 0
     if args.cmd == "nb-classify":

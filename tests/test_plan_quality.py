@@ -322,7 +322,6 @@ def test_round5_operator_shuffle_budgets(spark, sf_dir):
     """
     spark.catalog.clearCache()
     budgets = {
-        "sdd1_semantic_dedup": 4,
         "linedd1_span_dedup": 3,
         "mix3_temperature_mixture": 3,
         "bpe2_segment": 2,
@@ -336,3 +335,16 @@ def test_round5_operator_shuffle_budgets(spark, sf_dir):
         plan = plan_of(QUERIES[name](spark, sf_dir))
         ids = set(re.findall(r"(?<!Broadcast)Exchange \((\d+)\)", plan))
         assert len(ids) <= budget, f"{name}: {len(ids)} shuffles > budget {budget}\n{plan}"
+
+    # sdd1 materializes eagerly (its returned plan is a checkpoint scan,
+    # which would make this audit vacuous) — budget the LAZY builder
+    from csv_crm_upload_spark.analytics.clustering import _sdd1_plan
+    from csv_crm_upload_spark.sources.tables import load_table
+
+    lazy, assigned = _sdd1_plan(load_table(spark, sf_dir, "embeddings"))
+    try:
+        plan = plan_of(lazy)
+        ids = set(re.findall(r"(?<!Broadcast)Exchange \((\d+)\)", plan))
+        assert len(ids) <= 4, f"sdd1: {len(ids)} shuffles > budget 4\n{plan}"
+    finally:
+        assigned.unpersist()
