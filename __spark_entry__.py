@@ -235,8 +235,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     prior ledger — followed by the new round-5 oracle-paired operators
     (`asof1`, `sess1`, `fun1`, `skw1`, `ppl1`, `leak1`, `drift1`,
     `fh1`, `sdd1`, `linedd1`, `mix3`, `bpe1`, `bpe2`, `lr1`, `lr2`,
-    `nb1`, `nb2`, `path1`, `rfm1`, `prep2`, `ri1`) in slots 19-39;
-    slots 40-50 re-sample round-4 keys.
+    `nb1`, `nb2`, `path1`, `rfm1`, `prep2`, `phr1`, `ri1`) in slots
+    19-40; slots 41-50 re-sample round-4 keys.
     sim_knn_ivf/pq1/ivfpq1/hll1/mm2/mm3/approx_* are oracle-free
     rows-only whenever sampled."""
     return {
@@ -351,6 +351,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # composed v2 pipeline: span-clean -> langid -> quality -> split -> pack
         "prep2_monolingual_corpus": lambda s, sf: prep.prepare_training_corpus_v2(
+            _t("documents")(s, sf)
+        ),
+        # exact phrase localization (most frequent trigram, per-doc counts)
+        "phr1_phrase_occurrences": lambda s, sf: ts.phr1_phrase_occurrences(
             _t("documents")(s, sf)
         ),
         # cross-table referential-integrity audit (orphan FK counts)
@@ -2974,6 +2978,29 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, split, source, quality_score, n_tokens, stream_offset,
                CAST(FLOOR(stream_offset / 512) AS BIGINT) AS bin_id
         FROM packed
+    """
+    # phr1: most-frequent-trigram localization — rep1's chr(1) gram
+    # conventions; argmax phrase via (count DESC, gram) total order
+    q["phr1_phrase_occurrences"] = f"""
+        WITH t AS (
+          SELECT doc_id, {_TOKS} AS l FROM documents WHERE text IS NOT NULL
+        ),
+        g AS (
+          SELECT doc_id,
+                 l[r.i] || chr(1) || l[r.i + 1] || chr(1) || l[r.i + 2] AS gram
+          FROM t, UNNEST(range(1, len(l) - 1)) AS r(i)
+          WHERE len(l) >= 3
+        ),
+        top AS (
+          SELECT gram FROM (
+            SELECT gram, COUNT(*) AS cnt FROM g GROUP BY 1
+          ) ORDER BY cnt DESC, gram LIMIT 1
+        )
+        SELECT doc_id,
+               replace((SELECT gram FROM top), chr(1), ' ') AS phrase,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM g WHERE gram = (SELECT gram FROM top)
+        GROUP BY doc_id ORDER BY doc_id
     """
     # ri1: orphan FK counts per relationship — anti-join semantics
     q["ri1_referential_integrity"] = """

@@ -944,3 +944,38 @@ def mix3_temperature_mixture(
         .filter(F.col("sample_rank") <= F.col("target_docs"))
         .select("doc_id", "source", "sample_rank", "target_docs")
     )
+
+
+def phr1_phrase_occurrences(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Exact phrase localization — the grep primitive of a corpus
+    engine: find every per-doc occurrence of the corpus's SINGLE most
+    frequent word n-gram (count DESC, phrase ASC tie-break makes the
+    target phrase deterministic and the query self-contained at any
+    scale). Output: (doc_id, phrase, n_occurrences) for the docs that
+    contain it.
+
+    Scale shape: one n-gram explode + combining count to find the
+    argmax phrase (the bp1 machinery), then the 1-row phrase broadcasts
+    back into a semi-join + per-doc count — the second pass touches
+    only matching grams. A parameterized phrase (user-supplied instead
+    of argmax) is the same plan minus the first aggregation."""
+    grams = _word_ngrams(_norm_tokens(), n)
+    g = documents.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.explode(grams).alias("gram")
+    )
+    top = (
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "gram")
+        .limit(1)
+        .select("gram")
+    )
+    return (
+        g.join(F.broadcast(top), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.replace(F.first("gram"), F.lit("\x01"), F.lit(" ")).alias("phrase"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        )
+        .orderBy("doc_id")
+    )

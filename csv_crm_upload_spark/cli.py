@@ -203,6 +203,18 @@ def main(argv: list[str] | None = None) -> int:
     pcl.add_argument("--model", required=True, help="model directory (nb-train output)")
     pcl.add_argument("--limit", type=int, default=20, help="rows to print")
 
+    pe = sub.add_parser(
+        "export", help="export the store's customers table to a file format"
+    )
+    _add_store_args(pe)
+    pe.add_argument("--out", required=True, help="output directory")
+    pe.add_argument(
+        "--format",
+        choices=["csv", "jsonl", "orc", "parquet"],
+        default="csv",
+        help="output format (default csv, with header)",
+    )
+
     args = p.parse_args(argv)
 
     from csv_crm_upload_spark.session import get_spark
@@ -291,6 +303,22 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     store = _open_store(spark, args)
+
+    if args.cmd == "export":
+        # partitioned write — no coalesce(1): a single-file funnel would
+        # serialize the export at scale; consumers read the directory
+        df = store.read().orderBy("id")
+        writer = df.write.mode("overwrite")
+        if args.format == "csv":
+            writer.option("header", "true").csv(args.out)
+        elif args.format == "jsonl":
+            writer.json(args.out)
+        elif args.format == "orc":
+            writer.orc(args.out)
+        else:
+            writer.parquet(args.out)
+        print(f"exported={args.out} format={args.format} rows={df.count()}")
+        return 0
 
     if args.cmd == "ingest":
         from csv_crm_upload_spark.plans.ingest import ingest_csv, ingest_jsonl, ingest_orc

@@ -131,3 +131,27 @@ def test_cli_nb_train_append_classify(spark, tmp_path, capsys, sf_dir):
     printed = [l for l in capsys.readouterr().out.splitlines() if "\t" in l]
     assert len(printed) == 5
     assert all(len(l.split("\t")) == 3 for l in printed)
+
+
+def test_cli_export_roundtrip(spark, tmp_path, capsys):
+    """ingest a CSV, export as ORC and CSV, read both back — the
+    egress half of the source/sink matrix (same rows, any format)."""
+    csv_src = tmp_path / "in.csv"
+    csv_src.write_text(
+        "id,first_name,last_name,email,phone\n"
+        "1,jon,doe,jon@x.com,111\n2,jane,roe,jane@x.com,222\n"
+    )
+    store = str(tmp_path / "store")
+    assert main(["ingest", "--csv", str(csv_src), "--store", store]) == 0
+
+    orc_out = str(tmp_path / "out_orc")
+    assert main(["export", "--store", store, "--out", orc_out, "--format", "orc"]) == 0
+    assert "exported=" in capsys.readouterr().out
+    back = spark.read.orc(orc_out)
+    assert sorted(r["id"] for r in back.collect()) == [1, 2]
+    assert "uploaded" in back.columns
+
+    csv_out = str(tmp_path / "out_csv")
+    assert main(["export", "--store", store, "--out", csv_out]) == 0
+    back_csv = spark.read.option("header", "true").csv(csv_out)
+    assert sorted(r["email"] for r in back_csv.collect()) == ["jane@x.com", "jon@x.com"]
