@@ -235,8 +235,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     prior ledger — followed by the new round-5 oracle-paired operators
     (`asof1`, `sess1`, `fun1`, `skw1`, `ppl1`, `leak1`, `drift1`,
     `fh1`, `sdd1`, `linedd1`, `mix3`, `bpe1`, `bpe2`, `lr1`, `lr2`,
-    `nb1`, `nb2`, `path1`, `rfm1`, `prep2`, `phr1`, `ri1`) in slots
-    19-40; slots 41-50 re-sample round-4 keys.
+    `nb1`, `nb2`, `path1`, `rfm1`, `prep2`, `decon2`, `phr1`, `ri1`)
+    in slots 19-41; slots 42-50 re-sample round-4 keys.
     sim_knn_ivf/pq1/ivfpq1/hll1/mm2/mm3/approx_* are oracle-free
     rows-only whenever sampled."""
     return {
@@ -352,6 +352,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # composed v2 pipeline: span-clean -> langid -> quality -> split -> pack
         "prep2_monolingual_corpus": lambda s, sf: prep.prepare_training_corpus_v2(
             _t("documents")(s, sf)
+        ),
+        # semantic decontamination: corpus vecs cosine-near any benchmark vec
+        "decon2_semantic_contamination": lambda s, sf: clus.decon2_semantic_contamination(
+            _t("embeddings")(s, sf)
         ),
         # exact phrase localization (most frequent trigram, per-doc counts)
         "phr1_phrase_occurrences": lambda s, sf: ts.phr1_phrase_occurrences(
@@ -2978,6 +2982,33 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, split, source, quality_score, n_tokens, stream_offset,
                CAST(FLOOR(stream_offset / 512) AS BIGINT) AS bin_id
         FROM packed
+    """
+    # decon2: corpus × benchmark cosine (benchmark = label 0 slice);
+    # dd_embed_neardup's 6-dp cosine idiom, (cos DESC, bench_id) argmax
+    q["decon2_semantic_contamination"] = """
+        WITH bench AS (
+          SELECT vec_id AS bench_id, embedding AS bench_emb
+          FROM embeddings WHERE label = 0
+        ),
+        corpus AS (
+          SELECT vec_id, embedding FROM embeddings WHERE label <> 0
+        ),
+        hits AS (
+          SELECT c.vec_id, b.bench_id,
+                 round(
+                   list_sum(list_transform(range(1, len(c.embedding) + 1),
+                         i -> c.embedding[i]::DOUBLE * b.bench_emb[i]::DOUBLE))
+                   / (sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                      * sqrt(list_sum(list_transform(b.bench_emb, x -> x::DOUBLE * x::DOUBLE)))),
+                   6) AS cos_sim
+          FROM corpus c CROSS JOIN bench b
+        )
+        SELECT vec_id, CAST(bench_id AS BIGINT) AS closest_benchmark, cos_sim
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY cos_sim DESC, bench_id) AS rn
+          FROM hits WHERE cos_sim >= 0.9
+        ) WHERE rn = 1 ORDER BY vec_id
     """
     # phr1: most-frequent-trigram localization — rep1's chr(1) gram
     # conventions; argmax phrase via (count DESC, gram) total order

@@ -226,3 +226,56 @@ def sdd1_semantic_dedup(
     out = out.localCheckpoint(eager=True)
     assigned.unpersist()
     return out
+
+
+def decon2_semantic_contamination(
+    embeddings: DataFrame, threshold: float = 0.9, benchmark_label: int = 0
+) -> DataFrame:
+    """Semantic decontamination — the embedding-level cousin of decon1's
+    13-gram overlap audit: flag corpus vectors whose cosine similarity
+    to ANY benchmark vector reaches the threshold (paraphrased eval
+    leakage that n-gram matching cannot see; SemDeDup's machinery aimed
+    across corpora instead of within one). The benchmark here is the
+    label==`benchmark_label` slice of the embeddings table (standing in
+    for a real eval set's embeddings).
+
+    Output: (vec_id, closest_benchmark, cos_sim) — one row per
+    CONTAMINATED corpus vector with its nearest flagging benchmark
+    (max cos, ties to lowest benchmark id).
+
+    Scale shape: benchmarks do NOT grow with the corpus (decon1's own
+    sanctioned-broadcast argument), so this is a broadcast join riding
+    the corpus scan — map-only per corpus vector, no shuffle until the
+    tiny per-vector argmax combine; per-vector norms hoisted below the
+    join."""
+    from csv_crm_upload_spark.analytics.similarity import _dot, _norm
+
+    bench = embeddings.filter(F.col("label") == benchmark_label).select(
+        F.col("vec_id").alias("bench_id"),
+        F.col("embedding").alias("bench_emb"),
+        _norm(F.col("embedding")).alias("bench_nrm"),
+    )
+    corpus = embeddings.filter(F.col("label") != benchmark_label).select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    cos = F.round(
+        _dot(F.col("embedding"), F.col("bench_emb"))
+        / (F.col("nrm") * F.col("bench_nrm")),
+        6,
+    )
+    hits = (
+        corpus.crossJoin(F.broadcast(bench))
+        .withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    best = F.max(F.struct(F.col("cos_sim"), (-F.col("bench_id")).alias("neg_id")))
+    return (
+        hits.groupBy("vec_id")
+        .agg(best.alias("b"))
+        .select(
+            "vec_id",
+            (-F.col("b.neg_id")).cast("bigint").alias("closest_benchmark"),
+            F.col("b.cos_sim").alias("cos_sim"),
+        )
+        .orderBy("vec_id")
+    )

@@ -66,3 +66,30 @@ def test_semantic_dedup_keeps_all_when_no_near_dups(spark, sf_dir):
     out = sdd1_semantic_dedup(emb).collect()
     assert all(r["is_kept"] and r["dup_of"] is None for r in out)
     assert len(out) == emb.count()
+
+
+def test_semantic_decontamination_flags_planted_leak(spark, sf_dir):
+    """decon2 with a PLANTED near-copy of a benchmark (label 0) vector
+    inserted as corpus (label 1): the copy is flagged with the original
+    as its closest benchmark; the real corpus (max pairwise cos ~0.51)
+    contributes nothing at the 0.9 threshold."""
+    from pyspark.sql import functions as F
+
+    from csv_crm_upload_spark.analytics.clustering import (
+        decon2_semantic_contamination,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench_row = emb.filter(F.col("label") == 0).orderBy("vec_id").limit(1).collect()[0]
+    leak_id = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    leak = spark.createDataFrame(
+        [(leak_id, [float(v) for v in bench_row["embedding"]], 1)], schema=emb.schema
+    )
+    out = decon2_semantic_contamination(emb.unionByName(leak)).collect()
+    assert len(out) == 1
+    assert out[0]["vec_id"] == leak_id
+    assert out[0]["closest_benchmark"] == bench_row["vec_id"]
+    assert out[0]["cos_sim"] >= 0.999999
+
+    # clean corpus: nothing flagged
+    assert decon2_semantic_contamination(emb).count() == 0
