@@ -55,6 +55,7 @@ EXTRA = [
     "bpe1_merge_steps",
     "nb1_langid_confusion",
     "lr1_quality_classifier",
+    "prep2_monolingual_corpus",
 ]
 
 # graph family: timed AS A PIPELINE (round 4) — the LSH candidate-pair
