@@ -357,6 +357,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decon2_semantic_contamination": lambda s, sf: clus.decon2_semantic_contamination(
             _t("embeddings")(s, sf)
         ),
+        # audit-threshold variant (0.4): flags rows on the synthetic
+        # fixture so the cosine/argmax/tie-break path is exercised
+        # non-vacuously cross-engine (decon2's 0.9 matches nothing there)
+        "decon3_contamination_audit": lambda s, sf: clus.decon2_semantic_contamination(
+            _t("embeddings")(s, sf), threshold=0.4
+        ),
         # exact phrase localization (most frequent trigram, per-doc counts)
         "phr1_phrase_occurrences": lambda s, sf: ts.phr1_phrase_occurrences(
             _t("documents")(s, sf)
@@ -2583,9 +2589,9 @@ def oracle_sql() -> dict[str, str]:
           FROM p1 ORDER BY cnt DESC, pair LIMIT 1
         ),
         v1 AS (
-          SELECT replace(v.s, ' ' || b.left_ || ' ' || b.right_,
-                         ' ' || b.left_ || b.right_) AS s, v.freq
-          FROM v0 v CROSS JOIN b1 b
+          SELECT COALESCE(replace(v.s, ' ' || b.left_ || ' ' || b.right_,
+                                  ' ' || b.left_ || b.right_), v.s) AS s, v.freq
+          FROM v0 v LEFT JOIN b1 b ON TRUE
         ),
         p2 AS (
           SELECT l[r.i] || chr(1) || l[r.i + 1] AS pair, SUM(freq) AS cnt
@@ -2599,9 +2605,9 @@ def oracle_sql() -> dict[str, str]:
           FROM p2 ORDER BY cnt DESC, pair LIMIT 1
         ),
         v2 AS (
-          SELECT replace(v.s, ' ' || b.left_ || ' ' || b.right_,
-                         ' ' || b.left_ || b.right_) AS s, v.freq
-          FROM v1 v CROSS JOIN b2 b
+          SELECT COALESCE(replace(v.s, ' ' || b.left_ || ' ' || b.right_,
+                                  ' ' || b.left_ || b.right_), v.s) AS s, v.freq
+          FROM v1 v LEFT JOIN b2 b ON TRUE
         ),
         p3 AS (
           SELECT l[r.i] || chr(1) || l[r.i + 1] AS pair, SUM(freq) AS cnt
@@ -2647,9 +2653,9 @@ def oracle_sql() -> dict[str, str]:
           FROM p1 ORDER BY cnt DESC, pair LIMIT 1
         ),
         v1 AS (
-          SELECT v.word, replace(v.s, ' ' || b.left_ || ' ' || b.right_,
-                                 ' ' || b.left_ || b.right_) AS s, v.freq
-          FROM v0 v CROSS JOIN b1 b
+          SELECT v.word, COALESCE(replace(v.s, ' ' || b.left_ || ' ' || b.right_,
+                                          ' ' || b.left_ || b.right_), v.s) AS s, v.freq
+          FROM v0 v LEFT JOIN b1 b ON TRUE
         ),
         p2 AS (
           SELECT l[r.i] || chr(1) || l[r.i + 1] AS pair, SUM(freq) AS cnt
@@ -2663,9 +2669,9 @@ def oracle_sql() -> dict[str, str]:
           FROM p2 ORDER BY cnt DESC, pair LIMIT 1
         ),
         v2 AS (
-          SELECT v.word, replace(v.s, ' ' || b.left_ || ' ' || b.right_,
-                                 ' ' || b.left_ || b.right_) AS s, v.freq
-          FROM v1 v CROSS JOIN b2 b
+          SELECT v.word, COALESCE(replace(v.s, ' ' || b.left_ || ' ' || b.right_,
+                                          ' ' || b.left_ || b.right_), v.s) AS s, v.freq
+          FROM v1 v LEFT JOIN b2 b ON TRUE
         ),
         p3 AS (
           SELECT l[r.i] || chr(1) || l[r.i + 1] AS pair, SUM(freq) AS cnt
@@ -2679,9 +2685,9 @@ def oracle_sql() -> dict[str, str]:
           FROM p3 ORDER BY cnt DESC, pair LIMIT 1
         ),
         v3 AS (
-          SELECT v.word, replace(v.s, ' ' || b.left_ || ' ' || b.right_,
-                                 ' ' || b.left_ || b.right_) AS s
-          FROM v2 v CROSS JOIN b3 b
+          SELECT v.word, COALESCE(replace(v.s, ' ' || b.left_ || ' ' || b.right_,
+                                          ' ' || b.left_ || b.right_), v.s) AS s
+          FROM v2 v LEFT JOIN b3 b ON TRUE
         ),
         m AS (
           SELECT word, len(string_split(substr(s, 2), ' ')) AS n_toks FROM v3
@@ -3010,6 +3016,11 @@ def oracle_sql() -> dict[str, str]:
           FROM hits WHERE cos_sim >= 0.9
         ) WHERE rn = 1 ORDER BY vec_id
     """
+    # decon3: the same contamination audit at threshold 0.4 — flags rows
+    # on the synthetic fixture, so the argmax/tie-break is non-vacuous
+    q["decon3_contamination_audit"] = q["decon2_semantic_contamination"].replace(
+        "WHERE cos_sim >= 0.9", "WHERE cos_sim >= 0.4"
+    )
     # phr1: most-frequent-trigram localization — rep1's chr(1) gram
     # conventions; argmax phrase via (count DESC, gram) total order
     q["phr1_phrase_occurrences"] = f"""
@@ -3082,7 +3093,7 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT e1 || '>' || e2 || '>' || e3 AS path,
                CAST(COUNT(*) AS BIGINT) AS n_paths
-        FROM s WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        FROM s WHERE e1 IS NOT NULL AND e2 IS NOT NULL AND e3 IS NOT NULL
         GROUP BY 1 ORDER BY n_paths DESC, path LIMIT 20
     """
     # rfm1: NTILE quartiles over (recency, frequency, monetary) with

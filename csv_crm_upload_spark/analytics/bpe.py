@@ -98,24 +98,34 @@ def bpe1_merge_steps(documents: DataFrame, steps: int = 3) -> DataFrame:
         base.unpersist()
 
 
-def bpe2_segment(documents: DataFrame, steps: int = 3) -> DataFrame:
-    """Tokenizer INFERENCE for the merges bpe1 learns: re-learn the
-    first `steps` merges, then apply them (in order, greedy leftmost
-    non-overlapping — the same replace encoding) to every word
-    occurrence and report per-doc segmentation stats —
+def bpe2_segment(
+    documents: DataFrame,
+    steps: int = 3,
+    rules: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Tokenizer INFERENCE: apply ordered BPE merges (greedy leftmost
+    non-overlapping — the same replace encoding as training) to every
+    word occurrence and report per-doc segmentation stats —
     (doc_id, n_words, n_chars_tokenized, n_tokens): n_tokens is the
     doc's symbol count under the trained tokenizer (== n_chars before
     any merge; each applied merge occurrence removes one symbol), the
     compression readout a tokenizer sweep grades.
 
-    Scale shape: training is bpe1 (vocab-bounded); application is
-    MAP-ONLY — `steps` chained literal replaces riding the doc scan,
-    then one combining groupBy(doc_id). The merge rules ride into the
-    plan as literals (the broadcast-centroid pattern of kmeans)."""
-    rules = [
-        (r["left"], r["right"])
-        for r in bpe1_merge_steps(documents, steps).orderBy("step").collect()
-    ]
+    `rules` is the train-once/apply-many path: pass the (left, right)
+    list a prior `bpe1_merge_steps(...).collect()` learned (in step
+    order) and NO training pass runs — the corpus is scanned exactly
+    once. When omitted, the first `steps` merges are (re)learned from
+    `documents` first — the self-contained oracle-paired form.
+
+    Scale shape: training (when it runs) is bpe1 (vocab-bounded);
+    application is MAP-ONLY — chained literal replaces riding the doc
+    scan, then one combining groupBy(doc_id). The merge rules ride into
+    the plan as literals (the broadcast-centroid pattern of kmeans)."""
+    if rules is None:
+        rules = [
+            (r["left"], r["right"])
+            for r in bpe1_merge_steps(documents, steps).orderBy("step").collect()
+        ]
     words = documents.filter(
         F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
     ).select("doc_id", F.explode(norm_tokens()).alias("word"))

@@ -278,12 +278,15 @@ def d_minhash_lsh_pairs(
     bucket can still pair via their OTHER bands, and genuinely giant
     duplicate groups are better handled by exact-dedup collapse first).
     """
-    # Persist: signatures are tiny (17 longs/doc) but feed THREE consumers
-    # (bands + both sides of the verification join); without a
-    # materialization point each consumer would recompute the full
-    # shingle+hash map stage. At cluster scale this is a checkpoint of the
-    # signature table — standard practice before LSH banding.
-    sig = d_minhash_signatures(documents, n).persist()
+    # Materialization point: signatures are tiny (17 longs/doc) but feed
+    # THREE consumers (bands + both sides of the verification join);
+    # without one each consumer would recompute the full shingle+hash map
+    # stage. localCheckpoint (not persist) because this function returns a
+    # lazy plan — a persist() here could never be paired with an
+    # unpersist(), leaking a cached table per invocation for the life of
+    # the session. The checkpointed blocks are reclaimed by the
+    # ContextCleaner once the returned plan is dropped.
+    sig = d_minhash_signatures(documents, n).localCheckpoint(eager=True)
     stacked = _filter_hot_buckets(_band_buckets(sig), max_bucket)
     cand = (
         stacked.alias("x")

@@ -804,17 +804,17 @@ def batch1_length_buckets(documents: DataFrame, n_buckets: int = 16) -> DataFram
     batcher would add: bucket_max·n − Σtokens). Grouping similar-length
     sequences is what keeps padding waste low; this query quantifies it.
 
-    All-integer arithmetic → engine-exact. The global NTILE is one
-    ordered pass (Spark runs it single-partition, like any global rank);
-    at 100 TB you'd range-partition on n_tokens first — the bucket
-    BOUNDARIES, not this audit query, are what the pipeline ships."""
-    from pyspark.sql import Window
+    All-integer arithmetic → engine-exact. The global NTILE runs as
+    distributed_ntile (range-repartition on (n_tokens, doc_id) +
+    per-partition offset rank + closed-form bucket assignment) — no
+    single-partition global sort at any scale; only per-partition counts
+    reach the driver."""
+    from .tpch import distributed_ntile
 
     toks = documents.filter(F.col("text").isNotNull()).select(
         "doc_id", F.size(_tokens()).alias("n_tokens")
     )
-    w = Window.orderBy("n_tokens", "doc_id")
-    b = toks.withColumn("bucket", F.ntile(n_buckets).over(w))
+    b = distributed_ntile(toks, ["n_tokens", "doc_id"], n_buckets, "bucket")
     return (
         b.groupBy("bucket")
         .agg(

@@ -1690,6 +1690,15 @@ def distributed_rank(
 
     `order_cols` must end in a unique tiebreaker so the total order is
     well-defined no matter where the range boundaries fall."""
+    ranked, _ = _distributed_rank_and_total(df, order_cols, out_col, n_parts)
+    return ranked
+
+
+def _distributed_rank_and_total(
+    df: DataFrame, order_cols: list, out_col: str, n_parts: int | None = None
+) -> tuple:
+    """distributed_rank plus the total row count (already known from the
+    per-partition counts — no extra job)."""
     spark = df.sparkSession
     n_parts = n_parts or spark.sparkContext.defaultParallelism
     # localCheckpoint FREEZES the range partitioning: repartitionByRange
@@ -1714,9 +1723,44 @@ def distributed_rank(
         *[F.lit(v) for pid in sorted(offsets) for v in (pid, offsets[pid])]
     )
     w = Window.partitionBy("_pid").orderBy(*order_cols)
-    return parted.withColumn(
+    ranked = parted.withColumn(
         out_col, (F.row_number().over(w) + off[F.col("_pid")]).cast("long")
     ).drop("_pid")
+    return ranked, acc
+
+
+def distributed_ntile(
+    df: DataFrame,
+    order_cols: list,
+    q: int,
+    out_col: str,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Global NTILE(q) without the single-partition window collapse.
+
+    ANSI NTILE over n rows gives the first (n mod q) buckets
+    ceil(n/q) rows and the rest floor(n/q) — a pure closed-form
+    function of the global row number, so the scale-correct form is
+    distributed_rank (range-repartition + per-partition offsets)
+    followed by a map-only bucket formula. Bit-identical to
+    `ntile(q) OVER (ORDER BY ...)` in any ANSI engine given the same
+    total order; `order_cols` must end in a unique tiebreaker.
+
+    All bucket arithmetic is integer `div` (no float division), so the
+    assignment is exact at any n."""
+    ranked, n = _distributed_rank_and_total(df, order_cols, "_rn", n_parts)
+    base, rem = divmod(n, q)
+    rn = F.col("_rn")
+    if base == 0:
+        # fewer rows than buckets: row i lands alone in bucket i
+        tile = rn
+    else:
+        head = rem * (base + 1)
+        tile = F.when(
+            rn <= F.lit(head),
+            F.expr(f"((_rn - 1) div {base + 1}) + 1"),
+        ).otherwise(F.expr(f"{rem} + ((_rn - 1 - {head}) div {base}) + 1"))
+    return ranked.withColumn(out_col, tile.cast("int")).drop("_rn")
 
 
 def corr1_spearman_orders(orders: DataFrame) -> DataFrame:
@@ -2035,7 +2079,15 @@ def path1_event_trigrams(events: DataFrame, k: int = 20) -> DataFrame:
     e3 = F.lead("event_type", 2).over(w)
     return (
         events.select(F.col("event_type").alias("e1"), e2.alias("e2"), e3.alias("e3"))
-        .filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        # e1 filtered too: Spark's concat_ws SKIPS nulls while the
+        # oracle's || propagates them — a NULL event_type would
+        # otherwise yield a malformed 2-part path here vs a dropped row
+        # there. Filtering all three legs keeps the engines identical.
+        .filter(
+            F.col("e1").isNotNull()
+            & F.col("e2").isNotNull()
+            & F.col("e3").isNotNull()
+        )
         .select(F.concat_ws(">", "e1", "e2", "e3").alias("path"))
         .groupBy("path")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_paths"))
@@ -2052,14 +2104,14 @@ def rfm1_customer_segments(orders: DataFrame, q: int = 4) -> DataFrame:
     then one row per (r, f, m) segment with its population and average
     spend.
 
-    The three global NTILEs are single-partition sorts over the
-    CUSTOMER-grained rollup (already reduced ~10:1 from orders) — the
-    batch1 caveat applies: at 100 TB you range-partition on each sort
-    key; the segment GRID (q^3 rows), not the per-customer scan, is
-    what ships. Recency ties (same-day customers) break by o_custkey in
-    the NTILE order, deterministic in both engines."""
-    from pyspark.sql import Window
-
+    Each NTILE runs as distributed_ntile (range-repartition +
+    per-partition offset rank + closed-form bucket assignment), never a
+    single-partition global sort — three keyed sorts of the
+    customer-grained rollup, each spread over the cluster, then the
+    segment GRID (q^3 rows) is all that ships. Recency ties (same-day
+    customers) break by o_custkey in the NTILE order; frequency/monetary
+    orders are DESC with the same tiebreaker — all three total orders
+    (and hence every bucket edge) are deterministic in both engines."""
     per_cust = orders.groupBy("o_custkey").agg(
         F.max(F.col("o_orderdate")).alias("last_order"),
         F.count(F.lit(1)).alias("frequency"),
@@ -2072,16 +2124,15 @@ def rfm1_customer_segments(orders: DataFrame, q: int = 4) -> DataFrame:
         "frequency",
         "monetary",
     )
-    wr = Window.orderBy("recency_days", "o_custkey")
-    wf = Window.orderBy(F.col("frequency").desc(), "o_custkey")
-    wm = Window.orderBy(F.col("monetary").desc(), "o_custkey")
-    seg = scored.select(
-        "o_custkey",
-        "monetary",
-        F.ntile(q).over(wr).alias("r_score"),
-        F.ntile(q).over(wf).alias("f_score"),
-        F.ntile(q).over(wm).alias("m_score"),
+    # DESC orders expressed as negated keys so repartitionByRange and the
+    # in-partition rank share one ascending direction
+    scored = scored.withColumn("_neg_f", -F.col("frequency")).withColumn(
+        "_neg_m", F.col("monetary") * F.lit(-1)
     )
+    seg = distributed_ntile(scored, ["recency_days", "o_custkey"], q, "r_score")
+    seg = distributed_ntile(seg, ["_neg_f", "o_custkey"], q, "f_score")
+    seg = distributed_ntile(seg, ["_neg_m", "o_custkey"], q, "m_score")
+    seg = seg.select("o_custkey", "monetary", "r_score", "f_score", "m_score")
     # avg in integer CENTS: floor(cents/n + 0.5)/100 sidesteps Spark's
     # round-via-shortest-decimal divergence at half-cent boundaries
     # (exact while segment totals stay under 2^53 cents)

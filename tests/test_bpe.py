@@ -44,3 +44,37 @@ def test_bpe_segment_compression_on_sennrich_corpus(spark):
     corpus = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
     out = [tuple(r) for r in bpe2_segment(_docs(spark, [corpus])).collect()]
     assert out == [(0, 16, 79, 5 * 2 + 2 * 4 + 6 * 4 + 3 * 4)]
+
+
+def test_bpe_segment_with_saved_rules_skips_training(spark):
+    """train-once/apply-many: passing pre-learned rules yields the same
+    segmentation as the self-training path — and applies the rules
+    as-given (no retrain pass over the corpus)."""
+    from csv_crm_upload_spark.analytics.bpe import bpe2_segment
+
+    docs = _docs(spark, ["newest widest low lower newest"])
+    rules = [
+        (r["left"], r["right"])
+        for r in bpe1_merge_steps(docs).orderBy("step").collect()
+    ]
+    retrained = {tuple(r) for r in bpe2_segment(docs).collect()}
+    saved = {tuple(r) for r in bpe2_segment(docs, rules=rules).collect()}
+    assert saved == retrained
+    # rules applied verbatim on a DIFFERENT corpus (no retraining: the
+    # merges learned above, not this corpus's own best pairs, decide)
+    other = _docs(spark, ["est est"])
+    out = {tuple(r) for r in bpe2_segment(other, rules=rules).collect()}
+    # 'est' under rules (e,s),(es,t),(l,o): e s t -> es t -> est = 1 token
+    assert out == {(0, 2, 6, 2)}
+
+
+def test_bpe_segment_degenerate_corpus_matches_early_stop(spark):
+    """A corpus admitting fewer merges than `steps` (here 1 < 3): bpe2
+    must apply the learned prefix and still return per-doc rows — the
+    ADVICE-flagged case where the unrolled oracle used to annihilate."""
+    from csv_crm_upload_spark.analytics.bpe import bpe2_segment
+
+    docs = _docs(spark, ["ab ab"])
+    assert [tuple(r) for r in bpe1_merge_steps(docs).collect()] == [(1, "a", "b", 2)]
+    # both words collapse to the single merged token 'ab'
+    assert [tuple(r) for r in bpe2_segment(docs).collect()] == [(0, 2, 4, 2)]

@@ -348,3 +348,44 @@ def test_round5_operator_shuffle_budgets(spark, sf_dir):
         assert len(ids) <= 4, f"sdd1: {len(ids)} shuffles > budget 4\n{plan}"
     finally:
         assigned.unpersist()
+
+
+def test_ntile_queries_have_no_single_partition_sort(spark, sf_dir):
+    """rfm1 and batch1 NTILE via distributed_ntile (range-repartition +
+    per-partition offset rank), never `Window.orderBy` with no
+    partitionBy. A revert to the global form would plan
+    `Exchange SinglePartition` under the Window — the one-task sort of
+    the whole rollup that stalls a 1000-executor cluster. The returned
+    plans (the part that still contains the rank windows) must be free
+    of it."""
+    spark.catalog.clearCache()
+    for name in ("rfm1_customer_segments", "batch1_length_buckets"):
+        plan = plan_of(QUERIES[name](spark, sf_dir))
+        assert "Exchange SinglePartition" not in plan, (
+            f"{name}: single-partition exchange (global sort) in plan\n{plan}"
+        )
+
+
+def test_distributed_ntile_matches_window_ntile(spark):
+    """distributed_ntile ≡ ANSI ntile for ragged n (n % q != 0), n < q,
+    and exact multiples — the closed-form bucket formula against Spark's
+    own windowed ntile as the reference."""
+    from pyspark.sql import Window
+
+    from csv_crm_upload_spark.analytics.tpch import distributed_ntile
+
+    for n, q in ((37, 4), (3, 8), (40, 4), (1, 1)):
+        df = spark.range(n).select(
+            (F.col("id") * 7 % n).alias("k"), F.col("id").alias("uid")
+        )
+        want = {
+            (r["k"], r["uid"]): r["t"]
+            for r in df.withColumn(
+                "t", F.ntile(q).over(Window.orderBy("k", "uid"))
+            ).collect()
+        }
+        got = {
+            (r["k"], r["uid"]): r["t"]
+            for r in distributed_ntile(df, ["k", "uid"], q, "t").collect()
+        }
+        assert got == want, f"n={n} q={q}"
