@@ -229,14 +229,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Round 1: original surface. Round 2: same. Round 3: the 38 round-1/2
     additions (pv1..hist1) — all green in CORRECTNESS_r03. Round 4: the
     38 remaining never-driver-verified oracle-paired queries (t10..rrf1)
-    — all green in CORRECTNESS_r04. Round 5 (this file): the final six
-    never-driver-sampled oracle-paired queries (`stat1`, `unpiv1`,
-    `samp2`, `kmeans1`, `prep1`, `dd3`) take slots 13-18 — closing the
-    prior ledger — followed by the new round-5 oracle-paired operators
-    (`asof1`, `sess1`, `fun1`, `skw1`, `ppl1`, `leak1`, `drift1`,
-    `fh1`, `sdd1`, `linedd1`, `mix3`, `bpe1`, `bpe2`, `lr1`, `lr2`,
-    `nb1`, `nb2`, `path1`, `rfm1`, `prep2`, `decon2`, `phr1`, `ri1`)
-    in slots 19-41; slots 42-50 re-sample round-4 keys.
+    — all green in CORRECTNESS_r04. Round 5: the final six
+    never-driver-sampled oracle-paired queries closed the ledger and the
+    23 round-5 operators all went green in CORRECTNESS_r05 — every
+    oracle-paired query in the repo now has a green driver row. Round 6
+    (this file): the seven NEW round-6 oracle-paired queries (`decon3`,
+    `skw2`, `hn1`, `xsrc1`, `wfp1`, `drift2`, `bpe3`) take slots 13-19;
+    the rest of the window re-samples round-5 keys (all green in r5).
     sim_knn_ivf/pq1/ivfpq1/hll1/mm2/mm3/approx_* are oracle-free
     rows-only whenever sampled."""
     return {
@@ -253,6 +252,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a1_count": q_a1_count,
         "x2_x3_json_roundtrip": q_x2_x3_json_roundtrip,
         "x3_json_props": q_x3_json_props,
+        # --- round-6 rotation window (slots 13-19): the seven queries
+        # with no prior driver CORRECTNESS row lead the window ---
+        # audit-threshold decon2 variant (0.4): flags rows on the synthetic
+        # fixture so the cosine/argmax/tie-break path is exercised
+        # non-vacuously cross-engine (decon2's 0.9 matches nothing there)
+        "decon3_contamination_audit": lambda s, sf: clus.decon2_semantic_contamination(
+            _t("embeddings")(s, sf), threshold=0.4
+        ),
+        # salted hot-key JOIN exercised on a real query; oracle is the
+        # plain equi-join (salt refines partitioning, never semantics)
+        "skw2_salted_join_revenue": lambda s, sf: tpch.skw2_salted_join_revenue(
+            _t("orders")(s, sf), _t("customer")(s, sf)
+        ),
+        # hard-negative mining: per query, top-k nearest DIFFERENT-label
+        "hn1_hard_negatives": lambda s, sf: sim.hn1_hard_negatives(
+            _t("embeddings")(s, sf)
+        ),
+        # cross-source shingle-overlap matrix (provenance / mixing audit)
+        "xsrc1_cross_source_overlap": lambda s, sf: dd.xsrc1_cross_source_overlap(
+            _t("documents")(s, sf)
+        ),
+        # winnowing (MOSS) fingerprint selection per document
+        "wfp1_winnow_fingerprints": lambda s, sf: ts.wfp1_winnow_fingerprints(
+            _t("documents")(s, sf)
+        ),
+        # per-label embedding-centroid drift vs the global centroid
+        "drift2_label_centroid_drift": lambda s, sf: clus.drift2_label_centroid_drift(
+            _t("embeddings")(s, sf)
+        ),
+        # tokenizer coverage readout over the learned BPE merges
+        "bpe3_vocab_coverage": lambda s, sf: bpe.bpe3_vocab_coverage(
+            _t("documents")(s, sf)
+        ),
         # --- rotation window (slots 13-50), round 5: the six oracle-paired
         # queries that have never had a driver CORRECTNESS row lead the
         # window (slots 13-18); the rest of the window re-samples r4 keys ---
@@ -356,12 +388,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # semantic decontamination: corpus vecs cosine-near any benchmark vec
         "decon2_semantic_contamination": lambda s, sf: clus.decon2_semantic_contamination(
             _t("embeddings")(s, sf)
-        ),
-        # audit-threshold variant (0.4): flags rows on the synthetic
-        # fixture so the cosine/argmax/tie-break path is exercised
-        # non-vacuously cross-engine (decon2's 0.9 matches nothing there)
-        "decon3_contamination_audit": lambda s, sf: clus.decon2_semantic_contamination(
-            _t("embeddings")(s, sf), threshold=0.4
         ),
         # exact phrase localization (most frequent trigram, per-doc counts)
         "phr1_phrase_occurrences": lambda s, sf: ts.phr1_phrase_occurrences(
@@ -1029,6 +1055,22 @@ def oracle_sql() -> dict[str, str]:
           FROM embeddings e, q WHERE e.vec_id <> q.query_id
         )
         SELECT query_id, vec_id, cos_sim, CAST(rn AS INT) AS rank
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rn FROM scored)
+        WHERE rn <= 5
+    """
+
+    # hn1: same broadcast-query cosine machinery, restricted to
+    # DIFFERENT-label candidates (hard negatives for contrastive training)
+    q["hn1_hard_negatives"] = f"""
+        WITH q AS (
+          SELECT vec_id AS query_id, label AS q_label, embedding AS q_emb
+          FROM embeddings WHERE vec_id IN (0,1,2,3,4,5,6,7,8,9)
+        ),
+        scored AS (
+          SELECT q.query_id, e.vec_id, e.label AS neg_label, {_cos} AS cos_sim
+          FROM embeddings e, q WHERE e.label <> q.q_label
+        )
+        SELECT query_id, vec_id, neg_label, cos_sim, CAST(rn AS INT) AS rank
         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rn FROM scored)
         WHERE rn <= 5
     """
@@ -2395,6 +2437,59 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         FROM events GROUP BY event_type ORDER BY event_type
     """
+    # skw2: salted hot-key join ≡ the plain equi-join + group-by
+    q["skw2_salted_join_revenue"] = """
+        SELECT c_nationkey AS nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1 ORDER BY 1
+    """
+    # xsrc1: distinct (source, shingle) sets, same-shingle self-join,
+    # overlap coefficient vs the smaller set (mirrors dd._shingles' guard)
+    q["xsrc1_cross_source_overlap"] = f"""
+        WITH toks AS (SELECT source, {_TOKS} AS t FROM documents WHERE text IS NOT NULL),
+        sg AS (
+          SELECT DISTINCT source, array_to_string(t[r.i+1:r.i+3], ' ') AS shingle
+          FROM toks, UNNEST(range(0, greatest(len(t) - 3, 0) + 1)) AS r(i)
+        ),
+        sizes AS (SELECT source, COUNT(*) AS set_size FROM sg GROUP BY 1),
+        inter AS (
+          SELECT a.source AS source_a, b.source AS source_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_shared
+          FROM sg a JOIN sg b ON a.shingle = b.shingle AND a.source < b.source
+          GROUP BY 1, 2
+        )
+        SELECT source_a, source_b, n_shared,
+               round(n_shared::DOUBLE / least(sa.set_size, sb.set_size), 6)
+                 AS overlap_coef
+        FROM inter
+        JOIN sizes sa ON sa.source = inter.source_a
+        JOIN sizes sb ON sb.source = inter.source_b
+        ORDER BY source_a, source_b
+    """
+    # wfp1: winnowing (k=4 grams chr(1)-joined, w=5 window min) — the
+    # window min is a plain ROWS BETWEEN frame in both engines
+    q["wfp1_winnow_fingerprints"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS l FROM documents WHERE text IS NOT NULL),
+        g AS (
+          SELECT doc_id, r.i AS i,
+                 ('0x' || substr(md5(array_to_string(l[r.i:r.i+3], chr(1))), 1, 15))::BIGINT AS h
+          FROM t, UNNEST(range(1, len(l) - 2)) AS r(i)
+          WHERE len(l) >= 4
+        ),
+        sel AS (
+          SELECT doc_id, i,
+                 min(h) OVER (PARTITION BY doc_id ORDER BY i
+                              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS minh
+          FROM g
+        )
+        SELECT doc_id, CAST(MAX(i) AS BIGINT) AS n_grams,
+               CAST(COUNT(DISTINCT minh) AS BIGINT) AS n_fingerprints,
+               MIN(minh) AS min_fp
+        FROM sel WHERE i >= 5 GROUP BY doc_id ORDER BY doc_id
+    """
     # ppl1: −log2(count/total) per DISTINCT token rounded to 9 dp, then
     # a DECIMAL-exact weighted sum per doc (the decay1/pr1 discipline
     # for transcendental math)
@@ -2698,6 +2793,16 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(m.n_toks) AS BIGINT) AS n_tokens
         FROM words w JOIN m USING (word)
         GROUP BY w.doc_id ORDER BY w.doc_id
+    """
+    # bpe3: the bpe2 chain's word->n_toks map, folded to the one-row
+    # corpus coverage readout (occurrences fully merged to one symbol)
+    q["bpe3_vocab_coverage"] = q["bpe2_segment"].rsplit("SELECT w.doc_id", 1)[0] + """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(CASE WHEN m.n_toks = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_fully_merged,
+               round(SUM(CASE WHEN m.n_toks = 1 THEN 1 ELSE 0 END)::DOUBLE
+                     / COUNT(*), 6) AS coverage_rate
+        FROM words w JOIN m USING (word)
     """
     # lr1/lr2: two unrolled full-batch GD steps — per-row sigmoid 9-dp
     # rounded (ppl1 discipline), gradient terms 12-dp DECIMAL-summed
@@ -3021,6 +3126,34 @@ def oracle_sql() -> dict[str, str]:
     q["decon3_contamination_audit"] = q["decon2_semantic_contamination"].replace(
         "WHERE cos_sim >= 0.9", "WHERE cos_sim >= 0.4"
     )
+    # drift2: per-label centroid vs global centroid — 9-dp component
+    # rounding into DECIMAL(28,9) sums (order-free), 12-dp product terms
+    # into DECIMAL(38,12), one identical double cosine formula
+    q["drift2_label_centroid_drift"] = """
+        WITH comp AS (
+          SELECT label, r.i AS dim,
+                 CAST(round(embedding[r.i]::DOUBLE, 9) AS DECIMAL(28,9)) AS v9
+          FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS r(i)
+        ),
+        per AS (SELECT label, dim, SUM(v9) AS s, COUNT(*) AS n FROM comp GROUP BY 1, 2),
+        gctr AS (SELECT dim, SUM(s) AS gs, SUM(n) AS gn FROM per GROUP BY 1),
+        terms AS (
+          SELECT label, n,
+                 CAST(round(round(s::DOUBLE / n, 9) * round(gs::DOUBLE / gn, 9), 12) AS DECIMAL(38,12)) AS xy,
+                 CAST(round(round(s::DOUBLE / n, 9) * round(s::DOUBLE / n, 9), 12) AS DECIMAL(38,12)) AS xx,
+                 CAST(round(round(gs::DOUBLE / gn, 9) * round(gs::DOUBLE / gn, 9), 12) AS DECIMAL(38,12)) AS yy
+          FROM per JOIN gctr USING (dim)
+        ),
+        agg AS (
+          SELECT label, CAST(MAX(n) AS BIGINT) AS n_vectors,
+                 SUM(xy) AS sxy, SUM(xx) AS sxx, SUM(yy) AS syy
+          FROM terms GROUP BY 1
+        )
+        SELECT label, n_vectors,
+               round(sxy::DOUBLE / (sqrt(sxx::DOUBLE) * sqrt(syy::DOUBLE)), 6)
+                 AS cos_to_global
+        FROM agg ORDER BY label
+    """
     # phr1: most-frequent-trigram localization — rep1's chr(1) gram
     # conventions; argmax phrase via (count DESC, gram) total order
     q["phr1_phrase_occurrences"] = f"""

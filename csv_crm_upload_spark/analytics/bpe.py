@@ -147,3 +147,41 @@ def bpe2_segment(
         )
         .orderBy("doc_id")
     )
+
+
+def bpe3_vocab_coverage(
+    documents: DataFrame,
+    steps: int = 3,
+    rules: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Tokenizer coverage readout — the acceptance metric of a tokenizer
+    sweep: of all word OCCURRENCES in the corpus, how many are fully
+    merged to a single vocabulary symbol by the learned merges
+    (`n_fully_merged`), with the corpus-wide coverage rate. A tokenizer
+    whose top merges cover little of the corpus wastes sequence length.
+
+    One row: (n_words, n_fully_merged, coverage_rate ROUND 6 — integer
+    ratio, engine-exact). `rules` as in bpe2_segment: pass pre-learned
+    merges to skip the training pass. Application is map-only chained
+    replaces riding the scan; the readout is one 1-row aggregate."""
+    if rules is None:
+        rules = [
+            (r["left"], r["right"])
+            for r in bpe1_merge_steps(documents, steps).orderBy("step").collect()
+        ]
+    words = documents.filter(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    ).select(F.explode(norm_tokens()).alias("word"))
+    s = _spaced_symbols(F.col("word"))
+    for left, right in rules:
+        s = F.replace(s, F.lit(f" {left} {right}"), F.lit(f" {left}{right}"))
+    n_toks = F.size(F.split(F.substring(s, 2, 1 << 30), " "))
+    return words.select(
+        (n_toks == 1).cast("int").alias("full")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("full").cast("long").alias("n_fully_merged"),
+        F.round(
+            F.sum("full").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("coverage_rate"),
+    )

@@ -228,6 +228,59 @@ def sdd1_semantic_dedup(
     return out
 
 
+def drift2_label_centroid_drift(embeddings: DataFrame) -> DataFrame:
+    """Per-group embedding-centroid drift — the representation-space
+    cousin of drift1's token-distribution KL: for each label group, the
+    cosine between ITS centroid and the GLOBAL centroid (how far each
+    slice's mean representation sits from the corpus mean — the cheap
+    embedding-health monitor for a growing multi-source corpus).
+
+    Cross-engine exactness (the kmeans/ppl1 decimal discipline):
+    components round to 9 dp then DECIMAL-sum per (label, dim) — order
+    free — centroid components are one identical double division
+    rounded to 9 dp, and the cosine's 64 per-dim products round to
+    12 dp into DECIMAL(38,12) sums before the final double formula.
+
+    Scale shape: posexplode rides the scan; ONE combining shuffle on
+    (label, dim) builds every per-label centroid; the global centroid
+    is the same partials re-combined (dims × labels rows — tiny) and
+    broadcasts back; the readout is labels rows."""
+    comp = embeddings.select(
+        "label", F.posexplode(F.col("embedding")).alias("dim", "v")
+    ).select(
+        "label",
+        "dim",
+        F.round(F.col("v").cast("double"), 9).cast("decimal(28,9)").alias("v9"),
+    )
+    per = comp.groupBy("label", "dim").agg(
+        F.sum("v9").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    glob = per.groupBy("dim").agg(F.sum("s").alias("gs"), F.sum("n").alias("gn"))
+    lc = F.round(F.col("s").cast("double") / F.col("n"), 9)
+    gc = F.round(F.col("gs").cast("double") / F.col("gn"), 9)
+    terms = per.join(F.broadcast(glob), "dim").select(
+        "label",
+        "n",
+        F.round(lc * gc, 12).cast("decimal(38,12)").alias("xy"),
+        F.round(lc * lc, 12).cast("decimal(38,12)").alias("xx"),
+        F.round(gc * gc, 12).cast("decimal(38,12)").alias("yy"),
+    )
+    agg = terms.groupBy("label").agg(
+        F.max("n").cast("long").alias("n_vectors"),
+        F.sum("xy").alias("sxy"),
+        F.sum("xx").alias("sxx"),
+        F.sum("yy").alias("syy"),
+    )
+    cos = F.round(
+        F.col("sxy").cast("double")
+        / (F.sqrt(F.col("sxx").cast("double")) * F.sqrt(F.col("syy").cast("double"))),
+        6,
+    )
+    return agg.select("label", "n_vectors", cos.alias("cos_to_global")).orderBy(
+        "label"
+    )
+
+
 def decon2_semantic_contamination(
     embeddings: DataFrame, threshold: float = 0.9, benchmark_label: int = 0
 ) -> DataFrame:

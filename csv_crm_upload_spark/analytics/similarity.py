@@ -87,6 +87,56 @@ def knn_bruteforce(
     )
 
 
+def hn1_hard_negatives(
+    embeddings: DataFrame, query_ids: list[int] | None = None, k: int = 5
+) -> DataFrame:
+    """Hard-negative mining — the contrastive-training data op: for each
+    query vector, the top-k most cosine-similar vectors with a
+    DIFFERENT label (the near-misses a contrastive loss learns most
+    from; random negatives are too easy, same-label neighbors are
+    positives).
+
+    Same scale shape as knn_bruteforce: the query set is tiny →
+    broadcast cross join with hoisted per-row norms; the corpus streams
+    map-only until the per-query top-k window. The label-mismatch
+    predicate rides the join filter, so same-label pairs never reach
+    the scoring expression. At 100 TB the IVF/LSH bucketed variants
+    substitute for the cross join exactly as in the kNN family."""
+    if query_ids is None:
+        query_ids = list(range(10))
+    queries = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_norm"),
+    )
+    corpus = embeddings.select(
+        "vec_id", "label", "embedding", _norm(F.col("embedding")).alias("c_norm")
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("label") != F.col("q_label"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.col("label").alias("neg_label"),
+            F.round(
+                _dot(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "neg_label", "cos_sim", "rank")
+    )
+
+
 def _hp_sign(table: int, plane: int, dim_col) -> F.Column:
     """Deterministic ±1 hyperplane component from md5(table:plane:dim)
     parity — oracle-reproducible, unique per (table, plane)."""

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from csv_crm_upload_spark.functions.hashing import md5_60, md5_60_id
+
 # deterministic English stopword markers for the lang-ID heuristic
 EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
 
@@ -380,10 +382,7 @@ def samp2_weighted_reservoir(documents: DataFrame, k: int = 10) -> DataFrame:
     convention)."""
     from pyspark.sql import Window
 
-    h = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("double")
-    )
+    h = md5_60_id(F.col("doc_id")).cast("double")
     u = (h + F.lit(1.0)) / F.lit(float(1 << 60))
     wgt = F.greatest(F.col("n_chars").cast("double"), F.lit(1.0))
     key = F.round(-F.log(u) / wgt, 6)
@@ -411,10 +410,7 @@ def mix1_corpus_mixture(documents: DataFrame, rates: dict | None = None) -> Data
     give you), and map-only: a pure filter that pushes down to the scan
     at 100 TB."""
     rates = rates or MIXTURE_RATES
-    gate = F.pmod(
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast("long"),
-        F.lit(100),
-    )
+    gate = F.pmod(md5_60_id(F.col("doc_id")), F.lit(100))
     rate_col = F.lit(DEFAULT_RATE)
     for src, pct in sorted(rates.items()):
         rate_col = F.when(F.col("source") == src, F.lit(pct)).otherwise(rate_col)
@@ -545,7 +541,7 @@ def decon1_benchmark_overlap(
     aggregation on doc_id; the corpus side streams through map-side."""
     grams = F.explode(F.array_distinct(_word_ngrams(_norm_tokens(), n)))
     base = documents.filter(F.col("text").isNotNull())
-    gh = F.conv(F.substring(F.md5(F.col("g")), 1, 15), 16, 10).cast("long").alias("gh")
+    gh = md5_60(F.col("g")).alias("gh")
     bench = (
         base.filter(F.col("source") == benchmark_source)
         .select(grams.alias("g"))
@@ -631,7 +627,7 @@ def fh1_feature_hash_embed(documents: DataFrame, dim: int = 64) -> DataFrame:
     toks = documents.filter(F.col("text").isNotNull()).select(
         "doc_id", F.explode(_norm_tokens()).alias("tok")
     )
-    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    h = md5_60(F.col("tok"))
     d = F.pmod(h, F.lit(dim))
     # sign bit via shiftright, NOT h/dim: double division loses the low
     # bits of a 60-bit hash (53-bit mantissa) and flips parities
@@ -726,7 +722,7 @@ def leak1_cross_split_leakage(documents: DataFrame, n: int = 5) -> DataFrame:
         "split", split_expr()
     )
     grams = F.explode(F.array_distinct(_word_ngrams(_norm_tokens(), n)))
-    gh = F.conv(F.substring(F.md5(F.col("g")), 1, 15), 16, 10).cast("long").alias("gh")
+    gh = md5_60(F.col("g")).alias("gh")
     train = (
         base.filter(F.col("split") == "train").select(grams.alias("g")).select(gh).distinct()
     )
@@ -783,11 +779,7 @@ def mix2_quality_weighted_sample(documents: DataFrame) -> DataFrame:
     two (exact in IEEE double) and the score is a fixed 6-dp rounded
     value, so the keep decision is bit-identical across engines,
     retries, and cluster sizes. Map-only — rides the scan."""
-    gate = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("double")
-        / F.lit(float(1 << 60))
-    )
+    gate = md5_60_id(F.col("doc_id")).cast("double") / F.lit(float(1 << 60))
     return (
         documents.withColumn("quality_score", _quality_score_expr())
         .withColumn("_g", gate)
@@ -830,6 +822,48 @@ def batch1_length_buckets(documents: DataFrame, n_buckets: int = 16) -> DataFram
     )
 
 
+def wfp1_winnow_fingerprints(
+    documents: DataFrame, k: int = 4, w: int = 5
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every word k-gram, slide a
+    window of w consecutive gram positions, keep the MINIMUM hash per
+    window. The selected set is position-robust (guaranteed to share
+    fingerprints with any copy that shares a long enough run) at ~2/(w+1)
+    the density of full k-gram hashing — the standard local-similarity
+    fingerprint for plagiarism/near-copy detection at corpus scale.
+
+    Output per doc: n_grams, n_fingerprints (distinct selected hashes),
+    min_fp (the doc's smallest fingerprint — the cheapest cross-corpus
+    bucketing key).
+
+    Shape: posexplode rides the scan (map-only), the window min is a
+    KEYED window (partitionBy doc_id — never a global sort), and the
+    readout is one combining groupBy(doc_id). Hashes are the canonical
+    md5_60 so the DuckDB oracle reproduces every fingerprint exactly."""
+    from pyspark.sql import Window
+
+    grams = _word_ngrams(_norm_tokens(), k)
+    g = documents.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.posexplode(grams).alias("pos", "gram")
+    )
+    h = g.select("doc_id", "pos", md5_60(F.col("gram")).alias("h"))
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(w - 1), 0)
+    sel = (
+        h.withColumn("minh", F.min("h").over(win))
+        .filter(F.col("pos") >= w - 1)
+    )
+    return (
+        sel.groupBy("doc_id")
+        .agg(
+            (F.max("pos") + 1).cast("long").alias("n_grams"),
+            F.count_distinct("minh").cast("long").alias("n_fingerprints"),
+            F.min("minh").alias("min_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def split1_train_val_test(documents: DataFrame) -> DataFrame:
     """Deterministic train/val/test assignment (80/10/10) by hash range —
     the split must be a PURE FUNCTION of the document id: stable across
@@ -839,12 +873,7 @@ def split1_train_val_test(documents: DataFrame) -> DataFrame:
     the per-(source, split) audit matrix; the split column itself is the
     same expression inlined wherever the pipeline partitions. Map-only +
     one tiny agg."""
-    gate = F.pmod(
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
-            "long"
-        ),
-        F.lit(100),
-    )
+    gate = F.pmod(md5_60_id(F.col("doc_id")), F.lit(100))
     split = (
         F.when(gate < 80, F.lit("train"))
         .when(gate < 90, F.lit("val"))

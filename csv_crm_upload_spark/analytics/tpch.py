@@ -2149,6 +2149,36 @@ def rfm1_customer_segments(orders: DataFrame, q: int = 4) -> DataFrame:
     )
 
 
+def skw2_salted_join_revenue(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Per-nation order totals through operators.skew.salted_join — the
+    manual hot-key join fallback exercised on a real query so its
+    result-set equivalence to the plain equi-join is oracle-pinned (the
+    salt must only refine partitioning, never change semantics).
+
+    Shape: orders (the big side — at 100 TB the one with the hot key)
+    salts each row deterministically into 16 sub-keys; the customer
+    projection replicates once per salt, so the join shuffles on
+    (custkey, salt) and a pathological customer spreads over 16 tasks.
+    The DuckDB oracle is the PLAIN join + group-by — identical results
+    by construction. All-decimal money sums cast back to double."""
+    from csv_crm_upload_spark.operators.skew import salted_join
+
+    dim = customer.select(
+        F.col("c_custkey").alias("o_custkey"), F.col("c_nationkey").alias("nationkey")
+    )
+    joined = salted_join(
+        orders.select("o_custkey", "o_totalprice"), dim, "o_custkey", n_salts=16
+    )
+    return (
+        joined.groupBy("nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(_dec("o_totalprice", 18, 2)).cast("double").alias("total_revenue"),
+        )
+        .orderBy("nationkey")
+    )
+
+
 def ri1_referential_integrity(
     customer: DataFrame,
     orders: DataFrame,

@@ -43,8 +43,9 @@ from csv_crm_upload_spark.analytics import dedup as dd
 from csv_crm_upload_spark.analytics.textstats import _quality_score_expr, _tokens
 
 
-def _md5_60(col: F.Column) -> F.Column:
-    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
+# canonical 60-bit id hash (kept under the historical local name — nbayes
+# and the gate tests import it from here)
+from csv_crm_upload_spark.functions.hashing import md5_60_id as _md5_60  # noqa: E402
 
 
 def split_expr() -> F.Column:

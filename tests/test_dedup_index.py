@@ -199,3 +199,28 @@ def test_probe_during_pair_index_update_sees_old_or_new(spark, sf_dir, tmp_path)
     assert new != old
     bad = [i for i, s in enumerate(seen) if s != old and s != new]
     assert not bad, f"{len(bad)} probes saw a mixed snapshot (of {len(seen)})"
+
+
+def test_signature_memo_is_bounded_and_reused(spark, sf_dir):
+    """The round-5 warm-bench anomaly regression pin: repeated
+    d_minhash_lsh_pairs calls must NOT accumulate persisted signature
+    tables (the old leak), must REUSE the memoized table across
+    semantically-equal fresh plans, and clear_signature_memo must drop
+    everything."""
+    from csv_crm_upload_spark.analytics import dedup as dd
+    from csv_crm_upload_spark.sources.tables import load_table
+
+    dd.clear_signature_memo()
+    docs = load_table(spark, sf_dir, "documents")
+    base = {tuple(r) for r in dd.d_minhash_lsh_pairs(docs).collect()}
+    for _ in range(3):  # repeated + fresh-plan calls: memo stays bounded
+        again = load_table(spark, sf_dir, "documents")
+        got = {tuple(r) for r in dd.d_minhash_lsh_pairs(again).collect()}
+        assert got == base
+    assert len(dd._SIG_MEMO) == 1  # one corpus -> one entry, no growth
+    # a different (documents, n) key adds an entry; cap holds at MAX
+    dd.d_minhash_lsh_pairs(docs, n=2).collect()
+    dd.d_minhash_lsh_pairs(docs.limit(50), n=2).collect()
+    assert len(dd._SIG_MEMO) <= dd._SIG_MEMO_MAX
+    dd.clear_signature_memo()
+    assert not dd._SIG_MEMO

@@ -290,3 +290,111 @@ def test_in_flight_shard_directories_are_not_folded(spark, sf_dir, tmp_path):
     folded = svc.tick()
     assert folded["docs"] == [f"{drop}/shard_b"]
     assert read_manifest(idx)["epoch"] == 1
+
+
+def test_soak_sustained_appends_bounded_epochs_and_vacuum(spark, sf_dir, tmp_path):
+    """Retention under SUSTAINED appends — the thousands-of-ticks story
+    scaled to ten: with compact_after=3, every ranged index's live epoch
+    chain stays bounded (epoch − base_epoch < 3 after each tick's
+    auto-compact), and one vacuum() at the end reclaims EVERY superseded
+    epoch dir — including all the NB model's every-epoch-is-a-snapshot
+    copies — leaving exactly the manifest-referenced dirs on disk. This
+    is what bounds read fan-out and disk growth for a service that folds
+    shards forever."""
+    from csv_crm_upload_spark.analytics.nbayes import save_nb_model
+    from csv_crm_upload_spark.operators.manifest import read_manifest
+    from csv_crm_upload_spark.streaming.index_service import INDEX_LAYOUTS
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    base_docs = docs.filter(F.col("doc_id") % 12 == 0)
+    base_emb = emb.filter(F.col("vec_id") % 12 == 0)
+
+    paths = {k: str(tmp_path / f"{k}_idx") for k in INDEX_LAYOUTS}
+    rtr.save_text_index(base_docs, paths["text"], n_buckets=16)
+    dd.save_dedup_index(base_docs, paths["dedup"])
+    _ivf.save_index(base_emb, paths["ivf"], n_cells=4)
+    _pq.save_pq_index(base_emb, paths["pq"], m=8, n_codes=16)
+    _ivfpq.save_ivfpq_index(base_emb, paths["ivfpq"], n_cells=4, m=8, n_codes=16)
+    save_nb_model(base_docs, paths["nb"])
+
+    docs_drop = str(tmp_path / "docs_drop")
+    emb_drop = str(tmp_path / "emb_drop")
+    os.makedirs(docs_drop)
+    os.makedirs(emb_drop)
+    COMPACT_AFTER = 3
+    svc = CorpusIndexService(
+        spark,
+        docs_dir=docs_drop,
+        emb_dir=emb_drop,
+        text_index=paths["text"],
+        dedup_index=paths["dedup"],
+        ivf_index=paths["ivf"],
+        pq_index=paths["pq"],
+        ivfpq_index=paths["ivfpq"],
+        nb_model=paths["nb"],
+        compact_after=COMPACT_AFTER,
+    )
+
+    N_TICKS = 10
+    for t in range(1, N_TICKS + 1):
+        docs.filter(F.col("doc_id") % 12 == t % 12).write.parquet(
+            f"{docs_drop}/shard_{t}"
+        )
+        emb.filter(F.col("vec_id") % 12 == t % 12).write.parquet(
+            f"{emb_drop}/shard_{t}"
+        )
+        folded = svc.tick()
+        assert folded["docs"] and folded["embeddings"], f"tick {t} folded nothing"
+        # the boundedness invariant: auto-compact keeps every live chain
+        # short no matter how many ticks have passed
+        for kind, path in paths.items():
+            m = read_manifest(path)
+            live = m["epoch"] - m.get("base_epoch", 0)
+            assert live < COMPACT_AFTER, f"{kind}: live chain {live} after tick {t}"
+
+    removed = svc.vacuum()
+    assert removed, "ten ticks of appends/compactions left nothing to vacuum?"
+
+    # post-vacuum disk state == exactly what the manifests reference
+    for kind, path in paths.items():
+        m = read_manifest(path)
+        ranged, pinned = INDEX_LAYOUTS[kind]
+        lo, hi = m.get("base_epoch", 0), m["epoch"]
+        for sub in ranged:
+            on_disk = sorted(
+                int(d.split("=", 1)[1])
+                for d in os.listdir(os.path.join(path, sub))
+                if d.startswith("epoch=")
+            )
+            assert on_disk == list(range(lo, hi + 1)), (
+                f"{kind}/{sub}: {on_disk} vs manifest [{lo},{hi}]"
+            )
+            assert len(on_disk) <= COMPACT_AFTER + 1
+        for sub, key in pinned.items():
+            on_disk = [
+                d for d in os.listdir(os.path.join(path, sub)) if d.startswith("epoch=")
+            ]
+            assert on_disk == [f"epoch={m[key]}"], f"{kind}/{sub}: {on_disk}"
+
+    # NB snapshots: every superseded copy reclaimed (one live epoch)
+    nb_m = read_manifest(paths["nb"])
+    for sub in INDEX_LAYOUTS["nb"][0]:
+        dirs = [
+            d for d in os.listdir(os.path.join(paths["nb"], sub)) if d.startswith("epoch=")
+        ]
+        assert dirs == [f"epoch={nb_m['epoch']}"], f"nb/{sub}: {dirs}"
+
+    # the surviving index still answers: text search over the full folded
+    # corpus equals the inline derivation
+    folded_ids = [0] + [t % 12 for t in range(1, N_TICKS + 1)]
+    cond = (F.col("doc_id") % 12).isin(sorted(set(folded_ids)))
+    inline = sorted(
+        map(tuple, rtr.bm25_search(docs.filter(cond)).collect()),
+        key=lambda t: (t[0], t[-1]),
+    )
+    indexed = sorted(
+        map(tuple, rtr.bm25_search_indexed(spark, paths["text"]).collect()),
+        key=lambda t: (t[0], t[-1]),
+    )
+    assert indexed == inline

@@ -86,3 +86,33 @@ def test_salt_actually_spreads_hot_key(spark):
         .count()
     )
     assert salts == 8  # the hot key's rows land in all salt buckets
+
+
+def test_salted_join_shuffles_on_key_plus_salt(spark, sf_dir):
+    """The whole point of salted_join: with broadcast disabled (forcing
+    the shuffle-join path salting exists for), the join exchanges hash
+    on (key, _salt) — the hot key fans out over n_salts tasks — and the
+    small side carries the explode-replication."""
+    import io
+    import contextlib
+
+    from csv_crm_upload_spark.analytics.tpch import skw2_salted_join_revenue
+    from csv_crm_upload_spark.sources.tables import load_table
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = skw2_salted_join_revenue(
+            load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "customer")
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        import re
+
+        parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+        salted = [p for p in parts if "o_custkey" in p and "_salt" in p]
+        assert len(salted) >= 2, f"join sides not partitioned on (key, _salt):\n{plan}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
