@@ -56,6 +56,12 @@ EXTRA = [
     "nb1_langid_confusion",
     "lr1_quality_classifier",
     "prep2_monolingual_corpus",
+    # round-6 additions
+    "hn1_hard_negatives",
+    "xsrc1_cross_source_overlap",
+    "wfp1_winnow_fingerprints",
+    "drift2_label_centroid_drift",
+    "skw2_salted_join_revenue",
 ]
 
 # graph family: timed AS A PIPELINE (round 4) — the LSH candidate-pair
@@ -124,6 +130,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
+    warm2: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = queries[name]
@@ -140,6 +147,15 @@ def main() -> None:
             t1 = time.perf_counter()
             fn(spark, sf_dir).agg({"*": "count"}).collect()
             warm[name] = round(time.perf_counter() - t1, 3)
+            # self-diagnosis (round-5 lesson): a warm pass slower than
+            # its own cold pass is either noise (GC, host) or a real
+            # plan/caching defect — a SECOND warm sample distinguishes
+            # them in the record itself instead of leaving the anomaly
+            # unexplained for a round
+            if warm[name] > timings[name]:
+                t2 = time.perf_counter()
+                fn(spark, sf_dir).agg({"*": "count"}).collect()
+                warm2[name] = round(time.perf_counter() - t2, 3)
         except Exception as e:  # one broken query must not sink the record
             errors[name] = f"{type(e).__name__}: {e}"[:200]
 
@@ -246,6 +262,7 @@ def main() -> None:
         "sf": sf,
         "warm_sec": warm,
         "warm_total_sec": round(sum(warm.values()), 3),
+        "warm2_sec": warm2,
         "extra_sec": extra,
         "duckdb_sec": duckdb_timings,
         "ratio_vs_duckdb": ratios,

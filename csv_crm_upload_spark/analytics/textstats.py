@@ -864,6 +864,53 @@ def wfp1_winnow_fingerprints(
     )
 
 
+def wfp2_shared_fingerprint_pairs(
+    documents: DataFrame,
+    k: int = 4,
+    w: int = 5,
+    min_shared: int = 2,
+    max_df: int = 50,
+) -> DataFrame:
+    """Near-copy pair detection over winnowing fingerprints — what MOSS
+    actually reports: document pairs sharing at least `min_shared`
+    selected fingerprints (winnowing guarantees any sufficiently long
+    shared run contributes at least one shared fingerprint, so this
+    finds partial copies at ~2/(w+1) the index size of full k-gram
+    matching).
+
+    Bounded like the whole dedup family: fingerprints selected in more
+    than `max_df` documents are dropped before the self-join (the
+    stop-shingle cap — boilerplate fingerprints contribute quadratic
+    pairs and no discrimination). One shuffle on the fingerprint key,
+    never all pairs; per-doc selected sets are winnow-sparse."""
+    from pyspark.sql import Window
+
+    grams = _word_ngrams(_norm_tokens(), k)
+    g = documents.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.posexplode(grams).alias("pos", "gram")
+    )
+    h = g.select("doc_id", "pos", md5_60(F.col("gram")).alias("h"))
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(w - 1), 0)
+    sel = (
+        h.withColumn("minh", F.min("h").over(win))
+        .filter(F.col("pos") >= w - 1)
+        .select("doc_id", F.col("minh").alias("fp"))
+        .distinct()
+    )
+    dfc = sel.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+    rare = sel.join(dfc.filter(F.col("df") <= max_df), "fp")
+    a = rare.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = rare.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def split1_train_val_test(documents: DataFrame) -> DataFrame:
     """Deterministic train/val/test assignment (80/10/10) by hash range —
     the split must be a PURE FUNCTION of the document id: stable across
