@@ -864,6 +864,29 @@ def wfp1_winnow_fingerprints(
     )
 
 
+def winnow_prints(documents: DataFrame, k: int = 4, w: int = 5) -> DataFrame:
+    """(doc_id, fp) — each document's DISTINCT selected winnowing
+    fingerprints (the per-doc fingerprint SET wfp2 pairs on and the
+    persisted winnow index stores). Selection = min md5_60 k-gram hash
+    per w-window, a KEYED window over pos (never a global sort);
+    fingerprints are pure per-document functions, so an index append
+    over new docs is exactly what a rebuild would store."""
+    from pyspark.sql import Window
+
+    grams = _word_ngrams(_norm_tokens(), k)
+    g = documents.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.posexplode(grams).alias("pos", "gram")
+    )
+    h = g.select("doc_id", "pos", md5_60(F.col("gram")).alias("h"))
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(w - 1), 0)
+    return (
+        h.withColumn("minh", F.min("h").over(win))
+        .filter(F.col("pos") >= w - 1)
+        .select("doc_id", F.col("minh").alias("fp"))
+        .distinct()
+    )
+
+
 def wfp2_shared_fingerprint_pairs(
     documents: DataFrame,
     k: int = 4,
@@ -883,22 +906,19 @@ def wfp2_shared_fingerprint_pairs(
     stop-shingle cap — boilerplate fingerprints contribute quadratic
     pairs and no discrimination). One shuffle on the fingerprint key,
     never all pairs; per-doc selected sets are winnow-sparse."""
-    from pyspark.sql import Window
+    return shared_print_pairs(winnow_prints(documents, k, w), min_shared, max_df)
 
-    grams = _word_ngrams(_norm_tokens(), k)
-    g = documents.filter(F.col("text").isNotNull()).select(
-        "doc_id", F.posexplode(grams).alias("pos", "gram")
-    )
-    h = g.select("doc_id", "pos", md5_60(F.col("gram")).alias("h"))
-    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(w - 1), 0)
-    sel = (
-        h.withColumn("minh", F.min("h").over(win))
-        .filter(F.col("pos") >= w - 1)
-        .select("doc_id", F.col("minh").alias("fp"))
-        .distinct()
-    )
-    dfc = sel.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
-    rare = sel.join(dfc.filter(F.col("df") <= max_df), "fp")
+
+def shared_print_pairs(
+    prints: DataFrame, min_shared: int = 2, max_df: int = 50
+) -> DataFrame:
+    """The wfp2 pairing step over ANY (doc_id, fp) fingerprint table —
+    shared by the inline query and the persisted winnow index (the
+    df cap is computed at pair time over whatever prints it is given,
+    so an indexed run caps over the COMBINED corpus exactly like a
+    rebuild would)."""
+    dfc = prints.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+    rare = prints.join(dfc.filter(F.col("df") <= max_df), "fp")
     a = rare.select(F.col("doc_id").alias("doc_a"), "fp")
     b = rare.select(F.col("doc_id").alias("doc_b"), "fp")
     return (

@@ -48,6 +48,7 @@ INDEX_LAYOUTS: dict[str, tuple[list[str], dict[str, str]]] = {
     # every NB epoch is a fully-merged snapshot (base_epoch == epoch),
     # so gc reclaims ALL superseded model copies
     "nb": (["counts", "class_stats", "model_stats"], {}),
+    "winnow": (["prints"], {}),
 }
 
 
@@ -87,6 +88,7 @@ class CorpusIndexService:
         pq_index: str | None = None,
         ivfpq_index: str | None = None,
         nb_model: str | None = None,
+        winnow_index: str | None = None,
         cursor_path: str | None = None,
         compact_after: int | None = None,
     ) -> None:
@@ -101,6 +103,7 @@ class CorpusIndexService:
         self.pq_index = pq_index
         self.ivfpq_index = ivfpq_index
         self.nb_model = nb_model
+        self.winnow_index = winnow_index
         self.cursor_path = cursor_path or os.path.join(
             docs_dir or emb_dir, "_index_service_cursor.json"
         )
@@ -168,6 +171,12 @@ class CorpusIndexService:
                 from csv_crm_upload_spark.analytics.nbayes import update_nb_model
 
                 update_nb_model(new_docs, self.nb_model)
+            if self.winnow_index is not None:
+                from csv_crm_upload_spark.analytics.winnow import (
+                    update_winnow_index,
+                )
+
+                update_winnow_index(new_docs, self.winnow_index)
             self._seen.update(doc_shards)
             folded["docs"] = doc_shards
 
@@ -223,6 +232,10 @@ class CorpusIndexService:
             from csv_crm_upload_spark.analytics.ivfpq import compact_ivfpq_index
 
             compactors.append((self.ivfpq_index, compact_ivfpq_index))
+        if self.winnow_index is not None:
+            from csv_crm_upload_spark.analytics.winnow import compact_winnow_index
+
+            compactors.append((self.winnow_index, compact_winnow_index))
         for path, compactor in compactors:
             m = read_manifest(path)
             if m["epoch"] - m.get("base_epoch", 0) >= self.compact_after:
@@ -244,6 +257,7 @@ class CorpusIndexService:
             ("pq", self.pq_index),
             ("ivfpq", self.ivfpq_index),
             ("nb", self.nb_model),
+            ("winnow", self.winnow_index),
         ):
             if idx_path is not None:
                 ranged, pinned = INDEX_LAYOUTS[kind]
@@ -262,6 +276,7 @@ def run_index_maintenance_stream(
     pq_index: str | None = None,
     ivfpq_index: str | None = None,
     nb_model: str | None = None,
+    winnow_index: str | None = None,
     available_now: bool = True,
     app_id: str | None = None,
 ):
@@ -305,6 +320,10 @@ def run_index_maintenance_stream(
             from csv_crm_upload_spark.analytics.nbayes import update_nb_model
 
             update_nb_model(batch_df, nb_model, txn=txn)
+        if winnow_index is not None:
+            from csv_crm_upload_spark.analytics.winnow import update_winnow_index
+
+            update_winnow_index(batch_df, winnow_index, txn=txn)
         if ivf_index is not None:
             from csv_crm_upload_spark.analytics.ivf import update_index
 

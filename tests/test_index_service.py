@@ -302,6 +302,7 @@ def test_soak_sustained_appends_bounded_epochs_and_vacuum(spark, sf_dir, tmp_pat
     is what bounds read fan-out and disk growth for a service that folds
     shards forever."""
     from csv_crm_upload_spark.analytics.nbayes import save_nb_model
+    from csv_crm_upload_spark.analytics.winnow import save_winnow_index
     from csv_crm_upload_spark.operators.manifest import read_manifest
     from csv_crm_upload_spark.streaming.index_service import INDEX_LAYOUTS
 
@@ -317,6 +318,7 @@ def test_soak_sustained_appends_bounded_epochs_and_vacuum(spark, sf_dir, tmp_pat
     _pq.save_pq_index(base_emb, paths["pq"], m=8, n_codes=16)
     _ivfpq.save_ivfpq_index(base_emb, paths["ivfpq"], n_cells=4, m=8, n_codes=16)
     save_nb_model(base_docs, paths["nb"])
+    save_winnow_index(base_docs, paths["winnow"])
 
     docs_drop = str(tmp_path / "docs_drop")
     emb_drop = str(tmp_path / "emb_drop")
@@ -333,6 +335,7 @@ def test_soak_sustained_appends_bounded_epochs_and_vacuum(spark, sf_dir, tmp_pat
         pq_index=paths["pq"],
         ivfpq_index=paths["ivfpq"],
         nb_model=paths["nb"],
+        winnow_index=paths["winnow"],
         compact_after=COMPACT_AFTER,
     )
 
