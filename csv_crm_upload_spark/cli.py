@@ -203,6 +203,28 @@ def main(argv: list[str] | None = None) -> int:
     pcl.add_argument("--model", required=True, help="model directory (nb-train output)")
     pcl.add_argument("--limit", type=int, default=20, help="rows to print")
 
+    pwb = sub.add_parser(
+        "winnow-build",
+        help="build (or incrementally update) the persisted winnowing "
+        "fingerprint index over a documents table",
+    )
+    pwb.add_argument("--docs", required=True, help="parquet path of the documents table")
+    pwb.add_argument("--out", required=True, help="index directory")
+    pwb.add_argument(
+        "--append",
+        action="store_true",
+        help="fold --docs into an EXISTING index (O(new docs)) instead of rebuilding",
+    )
+
+    pwm = sub.add_parser(
+        "winnow-match",
+        help="MOSS probe: rank indexed documents by shared winnowing "
+        "fingerprints with each probe document",
+    )
+    pwm.add_argument("--docs", required=True, help="parquet path of probe documents")
+    pwm.add_argument("--index", required=True, help="index directory (winnow-build output)")
+    pwm.add_argument("--limit", type=int, default=20, help="rows to print")
+
     pe = sub.add_parser(
         "export", help="export the store's customers table to a file format"
     )
@@ -259,6 +281,26 @@ def main(argv: list[str] | None = None) -> int:
         }
         tag = " corpus=written" if args.materialize else ""
         print(f"manifest={manifest_path} splits={counts}{tag}")
+        return 0
+    if args.cmd == "winnow-build":
+        from csv_crm_upload_spark.analytics.winnow import (
+            save_winnow_index,
+            update_winnow_index,
+        )
+
+        docs = spark.read.parquet(args.docs)
+        if args.append:
+            update_winnow_index(docs, args.out)
+        else:
+            save_winnow_index(docs, args.out)
+        print(f"winnow_index={args.out}")
+        return 0
+    if args.cmd == "winnow-match":
+        from csv_crm_upload_spark.analytics.winnow import match_documents
+
+        hits = match_documents(spark, args.index, spark.read.parquet(args.docs))
+        for r in hits.limit(args.limit).collect():
+            print(f"{r['probe_doc_id']}\t{r['indexed_doc_id']}\t{r['n_shared']}")
         return 0
     if args.cmd == "nb-train":
         from csv_crm_upload_spark.analytics.nbayes import save_nb_model, update_nb_model

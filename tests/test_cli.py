@@ -155,3 +155,28 @@ def test_cli_export_roundtrip(spark, tmp_path, capsys):
     assert main(["export", "--store", store, "--out", csv_out]) == 0
     back_csv = spark.read.option("header", "true").csv(csv_out)
     assert sorted(r["email"] for r in back_csv.collect()) == ["jane@x.com", "jon@x.com"]
+
+
+def test_cli_winnow_build_append_match(spark, tmp_path, capsys, sf_dir):
+    """winnow-build builds the fingerprint index, --append folds a second
+    shard (epoch advances), winnow-match ranks indexed docs for a probe."""
+    from csv_crm_upload_spark.operators.manifest import read_manifest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    half_a = str(tmp_path / "docs_a.parquet")
+    half_b = str(tmp_path / "docs_b.parquet")
+    docs.filter("doc_id % 2 = 0").write.parquet(half_a)
+    docs.filter("doc_id % 2 = 1").write.parquet(half_b)
+    idx = str(tmp_path / "wn_idx")
+
+    assert main(["winnow-build", "--docs", half_a, "--out", idx]) == 0
+    e0 = read_manifest(idx)["epoch"]
+    assert main(["winnow-build", "--docs", half_b, "--out", idx, "--append"]) == 0
+    assert read_manifest(idx)["epoch"] == e0 + 1
+
+    # probe with the half_b shard itself: every doc's own prints are in
+    # the index under other ids only if shared — just check the command
+    # runs and prints well-formed rows
+    assert main(["winnow-match", "--docs", half_b, "--index", idx, "--limit", "5"]) == 0
+    printed = [l for l in capsys.readouterr().out.splitlines() if "\t" in l]
+    assert printed and all(len(l.split("\t")) == 3 for l in printed)
