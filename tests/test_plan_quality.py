@@ -389,3 +389,41 @@ def test_distributed_ntile_matches_window_ntile(spark):
             for r in distributed_ntile(df, ["k", "uid"], q, "t").collect()
         }
         assert got == want, f"n={n} q={q}"
+
+
+def test_round6_operator_shuffle_budgets(spark, sf_dir):
+    """Budgets for the round-6 additions (ceilings, broadcasts excluded):
+      hn1    1 — corpus streams through the broadcast query join map-only;
+             the per-query top-k window is the single shuffle
+      xsrc1  4 — the RETURNED plan after the eager per-shingle set fold:
+             spread repartition + pair-count agg + size agg + result order
+             (the collect_set shuffle ran once inside the checkpoint)
+      wfp1   2 — keyed window on doc_id, reused by the groupBy; + order
+      wfp2   7 — the inline oracle form recomputes the print subtree per
+             consumer (window, distinct, df count, pair join, count,
+             order); the PRODUCTION path reads the persisted winnow index
+      drift2 5 — (label, dim) combining agg, global re-combine, per-label
+             term agg, result order (+1 AQE split); dims x labels rows only
+      bpe3   1 — map-only merge application; the 1-row readout agg
+      skw2   2 — the (key, _salt) join exchanges; readout agg reuses them
+      skw3   3 — (key, salt) partial agg, per-key combine, result order
+      rfm1   3 — the RETURNED plan after three eager distributed_ntile
+             materializations: last rank window + segment agg + order
+      batch1 3 — same shape, one ntile"""
+    spark.catalog.clearCache()
+    budgets = {
+        "hn1_hard_negatives": 1,
+        "xsrc1_cross_source_overlap": 4,
+        "wfp1_winnow_fingerprints": 2,
+        "wfp2_shared_fingerprint_pairs": 7,
+        "drift2_label_centroid_drift": 5,
+        "bpe3_vocab_coverage": 1,
+        "skw2_salted_join_revenue": 2,
+        "skw3_two_phase_event_value": 3,
+        "rfm1_customer_segments": 3,
+        "batch1_length_buckets": 3,
+    }
+    for name, budget in budgets.items():
+        plan = plan_of(QUERIES[name](spark, sf_dir))
+        ids = set(re.findall(r"(?<!Broadcast)Exchange \((\d+)\)", plan))
+        assert len(ids) <= budget, f"{name}: {len(ids)} shuffles > budget {budget}\n{plan}"
