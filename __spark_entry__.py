@@ -248,10 +248,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     never-driver-sampled oracle-paired queries closed the ledger and the
     23 round-5 operators all went green in CORRECTNESS_r05 — every
     oracle-paired query in the repo now has a green driver row. Round 6
-    (this file): the nine NEW round-6 oracle-paired queries (`decon3`,
-    `skw2`, `skw3`, `hn1`, `xsrc1`, `wfp1`, `wfp2`, `drift2`, `bpe3`)
-    take slots 13-21; the rest of the window re-samples round-5 keys
-    (all green in r5).
+    (this file): the ten NEW round-6 oracle-paired queries (`decon3`,
+    `skw2`, `skw3`, `hn1`, `xsrc1`, `wfp1`, `wfp2`, `drift2`, `bpe3`,
+    `cur1`) take slots 13-22; the rest of the window re-samples round-5
+    keys (all green in r5).
     sim_knn_ivf/pq1/ivfpq1/hll1/mm2/mm3/approx_* are oracle-free
     rows-only whenever sampled."""
     return {
@@ -306,6 +306,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # tokenizer coverage readout over the learned BPE merges
         "bpe3_vocab_coverage": lambda s, sf: bpe.bpe3_vocab_coverage(
+            _t("documents")(s, sf)
+        ),
+        # curriculum phases: difficulty NTILE over ppl1 bits-per-token
+        "cur1_curriculum_phases": lambda s, sf: ts.cur1_curriculum_phases(
             _t("documents")(s, sf)
         ),
         # --- rotation window (slots 13-50), round 5: the six oracle-paired
@@ -3177,6 +3181,17 @@ def oracle_sql() -> dict[str, str]:
             PARTITION BY vec_id ORDER BY cos_sim DESC, bench_id) AS rn
           FROM hits WHERE cos_sim >= 0.9
         ) WHERE rn = 1 ORDER BY vec_id
+    """
+    # cur1: ppl1's exact chain as a CTE, bits-per-token NTILE'd into 4
+    # phases over the (bpt, doc_id) total order
+    q["cur1_curriculum_phases"] = f"""
+        WITH p AS ({q["ppl1_unigram_logloss"]}),
+        s AS (SELECT doc_id, round(total_bits / n_tokens, 9) AS bpt FROM p),
+        t AS (SELECT doc_id, bpt,
+                     ntile(4) OVER (ORDER BY bpt, doc_id) AS phase FROM s)
+        SELECT phase, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               MIN(bpt) AS min_bpt, MAX(bpt) AS max_bpt
+        FROM t GROUP BY 1 ORDER BY 1
     """
     # decon3: the same contamination audit at threshold 0.4 — flags rows
     # on the synthetic fixture, so the argmax/tie-break is non-vacuous

@@ -864,6 +864,38 @@ def wfp1_winnow_fingerprints(
     )
 
 
+def cur1_curriculum_phases(documents: DataFrame, q: int = 4) -> DataFrame:
+    """Curriculum phase assignment — easy-to-hard data ordering for
+    training: rank documents by unigram bits-per-token (ppl1's
+    difficulty proxy — boilerplate scores low, garbled text high) and
+    NTILE them into q phases; readout = each phase's population and
+    difficulty range.
+
+    Composes the round-6 machinery: the per-doc key is ppl1's
+    decimal-exact total_bits divided by the integer token count (one
+    identical double division, rounded 9 dp), and the global NTILE runs
+    as distributed_ntile — range-repartitioned, never a single-task
+    sort. The (bpt, doc_id) order makes every phase boundary
+    deterministic in both engines."""
+    from csv_crm_upload_spark.analytics.tpch import distributed_ntile
+
+    base = ppl1_unigram_logloss(documents)
+    scored = base.select(
+        "doc_id",
+        F.round(F.col("total_bits") / F.col("n_tokens"), 9).alias("bpt"),
+    )
+    phased = distributed_ntile(scored, ["bpt", "doc_id"], q, "phase")
+    return (
+        phased.groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("bpt").alias("min_bpt"),
+            F.max("bpt").alias("max_bpt"),
+        )
+        .orderBy("phase")
+    )
+
+
 def winnow_prints(documents: DataFrame, k: int = 4, w: int = 5) -> DataFrame:
     """(doc_id, fp) — each document's DISTINCT selected winnowing
     fingerprints (the per-doc fingerprint SET wfp2 pairs on and the
