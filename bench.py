@@ -246,6 +246,33 @@ def main() -> None:
     finally:
         shutil.rmtree(ivfpq_dir, ignore_errors=True)
 
+    # winnowing fingerprint index: build-once, then the stored-print pair
+    # query (no re-fingerprinting) and the bucket-pruned MOSS probe
+    from csv_crm_upload_spark.analytics import winnow as wnmod
+
+    wn_dir = tempfile.mkdtemp(prefix="bench_winnow_idx_")
+    stage = "wfp_index_build"
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        t0 = time.perf_counter()
+        wnmod.save_winnow_index(docs, wn_dir)
+        extra["wfp_index_build"] = round(time.perf_counter() - t0, 3)
+        stage = "wfp_indexed_pairs"
+        t0 = time.perf_counter()
+        wnmod.wfp2_indexed_pairs(spark, wn_dir).agg({"*": "count"}).collect()
+        extra["wfp_indexed_pairs"] = round(time.perf_counter() - t0, 3)
+        stage = "wfp_match_probe"
+        from pyspark.sql import functions as F
+
+        probe = docs.filter(F.col("doc_id") % 1000 == 0)
+        t0 = time.perf_counter()
+        wnmod.match_documents(spark, wn_dir, probe).agg({"*": "count"}).collect()
+        extra["wfp_match_probe"] = round(time.perf_counter() - t0, 3)
+    except Exception as e:
+        errors[stage] = f"{type(e).__name__}: {e}"[:200]
+    finally:
+        shutil.rmtree(wn_dir, ignore_errors=True)
+
     duckdb_timings = _duckdb_timings(sf_dir, entrymod.oracle_sql())
     ratios = {
         n: round(timings[n] / duckdb_timings[n], 2)
