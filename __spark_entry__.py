@@ -248,10 +248,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     never-driver-sampled oracle-paired queries closed the ledger and the
     23 round-5 operators all went green in CORRECTNESS_r05 — every
     oracle-paired query in the repo now has a green driver row. Round 6
-    (this file): the ten NEW round-6 oracle-paired queries (`decon3`,
+    (this file): the eleven NEW round-6 oracle-paired queries (`decon3`,
     `skw2`, `skw3`, `hn1`, `xsrc1`, `wfp1`, `wfp2`, `drift2`, `bpe3`,
-    `cur1`) take slots 13-22; the rest of the window re-samples round-5
-    keys (all green in r5).
+    `cur1`, `dd4`) take slots 13-23; the rest of the window re-samples
+    round-5 keys (all green in r5).
     sim_knn_ivf/pq1/ivfpq1/hll1/mm2/mm3/approx_* are oracle-free
     rows-only whenever sampled."""
     return {
@@ -310,6 +310,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # curriculum phases: difficulty NTILE over ppl1 bits-per-token
         "cur1_curriculum_phases": lambda s, sf: ts.cur1_curriculum_phases(
+            _t("documents")(s, sf)
+        ),
+        # per-source near-dup participation rollup (curator provenance view)
+        "dd4_source_neardup_rates": lambda s, sf: dd.dd4_source_neardup_rates(
             _t("documents")(s, sf)
         ),
         # --- rotation window (slots 13-50), round 5: the six oracle-paired
@@ -989,6 +993,24 @@ def oracle_sql() -> dict[str, str]:
     q["dd_minhash_lsh"] = f"""
         WITH {_lsh_ctes}
         SELECT doc_a, doc_b, est_jaccard FROM lsh_pairs
+    """
+    # dd4: per-source near-dup participation over the same pair table
+    q["dd4_source_neardup_rates"] = f"""
+        WITH {_lsh_ctes},
+        members AS (
+          SELECT DISTINCT doc_id FROM (
+            SELECT doc_a AS doc_id FROM lsh_pairs
+            UNION ALL SELECT doc_b FROM lsh_pairs
+          )
+        ),
+        flagged AS (
+          SELECT d.source, CASE WHEN m.doc_id IS NULL THEN 0 ELSE 1 END AS is_dup
+          FROM documents d LEFT JOIN members m USING (doc_id)
+        )
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(is_dup) AS BIGINT) AS n_neardup_docs,
+               round(SUM(is_dup)::DOUBLE / COUNT(*), 6) AS neardup_rate
+        FROM flagged GROUP BY source ORDER BY source
     """
     # clusters: connected components of the near-dup graph, labeled by the
     # min doc_id — recursive reachability closure over undirected edges

@@ -75,6 +75,7 @@ GRAPH_EXTRA = [
     "tri1_triangle_counts",
     "pr1_doc_pagerank",
     "dd2_dedup_corpus",
+    "dd4_source_neardup_rates",
     # the composed corpus-prep pipeline consumes the same pair index
     "prep1_corpus_manifest",
 ]
@@ -192,6 +193,7 @@ def main() -> None:
             "tri1_triangle_counts": dd.tri1_triangle_counts,
             "pr1_doc_pagerank": dd.pr1_doc_pagerank,
             "dd2_dedup_corpus": dd.dd2_dedup_corpus,
+            "dd4_source_neardup_rates": dd.dd4_source_neardup_rates,
             "prep1_corpus_manifest": prepare_training_corpus,
         }
         for name in GRAPH_EXTRA:

@@ -401,6 +401,46 @@ def d_minhash_lsh_pairs(
     return _verify_pairs(cand, sig, threshold)
 
 
+def dd4_source_neardup_rates(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Per-source near-duplication rates — the provenance rollup a
+    curator reads next to xsrc1's overlap matrix: for each source, how
+    many of its documents participate in at least one MinHash-LSH
+    near-dup pair, and the rate. A source with a high rate is scrape
+    overlap or template spam; its mixing weight (mix1/mix3) should see
+    this first.
+
+    `pairs` (optional) consumes the persisted candidate-pair index like
+    the rest of the graph family — the production path; derived inline
+    when omitted. The rollup itself is one explode of the pair table to
+    its member ids (pair-bounded, corpus-free), a distinct, a join back
+    to the doc→source projection, and a sources-sized readout."""
+    if pairs is None:
+        pairs = d_minhash_lsh_pairs(documents, n=n, threshold=threshold)
+    members = (
+        pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    per_doc = documents.select("doc_id", "source").join(members, "doc_id", "left")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).cast("long").alias("n_neardup_docs"),
+        )
+        .withColumn(
+            "neardup_rate",
+            F.round(F.col("n_neardup_docs").cast("double") / F.col("n_docs"), 6),
+        )
+        .orderBy("source")
+    )
+
+
 def d_simhash(documents: DataFrame) -> DataFrame:
     """64-bit SimHash per document from token hashes: bit b of the hash is
     1 iff the sum of per-token signs at b is positive. Expressed as 64

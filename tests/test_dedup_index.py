@@ -28,6 +28,7 @@ def test_index_fed_graph_family_matches_direct(spark, sf_dir, tmp_path):
         dd.tri1_triangle_counts,
         dd.dd2_dedup_corpus,
         dd.pr1_doc_pagerank,
+        dd.dd4_source_neardup_rates,
     ):
         got = sorted(map(tuple, fn(docs, pairs=pairs).collect()))
         want = sorted(map(tuple, fn(docs).collect()))
