@@ -248,10 +248,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     never-driver-sampled oracle-paired queries closed the ledger and the
     23 round-5 operators all went green in CORRECTNESS_r05 — every
     oracle-paired query in the repo now has a green driver row. Round 6
-    (this file): the eleven NEW round-6 oracle-paired queries (`decon3`,
-    `skw2`, `skw3`, `hn1`, `xsrc1`, `wfp1`, `wfp2`, `drift2`, `bpe3`,
-    `cur1`, `dd4`) take slots 13-23; the rest of the window re-samples
-    round-5 keys (all green in r5).
+    (this file): the thirteen NEW round-6 oracle-paired queries
+    (`decon3`, `skw2`, `skw3`, `hn1`, `xsrc1`, `wfp1`, `wfp2`,
+    `drift2`, `bpe3`, `cur1`, `dd4`, `nov1`, `msk1`) take slots 13-25;
+    the rest of the window re-samples round-5 keys (all green in r5).
     sim_knn_ivf/pq1/ivfpq1/hll1/mm2/mm3/approx_* are oracle-free
     rows-only whenever sampled."""
     return {
@@ -314,6 +314,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # per-source near-dup participation rollup (curator provenance view)
         "dd4_source_neardup_rates": lambda s, sf: dd.dd4_source_neardup_rates(
+            _t("documents")(s, sf)
+        ),
+        # per-doc 8-gram novelty (memorization/diversity signal)
+        "nov1_ngram_novelty": lambda s, sf: ts.nov1_ngram_novelty(
+            _t("documents")(s, sf)
+        ),
+        # T5-style span-corruption planning stats (pure hash-gated blocks)
+        "msk1_span_corruption_stats": lambda s, sf: ts.msk1_span_corruption_stats(
             _t("documents")(s, sf)
         ),
         # --- rotation window (slots 13-50), round 5: the six oracle-paired
@@ -2546,6 +2554,43 @@ def oracle_sql() -> dict[str, str]:
                CAST(COUNT(DISTINCT minh) AS BIGINT) AS n_fingerprints,
                MIN(minh) AS min_fp
         FROM sel WHERE i >= 5 GROUP BY doc_id ORDER BY doc_id
+    """
+    # msk1: per-doc masked-token plan under the hash-gated 3-token blocks
+    q["msk1_span_corruption_stats"] = f"""
+        WITH t AS (
+          SELECT doc_id, len({_TOKS}) AS n_tokens
+          FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+        ),
+        b AS (
+          SELECT doc_id, n_tokens, r.i AS blk,
+                 CASE WHEN ('0x' || substr(md5(doc_id || ':' || r.i), 1, 15))::BIGINT % 100 < 15
+                      THEN 1 ELSE 0 END AS gated,
+                 least(3, n_tokens - r.i * 3) AS blk_len
+          FROM t, UNNEST(range(0, CAST(ceil(n_tokens / 3.0) AS BIGINT))) AS r(i)
+        )
+        SELECT doc_id, CAST(MAX(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(SUM(gated * blk_len) AS BIGINT) AS n_masked,
+               CAST(SUM(gated) AS BIGINT) AS n_spans,
+               round(SUM(gated * blk_len)::DOUBLE / MAX(n_tokens), 6) AS mask_rate
+        FROM b GROUP BY doc_id ORDER BY doc_id
+    """
+    # nov1: distinct 8-gram hashes, df>1 share per doc (leak1's hash-keyed
+    # join discipline — both sides corpus-scale)
+    q["nov1_ngram_novelty"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS l FROM documents WHERE text IS NOT NULL),
+        dg AS (
+          SELECT DISTINCT doc_id,
+                 ('0x' || substr(md5(array_to_string(l[r.i:r.i+7], chr(1))), 1, 15))::BIGINT AS gh
+          FROM t, UNNEST(range(1, len(l) - 6)) AS r(i)
+          WHERE len(l) >= 8
+        ),
+        dfc AS (SELECT gh, COUNT(*) AS df FROM dg GROUP BY 1)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_grams,
+               round((COUNT(*) - SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END))::DOUBLE
+                     / COUNT(*), 6) AS novelty_rate
+        FROM dg JOIN dfc USING (gh)
+        GROUP BY doc_id ORDER BY doc_id
     """
     # wfp2: the MOSS readout — pairs sharing >= 2 selected fingerprints,
     # hot fingerprints (df > 50) capped before the self-join

@@ -864,6 +864,94 @@ def wfp1_winnow_fingerprints(
     )
 
 
+def msk1_span_corruption_stats(
+    documents: DataFrame, span: int = 3, pct: int = 15
+) -> DataFrame:
+    """Deterministic span-corruption planning stats — the T5/UL2-style
+    denoising-objective preparation pass: partition each document's
+    tokens into fixed `span`-token blocks, gate each block by the pure
+    hash pmod(md5_60(doc_id || ':' || block), 100) < pct, and report per
+    doc how many tokens/spans a span-corruption pass would mask. The
+    mask decision is a pure function of (doc_id, block) — stable across
+    engines, retries, and cluster sizes (the split1/mix1 gate
+    discipline applied position-wise), which is what makes a masking
+    pass REPRODUCIBLE at 100 TB without any RNG state.
+
+    Map-only except the per-doc combining agg: blocks are derived from
+    the token count arithmetic (no explode of positions — one
+    higher-order aggregate over the block index range per doc)."""
+    toks = _norm_tokens()
+    n_tokens = F.size(toks)
+    n_blocks = F.ceil(n_tokens / F.lit(span)).cast("int")
+    block_gate = lambda b: F.pmod(  # noqa: E731
+        md5_60(F.concat_ws(":", F.col("doc_id").cast("string"), b.cast("string"))),
+        F.lit(100),
+    ) < F.lit(pct)
+    # tokens in block b: `span`, except the last block keeps the remainder
+    block_len = lambda b: F.least(  # noqa: E731
+        F.lit(span), n_tokens - b * F.lit(span)
+    )
+    blocks = F.sequence(F.lit(0), n_blocks - 1)
+    n_masked = F.aggregate(
+        blocks,
+        F.lit(0),
+        lambda acc, b: acc + F.when(block_gate(b), block_len(b)).otherwise(F.lit(0)),
+    )
+    n_spans = F.aggregate(
+        blocks,
+        F.lit(0),
+        lambda acc, b: acc + F.when(block_gate(b), F.lit(1)).otherwise(F.lit(0)),
+    )
+    base = documents.filter(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    )
+    return base.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        n_masked.cast("long").alias("n_masked"),
+        n_spans.cast("long").alias("n_spans"),
+        F.round(n_masked.cast("double") / n_tokens, 6).alias("mask_rate"),
+    ).orderBy("doc_id")
+
+
+def nov1_ngram_novelty(documents: DataFrame, n: int = 8) -> DataFrame:
+    """Per-document n-gram novelty — the memorization/diversity signal
+    dedup doesn't capture: what fraction of a doc's DISTINCT word
+    8-grams appear in ANY other document (df > 1 corpus-wide). Low
+    novelty flags templated/duplicated content that survived doc-level
+    dedup; the aggregate over a source is its boilerplate rate.
+
+    Shape: distinct (doc, gram-hash) pairs (one combining explode), a
+    gram-keyed df count (second combining agg on the 60-bit hash — the
+    leak1 discipline: corpus-scale on both sides, hash-keyed join,
+    never broadcast), one join back, one per-doc readout. All-integer
+    plus one 6-dp ratio — engine-exact."""
+    grams = F.explode(F.array_distinct(_word_ngrams(_norm_tokens(), n)))
+    dg = (
+        documents.filter(F.col("text").isNotNull())
+        .select("doc_id", grams.alias("g"))
+        .select("doc_id", md5_60(F.col("g")).alias("gh"))
+    )
+    dfc = dg.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        dg.join(dfc, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum((F.col("df") > 1).cast("int")).cast("long").alias("n_shared_grams"),
+        )
+        .withColumn(
+            "novelty_rate",
+            F.round(
+                (F.col("n_grams") - F.col("n_shared_grams")).cast("double")
+                / F.col("n_grams"),
+                6,
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def cur1_curriculum_phases(documents: DataFrame, q: int = 4) -> DataFrame:
     """Curriculum phase assignment — easy-to-hard data ordering for
     training: rank documents by unigram bits-per-token (ppl1's

@@ -616,3 +616,55 @@ def test_temperature_mixture_upweights_small_sources(spark):
     assert sum(kept.values()) <= 500 + len(kept)  # budget ± per-source rounding
     again = mix3_temperature_mixture(docs).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_winnowing_guarantee_shared_run_yields_shared_fingerprint(spark):
+    """The winnowing theorem (Schleimer et al. 2003): two documents that
+    share a token run of at least w + k - 1 tokens MUST share at least
+    one selected fingerprint (every length-w gram window inside the run
+    is identical in both docs, and selection picks a minimum from one
+    such window). Planted: distinct prefixes/suffixes around one shared
+    9-token run (k=4, w=5 -> threshold 8)."""
+    from csv_crm_upload_spark.analytics.textstats import winnow_prints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota"  # 9 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two three {shared} red blue", "en", "a", 0),
+            (2, f"nine eight seven six {shared} green", "en", "b", 0),
+            (3, "totally unrelated words with no overlap at all here", "en", "c", 0),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    prints = winnow_prints(docs, k=4, w=5)
+    by_doc = {
+        r["doc_id"]: set()
+        for r in docs.select("doc_id").collect()
+    }
+    for r in prints.collect():
+        by_doc[r["doc_id"]].add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared run produced no shared fingerprint"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+
+
+def test_span_corruption_stats_are_deterministic_and_bounded(spark):
+    """msk1: the mask plan is a pure function of (doc_id, block) — two
+    runs agree exactly — and per-doc invariants hold (n_masked <=
+    n_tokens, n_spans <= ceil(n_tokens/3), mask decisions change when
+    the doc_id changes)."""
+    import math
+
+    from csv_crm_upload_spark.analytics.textstats import msk1_span_corruption_stats
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"tok{j}" for j in range(5 + i)), "en", "s", 0) for i in range(40)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    a = {r["doc_id"]: tuple(r) for r in msk1_span_corruption_stats(docs).collect()}
+    b = {r["doc_id"]: tuple(r) for r in msk1_span_corruption_stats(docs).collect()}
+    assert a == b
+    for doc_id, (_, n_tokens, n_masked, n_spans, rate) in a.items():
+        assert 0 <= n_masked <= n_tokens
+        assert 0 <= n_spans <= math.ceil(n_tokens / 3)
+    # the gate actually fires somewhere across 40 docs (p ~ 1-0.85^blocks)
+    assert any(row[2] > 0 for row in a.values())
