@@ -422,6 +422,18 @@ def test_round6_operator_shuffle_budgets(spark, sf_dir):
         "skw3_two_phase_event_value": 3,
         "rfm1_customer_segments": 3,
         "batch1_length_buckets": 3,
+        # cur1 3 — returned plan after the eager ntile: rank window +
+        #        phase agg + order (ppl1's stages ran in the checkpoint)
+        "cur1_curriculum_phases": 3,
+        # dd4 6 — the inline LSH pair derivation (bands join + verify)
+        #        + member explode/distinct + source rollup; the
+        #        production path consumes the persisted pair index
+        "dd4_source_neardup_rates": 6,
+        # nov1 3 — distinct (doc, gram-hash), gram df agg, per-doc agg
+        #        (+order folded by AQE)
+        "nov1_ngram_novelty": 3,
+        # msk1 1 — map-only higher-order aggregate; result order only
+        "msk1_span_corruption_stats": 1,
     }
     for name, budget in budgets.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))
