@@ -1719,6 +1719,10 @@ def _distributed_rank_and_total(
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
+    if not offsets:
+        # empty input: zero-arg create_map() fails analysis; any literal
+        # map works since no row will ever look a pid up
+        offsets = {0: 0}
     off = F.create_map(
         *[F.lit(v) for pid in sorted(offsets) for v in (pid, offsets[pid])]
     )

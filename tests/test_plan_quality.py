@@ -439,3 +439,13 @@ def test_round6_operator_shuffle_budgets(spark, sf_dir):
         plan = plan_of(QUERIES[name](spark, sf_dir))
         ids = set(re.findall(r"(?<!Broadcast)Exchange \((\d+)\)", plan))
         assert len(ids) <= budget, f"{name}: {len(ids)} shuffles > budget {budget}\n{plan}"
+
+
+def test_distributed_rank_and_ntile_handle_empty_input(spark):
+    """Empty frames must plan and return empty (a zero-arg create_map()
+    would otherwise fail analysis on the offset lookup)."""
+    from csv_crm_upload_spark.analytics.tpch import distributed_ntile, distributed_rank
+
+    empty = spark.range(0).select(F.col("id").alias("k"), F.col("id").alias("uid"))
+    assert distributed_rank(empty, ["k", "uid"], "r").count() == 0
+    assert distributed_ntile(empty, ["k", "uid"], 4, "t").count() == 0

@@ -115,3 +115,37 @@ def test_service_tick_folds_winnow_index(spark, sf_dir, tmp_path):
     assert _rows(wn.wfp2_indexed_pairs(spark, idx)) == _rows(
         wfp2_shared_fingerprint_pairs(docs)
     )
+
+
+def test_probe_during_winnow_update_sees_old_or_new(spark, sf_dir, tmp_path):
+    """A reader racing update_winnow_index must see the pre-append or
+    the post-append print set, never a partial epoch (manifest-resolved
+    — the same atomicity contract as every other artifact)."""
+    import threading
+
+    docs = load_table(spark, sf_dir, "documents")
+    part_a = docs.filter(F.col("doc_id") % 2 == 0)
+    part_b = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = str(tmp_path / "race_wn")
+    wn.save_winnow_index(part_a, idx)
+    old = _rows(wn.load_winnow_prints(spark, idx))
+
+    errs = []
+
+    def updater():
+        try:
+            wn.update_winnow_index(part_b, idx)
+        except Exception as e:
+            errs.append(e)
+
+    t = threading.Thread(target=updater)
+    t.start()
+    seen = []
+    while t.is_alive():
+        seen.append(_rows(wn.load_winnow_prints(spark, idx)))
+    t.join()
+    assert not errs, errs
+    new = _rows(wn.load_winnow_prints(spark, idx))
+    assert new != old
+    bad = [i for i, s in enumerate(seen) if s != old and s != new]
+    assert not bad, f"{len(bad)} probes saw a mixed snapshot (of {len(seen)})"
