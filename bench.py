@@ -275,6 +275,28 @@ def main() -> None:
     finally:
         shutil.rmtree(wn_dir, ignore_errors=True)
 
+    # persisted BPE tokenizer: the one-combining-shuffle vocab build +
+    # vocab-bounded merge loop is its own line; apply is the map-only
+    # tokenize pass against the stored rules (≡ inline bpe2, pinned by
+    # tests/test_bpe_model.py).
+    from csv_crm_upload_spark.analytics import bpe as bpemod
+
+    bpe_dir = tempfile.mkdtemp(prefix="bench_bpe_model_")
+    stage = "bpe_model_build"
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        t0 = time.perf_counter()
+        bpemod.save_bpe_model(docs, bpe_dir)
+        extra["bpe_model_build"] = round(time.perf_counter() - t0, 3)
+        stage = "bpe_model_apply"
+        t0 = time.perf_counter()
+        bpemod.segment_with_bpe_model(docs, bpe_dir).agg({"*": "count"}).collect()
+        extra["bpe_model_apply"] = round(time.perf_counter() - t0, 3)
+    except Exception as e:
+        errors[stage] = f"{type(e).__name__}: {e}"[:200]
+    finally:
+        shutil.rmtree(bpe_dir, ignore_errors=True)
+
     duckdb_timings = _duckdb_timings(sf_dir, entrymod.oracle_sql())
     ratios = {
         n: round(timings[n] / duckdb_timings[n], 2)

@@ -216,6 +216,36 @@ def main(argv: list[str] | None = None) -> int:
         help="fold --docs into an EXISTING index (O(new docs)) instead of rebuilding",
     )
 
+    pbt = sub.add_parser(
+        "bpe-train",
+        help="train (or incrementally update) the persisted BPE "
+        "tokenizer model over a documents table",
+    )
+    pbt.add_argument("--docs", required=True, help="parquet path of the documents table")
+    pbt.add_argument("--out", required=True, help="model directory")
+    pbt.add_argument(
+        "--steps",
+        type=int,
+        default=None,
+        help="merge steps to learn (build only, default 3; an append "
+        "keeps the existing model's step count)",
+    )
+    pbt.add_argument(
+        "--append",
+        action="store_true",
+        help="fold --docs into an EXISTING model (vocab-sized merge + "
+        "vocab-only relearn) instead of rebuilding",
+    )
+
+    pba = sub.add_parser(
+        "bpe-apply",
+        help="tokenize documents with a persisted BPE model and print "
+        "per-doc segmentation stats",
+    )
+    pba.add_argument("--docs", required=True, help="parquet path of documents to tokenize")
+    pba.add_argument("--model", required=True, help="model directory (bpe-train output)")
+    pba.add_argument("--limit", type=int, default=20, help="rows to print")
+
     pwm = sub.add_parser(
         "winnow-match",
         help="MOSS probe: rank indexed documents by shared winnowing "
@@ -301,6 +331,35 @@ def main(argv: list[str] | None = None) -> int:
         hits = match_documents(spark, args.index, spark.read.parquet(args.docs))
         for r in hits.limit(args.limit).collect():
             print(f"{r['probe_doc_id']}\t{r['indexed_doc_id']}\t{r['n_shared']}")
+        return 0
+    if args.cmd == "bpe-train":
+        from csv_crm_upload_spark.analytics.bpe import save_bpe_model, update_bpe_model
+
+        docs = spark.read.parquet(args.docs)
+        if args.append:
+            if args.steps is not None:
+                raise SystemExit(
+                    "bpe-train: --steps conflicts with --append (the model's "
+                    "step count is fixed at build; rebuild without --append "
+                    "to change it)"
+                )
+            update_bpe_model(docs, args.out)
+        else:
+            if args.steps is not None and args.steps <= 0:
+                raise SystemExit("bpe-train: --steps must be positive")
+            save_bpe_model(
+                docs, args.out, steps=args.steps if args.steps is not None else 3
+            )
+        print(f"model={args.out}")
+        return 0
+    if args.cmd == "bpe-apply":
+        from csv_crm_upload_spark.analytics.bpe import segment_with_bpe_model
+
+        stats = segment_with_bpe_model(spark.read.parquet(args.docs), args.model)
+        for r in stats.limit(args.limit).collect():
+            print(
+                f"{r['doc_id']}\t{r['n_words']}\t{r['n_chars_tokenized']}\t{r['n_tokens']}"
+            )
         return 0
     if args.cmd == "nb-train":
         from csv_crm_upload_spark.analytics.nbayes import save_nb_model, update_nb_model

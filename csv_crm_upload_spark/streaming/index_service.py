@@ -49,6 +49,9 @@ INDEX_LAYOUTS: dict[str, tuple[list[str], dict[str, str]]] = {
     # so gc reclaims ALL superseded model copies
     "nb": (["counts", "class_stats", "model_stats"], {}),
     "winnow": (["prints"], {}),
+    # BPE model epochs are fully-merged snapshots too (vocab + merges
+    # relearned from it) — gc reclaims all superseded copies
+    "bpe": (["vocab", "merges"], {}),
 }
 
 
@@ -89,6 +92,7 @@ class CorpusIndexService:
         ivfpq_index: str | None = None,
         nb_model: str | None = None,
         winnow_index: str | None = None,
+        bpe_model: str | None = None,
         cursor_path: str | None = None,
         compact_after: int | None = None,
     ) -> None:
@@ -104,6 +108,7 @@ class CorpusIndexService:
         self.ivfpq_index = ivfpq_index
         self.nb_model = nb_model
         self.winnow_index = winnow_index
+        self.bpe_model = bpe_model
         self.cursor_path = cursor_path or os.path.join(
             docs_dir or emb_dir, "_index_service_cursor.json"
         )
@@ -177,6 +182,10 @@ class CorpusIndexService:
                 )
 
                 update_winnow_index(new_docs, self.winnow_index)
+            if self.bpe_model is not None:
+                from csv_crm_upload_spark.analytics.bpe import update_bpe_model
+
+                update_bpe_model(new_docs, self.bpe_model)
             self._seen.update(doc_shards)
             folded["docs"] = doc_shards
 
@@ -258,6 +267,7 @@ class CorpusIndexService:
             ("ivfpq", self.ivfpq_index),
             ("nb", self.nb_model),
             ("winnow", self.winnow_index),
+            ("bpe", self.bpe_model),
         ):
             if idx_path is not None:
                 ranged, pinned = INDEX_LAYOUTS[kind]
@@ -277,6 +287,7 @@ def run_index_maintenance_stream(
     ivfpq_index: str | None = None,
     nb_model: str | None = None,
     winnow_index: str | None = None,
+    bpe_model: str | None = None,
     available_now: bool = True,
     app_id: str | None = None,
 ):
@@ -324,6 +335,10 @@ def run_index_maintenance_stream(
             from csv_crm_upload_spark.analytics.winnow import update_winnow_index
 
             update_winnow_index(batch_df, winnow_index, txn=txn)
+        if bpe_model is not None:
+            from csv_crm_upload_spark.analytics.bpe import update_bpe_model
+
+            update_bpe_model(batch_df, bpe_model, txn=txn)
         if ivf_index is not None:
             from csv_crm_upload_spark.analytics.ivf import update_index
 

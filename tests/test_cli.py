@@ -133,6 +133,29 @@ def test_cli_nb_train_append_classify(spark, tmp_path, capsys, sf_dir):
     assert all(len(l.split("\t")) == 3 for l in printed)
 
 
+def test_cli_bpe_train_append_apply(spark, tmp_path, capsys, sf_dir):
+    """bpe-train builds the tokenizer, --append folds a second shard
+    (epoch advances), bpe-apply prints segmentation stats against it."""
+    from csv_crm_upload_spark.operators.manifest import read_manifest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    half_a = str(tmp_path / "docs_a.parquet")
+    half_b = str(tmp_path / "docs_b.parquet")
+    docs.filter("doc_id % 2 = 0").write.parquet(half_a)
+    docs.filter("doc_id % 2 = 1").write.parquet(half_b)
+    model = str(tmp_path / "bpe_model")
+
+    assert main(["bpe-train", "--docs", half_a, "--out", model, "--steps", "2"]) == 0
+    e0 = read_manifest(model)["epoch"]
+    assert main(["bpe-train", "--docs", half_b, "--out", model, "--append"]) == 0
+    assert read_manifest(model)["epoch"] == e0 + 1
+
+    assert main(["bpe-apply", "--docs", half_b, "--model", model, "--limit", "5"]) == 0
+    printed = [l for l in capsys.readouterr().out.splitlines() if "\t" in l]
+    assert len(printed) == 5
+    assert all(len(l.split("\t")) == 4 for l in printed)
+
+
 def test_cli_export_roundtrip(spark, tmp_path, capsys):
     """ingest a CSV, export as ORC and CSV, read both back — the
     egress half of the source/sink matrix (same rows, any format)."""

@@ -301,6 +301,7 @@ def test_soak_sustained_appends_bounded_epochs_and_vacuum(spark, sf_dir, tmp_pat
     copies — leaving exactly the manifest-referenced dirs on disk. This
     is what bounds read fan-out and disk growth for a service that folds
     shards forever."""
+    from csv_crm_upload_spark.analytics.bpe import save_bpe_model
     from csv_crm_upload_spark.analytics.nbayes import save_nb_model
     from csv_crm_upload_spark.analytics.winnow import save_winnow_index
     from csv_crm_upload_spark.operators.manifest import read_manifest
@@ -319,6 +320,7 @@ def test_soak_sustained_appends_bounded_epochs_and_vacuum(spark, sf_dir, tmp_pat
     _ivfpq.save_ivfpq_index(base_emb, paths["ivfpq"], n_cells=4, m=8, n_codes=16)
     save_nb_model(base_docs, paths["nb"])
     save_winnow_index(base_docs, paths["winnow"])
+    save_bpe_model(base_docs, paths["bpe"], steps=2)
 
     docs_drop = str(tmp_path / "docs_drop")
     emb_drop = str(tmp_path / "emb_drop")
@@ -336,6 +338,7 @@ def test_soak_sustained_appends_bounded_epochs_and_vacuum(spark, sf_dir, tmp_pat
         ivfpq_index=paths["ivfpq"],
         nb_model=paths["nb"],
         winnow_index=paths["winnow"],
+        bpe_model=paths["bpe"],
         compact_after=COMPACT_AFTER,
     )
 
