@@ -248,9 +248,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     never-driver-sampled oracle-paired queries closed the ledger and the
     23 round-5 operators all went green in CORRECTNESS_r05 — every
     oracle-paired query in the repo now has a green driver row. Round 6
-    (this file): the thirteen NEW round-6 oracle-paired queries
+    (this file): the fifteen NEW round-6 oracle-paired queries
     (`decon3`, `skw2`, `skw3`, `hn1`, `xsrc1`, `wfp1`, `wfp2`,
-    `drift2`, `bpe3`, `cur1`, `dd4`, `nov1`, `msk1`) take slots 13-25;
+    `drift2`, `bpe3`, `cur1`, `dd4`, `nov1`, `msk1`, `dsir1`,
+    `zipf1`) take slots 13-27;
     the rest of the window re-samples round-5 keys (all green in r5).
     sim_knn_ivf/pq1/ivfpq1/hll1/mm2/mm3/approx_* are oracle-free
     rows-only whenever sampled."""
@@ -322,6 +323,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # T5-style span-corruption planning stats (pure hash-gated blocks)
         "msk1_span_corruption_stats": lambda s, sf: ts.msk1_span_corruption_stats(
+            _t("documents")(s, sf)
+        ),
+        # DSIR data-selection importance weights (target vs raw unigram LMs)
+        "dsir1_importance_weights": lambda s, sf: ts.dsir1_importance_weights(
+            _t("documents")(s, sf)
+        ),
+        # per-source Zipf rank-frequency slope (corpus-health diagnostic)
+        "zipf1_source_zipf_slope": lambda s, sf: ts.zipf1_source_zipf_slope(
             _t("documents")(s, sf)
         ),
         # --- rotation window (slots 13-50), round 5: the six oracle-paired
@@ -2639,6 +2648,72 @@ def oracle_sql() -> dict[str, str]:
         FROM pdt JOIN tc USING (tok) CROSS JOIN tot
         GROUP BY doc_id
         ORDER BY doc_id
+    """
+    # dsir1: DSIR importance log-ratio — one log2 per DISTINCT token of
+    # a quotient of two DOUBLE products (int64 products would overflow
+    # at corpus scale; the double product is IEEE-identical in both
+    # engines), rounded 9 dp, decimal-weighted per-doc sum (ppl1 shape)
+    q["dsir1_importance_weights"] = f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
+                 unnest({_TOKS}) AS tok
+          FROM documents WHERE text IS NOT NULL
+        ),
+        pdt AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+        tc AS (
+          SELECT tok, SUM(is_t) AS c_t, SUM(1 - is_t) AS c_r
+          FROM toks GROUP BY 1
+        ),
+        tot AS (SELECT SUM(c_t) AS n_t, SUM(c_r) AS n_r, COUNT(*) AS v FROM tc)
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(SUM(CAST(c AS DECIMAL(12,0)) *
+                        CAST(ROUND(log2(
+                          (CAST(c_t + 1 AS DOUBLE) * CAST(n_r + v AS DOUBLE))
+                          / (CAST(c_r + 1 AS DOUBLE) * CAST(n_t + v AS DOUBLE))
+                        ), 9) AS DECIMAL(20,12))) AS DOUBLE)
+                 AS total_bits
+        FROM pdt JOIN tc USING (tok) CROSS JOIN tot
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """
+    # zipf1: per-source Zipf slope — integer window rank (count DESC,
+    # tok tie-break), per-rank regression terms rounded 9 dp and summed
+    # in DECIMAL, closed-form least-squares slope from the exact sums
+    q["zipf1_source_zipf_slope"] = f"""
+        WITH toks AS (
+          SELECT source, unnest({_TOKS}) AS tok
+          FROM documents WHERE text IS NOT NULL
+        ),
+        counts AS (SELECT source, tok, COUNT(*) AS freq FROM toks GROUP BY 1, 2),
+        ranked AS (
+          SELECT source, freq,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY freq DESC, tok) AS r
+          FROM counts
+          QUALIFY r <= 100
+        ),
+        sums AS (
+          SELECT source,
+                 CAST(COUNT(*) AS BIGINT) AS n_ranks,
+                 SUM(CAST(ROUND(ln(CAST(r AS DOUBLE)), 9) AS DECIMAL(20,12))) AS sx,
+                 SUM(CAST(ROUND(ln(CAST(freq AS DOUBLE)), 9) AS DECIMAL(20,12))) AS sy,
+                 SUM(CAST(ROUND(ln(CAST(r AS DOUBLE)) * ln(CAST(freq AS DOUBLE)), 9)
+                          AS DECIMAL(20,12))) AS sxy,
+                 SUM(CAST(ROUND(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE)), 9)
+                          AS DECIMAL(20,12))) AS sxx
+          FROM ranked GROUP BY source
+        )
+        SELECT source, n_ranks,
+               ROUND(
+                 (CAST(n_ranks AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n_ranks AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                 6) AS zipf_slope
+        FROM sums
+        ORDER BY source
     """
     # fh1: signed feature hashing — md5_60 integer convention; DuckDB's
     # % is remainder (can be negative) so pmod is spelled ((x % m) + m) % m

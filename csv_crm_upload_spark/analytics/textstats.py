@@ -705,6 +705,109 @@ def drift1_source_token_kl(documents: DataFrame) -> DataFrame:
     )
 
 
+def dsir1_importance_weights(
+    documents: DataFrame, target_lang: str = "en"
+) -> DataFrame:
+    """DSIR-style data-selection importance weights (Xie et al. 2023,
+    arXiv:2302.03169, the n-gram variant at order 1): per document, the
+    log importance ratio log2(p_target(doc)/p_raw(doc)) under two
+    Laplace-smoothed unigram LMs — target = docs in `target_lang`, raw
+    = the rest of the corpus. Training-data selection keeps/oversamples
+    the docs whose text looks most like the target distribution:
+    rank by total_bits/n_tokens descending and gate.
+
+    Determinism (the ppl1/drift1 discipline): each DISTINCT token's
+    log-ratio term is computed once from exact integer counts cast to
+    double — log2 of a quotient of two double PRODUCTS rather than of
+    exact int64 products, because (c+1)·(n+V) overflows int64 at
+    corpus scale while the double product is IEEE-identical in both
+    engines — rounded to 9 dp, then the per-doc weighted sum runs in
+    DECIMAL. The exact total ships (total_bits) next to n_tokens; the
+    caller divides for a per-token average.
+
+    Plan: one (doc, tok) combining agg + one tok-keyed two-sided count
+    agg joined back on tok + a broadcast 1-row total — two keyed
+    shuffles, no windows, no driver data."""
+    toks = documents.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        (F.col("lang") == target_lang).cast("long").alias("is_t"),
+        F.explode(_norm_tokens()).alias("tok"),
+    )
+    per_doc_tok = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    tok_counts = toks.groupBy("tok").agg(
+        F.sum("is_t").alias("c_t"),
+        F.sum(F.lit(1) - F.col("is_t")).alias("c_r"),
+    )
+    tot = tok_counts.agg(
+        F.sum("c_t").alias("n_t"),
+        F.sum("c_r").alias("n_r"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    num = (F.col("c_t") + 1).cast("double") * (F.col("n_r") + F.col("v")).cast(
+        "double"
+    )
+    den = (F.col("c_r") + 1).cast("double") * (F.col("n_t") + F.col("v")).cast(
+        "double"
+    )
+    bits = F.round(F.log2(num / den), 9).cast("decimal(20,12)")
+    contrib = F.col("c").cast("decimal(12,0)") * bits
+    return (
+        per_doc_tok.join(tok_counts, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(contrib).cast("double").alias("total_bits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def zipf1_source_zipf_slope(documents: DataFrame, top_r: int = 100) -> DataFrame:
+    """Per-source Zipf rank-frequency slope — the corpus-health
+    diagnostic (natural text sits near −1; boilerplate/generated text
+    flattens or steepens it): least-squares slope of ln(freq) on
+    ln(rank) over the source's `top_r` most frequent tokens.
+
+    Determinism: rank is an integer window rank (count DESC, tok ASC
+    tie-break — total order, keyed by source); each per-rank regression
+    term (x, y, x·y, x²) is one IEEE double expression rounded to 9 dp
+    and summed in DECIMAL, so the four sums are exact and
+    order-independent in both engines; the closed-form slope
+    (R·Σxy − Σx·Σy)/(R·Σx² − (Σx)²) divides the same decimals and is
+    rounded to 6 dp.
+
+    Plan: one (source, tok) combining agg + one source-KEYED window
+    rank (never a global sort) + one combining per-source agg."""
+    from pyspark.sql import Window
+
+    toks = documents.filter(F.col("text").isNotNull()).select(
+        "source", F.explode(_norm_tokens()).alias("tok")
+    )
+    counts = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.partitionBy("source").orderBy(F.col("freq").desc(), F.col("tok"))
+    ranked = counts.withColumn("r", F.row_number().over(w)).filter(
+        F.col("r") <= top_r
+    )
+    x = F.log(F.col("r").cast("double"))
+    y = F.log(F.col("freq").cast("double"))
+    dec = lambda c: F.round(c, 9).cast("decimal(20,12)")  # noqa: E731
+    agg = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ranks"),
+        F.sum(dec(x)).alias("sx"),
+        F.sum(dec(y)).alias("sy"),
+        F.sum(dec(x * y)).alias("sxy"),
+        F.sum(dec(x * x)).alias("sxx"),
+    )
+    n = F.col("n_ranks").cast("double")
+    slope = (n * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")) / (
+        n * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    return agg.select(
+        "source", "n_ranks", F.round(slope, 6).alias("zipf_slope")
+    ).orderBy("source")
+
+
 def leak1_cross_split_leakage(documents: DataFrame, n: int = 5) -> DataFrame:
     """Cross-split contamination audit: word n-grams shared between a
     TRAIN document and a VAL/TEST document under the repo's leakage-safe

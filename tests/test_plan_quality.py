@@ -28,6 +28,19 @@ def plan_of(df) -> str:
 QUERIES = entrymod.queries()
 
 
+def _reset_plan_state(spark) -> None:
+    """Canonical cold plans: cached relations left over from other tests
+    (session-scoped fixture) would re-shape the tree under audit — and
+    the dedup family's bounded signature memo must be dropped WITH the
+    cache, because a memoized-but-uncached signature table plans its
+    full inline derivation (more exchanges than either the fresh-memo
+    or the materialized state)."""
+    from csv_crm_upload_spark.analytics.dedup import clear_signature_memo
+
+    spark.catalog.clearCache()
+    clear_signature_memo()
+
+
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
     plan = plan_of(QUERIES["f1_filter_pending"](spark, sf_dir))
     assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,O)]" in plan
@@ -258,9 +271,7 @@ def test_headline_shuffle_budgets(spark, sf_dir):
              round inside the loop is one combining shuffle (its own
              job, asserted by the encode-stage test below via shape)
     """
-    # canonical cold plans: cached relations left over from other tests
-    # (session-scoped fixture) would re-shape the tree under audit
-    spark.catalog.clearCache()
+    _reset_plan_state(spark)
     budgets = {
         "q1_pricing_summary": 2,
         "dd_exact_dups": 2,
@@ -320,7 +331,7 @@ def test_round5_operator_shuffle_budgets(spark, sf_dir):
       lr1     0 — the returned frame is the driver-built weight table;
               every GD step ran as one combining agg (map-side partials)
     """
-    spark.catalog.clearCache()
+    _reset_plan_state(spark)
     budgets = {
         "linedd1_span_dedup": 3,
         "mix3_temperature_mixture": 3,
@@ -358,7 +369,7 @@ def test_ntile_queries_have_no_single_partition_sort(spark, sf_dir):
     the whole rollup that stalls a 1000-executor cluster. The returned
     plans (the part that still contains the rank windows) must be free
     of it."""
-    spark.catalog.clearCache()
+    _reset_plan_state(spark)
     for name in ("rfm1_customer_segments", "batch1_length_buckets"):
         plan = plan_of(QUERIES[name](spark, sf_dir))
         assert "Exchange SinglePartition" not in plan, (
@@ -410,7 +421,7 @@ def test_round6_operator_shuffle_budgets(spark, sf_dir):
       rfm1   3 — the RETURNED plan after three eager distributed_ntile
              materializations: last rank window + segment agg + order
       batch1 3 — same shape, one ntile"""
-    spark.catalog.clearCache()
+    _reset_plan_state(spark)
     budgets = {
         "hn1_hard_negatives": 1,
         "xsrc1_cross_source_overlap": 4,
@@ -434,6 +445,14 @@ def test_round6_operator_shuffle_budgets(spark, sf_dir):
         "nov1_ngram_novelty": 3,
         # msk1 1 — map-only higher-order aggregate; result order only
         "msk1_span_corruption_stats": 1,
+        # dsir1 6 — the ppl1 shape + the two-sided token-count agg:
+        #        (doc,tok) agg, tok agg, 1-row total, tok re-exchange
+        #        for the join, per-doc agg, result order
+        "dsir1_importance_weights": 6,
+        # zipf1 3 — (source, tok) combining agg, source-KEYED rank
+        #        window (never a global sort), per-source agg (+order
+        #        folded by AQE)
+        "zipf1_source_zipf_slope": 4,
     }
     for name, budget in budgets.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))
