@@ -62,6 +62,8 @@ EXTRA = [
     "wfp1_winnow_fingerprints",
     "drift2_label_centroid_drift",
     "skw2_salted_join_revenue",
+    "dsir1_importance_weights",
+    "zipf1_source_zipf_slope",
 ]
 
 # graph family: timed AS A PIPELINE (round 4) — the LSH candidate-pair
