@@ -248,10 +248,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     never-driver-sampled oracle-paired queries closed the ledger and the
     23 round-5 operators all went green in CORRECTNESS_r05 — every
     oracle-paired query in the repo now has a green driver row. Round 6
-    (this file): the fifteen NEW round-6 oracle-paired queries
+    (this file): the seventeen NEW round-6 oracle-paired queries
     (`decon3`, `skw2`, `skw3`, `hn1`, `xsrc1`, `wfp1`, `wfp2`,
     `drift2`, `bpe3`, `cur1`, `dd4`, `nov1`, `msk1`, `dsir1`,
-    `zipf1`) take slots 13-27;
+    `zipf1`, `bpe4`, `mix4`) take slots 13-29;
     the rest of the window re-samples round-5 keys (all green in r5).
     sim_knn_ivf/pq1/ivfpq1/hll1/mm2/mm3/approx_* are oracle-free
     rows-only whenever sampled."""
@@ -331,6 +331,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # per-source Zipf rank-frequency slope (corpus-health diagnostic)
         "zipf1_source_zipf_slope": lambda s, sf: ts.zipf1_source_zipf_slope(
+            _t("documents")(s, sf)
+        ),
+        # per-language tokenizer fertility under the learned BPE merges
+        "bpe4_lang_fertility": lambda s, sf: bpe.bpe4_lang_fertility(
+            _t("documents")(s, sf)
+        ),
+        # UniMax budget allocation: capped near-uniform source mixing
+        "mix4_unimax_allocation": lambda s, sf: ts.mix4_unimax_allocation(
             _t("documents")(s, sf)
         ),
         # --- rotation window (slots 13-50), round 5: the six oracle-paired
@@ -2996,6 +3004,74 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(m.n_toks) AS BIGINT) AS n_tokens
         FROM words w JOIN m USING (word)
         GROUP BY w.doc_id ORDER BY w.doc_id
+    """
+    # bpe4: the same learned-merge chain, with each word occurrence
+    # carrying its doc's lang — fertility from the exact integer sums
+    q["bpe4_lang_fertility"] = q["bpe2_segment"].replace(
+        """WITH words AS (
+          SELECT doc_id,""",
+        """WITH words AS (
+          SELECT lang,""",
+    ).replace(
+        """SELECT w.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(length(w.word)) AS BIGINT) AS n_chars_tokenized,
+               CAST(SUM(m.n_toks) AS BIGINT) AS n_tokens
+        FROM words w JOIN m USING (word)
+        GROUP BY w.doc_id ORDER BY w.doc_id""",
+        """SELECT w.lang,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(m.n_toks) AS BIGINT) AS n_tokens,
+               ROUND(CAST(SUM(m.n_toks) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS fertility
+        FROM words w JOIN m USING (word)
+        GROUP BY w.lang ORDER BY w.lang""",
+    )
+    # mix4: exact integer water-filling — boundary products in HUGEINT
+    # (DuckDB) / DECIMAL(38,0) (Spark), both exact; base share via the
+    # same IEEE double division + floor in both engines
+    q["mix4_unimax_allocation"] = f"""
+        WITH counts AS (
+          SELECT source,
+                 CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens,
+                 CAST(4 * SUM(len({_TOKS})) AS BIGINT) AS cap_tokens
+          FROM documents WHERE text IS NOT NULL
+          GROUP BY source
+        ),
+        ranked AS (
+          SELECT source, n_tokens, cap_tokens,
+                 CAST(FLOOR(SUM(n_tokens) OVER () / 2) AS BIGINT) AS b,
+                 CAST(COUNT(*) OVER () AS BIGINT) AS k,
+                 CAST(row_number() OVER (ORDER BY cap_tokens, source) AS BIGINT) AS i,
+                 CAST(SUM(cap_tokens) OVER (ORDER BY cap_tokens, source) AS BIGINT) AS p
+          FROM counts
+        ),
+        flagged AS (
+          SELECT *,
+                 CASE WHEN NOT (CAST(cap_tokens AS HUGEINT) * (k - i + 1)
+                                <= CAST(b - (p - cap_tokens) AS HUGEINT))
+                      THEN i END AS fail_i
+          FROM ranked
+        ),
+        tt AS (SELECT *, COALESCE(MIN(fail_i) OVER () - 1, k) AS t FROM flagged),
+        pt AS (
+          SELECT *,
+                 COALESCE(MAX(CASE WHEN i <= t THEN p END) OVER (), 0) AS p_t
+          FROM tt
+        ),
+        alloc AS (
+          SELECT source, n_tokens, cap_tokens,
+                 CAST(CASE WHEN i <= t THEN cap_tokens
+                      ELSE CAST(FLOOR((b - p_t) / (k - t)) AS BIGINT)
+                           + CASE WHEN i - t <= (b - p_t) % (k - t)
+                                  THEN 1 ELSE 0 END
+                      END AS BIGINT) AS alloc_tokens
+          FROM pt
+        )
+        SELECT source, n_tokens, cap_tokens, alloc_tokens,
+               ROUND(CAST(alloc_tokens AS DOUBLE)
+                     / CAST(n_tokens AS DOUBLE), 6) AS epochs
+        FROM alloc ORDER BY source
     """
     # bpe3: the bpe2 chain's word->n_toks map, folded to the one-row
     # corpus coverage readout (occurrences fully merged to one symbol)

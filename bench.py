@@ -64,6 +64,8 @@ EXTRA = [
     "skw2_salted_join_revenue",
     "dsir1_importance_weights",
     "zipf1_source_zipf_slope",
+    "bpe4_lang_fertility",
+    "mix4_unimax_allocation",
 ]
 
 # graph family: timed AS A PIPELINE (round 4) — the LSH candidate-pair

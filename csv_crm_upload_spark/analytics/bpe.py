@@ -207,6 +207,49 @@ def bpe3_vocab_coverage(
     )
 
 
+def bpe4_lang_fertility(
+    documents: DataFrame,
+    steps: int = 3,
+    rules: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Per-language tokenizer FERTILITY — tokens per word occurrence
+    under the learned merges, the cross-lingual equity metric of a
+    tokenizer sweep (a vocabulary trained on the majority language
+    fragments minority-language words into more symbols, inflating
+    their effective sequence length and training cost): (lang, n_words,
+    n_tokens, fertility), fertility = n_tokens/n_words rounded 6 dp
+    from the exact integer sums.
+
+    `rules` as in bpe2_segment (pass a persisted model's rules to skip
+    the training pass). Application is map-only chained replaces riding
+    the scan; the readout is one lang-keyed combining aggregate."""
+    if rules is None:
+        rules = [
+            (r["left"], r["right"])
+            for r in bpe1_merge_steps(documents, steps).orderBy("step").collect()
+        ]
+    words = documents.filter(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    ).select("lang", F.explode(norm_tokens()).alias("word"))
+    s = _spaced_symbols(F.col("word"))
+    for left, right in rules:
+        s = F.replace(s, F.lit(f" {left} {right}"), F.lit(f" {left}{right}"))
+    n_toks = F.size(F.split(F.substring(s, 2, 1 << 30), " "))
+    return (
+        words.select("lang", n_toks.alias("n_toks"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum("n_toks").cast("double") / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("fertility"),
+        )
+        .orderBy("lang")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Persisted BPE tokenizer model — train once / tokenize many, with
 # O(new docs) appends. The persisted state is the frequency-weighted

@@ -1265,6 +1265,89 @@ def mix3_temperature_mixture(
     )
 
 
+def mix4_unimax_allocation(
+    documents: DataFrame, epoch_cap: int = 4, budget_frac_denom: int = 2
+) -> DataFrame:
+    """UniMax sampling (Chung et al. 2023, arXiv:2304.09151): allocate a
+    token budget across sources as CLOSE TO UNIFORM as possible subject
+    to a per-source repeat cap — small sources contribute up to
+    `epoch_cap` epochs of their tokens, and the leftover budget spreads
+    evenly over the sources that can absorb it. The principled
+    alternative to temperature mixing (mix3): no source is ever
+    oversampled past its cap, and no tuning of alpha.
+
+    Budget = floor(total_tokens / budget_frac_denom); cap_s = epoch_cap
+    · n_s. Exact integer water-filling in closed form: with sources
+    ordered by cap ascending (source tie-break), a PREFIX of sources is
+    fully capped (the standard water-filling lemma); the boundary t is
+    the longest prefix where cap_i·(k−i+1) ≤ B − P_{i−1} holds for all
+    i ≤ t (P = running cap prefix sum); capped sources get cap_i, the
+    k−t uncapped each get floor((B−P_t)/(k−t)) plus 1 for the first
+    (B−P_t) mod (k−t) of them in rank order — so Σ alloc = B exactly.
+    The boundary products run in DECIMAL(38,0): cap·k overflows int64
+    at real corpus counts (10¹⁴ tokens × 10⁶ sources).
+
+    Output: (source, n_tokens, cap_tokens, alloc_tokens, epochs) —
+    epochs = alloc/n_s rounded 6 dp from the exact integers.
+
+    Scale shape: ONE combining shuffle collapses the corpus to the
+    per-source token rollup; everything after runs windows over that
+    DIMENSION-SIZED table (sources are a registry, 10¹–10⁶ rows — the
+    mix3 precedent; this is not the rfm1 per-customer-rollup case)."""
+    from pyspark.sql import Window
+
+    counts = (
+        documents.filter(F.col("text").isNotNull())
+        .select("source", F.size(_norm_tokens()).alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").cast("long").alias("n_tokens"))
+        .withColumn("cap_tokens", (F.lit(epoch_cap) * F.col("n_tokens")).cast("long"))
+    )
+    w_all = Window.partitionBy()
+    w_ord = Window.partitionBy().orderBy("cap_tokens", "source")
+    budget = F.floor(F.sum("n_tokens").over(w_all) / F.lit(budget_frac_denom)).cast(
+        "long"
+    )
+    ranked = counts.select(
+        "source",
+        "n_tokens",
+        "cap_tokens",
+        budget.alias("b"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("k"),
+        F.row_number().over(w_ord).cast("long").alias("i"),
+        F.sum("cap_tokens").over(w_ord).cast("long").alias("p"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    fits = dec(F.col("cap_tokens")) * dec(F.col("k") - F.col("i") + 1) <= dec(
+        F.col("b") - (F.col("p") - F.col("cap_tokens"))
+    )
+    # t = longest ALL-fitting prefix: min rank where the condition fails
+    # (minus 1), else k — robust to any non-monotone integer edge case
+    first_fail = F.min(F.when(~fits, F.col("i"))).over(w_all)
+    with_t = ranked.withColumn(
+        "t", F.coalesce(first_fail - 1, F.col("k"))
+    ).withColumn(
+        "p_t",
+        F.coalesce(F.max(F.when(F.col("i") <= F.col("t"), F.col("p"))).over(w_all), F.lit(0)),
+    )
+    rem = F.col("b") - F.col("p_t")
+    heads = F.col("k") - F.col("t")
+    base = F.floor(rem / heads).cast("long")
+    extra = (F.col("i") - F.col("t") <= rem % heads).cast("long")
+    alloc = F.when(F.col("i") <= F.col("t"), F.col("cap_tokens")).otherwise(
+        base + extra
+    )
+    return with_t.select(
+        "source",
+        "n_tokens",
+        "cap_tokens",
+        alloc.cast("long").alias("alloc_tokens"),
+        F.round(
+            alloc.cast("double") / F.col("n_tokens").cast("double"), 6
+        ).alias("epochs"),
+    ).orderBy("source")
+
+
 def phr1_phrase_occurrences(documents: DataFrame, n: int = 3) -> DataFrame:
     """Exact phrase localization — the grep primitive of a corpus
     engine: find every per-doc occurrence of the corpus's SINGLE most

@@ -453,6 +453,13 @@ def test_round6_operator_shuffle_budgets(spark, sf_dir):
         #        window (never a global sort), per-source agg (+order
         #        folded by AQE)
         "zipf1_source_zipf_slope": 4,
+        # bpe4 2 — map-only merge application riding the scan, lang
+        #        combining agg, result order
+        "bpe4_lang_fertility": 2,
+        # mix4 2 — ONE corpus combining shuffle to the source rollup;
+        #        the water-filling windows run single-partition over the
+        #        DIMENSION-SIZED rollup (the mix3 precedent, documented)
+        "mix4_unimax_allocation": 2,
     }
     for name, budget in budgets.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))

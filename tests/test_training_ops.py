@@ -618,6 +618,48 @@ def test_temperature_mixture_upweights_small_sources(spark):
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
 
 
+def test_unimax_allocation_caps_small_sources_exactly(spark):
+    """mix4 on a PLANTED skewed corpus (the oracle fixture's near-equal
+    sources never reach the cap, so the capped prefix is pinned here):
+    3 one-token docs in 'tiny', 1000 in 'big'/'huge'. totals = 2003,
+    B = 1001, caps = (12, 4000, 4000). Water-filling: tiny caps at 12
+    (12·3 = 36 ≤ 1001); remaining 989 splits 495/494 over big/huge with
+    the +1 remainder going to the earlier rank (big — cap tie broken by
+    source name). Σ alloc must equal B exactly."""
+    from csv_crm_upload_spark.analytics.textstats import mix4_unimax_allocation
+
+    rows = (
+        [(i, "t", "en", "tiny", 0) for i in range(3)]
+        + [(100 + i, "t", "en", "big", 0) for i in range(1000)]
+        + [(2000 + i, "t", "en", "huge", 0) for i in range(1000)]
+    )
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    out = {r["source"]: r for r in mix4_unimax_allocation(docs).collect()}
+    assert out["tiny"]["cap_tokens"] == 12
+    assert out["tiny"]["alloc_tokens"] == 12  # fully capped
+    assert out["tiny"]["epochs"] == 4.0
+    assert {out["big"]["alloc_tokens"], out["huge"]["alloc_tokens"]} == {495, 494}
+    assert out["big"]["alloc_tokens"] == 495  # remainder to the earlier rank
+    assert sum(r["alloc_tokens"] for r in out.values()) == 1001  # == B exactly
+    assert all(r["alloc_tokens"] <= r["cap_tokens"] for r in out.values())
+
+
+def test_unimax_all_capped_edge(spark):
+    """mix4 when the budget exceeds every cap (epoch_cap=1, denominator
+    1 → B = total = Σ n_s, caps = n_s, Σ caps = B): every source is
+    capped at exactly its own tokens and the uncapped branch (whose
+    share divides by k − t = 0) must never evaluate."""
+    from csv_crm_upload_spark.analytics.textstats import mix4_unimax_allocation
+
+    rows = [(i, "a b c", "en", f"s{i % 4}", 0) for i in range(40)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    out = mix4_unimax_allocation(docs, epoch_cap=1, budget_frac_denom=1).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r["alloc_tokens"] == r["cap_tokens"] == r["n_tokens"]
+        assert r["epochs"] == 1.0
+
+
 def test_winnowing_guarantee_shared_run_yields_shared_fingerprint(spark):
     """The winnowing theorem (Schleimer et al. 2003): two documents that
     share a token run of at least w + k - 1 tokens MUST share at least
