@@ -34,6 +34,7 @@ from csv_crm_upload_spark.analytics import ivf
 from csv_crm_upload_spark.analytics import bpe
 from csv_crm_upload_spark.analytics import clustering as clus
 from csv_crm_upload_spark.analytics import logreg
+from csv_crm_upload_spark.analytics import pca
 from csv_crm_upload_spark.analytics import nbayes
 from csv_crm_upload_spark.plans import corpus_prep as prep
 from csv_crm_upload_spark.analytics import ivfpq as ivfpqm
@@ -248,10 +249,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     never-driver-sampled oracle-paired queries closed the ledger and the
     23 round-5 operators all went green in CORRECTNESS_r05 — every
     oracle-paired query in the repo now has a green driver row. Round 6
-    (this file): the seventeen NEW round-6 oracle-paired queries
+    (this file): the eighteen NEW round-6 oracle-paired queries
     (`decon3`, `skw2`, `skw3`, `hn1`, `xsrc1`, `wfp1`, `wfp2`,
     `drift2`, `bpe3`, `cur1`, `dd4`, `nov1`, `msk1`, `dsir1`,
-    `zipf1`, `bpe4`, `mix4`) take slots 13-29;
+    `zipf1`, `bpe4`, `mix4`, `pca1`) take slots 13-30 (the rows-only
+    `pca2` sits outside the window with its sketch/learned peers);
     the rest of the window re-samples round-5 keys (all green in r5).
     sim_knn_ivf/pq1/ivfpq1/hll1/mm2/mm3/approx_* are oracle-free
     rows-only whenever sampled."""
@@ -340,6 +342,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # UniMax budget allocation: capped near-uniform source mixing
         "mix4_unimax_allocation": lambda s, sf: ts.mix4_unimax_allocation(
             _t("documents")(s, sf)
+        ),
+        # exact covariance upper triangle (the PCA sufficient statistic)
+        "pca1_covariance": lambda s, sf: pca.pca1_covariance(
+            _t("embeddings")(s, sf)
         ),
         # --- rotation window (slots 13-50), round 5: the six oracle-paired
         # queries that have never had a driver CORRECTNESS row lead the
@@ -713,6 +719,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )(mm.resize_images(mm.media_table_real(_t("documents")(s, sf)))),
         "hll1_mergeable_daily_uniques": lambda s, sf: tpch.hll1_mergeable_daily_uniques(
             _t("events")(s, sf)
+        ),
+        # rows-only BY NATURE (driver-side eigh has no SQL oracle);
+        # contracts pinned by tests/test_pca.py: full-rank rotation
+        # invariance, recall floor on planted low-rank data
+        "pca2_projected_knn": lambda s, sf: pca.pca2_projected_knn(
+            _t("embeddings")(s, sf)
         ),
     }
 
@@ -1125,7 +1137,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id IN (0,1,2,3,4,5,6,7,8,9)
         ),
         scored AS (
-          SELECT q.query_id, e.vec_id, {_cos} AS cos_sim
+          SELECT q.query_id, e.vec_id, {_cos} + 0.0 AS cos_sim
           FROM embeddings e, q WHERE e.vec_id <> q.query_id
         )
         SELECT query_id, vec_id, cos_sim, CAST(rn AS INT) AS rank
@@ -1141,7 +1153,7 @@ def oracle_sql() -> dict[str, str]:
           FROM embeddings WHERE vec_id IN (0,1,2,3,4,5,6,7,8,9)
         ),
         scored AS (
-          SELECT q.query_id, e.vec_id, e.label AS neg_label, {_cos} AS cos_sim
+          SELECT q.query_id, e.vec_id, e.label AS neg_label, {_cos} + 0.0 AS cos_sim
           FROM embeddings e, q WHERE e.label <> q.q_label
         )
         SELECT query_id, vec_id, neg_label, cos_sim, CAST(rn AS INT) AS rank
@@ -1178,7 +1190,7 @@ def oracle_sql() -> dict[str, str]:
           WHERE b.vec_id <> qb.query_id
         ),
         scored AS (
-          SELECT c.query_id, c.vec_id, {_cos} AS cos_sim
+          SELECT c.query_id, c.vec_id, {_cos} + 0.0 AS cos_sim
           FROM cand c
           JOIN (SELECT vec_id, embedding AS q_emb FROM embeddings) q ON q.vec_id = c.query_id
           JOIN embeddings e ON e.vec_id = c.vec_id
@@ -1872,8 +1884,8 @@ def oracle_sql() -> dict[str, str]:
 
     q["stat1_price_quantity_stats"] = """
         SELECT l_returnflag,
-               round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
-               round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+               round(corr(l_quantity, l_extendedprice), 6) + 0.0 AS qty_price_corr,
+               round(covar_samp(l_quantity, l_extendedprice), 2) + 0.0 AS qty_price_covar,
                CAST(COUNT(*) AS BIGINT) AS n_lines
         FROM lineitem GROUP BY 1 ORDER BY 1
     """
@@ -2096,7 +2108,8 @@ def oracle_sql() -> dict[str, str]:
         SELECT week, n_events,
                lag(n_events) OVER (ORDER BY week) AS prev_week,
                round((n_events - lag(n_events) OVER (ORDER BY week))
-                     / lag(n_events) OVER (ORDER BY week) * 100, 2) AS pct_change
+                     / lag(n_events) OVER (ORDER BY week) * 100, 2) + 0.0
+                 AS pct_change
         FROM weekly ORDER BY week
     """
 
@@ -2320,7 +2333,7 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT event_id, e.event_type,
                round((CAST(value AS DOUBLE) - s / n)
-                     / sqrt((ssq - s * s / n) / (n - 1)), 6) AS z_value
+                     / sqrt((ssq - s * s / n) / (n - 1)), 6) + 0.0 AS z_value
         FROM events e JOIN g USING (event_type)
         WHERE value IS NOT NULL AND n > 1 AND (ssq - s * s / n) > 0
     """
@@ -2457,7 +2470,7 @@ def oracle_sql() -> dict[str, str]:
                  1.0 - (6.0 * CAST(SUM((rx - ry) * (rx - ry)) AS DOUBLE))
                      / (CAST(COUNT(*) AS DOUBLE)
                         * (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE) - 1.0)),
-                 6) AS rho
+                 6) + 0.0 AS rho
         FROM ranked
     """
 
@@ -2686,6 +2699,38 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY doc_id
         ORDER BY doc_id
     """
+    # pca1: covariance upper triangle — drift2's decimal discipline
+    # (9-dp components, 12-dp product terms into DECIMAL(38,12) sums),
+    # the oracle's pair terms via a vec_id self-join where Spark uses a
+    # map-only nested transform (same terms, same sums)
+    q["pca1_covariance"] = """
+        WITH e AS (
+          SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+        ),
+        comp AS (
+          SELECT vec_id, CAST(r.i AS INT) AS dim,
+                 ROUND(CAST(embedding[r.i + 1] AS DOUBLE), 9) AS v9
+          FROM e, UNNEST(range(0, len(embedding))) AS r(i)
+        ),
+        means AS (
+          SELECT dim, SUM(CAST(v9 AS DECIMAL(28,9))) AS s FROM comp GROUP BY dim
+        ),
+        pairs AS (
+          SELECT a.dim AS i, b.dim AS j,
+                 SUM(CAST(ROUND(a.v9 * b.v9, 12) AS DECIMAL(38,12))) AS sxy,
+                 COUNT(*) AS n
+          FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+          GROUP BY 1, 2
+        )
+        SELECT i, j,
+               ROUND((CAST(sxy AS DOUBLE)
+                      - CAST(mi.s AS DOUBLE) * CAST(mj.s AS DOUBLE)
+                        / CAST(n AS DOUBLE))
+                     / (CAST(n AS DOUBLE) - 1), 6) + 0.0 AS cov
+        FROM pairs JOIN means mi ON pairs.i = mi.dim
+                   JOIN means mj ON pairs.j = mj.dim
+        ORDER BY i, j
+    """
     # zipf1: per-source Zipf slope — integer window rank (count DESC,
     # tok tie-break), per-rank regression terms rounded 9 dp and summed
     # in DECIMAL, closed-form least-squares slope from the exact sums
@@ -2719,7 +2764,7 @@ def oracle_sql() -> dict[str, str]:
                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                  / (CAST(n_ranks AS DOUBLE) * CAST(sxx AS DOUBLE)
                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
-                 6) AS zipf_slope
+                 6) + 0.0 AS zipf_slope
         FROM sums
         ORDER BY source
     """
@@ -3440,7 +3485,7 @@ def oracle_sql() -> dict[str, str]:
           FROM terms GROUP BY 1
         )
         SELECT label, n_vectors,
-               round(sxy::DOUBLE / (sqrt(sxx::DOUBLE) * sqrt(syy::DOUBLE)), 6)
+               round(sxy::DOUBLE / (sqrt(sxx::DOUBLE) * sqrt(syy::DOUBLE)), 6) + 0.0
                  AS cos_to_global
         FROM agg ORDER BY label
     """

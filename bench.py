@@ -66,6 +66,8 @@ EXTRA = [
     "zipf1_source_zipf_slope",
     "bpe4_lang_fertility",
     "mix4_unimax_allocation",
+    "pca1_covariance",
+    "pca2_projected_knn",
 ]
 
 # graph family: timed AS A PIPELINE (round 4) — the LSH candidate-pair

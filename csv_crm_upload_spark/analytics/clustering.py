@@ -276,7 +276,9 @@ def drift2_label_centroid_drift(embeddings: DataFrame) -> DataFrame:
         / (F.sqrt(F.col("sxx").cast("double")) * F.sqrt(F.col("syy").cast("double"))),
         6,
     )
-    return agg.select("label", "n_vectors", cos.alias("cos_to_global")).orderBy(
+    return agg.select(
+        "label", "n_vectors", (cos + F.lit(0.0)).alias("cos_to_global")
+    ).orderBy(
         "label"
     )
 

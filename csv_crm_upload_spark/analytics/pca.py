@@ -1,0 +1,207 @@
+"""Distributed PCA over the embeddings table — the classic
+dimensionality-reduction step of an embedding pipeline (whitening,
+compression before ANN, drift visualization).
+
+The scale insight mirrors the k-means/NB family: the SUFFICIENT
+STATISTICS are tiny. The covariance matrix of n vectors in d dims is
+d(d+1)/2 numbers computed by ONE combining aggregation over a map-only
+pair-term explode (no self-join, no shuffle of the corpus against
+itself); the eigendecomposition runs on the driver over the d×d matrix
+(a bounded collect, d² rows — the IVF-centroid convention); projection
+is a map-only expression with the loadings riding the plan as literals
+(the broadcast-centroid pattern). Nothing corpus-sized ever leaves the
+executors, and every stage is one scan at 100 TB.
+
+Cross-engine determinism for the oracle-paired covariance (`pca1`): the
+drift2/kmeans decimal discipline — components round to 9 dp, per-pair
+product terms round to 12 dp into DECIMAL(38,12) sums (exact,
+order-free), and the covariance formula divides the identical exact
+sums with the same IEEE double arithmetic in both engines, rounded to
+6 dp. The eigen stage (`pca2`) is rows-only by nature (no SQL oracle
+for eigh); its contracts are pinned by property tests instead:
+orthonormal loadings, rotation-invariance (r = d projection preserves
+cosine ranking exactly), and a recall floor on planted low-rank data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _v9(col: F.Column) -> F.Column:
+    """A component read the ONE way every stage (and the oracle) reads
+    it: float32 → exact double → 9 dp."""
+    return F.round(col.cast("double"), 9)
+
+
+def pca1_covariance(embeddings: DataFrame) -> DataFrame:
+    """The sample covariance matrix's upper triangle — (i, j, cov) for
+    i ≤ j, cov = (Σ xᵢxⱼ − Σxᵢ·Σxⱼ/n) / (n−1) over 9-dp components with
+    12-dp product terms summed in DECIMAL (order-free, engine-exact),
+    the final formula in double rounded to 6 dp.
+
+    Plan: the pair terms are a NESTED higher-order transform over each
+    row's own array — d(d+1)/2 structs per row, map-only, no self-join
+    — then one combining shuffle on (i, j); the per-dim component sums
+    are a second combining agg on dim (d rows) that broadcasts back.
+    """
+    emb = F.col("embedding")
+    d = F.size(emb)
+
+    def v9_at(k):
+        return _v9(F.element_at(emb, k + F.lit(1)))
+
+    pair_terms = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), d - 1),
+            lambda i: F.transform(
+                F.sequence(i, d - 1),
+                lambda j: F.struct(
+                    i.cast("int").alias("i"),
+                    j.cast("int").alias("j"),
+                    F.round(v9_at(i) * v9_at(j), 12)
+                    .cast("decimal(38,12)")
+                    .alias("t"),
+                ),
+            ),
+        )
+    )
+    rows = embeddings.filter(emb.isNotNull())
+    sums = (
+        rows.select(F.explode(pair_terms).alias("p"))
+        .select("p.i", "p.j", "p.t")
+        .groupBy("i", "j")
+        .agg(F.sum("t").alias("sxy"), F.count(F.lit(1)).alias("n"))
+    )
+    comp = rows.select(F.posexplode(emb).alias("dim", "v")).select(
+        "dim", _v9(F.col("v")).cast("decimal(28,9)").alias("v9")
+    )
+    means = comp.groupBy("dim").agg(F.sum("v9").alias("s"))
+    si = means.select(F.col("dim").alias("i"), F.col("s").alias("s_i"))
+    sj = means.select(F.col("dim").alias("j"), F.col("s").alias("s_j"))
+    n = F.col("n").cast("double")
+    # + 0.0 normalizes IEEE signed zero: Spark's BigDecimal round drops
+    # the sign of −0.0 while DuckDB keeps it — the one representation
+    # difference the value-hash compare would see
+    cov = F.round(
+        (
+            F.col("sxy").cast("double")
+            - F.col("s_i").cast("double") * F.col("s_j").cast("double") / n
+        )
+        / (n - 1),
+        6,
+    ) + F.lit(0.0)
+    return (
+        sums.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .select("i", "j", cov.alias("cov"))
+        .orderBy("i", "j")
+    )
+
+
+def fit_pca(embeddings: DataFrame, r: int = 16) -> tuple[list[list[float]], list[float]]:
+    """Top-r principal axes from the exact covariance — (loadings,
+    eigenvalues), loadings[k] the k-th component's d weights. The ONLY
+    driver work is numpy's eigh over the d×d matrix collected from
+    pca1_covariance (d² bounded rows — the IVF-centroid convention);
+    sign fixed so each component's max-|w| entry is positive (eigh's
+    sign is otherwise arbitrary), ties in eigenvalue order broken by
+    eigh's deterministic ascending output reversed."""
+    import numpy as np
+
+    tri = pca1_covariance(embeddings).collect()
+    d = max(row["j"] for row in tri) + 1
+    c = np.zeros((d, d))
+    for row in tri:
+        c[row["i"], row["j"]] = row["cov"]
+        c[row["j"], row["i"]] = row["cov"]
+    vals, vecs = np.linalg.eigh(c)  # ascending
+    order = np.argsort(vals)[::-1][:r]
+    loadings: list[list[float]] = []
+    eigvals: list[float] = []
+    for k in order:
+        w = vecs[:, k]
+        if w[int(np.argmax(np.abs(w)))] < 0:
+            w = -w
+        loadings.append([float(x) for x in w])
+        eigvals.append(float(vals[k]))
+    return loadings, eigvals
+
+
+def pca_project(embeddings: DataFrame, loadings: list[list[float]]) -> DataFrame:
+    """(vec_id, label, proj) — each vector's coordinates on the given
+    components. MAP-ONLY: the loadings enter the plan as literal arrays
+    and each coordinate is one zip_with/aggregate dot product riding
+    the scan; projecting 100 TB is a pure pass."""
+    emb = F.col("embedding")
+    coords = [
+        F.aggregate(
+            F.zip_with(
+                emb,
+                F.array(*[F.lit(x) for x in w]),
+                lambda a, b: a.cast("double") * b,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        for w in loadings
+    ]
+    return embeddings.filter(emb.isNotNull()).select(
+        "vec_id", "label", F.array(*coords).alias("proj")
+    )
+
+
+def pca2_projected_knn(
+    embeddings: DataFrame,
+    r: int = 16,
+    query_ids: list[int] | None = None,
+    k: int = 5,
+) -> DataFrame:
+    """Brute-force cosine top-k in PCA space — the compressed ANN
+    baseline: fit top-r axes, project (map-only), then the
+    knn_bruteforce shape (broadcast queries, hoisted norms, per-query
+    top-k window) over r-dim coordinates: the n·q hot path does r
+    multiplies instead of d. Rows-only by nature (eigh has no SQL
+    oracle); contracts pinned in tests/test_pca.py — r = d recovers the
+    full-space ranking exactly, planted low-rank data meets a recall
+    floor at r ≪ d."""
+    if query_ids is None:
+        query_ids = list(range(10))
+    loadings, _ = fit_pca(embeddings, r)
+    proj = pca_project(embeddings, loadings)
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("proj"), F.lit(0.0), lambda acc, v: acc + v * v
+        )
+    )
+    queries = proj.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("proj").alias("q_proj"),
+        norm.alias("q_norm"),
+    )
+    corpus = proj.select("vec_id", "proj", norm.alias("c_norm"))
+    dot = F.aggregate(
+        F.zip_with(F.col("q_proj"), F.col("proj"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(dot / (F.col("q_norm") * F.col("c_norm")), 6).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos_sim", "rank")
+    )

@@ -70,10 +70,13 @@ def knn_bruteforce(
         .select(
             "query_id",
             "vec_id",
-            F.round(
-                _dot(F.col("q_emb"), F.col("embedding"))
-                / (F.col("q_norm") * F.col("c_norm")),
-                6,
+            (
+                F.round(
+                    _dot(F.col("q_emb"), F.col("embedding"))
+                    / (F.col("q_norm") * F.col("c_norm")),
+                    6,
+                )
+                + F.lit(0.0)  # normalize IEEE -0.0 (engine-dependent sign)
             ).alias("cos_sim"),
         )
     )
@@ -120,10 +123,13 @@ def hn1_hard_negatives(
             "query_id",
             "vec_id",
             F.col("label").alias("neg_label"),
-            F.round(
-                _dot(F.col("q_emb"), F.col("embedding"))
-                / (F.col("q_norm") * F.col("c_norm")),
-                6,
+            (
+                F.round(
+                    _dot(F.col("q_emb"), F.col("embedding"))
+                    / (F.col("q_norm") * F.col("c_norm")),
+                    6,
+                )
+                + F.lit(0.0)  # normalize IEEE -0.0 (engine-dependent sign)
             ).alias("cos_sim"),
         )
     )
@@ -232,7 +238,7 @@ def knn_lsh(
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cos_sim"),
+            (F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6) + F.lit(0.0)).alias("cos_sim"),
         )
     )
     from pyspark.sql import Window

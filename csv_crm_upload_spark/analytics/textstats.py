@@ -804,7 +804,7 @@ def zipf1_source_zipf_slope(documents: DataFrame, top_r: int = 100) -> DataFrame
         n * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
     )
     return agg.select(
-        "source", "n_ranks", F.round(slope, 6).alias("zipf_slope")
+        "source", "n_ranks", (F.round(slope, 6) + F.lit(0.0)).alias("zipf_slope")
     ).orderBy("source")
 
 

@@ -1080,8 +1080,8 @@ def stat1_price_quantity_stats(lineitem: DataFrame) -> DataFrame:
     return (
         lineitem.groupBy("l_returnflag")
         .agg(
-            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
-            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_covar"),
+            (F.round(F.corr("l_quantity", "l_extendedprice"), 6) + F.lit(0.0)).alias("qty_price_corr"),
+            (F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2) + F.lit(0.0)).alias("qty_price_covar"),
             F.count(F.lit(1)).alias("n_lines"),
         )
         .orderBy("l_returnflag")
@@ -1439,10 +1439,13 @@ def norm1_zscore_value(events: DataFrame) -> DataFrame:
         .select(
             "event_id",
             "event_type",
-            F.round(
-                (F.col("value").cast("double") - F.col("s") / F.col("n"))
-                / F.sqrt(var_num / (F.col("n") - 1)),
-                6,
+            (
+                F.round(
+                    (F.col("value").cast("double") - F.col("s") / F.col("n"))
+                    / F.sqrt(var_num / (F.col("n") - 1)),
+                    6,
+                )
+                + F.lit(0.0)
             ).alias("z_value"),
         )
     )
@@ -1649,7 +1652,7 @@ def wow1_weekly_growth(events: DataFrame) -> DataFrame:
         "week",
         "n_events",
         prev.alias("prev_week"),
-        F.round((F.col("n_events") - prev) / prev * 100, 2).alias("pct_change"),
+        (F.round((F.col("n_events") - prev) / prev * 100, 2) + F.lit(0.0)).alias("pct_change"),
     ).orderBy("week")
 
 
@@ -1792,7 +1795,9 @@ def corr1_spearman_orders(orders: DataFrame) -> DataFrame:
     nd = F.col("n_customers").cast("double")
     sd = F.col("sum_d2").cast("double")
     rho = F.lit(1.0) - (F.lit(6.0) * sd) / (nd * (nd * nd - F.lit(1.0)))
-    return agg.select("n_customers", "sum_d2", F.round(rho, 6).alias("rho"))
+    return agg.select(
+        "n_customers", "sum_d2", (F.round(rho, 6) + F.lit(0.0)).alias("rho")
+    )
 
 
 def unpiv1_status_counts(orders: DataFrame) -> DataFrame:
