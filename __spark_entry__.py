@@ -2472,6 +2472,7 @@ def oracle_sql() -> dict[str, str]:
                         * (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE) - 1.0)),
                  6) + 0.0 AS rho
         FROM ranked
+        HAVING COUNT(*) >= 2
     """
 
     q["unpiv1_status_counts"] = """
@@ -2766,6 +2767,7 @@ def oracle_sql() -> dict[str, str]:
                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
                  6) + 0.0 AS zipf_slope
         FROM sums
+        WHERE n_ranks >= 2
         ORDER BY source
     """
     # fh1: signed feature hashing — md5_60 integer convention; DuckDB's

@@ -803,9 +803,17 @@ def zipf1_source_zipf_slope(documents: DataFrame, top_r: int = 100) -> DataFrame
     slope = (n * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")) / (
         n * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
     )
-    return agg.select(
-        "source", "n_ranks", (F.round(slope, 6) + F.lit(0.0)).alias("zipf_slope")
-    ).orderBy("source")
+    # n_ranks ≥ 2 guard: a single-rank source has zero x-variance and
+    # the slope is 0/0 — Spark's double division yields NaN where
+    # DuckDB yields NULL, so the undefined row is EXCLUDED identically
+    # in both engines instead
+    return (
+        agg.filter(F.col("n_ranks") >= 2)
+        .select(
+            "source", "n_ranks", (F.round(slope, 6) + F.lit(0.0)).alias("zipf_slope")
+        )
+        .orderBy("source")
+    )
 
 
 def leak1_cross_split_leakage(documents: DataFrame, n: int = 5) -> DataFrame:

@@ -1795,7 +1795,9 @@ def corr1_spearman_orders(orders: DataFrame) -> DataFrame:
     nd = F.col("n_customers").cast("double")
     sd = F.col("sum_d2").cast("double")
     rho = F.lit(1.0) - (F.lit(6.0) * sd) / (nd * (nd * nd - F.lit(1.0)))
-    return agg.select(
+    # n ≥ 2 guard: rank correlation of one customer is 0/0 — Spark NaN
+    # vs DuckDB NULL; drop the undefined row identically in both engines
+    return agg.filter(F.col("n_customers") >= 2).select(
         "n_customers", "sum_d2", (F.round(rho, 6) + F.lit(0.0)).alias("rho")
     )
 
