@@ -2730,6 +2730,7 @@ def oracle_sql() -> dict[str, str]:
                      / (CAST(n AS DOUBLE) - 1), 6) + 0.0 AS cov
         FROM pairs JOIN means mi ON pairs.i = mi.dim
                    JOIN means mj ON pairs.j = mj.dim
+        WHERE n >= 2
         ORDER BY i, j
     """
     # zipf1: per-source Zipf slope — integer window rank (count DESC,

@@ -67,12 +67,20 @@ def pca1_covariance(embeddings: DataFrame) -> DataFrame:
             ),
         )
     )
-    rows = embeddings.filter(emb.isNotNull())
+    # size > 0 too: sequence(0, -1) on an EMPTY array steps backwards
+    # ([0, -1] — Spark defaults the step to -1 when start > stop) and
+    # element_at(emb, 0) then throws; the oracle's range(0, 0) simply
+    # emits nothing
+    rows = embeddings.filter(emb.isNotNull() & (F.size(emb) > 0))
     sums = (
         rows.select(F.explode(pair_terms).alias("p"))
         .select("p.i", "p.j", "p.t")
         .groupBy("i", "j")
         .agg(F.sum("t").alias("sxy"), F.count(F.lit(1)).alias("n"))
+        # n ≥ 2 guard: a single-vector table divides by (n−1) = 0 —
+        # Spark NULL vs DuckDB NaN (the zipf1/corr1 divergence class);
+        # the undefined matrix is dropped identically in both engines
+        .filter(F.col("n") >= 2)
     )
     comp = rows.select(F.posexplode(emb).alias("dim", "v")).select(
         "dim", _v9(F.col("v")).cast("decimal(28,9)").alias("v9")
@@ -166,42 +174,15 @@ def pca2_projected_knn(
     oracle); contracts pinned in tests/test_pca.py — r = d recovers the
     full-space ranking exactly, planted low-rank data meets a recall
     floor at r ≪ d."""
+    from csv_crm_upload_spark.analytics.similarity import knn_bruteforce
+
     if query_ids is None:
         query_ids = list(range(10))
     loadings, _ = fit_pca(embeddings, r)
-    proj = pca_project(embeddings, loadings)
-    norm = F.sqrt(
-        F.aggregate(
-            F.col("proj"), F.lit(0.0), lambda acc, v: acc + v * v
-        )
+    # the projected frame IS an embeddings table in r dims — reuse the
+    # one kNN implementation (broadcast queries, hoisted norms, top-k
+    # window, signed-zero-normalized cosine) instead of a second copy
+    proj = pca_project(embeddings, loadings).select(
+        "vec_id", F.col("proj").alias("embedding")
     )
-    queries = proj.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("proj").alias("q_proj"),
-        norm.alias("q_norm"),
-    )
-    corpus = proj.select("vec_id", "proj", norm.alias("c_norm"))
-    dot = F.aggregate(
-        F.zip_with(F.col("q_proj"), F.col("proj"), lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    scored = (
-        corpus.crossJoin(F.broadcast(queries))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            F.round(dot / (F.col("q_norm") * F.col("c_norm")), 6).alias("cos_sim"),
-        )
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("vec_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cos_sim", "rank")
-    )
+    return knn_bruteforce(proj, query_ids=query_ids, k=k)

@@ -728,9 +728,15 @@ def dsir1_importance_weights(
     Plan: one (doc, tok) combining agg + one tok-keyed two-sided count
     agg joined back on tok + a broadcast 1-row total — two keyed
     shuffles, no windows, no driver data."""
+    # when/otherwise, not a bare boolean cast: a NULL lang must count as
+    # raw (0), not null-propagate its tokens out of both LMs' sums —
+    # mirrors the oracle's CASE WHEN lang = 'en' THEN 1 ELSE 0 END
     toks = documents.filter(F.col("text").isNotNull()).select(
         "doc_id",
-        (F.col("lang") == target_lang).cast("long").alias("is_t"),
+        F.when(F.col("lang") == target_lang, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_t"),
         F.explode(_norm_tokens()).alias("tok"),
     )
     per_doc_tok = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))

@@ -449,9 +449,9 @@ def test_round6_operator_shuffle_budgets(spark, sf_dir):
         #        (doc,tok) agg, tok agg, 1-row total, tok re-exchange
         #        for the join, per-doc agg, result order
         "dsir1_importance_weights": 6,
-        # zipf1 3 — (source, tok) combining agg, source-KEYED rank
-        #        window (never a global sort), per-source agg (+order
-        #        folded by AQE)
+        # zipf1 4 — (source, tok) combining agg, source-KEYED rank
+        #        window (never a global sort), per-source agg, result
+        #        order
         "zipf1_source_zipf_slope": 4,
         # bpe4 2 — map-only merge application riding the scan, lang
         #        combining agg, result order
