@@ -303,6 +303,27 @@ def main() -> None:
     finally:
         shutil.rmtree(bpe_dir, ignore_errors=True)
 
+    # persisted PCA model: the sufficient-statistic build (one combining
+    # shuffle + d²-bounded write) vs the map-only projection against the
+    # stored sums (≡ inline fit+project, pinned by tests/test_pca.py).
+    from csv_crm_upload_spark.analytics import pca as pcamod
+
+    pca_dir = tempfile.mkdtemp(prefix="bench_pca_model_")
+    stage = "pca_model_build"
+    try:
+        emb = load_table(spark, sf_dir, "embeddings")
+        t0 = time.perf_counter()
+        pcamod.save_pca_model(emb, pca_dir)
+        extra["pca_model_build"] = round(time.perf_counter() - t0, 3)
+        stage = "pca_model_project"
+        t0 = time.perf_counter()
+        pcamod.project_with_pca_model(emb, pca_dir).agg({"*": "count"}).collect()
+        extra["pca_model_project"] = round(time.perf_counter() - t0, 3)
+    except Exception as e:
+        errors[stage] = f"{type(e).__name__}: {e}"[:200]
+    finally:
+        shutil.rmtree(pca_dir, ignore_errors=True)
+
     duckdb_timings = _duckdb_timings(sf_dir, entrymod.oracle_sql())
     ratios = {
         n: round(timings[n] / duckdb_timings[n], 2)

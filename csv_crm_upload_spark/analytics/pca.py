@@ -46,6 +46,45 @@ def pca1_covariance(embeddings: DataFrame) -> DataFrame:
     — then one combining shuffle on (i, j); the per-dim component sums
     are a second combining agg on dim (d rows) that broadcasts back.
     """
+    pairs, dims = _sufficient_stats(embeddings)
+    return _cov_from_stats(pairs, dims)
+
+
+def _cov_from_stats(pairs: DataFrame, dims: DataFrame) -> DataFrame:
+    """The covariance readout over (possibly loaded/merged) sufficient
+    statistics. n ≥ 2 guard: a single-vector table divides by (n−1) = 0
+    — Spark NULL vs DuckDB NaN (the zipf1/corr1 divergence class); the
+    undefined matrix is dropped identically in both engines."""
+    sums = pairs.filter(F.col("n") >= 2)
+    si = dims.select(F.col("dim").alias("i"), F.col("s").alias("s_i"))
+    sj = dims.select(F.col("dim").alias("j"), F.col("s").alias("s_j"))
+    n = F.col("n").cast("double")
+    # + 0.0 normalizes IEEE signed zero: Spark's BigDecimal round drops
+    # the sign of −0.0 while DuckDB keeps it — the one representation
+    # difference the value-hash compare would see
+    cov = F.round(
+        (
+            F.col("sxy").cast("double")
+            - F.col("s_i").cast("double") * F.col("s_j").cast("double") / n
+        )
+        / (n - 1),
+        6,
+    ) + F.lit(0.0)
+    return (
+        sums.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .select("i", "j", cov.alias("cov"))
+        .orderBy("i", "j")
+    )
+
+
+def _sufficient_stats(embeddings: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(pair sums, dim sums) — the ADDITIVE sufficient statistics of
+    the covariance: per (i, j ≥ i) the DECIMAL(38,12) sum of 12-dp
+    product terms + the vector count, per dim the DECIMAL(28,9) sum of
+    9-dp components. Exact decimal sums fold across corpus shards by
+    simple addition — the property the persisted model's incremental ≡
+    rebuild contract rests on."""
     emb = F.col("embedding")
     d = F.size(emb)
 
@@ -67,58 +106,29 @@ def pca1_covariance(embeddings: DataFrame) -> DataFrame:
             ),
         )
     )
-    # size > 0 too: sequence(0, -1) on an EMPTY array steps backwards
-    # ([0, -1] — Spark defaults the step to -1 when start > stop) and
-    # element_at(emb, 0) then throws; the oracle's range(0, 0) simply
-    # emits nothing
     rows = embeddings.filter(emb.isNotNull() & (F.size(emb) > 0))
-    sums = (
+    pairs = (
         rows.select(F.explode(pair_terms).alias("p"))
         .select("p.i", "p.j", "p.t")
         .groupBy("i", "j")
-        .agg(F.sum("t").alias("sxy"), F.count(F.lit(1)).alias("n"))
-        # n ≥ 2 guard: a single-vector table divides by (n−1) = 0 —
-        # Spark NULL vs DuckDB NaN (the zipf1/corr1 divergence class);
-        # the undefined matrix is dropped identically in both engines
-        .filter(F.col("n") >= 2)
+        .agg(F.sum("t").alias("sxy"), F.count(F.lit(1)).cast("long").alias("n"))
     )
-    comp = rows.select(F.posexplode(emb).alias("dim", "v")).select(
-        "dim", _v9(F.col("v")).cast("decimal(28,9)").alias("v9")
+    dims = (
+        rows.select(F.posexplode(emb).alias("dim", "v"))
+        .select("dim", _v9(F.col("v")).cast("decimal(28,9)").alias("v9"))
+        .groupBy("dim")
+        .agg(F.sum("v9").alias("s"))
     )
-    means = comp.groupBy("dim").agg(F.sum("v9").alias("s"))
-    si = means.select(F.col("dim").alias("i"), F.col("s").alias("s_i"))
-    sj = means.select(F.col("dim").alias("j"), F.col("s").alias("s_j"))
-    n = F.col("n").cast("double")
-    # + 0.0 normalizes IEEE signed zero: Spark's BigDecimal round drops
-    # the sign of −0.0 while DuckDB keeps it — the one representation
-    # difference the value-hash compare would see
-    cov = F.round(
-        (
-            F.col("sxy").cast("double")
-            - F.col("s_i").cast("double") * F.col("s_j").cast("double") / n
-        )
-        / (n - 1),
-        6,
-    ) + F.lit(0.0)
-    return (
-        sums.join(F.broadcast(si), "i")
-        .join(F.broadcast(sj), "j")
-        .select("i", "j", cov.alias("cov"))
-        .orderBy("i", "j")
-    )
+    return pairs, dims
 
 
-def fit_pca(embeddings: DataFrame, r: int = 16) -> tuple[list[list[float]], list[float]]:
-    """Top-r principal axes from the exact covariance — (loadings,
-    eigenvalues), loadings[k] the k-th component's d weights. The ONLY
-    driver work is numpy's eigh over the d×d matrix collected from
-    pca1_covariance (d² bounded rows — the IVF-centroid convention);
-    sign fixed so each component's max-|w| entry is positive (eigh's
-    sign is otherwise arbitrary), ties in eigenvalue order broken by
-    eigh's deterministic ascending output reversed."""
+def _loadings_from_cov_rows(tri, r: int) -> tuple[list[list[float]], list[float]]:
+    """eigh over collected (i, j, cov) rows — sign fixed so each
+    component's max-|w| entry is positive (eigh's sign is otherwise
+    arbitrary), eigenvalue order descending via eigh's deterministic
+    ascending output reversed."""
     import numpy as np
 
-    tri = pca1_covariance(embeddings).collect()
     d = max(row["j"] for row in tri) + 1
     c = np.zeros((d, d))
     for row in tri:
@@ -135,6 +145,14 @@ def fit_pca(embeddings: DataFrame, r: int = 16) -> tuple[list[list[float]], list
         loadings.append([float(x) for x in w])
         eigvals.append(float(vals[k]))
     return loadings, eigvals
+
+
+def fit_pca(embeddings: DataFrame, r: int = 16) -> tuple[list[list[float]], list[float]]:
+    """Top-r principal axes from the exact covariance — (loadings,
+    eigenvalues), loadings[k] the k-th component's d weights. The ONLY
+    driver work is numpy's eigh over the d×d matrix collected from
+    pca1_covariance (d² bounded rows — the IVF-centroid convention)."""
+    return _loadings_from_cov_rows(pca1_covariance(embeddings).collect(), r)
 
 
 def pca_project(embeddings: DataFrame, loadings: list[list[float]]) -> DataFrame:
@@ -186,3 +204,106 @@ def pca2_projected_knn(
         "vec_id", F.col("proj").alias("embedding")
     )
     return knn_bruteforce(proj, query_ids=query_ids, k=k)
+
+
+# ---------------------------------------------------------------------------
+# Persisted PCA model — fit once / project many, with O(new vectors)
+# appends. The persisted state is the ADDITIVE sufficient statistics
+# (decimal pair-term sums, decimal component sums, vector count): a
+# corpus shard folds in by exact decimal addition — never a re-scan of
+# the fitted corpus — and the loadings are recomputed from the merged
+# d²-bounded sums, so incremental ≡ rebuild is bit-exact (same summed
+# decimals → same covariance → same deterministic eigh). Every epoch is
+# a fully-merged snapshot (base_epoch == epoch, the NB/BPE layout);
+# superseded snapshots are reclaimed by CorpusIndexService.vacuum().
+# ---------------------------------------------------------------------------
+
+PCA_SUBDIRS = ["pairsums", "dimsums"]
+
+
+def _write_snapshot(pairs: DataFrame, dims: DataFrame, path: str, epoch: int) -> None:
+    pairs.write.mode("overwrite").parquet(f"{path}/pairsums/epoch={epoch}")
+    dims.write.mode("overwrite").parquet(f"{path}/dimsums/epoch={epoch}")
+
+
+def save_pca_model(embeddings: DataFrame, path: str, r: int = 16) -> None:
+    """Persist the PCA sufficient statistics (and the component count to
+    serve), epoch-versioned under the shared manifest protocol (atomic
+    rebuild-over-live preserving `last_txn` included)."""
+    from csv_crm_upload_spark.operators.manifest import commit_manifest, rebuild_epoch
+
+    new_epoch, prior = rebuild_epoch(path)
+    pairs, dims = _sufficient_stats(embeddings)
+    _write_snapshot(pairs, dims, path, new_epoch)
+    commit_manifest(
+        path, {**prior, "epoch": new_epoch, "base_epoch": new_epoch, "r": r}
+    )
+
+
+def update_pca_model(
+    new_embeddings: DataFrame, path: str, txn: tuple[str, int] | None = None
+) -> None:
+    """Fold an embedding APPEND into the model: sufficient stats over
+    ONLY the new vectors, exact decimal addition into the next
+    fully-merged snapshot (a d²-bounded pass), atomic commit. `txn` is
+    the streaming replay guard (manifest.txn_already_applied).
+
+    Precondition (caller's dedup responsibility): new vec_ids are not
+    already fitted — double-folding a shard double-counts it."""
+    from csv_crm_upload_spark.operators.manifest import (
+        commit_manifest,
+        read_manifest,
+        remove_orphan_epochs,
+        txn_already_applied,
+        with_txn,
+    )
+
+    spark = new_embeddings.sparkSession
+    m = read_manifest(path)
+    if txn_already_applied(m, txn):
+        return
+    epoch = m["epoch"]
+    remove_orphan_epochs(path, PCA_SUBDIRS, epoch)
+
+    d_pairs, d_dims = _sufficient_stats(new_embeddings)
+    if not d_dims.limit(1).count():
+        return  # nothing with a non-empty vector — clean no-op
+    nxt = epoch + 1
+    merged_pairs = (
+        spark.read.parquet(f"{path}/pairsums/epoch={epoch}")
+        .unionByName(d_pairs)
+        .groupBy("i", "j")
+        .agg(F.sum("sxy").alias("sxy"), F.sum("n").cast("long").alias("n"))
+    )
+    merged_dims = (
+        spark.read.parquet(f"{path}/dimsums/epoch={epoch}")
+        .unionByName(d_dims)
+        .groupBy("dim")
+        .agg(F.sum("s").alias("s"))
+    )
+    _write_snapshot(merged_pairs, merged_dims, path, nxt)
+    commit_manifest(path, with_txn({**m, "epoch": nxt, "base_epoch": nxt}, txn))
+
+
+def load_pca_loadings(
+    spark, path: str, r: int | None = None
+) -> tuple[list[list[float]], list[float]]:
+    """Loadings served from the persisted sums — the bounded d²-row
+    collect + eigh, identical to fit_pca over the fitted corpus."""
+    from csv_crm_upload_spark.operators.manifest import read_manifest
+
+    m = read_manifest(path)
+    epoch = m["epoch"]
+    pairs = spark.read.parquet(f"{path}/pairsums/epoch={epoch}")
+    dims = spark.read.parquet(f"{path}/dimsums/epoch={epoch}")
+    tri = _cov_from_stats(pairs, dims).collect()
+    return _loadings_from_cov_rows(tri, r if r is not None else m["r"])
+
+
+def project_with_pca_model(embeddings: DataFrame, path: str) -> DataFrame:
+    """Project arbitrary vectors with the PERSISTED model — the fit
+    never reruns; the stored sums resolve to loadings once (driver,
+    d²-bounded) and projection rides the scan map-only."""
+    spark = embeddings.sparkSession
+    loadings, _ = load_pca_loadings(spark, path)
+    return pca_project(embeddings, loadings)

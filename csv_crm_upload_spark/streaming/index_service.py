@@ -52,6 +52,8 @@ INDEX_LAYOUTS: dict[str, tuple[list[str], dict[str, str]]] = {
     # BPE model epochs are fully-merged snapshots too (vocab + merges
     # relearned from it) — gc reclaims all superseded copies
     "bpe": (["vocab", "merges"], {}),
+    # PCA sufficient-statistic snapshots (additive decimal sums)
+    "pca": (["pairsums", "dimsums"], {}),
 }
 
 
@@ -93,6 +95,7 @@ class CorpusIndexService:
         nb_model: str | None = None,
         winnow_index: str | None = None,
         bpe_model: str | None = None,
+        pca_model: str | None = None,
         cursor_path: str | None = None,
         compact_after: int | None = None,
     ) -> None:
@@ -109,6 +112,7 @@ class CorpusIndexService:
         self.nb_model = nb_model
         self.winnow_index = winnow_index
         self.bpe_model = bpe_model
+        self.pca_model = pca_model
         self.cursor_path = cursor_path or os.path.join(
             docs_dir or emb_dir, "_index_service_cursor.json"
         )
@@ -204,6 +208,10 @@ class CorpusIndexService:
                 from csv_crm_upload_spark.analytics.ivfpq import update_ivfpq_index
 
                 update_ivfpq_index(new_emb, self.ivfpq_index)
+            if self.pca_model is not None:
+                from csv_crm_upload_spark.analytics.pca import update_pca_model
+
+                update_pca_model(new_emb, self.pca_model)
             self._seen.update(emb_shards)
             folded["embeddings"] = emb_shards
 
@@ -268,6 +276,7 @@ class CorpusIndexService:
             ("nb", self.nb_model),
             ("winnow", self.winnow_index),
             ("bpe", self.bpe_model),
+            ("pca", self.pca_model),
         ):
             if idx_path is not None:
                 ranged, pinned = INDEX_LAYOUTS[kind]
@@ -288,6 +297,7 @@ def run_index_maintenance_stream(
     nb_model: str | None = None,
     winnow_index: str | None = None,
     bpe_model: str | None = None,
+    pca_model: str | None = None,
     available_now: bool = True,
     app_id: str | None = None,
 ):
@@ -351,6 +361,10 @@ def run_index_maintenance_stream(
             from csv_crm_upload_spark.analytics.ivfpq import update_ivfpq_index
 
             update_ivfpq_index(batch_df, ivfpq_index, txn=txn)
+        if pca_model is not None:
+            from csv_crm_upload_spark.analytics.pca import update_pca_model
+
+            update_pca_model(batch_df, pca_model, txn=txn)
 
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

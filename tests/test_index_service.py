@@ -302,6 +302,7 @@ def test_soak_sustained_appends_bounded_epochs_and_vacuum(spark, sf_dir, tmp_pat
     is what bounds read fan-out and disk growth for a service that folds
     shards forever."""
     from csv_crm_upload_spark.analytics.bpe import save_bpe_model
+    from csv_crm_upload_spark.analytics.pca import save_pca_model
     from csv_crm_upload_spark.analytics.nbayes import save_nb_model
     from csv_crm_upload_spark.analytics.winnow import save_winnow_index
     from csv_crm_upload_spark.operators.manifest import read_manifest
@@ -321,6 +322,7 @@ def test_soak_sustained_appends_bounded_epochs_and_vacuum(spark, sf_dir, tmp_pat
     save_nb_model(base_docs, paths["nb"])
     save_winnow_index(base_docs, paths["winnow"])
     save_bpe_model(base_docs, paths["bpe"], steps=2)
+    save_pca_model(base_emb, paths["pca"], r=4)
 
     docs_drop = str(tmp_path / "docs_drop")
     emb_drop = str(tmp_path / "emb_drop")
@@ -339,6 +341,7 @@ def test_soak_sustained_appends_bounded_epochs_and_vacuum(spark, sf_dir, tmp_pat
         nb_model=paths["nb"],
         winnow_index=paths["winnow"],
         bpe_model=paths["bpe"],
+        pca_model=paths["pca"],
         compact_after=COMPACT_AFTER,
     )
 

@@ -109,3 +109,132 @@ def test_recall_floor_on_planted_low_rank(spark):
         got.setdefault(r["query_id"], set()).add(r["vec_id"])
     recalls = [len(truth[q] & got[q]) / 5 for q in qids]
     assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()), key=repr)
+
+
+def test_pca_model_incremental_equals_rebuild(spark, sf_dir, tmp_path):
+    """Folding an embedding shard lands the SAME model a rebuild would:
+    the sufficient statistics are exact decimal sums, so the stored
+    tables AND the served loadings are bit-equal."""
+    from csv_crm_upload_spark.analytics.pca import (
+        load_pca_loadings,
+        save_pca_model,
+        update_pca_model,
+    )
+    from csv_crm_upload_spark.operators.manifest import read_manifest
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    second = emb.filter(F.col("vec_id") % 2 == 1)
+
+    inc = str(tmp_path / "pca_inc")
+    full = str(tmp_path / "pca_full")
+    save_pca_model(first, inc, r=8)
+    update_pca_model(second, inc)
+    save_pca_model(emb, full, r=8)
+
+    for sub in ["pairsums", "dimsums"]:
+        ea, eb = read_manifest(inc)["epoch"], read_manifest(full)["epoch"]
+        ta = _rows(spark.read.parquet(f"{inc}/{sub}/epoch={ea}"))
+        tb = _rows(spark.read.parquet(f"{full}/{sub}/epoch={eb}"))
+        assert ta == tb, sub
+    assert load_pca_loadings(spark, inc) == load_pca_loadings(spark, full)
+
+
+def test_pca_model_serves_inline_fit(spark, sf_dir, tmp_path):
+    """Loadings served from the persisted sums equal fit_pca over the
+    same corpus, and project_with_pca_model equals the inline
+    fit-then-project path."""
+    from csv_crm_upload_spark.analytics.pca import (
+        load_pca_loadings,
+        project_with_pca_model,
+        save_pca_model,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "pca")
+    save_pca_model(emb, path, r=6)
+    loadings, eigvals = load_pca_loadings(spark, path)
+    inline_loadings, inline_eigvals = fit_pca(emb, r=6)
+    assert loadings == inline_loadings
+    assert eigvals == inline_eigvals
+    assert _rows(project_with_pca_model(emb.limit(20), path)) == _rows(
+        pca_project(emb.limit(20), inline_loadings)
+    )
+
+
+def test_pca_model_txn_replay_and_service_fold(spark, sf_dir, tmp_path):
+    """Streaming replay guard no-ops; a dropped embedding shard folds on
+    the next service tick and the refreshed loadings equal a rebuild
+    over the union; vacuum reclaims the superseded snapshot."""
+    import os
+
+    from csv_crm_upload_spark.analytics.pca import (
+        load_pca_loadings,
+        save_pca_model,
+        update_pca_model,
+    )
+    from csv_crm_upload_spark.operators.manifest import read_manifest
+    from csv_crm_upload_spark.streaming.index_service import CorpusIndexService
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    first = emb.filter(F.col("vec_id") < 300)
+    shard = emb.filter(F.col("vec_id") >= 300)
+
+    model = str(tmp_path / "pca_model")
+    save_pca_model(first, model, r=4)
+    update_pca_model(shard.limit(0), model, txn=("svc", 1))  # empty → no-op
+    e0 = read_manifest(model)["epoch"]
+    update_pca_model(shard, model, txn=("svc", 7))
+    assert read_manifest(model)["epoch"] == e0 + 1
+    update_pca_model(shard, model, txn=("svc", 7))  # replayed batch
+    assert read_manifest(model)["epoch"] == e0 + 1, "replay must not double-fold"
+
+    # service tick over a fresh model + drop dir
+    model2 = str(tmp_path / "pca2_model")
+    save_pca_model(first, model2, r=4)
+    drop = str(tmp_path / "emb_drop")
+    os.makedirs(drop)
+    svc = CorpusIndexService(spark, emb_dir=drop, pca_model=model2)
+    shard.write.parquet(f"{drop}/shard_a")
+    assert svc.tick()["embeddings"], "shard must fold on the tick after landing"
+    full = str(tmp_path / "pca_full")
+    save_pca_model(emb, full, r=4)
+    assert load_pca_loadings(spark, model2) == load_pca_loadings(spark, full)
+
+    removed = svc.vacuum()
+    assert any("epoch=0" in p for p in removed), removed
+    assert load_pca_loadings(spark, model2) == load_pca_loadings(spark, full)
+
+
+def test_streaming_maintenance_folds_pca_model(spark, sf_dir, tmp_path):
+    """run_index_maintenance_stream with pca_model: checkpointed fold
+    advances exactly once; a second availableNow run no-ops."""
+    from csv_crm_upload_spark.analytics.pca import save_pca_model
+    from csv_crm_upload_spark.operators.manifest import read_manifest
+    from csv_crm_upload_spark.streaming.index_service import (
+        run_index_maintenance_stream,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = str(tmp_path / "pca")
+    save_pca_model(emb.filter(F.col("vec_id") < 300), model, r=4)
+    e0 = read_manifest(model)["epoch"]
+
+    drop = str(tmp_path / "drop")
+    emb.filter(F.col("vec_id") >= 300).write.parquet(f"{drop}/shard_a")
+    ckpt = str(tmp_path / "ckpt")
+    q = run_index_maintenance_stream(
+        spark, drop, ckpt, kind="embeddings", pca_model=model
+    )
+    q.awaitTermination(120)
+    assert read_manifest(model)["epoch"] == e0 + 1
+
+    q2 = run_index_maintenance_stream(
+        spark, drop, ckpt, kind="embeddings", pca_model=model
+    )
+    q2.awaitTermination(120)
+    assert read_manifest(model)["epoch"] == e0 + 1, "replay must no-op"
