@@ -1173,7 +1173,7 @@ def oracle_sql() -> dict[str, str]:
 
     n_tables, n_planes_knn = 8, 4
     table_buckets_union = "\n          UNION ALL ".join(
-        f"SELECT vec_id, {t} AS tbl, CAST({_bucket_bits(t, n_planes_knn)} AS INT) AS bucket FROM embeddings"
+        f"SELECT vec_id, {t} AS tbl, CAST({_bucket_bits(t, n_planes_knn)} AS INT) AS bucket FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0"
         for t in range(n_tables)
     )
     q["sim_knn_lsh"] = f"""
@@ -1244,7 +1244,7 @@ def oracle_sql() -> dict[str, str]:
     """
     q["dd_embed_neardup"] = f"""
         WITH sig AS (
-          SELECT vec_id, CAST({_bucket_bits(0, 8)} AS INT) AS bucket FROM embeddings
+          SELECT vec_id, CAST({_bucket_bits(0, 8)} AS INT) AS bucket FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0
         ),
         wb AS (SELECT e.vec_id, e.embedding, s.bucket FROM embeddings e JOIN sig s USING (vec_id)),
         pairs AS (
@@ -1840,13 +1840,13 @@ def oracle_sql() -> dict[str, str]:
         WITH init AS (
           SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster_id,
                  embedding AS centroid
-          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+          FROM (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 ORDER BY vec_id LIMIT 8)
         ),
         s1 AS (
           SELECT e.vec_id, e.embedding, c.cluster_id,
                  round(list_sum(list_transform(range(1, len(e.embedding) + 1),
                        i -> e.embedding[i]::DOUBLE * c.centroid[i]::DOUBLE)), 6) AS sim
-          FROM embeddings e CROSS JOIN init c
+          FROM embeddings e CROSS JOIN init c WHERE e.embedding IS NOT NULL AND len(e.embedding) > 0
         ),
         a1 AS (
           SELECT vec_id, embedding, cluster_id, sim
@@ -1869,7 +1869,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT e.vec_id, c.cluster_id,
                  round(list_sum(list_transform(range(1, len(e.embedding) + 1),
                        i -> e.embedding[i]::DOUBLE * c.centroid[i])), 6) AS sim
-          FROM embeddings e CROSS JOIN c1 c
+          FROM embeddings e CROSS JOIN c1 c WHERE e.embedding IS NOT NULL AND len(e.embedding) > 0
         ),
         a2 AS (
           SELECT vec_id, cluster_id, sim
@@ -2798,13 +2798,13 @@ def oracle_sql() -> dict[str, str]:
         WITH init AS (
           SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster_id,
                  embedding AS centroid
-          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+          FROM (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 ORDER BY vec_id LIMIT 8)
         ),
         s1 AS (
           SELECT e.vec_id, e.embedding, c.cluster_id,
                  round(list_sum(list_transform(range(1, len(e.embedding) + 1),
                        i -> e.embedding[i]::DOUBLE * c.centroid[i]::DOUBLE)), 6) AS sim
-          FROM embeddings e CROSS JOIN init c
+          FROM embeddings e CROSS JOIN init c WHERE e.embedding IS NOT NULL AND len(e.embedding) > 0
         ),
         a1 AS (
           SELECT vec_id, embedding, cluster_id, sim
@@ -2827,7 +2827,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT e.vec_id, c.cluster_id,
                  round(list_sum(list_transform(range(1, len(e.embedding) + 1),
                        i -> e.embedding[i]::DOUBLE * c.centroid[i])), 6) AS sim
-          FROM embeddings e CROSS JOIN c1 c
+          FROM embeddings e CROSS JOIN c1 c WHERE e.embedding IS NOT NULL AND len(e.embedding) > 0
         ),
         a2 AS (
           SELECT vec_id, cluster_id

@@ -67,7 +67,15 @@ def kmeans_assignments(
     that for a row-count blowup AND would break this operator's DuckDB
     oracle (an unrolled per-dim CTE), so the per-dim-expression shape is
     kept; treat ~1k dims as the documented ceiling of the oracle-paired
-    path."""
+    path.
+
+    NULL/zero-length vectors are EXCLUDED up front (mirrored by the
+    oracle's WHERE): one corrupt row must degrade to a skipped vector,
+    not an ANSI element_at job abort across the fleet — the per-dim
+    mean recompute indexes embedding[d+1] directly."""
+    embeddings = embeddings.filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+    )
     dim = len(embeddings.select("embedding").first()["embedding"])
 
     init_rows = (

@@ -18,7 +18,9 @@ from pyspark.sql.types import DoubleType, LongType, StringType, StructField, Str
 
 SOURCE_STATS_SCHEMA = StructType(
     [
-        StructField("source", StringType(), False),
+        # nullable: a NULL source is a legitimate group (DuckDB groups
+        # it too); a False here turns that group into an executor NPE
+        StructField("source", StringType(), True),
         StructField("n_docs", LongType(), False),
         StructField("median_chars", DoubleType(), True),
         StructField("iqr_chars", DoubleType(), True),

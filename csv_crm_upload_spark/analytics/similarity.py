@@ -181,10 +181,23 @@ def _bucket_expr(table: int, n_planes: int) -> F.Column:
     return bucket.cast("int")
 
 
+def _valid_vectors(embeddings: DataFrame) -> DataFrame:
+    """Drop NULL/zero-length vectors before any plane-term indexing —
+    sequence(0, size−1) on an EMPTY array steps backwards ([0, −1]) and
+    element_at(emb, 0) then aborts the job; one corrupt row must degrade
+    to a skipped vector, not a fleet-wide failure. The oracles carry the
+    same WHERE so both engines define the op over valid vectors."""
+    return embeddings.filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+    )
+
+
 def lsh_bucket_signature(embeddings: DataFrame, n_planes: int = 8, table: int = 0) -> DataFrame:
     """Random-hyperplane LSH (one table): bit p = sign(v · h_p). Returns
     vec_id + integer bucket. Same-bucket vectors are cosine-similar w.h.p."""
-    return embeddings.select("vec_id", _bucket_expr(table, n_planes).alias("bucket"))
+    return _valid_vectors(embeddings).select(
+        "vec_id", _bucket_expr(table, n_planes).alias("bucket")
+    )
 
 
 def multi_table_buckets(embeddings: DataFrame, n_tables: int = 8, n_planes: int = 4) -> DataFrame:
@@ -192,7 +205,7 @@ def multi_table_buckets(embeddings: DataFrame, n_tables: int = 8, n_planes: int 
     bucket) in long form. Each table's planes are salted independently;
     candidate recall is 1-(1-p^planes)^tables — tune tables up for
     recall, planes up for precision/cost."""
-    return embeddings.select(
+    return _valid_vectors(embeddings).select(
         "vec_id",
         F.explode(
             F.array(
@@ -286,7 +299,9 @@ def arr1_embedding_stats(embeddings: DataFrame) -> DataFrame:
         F.size(emb).alias("dim"),
         F.round(F.array_min(F.transform(emb, lambda x: x.cast("double"))), 6).alias("min_val"),
         F.round(F.array_max(F.transform(emb, lambda x: x.cast("double"))), 6).alias("max_val"),
-        F.round(_norm(emb), 6).alias("l2_norm"),
+        # empty vector → NULL like min/max (the fold alone would say
+        # 0.0 where the oracle's list_sum says NULL)
+        F.when(F.size(emb) > 0, F.round(_norm(emb), 6)).alias("l2_norm"),
     )
 
 

@@ -432,10 +432,17 @@ def pv1_status_by_priority(orders: DataFrame) -> DataFrame:
     """Pivot (wide conditional aggregation): order counts per priority ×
     status. Fixed pivot values — at scale an unbounded pivot column set
     is a driver-side collect; always enumerate."""
+    # coalesce: pivot leaves an ABSENT (priority, status) cell NULL,
+    # but a count of nothing is 0 — and the oracle's SUM(CASE...) form
+    # says 0 (surfaced by the degenerate fixture's single-member group)
     return (
         orders.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
         .count()
+        .select(
+            "o_orderpriority",
+            *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ("F", "O", "P")],
+        )
         .orderBy("o_orderpriority")
     )
 

@@ -67,10 +67,11 @@ class CorpusIndexService:
         (consumed by the text + dedup indexes) and embedding shards
         (consumed by the vector indexes). Either may be None.
     text_index / dedup_index / ivf_index / pq_index / ivfpq_index /
-    nb_model: paths of already-BUILT indexes/models (save_* must have
-        run); None skips that index. The NB model's epochs are fully
-        merged snapshots, so it never needs compaction (gc of
-        superseded snapshots is a vacuum concern, not a read-path one).
+    nb_model / winnow_index / bpe_model / pca_model: paths of
+        already-BUILT indexes/models (save_* must have run); None skips
+        that index. The NB/BPE/PCA models' epochs are fully merged
+        snapshots, so they never need compaction (gc of superseded
+        snapshots is a vacuum concern, not a read-path one).
     cursor_path: where the processed-shard cursor lives; defaults to
         `<first drop dir>/_index_service_cursor.json`.
     compact_after: auto-OPTIMIZE threshold — after folding, any
