@@ -249,11 +249,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     never-driver-sampled oracle-paired queries closed the ledger and the
     23 round-5 operators all went green in CORRECTNESS_r05 — every
     oracle-paired query in the repo now has a green driver row. Round 6
-    (this file): the eighteen NEW round-6 oracle-paired queries
+    (this file): the nineteen NEW round-6 oracle-paired queries
     (`decon3`, `skw2`, `skw3`, `hn1`, `xsrc1`, `wfp1`, `wfp2`,
     `drift2`, `bpe3`, `cur1`, `dd4`, `nov1`, `msk1`, `dsir1`,
-    `zipf1`, `bpe4`, `mix4`, `pca1`) take slots 13-30 (the rows-only
-    `pca2` sits outside the window with its sketch/learned peers);
+    `zipf1`, `bpe4`, `mix4`, `pca1`, `ppl2`) take slots 13-31 (the
+    rows-only `pca2` sits outside the window with its sketch/learned
+    peers);
     the rest of the window re-samples round-5 keys (all green in r5).
     sim_knn_ivf/pq1/ivfpq1/hll1/mm2/mm3/approx_* are oracle-free
     rows-only whenever sampled."""
@@ -346,6 +347,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact covariance upper triangle (the PCA sufficient statistic)
         "pca1_covariance": lambda s, sf: pca.pca1_covariance(
             _t("embeddings")(s, sf)
+        ),
+        # bigram log-loss under the corpus's own Laplace bigram LM
+        "ppl2_bigram_logloss": lambda s, sf: ts.ppl2_bigram_logloss(
+            _t("documents")(s, sf)
         ),
         # --- rotation window (slots 13-50), round 5: the six oracle-paired
         # queries that have never had a driver CORRECTNESS row lead the
@@ -2668,6 +2673,40 @@ def oracle_sql() -> dict[str, str]:
                              AS DECIMAL(20,12))) AS DOUBLE)
                  AS total_bits
         FROM pdt JOIN tc USING (tok) CROSS JOIN tot
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """
+    # ppl2: bigram log-loss — rep1's chr(1) bigram idiom + ppl1's
+    # decimal discipline; prefix marginal from the bigram counts
+    q["ppl2_bigram_logloss"] = f"""
+        WITH t AS (
+          SELECT doc_id, {_TOKS} AS l FROM documents WHERE text IS NOT NULL
+        ),
+        g AS (
+          SELECT doc_id, l[r.i] || chr(1) || l[r.i + 1] AS bg
+          FROM t, UNNEST(range(1, len(l))) AS r(i)
+          WHERE len(l) >= 2
+        ),
+        pdb AS (SELECT doc_id, bg, COUNT(*) AS c FROM g GROUP BY 1, 2),
+        bc AS (SELECT bg, COUNT(*) AS c_bg FROM g GROUP BY 1),
+        pc AS (
+          SELECT string_split(bg, chr(1))[1] AS prev, SUM(c_bg) AS c_prev
+          FROM bc GROUP BY 1
+        ),
+        vc AS (
+          SELECT COUNT(DISTINCT tok) AS v
+          FROM (SELECT unnest({_TOKS}) AS tok
+                FROM documents WHERE text IS NOT NULL)
+        )
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_bigrams,
+               CAST(SUM(CAST(c AS DECIMAL(12,0)) *
+                        CAST(ROUND(-log2(CAST(c_bg + 1 AS DOUBLE)
+                                         / CAST(c_prev + v AS DOUBLE)), 9)
+                             AS DECIMAL(20,12))) AS DOUBLE) AS total_bits
+        FROM pdb JOIN bc USING (bg)
+        JOIN pc ON string_split(pdb.bg, chr(1))[1] = pc.prev
+        CROSS JOIN vc
         GROUP BY doc_id
         ORDER BY doc_id
     """

@@ -68,6 +68,7 @@ EXTRA = [
     "mix4_unimax_allocation",
     "pca1_covariance",
     "pca2_projected_knn",
+    "ppl2_bigram_logloss",
 ]
 
 # graph family: timed AS A PIPELINE (round 4) — the LSH candidate-pair

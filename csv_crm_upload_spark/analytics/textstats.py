@@ -608,6 +608,57 @@ def ppl1_unigram_logloss(documents: DataFrame) -> DataFrame:
     )
 
 
+def ppl2_bigram_logloss(documents: DataFrame) -> DataFrame:
+    """Per-document average BIGRAM log-loss (bits/bigram) under the
+    corpus's own Laplace-smoothed bigram LM — the order-2 companion to
+    ppl1: P(w | prev) = (c(prev,w) + 1) / (c(prev,·) + V), V the corpus
+    unigram vocabulary, c(prev,·) the bigram-prefix marginal. Bigram
+    surprisal separates word-salad (plausible unigrams, impossible
+    transitions) from ordinary text far better than unigram loss.
+
+    Determinism (ppl1's discipline): −log2 of each DISTINCT bigram's
+    ratio — exact integer counts cast to double, one IEEE division —
+    rounded to 9 dp, then the per-doc weighted sum runs in DECIMAL; the
+    exact total ships next to the doc's bigram count.
+
+    Plan: one (doc, bigram) combining agg + one bigram-keyed corpus agg
+    + its prefix re-combine, joined back on the bigram key, the 1-row
+    vocab count broadcast — all keyed shuffles, no windows."""
+    grams = documents.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.explode(_word_ngrams(_norm_tokens(), 2)).alias("bg")
+    )
+    per_doc_bg = grams.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    bg_counts = grams.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    prefix = F.split(F.col("bg"), "\x01").getItem(0)
+    prev_counts = bg_counts.groupBy(prefix.alias("prev")).agg(
+        F.sum("c_bg").alias("c_prev")
+    )
+    vocab = (
+        documents.filter(F.col("text").isNotNull())
+        .select(F.explode(_norm_tokens()).alias("tok"))
+        .agg(F.count_distinct("tok").alias("v"))
+    )
+    bits = F.round(
+        -F.log2(
+            (F.col("c_bg") + 1).cast("double")
+            / (F.col("c_prev") + F.col("v")).cast("double")
+        ),
+        9,
+    ).cast("decimal(20,12)")
+    contrib = F.col("c").cast("decimal(12,0)") * bits
+    return (
+        per_doc_bg.join(bg_counts, "bg")
+        .join(prev_counts, F.split(F.col("bg"), "\x01").getItem(0) == F.col("prev"))
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.sum(contrib).cast("double").alias("total_bits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def fh1_feature_hash_embed(documents: DataFrame, dim: int = 64) -> DataFrame:
     """Feature-hashed bag-of-words document vectors (the hashing trick,
     Weinberger et al., "Feature Hashing for Large Scale Multitask

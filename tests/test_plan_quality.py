@@ -456,6 +456,10 @@ def test_round6_operator_shuffle_budgets(spark, sf_dir):
         # bpe4 2 — map-only merge application riding the scan, lang
         #        combining agg, result order
         "bpe4_lang_fertility": 2,
+        # ppl2 8 — the dsir1 shape one join deeper: (doc, bg) agg, bg
+        #        agg, prefix re-combine, two join re-exchanges, 1-row
+        #        vocab agg, per-doc agg, result order
+        "ppl2_bigram_logloss": 8,
         # mix4 2 — ONE corpus combining shuffle to the source rollup;
         #        the water-filling windows run single-partition over the
         #        DIMENSION-SIZED rollup (the mix3 precedent, documented)
