@@ -745,6 +745,11 @@ _TOKS = f"string_split({_NORM}, ' ')"
 _RAW_TOKS = "CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(text), '\\s+') END"
 _STOP = "['the','a','of','and','to','in','is','it']"
 _H60 = "('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+# valid-vector gate shared by every embedding oracle whose Spark side
+# filters through similarity.valid_vectors — ONE definition so the two
+# engines cannot drift (the _TOKS/_NORM convention)
+_VALID_EMB = "embedding IS NOT NULL AND len(embedding) > 0"
+_VALID_EMB_E = "e.embedding IS NOT NULL AND len(e.embedding) > 0"
 
 # shingle CTE: word 3-grams, distinct per doc (mirror dd._shingles)
 _SHINGLE_CTE = f"""
@@ -1178,7 +1183,7 @@ def oracle_sql() -> dict[str, str]:
 
     n_tables, n_planes_knn = 8, 4
     table_buckets_union = "\n          UNION ALL ".join(
-        f"SELECT vec_id, {t} AS tbl, CAST({_bucket_bits(t, n_planes_knn)} AS INT) AS bucket FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0"
+        f"SELECT vec_id, {t} AS tbl, CAST({_bucket_bits(t, n_planes_knn)} AS INT) AS bucket FROM embeddings WHERE {_VALID_EMB}"
         for t in range(n_tables)
     )
     q["sim_knn_lsh"] = f"""
@@ -1249,7 +1254,7 @@ def oracle_sql() -> dict[str, str]:
     """
     q["dd_embed_neardup"] = f"""
         WITH sig AS (
-          SELECT vec_id, CAST({_bucket_bits(0, 8)} AS INT) AS bucket FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0
+          SELECT vec_id, CAST({_bucket_bits(0, 8)} AS INT) AS bucket FROM embeddings WHERE {_VALID_EMB}
         ),
         wb AS (SELECT e.vec_id, e.embedding, s.bucket FROM embeddings e JOIN sig s USING (vec_id)),
         pairs AS (
@@ -1841,17 +1846,17 @@ def oracle_sql() -> dict[str, str]:
     # two rounds as CTEs. Determinism pivots: 6-dp rounded dots before
     # argmax (ties → lowest cluster_id), per-dim DECIMAL(28,12) means
     # rounded to 12 dp, init = first k vectors by vec_id.
-    q["kmeans1_topic_clusters"] = """
+    q["kmeans1_topic_clusters"] = f"""
         WITH init AS (
           SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster_id,
                  embedding AS centroid
-          FROM (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 ORDER BY vec_id LIMIT 8)
+          FROM (SELECT vec_id, embedding FROM embeddings WHERE {_VALID_EMB} ORDER BY vec_id LIMIT 8)
         ),
         s1 AS (
           SELECT e.vec_id, e.embedding, c.cluster_id,
                  round(list_sum(list_transform(range(1, len(e.embedding) + 1),
                        i -> e.embedding[i]::DOUBLE * c.centroid[i]::DOUBLE)), 6) AS sim
-          FROM embeddings e CROSS JOIN init c WHERE e.embedding IS NOT NULL AND len(e.embedding) > 0
+          FROM embeddings e CROSS JOIN init c WHERE {_VALID_EMB_E}
         ),
         a1 AS (
           SELECT vec_id, embedding, cluster_id, sim
@@ -1874,7 +1879,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT e.vec_id, c.cluster_id,
                  round(list_sum(list_transform(range(1, len(e.embedding) + 1),
                        i -> e.embedding[i]::DOUBLE * c.centroid[i])), 6) AS sim
-          FROM embeddings e CROSS JOIN c1 c WHERE e.embedding IS NOT NULL AND len(e.embedding) > 0
+          FROM embeddings e CROSS JOIN c1 c WHERE {_VALID_EMB_E}
         ),
         a2 AS (
           SELECT vec_id, cluster_id, sim
@@ -2833,17 +2838,17 @@ def oracle_sql() -> dict[str, str]:
     # sdd1: SemDeDup — the kmeans1 unrolled-CTE assignment (identical
     # determinism pivots), then within-cluster lower-id cosine witnesses
     # with the dd_embed_neardup 6-dp cosine idiom
-    q["sdd1_semantic_dedup"] = """
+    q["sdd1_semantic_dedup"] = f"""
         WITH init AS (
           SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster_id,
                  embedding AS centroid
-          FROM (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 ORDER BY vec_id LIMIT 8)
+          FROM (SELECT vec_id, embedding FROM embeddings WHERE {_VALID_EMB} ORDER BY vec_id LIMIT 8)
         ),
         s1 AS (
           SELECT e.vec_id, e.embedding, c.cluster_id,
                  round(list_sum(list_transform(range(1, len(e.embedding) + 1),
                        i -> e.embedding[i]::DOUBLE * c.centroid[i]::DOUBLE)), 6) AS sim
-          FROM embeddings e CROSS JOIN init c WHERE e.embedding IS NOT NULL AND len(e.embedding) > 0
+          FROM embeddings e CROSS JOIN init c WHERE {_VALID_EMB_E}
         ),
         a1 AS (
           SELECT vec_id, embedding, cluster_id, sim
@@ -2866,7 +2871,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT e.vec_id, c.cluster_id,
                  round(list_sum(list_transform(range(1, len(e.embedding) + 1),
                        i -> e.embedding[i]::DOUBLE * c.centroid[i])), 6) AS sim
-          FROM embeddings e CROSS JOIN c1 c WHERE e.embedding IS NOT NULL AND len(e.embedding) > 0
+          FROM embeddings e CROSS JOIN c1 c WHERE {_VALID_EMB_E}
         ),
         a2 AS (
           SELECT vec_id, cluster_id

@@ -73,9 +73,9 @@ def kmeans_assignments(
     oracle's WHERE): one corrupt row must degrade to a skipped vector,
     not an ANSI element_at job abort across the fleet — the per-dim
     mean recompute indexes embedding[d+1] directly."""
-    embeddings = embeddings.filter(
-        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
-    )
+    from csv_crm_upload_spark.analytics.similarity import valid_vectors
+
+    embeddings = valid_vectors(embeddings)
     dim = len(embeddings.select("embedding").first()["embedding"])
 
     init_rows = (

@@ -106,7 +106,9 @@ def _sufficient_stats(embeddings: DataFrame) -> tuple[DataFrame, DataFrame]:
             ),
         )
     )
-    rows = embeddings.filter(emb.isNotNull() & (F.size(emb) > 0))
+    from csv_crm_upload_spark.analytics.similarity import valid_vectors
+
+    rows = valid_vectors(embeddings)
     pairs = (
         rows.select(F.explode(pair_terms).alias("p"))
         .select("p.i", "p.j", "p.t")
@@ -129,6 +131,11 @@ def _loadings_from_cov_rows(tri, r: int) -> tuple[list[list[float]], list[float]
     ascending output reversed."""
     import numpy as np
 
+    if not tri:
+        raise ValueError(
+            "PCA needs at least 2 valid (non-NULL, non-empty) vectors — "
+            "the covariance of fewer is undefined (n-1 = 0)"
+        )
     d = max(row["j"] for row in tri) + 1
     c = np.zeros((d, d))
     for row in tri:
@@ -229,14 +236,37 @@ def _write_snapshot(pairs: DataFrame, dims: DataFrame, path: str, epoch: int) ->
 def save_pca_model(embeddings: DataFrame, path: str, r: int = 16) -> None:
     """Persist the PCA sufficient statistics (and the component count to
     serve), epoch-versioned under the shared manifest protocol (atomic
-    rebuild-over-live preserving `last_txn` included)."""
+    rebuild-over-live preserving `last_txn` included). The vector
+    dimension is validated up front (≥ 2 valid vectors — a smaller
+    corpus has no covariance) and recorded in the manifest so appends
+    can refuse wrong-dimension shards instead of silently corrupting
+    the additive sums (the ivf/pq dimension-guard convention)."""
+    from csv_crm_upload_spark.analytics.similarity import valid_vectors
     from csv_crm_upload_spark.operators.manifest import commit_manifest, rebuild_epoch
 
+    head = (
+        valid_vectors(embeddings)
+        .select(F.size("embedding").alias("d"))
+        .limit(2)
+        .collect()
+    )
+    if len(head) < 2:
+        raise ValueError(
+            "save_pca_model needs at least 2 valid (non-NULL, non-empty) "
+            "vectors — the covariance of fewer is undefined"
+        )
     new_epoch, prior = rebuild_epoch(path)
     pairs, dims = _sufficient_stats(embeddings)
     _write_snapshot(pairs, dims, path, new_epoch)
     commit_manifest(
-        path, {**prior, "epoch": new_epoch, "base_epoch": new_epoch, "r": r}
+        path,
+        {
+            **prior,
+            "epoch": new_epoch,
+            "base_epoch": new_epoch,
+            "r": r,
+            "d": head[0]["d"],
+        },
     )
 
 
@@ -258,6 +288,8 @@ def update_pca_model(
         with_txn,
     )
 
+    from csv_crm_upload_spark.analytics.similarity import valid_vectors
+
     spark = new_embeddings.sparkSession
     m = read_manifest(path)
     if txn_already_applied(m, txn):
@@ -265,24 +297,54 @@ def update_pca_model(
     epoch = m["epoch"]
     remove_orphan_epochs(path, PCA_SUBDIRS, epoch)
 
-    d_pairs, d_dims = _sufficient_stats(new_embeddings)
-    if not d_dims.limit(1).count():
-        return  # nothing with a non-empty vector — clean no-op
-    nxt = epoch + 1
-    merged_pairs = (
-        spark.read.parquet(f"{path}/pairsums/epoch={epoch}")
-        .unionByName(d_pairs)
-        .groupBy("i", "j")
-        .agg(F.sum("sxy").alias("sxy"), F.sum("n").cast("long").alias("n"))
-    )
-    merged_dims = (
-        spark.read.parquet(f"{path}/dimsums/epoch={epoch}")
-        .unionByName(d_dims)
-        .groupBy("dim")
-        .agg(F.sum("s").alias("s"))
-    )
-    _write_snapshot(merged_pairs, merged_dims, path, nxt)
-    commit_manifest(path, with_txn({**m, "epoch": nxt, "base_epoch": nxt}, txn))
+    # persisted: the emptiness/dimension probe plus the two merged
+    # writes would otherwise re-derive the delta's explode lineage
+    # three times (the update_nb_model persist discipline)
+    rows = valid_vectors(new_embeddings).persist()
+    try:
+        head = rows.select(F.size("embedding").alias("d")).limit(1).collect()
+        if not head:
+            return  # nothing with a non-empty vector — clean no-op
+        # models saved before the "d" key derive it from the stored sums
+        model_d = m.get("d") or spark.read.parquet(
+            f"{path}/dimsums/epoch={epoch}"
+        ).count()
+        if head[0]["d"] != model_d:
+            raise ValueError(
+                f"update_pca_model: shard dimension {head[0]['d']} != "
+                f"model dimension {model_d} — folding it would silently "
+                "corrupt the additive covariance sums"
+            )
+        d_pairs, d_dims = _sufficient_stats(rows)
+        nxt = epoch + 1
+        merged_pairs = (
+            spark.read.parquet(f"{path}/pairsums/epoch={epoch}")
+            .unionByName(d_pairs)
+            .groupBy("i", "j")
+            .agg(F.sum("sxy").alias("sxy"), F.sum("n").cast("long").alias("n"))
+        )
+        merged_dims = (
+            spark.read.parquet(f"{path}/dimsums/epoch={epoch}")
+            .unionByName(d_dims)
+            .groupBy("dim")
+            .agg(F.sum("s").alias("s"))
+        )
+        _write_snapshot(merged_pairs, merged_dims, path, nxt)
+        # a MIXED-dimension shard passes the first-row probe; the merged
+        # dim count is the cheap post-write invariant that catches it
+        # before the commit makes it live
+        landed = spark.read.parquet(f"{path}/dimsums/epoch={nxt}").count()
+        if landed != model_d:
+            raise ValueError(
+                f"update_pca_model: merged snapshot has {landed} dims, "
+                f"expected {model_d} — mixed-dimension shard refused "
+                "(uncommitted epoch dir is reclaimed by the next update)"
+            )
+        commit_manifest(
+            path, with_txn({**m, "epoch": nxt, "base_epoch": nxt, "d": model_d}, txn)
+        )
+    finally:
+        rows.unpersist()
 
 
 def load_pca_loadings(

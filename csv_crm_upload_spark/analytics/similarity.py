@@ -181,7 +181,7 @@ def _bucket_expr(table: int, n_planes: int) -> F.Column:
     return bucket.cast("int")
 
 
-def _valid_vectors(embeddings: DataFrame) -> DataFrame:
+def valid_vectors(embeddings: DataFrame) -> DataFrame:
     """Drop NULL/zero-length vectors before any plane-term indexing —
     sequence(0, size−1) on an EMPTY array steps backwards ([0, −1]) and
     element_at(emb, 0) then aborts the job; one corrupt row must degrade
@@ -195,7 +195,7 @@ def _valid_vectors(embeddings: DataFrame) -> DataFrame:
 def lsh_bucket_signature(embeddings: DataFrame, n_planes: int = 8, table: int = 0) -> DataFrame:
     """Random-hyperplane LSH (one table): bit p = sign(v · h_p). Returns
     vec_id + integer bucket. Same-bucket vectors are cosine-similar w.h.p."""
-    return _valid_vectors(embeddings).select(
+    return valid_vectors(embeddings).select(
         "vec_id", _bucket_expr(table, n_planes).alias("bucket")
     )
 
@@ -205,7 +205,7 @@ def multi_table_buckets(embeddings: DataFrame, n_tables: int = 8, n_planes: int 
     bucket) in long form. Each table's planes are salted independently;
     candidate recall is 1-(1-p^planes)^tables — tune tables up for
     recall, planes up for precision/cost."""
-    return _valid_vectors(embeddings).select(
+    return valid_vectors(embeddings).select(
         "vec_id",
         F.explode(
             F.array(

@@ -16,16 +16,17 @@ fixed-quantizer assignment for IVF/PQ/IVF-PQ) — plus each index's
 bounded merge state (vocab-sized dfreq for BM25, nothing for the
 others). A quiet tick costs one directory listing.
 
-Crash contract: the shard cursor is committed (atomic tmp+replace,
-operators/manifest.py style) after EACH shard batch finishes folding
-into ALL registered indexes. The per-index epoch commits are themselves
-atomic, so readers are never corrupted; the one crash window is
-between an index commit and the cursor commit, where a restart would
-re-fold the in-flight shard batch (double-indexing those doc_ids —
-the same "appends must be new ids" precondition every update_* already
-documents). A production deployment closes that window by recording
-the folded shard list inside each index's manifest payload; the single
-cursor keeps the local service simple and the window is one batch.
+Crash contract — EXACTLY-ONCE per shard batch: before any fold, the
+exact shard list is written to the cursor as a WRITE-AHEAD INTENT
+together with the batch's txn sequence number; every index update then
+commits ("tick-docs"/"tick-emb", seq) inside its own atomic manifest
+(manifest.txn_already_applied); the final cursor commit marks the
+batch seen and clears the intent. A crash at ANY point replays
+precisely the intent-logged batch with the same seq on restart —
+updates that already committed no-op, the rest fold — so no index
+double-folds a shard (which would double-count the additive NB/BPE/PCA
+sums) and none misses one. The per-index epoch commits are atomic, so
+readers are never corrupted at any point in this protocol.
 """
 
 from __future__ import annotations
@@ -119,14 +120,33 @@ class CorpusIndexService:
         )
         self.compact_after = compact_after
         self._seen: set[str] = set()
+        self._txn_seq = 0
+        self._inflight: dict = {}
         if os.path.exists(self.cursor_path):
             with open(self.cursor_path) as f:
-                self._seen = set(json.load(f)["seen"])
+                cur = json.load(f)
+            self._seen = set(cur["seen"])
+            # pre-upgrade cursors lack these keys — start the seq at 0
+            # with no pending intent
+            self._txn_seq = cur.get("txn_seq", 0)
+            self._inflight = cur.get("inflight", {}) or {}
 
-    def _commit_cursor(self) -> None:
+    def _commit_cursor(self, inflight: dict | None = None) -> None:
+        """Atomic cursor write. `inflight` non-None is the WRITE-AHEAD
+        INTENT record: the exact shard batch about to fold, persisted
+        BEFORE any index update so a crash mid-fold replays precisely
+        that batch (with the same txn seq) instead of re-listing a
+        possibly different one."""
         tmp = self.cursor_path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"seen": sorted(self._seen)}, f)
+            json.dump(
+                {
+                    "seen": sorted(self._seen),
+                    "txn_seq": self._txn_seq,
+                    "inflight": inflight or {},
+                },
+                f,
+            )
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, self.cursor_path)
@@ -157,70 +177,97 @@ class CorpusIndexService:
                 out.append(full)
         return out
 
+    def _fold_docs(self, doc_shards: list[str], txn: tuple[str, int]) -> None:
+        new_docs = self.spark.read.parquet(*doc_shards)
+        if self.text_index is not None:
+            from csv_crm_upload_spark.analytics.retrieval import update_text_index
+
+            update_text_index(new_docs, self.text_index, txn=txn)
+        if self.dedup_index is not None:
+            from csv_crm_upload_spark.analytics.dedup import update_dedup_index
+
+            update_dedup_index(new_docs, self.dedup_index, txn=txn)
+        if self.nb_model is not None:
+            from csv_crm_upload_spark.analytics.nbayes import update_nb_model
+
+            update_nb_model(new_docs, self.nb_model, txn=txn)
+        if self.winnow_index is not None:
+            from csv_crm_upload_spark.analytics.winnow import update_winnow_index
+
+            update_winnow_index(new_docs, self.winnow_index, txn=txn)
+        if self.bpe_model is not None:
+            from csv_crm_upload_spark.analytics.bpe import update_bpe_model
+
+            update_bpe_model(new_docs, self.bpe_model, txn=txn)
+
+    def _fold_emb(self, emb_shards: list[str], txn: tuple[str, int]) -> None:
+        new_emb = self.spark.read.parquet(*emb_shards)
+        if self.ivf_index is not None:
+            from csv_crm_upload_spark.analytics.ivf import update_index
+
+            update_index(new_emb, self.ivf_index, txn=txn)
+        if self.pq_index is not None:
+            from csv_crm_upload_spark.analytics.pq import update_pq_index
+
+            update_pq_index(new_emb, self.pq_index, txn=txn)
+        if self.ivfpq_index is not None:
+            from csv_crm_upload_spark.analytics.ivfpq import update_ivfpq_index
+
+            update_ivfpq_index(new_emb, self.ivfpq_index, txn=txn)
+        if self.pca_model is not None:
+            from csv_crm_upload_spark.analytics.pca import update_pca_model
+
+            update_pca_model(new_emb, self.pca_model, txn=txn)
+
+    def _fold_batch(self, batch: dict) -> None:
+        """Fold one intent-logged shard batch into every registered
+        index with this batch's txn seq, then commit the cursor with
+        the intent cleared — the EXACTLY-ONCE protocol:
+
+          1. intent (shard list + seq) is on disk BEFORE any fold;
+          2. every update commits (app, seq) inside its own manifest;
+          3. the cursor commit marks the batch seen and clears intent.
+
+        A crash anywhere replays exactly this batch with the same seq
+        on restart: updates that already committed see
+        manifest.txn_already_applied and no-op, the rest fold — so no
+        index ever double-folds a shard and none misses one. This
+        closes the at-least-once window the plain cursor had (where a
+        crash between an index commit and the cursor write re-folded
+        the batch into ADDITIVE models, double-counting it)."""
+        seq = self._txn_seq + 1
+        if batch.get("docs"):
+            self._fold_docs(batch["docs"], ("tick-docs", seq))
+        if batch.get("embeddings"):
+            self._fold_emb(batch["embeddings"], ("tick-emb", seq))
+        self._seen.update(batch.get("docs", []))
+        self._seen.update(batch.get("embeddings", []))
+        self._txn_seq = seq
+        self._commit_cursor()
+
     def tick(self) -> dict:
-        """One maintenance tick: fold every unseen shard batch into the
-        registered indexes, then commit the cursor. Returns
-        {"docs": [...folded...], "embeddings": [...folded...]} (empty
-        lists on a quiet tick, which costs one listing)."""
-        folded = {"docs": [], "embeddings": []}
+        """One maintenance tick: recover any interrupted batch first,
+        then fold every unseen shard batch into the registered indexes
+        under the intent-log exactly-once protocol (see _fold_batch).
+        Returns {"docs": [...folded...], "embeddings": [...folded...]}
+        (empty lists on a quiet tick, which costs one listing)."""
+        recovered = {}
+        if self._inflight:
+            recovered, self._inflight = self._inflight, {}
+            self._fold_batch(recovered)
 
         doc_shards = self._new_shards(self.docs_dir, self._seen)
-        if doc_shards:
-            new_docs = self.spark.read.parquet(*doc_shards)
-            if self.text_index is not None:
-                from csv_crm_upload_spark.analytics.retrieval import (
-                    update_text_index,
-                )
-
-                update_text_index(new_docs, self.text_index)
-            if self.dedup_index is not None:
-                from csv_crm_upload_spark.analytics.dedup import update_dedup_index
-
-                update_dedup_index(new_docs, self.dedup_index)
-            if self.nb_model is not None:
-                from csv_crm_upload_spark.analytics.nbayes import update_nb_model
-
-                update_nb_model(new_docs, self.nb_model)
-            if self.winnow_index is not None:
-                from csv_crm_upload_spark.analytics.winnow import (
-                    update_winnow_index,
-                )
-
-                update_winnow_index(new_docs, self.winnow_index)
-            if self.bpe_model is not None:
-                from csv_crm_upload_spark.analytics.bpe import update_bpe_model
-
-                update_bpe_model(new_docs, self.bpe_model)
-            self._seen.update(doc_shards)
-            folded["docs"] = doc_shards
-
         emb_shards = self._new_shards(self.emb_dir, self._seen)
-        if emb_shards:
-            new_emb = self.spark.read.parquet(*emb_shards)
-            if self.ivf_index is not None:
-                from csv_crm_upload_spark.analytics.ivf import update_index
-
-                update_index(new_emb, self.ivf_index)
-            if self.pq_index is not None:
-                from csv_crm_upload_spark.analytics.pq import update_pq_index
-
-                update_pq_index(new_emb, self.pq_index)
-            if self.ivfpq_index is not None:
-                from csv_crm_upload_spark.analytics.ivfpq import update_ivfpq_index
-
-                update_ivfpq_index(new_emb, self.ivfpq_index)
-            if self.pca_model is not None:
-                from csv_crm_upload_spark.analytics.pca import update_pca_model
-
-                update_pca_model(new_emb, self.pca_model)
-            self._seen.update(emb_shards)
-            folded["embeddings"] = emb_shards
-
-        if folded["docs"] or folded["embeddings"]:
-            self._commit_cursor()
+        if doc_shards or emb_shards:
+            batch = {"docs": doc_shards, "embeddings": emb_shards}
+            self._commit_cursor(inflight=batch)  # write-ahead intent
+            self._fold_batch(batch)
         if self.compact_after is not None:
             self._maybe_compact()
-        return folded
+        return {
+            "docs": recovered.get("docs", []) + doc_shards,
+            "embeddings": recovered.get("embeddings", []) + emb_shards,
+        }
 
     def _maybe_compact(self) -> None:
         """OPTIMIZE any registered index whose live epoch chain has

@@ -407,3 +407,85 @@ def test_soak_sustained_appends_bounded_epochs_and_vacuum(spark, sf_dir, tmp_pat
         key=lambda t: (t[0], t[-1]),
     )
     assert indexed == inline
+
+
+def test_tick_crash_between_fold_and_cursor_does_not_double_fold(
+    spark, sf_dir, tmp_path
+):
+    """The exactly-once protocol under the worst crash: every index
+    fold COMMITTED but the cursor write died. The restarted service
+    must replay the intent-logged batch with the SAME txn seq — every
+    update no-ops via its manifest guard — and the additive models
+    (here NB + PCA) must equal a clean rebuild, not a double-fold."""
+    import json
+
+    from csv_crm_upload_spark.analytics.nbayes import save_nb_model
+    from csv_crm_upload_spark.analytics.pca import (
+        load_pca_loadings,
+        save_pca_model,
+    )
+    from csv_crm_upload_spark.operators.manifest import read_manifest
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    nb = str(tmp_path / "nb")
+    pca = str(tmp_path / "pca")
+    save_nb_model(docs.filter(F.col("doc_id") < 300), nb, n_buckets=8)
+    save_pca_model(emb.filter(F.col("vec_id") < 300), pca, r=4)
+
+    docs_drop = str(tmp_path / "docs_drop")
+    emb_drop = str(tmp_path / "emb_drop")
+    os.makedirs(docs_drop)
+    os.makedirs(emb_drop)
+    docs.filter(F.col("doc_id") >= 300).write.parquet(f"{docs_drop}/shard_a")
+    emb.filter(F.col("vec_id") >= 300).write.parquet(f"{emb_drop}/shard_a")
+
+    svc = CorpusIndexService(
+        spark, docs_dir=docs_drop, emb_dir=emb_drop, nb_model=nb, pca_model=pca
+    )
+
+    # crash simulation: the FINAL cursor commit (the one clearing the
+    # intent) raises after all index folds committed
+    real_commit = svc._commit_cursor
+    calls = {"n": 0}
+
+    def dying_commit(inflight=None):
+        if inflight is None:
+            calls["n"] += 1
+            raise RuntimeError("crash before cursor commit")
+        real_commit(inflight=inflight)
+
+    svc._commit_cursor = dying_commit
+    try:
+        svc.tick()
+        raise AssertionError("tick should have crashed")
+    except RuntimeError:
+        pass
+    assert calls["n"] == 1
+    nb_epoch = read_manifest(nb)["epoch"]
+    pca_epoch = read_manifest(pca)["epoch"]
+    assert nb_epoch == 1 and pca_epoch == 1, "folds committed before the crash"
+
+    # restart: a fresh service over the same cursor finds the intent
+    svc2 = CorpusIndexService(
+        spark, docs_dir=docs_drop, emb_dir=emb_drop, nb_model=nb, pca_model=pca
+    )
+    assert svc2._inflight, "write-ahead intent must survive the crash"
+    folded = svc2.tick()
+    assert folded["docs"] and folded["embeddings"], "recovery reports the batch"
+    # replay no-opped: epochs did NOT advance a second time
+    assert read_manifest(nb)["epoch"] == nb_epoch
+    assert read_manifest(pca)["epoch"] == pca_epoch
+    # cursor is clean and a further tick is quiet
+    cur = json.load(open(svc2.cursor_path))
+    assert cur["inflight"] == {} and cur["txn_seq"] == 1
+    assert svc2.tick() == {"docs": [], "embeddings": []}
+
+    # the additive models equal a clean rebuild over the union
+    full_pca = str(tmp_path / "pca_full")
+    save_pca_model(emb, full_pca, r=4)
+    assert load_pca_loadings(spark, pca) == load_pca_loadings(spark, full_pca)
+    n_docs = spark.read.parquet(f"{nb}/model_stats/epoch=1").first()["n_docs"]
+    assert n_docs == docs.filter(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    ).count(), "NB totals double-counted — the batch folded twice"

@@ -238,3 +238,26 @@ def test_streaming_maintenance_folds_pca_model(spark, sf_dir, tmp_path):
     )
     q2.awaitTermination(120)
     assert read_manifest(model)["epoch"] == e0 + 1, "replay must no-op"
+
+
+def test_pca_model_refuses_wrong_dimension_shard(spark, sf_dir, tmp_path):
+    """Folding a wrong-dimension shard must raise, not silently corrupt
+    the additive sums (the ivf/pq dimension-guard convention); and a
+    sub-2-vector corpus must fail at SAVE time with a clear message."""
+    import pytest as _pytest
+
+    from csv_crm_upload_spark.analytics.pca import save_pca_model, update_pca_model
+    from csv_crm_upload_spark.operators.manifest import read_manifest
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "pca")
+    save_pca_model(emb, path, r=4)
+    assert read_manifest(path)["d"] == 64
+
+    wrong = _emb_df(spark, np.ones((5, 8)))
+    with _pytest.raises(ValueError, match="dimension"):
+        update_pca_model(wrong, path)
+    assert read_manifest(path)["epoch"] == 0, "refused fold must not commit"
+
+    with _pytest.raises(ValueError, match="at least 2"):
+        save_pca_model(emb.limit(1), str(tmp_path / "tiny"), r=4)
