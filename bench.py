@@ -333,22 +333,29 @@ def main() -> None:
     }
 
     total = round(sum(timings.values()), 3)
-    record = {
-        "metric": "headline_queries_total_sec",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-        "warm_sec": warm,
-        "warm_total_sec": round(sum(warm.values()), 3),
-        "warm2_sec": warm2,
-        "extra_sec": extra,
-        "duckdb_sec": duckdb_timings,
-        "ratio_vs_duckdb": ratios,
-        "duckdb_total_sec": round(sum(duckdb_timings.values()), 3),
-    }
+    # KEY ORDER IS LOAD-BEARING: the driver's artifact keeps only the
+    # TAIL of this line (BENCH_r06.json lost its headline to the front
+    # when extra_sec grew). The big, growing sections (extra_sec,
+    # duckdb per-query) print FIRST so truncation eats them; the
+    # headline cold/warm numbers and ratios print LAST and survive.
+    # Do not reorder.
+    record = {"extra_sec": extra, "duckdb_sec": duckdb_timings}
     if errors:
         record["errors"] = errors
+    record.update(
+        {
+            "sf": sf,
+            "queries": timings,
+            "warm_sec": warm,
+            "warm2_sec": warm2,
+            "ratio_vs_duckdb": ratios,
+            "duckdb_total_sec": round(sum(duckdb_timings.values()), 3),
+            "warm_total_sec": round(sum(warm.values()), 3),
+            "metric": "headline_queries_total_sec",
+            "unit": "sec",
+            "value": total,
+        }
+    )
     print(json.dumps(record))
 
 

@@ -316,14 +316,32 @@ def pctl_order_value(orders: DataFrame) -> DataFrame:
 
 
 def w3_order_quartiles(orders: DataFrame) -> DataFrame:
-    """percent_rank + ntile within status partitions (per-key windows —
-    scales by partition key, unlike a global ORDER BY window)."""
-    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
-    return orders.select(
+    """percent_rank + ntile within status partitions.
+
+    o_orderstatus has THREE distinct values, so the naive
+    `Window.partitionBy("o_orderstatus")` funnels ~a third of all orders
+    through one task — the same straggler class as a global ordered
+    window, split three ways. The scale-correct form is
+    `distributed_grouped_rank` (group-prefixed range partitioning +
+    per-cell offsets) and the ANSI closed forms of both readouts:
+    percent_rank = (rank−1)/(n−1) — ranks are unique here because the
+    order key ends in o_orderkey — and ntile(4) via the exact integer
+    bucket formula. Bit-identical to the windowed oracle."""
+    ranked = distributed_grouped_rank(
+        orders.select("o_orderkey", "o_orderstatus", "o_totalprice"),
+        ["o_orderstatus"],
+        ["o_totalprice", "o_orderkey"],
+        "_rn",
+        count_col="_gn",
+    )
+    pr = F.when(F.col("_gn") > 1, (F.col("_rn") - 1) / (F.col("_gn") - 1)).otherwise(
+        F.lit(0.0)
+    )
+    return ranked.select(
         "o_orderkey",
         "o_orderstatus",
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
-        F.ntile(4).over(w).alias("quartile"),
+        F.round(pr, 6).alias("pr"),
+        grouped_ntile_expr("_rn", "_gn", 4).alias("quartile"),
     )
 
 
@@ -902,14 +920,16 @@ def q15_top_supplier(supplier: DataFrame, lineitem: DataFrame) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(_dsum(rev, "total_revenue"))
     )
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.col("total_revenue").desc())
-    top = (
-        window_rev.withColumn("_rk", F.rank().over(w))
-        .filter(F.col("_rk") == 1)
-        .drop("_rk")
-    )
+    # rank() over a global ORDER BY would sort the whole supplier rollup
+    # in one task just to pick the max; a 1-row max aggregate broadcast
+    # back as a semi-join condition surfaces the same tied winners with
+    # no ordered window at all (and it is exactly the oracle's
+    # `WHERE total_revenue = (SELECT MAX(...))` shape). Decimal equality
+    # is exact, so ties survive unchanged.
+    mx = window_rev.agg(F.max("total_revenue").alias("_max_rev"))
+    top = window_rev.join(
+        F.broadcast(mx), F.col("total_revenue") == F.col("_max_rev")
+    ).drop("_max_rev")
     return (
         top.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", F.round("total_revenue", 4).alias("total_revenue"))
@@ -1466,18 +1486,19 @@ def out1_iqr_outliers(events: DataFrame) -> DataFrame:
     Quartiles are EXACT order statistics (type-1: the ceil(q·n)-th
     smallest with a total order), not interpolated percentiles — engines
     disagree on interpolation rules, but the k-th element of a totally
-    ordered set is engine-independent. Plan: one window pass for ranks,
-    a 3-row conditional agg for the fences (broadcast back), then a
-    map-only filter."""
+    ordered set is engine-independent. event_type has ~5 distinct values,
+    so a partitionBy window would push ~20% of all events through one
+    task; ranks come from `distributed_grouped_rank` instead
+    (group-prefixed range partitioning, per-cell offsets — no
+    fact-sized single task anywhere). Then a |types|-row conditional agg
+    for the fences (broadcast back) and a map-only filter."""
     vals = events.filter(F.col("value").isNotNull())
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    wn = Window.partitionBy("event_type")
-    ranked = vals.select(
-        "event_id",
-        "event_type",
-        "value",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
+    ranked = distributed_grouped_rank(
+        vals.select("event_id", "event_type", "value"),
+        ["event_type"],
+        ["value", "event_id"],
+        "rn",
+        count_col="n",
     )
     k1 = F.ceil(F.col("n") * 0.25).cast("long")
     k3 = F.ceil(F.col("n") * 0.75).cast("long")
@@ -1600,18 +1621,21 @@ def lag1_conversion_lag_quartiles(events: DataFrame) -> DataFrame:
             F.unix_timestamp("first_purchase") - F.unix_timestamp("first_view")
         ).cast("long").alias("lag_seconds"),
     )
-    w = Window.orderBy("lag_seconds", "user_id")
-    ranked = lags.select(
-        "lag_seconds",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    # global row_number via the two-phase distributed rank (the converted-
+    # user set is fact-sized at scale — a bare Window.orderBy would sort
+    # it in one task); the total count n falls out of the same pass as a
+    # Python int, so each quartile pick is a literal-rank filter.
+    ranked, n = _distributed_rank_and_total(
+        lags.select("lag_seconds", "user_id"), ["lag_seconds", "user_id"], "rn"
     )
+    import math
+
     qs = [("p25", 0.25), ("p50", 0.50), ("p75", 0.75)]
     picks = [
-        ranked.filter(F.col("rn") == F.ceil(F.col("n") * F.lit(frac)).cast("long")).select(
+        ranked.filter(F.col("rn") == math.ceil(n * frac)).select(
             F.lit(label).alias("quartile"),
             F.col("lag_seconds"),
-            F.col("n").cast("long").alias("n_converted"),
+            F.lit(n).cast("long").alias("n_converted"),
         )
         for label, frac in qs
     ]
@@ -1775,6 +1799,111 @@ def distributed_ntile(
             F.expr(f"((_rn - 1) div {base + 1}) + 1"),
         ).otherwise(F.expr(f"{rem} + ((_rn - 1 - {head}) div {base}) + 1"))
     return ranked.withColumn(out_col, tile.cast("int")).drop("_rn")
+
+
+def distributed_grouped_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    out_col: str,
+    count_col: str | None = None,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Per-group ROW_NUMBER for LOW-cardinality groups without funneling
+    each group through one task.
+
+    `Window.partitionBy(g).orderBy(...)` with few distinct g values (order
+    status: 3, event type: ~5) routes ~1/|g| of the corpus through ONE
+    task — the same straggler class as the global ordered window, just
+    split a handful of ways. The distributed form is the per-group analog
+    of `distributed_rank`: range-repartition on (group ++ order) — group-
+    prefixed range partitioning, so each group occupies a contiguous run
+    of partitions and every partition holds at most `rows/n_parts` rows
+    regardless of group skew — then rank within each (partition, group)
+    cell and add per-cell offsets. Driver-side data is one count per
+    (partition, group): bounded by n_parts · |groups|, never by rows.
+
+    `order_cols` must end in a unique tiebreaker (same contract as
+    `distributed_rank`). When `count_col` is given the output also carries
+    the group's TOTAL row count (already known from the collected cell
+    counts — no extra job), which is what percent_rank / ntile / exact
+    order-statistic selection need alongside the rank.
+
+    Use the plain partitionBy window when groups are high-cardinality
+    (per-user, per-doc): there each partition is small and Spark's own
+    hash-partitioned window is already the scale-correct plan."""
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    n_parts = n_parts or spark.sparkContext.defaultParallelism
+    # localCheckpoint pins the sampled range boundaries — see
+    # _distributed_rank_and_total for why a lazy recompute would corrupt
+    # the offsets.
+    parted = (
+        df.repartitionByRange(
+            n_parts, *[F.col(c) for c in group_cols + order_cols]
+        )
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    cells = (
+        parted.groupBy("_pid", *group_cols)
+        .agg(F.count(F.lit(1)).alias("_cn"))
+        .collect()
+    )
+    # per-group cumulative offsets in pid order + per-group totals
+    totals: dict = {}
+    for r in cells:
+        key = tuple(r[c] for c in group_cols)
+        totals[key] = totals.get(key, 0) + r["_cn"]
+    offsets = []
+    running: dict = {}
+    for r in sorted(cells, key=lambda r: r["_pid"]):
+        key = tuple(r[c] for c in group_cols)
+        off = running.get(key, 0)
+        running[key] = off + r["_cn"]
+        offsets.append(
+            tuple(r[c] for c in ("_pid", *group_cols)) + (off, totals[key])
+        )
+    schema = T.StructType(
+        [parted.schema["_pid"]]
+        + [parted.schema[c] for c in group_cols]
+        + [
+            T.StructField("_off", T.LongType(), False),
+            T.StructField("_gn", T.LongType(), False),
+        ]
+    )
+    offs = spark.createDataFrame(offsets, schema)
+    w = Window.partitionBy("_pid", *group_cols).orderBy(*order_cols)
+    # the (pid, group) re-exchange under the window is n_parts·|groups|
+    # keys with each cell capped at one range partition's rows — never a
+    # single-task collapse
+    ranked = (
+        parted.join(F.broadcast(offs), ["_pid", *group_cols])
+        .withColumn(out_col, (F.row_number().over(w) + F.col("_off")).cast("long"))
+        .drop("_pid", "_off")
+    )
+    if count_col is None:
+        return ranked.drop("_gn")
+    return ranked.withColumnRenamed("_gn", count_col)
+
+
+def grouped_ntile_expr(rn: str, n: str, q: int) -> F.Column:
+    """ANSI NTILE(q) as a closed-form expression of a per-group row-number
+    COLUMN NAME `rn` and group-size COLUMN NAME `n`: the first (n mod q)
+    buckets get ceil(n/q) rows, the rest floor(n/q) — identical to
+    `ntile(q) OVER (PARTITION BY g ORDER BY ...)` given the same total
+    order. Pure integer `div`/`%` arithmetic (no float division whose
+    rounding could flip a bucket boundary at 2^50-row groups), so the
+    assignment is exact at any n."""
+    base = f"({n} div {q})"
+    rem = f"({n} % {q})"
+    head = f"({rem} * ({base} + 1))"
+    return F.expr(
+        f"CAST(CASE WHEN {base} = 0 THEN {rn} "
+        f"WHEN {rn} <= {head} THEN (({rn} - 1) div ({base} + 1)) + 1 "
+        f"ELSE {rem} + (({rn} - 1 - {head}) div {base}) + 1 END AS INT)"
+    )
 
 
 def corr1_spearman_orders(orders: DataFrame) -> DataFrame:
@@ -2049,23 +2178,21 @@ def win1_winsorized_prices(orders: DataFrame, lo: float = 0.05, hi: float = 0.95
 
     Same exact-quantile convention as out1: type-1 order statistics
     (ceil(q·n)-th smallest under a total order) — engine-independent,
-    no interpolation. Plan: one global rank window for the two cut
-    points (a 1-row aggregate that broadcasts), then a map-only
-    greatest/least clip riding the scan. Like batch1's global NTILE,
-    the unpartitioned rank is one ordered pass; at 100 TB swap the cut
-    computation for approx_percentile or a range-partitioned selection —
-    the clip stage (the part that touches every row) is map-only either
-    way."""
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    ranked = orders.select(
-        "o_orderkey",
-        "o_totalprice",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    no interpolation. Plan: the two cut points come from the two-phase
+    distributed rank (range-repartition + per-partition offsets — no
+    single-task global sort; n is already known from the offset counts),
+    a 1-row aggregate that broadcasts, then a map-only greatest/least
+    clip riding the scan. The clip stage (the part that touches every
+    row) is map-only either way."""
+    import math
+
+    ranked, n = _distributed_rank_and_total(
+        orders.select("o_orderkey", "o_totalprice"),
+        ["o_totalprice", "o_orderkey"],
+        "rn",
     )
-    klo = F.ceil(F.col("n") * F.lit(lo)).cast("long")
-    khi = F.ceil(F.col("n") * F.lit(hi)).cast("long")
-    cuts = ranked.agg(
+    klo, khi = math.ceil(n * lo), math.ceil(n * hi)
+    cuts = ranked.filter(F.col("rn").isin(klo, khi)).agg(
         F.max(F.when(F.col("rn") == klo, F.col("o_totalprice"))).alias("p_lo"),
         F.max(F.when(F.col("rn") == khi, F.col("o_totalprice"))).alias("p_hi"),
     )

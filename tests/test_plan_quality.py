@@ -362,15 +362,27 @@ def test_round5_operator_shuffle_budgets(spark, sf_dir):
 
 
 def test_ntile_queries_have_no_single_partition_sort(spark, sf_dir):
-    """rfm1 and batch1 NTILE via distributed_ntile (range-repartition +
-    per-partition offset rank), never `Window.orderBy` with no
-    partitionBy. A revert to the global form would plan
-    `Exchange SinglePartition` under the Window — the one-task sort of
-    the whole rollup that stalls a 1000-executor cluster. The returned
-    plans (the part that still contains the rank windows) must be free
-    of it."""
+    """Every query that ranks fact-sized data does it via
+    distributed_rank / distributed_ntile / distributed_grouped_rank
+    (range-repartition + per-partition offset rank), never a bare
+    `Window.orderBy` (or a partitionBy over a handful of values, which
+    is the same collapse split |group| ways). A revert to the window
+    form would plan `Exchange SinglePartition` under the Window — the
+    one-task sort of the whole rollup that stalls a 1000-executor
+    cluster. The returned plans (the part that still contains the rank
+    windows) must be free of it. Sweeps the round-5 conversions
+    (rfm1/batch1) AND the round-7 ones (w3/out1/lag1/win1 + q15's
+    max-semi-join replacement of the global rank)."""
     _reset_plan_state(spark)
-    for name in ("rfm1_customer_segments", "batch1_length_buckets"):
+    for name in (
+        "rfm1_customer_segments",
+        "batch1_length_buckets",
+        "w3_order_quartiles",
+        "out1_iqr_outliers",
+        "lag1_conversion_lag_quartiles",
+        "win1_winsorized_prices",
+        "q15_top_supplier",
+    ):
         plan = plan_of(QUERIES[name](spark, sf_dir))
         assert "Exchange SinglePartition" not in plan, (
             f"{name}: single-partition exchange (global sort) in plan\n{plan}"
@@ -400,6 +412,51 @@ def test_distributed_ntile_matches_window_ntile(spark):
             for r in distributed_ntile(df, ["k", "uid"], q, "t").collect()
         }
         assert got == want, f"n={n} q={q}"
+
+
+def test_distributed_grouped_rank_matches_window(spark):
+    """distributed_grouped_rank ≡ row_number() OVER (PARTITION BY g
+    ORDER BY ...), including the per-group total, for skewed group
+    sizes, a single-member group, and an empty input; grouped_ntile_expr
+    ≡ windowed ntile on the same ranks."""
+    from pyspark.sql import Window
+
+    from csv_crm_upload_spark.analytics.tpch import (
+        distributed_grouped_rank,
+        grouped_ntile_expr,
+    )
+
+    df = spark.range(200).select(
+        F.when(F.col("id") < 120, F.lit("a"))
+        .when(F.col("id") < 199, F.lit("b"))
+        .otherwise(F.lit("c"))
+        .alias("g"),
+        (F.col("id") * 13 % 200).alias("v"),
+        F.col("id").alias("uid"),
+    )
+    w = Window.partitionBy("g").orderBy("v", "uid")
+    want = {
+        (r["g"], r["uid"]): (r["rn"], r["n"], r["t"])
+        for r in df.select(
+            "g",
+            "uid",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("g")).alias("n"),
+            F.ntile(4).over(w).alias("t"),
+        ).collect()
+    }
+    ranked = distributed_grouped_rank(df, ["g"], ["v", "uid"], "_rn", count_col="_gn")
+    got = {
+        (r["g"], r["uid"]): (r["_rn"], r["_gn"], r["t"])
+        for r in ranked.withColumn(
+            "t", grouped_ntile_expr("_rn", "_gn", 4)
+        ).collect()
+    }
+    assert got == want
+    empty = distributed_grouped_rank(
+        df.filter(F.lit(False)), ["g"], ["v", "uid"], "_rn", count_col="_gn"
+    )
+    assert empty.count() == 0
 
 
 def test_round6_operator_shuffle_budgets(spark, sf_dir):
