@@ -166,7 +166,17 @@ def pca_project(embeddings: DataFrame, loadings: list[list[float]]) -> DataFrame
     """(vec_id, label, proj) — each vector's coordinates on the given
     components. MAP-ONLY: the loadings enter the plan as literal arrays
     and each coordinate is one zip_with/aggregate dot product riding
-    the scan; projecting 100 TB is a pure pass."""
+    the scan; projecting 100 TB is a pure pass.
+
+    Corrupt rows are SKIPPED explicitly (the valid_vectors discipline
+    the sufficient-stats and LSH paths use): a NULL/empty vector, or one
+    whose length disagrees with the loadings' dimension, would otherwise
+    ride zip_with's null-padding into an all-NULL proj row that flows
+    silently into project_with_pca_model / streaming consumers."""
+    if not loadings:
+        raise ValueError("pca_project: loadings must contain >= 1 component")
+    from csv_crm_upload_spark.analytics.similarity import valid_vectors
+
     emb = F.col("embedding")
     coords = [
         F.aggregate(
@@ -180,8 +190,10 @@ def pca_project(embeddings: DataFrame, loadings: list[list[float]]) -> DataFrame
         )
         for w in loadings
     ]
-    return embeddings.filter(emb.isNotNull()).select(
-        "vec_id", "label", F.array(*coords).alias("proj")
+    return (
+        valid_vectors(embeddings)
+        .filter(F.size(emb) == len(loadings[0]))
+        .select("vec_id", "label", F.array(*coords).alias("proj"))
     )
 
 
@@ -258,6 +270,28 @@ def save_pca_model(embeddings: DataFrame, path: str, r: int = 16) -> None:
     new_epoch, prior = rebuild_epoch(path)
     pairs, dims = _sufficient_stats(embeddings)
     _write_snapshot(pairs, dims, path, new_epoch)
+    # a MIXED-dimension initial corpus passes the two-row probe; two
+    # cheap post-write invariants catch it before the commit makes the
+    # snapshot live (the update_pca_model merged-dim guard, applied to
+    # the initial build): the landed dim count must equal the probed d,
+    # and every (i, j) pair must have seen the SAME vector count — a
+    # shorter vector contributes only to its low pairs, so a mix skews
+    # the per-pair counts even when the probe happened to see the max d
+    spark = embeddings.sparkSession
+    landed = spark.read.parquet(f"{path}/dimsums/epoch={new_epoch}").count()
+    nstats = (
+        spark.read.parquet(f"{path}/pairsums/epoch={new_epoch}")
+        .agg(F.min("n").alias("lo"), F.max("n").alias("hi"))
+        .first()
+    )
+    if landed != head[0]["d"] or nstats["lo"] != nstats["hi"]:
+        raise ValueError(
+            f"save_pca_model: snapshot has {landed} dims (probe saw "
+            f"{head[0]['d']}) with per-pair counts in "
+            f"[{nstats['lo']}, {nstats['hi']}] — mixed-dimension corpus "
+            "refused (uncommitted epoch dir is reclaimed by the next "
+            "rebuild)"
+        )
     commit_manifest(
         path,
         {

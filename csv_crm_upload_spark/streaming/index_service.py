@@ -100,6 +100,7 @@ class CorpusIndexService:
         pca_model: str | None = None,
         cursor_path: str | None = None,
         compact_after: int | None = None,
+        adopt_artifact_seq: bool = False,
     ) -> None:
         if docs_dir is None and emb_dir is None:
             raise ValueError("at least one of docs_dir/emb_dir is required")
@@ -130,6 +131,69 @@ class CorpusIndexService:
             # with no pending intent
             self._txn_seq = cur.get("txn_seq", 0)
             self._inflight = cur.get("inflight", {}) or {}
+        # LOST/FOREIGN-CURSOR GUARD: the exactly-once protocol keys every
+        # fold txn as ("tick-docs"/"tick-emb", seq) with seq living ONLY
+        # in the cursor file, while each artifact's manifest guard is
+        # monotonic (last_txn[app] >= seq no-ops). If the cursor is lost
+        # or a second service brings its own cursor to the same artifact
+        # paths, seq restarts below the artifacts' recorded txns and
+        # every subsequent update SILENTLY no-ops — shards get marked
+        # seen without ever folding. Neither silent outcome is safe
+        # (fast-forwarding alone would double-fold any shards the lost
+        # cursor had already seen), so a behind-cursor is a loud error;
+        # `adopt_artifact_seq=True` is the explicit opt-in for the
+        # legitimate adoption case (fresh service over artifacts whose
+        # prior folds are known to be baked in and whose drop dirs hold
+        # only genuinely-new shards): it fast-forwards seq so new folds
+        # are not swallowed by the manifest guard.
+        # a pending write-ahead intent legitimately leaves the artifacts
+        # ONE seq ahead of the cursor (crash after the folds, before the
+        # clearing cursor commit) — that is the recovery path, not a
+        # lost cursor; the replay no-ops via the manifest guards.
+        expected = self._txn_seq + (1 if self._inflight else 0)
+        recorded = self._max_artifact_tick_seq()
+        if recorded > expected:
+            if not adopt_artifact_seq:
+                raise ValueError(
+                    f"index-service cursor at {self.cursor_path} records "
+                    f"txn_seq={self._txn_seq} but a registered artifact has "
+                    f"already committed tick txn {recorded} — the cursor was "
+                    "lost, replaced, or belongs to another service instance. "
+                    "Continuing would silently no-op future folds. Restore "
+                    "the original cursor, or pass adopt_artifact_seq=True "
+                    "ONLY if every shard already folded into the artifacts "
+                    "is absent from (or marked seen in) the drop dirs."
+                )
+            self._txn_seq = recorded
+
+    def _max_artifact_tick_seq(self) -> int:
+        """Highest ("tick-docs"/"tick-emb") txn seq any registered
+        artifact has committed — the cross-check that detects a cursor
+        file running BEHIND the artifacts it coordinates (see __init__).
+        Artifacts without a readable manifest are skipped: save_* may
+        not have run yet, which the first fold will surface on its own."""
+        from csv_crm_upload_spark.operators.manifest import read_manifest
+
+        mx = 0
+        for path in (
+            self.text_index,
+            self.dedup_index,
+            self.ivf_index,
+            self.pq_index,
+            self.ivfpq_index,
+            self.nb_model,
+            self.winnow_index,
+            self.bpe_model,
+            self.pca_model,
+        ):
+            if path is None:
+                continue
+            try:
+                last = read_manifest(path).get("last_txn", {})
+            except Exception:
+                continue
+            mx = max(mx, last.get("tick-docs", 0), last.get("tick-emb", 0))
+        return mx
 
     def _commit_cursor(self, inflight: dict | None = None) -> None:
         """Atomic cursor write. `inflight` non-None is the WRITE-AHEAD

@@ -261,3 +261,51 @@ def test_pca_model_refuses_wrong_dimension_shard(spark, sf_dir, tmp_path):
 
     with _pytest.raises(ValueError, match="at least 2"):
         save_pca_model(emb.limit(1), str(tmp_path / "tiny"), r=4)
+
+
+def test_save_pca_model_refuses_mixed_dimension_corpus(spark, tmp_path):
+    """A MIXED-dimension initial corpus passes the two-row probe
+    (whichever width the first rows have) but writes inconsistent
+    sufficient statistics; the post-write invariants (landed dim count
+    == probed d, uniform per-pair vector counts) must refuse it BEFORE
+    the manifest commit — including the sneaky case where the probe
+    sees the MAX dimension so the dim count alone looks right."""
+    import pytest as _pytest
+
+    from csv_crm_upload_spark.analytics.pca import save_pca_model
+    from csv_crm_upload_spark.operators.manifest import read_manifest
+
+    # probe sees 8-dim rows first; 4-dim rows lurk behind them — the
+    # dimsums count still lands at 8, only the pair-count invariant trips
+    rows = [(i, [float(i + j) for j in range(8)], 0) for i in range(4)] + [
+        (10 + i, [float(i + j) for j in range(4)], 1) for i in range(4)
+    ]
+    mixed = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).coalesce(1)
+    path = str(tmp_path / "pca_mixed")
+    with _pytest.raises(ValueError, match="mixed-dimension"):
+        save_pca_model(mixed, path, r=2)
+    with _pytest.raises(FileNotFoundError):
+        read_manifest(path)
+
+
+def test_pca_project_skips_corrupt_rows(spark):
+    """pca_project routes through valid_vectors + a width gate: NULL,
+    empty, and wrong-dimension vectors are SKIPPED — never surfaced as
+    all-NULL proj rows (zip_with null-padding) to downstream consumers."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.0, 1.0, 0.0, 0.0], 0),
+        (2, None, 1),
+        (3, [], 1),
+        (4, [1.0, 2.0], 1),  # wrong width
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    loadings = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    got = {r["vec_id"]: r["proj"] for r in pca_project(emb, loadings).collect()}
+    assert set(got) == {0, 1}
+    assert got[0] == [1.0, 0.0] and got[1] == [0.0, 1.0]
+    assert all(v is not None for p in got.values() for v in p)
