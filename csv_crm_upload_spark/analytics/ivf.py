@@ -37,9 +37,16 @@ def fit_centroids(
     seed: int = 42,
 ) -> np.ndarray:
     """Lloyd's k-means on a deterministic bounded sample (normalized
-    vectors, so euclidean k-means ≈ spherical/cosine k-means)."""
+    vectors, so euclidean k-means ≈ spherical/cosine k-means). The
+    sample routes through valid_vectors: one NULL/empty embedding in
+    the first `sample_cap` rows would otherwise land a ragged driver
+    matrix and abort the fit (clean corpora are unchanged — the filter
+    drops nothing there)."""
+    from csv_crm_upload_spark.analytics.similarity import valid_vectors
+
     sample = (
-        embeddings.select("vec_id", "embedding")
+        valid_vectors(embeddings)
+        .select("vec_id", "embedding")
         .orderBy("vec_id")  # deterministic sample: first N by key
         .limit(sample_cap)
         .collect()

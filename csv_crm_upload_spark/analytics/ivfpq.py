@@ -115,9 +115,13 @@ def _fit_residual_codebooks(
     argmax (numpy argmax == cell_id_expr's first-max tiebreak), anchor
     at the cell's sample MEAN (see module docstring for why mean, not
     unit centroid), fit on x − mean[cell]. Empty cells anchor at their
-    centroid (no member to mean)."""
+    centroid (no member to mean). Sample routes through valid_vectors
+    (identical on clean corpora; NULL/empty rows would abort the fit)."""
+    from csv_crm_upload_spark.analytics.similarity import valid_vectors
+
     sample = (
-        embeddings.select("vec_id", "embedding")
+        valid_vectors(embeddings)
+        .select("vec_id", "embedding")
         .orderBy("vec_id")
         .limit(sample_cap)
         .collect()

@@ -47,9 +47,15 @@ def fit_pq_codebooks(
     """Per-subspace Lloyd's k-means on a deterministic bounded sample
     (first `sample_cap` rows by vec_id — driver memory is bounded
     regardless of corpus size, mirroring ivf.fit_centroids). Returns an
-    (m, k, dim/m) codebook tensor."""
+    (m, k, dim/m) codebook tensor. The sample routes through
+    valid_vectors — a NULL/empty embedding in the first rows would land
+    a ragged driver matrix and abort the fit; clean corpora fit the
+    identical sample."""
+    from csv_crm_upload_spark.analytics.similarity import valid_vectors
+
     sample = (
-        embeddings.select("vec_id", "embedding")
+        valid_vectors(embeddings)
+        .select("vec_id", "embedding")
         .orderBy("vec_id")
         .limit(sample_cap)
         .collect()

@@ -236,3 +236,48 @@ def test_degenerate_corpus_matches_oracle(name, spark, degen_dir, degen_duck):
     assert not mismatches, (
         f"{name}: {len(mismatches)} value mismatches, first 3: {mismatches[:3]}"
     )
+
+
+# rows-only queries (no SQL oracle by nature: sketches, learned indexes,
+# driver-side eigh, media decode) — the adversarial corpus must not abort
+# the JOB even though there is nothing to hash-compare. These are exactly
+# the paths where one corrupt row (NULL/empty embedding, NULL media)
+# historically turned into sequence(0,-1)/element_at aborts at scale.
+ROWS_ONLY = sorted(set(QUERIES) - set(ORACLES))
+
+
+def test_rows_only_queries_declared():
+    """Keep the smoke sweep honest: if a new rows-only query appears it
+    is automatically swept below; this pins the current census so an
+    accidental oracle DELETION surfaces as a diff here too."""
+    assert ROWS_ONLY == [
+        "approx_distinct_users",
+        "approx_value_percentiles",
+        "hll1_mergeable_daily_uniques",
+        "ivfpq1_quantized_knn",
+        "mm2_real_media_features",
+        "mm3_resize_stats",
+        "pca2_projected_knn",
+        "pq1_quantized_knn",
+        "sim_knn_ivf",
+    ]
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_degenerate_rows_only_queries_execute(name, spark, degen_dir):
+    """Each rows-only query must EXECUTE over the adversarial corpus —
+    no job abort on NULL/empty embeddings or NULL text/media — and
+    return a sane, fully-materializable result (collect forces every
+    column, catching lazy per-row explosions the count alone would
+    miss). Row-count sanity: non-negative and bounded by a generous
+    corpus-derived ceiling (these are top-k / rollup readouts, not
+    row-per-input maps... except the per-row ones, hence the loose
+    bound)."""
+    sdf = QUERIES[name](spark, degen_dir)
+    rows = sdf.collect()
+    assert isinstance(rows, list)
+    # generous ceiling: |embeddings| * k for per-query top-k readouts,
+    # |events| for per-row passes — anything above signals a blow-up
+    assert len(rows) <= 2000, f"{name}: suspicious row count {len(rows)}"
+    for r in rows[:50]:
+        tuple(r)  # materialize every field
