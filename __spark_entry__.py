@@ -260,6 +260,9 @@ _ROTATION_FRONT = [
     "lag1_conversion_lag_quartiles",
     "win1_winsorized_prices",
     "q15_top_supplier",
+    "gq1_gopher_quality",
+    "xsd1_exact_substring_dedup",
+    "drm1_doremi_weights",
 ]
 
 
@@ -378,6 +381,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # bigram log-loss under the corpus's own Laplace bigram LM
         "ppl2_bigram_logloss": lambda s, sf: ts.ppl2_bigram_logloss(
+            _t("documents")(s, sf)
+        ),
+        # --- round-7 additions ---
+        # Gopher/C4 quality-rule battery: signals + per-rule booleans +
+        # composite keep, one map-only pass
+        "gq1_gopher_quality": lambda s, sf: ts.gq1_gopher_quality(
             _t("documents")(s, sf)
         ),
         # --- rotation window (slots 13-50), round 5: the six oracle-paired
@@ -978,6 +987,39 @@ def oracle_sql() -> dict[str, str]:
                      ELSE least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
                           * (1.0 - round(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1), 6)) END, 6) AS quality_score
         FROM base
+    """
+    # list_sum convention: DuckDB's list_sum over an EMPTY list is NULL
+    # while Spark's aggregate returns the 0 init — empty text must read
+    # 0.0 mean word length in both engines; but NULL text must stay NULL
+    # (Spark's aggregate over a NULL array is NULL), so the coalesce is
+    # gated on t IS NOT NULL
+    q["gq1_gopher_quality"] = f"""
+        WITH s AS (
+          SELECT doc_id,
+                 CAST(len(t) AS INT) AS n_words,
+                 round(CAST(CASE WHEN t IS NULL THEN NULL
+                            ELSE coalesce(list_sum(list_transform(t, x -> CAST(len(x) AS BIGINT))), 0)
+                            END AS DOUBLE)
+                       / greatest(len(t), 1), 6) AS mean_word_len,
+                 round(CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE)
+                       / greatest(len(t), 1), 6) AS symbol_ratio,
+                 round(CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                       / greatest(len(t), 1), 6) AS alpha_word_ratio,
+                 CAST(len(list_filter(t, x -> list_contains({_STOP}, lower(x)))) AS BIGINT) AS n_stopwords
+          FROM (SELECT doc_id, text, {_RAW_TOKS} AS t FROM documents)
+        )
+        SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_ratio, n_stopwords,
+               (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+               (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS r_mean_word_len,
+               symbol_ratio <= 0.1 AS r_symbol_ratio,
+               alpha_word_ratio >= 0.8 AS r_alpha_words,
+               n_stopwords >= 2 AS r_stopwords,
+               ((n_words >= 50 AND n_words <= 100000)
+                AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+                AND symbol_ratio <= 0.1
+                AND alpha_word_ratio >= 0.8
+                AND n_stopwords >= 2) AS keep
+        FROM s
     """
     q["t3_lang_id"] = f"""
         WITH base AS (

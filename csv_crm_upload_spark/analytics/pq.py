@@ -106,24 +106,54 @@ def codes_expr(codebooks: np.ndarray, col=None):
     code_cols = []
     for j in range(m):
         xs = F.slice(emb, j * sub + 1, sub)
-        scores = []
-        for c in range(k):
-            entry = codebooks[j, c]
-            dot = F.aggregate(
-                F.zip_with(
-                    xs,
-                    F.array(*[F.lit(float(v)) for v in entry]),
-                    lambda a, b: a.cast("double") * b,
-                ),
+        # the codebook rides in as ONE nested k×sub literal and the
+        # scores come from ONE transform — not k separate aggregate
+        # lambdas whose tree the argmax then duplicates (the old shape
+        # planned 2·m·k aggregates; Catalyst ANALYSIS of that tree, not
+        # the data, dominated pq1's per-call cost and drifted with JVM
+        # state). Arithmetic per element is unchanged (same
+        # zip_with/aggregate dot, same 2·dot − ||c||² score, same IEEE
+        # order), so codes are bit-identical.
+        book = F.array(
+            *[
+                F.array(*[F.lit(float(v)) for v in codebooks[j, c]])
+                for c in range(k)
+            ]
+        )
+        norms = F.array(
+            *[
+                F.lit(float(codebooks[j, c] @ codebooks[j, c]))
+                for c in range(k)
+            ]
+        )
+        scores = F.transform(
+            book,
+            lambda e, i: 2.0
+            * F.aggregate(
+                F.zip_with(xs, e, lambda a, b: a.cast("double") * b),
                 F.lit(0.0),
                 lambda acc, v: acc + v,
             )
-            scores.append(2.0 * dot - F.lit(float(entry @ entry)))
-        code_cols.append(
-            (F.array_position(F.array(*scores), F.array_max(F.array(*scores))) - 1).cast(
-                "int"
-            )
+            - F.element_at(norms, i + 1),
         )
+        # first-max argmax in ONE pass over the scores array (the
+        # array_position(scores, array_max(scores)) form evaluates the
+        # scores expression twice); strictly-greater keeps the FIRST
+        # max — array_position's tiebreak — and Spark's NaN-is-greatest
+        # ordering matches too (first NaN wins in both forms)
+        zipped = F.zip_with(
+            scores,
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda s, i: F.struct(s.alias("s"), i.alias("i")),
+        )
+        best = F.aggregate(
+            zipped,
+            F.struct(
+                F.lit(float("-inf")).alias("s"), F.lit(-1).alias("i")
+            ),
+            lambda acc, x: F.when(x["s"] > acc["s"], x).otherwise(acc),
+        )
+        code_cols.append(best["i"].cast("int"))
     return F.array(*code_cols)
 
 

@@ -1446,3 +1446,73 @@ def phr1_phrase_occurrences(documents: DataFrame, n: int = 3) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def gq1_gopher_quality(documents: DataFrame) -> DataFrame:
+    """Gopher/C4-style quality-rule battery as ONE map-only pass — the
+    rule filter every production pretraining pipeline runs before
+    anything expensive touches a document (Rae et al. 2021 "Scaling
+    Language Models: ... Gopher" Table A1; Raffel et al. 2020 C4).
+    Per document: the raw signals, one boolean per rule, and the
+    composite `keep` (AND of all rules, three-valued over NULL text
+    exactly like the SQL oracle).
+
+    Rules (Gopher's published thresholds where the signal exists in
+    this corpus):
+      r_word_count     50 <= n_words <= 100000
+      r_mean_word_len  3 <= mean word length <= 10
+      r_symbol_ratio   (# '#' or '...' occurrences) / n_words <= 0.1
+      r_alpha_words    >= 80% of words contain an alphabetic char
+      r_stopwords      >= 2 distinct-occurrence hits of the shared
+                       EN_STOPWORDS list (Gopher's "contains at least
+                       2 stop words" smell test)
+
+    Scale shape: pure Column expressions riding the scan — no shuffle,
+    no UDF; at 100 TB this is exactly one pass fused into whatever
+    reads the corpus next (the reason the rule battery composes into
+    prep pipelines for free). All ratios are round(·, 6) with the
+    greatest(n, 1) guard so the two engines divide identically.
+    Reference for the operator family: csv-crm-upload gates rows on
+    per-record checks before ingest (cmd/csvreader/csvreader.go:54
+    readCustomers' per-row tolerance); this is the corpus-scale
+    analog."""
+    toks = _tokens()
+    n_words = F.size(toks)
+    total_tok_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    denom_w = F.greatest(n_words, F.lit(1))
+    mean_word_len = F.round(total_tok_chars.cast("double") / denom_w, 6)
+    n_symbols = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"#|\.\.\."), 0))
+    symbol_ratio = F.round(n_symbols.cast("double") / denom_w, 6)
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    alpha_word_ratio = F.round(n_alpha.cast("double") / denom_w, 6)
+    n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(EN_STOPWORDS)))
+
+    r_word_count = (n_words >= 50) & (n_words <= 100000)
+    r_mean_word_len = (mean_word_len >= 3.0) & (mean_word_len <= 10.0)
+    r_symbol_ratio = symbol_ratio <= 0.1
+    r_alpha_words = alpha_word_ratio >= 0.8
+    r_stopwords = n_stop >= 2
+    return documents.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_word_ratio.alias("alpha_word_ratio"),
+        n_stop.cast("long").alias("n_stopwords"),
+        r_word_count.alias("r_word_count"),
+        r_mean_word_len.alias("r_mean_word_len"),
+        r_symbol_ratio.alias("r_symbol_ratio"),
+        r_alpha_words.alias("r_alpha_words"),
+        r_stopwords.alias("r_stopwords"),
+        (
+            r_word_count
+            & r_mean_word_len
+            & r_symbol_ratio
+            & r_alpha_words
+            & r_stopwords
+        ).alias("keep"),
+    )
