@@ -389,6 +389,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gq1_gopher_quality": lambda s, sf: ts.gq1_gopher_quality(
             _t("documents")(s, sf)
         ),
+        # ExactSubstr dedup (Lee et al.): per-doc maximal duplicated-span
+        # coverage via overlapping-gram repeats — generalizes linedd1
+        "xsd1_exact_substring_dedup": lambda s, sf: dd.xsd1_exact_substring_dedup(
+            _t("documents")(s, sf)
+        ),
         # --- rotation window (slots 13-50), round 5: the six oracle-paired
         # queries that have never had a driver CORRECTNESS row lead the
         # window (slots 13-18); the rest of the window re-samples r4 keys ---
@@ -1020,6 +1025,52 @@ def oracle_sql() -> dict[str, str]:
                 AND alpha_word_ratio >= 0.8
                 AND n_stopwords >= 2) AS keep
         FROM s
+    """
+    # ExactSubstr: sliding 10-gram repeats -> covered positions -> maximal
+    # merged spans per doc (gaps-and-islands). Mirrors dedup.py
+    # xsd1_exact_substring_dedup token for token; ' ' vs \\x01 gram joins
+    # group identically (tokens cannot contain either separator).
+    q["xsd1_exact_substring_dedup"] = f"""
+        WITH toks AS (
+          SELECT doc_id, {_TOKS} AS t FROM documents
+          WHERE text IS NOT NULL AND trim(text) <> ''
+        ),
+        g AS (
+          SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+                 CAST(r.i + 1 AS INT) AS start,
+                 array_to_string(t[r.i+1:r.i+10], ' ') AS gram
+          FROM toks, UNNEST(range(0, len(t) - 9)) AS r(i)
+          WHERE len(t) >= 10
+        ),
+        c AS (
+          SELECT doc_id, n_tokens, start,
+                 count(*) OVER (PARTITION BY gram) AS cnt
+          FROM g
+        ),
+        d AS (SELECT doc_id, n_tokens, start FROM c WHERE cnt > 1),
+        isl AS (
+          SELECT doc_id, n_tokens, start,
+                 CASE WHEN start > lag(start) OVER (PARTITION BY doc_id ORDER BY start) + 10
+                      THEN 1 ELSE 0 END AS new_island
+          FROM d
+        ),
+        isl2 AS (
+          SELECT doc_id, n_tokens, start,
+                 sum(new_island) OVER (PARTITION BY doc_id ORDER BY start
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+          FROM isl
+        ),
+        sp AS (
+          SELECT doc_id, island, min(start) AS s0, max(start) AS s1,
+                 any_value(n_tokens) AS n_tokens
+          FROM isl2 GROUP BY doc_id, island
+        )
+        SELECT doc_id,
+               any_value(n_tokens) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_dup_spans,
+               CAST(sum(s1 - s0 + 10) AS BIGINT) AS n_dup_tokens,
+               round(CAST(sum(s1 - s0 + 10) AS DOUBLE) / any_value(n_tokens), 6) AS dup_fraction
+        FROM sp GROUP BY doc_id
     """
     q["t3_lang_id"] = f"""
         WITH base AS (

@@ -1051,3 +1051,90 @@ def linedd1_span_dedup(documents: DataFrame, span: int = 8) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def xsd1_exact_substring_dedup(documents: DataFrame, min_len: int = 10) -> DataFrame:
+    """ExactSubstr dedup readout (Lee et al. 2021, arXiv:2107.06499 §4.1)
+    at token granularity: a position is DUPLICATED iff it lies inside a
+    substring of >= `min_len` tokens that occurs at least twice in the
+    corpus — which holds exactly when some repeated `min_len`-gram covers
+    it, so sliding grams are a complete (not approximate) reduction of
+    the suffix-array formulation at fixed L. Generalizes linedd1 beyond
+    its fixed non-overlapping windows: overlapping grams catch repeats at
+    ANY offset, and merged coverage reports the true maximal spans.
+
+    Output: one row per doc that CONTAINS duplicated text —
+    (doc_id, n_tokens, n_dup_spans, n_dup_tokens, dup_fraction), where
+    spans are maximal merged runs of covered positions.
+
+    Scale shape (the published pipeline's cost profile): the sliding-gram
+    explode is map-only Column algebra; ONE shuffle on the gram key
+    scores occurrence counts (window count, no join back); one keyed
+    shuffle on doc_id merges coverage islands via lag/gaps-and-islands
+    (per-doc windows — bounded partitions); a final per-doc combining
+    agg. Hot boilerplate grams skew the gram-key shuffle exactly as in
+    linedd1 — the count-only window keeps the skew at the combiner."""
+    from pyspark.sql import Window
+
+    L = min_len
+    toks = F.split(_norm_text(), " ")
+    base = documents.filter(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    ).select("doc_id", toks.alias("t"))
+    # overlapping L-gram start positions 1..n-L+1 (docs shorter than L
+    # emit nothing — they cannot contain a length-L repeat)
+    starts = F.sequence(F.lit(1), F.size("t") - (L - 1))
+    grams = base.filter(F.size("t") >= L).select(
+        "doc_id",
+        F.size("t").cast("bigint").alias("n_tokens"),
+        F.explode(starts).alias("start"),
+        F.col("t"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "start",
+        F.array_join(F.slice(F.col("t"), F.col("start"), L), "\x01").alias("gram"),
+    )
+    dup = (
+        grams.withColumn(
+            "cnt", F.count(F.lit(1)).over(Window.partitionBy("gram"))
+        )
+        .filter(F.col("cnt") > 1)
+        .select("doc_id", "n_tokens", "start")
+    )
+    # gaps-and-islands: coverage [start, start+L-1] merges with the
+    # previous gram's unless start > prev_start + L (a gap of >= 1
+    # uncovered position); island id = running sum of gap flags
+    w = Window.partitionBy("doc_id").orderBy("start")
+    flagged = dup.withColumn(
+        "new_island",
+        F.when(F.col("start") > F.lag("start").over(w) + L, 1).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    spans = flagged.groupBy("doc_id", "island").agg(
+        F.min("start").alias("s0"),
+        F.max("start").alias("s1"),
+        F.first("n_tokens").alias("n_tokens"),
+    )
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.first("n_tokens").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_dup_spans"),
+            F.sum(F.col("s1") - F.col("s0") + L).cast("bigint").alias("n_dup_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_dup_spans",
+            "n_dup_tokens",
+            F.round(
+                F.col("n_dup_tokens").cast("double") / F.col("n_tokens"), 6
+            ).alias("dup_fraction"),
+        )
+        .orderBy("doc_id")
+    )

@@ -710,3 +710,35 @@ def test_span_corruption_stats_are_deterministic_and_bounded(spark):
         assert 0 <= n_spans <= math.ceil(n_tokens / 3)
     # the gate actually fires somewhere across 40 docs (p ~ 1-0.85^blocks)
     assert any(row[2] > 0 for row in a.values())
+
+
+def test_exact_substring_dedup_planted_spans(spark):
+    """xsd1: a 12-token passage planted in two docs at DIFFERENT offsets
+    (the any-offset case linedd1's fixed windows miss), an internal
+    within-doc repeat, and a clean doc. Coverage must be the true merged
+    maximal spans at min_len=10."""
+    from csv_crm_upload_spark.analytics.dedup import xsd1_exact_substring_dedup
+
+    passage = " ".join(f"p{i}" for i in range(12))  # 12 shared tokens
+    uniq = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))
+    rows = [
+        # doc 0: passage at offset 5
+        (0, uniq("a", 5) + " " + passage + " " + uniq("b", 8)),
+        # doc 1: same passage at offset 0
+        (1, passage + " " + uniq("c", 20)),
+        # doc 2: internal repeat — one 10-token run appearing twice
+        (2, uniq("r", 10).replace("r", "z") + " " + uniq("m", 3) + " " + uniq("r", 10).replace("r", "z")),
+        # doc 3: clean, long enough to emit grams but no repeats
+        (3, uniq("q", 30)),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in xsd1_exact_substring_dedup(docs, min_len=10).collect()}
+    assert set(out) == {0, 1, 2}, "clean doc must not appear"
+    # docs 0/1: exactly the 12 planted tokens covered, one span each
+    assert out[0]["n_dup_spans"] == 1 and out[0]["n_dup_tokens"] == 12
+    assert out[1]["n_dup_spans"] == 1 and out[1]["n_dup_tokens"] == 12
+    assert out[0]["n_tokens"] == 25 and out[1]["n_tokens"] == 32
+    # doc 2: both copies of the internal 10-token run covered (two spans
+    # separated by the m-gap), 20 covered positions
+    assert out[2]["n_dup_spans"] == 2 and out[2]["n_dup_tokens"] == 20
+    assert abs(out[2]["dup_fraction"] - round(20 / 23, 6)) < 1e-9
