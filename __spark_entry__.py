@@ -394,6 +394,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xsd1_exact_substring_dedup": lambda s, sf: dd.xsd1_exact_substring_dedup(
             _t("documents")(s, sf)
         ),
+        # DoReMi domain reweighting: excess-loss multiplicative update
+        # over sources + uniform smoothing (composes with mix4)
+        "drm1_doremi_weights": lambda s, sf: ts.drm1_doremi_weights(
+            _t("documents")(s, sf)
+        ),
         # --- rotation window (slots 13-50), round 5: the six oracle-paired
         # queries that have never had a driver CORRECTNESS row lead the
         # window (slots 13-18); the rest of the window re-samples r4 keys ---
@@ -1071,6 +1076,58 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(s1 - s0 + 10) AS BIGINT) AS n_dup_tokens,
                round(CAST(sum(s1 - s0 + 10) AS DOUBLE) / any_value(n_tokens), 6) AS dup_fraction
         FROM sp GROUP BY doc_id
+    """
+    # DoReMi: mirrors textstats.drm1_doremi_weights stage for stage
+    # (9-dp rounding points, decimal sums, double divisions); explicit
+    # DOUBLE casts on the 0.9/0.1 literals keep DuckDB from running the
+    # smoothing in DECIMAL where Spark runs it in double
+    q["drm1_doremi_weights"] = f"""
+        WITH toks AS (
+          SELECT source, unnest({_TOKS}) AS tok
+          FROM documents WHERE text IS NOT NULL
+        ),
+        pst AS (SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+        tc AS (SELECT tok, COUNT(*) AS n_tok FROM toks GROUP BY 1),
+        tot AS (SELECT SUM(n_tok) AS n_total FROM tc),
+        tcb AS (
+          SELECT tok, n_tok, n_total,
+                 CAST(ROUND(-log2(CAST(n_tok AS DOUBLE) / CAST(n_total AS DOUBLE)), 9)
+                      AS DECIMAL(20,12)) AS bits
+          FROM tc CROSS JOIN tot
+        ),
+        gl AS (
+          SELECT SUM(CAST(n_tok AS DECIMAL(12,0)) * bits) AS g_bits,
+                 MAX(n_total) AS n_total
+          FROM tcb
+        ),
+        ps AS (
+          SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                 SUM(CAST(c AS DECIMAL(12,0)) * bits) AS src_bits
+          FROM pst JOIN tcb USING (tok) GROUP BY source
+        ),
+        r AS (
+          SELECT source, n_tokens,
+                 round(CAST(src_bits AS DOUBLE) / n_tokens, 9) AS mean9,
+                 round(mean9 - round(CAST(g_bits AS DOUBLE) / n_total, 9), 9) AS excess9,
+                 round(CAST(n_tokens AS DOUBLE) / n_total, 9) AS share9
+          FROM ps CROSS JOIN gl
+        ),
+        r3 AS (
+          SELECT *, round(share9 * round(exp(1.0 * excess9), 9), 9) AS term9 FROM r
+        ),
+        norm AS (
+          SELECT SUM(CAST(term9 AS DECIMAL(20,12))) AS z,
+                 CAST(COUNT(*) AS BIGINT) AS k
+          FROM r3
+        )
+        SELECT source, n_tokens,
+               round(mean9, 6) AS mean_bits_per_token,
+               round(excess9, 6) + 0.0 AS excess_bits,
+               round(share9, 6) AS token_share,
+               round(CAST(0.9 AS DOUBLE) * (term9 / CAST(z AS DOUBLE))
+                     + CAST(0.1 AS DOUBLE) / k, 6) + 0.0 AS weight
+        FROM r3 CROSS JOIN norm
+        ORDER BY source
     """
     q["t3_lang_id"] = f"""
         WITH base AS (

@@ -1516,3 +1516,94 @@ def gq1_gopher_quality(documents: DataFrame) -> DataFrame:
             & r_stopwords
         ).alias("keep"),
     )
+
+
+def drm1_doremi_weights(
+    documents: DataFrame, eta: float = 1.0, smooth: float = 0.1
+) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023,
+    arXiv:2305.10429) with the corpus's own unigram LM standing in for
+    the proxy/reference pair: per source (domain), the EXCESS LOSS is
+    its mean bits/token under the global unigram LM minus the
+    corpus-wide mean, and the Group-DRO multiplicative update lifts hard
+    domains — weight ∝ token_share · exp(eta · excess) — followed by
+    DoReMi's smoothing against uniform, w = (1−c)·α + c/k. One
+    deterministic round (the excess is static without proxy retraining,
+    so T update rounds collapse into eta); composes with mix4's
+    water-filling when a trainer wants the budgeted allocation.
+
+    Determinism (the ppl1/dsir1 discipline): bits per DISTINCT token are
+    rounded to 9 dp and summed in DECIMAL per source; means divide
+    exact decimal totals (as double) by exact long counts and round to
+    9 dp; excess, the exp term, the share, and the share·exp product are
+    each rounded to 9 dp; the |sources|-row normalizer sums the 9-dp
+    terms in DECIMAL so addition order cannot move it; final weights
+    round to 6 dp.
+
+    Plan: one (source, tok) combining agg + one tok-keyed count agg
+    joined back on tok — two keyed shuffles, both corpus-scale sides
+    keyed, nothing corpus-sized collected or broadcast; everything after
+    runs on the |sources|-row rollup with 1-row broadcasts."""
+    toks = documents.filter(F.col("text").isNotNull()).select(
+        "source", F.explode(_norm_tokens()).alias("tok")
+    )
+    per_src_tok = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    tok_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
+    n_total_df = tok_counts.agg(F.sum("n_tok").alias("n_total"))
+    bits = F.round(
+        -F.log2(F.col("n_tok").cast("double") / F.col("n_total")), 9
+    ).cast("decimal(20,12)")
+    tcb = tok_counts.crossJoin(F.broadcast(n_total_df)).select(
+        "tok", "n_tok", "n_total", bits.alias("bits")
+    )
+    glob = tcb.agg(
+        F.sum(F.col("n_tok").cast("decimal(12,0)") * F.col("bits")).alias("g_bits"),
+        F.max("n_total").alias("n_total"),
+    )
+    per_src = (
+        per_src_tok.join(tcb.select("tok", "bits"), "tok")
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.col("c").cast("decimal(12,0)") * F.col("bits")).alias("src_bits"),
+        )
+    )
+    mean9 = F.round(F.col("src_bits").cast("double") / F.col("n_tokens"), 9)
+    gmean9 = F.round(F.col("g_bits").cast("double") / F.col("n_total"), 9)
+    excess9 = F.round(mean9 - gmean9, 9)
+    share9 = F.round(F.col("n_tokens").cast("double") / F.col("n_total"), 9)
+    e9 = F.round(F.exp(F.lit(float(eta)) * excess9), 9)
+    term9 = F.round(share9 * e9, 9)
+    rolled = per_src.crossJoin(F.broadcast(glob)).select(
+        "source",
+        "n_tokens",
+        mean9.alias("_mean9"),
+        excess9.alias("_excess9"),
+        share9.alias("_share9"),
+        term9.alias("_term9"),
+    )
+    norm = rolled.agg(
+        F.sum(F.col("_term9").cast("decimal(20,12)")).alias("_z"),
+        F.count(F.lit(1)).cast("long").alias("_k"),
+    )
+    c = float(smooth)
+    alpha = F.col("_term9") / F.col("_z").cast("double")
+    return (
+        rolled.crossJoin(F.broadcast(norm))
+        .select(
+            "source",
+            "n_tokens",
+            F.round(F.col("_mean9"), 6).alias("mean_bits_per_token"),
+            # + 0.0: a hair-negative excess rounds to -0.0 in Spark but
+            # not necessarily in the oracle — the r6 signed-zero class
+            (F.round(F.col("_excess9"), 6) + F.lit(0.0)).alias("excess_bits"),
+            F.round(F.col("_share9"), 6).alias("token_share"),
+            (
+                F.round(
+                    F.lit(1.0 - c) * alpha + F.lit(c) / F.col("_k"), 6
+                )
+                + F.lit(0.0)
+            ).alias("weight"),
+        )
+        .orderBy("source")
+    )

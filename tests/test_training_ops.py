@@ -742,3 +742,33 @@ def test_exact_substring_dedup_planted_spans(spark):
     # separated by the m-gap), 20 covered positions
     assert out[2]["n_dup_spans"] == 2 and out[2]["n_dup_tokens"] == 20
     assert abs(out[2]["dup_fraction"] - round(20 / 23, 6)) < 1e-9
+
+
+def test_doremi_weights_lift_hard_domains(spark):
+    """drm1: a domain whose text is rare under the corpus LM (high
+    excess loss) must end ABOVE its raw token share; an easy domain of
+    pure boilerplate ends below; weights are a distribution (sum ~ 1,
+    every weight >= the smoothing floor c/k * (1-c)... i.e. > 0)."""
+    from csv_crm_upload_spark.analytics.textstats import drm1_doremi_weights
+
+    common = " ".join(["the data table row scan"] * 10)
+    rows = (
+        # easy: three near-identical boilerplate docs
+        [(i, common, "en", "easy", 0) for i in range(3)]
+        # hard: rare vocabulary, same volume
+        + [
+            (10 + i, " ".join(f"w{i}_{j}" for j in range(50)), "en", "hard", 0)
+            for i in range(3)
+        ]
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars int"
+    )
+    out = {r["source"]: r for r in drm1_doremi_weights(docs).collect()}
+    assert set(out) == {"easy", "hard"}
+    total = sum(r["weight"] for r in out.values())
+    assert abs(total - 1.0) < 1e-4
+    assert all(r["weight"] > 0 for r in out.values())
+    assert out["hard"]["excess_bits"] > 0 > out["easy"]["excess_bits"]
+    assert out["hard"]["weight"] > out["hard"]["token_share"]
+    assert out["easy"]["weight"] < out["easy"]["token_share"]
