@@ -263,6 +263,7 @@ _ROTATION_FRONT = [
     "gq1_gopher_quality",
     "xsd1_exact_substring_dedup",
     "drm1_doremi_weights",
+    "prep3_fineweb_manifest",
 ]
 
 
@@ -286,9 +287,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     peers);
     the rest of the window re-samples round-5 keys (all green in r5).
     sim_knn_ivf/pq1/ivfpq1/hll1/mm2/mm3/approx_* are oracle-free
-    rows-only whenever sampled. Round 7: the literal below keeps its
-    historical order; the _ROTATION_FRONT reorder at the end of this
-    function moves this round's verification targets into slots 13+."""
+    rows-only whenever sampled (all nine now swept by
+    test_degenerate_rows_only_queries_execute). Round 7: the literal
+    below keeps its historical order; the _ROTATION_FRONT reorder at
+    the end of this function moves this round's verification targets
+    into slots 13-30 — the ten signed-zero-patched queries (13-22), the
+    five rank-plan rewrites (23-27: distributed_grouped_rank /
+    distributed rank cuts / q15 max-semi-join, same oracles), and the
+    three round-7 operators gq1/xsd1/drm1 (28-30)."""
     q = {
         # reference-faithful core (SURVEY §2 ids) — pinned slots 1-12
         "s1_scan_customer": q_s1_scan_customer,
@@ -397,6 +403,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DoReMi domain reweighting: excess-loss multiplicative update
         # over sources + uniform smoothing (composes with mix4)
         "drm1_doremi_weights": lambda s, sf: ts.drm1_doremi_weights(
+            _t("documents")(s, sf)
+        ),
+        # the composed FineWeb-style cascade over this round's operators:
+        # gq1 gate -> xsd1 gate -> LSH near-dup blacklist -> drm1 weights
+        # -> exact largest-remainder doc apportionment
+        "prep3_fineweb_manifest": lambda s, sf: prep.prepare_training_corpus_v3(
             _t("documents")(s, sf)
         ),
         # --- rotation window (slots 13-50), round 5: the six oracle-paired
@@ -1003,132 +1015,202 @@ def oracle_sql() -> dict[str, str]:
     # 0.0 mean word length in both engines; but NULL text must stay NULL
     # (Spark's aggregate over a NULL array is NULL), so the coalesce is
     # gated on t IS NOT NULL
-    q["gq1_gopher_quality"] = f"""
-        WITH s AS (
-          SELECT doc_id,
-                 CAST(len(t) AS INT) AS n_words,
-                 round(CAST(CASE WHEN t IS NULL THEN NULL
-                            ELSE coalesce(list_sum(list_transform(t, x -> CAST(len(x) AS BIGINT))), 0)
-                            END AS DOUBLE)
-                       / greatest(len(t), 1), 6) AS mean_word_len,
-                 round(CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE)
-                       / greatest(len(t), 1), 6) AS symbol_ratio,
-                 round(CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
-                       / greatest(len(t), 1), 6) AS alpha_word_ratio,
-                 CAST(len(list_filter(t, x -> list_contains({_STOP}, lower(x)))) AS BIGINT) AS n_stopwords
-          FROM (SELECT doc_id, text, {_RAW_TOKS} AS t FROM documents)
-        )
-        SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_ratio, n_stopwords,
-               (n_words >= 50 AND n_words <= 100000) AS r_word_count,
-               (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS r_mean_word_len,
-               symbol_ratio <= 0.1 AS r_symbol_ratio,
-               alpha_word_ratio >= 0.8 AS r_alpha_words,
-               n_stopwords >= 2 AS r_stopwords,
-               ((n_words >= 50 AND n_words <= 100000)
-                AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
-                AND symbol_ratio <= 0.1
-                AND alpha_word_ratio >= 0.8
-                AND n_stopwords >= 2) AS keep
-        FROM s
-    """
+    def _gq_sql(rel: str) -> str:
+        """Gopher rule battery over any relation with (doc_id, text)
+        — the gq1 oracle body, reused by prep3's composed cascade."""
+        return f"""
+            WITH s AS (
+              SELECT doc_id,
+                     CAST(len(t) AS INT) AS n_words,
+                     round(CAST(CASE WHEN t IS NULL THEN NULL
+                                ELSE coalesce(list_sum(list_transform(t, x -> CAST(len(x) AS BIGINT))), 0)
+                                END AS DOUBLE)
+                           / greatest(len(t), 1), 6) AS mean_word_len,
+                     round(CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE)
+                           / greatest(len(t), 1), 6) AS symbol_ratio,
+                     round(CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                           / greatest(len(t), 1), 6) AS alpha_word_ratio,
+                     CAST(len(list_filter(t, x -> list_contains({_STOP}, lower(x)))) AS BIGINT) AS n_stopwords
+              FROM (SELECT doc_id, text, {_RAW_TOKS} AS t FROM {rel})
+            )
+            SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_ratio, n_stopwords,
+                   (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+                   (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS r_mean_word_len,
+                   symbol_ratio <= 0.1 AS r_symbol_ratio,
+                   alpha_word_ratio >= 0.8 AS r_alpha_words,
+                   n_stopwords >= 2 AS r_stopwords,
+                   ((n_words >= 50 AND n_words <= 100000)
+                    AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+                    AND symbol_ratio <= 0.1
+                    AND alpha_word_ratio >= 0.8
+                    AND n_stopwords >= 2) AS keep
+            FROM s
+        """
+
+    q["gq1_gopher_quality"] = _gq_sql("documents")
     # ExactSubstr: sliding 10-gram repeats -> covered positions -> maximal
     # merged spans per doc (gaps-and-islands). Mirrors dedup.py
     # xsd1_exact_substring_dedup token for token; ' ' vs \\x01 gram joins
     # group identically (tokens cannot contain either separator).
-    q["xsd1_exact_substring_dedup"] = f"""
-        WITH toks AS (
-          SELECT doc_id, {_TOKS} AS t FROM documents
-          WHERE text IS NOT NULL AND trim(text) <> ''
-        ),
-        g AS (
-          SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
-                 CAST(r.i + 1 AS INT) AS start,
-                 array_to_string(t[r.i+1:r.i+10], ' ') AS gram
-          FROM toks, UNNEST(range(0, len(t) - 9)) AS r(i)
-          WHERE len(t) >= 10
-        ),
-        c AS (
-          SELECT doc_id, n_tokens, start,
-                 count(*) OVER (PARTITION BY gram) AS cnt
-          FROM g
-        ),
-        d AS (SELECT doc_id, n_tokens, start FROM c WHERE cnt > 1),
-        isl AS (
-          SELECT doc_id, n_tokens, start,
-                 CASE WHEN start > lag(start) OVER (PARTITION BY doc_id ORDER BY start) + 10
-                      THEN 1 ELSE 0 END AS new_island
-          FROM d
-        ),
-        isl2 AS (
-          SELECT doc_id, n_tokens, start,
-                 sum(new_island) OVER (PARTITION BY doc_id ORDER BY start
-                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-          FROM isl
-        ),
-        sp AS (
-          SELECT doc_id, island, min(start) AS s0, max(start) AS s1,
-                 any_value(n_tokens) AS n_tokens
-          FROM isl2 GROUP BY doc_id, island
-        )
-        SELECT doc_id,
-               any_value(n_tokens) AS n_tokens,
-               CAST(count(*) AS BIGINT) AS n_dup_spans,
-               CAST(sum(s1 - s0 + 10) AS BIGINT) AS n_dup_tokens,
-               round(CAST(sum(s1 - s0 + 10) AS DOUBLE) / any_value(n_tokens), 6) AS dup_fraction
-        FROM sp GROUP BY doc_id
-    """
+    def _xsd_sql(rel: str) -> str:
+        """ExactSubstr readout over any relation with (doc_id, text)
+        — the xsd1 oracle body, reused by prep3's composed cascade."""
+        return f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS} AS t FROM {rel}
+              WHERE text IS NOT NULL AND trim(text) <> ''
+            ),
+            g AS (
+              SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+                     CAST(r.i + 1 AS INT) AS start,
+                     array_to_string(t[r.i+1:r.i+10], ' ') AS gram
+              FROM toks, UNNEST(range(0, len(t) - 9)) AS r(i)
+              WHERE len(t) >= 10
+            ),
+            c AS (
+              SELECT doc_id, n_tokens, start,
+                     count(*) OVER (PARTITION BY gram) AS cnt
+              FROM g
+            ),
+            d AS (SELECT doc_id, n_tokens, start FROM c WHERE cnt > 1),
+            isl AS (
+              SELECT doc_id, n_tokens, start,
+                     CASE WHEN start > lag(start) OVER (PARTITION BY doc_id ORDER BY start) + 10
+                          THEN 1 ELSE 0 END AS new_island
+              FROM d
+            ),
+            isl2 AS (
+              SELECT doc_id, n_tokens, start,
+                     sum(new_island) OVER (PARTITION BY doc_id ORDER BY start
+                                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+              FROM isl
+            ),
+            sp AS (
+              SELECT doc_id, island, min(start) AS s0, max(start) AS s1,
+                     any_value(n_tokens) AS n_tokens
+              FROM isl2 GROUP BY doc_id, island
+            )
+            SELECT doc_id,
+                   any_value(n_tokens) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_dup_spans,
+                   CAST(sum(s1 - s0 + 10) AS BIGINT) AS n_dup_tokens,
+                   round(CAST(sum(s1 - s0 + 10) AS DOUBLE) / any_value(n_tokens), 6) AS dup_fraction
+            FROM sp GROUP BY doc_id
+        """
+
+    q["xsd1_exact_substring_dedup"] = _xsd_sql("documents")
     # DoReMi: mirrors textstats.drm1_doremi_weights stage for stage
     # (9-dp rounding points, decimal sums, double divisions); explicit
     # DOUBLE casts on the 0.9/0.1 literals keep DuckDB from running the
     # smoothing in DECIMAL where Spark runs it in double
-    q["drm1_doremi_weights"] = f"""
-        WITH toks AS (
-          SELECT source, unnest({_TOKS}) AS tok
-          FROM documents WHERE text IS NOT NULL
+    def _drm_sql(rel: str) -> str:
+        """DoReMi weights over any relation with (source, text) —
+        the drm1 oracle body, reused by prep3's composed cascade."""
+        return f"""
+            WITH toks AS (
+              SELECT source, unnest({_TOKS}) AS tok
+              FROM {rel} WHERE text IS NOT NULL
+            ),
+            pst AS (SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+            tc AS (SELECT tok, COUNT(*) AS n_tok FROM toks GROUP BY 1),
+            tot AS (SELECT SUM(n_tok) AS n_total FROM tc),
+            tcb AS (
+              SELECT tok, n_tok, n_total,
+                     CAST(ROUND(-log2(CAST(n_tok AS DOUBLE) / CAST(n_total AS DOUBLE)), 9)
+                          AS DECIMAL(20,12)) AS bits
+              FROM tc CROSS JOIN tot
+            ),
+            gl AS (
+              SELECT SUM(CAST(n_tok AS DECIMAL(12,0)) * bits) AS g_bits,
+                     MAX(n_total) AS n_total
+              FROM tcb
+            ),
+            ps AS (
+              SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                     SUM(CAST(c AS DECIMAL(12,0)) * bits) AS src_bits
+              FROM pst JOIN tcb USING (tok) GROUP BY source
+            ),
+            r AS (
+              SELECT source, n_tokens,
+                     round(CAST(src_bits AS DOUBLE) / n_tokens, 9) AS mean9,
+                     round(mean9 - round(CAST(g_bits AS DOUBLE) / n_total, 9), 9) AS excess9,
+                     round(CAST(n_tokens AS DOUBLE) / n_total, 9) AS share9
+              FROM ps CROSS JOIN gl
+            ),
+            r3 AS (
+              SELECT *, round(share9 * round(exp(1.0 * excess9), 9), 9) AS term9 FROM r
+            ),
+            norm AS (
+              SELECT SUM(CAST(term9 AS DECIMAL(20,12))) AS z,
+                     CAST(COUNT(*) AS BIGINT) AS k
+              FROM r3
+            )
+            SELECT source, n_tokens,
+                   round(mean9, 6) AS mean_bits_per_token,
+                   round(excess9, 6) + 0.0 AS excess_bits,
+                   round(share9, 6) AS token_share,
+                   round(CAST(0.9 AS DOUBLE) * (term9 / CAST(z AS DOUBLE))
+                         + CAST(0.1 AS DOUBLE) / k, 6) + 0.0 AS weight
+            FROM r3 CROSS JOIN norm
+            ORDER BY source
+        """
+
+    q["drm1_doremi_weights"] = _drm_sql("documents")
+
+    # prep3: the composed FineWeb-style cascade — each stage IS the
+    # standalone oracle body (_gq_sql/_xsd_sql/_drm_sql parameterized by
+    # relation; nested WITHs scope their CTE names), the near-dup
+    # blacklist reuses lsh_pairs (defined later in this function over
+    # the raw corpus — the assignment below is completed after _lsh_ctes
+    # exists; see the q["prep3_fineweb_manifest"] fixup there)
+    _prep3_tail = f"""
+        gq AS ({{gq}}),
+        xs AS ({{xs}}),
+        dropb AS (SELECT DISTINCT doc_b AS doc_id FROM lsh_pairs),
+        surv AS (
+          SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+          FROM documents d
+          JOIN gq ON gq.doc_id = d.doc_id AND gq.keep
+          LEFT JOIN xs ON xs.doc_id = d.doc_id
+          LEFT JOIN dropb db ON db.doc_id = d.doc_id
+          WHERE (xs.dup_fraction IS NULL OR xs.dup_fraction <= 0.5)
+            AND db.doc_id IS NULL
         ),
-        pst AS (SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
-        tc AS (SELECT tok, COUNT(*) AS n_tok FROM toks GROUP BY 1),
-        tot AS (SELECT SUM(n_tok) AS n_total FROM tc),
-        tcb AS (
-          SELECT tok, n_tok, n_total,
-                 CAST(ROUND(-log2(CAST(n_tok AS DOUBLE) / CAST(n_total AS DOUBLE)), 9)
-                      AS DECIMAL(20,12)) AS bits
-          FROM tc CROSS JOIN tot
+        drm AS ({{drm}}),
+        pc AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM surv GROUP BY source
         ),
-        gl AS (
-          SELECT SUM(CAST(n_tok AS DECIMAL(12,0)) * bits) AS g_bits,
-                 MAX(n_total) AS n_total
-          FROM tcb
+        jj AS (
+          SELECT drm.source, n_docs, drm.n_tokens, drm.weight,
+                 CAST(round(drm.weight * 1e6, 0) AS BIGINT) AS w_int
+          FROM drm JOIN pc USING (source)
         ),
-        ps AS (
-          SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
-                 SUM(CAST(c AS DECIMAL(12,0)) * bits) AS src_bits
-          FROM pst JOIN tcb USING (tok) GROUP BY source
+        agg AS (
+          SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+                 CAST(SUM(w_int) AS BIGINT) AS z
+          FROM jj
         ),
-        r AS (
-          SELECT source, n_tokens,
-                 round(CAST(src_bits AS DOUBLE) / n_tokens, 9) AS mean9,
-                 round(mean9 - round(CAST(g_bits AS DOUBLE) / n_total, 9), 9) AS excess9,
-                 round(CAST(n_tokens AS DOUBLE) / n_total, 9) AS share9
-          FROM ps CROSS JOIN gl
+        rr AS (
+          SELECT jj.*, n_total, z,
+                 (n_total * w_int) // z AS base,
+                 n_total * w_int - ((n_total * w_int) // z) * z AS rmd
+          FROM jj CROSS JOIN agg
         ),
-        r3 AS (
-          SELECT *, round(share9 * round(exp(1.0 * excess9), 9), 9) AS term9 FROM r
-        ),
-        norm AS (
-          SELECT SUM(CAST(term9 AS DECIMAL(20,12))) AS z,
-                 CAST(COUNT(*) AS BIGINT) AS k
-          FROM r3
+        rr2 AS (
+          SELECT *, row_number() OVER (ORDER BY rmd DESC, source) AS rk,
+                 SUM(base) OVER () AS base_sum
+          FROM rr
         )
-        SELECT source, n_tokens,
-               round(mean9, 6) AS mean_bits_per_token,
-               round(excess9, 6) + 0.0 AS excess_bits,
-               round(share9, 6) AS token_share,
-               round(CAST(0.9 AS DOUBLE) * (term9 / CAST(z AS DOUBLE))
-                     + CAST(0.1 AS DOUBLE) / k, 6) + 0.0 AS weight
-        FROM r3 CROSS JOIN norm
-        ORDER BY source
-    """
+        SELECT source, n_docs, n_tokens, weight,
+               CAST(base + CASE WHEN rk <= n_total - base_sum THEN 1 ELSE 0 END
+                    AS BIGINT) AS alloc_docs
+        FROM rr2 ORDER BY source
+    """.format(
+        gq=_gq_sql("documents"),
+        xs=_xsd_sql("documents"),
+        drm=_drm_sql("surv"),
+    )
     q["t3_lang_id"] = f"""
         WITH base AS (
           SELECT doc_id, lang,
@@ -1231,6 +1313,9 @@ def oracle_sql() -> dict[str, str]:
         WITH {_lsh_ctes}
         SELECT doc_a, doc_b, est_jaccard FROM lsh_pairs
     """
+    # the composed cascade's oracle, completed now that lsh_pairs exists
+    # (stages assembled in _prep3_tail above)
+    q["prep3_fineweb_manifest"] = f"WITH {_lsh_ctes},{_prep3_tail}"
     # dd4: per-source near-dup participation over the same pair table
     q["dd4_source_neardup_rates"] = f"""
         WITH {_lsh_ctes},

@@ -236,3 +236,108 @@ def prepare_training_corpus_v2(
         offset.alias("stream_offset"),
         F.floor(offset / pack_budget).cast("bigint").alias("bin_id"),
     )
+
+
+def prepare_training_corpus_v3(
+    documents: DataFrame,
+    max_dup_fraction: float = 0.5,
+    eta: float = 1.0,
+    smooth: float = 0.1,
+) -> DataFrame:
+    """The round-7 composition — a FineWeb-style curation cascade
+    (Penedo et al. 2024, arXiv:2406.17557) built entirely from this
+    round's oracle-verified operators:
+
+        raw documents
+          → Gopher rule gate        (textstats.gq1_gopher_quality:
+                                     keep == true)
+          → ExactSubstr gate        (dedup.xsd1_exact_substring_dedup:
+                                     drop docs with dup_fraction >
+                                     max_dup_fraction; docs with no
+                                     duplicated span pass)
+          → near-dup blacklist      (dedup.d_minhash_lsh_pairs over the
+                                     RAW corpus — pairs are a property
+                                     of content, not of gate order; the
+                                     HIGHER doc_id of every verified
+                                     pair drops, the lower-id-wins
+                                     convention)
+          → DoReMi reweighting      (textstats.drm1_doremi_weights over
+                                     the SURVIVING corpus)
+          → exact doc apportionment (largest-remainder allocation of
+                                     the survivor count N by the 6-dp
+                                     weights: base = (N·w_int) div z,
+                                     +1 for the top-(N − Σ base)
+                                     remainders — Σ alloc_docs = N
+                                     EXACTLY, pure int64 arithmetic;
+                                     exact while N·10⁶ < 2⁶³, i.e. to
+                                     ~9·10¹² surviving docs — beyond
+                                     that, lift to DECIMAL(38,0))
+
+    Output per source: (source, n_docs, n_tokens, weight, alloc_docs) —
+    the sampling manifest a trainer feeds its data loader.
+
+    Scale: the cascade pays exactly its standalone operators' shuffles
+    (gq1 none; xsd1 its gram-key + doc-key pair; LSH its bucket
+    shuffle; drm1 its two keyed aggs) + three semi/anti joins riding
+    the scan; the allocation runs windows over the |sources|-row
+    rollup only (the mix4 precedent)."""
+    from csv_crm_upload_spark.analytics.textstats import (
+        drm1_doremi_weights,
+        gq1_gopher_quality,
+    )
+
+    gq_keep = gq1_gopher_quality(documents).filter(F.col("keep")).select("doc_id")
+    too_dup = (
+        dd.xsd1_exact_substring_dedup(documents)
+        .filter(F.col("dup_fraction") > max_dup_fraction)
+        .select("doc_id")
+    )
+    drop_b = (
+        dd.d_minhash_lsh_pairs(documents)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    survivors = (
+        documents.join(gq_keep, "doc_id", "left_semi")
+        .join(too_dup, "doc_id", "left_anti")
+        .join(drop_b, "doc_id", "left_anti")
+    )
+    wts = drm1_doremi_weights(survivors, eta=eta, smooth=smooth)
+    per_src = survivors.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    j = wts.join(per_src, "source").select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "weight",
+        F.round(F.col("weight") * 1e6, 0).cast("long").alias("_w_int"),
+    )
+    w_all = Window.partitionBy()
+    staged = j.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "weight",
+        "_w_int",
+        F.sum("n_docs").over(w_all).cast("long").alias("_n_total"),
+        F.sum("_w_int").over(w_all).cast("long").alias("_z"),
+    ).withColumn(
+        "_base", F.expr("(_n_total * _w_int) div _z")
+    ).withColumn(
+        "_rmd", F.col("_n_total") * F.col("_w_int") - F.col("_base") * F.col("_z")
+    )
+    w_rk = Window.partitionBy().orderBy(F.col("_rmd").desc(), "source")
+    ranked = staged.withColumn("_rk", F.row_number().over(w_rk)).withColumn(
+        "_deficit", F.col("_n_total") - F.sum("_base").over(w_all)
+    )
+    return ranked.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "weight",
+        (
+            F.col("_base")
+            + F.when(F.col("_rk") <= F.col("_deficit"), 1).otherwise(0)
+        ).cast("long").alias("alloc_docs"),
+    ).orderBy("source")

@@ -166,3 +166,36 @@ def test_prep2_stage_effects(spark, sf_dir):
         key = (r["split"], r["source"], r["bin_id"])
         seen.setdefault(key, set()).add(r["split"])
     assert all(len(v) == 1 for v in seen.values())
+
+
+def test_prep3_cascade_invariants(spark, sf_dir):
+    """prep3 (FineWeb-style cascade): every stage must actually bite on
+    the fixture (non-vacuous), and the largest-remainder apportionment
+    must redistribute EXACTLY the survivor count — sum(alloc_docs) ==
+    sum(n_docs), every alloc within 1 of N*weight."""
+    from csv_crm_upload_spark.analytics.dedup import (
+        d_minhash_lsh_pairs,
+        xsd1_exact_substring_dedup,
+    )
+    from csv_crm_upload_spark.analytics.textstats import gq1_gopher_quality
+    from csv_crm_upload_spark.plans.corpus_prep import prepare_training_corpus_v3
+    from csv_crm_upload_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_raw = docs.count()
+    rows = prepare_training_corpus_v3(docs).collect()
+    n_docs = sum(r["n_docs"] for r in rows)
+    n_alloc = sum(r["alloc_docs"] for r in rows)
+    assert n_alloc == n_docs, "apportionment must be exact"
+    assert 0 < n_docs < n_raw, "cascade must keep some and drop some"
+    # each gate bites on its own
+    n_gq = gq1_gopher_quality(docs).filter("keep").count()
+    assert n_gq < n_raw, "Gopher gate vacuous"
+    assert (
+        xsd1_exact_substring_dedup(docs).filter("dup_fraction > 0.5").count() > 0
+    ), "ExactSubstr gate vacuous"
+    assert d_minhash_lsh_pairs(docs).count() > 0, "near-dup blacklist vacuous"
+    # allocation tracks the weights: |alloc - N*w| < 1 + slack from the
+    # 6-dp weight rounding
+    for r in rows:
+        assert abs(r["alloc_docs"] - n_docs * r["weight"]) <= 1.0 + n_docs * 1e-5
