@@ -1540,70 +1540,72 @@ def drm1_doremi_weights(
     terms in DECIMAL so addition order cannot move it; final weights
     round to 6 dp.
 
-    Plan: one (source, tok) combining agg + one tok-keyed count agg
-    joined back on tok — two keyed shuffles, both corpus-scale sides
-    keyed, nothing corpus-sized collected or broadcast; everything after
-    runs on the |sources|-row rollup with 1-row broadcasts."""
+    Plan: ONE corpus shuffle — the (source, tok) combining agg; the
+    token LM is a rollup-of-the-rollup (groupBy tok over the already
+    |sources|·|vocab|-bounded table, never a second corpus pass), the
+    1-row total broadcasts back, and the global bits total is the
+    decimal sum of the per-source sums (every occurrence belongs to
+    exactly one source; decimal addition is order-free, so the
+    regrouping is value-identical to summing per token). Everything
+    after the source rollup runs in single-partition windows over that
+    DIMENSION-SIZED table (the mix4 precedent) — the plan has no
+    duplicated corpus subtree for the normalizer, unlike the agg +
+    crossJoin-back shape."""
     toks = documents.filter(F.col("text").isNotNull()).select(
         "source", F.explode(_norm_tokens()).alias("tok")
     )
     per_src_tok = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
-    tok_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
+    tok_counts = per_src_tok.groupBy("tok").agg(F.sum("c").alias("n_tok"))
     n_total_df = tok_counts.agg(F.sum("n_tok").alias("n_total"))
     bits = F.round(
         -F.log2(F.col("n_tok").cast("double") / F.col("n_total")), 9
     ).cast("decimal(20,12)")
     tcb = tok_counts.crossJoin(F.broadcast(n_total_df)).select(
-        "tok", "n_tok", "n_total", bits.alias("bits")
-    )
-    glob = tcb.agg(
-        F.sum(F.col("n_tok").cast("decimal(12,0)") * F.col("bits")).alias("g_bits"),
-        F.max("n_total").alias("n_total"),
+        "tok", "n_total", bits.alias("bits")
     )
     per_src = (
-        per_src_tok.join(tcb.select("tok", "bits"), "tok")
+        per_src_tok.join(tcb, "tok")
         .groupBy("source")
         .agg(
             F.sum("c").cast("long").alias("n_tokens"),
             F.sum(F.col("c").cast("decimal(12,0)") * F.col("bits")).alias("src_bits"),
+            F.max("n_total").alias("n_total"),
         )
     )
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
+    g_bits = F.sum("src_bits").over(w_all)
     mean9 = F.round(F.col("src_bits").cast("double") / F.col("n_tokens"), 9)
-    gmean9 = F.round(F.col("g_bits").cast("double") / F.col("n_total"), 9)
+    gmean9 = F.round(g_bits.cast("double") / F.col("n_total"), 9)
     excess9 = F.round(mean9 - gmean9, 9)
     share9 = F.round(F.col("n_tokens").cast("double") / F.col("n_total"), 9)
     e9 = F.round(F.exp(F.lit(float(eta)) * excess9), 9)
     term9 = F.round(share9 * e9, 9)
-    rolled = per_src.crossJoin(F.broadcast(glob)).select(
+    rolled = per_src.select(
         "source",
         "n_tokens",
         mean9.alias("_mean9"),
         excess9.alias("_excess9"),
         share9.alias("_share9"),
         term9.alias("_term9"),
-    )
-    norm = rolled.agg(
-        F.sum(F.col("_term9").cast("decimal(20,12)")).alias("_z"),
-        F.count(F.lit(1)).cast("long").alias("_k"),
+    ).select(
+        "*",
+        F.sum(F.col("_term9").cast("decimal(20,12)")).over(w_all).alias("_z"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("_k"),
     )
     c = float(smooth)
     alpha = F.col("_term9") / F.col("_z").cast("double")
-    return (
-        rolled.crossJoin(F.broadcast(norm))
-        .select(
-            "source",
-            "n_tokens",
-            F.round(F.col("_mean9"), 6).alias("mean_bits_per_token"),
-            # + 0.0: a hair-negative excess rounds to -0.0 in Spark but
-            # not necessarily in the oracle — the r6 signed-zero class
-            (F.round(F.col("_excess9"), 6) + F.lit(0.0)).alias("excess_bits"),
-            F.round(F.col("_share9"), 6).alias("token_share"),
-            (
-                F.round(
-                    F.lit(1.0 - c) * alpha + F.lit(c) / F.col("_k"), 6
-                )
-                + F.lit(0.0)
-            ).alias("weight"),
-        )
-        .orderBy("source")
-    )
+    return rolled.select(
+        "source",
+        "n_tokens",
+        F.round(F.col("_mean9"), 6).alias("mean_bits_per_token"),
+        # + 0.0: a hair-negative excess rounds to -0.0 in Spark but
+        # not necessarily in the oracle — the r6 signed-zero class
+        (F.round(F.col("_excess9"), 6) + F.lit(0.0)).alias("excess_bits"),
+        F.round(F.col("_share9"), 6).alias("token_share"),
+        (
+            F.round(F.lit(1.0 - c) * alpha + F.lit(c) / F.col("_k"), 6)
+            + F.lit(0.0)
+        ).alias("weight"),
+    ).orderBy("source")

@@ -297,10 +297,18 @@ def prepare_training_corpus_v3(
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
+    # Materialization point (the xsrc1/sdd1 precedent): the gate cascade
+    # (three joins over the gq1/xsd1/LSH subtrees) feeds TWO consumers —
+    # drm1's token aggs and the per-source doc count. Without pinning it,
+    # each consumer replans the whole cascade (the plan audit measured
+    # 77 exchanges); checkpointed once, downstream pays only its own
+    # aggs. At 100 TB this is the standard persist-the-curated-corpus
+    # step every cascade pipeline takes before fan-out anyway.
     survivors = (
         documents.join(gq_keep, "doc_id", "left_semi")
         .join(too_dup, "doc_id", "left_anti")
         .join(drop_b, "doc_id", "left_anti")
+        .localCheckpoint(eager=True)
     )
     wts = drm1_doremi_weights(survivors, eta=eta, smooth=smooth)
     per_src = survivors.groupBy("source").agg(

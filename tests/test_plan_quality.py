@@ -528,6 +528,38 @@ def test_round6_operator_shuffle_budgets(spark, sf_dir):
         assert len(ids) <= budget, f"{name}: {len(ids)} shuffles > budget {budget}\n{plan}"
 
 
+def test_round7_operator_shuffle_budgets(spark, sf_dir):
+    """Budgets for the round-7 additions (ceilings, broadcasts excluded):
+      gq1   0 — pure Column battery riding the scan; not even a result
+            order (per-doc map output)
+      xsd1  3 — gram-key window count (ONE shuffle, no join back),
+            doc-key islands window, result order
+      drm1  8 — (source,tok) combining agg, tok rollup-of-rollup, 1-row
+            total, the tok join's two re-exchanges, source agg, the
+            single-partition dimension-rollup window, result order
+      prep3 9 — the returned plan after the eager survivors checkpoint
+            (the 3-gate cascade ran once inside it): drm1's stages over
+            the checkpoint scan + the per-source doc count + the
+            apportionment windows + result order
+      w3/out1 — distributed_grouped_rank: the (pid, group) window
+            re-exchange + the offsets broadcast join over the
+            checkpointed range partitioning (2 each incl. result order)
+    """
+    _reset_plan_state(spark)
+    budgets = {
+        "gq1_gopher_quality": 0,
+        "xsd1_exact_substring_dedup": 3,
+        "drm1_doremi_weights": 8,
+        "prep3_fineweb_manifest": 9,
+        "w3_order_quartiles": 2,
+        "out1_iqr_outliers": 3,
+    }
+    for name, budget in budgets.items():
+        plan = plan_of(QUERIES[name](spark, sf_dir))
+        ids = set(re.findall(r"(?<!Broadcast)Exchange \((\d+)\)", plan))
+        assert len(ids) <= budget, f"{name}: {len(ids)} shuffles > budget {budget}\n{plan}"
+
+
 def test_distributed_rank_and_ntile_handle_empty_input(spark):
     """Empty frames must plan and return empty (a zero-arg create_map()
     would otherwise fail analysis on the offset lookup)."""
