@@ -153,7 +153,15 @@ def codes_expr(codebooks: np.ndarray, col=None):
             ),
             lambda acc, x: F.when(x["s"] > acc["s"], x).otherwise(acc),
         )
-        code_cols.append(best["i"].cast("int"))
+        # a corrupt row (empty/short vector → NULL dot → NULL scores)
+        # leaves the -1 init in place; surface it as a NULL code exactly
+        # like the old array_position-of-NULL form did — element_at(lut,
+        # 0) would otherwise ABORT the whole job under ANSI (the
+        # one-corrupt-row-kills-the-fleet class the degenerate smoke
+        # sweep exists to catch)
+        code_cols.append(
+            F.when(best["i"] >= 0, best["i"]).cast("int")
+        )
     return F.array(*code_cols)
 
 
