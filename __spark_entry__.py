@@ -264,6 +264,7 @@ _ROTATION_FRONT = [
     "xsd1_exact_substring_dedup",
     "drm1_doremi_weights",
     "prep3_fineweb_manifest",
+    "mmr1_diversified_topk",
 ]
 
 
@@ -410,6 +411,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -> exact largest-remainder doc apportionment
         "prep3_fineweb_manifest": lambda s, sf: prep.prepare_training_corpus_v3(
             _t("documents")(s, sf)
+        ),
+        # MMR diversified top-k: greedy λ·rel − μ·max-sim-to-selected,
+        # unrolled k steps over a checkpointed per-query shortlist
+        "mmr1_diversified_topk": lambda s, sf: sim.mmr1_diversified_topk(
+            _t("embeddings")(s, sf)
         ),
         # --- rotation window (slots 13-50), round 5: the six oracle-paired
         # queries that have never had a driver CORRECTNESS row lead the
@@ -1428,6 +1434,72 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, vec_id, cos_sim, CAST(rn AS INT) AS rank
         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rn FROM scored)
         WHERE rn <= 5
+    """
+
+    # mmr1: greedy MMR unrolled into k CTE steps (the kmeans1 discipline -
+    # fixed iteration count, every score rounded, vec_id tie-breaks).
+    # Selected embeddings are re-fetched from the pool by id; lambda/mu are
+    # independent DOUBLE literals (0.7 / 0.3) exactly as in the Spark side.
+    _mmr_div = (
+        "round("
+        "list_sum(list_transform(range(1, len(p.embedding) + 1), i -> p.embedding[i]::DOUBLE * s.embedding[i]::DOUBLE))"
+        " / (sqrt(list_sum(list_transform(p.embedding, x -> x::DOUBLE * x::DOUBLE)))"
+        " * sqrt(list_sum(list_transform(s.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) + 0.0"
+    )
+    _mmr_k = 5
+    _mmr_steps = ["""s1 AS (
+          SELECT query_id, vec_id, mmr, 1 AS pick FROM (
+            SELECT query_id, vec_id,
+                   round(CAST(0.7 AS DOUBLE) * rel - CAST(0.3 AS DOUBLE) * 0.0, 9) AS mmr,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY round(CAST(0.7 AS DOUBLE) * rel - CAST(0.3 AS DOUBLE) * 0.0, 9) DESC, vec_id) AS rk
+            FROM mpool
+          ) WHERE rk = 1
+        )"""]
+    for _s in range(2, _mmr_k + 1):
+        _prev_union = " UNION ALL ".join(
+            f"SELECT query_id, vec_id FROM s{i}" for i in range(1, _s)
+        )
+        _mmr_steps.append(f"""sel{_s} AS ({_prev_union}),
+        d{_s} AS (
+          SELECT p.query_id, p.vec_id, max(p.rel) AS rel, max({_mmr_div}) AS maxdiv
+          FROM mpool p
+          JOIN sel{_s} ids ON ids.query_id = p.query_id
+          JOIN mpool s ON s.query_id = ids.query_id AND s.vec_id = ids.vec_id
+          WHERE NOT EXISTS (SELECT 1 FROM sel{_s} x
+                            WHERE x.query_id = p.query_id AND x.vec_id = p.vec_id)
+          GROUP BY p.query_id, p.vec_id
+        ),
+        s{_s} AS (
+          SELECT query_id, vec_id, mmr, {_s} AS pick FROM (
+            SELECT query_id, vec_id,
+                   round(CAST(0.7 AS DOUBLE) * rel - CAST(0.3 AS DOUBLE) * maxdiv, 9) AS mmr,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY round(CAST(0.7 AS DOUBLE) * rel - CAST(0.3 AS DOUBLE) * maxdiv, 9) DESC, vec_id) AS rk
+            FROM d{_s}
+          ) WHERE rk = 1
+        )""")
+    _mmr_steps_sql = ",\n        ".join(_mmr_steps)
+    _mmr_all = " UNION ALL ".join(f"SELECT * FROM s{i}" for i in range(1, _mmr_k + 1))
+    q["mmr1_diversified_topk"] = f"""
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+          WHERE vec_id IN (0,1,2,3,4) AND {_VALID_EMB}
+        ),
+        mscored AS (
+          SELECT q.query_id, e.vec_id, e.embedding, {_cos} + 0.0 AS rel
+          FROM embeddings e, q
+          WHERE e.vec_id <> q.query_id AND {_VALID_EMB_E}
+        ),
+        mpool AS (
+          SELECT query_id, vec_id, embedding, rel FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, vec_id) AS rn
+            FROM mscored
+          ) WHERE rn <= 20
+        ),
+        {_mmr_steps_sql}
+        SELECT query_id, vec_id, mmr + 0.0 AS mmr, CAST(pick AS INT) AS pick
+        FROM ({_mmr_all}) ORDER BY query_id, pick
     """
 
     # hn1: same broadcast-query cosine machinery, restricted to

@@ -392,3 +392,124 @@ def vq1_quantized_knn(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "dot_q", "rank")
     )
+
+
+def mmr1_diversified_topk(
+    embeddings: DataFrame,
+    query_ids: list[int] | None = None,
+    pool: int = 20,
+    k: int = 5,
+    lam: float = 0.7,
+    mu: float = 0.3,
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998)
+    diversified top-k: greedily pick the candidate maximizing
+    λ·rel(q, d) − μ·max_{s∈S} sim(d, s) — the retrieval/sampling
+    operator that stops a near-duplicate cluster from monopolizing a
+    result list (RAG contexts, eval-set sampling, dedup-aware
+    shortlists). λ and μ are INDEPENDENT literals (default 0.7/0.3),
+    not λ/1−λ: 1−0.7 is 0.30000000000000004 in IEEE — the oracle's 0.3
+    literal would diverge.
+
+    Deterministic greedy unroll (the kmeans1 discipline): the selection
+    loop is data-independent in LENGTH (k fixed), so it unrolls into k
+    declarative steps the oracle mirrors as CTEs; every score is
+    round(·, 6/9) with vec_id tie-breaks, so both engines pick the same
+    chain. Step 1 is argmax rel (max_div ≡ 0.0 under the same formula).
+
+    Scale shape: ONE corpus pass scores relevance against the broadcast
+    query set (hoisted norms, the knn_bruteforce hot path) and keeps a
+    top-`pool` shortlist per query — the standard MMR-over-shortlist
+    split; the shortlist (queries·pool rows) is pinned with an eager
+    localCheckpoint and the k unrolled steps run joins/windows over it
+    alone, so the corpus is never rescanned."""
+    from pyspark.sql import Window
+
+    if query_ids is None:
+        query_ids = list(range(5))
+    queries = valid_vectors(
+        embeddings.filter(F.col("vec_id").isin(query_ids))
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_norm"),
+    )
+    corpus = valid_vectors(embeddings).select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("c_norm")
+    )
+    rel = (
+        F.round(
+            _dot(F.col("q_emb"), F.col("embedding"))
+            / (F.col("q_norm") * F.col("c_norm")),
+            6,
+        )
+        + F.lit(0.0)
+    )
+    w_rel = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), "vec_id")
+    pool_df = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "embedding", "c_norm", rel.alias("rel"))
+        .withColumn("_rn", F.row_number().over(w_rel))
+        .filter(F.col("_rn") <= pool)
+        .drop("_rn")
+        .localCheckpoint(eager=True)
+    )
+    lam_c, mu_c = F.lit(float(lam)), F.lit(float(mu))
+    mmr1 = F.round(lam_c * F.col("rel") - mu_c * F.lit(0.0), 9)
+    w_pick = Window.partitionBy("query_id").orderBy(
+        F.col("_mmr").desc(), "vec_id"
+    )
+    sel = (
+        pool_df.withColumn("_mmr", mmr1)
+        .withColumn("_rk", F.row_number().over(w_pick))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "query_id", "vec_id", "embedding", "c_norm",
+            F.col("_mmr").alias("mmr"), F.lit(1).alias("pick"),
+        )
+    )
+    for step in range(2, k + 1):
+        sel_side = sel.select(
+            "query_id",
+            F.col("vec_id").alias("_sv"),
+            F.col("embedding").alias("_s_emb"),
+            F.col("c_norm").alias("_s_norm"),
+        )
+        div = (
+            F.round(
+                _dot(F.col("embedding"), F.col("_s_emb"))
+                / (F.col("c_norm") * F.col("_s_norm")),
+                6,
+            )
+            + F.lit(0.0)
+        )
+        maxdiv = (
+            pool_df.join(
+                sel.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_anti"
+            )
+            .join(F.broadcast(sel_side), "query_id")
+            .select("query_id", "vec_id", "rel", "embedding", "c_norm", div.alias("_div"))
+            .groupBy("query_id", "vec_id")
+            .agg(
+                F.first("rel").alias("rel"),
+                F.first("embedding").alias("embedding"),
+                F.first("c_norm").alias("c_norm"),
+                F.max("_div").alias("_maxdiv"),
+            )
+        )
+        pick = (
+            maxdiv.withColumn(
+                "_mmr", F.round(lam_c * F.col("rel") - mu_c * F.col("_maxdiv"), 9)
+            )
+            .withColumn("_rk", F.row_number().over(w_pick))
+            .filter(F.col("_rk") == 1)
+            .select(
+                "query_id", "vec_id", "embedding", "c_norm",
+                F.col("_mmr").alias("mmr"), F.lit(step).alias("pick"),
+            )
+        )
+        sel = sel.unionByName(pick)
+    return sel.select(
+        "query_id", "vec_id", (F.col("mmr") + F.lit(0.0)).alias("mmr"), "pick"
+    ).orderBy("query_id", "pick")

@@ -93,3 +93,41 @@ def test_semantic_decontamination_flags_planted_leak(spark, sf_dir):
 
     # clean corpus: nothing flagged
     assert decon2_semantic_contamination(emb).count() == 0
+
+
+def test_mmr_skips_near_duplicate_of_selected(spark):
+    """mmr1: with two near-identical high-relevance vectors, plain kNN
+    ranks them 1-2; MMR must pick one of them plus the DIVERSE vector
+    for pick 2 — the whole point of the marginal-relevance penalty.
+    Picks are distinct and ordered by construction."""
+    import numpy as np
+
+    from csv_crm_upload_spark.analytics.similarity import (
+        knn_bruteforce,
+        mmr1_diversified_topk,
+    )
+
+    q = [1.0, 0.0, 0.0, 0.0]
+    a = [0.8, 0.6, 0.0, 0.0]    # rel 0.8
+    a2 = [0.8, 0.6, 0.0, 0.0]   # EXACT duplicate of a (sim 1.0)
+    b = [0.8, -0.6, 0.0, 0.0]   # same rel 0.8, sim(a, b) = 0.28
+    rows = [(0, q, 0), (1, a, 0), (2, a2, 0), (3, b, 0)]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    knn = [
+        r["vec_id"]
+        for r in knn_bruteforce(emb, query_ids=[0], k=2)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert set(knn) == {1, 2}, "kNN takes both near-duplicates"
+    out = (
+        mmr1_diversified_topk(emb, query_ids=[0], pool=3, k=2)
+        .orderBy("pick")
+        .collect()
+    )
+    picks = [r["vec_id"] for r in out]
+    assert picks[0] in (1, 2)
+    assert picks[1] == 3, f"MMR must diversify to vector 3, got {picks}"
+    assert [r["pick"] for r in out] == [1, 2]
