@@ -460,6 +460,12 @@ def mmr1_diversified_topk(
     w_pick = Window.partitionBy("query_id").orderBy(
         F.col("_mmr").desc(), "vec_id"
     )
+    # each step's selection set is pinned (tiny: queries·step rows) —
+    # step s+1 references `sel` three times (anti-join, broadcast side,
+    # union), so an unpinned greedy unroll would TRIPLE the plan per
+    # step (3^k subtrees, 200+ exchange nodes at k=5); checkpointed,
+    # every step plans against flat scans and the returned plan stays
+    # linear in k
     sel = (
         pool_df.withColumn("_mmr", mmr1)
         .withColumn("_rk", F.row_number().over(w_pick))
@@ -468,6 +474,7 @@ def mmr1_diversified_topk(
             "query_id", "vec_id", "embedding", "c_norm",
             F.col("_mmr").alias("mmr"), F.lit(1).alias("pick"),
         )
+        .localCheckpoint(eager=True)
     )
     for step in range(2, k + 1):
         sel_side = sel.select(
@@ -509,7 +516,7 @@ def mmr1_diversified_topk(
                 F.col("_mmr").alias("mmr"), F.lit(step).alias("pick"),
             )
         )
-        sel = sel.unionByName(pick)
+        sel = sel.unionByName(pick).localCheckpoint(eager=True)
     return sel.select(
         "query_id", "vec_id", (F.col("mmr") + F.lit(0.0)).alias("mmr"), "pick"
     ).orderBy("query_id", "pick")

@@ -553,6 +553,11 @@ def test_round7_operator_shuffle_budgets(spark, sf_dir):
         "prep3_fineweb_manifest": 9,
         "w3_order_quartiles": 2,
         "out1_iqr_outliers": 3,
+        # returned plan after the per-step checkpoints: the final order
+        # over the pinned selection (an UNPINNED greedy unroll triples
+        # the plan per step — 200+ exchanges at k=5; the audit keeps it
+        # from coming back)
+        "mmr1_diversified_topk": 2,
     }
     for name, budget in budgets.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))
