@@ -1077,24 +1077,10 @@ def xsd1_exact_substring_dedup(documents: DataFrame, min_len: int = 10) -> DataF
     from pyspark.sql import Window
 
     L = min_len
-    toks = F.split(_norm_text(), " ")
-    base = documents.filter(
-        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
-    ).select("doc_id", toks.alias("t"))
     # overlapping L-gram start positions 1..n-L+1 (docs shorter than L
-    # emit nothing — they cannot contain a length-L repeat)
-    starts = F.sequence(F.lit(1), F.size("t") - (L - 1))
-    grams = base.filter(F.size("t") >= L).select(
-        "doc_id",
-        F.size("t").cast("bigint").alias("n_tokens"),
-        F.explode(starts).alias("start"),
-        F.col("t"),
-    ).select(
-        "doc_id",
-        "n_tokens",
-        "start",
-        F.array_join(F.slice(F.col("t"), F.col("start"), L), "\x01").alias("gram"),
-    )
+    # emit nothing — they cannot contain a length-L repeat); one shared
+    # derivation with the persisted index (substr_gram_frame)
+    grams = substr_gram_frame(documents, min_len=L)
     dup = (
         grams.withColumn(
             "cnt", F.count(F.lit(1)).over(Window.partitionBy("gram"))
@@ -1102,9 +1088,21 @@ def xsd1_exact_substring_dedup(documents: DataFrame, min_len: int = 10) -> DataF
         .filter(F.col("cnt") > 1)
         .select("doc_id", "n_tokens", "start")
     )
-    # gaps-and-islands: coverage [start, start+L-1] merges with the
-    # previous gram's unless start > prev_start + L (a gap of >= 1
-    # uncovered position); island id = running sum of gap flags
+    return coverage_spans(dup, L)
+
+
+def coverage_spans(dup: DataFrame, L: int) -> DataFrame:
+    """Merged maximal-span rollup of duplicated gram START positions —
+    the shared tail of inline xsd1 and the persisted-index probe
+    (substr.xsd_indexed_dup_spans), so the two paths are identical by
+    construction. Input: (doc_id, n_tokens, start).
+
+    Gaps-and-islands: coverage [start, start+L-1] merges with the
+    previous gram's unless start > prev_start + L (a gap of >= 1
+    uncovered position); island id = running sum of gap flags. Per-doc
+    windows only — bounded partitions."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("doc_id").orderBy("start")
     flagged = dup.withColumn(
         "new_island",
@@ -1137,4 +1135,34 @@ def xsd1_exact_substring_dedup(documents: DataFrame, min_len: int = 10) -> DataF
             ).alias("dup_fraction"),
         )
         .orderBy("doc_id")
+    )
+
+
+def substr_gram_frame(documents: DataFrame, min_len: int = 10) -> DataFrame:
+    """(doc_id, n_tokens, start, gram) — the overlapping L-gram frame
+    xsd1 scores; factored out so the persisted gram-count index
+    (analytics/substr.py) derives ITS grams from the identical
+    tokenization and windowing (one definition, the norm_tokens rule)."""
+    L = min_len
+    toks = F.split(_norm_text(), " ")
+    base = documents.filter(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    ).select("doc_id", toks.alias("t"))
+    starts = F.sequence(F.lit(1), F.size("t") - (L - 1))
+    return (
+        base.filter(F.size("t") >= L)
+        .select(
+            "doc_id",
+            F.size("t").cast("bigint").alias("n_tokens"),
+            F.explode(starts).alias("start"),
+            F.col("t"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "start",
+            F.array_join(F.slice(F.col("t"), F.col("start"), L), "\x01").alias(
+                "gram"
+            ),
+        )
     )

@@ -246,6 +246,29 @@ def main(argv: list[str] | None = None) -> int:
     pba.add_argument("--model", required=True, help="model directory (bpe-train output)")
     pba.add_argument("--limit", type=int, default=20, help="rows to print")
 
+    psb = sub.add_parser(
+        "substr-build",
+        help="build (or incrementally update) the persisted ExactSubstr "
+        "gram-count index over a documents table",
+    )
+    psb.add_argument("--docs", required=True, help="parquet path of the documents table")
+    psb.add_argument("--out", required=True, help="index directory")
+    psb.add_argument(
+        "--append",
+        action="store_true",
+        help="fold --docs into an EXISTING index (O(new docs), additive) "
+        "instead of rebuilding",
+    )
+
+    psp = sub.add_parser(
+        "substr-spans",
+        help="duplicated-span report for documents against a persisted "
+        "gram-count index (ExactSubstr readout)",
+    )
+    psp.add_argument("--docs", required=True, help="parquet path of probe documents")
+    psp.add_argument("--index", required=True, help="index directory (substr-build output)")
+    psp.add_argument("--limit", type=int, default=20, help="rows to print")
+
     pwm = sub.add_parser(
         "winnow-match",
         help="MOSS probe: rank indexed documents by shared winnowing "
@@ -324,6 +347,29 @@ def main(argv: list[str] | None = None) -> int:
         else:
             save_winnow_index(docs, args.out)
         print(f"winnow_index={args.out}")
+        return 0
+    if args.cmd == "substr-build":
+        from csv_crm_upload_spark.analytics.substr import (
+            save_substr_index,
+            update_substr_index,
+        )
+
+        docs = spark.read.parquet(args.docs)
+        if args.append:
+            update_substr_index(docs, args.out)
+        else:
+            save_substr_index(docs, args.out)
+        print(f"substr_index={args.out}")
+        return 0
+    if args.cmd == "substr-spans":
+        from csv_crm_upload_spark.analytics.substr import xsd_indexed_dup_spans
+
+        spans = xsd_indexed_dup_spans(spark.read.parquet(args.docs), args.index)
+        for r in spans.limit(args.limit).collect():
+            print(
+                f"{r['doc_id']}\t{r['n_dup_spans']}\t{r['n_dup_tokens']}"
+                f"\t{r['dup_fraction']}"
+            )
         return 0
     if args.cmd == "winnow-match":
         from csv_crm_upload_spark.analytics.winnow import match_documents

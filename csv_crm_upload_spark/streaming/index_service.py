@@ -55,6 +55,9 @@ INDEX_LAYOUTS: dict[str, tuple[list[str], dict[str, str]]] = {
     "bpe": (["vocab", "merges"], {}),
     # PCA sufficient-statistic snapshots (additive decimal sums)
     "pca": (["pairsums", "dimsums"], {}),
+    # ExactSubstr gram counts: epoch-RANGED additive counts (probes sum
+    # the live range; compaction sum-merges)
+    "substr": (["gramcounts"], {}),
 }
 
 
@@ -68,9 +71,9 @@ class CorpusIndexService:
         (consumed by the text + dedup indexes) and embedding shards
         (consumed by the vector indexes). Either may be None.
     text_index / dedup_index / ivf_index / pq_index / ivfpq_index /
-    nb_model / winnow_index / bpe_model / pca_model: paths of
-        already-BUILT indexes/models (save_* must have run); None skips
-        that index. The NB/BPE/PCA models' epochs are fully merged
+    nb_model / winnow_index / bpe_model / pca_model / substr_index:
+        paths of already-BUILT indexes/models (save_* must have run);
+        None skips that index. The NB/BPE/PCA models' epochs are fully merged
         snapshots, so they never need compaction (gc of superseded
         snapshots is a vacuum concern, not a read-path one).
     cursor_path: where the processed-shard cursor lives; defaults to
@@ -98,6 +101,7 @@ class CorpusIndexService:
         winnow_index: str | None = None,
         bpe_model: str | None = None,
         pca_model: str | None = None,
+        substr_index: str | None = None,
         cursor_path: str | None = None,
         compact_after: int | None = None,
         adopt_artifact_seq: bool = False,
@@ -116,6 +120,7 @@ class CorpusIndexService:
         self.winnow_index = winnow_index
         self.bpe_model = bpe_model
         self.pca_model = pca_model
+        self.substr_index = substr_index
         self.cursor_path = cursor_path or os.path.join(
             docs_dir or emb_dir, "_index_service_cursor.json"
         )
@@ -185,6 +190,7 @@ class CorpusIndexService:
             self.winnow_index,
             self.bpe_model,
             self.pca_model,
+            self.substr_index,
         ):
             if path is None:
                 continue
@@ -263,6 +269,10 @@ class CorpusIndexService:
             from csv_crm_upload_spark.analytics.bpe import update_bpe_model
 
             update_bpe_model(new_docs, self.bpe_model, txn=txn)
+        if self.substr_index is not None:
+            from csv_crm_upload_spark.analytics.substr import update_substr_index
+
+            update_substr_index(new_docs, self.substr_index, txn=txn)
 
     def _fold_emb(self, emb_shards: list[str], txn: tuple[str, int]) -> None:
         new_emb = self.spark.read.parquet(*emb_shards)
@@ -365,6 +375,10 @@ class CorpusIndexService:
             from csv_crm_upload_spark.analytics.winnow import compact_winnow_index
 
             compactors.append((self.winnow_index, compact_winnow_index))
+        if self.substr_index is not None:
+            from csv_crm_upload_spark.analytics.substr import compact_substr_index
+
+            compactors.append((self.substr_index, compact_substr_index))
         for path, compactor in compactors:
             m = read_manifest(path)
             if m["epoch"] - m.get("base_epoch", 0) >= self.compact_after:
@@ -389,6 +403,7 @@ class CorpusIndexService:
             ("winnow", self.winnow_index),
             ("bpe", self.bpe_model),
             ("pca", self.pca_model),
+            ("substr", self.substr_index),
         ):
             if idx_path is not None:
                 ranged, pinned = INDEX_LAYOUTS[kind]

@@ -203,3 +203,26 @@ def test_cli_winnow_build_append_match(spark, tmp_path, capsys, sf_dir):
     assert main(["winnow-match", "--docs", half_b, "--index", idx, "--limit", "5"]) == 0
     printed = [l for l in capsys.readouterr().out.splitlines() if "\t" in l]
     assert printed and all(len(l.split("\t")) == 3 for l in printed)
+
+
+def test_cli_substr_build_append_spans(spark, tmp_path, capsys, sf_dir):
+    """substr-build builds the gram-count index, --append folds a second
+    shard (epoch advances), substr-spans prints the duplicated-span
+    report for a probe — equal to inline xsd1 over the full corpus."""
+    from csv_crm_upload_spark.operators.manifest import read_manifest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    half_a = str(tmp_path / "docs_a.parquet")
+    half_b = str(tmp_path / "docs_b.parquet")
+    docs.filter("doc_id % 2 = 0").write.parquet(half_a)
+    docs.filter("doc_id % 2 = 1").write.parquet(half_b)
+    idx = str(tmp_path / "sx_idx")
+
+    assert main(["substr-build", "--docs", half_a, "--out", idx]) == 0
+    e0 = read_manifest(idx)["epoch"]
+    assert main(["substr-build", "--docs", half_b, "--out", idx, "--append"]) == 0
+    assert read_manifest(idx)["epoch"] == e0 + 1
+
+    assert main(["substr-spans", "--docs", half_b, "--index", idx, "--limit", "5"]) == 0
+    printed = [l for l in capsys.readouterr().out.splitlines() if "\t" in l]
+    assert printed and all(len(l.split("\t")) == 4 for l in printed)
