@@ -265,6 +265,7 @@ _ROTATION_FRONT = [
     "drm1_doremi_weights",
     "prep3_fineweb_manifest",
     "mmr1_diversified_topk",
+    "auc1_classifier_auc",
 ]
 
 
@@ -416,6 +417,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # unrolled k steps over a checkpointed per-query shortlist
         "mmr1_diversified_topk": lambda s, sf: sim.mmr1_diversified_topk(
             _t("embeddings")(s, sf)
+        ),
+        # exact rank-sum ROC-AUC of the lr1 gate (distributed_rank over
+        # the (p, doc_id) total order — never a single-task sort)
+        "auc1_classifier_auc": lambda s, sf: logreg.auc1_classifier_auc(
+            _t("documents")(s, sf)
         ),
         # --- rotation window (slots 13-50), round 5: the six oracle-paired
         # queries that have never had a driver CORRECTNESS row lead the
@@ -3528,7 +3534,7 @@ def oracle_sql() -> dict[str, str]:
     # discipline; Python round() is half-even and never touches weights)
     _lr_chain = f"""
         WITH f AS (
-          SELECT lang, 1.0 AS x0,
+          SELECT doc_id, lang, 1.0 AS x0,
                  CAST(len(list_filter({_TOKS}, t -> list_contains({_STOP}, t))) AS DOUBLE)
                    / CAST(len({_TOKS}) AS DOUBLE) AS x1,
                  least(CAST(len({_TOKS}) AS DOUBLE), 256.0) / 256.0 AS x2,
@@ -3590,6 +3596,36 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(SUM(CAST(p AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 9)
                  AS mean_p
         FROM scored GROUP BY lang ORDER BY lang
+    """
+    # auc1: exact rank-sum ROC-AUC of the same trained gate over the
+    # (p, doc_id) total order (tie-break convention, not averaged ranks);
+    # DECIMAL(38,0) rank sums (n^2/2 overflows int64 past ~4e9 rows);
+    # the 0/0 one-class case is excluded identically in both engines
+    q["auc1_classifier_auc"] = _lr_chain + """
+        , ascored AS (
+          SELECT f.doc_id, f.y,
+                 round(1.0 / (1.0 + exp(-(w.w0 * x0 + w.w1 * x1
+                                          + w.w2 * x2 + w.w3 * x3))), 9) AS p
+          FROM f CROSS JOIN it2 w
+        ),
+        aranked AS (
+          SELECT doc_id, y, row_number() OVER (ORDER BY p, doc_id) AS rnk
+          FROM ascored
+        )
+        SELECT CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+               CAST(SUM(CASE WHEN y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+               round(
+                 CAST(CAST(2 AS DECIMAL(38,0))
+                        * SUM(CASE WHEN y = 1.0 THEN CAST(rnk AS DECIMAL(38,0))
+                              ELSE CAST(0 AS DECIMAL(38,0)) END)
+                      - CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DECIMAL(38,0))
+                        * (CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DECIMAL(38,0)) + 1)
+                      AS DOUBLE)
+                 / (2.0 * CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE)
+                        * CAST(SUM(CASE WHEN y = 0.0 THEN 1 ELSE 0 END) AS DOUBLE)),
+                 6) AS auc
+        FROM aranked
+        HAVING n_pos > 0 AND n_neg > 0
     """
     # nb1: Laplace-smoothed multinomial NB — per-(token, class) log2
     # conditionals 9-dp rounded (ppl1 discipline), integer-count ×

@@ -69,6 +69,12 @@ EXTRA = [
     "pca1_covariance",
     "pca2_projected_knn",
     "ppl2_bigram_logloss",
+    # round-7 additions
+    "gq1_gopher_quality",
+    "xsd1_exact_substring_dedup",
+    "drm1_doremi_weights",
+    "prep3_fineweb_manifest",
+    "mmr1_diversified_topk",
 ]
 
 # graph family: timed AS A PIPELINE (round 4) — the LSH candidate-pair
@@ -281,6 +287,27 @@ def main() -> None:
         errors[stage] = f"{type(e).__name__}: {e}"[:200]
     finally:
         shutil.rmtree(wn_dir, ignore_errors=True)
+
+    # persisted ExactSubstr gram-count index: the build is one gram
+    # count pass; the probe re-derives probe grams map-only and joins
+    # the stored counts (≡ inline xsd1, pinned by test_substr_index.py)
+    from csv_crm_upload_spark.analytics import substr as sxmod
+
+    sx_dir = tempfile.mkdtemp(prefix="bench_substr_")
+    stage = "substr_index_build"
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        t0 = time.perf_counter()
+        sxmod.save_substr_index(docs, sx_dir)
+        extra["substr_index_build"] = round(time.perf_counter() - t0, 3)
+        stage = "substr_indexed_spans"
+        t0 = time.perf_counter()
+        sxmod.xsd_indexed_dup_spans(docs, sx_dir).agg({"*": "count"}).collect()
+        extra["substr_indexed_spans"] = round(time.perf_counter() - t0, 3)
+    except Exception as e:
+        errors[stage] = f"{type(e).__name__}: {e}"[:200]
+    finally:
+        shutil.rmtree(sx_dir, ignore_errors=True)
 
     # persisted BPE tokenizer: the one-combining-shuffle vocab build +
     # vocab-bounded merge loop is its own line; apply is the map-only

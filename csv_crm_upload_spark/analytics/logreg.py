@@ -138,3 +138,56 @@ def lr2_classifier_scores(documents: DataFrame, iters: int = 2) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def auc1_classifier_auc(documents: DataFrame, iters: int = 2) -> DataFrame:
+    """Exact ROC-AUC of the lr1 gate against its own lang='en' label —
+    the eval a pipeline runs before trusting a learned filter. Computed
+    as the rank-sum (Mann-Whitney) statistic over the TOTAL order
+    (p, doc_id): AUC = (2·Σ_{pos} rank − P(P+1)) / (2·P·N).
+
+    Convention, explicit: ties in p are broken by doc_id rather than
+    averaged — a deterministic total order both engines share (the
+    tie-adjusted estimator would need average ranks; with 9-dp scores
+    over heterogeneous features, exact-tie mass is negligible and the
+    convention is bit-reproducible at any scale).
+
+    Scale shape: map-only scoring (weights as plan literals), the
+    two-phase `distributed_rank` for the global rank (range-repartition
+    + per-partition offsets — never a single-task sort over the
+    corpus), then ONE 1-row aggregate; rank sums run in DECIMAL(38,0)
+    because Σ rank ~ n²/2 overflows int64 past ~4·10⁹ rows. Output one
+    row (n_pos, n_neg, auc), empty when either class is absent (0/0 is
+    engine-divergent; both engines exclude identically)."""
+    from csv_crm_upload_spark.analytics.tpch import distributed_rank
+
+    w = train_weights(documents, iters)
+    feats = _feature_frame(documents)
+    z = (
+        F.lit(w[0]) * F.col("x0")
+        + F.lit(w[1]) * F.col("x1")
+        + F.lit(w[2]) * F.col("x2")
+        + F.lit(w[3]) * F.col("x3")
+    )
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9)
+    scored = feats.select("doc_id", "y", p.alias("p"))
+    ranked = distributed_rank(scored, ["p", "doc_id"], "rnk")
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = ranked.agg(
+        F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0)).cast("long").alias("n_pos"),
+        F.sum(F.when(F.col("y") == 0.0, 1).otherwise(0)).cast("long").alias("n_neg"),
+        F.sum(
+            F.when(F.col("y") == 1.0, d38(F.col("rnk"))).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            )
+        ).alias("rsum"),
+    )
+    P, N = F.col("n_pos"), F.col("n_neg")
+    numer = d38(F.lit(2)) * F.col("rsum") - d38(P) * (d38(P) + 1)
+    auc = F.round(
+        numer.cast("double") / (F.lit(2.0) * P.cast("double") * N.cast("double")), 6
+    )
+    return (
+        agg.filter((P > 0) & (N > 0))
+        .select(P.alias("n_pos"), N.alias("n_neg"), auc.alias("auc"))
+    )

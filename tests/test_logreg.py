@@ -58,3 +58,51 @@ def test_logreg_inference_separates_planted_corpus(spark):
     assert out["en"]["n_docs"] == 20 and out["en"]["n_pred_en"] == 20
     assert out["de"]["n_docs"] == 20 and out["de"]["n_pred_en"] == 0
     assert out["en"]["mean_p"] > 0.5 > out["de"]["mean_p"]
+
+
+def test_auc_separable_corpus_and_rank_sum_identity(spark):
+    """auc1: on a corpus where the 'en' label tracks the stopword
+    feature, the trained gate must score better than chance; and the
+    reported AUC must equal an independent numpy computation of the
+    same tie-broken rank-sum statistic from the model's own scores."""
+    from csv_crm_upload_spark.analytics.logreg import (
+        _feature_frame,
+        auc1_classifier_auc,
+        train_weights,
+    )
+
+    en = "the a of and to in is it data table row"
+    other = "zq xw vv kj pp mm nn rr ss tt uu"
+    rows = [(i, en + f" d{i}", "en", "s", 44) for i in range(20)] + [
+        (100 + i, other + f" e{i}", "de", "s", 32) for i in range(20)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    out = auc1_classifier_auc(docs).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_pos"] == 20 and r["n_neg"] == 20
+    assert 0.9 <= r["auc"] <= 1.0, f"separable corpus must score high, got {r['auc']}"
+
+    # independent recomputation from the model's own scores
+    import math
+
+    w = train_weights(docs)
+    feats = _feature_frame(docs).collect()
+    scored = sorted(
+        (
+            round(1.0 / (1.0 + math.exp(-(w[0] * f["x0"] + w[1] * f["x1"]
+                                          + w[2] * f["x2"] + w[3] * f["x3"]))), 9),
+            f["doc_id"],
+            f["y"],
+        )
+        for f in feats
+    )
+    rsum = sum(i + 1 for i, (_, _, y) in enumerate(scored) if y == 1.0)
+    P = N = 20
+    want = round((2 * rsum - P * (P + 1)) / (2.0 * P * N), 6)
+    assert r["auc"] == want
+
+    # one-class corpus: excluded, not 0/0
+    assert auc1_classifier_auc(docs.filter("lang = 'en'")).count() == 0
