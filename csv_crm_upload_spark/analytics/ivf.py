@@ -38,19 +38,13 @@ def fit_centroids(
 ) -> np.ndarray:
     """Lloyd's k-means on a deterministic bounded sample (normalized
     vectors, so euclidean k-means ≈ spherical/cosine k-means). The
-    sample routes through valid_vectors: one NULL/empty embedding in
-    the first `sample_cap` rows would otherwise land a ragged driver
-    matrix and abort the fit (clean corpora are unchanged — the filter
-    drops nothing there)."""
-    from csv_crm_upload_spark.analytics.similarity import valid_vectors
+    sample routes through uniform_vector_sample: one NULL/empty/
+    wrong-width embedding in the first `sample_cap` rows would
+    otherwise land a ragged driver matrix and abort the fit (clean
+    corpora are unchanged — the filter drops nothing there)."""
+    from csv_crm_upload_spark.analytics.similarity import uniform_vector_sample
 
-    sample = (
-        valid_vectors(embeddings)
-        .select("vec_id", "embedding")
-        .orderBy("vec_id")  # deterministic sample: first N by key
-        .limit(sample_cap)
-        .collect()
-    )
+    sample = uniform_vector_sample(embeddings, sample_cap)
     x = np.array([r["embedding"] for r in sample], dtype=np.float64)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)

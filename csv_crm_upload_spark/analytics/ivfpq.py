@@ -115,17 +115,12 @@ def _fit_residual_codebooks(
     argmax (numpy argmax == cell_id_expr's first-max tiebreak), anchor
     at the cell's sample MEAN (see module docstring for why mean, not
     unit centroid), fit on x − mean[cell]. Empty cells anchor at their
-    centroid (no member to mean). Sample routes through valid_vectors
-    (identical on clean corpora; NULL/empty rows would abort the fit)."""
-    from csv_crm_upload_spark.analytics.similarity import valid_vectors
+    centroid (no member to mean). Sample routes through
+    uniform_vector_sample (identical on clean corpora; NULL/empty/
+    wrong-width rows would abort the fit)."""
+    from csv_crm_upload_spark.analytics.similarity import uniform_vector_sample
 
-    sample = (
-        valid_vectors(embeddings)
-        .select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .limit(sample_cap)
-        .collect()
-    )
+    sample = uniform_vector_sample(embeddings, sample_cap)
     x = np.array([r["embedding"] for r in sample], dtype=np.float64)
     assign = (x @ centroids.T).argmax(axis=1)
     means = np.array(

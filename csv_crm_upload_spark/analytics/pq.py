@@ -48,18 +48,12 @@ def fit_pq_codebooks(
     (first `sample_cap` rows by vec_id — driver memory is bounded
     regardless of corpus size, mirroring ivf.fit_centroids). Returns an
     (m, k, dim/m) codebook tensor. The sample routes through
-    valid_vectors — a NULL/empty embedding in the first rows would land
-    a ragged driver matrix and abort the fit; clean corpora fit the
-    identical sample."""
-    from csv_crm_upload_spark.analytics.similarity import valid_vectors
+    uniform_vector_sample — a NULL/empty/wrong-width embedding in the
+    first rows would land a ragged driver matrix and abort the fit;
+    clean corpora fit the identical sample."""
+    from csv_crm_upload_spark.analytics.similarity import uniform_vector_sample
 
-    sample = (
-        valid_vectors(embeddings)
-        .select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .limit(sample_cap)
-        .collect()
-    )
+    sample = uniform_vector_sample(embeddings, sample_cap)
     x = np.array([r["embedding"] for r in sample], dtype=np.float64)
     return fit_books_from_matrix(x, m, k, n_iter=n_iter, seed=seed)
 

@@ -181,6 +181,28 @@ def _bucket_expr(table: int, n_planes: int) -> F.Column:
     return bucket.cast("int")
 
 
+def uniform_vector_sample(embeddings: DataFrame, sample_cap: int) -> list:
+    """Deterministic bounded driver sample for codec fits (IVF k-means,
+    PQ/IVF-PQ codebooks): the first `sample_cap` VALID vectors by
+    vec_id, restricted to the dimension of the first one — a
+    wrong-width row (schema says array<float>; nothing enforces length)
+    would otherwise land a ragged numpy matrix and abort the fit. On a
+    clean corpus every row passes, so fits are unchanged; corrupt rows
+    degrade to skipped vectors (the valid_vectors discipline, extended
+    to width)."""
+    rows = (
+        valid_vectors(embeddings)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(sample_cap)
+        .collect()
+    )
+    if not rows:
+        return rows
+    d = len(rows[0]["embedding"])
+    return [r for r in rows if len(r["embedding"]) == d]
+
+
 def valid_vectors(embeddings: DataFrame) -> DataFrame:
     """Drop NULL/zero-length vectors before any plane-term indexing —
     sequence(0, size−1) on an EMPTY array steps backwards ([0, −1]) and

@@ -281,3 +281,45 @@ def test_degenerate_rows_only_queries_execute(name, spark, degen_dir):
     assert len(rows) <= 2000, f"{name}: suspicious row count {len(rows)}"
     for r in rows[:50]:
         tuple(r)  # materialize every field
+
+
+def test_mixed_dimension_vectors_do_not_abort_vector_family(spark):
+    """A WRONG-WIDTH vector (schema says array<float>, nothing enforces
+    length) is the remaining corrupt-row class the NULL/empty fixture
+    does not cover: zip_with null-pads, slices run past the end,
+    sample fits land ragged matrices. Every vector-family entry point
+    must degrade per-row (skip or NULL-score), never abort the job."""
+    import numpy as np
+
+    from csv_crm_upload_spark.analytics.ivf import fit_centroids, knn_ivf
+    from csv_crm_upload_spark.analytics.pca import pca2_projected_knn
+    from csv_crm_upload_spark.analytics.pq import (
+        fit_pq_codebooks,
+        pq1_quantized_knn,
+    )
+    from csv_crm_upload_spark.analytics.similarity import (
+        knn_bruteforce,
+        lsh_bucket_signature,
+    )
+
+    rows = [
+        (i, [float((i * 7 + d * 13) % 23 - 11) for d in range(8)], i % 3)
+        for i in range(12)
+    ] + [
+        (20, [1.0, 2.0], 0),          # short vector
+        (21, [0.5] * 16, 1),          # long vector
+        (22, None, 2),                # NULL
+        (23, [], 2),                  # empty
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    # none of these may raise; bounded result sizes
+    assert len(knn_bruteforce(emb, query_ids=[0, 1], k=3).collect()) <= 8
+    assert lsh_bucket_signature(emb).count() >= 12
+    cents = fit_centroids(emb, n_cells=2, sample_cap=10)
+    assert np.isfinite(cents).all()
+    assert fit_pq_codebooks(emb, m=2, k=4, sample_cap=10).shape[0] == 2
+    assert pq1_quantized_knn(emb, query_ids=[0], k=3, m=2, n_codes=4).count() >= 0
+    assert knn_ivf(emb, k=3, n_cells=2, nprobe=2).count() >= 0
+    assert pca2_projected_knn(emb, r=2, query_ids=[0], k=3).count() >= 0
