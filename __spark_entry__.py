@@ -266,6 +266,8 @@ _ROTATION_FRONT = [
     "prep3_fineweb_manifest",
     "mmr1_diversified_topk",
     "auc1_classifier_auc",
+    "cart1_dataset_cartography",
+    "rho1_excess_loss_selection",
 ]
 
 
@@ -421,6 +423,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact rank-sum ROC-AUC of the lr1 gate (distributed_rank over
         # the (p, doc_id) total order — never a single-task sort)
         "auc1_classifier_auc": lambda s, sf: logreg.auc1_classifier_auc(
+            _t("documents")(s, sf)
+        ),
+        # dataset cartography: mean/variability of true-class confidence
+        # across the unrolled GD steps (map-only scoring, no shuffle)
+        "cart1_dataset_cartography": lambda s, sf: logreg.cart1_dataset_cartography(
+            _t("documents")(s, sf)
+        ),
+        # RHO-style excess-loss selection: bigram-minus-unigram bits per
+        # token, both tails dropped (composes ppl1 + ppl2)
+        "rho1_excess_loss_selection": lambda s, sf: ts.rho1_excess_loss_selection(
             _t("documents")(s, sf)
         ),
         # --- rotation window (slots 13-50), round 5: the six oracle-paired
@@ -3068,6 +3080,26 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY doc_id
         ORDER BY doc_id
     """
+    # rho1: excess-loss selection composing the two LM oracles verbatim
+    # as nested-WITH CTEs (one definition each); band test on the
+    # 6-dp-rounded signed-zero-guarded excess in both engines
+    q["rho1_excess_loss_selection"] = f"""
+        WITH rp1 AS ({q["ppl1_unigram_logloss"]}),
+        rp2 AS ({q["ppl2_bigram_logloss"]}),
+        rb AS (
+          SELECT rp1.doc_id,
+                 round(rp1.total_bits / rp1.n_tokens, 9) AS u9,
+                 round(rp2.total_bits / rp2.n_bigrams, 9) AS b9
+          FROM rp1 JOIN rp2 ON rp1.doc_id = rp2.doc_id
+        )
+        SELECT doc_id,
+               round(u9, 6) AS unigram_bpt,
+               round(b9, 6) AS bigram_bpt,
+               round(b9 - u9, 6) + 0.0 AS excess_bits,
+               (round(b9 - u9, 6) + 0.0 >= -0.06
+                AND round(b9 - u9, 6) + 0.0 <= 0.06) AS keep
+        FROM rb ORDER BY doc_id
+    """
     # dsir1: DSIR importance log-ratio — one log2 per DISTINCT token of
     # a quotient of two DOUBLE products (int64 products would overflow
     # at corpus scale; the double product is IEEE-identical in both
@@ -3626,6 +3658,33 @@ def oracle_sql() -> dict[str, str]:
                  6) AS auc
         FROM aranked
         HAVING n_pos > 0 AND n_neg > 0
+    """
+    # cart1: dataset cartography from the SAME two unrolled GD steps —
+    # per-doc true-class confidence under it1 and it2 weights, mean +
+    # population variability (9-dp at every reduction, 6-dp out)
+    q["cart1_dataset_cartography"] = _lr_chain + """
+        , cscored AS (
+          SELECT f.doc_id, f.y,
+                 round(1.0 / (1.0 + exp(-(w1.w0 * x0 + w1.w1 * x1
+                                          + w1.w2 * x2 + w1.w3 * x3))), 9) AS p1,
+                 round(1.0 / (1.0 + exp(-(w2.w0 * x0 + w2.w1 * x1
+                                          + w2.w2 * x2 + w2.w3 * x3))), 9) AS p2
+          FROM f CROSS JOIN it1 w1 CROSS JOIN it2 w2
+        ),
+        cconf AS (
+          SELECT doc_id,
+                 CASE WHEN y = 1.0 THEN p1 ELSE 1.0 - p1 END AS c1,
+                 CASE WHEN y = 1.0 THEN p2 ELSE 1.0 - p2 END AS c2
+          FROM cscored
+        ),
+        cm AS (SELECT doc_id, c1, c2, round((c1 + c2) / 2.0, 9) AS m9 FROM cconf)
+        SELECT doc_id,
+               round(m9, 6) AS mean_conf,
+               round(round(sqrt(((c1 - m9) * (c1 - m9)
+                                 + (c2 - m9) * (c2 - m9)) / 2.0), 9), 6)
+                 AS variability,
+               m9 >= 0.5 AS above_chance
+        FROM cm ORDER BY doc_id
     """
     # nb1: Laplace-smoothed multinomial NB — per-(token, class) log2
     # conditionals 9-dp rounded (ppl1 discipline), integer-count ×

@@ -60,9 +60,17 @@ def train_weights(documents: DataFrame, iters: int = 2) -> list[float]:
     """The GD loop — w after `iters` full-batch steps (lr = 1.0) from
     w = 0 on the lang='en' label; shared by lr1 (weight readout) and
     lr2 (inference scoring)."""
+    return train_weight_history(documents, iters)[-1]
+
+
+def train_weight_history(documents: DataFrame, iters: int = 2) -> list[list[float]]:
+    """Per-step weight snapshots [w_after_step_1, ..., w_after_step_iters]
+    — the training-dynamics record dataset cartography scores against
+    (cart1); train_weights returns the last entry."""
     # persisted: the count plus every GD step re-consumes feats — without
     # the cache that is 1+iters full tokenization passes (bpe1's pattern)
     feats = _feature_frame(documents).persist()
+    history: list[list[float]] = []
     try:
         n = feats.count()  # bounded driver scalar (fixed by the corpus)
         w = [0.0, 0.0, 0.0, 0.0]
@@ -91,7 +99,8 @@ def train_weights(documents: DataFrame, iters: int = 2) -> list[float]:
                 ]
             ).collect()[0]
             w = [float(upd[f"w{j}"]) for j in range(4)]
-        return w
+            history.append(w)
+        return history
     finally:
         feats.unpersist()
 
@@ -191,3 +200,51 @@ def auc1_classifier_auc(documents: DataFrame, iters: int = 2) -> DataFrame:
         agg.filter((P > 0) & (N > 0))
         .select(P.alias("n_pos"), N.alias("n_neg"), auc.alias("auc"))
     )
+
+
+def cart1_dataset_cartography(documents: DataFrame, iters: int = 2) -> DataFrame:
+    """Dataset cartography (Swayamdipta et al. 2020, arXiv:2009.10795)
+    over the lr1 gate's own training dynamics: per document, the MEAN
+    true-class confidence and the (population) VARIABILITY of that
+    confidence across the GD steps — the two coordinates whose map
+    separates easy-to-learn / hard-to-learn / ambiguous examples for
+    curation. The per-step weight snapshots come from the SAME unrolled
+    deterministic training the lr1/lr2 oracles pin (train_weight_history);
+    scoring each step is map-only with the step's weights as plan
+    literals, so the whole operator is `iters` fused column expressions
+    riding ONE scan — no shuffle at all before the result order.
+
+    Determinism: each step's sigmoid is rounded to 9 dp (the ppl1
+    discipline) BEFORE the confidence/mean/variability arithmetic,
+    mean is rounded to 9 dp before the deviation terms, outputs to
+    6 dp. `above_chance` (mean_conf >= 0.5) is the scale-robust region
+    readout — absolute 0.7/0.3 region cuts are presentation-layer and
+    fixture-dependent, the coordinates are the operator."""
+    hist = train_weight_history(documents, iters)
+    feats = _feature_frame(documents)
+    confs = []
+    for w in hist:
+        z = (
+            F.lit(w[0]) * F.col("x0")
+            + F.lit(w[1]) * F.col("x1")
+            + F.lit(w[2]) * F.col("x2")
+            + F.lit(w[3]) * F.col("x3")
+        )
+        p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9)
+        confs.append(F.when(F.col("y") == 1.0, p).otherwise(F.lit(1.0) - p))
+    t = len(confs)
+    total = confs[0]
+    for c in confs[1:]:
+        total = total + c
+    mean9 = F.round(total / F.lit(float(t)), 9)
+    sqsum = None
+    for c in confs:
+        term = (c - mean9) * (c - mean9)
+        sqsum = term if sqsum is None else sqsum + term
+    var9 = F.round(F.sqrt(sqsum / F.lit(float(t))), 9)
+    return feats.select(
+        "doc_id",
+        F.round(mean9, 6).alias("mean_conf"),
+        F.round(var9, 6).alias("variability"),
+        (mean9 >= 0.5).alias("above_chance"),
+    ).orderBy("doc_id")

@@ -1609,3 +1609,49 @@ def drm1_doremi_weights(
             + F.lit(0.0)
         ).alias("weight"),
     ).orderBy("source")
+
+
+def rho1_excess_loss_selection(
+    documents: DataFrame, lo: float = -0.06, hi: float = 0.06
+) -> DataFrame:
+    """RHO-style selective-loss gating (Lin et al. 2024 "RHO-1", arXiv:
+    2404.07965; Mindermann et al. 2022 RHO-LOSS): score each document by
+    its EXCESS loss — here the corpus's own bigram bits/token minus its
+    unigram bits/token, i.e. how much harder the text is under context
+    than its vocabulary alone predicts (the reference-model role the
+    papers fill with a holdout model). Both distribution tails are
+    dropped: far-negative excess is boilerplate the context model has
+    memorized; far-positive is noise no context helps — the keep band is
+    the "learnable and worth learning" middle.
+
+    Output per doc (docs with >= 2 tokens — a bigram score needs one):
+    (doc_id, unigram_bpt, bigram_bpt, excess_bits, keep).
+
+    Determinism: composes the two oracle-paired LM scores (ppl1/ppl2 —
+    their decimal disciplines carry over); each bits/token is one
+    double division of an exact decimal total rounded to 9 dp, the
+    difference rounds to 6 dp with the signed-zero guard; the band test
+    runs on the rounded value in both engines. Plan: the two LM passes'
+    keyed shuffles + one doc_id join — nothing new at 100 TB."""
+    p1 = ppl1_unigram_logloss(documents).select(
+        "doc_id",
+        F.round(F.col("total_bits") / F.col("n_tokens"), 9).alias("_u9"),
+    )
+    p2 = ppl2_bigram_logloss(documents).select(
+        "doc_id",
+        F.round(F.col("total_bits") / F.col("n_bigrams"), 9).alias("_b9"),
+    )
+    excess = F.round(F.col("_b9") - F.col("_u9"), 6) + F.lit(0.0)
+    return (
+        p1.join(p2, "doc_id")
+        .select(
+            "doc_id",
+            F.round(F.col("_u9"), 6).alias("unigram_bpt"),
+            F.round(F.col("_b9"), 6).alias("bigram_bpt"),
+            excess.alias("excess_bits"),
+            ((excess >= F.lit(float(lo))) & (excess <= F.lit(float(hi)))).alias(
+                "keep"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -772,3 +772,35 @@ def test_doremi_weights_lift_hard_domains(spark):
     assert out["hard"]["excess_bits"] > 0 > out["easy"]["excess_bits"]
     assert out["hard"]["weight"] > out["hard"]["token_share"]
     assert out["easy"]["weight"] < out["easy"]["token_share"]
+
+
+def test_cartography_and_rho_selection_fixture_properties(spark, sf_dir):
+    """cart1: coordinates bounded, above_chance consistent with the mean,
+    and BOTH map regions populated on the fixture (the label signal is
+    real). rho1: the keep band drops BOTH tails (far-negative memorized
+    boilerplate AND far-positive noise) while keeping a majority middle."""
+    from csv_crm_upload_spark.analytics.logreg import cart1_dataset_cartography
+    from csv_crm_upload_spark.analytics.textstats import rho1_excess_loss_selection
+    from csv_crm_upload_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    cart = cart1_dataset_cartography(docs).collect()
+    assert cart, "empty cartography"
+    for r in cart:
+        assert 0.0 <= r["mean_conf"] <= 1.0
+        assert r["variability"] >= 0.0
+        assert r["above_chance"] == (r["mean_conf"] >= 0.5 or
+                                     abs(r["mean_conf"] - 0.5) < 1e-6)
+    n_above = sum(r["above_chance"] for r in cart)
+    assert 0 < n_above < len(cart), "cartography degenerate: one region only"
+
+    rho = rho1_excess_loss_selection(docs).collect()
+    kept = [r for r in rho if r["keep"]]
+    neg_drop = [r for r in rho if not r["keep"] and r["excess_bits"] < 0]
+    pos_drop = [r for r in rho if not r["keep"] and r["excess_bits"] > 0]
+    assert kept and neg_drop and pos_drop, (
+        f"band must bite both tails: kept={len(kept)} "
+        f"neg={len(neg_drop)} pos={len(pos_drop)}"
+    )
+    for r in rho:
+        assert abs((r["bigram_bpt"] - r["unigram_bpt"]) - r["excess_bits"]) < 2e-6
