@@ -75,6 +75,9 @@ EXTRA = [
     "drm1_doremi_weights",
     "prep3_fineweb_manifest",
     "mmr1_diversified_topk",
+    "auc1_classifier_auc",
+    "cart1_dataset_cartography",
+    "rho1_excess_loss_selection",
 ]
 
 # graph family: timed AS A PIPELINE (round 4) — the LSH candidate-pair

@@ -558,6 +558,16 @@ def test_round7_operator_shuffle_budgets(spark, sf_dir):
         # the plan per step — 200+ exchanges at k=5; the audit keeps it
         # from coming back)
         "mmr1_diversified_topk": 2,
+        # auc1 2 — distributed_rank's offset window re-exchange (the
+        #        range partitioning ran in the checkpoint) + the 1-row
+        #        rank-sum aggregate
+        "auc1_classifier_auc": 2,
+        # cart1 1 — map-only scoring of every GD step; result order only
+        "cart1_dataset_cartography": 1,
+        # rho1 13 — pure composition cost: ppl1's stages + ppl2's
+        #        stages + the doc_id join re-exchanges; no stage beyond
+        #        what the two standalone LM operators already pay
+        "rho1_excess_loss_selection": 13,
     }
     for name, budget in budgets.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))
