@@ -59,17 +59,27 @@ def _feature_frame(documents: DataFrame) -> DataFrame:
 def train_weights(documents: DataFrame, iters: int = 2) -> list[float]:
     """The GD loop — w after `iters` full-batch steps (lr = 1.0) from
     w = 0 on the lang='en' label; shared by lr1 (weight readout) and
-    lr2 (inference scoring)."""
-    return train_weight_history(documents, iters)[-1]
+    lr2 (inference scoring). iters=0 is the untrained baseline — the
+    zero vector, as before the history refactor."""
+    hist = train_weight_history(documents, iters)
+    return hist[-1] if hist else [0.0, 0.0, 0.0, 0.0]
 
 
-def train_weight_history(documents: DataFrame, iters: int = 2) -> list[list[float]]:
+def train_weight_history(
+    documents: DataFrame, iters: int = 2, feats: DataFrame | None = None
+) -> list[list[float]]:
     """Per-step weight snapshots [w_after_step_1, ..., w_after_step_iters]
     — the training-dynamics record dataset cartography scores against
-    (cart1); train_weights returns the last entry."""
+    (cart1); train_weights returns the last entry. Pass an
+    already-PERSISTED `feats` (from _feature_frame) to share the
+    tokenization pass with a caller that also scores against it
+    (auc1/cart1) — the caller then owns its lifecycle; without it the
+    frame is persisted/unpersisted here."""
     # persisted: the count plus every GD step re-consumes feats — without
     # the cache that is 1+iters full tokenization passes (bpe1's pattern)
-    feats = _feature_frame(documents).persist()
+    own = feats is None
+    if own:
+        feats = _feature_frame(documents).persist()
     history: list[list[float]] = []
     try:
         n = feats.count()  # bounded driver scalar (fixed by the corpus)
@@ -102,7 +112,8 @@ def train_weight_history(documents: DataFrame, iters: int = 2) -> list[list[floa
             history.append(w)
         return history
     finally:
-        feats.unpersist()
+        if own:
+            feats.unpersist()
 
 
 def lr1_quality_classifier(documents: DataFrame, iters: int = 2) -> DataFrame:
@@ -170,8 +181,12 @@ def auc1_classifier_auc(documents: DataFrame, iters: int = 2) -> DataFrame:
     engine-divergent; both engines exclude identically)."""
     from csv_crm_upload_spark.analytics.tpch import distributed_rank
 
-    w = train_weights(documents, iters)
-    feats = _feature_frame(documents)
+    # ONE tokenization pass: the persisted feature frame feeds training
+    # AND scoring; the bounded result is pinned before the unpersist so
+    # evaluation never re-derives the features (review r7)
+    feats = _feature_frame(documents).persist()
+    hist = train_weight_history(documents, iters, feats=feats)
+    w = hist[-1] if hist else [0.0, 0.0, 0.0, 0.0]
     z = (
         F.lit(w[0]) * F.col("x0")
         + F.lit(w[1]) * F.col("x1")
@@ -196,10 +211,13 @@ def auc1_classifier_auc(documents: DataFrame, iters: int = 2) -> DataFrame:
     auc = F.round(
         numer.cast("double") / (F.lit(2.0) * P.cast("double") * N.cast("double")), 6
     )
-    return (
+    out = (
         agg.filter((P > 0) & (N > 0))
         .select(P.alias("n_pos"), N.alias("n_neg"), auc.alias("auc"))
+        .localCheckpoint(eager=True)  # <= 1 row
     )
+    feats.unpersist()
+    return out
 
 
 def cart1_dataset_cartography(documents: DataFrame, iters: int = 2) -> DataFrame:
@@ -220,8 +238,8 @@ def cart1_dataset_cartography(documents: DataFrame, iters: int = 2) -> DataFrame
     6 dp. `above_chance` (mean_conf >= 0.5) is the scale-robust region
     readout — absolute 0.7/0.3 region cuts are presentation-layer and
     fixture-dependent, the coordinates are the operator."""
-    hist = train_weight_history(documents, iters)
-    feats = _feature_frame(documents)
+    feats = _feature_frame(documents).persist()
+    hist = train_weight_history(documents, iters, feats=feats)
     confs = []
     for w in hist:
         z = (
@@ -242,9 +260,18 @@ def cart1_dataset_cartography(documents: DataFrame, iters: int = 2) -> DataFrame
         term = (c - mean9) * (c - mean9)
         sqsum = term if sqsum is None else sqsum + term
     var9 = F.round(F.sqrt(sqsum / F.lit(float(t))), 9)
-    return feats.select(
-        "doc_id",
-        F.round(mean9, 6).alias("mean_conf"),
-        F.round(var9, 6).alias("variability"),
-        (mean9 >= 0.5).alias("above_chance"),
-    ).orderBy("doc_id")
+    out = (
+        feats.select(
+            "doc_id",
+            F.round(mean9, 6).alias("mean_conf"),
+            F.round(var9, 6).alias("variability"),
+            (mean9 >= 0.5).alias("above_chance"),
+        )
+        .orderBy("doc_id")
+        # pin before unpersist: the map (one row per doc) is what the
+        # consumer materializes anyway; without this, evaluating the
+        # lazy result would re-tokenize the corpus a second time
+        .localCheckpoint(eager=True)
+    )
+    feats.unpersist()
+    return out

@@ -184,12 +184,15 @@ def _bucket_expr(table: int, n_planes: int) -> F.Column:
 def uniform_vector_sample(embeddings: DataFrame, sample_cap: int) -> list:
     """Deterministic bounded driver sample for codec fits (IVF k-means,
     PQ/IVF-PQ codebooks): the first `sample_cap` VALID vectors by
-    vec_id, restricted to the dimension of the first one — a
+    vec_id, restricted to the sample's MAJORITY dimension — a
     wrong-width row (schema says array<float>; nothing enforces length)
     would otherwise land a ragged numpy matrix and abort the fit. On a
     clean corpus every row passes, so fits are unchanged; corrupt rows
     degrade to skipped vectors (the valid_vectors discipline, extended
-    to width)."""
+    to width). Majority, NOT first-row: keying off the first row would
+    let a single truncated row at the lowest vec_id silently discard
+    the whole clean sample and fit a wrong-dimension codec (review
+    r7). Ties break on the larger width — deterministic either way."""
     rows = (
         valid_vectors(embeddings)
         .select("vec_id", "embedding")
@@ -199,7 +202,10 @@ def uniform_vector_sample(embeddings: DataFrame, sample_cap: int) -> list:
     )
     if not rows:
         return rows
-    d = len(rows[0]["embedding"])
+    from collections import Counter
+
+    widths = Counter(len(r["embedding"]) for r in rows)
+    d = max(widths, key=lambda w: (widths[w], w))
     return [r for r in rows if len(r["embedding"]) == d]
 
 

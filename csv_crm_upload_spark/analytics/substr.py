@@ -48,6 +48,17 @@ from csv_crm_upload_spark.functions.hashing import md5_60
 DEFAULT_N_BUCKETS = 16
 SUBSTR_SUBDIRS = ["gramcounts"]
 
+#: explicit read schema (data + partition columns): an index built over
+#: a corpus where NO document reaches min_len writes a data-file-less
+#: partitioned dir (only _SUCCESS), and schema INFERENCE on that aborts
+#: every later read — the explicit schema makes it a readable empty
+#: index instead (review r7)
+_GRAMCOUNTS_SCHEMA = "gram_h long, n long, gbucket int, epoch int"
+
+
+def _read_gramcounts(spark, path: str):
+    return spark.read.schema(_GRAMCOUNTS_SCHEMA).parquet(f"{path}/gramcounts")
+
 
 def _gram_counts(documents: DataFrame, min_len: int, n_buckets: int) -> DataFrame:
     """(gram_h, n, gbucket) — occurrence counts of the given documents'
@@ -100,7 +111,7 @@ def load_substr_counts(spark, path: str) -> DataFrame:
     m = read_manifest(path)
     epoch, base = m["epoch"], m.get("base_epoch", 0)
     return (
-        spark.read.parquet(f"{path}/gramcounts")
+        _read_gramcounts(spark, path)
         .filter((F.col("epoch") >= base) & (F.col("epoch") <= epoch))
         .groupBy("gram_h")
         .agg(F.sum("n").cast("long").alias("n"))
@@ -144,14 +155,22 @@ def compact_substr_index(spark, path: str) -> bool:
     epoch (exact by additivity — unlike the union-only compactors, a
     plain epoch union would double-store grams seen in several epochs)
     in one atomic manifest commit. Returns False when already compact."""
-    from csv_crm_upload_spark.operators.manifest import commit_manifest, read_manifest
+    from csv_crm_upload_spark.operators.manifest import (
+        commit_manifest,
+        read_manifest,
+        remove_orphan_epochs,
+    )
 
     m = read_manifest(path)
     epoch, base = m["epoch"], m.get("base_epoch", 0)
     if epoch == base:
         return False
+    # self-heal first (the compact_epochs protocol): a crashed update or
+    # compaction leaves a partial epoch>current dir whose truncated
+    # files would otherwise abort the tree scan below
+    remove_orphan_epochs(path, SUBSTR_SUBDIRS, epoch)
     merged = (
-        spark.read.parquet(f"{path}/gramcounts")
+        _read_gramcounts(spark, path)
         .filter((F.col("epoch") >= base) & (F.col("epoch") <= epoch))
         .groupBy("gram_h")
         .agg(F.sum("n").cast("long").alias("n"))

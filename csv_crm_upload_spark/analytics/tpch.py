@@ -1787,18 +1787,13 @@ def distributed_ntile(
     All bucket arithmetic is integer `div` (no float division), so the
     assignment is exact at any n."""
     ranked, n = _distributed_rank_and_total(df, order_cols, "_rn", n_parts)
-    base, rem = divmod(n, q)
-    rn = F.col("_rn")
-    if base == 0:
-        # fewer rows than buckets: row i lands alone in bucket i
-        tile = rn
-    else:
-        head = rem * (base + 1)
-        tile = F.when(
-            rn <= F.lit(head),
-            F.expr(f"((_rn - 1) div {base + 1}) + 1"),
-        ).otherwise(F.expr(f"{rem} + ((_rn - 1 - {head}) div {base}) + 1"))
-    return ranked.withColumn(out_col, tile.cast("int")).drop("_rn")
+    # ONE encoding of the ANSI bucket formula: the global form is the
+    # grouped form with the (already-known) total as a literal column
+    return (
+        ranked.withColumn("_gn", F.lit(n).cast("long"))
+        .withColumn(out_col, grouped_ntile_expr("_rn", "_gn", q))
+        .drop("_rn", "_gn")
+    )
 
 
 def distributed_grouped_rank(
@@ -1877,9 +1872,22 @@ def distributed_grouped_rank(
     w = Window.partitionBy("_pid", *group_cols).orderBy(*order_cols)
     # the (pid, group) re-exchange under the window is n_parts·|groups|
     # keys with each cell capped at one range partition's rows — never a
-    # single-task collapse
+    # single-task collapse. The offsets join is NULL-SAFE on the group
+    # columns: Window.partitionBy (and the oracle's PARTITION BY) treat
+    # NULL as its own partition, so a plain equi-join would silently
+    # DROP every NULL-group row here (review r7).
+    o = offs.alias("_offs")
+    p = parted.alias("_parted")
+    cond = p["_pid"] == o["_pid"]
+    for g in group_cols:
+        cond = cond & p[g].eqNullSafe(o[g])
     ranked = (
-        parted.join(F.broadcast(offs), ["_pid", *group_cols])
+        p.join(F.broadcast(o), cond)
+        .select(
+            *[p[c] for c in parted.columns],
+            o["_off"].alias("_off"),
+            o["_gn"].alias("_gn"),
+        )
         .withColumn(out_col, (F.row_number().over(w) + F.col("_off")).cast("long"))
         .drop("_pid", "_off")
     )

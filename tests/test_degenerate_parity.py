@@ -323,3 +323,21 @@ def test_mixed_dimension_vectors_do_not_abort_vector_family(spark):
     assert pq1_quantized_knn(emb, query_ids=[0], k=3, m=2, n_codes=4).count() >= 0
     assert knn_ivf(emb, k=3, n_cells=2, nprobe=2).count() >= 0
     assert pca2_projected_knn(emb, r=2, query_ids=[0], k=3).count() >= 0
+
+
+def test_corrupt_first_row_does_not_hijack_codec_sample(spark):
+    """uniform_vector_sample keys the accepted width off the sample
+    MAJORITY: a truncated row at the LOWEST vec_id must be the one
+    skipped — not silently become the model dimension while the whole
+    clean corpus is discarded (review r7)."""
+    from csv_crm_upload_spark.analytics.similarity import uniform_vector_sample
+
+    rows = [(0, [1.0, 2.0], 0)] + [
+        (i, [float((i * 7 + d) % 11) for d in range(8)], 0) for i in range(1, 6)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    sample = uniform_vector_sample(emb, 10)
+    assert len(sample) == 5
+    assert all(len(r["embedding"]) == 8 for r in sample)

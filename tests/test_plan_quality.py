@@ -426,10 +426,15 @@ def test_distributed_grouped_rank_matches_window(spark):
         grouped_ntile_expr,
     )
 
-    df = spark.range(200).select(
+    # group c is single-member; ids >= 199 get a NULL group — NULL is
+    # its own partition in Window.partitionBy AND the SQL oracle, so
+    # the distributed form must rank (not drop) those rows (review r7:
+    # a plain equi-join against the offsets frame lost them)
+    df = spark.range(201).select(
         F.when(F.col("id") < 120, F.lit("a"))
-        .when(F.col("id") < 199, F.lit("b"))
-        .otherwise(F.lit("c"))
+        .when(F.col("id") < 198, F.lit("b"))
+        .when(F.col("id") < 199, F.lit("c"))
+        .otherwise(F.lit(None).cast("string"))
         .alias("g"),
         (F.col("id") * 13 % 200).alias("v"),
         F.col("id").alias("uid"),

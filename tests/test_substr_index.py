@@ -136,3 +136,28 @@ def test_service_tick_folds_substr_index(spark, sf_dir, tmp_path):
     # quiet tick: no re-fold
     assert svc.tick() == {"docs": [], "embeddings": []}
     assert read_manifest(path)["epoch"] == 1
+
+
+def test_empty_corpus_build_yields_readable_empty_index(spark, tmp_path):
+    """A corpus where NO document reaches min_len writes a data-file-less
+    partitioned dir; the explicit read schema must make that a readable
+    EMPTY index (probe yields nothing, later appends work) instead of a
+    schema-inference abort on every subsequent read (review r7)."""
+    short = spark.createDataFrame(
+        [(1, "just three tokens", "en", "s", 17), (2, None, "en", "s", 0)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    path = str(tmp_path / "substr_empty")
+    save_substr_index(short, path)
+    assert load_substr_counts(spark, path).count() == 0
+    assert xsd_indexed_dup_spans(short, path).count() == 0
+    # the empty index still accepts a real append
+    long_doc = " ".join(f"w{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(10, long_doc, "en", "s", len(long_doc)),
+         (11, long_doc, "en", "s", len(long_doc))],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    update_substr_index(docs, path)
+    spans = xsd_indexed_dup_spans(docs, path).collect()
+    assert {r["doc_id"] for r in spans} == {10, 11}
