@@ -295,10 +295,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     test_degenerate_rows_only_queries_execute). Round 7: the literal
     below keeps its historical order; the _ROTATION_FRONT reorder at
     the end of this function moves this round's verification targets
-    into slots 13-30 — the ten signed-zero-patched queries (13-22), the
+    into slots 13-35 — the ten signed-zero-patched queries (13-22), the
     five rank-plan rewrites (23-27: distributed_grouped_rank /
     distributed rank cuts / q15 max-semi-join, same oracles), and the
-    three round-7 operators gq1/xsd1/drm1 (28-30)."""
+    eight round-7 operators gq1/xsd1/drm1/prep3/mmr1/auc1/cart1/rho1
+    (28-35)."""
     q = {
         # reference-faithful core (SURVEY §2 ids) — pinned slots 1-12
         "s1_scan_customer": q_s1_scan_customer,
