@@ -268,6 +268,9 @@ _ROTATION_FRONT = [
     "auc1_classifier_auc",
     "cart1_dataset_cartography",
     "rho1_excess_loss_selection",
+    "pmi1_collocations",
+    "kn1_kneser_ney_logloss",
+    "prune1_prototype_pruning",
 ]
 
 
@@ -435,6 +438,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # token, both tails dropped (composes ppl1 + ppl2)
         "rho1_excess_loss_selection": lambda s, sf: ts.rho1_excess_loss_selection(
             _t("documents")(s, sf)
+        ),
+        # top-k bigram collocations by PMI (Church & Hanks) — multi-word
+        # expressions worth protecting from tokenizer splits
+        "pmi1_collocations": lambda s, sf: ts.pmi1_collocations(
+            _t("documents")(s, sf)
+        ),
+        # interpolated Kneser-Ney bigram log-loss (continuation-count
+        # back-off) — the sharper companion to ppl2's Laplace floor
+        "kn1_kneser_ney_logloss": lambda s, sf: ts.kn1_kneser_ney_logloss(
+            _t("documents")(s, sf)
+        ),
+        # SSL-prototype pruning: keep the hardest quarter per label by
+        # cosine-to-centroid, ranked distributed (Sorscher et al. 2022)
+        "prune1_prototype_pruning": lambda s, sf: clus.prune1_prototype_pruning(
+            _t("embeddings")(s, sf)
         ),
         # --- rotation window (slots 13-50), round 5: the six oracle-paired
         # queries that have never had a driver CORRECTNESS row lead the
@@ -3100,6 +3118,125 @@ def oracle_sql() -> dict[str, str]:
                (round(b9 - u9, 6) + 0.0 >= -0.06
                 AND round(b9 - u9, 6) + 0.0 <= 0.06) AS keep
         FROM rb ORDER BY doc_id
+    """
+    # pmi1: top-k PMI collocations — one FIXED tree of five log2 calls
+    # over exact integer counts, rounded 9 dp; top-k total order is
+    # (pmi DESC, w1, w2) on the rounded value in both engines
+    q["pmi1_collocations"] = f"""
+        WITH t AS (SELECT {_TOKS} AS l FROM documents WHERE text IS NOT NULL),
+        g AS (
+          SELECT l[r.i] || chr(1) || l[r.i + 1] AS bg
+          FROM t, UNNEST(range(1, len(l))) AS r(i)
+          WHERE len(l) >= 2
+        ),
+        bc AS (SELECT bg, COUNT(*) AS c_bg FROM g GROUP BY 1),
+        nb AS (SELECT CAST(SUM(c_bg) AS BIGINT) AS n_bg FROM bc),
+        tok AS (SELECT unnest(l) AS tok FROM t),
+        tcc AS (SELECT tok, COUNT(*) AS c_tok FROM tok GROUP BY 1),
+        nt AS (SELECT CAST(SUM(c_tok) AS BIGINT) AS n_tok FROM tcc)
+        SELECT string_split(bg, chr(1))[1] AS w1,
+               string_split(bg, chr(1))[2] AS w2,
+               CAST(c_bg AS BIGINT) AS c_bigram,
+               round(log2(CAST(c_bg AS DOUBLE)) - log2(CAST(n_bg AS DOUBLE))
+                     - log2(CAST(c1.c_tok AS DOUBLE))
+                     - log2(CAST(c2.c_tok AS DOUBLE))
+                     + 2.0 * log2(CAST(n_tok AS DOUBLE)), 9) + 0.0 AS pmi
+        FROM bc
+        JOIN tcc c1 ON string_split(bg, chr(1))[1] = c1.tok
+        JOIN tcc c2 ON string_split(bg, chr(1))[2] = c2.tok
+        CROSS JOIN nb CROSS JOIN nt
+        WHERE c_bg >= 5
+        ORDER BY pmi DESC, w1, w2
+        LIMIT 50
+    """
+    # kn1: interpolated Kneser-Ney bigram log-loss — ppl2's shapes plus
+    # the prefix/continuation re-combines; P_KN is ONE double tree
+    # mirrored from the Spark plan verbatim, D = 0.75 literal
+    q["kn1_kneser_ney_logloss"] = f"""
+        WITH t AS (
+          SELECT doc_id, {_TOKS} AS l FROM documents WHERE text IS NOT NULL
+        ),
+        g AS (
+          SELECT doc_id, l[r.i] || chr(1) || l[r.i + 1] AS bg
+          FROM t, UNNEST(range(1, len(l))) AS r(i)
+          WHERE len(l) >= 2
+        ),
+        pdb AS (SELECT doc_id, bg, COUNT(*) AS c FROM g GROUP BY 1, 2),
+        bc AS (SELECT bg, COUNT(*) AS c_bg FROM g GROUP BY 1),
+        ps AS (
+          SELECT string_split(bg, chr(1))[1] AS prev,
+                 CAST(SUM(c_bg) AS BIGINT) AS c_prev,
+                 COUNT(*) AS n1p_prev
+          FROM bc GROUP BY 1
+        ),
+        cs AS (
+          SELECT string_split(bg, chr(1))[2] AS w, COUNT(*) AS n1p_w
+          FROM bc GROUP BY 1
+        ),
+        ntp AS (SELECT COUNT(*) AS n_types FROM bc)
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_bigrams,
+               CAST(SUM(CAST(c AS DECIMAL(12,0)) *
+                        CAST(ROUND(-log2(
+                          ((CAST(c_bg AS DOUBLE) - 0.75)
+                           / CAST(c_prev AS DOUBLE))
+                          + (((0.75 * CAST(n1p_prev AS DOUBLE))
+                              / CAST(c_prev AS DOUBLE))
+                             * (CAST(n1p_w AS DOUBLE)
+                                / CAST(n_types AS DOUBLE)))
+                        ), 9) AS DECIMAL(20,12))) AS DOUBLE) AS total_bits
+        FROM pdb JOIN bc USING (bg)
+        JOIN ps ON string_split(pdb.bg, chr(1))[1] = ps.prev
+        JOIN cs ON string_split(pdb.bg, chr(1))[2] = cs.w
+        CROSS JOIN ntp
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """
+    # prune1: SSL-prototype pruning — drift2's decimal centroid/cosine
+    # discipline; 0/0 rows excluded identically (zipf1/corr1 rule);
+    # keep test is pure integer arithmetic (rank·4 <= n)
+    q["prune1_prototype_pruning"] = """
+        WITH comp AS (
+          SELECT vec_id, label, r.i AS dim,
+                 CAST(round(embedding[r.i]::DOUBLE, 9) AS DECIMAL(28,9)) AS v9
+          FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS r(i)
+        ),
+        per AS (
+          SELECT label, dim, SUM(v9) AS s, COUNT(*) AS n FROM comp GROUP BY 1, 2
+        ),
+        terms AS (
+          SELECT vec_id, comp.label AS label,
+                 CAST(round(CAST(v9 AS DOUBLE) * round(s::DOUBLE / n, 9), 12)
+                      AS DECIMAL(38,12)) AS xy,
+                 CAST(round(CAST(v9 AS DOUBLE) * CAST(v9 AS DOUBLE), 12)
+                      AS DECIMAL(38,12)) AS xx,
+                 CAST(round(round(s::DOUBLE / n, 9) * round(s::DOUBLE / n, 9), 12)
+                      AS DECIMAL(38,12)) AS yy
+          FROM comp JOIN per
+            ON comp.label IS NOT DISTINCT FROM per.label AND comp.dim = per.dim
+        ),
+        agg AS (
+          SELECT vec_id, label,
+                 SUM(xy) AS sxy, SUM(xx) AS sxx, SUM(yy) AS syy
+          FROM terms GROUP BY 1, 2
+        ),
+        cosd AS (
+          SELECT vec_id, label,
+                 round(sxy::DOUBLE / (sqrt(sxx::DOUBLE) * sqrt(syy::DOUBLE)), 6)
+                   + 0.0 AS cos_to_prototype
+          FROM agg WHERE sxx > 0 AND syy > 0
+        ),
+        rk AS (
+          SELECT vec_id, label, cos_to_prototype,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY label ORDER BY cos_to_prototype, vec_id
+                 ) AS BIGINT) AS prune_rank,
+                 CAST(COUNT(*) OVER (PARTITION BY label) AS BIGINT) AS n_label
+          FROM cosd
+        )
+        SELECT vec_id, label, cos_to_prototype, prune_rank, n_label,
+               (prune_rank * 4 <= n_label) AS keep
+        FROM rk ORDER BY label, prune_rank
     """
     # dsir1: DSIR importance log-ratio — one log2 per DISTINCT token of
     # a quotient of two DOUBLE products (int64 products would overflow

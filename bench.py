@@ -78,6 +78,9 @@ EXTRA = [
     "auc1_classifier_auc",
     "cart1_dataset_cartography",
     "rho1_excess_loss_selection",
+    "pmi1_collocations",
+    "kn1_kneser_ney_logloss",
+    "prune1_prototype_pruning",
 ]
 
 # graph family: timed AS A PIPELINE (round 4) — the LSH candidate-pair

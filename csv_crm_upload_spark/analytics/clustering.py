@@ -342,3 +342,97 @@ def decon2_semantic_contamination(
         )
         .orderBy("vec_id")
     )
+
+
+def prune1_prototype_pruning(
+    embeddings: DataFrame, keep_num: int = 1, keep_den: int = 4
+) -> DataFrame:
+    """SSL-prototype data pruning (Sorscher et al. 2022, "Beyond neural
+    scaling laws: beating power law scaling via data pruning",
+    arXiv:2206.14486): score every vector by its cosine to its OWN
+    group's prototype (the label centroid — the paper's k-means
+    prototype, here the label structure the table already carries), and
+    keep the HARDEST keep_num/keep_den fraction per group — the
+    far-from-prototype examples the paper shows matter most in the
+    abundant-data regime. Output per surviving-score vector:
+    (vec_id, label, cos_to_prototype, prune_rank, n_label, keep).
+
+    Determinism (drift2's decimal discipline end-to-end): components
+    round to 9 dp into DECIMAL(28,9) per-(label,dim) sums; centroid
+    components are one double division rounded to 9 dp; the per-vector
+    cosine terms round to 12 dp into DECIMAL(38,12) order-free sums and
+    the final cosine rounds to 6 dp (+0.0 signed-zero guard). Zero-norm
+    sides (all-zero vector or degenerate centroid) are EXCLUDED
+    identically in both engines (the zipf1/corr1 0/0 rule). The keep
+    test is pure integer arithmetic — prune_rank · keep_den <=
+    n_label · keep_num — no float threshold to disagree on. NULL/empty
+    embeddings vanish in the posexplode exactly as the oracle's UNNEST
+    over range(len) does; NULL labels survive via null-safe keys.
+
+    Plan at 100 TB: posexplode rides the scan; ONE combining shuffle on
+    (label, dim) builds every prototype (labels × dims rows — tiny —
+    broadcast back); per-vector cosine is one combining agg keyed by
+    vec_id; ranking within label uses distributed_grouped_rank (group-
+    prefixed range partitioning + per-cell offsets) — NO per-label
+    single-task window, the straggler class this repo eliminated in
+    round 7. Driver data: n_parts · |labels| cell counts, never rows.
+    Reference has no embedding surface; this extends the training-ops
+    mandate (SURVEY.md §2 addendum)."""
+    from csv_crm_upload_spark.analytics.tpch import distributed_grouped_rank
+
+    comp = embeddings.select(
+        "vec_id", "label", F.posexplode(F.col("embedding")).alias("dim", "v")
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.round(F.col("v").cast("double"), 9).cast("decimal(28,9)").alias("v9"),
+    )
+    per = comp.groupBy("label", "dim").agg(
+        F.sum("v9").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    cc = F.round(F.col("s").cast("double") / F.col("n"), 9)
+    proto = per.select(
+        F.col("label").alias("p_label"), F.col("dim").alias("p_dim"), cc.alias("cc")
+    )
+    v9d = F.col("v9").cast("double")
+    terms = comp.join(
+        F.broadcast(proto),
+        comp["label"].eqNullSafe(proto["p_label"]) & (comp["dim"] == proto["p_dim"]),
+    ).select(
+        "vec_id",
+        "label",
+        F.round(v9d * F.col("cc"), 12).cast("decimal(38,12)").alias("xy"),
+        F.round(v9d * v9d, 12).cast("decimal(38,12)").alias("xx"),
+        F.round(F.col("cc") * F.col("cc"), 12).cast("decimal(38,12)").alias("yy"),
+    )
+    agg = terms.groupBy("vec_id", "label").agg(
+        F.sum("xy").alias("sxy"), F.sum("xx").alias("sxx"), F.sum("yy").alias("syy")
+    )
+    cos6 = F.round(
+        F.col("sxy").cast("double")
+        / (F.sqrt(F.col("sxx").cast("double")) * F.sqrt(F.col("syy").cast("double"))),
+        6,
+    )
+    scored = (
+        agg.filter((F.col("sxx") > 0) & (F.col("syy") > 0))
+        .select("vec_id", "label", (cos6 + F.lit(0.0)).alias("cos_to_prototype"))
+    )
+    ranked = distributed_grouped_rank(
+        scored,
+        ["label"],
+        ["cos_to_prototype", "vec_id"],
+        "prune_rank",
+        count_col="n_label",
+    )
+    return ranked.select(
+        "vec_id",
+        "label",
+        "cos_to_prototype",
+        "prune_rank",
+        F.col("n_label").cast("long").alias("n_label"),
+        (
+            F.col("prune_rank") * F.lit(keep_den)
+            <= F.col("n_label") * F.lit(keep_num)
+        ).alias("keep"),
+    ).orderBy("label", "prune_rank")

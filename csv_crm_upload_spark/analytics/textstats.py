@@ -1655,3 +1655,131 @@ def rho1_excess_loss_selection(
         )
         .orderBy("doc_id")
     )
+
+
+def pmi1_collocations(
+    documents: DataFrame, min_count: int = 5, k: int = 50
+) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information
+    (Church & Hanks 1990, "Word Association Norms, Mutual Information,
+    and Lexicography") — the classic corpus-linguistics pass a training
+    pipeline runs to surface multi-word expressions worth protecting
+    from tokenizer splits (and to seed phrase-level dedup/boilerplate
+    lists, cf. bp1). PMI(w1,w2) = log2( p(w1,w2) / (p(w1)·p(w2)) ) with
+    p() from the corpus's own counts; a `min_count` floor drops the
+    low-frequency pairs whose PMI is pure noise (the published
+    discipline — PMI is maximized by hapax pairs).
+
+    Determinism contract (ppl1/dsir1 family): every probability is a
+    ratio of exact integer counts; the score is a FIXED tree of five
+    log2 calls over those integers — round(log2(c_bg) - log2(n_bg)
+    - log2(c1) - log2(c2) + 2·log2(n_tok), 9) — identical IEEE ops in
+    both engines, then the top-k total order is (pmi DESC, w1, w2)
+    on the ROUNDED value (w1/w2 ordering equals bigram-key ordering
+    because \\x01 sorts below every token byte).
+
+    Plan at 100 TB: one bigram combining agg + one token combining agg
+    (both map-side partial), the two 1-row totals broadcast, the
+    min_count-filtered collocation table (vocab²-bounded, corpus-scale
+    free) joins token counts on its two word keys, and top-k is
+    TakeOrderedAndProject — no global sort, no window, no driver data
+    beyond k rows."""
+    base = documents.filter(F.col("text").isNotNull())
+    toks = base.select(F.explode(_norm_tokens()).alias("tok"))
+    tok_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c_tok"))
+    n_tok = tok_counts.agg(F.sum("c_tok").alias("n_tok"))
+    grams = base.select(F.explode(_word_ngrams(_norm_tokens(), 2)).alias("bg"))
+    bg_counts = grams.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    n_bg = bg_counts.agg(F.sum("c_bg").alias("n_bg"))
+    cand = bg_counts.filter(F.col("c_bg") >= min_count).select(
+        F.split(F.col("bg"), "\x01").getItem(0).alias("w1"),
+        F.split(F.col("bg"), "\x01").getItem(1).alias("w2"),
+        "c_bg",
+    )
+    c1 = tok_counts.withColumnRenamed("tok", "w1").withColumnRenamed("c_tok", "c1")
+    c2 = tok_counts.withColumnRenamed("tok", "w2").withColumnRenamed("c_tok", "c2")
+    pmi = F.round(
+        F.log2(F.col("c_bg").cast("double"))
+        - F.log2(F.col("n_bg").cast("double"))
+        - F.log2(F.col("c1").cast("double"))
+        - F.log2(F.col("c2").cast("double"))
+        + F.lit(2.0) * F.log2(F.col("n_tok").cast("double")),
+        9,
+    )
+    return (
+        cand.join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(n_bg))
+        .crossJoin(F.broadcast(n_tok))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_bg").cast("long").alias("c_bigram"),
+            (pmi + F.lit(0.0)).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(k)
+    )
+
+
+def kn1_kneser_ney_logloss(documents: DataFrame) -> DataFrame:
+    """Per-document interpolated Kneser-Ney bigram log-loss — the
+    smoothing that made n-gram LMs competitive (Kneser & Ney 1995;
+    Chen & Goodman 1999 empirical study), and a sharper perplexity
+    proxy than ppl2's Laplace floor: the continuation probability
+    P_cont(w) = N1+(·,w) / |bigram types| replaces the uniform 1/V
+    back-off, so words that appear in many CONTEXTS (not just often)
+    absorb the discounted mass. Score per doc:
+    sum over bigram instances of -log2 P_KN(w|prev), with
+    P_KN = (c(prev,w) - D)/c(prev,·) + D·N1+(prev,·)/c(prev,·) · P_cont(w),
+    D = 0.75 (the Chen-Goodman default). Trained on the corpus itself,
+    every scored bigram has c >= 1 > D, so the max(c-D, 0) clamp is
+    vacuous and omitted.
+
+    Determinism (ppl1/ppl2 discipline): all five statistics are exact
+    integers; P_KN is ONE fixed double expression tree mirrored
+    verbatim in the oracle; -log2 rounds to 9 dp into DECIMAL(20,12)
+    and the per-doc weighted sum runs in DECIMAL (order-free); the
+    exact total ships beside the doc's bigram count.
+
+    Plan at 100 TB: one (doc, bigram) combining agg + one bigram-type
+    corpus agg; prefix stats (c_prev, N1+(prev,·)) and continuation
+    counts (N1+(·,w)) are RE-COMBINES of the bigram-type table (vocab-
+    bounded, corpus-scale free); the 1-row type total broadcasts; two
+    keyed joins back on the bigram's halves. No window, no driver
+    data."""
+    grams = documents.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.explode(_word_ngrams(_norm_tokens(), 2)).alias("bg")
+    )
+    per_doc_bg = grams.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    bg_counts = grams.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    prefix = F.split(F.col("bg"), "\x01").getItem(0)
+    suffix = F.split(F.col("bg"), "\x01").getItem(1)
+    prev_stats = bg_counts.groupBy(prefix.alias("prev")).agg(
+        F.sum("c_bg").alias("c_prev"), F.count(F.lit(1)).alias("n1p_prev")
+    )
+    cont_counts = bg_counts.groupBy(suffix.alias("w")).agg(
+        F.count(F.lit(1)).alias("n1p_w")
+    )
+    n_types = bg_counts.agg(F.count(F.lit(1)).alias("n_types"))
+    p_kn = (
+        (F.col("c_bg").cast("double") - F.lit(0.75))
+        / F.col("c_prev").cast("double")
+    ) + (
+        ((F.lit(0.75) * F.col("n1p_prev").cast("double")) / F.col("c_prev").cast("double"))
+        * (F.col("n1p_w").cast("double") / F.col("n_types").cast("double"))
+    )
+    bits = F.round(-F.log2(p_kn), 9).cast("decimal(20,12)")
+    contrib = F.col("c").cast("decimal(12,0)") * bits
+    return (
+        per_doc_bg.join(bg_counts, "bg")
+        .join(prev_stats, F.split(F.col("bg"), "\x01").getItem(0) == F.col("prev"))
+        .join(cont_counts, F.split(F.col("bg"), "\x01").getItem(1) == F.col("w"))
+        .crossJoin(F.broadcast(n_types))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.sum(contrib).cast("double").alias("total_bits"),
+        )
+        .orderBy("doc_id")
+    )

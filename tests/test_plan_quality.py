@@ -382,6 +382,7 @@ def test_ntile_queries_have_no_single_partition_sort(spark, sf_dir):
         "lag1_conversion_lag_quartiles",
         "win1_winsorized_prices",
         "q15_top_supplier",
+        "prune1_prototype_pruning",
     ):
         plan = plan_of(QUERIES[name](spark, sf_dir))
         assert "Exchange SinglePartition" not in plan, (
@@ -573,6 +574,19 @@ def test_round7_operator_shuffle_budgets(spark, sf_dir):
         #        stages + the doc_id join re-exchanges; no stage beyond
         #        what the two standalone LM operators already pay
         "rho1_excess_loss_selection": 13,
+        # pmi1 7 — bigram agg + tok agg + their two 1-row totals + the
+        #        two word-key join re-exchanges + the filtered
+        #        collocation side; top-k is TakeOrderedAndProject
+        "pmi1_collocations": 7,
+        # kn1 10 — ppl2's stages plus the prefix/continuation
+        #        re-combines of the bigram-TYPE table and their join
+        #        re-exchanges (vocab-bounded, corpus-scale free)
+        "kn1_kneser_ney_logloss": 10,
+        # prune1 2 — returned plan after distributed_grouped_rank's
+        #        checkpointed range partitioning: the (pid, label)
+        #        window re-exchange + result order; the centroid and
+        #        per-vector combining aggs ran inside the checkpoint
+        "prune1_prototype_pruning": 2,
     }
     for name, budget in budgets.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))
