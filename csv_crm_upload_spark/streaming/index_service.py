@@ -58,6 +58,9 @@ INDEX_LAYOUTS: dict[str, tuple[list[str], dict[str, str]]] = {
     # ExactSubstr gram counts: epoch-RANGED additive counts (probes sum
     # the live range; compaction sum-merges)
     "substr": (["gramcounts"], {}),
+    # n-gram LM: epoch-RANGED additive unigram/bigram counts (probes sum
+    # the live range; compaction sum-merges both tables)
+    "ngramlm": (["unigrams", "bigrams"], {}),
 }
 
 
@@ -71,7 +74,8 @@ class CorpusIndexService:
         (consumed by the text + dedup indexes) and embedding shards
         (consumed by the vector indexes). Either may be None.
     text_index / dedup_index / ivf_index / pq_index / ivfpq_index /
-    nb_model / winnow_index / bpe_model / pca_model / substr_index:
+    nb_model / winnow_index / bpe_model / pca_model / substr_index /
+    ngram_model:
         paths of already-BUILT indexes/models (save_* must have run);
         None skips that index. The NB/BPE/PCA models' epochs are fully merged
         snapshots, so they never need compaction (gc of superseded
@@ -102,6 +106,7 @@ class CorpusIndexService:
         bpe_model: str | None = None,
         pca_model: str | None = None,
         substr_index: str | None = None,
+        ngram_model: str | None = None,
         cursor_path: str | None = None,
         compact_after: int | None = None,
         adopt_artifact_seq: bool = False,
@@ -121,6 +126,7 @@ class CorpusIndexService:
         self.bpe_model = bpe_model
         self.pca_model = pca_model
         self.substr_index = substr_index
+        self.ngram_model = ngram_model
         self.cursor_path = cursor_path or os.path.join(
             docs_dir or emb_dir, "_index_service_cursor.json"
         )
@@ -191,6 +197,7 @@ class CorpusIndexService:
             self.bpe_model,
             self.pca_model,
             self.substr_index,
+            self.ngram_model,
         ):
             if path is None:
                 continue
@@ -273,6 +280,10 @@ class CorpusIndexService:
             from csv_crm_upload_spark.analytics.substr import update_substr_index
 
             update_substr_index(new_docs, self.substr_index, txn=txn)
+        if self.ngram_model is not None:
+            from csv_crm_upload_spark.analytics.ngramlm import update_ngramlm_model
+
+            update_ngramlm_model(new_docs, self.ngram_model, txn=txn)
 
     def _fold_emb(self, emb_shards: list[str], txn: tuple[str, int]) -> None:
         new_emb = self.spark.read.parquet(*emb_shards)
@@ -379,6 +390,10 @@ class CorpusIndexService:
             from csv_crm_upload_spark.analytics.substr import compact_substr_index
 
             compactors.append((self.substr_index, compact_substr_index))
+        if self.ngram_model is not None:
+            from csv_crm_upload_spark.analytics.ngramlm import compact_ngramlm_model
+
+            compactors.append((self.ngram_model, compact_ngramlm_model))
         for path, compactor in compactors:
             m = read_manifest(path)
             if m["epoch"] - m.get("base_epoch", 0) >= self.compact_after:
@@ -404,6 +419,7 @@ class CorpusIndexService:
             ("bpe", self.bpe_model),
             ("pca", self.pca_model),
             ("substr", self.substr_index),
+            ("ngramlm", self.ngram_model),
         ):
             if idx_path is not None:
                 ranged, pinned = INDEX_LAYOUTS[kind]

@@ -304,6 +304,7 @@ def test_soak_sustained_appends_bounded_epochs_and_vacuum(spark, sf_dir, tmp_pat
     from csv_crm_upload_spark.analytics.bpe import save_bpe_model
     from csv_crm_upload_spark.analytics.pca import save_pca_model
     from csv_crm_upload_spark.analytics.nbayes import save_nb_model
+    from csv_crm_upload_spark.analytics.ngramlm import save_ngramlm_model
     from csv_crm_upload_spark.analytics.substr import save_substr_index
     from csv_crm_upload_spark.analytics.winnow import save_winnow_index
     from csv_crm_upload_spark.operators.manifest import read_manifest
@@ -325,6 +326,7 @@ def test_soak_sustained_appends_bounded_epochs_and_vacuum(spark, sf_dir, tmp_pat
     save_bpe_model(base_docs, paths["bpe"], steps=2)
     save_pca_model(base_emb, paths["pca"], r=4)
     save_substr_index(base_docs, paths["substr"])
+    save_ngramlm_model(base_docs, paths["ngramlm"])
 
     docs_drop = str(tmp_path / "docs_drop")
     emb_drop = str(tmp_path / "emb_drop")
@@ -345,6 +347,7 @@ def test_soak_sustained_appends_bounded_epochs_and_vacuum(spark, sf_dir, tmp_pat
         bpe_model=paths["bpe"],
         pca_model=paths["pca"],
         substr_index=paths["substr"],
+        ngram_model=paths["ngramlm"],
         compact_after=COMPACT_AFTER,
     )
 

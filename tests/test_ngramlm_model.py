@@ -1,0 +1,189 @@
+"""Persisted n-gram LM (analytics/ngramlm.py): every indexed probe ≡ its
+inline operator (ppl1/ppl2/kn1), additive incremental ≡ rebuild,
+streaming txn replay no-op, sum-merge compaction identity, service-tick
+fold, readable empty model. The contracts every other artifact pins,
+applied to the 12th."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from csv_crm_upload_spark.analytics.ngramlm import (
+    compact_ngramlm_model,
+    kn1_model_logloss,
+    load_bigram_counts,
+    load_unigram_counts,
+    ppl1_model_logloss,
+    ppl2_model_logloss,
+    save_ngramlm_model,
+    update_ngramlm_model,
+)
+from csv_crm_upload_spark.analytics.textstats import (
+    kn1_kneser_ney_logloss,
+    ppl1_unigram_logloss,
+    ppl2_bigram_logloss,
+)
+from csv_crm_upload_spark.sources.tables import load_table
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def _counts(spark, path):
+    return (
+        sorted(map(tuple, load_unigram_counts(spark, path).collect())),
+        sorted(map(tuple, load_bigram_counts(spark, path).collect())),
+    )
+
+
+def test_model_probes_equal_inline_operators(spark, sf_dir, tmp_path):
+    """Over the indexed corpus itself, each persisted-LM probe must be
+    value-identical to its inline twin — same tokenization, same fixed
+    double expression tree, same decimal weighted sums; the only
+    difference is WHERE the corpus statistics come from."""
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "lm")
+    save_ngramlm_model(docs, path)
+    assert _rows(ppl1_model_logloss(docs, path)) == _rows(
+        ppl1_unigram_logloss(docs)
+    )
+    assert _rows(ppl2_model_logloss(docs, path)) == _rows(
+        ppl2_bigram_logloss(docs)
+    )
+    assert _rows(kn1_model_logloss(docs, path)) == _rows(
+        kn1_kneser_ney_logloss(docs)
+    )
+
+
+def test_incremental_append_equals_rebuild(spark, sf_dir, tmp_path):
+    """Counts are additive and every KN statistic derives from the
+    SUMMED table, so folding shards one at a time must reproduce the
+    rebuild bit-exactly — both count tables AND the three probes (the
+    type-count statistics N1+/|types| are the sharp edge: a per-epoch
+    type count would overstate types spanning epochs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.filter(F.col("doc_id") % 3 == 0)
+    b = docs.filter(F.col("doc_id") % 3 == 1)
+    c = docs.filter(F.col("doc_id") % 3 == 2)
+
+    inc = str(tmp_path / "inc")
+    save_ngramlm_model(a, inc)
+    update_ngramlm_model(b, inc)
+    update_ngramlm_model(c, inc)
+
+    full = str(tmp_path / "full")
+    save_ngramlm_model(docs, full)
+
+    assert _counts(spark, inc) == _counts(spark, full)
+    assert _rows(kn1_model_logloss(docs, inc)) == _rows(
+        kn1_kneser_ney_logloss(docs)
+    )
+    assert _rows(ppl2_model_logloss(docs, inc)) == _rows(
+        ppl2_bigram_logloss(docs)
+    )
+
+
+def test_txn_replay_noop_and_empty_delta(spark, sf_dir, tmp_path):
+    from csv_crm_upload_spark.operators.manifest import read_manifest
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path / "lm")
+    save_ngramlm_model(a, path)
+    update_ngramlm_model(b, path, txn=("stream", 7))
+    assert read_manifest(path)["epoch"] == 1
+    before = _counts(spark, path)
+    # replayed batch: same (app, batch) no-ops
+    update_ngramlm_model(b, path, txn=("stream", 7))
+    assert read_manifest(path)["epoch"] == 1
+    assert _counts(spark, path) == before
+    # empty delta: clean no-op before any write
+    update_ngramlm_model(docs.filter(F.lit(False)), path)
+    assert read_manifest(path)["epoch"] == 1
+
+
+def test_compaction_sum_merges_and_preserves_model(spark, sf_dir, tmp_path):
+    """OPTIMIZE must SUM-merge BOTH tables (a union-only compactor would
+    double-store cross-epoch types AND double-count their instances):
+    post-compact the chain is one epoch, both summed tables are
+    unchanged, and the probes still equal inline."""
+    from csv_crm_upload_spark.operators.manifest import read_manifest
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.filter(F.col("doc_id") % 3 == 0)
+    b = docs.filter(F.col("doc_id") % 3 == 1)
+    c = docs.filter(F.col("doc_id") % 3 == 2)
+    path = str(tmp_path / "lm")
+    save_ngramlm_model(a, path)
+    update_ngramlm_model(b, path)
+    update_ngramlm_model(c, path)
+    before = _counts(spark, path)
+
+    assert compact_ngramlm_model(spark, path) is True
+    m = read_manifest(path)
+    assert m["epoch"] == m["base_epoch"] == 3
+    assert _counts(spark, path) == before
+    assert _rows(kn1_model_logloss(docs, path)) == _rows(
+        kn1_kneser_ney_logloss(docs)
+    )
+    assert compact_ngramlm_model(spark, path) is False  # already compact
+
+
+def test_service_tick_folds_ngramlm_model(spark, sf_dir, tmp_path):
+    """A shard dropped into the watch dir is folded into the LM on the
+    next tick (txn-guarded), after which the probes see the full corpus
+    exactly like a rebuild."""
+    from csv_crm_upload_spark.operators.manifest import read_manifest
+    from csv_crm_upload_spark.streaming.index_service import CorpusIndexService
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path / "lm")
+    save_ngramlm_model(a, path)
+
+    drop = str(tmp_path / "drop")
+    os.makedirs(drop)
+    b.write.parquet(f"{drop}/shard_b")
+    svc = CorpusIndexService(spark, docs_dir=drop, ngram_model=path)
+    assert svc.tick()["docs"] == [f"{drop}/shard_b"]
+    assert read_manifest(path)["last_txn"]["tick-docs"] == 1
+    assert _rows(ppl1_model_logloss(docs, path)) == _rows(
+        ppl1_unigram_logloss(docs)
+    )
+    # quiet tick: no re-fold
+    assert svc.tick() == {"docs": [], "embeddings": []}
+    assert read_manifest(path)["epoch"] == 1
+
+
+def test_null_text_corpus_build_yields_readable_empty_model(spark, tmp_path):
+    """A corpus of NULL-text docs writes data-file-less partitioned dirs
+    for BOTH tables; the explicit read schemas must make that a readable
+    EMPTY model (probes yield nothing, later appends work) instead of a
+    schema-inference abort — and a single-token corpus must land an
+    empty BIGRAM table beside a live unigram table."""
+    null_docs = spark.createDataFrame(
+        [(1, None, "en", "s", 0), (2, None, "en", "s", 0)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    path = str(tmp_path / "lm_empty")
+    save_ngramlm_model(null_docs, path)
+    assert load_unigram_counts(spark, path).count() == 0
+    assert load_bigram_counts(spark, path).count() == 0
+    assert ppl1_model_logloss(null_docs, path).count() == 0
+
+    # single-token docs: unigrams live, bigrams still a readable empty dir
+    single = spark.createDataFrame(
+        [(10, "hello", "en", "s", 5), (11, "hello", "en", "s", 5)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    update_ngramlm_model(single, path)
+    assert load_unigram_counts(spark, path).count() == 1
+    assert load_bigram_counts(spark, path).count() == 0
+    assert _rows(ppl1_model_logloss(single, path)) == _rows(
+        ppl1_unigram_logloss(single)
+    )
