@@ -370,15 +370,26 @@ def prune1_prototype_pruning(
     over range(len) does; NULL labels survive via null-safe keys.
 
     Plan at 100 TB: posexplode rides the scan; ONE combining shuffle on
-    (label, dim) builds every prototype (labels × dims rows — tiny —
-    broadcast back); per-vector cosine is one combining agg keyed by
-    vec_id; ranking within label uses distributed_grouped_rank (group-
-    prefixed range partitioning + per-cell offsets) — NO per-label
-    single-task window, the straggler class this repo eliminated in
-    round 7. Driver data: n_parts · |labels| cell counts, never rows.
+    (label, dim) builds every prototype (labels × dims rows); per-vector
+    cosine is one combining agg keyed by vec_id. The ranking strategy is
+    CARDINALITY-ADAPTIVE (advice r7 — nothing bounds |labels| for a real
+    corpus): a cheap label-count scan picks between
+    distributed_grouped_rank (few labels: group-prefixed range
+    partitioning + per-cell offsets — no per-label single-task window,
+    driver data n_parts · |labels| cells) and the plain hash-partitioned
+    window (many labels: each partition is small, Spark's own windowing
+    is the scale-correct plan, and neither the broadcast prototype join
+    nor the cell-count collect would survive |labels| → corpus-order).
+    The two plans are value-identical — same order keys, same tiebreak.
     Reference has no embedding surface; this extends the training-ops
     mandate (SURVEY.md §2 addendum)."""
     from csv_crm_upload_spark.analytics.tpch import distributed_grouped_rank
+
+    # one-column scan; the 1024 cut matches distributed_grouped_rank's
+    # own contract (low-cardinality groups) and keeps the prototype
+    # broadcast (|labels| · dims rows) comfortably under task memory
+    n_labels = embeddings.select("label").distinct().count()
+    low_card = n_labels <= 1024
 
     comp = embeddings.select(
         "vec_id", "label", F.posexplode(F.col("embedding")).alias("dim", "v")
@@ -396,8 +407,9 @@ def prune1_prototype_pruning(
         F.col("label").alias("p_label"), F.col("dim").alias("p_dim"), cc.alias("cc")
     )
     v9d = F.col("v9").cast("double")
+    proto_side = F.broadcast(proto) if low_card else proto
     terms = comp.join(
-        F.broadcast(proto),
+        proto_side,
         comp["label"].eqNullSafe(proto["p_label"]) & (comp["dim"] == proto["p_dim"]),
     ).select(
         "vec_id",
@@ -418,13 +430,23 @@ def prune1_prototype_pruning(
         agg.filter((F.col("sxx") > 0) & (F.col("syy") > 0))
         .select("vec_id", "label", (cos6 + F.lit(0.0)).alias("cos_to_prototype"))
     )
-    ranked = distributed_grouped_rank(
-        scored,
-        ["label"],
-        ["cos_to_prototype", "vec_id"],
-        "prune_rank",
-        count_col="n_label",
-    )
+    if low_card:
+        ranked = distributed_grouped_rank(
+            scored,
+            ["label"],
+            ["cos_to_prototype", "vec_id"],
+            "prune_rank",
+            count_col="n_label",
+        )
+    else:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("label").orderBy("cos_to_prototype", "vec_id")
+        ranked = scored.withColumn(
+            "prune_rank", F.row_number().over(w)
+        ).withColumn(
+            "n_label", F.count(F.lit(1)).over(Window.partitionBy("label"))
+        )
     return ranked.select(
         "vec_id",
         "label",

@@ -1161,7 +1161,13 @@ def substr_gram_frame(documents: DataFrame, min_len: int = 10) -> DataFrame:
             "doc_id",
             "n_tokens",
             "start",
-            F.array_join(F.slice(F.col("t"), F.col("start"), L), "\x01").alias(
+            # ' ' is the one separator-safe join character: tokens come
+            # from splitting normalized text on ' ', so no token can
+            # contain it — and the DuckDB oracle joins grams with ' '
+            # too, so both engines build the identical gram key even for
+            # adversarial text containing control characters like \x01
+            # (which _norm_text's \s+ collapse does NOT strip).
+            F.array_join(F.slice(F.col("t"), F.col("start"), L), " ").alias(
                 "gram"
             ),
         )

@@ -238,6 +238,11 @@ def cart1_dataset_cartography(documents: DataFrame, iters: int = 2) -> DataFrame
     6 dp. `above_chance` (mean_conf >= 0.5) is the scale-robust region
     readout — absolute 0.7/0.3 region cuts are presentation-layer and
     fixture-dependent, the coordinates are the operator."""
+    if iters < 1:
+        # auc1 degrades gracefully to the chance line on an empty history;
+        # cartography has no such fallback — variability of zero steps is
+        # undefined, so fail loudly instead of IndexError-ing on confs[0]
+        raise ValueError("cart1_dataset_cartography needs iters >= 1")
     feats = _feature_frame(documents).persist()
     hist = train_weight_history(documents, iters, feats=feats)
     confs = []

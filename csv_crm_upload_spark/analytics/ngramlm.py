@@ -262,11 +262,15 @@ def compact_ngramlm_model(spark, path: str) -> bool:
 
 def ppl1_model_logloss(documents: DataFrame, path: str) -> DataFrame:
     """Per-doc unigram log-loss of `documents` under the PERSISTED LM —
-    textstats.ppl1_unigram_logloss with stored counts. Probe tokens
-    unseen by the model would hit log2(0); the standard convention for
-    a self-trained LM probe is that the probe set is (a subset of) the
-    indexed corpus, where every token has n >= 1 — same convention as
-    xsd_indexed_dup_spans."""
+    textstats.ppl1_unigram_logloss with stored counts. Probe tokens the
+    model never saw have no finite bits (count 0 → log2(0)); instead of
+    silently dropping them from n_tokens/total_bits (which understates
+    the loss for non-indexed probe sets), the LEFT join surfaces them in
+    an explicit `n_oov` column: n_tokens/total_bits cover exactly the
+    in-vocabulary tokens, n_oov counts the excluded ones, so a self-probe
+    (the indexed corpus, where n_oov is provably 0) is value-identical to
+    the inline twin modulo the extra column, and a foreign probe cannot
+    misreport coverage."""
     spark = documents.sparkSession
     toks = documents.filter(F.col("text").isNotNull()).select(
         "doc_id", F.explode(norm_tokens()).alias("tok")
@@ -276,17 +280,25 @@ def ppl1_model_logloss(documents: DataFrame, path: str) -> DataFrame:
     )
     counts = load_unigram_counts(spark, path).withColumnRenamed("n", "n_tok")
     total = counts.agg(F.sum("n_tok").alias("n_total"))
+    seen = F.col("n_tok").isNotNull()
     bits = F.round(
         -F.log2(F.col("n_tok").cast("double") / F.col("n_total")), 9
     ).cast("decimal(20,12)")
-    contrib = F.col("c").cast("decimal(12,0)") * bits
+    contrib = F.when(seen, F.col("c").cast("decimal(12,0)") * bits)
     return (
-        per_doc.join(counts, "tok_h")
+        per_doc.join(counts, "tok_h", "left")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
-            F.sum("c").cast("long").alias("n_tokens"),
-            F.sum(contrib).cast("double").alias("total_bits"),
+            F.coalesce(F.sum(F.when(seen, F.col("c"))), F.lit(0))
+            .cast("long")
+            .alias("n_tokens"),
+            F.coalesce(F.sum(contrib).cast("double"), F.lit(0.0)).alias(
+                "total_bits"
+            ),
+            F.coalesce(F.sum(F.when(~seen, F.col("c"))), F.lit(0))
+            .cast("long")
+            .alias("n_oov"),
         )
         .orderBy("doc_id")
     )
@@ -307,6 +319,7 @@ def ppl2_model_logloss(documents: DataFrame, path: str) -> DataFrame:
     bgc = load_bigram_counts(spark, path).withColumnRenamed("n", "c_bg")
     prev_counts = bgc.groupBy("prev_h").agg(F.sum("c_bg").alias("c_prev"))
     vocab = load_unigram_counts(spark, path).agg(F.count(F.lit(1)).alias("v"))
+    seen = F.col("c_bg").isNotNull()
     bits = F.round(
         -F.log2(
             (F.col("c_bg") + 1).cast("double")
@@ -314,15 +327,22 @@ def ppl2_model_logloss(documents: DataFrame, path: str) -> DataFrame:
         ),
         9,
     ).cast("decimal(20,12)")
-    contrib = F.col("c").cast("decimal(12,0)") * bits
+    contrib = F.when(seen, F.col("c").cast("decimal(12,0)") * bits)
     return (
-        per_doc.join(bgc, "bg_h")
-        .join(prev_counts, "prev_h")
+        per_doc.join(bgc, "bg_h", "left")
+        .join(prev_counts, "prev_h", "left")
         .crossJoin(F.broadcast(vocab))
         .groupBy("doc_id")
         .agg(
-            F.sum("c").cast("long").alias("n_bigrams"),
-            F.sum(contrib).cast("double").alias("total_bits"),
+            F.coalesce(F.sum(F.when(seen, F.col("c"))), F.lit(0))
+            .cast("long")
+            .alias("n_bigrams"),
+            F.coalesce(F.sum(contrib).cast("double"), F.lit(0.0)).alias(
+                "total_bits"
+            ),
+            F.coalesce(F.sum(F.when(~seen, F.col("c"))), F.lit(0))
+            .cast("long")
+            .alias("n_oov"),
         )
         .orderBy("doc_id")
     )
@@ -356,17 +376,25 @@ def kn1_model_logloss(documents: DataFrame, path: str) -> DataFrame:
         )
         * (F.col("n1p_w").cast("double") / F.col("n_types").cast("double"))
     )
+    seen = F.col("c_bg").isNotNull()
     bits = F.round(-F.log2(p_kn), 9).cast("decimal(20,12)")
-    contrib = F.col("c").cast("decimal(12,0)") * bits
+    contrib = F.when(seen, F.col("c").cast("decimal(12,0)") * bits)
     return (
-        per_doc.join(bgc, "bg_h")
-        .join(prev_stats, "prev_h")
-        .join(cont_counts, "w_h")
+        per_doc.join(bgc, "bg_h", "left")
+        .join(prev_stats, "prev_h", "left")
+        .join(cont_counts, "w_h", "left")
         .crossJoin(F.broadcast(n_types))
         .groupBy("doc_id")
         .agg(
-            F.sum("c").cast("long").alias("n_bigrams"),
-            F.sum(contrib).cast("double").alias("total_bits"),
+            F.coalesce(F.sum(F.when(seen, F.col("c"))), F.lit(0))
+            .cast("long")
+            .alias("n_bigrams"),
+            F.coalesce(F.sum(contrib).cast("double"), F.lit(0.0)).alias(
+                "total_bits"
+            ),
+            F.coalesce(F.sum(F.when(~seen, F.col("c"))), F.lit(0))
+            .cast("long")
+            .alias("n_oov"),
         )
         .orderBy("doc_id")
     )

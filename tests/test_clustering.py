@@ -131,3 +131,35 @@ def test_mmr_skips_near_duplicate_of_selected(spark):
     assert picks[0] in (1, 2)
     assert picks[1] == 3, f"MMR must diversify to vector 3, got {picks}"
     assert [r["pick"] for r in out] == [1, 2]
+
+
+def test_prune1_high_cardinality_label_fallback(spark):
+    """prune1's label-count gate (advice r7): with |labels| > 1024 the
+    ranking must fall back to the plain hash-partitioned window (the
+    distributed_grouped_rank cell-count collect and the prototype
+    broadcast both assume few labels) and still produce the exact
+    per-label rank/keep semantics."""
+    from csv_crm_upload_spark.analytics.clustering import prune1_prototype_pruning
+
+    n_labels = 1025
+    rows = []
+    for lbl in range(n_labels):
+        rows.append((2 * lbl, [1.0, 0.0], lbl))
+        rows.append((2 * lbl + 1, [1.0, 1.0], lbl))
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    out = prune1_prototype_pruning(emb, keep_num=1, keep_den=2).collect()
+    assert len(out) == 2 * n_labels
+    by_label = {}
+    for r in out:
+        by_label.setdefault(r["label"], []).append(r)
+    assert len(by_label) == n_labels
+    for lbl, rs in by_label.items():
+        rs.sort(key=lambda r: r["prune_rank"])
+        assert [r["prune_rank"] for r in rs] == [1, 2]
+        assert all(r["n_label"] == 2 for r in rs)
+        # centroid [1, .5]: [1,0] is the harder (lower-cosine) member —
+        # rank 1, kept; [1,1] rank 2, pruned
+        assert rs[0]["vec_id"] == 2 * lbl and rs[0]["keep"] is True
+        assert rs[1]["vec_id"] == 2 * lbl + 1 and rs[1]["keep"] is False

@@ -32,6 +32,16 @@ def _rows(df):
     return sorted(map(tuple, df.collect()))
 
 
+def _probe_rows(df):
+    """Collect a persisted-LM probe result for comparison against its
+    inline twin: the probe carries one extra column (`n_oov`, last) that
+    the inline operator doesn't have — on a self-probe it must be 0 for
+    every doc, and the remaining columns must match the inline rows."""
+    rows = df.collect()
+    assert all(r["n_oov"] == 0 for r in rows)
+    return sorted(tuple(r)[:-1] for r in rows)
+
+
 def _counts(spark, path):
     return (
         sorted(map(tuple, load_unigram_counts(spark, path).collect())),
@@ -47,13 +57,13 @@ def test_model_probes_equal_inline_operators(spark, sf_dir, tmp_path):
     docs = load_table(spark, sf_dir, "documents")
     path = str(tmp_path / "lm")
     save_ngramlm_model(docs, path)
-    assert _rows(ppl1_model_logloss(docs, path)) == _rows(
+    assert _probe_rows(ppl1_model_logloss(docs, path)) == _rows(
         ppl1_unigram_logloss(docs)
     )
-    assert _rows(ppl2_model_logloss(docs, path)) == _rows(
+    assert _probe_rows(ppl2_model_logloss(docs, path)) == _rows(
         ppl2_bigram_logloss(docs)
     )
-    assert _rows(kn1_model_logloss(docs, path)) == _rows(
+    assert _probe_rows(kn1_model_logloss(docs, path)) == _rows(
         kn1_kneser_ney_logloss(docs)
     )
 
@@ -78,10 +88,10 @@ def test_incremental_append_equals_rebuild(spark, sf_dir, tmp_path):
     save_ngramlm_model(docs, full)
 
     assert _counts(spark, inc) == _counts(spark, full)
-    assert _rows(kn1_model_logloss(docs, inc)) == _rows(
+    assert _probe_rows(kn1_model_logloss(docs, inc)) == _rows(
         kn1_kneser_ney_logloss(docs)
     )
-    assert _rows(ppl2_model_logloss(docs, inc)) == _rows(
+    assert _probe_rows(ppl2_model_logloss(docs, inc)) == _rows(
         ppl2_bigram_logloss(docs)
     )
 
@@ -127,7 +137,7 @@ def test_compaction_sum_merges_and_preserves_model(spark, sf_dir, tmp_path):
     m = read_manifest(path)
     assert m["epoch"] == m["base_epoch"] == 3
     assert _counts(spark, path) == before
-    assert _rows(kn1_model_logloss(docs, path)) == _rows(
+    assert _probe_rows(kn1_model_logloss(docs, path)) == _rows(
         kn1_kneser_ney_logloss(docs)
     )
     assert compact_ngramlm_model(spark, path) is False  # already compact
@@ -152,7 +162,7 @@ def test_service_tick_folds_ngramlm_model(spark, sf_dir, tmp_path):
     svc = CorpusIndexService(spark, docs_dir=drop, ngram_model=path)
     assert svc.tick()["docs"] == [f"{drop}/shard_b"]
     assert read_manifest(path)["last_txn"]["tick-docs"] == 1
-    assert _rows(ppl1_model_logloss(docs, path)) == _rows(
+    assert _probe_rows(ppl1_model_logloss(docs, path)) == _rows(
         ppl1_unigram_logloss(docs)
     )
     # quiet tick: no re-fold
@@ -184,6 +194,47 @@ def test_null_text_corpus_build_yields_readable_empty_model(spark, tmp_path):
     update_ngramlm_model(single, path)
     assert load_unigram_counts(spark, path).count() == 1
     assert load_bigram_counts(spark, path).count() == 0
-    assert _rows(ppl1_model_logloss(single, path)) == _rows(
+    assert _probe_rows(ppl1_model_logloss(single, path)) == _rows(
         ppl1_unigram_logloss(single)
     )
+
+def test_foreign_probe_surfaces_oov_instead_of_silent_drop(spark, sf_dir, tmp_path):
+    """A probe set containing tokens the model never saw must NOT
+    silently shrink n_tokens/total_bits (the understated-log-loss trap):
+    the unseen mass lands in the explicit `n_oov` column, in-vocabulary
+    tokens still score exactly, and an all-OOV doc appears with zero
+    covered tokens rather than vanishing from the result."""
+    train = spark.createDataFrame(
+        [(1, "alpha beta alpha", "en", "s", 16), (2, "beta gamma", "en", "s", 10)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    path = str(tmp_path / "lm")
+    save_ngramlm_model(train, path)
+
+    probe = spark.createDataFrame(
+        [
+            (10, "alpha zzz beta", "en", "s", 14),  # 1 OOV of 3 tokens
+            (11, "qqq rrr", "en", "s", 7),  # all OOV
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    r1 = {r["doc_id"]: r for r in ppl1_model_logloss(probe, path).collect()}
+    assert r1[10]["n_tokens"] == 2 and r1[10]["n_oov"] == 1
+    assert r1[10]["total_bits"] > 0.0
+    assert r1[11]["n_tokens"] == 0 and r1[11]["n_oov"] == 2
+    assert r1[11]["total_bits"] == 0.0
+
+    # bigram probes: doc 10 has bigrams (alpha,zzz),(zzz,beta) — both OOV
+    # as bigrams even though 2 of 3 unigrams are known
+    r2 = {r["doc_id"]: r for r in ppl2_model_logloss(probe, path).collect()}
+    assert r2[10]["n_bigrams"] == 0 and r2[10]["n_oov"] == 2
+    rk = {r["doc_id"]: r for r in kn1_model_logloss(probe, path).collect()}
+    assert rk[10]["n_bigrams"] == 0 and rk[10]["n_oov"] == 2
+
+    # a probe that mixes seen and unseen bigrams scores the seen ones
+    probe2 = spark.createDataFrame(
+        [(20, "alpha beta nope", "en", "s", 15)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    r3 = ppl2_model_logloss(probe2, path).collect()[0]
+    assert r3["n_bigrams"] == 1 and r3["n_oov"] == 1 and r3["total_bits"] > 0.0
