@@ -245,32 +245,49 @@ def _q_skw3(s: SparkSession, sf: str) -> DataFrame:
 # max+semi-join — same oracles, new plans); then the round-7 operator
 # additions, each in its shipping round per the house rule.
 _ROTATION_FRONT = [
-    "stat1_price_quantity_stats",
-    "norm1_zscore_value",
-    "wow1_weekly_growth",
-    "corr1_spearman_orders",
-    "drift2_label_centroid_drift",
-    "zipf1_source_zipf_slope",
-    "hn1_hard_negatives",
-    "sim_knn_bruteforce",
-    "sim_knn_lsh",
-    "pca1_covariance",
-    "w3_order_quartiles",
-    "out1_iqr_outliers",
-    "lag1_conversion_lag_quartiles",
-    "win1_winsorized_prices",
-    "q15_top_supplier",
-    "gq1_gopher_quality",
-    "xsd1_exact_substring_dedup",
-    "drm1_doremi_weights",
-    "prep3_fineweb_manifest",
-    "mmr1_diversified_topk",
-    "auc1_classifier_auc",
-    "cart1_dataset_cartography",
-    "rho1_excess_loss_selection",
-    "pmi1_collocations",
-    "kn1_kneser_ney_logloss",
-    "prune1_prototype_pruning",
+    # round-8 additions lead (slots 13-20): first driver contact
+    "lex1_lexical_diversity",
+    "heaps1_vocab_growth",
+    "cov1_vocab_coverage",
+    "tfidf1_top_terms",
+    "js1_source_divergence",
+    "ccnet1_perplexity_buckets",
+    "cal1_calibration_bins",
+    "bq1_binary_hamming_knn",
+    # slots 21-50: re-sample oracle-paired keys whose last driver
+    # CORRECTNESS row predates round 6 (oldest-checked first-ish),
+    # spanning the big families: classifiers, LMs, dedup, TPC-H
+    # partsupp five, graph, sampling, retrieval
+    "lr1_quality_classifier",
+    "nb1_langid_confusion",
+    "nb2_holdout_accuracy",
+    "rfm1_customer_segments",
+    "prep2_monolingual_corpus",
+    "decon1_benchmark_overlap",
+    "decon2_semantic_contamination",
+    "pr1_doc_pagerank",
+    "tri1_triangle_counts",
+    "rep1_repetition_stats",
+    "chunk1_doc_chunks",
+    "ohlc1_hourly_value",
+    "ts1_gapfill_hourly",
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q16_parts_supplier_relationship",
+    "q20_potential_promotion",
+    "anon1_k_anonymity",
+    "split1_train_val_test",
+    "coh1_weekly_retention",
+    "dd2_dedup_corpus",
+    "mix2_quality_weighted_sample",
+    "bf1_bloom_pruned_revenue",
+    "vq1_quantized_knn",
+    "bm25_1_search",
+    "samp1_stratified_sample",
+    "gini1_spend_concentration",
+    "decay1_time_decayed_user_value",
+    "bp1_boilerplate_phrases",
 ]
 
 
@@ -452,6 +469,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SSL-prototype pruning: keep the hardest quarter per label by
         # cosine-to-centroid, ranked distributed (Sorscher et al. 2022)
         "prune1_prototype_pruning": lambda s, sf: clus.prune1_prototype_pruning(
+            _t("embeddings")(s, sf)
+        ),
+        # --- round 8 additions ---
+        # zero-shuffle lexical diversity (TTR + hapax share per doc)
+        "lex1_lexical_diversity": lambda s, sf: ts.lex1_lexical_diversity(
+            _t("documents")(s, sf)
+        ),
+        # Heaps'-law vocabulary growth at 10 doc-order checkpoints
+        "heaps1_vocab_growth": lambda s, sf: ts.heaps1_vocab_growth(
+            _t("documents")(s, sf)
+        ),
+        # top-V vocabulary coverage curve (tokenizer sizing readout)
+        "cov1_vocab_coverage": lambda s, sf: ts.cov1_vocab_coverage(
+            _t("documents")(s, sf)
+        ),
+        # per-doc top-k TF-IDF terms (cluster naming / topic audit)
+        "tfidf1_top_terms": lambda s, sf: ts.tfidf1_top_terms(
+            _t("documents")(s, sf)
+        ),
+        # pairwise Jensen-Shannon divergence between source unigram dists
+        "js1_source_divergence": lambda s, sf: ts.js1_source_divergence(
+            _t("documents")(s, sf)
+        ),
+        # CCNet per-language perplexity head/middle/tail buckets
+        "ccnet1_perplexity_buckets": lambda s, sf: ts.ccnet1_perplexity_buckets(
+            _t("documents")(s, sf)
+        ),
+        # reliability diagram + ECE summands of the lr1 gate
+        "cal1_calibration_bins": lambda s, sf: logreg.cal1_calibration_bins(
+            _t("documents")(s, sf)
+        ),
+        # 1-bit sign quantization + Hamming top-k (binary ANN baseline)
+        "bq1_binary_hamming_knn": lambda s, sf: sim.bq1_binary_hamming_knn(
             _t("embeddings")(s, sf)
         ),
         # --- rotation window (slots 13-50), round 5: the six oracle-paired
@@ -4546,6 +4596,218 @@ def oracle_sql() -> dict[str, str]:
         FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rn
           FROM fused
+        ) WHERE rn <= 5
+    """
+
+    # ---- round 8 ----
+    # lex1: TTR + hapax share; hapax = sorted-adjacency (works under ANY
+    # total sort order, so no collation contract between the engines);
+    # DuckDB out-of-range list index is NULL and TRUE OR NULL = TRUE,
+    # so the boundary guards need no special casing
+    _hapax = (
+        "len(list_filter(range(1, len(s) + 1), "
+        "i -> (i = 1 OR s[i] <> s[i-1]) AND (i = len(s) OR s[i] <> s[i+1])))"
+    )
+    q["lex1_lexical_diversity"] = f"""
+        WITH d AS (
+          SELECT doc_id, list_sort({_TOKS}) AS s
+          FROM documents WHERE text IS NOT NULL
+        )
+        SELECT doc_id,
+               CAST(len(s) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(s)) AS BIGINT) AS n_types,
+               round(CAST(len(list_distinct(s)) AS DOUBLE) / greatest(len(s), 1), 6) AS ttr,
+               CAST({_hapax} AS BIGINT) AS n_hapax,
+               round(CAST({_hapax} AS DOUBLE) / greatest(len(s), 1), 6) AS hapax_frac
+        FROM d ORDER BY doc_id
+    """
+    # heaps1: each type attributed to its FIRST document (min doc_id per
+    # 60-bit hash), so cumulative-distinct is a plain cumsum of
+    # per-bucket new-type counts — the same two keyed aggs Spark runs
+    q["heaps1_vocab_growth"] = f"""
+        WITH d AS (
+          SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_toks
+          FROM documents WHERE text IS NOT NULL
+        ),
+        t AS (
+          SELECT doc_id, unnest({_TOKS}) AS tok
+          FROM documents WHERE text IS NOT NULL
+        ),
+        fo AS (SELECT {_H60.format(expr='tok')} AS th, MIN(doc_id) AS doc_id FROM t GROUP BY 1),
+        nn AS (SELECT doc_id, COUNT(*) AS n_new FROM fo GROUP BY 1),
+        b AS (
+          SELECT d.doc_id, d.n_toks, COALESCE(nn.n_new, 0) AS n_new,
+                 CAST(ntile(10) OVER (ORDER BY d.doc_id) AS INT) AS bucket
+          FROM d LEFT JOIN nn USING (doc_id)
+        ),
+        g AS (
+          SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 SUM(n_toks) AS s_t, SUM(n_new) AS s_n
+          FROM b GROUP BY 1
+        )
+        SELECT bucket, n_docs,
+               CAST(SUM(s_t) OVER (ORDER BY bucket) AS BIGINT) AS cum_tokens,
+               CAST(SUM(s_n) OVER (ORDER BY bucket) AS BIGINT) AS cum_types
+        FROM g ORDER BY bucket
+    """
+    # cov1: frequency rank over token-hash counts; checkpoint bands then
+    # a <=4-row cumsum — absent bands are absent in BOTH engines
+    q["cov1_vocab_coverage"] = f"""
+        WITH t AS (
+          SELECT unnest({_TOKS}) AS tok
+          FROM documents WHERE text IS NOT NULL
+        ),
+        c AS (SELECT {_H60.format(expr='tok')} AS th, COUNT(*) AS n FROM t GROUP BY 1),
+        tot AS (SELECT SUM(n) AS n_total FROM c),
+        r AS (SELECT th, n, ROW_NUMBER() OVER (ORDER BY -n, th) AS rnk FROM c),
+        band AS (
+          SELECT CASE WHEN rnk <= 10 THEN 10 WHEN rnk <= 100 THEN 100
+                      WHEN rnk <= 1000 THEN 1000 ELSE 10000 END AS v, n
+          FROM r WHERE rnk <= 10000
+        ),
+        g AS (SELECT v, COUNT(*) AS b_types, SUM(n) AS b_tokens FROM band GROUP BY 1)
+        SELECT CAST(v AS INT) AS v,
+               CAST(SUM(b_types) OVER (ORDER BY v) AS BIGINT) AS n_types,
+               CAST(SUM(b_tokens) OVER (ORDER BY v) AS BIGINT) AS covered_tokens,
+               round(CAST(SUM(b_tokens) OVER (ORDER BY v) AS DOUBLE)
+                     / (SELECT CAST(n_total AS DOUBLE) FROM tot), 6) AS coverage
+        FROM g ORDER BY v
+    """
+    # tfidf1: idf = round(log2(N/df), 9) once per TERM; score = tf*idf
+    # UNROUNDED (one IEEE multiply, bit-identical cross-engine — a 6-dp
+    # round would hit 9-dp×integer half-way boundaries where the two
+    # engines' rounding modes diverge); per-doc top-3, term tiebreaker
+    q["tfidf1_top_terms"] = f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_TOKS}) AS term
+          FROM documents WHERE text IS NOT NULL
+        ),
+        tfx AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        dfc AS (SELECT term, COUNT(*) AS df FROM tfx GROUP BY 1),
+        nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents WHERE text IS NOT NULL),
+        scored AS (
+          SELECT tfx.doc_id, tfx.term,
+                 CAST(tf AS DOUBLE)
+                   * round(log2((SELECT n_docs FROM nd) / CAST(df AS DOUBLE)), 9) AS score
+          FROM tfx JOIN dfc USING (term)
+        )
+        SELECT doc_id, term, score, CAST(rn AS INT) AS rnk
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+          FROM scored
+        ) WHERE rn <= 3 ORDER BY doc_id, rnk
+    """
+    # js1: union-all full-outer trick — each source's (token, p) rows
+    # tagged onto every pair, ONE keyed agg rebuilds aligned (p, q);
+    # per-term surprisal rounded 9 dp then DECIMAL-summed (order-free)
+    q["js1_source_divergence"] = f"""
+        WITH toks AS (
+          SELECT source, unnest({_TOKS}) AS tok
+          FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+        ),
+        cnt AS (
+          SELECT source, {_H60.format(expr='tok')} AS th, COUNT(*) AS c
+          FROM toks GROUP BY 1, 2
+        ),
+        tot AS (SELECT source, SUM(c) AS t FROM cnt GROUP BY 1),
+        dist AS (
+          SELECT cnt.source, th, CAST(c AS DOUBLE) / CAST(t AS DOUBLE) AS p
+          FROM cnt JOIN tot USING (source)
+        ),
+        prs AS (
+          SELECT a.source AS source_a, b.source AS source_b
+          FROM tot a, tot b WHERE a.source < b.source
+        ),
+        u AS (
+          SELECT source_a, source_b, th, SUM(p) AS p, SUM(q) AS q FROM (
+            SELECT prs.source_a, prs.source_b, d.th, d.p AS p, 0.0 AS q
+            FROM dist d JOIN prs ON d.source = prs.source_a
+            UNION ALL
+            SELECT prs.source_a, prs.source_b, d.th, 0.0 AS p, d.p AS q
+            FROM dist d JOIN prs ON d.source = prs.source_b
+          ) GROUP BY 1, 2, 3
+        ),
+        terms AS (
+          SELECT source_a, source_b,
+                 CAST(CASE WHEN p > 0
+                      THEN round(0.5 * p * log2(2.0 * p / (p + q)), 9)
+                      ELSE 0.0 END AS DECIMAL(20,12))
+               + CAST(CASE WHEN q > 0
+                      THEN round(0.5 * q * log2(2.0 * q / (p + q)), 9)
+                      ELSE 0.0 END AS DECIMAL(20,12)) AS contrib
+          FROM u
+        )
+        SELECT source_a, source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_union_types,
+               round(CAST(SUM(contrib) AS DOUBLE), 6) AS js_bits
+        FROM terms GROUP BY 1, 2 ORDER BY 1, 2
+    """
+    # ccnet1: ppl1's exact per-doc loss -> bits/token (one 9-dp division)
+    # -> per-LANGUAGE NTILE(3); NULL lang is its own partition in both
+    # engines (window NULL-partition semantics)
+    q["ccnet1_perplexity_buckets"] = f"""
+        WITH rp AS ({q["ppl1_unigram_logloss"]}),
+        scored AS (
+          SELECT rp.doc_id, d.lang,
+                 round(total_bits / CAST(n_tokens AS DOUBLE), 9) AS bpt
+          FROM rp JOIN documents d USING (doc_id)
+        ),
+        ranked AS (
+          SELECT lang, bpt,
+                 CAST(ntile(3) OVER (PARTITION BY lang ORDER BY bpt, doc_id) AS INT) AS phase
+          FROM scored
+        )
+        SELECT lang, phase,
+               CASE WHEN phase = 1 THEN 'head'
+                    WHEN phase = 3 THEN 'tail'
+                    ELSE 'middle' END AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               MIN(bpt) AS min_bpt, MAX(bpt) AS max_bpt
+        FROM ranked GROUP BY 1, 2 ORDER BY lang, phase
+    """
+    # cal1: the SAME trained it2 weights, binned on the already-rounded
+    # 9-dp score (integer bin arithmetic — both engines bin identically);
+    # bin means DECIMAL-summed, gap computed on the rounded outputs
+    q["cal1_calibration_bins"] = _lr_chain + """
+        , cscored AS (
+          SELECT f.doc_id, f.y,
+                 round(1.0 / (1.0 + exp(-(w.w0 * x0 + w.w1 * x1
+                                          + w.w2 * x2 + w.w3 * x3))), 9) AS p
+          FROM f CROSS JOIN it2 w
+        )
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+               round(CAST(SUM(CAST(p AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS mean_p,
+               round(CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+                 AS pos_rate,
+               round(abs(
+                 round(CAST(SUM(CAST(p AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6)
+                 - round(CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+               ), 6) AS abs_gap
+        FROM (SELECT *, CAST(least(floor(p * 10), 9) AS INT) AS bin FROM cscored)
+        GROUP BY bin ORDER BY bin
+    """
+    # bq1: Hamming distance computed directly on the float signs — the
+    # packed-word representation is Spark's implementation detail; both
+    # engines carry the same validity and equal-width predicates
+    q["bq1_binary_hamming_knn"] = f"""
+        WITH valid AS (
+          SELECT vec_id, embedding FROM embeddings WHERE {_VALID_EMB}
+        ),
+        qs AS (
+          SELECT vec_id AS query_id, embedding AS qe FROM valid
+          WHERE vec_id IN (0,1,2,3,4,5,6,7,8,9)
+        ),
+        scored AS (
+          SELECT q.query_id, c.vec_id,
+                 CAST(len(list_filter(range(1, len(q.qe) + 1),
+                          i -> (q.qe[i] > 0) <> (c.embedding[i] > 0))) AS INT) AS hamming
+          FROM valid c, qs q
+          WHERE c.vec_id <> q.query_id AND len(c.embedding) = len(q.qe)
+        )
+        SELECT query_id, vec_id, hamming, CAST(rn AS INT) AS rank
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY hamming, vec_id) AS rn
+          FROM scored
         ) WHERE rn <= 5
     """
     return q

@@ -280,3 +280,59 @@ def cart1_dataset_cartography(documents: DataFrame, iters: int = 2) -> DataFrame
     )
     feats.unpersist()
     return out
+
+
+def cal1_calibration_bins(documents: DataFrame, iters: int = 2) -> DataFrame:
+    """Reliability diagram of the lr1 gate — predicted-probability
+    deciles vs observed positive rate, the calibration audit a pipeline
+    runs before using classifier scores as sampling WEIGHTS (an
+    uncalibrated filter silently reweights the corpus even at a fixed
+    threshold; auc1 checks ranking, this checks the scores themselves).
+
+    Per decile bin floor(10·p) (clamped to 9): population, mean
+    predicted p, observed positive rate, and the absolute gap — the
+    summands of expected calibration error (ECE = Σ nᵢ/N·gapᵢ, left to
+    the reader so every bin stays visible). Bin means sum 9-dp scores
+    in DECIMAL (order-free, ppl1 discipline); the bin id is integer
+    arithmetic on the already-rounded p, so both engines bin
+    identically. Scale shape: map-only scoring (weights are plan
+    literals) + ONE ≤10-group agg — nothing ordered, nothing
+    corpus-sized off the executors."""
+    feats = _feature_frame(documents).persist()
+    hist = train_weight_history(documents, iters, feats=feats)
+    w = hist[-1] if hist else [0.0, 0.0, 0.0, 0.0]
+    z = (
+        F.lit(w[0]) * F.col("x0")
+        + F.lit(w[1]) * F.col("x1")
+        + F.lit(w[2]) * F.col("x2")
+        + F.lit(w[3]) * F.col("x3")
+    )
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9)
+    binned = feats.select(
+        F.least(F.floor(p * 10).cast("int"), F.lit(9)).alias("bin"),
+        p.alias("p"),
+        "y",
+    )
+    out = (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(
+                F.sum(F.col("p").cast("decimal(18,9)")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_p"),
+            F.round(
+                F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("pos_rate"),
+        )
+        .withColumn(
+            "abs_gap", F.round(F.abs(F.col("mean_p") - F.col("pos_rate")), 6)
+        )
+        .orderBy("bin")
+        .localCheckpoint(eager=True)  # <= 10 rows
+    )
+    feats.unpersist()
+    return out

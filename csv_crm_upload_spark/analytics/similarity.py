@@ -564,3 +564,85 @@ def mmr1_diversified_topk(
     return sel.select(
         "query_id", "vec_id", (F.col("mmr") + F.lit(0.0)).alias("mmr"), "pick"
     ).orderBy("query_id", "pick")
+
+
+def _sign_words(emb: F.Column) -> F.Column:
+    """Sign-bit binary quantization, packed into array<long> of 32-bit
+    words: bit i = (emb[i] > 0). Pure per-row Column expression (no UDF,
+    no shuffle); 2^k is exact in IEEE for k <= 31 so the pow-based bit
+    weight is integer-exact. Width-generic: ceil(d/32) words, so mixed-
+    width corpora pack without a schema contract (callers align widths
+    at the join)."""
+    last_word = F.floor((F.size(emb) - 1) / F.lit(32)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), last_word),
+        lambda wi: F.aggregate(
+            F.sequence(wi * 32 + 1, F.least(wi * 32 + 32, F.size(emb))),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc
+            + F.when(
+                F.element_at(emb, i) > 0,
+                F.pow(F.lit(2.0), (i - 1 - wi * 32).cast("double")).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+    )
+
+
+def bq1_binary_hamming_knn(
+    embeddings: DataFrame, query_ids: list[int] | None = None, k: int = 5
+) -> DataFrame:
+    """Binary-quantized top-k nearest neighbors: 1-bit sign quantization
+    (bit = component > 0) + Hamming distance — the 32×-compression ANN
+    baseline (a 64-dim float vector becomes two 64-bit words) modern
+    retrieval stacks run as the coarse first pass before exact
+    re-ranking. Ties break on vec_id; self-matches are excluded like
+    knn_bruteforce.
+
+    Scale shape: packing is map-side on the scan (per-row expression);
+    the tiny query side broadcasts; the per-pair cost is
+    bit_count(xor) per word — two instructions per 64 components vs 64
+    multiply-adds for cosine, which is the whole point of the binary
+    pass at 100 TB. Corpus rows with NULL/empty embeddings are skipped
+    (valid_vectors discipline) and width mismatches are excluded at the
+    join (both engines carry the same predicates), so one corrupt row
+    degrades to absence, not a job abort. The oracle computes the same
+    distance directly on the float signs — packing is an
+    implementation detail the cross-engine compare never sees."""
+    if query_ids is None:
+        query_ids = list(range(10))
+    valid = valid_vectors(embeddings)
+    queries = valid.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.size("embedding").alias("q_dim"),
+        _sign_words(F.col("embedding")).alias("q_words"),
+    )
+    corpus = valid.select(
+        "vec_id",
+        F.size("embedding").alias("c_dim"),
+        _sign_words(F.col("embedding")).alias("c_words"),
+    )
+    hamming = F.aggregate(
+        F.zip_with(
+            F.col("q_words"),
+            F.col("c_words"),
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(
+            (F.col("vec_id") != F.col("query_id"))
+            & (F.col("c_dim") == F.col("q_dim"))
+        )
+        .select("query_id", "vec_id", hamming.cast("int").alias("hamming"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "hamming", "rank")
+    )

@@ -1783,3 +1783,335 @@ def kn1_kneser_ney_logloss(documents: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def lex1_lexical_diversity(documents: DataFrame) -> DataFrame:
+    """Per-document lexical-diversity signals — type-token ratio and
+    hapax-legomenon fraction, the classic vocabulary-richness pair a
+    quality pipeline reads next to gq1's rule battery (low TTR flags
+    template/spam text; high hapax share flags OCR noise and garbled
+    encodings).
+
+    ZERO-shuffle shape: everything is a pure Column expression over the
+    per-row token array (sort_array + adjacency compare), so the op
+    rides the scan like gq1 — at 100 TB it fuses into whatever pass
+    reads the corpus next. Hapax counting never indexes position 0
+    (ANSI element_at aborts): the sorted array is compared against its
+    own 1-shifted slices via zip_with, with explicit false-padding at
+    both ends. Equal tokens are adjacent under ANY total sort order, so
+    Spark's sort_array and the oracle's list_sort agree without a
+    collation contract. Reference: csv-crm-upload has no text surface;
+    this extends the SURVEY training-ops mandate."""
+    toks = _norm_tokens()
+    s = F.sort_array(toks)
+    n = F.size(s)
+    n_types = F.size(F.array_distinct(s))
+    # e[j] = (s[j] == s[j+1]), length n-1 (empty when n = 1)
+    e = F.zip_with(
+        F.slice(s, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(s, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: a == b,
+    )
+    pad = F.array(F.lit(False))
+    eq_prev = F.concat(pad, e)  # eq_prev[i] = s[i] == s[i-1]
+    eq_next = F.concat(e, pad)  # eq_next[i] = s[i] == s[i+1]
+    n_hapax = F.aggregate(
+        F.zip_with(
+            eq_prev,
+            eq_next,
+            lambda a, b: F.when(~a & ~b, F.lit(1)).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    denom = F.greatest(n, F.lit(1)).cast("double")
+    return documents.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        n_types.cast("long").alias("n_types"),
+        F.round(n_types.cast("double") / denom, 6).alias("ttr"),
+        n_hapax.cast("long").alias("n_hapax"),
+        F.round(n_hapax.cast("double") / denom, 6).alias("hapax_frac"),
+    )
+
+
+def heaps1_vocab_growth(documents: DataFrame, buckets: int = 10) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: cumulative distinct-type count
+    vs cumulative token count at `buckets` corpus checkpoints in doc_id
+    order — the readout that sizes a tokenizer vocabulary and predicts
+    how much NEW vocabulary the next 10× of data will bring (V ≈ K·n^β;
+    a flattening curve says more data adds few new types).
+
+    The distributed trick: cumulative-distinct is NOT computed as a
+    running set. Each type is attributed to the ONE document where it
+    first appears (min doc_id per 60-bit token hash — one keyed combining
+    agg), so cum_types at a checkpoint is a plain SUM of per-bucket
+    new-type counts: two keyed shuffles + a 10-row cumsum, nothing
+    corpus-sized ordered. Bucketing is distributed_ntile (range
+    repartition — never a single-task global window); the final window
+    orders `buckets` rollup rows, bounded by the parameter, not the
+    corpus."""
+    from csv_crm_upload_spark.analytics.tpch import distributed_ntile
+    from pyspark.sql import Window
+
+    live = documents.filter(F.col("text").isNotNull())
+    toks = live.select("doc_id", F.explode(_norm_tokens()).alias("tok"))
+    first_occ = toks.groupBy(md5_60(F.col("tok")).alias("th")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    new_types = first_occ.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    per_doc = live.select(
+        "doc_id", F.size(_norm_tokens()).cast("long").alias("n_toks")
+    ).join(new_types, "doc_id", "left")
+    bucketed = distributed_ntile(per_doc, ["doc_id"], buckets, "bucket")
+    g = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_toks").alias("s_t"),
+        F.sum(F.coalesce(F.col("n_new"), F.lit(0))).alias("s_n"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        g.select(
+            "bucket",
+            "n_docs",
+            F.sum("s_t").over(w).cast("long").alias("cum_tokens"),
+            F.sum("s_n").over(w).cast("long").alias("cum_types"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def cov1_vocab_coverage(
+    documents: DataFrame, checkpoints: tuple = (10, 100, 1000, 10000)
+) -> DataFrame:
+    """Top-V vocabulary coverage curve: what fraction of all corpus
+    tokens the V most frequent types cover, at fixed V checkpoints —
+    the readout that picks a tokenizer/embedding vocabulary size
+    (coverage(V) near 1 says a V-type vocab OOVs almost nothing).
+
+    Scale shape: one combining token-count agg (keys are 60-bit
+    hashes), then the two-phase distributed_rank for the frequency
+    rank — range-repartitioned, never a single-task sort over the
+    vocabulary — a map-only checkpoint-bucket assignment, and a
+    ≤len(checkpoints)-row cumsum. Types ranked past the last
+    checkpoint contribute only to the total (broadcast 1-row).
+    Checkpoints with no types in their rank band (vocab smaller than
+    the previous checkpoint) are absent in BOTH engines — the curve is
+    data-derived, not padded."""
+    from csv_crm_upload_spark.analytics.tpch import distributed_rank
+    from pyspark.sql import Window
+
+    toks = documents.filter(F.col("text").isNotNull()).select(
+        F.explode(_norm_tokens()).alias("tok")
+    )
+    counts = toks.groupBy(md5_60(F.col("tok")).alias("th")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = counts.agg(F.sum("n").alias("n_total"))
+    ranked = distributed_rank(
+        counts.withColumn("neg_n", -F.col("n")), ["neg_n", "th"], "rnk"
+    )
+    bucket = F.lit(None).cast("int")
+    for cp in sorted(checkpoints, reverse=True):
+        bucket = F.when(F.col("rnk") <= cp, F.lit(cp)).otherwise(bucket)
+    banded = ranked.select(bucket.alias("v"), "n").filter(F.col("v").isNotNull())
+    g = banded.groupBy("v").agg(
+        F.count(F.lit(1)).alias("b_types"), F.sum("n").alias("b_tokens")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        g.crossJoin(F.broadcast(total))
+        .select(
+            "v",
+            F.sum("b_types").over(w).cast("long").alias("n_types"),
+            F.sum("b_tokens").over(w).cast("long").alias("covered_tokens"),
+            F.round(
+                F.sum("b_tokens").over(w).cast("double")
+                / F.col("n_total").cast("double"),
+                6,
+            ).alias("coverage"),
+        )
+        .orderBy("v")
+    )
+
+
+def tfidf1_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document top-k TF-IDF terms — the classic keyword/topic
+    readout a curation pipeline uses for corpus browsing, cluster
+    naming, and topic-balance audits. idf = log2(N/df) over the live
+    corpus; score = tf · idf, ranked per doc with the term string as
+    the deterministic tiebreaker.
+
+    Scale: one (doc, term) combining agg, one term-keyed df agg joined
+    back on the term (two keyed shuffles), the 1-row N broadcast; the
+    top-k window partitions by doc_id — per-doc cardinality, the
+    hash-partitioned window's home turf (each partition is one
+    document's distinct terms, never a corpus funnel)."""
+    from pyspark.sql import Window
+
+    live = documents.filter(F.col("text").isNotNull())
+    toks = live.select("doc_id", F.explode(_norm_tokens()).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = live.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.round(
+        F.log2(F.col("n_docs").cast("double") / F.col("df").cast("double")), 9
+    )
+    # score is the RAW product: int tf × 9-dp idf is ONE IEEE multiply,
+    # bit-identical in both engines — rounding it to 6 dp would land on
+    # the systematic half-way boundaries (9-dp × integer) where Spark's
+    # BigDecimal HALF_UP and DuckDB's scaled-double rounding disagree
+    scored = (
+        tf.join(df_counts, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf").cast("double") * idf).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "term", "score", F.col("rnk").cast("int").alias("rnk"))
+        .orderBy("doc_id", "rnk")
+    )
+
+
+def js1_source_divergence(documents: DataFrame) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence (bits) between the unigram
+    distributions of every source pair — the corpus-composition
+    dissimilarity matrix behind mixing decisions: near-0 pairs are
+    redundant sources, high pairs are the diversity a mixture needs
+    (and the drift alarm when one source suddenly diverges from its
+    siblings). Symmetric, bounded [0,1] bit, defined even where KL is
+    infinite — the reason JS, not drift1's KL, is the pairwise choice.
+
+    The full-outer-join-per-pair trap is avoided with a membership
+    fan-out: each source's (token, p) rows are tagged onto every pair
+    they belong to (sources are a handful, pairs = k(k-1)/2) via ONE
+    broadcast join against the tiny (source → pair, role) membership
+    frame, then ONE keyed agg on (pair, token-hash) rebuilds the
+    aligned (p, q) vectors — tokens private to one side arrive with
+    the other side 0, exactly the full-outer semantics, with no
+    vocab-scale join at all. The corpus-derived `dist` frame is
+    consumed exactly ONCE (a two-sided union would plan its whole
+    upstream twice), and the per-source totals broadcast (|sources|
+    rows), so the op is two combining aggs + one pair agg. Token rows
+    replicate ×(k-1): vocabulary-scale, never corpus-scale. Per-term
+    surprisal is rounded to 9 dp then DECIMAL-summed (ppl1's
+    order-free discipline). NULL sources are excluded identically in
+    both engines (a NULL 'source' is not a source)."""
+    toks = documents.filter(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    ).select("source", F.explode(_norm_tokens()).alias("tok"))
+    cnt = toks.groupBy("source", md5_60(F.col("tok")).alias("th")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # |sources| rows — pinning it keeps the pairs/membership/broadcast
+    # subtrees (FOUR consumers) from each re-planning the corpus aggs
+    tot = (
+        cnt.groupBy("source")
+        .agg(F.sum("c").alias("t"))
+        .localCheckpoint(eager=True)
+    )
+    dist = cnt.join(F.broadcast(tot), "source").select(
+        "source", "th", (F.col("c").cast("double") / F.col("t").cast("double")).alias("p")
+    )
+    srcs = tot.select("source")
+    pairs = (
+        srcs.alias("a")
+        .crossJoin(srcs.alias("b"))
+        .filter(F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+    )
+    membership = pairs.select(
+        F.col("source_a").alias("source"), "source_a", "source_b",
+        F.lit("a").alias("role"),
+    ).unionByName(
+        pairs.select(
+            F.col("source_b").alias("source"), "source_a", "source_b",
+            F.lit("b").alias("role"),
+        )
+    )
+    u = (
+        dist.join(F.broadcast(membership), "source")
+        .groupBy("source_a", "source_b", "th")
+        .agg(
+            F.sum(F.when(F.col("role") == "a", F.col("p")).otherwise(F.lit(0.0))).alias("p"),
+            F.sum(F.when(F.col("role") == "b", F.col("p")).otherwise(F.lit(0.0))).alias("q"),
+        )
+    )
+    m2 = F.col("p") + F.col("q")  # 2·m
+    term_p = F.when(
+        F.col("p") > 0,
+        F.round(F.lit(0.5) * F.col("p") * F.log2(F.lit(2.0) * F.col("p") / m2), 9),
+    ).otherwise(F.lit(0.0))
+    term_q = F.when(
+        F.col("q") > 0,
+        F.round(F.lit(0.5) * F.col("q") * F.log2(F.lit(2.0) * F.col("q") / m2), 9),
+    ).otherwise(F.lit(0.0))
+    contrib = (term_p.cast("decimal(20,12)") + term_q.cast("decimal(20,12)"))
+    return (
+        u.groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_union_types"),
+            F.round(F.sum(contrib).cast("double"), 6).alias("js_bits"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def ccnet1_perplexity_buckets(documents: DataFrame, q: int = 3) -> DataFrame:
+    """CCNet-style per-LANGUAGE perplexity bucketing (Wenzek et al. 2020,
+    arXiv:1911.00359): within each language, rank documents by unigram
+    bits-per-token and NTILE into q buckets — head (lowest loss, most
+    fluent), middle, tail — the partition CCNet publishes and most
+    multilingual pipelines keep only head+middle of. cur1 is the GLOBAL
+    curriculum variant; CCNet's defining property is that the quantiles
+    are per-language, so low-resource languages are not drowned by the
+    dominant one's loss scale.
+
+    Composes the round-7 per-group machinery: bits-per-token is ppl1's
+    decimal-exact sum divided once (9 dp), ranking is
+    distributed_grouped_rank (group-prefixed range partitioning — a
+    handful of languages never funnel through single tasks), the bucket
+    is the closed-form grouped_ntile_expr, and NULL langs form their own
+    group on both engines (the window's NULL-partition semantics)."""
+    from csv_crm_upload_spark.analytics.tpch import (
+        distributed_grouped_rank,
+        grouped_ntile_expr,
+    )
+
+    base = ppl1_unigram_logloss(documents)
+    scored = base.join(
+        documents.select("doc_id", "lang"), "doc_id"
+    ).select(
+        "doc_id",
+        "lang",
+        F.round(F.col("total_bits") / F.col("n_tokens").cast("double"), 9).alias(
+            "bpt"
+        ),
+    )
+    ranked = distributed_grouped_rank(
+        scored, ["lang"], ["bpt", "doc_id"], "_rn", count_col="_gn"
+    )
+    phase = grouped_ntile_expr("_rn", "_gn", q)
+    named = F.when(phase == 1, F.lit("head")).when(
+        phase == q, F.lit("tail")
+    ).otherwise(F.lit("middle"))
+    return (
+        ranked.select("lang", phase.alias("phase"), named.alias("bucket"), "bpt")
+        .groupBy("lang", "phase", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("bpt").alias("min_bpt"),
+            F.max("bpt").alias("max_bpt"),
+        )
+        .orderBy("lang", "phase")
+    )

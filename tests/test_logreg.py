@@ -106,3 +106,24 @@ def test_auc_separable_corpus_and_rank_sum_identity(spark):
 
     # one-class corpus: excluded, not 0/0
     assert auc1_classifier_auc(docs.filter("lang = 'en'")).count() == 0
+
+
+def test_calibration_bins_partition_the_corpus(spark, sf_dir):
+    """cal1: bins are deciles of the predicted probability (0..9), every
+    scored doc lands in exactly one bin (n sums to the live corpus
+    count), mean_p lies inside its bin's [lo, hi] decile interval
+    (clamped top bin aside), and abs_gap is |mean_p - pos_rate|."""
+    from pyspark.sql import functions as F
+
+    from csv_crm_upload_spark.analytics.logreg import cal1_calibration_bins
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = cal1_calibration_bins(docs).collect()
+    live = docs.filter(F.col("text").isNotNull()).count()
+    assert sum(r["n"] for r in rows) == live
+    for r in rows:
+        assert 0 <= r["bin"] <= 9
+        lo, hi = r["bin"] / 10.0, (r["bin"] + 1) / 10.0 if r["bin"] < 9 else 1.0 + 1e-9
+        assert lo - 1e-6 <= r["mean_p"] <= hi + 1e-6, r
+        assert 0.0 <= r["pos_rate"] <= 1.0
+        assert abs(r["abs_gap"] - round(abs(r["mean_p"] - r["pos_rate"]), 6)) < 1e-9

@@ -602,3 +602,43 @@ def test_distributed_rank_and_ntile_handle_empty_input(spark):
     empty = spark.range(0).select(F.col("id").alias("k"), F.col("id").alias("uid"))
     assert distributed_rank(empty, ["k", "uid"], "r").count() == 0
     assert distributed_ntile(empty, ["k", "uid"], 4, "t").count() == 0
+
+
+def test_round8_operator_shuffle_budgets(spark, sf_dir):
+    """Budgets for the round-8 additions (ceilings, broadcasts excluded):
+      lex1   0 — pure Column battery (sort_array + zip_with adjacency)
+             riding the scan, per-doc map output, not even a result order
+      cal1   0 — map-only scoring (weights are plan literals) + ONE
+             <=10-group agg; the <=10-row localCheckpoint pins the result
+      bq1    1 — packing is map-side, queries broadcast; the only
+             exchange is the per-query top-k window
+      heaps1 4 — first-occurrence agg (token-hash key), per-doc new-type
+             agg, distributed_ntile's offset re-exchange over the
+             checkpointed range partitioning, the 10-row cumsum window +
+             result order share the single-partition tail
+      ccnet1 4 — ppl1's stages + the lang join + the grouped-rank
+             re-exchange + the <=3q-row rollup
+      cov1   5 — token-count agg, 1-row total, distributed_rank's offset
+             re-exchange, band agg, <=|checkpoints|-row cumsum/order
+      tfidf1 6 — (doc,term) tf agg, term df agg, the tf-side join
+             re-exchange, per-doc top-k window, result order
+      js1    4 — (source,th) agg, the (pair,th) re-agg, pair rollup,
+             result order; the |sources|-row totals checkpoint keeps the
+             FOUR tiny consumers (broadcast tot, pairs a/b, membership)
+             from re-planning the corpus aggs (13 exchanges before)
+    """
+    _reset_plan_state(spark)
+    budgets = {
+        "lex1_lexical_diversity": 0,
+        "cal1_calibration_bins": 0,
+        "bq1_binary_hamming_knn": 1,
+        "heaps1_vocab_growth": 4,
+        "ccnet1_perplexity_buckets": 4,
+        "cov1_vocab_coverage": 5,
+        "tfidf1_top_terms": 6,
+        "js1_source_divergence": 4,
+    }
+    for name, budget in budgets.items():
+        plan = plan_of(QUERIES[name](spark, sf_dir))
+        ids = set(re.findall(r"(?<!Broadcast)Exchange \((\d+)\)", plan))
+        assert len(ids) <= budget, f"{name}: {len(ids)} shuffles > budget {budget}\n{plan}"

@@ -804,3 +804,159 @@ def test_cartography_and_rho_selection_fixture_properties(spark, sf_dir):
     )
     for r in rho:
         assert abs((r["bigram_bpt"] - r["unigram_bpt"]) - r["excess_bits"]) < 2e-6
+
+
+def test_lexical_diversity_counts_hapax_exactly(spark):
+    """lex1 on crafted docs: 'a a b c' has 4 tokens, 3 types, 2 hapax
+    (b, c); an all-same-token doc has 0 hapax; a single-token doc is
+    its own hapax (both boundary paddings fire)."""
+    from csv_crm_upload_spark.analytics.textstats import lex1_lexical_diversity
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a b c", "en", "s", 0),
+            (2, "x x x x x", "en", "s", 0),
+            (3, "solo", "en", "s", 0),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    rows = {r["doc_id"]: r for r in lex1_lexical_diversity(docs).collect()}
+    assert (rows[1]["n_tokens"], rows[1]["n_types"], rows[1]["n_hapax"]) == (4, 3, 2)
+    assert rows[1]["ttr"] == 0.75 and rows[1]["hapax_frac"] == 0.5
+    assert (rows[2]["n_types"], rows[2]["n_hapax"]) == (1, 0)
+    assert (rows[3]["n_tokens"], rows[3]["n_hapax"]) == (1, 1)
+
+
+def test_heaps_vocab_growth_is_monotone_and_exact_at_the_end(spark):
+    """heaps1: cum_types is non-decreasing, the last checkpoint equals
+    the corpus-wide distinct-type count, cum_tokens equals the total
+    token count, and a type repeated in later docs is counted ONCE (at
+    its first doc)."""
+    from csv_crm_upload_spark.analytics.textstats import heaps1_vocab_growth
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta", "en", "s", 0),
+            (2, "alpha gamma", "en", "s", 0),
+            (3, "alpha beta gamma delta", "en", "s", 0),
+            (4, "epsilon", "en", "s", 0),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    rows = heaps1_vocab_growth(docs, buckets=4).collect()
+    types = [r["cum_types"] for r in rows]
+    assert types == sorted(types)
+    assert types[-1] == 5  # alpha beta gamma delta epsilon
+    assert rows[-1]["cum_tokens"] == 9
+    # doc 2 contributes exactly ONE new type (gamma)
+    assert types[1] - types[0] == 1
+
+
+def test_vocab_coverage_curve_top1_and_total(spark):
+    """cov1 with checkpoints (1, 10): the V=1 band covers exactly the
+    modal type's share; the terminal band reaches coverage 1.0 when V
+    >= |vocab|; covered_tokens is cumulative across bands."""
+    from csv_crm_upload_spark.analytics.textstats import cov1_vocab_coverage
+
+    docs = spark.createDataFrame(
+        [(1, "the the the cat sat", "en", "s", 0), (2, "the dog", "en", "s", 0)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    rows = {r["v"]: r for r in cov1_vocab_coverage(docs, checkpoints=(1, 10)).collect()}
+    assert rows[1]["n_types"] == 1 and rows[1]["covered_tokens"] == 4
+    assert rows[1]["coverage"] == round(4 / 7, 6)
+    assert rows[10]["n_types"] == 4 and rows[10]["coverage"] == 1.0
+
+
+def test_tfidf_ubiquitous_terms_score_zero_and_rank_below_rare(spark):
+    """tfidf1: a term in EVERY doc has idf = log2(N/N) = 0 so its score
+    is 0 regardless of tf; each doc's rank-1 term is one of its
+    distinctive words, never the ubiquitous one."""
+    from csv_crm_upload_spark.analytics.textstats import tfidf1_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common rare1 rare1 common", "en", "s", 0),
+            (2, "common rare2 common common", "en", "s", 0),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    out = tfidf1_top_terms(docs, k=2).collect()
+    top = {r["doc_id"]: r["term"] for r in out if r["rnk"] == 1}
+    assert top == {1: "rare1", 2: "rare2"}
+    assert all(r["score"] == 0.0 for r in out if r["term"] == "common")
+
+
+def test_js_divergence_identical_zero_disjoint_one(spark):
+    """js1: two sources with IDENTICAL unigram distributions diverge by
+    0 bits; two sources with DISJOINT vocabularies diverge by exactly
+    1 bit (the JS upper bound); output is one row per unordered pair."""
+    from csv_crm_upload_spark.analytics.textstats import js1_source_divergence
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a b", "en", "s1", 0),
+            (2, "a b a", "en", "s2", 0),  # same distribution as s1
+            (3, "x y z", "en", "s3", 0),  # disjoint from both
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    rows = {(r["source_a"], r["source_b"]): r for r in js1_source_divergence(docs).collect()}
+    assert set(rows) == {("s1", "s2"), ("s1", "s3"), ("s2", "s3")}
+    assert rows[("s1", "s2")]["js_bits"] == 0.0
+    assert rows[("s1", "s3")]["js_bits"] == 1.0
+    assert rows[("s2", "s3")]["js_bits"] == 1.0
+
+
+def test_ccnet_buckets_are_per_language(spark):
+    """ccnet1: within each language the head bucket's max bits-per-token
+    never exceeds the tail bucket's min (quantiles are loss-ordered),
+    and BOTH languages get their own head — the defining CCNet property
+    cur1's global curriculum lacks."""
+    from csv_crm_upload_spark.analytics.textstats import ccnet1_perplexity_buckets
+
+    docs = spark.createDataFrame(
+        [
+            # 'en': three docs of increasingly rare vocabulary
+            (1, "the the the the", "en", "s", 0),
+            (2, "the the cat cat", "en", "s", 0),
+            (3, "one weird trick", "en", "s", 0),
+            # 'fr': three docs, same construction
+            (4, "le le le le", "fr", "s", 0),
+            (5, "le le chat chat", "fr", "s", 0),
+            (6, "un truc bizarre", "fr", "s", 0),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    rows = ccnet1_perplexity_buckets(docs, q=3).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], {})[r["bucket"]] = r
+    for lang, buckets in by_lang.items():
+        assert set(buckets) == {"head", "middle", "tail"}, f"{lang}: {set(buckets)}"
+        assert buckets["head"]["max_bpt"] <= buckets["middle"]["min_bpt"]
+        assert buckets["middle"]["max_bpt"] <= buckets["tail"]["min_bpt"]
+
+
+def test_binary_hamming_knn_matches_numpy_exact(spark):
+    """bq1's packed-word Hamming distances equal the straightforward
+    numpy sign-mismatch count for every returned pair, on a corpus
+    whose dimension (70) straddles a 32-bit word boundary; self-matches
+    excluded; ranks are 1..k ordered by (distance, vec_id)."""
+    import numpy as np
+
+    from csv_crm_upload_spark.analytics.similarity import bq1_binary_hamming_knn
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((30, 70)).astype("float32")
+    rows = [(int(i), [float(x) for x in vecs[i]], 0) for i in range(30)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = bq1_binary_hamming_knn(emb, query_ids=[0, 5], k=4).collect()
+    signs = vecs > 0
+    for r in out:
+        expected = int((signs[r["query_id"]] != signs[r["vec_id"]]).sum())
+        assert r["hamming"] == expected, (r, expected)
+        assert r["vec_id"] != r["query_id"]
+    for q in (0, 5):
+        ranks = sorted(r["rank"] for r in out if r["query_id"] == q)
+        assert ranks == [1, 2, 3, 4]
