@@ -254,7 +254,9 @@ _ROTATION_FRONT = [
     "ccnet1_perplexity_buckets",
     "cal1_calibration_bins",
     "bq1_binary_hamming_knn",
-    # slots 21-50: re-sample oracle-paired keys whose last driver
+    "lshrec1_recall_audit",
+    "sil1_cluster_margins",
+    # slots 23-50: re-sample oracle-paired keys whose last driver
     # CORRECTNESS row predates round 6 (oldest-checked first-ish),
     # spanning the big families: classifiers, LMs, dedup, TPC-H
     # partsupp five, graph, sampling, retrieval
@@ -286,8 +288,6 @@ _ROTATION_FRONT = [
     "bm25_1_search",
     "samp1_stratified_sample",
     "gini1_spend_concentration",
-    "decay1_time_decayed_user_value",
-    "bp1_boilerplate_phrases",
 ]
 
 
@@ -502,6 +502,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # 1-bit sign quantization + Hamming top-k (binary ANN baseline)
         "bq1_binary_hamming_knn": lambda s, sf: sim.bq1_binary_hamming_knn(
+            _t("embeddings")(s, sf)
+        ),
+        # recall@k of the LSH index vs exact brute-force (ANN tuning eval)
+        "lshrec1_recall_audit": lambda s, sf: sim.lshrec1_recall_audit(
+            _t("embeddings")(s, sf)
+        ),
+        # per-cluster assignment margins of the kmeans1 fit (separation audit)
+        "sil1_cluster_margins": lambda s, sf: clus.sil1_cluster_margins(
             _t("embeddings")(s, sf)
         ),
         # --- rotation window (slots 13-50), round 5: the six oracle-paired
@@ -912,8 +920,31 @@ _H60 = "('0x' || substr(md5({expr}), 1, 15))::BIGINT"
 # valid-vector gate shared by every embedding oracle whose Spark side
 # filters through similarity.valid_vectors — ONE definition so the two
 # engines cannot drift (the _TOKS/_NORM convention)
-_VALID_EMB = "embedding IS NOT NULL AND len(embedding) > 0"
-_VALID_EMB_E = "e.embedding IS NOT NULL AND len(e.embedding) > 0"
+# mirror of similarity.valid_vectors: NULL, empty, and ALL-ZERO vectors
+# are excluded (a zero vector has norm 0 — every cosine against it is a
+# division by zero, an ANSI job abort on the Spark side)
+_VALID_EMB = (
+    "embedding IS NOT NULL AND len(embedding) > 0"
+    " AND len(list_filter(embedding, x -> x <> 0)) > 0"
+)
+_VALID_EMB_E = (
+    "e.embedding IS NOT NULL AND len(e.embedding) > 0"
+    " AND len(list_filter(e.embedding, x -> x <> 0)) > 0"
+)
+
+# fit-width gate for the kmeans-family fits (mirror of the Spark side's
+# `size(embedding) == dim` filter, dim = the FIRST valid vector's width):
+# a ragged row would dot against centroids as NULL in Spark (zip_with
+# pads) but as a PARTIAL sum in DuckDB (list_sum skips out-of-range
+# NULLs) — exclusion is the only cross-engine-stable semantics
+_FIT_W = (
+    "len(embedding) = (SELECT len(embedding) FROM embeddings"
+    f" WHERE {_VALID_EMB} ORDER BY vec_id LIMIT 1)"
+)
+_FIT_W_E = (
+    "len(e.embedding) = (SELECT len(embedding) FROM embeddings"
+    f" WHERE {_VALID_EMB} ORDER BY vec_id LIMIT 1)"
+)
 
 # shingle CTE: word 3-grams, distinct per doc (mirror dd._shingles)
 _SHINGLE_CTE = f"""
@@ -1512,11 +1543,14 @@ def oracle_sql() -> dict[str, str]:
     )
     q["sim_knn_bruteforce"] = f"""
         WITH q AS (
-          SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id IN (0,1,2,3,4,5,6,7,8,9)
+          SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+          WHERE vec_id IN (0,1,2,3,4,5,6,7,8,9) AND {_VALID_EMB}
         ),
         scored AS (
           SELECT q.query_id, e.vec_id, {_cos} + 0.0 AS cos_sim
-          FROM embeddings e, q WHERE e.vec_id <> q.query_id
+          FROM embeddings e, q
+          WHERE e.vec_id <> q.query_id AND {_VALID_EMB_E}
+            AND len(e.embedding) = len(q.q_emb)
         )
         SELECT query_id, vec_id, cos_sim, CAST(rn AS INT) AS rank
         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rn FROM scored)
@@ -1577,6 +1611,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT q.query_id, e.vec_id, e.embedding, {_cos} + 0.0 AS rel
           FROM embeddings e, q
           WHERE e.vec_id <> q.query_id AND {_VALID_EMB_E}
+            AND len(e.embedding) = len(q.q_emb)
         ),
         mpool AS (
           SELECT query_id, vec_id, embedding, rel FROM (
@@ -1594,11 +1629,13 @@ def oracle_sql() -> dict[str, str]:
     q["hn1_hard_negatives"] = f"""
         WITH q AS (
           SELECT vec_id AS query_id, label AS q_label, embedding AS q_emb
-          FROM embeddings WHERE vec_id IN (0,1,2,3,4,5,6,7,8,9)
+          FROM embeddings WHERE vec_id IN (0,1,2,3,4,5,6,7,8,9) AND {_VALID_EMB}
         ),
         scored AS (
           SELECT q.query_id, e.vec_id, e.label AS neg_label, {_cos} + 0.0 AS cos_sim
-          FROM embeddings e, q WHERE e.label <> q.q_label
+          FROM embeddings e, q
+          WHERE e.label <> q.q_label AND {_VALID_EMB_E}
+            AND len(e.embedding) = len(q.q_emb)
         )
         SELECT query_id, vec_id, neg_label, cos_sim, CAST(rn AS INT) AS rank
         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rn FROM scored)
@@ -1638,10 +1675,26 @@ def oracle_sql() -> dict[str, str]:
           FROM cand c
           JOIN (SELECT vec_id, embedding AS q_emb FROM embeddings) q ON q.vec_id = c.query_id
           JOIN embeddings e ON e.vec_id = c.vec_id
+          WHERE len(e.embedding) = len(q.q_emb)
         )
         SELECT query_id, vec_id, cos_sim, CAST(rn AS INT) AS rank
         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rn FROM scored)
         WHERE rn <= 5
+    """
+
+    # lshrec1: recall@k of the LSH index vs exact brute-force — nests the
+    # two kNN oracles verbatim (the rho1 composition discipline), so the
+    # audit's oracle measures exactly the production operators' SQL
+    q["lshrec1_recall_audit"] = f"""
+        WITH exact AS ({q["sim_knn_bruteforce"]}),
+        lshk AS ({q["sim_knn_lsh"]})
+        SELECT e.query_id,
+               CAST(COUNT(*) AS BIGINT) AS n_exact,
+               CAST(COUNT(l.vec_id) AS BIGINT) AS n_hit,
+               round(CAST(COUNT(l.vec_id) AS DOUBLE) / COUNT(*), 6) AS recall_at_k
+        FROM exact e
+        LEFT JOIN lshk l ON l.query_id = e.query_id AND l.vec_id = e.vec_id
+        GROUP BY e.query_id ORDER BY e.query_id
     """
 
     q["mm_media_stats"] = """
@@ -2280,17 +2333,21 @@ def oracle_sql() -> dict[str, str]:
     # two rounds as CTEs. Determinism pivots: 6-dp rounded dots before
     # argmax (ties → lowest cluster_id), per-dim DECIMAL(28,12) means
     # rounded to 12 dp, init = first k vectors by vec_id.
-    q["kmeans1_topic_clusters"] = f"""
-        WITH init AS (
+    # shared kmeans fit chain (init -> assign -> recompute -> rescore):
+    # kmeans1 reads the rn=1 assignment off s2; sil1 additionally reads
+    # the rn=2 sim (second-best centroid) for the assignment margin —
+    # ONE definition of the fit, two readouts (the _gq_sql discipline)
+    _km_prefix = f"""init AS (
           SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster_id,
                  embedding AS centroid
-          FROM (SELECT vec_id, embedding FROM embeddings WHERE {_VALID_EMB} ORDER BY vec_id LIMIT 8)
+          FROM (SELECT vec_id, embedding FROM embeddings
+                WHERE {_VALID_EMB} AND {_FIT_W} ORDER BY vec_id LIMIT 8)
         ),
         s1 AS (
           SELECT e.vec_id, e.embedding, c.cluster_id,
                  round(list_sum(list_transform(range(1, len(e.embedding) + 1),
                        i -> e.embedding[i]::DOUBLE * c.centroid[i]::DOUBLE)), 6) AS sim
-          FROM embeddings e CROSS JOIN init c WHERE {_VALID_EMB_E}
+          FROM embeddings e CROSS JOIN init c WHERE {_VALID_EMB_E} AND {_FIT_W_E}
         ),
         a1 AS (
           SELECT vec_id, embedding, cluster_id, sim
@@ -2313,17 +2370,38 @@ def oracle_sql() -> dict[str, str]:
           SELECT e.vec_id, c.cluster_id,
                  round(list_sum(list_transform(range(1, len(e.embedding) + 1),
                        i -> e.embedding[i]::DOUBLE * c.centroid[i])), 6) AS sim
-          FROM embeddings e CROSS JOIN c1 c WHERE {_VALID_EMB_E}
+          FROM embeddings e CROSS JOIN c1 c WHERE {_VALID_EMB_E} AND {_FIT_W_E}
         ),
-        a2 AS (
-          SELECT vec_id, cluster_id, sim
-          FROM (SELECT *, row_number() OVER (
-                  PARTITION BY vec_id ORDER BY sim DESC, cluster_id) AS rn FROM s2)
-          WHERE rn = 1
+        r2 AS (
+          SELECT vec_id, cluster_id, sim, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY sim DESC, cluster_id) AS rn
+          FROM s2
+        )"""
+    q["kmeans1_topic_clusters"] = f"""
+        WITH {_km_prefix},
+        a2 AS (SELECT vec_id, cluster_id, sim FROM r2 WHERE rn = 1)
+        SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(SUM(CAST(round(sim * 1000000, 0) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) / 1000000.0 AS mean_sim
+        FROM a2 GROUP BY cluster_id ORDER BY cluster_id
+    """
+    # sil1: margin = own (rn=1) sim minus second-best (rn=2) sim — under
+    # ties the second-largest VALUE equals the max, margin 0, exactly
+    # Spark's element-2-of-descending-sorted-array; a single-centroid
+    # fit leaves the margin NULL via the left join (no rn=2 row)
+    q["sil1_cluster_margins"] = f"""
+        WITH {_km_prefix},
+        own AS (SELECT vec_id, cluster_id, sim FROM r2 WHERE rn = 1),
+        snd AS (SELECT vec_id, sim AS sim2 FROM r2 WHERE rn = 2),
+        m AS (
+          SELECT own.cluster_id, round(own.sim - snd.sim2, 6) AS margin
+          FROM own LEFT JOIN snd USING (vec_id)
         )
         SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
-               round(CAST(SUM(CAST(sim AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_sim
-        FROM a2 GROUP BY cluster_id ORDER BY cluster_id
+               CAST(SUM(CAST(round(margin * 1000000, 0) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) / 1000000.0 AS mean_margin,
+               MIN(margin) AS min_margin
+        FROM m GROUP BY cluster_id ORDER BY cluster_id
     """
 
     q["stat1_price_quantity_stats"] = """
@@ -2813,11 +2891,21 @@ def oracle_sql() -> dict[str, str]:
           SELECT vec_id AS query_id, pos, code AS q_code FROM codes
           WHERE vec_id IN (0, 1, 2, 3, 4, 5, 6, 7, 8, 9)
         ),
+        widths AS (
+          SELECT vec_id, len(embedding) AS d FROM embeddings
+          WHERE embedding IS NOT NULL
+        ),
         scored AS (
+          -- width-mismatched pairs are EXCLUDED (the positional join
+          -- would otherwise sum a PARTIAL dot over the shared prefix,
+          -- while the Spark side's zip_with NULL-pads — round-8 fuzzer)
           SELECT query_id, c.vec_id,
                  CAST(SUM(CAST(c.code - 128 AS BIGINT) * CAST(q_code - 128 AS BIGINT)) AS BIGINT) AS dot_q
-          FROM codes c JOIN qc q USING (pos)
-          WHERE c.vec_id <> q.query_id
+          FROM codes c
+          JOIN qc q USING (pos)
+          JOIN widths wc ON wc.vec_id = c.vec_id
+          JOIN widths wq ON wq.vec_id = q.query_id
+          WHERE c.vec_id <> q.query_id AND wc.d = wq.d
           GROUP BY 1, 2
         ),
         ranked AS (
@@ -3321,9 +3409,13 @@ def oracle_sql() -> dict[str, str]:
     # (9-dp components, 12-dp product terms into DECIMAL(38,12) sums),
     # the oracle's pair terms via a vec_id self-join where Spark uses a
     # map-only nested transform (same terms, same sums)
-    q["pca1_covariance"] = """
+    # validity via the SHARED fragment (mirror of the Spark side's
+    # valid_vectors — a hand-written NULL-only filter desynced the two
+    # engines the moment valid_vectors learned to exclude zero vectors;
+    # round-8 property fuzzer)
+    q["pca1_covariance"] = f"""
         WITH e AS (
-          SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+          SELECT vec_id, embedding FROM embeddings WHERE {_VALID_EMB}
         ),
         comp AS (
           SELECT vec_id, CAST(r.i AS INT) AS dim,
@@ -3415,13 +3507,14 @@ def oracle_sql() -> dict[str, str]:
         WITH init AS (
           SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster_id,
                  embedding AS centroid
-          FROM (SELECT vec_id, embedding FROM embeddings WHERE {_VALID_EMB} ORDER BY vec_id LIMIT 8)
+          FROM (SELECT vec_id, embedding FROM embeddings
+                WHERE {_VALID_EMB} AND {_FIT_W} ORDER BY vec_id LIMIT 8)
         ),
         s1 AS (
           SELECT e.vec_id, e.embedding, c.cluster_id,
                  round(list_sum(list_transform(range(1, len(e.embedding) + 1),
                        i -> e.embedding[i]::DOUBLE * c.centroid[i]::DOUBLE)), 6) AS sim
-          FROM embeddings e CROSS JOIN init c WHERE {_VALID_EMB_E}
+          FROM embeddings e CROSS JOIN init c WHERE {_VALID_EMB_E} AND {_FIT_W_E}
         ),
         a1 AS (
           SELECT vec_id, embedding, cluster_id, sim
@@ -3444,7 +3537,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT e.vec_id, c.cluster_id,
                  round(list_sum(list_transform(range(1, len(e.embedding) + 1),
                        i -> e.embedding[i]::DOUBLE * c.centroid[i])), 6) AS sim
-          FROM embeddings e CROSS JOIN c1 c WHERE {_VALID_EMB_E}
+          FROM embeddings e CROSS JOIN c1 c WHERE {_VALID_EMB_E} AND {_FIT_W_E}
         ),
         a2 AS (
           SELECT vec_id, cluster_id
@@ -4097,13 +4190,14 @@ def oracle_sql() -> dict[str, str]:
     """
     # decon2: corpus × benchmark cosine (benchmark = label 0 slice);
     # dd_embed_neardup's 6-dp cosine idiom, (cos DESC, bench_id) argmax
-    q["decon2_semantic_contamination"] = """
+    q["decon2_semantic_contamination"] = f"""
         WITH bench AS (
           SELECT vec_id AS bench_id, embedding AS bench_emb
-          FROM embeddings WHERE label = 0
+          FROM embeddings WHERE label = 0 AND {_VALID_EMB}
         ),
         corpus AS (
-          SELECT vec_id, embedding FROM embeddings WHERE label <> 0
+          SELECT vec_id, embedding FROM embeddings
+          WHERE label <> 0 AND {_VALID_EMB}
         ),
         hits AS (
           SELECT c.vec_id, b.bench_id,
@@ -4114,6 +4208,7 @@ def oracle_sql() -> dict[str, str]:
                       * sqrt(list_sum(list_transform(b.bench_emb, x -> x::DOUBLE * x::DOUBLE)))),
                    6) AS cos_sim
           FROM corpus c CROSS JOIN bench b
+          WHERE len(c.embedding) = len(b.bench_emb)
         )
         SELECT vec_id, CAST(bench_id AS BIGINT) AS closest_benchmark, cos_sim
         FROM (
@@ -4536,11 +4631,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         qv AS (
           SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
-          WHERE vec_id IN ({_QIDS})
+          WHERE vec_id IN ({_QIDS}) AND {_VALID_EMB}
         ),
         pairs AS (
           SELECT c.query_id, c.doc_id, c.bm25, e.embedding, qv.q_emb
           FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id JOIN qv USING (query_id)
+          WHERE {_VALID_EMB_E} AND len(e.embedding) = len(qv.q_emb)
         ),
         cs AS (SELECT query_id, doc_id, bm25, {_pair_cos} AS cos_sim FROM pairs),
         blended AS (
@@ -4572,11 +4668,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         qv AS (
           SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
-          WHERE vec_id IN ({_QIDS})
+          WHERE vec_id IN ({_QIDS}) AND {_VALID_EMB}
         ),
         pairs AS (
           SELECT c.query_id, c.doc_id, c.bm25, e.embedding, qv.q_emb
           FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id JOIN qv USING (query_id)
+          WHERE {_VALID_EMB_E} AND len(e.embedding) = len(qv.q_emb)
         ),
         cs AS (SELECT query_id, doc_id, bm25, {_pair_cos} AS cos_sim FROM pairs),
         ranked AS (

@@ -77,30 +77,50 @@ def kmeans_assignments(
 
     embeddings = valid_vectors(embeddings)
     dim = len(embeddings.select("embedding").first()["embedding"])
+    # the fit is defined over the FIT WIDTH (the first valid vector's,
+    # deterministic): a ragged row would dot against centroids as NULL
+    # in Spark (zip_with pads) but as a PARTIAL sum in DuckDB (list_sum
+    # skips out-of-range NULLs) — exclusion is the only stable
+    # cross-engine semantics (round-8 property fuzzer)
+    embeddings = embeddings.filter(F.size("embedding") == dim)
+    cent = _fitted_centroids(embeddings, k, iters, dim)
+    return _assign(embeddings, cent)
 
+
+def _assign(valid_embeddings: DataFrame, cent: list[tuple[int, list[float]]]) -> DataFrame:
+    """Map-only argmax assignment of every (already valid_vectors-gated)
+    vector against the given driver-side centroid list. FIRST max
+    position ≡ lowest-cluster_id tiebreak (ids ascend in `cent`)."""
+    sims = F.array(*[F.round(_dot_lit(F.col("embedding"), v), 6) for _cid, v in cent])
+    best_pos = F.array_position(sims, F.array_max(sims)).cast("int") - 1
+    ids = F.array(*[F.lit(cid) for cid, _v in cent])
+    return valid_embeddings.select(
+        "vec_id",
+        "embedding",
+        F.element_at(ids, best_pos + 1).alias("cluster_id"),
+        F.element_at(sims, best_pos + 1).alias("sim"),
+    )
+
+
+def _fitted_centroids(
+    valid_embeddings: DataFrame, k: int, iters: int, dim: int
+) -> list[tuple[int, list[float]]]:
+    """The (cluster_id, centroid) list after iters-1 Lloyd's updates
+    from the deterministic first-k-by-vec_id init — the state the FINAL
+    assignment pass scores against. Shared by kmeans_assignments and
+    sil1_cluster_margins so both readouts see the identical fit."""
     init_rows = (
-        embeddings.select("vec_id", "embedding").orderBy("vec_id").limit(k).collect()
+        valid_embeddings.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(k)
+        .collect()
     )
     # (cluster_id, centroid) — cluster ids are the 0-based init order
     cent: list[tuple[int, list[float]]] = [
         (i, [float(v) for v in r["embedding"]]) for i, r in enumerate(init_rows)
     ]
-
-    assigned = None
-    for it in range(iters):
-        sims = F.array(*[F.round(_dot_lit(F.col("embedding"), v), 6) for _cid, v in cent])
-        # FIRST max position ≡ lowest-cluster_id tiebreak (ids are in
-        # ascending order in `cent`)
-        best_pos = F.array_position(sims, F.array_max(sims)).cast("int") - 1
-        ids = F.array(*[F.lit(cid) for cid, _v in cent])
-        assigned = embeddings.select(
-            "vec_id",
-            "embedding",
-            F.element_at(ids, best_pos + 1).alias("cluster_id"),
-            F.element_at(sims, best_pos + 1).alias("sim"),
-        )
-        if it == iters - 1:
-            break  # the final assignment is the result — no recompute
+    for _ in range(iters - 1):
+        assigned = _assign(valid_embeddings, cent)
         # recompute: per-dim decimal-exact means, rounded IN THE PLAN
         # (F.round half-away-from-zero == DuckDB round) before the
         # bounded k-row collect
@@ -118,8 +138,7 @@ def kmeans_assignments(
         cent = sorted(
             (int(r["cluster_id"]), [r[f"m_{d}"] for d in range(dim)]) for r in rows
         )
-
-    return assigned
+    return cent
 
 
 def kmeans1_topic_clusters(
@@ -129,16 +148,81 @@ def kmeans1_topic_clusters(
     rounds — mean_sim is the average (6-dp rounded) dot product of
     members to their assigned centroid, the cluster-cohesion readout.
     Assignment core (and its determinism pivots): kmeans_assignments."""
+    # mean via EXACT micro-unit integers, divided WITHOUT a final round:
+    # sims are 6-dp, so sim·1e6 rounds to an exact BIGINT in both
+    # engines, and (sum/count)/1e6 is two IEEE divisions on identical
+    # operands — bit-identical cross-engine. A round(sum_decimal/count,
+    # 6) here can land EXACTLY on a half-way point (6-dp grid divided by
+    # a small count), where Spark's HALF_UP and DuckDB's double rounding
+    # disagree — the round-8 property fuzzer caught sil1's twin doing it
     return (
         kmeans_assignments(embeddings, k, iters)
         .groupBy("cluster_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_members"),
-            F.round(
-                F.sum(F.col("sim").cast("decimal(18,6)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
+            (
+                F.sum(F.round(F.col("sim") * F.lit(1000000.0), 0).cast("long"))
+                .cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1000000.0)
             ).alias("mean_sim"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def sil1_cluster_margins(
+    embeddings: DataFrame, k: int = 8, iters: int = 2
+) -> DataFrame:
+    """Cluster-separation audit of the kmeans1 fit — per cluster: member
+    count, mean and min ASSIGNMENT MARGIN (own-centroid similarity minus
+    the best OTHER centroid's similarity; the simplified-silhouette
+    analog under kmeans1's dot-product geometry). Near-zero margins mark
+    boundary vectors (ambiguous topics, k set too high); a cluster whose
+    MEAN margin is near zero is indistinguishable from a neighbor —
+    the fold-the-clusters signal a corpus-budgeting pipeline reads
+    before trusting kmeans1's topic slices.
+
+    Determinism: the margin is a difference of two 6-dp-rounded sims
+    from the SAME _fitted_centroids state kmeans1 scores against
+    (refactor-shared, not re-derived); second-best = element 2 of the
+    descending-sorted sim array, which under ties equals the max —
+    margin 0, identically in both engines (the oracle's rn=2 ordered by
+    sim DESC alone). Scale shape: the fit is kmeans1's (iters-1 corpus
+    scans + k-row collects); the readout is ONE map-only pass + ONE
+    ≤k-group agg. Guards: a single-centroid fit (corpus smaller than 2
+    valid vectors) yields NULL margins, never an out-of-bounds abort."""
+    from csv_crm_upload_spark.analytics.similarity import valid_vectors
+
+    emb = valid_vectors(embeddings)
+    dim = len(emb.select("embedding").first()["embedding"])
+    emb = emb.filter(F.size("embedding") == dim)  # fit-width rows only
+    cent = _fitted_centroids(emb, k, iters, dim)
+    sims = F.array(*[F.round(_dot_lit(F.col("embedding"), v), 6) for _cid, v in cent])
+    ids = F.array(*[F.lit(cid) for cid, _v in cent])
+    best_pos = F.array_position(sims, F.array_max(sims)).cast("int") - 1
+    desc = F.reverse(F.array_sort(sims))
+    second = (
+        F.when(F.size(desc) >= 2, F.element_at(desc, 2))
+        .otherwise(F.lit(None).cast("double"))
+    )
+    scored = emb.select(
+        F.element_at(ids, best_pos + 1).alias("cluster_id"),
+        F.round(F.array_max(sims) - second, 6).alias("margin"),
+    )
+    # exact micro-unit mean — see kmeans1_topic_clusters: a post-division
+    # round(…, 6) lands on half-way points where the engines disagree
+    return (
+        scored.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            (
+                F.sum(F.round(F.col("margin") * F.lit(1000000.0), 0).cast("long"))
+                .cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1000000.0)
+            ).alias("mean_margin"),
+            F.min("margin").alias("min_margin"),
         )
         .orderBy("cluster_id")
     )
@@ -311,16 +395,18 @@ def decon2_semantic_contamination(
     the corpus scan — map-only per corpus vector, no shuffle until the
     tiny per-vector argmax combine; per-vector norms hoisted below the
     join."""
-    from csv_crm_upload_spark.analytics.similarity import _dot, _norm
+    from csv_crm_upload_spark.analytics.similarity import _dot, _norm, valid_vectors
 
-    bench = embeddings.filter(F.col("label") == benchmark_label).select(
+    bench = valid_vectors(
+        embeddings.filter(F.col("label") == benchmark_label)
+    ).select(
         F.col("vec_id").alias("bench_id"),
         F.col("embedding").alias("bench_emb"),
         _norm(F.col("embedding")).alias("bench_nrm"),
     )
-    corpus = embeddings.filter(F.col("label") != benchmark_label).select(
-        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
-    )
+    corpus = valid_vectors(
+        embeddings.filter(F.col("label") != benchmark_label)
+    ).select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
     cos = F.round(
         _dot(F.col("embedding"), F.col("bench_emb"))
         / (F.col("nrm") * F.col("bench_nrm")),
@@ -328,6 +414,8 @@ def decon2_semantic_contamination(
     )
     hits = (
         corpus.crossJoin(F.broadcast(bench))
+        # ragged pairs excluded, not NULL-scored (knn_bruteforce)
+        .filter(F.size("embedding") == F.size("bench_emb"))
         .withColumn("cos_sim", cos)
         .filter(F.col("cos_sim") >= threshold)
     )

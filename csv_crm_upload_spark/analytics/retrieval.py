@@ -407,12 +407,26 @@ def _candidates_with_cosine(
         .filter(F.col("rn") <= n_candidates)
         .drop("rn")
     )
-    qvecs = embeddings.filter(
-        F.col("vec_id").isin(*queries.keys())
+    # a candidate doc with a corrupt embedding (NULL/empty/ALL-ZERO/
+    # width-mismatched) drops out of the hybrid rerank — a zero vector
+    # would divide the cosine by zero (ANSI job abort; round-8 property
+    # fuzzer), and a ragged one scores NULL here but a PARTIAL dot in
+    # the DuckDB oracle
+    from csv_crm_upload_spark.analytics.similarity import valid_vectors
+
+    qvecs = valid_vectors(
+        embeddings.filter(F.col("vec_id").isin(*queries.keys()))
     ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
-    pairs = cands.join(
-        embeddings.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
-    ).join(F.broadcast(qvecs), "query_id")
+    pairs = (
+        cands.join(
+            valid_vectors(embeddings).select(
+                F.col("vec_id").alias("doc_id"), "embedding"
+            ),
+            "doc_id",
+        )
+        .join(F.broadcast(qvecs), "query_id")
+        .filter(F.size("embedding") == F.size("q_emb"))
+    )
 
     def _dot(a, bcol):
         return F.aggregate(

@@ -34,7 +34,14 @@ def _norm(a: F.Column) -> F.Column:
 
 
 def cosine(a: F.Column, b: F.Column) -> F.Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Total cosine: NULL (never an ANSI DIVIDE_BY_ZERO abort) when
+    either side has zero norm. Oracle-paired callers exclude zero-norm
+    rows up front (valid_vectors / _VALID_EMB), so the guard only fires
+    on the rows-only index paths where a corrupt row must degrade to a
+    skipped candidate — one zero vector previously killed every
+    IVF/PQ/LSH rerank job (round-8 property fuzzer)."""
+    denom = _norm(a) * _norm(b)
+    return F.when(denom > 0, _dot(a, b) / denom)
 
 
 def knn_bruteforce(
@@ -56,17 +63,27 @@ def knn_bruteforce(
     # (dot / (q_norm * c_norm), q side first), so results are
     # bit-identical to the oracle's — projections don't collapse across
     # the join, which keeps the norms per-row, not per-pair.
-    queries = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+    queries = valid_vectors(
+        embeddings.filter(F.col("vec_id").isin(query_ids))
+    ).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         _norm(F.col("embedding")).alias("q_norm"),
     )
-    corpus = embeddings.select(
+    corpus = valid_vectors(embeddings).select(
         "vec_id", "embedding", _norm(F.col("embedding")).alias("c_norm")
     )
+    # width-mismatched pairs are EXCLUDED, not NULL-scored: Spark's
+    # zip_with NULL-pads the short side (dot -> NULL) while DuckDB's
+    # list_sum SKIPS the out-of-range NULLs (partial dot) — the only
+    # cross-engine-stable semantics for a ragged corpus is absence
+    # (round-8 property fuzzer)
     scored = (
         corpus.crossJoin(F.broadcast(queries))
-        .filter(F.col("vec_id") != F.col("query_id"))
+        .filter(
+            (F.col("vec_id") != F.col("query_id"))
+            & (F.size("embedding") == F.size("q_emb"))
+        )
         .select(
             "query_id",
             "vec_id",
@@ -107,18 +124,24 @@ def hn1_hard_negatives(
     substitute for the cross join exactly as in the kNN family."""
     if query_ids is None:
         query_ids = list(range(10))
-    queries = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+    queries = valid_vectors(
+        embeddings.filter(F.col("vec_id").isin(query_ids))
+    ).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("q_label"),
         F.col("embedding").alias("q_emb"),
         _norm(F.col("embedding")).alias("q_norm"),
     )
-    corpus = embeddings.select(
+    corpus = valid_vectors(embeddings).select(
         "vec_id", "label", "embedding", _norm(F.col("embedding")).alias("c_norm")
     )
+    # width-mismatched pairs excluded (see knn_bruteforce)
     scored = (
         corpus.crossJoin(F.broadcast(queries))
-        .filter(F.col("label") != F.col("q_label"))
+        .filter(
+            (F.col("label") != F.col("q_label"))
+            & (F.size("embedding") == F.size("q_emb"))
+        )
         .select(
             "query_id",
             "vec_id",
@@ -226,13 +249,19 @@ def uniform_vector_sample(embeddings: DataFrame, sample_cap: int) -> list:
 
 
 def valid_vectors(embeddings: DataFrame) -> DataFrame:
-    """Drop NULL/zero-length vectors before any plane-term indexing —
+    """Drop NULL/zero-length/ALL-ZERO vectors before any vector op —
     sequence(0, size−1) on an EMPTY array steps backwards ([0, −1]) and
-    element_at(emb, 0) then aborts the job; one corrupt row must degrade
-    to a skipped vector, not a fleet-wide failure. The oracles carry the
-    same WHERE so both engines define the op over valid vectors."""
+    element_at(emb, 0) then aborts the job; an all-zero vector has norm
+    0, so every cosine against it divides by zero — an ANSI-mode job
+    abort (found by the round-8 property fuzzer: ONE zero embedding
+    killed every kNN job). A zero vector is unnormalizable — corrupt by
+    definition — so it degrades to a skipped row exactly like NULL. The
+    oracles carry the same WHERE (_VALID_EMB) so both engines define
+    every vector op over the same row set."""
     return embeddings.filter(
-        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+        F.col("embedding").isNotNull()
+        & (F.size("embedding") > 0)
+        & F.exists("embedding", lambda x: x != 0)
     )
 
 
@@ -292,6 +321,8 @@ def knn_lsh(
     scored = (
         cand.join(F.broadcast(queries), "query_id")
         .join(corpus, "vec_id")
+        # ragged pairs excluded, not NULL-scored (knn_bruteforce)
+        .filter(F.size("c_emb") == F.size("q_emb"))
         .select(
             "query_id",
             "vec_id",
@@ -425,7 +456,11 @@ def vq1_quantized_knn(
     )
     scored = (
         codes.crossJoin(F.broadcast(queries))
-        .filter(F.col("vec_id") != F.col("query_id"))
+        .filter(
+            (F.col("vec_id") != F.col("query_id"))
+            # ragged code rows excluded, not NULL-scored (knn_bruteforce)
+            & (F.size("codes") == F.size("q_codes"))
+        )
         .select("query_id", "vec_id", dot.alias("dot_q"))
     )
     from pyspark.sql import Window
@@ -492,7 +527,11 @@ def mmr1_diversified_topk(
     w_rel = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), "vec_id")
     pool_df = (
         corpus.crossJoin(F.broadcast(queries))
-        .filter(F.col("vec_id") != F.col("query_id"))
+        .filter(
+            (F.col("vec_id") != F.col("query_id"))
+            # ragged pairs excluded, not NULL-scored (knn_bruteforce)
+            & (F.size("embedding") == F.size("q_emb"))
+        )
         .select("query_id", "vec_id", "embedding", "c_norm", rel.alias("rel"))
         .withColumn("_rn", F.row_number().over(w_rel))
         .filter(F.col("_rn") <= pool)
@@ -564,6 +603,46 @@ def mmr1_diversified_topk(
     return sel.select(
         "query_id", "vec_id", (F.col("mmr") + F.lit(0.0)).alias("mmr"), "pick"
     ).orderBy("query_id", "pick")
+
+
+def lshrec1_recall_audit(
+    embeddings: DataFrame,
+    query_ids: list[int] | None = None,
+    k: int = 5,
+    n_tables: int = 8,
+    n_planes: int = 4,
+) -> DataFrame:
+    """Recall@k of the LSH index against exact brute-force — the eval
+    every ANN deployment runs before trusting the approximate path: per
+    query, how many of the TRUE top-k the bucketed search actually
+    returned. A recall cliff is the signal to add tables / reduce
+    planes (wider buckets) before the 100 TB corpus quietly loses its
+    nearest neighbors; this op turns that tuning loop into a query.
+
+    Composes the two oracle-paired kNN operators verbatim (same
+    query_ids/k/tables/planes), so the audit measures EXACTLY the
+    production index's behavior. The exact side is the base relation
+    (a query with zero LSH candidates still reports recall 0, not an
+    absent row); hits = inner join on the (query, neighbor) pair —
+    both sides are ≤ |queries|·k rows, driver-scale free."""
+    exact = knn_bruteforce(embeddings, query_ids, k).select("query_id", "vec_id")
+    approx = knn_lsh(embeddings, query_ids, k, n_tables, n_planes).select(
+        "query_id", "vec_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(approx, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hit"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
 
 
 def _sign_words(emb: F.Column) -> F.Column:

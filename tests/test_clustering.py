@@ -163,3 +163,26 @@ def test_prune1_high_cardinality_label_fallback(spark):
         # rank 1, kept; [1,1] rank 2, pruned
         assert rs[0]["vec_id"] == 2 * lbl and rs[0]["keep"] is True
         assert rs[1]["vec_id"] == 2 * lbl + 1 and rs[1]["keep"] is False
+
+
+def test_sil1_margins_nonnegative_and_fit_consistent_with_kmeans1(spark, sf_dir):
+    """sil1's margin is own-centroid sim minus the best OTHER centroid's
+    sim, and the own centroid IS the argmax — so every margin >= 0 and
+    min <= mean per cluster. The fit is SHARED with kmeans1
+    (_fitted_centroids), so cluster ids and member counts must agree
+    exactly between the two readouts."""
+    from pyspark.sql import functions as F
+
+    from csv_crm_upload_spark.analytics.clustering import (
+        kmeans1_topic_clusters,
+        sil1_cluster_margins,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sil = {r["cluster_id"]: r for r in sil1_cluster_margins(emb).collect()}
+    km = {r["cluster_id"]: r for r in kmeans1_topic_clusters(emb).collect()}
+    assert set(sil) == set(km)
+    for cid, r in sil.items():
+        assert r["n_members"] == km[cid]["n_members"]
+        assert r["min_margin"] >= 0.0
+        assert r["min_margin"] <= r["mean_margin"] + 1e-9

@@ -165,19 +165,29 @@ def _build_fixture(dir_: str) -> None:
         TO '{dir_}/documents.parquet' (FORMAT PARQUET)
     """)
     # vec_ids 0..9 valid (the query set); 17 NULL embedding; 18 empty
-    # array; 19 duplicates vector 3; label 9 has a single member
+    # array; 19 duplicates vector 3; label 9 has a single member;
+    # 20 ALL-ZERO vector (norm 0 — divides every unguarded cosine by
+    # zero, an ANSI job abort); 21 WRONG-WIDTH vector (Spark's zip_with
+    # NULL-pads it while DuckDB's list_sum computes a partial dot —
+    # exclusion is the only cross-engine-stable semantics). Both found
+    # by the round-8 property fuzzer; pinned here forever.
     con.execute(f"""
         COPY (SELECT CAST(i AS BIGINT) AS vec_id,
                      CASE WHEN i = 17 THEN NULL
                           WHEN i = 18 THEN CAST([] AS FLOAT[])
                           WHEN i = 19 THEN [CAST(0.3 AS FLOAT), 0.6, 0.9, 1.2,
                                             1.5, 1.8, 2.1, 2.4]
+                          WHEN i = 20 THEN [CAST(0.0 AS FLOAT), 0.0, 0.0, 0.0,
+                                            0.0, 0.0, 0.0, 0.0]
+                          WHEN i = 21 THEN [CAST(0.5 AS FLOAT), -0.25, 0.75,
+                                            0.5, -0.5, 0.25, 0.125, -0.125,
+                                            0.375, 0.625, -0.375]
                           ELSE list_transform(range(0, 8),
                                d -> CAST(0.1 * ((i * 7 + d * 13) % 23 - 11)
                                          AS FLOAT))
                      END AS embedding,
                      CAST(CASE WHEN i = 16 THEN 9 ELSE i % 3 END AS INT) AS label
-              FROM range(20) t(i))
+              FROM range(22) t(i))
         TO '{dir_}/embeddings.parquet' (FORMAT PARQUET)
     """)
     con.close()

@@ -960,3 +960,34 @@ def test_binary_hamming_knn_matches_numpy_exact(spark):
     for q in (0, 5):
         ranks = sorted(r["rank"] for r in out if r["query_id"] == q)
         assert ranks == [1, 2, 3, 4]
+
+
+def test_lsh_recall_audit_bounds_and_planted_duplicate(spark):
+    """lshrec1: recall in [0,1] with n_hit <= n_exact <= k for every
+    query; a planted EXACT duplicate of a query vector is that query's
+    true rank-1 neighbor AND always lands in the same LSH buckets
+    (identical hyperplane signs), so that query's n_hit >= 1."""
+    import struct
+    import random
+
+    from csv_crm_upload_spark.analytics.similarity import lshrec1_recall_audit
+
+    rng = random.Random(11)
+
+    def vec():
+        return [
+            struct.unpack("f", struct.pack("f", rng.random() * 2 - 1))[0]
+            for _ in range(8)
+        ]
+
+    vs = [vec() for _ in range(25)]
+    vs[20] = list(vs[0])  # exact duplicate of query 0
+    emb = spark.createDataFrame(
+        [(i, vs[i], i % 3) for i in range(25)], ["vec_id", "embedding", "label"]
+    )
+    rows = {r["query_id"]: r for r in lshrec1_recall_audit(emb, query_ids=[0, 1, 2]).collect()}
+    assert set(rows) == {0, 1, 2}
+    for r in rows.values():
+        assert 0 <= r["n_hit"] <= r["n_exact"] <= 5
+        assert abs(r["recall_at_k"] - round(r["n_hit"] / r["n_exact"], 6)) < 1e-9
+    assert rows[0]["n_hit"] >= 1  # the duplicate is rank-1 and same-bucket
