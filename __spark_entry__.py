@@ -256,7 +256,11 @@ _ROTATION_FRONT = [
     "bq1_binary_hamming_knn",
     "lshrec1_recall_audit",
     "sil1_cluster_margins",
-    # slots 23-50: re-sample oracle-paired keys whose last driver
+    "rd1_readability",
+    "shard1_balanced_shards",
+    "anon2_l_diversity",
+    "ks1_value_drift",
+    # slots 27-50: re-sample oracle-paired keys whose last driver
     # CORRECTNESS row predates round 6 (oldest-checked first-ish),
     # spanning the big families: classifiers, LMs, dedup, TPC-H
     # partsupp five, graph, sampling, retrieval
@@ -286,8 +290,6 @@ _ROTATION_FRONT = [
     "bf1_bloom_pruned_revenue",
     "vq1_quantized_knn",
     "bm25_1_search",
-    "samp1_stratified_sample",
-    "gini1_spend_concentration",
 ]
 
 
@@ -512,6 +514,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sil1_cluster_margins": lambda s, sf: clus.sil1_cluster_margins(
             _t("embeddings")(s, sf)
         ),
+        # zero-shuffle Flesch readability battery
+        "rd1_readability": lambda s, sf: ts.rd1_readability(_t("documents")(s, sf)),
+        # balanced snake-packed shard layout (write-side manifest)
+        "shard1_balanced_shards": lambda s, sf: ts.shard1_balanced_shards(
+            _t("documents")(s, sf)
+        ),
+        # l-diversity privacy audit (k-anonymity's sensitive-homogeneity gap)
+        "anon2_l_diversity": lambda s, sf: tpch.anon2_l_diversity(
+            _t("customer")(s, sf)
+        ),
+        # two-sample Kolmogorov-Smirnov drift on event values
+        "ks1_value_drift": lambda s, sf: tpch.ks1_value_drift(_t("events")(s, sf)),
         # --- rotation window (slots 13-50), round 5: the six oracle-paired
         # queries that have never had a driver CORRECTNESS row lead the
         # window (slots 13-18); the rest of the window re-samples r4 keys ---
@@ -2357,7 +2371,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         m1 AS (
           SELECT cluster_id, r.i,
-                 round(CAST(SUM(CAST(embedding[r.i] AS DECIMAL(28,12))) AS DOUBLE)
+                 round(CAST(SUM(CAST(CAST(embedding[r.i] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
                        / COUNT(*), 12) AS m
           FROM a1, UNNEST(range(1, len(embedding) + 1)) AS r(i)
           GROUP BY cluster_id, r.i
@@ -3524,7 +3538,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         m1 AS (
           SELECT cluster_id, r.i,
-                 round(CAST(SUM(CAST(embedding[r.i] AS DECIMAL(28,12))) AS DOUBLE)
+                 round(CAST(SUM(CAST(CAST(embedding[r.i] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
                        / COUNT(*), 12) AS m
           FROM a1, UNNEST(range(1, len(embedding) + 1)) AS r(i)
           GROUP BY cluster_id, r.i
@@ -4907,4 +4921,92 @@ def oracle_sql() -> dict[str, str]:
           FROM scored
         ) WHERE rn <= 5
     """
+
+    # ---- round 8, third batch ----
+    # rd1: W/S/Y are exact integers (regexp counts agree between Java
+    # regex and RE2 for these simple classes); the Flesch combination is
+    # ONE fixed tree of integer-fed IEEE ops shipped RAW (a final round
+    # would land on half-way points — the tfidf1 lesson)
+    q["rd1_readability"] = f"""
+        WITH d AS (
+          SELECT doc_id, lower(trim(text)) AS low, {_TOKS} AS toks
+          FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+        ),
+        s AS (
+          SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS n_words,
+                 CAST(greatest(len(regexp_extract_all(low, '[.!?]+')), 1) AS BIGINT)
+                   AS n_sentences,
+                 CAST(len(regexp_extract_all(low, '[aeiouy]+')) AS BIGINT)
+                   AS n_vowel_groups
+          FROM d
+        )
+        SELECT doc_id, n_words, n_sentences, n_vowel_groups,
+               206.835
+                 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                 - 84.6 * (CAST(n_vowel_groups AS DOUBLE)
+                           / CAST(greatest(n_words, 1) AS DOUBLE)) AS flesch
+        FROM s ORDER BY doc_id
+    """
+    # shard1: snake packing over the (tokens DESC, doc_id) total order —
+    # the rank is the same total order distributed_rank produces
+    q["shard1_balanced_shards"] = f"""
+        WITH t AS (
+          SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_toks
+          FROM documents WHERE text IS NOT NULL
+        ),
+        r AS (
+          SELECT n_toks,
+                 CAST((row_number() OVER (ORDER BY n_toks DESC, doc_id) - 1) % 16
+                      AS BIGINT) AS pos
+          FROM t
+        )
+        SELECT CAST(CASE WHEN pos < 8 THEN pos ELSE 15 - pos END AS INT) AS shard_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_toks) AS BIGINT) AS total_tokens
+        FROM r GROUP BY 1 ORDER BY 1
+    """
+    q["anon2_l_diversity"] = """
+        SELECT c_nationkey AS nation,
+               CAST(FLOOR(c_acctbal / 1000) * 1000 AS BIGINT) AS balance_band,
+               CAST(COUNT(*) AS BIGINT) AS group_size,
+               CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_sensitive
+        FROM customer
+        GROUP BY 1, 2
+        HAVING COUNT(DISTINCT c_mktsegment) < 3
+        ORDER BY 1, 2
+    """
+    # ks1: both empirical CDFs over the pooled distinct-value grid; D is
+    # MAX of |diff| of exact-integer ratios — no rounding anywhere (the
+    # cumulative counts are identical longs, so every double matches
+    # bit-for-bit). A side with zero observations yields ZERO rows (the
+    # WHERE on the totals), matching the Spark guard's empty frame.
+    q["ks1_value_drift"] = """
+        WITH v AS (
+          SELECT value, event_type FROM events
+          WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL
+        ),
+        g AS (
+          SELECT value,
+                 SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS na,
+                 SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS nb
+          FROM v GROUP BY value
+        ),
+        c AS (
+          SELECT CAST(SUM(na) OVER (ORDER BY value) AS BIGINT) AS ca,
+                 CAST(SUM(nb) OVER (ORDER BY value) AS BIGINT) AS cb
+          FROM g
+        ),
+        t AS (
+          SELECT CAST(COALESCE(SUM(na), 0) AS BIGINT) AS ta,
+                 CAST(COALESCE(SUM(nb), 0) AS BIGINT) AS tb
+          FROM g
+        )
+        SELECT ta AS n_a, tb AS n_b,
+               MAX(ABS(CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE)
+                       - CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE))) AS ks_d
+        FROM c, t WHERE ta > 0 AND tb > 0
+        GROUP BY ta, tb
+    """
+
     return q

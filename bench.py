@@ -315,6 +315,32 @@ def main() -> None:
     finally:
         shutil.rmtree(sx_dir, ignore_errors=True)
 
+    # persisted BM25 inverted index: build is one (doc,tok) shuffle;
+    # the search probe is partition-pruned bucket reads; the TF-IDF
+    # probe is a zero-corpus-scan readout of stored postings+dfreq
+    # (≡ fresh recomputation, pinned by test_retrieval.py)
+    from csv_crm_upload_spark.analytics import retrieval as rtrmod
+
+    tx_dir = tempfile.mkdtemp(prefix="bench_text_")
+    stage = "text_index_build"
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        t0 = time.perf_counter()
+        rtrmod.save_text_index(docs, tx_dir)
+        extra["text_index_build"] = round(time.perf_counter() - t0, 3)
+        stage = "bm25_indexed_search"
+        t0 = time.perf_counter()
+        rtrmod.bm25_search_indexed(spark, tx_dir).agg({"*": "count"}).collect()
+        extra["bm25_indexed_search"] = round(time.perf_counter() - t0, 3)
+        stage = "tfidf_indexed_top_terms"
+        t0 = time.perf_counter()
+        rtrmod.tfidf_indexed_top_terms(spark, tx_dir).agg({"*": "count"}).collect()
+        extra["tfidf_indexed_top_terms"] = round(time.perf_counter() - t0, 3)
+    except Exception as e:
+        errors[stage] = f"{type(e).__name__}: {e}"[:200]
+    finally:
+        shutil.rmtree(tx_dir, ignore_errors=True)
+
     # persisted BPE tokenizer: the one-combining-shuffle vocab build +
     # vocab-bounded merge loop is its own line; apply is the map-only
     # tokenize pass against the stored rules (≡ inline bpe2, pinned by

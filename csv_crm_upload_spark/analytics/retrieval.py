@@ -533,3 +533,49 @@ def hybrid_search(
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "bm25", "cos_sim", "blend", "rank")
     )
+
+
+def tfidf_indexed_top_terms(spark, index_path: str, k: int = 3) -> DataFrame:
+    """Per-document top-k TF-IDF terms from the PERSISTED inverted index
+    — the tfidf1 readout with ZERO corpus re-scan: tf rides the stored
+    postings, df the stored dfreq snapshot, N the stats row. The probe
+    is value-identical to recomputing from the same corpus with the
+    index's own frame builders (_tf_frame/_corpus_stats — test-pinned),
+    under the index's tokenization/live-doc contract (which differs
+    from the documents-table tfidf1 query: BM25 tokens, whitespace-only
+    docs excluded).
+
+    Epoch discipline (bm25_search_indexed's): the manifest resolves ONE
+    consistent snapshot up front — postings epochs in [base, epoch]
+    with the SAME epoch's dfreq/stats — so a probe racing an append or
+    compaction reads old or new, never a mix. idf = round(log2(N/df),
+    9); score stays the raw tf x idf product (the tfidf1 half-way
+    lesson); ties break on the term string."""
+    m = _read_manifest(index_path)
+    epoch, base = m["epoch"], m.get("base_epoch", 0)
+    stats = spark.read.parquet(f"{index_path}/stats/epoch={epoch}").select(
+        F.col("n_docs").cast("double").alias("n_docs")
+    )
+    postings = (
+        spark.read.parquet(f"{index_path}/postings")
+        .filter((F.col("epoch") >= base) & (F.col("epoch") <= epoch))
+        .select("doc_id", "tok", "tf")
+    )
+    dfreq = spark.read.parquet(f"{index_path}/dfreq/epoch={epoch}").select("tok", "df")
+    idf = F.round(F.log2(F.col("n_docs") / F.col("df").cast("double")), 9)
+    scored = (
+        postings.join(dfreq, "tok")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.col("tok").alias("term"),
+            (F.col("tf").cast("double") * idf).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "term", "score", "rnk")
+        .orderBy("doc_id", "rnk")
+    )

@@ -2115,3 +2115,74 @@ def ccnet1_perplexity_buckets(documents: DataFrame, q: int = 3) -> DataFrame:
         )
         .orderBy("lang", "phase")
     )
+
+
+def rd1_readability(documents: DataFrame) -> DataFrame:
+    """Per-document readability signals — words per sentence, syllable
+    proxy (vowel-group count) per word, and the Flesch reading-ease
+    combination 206.835 − 1.015·(W/S) − 84.6·(Y/W) — the classic
+    quality gate next to gq1's rule battery (very low scores flag
+    legalese/boilerplate, impossibly high ones flag token soup).
+
+    ZERO-shuffle: all four signals are Column expressions riding the
+    scan (regexp_count for sentences and vowel groups — no explode, no
+    UDF). Determinism: W, S, Y are exact integers; the score is ONE
+    fixed tree of integer-fed IEEE ops, identical in the oracle, so it
+    ships RAW — a final round would land on half-way points (tfidf1's
+    lesson). Sentence count floors at 1 (unpunctuated text is one
+    sentence), so the divisions are total."""
+    toks = _norm_tokens()
+    low = F.lower(F.trim(F.col("text")))
+    n_words = F.size(toks)
+    n_sents = F.greatest(F.regexp_count(low, F.lit(r"[.!?]+")), F.lit(1))
+    n_vgroups = F.regexp_count(low, F.lit(r"[aeiouy]+"))
+    wps = n_words.cast("double") / n_sents.cast("double")
+    ypw = n_vgroups.cast("double") / F.greatest(n_words, F.lit(1)).cast("double")
+    score = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * ypw
+    return (
+        documents.filter(F.col("text").isNotNull() & (F.trim(F.col("text")) != ""))
+        .select(
+            "doc_id",
+            n_words.cast("long").alias("n_words"),
+            n_sents.cast("long").alias("n_sentences"),
+            n_vgroups.cast("long").alias("n_vowel_groups"),
+            score.alias("flesch"),
+        )
+    )
+
+
+def shard1_balanced_shards(documents: DataFrame, n_shards: int = 8) -> DataFrame:
+    """Balanced shard layout for the corpus — the WRITE-side operator a
+    100 TB training run needs: assign documents to n_shards output
+    shards so per-shard token mass is even (a skewed shard is the
+    long-pole task of every downstream epoch). Deterministic snake
+    packing: rank docs by (token count DESC, doc_id), then fold the
+    rank serpentine-wise across shards (0..N−1, N−1..0, …) — the
+    classic online-balancing shape that keeps every shard within one
+    document of the same rank-stratum mix, with NO driver-side greedy
+    loop to serialize.
+
+    Scale: ranking is distributed_rank (range repartition — never a
+    single-task global sort); the shard id is a pure integer expression
+    of the rank; the readout is one ≤n_shards-group agg. Returns the
+    per-shard manifest (doc/token totals) — the writer would
+    repartition on shard_id and write partitionBy the same column."""
+    from csv_crm_upload_spark.analytics.tpch import distributed_rank
+
+    sized = documents.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.size(_norm_tokens()).cast("long").alias("n_toks")
+    )
+    ranked = distributed_rank(
+        sized.withColumn("_neg", -F.col("n_toks")), ["_neg", "doc_id"], "rnk"
+    )
+    pos = (F.col("rnk") - 1) % (2 * n_shards)
+    shard = F.when(pos < n_shards, pos).otherwise(2 * n_shards - 1 - pos).cast("int")
+    return (
+        ranked.select(shard.alias("shard_id"), "n_toks")
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+        )
+        .orderBy("shard_id")
+    )

@@ -2377,3 +2377,133 @@ def ri1_referential_integrity(
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("relationship")
+
+
+def distributed_prefix_sums(
+    df: DataFrame,
+    order_cols: list,
+    value_cols: list,
+    out_cols: list,
+    n_parts: int | None = None,
+) -> tuple:
+    """Global running sums over a total order WITHOUT a single-partition
+    window — the weighted sibling of _distributed_rank_and_total: range-
+    repartition on the order columns (pinned by an eager localCheckpoint
+    so the offset job and the window job see identical partitions),
+    per-partition running sums, then each partition adds the collected
+    cumulative offset of everything before it (n_parts·|value_cols|
+    driver cells). Returns (frame, totals dict) — the grand totals fall
+    out of the offset pass for free, so callers needing them (CDF
+    denominators, shares) pay no extra corpus scan. Values must be
+    integral (LONG sums — exact, order-free); `order_cols` must end in
+    a unique tiebreaker for a deterministic order."""
+    spark = df.sparkSession
+    n_parts = n_parts or spark.sparkContext.defaultParallelism
+    parted = (
+        df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    sums = {
+        r["_pid"]: [r[f"_s{i}"] or 0 for i in range(len(value_cols))]
+        for r in parted.groupBy("_pid")
+        .agg(*[F.sum(c).cast("long").alias(f"_s{i}") for i, c in enumerate(value_cols)])
+        .collect()
+    }
+    offsets, acc = {}, [0] * len(value_cols)
+    for pid in sorted(sums):
+        offsets[pid] = list(acc)
+        acc = [a + s for a, s in zip(acc, sums[pid])]
+    if not offsets:
+        offsets = {0: [0] * len(value_cols)}
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = parted
+    for i, (vc, oc) in enumerate(zip(value_cols, out_cols)):
+        off = F.create_map(
+            *[F.lit(v) for pid in sorted(offsets) for v in (pid, offsets[pid][i])]
+        )
+        out = out.withColumn(
+            oc, (F.sum(vc).over(w) + off[F.col("_pid")]).cast("long")
+        )
+    totals = dict(zip(value_cols, acc))
+    return out.drop("_pid"), totals
+
+
+def ks1_value_drift(
+    events: DataFrame, type_a: str = "view", type_b: str = "purchase"
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the `value`
+    distributions of two event types — the NUMERIC drift alarm next to
+    drift1's token-KL and js1's source divergence: D = max |F_a - F_b|
+    over the pooled value grid, the distribution-free test a pipeline
+    runs when a source's numeric feature silently changes shape.
+
+    Scale shape: one (value)-keyed combining agg builds the distinct-
+    value grid with per-type counts, then BOTH empirical CDFs come from
+    ONE distributed_prefix_sums pass (range partitioning, never a
+    single-task ordered window); the totals fall out of that pass's
+    offsets, so they ride into the plan as LITERALS — no second corpus
+    scan, no broadcast join. D needs NO rounding: the cumulative counts
+    are exact longs, so F_a/F_b/|diff|/max are the same IEEE doubles in
+    both engines. A side with zero observations returns an EMPTY frame
+    (KS is undefined), identically cross-engine."""
+    v = events.filter(
+        F.col("event_type").isin(type_a, type_b) & F.col("value").isNotNull()
+    )
+    g = v.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == type_a, 1).otherwise(0))
+        .cast("long")
+        .alias("na"),
+        F.sum(F.when(F.col("event_type") == type_b, 1).otherwise(0))
+        .cast("long")
+        .alias("nb"),
+    )
+    c, totals = distributed_prefix_sums(g, ["value"], ["na", "nb"], ["ca", "cb"])
+    ta, tb = totals["na"], totals["nb"]
+    spark = events.sparkSession
+    if ta == 0 or tb == 0:
+        return spark.createDataFrame([], "n_a long, n_b long, ks_d double")
+    d = F.abs(
+        F.col("ca").cast("double") / F.lit(float(ta))
+        - F.col("cb").cast("double") / F.lit(float(tb))
+    )
+    return (
+        c.agg(F.max(d).alias("ks_d"))
+        .select(
+            F.lit(ta).cast("long").alias("n_a"),
+            F.lit(tb).cast("long").alias("n_b"),
+            "ks_d",
+        )
+    )
+
+
+def anon2_l_diversity(customer: DataFrame, l: int = 3) -> DataFrame:
+    """L-diversity audit — k-anonymity's stronger sibling (Machanavajjhala
+    et al. 2007): a quasi-identifier group is re-identifiable even at
+    size >= k when its SENSITIVE attribute is homogeneous (everyone in
+    the group shares one segment), so each (nation, balance-band) group
+    must contain at least l DISTINCT sensitive values. Output: the
+    violating groups with their size and diversity — the release
+    blocker list anon1's size check misses.
+
+    One groupBy with an exact count_distinct (the sensitive domain is
+    bounded — segments, diagnoses, categories — so the distinct state
+    per group is small); map-side combining, scan-shaped, at most
+    |groups| output rows. NULL sensitive values don't count toward
+    diversity (both engines' COUNT(DISTINCT) semantics)."""
+    band = (F.floor(F.col("c_acctbal") / 1000) * 1000).cast("long")
+    return (
+        customer.groupBy(
+            F.col("c_nationkey").alias("nation"), band.alias("balance_band")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("group_size"),
+            F.count_distinct(F.col("c_mktsegment")).cast("long").alias("n_sensitive"),
+        )
+        .filter(F.col("n_sensitive") < l)
+        .orderBy("nation", "balance_band")
+    )

@@ -642,3 +642,38 @@ def test_round8_operator_shuffle_budgets(spark, sf_dir):
         plan = plan_of(QUERIES[name](spark, sf_dir))
         ids = set(re.findall(r"(?<!Broadcast)Exchange \((\d+)\)", plan))
         assert len(ids) <= budget, f"{name}: {len(ids)} shuffles > budget {budget}\n{plan}"
+
+
+def test_round8_second_batch_shuffle_budgets(spark, sf_dir):
+    """Budgets for the round-8 second batch (ceilings, broadcasts
+    excluded):
+      rd1     0 — pure regexp/size Column battery riding the scan,
+              per-doc map output (the gq1/lex1 shape)
+      sil1    2 — returned plan after _fitted_centroids' driver
+              collects: the map-only margin pass + <=k-group agg +
+              result order share the agg exchanges
+      ks1     2 — the (value)-grid agg + the <=1-row max; the CDF
+              prefix sums ran inside distributed_prefix_sums'
+              checkpointed range partitioning, totals are literals
+      anon2   3 — count_distinct's two-phase expand + result order
+      shard1  3 — distributed_rank's offset window re-exchange over
+              the checkpointed range partitioning + the <=n_shards
+              rollup + result order
+      lshrec1 7 — pure composition: brute-force side (top-k window) +
+              LSH side (bucket join + distinct + top-k window) + the
+              recall join re-exchanges; no stage beyond what the two
+              audited operators already pay
+    """
+    _reset_plan_state(spark)
+    budgets = {
+        "rd1_readability": 0,
+        "sil1_cluster_margins": 2,
+        "ks1_value_drift": 2,
+        "anon2_l_diversity": 3,
+        "shard1_balanced_shards": 3,
+        "lshrec1_recall_audit": 7,
+    }
+    for name, budget in budgets.items():
+        plan = plan_of(QUERIES[name](spark, sf_dir))
+        ids = set(re.findall(r"(?<!Broadcast)Exchange \((\d+)\)", plan))
+        assert len(ids) <= budget, f"{name}: {len(ids)} shuffles > budget {budget}\n{plan}"

@@ -204,3 +204,54 @@ def test_incremental_index_update_equals_rebuild(spark, sf_dir, tmp_path):
     assert (si["n_docs"], si["total_tokens"], si["avgdl"]) == (
         sf["n_docs"], sf["total_tokens"], sf["avgdl"],
     )
+
+
+def test_tfidf_indexed_equals_fresh_recomputation_and_append(spark, sf_dir, tmp_path):
+    """tfidf_indexed_top_terms over a built index must equal recomputing
+    tf·round(log2(N/df),9) from the index's own frame builders on the
+    same corpus — and an incremental append must land the SAME readout
+    as a full rebuild over the union (dfreq/stats snapshots + new-epoch
+    postings)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    import csv_crm_upload_spark.analytics.retrieval as rtr
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def expected(corpus):
+        tf = rtr._tf_frame(corpus).select("doc_id", "tok", "tf")
+        df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+        stats = rtr._corpus_stats(corpus).select(
+            F.col("n_docs").cast("double").alias("n_docs")
+        )
+        idf = F.round(F.log2(F.col("n_docs") / F.col("df").cast("double")), 9)
+        scored = (
+            tf.join(df, "tok")
+            .crossJoin(F.broadcast(stats))
+            .select(
+                "doc_id", F.col("tok").alias("term"),
+                (F.col("tf").cast("double") * idf).alias("score"),
+            )
+        )
+        w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+        return (
+            scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+            .filter(F.col("rnk") <= 3)
+            .select("doc_id", "term", "score", "rnk")
+        )
+
+    full = str(tmp_path / "tfidf_full")
+    rtr.save_text_index(docs, full, n_buckets=16)
+    got = sorted(tuple(r) for r in rtr.tfidf_indexed_top_terms(spark, full).collect())
+    want = sorted(tuple(r) for r in expected(docs).collect())
+    assert got == want
+
+    # incremental: half the corpus indexed, the rest appended
+    part_a = docs.filter(F.col("doc_id") % 2 == 0)
+    part_b = docs.filter(F.col("doc_id") % 2 == 1)
+    inc = str(tmp_path / "tfidf_inc")
+    rtr.save_text_index(part_a, inc, n_buckets=16)
+    rtr.update_text_index(part_b, inc)
+    got_inc = sorted(tuple(r) for r in rtr.tfidf_indexed_top_terms(spark, inc).collect())
+    assert got_inc == want

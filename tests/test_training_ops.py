@@ -991,3 +991,103 @@ def test_lsh_recall_audit_bounds_and_planted_duplicate(spark):
         assert 0 <= r["n_hit"] <= r["n_exact"] <= 5
         assert abs(r["recall_at_k"] - round(r["n_hit"] / r["n_exact"], 6)) < 1e-9
     assert rows[0]["n_hit"] >= 1  # the duplicate is rank-1 and same-bucket
+
+
+def test_distributed_prefix_sums_matches_window_and_totals(spark):
+    """The range-partitioned prefix sums must equal the single-partition
+    window cumsum for any total order, the returned totals must be the
+    grand sums, and empty input must not abort (zero-arg create_map)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from csv_crm_upload_spark.analytics.tpch import distributed_prefix_sums
+
+    df = spark.createDataFrame(
+        [(v, v % 3, (v * 7) % 5) for v in range(97)], ["k", "a", "b"]
+    )
+    got, totals = distributed_prefix_sums(df, ["k"], ["a", "b"], ["ca", "cb"], n_parts=7)
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = df.select(
+        "k", F.sum("a").over(w).alias("ca"), F.sum("b").over(w).alias("cb")
+    )
+    g = {r["k"]: (r["ca"], r["cb"]) for r in got.collect()}
+    e = {r["k"]: (r["ca"], r["cb"]) for r in want.collect()}
+    assert g == e
+    assert totals == {"a": sum(v % 3 for v in range(97)),
+                      "b": sum((v * 7) % 5 for v in range(97))}
+    empty = spark.createDataFrame([], "k long, a long, b long")
+    out, tot = distributed_prefix_sums(empty, ["k"], ["a", "b"], ["ca", "cb"])
+    assert out.count() == 0 and tot == {"a": 0, "b": 0}
+
+
+def test_ks_drift_identical_zero_disjoint_one(spark):
+    """ks1: identical value distributions across the two types give
+    D ~ 1/n at most (equal CDFs on the shared grid → 0 exactly here);
+    fully separated distributions give D = 1; a missing side gives an
+    EMPTY frame, not an abort."""
+    import datetime
+
+    from csv_crm_upload_spark.analytics.tpch import ks1_value_drift
+
+    ts = datetime.datetime(2024, 1, 1)
+    same = [(i, ts, 0, "view" if i % 2 == 0 else "purchase", float((i // 2) % 10), None)
+            for i in range(40)]
+    cols = ("event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string")
+    r = ks1_value_drift(spark.createDataFrame(same, cols)).collect()
+    assert len(r) == 1 and r[0]["ks_d"] == 0.0 and r[0]["n_a"] == 20
+
+    apart = [(i, ts, 0, "view", float(i), None) for i in range(10)] + [
+        (100 + i, ts, 0, "purchase", 1000.0 + i, None) for i in range(10)
+    ]
+    r2 = ks1_value_drift(spark.createDataFrame(apart, cols)).collect()
+    assert len(r2) == 1 and r2[0]["ks_d"] == 1.0
+
+    one_side = [(i, ts, 0, "view", float(i), None) for i in range(5)]
+    assert ks1_value_drift(spark.createDataFrame(one_side, cols)).count() == 0
+
+
+def test_balanced_shards_snake_bounds_imbalance(spark, sf_dir):
+    """shard1: token totals across shards sum to the corpus total, every
+    shard gets docs, and snake packing bounds the imbalance by (a small
+    multiple of) the largest document — the property that makes the
+    layout safe at any corpus size."""
+    from pyspark.sql import functions as F
+
+    from csv_crm_upload_spark.analytics.textstats import (
+        _norm_tokens,
+        shard1_balanced_shards,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = shard1_balanced_shards(docs, n_shards=8).collect()
+    sized = docs.filter(F.col("text").isNotNull()).select(
+        F.size(_norm_tokens()).alias("n")
+    )
+    total = sized.agg(F.sum("n")).first()[0]
+    biggest = sized.agg(F.max("n")).first()[0]
+    assert sum(r["total_tokens"] for r in rows) == total
+    assert len(rows) == 8
+    loads = [r["total_tokens"] for r in rows]
+    assert max(loads) - min(loads) <= 2 * biggest
+
+
+def test_readability_crafted_doc_and_formula_identity(spark):
+    """rd1 on a crafted doc: exact word/sentence/vowel-group counts, and
+    the flesch column equals the same IEEE expression computed in
+    Python (both engines and the test share one double tree)."""
+    from csv_crm_upload_spark.analytics.textstats import rd1_readability
+
+    docs = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran! Did it?", "en", "s", 0),
+         (2, "unpunctuated stream of words", "en", "s", 0)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    rows = {r["doc_id"]: r for r in rd1_readability(docs).collect()}
+    r1 = rows[1]
+    assert r1["n_words"] == 8 and r1["n_sentences"] == 3
+    expected = 206.835 - 1.015 * (r1["n_words"] / r1["n_sentences"]) - 84.6 * (
+        r1["n_vowel_groups"] / r1["n_words"]
+    )
+    assert r1["flesch"] == expected
+    assert rows[2]["n_sentences"] == 1
