@@ -260,7 +260,8 @@ _ROTATION_FRONT = [
     "shard1_balanced_shards",
     "anon2_l_diversity",
     "ks1_value_drift",
-    # slots 27-50: re-sample oracle-paired keys whose last driver
+    "pctl2_exact_value_percentiles",
+    # slots 28-50: re-sample oracle-paired keys whose last driver
     # CORRECTNESS row predates round 6 (oldest-checked first-ish),
     # spanning the big families: classifiers, LMs, dedup, TPC-H
     # partsupp five, graph, sampling, retrieval
@@ -287,7 +288,6 @@ _ROTATION_FRONT = [
     "coh1_weekly_retention",
     "dd2_dedup_corpus",
     "mix2_quality_weighted_sample",
-    "bf1_bloom_pruned_revenue",
     "vq1_quantized_knn",
     "bm25_1_search",
 ]
@@ -526,6 +526,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # two-sample Kolmogorov-Smirnov drift on event values
         "ks1_value_drift": lambda s, sf: tpch.ks1_value_drift(_t("events")(s, sf)),
+        # exact global nearest-rank percentiles via distributed prefix sums
+        "pctl2_exact_value_percentiles": lambda s, sf: (
+            tpch.pctl2_exact_value_percentiles(_t("events")(s, sf))
+        ),
         # --- rotation window (slots 13-50), round 5: the six oracle-paired
         # queries that have never had a driver CORRECTNESS row lead the
         # window (slots 13-18); the rest of the window re-samples r4 keys ---
@@ -5007,6 +5011,25 @@ def oracle_sql() -> dict[str, str]:
                        - CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE))) AS ks_d
         FROM c, t WHERE ta > 0 AND tb > 0
         GROUP BY ta, tb
+    """
+
+
+    # pctl2: nearest-rank percentiles from the same distinct-value CDF as
+    # ks1 — pure-integer thresholds ((q*N + 99) // 100, BIGINT int-div in
+    # DuckDB), MIN over the qualifying tail, no interpolation/rounding
+    q["pctl2_exact_value_percentiles"] = """
+        WITH v AS (SELECT value FROM events WHERE value IS NOT NULL),
+        g AS (SELECT value, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY value),
+        cgrid AS (
+          SELECT value, CAST(SUM(c) OVER (ORDER BY value) AS BIGINT) AS cum FROM g
+        ),
+        t AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n FROM g)
+        SELECT n AS n_values,
+               MIN(CASE WHEN cum >= (25 * n + 99) // 100 THEN value END) AS p25,
+               MIN(CASE WHEN cum >= (50 * n + 99) // 100 THEN value END) AS p50,
+               MIN(CASE WHEN cum >= (90 * n + 99) // 100 THEN value END) AS p90,
+               MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN value END) AS p99
+        FROM cgrid, t WHERE n > 0 GROUP BY n
     """
 
     return q

@@ -2507,3 +2507,43 @@ def anon2_l_diversity(customer: DataFrame, l: int = 3) -> DataFrame:
         .filter(F.col("n_sensitive") < l)
         .orderBy("nation", "balance_band")
     )
+
+
+def pctl2_exact_value_percentiles(events: DataFrame) -> DataFrame:
+    """EXACT global percentiles of event value at 100 TB scale —
+    nearest-rank semantics over the full distribution, computed WITHOUT
+    ever holding a group's values in one place: pctl_order_value's
+    `percentile()` buffers every value of a group in a single aggregation
+    state (fine per-status, fatal for a global percentile of a 100 TB
+    column), while this shape is one distinct-value combining agg + ONE
+    distributed_prefix_sums pass + a map-only threshold probe.
+
+    Thresholds are PURE-INTEGER nearest-rank ranks ((q·N + 99) // 100 —
+    no float q·N whose last-ulp could flip ceil at exact multiples), and
+    they ride into the plan as literals from the prefix pass's free
+    totals. The percentile itself is MIN(value WHERE cum >= rank) — no
+    interpolation, no rounding, so the doubles match bit-for-bit
+    cross-engine. An all-NULL column returns an EMPTY frame (percentiles
+    of nothing are undefined), identically in both engines."""
+    v = events.filter(F.col("value").isNotNull()).select("value")
+    g = v.groupBy("value").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    c, totals = distributed_prefix_sums(g, ["value"], ["c"], ["cum"])
+    n = totals["c"]
+    spark = events.sparkSession
+    if n == 0:
+        return spark.createDataFrame(
+            [], "n_values long, p25 double, p50 double, p90 double, p99 double"
+        )
+    picks = [
+        F.min(F.when(F.col("cum") >= F.lit((q * n + 99) // 100), F.col("value"))).alias(
+            f"p{q}"
+        )
+        for q in (25, 50, 90, 99)
+    ]
+    return c.agg(*picks).select(
+        F.lit(n).cast("long").alias("n_values"),
+        F.col("p25").alias("p25"),
+        F.col("p50").alias("p50"),
+        F.col("p90").alias("p90"),
+        F.col("p99").alias("p99"),
+    )

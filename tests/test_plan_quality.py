@@ -669,6 +669,8 @@ def test_round8_second_batch_shuffle_budgets(spark, sf_dir):
         "rd1_readability": 0,
         "sil1_cluster_margins": 2,
         "ks1_value_drift": 2,
+        # same CDF shape as ks1: grid agg + <=1-row percentile probe
+        "pctl2_exact_value_percentiles": 2,
         "anon2_l_diversity": 3,
         "shard1_balanced_shards": 3,
         "lshrec1_recall_audit": 7,

@@ -1091,3 +1091,28 @@ def test_readability_crafted_doc_and_formula_identity(spark):
     )
     assert r1["flesch"] == expected
     assert rows[2]["n_sentences"] == 1
+
+
+def test_exact_percentiles_match_numpy_nearest_rank(spark):
+    """pctl2 equals numpy's nearest-rank percentile (sort, pick element
+    ceil(q*n) 1-indexed) on a crafted distribution with duplicates."""
+    import datetime
+    import math
+
+    from csv_crm_upload_spark.analytics.tpch import pctl2_exact_value_percentiles
+
+    ts = datetime.datetime(2024, 3, 1)
+    vals = [float(x) for x in [5, 1, 9, 1, 7, 3, 3, 3, 8, 2, 6, 4, 10, 2, 7]]
+    rows = [(i, ts, 0, "view", v, None) for i, v in enumerate(vals)]
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    out = pctl2_exact_value_percentiles(spark.createDataFrame(rows, schema)).first()
+    s = sorted(vals)
+    n = len(s)
+    for q, col in ((25, "p25"), (50, "p50"), (90, "p90"), (99, "p99")):
+        want = s[(q * n + 99) // 100 - 1]
+        assert out[col] == want, (q, out[col], want)
+    assert out["n_values"] == n
+
+    empty = [(0, ts, 0, "view", None, None)]
+    assert pctl2_exact_value_percentiles(spark.createDataFrame(empty, schema)).count() == 0
