@@ -261,7 +261,9 @@ _ROTATION_FRONT = [
     "anon2_l_diversity",
     "ks1_value_drift",
     "pctl2_exact_value_percentiles",
-    # slots 28-50: re-sample oracle-paired keys whose last driver
+    "bqrec1_binary_recall_audit",
+    "mi1_lang_source_mi",
+    # slots 30-50: re-sample oracle-paired keys whose last driver
     # CORRECTNESS row predates round 6 (oldest-checked first-ish),
     # spanning the big families: classifiers, LMs, dedup, TPC-H
     # partsupp five, graph, sampling, retrieval
@@ -287,9 +289,7 @@ _ROTATION_FRONT = [
     "split1_train_val_test",
     "coh1_weekly_retention",
     "dd2_dedup_corpus",
-    "mix2_quality_weighted_sample",
     "vq1_quantized_knn",
-    "bm25_1_search",
 ]
 
 
@@ -529,6 +529,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact global nearest-rank percentiles via distributed prefix sums
         "pctl2_exact_value_percentiles": lambda s, sf: (
             tpch.pctl2_exact_value_percentiles(_t("events")(s, sf))
+        ),
+        # recall@k of the 1-bit Hamming pass vs exact cosine (bq1's eval)
+        "bqrec1_binary_recall_audit": lambda s, sf: sim.bqrec1_binary_recall_audit(
+            _t("embeddings")(s, sf)
+        ),
+        # lang x source mutual-information decomposition (composition audit)
+        "mi1_lang_source_mi": lambda s, sf: ts.mi1_lang_source_mi(
+            _t("documents")(s, sf)
         ),
         # --- rotation window (slots 13-50), round 5: the six oracle-paired
         # queries that have never had a driver CORRECTNESS row lead the
@@ -5030,6 +5038,44 @@ def oracle_sql() -> dict[str, str]:
                MIN(CASE WHEN cum >= (90 * n + 99) // 100 THEN value END) AS p90,
                MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN value END) AS p99
         FROM cgrid, t WHERE n > 0 GROUP BY n
+    """
+
+
+    # bqrec1: lshrec1's discipline for the binary pass — both sides are
+    # the oracle-paired operators' SQL verbatim
+    q["bqrec1_binary_recall_audit"] = f"""
+        WITH exact AS ({q["sim_knn_bruteforce"]}),
+        bqk AS ({q["bq1_binary_hamming_knn"]})
+        SELECT e.query_id,
+               CAST(COUNT(*) AS BIGINT) AS n_exact,
+               CAST(COUNT(b.vec_id) AS BIGINT) AS n_hit,
+               round(CAST(COUNT(b.vec_id) AS DOUBLE) / COUNT(*), 6) AS recall_at_k
+        FROM exact e
+        LEFT JOIN bqk b ON b.query_id = e.query_id AND b.vec_id = e.vec_id
+        GROUP BY e.query_id ORDER BY e.query_id
+    """
+    # mi1: per-cell PMI contributions of the (lang, source) joint — one
+    # joint agg + bounded marginals; 9-dp contributions (ppl1 discipline)
+    q["mi1_lang_source_mi"] = """
+        WITH live AS (
+          SELECT lang, source FROM documents
+          WHERE text IS NOT NULL AND lang IS NOT NULL AND source IS NOT NULL
+        ),
+        j AS (
+          SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_xy
+          FROM live GROUP BY 1, 2
+        ),
+        mx AS (SELECT lang, CAST(SUM(n_xy) AS BIGINT) AS n_x FROM j GROUP BY 1),
+        my AS (SELECT source, CAST(SUM(n_xy) AS BIGINT) AS n_y FROM j GROUP BY 1),
+        t AS (SELECT CAST(COALESCE(SUM(n_xy), 0) AS BIGINT) AS n FROM j)
+        SELECT lang, source, n_xy,
+               round(CAST(n_xy AS DOUBLE) / n, 9) AS p_xy,
+               round((CAST(n_xy AS DOUBLE) / n)
+                     * log2((CAST(n_xy AS DOUBLE) / n)
+                            / ((CAST(n_x AS DOUBLE) / n) * (CAST(n_y AS DOUBLE) / n))), 9)
+                 AS mi_contrib_bits
+        FROM j JOIN mx USING (lang) JOIN my USING (source) CROSS JOIN t
+        ORDER BY lang, source
     """
 
     return q

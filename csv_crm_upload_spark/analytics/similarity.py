@@ -725,3 +725,35 @@ def bq1_binary_hamming_knn(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "hamming", "rank")
     )
+
+
+def bqrec1_binary_recall_audit(
+    embeddings: DataFrame, query_ids: list[int] | None = None, k: int = 5
+) -> DataFrame:
+    """Recall@k of the 1-bit Hamming pass (bq1) against exact cosine
+    brute-force — lshrec1's twin for the binary-quantization path: the
+    eval that decides whether the 32x-compressed coarse pass may feed
+    the re-ranker directly or needs a wider candidate pool. Same
+    composition discipline: both sides are the oracle-paired operators
+    verbatim; the exact side is the base relation so zero-overlap
+    queries report recall 0, not an absent row."""
+    if query_ids is None:
+        query_ids = list(range(10))
+    exact = knn_bruteforce(embeddings, query_ids, k).select("query_id", "vec_id")
+    approx = bq1_binary_hamming_knn(embeddings, query_ids, k).select(
+        "query_id", "vec_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(approx, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hit"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )

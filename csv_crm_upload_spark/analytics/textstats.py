@@ -2186,3 +2186,56 @@ def shard1_balanced_shards(documents: DataFrame, n_shards: int = 8) -> DataFrame
         )
         .orderBy("shard_id")
     )
+
+
+def mi1_lang_source_mi(documents: DataFrame) -> DataFrame:
+    """Mutual information between a document's language and its source
+    (bits) — the corpus-composition association audit: MI near 0 says
+    languages are spread evenly across sources (a balanced scrape);
+    high MI says language coverage is locked to specific sources, so
+    dropping one source silently drops a language. Returns the per-cell
+    PMI contributions plus the summable joint probability — the full
+    decomposition, so the MI total AND the dominating cells are one
+    readout.
+
+    One (lang, source) combining agg + two broadcast marginal joins
+    (|langs| and |sources| rows — both bounded domains); contribution =
+    p_xy·log2(p_xy/(p_x·p_y)) rounded 9 dp (the ppl1 discipline — the
+    reader's MI total is an order-free decimal sum away). NULL lang or
+    source rows are excluded identically in both engines (NULL is
+    absence-of-label, not a label)."""
+    live = documents.filter(
+        F.col("text").isNotNull()
+        & F.col("lang").isNotNull()
+        & F.col("source").isNotNull()
+    )
+    # |langs|·|sources| rows — pinning it means the marginals, the
+    # total, and the main join all scan the checkpoint instead of each
+    # re-planning the corpus agg (7 → 4 exchanges measured), and the
+    # total comes from the joint (Σ n_xy = |live|), not a second
+    # corpus pass
+    joint = (
+        live.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_xy"))
+        .localCheckpoint(eager=True)
+    )
+    n_total = joint.agg(F.sum("n_xy").cast("long").alias("n"))
+    mx = joint.groupBy("lang").agg(F.sum("n_xy").cast("long").alias("n_x"))
+    my = joint.groupBy("source").agg(F.sum("n_xy").cast("long").alias("n_y"))
+    p_xy = F.col("n_xy").cast("double") / F.col("n").cast("double")
+    p_x = F.col("n_x").cast("double") / F.col("n").cast("double")
+    p_y = F.col("n_y").cast("double") / F.col("n").cast("double")
+    contrib = F.round(p_xy * F.log2(p_xy / (p_x * p_y)), 9)
+    return (
+        joint.join(F.broadcast(mx), "lang")
+        .join(F.broadcast(my), "source")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "lang",
+            "source",
+            "n_xy",
+            F.round(p_xy, 9).alias("p_xy"),
+            contrib.alias("mi_contrib_bits"),
+        )
+        .orderBy("lang", "source")
+    )

@@ -671,6 +671,12 @@ def test_round8_second_batch_shuffle_budgets(spark, sf_dir):
         "ks1_value_drift": 2,
         # same CDF shape as ks1: grid agg + <=1-row percentile probe
         "pctl2_exact_value_percentiles": 2,
+        # joint agg + two bounded marginal rollups + result order; the
+        # 1-row total and both marginals ride in as broadcasts
+        "mi1_lang_source_mi": 5,
+        # composition: exact top-k window + bq1's top-k window + the
+        # recall join re-exchanges + rollup + result order
+        "bqrec1_binary_recall_audit": 6,
         "anon2_l_diversity": 3,
         "shard1_balanced_shards": 3,
         "lshrec1_recall_audit": 7,

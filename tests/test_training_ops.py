@@ -1116,3 +1116,61 @@ def test_exact_percentiles_match_numpy_nearest_rank(spark):
 
     empty = [(0, ts, 0, "view", None, None)]
     assert pctl2_exact_value_percentiles(spark.createDataFrame(empty, schema)).count() == 0
+
+
+def test_mutual_information_independence_zero_dependence_log2(spark):
+    """mi1: an independent (lang, source) joint has every PMI
+    contribution 0; a perfectly dependent one (each lang locked to one
+    source, uniform) sums to log2(k) bits exactly."""
+    import math
+
+    from csv_crm_upload_spark.analytics.textstats import mi1_lang_source_mi
+
+    # independent: every (lang, source) cell has the same count
+    indep = [
+        (i, "t", lang, src, 0)
+        for i, (lang, src) in enumerate(
+            (l, s) for l in ("en", "fr") for s in ("web", "wiki") for _ in range(5)
+        )
+    ]
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    out = mi1_lang_source_mi(spark.createDataFrame(indep, cols)).collect()
+    assert all(r["mi_contrib_bits"] == 0.0 for r in out)
+
+    # dependent: lang i appears ONLY in source i, 4 langs uniform
+    dep = [
+        (i, "t", f"l{i % 4}", f"s{i % 4}", 0) for i in range(40)
+    ]
+    out2 = mi1_lang_source_mi(spark.createDataFrame(dep, cols)).collect()
+    total = sum(r["mi_contrib_bits"] for r in out2)
+    assert abs(total - math.log2(4)) < 1e-6
+
+
+def test_binary_recall_audit_bounds(spark):
+    """bqrec1: recall in [0,1], n_hit <= n_exact <= k, one row per valid
+    query; a planted exact duplicate of a query is rank-1 in BOTH the
+    exact and Hamming orders (identical signs -> distance 0), so that
+    query's n_hit >= 1."""
+    import random
+    import struct
+
+    from csv_crm_upload_spark.analytics.similarity import bqrec1_binary_recall_audit
+
+    rng = random.Random(3)
+
+    def vec():
+        return [
+            struct.unpack("f", struct.pack("f", rng.random() * 2 - 1))[0]
+            for _ in range(8)
+        ]
+
+    vs = [vec() for _ in range(25)]
+    vs[20] = list(vs[1])
+    emb = spark.createDataFrame(
+        [(i, vs[i], i % 3) for i in range(25)], ["vec_id", "embedding", "label"]
+    )
+    rows = {r["query_id"]: r for r in bqrec1_binary_recall_audit(emb, query_ids=[0, 1]).collect()}
+    assert set(rows) == {0, 1}
+    for r in rows.values():
+        assert 0 <= r["n_hit"] <= r["n_exact"] <= 5
+    assert rows[1]["n_hit"] >= 1
