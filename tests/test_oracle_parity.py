@@ -75,3 +75,21 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
     assert df.columns == ["id", "first_name", "last_name", "email", "phone"]
+
+
+def test_rotation_front_keys_exist_and_window_is_full():
+    """_ROTATION_FRONT drives which queries the driver's 50-row
+    CORRECTNESS window samples. A typo'd key silently drops out of the
+    reorder (the filter keeps only known keys), shrinking the window —
+    this pins that every listed key exists, the list is duplicate-free,
+    and the first 50 queries() entries are 50 DISTINCT keys."""
+    front = entrymod._ROTATION_FRONT
+    names = list(QUERIES)
+    missing = [k for k in front if k not in QUERIES]
+    assert not missing, f"_ROTATION_FRONT keys not in queries(): {missing}"
+    assert len(front) == len(set(front)), "duplicate keys in _ROTATION_FRONT"
+    assert len(set(names[:50])) == 50
+    # every oracle key must have a queries() entry (a dangling oracle is
+    # a dead driver row)
+    dangling = [k for k in ORACLES if k not in QUERIES]
+    assert not dangling, f"oracle_sql keys without queries(): {dangling}"
