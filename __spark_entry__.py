@@ -321,7 +321,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     five rank-plan rewrites (23-27: distributed_grouped_rank /
     distributed rank cuts / q15 max-semi-join, same oracles), and the
     eight round-7 operators gq1/xsd1/drm1/prep3/mmr1/auc1/cart1/rho1
-    (28-35)."""
+    (28-35). Round 8: slots 13-29 are the seventeen round-8 operators
+    (lex1/heaps1/cov1/tfidf1/js1/ccnet1/cal1/bq1, lshrec1/sil1,
+    rd1/shard1/anon2/ks1/pctl2, bqrec1/mi1 — first driver contact);
+    slots 30-50 re-sample oracle-paired keys whose last driver row
+    predates round 6."""
     q = {
         # reference-faithful core (SURVEY §2 ids) — pinned slots 1-12
         "s1_scan_customer": q_s1_scan_customer,
