@@ -263,7 +263,10 @@ _ROTATION_FRONT = [
     "pctl2_exact_value_percentiles",
     "bqrec1_binary_recall_audit",
     "mi1_lang_source_mi",
-    # slots 30-50: re-sample oracle-paired keys whose last driver
+    # vq1's oracle materially changed this round (ragged-width CTE) —
+    # it needs a fresh driver row, so it rides with the round-8 block
+    "vq1_quantized_knn",
+    # slots 31-50: re-sample oracle-paired keys whose last driver
     # CORRECTNESS row predates round 6 (oldest-checked first-ish),
     # spanning the big families: classifiers, LMs, dedup, TPC-H
     # partsupp five, graph, sampling, retrieval
@@ -287,9 +290,6 @@ _ROTATION_FRONT = [
     "q20_potential_promotion",
     "anon1_k_anonymity",
     "split1_train_val_test",
-    "coh1_weekly_retention",
-    "dd2_dedup_corpus",
-    "vq1_quantized_knn",
 ]
 
 
@@ -956,10 +956,12 @@ _H60 = "('0x' || substr(md5({expr}), 1, 15))::BIGINT"
 _VALID_EMB = (
     "embedding IS NOT NULL AND len(embedding) > 0"
     " AND len(list_filter(embedding, x -> x <> 0)) > 0"
+    " AND len(list_filter(embedding, x -> x IS NULL)) = 0"
 )
 _VALID_EMB_E = (
     "e.embedding IS NOT NULL AND len(e.embedding) > 0"
     " AND len(list_filter(e.embedding, x -> x <> 0)) > 0"
+    " AND len(list_filter(e.embedding, x -> x IS NULL)) = 0"
 )
 
 # fit-width gate for the kmeans-family fits (mirror of the Spark side's
@@ -1907,7 +1909,9 @@ def oracle_sql() -> dict[str, str]:
                CAST(len(embedding) AS INT) AS dim,
                round(list_min(list_transform(embedding, x -> x::DOUBLE)), 6) AS min_val,
                round(list_max(list_transform(embedding, x -> x::DOUBLE)), 6) AS max_val,
-               round(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))), 6) AS l2_norm
+               CASE WHEN len(list_filter(embedding, x -> x IS NULL)) = 0
+                    THEN round(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))), 6)
+               END AS l2_norm
         FROM embeddings
     """
 
@@ -2145,7 +2149,7 @@ def oracle_sql() -> dict[str, str]:
     """
     q["emb_label_centroids"] = """
         SELECT label, CAST(r.i AS INT) AS dim,
-               round(avg(embedding[r.i + 1]::DOUBLE), 6) AS centroid_v,
+               round(avg(embedding[r.i + 1]::DOUBLE), 6) + 0.0 AS centroid_v,
                CAST(COUNT(*) AS BIGINT) AS n_vecs
         FROM embeddings, UNNEST(range(0, len(embedding))) AS r(i)
         GROUP BY 1, 2 ORDER BY 1, 2
@@ -2900,11 +2904,11 @@ def oracle_sql() -> dict[str, str]:
           AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 7500.0)
     """
 
-    q["vq1_quantized_knn"] = """
+    q["vq1_quantized_knn"] = f"""
         WITH ex AS (
           SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
                  unnest(embedding) AS val
-          FROM embeddings
+          FROM embeddings WHERE {_VALID_EMB}
         ),
         stats AS (
           SELECT pos, MIN(CAST(val AS DOUBLE)) AS mn, MAX(CAST(val AS DOUBLE)) AS mx
@@ -2923,7 +2927,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         widths AS (
           SELECT vec_id, len(embedding) AS d FROM embeddings
-          WHERE embedding IS NOT NULL
+          WHERE {_VALID_EMB}
         ),
         scored AS (
           -- width-mismatched pairs are EXCLUDED (the positional join
@@ -4903,13 +4907,14 @@ def oracle_sql() -> dict[str, str]:
           FROM f CROSS JOIN it2 w
         )
         SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
-               round(CAST(SUM(CAST(p AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS mean_p,
-               round(CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+               CAST(SUM(CAST(round(p * 1000000000, 0) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) / 1000000000.0 AS mean_p,
+               CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
                  AS pos_rate,
-               round(abs(
-                 round(CAST(SUM(CAST(p AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6)
-                 - round(CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
-               ), 6) AS abs_gap
+               abs(CAST(SUM(CAST(round(p * 1000000000, 0) AS BIGINT)) AS DOUBLE)
+                     / COUNT(*) / 1000000000.0
+                   - CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*)) AS abs_gap
         FROM (SELECT *, CAST(least(floor(p * 10), 9) AS INT) AS bin FROM cscored)
         GROUP BY bin ORDER BY bin
     """

@@ -76,12 +76,16 @@ def kmeans_assignments(
     from csv_crm_upload_spark.analytics.similarity import valid_vectors
 
     embeddings = valid_vectors(embeddings)
-    dim = len(embeddings.select("embedding").first()["embedding"])
-    # the fit is defined over the FIT WIDTH (the first valid vector's,
-    # deterministic): a ragged row would dot against centroids as NULL
-    # in Spark (zip_with pads) but as a PARTIAL sum in DuckDB (list_sum
-    # skips out-of-range NULLs) — exclusion is the only stable
-    # cross-engine semantics (round-8 property fuzzer)
+    # the fit is defined over the FIT WIDTH — the MIN-vec_id valid
+    # vector's, matching the oracle's ORDER BY vec_id LIMIT 1 (a bare
+    # .first() is partition order, which diverges on multi-file scans):
+    # a ragged row would dot against centroids as NULL in Spark
+    # (zip_with pads) but as a PARTIAL sum in DuckDB (list_sum skips
+    # out-of-range NULLs) — exclusion is the only stable cross-engine
+    # semantics (round-8 property fuzzer)
+    dim = len(
+        embeddings.orderBy("vec_id").select("embedding").first()["embedding"]
+    )
     embeddings = embeddings.filter(F.size("embedding") == dim)
     cent = _fitted_centroids(embeddings, k, iters, dim)
     return _assign(embeddings, cent)
@@ -195,7 +199,8 @@ def sil1_cluster_margins(
     from csv_crm_upload_spark.analytics.similarity import valid_vectors
 
     emb = valid_vectors(embeddings)
-    dim = len(emb.select("embedding").first()["embedding"])
+    # min-vec_id row's width ≡ the oracle's _FIT_W (see kmeans_assignments)
+    dim = len(emb.orderBy("vec_id").select("embedding").first()["embedding"])
     emb = emb.filter(F.size("embedding") == dim)  # fit-width rows only
     cent = _fitted_centroids(emb, k, iters, dim)
     sims = F.array(*[F.round(_dot_lit(F.col("embedding"), v), 6) for _cid, v in cent])

@@ -313,24 +313,27 @@ def cal1_calibration_bins(documents: DataFrame, iters: int = 2) -> DataFrame:
         p.alias("p"),
         "y",
     )
+    # NO post-division rounding anywhere (the kmeans1/sil1 half-way
+    # class): mean_p = exact nano-unit integer sum (p is 9-dp, so p·1e9
+    # rounds to an exact BIGINT both engines) divided twice in IEEE;
+    # pos_rate = raw int/int double division; abs_gap = |difference| of
+    # two already-identical doubles — every column matches bit-for-bit
     out = (
         binned.groupBy("bin")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
-            F.round(
-                F.sum(F.col("p").cast("decimal(18,9)")).cast("double")
-                / F.count(F.lit(1)).cast("double"),
-                6,
+            (
+                F.sum(F.round(F.col("p") * F.lit(1000000000.0), 0).cast("long"))
+                .cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1000000000.0)
             ).alias("mean_p"),
-            F.round(
+            (
                 F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0)).cast("double")
-                / F.count(F.lit(1)).cast("double"),
-                6,
+                / F.count(F.lit(1)).cast("double")
             ).alias("pos_rate"),
         )
-        .withColumn(
-            "abs_gap", F.round(F.abs(F.col("mean_p") - F.col("pos_rate")), 6)
-        )
+        .withColumn("abs_gap", F.abs(F.col("mean_p") - F.col("pos_rate")))
         .orderBy("bin")
         .localCheckpoint(eager=True)  # <= 10 rows
     )

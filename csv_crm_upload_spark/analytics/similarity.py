@@ -262,6 +262,11 @@ def valid_vectors(embeddings: DataFrame) -> DataFrame:
         F.col("embedding").isNotNull()
         & (F.size("embedding") > 0)
         & F.exists("embedding", lambda x: x != 0)
+        # a vector CONTAINING NULL components is corrupt too: Spark's
+        # zip_with/aggregate dots go NULL while DuckDB's list_sum skips
+        # the NULL term (partial dot) — same divergence class as the
+        # ragged width, same remedy (round-8 review)
+        & ~F.exists("embedding", lambda x: x.isNull())
     )
 
 
@@ -375,8 +380,15 @@ def arr1_embedding_stats(embeddings: DataFrame) -> DataFrame:
         F.round(F.array_min(F.transform(emb, lambda x: x.cast("double"))), 6).alias("min_val"),
         F.round(F.array_max(F.transform(emb, lambda x: x.cast("double"))), 6).alias("max_val"),
         # empty vector → NULL like min/max (the fold alone would say
-        # 0.0 where the oracle's list_sum says NULL)
-        F.when(F.size(emb) > 0, F.round(_norm(emb), 6)).alias("l2_norm"),
+        # 0.0 where the oracle's list_sum says NULL); a NULL COMPONENT
+        # also reports NULL — Spark's fold NULL-poisons while DuckDB's
+        # list_sum skips the term, so the diagnostic value for a
+        # corrupt vector is NULL in both engines, not an engine-
+        # dependent partial norm (round-8 fuzzer)
+        F.when(
+            (F.size(emb) > 0) & ~F.exists(emb, lambda x: x.isNull()),
+            F.round(_norm(emb), 6),
+        ).alias("l2_norm"),
     )
 
 
@@ -396,6 +408,7 @@ def vq_codes(embeddings: DataFrame) -> DataFrame:
     identical arithmetic in the DuckDB oracle — and all downstream
     scoring is INTEGER, so results hash-compare exactly.
     """
+    embeddings = valid_vectors(embeddings)  # corrupt rows code to absence
     dims = (
         embeddings.select(F.posexplode("embedding").alias("pos", "val"))
         .groupBy("pos")

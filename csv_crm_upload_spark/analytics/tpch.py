@@ -864,7 +864,12 @@ def emb_label_centroids(embeddings: DataFrame) -> DataFrame:
     return (
         exploded.groupBy("label", "dim")
         .agg(
-            F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_v"),
+            # + 0.0 normalizes IEEE -0.0 (engine-dependent sign when a
+            # cell averages to exactly zero — e.g. an all-zero vector
+            # rider dominating a small label)
+            (F.round(F.avg(F.col("v").cast("double")), 6) + F.lit(0.0)).alias(
+                "centroid_v"
+            ),
             F.count(F.lit(1)).alias("n_vecs"),
         )
         .orderBy("label", "dim")

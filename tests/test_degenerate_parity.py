@@ -169,8 +169,9 @@ def _build_fixture(dir_: str) -> None:
     # 20 ALL-ZERO vector (norm 0 — divides every unguarded cosine by
     # zero, an ANSI job abort); 21 WRONG-WIDTH vector (Spark's zip_with
     # NULL-pads it while DuckDB's list_sum computes a partial dot —
-    # exclusion is the only cross-engine-stable semantics). Both found
-    # by the round-8 property fuzzer; pinned here forever.
+    # exclusion is the only cross-engine-stable semantics); 22 vector
+    # with a NULL COMPONENT (same divergence class: NULL-poisoned dot
+    # vs skipped term). All found by round-8 fuzzing/review; pinned.
     con.execute(f"""
         COPY (SELECT CAST(i AS BIGINT) AS vec_id,
                      CASE WHEN i = 17 THEN NULL
@@ -182,12 +183,14 @@ def _build_fixture(dir_: str) -> None:
                           WHEN i = 21 THEN [CAST(0.5 AS FLOAT), -0.25, 0.75,
                                             0.5, -0.5, 0.25, 0.125, -0.125,
                                             0.375, 0.625, -0.375]
+                          WHEN i = 22 THEN [CAST(0.5 AS FLOAT), NULL, 0.75,
+                                            0.5, -0.5, 0.25, 0.125, -0.125]
                           ELSE list_transform(range(0, 8),
                                d -> CAST(0.1 * ((i * 7 + d * 13) % 23 - 11)
                                          AS FLOAT))
                      END AS embedding,
                      CAST(CASE WHEN i = 16 THEN 9 ELSE i % 3 END AS INT) AS label
-              FROM range(22) t(i))
+              FROM range(23) t(i))
         TO '{dir_}/embeddings.parquet' (FORMAT PARQUET)
     """)
     con.close()

@@ -126,4 +126,4 @@ def test_calibration_bins_partition_the_corpus(spark, sf_dir):
         lo, hi = r["bin"] / 10.0, (r["bin"] + 1) / 10.0 if r["bin"] < 9 else 1.0 + 1e-9
         assert lo - 1e-6 <= r["mean_p"] <= hi + 1e-6, r
         assert 0.0 <= r["pos_rate"] <= 1.0
-        assert abs(r["abs_gap"] - round(abs(r["mean_p"] - r["pos_rate"]), 6)) < 1e-9
+        assert r["abs_gap"] == abs(r["mean_p"] - r["pos_rate"])

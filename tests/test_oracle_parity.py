@@ -88,6 +88,10 @@ def test_rotation_front_keys_exist_and_window_is_full():
     missing = [k for k in front if k not in QUERIES]
     assert not missing, f"_ROTATION_FRONT keys not in queries(): {missing}"
     assert len(front) == len(set(front)), "duplicate keys in _ROTATION_FRONT"
+    assert 12 + len(front) <= 50, (
+        f"front ({len(front)}) overflows the 50-slot window: the tail "
+        "entries would silently fall outside the driver's sample"
+    )
     assert len(set(names[:50])) == 50
     # every oracle key must have a queries() entry (a dangling oracle is
     # a dead driver row)

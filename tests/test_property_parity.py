@@ -27,8 +27,9 @@ DECIMAL discipline, which this suite stress-tests by design.
 
 Generation invariants (the SANE floor the degenerate suite documents):
 vec_ids 0..9 are always valid same-width vectors (the ANN query set),
->= 12 valid vectors exist (k-means/prune fits), >= 2 non-NULL langs and
-sources exist, and doc_ids/event_ids are dense.
+>= 16 valid vectors exist (the PQ codebook fit's documented minimum;
+k-means/prune need fewer), >= 2 non-NULL langs and sources exist, and
+doc_ids/event_ids are dense.
 """
 
 from __future__ import annotations
@@ -352,7 +353,7 @@ def _build_fuzz_fixture(dir_: str, seed: int) -> None:
     # --- embeddings: vec_ids 0..9 always valid dim-8 (the ANN query
     #     set); >= 12 valid total; riders: NULL, empty, wrong-width,
     #     ZERO vector (0/0 cosine), exact duplicate pair ---
-    n_vecs = rng.randint(20, 32)
+    n_vecs = rng.randint(24, 32)  # 6 corrupt riders; PQ fit needs >=16 valid
     dim = 8
 
     # FULL-PRECISION float32 components, deliberately NOT a coarse
@@ -373,12 +374,14 @@ def _build_fuzz_fixture(dir_: str, seed: int) -> None:
         ]
 
     vecs: list = [_vec() for _ in range(n_vecs)]
-    slots = rng.sample(range(10, n_vecs), 5)
+    slots = rng.sample(range(10, n_vecs), 6)
     vecs[slots[0]] = None
     vecs[slots[1]] = []
     vecs[slots[2]] = [rng.randint(-64, 64) * _Q32 for _ in range(dim + 3)]
     vecs[slots[3]] = [0.0] * dim
     vecs[slots[4]] = list(vecs[rng.randrange(10)])  # duplicate of a query vec
+    vecs[slots[5]] = _vec()
+    vecs[slots[5]][rng.randrange(dim)] = None  # NULL component rider
     labels = [rng.randrange(3) for _ in range(n_vecs)]
     labels[rng.randrange(n_vecs)] = 9  # single-member label
     write(
@@ -386,7 +389,10 @@ def _build_fuzz_fixture(dir_: str, seed: int) -> None:
         {
             "vec_id": list(range(n_vecs)),
             "embedding": [
-                None if v is None else [float(x) for x in v] for v in vecs
+                None
+                if v is None
+                else [None if x is None else float(x) for x in v]
+                for v in vecs
             ],
             "label": labels,
         },
