@@ -1161,9 +1161,12 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1), 6) AS punct_ratio,
                round(CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1), 6) AS stopword_ratio,
                round(CAST(n_chars - n_tokens + 1 AS DOUBLE) / greatest(n_tokens, 1), 6) AS mean_token_len,
-               round(CASE WHEN n_tokens < 5 THEN 0.0
-                     ELSE least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
-                          * (1.0 - round(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1), 6)) END, 6) AS quality_score
+               CASE WHEN n_tokens < 5 THEN 0.0
+                    ELSE ((CAST(least(n_tokens, 100) AS BIGINT)
+                           * (1000000 - CAST(round(round(CAST(n_punct AS DOUBLE)
+                                                         / greatest(n_chars, 1), 6)
+                                                   * 1000000, 0) AS BIGINT))
+                           + 50) // 100) / 1000000.0 END AS quality_score
         FROM base
     """
     # list_sum convention: DuckDB's list_sum over an EMPTY list is NULL
@@ -2797,10 +2800,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         scored AS (
           SELECT doc_id, source, text,
-                 round(CASE WHEN CAST(len({_RAW_TOKS}) AS INT) < 5 THEN 0.0
-                       ELSE least(1.0, CAST(len({_RAW_TOKS}) AS DOUBLE) / 100.0)
-                            * (1.0 - round(CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
-                                           / greatest(length(text), 1), 6)) END, 6) AS quality_score,
+                 CASE WHEN CAST(len({_RAW_TOKS}) AS INT) < 5 THEN 0.0
+                      ELSE ((CAST(least(len({_RAW_TOKS}), 100) AS BIGINT)
+                             * (1000000 - CAST(round(round(CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                                                           / greatest(length(text), 1), 6)
+                                                     * 1000000, 0) AS BIGINT))
+                             + 50) // 100) / 1000000.0 END AS quality_score,
                  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)
                    / 1152921504606846976.0 AS g,
                  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS sgate
@@ -2847,10 +2852,12 @@ def oracle_sql() -> dict[str, str]:
     q["mix2_quality_weighted_sample"] = f"""
         WITH scored AS (
           SELECT doc_id, source,
-                 round(CASE WHEN CAST(len({_RAW_TOKS}) AS INT) < 5 THEN 0.0
-                       ELSE least(1.0, CAST(len({_RAW_TOKS}) AS DOUBLE) / 100.0)
-                            * (1.0 - round(CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
-                                           / greatest(length(text), 1), 6)) END, 6) AS quality_score,
+                 CASE WHEN CAST(len({_RAW_TOKS}) AS INT) < 5 THEN 0.0
+                      ELSE ((CAST(least(len({_RAW_TOKS}), 100) AS BIGINT)
+                             * (1000000 - CAST(round(round(CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                                                           / greatest(length(text), 1), 6)
+                                                     * 1000000, 0) AS BIGINT))
+                             + 50) // 100) / 1000000.0 END AS quality_score,
                  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)
                    / 1152921504606846976.0 AS g
           FROM documents
@@ -4193,10 +4200,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         scored AS (
           SELECT doc_id, source, text,
-                 round(CASE WHEN CAST(len({_RAW_TOKS}) AS INT) < 5 THEN 0.0
-                       ELSE least(1.0, CAST(len({_RAW_TOKS}) AS DOUBLE) / 100.0)
-                            * (1.0 - round(CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
-                                           / greatest(length(text), 1), 6)) END, 6)
+                 CASE WHEN CAST(len({_RAW_TOKS}) AS INT) < 5 THEN 0.0
+                      ELSE ((CAST(least(len({_RAW_TOKS}), 100) AS BIGINT)
+                             * (1000000 - CAST(round(round(CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                                                           / greatest(length(text), 1), 6)
+                                                     * 1000000, 0) AS BIGINT))
+                             + 50) // 100) / 1000000.0 END
                    AS quality_score,
                  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)
                    / 1152921504606846976.0 AS g,

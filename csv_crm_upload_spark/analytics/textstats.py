@@ -46,12 +46,20 @@ def _quality_score_expr() -> F.Column:
     n_chars = F.length("text")
     n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^\w\s]"), 0))
     punct_ratio = F.round(n_punct.cast("double") / F.greatest(n_chars, F.lit(1)), 6)
-    return F.round(
-        F.when(n_tokens < 5, 0.0)
-        .otherwise(
-            F.least(F.lit(1.0), n_tokens.cast("double") / 100.0) * (F.lit(1.0) - punct_ratio)
-        ),
-        6,
+    # EXACT-integer form of round(min(n,100)/100 * (1 - p6), 6): with
+    # p6 a 6-dp value, the product has <= 8 decimal digits, so e.g.
+    # n=15, p6=0.02439 lands EXACTLY on 0.1463415 — a half-way point
+    # where Spark's HALF_UP and DuckDB's double round() disagree (found
+    # by fuzz seed 123). score_e8 = min(n,100)·(1e6 − p6·1e6) is an
+    # exact int64 <= 1e8; (score_e8 + 50) div 100 is decimal HALF_UP at
+    # 6 dp in pure integer arithmetic, identical in both engines.
+    p6_e6 = F.round(punct_ratio * F.lit(1000000.0), 0).cast("long")
+    score_e8 = F.least(n_tokens, F.lit(100)).cast("long") * (
+        F.lit(1000000).cast("long") - p6_e6
+    )
+    return F.when(n_tokens < 5, F.lit(0.0)).otherwise(
+        F.floor((score_e8 + F.lit(50)).cast("double") / F.lit(100.0)).cast("double")
+        / F.lit(1000000.0)
     )
 
 
