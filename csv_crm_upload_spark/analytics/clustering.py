@@ -83,9 +83,19 @@ def kmeans_assignments(
     # (zip_with pads) but as a PARTIAL sum in DuckDB (list_sum skips
     # out-of-range NULLs) — exclusion is the only stable cross-engine
     # semantics (round-8 property fuzzer)
-    dim = len(
-        embeddings.orderBy("vec_id").select("embedding").first()["embedding"]
-    )
+    fit_row = embeddings.orderBy("vec_id").select("embedding").first()
+    if fit_row is None:
+        # corrupt-only corpus: zero valid vectors. The oracle returns an
+        # empty result; degrading to the same empty frame (instead of
+        # indexing into None and aborting the job) is this operator's
+        # documented never-abort guard (r8 advice).
+        return embeddings.select(
+            "vec_id",
+            "embedding",
+            F.lit(None).cast("int").alias("cluster_id"),
+            F.lit(None).cast("double").alias("sim"),
+        )
+    dim = len(fit_row["embedding"])
     embeddings = embeddings.filter(F.size("embedding") == dim)
     cent = _fitted_centroids(embeddings, k, iters, dim)
     return _assign(embeddings, cent)
@@ -200,7 +210,17 @@ def sil1_cluster_margins(
 
     emb = valid_vectors(embeddings)
     # min-vec_id row's width ≡ the oracle's _FIT_W (see kmeans_assignments)
-    dim = len(emb.orderBy("vec_id").select("embedding").first()["embedding"])
+    fit_row = emb.orderBy("vec_id").select("embedding").first()
+    if fit_row is None:
+        # zero valid vectors: degrade to the oracle's empty result (emb
+        # is already empty here) instead of indexing None (r8 advice)
+        return emb.select(
+            F.lit(None).cast("int").alias("cluster_id"),
+            F.lit(None).cast("bigint").alias("n_members"),
+            F.lit(None).cast("double").alias("mean_margin"),
+            F.lit(None).cast("double").alias("min_margin"),
+        )
+    dim = len(fit_row["embedding"])
     emb = emb.filter(F.size("embedding") == dim)  # fit-width rows only
     cent = _fitted_centroids(emb, k, iters, dim)
     sims = F.array(*[F.round(_dot_lit(F.col("embedding"), v), 6) for _cid, v in cent])

@@ -304,43 +304,101 @@ def ppl1_model_logloss(documents: DataFrame, path: str) -> DataFrame:
     )
 
 
+def _probe_bigrams(documents: DataFrame) -> DataFrame:
+    """(doc_id, bg_h, p_h, w_h, c) — the probe's bigram instance counts
+    WITH both component-token hashes derived from the tokens themselves
+    (not by re-splitting the \\x01-joined gram: norm_tokens splits on
+    ' ' only, so an adversarial token CAN contain \\x01 and a re-split
+    would mis-segment it). bg_h is md5_60 of the identical
+    _word_ngrams(toks, 2) join — concat_ws('\\x01', prev, w) over the
+    2-token window — so it matches the stored bigram keys bit-exactly."""
+    toks = norm_tokens()
+    starts = F.sequence(F.lit(1), F.size(toks) - 1)
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            starts,
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("prev"),
+                F.element_at(toks, i + 1).alias("w"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,w:string>>"))
+    return (
+        documents.filter(F.col("text").isNotNull())
+        .select("doc_id", F.explode(pairs).alias("g"))
+        .groupBy(
+            "doc_id",
+            md5_60(F.concat_ws("\x01", F.col("g.prev"), F.col("g.w"))).alias(
+                "bg_h"
+            ),
+            md5_60(F.col("g.prev")).alias("p_h"),
+            md5_60(F.col("g.w")).alias("w_h"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
 def ppl2_model_logloss(documents: DataFrame, path: str) -> DataFrame:
     """Per-doc Laplace bigram log-loss under the PERSISTED LM —
     textstats.ppl2_bigram_logloss with stored counts: the prefix
     marginal c(prev,·) is a re-combine of the stored bigram table and
-    the vocabulary size V is the stored unigram table's row count."""
+    the vocabulary size V is the stored unigram table's row count.
+
+    Unseen bigrams whose BOTH tokens are in-vocabulary score via the
+    smoothed formula itself — c(prev,w) coalesced to 0, c(prev,·)
+    coalesced to 0 (a vocab token never seen as a prefix still gets the
+    Laplace floor 1/(0+V)) — because add-1 smoothing exists precisely to
+    give unseen-but-in-vocab bigrams finite probability; excluding them
+    understated a foreign probe's loss (r8 advice). `n_oov` counts only
+    bigrams the model truly cannot score: either token absent from the
+    stored vocabulary (V doesn't cover it). On a self-probe every bigram
+    is seen and both tokens are in-vocab, so this is value-identical to
+    the inline twin (test-pinned)."""
     spark = documents.sparkSession
-    grams = documents.filter(F.col("text").isNotNull()).select(
-        "doc_id", F.explode(_word_ngrams(norm_tokens(), 2)).alias("bg")
+    per_doc = _probe_bigrams(documents)
+    bgc = load_bigram_counts(spark, path).select(
+        "bg_h", F.col("n").alias("c_bg")
     )
-    per_doc = grams.groupBy("doc_id", md5_60(F.col("bg")).alias("bg_h")).agg(
-        F.count(F.lit(1)).alias("c")
+    prev_counts = (
+        load_bigram_counts(spark, path)
+        .groupBy(F.col("prev_h").alias("p_h"))
+        .agg(F.sum("n").alias("c_prev"))
     )
-    bgc = load_bigram_counts(spark, path).withColumnRenamed("n", "c_bg")
-    prev_counts = bgc.groupBy("prev_h").agg(F.sum("c_bg").alias("c_prev"))
-    vocab = load_unigram_counts(spark, path).agg(F.count(F.lit(1)).alias("v"))
-    seen = F.col("c_bg").isNotNull()
+    uni = load_unigram_counts(spark, path)
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+    prev_iv = uni.select(
+        F.col("tok_h").alias("p_h"), F.lit(True).alias("prev_iv")
+    )
+    w_iv = uni.select(F.col("tok_h").alias("w_h"), F.lit(True).alias("w_iv"))
+    scoreable = F.coalesce(F.col("prev_iv"), F.lit(False)) & F.coalesce(
+        F.col("w_iv"), F.lit(False)
+    )
     bits = F.round(
         -F.log2(
-            (F.col("c_bg") + 1).cast("double")
-            / (F.col("c_prev") + F.col("v")).cast("double")
+            (F.coalesce(F.col("c_bg"), F.lit(0)) + 1).cast("double")
+            / (F.coalesce(F.col("c_prev"), F.lit(0)) + F.col("v")).cast(
+                "double"
+            )
         ),
         9,
     ).cast("decimal(20,12)")
-    contrib = F.when(seen, F.col("c").cast("decimal(12,0)") * bits)
+    contrib = F.when(scoreable, F.col("c").cast("decimal(12,0)") * bits)
     return (
         per_doc.join(bgc, "bg_h", "left")
-        .join(prev_counts, "prev_h", "left")
+        .join(prev_counts, "p_h", "left")
+        .join(prev_iv, "p_h", "left")
+        .join(w_iv, "w_h", "left")
         .crossJoin(F.broadcast(vocab))
         .groupBy("doc_id")
         .agg(
-            F.coalesce(F.sum(F.when(seen, F.col("c"))), F.lit(0))
+            F.coalesce(F.sum(F.when(scoreable, F.col("c"))), F.lit(0))
             .cast("long")
             .alias("n_bigrams"),
             F.coalesce(F.sum(contrib).cast("double"), F.lit(0.0)).alias(
                 "total_bits"
             ),
-            F.coalesce(F.sum(F.when(~seen, F.col("c"))), F.lit(0))
+            F.coalesce(F.sum(F.when(~scoreable, F.col("c"))), F.lit(0))
             .cast("long")
             .alias("n_oov"),
         )
@@ -352,22 +410,31 @@ def kn1_model_logloss(documents: DataFrame, path: str) -> DataFrame:
     """Per-doc interpolated Kneser-Ney bigram log-loss under the
     PERSISTED LM — textstats.kn1_kneser_ney_logloss with every
     statistic (c(prev,w), c(prev,·), N1+(prev,·), N1+(·,w), |types|)
-    derived from the stored SUMMED bigram table, D = 0.75."""
+    derived from the stored SUMMED bigram table, D = 0.75.
+
+    Unseen bigrams score via KN's own backoff whenever the model CAN
+    back off — prev seen as a prefix (c(prev,·) > 0, so the discount
+    mass λ(prev) is defined) and w seen as a continuation
+    (N1+(·,w) > 0, so p_cont(w) > 0): c(prev,w) coalesces to 0 and the
+    discounted term floors at 0 via GREATEST, leaving
+    λ(prev)·p_cont(w) — the backoff mass KN reserves for exactly these
+    bigrams; excluding them discarded the smoothing and understated a
+    foreign probe's loss (r8 advice). `n_oov` counts only bigrams the
+    model truly cannot score finitely: prev never a prefix (no backoff
+    weight) or w never a continuation (p_cont = 0 ⇒ −log2 = ∞). On a
+    self-probe every bigram is seen, which implies both joins hit, so
+    this is value-identical to the inline twin (test-pinned)."""
     spark = documents.sparkSession
-    grams = documents.filter(F.col("text").isNotNull()).select(
-        "doc_id", F.explode(_word_ngrams(norm_tokens(), 2)).alias("bg")
-    )
-    per_doc = grams.groupBy("doc_id", md5_60(F.col("bg")).alias("bg_h")).agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    bgc = load_bigram_counts(spark, path).withColumnRenamed("n", "c_bg")
-    prev_stats = bgc.groupBy("prev_h").agg(
-        F.sum("c_bg").alias("c_prev"), F.count(F.lit(1)).alias("n1p_prev")
+    per_doc = _probe_bigrams(documents)
+    bgc = load_bigram_counts(spark, path)
+    prev_stats = bgc.groupBy(F.col("prev_h").alias("p_h")).agg(
+        F.sum("n").alias("c_prev"), F.count(F.lit(1)).alias("n1p_prev")
     )
     cont_counts = bgc.groupBy("w_h").agg(F.count(F.lit(1)).alias("n1p_w"))
     n_types = bgc.agg(F.count(F.lit(1)).alias("n_types"))
+    c_bg0 = F.coalesce(F.col("c_bg"), F.lit(0)).cast("double")
     p_kn = (
-        (F.col("c_bg").cast("double") - F.lit(0.75))
+        F.greatest(c_bg0 - F.lit(0.75), F.lit(0.0))
         / F.col("c_prev").cast("double")
     ) + (
         (
@@ -376,23 +443,23 @@ def kn1_model_logloss(documents: DataFrame, path: str) -> DataFrame:
         )
         * (F.col("n1p_w").cast("double") / F.col("n_types").cast("double"))
     )
-    seen = F.col("c_bg").isNotNull()
+    scoreable = F.col("c_prev").isNotNull() & F.col("n1p_w").isNotNull()
     bits = F.round(-F.log2(p_kn), 9).cast("decimal(20,12)")
-    contrib = F.when(seen, F.col("c").cast("decimal(12,0)") * bits)
+    contrib = F.when(scoreable, F.col("c").cast("decimal(12,0)") * bits)
     return (
-        per_doc.join(bgc, "bg_h", "left")
-        .join(prev_stats, "prev_h", "left")
+        per_doc.join(bgc.select("bg_h", F.col("n").alias("c_bg")), "bg_h", "left")
+        .join(prev_stats, "p_h", "left")
         .join(cont_counts, "w_h", "left")
         .crossJoin(F.broadcast(n_types))
         .groupBy("doc_id")
         .agg(
-            F.coalesce(F.sum(F.when(seen, F.col("c"))), F.lit(0))
+            F.coalesce(F.sum(F.when(scoreable, F.col("c"))), F.lit(0))
             .cast("long")
             .alias("n_bigrams"),
             F.coalesce(F.sum(contrib).cast("double"), F.lit(0.0)).alias(
                 "total_bits"
             ),
-            F.coalesce(F.sum(F.when(~seen, F.col("c"))), F.lit(0))
+            F.coalesce(F.sum(F.when(~scoreable, F.col("c"))), F.lit(0))
             .cast("long")
             .alias("n_oov"),
         )

@@ -48,6 +48,35 @@ from csv_crm_upload_spark.functions.hashing import md5_60
 DEFAULT_N_BUCKETS = 16
 SUBSTR_SUBDIRS = ["gramcounts"]
 
+#: Gram-key format version, stamped into the MANIFEST at build time and
+#: checked on every probe/append/compact. The stored keys are md5-60
+#: hashes of the JOINED gram text, so anything that changes the join —
+#: the separator character, the tokenization — silently changes every
+#: hash: a probe against an index built under a different format would
+#: match zero grams, an append would mix incompatible hash spaces, and
+#: nothing downstream could tell (r8 advice). "space-md560-v1" names the
+#: current format: norm_tokens tokenization, ' ' separator (the r8
+#: separator-safe change from \x01), md5-60 hash. Bump it whenever any
+#: of those changes so stale indexes fail LOUDLY instead of matching
+#: nothing.
+GRAM_FORMAT = "space-md560-v1"
+
+
+def _check_gram_format(m: dict, path: str) -> None:
+    """Fail loudly when the index's gram format doesn't match this
+    code's. A manifest with NO gram_format field predates the stamp —
+    its keys were built under the old \\x01 separator (or are of unknown
+    vintage), so it is treated as mismatched too: zero silent-miss
+    modes."""
+    stored = m.get("gram_format")
+    if stored != GRAM_FORMAT:
+        raise ValueError(
+            f"substr index at {path!r} has gram_format={stored!r} but this "
+            f"code writes/probes {GRAM_FORMAT!r}; the stored gram hashes are "
+            "incompatible (a probe would match zero grams, an append would "
+            "mix hash spaces). Rebuild the index with save_substr_index()."
+        )
+
 #: explicit read schema (data + partition columns): an index built over
 #: a corpus where NO document reaches min_len writes a data-file-less
 #: partitioned dir (only _SUCCESS), and schema INFERENCE on that aborts
@@ -97,6 +126,7 @@ def save_substr_index(
             "base_epoch": new_epoch,
             "min_len": min_len,
             "n_buckets": n_buckets,
+            "gram_format": GRAM_FORMAT,
         },
     )
 
@@ -109,6 +139,7 @@ def load_substr_counts(spark, path: str) -> DataFrame:
     from csv_crm_upload_spark.operators.manifest import read_manifest
 
     m = read_manifest(path)
+    _check_gram_format(m, path)
     epoch, base = m["epoch"], m.get("base_epoch", 0)
     return (
         _read_gramcounts(spark, path)
@@ -135,6 +166,7 @@ def update_substr_index(
     )
 
     m = read_manifest(path)
+    _check_gram_format(m, path)
     if txn_already_applied(m, txn):
         return  # replayed streaming batch: already folded
     epoch = m["epoch"]
@@ -162,6 +194,7 @@ def compact_substr_index(spark, path: str) -> bool:
     )
 
     m = read_manifest(path)
+    _check_gram_format(m, path)
     epoch, base = m["epoch"], m.get("base_epoch", 0)
     if epoch == base:
         return False
@@ -198,6 +231,7 @@ def xsd_indexed_dup_spans(documents: DataFrame, path: str) -> DataFrame:
 
     spark = documents.sparkSession
     m = read_manifest(path)
+    _check_gram_format(m, path)
     L = m["min_len"]
     grams = substr_gram_frame(documents, min_len=L).select(
         "doc_id", "n_tokens", "start", md5_60(F.col("gram")).alias("gram_h")

@@ -186,3 +186,31 @@ def test_sil1_margins_nonnegative_and_fit_consistent_with_kmeans1(spark, sf_dir)
         assert r["n_members"] == km[cid]["n_members"]
         assert r["min_margin"] >= 0.0
         assert r["min_margin"] <= r["mean_margin"] + 1e-9
+
+
+def test_corrupt_only_corpus_degrades_to_empty_not_abort(spark):
+    """A corpus with ZERO valid vectors (all NULL / empty / zero-norm /
+    NULL-component) must degrade to the oracle's empty result — the
+    never-abort guard — instead of the fit's first() returning None and
+    the driver raising TypeError (r8 advice)."""
+    from csv_crm_upload_spark.analytics.clustering import (
+        kmeans_assignments,
+        sil1_cluster_margins,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (1, None, 0),
+            (2, [], 1),
+            (3, [0.0, 0.0], 2),
+            (4, [1.0, None], 3),
+        ],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    a = kmeans_assignments(emb, k=4, iters=2)
+    assert a.columns == ["vec_id", "embedding", "cluster_id", "sim"]
+    assert a.count() == 0
+    assert kmeans1_topic_clusters(emb, k=4, iters=2).count() == 0
+    s = sil1_cluster_margins(emb, k=4, iters=2)
+    assert s.columns == ["cluster_id", "n_members", "mean_margin", "min_margin"]
+    assert s.count() == 0

@@ -238,3 +238,47 @@ def test_foreign_probe_surfaces_oov_instead_of_silent_drop(spark, sf_dir, tmp_pa
     )
     r3 = ppl2_model_logloss(probe2, path).collect()[0]
     assert r3["n_bigrams"] == 1 and r3["n_oov"] == 1 and r3["total_bits"] > 0.0
+
+
+def test_unseen_invocab_bigrams_score_via_smoothing(spark, tmp_path):
+    """The point of add-1 / Kneser-Ney smoothing is finite probability
+    for bigrams the model never saw but whose tokens it knows; a probe
+    must score those via the smoothed formula (c_bg -> 0) and reserve
+    n_oov for truly unscoreable bigrams (r8 advice). Train bigrams:
+    (alpha,beta), (beta,alpha), (beta,gamma); vocab {alpha,beta,gamma},
+    V = 3, n_types = 3."""
+    import math
+
+    train = spark.createDataFrame(
+        [(1, "alpha beta alpha", "en", "s", 16), (2, "beta gamma", "en", "s", 10)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    path = str(tmp_path / "lm")
+    save_ngramlm_model(train, path)
+
+    probe = spark.createDataFrame(
+        [
+            # (gamma,alpha): unseen bigram, both in vocab; gamma was
+            # never a PREFIX (c_prev=0) — Laplace floors at 1/(0+V)
+            (30, "gamma alpha", "en", "s", 11),
+            # (alpha,gamma): unseen bigram; alpha IS a prefix
+            # (c(alpha,·)=1, N1+(alpha,·)=1) and gamma IS a continuation
+            # (N1+(·,gamma)=1) — KN backs off to λ(alpha)·p_cont(gamma)
+            (31, "alpha gamma", "en", "s", 11),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    r2 = {r["doc_id"]: r for r in ppl2_model_logloss(probe, path).collect()}
+    assert r2[30]["n_bigrams"] == 1 and r2[30]["n_oov"] == 0
+    assert abs(r2[30]["total_bits"] - math.log2(3.0)) < 1e-6  # -log2(1/(0+3))
+    assert r2[31]["n_bigrams"] == 1 and r2[31]["n_oov"] == 0
+    # c(alpha,·)=1 (alpha->beta once): -log2((0+1)/(1+3)) = 2 bits
+    assert abs(r2[31]["total_bits"] - 2.0) < 1e-6
+
+    rk = {r["doc_id"]: r for r in kn1_model_logloss(probe, path).collect()}
+    # (gamma,alpha): gamma never a prefix -> no backoff weight -> OOV
+    assert rk[30]["n_bigrams"] == 0 and rk[30]["n_oov"] == 1
+    assert rk[30]["total_bits"] == 0.0
+    # (alpha,gamma): max(0-0.75,0)/1 + (0.75*1/1)*(1/3) = 0.25 -> 2 bits
+    assert rk[31]["n_bigrams"] == 1 and rk[31]["n_oov"] == 0
+    assert abs(rk[31]["total_bits"] - 2.0) < 1e-6

@@ -161,3 +161,51 @@ def test_empty_corpus_build_yields_readable_empty_index(spark, tmp_path):
     update_substr_index(docs, path)
     spans = xsd_indexed_dup_spans(docs, path).collect()
     assert {r["doc_id"] for r in spans} == {10, 11}
+
+
+def test_gram_format_mismatch_fails_loudly(spark, tmp_path):
+    """The r8 separator change (\\x01 -> ' ') changed every stored gram
+    hash; the MANIFEST now carries gram_format and every probe / append /
+    compact must REFUSE a mismatched (or missing — pre-stamp vintage)
+    format instead of silently matching zero grams or mixing hash spaces
+    (r8 advice)."""
+    import json
+
+    import pytest
+
+    from csv_crm_upload_spark.analytics.substr import GRAM_FORMAT
+    from csv_crm_upload_spark.operators.manifest import read_manifest
+
+    long_doc = " ".join(f"w{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(1, long_doc, "en", "s", len(long_doc)),
+         (2, long_doc, "en", "s", len(long_doc))],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    path = str(tmp_path / "substr_fmt")
+    save_substr_index(docs, path)
+    m = read_manifest(path)
+    assert m["gram_format"] == GRAM_FORMAT  # stamped at build time
+
+    # tamper: an index of a different (or unversioned) gram vintage
+    for stale in ("x01-md560-v0", None):
+        bad = dict(m)
+        if stale is None:
+            bad.pop("gram_format")
+        else:
+            bad["gram_format"] = stale
+        with open(os.path.join(path, "MANIFEST"), "w") as f:
+            json.dump(bad, f)
+        with pytest.raises(ValueError, match="gram_format"):
+            load_substr_counts(spark, path).collect()
+        with pytest.raises(ValueError, match="gram_format"):
+            xsd_indexed_dup_spans(docs, path)
+        with pytest.raises(ValueError, match="gram_format"):
+            update_substr_index(docs, path)
+        with pytest.raises(ValueError, match="gram_format"):
+            compact_substr_index(spark, path)
+
+    # restore the true manifest: the index is usable again
+    with open(os.path.join(path, "MANIFEST"), "w") as f:
+        json.dump(m, f)
+    assert xsd_indexed_dup_spans(docs, path).count() > 0
