@@ -824,12 +824,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w6_order_position_stats": lambda s, sf: tpch.w6_order_position_stats(_t("orders")(s, sf)),
         "er1_fuzzy_name_pairs": lambda s, sf: tpch.er1_fuzzy_name_pairs(_t("customer")(s, sf)),
         "hist1_price_histogram": lambda s, sf: tpch.hist1_price_histogram(_t("orders")(s, sf)),
-        # IVF ANN: learned (data-dependent) centroids — no SQL oracle;
-        # exactness at full probe + recall floors pinned in tests
+        # IVF ANN — oracle-paired since round 9: the coarse quantizer is
+        # the distributed kmeans1 fit, so the whole search (fit → cell
+        # assignment → probe ranking → exact rerank) unrolls in SQL;
+        # exactness at full probe + recall floors additionally in tests
         "sim_knn_ivf": lambda s, sf: ivf.knn_ivf(_t("embeddings")(s, sf)),
-        # PQ/ADC ANN (round 4): learned codebooks — no SQL oracle; ADC
-        # identity + recall floors pinned in tests/test_pq.py
+        # PQ/ADC ANN (round 4) — oracle-paired since round 9: per-
+        # subspace distributed Lloyd's codebooks (rounded-L2 argmin),
+        # Spark-computed 9-dp ADC tables, integer micro-unit sums; ADC
+        # identity + recall floors additionally in tests/test_pq.py
         "pq1_quantized_knn": lambda s, sf: pqm.pq1_quantized_knn(_t("embeddings")(s, sf)),
+        # ANN recall audits (round 9): compose the oracle-paired exact
+        # and quantized kNN operators verbatim, like lshrec1/bqrec1
+        "ivfrec1_ivf_recall_audit": lambda s, sf: ivf.ivfrec1_recall_audit(
+            _t("embeddings")(s, sf)
+        ),
+        "pqrec1_pq_recall_audit": lambda s, sf: pqm.pqrec1_recall_audit(
+            _t("embeddings")(s, sf)
+        ),
         # IVF-PQ composed ANN (round 5): coarse cells select, PQ-ADC
         # ranks within probed cells, exact cosine reranks — oracle-free
         # (both quantizers learned); pinned by tests/test_ivfpq.py
@@ -2439,6 +2451,217 @@ def oracle_sql() -> dict[str, str]:
                  / COUNT(*) / 1000000.0 AS mean_margin,
                MIN(margin) AS min_margin
         FROM m GROUP BY cluster_id ORDER BY cluster_id
+    """
+
+    # sim_knn_ivf (oracle-paired round 9): the IVF coarse quantizer IS
+    # the kmeans fit chain (k=16 here), unrolled exactly like kmeans1 —
+    # then probe ranking (6-dp rounded query·centroid dot, ties →
+    # lowest cell), candidate gathering from the final assignment, and
+    # the knn_bruteforce exact-cosine rerank. Cell ids here are the
+    # chain's original cluster ids while Spark's are positional rows of
+    # the collected centroid matrix — a monotone relabeling, so probe
+    # selection, candidate sets and the (id-free) output agree.
+    _ivf_chain = f"""iinit AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell_id,
+                 embedding AS centroid
+          FROM (SELECT vec_id, embedding FROM embeddings
+                WHERE {_VALID_EMB} AND {_FIT_W} ORDER BY vec_id LIMIT 16)
+        ),
+        is1 AS (
+          SELECT e.vec_id, e.embedding, c.cell_id,
+                 round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                       i -> e.embedding[i]::DOUBLE * c.centroid[i]::DOUBLE)), 6) AS sim
+          FROM embeddings e CROSS JOIN iinit c WHERE {_VALID_EMB_E} AND {_FIT_W_E}
+        ),
+        ia1 AS (
+          SELECT vec_id, embedding, cell_id
+          FROM (SELECT *, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS rn FROM is1)
+          WHERE rn = 1
+        ),
+        im1 AS (
+          SELECT cell_id, r.i,
+                 round(CAST(SUM(CAST(CAST(embedding[r.i] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+                       / COUNT(*), 12) AS m
+          FROM ia1, UNNEST(range(1, len(embedding) + 1)) AS r(i)
+          GROUP BY cell_id, r.i
+        ),
+        ic1 AS (
+          SELECT cell_id, list(m ORDER BY i) AS centroid
+          FROM im1 GROUP BY cell_id
+        ),
+        icells AS (
+          SELECT vec_id, cell_id FROM (
+            SELECT e.vec_id, c.cell_id, row_number() OVER (
+                     PARTITION BY e.vec_id ORDER BY
+                     round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                           i -> e.embedding[i]::DOUBLE * c.centroid[i])), 6) DESC,
+                     c.cell_id) AS rn
+            FROM embeddings e CROSS JOIN ic1 c WHERE {_VALID_EMB_E} AND {_FIT_W_E}
+          ) WHERE rn = 1
+        ),
+        iq AS (
+          SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+          WHERE vec_id IN (0,1,2,3,4,5,6,7,8,9) AND {_VALID_EMB} AND {_FIT_W}
+        ),
+        iprobe AS (
+          SELECT query_id, cell_id FROM (
+            SELECT q.query_id, c.cell_id, row_number() OVER (
+                     PARTITION BY q.query_id ORDER BY
+                     round(list_sum(list_transform(range(1, len(q.q_emb) + 1),
+                           i -> q.q_emb[i]::DOUBLE * c.centroid[i])), 6) DESC,
+                     c.cell_id) AS rk
+            FROM iq q CROSS JOIN ic1 c
+          ) WHERE rk <= 4
+        ),
+        icand AS (
+          SELECT p.query_id, cl.vec_id
+          FROM iprobe p JOIN icells cl USING (cell_id)
+          WHERE cl.vec_id <> p.query_id
+        ),
+        iscored AS (
+          SELECT q.query_id, e.vec_id, {_cos} + 0.0 AS cos_sim
+          FROM icand c
+          JOIN iq q ON q.query_id = c.query_id
+          JOIN embeddings e ON e.vec_id = c.vec_id
+        )"""
+    q["sim_knn_ivf"] = f"""
+        WITH {_ivf_chain}
+        SELECT query_id, vec_id, cos_sim, CAST(rn AS INT) AS rank
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rn
+              FROM iscored)
+        WHERE rn <= 5
+    """
+    q["ivfrec1_ivf_recall_audit"] = f"""
+        WITH exact AS ({q["sim_knn_bruteforce"]}),
+        ivfk AS ({q["sim_knn_ivf"]})
+        SELECT e.query_id,
+               CAST(COUNT(*) AS BIGINT) AS n_exact,
+               CAST(COUNT(i.vec_id) AS BIGINT) AS n_hit,
+               round(CAST(COUNT(i.vec_id) AS DOUBLE) / COUNT(*), 6) AS recall_at_k
+        FROM exact e
+        LEFT JOIN ivfk i ON i.query_id = e.query_id AND i.vec_id = e.vec_id
+        GROUP BY e.query_id ORDER BY e.query_id
+    """
+
+    # pq1 (oracle-paired round 9): per-subspace kmeans-discipline
+    # codebook fits unrolled per subspace j (6-dp rounded squared-L2
+    # assignment, ties → lowest code; DECIMAL per-dim means rounded to
+    # 12 dp; empty codes keep their init entry via COALESCE), then the
+    # ADC stage: 9-dp rounded per-(query, subspace, code) dot tables,
+    # EXACT nano-unit BIGINT sums (order-free, so this GROUP BY SUM and
+    # Spark's fixed-order fold agree bit-for-bit), 6-dp candidate
+    # ranking, and the shared exact-cosine rerank.
+    _pq_m, _pq_sub, _pq_k = 8, 8, 16
+    _pq_parts = [
+        f"""pfw AS (
+          SELECT vec_id, embedding FROM embeddings
+          WHERE {_VALID_EMB} AND {_FIT_W}
+        ),
+        pinit AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code,
+                 embedding
+          FROM (SELECT vec_id, embedding FROM pfw ORDER BY vec_id LIMIT {_pq_k})
+        )"""
+    ]
+    for _j in range(_pq_m):
+        _lo = _j * _pq_sub
+        _d2 = (
+            f"round(list_sum(list_transform(range(1, {_pq_sub} + 1), "
+            f"d -> (f.embedding[{_lo} + d]::DOUBLE - i.entry[d]) * "
+            f"(f.embedding[{_lo} + d]::DOUBLE - i.entry[d]))), 6)"
+        )
+        _pq_parts.append(f"""pinit_{_j} AS (
+          SELECT code, list_transform(embedding[{_lo + 1}:{_lo + _pq_sub}], x -> x::DOUBLE) AS entry
+          FROM pinit
+        ),
+        pa1_{_j} AS (
+          SELECT vec_id, embedding, code FROM (
+            SELECT f.vec_id, f.embedding, i.code, row_number() OVER (
+                     PARTITION BY f.vec_id ORDER BY {_d2} ASC, i.code) AS rn
+            FROM pfw f CROSS JOIN pinit_{_j} i
+          ) WHERE rn = 1
+        ),
+        pm1_{_j} AS (
+          SELECT code, r.d,
+                 round(CAST(SUM(CAST(CAST(embedding[{_lo} + r.d] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+                       / COUNT(*), 12) AS m
+          FROM pa1_{_j}, UNNEST(range(1, {_pq_sub} + 1)) AS r(d)
+          GROUP BY code, r.d
+        ),
+        pmb_{_j} AS (SELECT code, list(m ORDER BY d) AS entry FROM pm1_{_j} GROUP BY code),
+        pc1_{_j} AS (
+          SELECT i.code, COALESCE(b.entry, i.entry) AS entry
+          FROM pinit_{_j} i LEFT JOIN pmb_{_j} b USING (code)
+        ),
+        pcode_{_j} AS (
+          SELECT vec_id, code FROM (
+            SELECT f.vec_id, i.code, row_number() OVER (
+                     PARTITION BY f.vec_id ORDER BY {_d2} ASC, i.code) AS rn
+            FROM pfw f CROSS JOIN pc1_{_j} i
+          ) WHERE rn = 1
+        )""")
+    _pq_codes_union = "\n          UNION ALL ".join(
+        f"SELECT vec_id, {j} AS j, code FROM pcode_{j}" for j in range(_pq_m)
+    )
+    _pq_lut_union = "\n          UNION ALL ".join(
+        f"SELECT q.query_id, {j} AS j, c.code, "
+        f"round(list_sum(list_transform(range(1, {_pq_sub} + 1), "
+        f"d -> q.q_emb[{j * _pq_sub} + d]::DOUBLE * c.entry[d])), 9) AS term "
+        f"FROM pqq q CROSS JOIN pc1_{j} c"
+        for j in range(_pq_m)
+    )
+    _pq_parts.append(f"""pqq AS (
+          SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+          WHERE vec_id IN (0,1,2,3,4,5,6,7,8,9) AND {_VALID_EMB} AND {_FIT_W}
+        ),
+        pcodes AS (
+          {_pq_codes_union}
+        ),
+        plut AS (
+          {_pq_lut_union}
+        ),
+        padc AS (
+          SELECT l.query_id, cd.vec_id,
+                 round(CAST(SUM(CAST(round(l.term * 1000000000.0, 0) AS BIGINT)) AS DOUBLE)
+                       / 1000000000.0, 6) AS adc_dot
+          FROM pcodes cd JOIN plut l ON l.j = cd.j AND l.code = cd.code
+          WHERE cd.vec_id <> l.query_id
+          GROUP BY l.query_id, cd.vec_id
+        ),
+        pcand AS (
+          SELECT query_id, vec_id FROM (
+            SELECT *, row_number() OVER (
+                     PARTITION BY query_id ORDER BY adc_dot DESC, vec_id) AS rn
+            FROM padc
+          ) WHERE rn <= 50
+        ),
+        pscored AS (
+          SELECT q.query_id, e.vec_id, {_cos} + 0.0 AS cos_sim
+          FROM pcand c
+          JOIN pqq q ON q.query_id = c.query_id
+          JOIN embeddings e ON e.vec_id = c.vec_id
+        )""")
+    _pq_chain = ",\n        ".join(_pq_parts)
+    q["pq1_quantized_knn"] = f"""
+        WITH {_pq_chain}
+        SELECT query_id, vec_id, cos_sim, CAST(rn AS INT) AS rank
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rn
+              FROM pscored)
+        WHERE rn <= 5
+    """
+    q["pqrec1_pq_recall_audit"] = f"""
+        WITH exact AS ({q["sim_knn_bruteforce"]}),
+        pqk AS ({q["pq1_quantized_knn"]})
+        SELECT e.query_id,
+               CAST(COUNT(*) AS BIGINT) AS n_exact,
+               CAST(COUNT(p.vec_id) AS BIGINT) AS n_hit,
+               round(CAST(COUNT(p.vec_id) AS DOUBLE) / COUNT(*), 6) AS recall_at_k
+        FROM exact e
+        LEFT JOIN pqk p ON p.query_id = e.query_id AND p.vec_id = e.vec_id
+        GROUP BY e.query_id ORDER BY e.query_id
     """
 
     q["stat1_price_quantity_stats"] = """

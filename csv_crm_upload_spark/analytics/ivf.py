@@ -2,21 +2,24 @@
 partition counterpart to hyperplane LSH (similarity.py).
 
 Index build:
-  1. fit k centroids on a bounded deterministic sample (driver-side
-     numpy Lloyd's — the sample is capped, so driver memory is bounded
-     regardless of corpus size; this mirrors how FAISS-style IVF trains
-     coarse quantizers on a sample);
-  2. assign every vector to its nearest centroid — one broadcast of the
-     (k × dim) centroid matrix and a single map stage over the corpus.
+  1. fit k centroids with the ORACLE-PAIRED distributed k-means
+     (clustering._fitted_centroids — the kmeans1 fit: first-k-by-vec_id
+     init, 6-dp rounded-dot assignment, DECIMAL per-dim means rounded
+     to 12 dp): whole-corpus Lloyd's with one combining shuffle + one
+     bounded k-row collect per round, no driver sample matrix at all
+     (round-9: replaces the sampled numpy fit so the whole IVF search
+     is reproducible in ANSI SQL — sim_knn_ivf is now driver-checked
+     against a DuckDB oracle instead of rows-only);
+  2. assign every vector to its nearest centroid — the (k × dim)
+     centroid matrix rides into the plan as literals and assignment is
+     a single map stage over the corpus.
 
-Search: probe the `nprobe` nearest cells per query, exact-rerank only
-those cells' members. At 100 TB: assignment is embarrassingly parallel,
-the cell join is one shuffle on cell_id, and recall/cost is tuned by
+Search: probe the `nprobe` nearest cells per query (ranked by the SAME
+6-dp rounded dot, ties → lowest cell — computed IN THE PLAN, not with
+driver floats, so the ranking is the oracle's), exact-rerank only those
+cells' members. At 100 TB: assignment is embarrassingly parallel, the
+cell join is one shuffle on cell_id, and recall/cost is tuned by
 (n_cells, nprobe) exactly as in standard IVF practice.
-
-No DuckDB oracle: centroids are learned (data-dependent), so the op is
-checked by recall-vs-brute-force tests instead (the driver records a
-rows-only check; see COVERAGE.md).
 """
 
 from __future__ import annotations
@@ -26,55 +29,54 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from csv_crm_upload_spark.analytics.similarity import cosine
-
 
 def fit_centroids(
-    embeddings: DataFrame,
-    n_cells: int = 16,
-    sample_cap: int = 4096,
-    n_iter: int = 10,
-    seed: int = 42,
+    embeddings: DataFrame, n_cells: int = 16, iters: int = 2
 ) -> np.ndarray:
-    """Lloyd's k-means on a deterministic bounded sample (normalized
-    vectors, so euclidean k-means ≈ spherical/cosine k-means). The
-    sample routes through uniform_vector_sample: one NULL/empty/
-    wrong-width embedding in the first `sample_cap` rows would
-    otherwise land a ragged driver matrix and abort the fit (clean
-    corpora are unchanged — the filter drops nothing there)."""
-    from csv_crm_upload_spark.analytics.similarity import uniform_vector_sample
+    """The distributed k-means fit (clustering._fitted_centroids) as a
+    coarse-quantizer matrix: deterministic (first n_cells valid vectors
+    by vec_id init, fixed `iters` rounds), whole-corpus, and exactly
+    reproducible by the kmeans1 oracle chain. Rows are in ascending
+    cluster-id order; a cluster emptied during the update rounds is
+    dropped (the kmeans1 convention) — positions stay a monotone
+    relabeling, so rankings/partitions agree with the oracle's ids.
+    Returns an empty (0, 0) matrix when the corpus has no valid vector
+    (callers degrade to an empty result, never a None-index abort)."""
+    from csv_crm_upload_spark.analytics.clustering import _fitted_centroids
+    from csv_crm_upload_spark.analytics.similarity import valid_vectors
 
-    sample = uniform_vector_sample(embeddings, sample_cap)
-    x = np.array([r["embedding"] for r in sample], dtype=np.float64)
-    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-    rng = np.random.RandomState(seed)
-    centroids = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
-    for _ in range(n_iter):
-        sims = x @ centroids.T
-        assign = sims.argmax(axis=1)
-        for c in range(len(centroids)):
-            members = x[assign == c]
-            if len(members):
-                m = members.mean(axis=0)
-                centroids[c] = m / max(np.linalg.norm(m), 1e-12)
-    return centroids
+    valid = valid_vectors(embeddings)
+    first = valid.orderBy("vec_id").select("embedding").first()
+    if first is None:
+        return np.zeros((0, 0))
+    dim = len(first["embedding"])
+    cent = _fitted_centroids(
+        valid.filter(F.size("embedding") == dim), n_cells, iters, dim
+    )
+    return np.array([c for _cid, c in cent], dtype=np.float64)
 
 
 def cell_id_expr(centroids: np.ndarray):
     """Column expression (over `embedding`) for the nearest-centroid
     cell id. The centroid matrix rides into the plan as array literals
     (broadcast-equivalent; k×dim doubles is tiny) — usable in any map
-    stage, e.g. fused with PQ encoding in ivfpq._assign_and_encode."""
+    stage, e.g. fused with PQ encoding in ivfpq._assign_and_encode.
+    Each dot is 6-dp rounded before the argmax (ties → FIRST max =
+    lowest cell), the clustering._assign discipline, so the assignment
+    is reproducible by the kmeans oracle chain."""
     emb = F.col("embedding")
     sims = [
-        F.aggregate(
-            F.zip_with(
-                emb,
-                F.array(*[F.lit(float(v)) for v in centroids[c]]),
-                lambda x, y: x.cast("double") * y,
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    emb,
+                    F.array(*[F.lit(float(v)) for v in centroids[c]]),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
             ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+            6,
         )
         for c in range(len(centroids))
     ]
@@ -85,8 +87,16 @@ def cell_id_expr(centroids: np.ndarray):
 
 
 def assign_cells(embeddings: DataFrame, centroids: np.ndarray) -> DataFrame:
-    """vec_id → cell_id of nearest centroid — one map stage, no shuffle."""
-    return embeddings.select("vec_id", cell_id_expr(centroids).alias("cell_id"))
+    """vec_id → cell_id of nearest centroid — one map stage, no shuffle.
+    Gated to valid vectors of the quantizer's width: a NULL/empty/
+    zero-norm/ragged row degrades to absence from the cell table (the
+    valid_vectors discipline) instead of a NULL-dot argmax abort."""
+    from csv_crm_upload_spark.analytics.similarity import valid_vectors
+
+    gated = valid_vectors(embeddings).filter(
+        F.size("embedding") == int(centroids.shape[1])
+    )
+    return gated.select("vec_id", cell_id_expr(centroids).alias("cell_id"))
 
 
 def save_index(
@@ -226,54 +236,124 @@ def knn_ivf(
 ) -> DataFrame:
     """IVF search: per query, exact-rerank members of the nprobe nearest
     cells only. With `index_path`, centroids and assignments come from
-    the persisted index (no fit, no assignment scan)."""
+    the persisted index (no fit, no assignment scan).
+
+    Every ranking is IN THE PLAN with the cross-engine discipline
+    (round-9 — this is what makes the op oracle-paired): probe cells
+    rank by the 6-dp rounded query·centroid dot (ties → lowest cell);
+    the rerank is knn_bruteforce's exact expression (6-dp rounded
+    cosine, +0.0 signed-zero guard, vec_id tiebreak). Queries are gated
+    to valid fit-width vectors — the cell table only covers those, so a
+    ragged/corrupt query degrades to absence (the valid_vectors rule),
+    matching the oracle's WHERE. Scale shape: the centroid table is a
+    k-row literal broadcast; cells join is one shuffle keyed on
+    cell_id (partition-pruned reads on the persisted path); the rerank
+    touches only probed cells' members."""
+    from pyspark.sql import Window
+
+    from csv_crm_upload_spark.analytics.similarity import _dot, _norm, valid_vectors
+
     if query_ids is None:
         query_ids = list(range(10))
+    spark = embeddings.sparkSession
     if index_path is not None:
-        centroids, cells = load_index(embeddings.sparkSession, index_path)
-        cells = cells.persist()
+        centroids, cells = load_index(spark, index_path)
     else:
         centroids = fit_centroids(embeddings, n_cells=n_cells)
-        cells = assign_cells(embeddings, centroids).persist()
-
-    # nprobe nearest cells per query: computed on the tiny query set
-    queries = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
-    q_rows = queries.collect()
-    if not q_rows:  # no query id exists: empty result, not an AxisError
-        return embeddings.sparkSession.createDataFrame(
+        cells = None
+    if centroids.size == 0:  # zero valid vectors: the oracle's empty result
+        return spark.createDataFrame(
             [], "query_id long, vec_id long, cos_sim double, rank int"
         )
-    qx = np.array([r["q_emb"] for r in q_rows], dtype=np.float64)
-    qx /= np.maximum(np.linalg.norm(qx, axis=1, keepdims=True), 1e-12)
-    probe_cells = (qx @ centroids.T).argsort(axis=1)[:, ::-1][:, :nprobe]
-    probes = [
-        (int(r["query_id"]), int(c)) for r, row in zip(q_rows, probe_cells) for c in row
-    ]
-    spark = embeddings.sparkSession
-    probe_df = spark.createDataFrame(probes, ["query_id", "cell_id"])
+    if cells is None:
+        cells = assign_cells(embeddings, centroids)
+    cells = cells.persist()
+    dim = int(centroids.shape[1])
 
+    cent_df = spark.createDataFrame(
+        [(int(c), [float(v) for v in centroids[c]]) for c in range(len(centroids))],
+        "cell_id int, centroid array<double>",
+    )
+    queries = (
+        valid_vectors(embeddings.filter(F.col("vec_id").isin(query_ids)))
+        .filter(F.size("embedding") == dim)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            _norm(F.col("embedding")).alias("q_norm"),
+        )
+    )
+    qdot = F.round(_dot(F.col("q_emb"), F.col("centroid")), 6)
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("csim").desc(), F.col("cell_id")
+    )
+    probe = (
+        queries.crossJoin(F.broadcast(cent_df))
+        .select("query_id", "cell_id", qdot.alias("csim"))
+        .withColumn("rk", F.row_number().over(w_probe))
+        .filter(F.col("rk") <= nprobe)
+        .select("query_id", "cell_id")
+    )
     cand = (
-        cells.join(F.broadcast(probe_df), "cell_id")
+        cells.join(F.broadcast(probe), "cell_id")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id")
     )
-    corpus = embeddings.select("vec_id", F.col("embedding").alias("c_emb"))
+    corpus = embeddings.select(
+        "vec_id",
+        F.col("embedding").alias("c_emb"),
+        _norm(F.col("embedding")).alias("c_norm"),
+    )
+    # knn_bruteforce's exact scoring tree (q side first, hoisted norms)
+    cos = F.round(
+        _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm")),
+        6,
+    )
     scored = (
         cand.join(F.broadcast(queries), "query_id")
         .join(corpus, "vec_id")
-        .select(
-            "query_id",
-            "vec_id",
-            F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cos_sim"),
-        )
+        .select("query_id", "vec_id", (cos + F.lit(0.0)).alias("cos_sim"))
     )
-    from pyspark.sql import Window
-
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cos_sim", "rank")
+    )
+
+
+def ivfrec1_recall_audit(
+    embeddings: DataFrame,
+    query_ids: list[int] | None = None,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Recall@k of the IVF search against exact cosine brute-force —
+    lshrec1's twin for the learned-partition path: the eval that tunes
+    (n_cells, nprobe) before the 100 TB corpus quietly loses neighbors
+    to unprobed cells. Composes the two oracle-paired operators
+    verbatim (now that the coarse fit is the distributed k-means, BOTH
+    sides are driver-checked — round-9); the exact side is the base
+    relation so a query whose probed cells miss everything reports
+    recall 0, not an absent row. Both sides are ≤ |queries|·k rows."""
+    from csv_crm_upload_spark.analytics.similarity import knn_bruteforce
+
+    exact = knn_bruteforce(embeddings, query_ids, k).select("query_id", "vec_id")
+    approx = knn_ivf(embeddings, query_ids, k, n_cells, nprobe).select(
+        "query_id", "vec_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(approx, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hit"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
     )

@@ -14,14 +14,20 @@ smaller codes — the two ends of the production quantization spectrum).
 
 Search uses ASYMMETRIC distance computation (ADC): the query stays
 full-precision; per (query, subspace) a k-entry table of partial dot
-products is computed once DRIVER-side (m·k doubles per query — tiny,
-from the ≤10 collected query vectors, same bounded-collect sanction as
-ivf.knn_ivf) and ships as a broadcast literal; scoring a corpus vector
-is m table lookups + a sum — map-only over the code scan, no shuffle
-until the final per-query top-k.
+products is computed once (in a tiny Spark job over |q|·m·k rows with
+the oracle's own rounded expression, then collected — bounded by the
+≤10-query set, the ivf.knn_ivf sanction) and ships as a broadcast;
+scoring a corpus vector is m table lookups + an exact integer
+micro-unit sum — map-only over the code scan, no shuffle until the
+final per-query top-k.
 
-No DuckDB oracle: codebooks are learned (data-dependent) like IVF's
-centroids, so the op is pinned by pytest instead —
+Round-9: the codebook fit is the DISTRIBUTED deterministic Lloyd's of
+the kmeans1 family (first-k-by-vec_id init, 6-dp rounded-L2
+assignment with lowest-code ties, DECIMAL per-dim means rounded to
+12 dp, empty codes keep their previous entry) — whole-corpus, one
+combining shuffle + bounded m·k-row collects per round, and exactly
+reproducible in ANSI SQL, so pq1_quantized_knn is driver-checked
+against a DuckDB oracle instead of rows-only. Also pinned by pytest:
   * ADC identity: with codebooks that contain every distinct subvector,
     encoding is lossless and ADC equals the exact dot product;
   * recall floor vs knn_bruteforce on the synthetic corpus;
@@ -37,25 +43,65 @@ from pyspark.sql import functions as F
 
 
 def fit_pq_codebooks(
-    embeddings: DataFrame,
-    m: int = 8,
-    k: int = 16,
-    sample_cap: int = 4096,
-    n_iter: int = 10,
-    seed: int = 42,
+    embeddings: DataFrame, m: int = 8, k: int = 16, iters: int = 2
 ) -> np.ndarray:
-    """Per-subspace Lloyd's k-means on a deterministic bounded sample
-    (first `sample_cap` rows by vec_id — driver memory is bounded
-    regardless of corpus size, mirroring ivf.fit_centroids). Returns an
-    (m, k, dim/m) codebook tensor. The sample routes through
-    uniform_vector_sample — a NULL/empty/wrong-width embedding in the
-    first rows would land a ragged driver matrix and abort the fit;
-    clean corpora fit the identical sample."""
-    from csv_crm_upload_spark.analytics.similarity import uniform_vector_sample
+    """Per-subspace distributed Lloyd's k-means with the kmeans1
+    determinism discipline (module docstring). Returns an
+    (m, k', dim/m) codebook tensor, k' = min(k, #valid fit-width
+    vectors); (m, 0, 0) on a corpus with no valid vector (callers
+    degrade to empty results). Fit width = the FIRST valid vector's
+    width (the kmeans-family `_FIT_W` convention the oracle mirrors);
+    a width not divisible by m fails loudly."""
+    from csv_crm_upload_spark.analytics.similarity import valid_vectors
 
-    sample = uniform_vector_sample(embeddings, sample_cap)
-    x = np.array([r["embedding"] for r in sample], dtype=np.float64)
-    return fit_books_from_matrix(x, m, k, n_iter=n_iter, seed=seed)
+    valid = valid_vectors(embeddings)
+    first = valid.orderBy("vec_id").select("embedding").first()
+    if first is None:
+        return np.zeros((m, 0, 0))
+    dim = len(first["embedding"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    vf = valid.filter(F.size("embedding") == dim).select("vec_id", "embedding")
+    init_rows = vf.orderBy("vec_id").limit(k).collect()
+    books = [
+        [[float(v) for v in r["embedding"][j * sub : (j + 1) * sub]] for r in init_rows]
+        for j in range(m)
+    ]
+    for _ in range(iters - 1):
+        code_cols = [
+            _sub_code_expr(
+                F.slice(F.col("embedding"), j * sub + 1, sub), books[j]
+            ).alias(f"code_{j}")
+            for j in range(m)
+        ]
+        # materialize once: the m per-subspace mean recomputes below all
+        # read this frame — without the checkpoint each would re-plan the
+        # full m·k'-literal assignment expression
+        assigned = vf.select("embedding", *code_cols).localCheckpoint(eager=True)
+        new_books = []
+        for j in range(m):
+            sums = [
+                F.round(
+                    F.sum(
+                        F.element_at("embedding", j * sub + d + 1)
+                        .cast("double")
+                        .cast("decimal(28,12)")
+                    ).cast("double")
+                    / F.count(F.lit(1)),
+                    12,
+                ).alias(f"m_{d}")
+                for d in range(sub)
+            ]
+            rows = assigned.groupBy(F.col(f"code_{j}").alias("code")).agg(*sums).collect()
+            got = {int(r["code"]): [r[f"m_{d}"] for d in range(sub)] for r in rows}
+            # a code that lost all members keeps its previous entry (the
+            # FAISS convention) so the tensor shape stays rectangular
+            new_books.append([got.get(c, books[j][c]) for c in range(len(books[j]))])
+        books = new_books
+    if not books[0]:
+        return np.zeros((m, 0, 0))
+    return np.array(books, dtype=np.float64)
 
 
 def fit_books_from_matrix(
@@ -86,110 +132,151 @@ def fit_books_from_matrix(
     return books
 
 
+def _sub_code_expr(xs, entries: list[list[float]]):
+    """Nearest-entry code of the subvector expression `xs` against one
+    subspace's codebook: argmin of the 6-dp ROUNDED squared L2 distance,
+    ties → FIRST (lowest) code — the cross-engine discipline the pq1
+    oracle unrolls (ORDER BY d2, code). The codebook rides in as ONE
+    nested k×sub literal and the distances come from ONE transform —
+    not k separate aggregate lambdas whose tree the argmin then
+    duplicates (that shape planned 2·m·k aggregates; Catalyst ANALYSIS
+    of the tree, not the data, dominated pq1's per-call cost)."""
+    kk = len(entries)
+    book = F.array(
+        *[F.array(*[F.lit(float(v)) for v in e]) for e in entries]
+    )
+    d2s = F.transform(
+        book,
+        lambda e: F.round(
+            F.aggregate(
+                F.zip_with(
+                    xs, e, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        ),
+    )
+    # first-min argmin in ONE pass; strictly-less keeps the FIRST min.
+    # A corrupt row (empty/short vector → NULL distances) leaves the -1
+    # init in place and surfaces as a NULL code — element_at(lut, 0)
+    # would otherwise ABORT the whole job under ANSI (the one-corrupt-
+    # row-kills-the-fleet class the degenerate smoke sweep catches)
+    zipped = F.zip_with(
+        d2s,
+        F.sequence(F.lit(0), F.lit(kk - 1)),
+        lambda s, i: F.struct(s.alias("s"), i.alias("i")),
+    )
+    best = F.aggregate(
+        zipped,
+        F.struct(F.lit(float("inf")).alias("s"), F.lit(-1).alias("i")),
+        lambda acc, x: F.when(x["s"] < acc["s"], x).otherwise(acc),
+    )
+    return F.when(best["i"] >= 0, best["i"]).cast("int")
+
+
 def codes_expr(codebooks: np.ndarray, col=None):
     """Column expression for the m nearest-codebook-entry codes of
     `col` (default the `embedding` column — pass any array<double>
     expression, e.g. a residual, for IVF-PQ). The codebook tensor rides
-    into the plan as array literals (m·k·sub doubles — tiny). Nearest
-    entry minimizes ||x_j − c||² = ||c||² − 2·x_j·c + const, computed as
-    argmax of (2·dot − ||c||²) so each candidate costs one fused
-    zip_with/aggregate pass. Usable in any map stage, e.g. fused with
-    the coarse cell assignment in ivfpq._assign_and_encode."""
+    into the plan as array literals (m·k·sub doubles — tiny); per
+    subspace the code is the rounded-L2 argmin of _sub_code_expr.
+    Usable in any map stage, e.g. fused with the coarse cell assignment
+    in ivfpq._assign_and_encode."""
     m, k, sub = codebooks.shape
     emb = F.col("embedding") if col is None else col
-    code_cols = []
-    for j in range(m):
-        xs = F.slice(emb, j * sub + 1, sub)
-        # the codebook rides in as ONE nested k×sub literal and the
-        # scores come from ONE transform — not k separate aggregate
-        # lambdas whose tree the argmax then duplicates (the old shape
-        # planned 2·m·k aggregates; Catalyst ANALYSIS of that tree, not
-        # the data, dominated pq1's per-call cost and drifted with JVM
-        # state). Arithmetic per element is unchanged (same
-        # zip_with/aggregate dot, same 2·dot − ||c||² score, same IEEE
-        # order), so codes are bit-identical.
-        book = F.array(
-            *[
-                F.array(*[F.lit(float(v)) for v in codebooks[j, c]])
-                for c in range(k)
-            ]
-        )
-        norms = F.array(
-            *[
-                F.lit(float(codebooks[j, c] @ codebooks[j, c]))
-                for c in range(k)
-            ]
-        )
-        scores = F.transform(
-            book,
-            lambda e, i: 2.0
-            * F.aggregate(
-                F.zip_with(xs, e, lambda a, b: a.cast("double") * b),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
+    return F.array(
+        *[
+            _sub_code_expr(
+                F.slice(emb, j * sub + 1, sub),
+                [[float(v) for v in codebooks[j, c]] for c in range(k)],
             )
-            - F.element_at(norms, i + 1),
-        )
-        # first-max argmax in ONE pass over the scores array (the
-        # array_position(scores, array_max(scores)) form evaluates the
-        # scores expression twice); strictly-greater keeps the FIRST
-        # max — array_position's tiebreak — and Spark's NaN-is-greatest
-        # ordering matches too (first NaN wins in both forms)
-        zipped = F.zip_with(
-            scores,
-            F.sequence(F.lit(0), F.lit(k - 1)),
-            lambda s, i: F.struct(s.alias("s"), i.alias("i")),
-        )
-        best = F.aggregate(
-            zipped,
-            F.struct(
-                F.lit(float("-inf")).alias("s"), F.lit(-1).alias("i")
-            ),
-            lambda acc, x: F.when(x["s"] > acc["s"], x).otherwise(acc),
-        )
-        # a corrupt row (empty/short vector → NULL dot → NULL scores)
-        # leaves the -1 init in place; surface it as a NULL code exactly
-        # like the old array_position-of-NULL form did — element_at(lut,
-        # 0) would otherwise ABORT the whole job under ANSI (the
-        # one-corrupt-row-kills-the-fleet class the degenerate smoke
-        # sweep exists to catch)
-        code_cols.append(
-            F.when(best["i"] >= 0, best["i"]).cast("int")
-        )
-    return F.array(*code_cols)
+            for j in range(m)
+        ]
+    )
 
 
 def pq_encode(embeddings: DataFrame, codebooks: np.ndarray) -> DataFrame:
-    """vec_id → m codes: ONE map stage over the scan, no shuffle."""
-    return embeddings.select("vec_id", codes_expr(codebooks).alias("codes"))
+    """vec_id → m codes: ONE map stage over the scan, no shuffle. Gated
+    to valid vectors of the codec's width — a corrupt/ragged row
+    degrades to absence from the code table (the assign_cells rule)
+    rather than a NULL-code row that every downstream ranking would
+    have to order around."""
+    from csv_crm_upload_spark.analytics.similarity import valid_vectors
+
+    m, _k, sub = codebooks.shape
+    gated = valid_vectors(embeddings).filter(F.size("embedding") == int(m * sub))
+    return gated.select("vec_id", codes_expr(codebooks).alias("codes"))
 
 
 def query_luts(spark, query_vectors, codebooks: np.ndarray) -> DataFrame:
-    """One (query_id, lut) row per query: lut[j*k + c] = dot(q's j-th
-    subvector, codebook[j][c]) — the m·k-entry ADC table, computed
-    driver-side from the bounded query set and shipped as a broadcast."""
+    """One (query_id, lut) row per query: lut[j*k + c] = round(dot(q's
+    j-th subvector, codebook[j][c]), 9) — the m·k-entry ADC table.
+    Computed IN SPARK (one tiny job over |q|·m·k rows) with the exact
+    expression the pq1 oracle uses — sequential-fold dot, 9-dp HALF_UP
+    round — so every table value is cross-engine-identical, then
+    collected (bounded by the ≤10-query sanction) and re-shipped as one
+    array per query."""
     m, k, sub = codebooks.shape
-    rows = []
-    for qid, qvec in query_vectors:
-        q = np.asarray(qvec, dtype=np.float64)
-        lut = [
-            float(q[j * sub : (j + 1) * sub] @ codebooks[j, c])
+    books_df = spark.createDataFrame(
+        [
+            (j, c, [float(v) for v in codebooks[j, c]])
             for j in range(m)
             for c in range(k)
-        ]
-        rows.append((int(qid), lut))
-    return spark.createDataFrame(rows, "query_id long, lut array<double>")
+        ],
+        "j int, code int, entry array<double>",
+    )
+    qdf = spark.createDataFrame(
+        [(int(qid), [float(v) for v in qvec]) for qid, qvec in query_vectors],
+        "query_id long, q_emb array<double>",
+    )
+    term = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.slice(F.col("q_emb"), F.col("j") * sub + 1, sub),
+                F.col("entry"),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        9,
+    )
+    rows = (
+        qdf.crossJoin(F.broadcast(books_df))
+        .select("query_id", "j", "code", term.alias("t"))
+        .collect()
+    )
+    by_q: dict[int, dict[tuple[int, int], float]] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], {})[(r["j"], r["code"])] = r["t"]
+    out = [
+        (int(qid), [tbl[(j, c)] for j in range(m) for c in range(k)])
+        for qid, tbl in sorted(by_q.items())
+    ]
+    return spark.createDataFrame(out, "query_id long, lut array<double>")
 
 
 def adc_expr(m: int, k: int):
-    """ADC dot-product column over (codes, lut): m table lookups + a sum
-    per row — map-only, no shuffle."""
-    subspace_term = F.zip_with(
+    """ADC dot-product column over (codes, lut): m table lookups + an
+    EXACT integer micro-unit sum per row (each 9-dp table value scales
+    to a nano-unit BIGINT — order-free, so DuckDB's unordered SUM and
+    this fold agree bit-for-bit), rounded to 6 dp — map-only, no
+    shuffle."""
+    units = F.zip_with(
         F.col("codes"),
         F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda c, j: F.element_at(F.col("lut"), (j * k + c + 1).cast("int")),
+        lambda c, j: F.round(
+            F.element_at(F.col("lut"), (j * k + c + 1).cast("int"))
+            * F.lit(1000000000.0),
+            0,
+        ).cast("long"),
     )
-    return F.aggregate(subspace_term, F.lit(0.0), lambda acc, v: acc + v)
+    total = F.aggregate(
+        units, F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+    return F.round(total.cast("double") / F.lit(1000000000.0), 6)
 
 
 def adc_scores(
@@ -205,7 +292,7 @@ def adc_scores(
     return (
         codes.crossJoin(F.broadcast(ludf))
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", F.round(adc_expr(m, k), 6).alias("adc_dot"))
+        .select("query_id", "vec_id", adc_expr(m, k).alias("adc_dot"))
     )
 
 
@@ -240,6 +327,10 @@ def pq1_quantized_knn(
     if query_ids is None:
         query_ids = list(range(10))  # same default query set as knn_bruteforce
     books = fit_pq_codebooks(embeddings, m=m, k=n_codes)
+    if books.shape[1] == 0:  # zero valid vectors: the oracle's empty result
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id long, vec_id long, cos_sim double, rank int"
+        )
     codes = pq_encode(embeddings, books)
     return _pq_search(codes, books, embeddings, query_ids, k, n_candidates)
 
@@ -254,13 +345,24 @@ def _pq_search(
 ) -> DataFrame:
     """Shared ADC-candidates → exact-cosine-rerank stage used by both the
     self-contained pq1_quantized_knn and the persisted-index probe
-    (pq_search_indexed), so the two paths are identical by construction."""
+    (pq_search_indexed), so the two paths are identical by construction.
+    Queries are gated to valid vectors of the codec's width (the
+    knn_ivf rule the oracle mirrors): a corrupt/ragged query degrades
+    to absence, and its lut is never built on a short slice."""
+    from csv_crm_upload_spark.analytics.similarity import valid_vectors
+
+    dim = int(books.shape[0] * books.shape[2])
     qrows = (
-        embeddings.filter(F.col("vec_id").isin(query_ids))
+        valid_vectors(embeddings.filter(F.col("vec_id").isin(query_ids)))
+        .filter(F.size("embedding") == dim)
         .select("vec_id", "embedding")
         .collect()
     )  # bounded: ≤ len(query_ids) rows, the ivf.knn_ivf sanction
-    qvecs = [(r["vec_id"], list(r["embedding"])) for r in qrows]
+    qvecs = [(r["vec_id"], [float(v) for v in r["embedding"]]) for r in qrows]
+    if not qvecs:
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id long, vec_id long, cos_sim double, rank int"
+        )
     scored = adc_scores(codes, qvecs, books)
     w_adc = Window.partitionBy("query_id").orderBy(
         F.col("adc_dot").desc(), F.col("vec_id")
@@ -293,7 +395,10 @@ def exact_rerank(
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos_sim"),
+            (
+                F.round(cosine(F.col("q_emb"), F.col("embedding")), 6)
+                + F.lit(0.0)  # normalize IEEE -0.0 (the knn_bruteforce guard)
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
@@ -465,3 +570,40 @@ def pq_search_indexed(
         query_ids = list(range(10))
     books, codes = load_pq_index(spark, path)
     return _pq_search(codes, books, embeddings, query_ids, k, n_candidates)
+
+
+def pqrec1_recall_audit(
+    embeddings: DataFrame,
+    query_ids: list[int] | None = None,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    n_candidates: int = 50,
+) -> DataFrame:
+    """Recall@k of the PQ candidate-then-refine search against exact
+    cosine brute-force — the eval that decides whether (m, n_codes,
+    n_candidates) lets the 32x-compressed codes feed the reranker, the
+    bqrec1 pattern applied to the learned codec. Composes the two
+    oracle-paired operators verbatim (the distributed codebook fit made
+    pq1 driver-checked — round-9); the exact side is the base relation
+    so zero-overlap queries report recall 0, not an absent row."""
+    from csv_crm_upload_spark.analytics.similarity import knn_bruteforce
+
+    exact = knn_bruteforce(embeddings, query_ids, k).select("query_id", "vec_id")
+    approx = pq1_quantized_knn(
+        embeddings, query_ids, k, m, n_codes, n_candidates
+    ).select("query_id", "vec_id", F.lit(1).alias("hit"))
+    return (
+        exact.join(approx, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hit"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
