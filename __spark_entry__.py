@@ -245,51 +245,53 @@ def _q_skw3(s: SparkSession, sf: str) -> DataFrame:
 # max+semi-join — same oracles, new plans); then the round-7 operator
 # additions, each in its shipping round per the house rule.
 _ROTATION_FRONT = [
-    # round-8 additions lead (slots 13-20): first driver contact
-    "lex1_lexical_diversity",
-    "heaps1_vocab_growth",
-    "cov1_vocab_coverage",
-    "tfidf1_top_terms",
-    "js1_source_divergence",
-    "ccnet1_perplexity_buckets",
-    "cal1_calibration_bins",
-    "bq1_binary_hamming_knn",
-    "lshrec1_recall_audit",
-    "sil1_cluster_margins",
-    "rd1_readability",
-    "shard1_balanced_shards",
-    "anon2_l_diversity",
-    "ks1_value_drift",
-    "pctl2_exact_value_percentiles",
-    "bqrec1_binary_recall_audit",
-    "mi1_lang_source_mi",
-    # vq1's oracle materially changed this round (ragged-width CTE) —
-    # it needs a fresh driver row, so it rides with the round-8 block
-    "vq1_quantized_knn",
-    # slots 31-50: re-sample oracle-paired keys whose last driver
-    # CORRECTNESS row predates round 6 (oldest-checked first-ish),
-    # spanning the big families: classifiers, LMs, dedup, TPC-H
-    # partsupp five, graph, sampling, retrieval
-    "lr1_quality_classifier",
-    "nb1_langid_confusion",
-    "nb2_holdout_accuracy",
-    "rfm1_customer_segments",
-    "prep2_monolingual_corpus",
-    "decon1_benchmark_overlap",
-    "decon2_semantic_contamination",
-    "pr1_doc_pagerank",
-    "tri1_triangle_counts",
-    "rep1_repetition_stats",
-    "chunk1_doc_chunks",
-    "ohlc1_hourly_value",
-    "ts1_gapfill_hourly",
-    "q2_min_cost_supplier",
-    "q9_product_type_profit",
-    "q11_important_stock",
-    "q16_parts_supplier_relationship",
-    "q20_potential_promotion",
-    "anon1_k_anonymity",
-    "split1_train_val_test",
+    # round-9 additions lead (slots 13-17): first driver contact for the
+    # newly oracle-paired IVF/PQ searches (fits moved onto the
+    # distributed kmeans discipline), their recall audits, and the new
+    # Wasserstein-1 drift op
+    "sim_knn_ivf",
+    "pq1_quantized_knn",
+    "ivfrec1_ivf_recall_audit",
+    "pqrec1_pq_recall_audit",
+    "w1d1_value_drift",
+    # slots 18-50: re-sample the oracle-paired keys whose last driver
+    # CORRECTNESS row is OLDEST (rounds 1-5; nothing here was in the
+    # r7/r8 windows) — TPC-H completion, the round-3 retrieval family,
+    # the streaming-window trio, the skew family, the window battery,
+    # and the event/session classics
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q10_returned_revenue",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q21_suppliers_kept_waiting",
+    "q22_global_sales_opportunity",
+    "bm25_1_search",
+    "rag1_hybrid_search",
+    "t10_tfidf_top_terms",
+    "rrf1_rank_fusion",
+    "st1_tumbling_counts",
+    "st2_sliding_activity",
+    "st3_session_windows",
+    "sk1_salted_brand_revenue",
+    "sk2_two_phase_status_revenue",
+    "skw1_salted_distinct_users",
+    "skw3_two_phase_event_value",
+    "w2_running_value",
+    "w3_order_quartiles",
+    "w4_trailing_hour_value",
+    "w5_order_gaps",
+    "w6_order_position_stats",
+    "e2_event_funnel",
+    "m1_event_transitions",
+    "l1_latest_order",
+    "h1_active_customers",
+    "fun1_stage_funnel",
 ]
 
 
@@ -312,9 +314,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rows-only `pca2` sits outside the window with its sketch/learned
     peers);
     the rest of the window re-samples round-5 keys (all green in r5).
-    sim_knn_ivf/pq1/ivfpq1/hll1/mm2/mm3/approx_* are oracle-free
-    rows-only whenever sampled (all nine now swept by
-    test_degenerate_rows_only_queries_execute). Round 7: the literal
+    ivfpq1/hll1/mm2/mm3/approx_*/pca2 are oracle-free rows-only whenever
+    sampled (all seven swept by test_degenerate_rows_only_queries_execute;
+    round 9 moved sim_knn_ivf and pq1 OUT of this set — their fits now
+    ride the distributed kmeans discipline and both are oracle-paired,
+    with ivfrec1/pqrec1 recall audits composed on top). Round 7: the literal
     below keeps its historical order; the _ROTATION_FRONT reorder at
     the end of this function moves this round's verification targets
     into slots 13-35 — the ten signed-zero-patched queries (13-22), the
@@ -325,7 +329,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (lex1/heaps1/cov1/tfidf1/js1/ccnet1/cal1/bq1, lshrec1/sil1,
     rd1/shard1/anon2/ks1/pctl2, bqrec1/mi1 — first driver contact);
     slots 30-50 re-sample oracle-paired keys whose last driver row
-    predates round 6."""
+    predates round 6. Round 9: slots 13-17 are the newly oracle-paired
+    sim_knn_ivf/pq1 (first oracle contact), the ivfrec1/pqrec1 recall
+    audits, and w1d1 Wasserstein drift; slots 18-50 re-sample the keys
+    whose last driver row is oldest (rounds 1-5: TPC-H completion, the
+    round-3 retrieval family, the streaming-window trio, the skew
+    family, the window battery, event/session classics)."""
     q = {
         # reference-faithful core (SURVEY §2 ids) — pinned slots 1-12
         "s1_scan_customer": q_s1_scan_customer,
@@ -530,6 +539,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # two-sample Kolmogorov-Smirnov drift on event values
         "ks1_value_drift": lambda s, sf: tpch.ks1_value_drift(_t("events")(s, sf)),
+        # Wasserstein-1 drift (round 9): ks1's integral-norm cousin from
+        # the SAME distributed_prefix_sums CDF pass
+        "w1d1_value_drift": lambda s, sf: tpch.w1d1_value_drift(_t("events")(s, sf)),
         # exact global nearest-rank percentiles via distributed prefix sums
         "pctl2_exact_value_percentiles": lambda s, sf: (
             tpch.pctl2_exact_value_percentiles(_t("events")(s, sf))
@@ -5262,6 +5274,47 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY ta, tb
     """
 
+
+    # w1d1: Wasserstein-1 from the same distinct-value CDF as ks1 — the
+    # step-function integral Σ |F_a − F_b|·Δv over grid gaps; per-gap
+    # terms are pointwise IEEE functions of exact longs (bit-identical
+    # cross-engine), and the SUM is order-free via nano-unit BIGINTs
+    q["w1d1_value_drift"] = """
+        WITH v AS (
+          SELECT value, event_type FROM events
+          WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL
+        ),
+        g AS (
+          SELECT value,
+                 SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS na,
+                 SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS nb
+          FROM v GROUP BY value
+        ),
+        c AS (
+          SELECT value,
+                 CAST(SUM(na) OVER (ORDER BY value) AS BIGINT) AS ca,
+                 CAST(SUM(nb) OVER (ORDER BY value) AS BIGINT) AS cb,
+                 lead(value) OVER (ORDER BY value) AS v_next
+          FROM g
+        ),
+        t AS (
+          SELECT CAST(COALESCE(SUM(na), 0) AS BIGINT) AS ta,
+                 CAST(COALESCE(SUM(nb), 0) AS BIGINT) AS tb
+          FROM g
+        ),
+        u AS (
+          SELECT ta, tb,
+                 CASE WHEN v_next IS NULL THEN CAST(0 AS BIGINT)
+                      ELSE CAST(round(ABS(CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE)
+                                          - CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE))
+                                      * (v_next - value) * 1000000000.0, 0) AS BIGINT)
+                 END AS unit
+          FROM c, t WHERE ta > 0 AND tb > 0
+        )
+        SELECT ta AS n_a, tb AS n_b,
+               round(CAST(COALESCE(SUM(unit), 0) AS DOUBLE) / 1000000000.0, 6) AS w1
+        FROM u GROUP BY ta, tb
+    """
 
     # pctl2: nearest-rank percentiles from the same distinct-value CDF as
     # ks1 — pure-integer thresholds ((q*N + 99) // 100, BIGINT int-div in

@@ -100,6 +100,13 @@ EXTRA = [
     "bqrec1_binary_recall_audit",
     "sil1_cluster_margins",
     "cal1_calibration_bins",
+    # round-9 additions (sim_knn_ivf was never benched; its fit moved
+    # onto the distributed k-means this round, as did pq1's — their
+    # wall-times are the regression signal for that swap)
+    "sim_knn_ivf",
+    "ivfrec1_ivf_recall_audit",
+    "pqrec1_pq_recall_audit",
+    "w1d1_value_drift",
 ]
 
 # graph family: timed AS A PIPELINE (round 4) — the LSH candidate-pair

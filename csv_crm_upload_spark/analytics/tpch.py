@@ -2390,6 +2390,7 @@ def distributed_prefix_sums(
     value_cols: list,
     out_cols: list,
     n_parts: int | None = None,
+    keep_pid: bool = False,
 ) -> tuple:
     """Global running sums over a total order WITHOUT a single-partition
     window — the weighted sibling of _distributed_rank_and_total: range-
@@ -2435,7 +2436,11 @@ def distributed_prefix_sums(
             oc, (F.sum(vc).over(w) + off[F.col("_pid")]).cast("long")
         )
     totals = dict(zip(value_cols, acc))
-    return out.drop("_pid"), totals
+    # keep_pid: callers needing NEIGHBOR access across the total order
+    # (lead/lag, e.g. w1d1's grid gaps) retain the range-partition id so
+    # they can window within partitions and patch the boundaries from a
+    # bounded per-partition collect — never a single-task global window
+    return (out if keep_pid else out.drop("_pid")), totals
 
 
 def ks1_value_drift(
@@ -2483,6 +2488,86 @@ def ks1_value_drift(
             F.lit(tb).cast("long").alias("n_b"),
             "ks_d",
         )
+    )
+
+
+def w1d1_value_drift(
+    events: DataFrame, type_a: str = "view", type_b: str = "purchase"
+) -> DataFrame:
+    """1-D Wasserstein-1 (earth mover's) distance between the `value`
+    distributions of two event types — ks1's integral-norm cousin:
+    where KS reports the WORST CDF gap, W1 = ∫|F_a − F_b| dx reports
+    the TOTAL transport cost, the drift score that keeps responding as
+    a shifted distribution drifts further (KS saturates at 1).
+
+    Exact in 1-D from the SAME machinery as ks1: one (value)-keyed
+    combining agg builds the distinct-value grid, ONE
+    distributed_prefix_sums pass yields both CDFs and the totals as
+    plan literals. The integral is the step-function sum
+    Σ_i |F_a(v_i) − F_b(v_i)|·(v_{i+1} − v_i); the lead(value) runs
+    INSIDE each range partition and the global last row of every
+    partition takes the NEXT partition's min value from a bounded
+    n_parts-row collect riding as a map literal — no single-task
+    window. Determinism: per-gap terms are pointwise IEEE functions of
+    exact longs and the shared grid (bit-identical cross-engine); the
+    SUM is made order-free by the nano-unit BIGINT discipline
+    (round(term·1e9) — exact, so DuckDB's unordered SUM agrees), then
+    one 6-dp round. A side with zero observations returns an EMPTY
+    frame (W1 undefined), identically cross-engine."""
+    v = events.filter(
+        F.col("event_type").isin(type_a, type_b) & F.col("value").isNotNull()
+    )
+    g = v.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == type_a, 1).otherwise(0))
+        .cast("long")
+        .alias("na"),
+        F.sum(F.when(F.col("event_type") == type_b, 1).otherwise(0))
+        .cast("long")
+        .alias("nb"),
+    )
+    c, totals = distributed_prefix_sums(
+        g, ["value"], ["na", "nb"], ["ca", "cb"], keep_pid=True
+    )
+    ta, tb = totals["na"], totals["nb"]
+    spark = events.sparkSession
+    if ta == 0 or tb == 0:
+        return spark.createDataFrame([], "n_a long, n_b long, w1 double")
+    # boundary patch: partition p's last grid value neighbors partition
+    # p+1's first — a bounded n_parts-row collect, shipped as a map
+    mins = {
+        r["_pid"]: r["_mn"]
+        for r in c.groupBy("_pid").agg(F.min("value").alias("_mn")).collect()
+    }
+    next_start = {p: mins[p + 1] for p in mins if (p + 1) in mins}
+    if next_start:
+        nxt_map = F.create_map(
+            *[F.lit(v_) for p in sorted(next_start) for v_ in (p, next_start[p])]
+        )
+        boundary_next = nxt_map[F.col("_pid")]
+    else:
+        boundary_next = F.lit(None).cast("double")
+    lead_v = F.lead("value").over(Window.partitionBy("_pid").orderBy("value"))
+    v_next = F.coalesce(lead_v, boundary_next)
+    gap_term = (
+        F.abs(
+            F.col("ca").cast("double") / F.lit(float(ta))
+            - F.col("cb").cast("double") / F.lit(float(tb))
+        )
+        * (v_next - F.col("value"))
+        * F.lit(1000000000.0)
+    )
+    unit = F.when(v_next.isNotNull(), F.round(gap_term, 0).cast("long")).otherwise(
+        F.lit(0).cast("long")
+    )
+    terms = c.select(unit.alias("unit"))  # window evaluated pre-aggregate
+    return terms.agg(
+        F.round(
+            F.coalesce(F.sum("unit"), F.lit(0)).cast("double") / F.lit(1000000000.0), 6
+        ).alias("w1")
+    ).select(
+        F.lit(ta).cast("long").alias("n_a"),
+        F.lit(tb).cast("long").alias("n_b"),
+        "w1",
     )
 
 

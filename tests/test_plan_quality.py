@@ -685,3 +685,35 @@ def test_round8_second_batch_shuffle_budgets(spark, sf_dir):
         plan = plan_of(QUERIES[name](spark, sf_dir))
         ids = set(re.findall(r"(?<!Broadcast)Exchange \((\d+)\)", plan))
         assert len(ids) <= budget, f"{name}: {len(ids)} shuffles > budget {budget}\n{plan}"
+
+
+def test_round9_operator_shuffle_budgets(spark, sf_dir):
+    """Budgets for the round-9 additions (ceilings, broadcasts
+    excluded), all measured on the RETURNED plan — the kmeans-family
+    codebook/centroid fits run their own bounded driver collects before
+    the plan exists (the kmeans1/sil1 sanction):
+      w1d1    2 — ks1's CDF shape: the (value)-grid agg + the <=1-row
+              nano-unit sum; prefix sums and the lead() both ride the
+              checkpointed range partitioning, totals are literals
+      sim_knn_ivf 2 — probe ranking over the k-row centroid broadcast +
+              the per-query exact-rerank top-k window; the cell join is
+              broadcast (probe side is <=|q|·nprobe rows)
+      pq1     1 — encode is map-only (codes_expr literals), the ADC is
+              map-only over the broadcast lut; the ONE exchange is the
+              candidate/rerank top-k window pair sharing partitioning
+      ivfrec1 7 / pqrec1 6 — pure composition: both audited operators'
+              stages + the recall join re-exchanges; nothing beyond
+              what the composed operators already pay
+    """
+    _reset_plan_state(spark)
+    budgets = {
+        "w1d1_value_drift": 2,
+        "sim_knn_ivf": 2,
+        "pq1_quantized_knn": 1,
+        "ivfrec1_ivf_recall_audit": 7,
+        "pqrec1_pq_recall_audit": 6,
+    }
+    for name, budget in budgets.items():
+        plan = plan_of(QUERIES[name](spark, sf_dir))
+        ids = set(re.findall(r"(?<!Broadcast)Exchange \((\d+)\)", plan))
+        assert len(ids) <= budget, f"{name}: {len(ids)} shuffles > budget {budget}\n{plan}"
