@@ -251,6 +251,7 @@ _ROTATION_FRONT = [
     # Wasserstein-1 drift op
     "sim_knn_ivf",
     "pq1_quantized_knn",
+    "ivfpq1_quantized_knn",
     "ivfrec1_ivf_recall_audit",
     "pqrec1_pq_recall_audit",
     "w1d1_value_drift",
@@ -291,7 +292,6 @@ _ROTATION_FRONT = [
     "m1_event_transitions",
     "l1_latest_order",
     "h1_active_customers",
-    "fun1_stage_funnel",
 ]
 
 
@@ -314,11 +314,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rows-only `pca2` sits outside the window with its sketch/learned
     peers);
     the rest of the window re-samples round-5 keys (all green in r5).
-    ivfpq1/hll1/mm2/mm3/approx_*/pca2 are oracle-free rows-only whenever
-    sampled (all seven swept by test_degenerate_rows_only_queries_execute;
-    round 9 moved sim_knn_ivf and pq1 OUT of this set — their fits now
-    ride the distributed kmeans discipline and both are oracle-paired,
-    with ivfrec1/pqrec1 recall audits composed on top). Round 7: the literal
+    hll1/mm2/mm3/approx_*/pca2 are oracle-free rows-only whenever
+    sampled (all six swept by test_degenerate_rows_only_queries_execute;
+    round 9 moved sim_knn_ivf, pq1 and raw-mode ivfpq1 OUT of this set —
+    their fits now ride the distributed kmeans discipline and all three
+    are oracle-paired, with ivfrec1/pqrec1 recall audits composed on
+    top). Round 7: the literal
     below keeps its historical order; the _ROTATION_FRONT reorder at
     the end of this function moves this round's verification targets
     into slots 13-35 — the ten signed-zero-patched queries (13-22), the
@@ -329,9 +330,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (lex1/heaps1/cov1/tfidf1/js1/ccnet1/cal1/bq1, lshrec1/sil1,
     rd1/shard1/anon2/ks1/pctl2, bqrec1/mi1 — first driver contact);
     slots 30-50 re-sample oracle-paired keys whose last driver row
-    predates round 6. Round 9: slots 13-17 are the newly oracle-paired
-    sim_knn_ivf/pq1 (first oracle contact), the ivfrec1/pqrec1 recall
-    audits, and w1d1 Wasserstein drift; slots 18-50 re-sample the keys
+    predates round 6. Round 9: slots 13-18 are the newly oracle-paired
+    sim_knn_ivf/pq1/ivfpq1 (first oracle contact), the ivfrec1/pqrec1
+    recall audits, and w1d1 Wasserstein drift; slots 19-50 re-sample the keys
     whose last driver row is oldest (rounds 1-5: TPC-H completion, the
     round-3 retrieval family, the streaming-window trio, the skew
     family, the window battery, event/session classics)."""
@@ -2664,6 +2665,49 @@ def oracle_sql() -> dict[str, str]:
               FROM pscored)
         WHERE rn <= 5
     """
+    # ivfpq1 (raw mode, oracle-paired round 9): the UNION of the two
+    # chains above — the IVF chain supplies cells + probe selection, the
+    # PQ chain supplies codes + luts; the ADC stage is pq1's exact
+    # nano-unit sum RESTRICTED to each query's probed cells (join
+    # through icells), mirroring Spark's round(qc_dot + adc, 6) with
+    # raw-mode qc_dot = 0.0. Unused tail CTEs of either chain (iscored,
+    # padc/pcand/pscored) are dead and never materialized.
+    q["ivfpq1_quantized_knn"] = f"""
+        WITH {_ivf_chain},
+        {_pq_chain},
+        xadc AS (
+          SELECT p.query_id, cd.vec_id,
+                 round(CAST(0 AS DOUBLE) +
+                       round(CAST(SUM(CAST(round(l.term * 1000000000.0, 0) AS BIGINT)) AS DOUBLE)
+                             / 1000000000.0, 6), 6) AS adc_dot
+          FROM pcodes cd
+          JOIN icells cl ON cl.vec_id = cd.vec_id
+          JOIN iprobe p ON p.cell_id = cl.cell_id
+          JOIN plut l ON l.query_id = p.query_id
+                     AND l.j = cd.j AND l.code = cd.code
+          WHERE cd.vec_id <> p.query_id
+          GROUP BY p.query_id, cd.vec_id
+        ),
+        xcand AS (
+          SELECT query_id, vec_id FROM (
+            SELECT *, row_number() OVER (
+                     PARTITION BY query_id ORDER BY adc_dot DESC, vec_id) AS rn
+            FROM xadc
+          ) WHERE rn <= 50
+        ),
+        xscored AS (
+          SELECT q.query_id, e.vec_id, {_cos} + 0.0 AS cos_sim
+          FROM xcand c
+          JOIN iq q ON q.query_id = c.query_id
+          JOIN embeddings e ON e.vec_id = c.vec_id
+        )
+        SELECT query_id, vec_id, cos_sim, CAST(rn AS INT) AS rank
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rn
+              FROM xscored)
+        WHERE rn <= 5
+    """
+
     q["pqrec1_pq_recall_audit"] = f"""
         WITH exact AS ({q["sim_knn_bruteforce"]}),
         pqk AS ({q["pq1_quantized_knn"]})

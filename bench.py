@@ -104,6 +104,7 @@ EXTRA = [
     # onto the distributed k-means this round, as did pq1's — their
     # wall-times are the regression signal for that swap)
     "sim_knn_ivf",
+    "ivfpq1_quantized_knn",
     "ivfrec1_ivf_recall_audit",
     "pqrec1_pq_recall_audit",
     "w1d1_value_drift",

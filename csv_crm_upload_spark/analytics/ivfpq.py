@@ -47,7 +47,12 @@ All three artifact families are epoch-versioned under ONE manifest with
 are atomic: a racing reader pairs old quantizers with old codes or new
 with new, never a mix (same protocol as ivf.save_index/save_pq_index).
 
-No DuckDB oracle (learned centroids AND codebooks); pinned instead by
+Raw mode is ORACLE-PAIRED since round 9 (both quantizer fits are the
+distributed kmeans-discipline Lloyd's, the probe ranking is the 6-dp
+rounded in-plan dot, and ADC sums are exact nano-unit BIGINTs — the
+whole search unrolls in SQL as the union of the sim_knn_ivf and pq1
+chains). Residual mode stays rows-only (the residual anchor means come
+from a numpy sample fit). Both modes additionally pinned by
   * recall floor vs knn_bruteforce;
   * full-probe + full-candidate search ≡ exact brute force (every cell
     probed and every member reranked → lossiness can only reorder the
@@ -80,13 +85,23 @@ def _assign_and_encode(
     `embedding` column, so fusing them avoids the join (and its
     corpus-wide shuffle) that composing assign_cells ∘ pq_encode would
     cost — the whole build is scan → project → write (zero exchanges,
-    plan-asserted). `means is None` selects raw-vector encoding."""
+    plan-asserted). `means is None` selects raw-vector encoding.
+    Gated to valid vectors of the quantizers' width (the assign_cells/
+    pq_encode rule — round 9): a zero-norm or ragged row degrades to
+    ABSENCE from the code table (previously a zero vector got a cell,
+    its dot being a valid 0.0, and surfaced as a NULL-cosine rerank row
+    no oracle could see)."""
+    from csv_crm_upload_spark.analytics.similarity import valid_vectors
+
+    gated = valid_vectors(embeddings).filter(
+        F.size("embedding") == int(centroids.shape[1])
+    )
     cell_expr = _ivf.cell_id_expr(centroids)
     if means is None:
-        return embeddings.select(
+        return gated.select(
             "vec_id", _pq.codes_expr(books).alias("codes"), cell_expr.alias("cell_id")
         )
-    with_cell = embeddings.select("vec_id", "embedding", cell_expr.alias("cell_id"))
+    with_cell = gated.select("vec_id", "embedding", cell_expr.alias("cell_id"))
     mean_table = F.array(
         *[F.array(*[F.lit(float(v)) for v in means[c]]) for c in range(len(means))]
     )
@@ -143,35 +158,70 @@ def _probe_plan(
     means: np.ndarray | None = None,
 ) -> tuple[list[tuple[int, list[float]]], DataFrame]:
     """(bounded query vectors, broadcastable (query_id, cell_id,
-    qc_dot) probe table): nearest-nprobe cells per query, computed
-    driver-side from the ≤len(query_ids) collected query rows — the
-    ivf.knn_ivf bounded-collect sanction. `qc_dot` is the residual
-    ADC's per-(query, cell) constant q·mean[cell] (raw query vector —
-    ADC approximates raw dot products); 0.0 in raw mode so the scoring
-    expression is uniform."""
+    qc_dot) probe table): nearest-nprobe cells per query. The ranking
+    runs IN A TINY SPARK JOB with the knn_ivf probe discipline — 6-dp
+    rounded raw query·centroid dot, ties → lowest cell (round 9: this
+    is what the raw-mode oracle unrolls; the previous driver-numpy
+    argsort over NORMALIZED dots picked the same cells except at
+    rounding ties no SQL could reproduce) — then collects the bounded
+    ≤|q|·nprobe rows. Queries are gated to valid quantizer-width
+    vectors (the knn_ivf rule). `qc_dot` is the residual ADC's
+    per-(query, cell) constant q·mean[cell] (sequential Python fold —
+    internal-consistency path; residual mode stays rows-only); 0.0 in
+    raw mode so the scoring expression is uniform."""
+    from pyspark.sql import Window as _W
+
+    from csv_crm_upload_spark.analytics.similarity import _dot, valid_vectors
+
+    spark = embeddings.sparkSession
+    empty = spark.createDataFrame([], "query_id long, cell_id int, qc_dot double")
+    if centroids.size == 0:
+        return [], empty
+    dim = int(centroids.shape[1])
     qrows = (
-        embeddings.filter(F.col("vec_id").isin(query_ids))
+        valid_vectors(embeddings.filter(F.col("vec_id").isin(query_ids)))
+        .filter(F.size("embedding") == dim)
         .select("vec_id", "embedding")
         .collect()
     )
-    qvecs = [(int(r["vec_id"]), list(r["embedding"])) for r in qrows]
-    spark = embeddings.sparkSession
-    if not qvecs:  # no query id exists: empty probe plan, not an AxisError
-        return [], spark.createDataFrame(
-            [], "query_id long, cell_id int, qc_dot double"
+    qvecs = [(int(r["vec_id"]), [float(v) for v in r["embedding"]]) for r in qrows]
+    if not qvecs:  # no valid query id exists: empty plan, not an AxisError
+        return [], empty
+    qdf = spark.createDataFrame(qvecs, "query_id long, q_emb array<double>")
+    cent_df = spark.createDataFrame(
+        [(int(c), [float(v) for v in centroids[c]]) for c in range(len(centroids))],
+        "cell_id int, centroid array<double>",
+    )
+    w = _W.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col("cell_id"))
+    ranked = (
+        qdf.crossJoin(F.broadcast(cent_df))
+        .select(
+            "query_id",
+            "cell_id",
+            F.round(_dot(F.col("q_emb"), F.col("centroid")), 6).alias("csim"),
         )
-    qraw = np.array([v for _, v in qvecs], dtype=np.float64)
-    qx = qraw / np.maximum(np.linalg.norm(qraw, axis=1, keepdims=True), 1e-12)
-    nprobe = min(nprobe, len(centroids))
-    probe_cells = (qx @ centroids.T).argsort(axis=1)[:, ::-1][:, :nprobe]
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= min(nprobe, len(centroids)))
+        .select("query_id", "cell_id")
+        .collect()
+    )
+    by_q = dict(qvecs)
     probes = [
         (
-            qid,
-            int(c),
-            float(qraw[i] @ means[c]) if means is not None else 0.0,
+            int(r["query_id"]),
+            int(r["cell_id"]),
+            (
+                float(
+                    sum(
+                        a * float(b)
+                        for a, b in zip(by_q[r["query_id"]], means[r["cell_id"]])
+                    )
+                )
+                if means is not None
+                else 0.0
+            ),
         )
-        for i, ((qid, _), row) in enumerate(zip(qvecs, probe_cells))
-        for c in row
+        for r in ranked
     ]
     return qvecs, spark.createDataFrame(
         probes, "query_id long, cell_id int, qc_dot double"
@@ -227,11 +277,16 @@ def ivfpq1_quantized_knn(
     residual: bool = False,
 ) -> DataFrame:
     """Self-contained IVF-PQ search (fit + assign + encode inline) —
-    the oracle-free queries() entry; the build-once/probe-many split of
-    the same search lives in save_ivfpq_index / ivfpq_search."""
+    the queries() entry, oracle-paired in raw mode since round 9; the
+    build-once/probe-many split of the same search lives in
+    save_ivfpq_index / ivfpq_search."""
     if query_ids is None:
         query_ids = list(range(10))
     centroids = _ivf.fit_centroids(embeddings, n_cells=n_cells)
+    if centroids.size == 0:  # zero valid vectors: the oracle's empty result
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id long, vec_id long, cos_sim double, rank int"
+        )
     means = None
     if residual:
         books, means = _fit_residual_codebooks(embeddings, centroids, m=m, k=n_codes)

@@ -11,6 +11,18 @@ the suite instead.
 
 The corpus is small but SANE: enough rows that argmax/k-means/top-k
 queries stay well-defined; the adversarial rows ride along inside.
+
+Documented SANITY FLOOR (r8 riders; the fuzz generator guarantees the
+same invariants, so both adversarial suites share one contract):
+  * >= 16 valid FIT-WIDTH vectors exist — the PQ codebook fit's
+    documented minimum for a full k=16 init (k-means/prune need fewer);
+    this fixture carries 18 valid 8-wide vectors;
+  * every score expression that can produce IEEE -0.0 (a rounded dot or
+    margin of sign-mixed cells) is normalized with + 0.0 on BOTH
+    engines, because the fixture's sign-mixed embedding grid lands
+    exact signed-zero cells — the r8 rider class;
+  * vec_ids 0..9 are always valid same-width vectors (the ANN query
+    set), >= 2 non-NULL langs/sources exist, doc/event ids are dense.
 """
 
 from __future__ import annotations
@@ -266,14 +278,14 @@ def test_rows_only_queries_declared():
     """Keep the smoke sweep honest: if a new rows-only query appears it
     is automatically swept below; this pins the current census so an
     accidental oracle DELETION surfaces as a diff here too."""
-    # round 9 removed sim_knn_ivf and pq1_quantized_knn from this list:
-    # their fits moved onto the distributed kmeans discipline and both
-    # are oracle-paired now (with ivfrec1/pqrec1 recall audits on top)
+    # round 9 removed sim_knn_ivf, pq1_quantized_knn AND (raw-mode)
+    # ivfpq1_quantized_knn from this list: their fits moved onto the
+    # distributed kmeans discipline and all three are oracle-paired now
+    # (with ivfrec1/pqrec1 recall audits on top)
     assert ROWS_ONLY == [
         "approx_distinct_users",
         "approx_value_percentiles",
         "hll1_mergeable_daily_uniques",
-        "ivfpq1_quantized_knn",
         "mm2_real_media_features",
         "mm3_resize_stats",
         "pca2_projected_knn",

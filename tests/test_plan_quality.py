@@ -710,6 +710,9 @@ def test_round9_operator_shuffle_budgets(spark, sf_dir):
         "w1d1_value_drift": 2,
         "sim_knn_ivf": 2,
         "pq1_quantized_knn": 1,
+        # fused assign+encode is map-only; probe table and luts ride as
+        # broadcasts — the one exchange is the candidate/rerank window
+        "ivfpq1_quantized_knn": 1,
         "ivfrec1_ivf_recall_audit": 7,
         "pqrec1_pq_recall_audit": 6,
     }
