@@ -255,6 +255,7 @@ _ROTATION_FRONT = [
     "ivfrec1_ivf_recall_audit",
     "pqrec1_pq_recall_audit",
     "w1d1_value_drift",
+    "cvm1_value_drift",
     # slots 18-50: re-sample the oracle-paired keys whose last driver
     # CORRECTNESS row is OLDEST (rounds 1-5; nothing here was in the
     # r7/r8 windows) — TPC-H completion, the round-3 retrieval family,
@@ -291,7 +292,6 @@ _ROTATION_FRONT = [
     "e2_event_funnel",
     "m1_event_transitions",
     "l1_latest_order",
-    "h1_active_customers",
 ]
 
 
@@ -543,6 +543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Wasserstein-1 drift (round 9): ks1's integral-norm cousin from
         # the SAME distributed_prefix_sums CDF pass
         "w1d1_value_drift": lambda s, sf: tpch.w1d1_value_drift(_t("events")(s, sf)),
+        "cvm1_value_drift": lambda s, sf: tpch.cvm1_value_drift(_t("events")(s, sf)),
         # exact global nearest-rank percentiles via distributed prefix sums
         "pctl2_exact_value_percentiles": lambda s, sf: (
             tpch.pctl2_exact_value_percentiles(_t("events")(s, sf))
@@ -5357,6 +5358,47 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT ta AS n_a, tb AS n_b,
                round(CAST(COALESCE(SUM(unit), 0) AS DOUBLE) / 1000000000.0, 6) AS w1
+        FROM u GROUP BY ta, tb
+    """
+
+    # cvm1: the L2 drift cousin — pooled-weighted mean squared CDF gap,
+    # nano-unit BIGINT sum (bounded by 1e9 — weight inside the term)
+    q["cvm1_value_drift"] = """
+        WITH v AS (
+          SELECT value, event_type FROM events
+          WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL
+        ),
+        g AS (
+          SELECT value,
+                 SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS na,
+                 SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS nb
+          FROM v GROUP BY value
+        ),
+        c AS (
+          SELECT na, nb,
+                 CAST(SUM(na) OVER (ORDER BY value) AS BIGINT) AS ca,
+                 CAST(SUM(nb) OVER (ORDER BY value) AS BIGINT) AS cb
+          FROM g
+        ),
+        t AS (
+          SELECT CAST(COALESCE(SUM(na), 0) AS BIGINT) AS ta,
+                 CAST(COALESCE(SUM(nb), 0) AS BIGINT) AS tb
+          FROM g
+        ),
+        gaps AS (
+          SELECT ta, tb, na, nb,
+                 CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE)
+                   - CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE) AS gap
+          FROM c, t WHERE ta > 0 AND tb > 0
+        ),
+        u AS (
+          SELECT ta, tb,
+                 CAST(round(CAST(na + nb AS DOUBLE) / CAST(ta + tb AS DOUBLE)
+                            * gap * gap * 1000000000.0, 0) AS BIGINT) AS unit
+          FROM gaps
+        )
+        SELECT ta AS n_a, tb AS n_b,
+               round(CAST(COALESCE(SUM(unit), 0) AS DOUBLE) / 1000000000.0, 6) AS cvm2
         FROM u GROUP BY ta, tb
     """
 

@@ -108,6 +108,7 @@ EXTRA = [
     "ivfrec1_ivf_recall_audit",
     "pqrec1_pq_recall_audit",
     "w1d1_value_drift",
+    "cvm1_value_drift",
 ]
 
 # graph family: timed AS A PIPELINE (round 4) — the LSH candidate-pair

@@ -2498,6 +2498,67 @@ def ks1_value_drift(
     )
 
 
+def cvm1_value_drift(
+    events: DataFrame, type_a: str = "view", type_b: str = "purchase"
+) -> DataFrame:
+    """Cramér–von Mises-style numeric drift: the POOLED-WEIGHTED mean
+    squared CDF gap Σ_i (n_i/N)·(F_a(v_i) − F_b(v_i))² over the pooled
+    value grid (n_i = pooled multiplicity at v_i, N = pooled total) —
+    the L2 member of the drift family: ks1 is the sup norm (one bad
+    quantile dominates), w1d1 the L1 transport cost (value-scale
+    aware), this the variance-like middle that weights gaps by how much
+    pooled mass sits on them. Normalized to [0, 1]; 0 iff the empirical
+    CDFs agree on every pooled point.
+
+    Same single-pass shape as ks1 (grid agg + ONE
+    distributed_prefix_sums — no lead() even needed); each term is a
+    pointwise IEEE function of exact longs and the N literal
+    (bit-identical cross-engine), the sum is order-free nano-unit
+    BIGINTs — bounded by 1e9·Σ(n_i/N) = 1e9, so the BIGINT can never
+    overflow at ANY corpus size (the w1d1/adc discipline, made
+    scale-proof by weighting inside the term). Zero-observation side →
+    EMPTY frame, identically cross-engine."""
+    v = events.filter(
+        F.col("event_type").isin(type_a, type_b) & F.col("value").isNotNull()
+    )
+    g = v.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == type_a, 1).otherwise(0))
+        .cast("long")
+        .alias("na"),
+        F.sum(F.when(F.col("event_type") == type_b, 1).otherwise(0))
+        .cast("long")
+        .alias("nb"),
+    )
+    c, totals = distributed_prefix_sums(g, ["value"], ["na", "nb"], ["ca", "cb"])
+    ta, tb = totals["na"], totals["nb"]
+    spark = events.sparkSession
+    if ta == 0 or tb == 0:
+        return spark.createDataFrame([], "n_a long, n_b long, cvm2 double")
+    n_pool = float(ta + tb)
+    gap = F.col("ca").cast("double") / F.lit(float(ta)) - F.col("cb").cast(
+        "double"
+    ) / F.lit(float(tb))
+    term = (
+        (F.col("na") + F.col("nb")).cast("double") / F.lit(n_pool)
+    ) * gap * gap * F.lit(1000000000.0)
+    unit = F.round(term, 0).cast("long")
+    return (
+        c.select(unit.alias("unit"))
+        .agg(
+            F.round(
+                F.coalesce(F.sum("unit"), F.lit(0)).cast("double")
+                / F.lit(1000000000.0),
+                6,
+            ).alias("cvm2")
+        )
+        .select(
+            F.lit(ta).cast("long").alias("n_a"),
+            F.lit(tb).cast("long").alias("n_b"),
+            "cvm2",
+        )
+    )
+
+
 def w1d1_value_drift(
     events: DataFrame, type_a: str = "view", type_b: str = "purchase"
 ) -> DataFrame:

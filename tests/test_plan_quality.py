@@ -708,6 +708,7 @@ def test_round9_operator_shuffle_budgets(spark, sf_dir):
     _reset_plan_state(spark)
     budgets = {
         "w1d1_value_drift": 2,
+        "cvm1_value_drift": 2,
         "sim_knn_ivf": 2,
         "pq1_quantized_knn": 1,
         # fused assign+encode is map-only; probe table and luts ride as
