@@ -460,6 +460,16 @@ def d_simhash(documents: DataFrame) -> DataFrame:
     return agg.select("doc_id", simhash.alias("simhash"))
 
 
+#: derived-key format stamp for the persisted pair index
+#: (manifest.check_key_format — the substr gram_format lesson
+#: generalized, r9): signatures/bands derive from md5-60 minhash over
+#: ' '-joined word 3-shingles of _norm_text. A tokenization/shingle/
+#: hash change makes stored signatures and band buckets incompatible
+#: with an append's fresh ones — bump this so the mismatch fails
+#: loudly instead of silently pairing nothing.
+DEDUP_KEY_FORMAT = "normtext-spaceshingle-md560-minhash-v1"
+
+
 def save_dedup_index(
     documents: DataFrame,
     path: str,
@@ -531,6 +541,7 @@ def save_dedup_index(
                 "minhash_k": MINHASH_K,
                 "lsh_bands": LSH_BANDS,
                 "max_bucket": max_bucket,
+                "key_format": DEDUP_KEY_FORMAT,
             },
         )
     finally:
@@ -542,9 +553,10 @@ def load_dedup_index(spark, path: str) -> DataFrame:
     the union of the committed epochs in [base_epoch, epoch]
     (manifest-resolved, so a racing update OR compaction is invisible:
     old-or-new, never a partial epoch)."""
-    from csv_crm_upload_spark.operators.manifest import read_manifest
+    from csv_crm_upload_spark.operators.manifest import check_key_format, read_manifest
 
     m = read_manifest(path)
+    check_key_format(m, path, DEDUP_KEY_FORMAT)
     epoch, base = m["epoch"], m.get("base_epoch", 0)
     return (
         spark.read.parquet(f"{path}/pairs")
@@ -582,6 +594,7 @@ def update_dedup_index(
     Precondition (as for any index append): new doc_ids are not already
     indexed."""
     from csv_crm_upload_spark.operators.manifest import (
+        check_key_format,
         commit_manifest,
         read_manifest,
         remove_orphan_epochs,
@@ -591,6 +604,7 @@ def update_dedup_index(
 
     spark = new_documents.sparkSession
     m = read_manifest(path)
+    check_key_format(m, path, DEDUP_KEY_FORMAT)
     if txn_already_applied(m, txn):
         return  # replayed streaming batch: already folded
     epoch, n, threshold = m["epoch"], m["shingle_n"], m["threshold"]
@@ -655,8 +669,13 @@ def compact_dedup_index(spark, path: str) -> bool:
     atomic; racing readers see the old chain or the compacted one.
     Restores the one-dir read shape appends gradually erode. Returns
     False when already compact."""
-    from csv_crm_upload_spark.operators.manifest import compact_epochs
+    from csv_crm_upload_spark.operators.manifest import (
+        check_key_format,
+        compact_epochs,
+        read_manifest,
+    )
 
+    check_key_format(read_manifest(path), path, DEDUP_KEY_FORMAT)
     return compact_epochs(
         spark,
         path,

@@ -52,6 +52,12 @@ from csv_crm_upload_spark.functions.hashing import md5_60
 DEFAULT_N_BUCKETS = 16
 NGRAMLM_SUBDIRS = ["unigrams", "bigrams"]
 
+#: derived-key format stamp (manifest.check_key_format — the substr
+#: gram_format lesson generalized, r9): tok_h = md5-60 of norm_tokens
+#: tokens; bg_h = md5-60 of the \x01-joined bigram. Bump when the
+#: tokenization, the bigram join byte, or the hash changes.
+KEY_FORMAT = "normtok-md560-x01bigram-v1"
+
 #: explicit read schemas (data + partition columns): a corpus of
 #: NULL-text docs (or, for bigrams, all-single-token docs) writes a
 #: data-file-less partitioned dir that schema inference cannot read —
@@ -123,6 +129,7 @@ def save_ngramlm_model(
             "epoch": new_epoch,
             "base_epoch": new_epoch,
             "n_buckets": n_buckets,
+            "key_format": KEY_FORMAT,
         },
     )
 
@@ -132,9 +139,10 @@ def load_unigram_counts(spark, path: str) -> DataFrame:
     token (additive ⇒ exactly a rebuild's table; manifest-resolved, so a
     racing update or compaction is invisible — old-or-new, never
     partial)."""
-    from csv_crm_upload_spark.operators.manifest import read_manifest
+    from csv_crm_upload_spark.operators.manifest import check_key_format, read_manifest
 
     m = read_manifest(path)
+    check_key_format(m, path, KEY_FORMAT)
     epoch, base = m["epoch"], m.get("base_epoch", 0)
     return (
         _read_unigrams(spark, path)
@@ -149,9 +157,10 @@ def load_bigram_counts(spark, path: str) -> DataFrame:
     epoch range. prev_h/w_h are functions of bg_h (max is a no-op merge
     of identical values — never a cross-type mix absent a 60-bit
     collision)."""
-    from csv_crm_upload_spark.operators.manifest import read_manifest
+    from csv_crm_upload_spark.operators.manifest import check_key_format, read_manifest
 
     m = read_manifest(path)
+    check_key_format(m, path, KEY_FORMAT)
     epoch, base = m["epoch"], m.get("base_epoch", 0)
     return (
         _read_bigrams(spark, path)
@@ -174,6 +183,7 @@ def update_ngramlm_model(
     full corpus would produce (test-pinned). Precondition (as for any
     index append): new doc_ids are not already counted."""
     from csv_crm_upload_spark.operators.manifest import (
+        check_key_format,
         commit_manifest,
         read_manifest,
         remove_orphan_epochs,
@@ -182,6 +192,7 @@ def update_ngramlm_model(
     )
 
     m = read_manifest(path)
+    check_key_format(m, path, KEY_FORMAT)
     if txn_already_applied(m, txn):
         return  # replayed streaming batch: already folded
     epoch = m["epoch"]
@@ -206,12 +217,14 @@ def compact_ngramlm_model(spark, path: str) -> bool:
     types seen in several epochs) in one atomic manifest commit.
     Returns False when already compact."""
     from csv_crm_upload_spark.operators.manifest import (
+        check_key_format,
         commit_manifest,
         read_manifest,
         remove_orphan_epochs,
     )
 
     m = read_manifest(path)
+    check_key_format(m, path, KEY_FORMAT)
     epoch, base = m["epoch"], m.get("base_epoch", 0)
     if epoch == base:
         return False
@@ -306,34 +319,22 @@ def ppl1_model_logloss(documents: DataFrame, path: str) -> DataFrame:
 
 def _probe_bigrams(documents: DataFrame) -> DataFrame:
     """(doc_id, bg_h, p_h, w_h, c) — the probe's bigram instance counts
-    WITH both component-token hashes derived from the tokens themselves
-    (not by re-splitting the \\x01-joined gram: norm_tokens splits on
-    ' ' only, so an adversarial token CAN contain \\x01 and a re-split
-    would mis-segment it). bg_h is md5_60 of the identical
-    _word_ngrams(toks, 2) join — concat_ws('\\x01', prev, w) over the
-    2-token window — so it matches the stored bigram keys bit-exactly."""
-    toks = norm_tokens()
-    starts = F.sequence(F.lit(1), F.size(toks) - 1)
-    pairs = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            starts,
-            lambda i: F.struct(
-                F.element_at(toks, i).alias("prev"),
-                F.element_at(toks, i + 1).alias("w"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<prev:string,w:string>>"))
+    with both component hashes derived by the \\x01-SPLIT of the joined
+    gram: the ONE convention the whole LM family shares (_lm_counts'
+    stored prev_h/w_h, the inline operators' prefix marginals, and the
+    DuckDB oracles all split the gram the same way), so a probe's
+    component hashes can never desynchronize from the model's stored
+    ones. A token CONTAINING \\x01 mis-segments — identically in every
+    path and both engines, the documented price of the join byte."""
+    bg = F.col("bg")
     return (
         documents.filter(F.col("text").isNotNull())
-        .select("doc_id", F.explode(pairs).alias("g"))
+        .select("doc_id", F.explode(_word_ngrams(norm_tokens(), 2)).alias("bg"))
         .groupBy(
             "doc_id",
-            md5_60(F.concat_ws("\x01", F.col("g.prev"), F.col("g.w"))).alias(
-                "bg_h"
-            ),
-            md5_60(F.col("g.prev")).alias("p_h"),
-            md5_60(F.col("g.w")).alias("w_h"),
+            md5_60(bg).alias("bg_h"),
+            md5_60(F.split(bg, "\x01").getItem(0)).alias("p_h"),
+            md5_60(F.split(bg, "\x01").getItem(1)).alias("w_h"),
         )
         .agg(F.count(F.lit(1)).alias("c"))
     )

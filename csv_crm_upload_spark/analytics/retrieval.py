@@ -158,8 +158,25 @@ from csv_crm_upload_spark.operators.manifest import (  # noqa: E402
 )
 
 
+#: derived-key format stamp (manifest.check_key_format — the substr
+#: gram_format lesson generalized, r9): postings/dfreq keys are the
+#: LOWERED _tokens() token STRINGS, bucketed by Spark Murmur3 pmod.
+#: Bump when the tokenization or lowering rule changes (bucket hash
+#: changes are already covered by n_buckets + the Murmur3 portability
+#: note below).
+KEY_FORMAT = "lower-tok-postings-v1"
+
+
 def _read_manifest(path: str) -> dict:
     return read_manifest(path)
+
+
+def _checked_manifest(path: str) -> dict:
+    from csv_crm_upload_spark.operators.manifest import check_key_format
+
+    m = read_manifest(path)
+    check_key_format(m, path, KEY_FORMAT)
+    return m
 
 
 def save_text_index(documents: DataFrame, path: str, n_buckets: int = 64) -> None:
@@ -209,6 +226,7 @@ def save_text_index(documents: DataFrame, path: str, n_buckets: int = 64) -> Non
                 "epoch": new_epoch,
                 "base_epoch": new_epoch,
                 "n_buckets": n_buckets,
+                "key_format": KEY_FORMAT,
             },
         )
     finally:
@@ -245,7 +263,7 @@ def update_text_index(
     from csv_crm_upload_spark.operators.manifest import txn_already_applied, with_txn
 
     spark = new_documents.sparkSession
-    m = _read_manifest(path)
+    m = _checked_manifest(path)
     if txn_already_applied(m, txn):
         return  # replayed batch: already folded, atomic with its epoch
     epoch, n_buckets = m["epoch"], m["n_buckets"]
@@ -300,7 +318,7 @@ def update_text_index(
 
 def read_index_stats(spark, path: str):
     """Corpus-stats Row of the CURRENT index epoch (manifest-resolved)."""
-    epoch = _read_manifest(path)["epoch"]
+    epoch = _checked_manifest(path)["epoch"]
     return spark.read.parquet(f"{path}/stats/epoch={epoch}").first()
 
 
@@ -319,6 +337,7 @@ def compact_text_index(spark, path: str) -> bool:
     Returns False (no-op) when the index is already compact."""
     from csv_crm_upload_spark.operators.manifest import compact_epochs
 
+    _checked_manifest(path)
     return compact_epochs(
         spark,
         path,
@@ -347,7 +366,7 @@ def bm25_search_indexed(
     never mixed."""
     queries = DEFAULT_QUERIES if queries is None else queries
     qdf = _query_terms_df(spark, queries)
-    m = _read_manifest(index_path)
+    m = _checked_manifest(index_path)
     epoch, n_buckets = m["epoch"], m["n_buckets"]
     base = m.get("base_epoch", 0)  # compaction floor (compact_text_index)
     stats = spark.read.parquet(f"{index_path}/stats/epoch={epoch}")
@@ -551,7 +570,7 @@ def tfidf_indexed_top_terms(spark, index_path: str, k: int = 3) -> DataFrame:
     compaction reads old or new, never a mix. idf = round(log2(N/df),
     9); score stays the raw tf x idf product (the tfidf1 half-way
     lesson); ties break on the term string."""
-    m = _read_manifest(index_path)
+    m = _checked_manifest(index_path)
     epoch, base = m["epoch"], m.get("base_epoch", 0)
     stats = spark.read.parquet(f"{index_path}/stats/epoch={epoch}").select(
         F.col("n_docs").cast("double").alias("n_docs")

@@ -64,18 +64,14 @@ GRAM_FORMAT = "space-md560-v1"
 
 def _check_gram_format(m: dict, path: str) -> None:
     """Fail loudly when the index's gram format doesn't match this
-    code's. A manifest with NO gram_format field predates the stamp —
-    its keys were built under the old \\x01 separator (or are of unknown
-    vintage), so it is treated as mismatched too: zero silent-miss
-    modes."""
-    stored = m.get("gram_format")
-    if stored != GRAM_FORMAT:
-        raise ValueError(
-            f"substr index at {path!r} has gram_format={stored!r} but this "
-            f"code writes/probes {GRAM_FORMAT!r}; the stored gram hashes are "
-            "incompatible (a probe would match zero grams, an append would "
-            "mix hash spaces). Rebuild the index with save_substr_index()."
-        )
+    code's (the shared manifest.check_key_format contract; this artifact
+    keeps its original `gram_format` field name). A manifest with NO
+    gram_format field predates the stamp — its keys were built under the
+    old \\x01 separator (or are of unknown vintage), so it is treated as
+    mismatched too: zero silent-miss modes."""
+    from csv_crm_upload_spark.operators.manifest import check_key_format
+
+    check_key_format(m, path, GRAM_FORMAT, field="gram_format")
 
 #: explicit read schema (data + partition columns): an index built over
 #: a corpus where NO document reaches min_len writes a data-file-less

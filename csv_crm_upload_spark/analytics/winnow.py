@@ -34,6 +34,12 @@ from csv_crm_upload_spark.analytics.textstats import (
 
 DEFAULT_N_BUCKETS = 16
 
+#: derived-key format stamp (manifest.check_key_format — the substr
+#: gram_format lesson generalized, r9): fp = window-min of md5-60 over
+#: \x01-joined word k-grams of norm_tokens text. Bump when any of the
+#: tokenization / gram join / hash / selection rule changes.
+KEY_FORMAT = "normtok-x01gram-md560-winmin-v1"
+
 
 def _bucketed(prints: DataFrame, n_buckets: int) -> DataFrame:
     return prints.withColumn("bucket", F.pmod(F.col("fp"), F.lit(n_buckets)))
@@ -64,6 +70,7 @@ def save_winnow_index(
             "k": k,
             "w": w,
             "n_buckets": n_buckets,
+            "key_format": KEY_FORMAT,
         },
     )
 
@@ -72,9 +79,10 @@ def load_winnow_prints(spark, path: str) -> DataFrame:
     """The stored (doc_id, fp) fingerprint table — the union of the
     committed epochs in [base_epoch, epoch] (manifest-resolved: a racing
     update or compaction is invisible — old-or-new, never partial)."""
-    from csv_crm_upload_spark.operators.manifest import read_manifest
+    from csv_crm_upload_spark.operators.manifest import check_key_format, read_manifest
 
     m = read_manifest(path)
+    check_key_format(m, path, KEY_FORMAT)
     epoch, base = m["epoch"], m.get("base_epoch", 0)
     return (
         spark.read.parquet(f"{path}/prints")
@@ -93,6 +101,7 @@ def update_winnow_index(
     state to reconcile. Precondition (as for any index append): new
     doc_ids are not already indexed."""
     from csv_crm_upload_spark.operators.manifest import (
+        check_key_format,
         commit_manifest,
         read_manifest,
         remove_orphan_epochs,
@@ -101,6 +110,7 @@ def update_winnow_index(
     )
 
     m = read_manifest(path)
+    check_key_format(m, path, KEY_FORMAT)
     if txn_already_applied(m, txn):
         return  # replayed streaming batch: already folded
     epoch = m["epoch"]
@@ -120,8 +130,13 @@ def compact_winnow_index(spark, path: str) -> bool:
     """OPTIMIZE: fold the live [base_epoch, epoch] chain into one epoch
     (bucket partitioning preserved) in one atomic manifest commit.
     Returns False when already compact."""
-    from csv_crm_upload_spark.operators.manifest import compact_epochs
+    from csv_crm_upload_spark.operators.manifest import (
+        check_key_format,
+        compact_epochs,
+        read_manifest,
+    )
 
+    check_key_format(read_manifest(path), path, KEY_FORMAT)
     return compact_epochs(spark, path, union_dirs={"prints": ["bucket"]})
 
 
@@ -154,9 +169,10 @@ def match_documents(
     O(probe buckets / n_buckets) of the index, not all of it. Hot
     stored fingerprints (df > max_df over the stored table) are dropped
     before the join, same cap as the pair query."""
-    from csv_crm_upload_spark.operators.manifest import read_manifest
+    from csv_crm_upload_spark.operators.manifest import check_key_format, read_manifest
 
     m = read_manifest(path)
+    check_key_format(m, path, KEY_FORMAT)
     epoch, base = m["epoch"], m.get("base_epoch", 0)
     probe = _bucketed(
         winnow_prints(probe_documents, m["k"], m["w"]), m["n_buckets"]

@@ -169,3 +169,26 @@ def remove_orphan_epochs(path: str, subdirs: list[str], current_epoch: int) -> N
             for d in os.listdir(base):
                 if d.startswith("epoch=") and int(d.split("=", 1)[1]) > current_epoch:
                     shutil.rmtree(os.path.join(base, d))
+
+
+def check_key_format(
+    m: dict, path: str, expected: str, field: str = "key_format"
+) -> None:
+    """Fail LOUDLY when a persisted index's derived-key format doesn't
+    match this code's (the substr gram_format lesson, r8 advice,
+    generalized r9): stored keys are hashes/strings of DERIVED text
+    (tokenization, gram join separator, shingle normalization), so any
+    change to the derivation silently changes every key — a probe
+    against an older index would match NOTHING and an append would mix
+    incompatible key spaces, with no downstream signal. A manifest with
+    no format field predates the stamp (unknown vintage) and is treated
+    as mismatched too: zero silent-miss modes. Bump the artifact's
+    KEY_FORMAT whenever its key derivation changes."""
+    stored = m.get(field)
+    if stored != expected:
+        raise ValueError(
+            f"index at {path!r} has {field}={stored!r} but this code "
+            f"writes/probes {expected!r}; the stored keys are incompatible "
+            "(a probe would match zero keys, an append would mix key "
+            "spaces). Rebuild the index."
+        )
