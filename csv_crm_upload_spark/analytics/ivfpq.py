@@ -292,7 +292,12 @@ def ivfpq1_quantized_knn(
         books, means = _fit_residual_codebooks(embeddings, centroids, m=m, k=n_codes)
     else:
         books = _pq.fit_pq_codebooks(embeddings, m=m, k=n_codes)
-    cell_codes = _assign_and_encode(embeddings, centroids, books, means=means)
+    # materialize the fused assign+encode ONCE (the pq1 lesson, bench
+    # r9): left lazy, the ADC ranking and the rerank join each re-ANALYZE
+    # the cell+codes literal tree; the persisted path reads parquet codes
+    cell_codes = _assign_and_encode(
+        embeddings, centroids, books, means=means
+    ).localCheckpoint(eager=True)
     qvecs, probe_df = _probe_plan(embeddings, centroids, query_ids, nprobe, means=means)
     return _search(cell_codes, books, embeddings, qvecs, probe_df, k, n_candidates)
 

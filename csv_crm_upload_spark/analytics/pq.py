@@ -68,37 +68,84 @@ def fit_pq_codebooks(
         [[float(v) for v in r["embedding"][j * sub : (j + 1) * sub]] for r in init_rows]
         for j in range(m)
     ]
-    for _ in range(iters - 1):
-        code_cols = [
-            _sub_code_expr(
-                F.slice(F.col("embedding"), j * sub + 1, sub), books[j]
-            ).alias(f"code_{j}")
+    spark = embeddings.sparkSession
+    subvecs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.slice(F.col("embedding"), j * sub + 1, sub).alias("sv"),
+            )
             for j in range(m)
         ]
-        # materialize once: the m per-subspace mean recomputes below all
-        # read this frame — without the checkpoint each would re-plan the
-        # full m·k'-literal assignment expression
-        assigned = vf.select("embedding", *code_cols).localCheckpoint(eager=True)
-        new_books = []
-        for j in range(m):
-            sums = [
-                F.round(
-                    F.sum(
-                        F.element_at("embedding", j * sub + d + 1)
-                        .cast("double")
-                        .cast("decimal(28,12)")
-                    ).cast("double")
-                    / F.count(F.lit(1)),
-                    12,
-                ).alias(f"m_{d}")
-                for d in range(sub)
+    )
+    long_form = vf.select("vec_id", F.explode(subvecs).alias("p")).select(
+        "vec_id", "p.j", "p.sv"
+    )
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("sv"),
+                F.col("entry"),
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+    sums = [
+        F.round(
+            F.sum(
+                F.element_at("sv", d + 1).cast("double").cast("decimal(28,12)")
+            ).cast("double")
+            / F.count(F.lit(1)),
+            12,
+        ).alias(f"m_{d}")
+        for d in range(sub)
+    ]
+    for _ in range(iters - 1):
+        # assignment as a BROADCAST JOIN against the current books, not
+        # the m·k'-literal expression tree (bench r9: at 2,000 rows the
+        # fit's wall time was Catalyst ANALYSIS of the literal tree, not
+        # data — the codes_expr lesson again; the join form's expressions
+        # are literal-free and the expansion is a trivial m-per-row
+        # explode). Semantics identical: min(struct(d2, code)) orders by
+        # rounded d2 then code — first-min = lowest code, exactly
+        # _sub_code_expr and the oracle's ORDER BY d2, code.
+        books_df = spark.createDataFrame(
+            [
+                (j, c, books[j][c])
+                for j in range(m)
+                for c in range(len(books[j]))
+            ],
+            "j int, code int, entry array<double>",
+        )
+        assigned = (
+            long_form.join(F.broadcast(books_df), "j")
+            .select("vec_id", "j", "sv", "code", d2.alias("d2"))
+            .groupBy("vec_id", "j")
+            .agg(
+                F.min(F.struct("d2", "code")).alias("b"),
+                F.first("sv").alias("sv"),  # constant per (vec_id, j)
+            )
+        )
+        rows = (
+            assigned.select("j", F.col("b.code").alias("code"), "sv")
+            .groupBy("j", "code")
+            .agg(*sums)
+            .collect()
+        )
+        got: dict[int, dict[int, list[float]]] = {}
+        for r in rows:
+            got.setdefault(int(r["j"]), {})[int(r["code"])] = [
+                r[f"m_{d}"] for d in range(sub)
             ]
-            rows = assigned.groupBy(F.col(f"code_{j}").alias("code")).agg(*sums).collect()
-            got = {int(r["code"]): [r[f"m_{d}"] for d in range(sub)] for r in rows}
-            # a code that lost all members keeps its previous entry (the
-            # FAISS convention) so the tensor shape stays rectangular
-            new_books.append([got.get(c, books[j][c]) for c in range(len(books[j]))])
-        books = new_books
+        # a code that lost all members keeps its previous entry (the
+        # FAISS convention) so the tensor shape stays rectangular
+        books = [
+            [got.get(j, {}).get(c, books[j][c]) for c in range(len(books[j]))]
+            for j in range(m)
+        ]
     if not books[0]:
         return np.zeros((m, 0, 0))
     return np.array(books, dtype=np.float64)
@@ -331,7 +378,12 @@ def pq1_quantized_knn(
         return embeddings.sparkSession.createDataFrame(
             [], "query_id long, vec_id long, cos_sim double, rank int"
         )
-    codes = pq_encode(embeddings, books)
+    # materialize the encode ONCE: downstream the ADC ranking and the
+    # rerank's candidate join each consume the codes — left lazy, every
+    # consumer re-ANALYZES the m·k-literal encode tree (bench r9: that
+    # analysis, not data, dominated pq1's cold cost); the persisted-index
+    # path gets the same effect from its parquet codes
+    codes = pq_encode(embeddings, books).localCheckpoint(eager=True)
     return _pq_search(codes, books, embeddings, query_ids, k, n_candidates)
 
 
