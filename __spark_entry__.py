@@ -252,6 +252,7 @@ _ROTATION_FRONT = [
     "sim_knn_ivf",
     "pq1_quantized_knn",
     "ivfpq1_quantized_knn",
+    "ivfpq2_residual_knn",
     "ivfrec1_ivf_recall_audit",
     "pqrec1_pq_recall_audit",
     "w1d1_value_drift",
@@ -291,7 +292,6 @@ _ROTATION_FRONT = [
     "w6_order_position_stats",
     "e2_event_funnel",
     "m1_event_transitions",
-    "l1_latest_order",
 ]
 
 
@@ -861,6 +861,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (both quantizers learned); pinned by tests/test_ivfpq.py
         "ivfpq1_quantized_knn": lambda s, sf: ivfpqm.ivfpq1_quantized_knn(
             _t("embeddings")(s, sf)
+        ),
+        # IVFADC proper (round 9): residual-encoded IVF-PQ — codes
+        # quantize x − mean[cell]; oracle-paired like the raw mode
+        "ivfpq2_residual_knn": lambda s, sf: ivfpqm.ivfpq1_quantized_knn(
+            _t("embeddings")(s, sf), residual=True
         ),
         # widened relational surface
         "q1_pricing_summary": lambda s, sf: tpch.q1_pricing_summary(_t("lineitem")(s, sf)),
@@ -2706,6 +2711,144 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT *, row_number() OVER (
                 PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rn
               FROM xscored)
+        WHERE rn <= 5
+    """
+
+    # ivfpq2 (residual mode, IVFADC proper — oracle-paired round 9): the
+    # ivfpq1 chains plus (a) per-cell anchor MEANS of the final
+    # assignment (DECIMAL per-dim means rounded 12 dp; emptied cells
+    # COALESCE to their centroid), (b) a residual frame
+    # x − mean[cell] the PQ fit/encode chain runs over verbatim (the
+    # ::DOUBLE casts are no-ops on the residual doubles, so the chain
+    # text is the raw template with r-prefixed names), and (c) the
+    # per-(query, probed-cell) constant qc = round(q·mean, 9) added to
+    # the nano-unit ADC sum before the 6-dp round — exactly Spark's
+    # round(qc_dot + adc_expr, 6).
+    _r_parts = [
+        """amean AS (
+          SELECT cl.cell_id, r.i,
+                 round(CAST(SUM(CAST(CAST(e.embedding[r.i] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+                       / COUNT(*), 12) AS mv
+          FROM icells cl JOIN embeddings e ON e.vec_id = cl.vec_id,
+               UNNEST(range(1, len(e.embedding) + 1)) AS r(i)
+          GROUP BY cl.cell_id, r.i
+        ),
+        anch0 AS (SELECT cell_id, list(mv ORDER BY i) AS mean_vec FROM amean GROUP BY cell_id),
+        anch AS (
+          SELECT c.cell_id, COALESCE(a.mean_vec, c.centroid) AS mean_vec
+          FROM ic1 c LEFT JOIN anch0 a USING (cell_id)
+        ),
+        rfw AS (
+          SELECT cl.vec_id,
+                 list_transform(range(1, len(e.embedding) + 1),
+                                i -> e.embedding[i]::DOUBLE - a.mean_vec[i]) AS embedding
+          FROM icells cl
+          JOIN embeddings e ON e.vec_id = cl.vec_id
+          JOIN anch a ON a.cell_id = cl.cell_id
+        ),
+        rinit AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code,
+                 embedding
+          FROM (SELECT vec_id, embedding FROM rfw ORDER BY vec_id LIMIT """
+        + str(_pq_k)
+        + """)
+        )"""
+    ]
+    for _j in range(_pq_m):
+        _lo = _j * _pq_sub
+        _d2 = (
+            f"round(list_sum(list_transform(range(1, {_pq_sub} + 1), "
+            f"d -> (f.embedding[{_lo} + d]::DOUBLE - i.entry[d]) * "
+            f"(f.embedding[{_lo} + d]::DOUBLE - i.entry[d]))), 6)"
+        )
+        _r_parts.append(f"""rinit_{_j} AS (
+          SELECT code, list_transform(embedding[{_lo + 1}:{_lo + _pq_sub}], x -> x::DOUBLE) AS entry
+          FROM rinit
+        ),
+        ra1_{_j} AS (
+          SELECT vec_id, embedding, code FROM (
+            SELECT f.vec_id, f.embedding, i.code, row_number() OVER (
+                     PARTITION BY f.vec_id ORDER BY {_d2} ASC, i.code) AS rn
+            FROM rfw f CROSS JOIN rinit_{_j} i
+          ) WHERE rn = 1
+        ),
+        rm1_{_j} AS (
+          SELECT code, r.d,
+                 round(CAST(SUM(CAST(CAST(embedding[{_lo} + r.d] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+                       / COUNT(*), 12) AS m
+          FROM ra1_{_j}, UNNEST(range(1, {_pq_sub} + 1)) AS r(d)
+          GROUP BY code, r.d
+        ),
+        rmb_{_j} AS (SELECT code, list(m ORDER BY d) AS entry FROM rm1_{_j} GROUP BY code),
+        rc1_{_j} AS (
+          SELECT i.code, COALESCE(b.entry, i.entry) AS entry
+          FROM rinit_{_j} i LEFT JOIN rmb_{_j} b USING (code)
+        ),
+        rcode_{_j} AS (
+          SELECT vec_id, code FROM (
+            SELECT f.vec_id, i.code, row_number() OVER (
+                     PARTITION BY f.vec_id ORDER BY {_d2} ASC, i.code) AS rn
+            FROM rfw f CROSS JOIN rc1_{_j} i
+          ) WHERE rn = 1
+        )""")
+    _r_codes_union = "\n          UNION ALL ".join(
+        f"SELECT vec_id, {j} AS j, code FROM rcode_{j}" for j in range(_pq_m)
+    )
+    _r_lut_union = "\n          UNION ALL ".join(
+        f"SELECT q.query_id, {j} AS j, c.code, "
+        f"round(list_sum(list_transform(range(1, {_pq_sub} + 1), "
+        f"d -> q.q_emb[{j * _pq_sub} + d]::DOUBLE * c.entry[d])), 9) AS term "
+        f"FROM iq q CROSS JOIN rc1_{j} c"
+        for j in range(_pq_m)
+    )
+    _r_parts.append(f"""rcodes AS (
+          {_r_codes_union}
+        ),
+        rlut AS (
+          {_r_lut_union}
+        ),
+        qcc AS (
+          SELECT p.query_id, p.cell_id,
+                 round(list_sum(list_transform(range(1, len(q.q_emb) + 1),
+                       i -> q.q_emb[i]::DOUBLE * a.mean_vec[i])), 9) AS qc_dot
+          FROM iprobe p
+          JOIN iq q ON q.query_id = p.query_id
+          JOIN anch a ON a.cell_id = p.cell_id
+        ),
+        yadc AS (
+          SELECT qc.query_id, cd.vec_id,
+                 round(qc.qc_dot +
+                       round(CAST(SUM(CAST(round(l.term * 1000000000.0, 0) AS BIGINT)) AS DOUBLE)
+                             / 1000000000.0, 6), 6) AS adc_dot
+          FROM rcodes cd
+          JOIN icells cl ON cl.vec_id = cd.vec_id
+          JOIN qcc qc ON qc.cell_id = cl.cell_id
+          JOIN rlut l ON l.query_id = qc.query_id
+                     AND l.j = cd.j AND l.code = cd.code
+          WHERE cd.vec_id <> qc.query_id
+          GROUP BY qc.query_id, cd.vec_id, qc.qc_dot
+        ),
+        ycand AS (
+          SELECT query_id, vec_id FROM (
+            SELECT *, row_number() OVER (
+                     PARTITION BY query_id ORDER BY adc_dot DESC, vec_id) AS rn
+            FROM yadc
+          ) WHERE rn <= 50
+        ),
+        yscored AS (
+          SELECT q.query_id, e.vec_id, {_cos} + 0.0 AS cos_sim
+          FROM ycand c
+          JOIN iq q ON q.query_id = c.query_id
+          JOIN embeddings e ON e.vec_id = c.vec_id
+        )""")
+    _r_chain = ",\n        ".join(_r_parts)
+    q["ivfpq2_residual_knn"] = f"""
+        WITH {_ivf_chain},
+        {_r_chain}
+        SELECT query_id, vec_id, cos_sim, CAST(rn AS INT) AS rank
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rn
+              FROM yscored)
         WHERE rn <= 5
     """
 

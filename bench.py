@@ -105,6 +105,7 @@ EXTRA = [
     # wall-times are the regression signal for that swap)
     "sim_knn_ivf",
     "ivfpq1_quantized_knn",
+    "ivfpq2_residual_knn",
     "ivfrec1_ivf_recall_audit",
     "pqrec1_pq_recall_audit",
     "w1d1_value_drift",

@@ -17,10 +17,11 @@ the manifest:
   * raw (`residual=False`, default): codes quantize the vector itself —
     the ADC machinery is byte-identical to pq.py's;
   * residual (`residual=True`, IVFADC proper): codes quantize
-    x − mean[cell], the codebooks are fit on residuals of the same
-    bounded sample, and ADC adds a per-(query, probed-cell) constant
-    q·mean[cell] (computed driver-side and carried on the broadcast
-    probe table) to the residual lookup sum:
+    x − mean[cell], the codebooks are fit on whole-corpus residuals
+    with the shared distributed Lloyd's core, and ADC adds a
+    per-(query, probed-cell) constant q·mean[cell] (9-dp rounded,
+    computed in the probe job and carried on the broadcast probe
+    table) to the residual lookup sum:
       q·x ≈ q·mean[cell] + Σ_j q_j·book[j, code_j].
     Cell SELECTION still uses the unit-normalized spherical centroids
     (cosine cells), but the subtracted anchor is the cell's raw MEAN —
@@ -47,12 +48,14 @@ All three artifact families are epoch-versioned under ONE manifest with
 are atomic: a racing reader pairs old quantizers with old codes or new
 with new, never a mix (same protocol as ivf.save_index/save_pq_index).
 
-Raw mode is ORACLE-PAIRED since round 9 (both quantizer fits are the
-distributed kmeans-discipline Lloyd's, the probe ranking is the 6-dp
-rounded in-plan dot, and ADC sums are exact nano-unit BIGINTs — the
-whole search unrolls in SQL as the union of the sim_knn_ivf and pq1
-chains). Residual mode stays rows-only (the residual anchor means come
-from a numpy sample fit). Both modes additionally pinned by
+BOTH modes are ORACLE-PAIRED since round 9 (all quantizer fits are the
+distributed kmeans-discipline Lloyd's — the residual anchors are
+whole-corpus per-cell DECIMAL means, the residual codec fits on
+x − mean[cell] via the shared core; probe rankings are the 6-dp rounded
+in-plan dots, qc constants 9-dp rounded, ADC sums exact nano-unit
+BIGINTs — raw unrolls in SQL as the union of the sim_knn_ivf and pq1
+chains, residual adds the means/residual CTEs on top). Both modes
+additionally pinned by
   * recall floor vs knn_bruteforce;
   * full-probe + full-candidate search ≡ exact brute force (every cell
     probed and every member reranked → lossiness can only reorder the
@@ -116,37 +119,56 @@ def _assign_and_encode(
 
 
 def _fit_residual_codebooks(
-    embeddings: DataFrame,
-    centroids: np.ndarray,
-    m: int,
-    k: int,
-    sample_cap: int = 4096,
-    n_iter: int = 10,
-    seed: int = 42,
+    embeddings: DataFrame, centroids: np.ndarray, m: int, k: int, iters: int = 2
 ) -> tuple[np.ndarray, np.ndarray]:
-    """(codebooks, cell means): fit the PQ codec on CELL RESIDUALS of
-    the same bounded deterministic sample fit_pq_codebooks uses —
-    assign each sample vector to its cell by the identical raw-dot
-    argmax (numpy argmax == cell_id_expr's first-max tiebreak), anchor
-    at the cell's sample MEAN (see module docstring for why mean, not
-    unit centroid), fit on x − mean[cell]. Empty cells anchor at their
-    centroid (no member to mean). Sample routes through
-    uniform_vector_sample (identical on clean corpora; NULL/empty/
-    wrong-width rows would abort the fit)."""
-    from csv_crm_upload_spark.analytics.similarity import uniform_vector_sample
+    """(codebooks, cell means): the DISTRIBUTED residual codec fit
+    (round 9 — replaces the sampled numpy fit, making residual IVF-PQ
+    oracle-derivable like the raw path):
+      1. assign every valid fit-width vector to its cell (the rounded
+         cell_id_expr discipline, = the oracle's final assignment);
+      2. anchor = each cell's per-dim DECIMAL mean rounded to 12 dp
+         (the kmeans recompute discipline; see module docstring for why
+         mean, not unit centroid); a cell emptied by the final
+         assignment anchors at its centroid;
+      3. fit the PQ codec on x − mean[cell] with the shared distributed
+         Lloyd's core (_fit_books_on_frame — residuals are NOT re-gated:
+         a singleton cell's ~zero residual is legitimate, and PQ's
+         euclidean math has no division to protect).
+    Whole-corpus, one combining shuffle per stage, bounded collects."""
+    from csv_crm_upload_spark.analytics.similarity import valid_vectors
 
-    sample = uniform_vector_sample(embeddings, sample_cap)
-    x = np.array([r["embedding"] for r in sample], dtype=np.float64)
-    assign = (x @ centroids.T).argmax(axis=1)
+    dim = int(centroids.shape[1])
+    gated = valid_vectors(embeddings).filter(F.size("embedding") == dim)
+    cells = gated.select(
+        "vec_id", "embedding", _ivf.cell_id_expr(centroids).alias("cell_id")
+    )
+    sums = [
+        F.round(
+            F.sum(
+                F.element_at("embedding", d + 1)
+                .cast("double")
+                .cast("decimal(28,12)")
+            ).cast("double")
+            / F.count(F.lit(1)),
+            12,
+        ).alias(f"m_{d}")
+        for d in range(dim)
+    ]
+    rows = cells.groupBy("cell_id").agg(*sums).collect()  # bounded: <=n_cells
+    got = {int(r["cell_id"]): [r[f"m_{d}"] for d in range(dim)] for r in rows}
     means = np.array(
-        [
-            x[assign == c].mean(axis=0) if (assign == c).any() else centroids[c]
-            for c in range(len(centroids))
-        ]
+        [got.get(c, [float(v) for v in centroids[c]]) for c in range(len(centroids))]
     )
-    books = _pq.fit_books_from_matrix(
-        x - means[assign], m, k, n_iter=n_iter, seed=seed
+    mean_table = F.array(
+        *[F.array(*[F.lit(float(v)) for v in means[c]]) for c in range(len(means))]
     )
+    residual = F.zip_with(
+        F.col("embedding"),
+        F.element_at(mean_table, F.col("cell_id") + 1),
+        lambda a, b: a.cast("double") - b,
+    )
+    vf_res = cells.select("vec_id", residual.alias("embedding"))
+    books = _pq._fit_books_on_frame(vf_res, dim, m, k, iters)
     return books, means
 
 
@@ -166,9 +188,10 @@ def _probe_plan(
     rounding ties no SQL could reproduce) — then collects the bounded
     ≤|q|·nprobe rows. Queries are gated to valid quantizer-width
     vectors (the knn_ivf rule). `qc_dot` is the residual ADC's
-    per-(query, cell) constant q·mean[cell] (sequential Python fold —
-    internal-consistency path; residual mode stays rows-only); 0.0 in
-    raw mode so the scoring expression is uniform."""
+    per-(query, cell) constant q·mean[cell], computed IN THE SAME JOB
+    with the 9-dp rounded fold (round 9: cross-engine-exact, so the
+    residual path is oracle-derivable too); 0.0 in raw mode so the
+    scoring expression is uniform."""
     from pyspark.sql import Window as _W
 
     from csv_crm_upload_spark.analytics.similarity import _dot, valid_vectors
@@ -188,9 +211,25 @@ def _probe_plan(
     if not qvecs:  # no valid query id exists: empty plan, not an AxisError
         return [], empty
     qdf = spark.createDataFrame(qvecs, "query_id long, q_emb array<double>")
+    anchor = centroids if means is None else means
     cent_df = spark.createDataFrame(
-        [(int(c), [float(v) for v in centroids[c]]) for c in range(len(centroids))],
-        "cell_id int, centroid array<double>",
+        [
+            (
+                int(c),
+                [float(v) for v in centroids[c]],
+                [float(v) for v in anchor[c]],
+            )
+            for c in range(len(centroids))
+        ],
+        "cell_id int, centroid array<double>, mean_vec array<double>",
+    )
+    # qc_dot: the residual ADC's constant, with the oracle's expression
+    # (9-dp rounded fold against the cell's anchor mean); raw mode zeroes
+    # it without changing the job shape
+    qc = (
+        F.round(_dot(F.col("q_emb"), F.col("mean_vec")), 9)
+        if means is not None
+        else F.lit(0.0)
     )
     w = _W.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col("cell_id"))
     ranked = (
@@ -199,28 +238,15 @@ def _probe_plan(
             "query_id",
             "cell_id",
             F.round(_dot(F.col("q_emb"), F.col("centroid")), 6).alias("csim"),
+            qc.alias("qc_dot"),
         )
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= min(nprobe, len(centroids)))
-        .select("query_id", "cell_id")
+        .select("query_id", "cell_id", "qc_dot")
         .collect()
     )
-    by_q = dict(qvecs)
     probes = [
-        (
-            int(r["query_id"]),
-            int(r["cell_id"]),
-            (
-                float(
-                    sum(
-                        a * float(b)
-                        for a, b in zip(by_q[r["query_id"]], means[r["cell_id"]])
-                    )
-                )
-                if means is not None
-                else 0.0
-            ),
-        )
+        (int(r["query_id"]), int(r["cell_id"]), float(r["qc_dot"]))
         for r in ranked
     ]
     return qvecs, spark.createDataFrame(

@@ -61,14 +61,28 @@ def fit_pq_codebooks(
     dim = len(first["embedding"])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
-    sub = dim // m
     vf = valid.filter(F.size("embedding") == dim).select("vec_id", "embedding")
+    return _fit_books_on_frame(vf, dim, m, k, iters)
+
+
+def _fit_books_on_frame(
+    vf: DataFrame, dim: int, m: int, k: int, iters: int
+) -> np.ndarray:
+    """The distributed Lloyd's core over a PRE-GATED (vec_id, embedding)
+    frame — shared by the raw fit (fit_pq_codebooks gates with
+    valid_vectors + fit width) and the residual fit (ivfpq gates by cell
+    membership and must NOT re-gate: a singleton cell's residual is a
+    legitimate ~zero vector, and PQ's euclidean math has no division to
+    protect — unlike the cosine family)."""
+    sub = dim // m
     init_rows = vf.orderBy("vec_id").limit(k).collect()
     books = [
         [[float(v) for v in r["embedding"][j * sub : (j + 1) * sub]] for r in init_rows]
         for j in range(m)
     ]
-    spark = embeddings.sparkSession
+    if not books[0]:
+        return np.zeros((m, 0, 0))
+    spark = vf.sparkSession
     subvecs = F.array(
         *[
             F.struct(
@@ -149,34 +163,6 @@ def fit_pq_codebooks(
     if not books[0]:
         return np.zeros((m, 0, 0))
     return np.array(books, dtype=np.float64)
-
-
-def fit_books_from_matrix(
-    x: np.ndarray, m: int, k: int, n_iter: int = 10, seed: int = 42
-) -> np.ndarray:
-    """Per-subspace Lloyd's over an in-memory sample matrix — the codec
-    fit shared by raw-vector PQ (fit_pq_codebooks) and residual IVF-PQ
-    (ivfpq fits it on x − centroid[cell] of the same bounded sample)."""
-    dim = x.shape[1]
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    if len(x) < k:
-        raise ValueError(f"sample of {len(x)} rows cannot seed k={k} codes")
-    sub = dim // m
-    rng = np.random.RandomState(seed)
-    books = np.zeros((m, k, sub))
-    for j in range(m):
-        xs = x[:, j * sub : (j + 1) * sub]
-        cent = xs[rng.choice(len(xs), size=k, replace=False)].copy()
-        for _ in range(n_iter):
-            d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            for c in range(k):
-                members = xs[assign == c]
-                if len(members):
-                    cent[c] = members.mean(axis=0)
-        books[j] = cent
-    return books
 
 
 def _sub_code_expr(xs, entries: list[list[float]]):

@@ -714,6 +714,9 @@ def test_round9_operator_shuffle_budgets(spark, sf_dir):
         # fused assign+encode is map-only; probe table and luts ride as
         # broadcasts — the one exchange is the candidate/rerank window
         "ivfpq1_quantized_knn": 1,
+        # residual mode: identical returned-plan shape (the means and
+        # residual-fit jobs run at construction time, like the raw fits)
+        "ivfpq2_residual_knn": 1,
         "ivfrec1_ivf_recall_audit": 7,
         "pqrec1_pq_recall_audit": 6,
     }
