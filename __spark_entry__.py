@@ -245,10 +245,10 @@ def _q_skw3(s: SparkSession, sf: str) -> DataFrame:
 # max+semi-join — same oracles, new plans); then the round-7 operator
 # additions, each in its shipping round per the house rule.
 _ROTATION_FRONT = [
-    # round-9 additions lead (slots 13-17): first driver contact for the
-    # newly oracle-paired IVF/PQ searches (fits moved onto the
+    # round-9 additions lead (slots 13-20): first driver contact for the
+    # newly oracle-paired IVF/PQ/IVF-PQ searches (fits moved onto the
     # distributed kmeans discipline), their recall audits, and the new
-    # Wasserstein-1 drift op
+    # Wasserstein-1 / Cramér-von-Mises drift ops
     "sim_knn_ivf",
     "pq1_quantized_knn",
     "ivfpq1_quantized_knn",
@@ -257,7 +257,7 @@ _ROTATION_FRONT = [
     "pqrec1_pq_recall_audit",
     "w1d1_value_drift",
     "cvm1_value_drift",
-    # slots 18-50: re-sample the oracle-paired keys whose last driver
+    # slots 21-50: re-sample the oracle-paired keys whose last driver
     # CORRECTNESS row is OLDEST (rounds 1-5; nothing here was in the
     # r7/r8 windows) — TPC-H completion, the round-3 retrieval family,
     # the streaming-window trio, the skew family, the window battery,
@@ -330,9 +330,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (lex1/heaps1/cov1/tfidf1/js1/ccnet1/cal1/bq1, lshrec1/sil1,
     rd1/shard1/anon2/ks1/pctl2, bqrec1/mi1 — first driver contact);
     slots 30-50 re-sample oracle-paired keys whose last driver row
-    predates round 6. Round 9: slots 13-18 are the newly oracle-paired
-    sim_knn_ivf/pq1/ivfpq1 (first oracle contact), the ivfrec1/pqrec1
-    recall audits, and w1d1 Wasserstein drift; slots 19-50 re-sample the keys
+    predates round 6. Round 9: slots 13-20 are the newly oracle-paired
+    sim_knn_ivf/pq1/ivfpq1/ivfpq2 (first oracle contact), the
+    ivfrec1/pqrec1 recall audits, and the w1d1/cvm1 drift ops; slots
+    21-50 re-sample the keys
     whose last driver row is oldest (rounds 1-5: TPC-H completion, the
     round-3 retrieval family, the streaming-window trio, the skew
     family, the window battery, event/session classics)."""

@@ -1,7 +1,9 @@
 """Distributed full-corpus k-means over the embeddings table — the
 topic-clustering step of a training-data pipeline (slice a corpus by
 embedding neighborhood, budget per topic, spot mode collapse), and the
-full-corpus counterpart of ivf.fit_centroids' bounded-sample Lloyd's.
+fit that (since round 9) ALSO serves as ivf.fit_centroids' coarse
+quantizer — one Lloyd's discipline across the clustering and ANN
+families.
 
 Canonical Spark k-means shape (what MLlib does under the hood):
   * centroids live on the DRIVER as a k-row list (bounded — the

@@ -129,6 +129,14 @@ def save_index(
     spark = embeddings.sparkSession
     new_epoch, prior = rebuild_epoch(path)  # atomic rebuild over a live index
     centroids = fit_centroids(embeddings, n_cells=n_cells, **fit_kwargs)
+    if centroids.size == 0:
+        # loud, BEFORE any epoch dir lands (review r9: the empty-matrix
+        # degrade is for query entry points; building an index over a
+        # corpus with zero valid vectors is a caller error)
+        raise ValueError(
+            "save_index: no valid vectors to fit centroids on "
+            "(corpus is empty or all embeddings are NULL/empty/zero-norm)"
+        )
     cent_rows = [(int(c), [float(v) for v in centroids[c]]) for c in range(len(centroids))]
     spark.createDataFrame(cent_rows, "cell_id int, centroid array<double>").write.mode(
         "overwrite"

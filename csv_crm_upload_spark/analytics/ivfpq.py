@@ -23,8 +23,10 @@ the manifest:
     computed in the probe job and carried on the broadcast probe
     table) to the residual lookup sum:
       q·x ≈ q·mean[cell] + Σ_j q_j·book[j, code_j].
-    Cell SELECTION still uses the unit-normalized spherical centroids
-    (cosine cells), but the subtracted anchor is the cell's raw MEAN —
+    Cell SELECTION uses the coarse-fit centroids' rounded dots (since
+    round 9 those centroids are the kmeans chain's raw per-dim means,
+    not unit vectors — the ranking is the oracle's, norm-sensitive by
+    construction), but the subtracted anchor is the cell's raw MEAN —
     the mean minimizes residual energy by construction (Σ||x−μ||² =
     Σ||x||² − n||μ||²), where subtracting the unit centroid can
     INFLATE residuals when clusters are loose (2 − 2x·c > 1 whenever
@@ -313,9 +315,22 @@ def ivfpq1_quantized_knn(
         return embeddings.sparkSession.createDataFrame(
             [], "query_id long, vec_id long, cos_sim double, rank int"
         )
+    # PROBE before the codec fits (review r9): with no valid query the
+    # result is empty regardless — skip the PQ fit and the corpus-wide
+    # encode+checkpoint entirely. The probe needs only the centroids;
+    # raw-mode qc is 0.0 and residual recomputes the probe below with
+    # the anchor means attached.
+    qvecs, probe_df = _probe_plan(embeddings, centroids, query_ids, nprobe)
+    if not qvecs:
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id long, vec_id long, cos_sim double, rank int"
+        )
     means = None
     if residual:
         books, means = _fit_residual_codebooks(embeddings, centroids, m=m, k=n_codes)
+        qvecs, probe_df = _probe_plan(
+            embeddings, centroids, query_ids, nprobe, means=means
+        )
     else:
         books = _pq.fit_pq_codebooks(embeddings, m=m, k=n_codes)
     # materialize the fused assign+encode ONCE (the pq1 lesson, bench
@@ -324,7 +339,6 @@ def ivfpq1_quantized_knn(
     cell_codes = _assign_and_encode(
         embeddings, centroids, books, means=means
     ).localCheckpoint(eager=True)
-    qvecs, probe_df = _probe_plan(embeddings, centroids, query_ids, nprobe, means=means)
     return _search(cell_codes, books, embeddings, qvecs, probe_df, k, n_candidates)
 
 
@@ -338,7 +352,7 @@ def save_ivfpq_index(
     **fit_kwargs,
 ) -> None:
     """Build the composed index once per corpus snapshot: coarse
-    centroids + PQ codebooks (both from bounded driver samples) and ONE
+    centroids + PQ codebooks (both distributed kmeans-discipline fits) and ONE
     corpus map pass producing (vec_id, codes) partitioned BY cell_id.
     Atomic for both fresh builds and rebuilds over a live index (next
     epoch + base/centroid/codebook epoch advance in one commit).
@@ -349,6 +363,12 @@ def save_ivfpq_index(
     spark = embeddings.sparkSession
     new_epoch, prior = rebuild_epoch(path)  # atomic rebuild over a live index
     centroids = _ivf.fit_centroids(embeddings, n_cells=n_cells, **fit_kwargs)
+    if centroids.size == 0:
+        # loud, BEFORE any epoch dir lands (see ivf.save_index)
+        raise ValueError(
+            "save_ivfpq_index: no valid vectors to fit quantizers on "
+            "(corpus is empty or all embeddings are NULL/empty/zero-norm)"
+        )
     means = None
     if residual:
         books, means = _fit_residual_codebooks(embeddings, centroids, m=m, k=n_codes)

@@ -73,7 +73,11 @@ def _fit_books_on_frame(
     valid_vectors + fit width) and the residual fit (ivfpq gates by cell
     membership and must NOT re-gate: a singleton cell's residual is a
     legitimate ~zero vector, and PQ's euclidean math has no division to
-    protect — unlike the cosine family)."""
+    protect — unlike the cosine family). The divisibility check lives
+    HERE so no caller can silently truncate trailing dims (review r9:
+    the residual path bypassed fit_pq_codebooks' check)."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
     init_rows = vf.orderBy("vec_id").limit(k).collect()
     books = [
@@ -340,7 +344,7 @@ def pq1_quantized_knn(
     """Top-k neighbors per query via the production PQ two-stage shape:
     the 8-byte codes SELECT candidates, full precision DECIDES.
 
-      1. fit codebooks (bounded driver sample) and encode the corpus —
+      1. fit codebooks (the distributed Lloyd's core) and encode the corpus —
          map-only over the scan;
       2. ADC-score every code against broadcast per-query lookup tables
          and keep the top `n_candidates` per query (the one wide pass,
@@ -353,17 +357,27 @@ def pq1_quantized_knn(
     only has to land true neighbors inside the candidate set, and the
     rerank restores exact ordering. Ties break on vec_id (total order).
 
-    The fit+encode here runs per call (self-contained, oracle-free
-    queries() entry); the build-once/query-many split of the same
+    The fit+encode here runs per call (self-contained, ORACLE-PAIRED
+    queries() entry — round 9); the build-once/query-many split of the same
     search lives in save_pq_index / pq_search_indexed.
     """
+    from csv_crm_upload_spark.analytics.similarity import valid_vectors
+
     if query_ids is None:
         query_ids = list(range(10))  # same default query set as knn_bruteforce
+    empty = "query_id long, vec_id long, cos_sim double, rank int"
+    spark = embeddings.sparkSession
+    # gate the QUERY SIDE first (a <=|query_ids|-row probe): with no
+    # valid query the result is empty regardless, so skip the fit and
+    # the corpus-wide encode entirely (review r9 — the eager checkpoint
+    # otherwise paid a full encode scan to return nothing)
+    if not valid_vectors(
+        embeddings.filter(F.col("vec_id").isin(query_ids))
+    ).limit(1).count():
+        return spark.createDataFrame([], empty)
     books = fit_pq_codebooks(embeddings, m=m, k=n_codes)
     if books.shape[1] == 0:  # zero valid vectors: the oracle's empty result
-        return embeddings.sparkSession.createDataFrame(
-            [], "query_id long, vec_id long, cos_sim double, rank int"
-        )
+        return spark.createDataFrame([], empty)
     # materialize the encode ONCE: downstream the ADC ranking and the
     # rerank's candidate join each consume the codes — left lazy, every
     # consumer re-ANALYZES the m·k-literal encode tree (bench r9: that
@@ -482,6 +496,16 @@ def save_pq_index(
     spark = embeddings.sparkSession
     new_epoch, prior = rebuild_epoch(path)  # atomic rebuild over a live index
     books = fit_pq_codebooks(embeddings, m=m, k=n_codes, **fit_kwargs)
+    if books.shape[1] == 0:
+        # loud, BEFORE any epoch dir lands (review r9: the empty-tensor
+        # degrade is for query entry points; an index build over a
+        # corpus with zero valid vectors is a caller error, and letting
+        # it reach codes_expr produced a confusing Catalyst crash after
+        # partial writes)
+        raise ValueError(
+            "save_pq_index: no valid vectors to fit a codebook on "
+            "(corpus is empty or all embeddings are NULL/empty/zero-norm)"
+        )
     mm, kk, _sub = books.shape
     book_rows = [
         (int(j), int(c), [float(v) for v in books[j, c]])

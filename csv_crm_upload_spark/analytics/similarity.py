@@ -204,50 +204,6 @@ def _bucket_expr(table: int, n_planes: int) -> F.Column:
     return bucket.cast("int")
 
 
-def uniform_vector_sample(embeddings: DataFrame, sample_cap: int) -> list:
-    """Deterministic bounded driver sample for codec fits (IVF k-means,
-    PQ/IVF-PQ codebooks): the first `sample_cap` VALID vectors by
-    vec_id, restricted to the sample's MAJORITY dimension — a
-    wrong-width row (schema says array<float>; nothing enforces length)
-    would otherwise land a ragged numpy matrix and abort the fit. On a
-    clean corpus every row passes, so fits are unchanged; corrupt rows
-    degrade to skipped vectors (the valid_vectors discipline, extended
-    to width). Majority, NOT first-row: keying off the first row would
-    let a single truncated row at the lowest vec_id silently discard
-    the whole clean sample and fit a wrong-dimension codec (review
-    r7). Ties break on the larger width — deterministic either way.
-
-    Oversample-then-filter (advice r7): the width filter runs over a
-    2× oversample so wrong-width rows in the prefix are BACKFILLED by
-    the next valid rows instead of shrinking the fit sample — up to
-    sample_cap corrupt rows cost nothing. A sample still short after
-    backfill (pathologically corrupt corpus) is logged, not silent."""
-    rows = (
-        valid_vectors(embeddings)
-        .select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .limit(sample_cap * 2)
-        .collect()
-    )
-    if not rows:
-        return rows
-    from collections import Counter
-
-    widths = Counter(len(r["embedding"]) for r in rows)
-    d = max(widths, key=lambda w: (widths[w], w))
-    kept = [r for r in rows if len(r["embedding"]) == d][:sample_cap]
-    if len(kept) < sample_cap and len(kept) < len(rows):
-        import logging
-
-        logging.getLogger(__name__).warning(
-            "uniform_vector_sample: only %d of %d requested fit vectors "
-            "after width filtering (majority dim %d over %d sampled rows) "
-            "— codec fit quality may degrade on this corpus",
-            len(kept), sample_cap, d, len(rows),
-        )
-    return kept
-
-
 def valid_vectors(embeddings: DataFrame) -> DataFrame:
     """Drop NULL/zero-length/ALL-ZERO vectors before any vector op —
     sequence(0, size−1) on an EMPTY array steps backwards ([0, −1]) and

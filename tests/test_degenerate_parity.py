@@ -354,38 +354,3 @@ def test_mixed_dimension_vectors_do_not_abort_vector_family(spark):
     assert pca2_projected_knn(emb, r=2, query_ids=[0], k=3).count() >= 0
 
 
-def test_corrupt_first_row_does_not_hijack_codec_sample(spark):
-    """uniform_vector_sample keys the accepted width off the sample
-    MAJORITY: a truncated row at the LOWEST vec_id must be the one
-    skipped — not silently become the model dimension while the whole
-    clean corpus is discarded (review r7)."""
-    from csv_crm_upload_spark.analytics.similarity import uniform_vector_sample
-
-    rows = [(0, [1.0, 2.0], 0)] + [
-        (i, [float((i * 7 + d) % 11) for d in range(8)], 0) for i in range(1, 6)
-    ]
-    emb = spark.createDataFrame(
-        rows, "vec_id bigint, embedding array<float>, label int"
-    )
-    sample = uniform_vector_sample(emb, 10)
-    assert len(sample) == 5
-    assert all(len(r["embedding"]) == 8 for r in sample)
-
-
-def test_corrupt_prefix_is_backfilled_not_shrunk(spark):
-    """Oversample-then-filter (advice r7): wrong-width rows inside the
-    first sample_cap vec_ids must be REPLACED by the next valid rows,
-    not silently shrink the fit sample — and the cap still holds."""
-    from csv_crm_upload_spark.analytics.similarity import uniform_vector_sample
-
-    rows = [(i, [1.0, 2.0], 0) for i in range(3)] + [
-        (i, [float((i * 7 + d) % 11) for d in range(8)], 0) for i in range(3, 12)
-    ]
-    emb = spark.createDataFrame(
-        rows, "vec_id bigint, embedding array<float>, label int"
-    )
-    # cap 4: vec_ids 0-2 are corrupt; pre-fix this returned just ONE row
-    # (vec_id 3) — now the next valid rows backfill to the full cap
-    sample = uniform_vector_sample(emb, 4)
-    assert [r["vec_id"] for r in sample] == [3, 4, 5, 6]
-    assert all(len(r["embedding"]) == 8 for r in sample)

@@ -164,3 +164,43 @@ def test_pq_update_rejects_dim_mismatch(spark, sf_dir, tmp_path):
     from csv_crm_upload_spark.operators.manifest import read_manifest
 
     assert read_manifest(path)["epoch"] == 0  # nothing was committed
+
+
+def test_empty_corpus_build_raises_and_empty_query_set_skips(spark, tmp_path):
+    """Review r9 pins: an index BUILD over a corpus with zero valid
+    vectors must fail loudly BEFORE any epoch dir lands (the query
+    entry points degrade to empty; builders must not), and a query set
+    matching no valid vector returns empty without paying the fit."""
+    import os
+
+    corrupt = spark.createDataFrame(
+        [(1, None, 0), (2, [], 1), (3, [0.0, 0.0], 2)],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    path = str(tmp_path / "pq_empty")
+    with pytest.raises(ValueError, match="no valid vectors"):
+        pq.save_pq_index(corrupt, path)
+    assert not os.path.exists(os.path.join(path, "MANIFEST"))
+    assert pq.pq1_quantized_knn(corrupt, query_ids=[1], k=3, m=2, n_codes=4).count() == 0
+
+    ok = spark.createDataFrame(
+        [(i, [float(i), float(i + 1)], 0) for i in range(6)],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    # no such query id: empty result, no abort
+    assert pq.pq1_quantized_knn(ok, query_ids=[999], k=3, m=2, n_codes=4).count() == 0
+
+
+def test_fit_core_rejects_indivisible_width(spark):
+    """Review r9: the divisibility check lives in the shared core, so
+    the residual path can no longer silently truncate trailing dims."""
+    from csv_crm_upload_spark.analytics.ivfpq import ivfpq1_quantized_knn
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 3 + d) % 7) for d in range(10)], 0) for i in range(8)],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        pq.fit_pq_codebooks(emb, m=4, k=4)
+    with pytest.raises(ValueError, match="not divisible"):
+        ivfpq1_quantized_knn(emb, query_ids=[0], m=4, n_codes=4, residual=True)
