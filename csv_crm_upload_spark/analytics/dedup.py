@@ -556,7 +556,7 @@ def load_dedup_index(spark, path: str) -> DataFrame:
     from csv_crm_upload_spark.operators.manifest import check_key_format, read_manifest
 
     m = read_manifest(path)
-    check_key_format(m, path, DEDUP_KEY_FORMAT)
+    check_key_format(m, path, DEDUP_KEY_FORMAT, missing_ok=True)
     epoch, base = m["epoch"], m.get("base_epoch", 0)
     return (
         spark.read.parquet(f"{path}/pairs")
@@ -604,7 +604,7 @@ def update_dedup_index(
 
     spark = new_documents.sparkSession
     m = read_manifest(path)
-    check_key_format(m, path, DEDUP_KEY_FORMAT)
+    check_key_format(m, path, DEDUP_KEY_FORMAT, missing_ok=True)
     if txn_already_applied(m, txn):
         return  # replayed streaming batch: already folded
     epoch, n, threshold = m["epoch"], m["shingle_n"], m["threshold"]
@@ -675,7 +675,7 @@ def compact_dedup_index(spark, path: str) -> bool:
         read_manifest,
     )
 
-    check_key_format(read_manifest(path), path, DEDUP_KEY_FORMAT)
+    check_key_format(read_manifest(path), path, DEDUP_KEY_FORMAT, missing_ok=True)
     return compact_epochs(
         spark,
         path,

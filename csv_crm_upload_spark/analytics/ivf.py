@@ -41,7 +41,18 @@ def fit_centroids(
     dropped (the kmeans1 convention) — positions stay a monotone
     relabeling, so rankings/partitions agree with the oracle's ids.
     Returns an empty (0, 0) matrix when the corpus has no valid vector
-    (callers degrade to an empty result, never a None-index abort)."""
+    (callers degrade to an empty result, never a None-index abort).
+
+    Recall note for UNNORMALIZED corpora: the centroids are raw per-dim
+    means (not re-normalized to the unit sphere) and cell assignment /
+    probe ranking use the raw dot product, so when vector norms vary
+    widely, cell selection biases toward high-norm centroids and recall
+    can degrade relative to a spherical (normalize-then-fit) quantizer.
+    Either L2-normalize embeddings upstream (cosine semantics — the
+    testdata corpus is near-unit-norm, where the two fits coincide) or
+    keep ivfrec1_recall_audit in the production tuning loop to measure
+    the actual recall floor at the deployed n_cells/nprobe; the floors
+    pinned in tests are at test scale only."""
     from csv_crm_upload_spark.analytics.clustering import _fitted_centroids
     from csv_crm_upload_spark.analytics.similarity import valid_vectors
 

@@ -315,24 +315,29 @@ def ivfpq1_quantized_knn(
         return embeddings.sparkSession.createDataFrame(
             [], "query_id long, vec_id long, cos_sim double, rank int"
         )
-    # PROBE before the codec fits (review r9): with no valid query the
-    # result is empty regardless — skip the PQ fit and the corpus-wide
-    # encode+checkpoint entirely. The probe needs only the centroids;
-    # raw-mode qc is 0.0 and residual recomputes the probe below with
-    # the anchor means attached.
-    qvecs, probe_df = _probe_plan(embeddings, centroids, query_ids, nprobe)
-    if not qvecs:
+    # gate the QUERY SIDE before the codec fits (review r9, cheapened
+    # r10 advice): with no valid quantizer-width query the result is
+    # empty regardless — skip the PQ fit and the corpus-wide
+    # encode+checkpoint entirely. A <=|query_ids|-row limit(1) count
+    # (the pq1 gate), NOT a throwaway raw _probe_plan: the probe now
+    # runs exactly ONCE, with the final anchors attached.
+    from csv_crm_upload_spark.analytics.similarity import valid_vectors
+
+    if (
+        not valid_vectors(embeddings.filter(F.col("vec_id").isin(query_ids)))
+        .filter(F.size("embedding") == int(centroids.shape[1]))
+        .limit(1)
+        .count()
+    ):
         return embeddings.sparkSession.createDataFrame(
             [], "query_id long, vec_id long, cos_sim double, rank int"
         )
     means = None
     if residual:
         books, means = _fit_residual_codebooks(embeddings, centroids, m=m, k=n_codes)
-        qvecs, probe_df = _probe_plan(
-            embeddings, centroids, query_ids, nprobe, means=means
-        )
     else:
         books = _pq.fit_pq_codebooks(embeddings, m=m, k=n_codes)
+    qvecs, probe_df = _probe_plan(embeddings, centroids, query_ids, nprobe, means=means)
     # materialize the fused assign+encode ONCE (the pq1 lesson, bench
     # r9): left lazy, the ADC ranking and the rerank join each re-ANALYZE
     # the cell+codes literal tree; the persisted path reads parquet codes

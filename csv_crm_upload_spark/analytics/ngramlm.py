@@ -142,7 +142,7 @@ def load_unigram_counts(spark, path: str) -> DataFrame:
     from csv_crm_upload_spark.operators.manifest import check_key_format, read_manifest
 
     m = read_manifest(path)
-    check_key_format(m, path, KEY_FORMAT)
+    check_key_format(m, path, KEY_FORMAT, missing_ok=True)
     epoch, base = m["epoch"], m.get("base_epoch", 0)
     return (
         _read_unigrams(spark, path)
@@ -160,7 +160,7 @@ def load_bigram_counts(spark, path: str) -> DataFrame:
     from csv_crm_upload_spark.operators.manifest import check_key_format, read_manifest
 
     m = read_manifest(path)
-    check_key_format(m, path, KEY_FORMAT)
+    check_key_format(m, path, KEY_FORMAT, missing_ok=True)
     epoch, base = m["epoch"], m.get("base_epoch", 0)
     return (
         _read_bigrams(spark, path)
@@ -192,7 +192,7 @@ def update_ngramlm_model(
     )
 
     m = read_manifest(path)
-    check_key_format(m, path, KEY_FORMAT)
+    check_key_format(m, path, KEY_FORMAT, missing_ok=True)
     if txn_already_applied(m, txn):
         return  # replayed streaming batch: already folded
     epoch = m["epoch"]
@@ -224,7 +224,7 @@ def compact_ngramlm_model(spark, path: str) -> bool:
     )
 
     m = read_manifest(path)
-    check_key_format(m, path, KEY_FORMAT)
+    check_key_format(m, path, KEY_FORMAT, missing_ok=True)
     epoch, base = m["epoch"], m.get("base_epoch", 0)
     if epoch == base:
         return False

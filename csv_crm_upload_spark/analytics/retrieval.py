@@ -175,7 +175,7 @@ def _checked_manifest(path: str) -> dict:
     from csv_crm_upload_spark.operators.manifest import check_key_format
 
     m = read_manifest(path)
-    check_key_format(m, path, KEY_FORMAT)
+    check_key_format(m, path, KEY_FORMAT, missing_ok=True)
     return m
 
 

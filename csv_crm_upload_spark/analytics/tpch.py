@@ -2600,13 +2600,17 @@ def w1d1_value_drift(
     spark = events.sparkSession
     if ta == 0 or tb == 0:
         return spark.createDataFrame([], "n_a long, n_b long, w1 double")
-    # boundary patch: partition p's last grid value neighbors partition
-    # p+1's first — a bounded n_parts-row collect, shipped as a map
+    # boundary patch: each present partition's last grid value neighbors
+    # the NEXT PRESENT partition's first — a bounded n_parts-row collect,
+    # shipped as a map. Chained over the sorted present pids (not p+1):
+    # RangePartitioner may leave a mid-chain partition empty, and a
+    # p+1 lookup would silently drop that gap term and understate W1.
     mins = {
         r["_pid"]: r["_mn"]
         for r in c.groupBy("_pid").agg(F.min("value").alias("_mn")).collect()
     }
-    next_start = {p: mins[p + 1] for p in mins if (p + 1) in mins}
+    ps = sorted(mins)
+    next_start = dict(zip(ps, (mins[q] for q in ps[1:])))
     if next_start:
         nxt_map = F.create_map(
             *[F.lit(v_) for p in sorted(next_start) for v_ in (p, next_start[p])]

@@ -82,7 +82,7 @@ def load_winnow_prints(spark, path: str) -> DataFrame:
     from csv_crm_upload_spark.operators.manifest import check_key_format, read_manifest
 
     m = read_manifest(path)
-    check_key_format(m, path, KEY_FORMAT)
+    check_key_format(m, path, KEY_FORMAT, missing_ok=True)
     epoch, base = m["epoch"], m.get("base_epoch", 0)
     return (
         spark.read.parquet(f"{path}/prints")
@@ -110,7 +110,7 @@ def update_winnow_index(
     )
 
     m = read_manifest(path)
-    check_key_format(m, path, KEY_FORMAT)
+    check_key_format(m, path, KEY_FORMAT, missing_ok=True)
     if txn_already_applied(m, txn):
         return  # replayed streaming batch: already folded
     epoch = m["epoch"]
@@ -136,7 +136,7 @@ def compact_winnow_index(spark, path: str) -> bool:
         read_manifest,
     )
 
-    check_key_format(read_manifest(path), path, KEY_FORMAT)
+    check_key_format(read_manifest(path), path, KEY_FORMAT, missing_ok=True)
     return compact_epochs(spark, path, union_dirs={"prints": ["bucket"]})
 
 
@@ -172,7 +172,7 @@ def match_documents(
     from csv_crm_upload_spark.operators.manifest import check_key_format, read_manifest
 
     m = read_manifest(path)
-    check_key_format(m, path, KEY_FORMAT)
+    check_key_format(m, path, KEY_FORMAT, missing_ok=True)
     epoch, base = m["epoch"], m.get("base_epoch", 0)
     probe = _bucketed(
         winnow_prints(probe_documents, m["k"], m["w"]), m["n_buckets"]

@@ -172,7 +172,11 @@ def remove_orphan_epochs(path: str, subdirs: list[str], current_epoch: int) -> N
 
 
 def check_key_format(
-    m: dict, path: str, expected: str, field: str = "key_format"
+    m: dict,
+    path: str,
+    expected: str,
+    field: str = "key_format",
+    missing_ok: bool = False,
 ) -> None:
     """Fail LOUDLY when a persisted index's derived-key format doesn't
     match this code's (the substr gram_format lesson, r8 advice,
@@ -180,15 +184,30 @@ def check_key_format(
     (tokenization, gram join separator, shingle normalization), so any
     change to the derivation silently changes every key — a probe
     against an older index would match NOTHING and an append would mix
-    incompatible key spaces, with no downstream signal. A manifest with
-    no format field predates the stamp (unknown vintage) and is treated
-    as mismatched too: zero silent-miss modes. Bump the artifact's
-    KEY_FORMAT whenever its key derivation changes."""
+    incompatible key spaces, with no downstream signal. Bump the
+    artifact's KEY_FORMAT whenever its key derivation changes.
+
+    `missing_ok=True` is for artifacts whose key derivation has NEVER
+    changed since before the stamp existed (winnow / ngram-LM / text
+    index / dedup pairs — only substr's gram hashes actually changed,
+    in r8): a manifest with no format field there is a known-compatible
+    pre-stamp vintage, so it is accepted and the stamp is BACKFILLED
+    into `m` in place — the caller's next `{**m, ...}` manifest commit
+    persists it, with no forced rebuild of a compatible index. The flag
+    is ONLY valid while `expected` is the artifact's FIRST (v1) stamp;
+    the moment a derivation change bumps the format, drop it — a
+    missing field can then no longer prove v1. Artifacts whose keys
+    did change (substr) stay strict: missing = unknown vintage =
+    rebuild."""
     stored = m.get(field)
-    if stored != expected:
-        raise ValueError(
-            f"index at {path!r} has {field}={stored!r} but this code "
-            f"writes/probes {expected!r}; the stored keys are incompatible "
-            "(a probe would match zero keys, an append would mix key "
-            "spaces). Rebuild the index."
-        )
+    if stored == expected:
+        return
+    if stored is None and missing_ok:
+        m[field] = expected
+        return
+    raise ValueError(
+        f"index at {path!r} has {field}={stored!r} but this code "
+        f"writes/probes {expected!r}; the stored keys are incompatible "
+        "(a probe would match zero keys, an append would mix key "
+        "spaces). Rebuild the index."
+    )

@@ -2,11 +2,14 @@
 gram_format lesson of r8 advice, generalized in r9): every persisted
 artifact whose stored keys are hashes/strings of DERIVED text (grams,
 tokens, shingles, bigrams) stamps its KEY_FORMAT into the MANIFEST at
-build time, and every probe / append / compact REFUSES a mismatched or
-unversioned index instead of silently matching nothing or mixing key
-spaces. The substr index's own stamp is covered in
-test_substr_index.py; this file pins the other four text-keyed
-artifacts under one parametrized contract."""
+build time, and every probe / append / compact REFUSES a mismatched
+index instead of silently matching nothing or mixing key spaces. A
+MISSING stamp is accepted (and backfilled on the next commit) for the
+four artifacts here, whose derivation never changed — a pre-stamp
+manifest there is a known-compatible v1 vintage (r9 advice). The
+substr index — whose grams DID change in r8 — stays strict on missing;
+covered in test_substr_index.py. This file pins the other four
+text-keyed artifacts under one parametrized contract."""
 
 from __future__ import annotations
 
@@ -96,22 +99,17 @@ def test_key_format_stamped_and_enforced(name, spark, tmp_path):
     m = read_manifest(path)
     assert m["key_format"] == expected  # stamped at build time
 
-    # tamper: a different (or unversioned) key vintage must fail LOUDLY
-    for stale in ("some-older-format-v0", None):
-        bad = dict(m)
-        if stale is None:
-            bad.pop("key_format")
-        else:
-            bad["key_format"] = stale
-        with open(os.path.join(path, "MANIFEST"), "w") as f:
-            json.dump(bad, f)
-        for probe in probes:
-            with pytest.raises(ValueError, match="key_format"):
-                probe(spark, docs, path)
+    # tamper: a DIFFERENT key vintage must fail LOUDLY everywhere
+    bad = {**m, "key_format": "some-older-format-v0"}
+    with open(os.path.join(path, "MANIFEST"), "w") as f:
+        json.dump(bad, f)
+    for probe in probes:
         with pytest.raises(ValueError, match="key_format"):
-            append(spark, _new_docs(spark), path)
-        with pytest.raises(ValueError, match="key_format"):
-            compact(spark, path)
+            probe(spark, docs, path)
+    with pytest.raises(ValueError, match="key_format"):
+        append(spark, _new_docs(spark), path)
+    with pytest.raises(ValueError, match="key_format"):
+        compact(spark, path)
 
     # restore: the artifact is usable again
     with open(os.path.join(path, "MANIFEST"), "w") as f:
@@ -119,3 +117,26 @@ def test_key_format_stamped_and_enforced(name, spark, tmp_path):
     for probe in probes:
         probe(spark, docs, path)
     append(spark, _new_docs(spark), path)
+
+
+@pytest.mark.parametrize("name", sorted(ARTIFACTS))
+def test_missing_stamp_accepted_and_backfilled(name, spark, tmp_path):
+    """These four artifacts' key derivation has NEVER changed, so a
+    pre-stamp manifest (no key_format field) is a known-compatible v1
+    vintage: probes must keep working (r9 advice — the stamp must not
+    brick older-but-identical indexes), and the next manifest commit
+    (an append) must BACKFILL the stamp. Substr — whose derivation DID
+    change in r8 — stays strict; pinned in test_substr_index.py."""
+    expected, build, probes, append, _compact = ARTIFACTS[name]
+    path = str(tmp_path / name)
+    docs = _docs(spark)
+    build(docs, path)
+    m = read_manifest(path)
+
+    pre_stamp = {k: v for k, v in m.items() if k != "key_format"}
+    with open(os.path.join(path, "MANIFEST"), "w") as f:
+        json.dump(pre_stamp, f)
+    for probe in probes:
+        probe(spark, docs, path)  # accepted, no rebuild forced
+    append(spark, _new_docs(spark), path)
+    assert read_manifest(path)["key_format"] == expected  # backfilled
