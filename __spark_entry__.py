@@ -237,61 +237,37 @@ def _q_skw3(s: SparkSession, sf: str) -> DataFrame:
     ).orderBy("event_type")
 
 
-# Round-7 driver-verification window (slots 13+, in order). First the ten
-# queries re-verified after the r6 signed-zero (+ 0.0) hardening — they
-# passed locally but their last driver CORRECTNESS row predates the patch
-# (VERDICT r6 ask 4); then the five queries whose rank machinery was
-# rewritten this round (distributed_grouped_rank / distributed rank cuts /
-# max+semi-join — same oracles, new plans); then the round-7 operator
-# additions, each in its shipping round per the house rule.
+# Round-10 driver-verification window (slots 13+, in order): the new
+# pcarec1 audit leads (first driver contact, per the house rule that an
+# operator ships with a driver row in its shipping round); then the
+# r9-verdict ask #4 cohort — the oracle-paired keys whose last green
+# driver row is now OLDEST (the r6-r8 batches; the r9 window re-greened
+# the r1-r5 tail, so this is the stalest cohort).
 _ROTATION_FRONT = [
-    # round-9 additions lead (slots 13-20): first driver contact for the
-    # newly oracle-paired IVF/PQ/IVF-PQ searches (fits moved onto the
-    # distributed kmeans discipline), their recall audits, and the new
-    # Wasserstein-1 / Cramér-von-Mises drift ops
-    "sim_knn_ivf",
-    "pq1_quantized_knn",
-    "ivfpq1_quantized_knn",
-    "ivfpq2_residual_knn",
-    "ivfrec1_ivf_recall_audit",
-    "pqrec1_pq_recall_audit",
-    "w1d1_value_drift",
-    "cvm1_value_drift",
-    # slots 21-50: re-sample the oracle-paired keys whose last driver
-    # CORRECTNESS row is OLDEST (rounds 1-5; nothing here was in the
-    # r7/r8 windows) — TPC-H completion, the round-3 retrieval family,
-    # the streaming-window trio, the skew family, the window battery,
-    # and the event/session classics
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q10_returned_revenue",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q21_suppliers_kept_waiting",
-    "q22_global_sales_opportunity",
-    "bm25_1_search",
-    "rag1_hybrid_search",
-    "t10_tfidf_top_terms",
-    "rrf1_rank_fusion",
-    "st1_tumbling_counts",
-    "st2_sliding_activity",
-    "st3_session_windows",
-    "sk1_salted_brand_revenue",
-    "sk2_two_phase_status_revenue",
-    "skw1_salted_distinct_users",
-    "skw3_two_phase_event_value",
-    "w2_running_value",
-    "w3_order_quartiles",
-    "w4_trailing_hour_value",
-    "w5_order_gaps",
-    "w6_order_position_stats",
-    "e2_event_funnel",
-    "m1_event_transitions",
+    "pcarec1_pca_recall_audit",
+    "auc1_classifier_auc",
+    "cart1_dataset_cartography",
+    "cal1_calibration_bins",
+    "lex1_lexical_diversity",
+    "heaps1_vocab_growth",
+    "cov1_vocab_coverage",
+    "tfidf1_top_terms",
+    "rd1_readability",
+    "js1_source_divergence",
+    "ks1_value_drift",
+    "mi1_lang_source_mi",
+    "ccnet1_perplexity_buckets",
+    "pctl2_exact_value_percentiles",
+    "shard1_balanced_shards",
+    "anon2_l_diversity",
+    "bq1_binary_hamming_knn",
+    "lshrec1_recall_audit",
+    "bqrec1_binary_recall_audit",
+    "sil1_cluster_margins",
+    "pmi1_collocations",
+    "kn1_kneser_ney_logloss",
+    "prune1_prototype_pruning",
+    "vq1_quantized_knn",
 ]
 
 
@@ -953,6 +929,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca2_projected_knn": lambda s, sf: pca.pca2_projected_knn(
             _t("embeddings")(s, sf)
         ),
+        # round-10: the eigen-projection's driver-visible quality floor —
+        # the audit (top-k overlap of PCA-space vs exact kNN) is ORACLE-
+        # PAIRED via one self-consistent Spark-written snapshot both
+        # engines read (see pca.pcarec1_recall_audit's oracle mechanics)
+        # NOTE: the snapshot path is baked at queries()-BUILD time (not
+        # call time), exactly as oracle_sql() bakes it into its SQL
+        # literal — a queries()/oracle_sql() pair built together is
+        # always self-consistent, however the env changes afterwards.
+        "pcarec1_pca_recall_audit": (
+            lambda p: lambda s, sf: pca.pcarec1_recall_audit(
+                _t("embeddings")(s, sf), p
+            )
+        )(pca.pcarec1_snapshot_path()),
     }
     # Round-7 rotation (driver samples the FIRST 50 entries): slots 1-12
     # stay the pinned reference core; _ROTATION_FRONT then re-verifies the
@@ -1761,6 +1750,59 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(COUNT(l.vec_id) AS DOUBLE) / COUNT(*), 6) AS recall_at_k
         FROM exact e
         LEFT JOIN lshk l ON l.query_id = e.query_id AND l.vec_id = e.vec_id
+        GROUP BY e.query_id ORDER BY e.query_id
+    """
+
+    # pcarec1: recall@k of PCA-space kNN vs exact full-space kNN, both
+    # computed from the ONE Spark-written snapshot (vec_id, embedding,
+    # proj) — the eigenbasis itself has no SQL oracle (numpy eigh), but
+    # every audited number is a pure function of the snapshot, so the
+    # engines agree as long as they read the same files (see
+    # pca.pcarec1_recall_audit). The kNN shape is sim_knn_bruteforce's,
+    # parameterized over which snapshot column is "the embedding".
+    def _snap_knn(col: str) -> str:
+        valid_q = (
+            f"{col} IS NOT NULL AND len({col}) > 0"
+            f" AND len(list_filter({col}, x -> x <> 0)) > 0"
+            f" AND len(list_filter({col}, x -> x IS NULL)) = 0"
+        )
+        valid_e = (
+            f"e.{col} IS NOT NULL AND len(e.{col}) > 0"
+            f" AND len(list_filter(e.{col}, x -> x <> 0)) > 0"
+            f" AND len(list_filter(e.{col}, x -> x IS NULL)) = 0"
+        )
+        cos = (
+            "round("
+            f"list_sum(list_transform(range(1, len(e.{col}) + 1), i -> e.{col}[i]::DOUBLE * q.q_emb[i]::DOUBLE))"
+            f" / (sqrt(list_sum(list_transform(e.{col}, x -> x::DOUBLE * x::DOUBLE)))"
+            " * sqrt(list_sum(list_transform(q.q_emb, x -> x::DOUBLE * x::DOUBLE)))), 6)"
+        )
+        return f"""
+          SELECT query_id, vec_id FROM (
+            SELECT s.query_id, s.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY s.query_id ORDER BY s.cos_sim DESC, s.vec_id) AS rn
+            FROM (
+              SELECT q.query_id, e.vec_id, {cos} + 0.0 AS cos_sim
+              FROM snap e, (SELECT vec_id AS query_id, {col} AS q_emb FROM snap
+                            WHERE vec_id IN (0,1,2,3,4,5,6,7,8,9) AND {valid_q}) q
+              WHERE e.vec_id <> q.query_id AND {valid_e} AND len(e.{col}) = len(q.q_emb)
+            ) s
+          ) WHERE rn <= 5
+        """
+
+    q["pcarec1_pca_recall_audit"] = f"""
+        WITH snap AS (
+          SELECT vec_id, embedding, proj
+          FROM read_parquet('{pca.pcarec1_snapshot_path()}/*.parquet')
+        ),
+        exact AS ({_snap_knn("embedding")}),
+        prj AS ({_snap_knn("proj")})
+        SELECT e.query_id,
+               CAST(COUNT(*) AS BIGINT) AS n_exact,
+               CAST(COUNT(p.vec_id) AS BIGINT) AS n_hit,
+               round(CAST(COUNT(p.vec_id) AS DOUBLE) / COUNT(*), 6) AS recall_at_k
+        FROM exact e
+        LEFT JOIN prj p ON p.query_id = e.query_id AND p.vec_id = e.vec_id
         GROUP BY e.query_id ORDER BY e.query_id
     """
 

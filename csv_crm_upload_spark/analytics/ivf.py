@@ -356,23 +356,9 @@ def ivfrec1_recall_audit(
     sides are driver-checked — round-9); the exact side is the base
     relation so a query whose probed cells miss everything reports
     recall 0, not an absent row. Both sides are ≤ |queries|·k rows."""
-    from csv_crm_upload_spark.analytics.similarity import knn_bruteforce
+    from csv_crm_upload_spark.analytics.similarity import knn_bruteforce, recall_rollup
 
-    exact = knn_bruteforce(embeddings, query_ids, k).select("query_id", "vec_id")
-    approx = knn_ivf(embeddings, query_ids, k, n_cells, nprobe).select(
-        "query_id", "vec_id", F.lit(1).alias("hit")
-    )
-    return (
-        exact.join(approx, ["query_id", "vec_id"], "left")
-        .groupBy("query_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_exact"),
-            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hit"),
-            F.round(
-                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("recall_at_k"),
-        )
-        .orderBy("query_id")
+    return recall_rollup(
+        knn_bruteforce(embeddings, query_ids, k),
+        knn_ivf(embeddings, query_ids, k, n_cells, nprobe),
     )

@@ -225,6 +225,111 @@ def pca2_projected_knn(
     return knn_bruteforce(proj, query_ids=query_ids, k=k)
 
 
+#: Default snapshot location for the pcarec1 queries()/oracle pair —
+#: the ONE path both engines read (the Spark side rewrites it per call;
+#: the DuckDB oracle's read_parquet carries it as a literal). /tmp
+#: because the audit's scratch state is not an artifact: it is
+#: regenerated on every invocation and never read across sessions.
+PCAREC1_SNAPSHOT_PATH = "/tmp/spark_graft_pcarec1_snapshot.parquet"
+
+
+def pcarec1_snapshot_path() -> str:
+    """The snapshot path, env-overridable (SPARK_GRAFT_PCAREC1_SNAPSHOT)
+    so CONCURRENT harnesses (the full pytest suite and the sf0.1 sweep
+    run as separate processes) audit against separate snapshots instead
+    of racing on one file between a Spark write and the paired DuckDB
+    read. Read at CALL time in both the queries() entry and
+    oracle_sql(), so one process's override stays self-consistent."""
+    import os
+
+    return os.environ.get("SPARK_GRAFT_PCAREC1_SNAPSHOT", PCAREC1_SNAPSHOT_PATH)
+
+
+def pcarec1_recall_audit(
+    embeddings: DataFrame,
+    snapshot_path: str,
+    r: int = 16,
+    query_ids: list[int] | None = None,
+    k: int = 5,
+) -> DataFrame:
+    """Recall@k of brute-force kNN in PCA space (pca2's search) against
+    exact full-space cosine — the driver-visible quality floor for the
+    eigen-projection (r9 verdict ask #6): the eigenbasis itself is
+    rows-only by nature (numpy eigh has no SQL oracle), but the AUDIT —
+    top-k overlap of projected vs exact neighbors — is a plain query
+    over data both engines can read.
+
+    Oracle mechanics (the one persisted-snapshot audit in the suite):
+    the fit + projection run in Spark, and ONE self-consistent snapshot
+    (vec_id, embedding, proj) is written to `snapshot_path` — then BOTH
+    the exact side and the projected side, in BOTH engines, are computed
+    from that same snapshot (this function reads it back rather than
+    reusing its in-memory lineage; the DuckDB oracle reads the same
+    parquet files). Because every audited number is a pure function of
+    the snapshot, the engines agree even if the snapshot is stale —
+    correctness never depends on WHICH corpus was snapshotted, only
+    that both sides read the same one. The queries() entry writes the
+    snapshot for the sf_dir it receives on every call (overwrite), so
+    the audit is always of the corpus under test provided the Spark
+    side runs before the oracle — the natural side-by-side order.
+
+    Audit semantics: the snapshot holds the fit-width valid vectors
+    (the _FIT_W discipline — ragged/corrupt rows degrade to absence
+    exactly as in pca2/kmeans); `exact` is full-space cosine top-k over
+    snapshot embeddings, `approx` the same search over the r-dim
+    projections; the readout is the shared recall_rollup. A corpus
+    with fewer than 2 valid vectors has no covariance — the snapshot
+    is written EMPTY (schema only) and both engines report zero rows."""
+    from csv_crm_upload_spark.analytics.similarity import (
+        knn_bruteforce,
+        recall_rollup,
+        valid_vectors,
+    )
+
+    if query_ids is None:
+        query_ids = list(range(10))
+    spark = embeddings.sparkSession
+    snap_schema = "vec_id long, embedding array<double>, proj array<double>"
+    n_valid = valid_vectors(embeddings).limit(2).count()
+    if n_valid < 2:
+        spark.createDataFrame([], snap_schema).write.mode("overwrite").parquet(
+            snapshot_path
+        )
+    else:
+        loadings, _ = fit_pca(embeddings, r)
+        coords = [
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    F.array(*[F.lit(x) for x in w]),
+                    lambda a, b: a.cast("double") * b,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for w in loadings
+        ]
+        (
+            valid_vectors(embeddings)
+            .filter(F.size("embedding") == len(loadings[0]))
+            .select(
+                "vec_id",
+                F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+                    "embedding"
+                ),
+                F.array(*coords).alias("proj"),
+            )
+            .write.mode("overwrite")
+            .parquet(snapshot_path)
+        )
+    snap = spark.read.schema(snap_schema).parquet(snapshot_path)
+    exact = knn_bruteforce(snap, query_ids, k)
+    approx = knn_bruteforce(
+        snap.select("vec_id", F.col("proj").alias("embedding")), query_ids, k
+    )
+    return recall_rollup(exact, approx)
+
+
 # ---------------------------------------------------------------------------
 # Persisted PCA model — fit once / project many, with O(new vectors)
 # appends. The persisted state is the ADDITIVE sufficient statistics

@@ -649,23 +649,9 @@ def pqrec1_recall_audit(
     oracle-paired operators verbatim (the distributed codebook fit made
     pq1 driver-checked — round-9); the exact side is the base relation
     so zero-overlap queries report recall 0, not an absent row."""
-    from csv_crm_upload_spark.analytics.similarity import knn_bruteforce
+    from csv_crm_upload_spark.analytics.similarity import knn_bruteforce, recall_rollup
 
-    exact = knn_bruteforce(embeddings, query_ids, k).select("query_id", "vec_id")
-    approx = pq1_quantized_knn(
-        embeddings, query_ids, k, m, n_codes, n_candidates
-    ).select("query_id", "vec_id", F.lit(1).alias("hit"))
-    return (
-        exact.join(approx, ["query_id", "vec_id"], "left")
-        .groupBy("query_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_exact"),
-            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hit"),
-            F.round(
-                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("recall_at_k"),
-        )
-        .orderBy("query_id")
+    return recall_rollup(
+        knn_bruteforce(embeddings, query_ids, k),
+        pq1_quantized_knn(embeddings, query_ids, k, m, n_codes, n_candidates),
     )

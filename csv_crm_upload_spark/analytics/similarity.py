@@ -574,6 +574,32 @@ def mmr1_diversified_topk(
     ).orderBy("query_id", "pick")
 
 
+def recall_rollup(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """The shared recall@k readout every ANN audit uses (lshrec1 /
+    bqrec1 / ivfrec1 / pqrec1 / pcarec1): per query, how many of the
+    TRUE top-k (`exact`, the base relation — a query the approximate
+    path returned nothing for still reports recall 0, not an absent
+    row) the approximate search returned. Both inputs are
+    (query_id, vec_id) frames of ≤ |queries|·k rows — driver-scale
+    free; hits = the left join on the pair."""
+    hits = approx.select("query_id", "vec_id", F.lit(1).alias("hit"))
+    return (
+        exact.select("query_id", "vec_id")
+        .join(hits, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hit"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
+
+
 def lshrec1_recall_audit(
     embeddings: DataFrame,
     query_ids: list[int] | None = None,
@@ -594,23 +620,9 @@ def lshrec1_recall_audit(
     (a query with zero LSH candidates still reports recall 0, not an
     absent row); hits = inner join on the (query, neighbor) pair —
     both sides are ≤ |queries|·k rows, driver-scale free."""
-    exact = knn_bruteforce(embeddings, query_ids, k).select("query_id", "vec_id")
-    approx = knn_lsh(embeddings, query_ids, k, n_tables, n_planes).select(
-        "query_id", "vec_id", F.lit(1).alias("hit")
-    )
-    return (
-        exact.join(approx, ["query_id", "vec_id"], "left")
-        .groupBy("query_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_exact"),
-            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hit"),
-            F.round(
-                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("recall_at_k"),
-        )
-        .orderBy("query_id")
+    return recall_rollup(
+        knn_bruteforce(embeddings, query_ids, k),
+        knn_lsh(embeddings, query_ids, k, n_tables, n_planes),
     )
 
 
@@ -708,21 +720,7 @@ def bqrec1_binary_recall_audit(
     queries report recall 0, not an absent row."""
     if query_ids is None:
         query_ids = list(range(10))
-    exact = knn_bruteforce(embeddings, query_ids, k).select("query_id", "vec_id")
-    approx = bq1_binary_hamming_knn(embeddings, query_ids, k).select(
-        "query_id", "vec_id", F.lit(1).alias("hit")
-    )
-    return (
-        exact.join(approx, ["query_id", "vec_id"], "left")
-        .groupBy("query_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_exact"),
-            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hit"),
-            F.round(
-                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("recall_at_k"),
-        )
-        .orderBy("query_id")
+    return recall_rollup(
+        knn_bruteforce(embeddings, query_ids, k),
+        bq1_binary_hamming_knn(embeddings, query_ids, k),
     )

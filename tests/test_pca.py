@@ -111,6 +111,63 @@ def test_recall_floor_on_planted_low_rank(spark):
     assert sum(recalls) / len(recalls) >= 0.8, recalls
 
 
+def test_pcarec1_full_rank_recall_is_one(spark, tmp_path):
+    """r = d is a rotation, so the audit must report recall 1.0 for
+    every query (the audited pair is pca2's search vs exact kNN over
+    the same snapshot)."""
+    from csv_crm_upload_spark.analytics.pca import pcarec1_recall_audit
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(4, 8)) * 5.0
+    mat = np.vstack([centers[i % 4] + rng.normal(size=8) * 0.05 for i in range(60)])
+    out = pcarec1_recall_audit(
+        _emb_df(spark, mat), str(tmp_path / "snap"), r=8, query_ids=[0, 1, 2], k=5
+    ).collect()
+    assert len(out) == 3
+    assert all(r["recall_at_k"] == 1.0 and r["n_hit"] == 5 for r in out), out
+
+
+def test_pcarec1_low_rank_floor_and_snapshot_consistency(spark, tmp_path):
+    """Planted 3-direction data at r=4 meets the same ≥0.8 floor the
+    direct pca2 test pins, and the audit is a pure function of the
+    snapshot: re-running over the written files reproduces it."""
+    from csv_crm_upload_spark.analytics.pca import pcarec1_recall_audit
+
+    rng = np.random.default_rng(11)
+    basis = rng.normal(size=(3, 32))
+    coef = rng.normal(size=(80, 3))
+    mat = coef @ basis + rng.normal(size=(80, 32)) * 0.01
+    df = _emb_df(spark, mat)
+    path = str(tmp_path / "snap")
+    qids = [0, 1, 2, 3]
+    out = {r["query_id"]: r for r in pcarec1_recall_audit(df, path, r=4, query_ids=qids).collect()}
+    assert set(out) == set(qids)
+    assert sum(r["recall_at_k"] for r in out.values()) / 4 >= 0.8
+    again = {r["query_id"]: r for r in pcarec1_recall_audit(df, path, r=4, query_ids=qids).collect()}
+    assert {q: tuple(r) for q, r in out.items()} == {q: tuple(r) for q, r in again.items()}
+
+
+def test_pcarec1_too_small_corpus_reports_empty(spark, tmp_path):
+    """Fewer than 2 valid vectors: no covariance, so the snapshot is
+    written EMPTY (schema only) and the audit reports zero rows — never
+    an eigh abort (both engines read the same empty snapshot)."""
+    import duckdb
+
+    from csv_crm_upload_spark.analytics.pca import pcarec1_recall_audit
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0], 0), (1, None, 0), (2, [0.0, 0.0], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    path = str(tmp_path / "snap")
+    assert pcarec1_recall_audit(df, path).count() == 0
+    # the empty snapshot is still readable parquet for the oracle side
+    n = duckdb.connect().execute(
+        f"SELECT COUNT(*) FROM read_parquet('{path}/*.parquet')"
+    ).fetchone()[0]
+    assert n == 0
+
+
 def _rows(df):
     return sorted(map(tuple, df.collect()), key=repr)
 

@@ -11,6 +11,8 @@ normal suite's wall time is unchanged).
 
 from __future__ import annotations
 
+import os
+
 import duckdb
 import pytest
 
@@ -21,8 +23,24 @@ pytestmark = pytest.mark.sf01
 
 SF01_DIR = "/root/testdata/sf0.1"
 
-QUERIES = entrymod.queries()
-ORACLES = entrymod.oracle_sql()
+# Own pcarec1 snapshot for THIS module's query/oracle pair: the sweep
+# often runs CONCURRENTLY with the full suite as a separate process —
+# a shared snapshot path would race between one process's Spark write
+# and the other's paired DuckDB read. Both queries() and oracle_sql()
+# bake the path at build time, so the override is scoped to exactly
+# these two dicts and restored immediately (modules built earlier or
+# later in the same process keep the default, themselves consistent).
+_SNAP_KEY = "SPARK_GRAFT_PCAREC1_SNAPSHOT"
+_prev_snap = os.environ.get(_SNAP_KEY)
+os.environ[_SNAP_KEY] = "/tmp/spark_graft_pcarec1_snapshot_sf01.parquet"
+try:
+    QUERIES = entrymod.queries()
+    ORACLES = entrymod.oracle_sql()
+finally:
+    if _prev_snap is None:
+        del os.environ[_SNAP_KEY]
+    else:
+        os.environ[_SNAP_KEY] = _prev_snap
 
 
 @pytest.fixture(scope="module")
