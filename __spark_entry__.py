@@ -245,6 +245,7 @@ def _q_skw3(s: SparkSession, sf: str) -> DataFrame:
 # the r1-r5 tail, so this is the stalest cohort).
 _ROTATION_FRONT = [
     "pcarec1_pca_recall_audit",
+    "mmd1_embedding_drift",
     "auc1_classifier_auc",
     "cart1_dataset_cartography",
     "cal1_calibration_bins",
@@ -361,6 +362,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # per-label embedding-centroid drift vs the global centroid
         "drift2_label_centroid_drift": lambda s, sf: clus.drift2_label_centroid_drift(
+            _t("embeddings")(s, sf)
+        ),
+        # round-10: pairwise linear-kernel MMD between label populations
+        # (the drift family's two-sample test in representation space)
+        "mmd1_embedding_drift": lambda s, sf: clus.mmd1_embedding_drift(
             _t("embeddings")(s, sf)
         ),
         # tokenizer coverage readout over the learned BPE merges
@@ -4770,6 +4776,34 @@ def oracle_sql() -> dict[str, str]:
                  AS cos_to_global
         FROM agg ORDER BY label
     """
+    # mmd1: pairwise linear-kernel MMD between label populations —
+    # MMD²_linear = ||μ_a − μ_b||² exactly, so the oracle is drift2's
+    # per-(label, dim) decimal sums + a bounded self-join of that tiny
+    # table; per-dim squared differences ride 12-dp DECIMAL sums
+    q["mmd1_embedding_drift"] = f"""
+        WITH gated AS (
+          SELECT label, embedding FROM embeddings
+          WHERE label IS NOT NULL AND {_VALID_EMB} AND {_FIT_W}
+        ),
+        comp AS (
+          SELECT label, r.i AS dim,
+                 CAST(round(embedding[r.i]::DOUBLE, 9) AS DECIMAL(28,9)) AS v9
+          FROM gated, UNNEST(range(1, len(embedding) + 1)) AS r(i)
+        ),
+        per AS (SELECT label, dim, SUM(v9) AS s, COUNT(*) AS n FROM comp GROUP BY 1, 2),
+        terms AS (
+          SELECT a.label AS label_a, b.label AS label_b, a.n AS na, b.n AS nb,
+                 CAST(round((round(a.s::DOUBLE / a.n, 9) - round(b.s::DOUBLE / b.n, 9))
+                            * (round(a.s::DOUBLE / a.n, 9) - round(b.s::DOUBLE / b.n, 9)), 12)
+                      AS DECIMAL(38,12)) AS t
+          FROM per a JOIN per b ON a.dim = b.dim AND a.label < b.label
+        )
+        SELECT label_a, label_b,
+               CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+               round(SUM(t)::DOUBLE, 6) AS mmd2
+        FROM terms GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
     # phr1: most-frequent-trigram localization — rep1's chr(1) gram
     # conventions; argmax phrase via (count DESC, gram) total order
     q["phr1_phrase_occurrences"] = f"""

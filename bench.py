@@ -112,6 +112,7 @@ EXTRA = [
     "cvm1_value_drift",
     # round-10 additions
     "pcarec1_pca_recall_audit",
+    "mmd1_embedding_drift",
 ]
 
 # the five heaviest fit-per-call EXTRA entries also get a WARM

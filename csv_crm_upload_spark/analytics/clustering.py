@@ -402,6 +402,79 @@ def drift2_label_centroid_drift(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def mmd1_embedding_drift(embeddings: DataFrame) -> DataFrame:
+    """Pairwise linear-kernel Maximum Mean Discrepancy between every
+    pair of label populations — the two-sample test of the drift family
+    lifted into REPRESENTATION space: where ks1/w1d1/cvm1 compare two
+    scalar distributions and drift2 scores each slice against the
+    global centroid, MMD² with the linear kernel k(x,y)=x·y reduces
+    EXACTLY to ||μ_a − μ_b||² (Gretton et al. 2012, eq. 5 — the kernel
+    mean embedding collapses to the ordinary mean), so the pairwise
+    drift matrix costs one combining aggregation, never a pairwise
+    corpus join. A rising mmd2 between two sources/snapshots is the
+    embedding-health alarm that fires BEFORE downstream models notice.
+
+    Cross-engine exactness (drift2's decimal discipline): components
+    round to 9 dp and DECIMAL-sum per (label, dim) — order-free; each
+    mean is one identical double division rounded to 9 dp; per-dim
+    squared differences round to 12 dp into DECIMAL(38,12) sums (again
+    order-free), and the readout is one 6-dp double round.
+
+    Scale shape: posexplode rides the scan; ONE combining shuffle on
+    (label, dim) reduces 100 TB to |labels|·d rows; the pairwise stage
+    is a self-join of THAT tiny table (|labels|²·d rows at most — the
+    js1 bounded-pairs convention). Rows are gated to valid vectors of
+    the corpus fit width (the kmeans _FIT_W discipline): a ragged or
+    corrupt vector degrades to absence, never a truncated dim join."""
+    from csv_crm_upload_spark.analytics.similarity import valid_vectors
+
+    out_schema = (
+        "label_a int, label_b int, n_a long, n_b long, mmd2 double"
+    )
+    valid = valid_vectors(embeddings).filter(F.col("label").isNotNull())
+    first = valid.orderBy("vec_id").select(F.size("embedding").alias("d")).first()
+    if first is None:
+        return embeddings.sparkSession.createDataFrame([], out_schema)
+    gated = valid.filter(F.size("embedding") == first["d"])
+    per = (
+        gated.select("label", F.posexplode(F.col("embedding")).alias("dim", "v"))
+        .select(
+            "label",
+            "dim",
+            F.round(F.col("v").cast("double"), 9).cast("decimal(28,9)").alias("v9"),
+        )
+        .groupBy("label", "dim")
+        .agg(F.sum("v9").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    pa = per.select(
+        F.col("label").alias("label_a"), "dim",
+        F.col("s").alias("sa"), F.col("n").alias("na"),
+    )
+    pb = per.select(
+        F.col("label").alias("label_b"), "dim",
+        F.col("s").alias("sb"), F.col("n").alias("nb"),
+    )
+    ma = F.round(F.col("sa").cast("double") / F.col("na"), 9)
+    mb = F.round(F.col("sb").cast("double") / F.col("nb"), 9)
+    terms = (
+        pa.join(pb, "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a", "label_b", "na", "nb",
+            F.round((ma - mb) * (ma - mb), 12).cast("decimal(38,12)").alias("t"),
+        )
+    )
+    return (
+        terms.groupBy("label_a", "label_b")
+        .agg(
+            F.max("na").cast("long").alias("n_a"),
+            F.max("nb").cast("long").alias("n_b"),
+            F.round(F.sum("t").cast("double"), 6).alias("mmd2"),
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
 def decon2_semantic_contamination(
     embeddings: DataFrame, threshold: float = 0.9, benchmark_label: int = 0
 ) -> DataFrame:

@@ -214,3 +214,44 @@ def test_corrupt_only_corpus_degrades_to_empty_not_abort(spark):
     s = sil1_cluster_margins(emb, k=4, iters=2)
     assert s.columns == ["cluster_id", "n_members", "mean_margin", "min_margin"]
     assert s.count() == 0
+
+
+def test_mmd1_planted_mean_shift(spark):
+    """Linear-kernel MMD² is exactly ||μ_a − μ_b||²: population B = A
+    shifted by δ per dim gives mmd2 ≈ d·δ²; an identically-distributed
+    pair reports ~0. Corrupt rows (NULL / zero / ragged / NULL-label)
+    degrade to absence, not an abort."""
+    import numpy as np
+
+    from csv_crm_upload_spark.analytics.clustering import mmd1_embedding_drift
+
+    rng = np.random.default_rng(5)
+    d, n, delta = 16, 60, 0.5
+    base = rng.normal(size=(n, d))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v], 0))
+        rows.append((1000 + i, [float(x) for x in v], 1))          # clone of 0
+        rows.append((2000 + i, [float(x) for x in v + delta], 2))  # shifted
+    rows += [(9001, None, 0), (9002, [0.0] * d, 1), (9003, [1.0] * (d - 1), 2),
+             (9004, [1.0] * d, None)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {(r["label_a"], r["label_b"]): r for r in mmd1_embedding_drift(emb).collect()}
+    assert set(out) == {(0, 1), (0, 2), (1, 2)}
+    assert out[(0, 1)]["mmd2"] < 1e-6                      # identical populations
+    expected = d * delta * delta
+    assert abs(out[(0, 2)]["mmd2"] - expected) < expected * 0.05
+    assert out[(0, 2)]["n_a"] == n and out[(0, 2)]["n_b"] == n
+
+
+def test_mmd1_degenerate_empty(spark):
+    from csv_crm_upload_spark.analytics.clustering import mmd1_embedding_drift
+
+    emb = spark.createDataFrame(
+        [(0, None, 0), (1, [], 1)], "vec_id long, embedding array<float>, label int"
+    )
+    out = mmd1_embedding_drift(emb)
+    assert out.columns == ["label_a", "label_b", "n_a", "n_b", "mmd2"]
+    assert out.count() == 0
