@@ -246,6 +246,7 @@ def _q_skw3(s: SparkSession, sf: str) -> DataFrame:
 _ROTATION_FRONT = [
     "pcarec1_pca_recall_audit",
     "mmd1_embedding_drift",
+    "psi1_population_stability",
     "auc1_classifier_auc",
     "cart1_dataset_cartography",
     "cal1_calibration_bins",
@@ -527,6 +528,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the SAME distributed_prefix_sums CDF pass
         "w1d1_value_drift": lambda s, sf: tpch.w1d1_value_drift(_t("events")(s, sf)),
         "cvm1_value_drift": lambda s, sf: tpch.cvm1_value_drift(_t("events")(s, sf)),
+        # round-10: PSI bins — the scorecard drift metric over exact
+        # reference deciles (per-bin audit table; scalar = SUM(psi_term))
+        "psi1_population_stability": lambda s, sf: tpch.psi1_population_stability(
+            _t("events")(s, sf)
+        ),
         # exact global nearest-rank percentiles via distributed prefix sums
         "pctl2_exact_value_percentiles": lambda s, sf: (
             tpch.pctl2_exact_value_percentiles(_t("events")(s, sf))
@@ -5640,6 +5646,59 @@ def oracle_sql() -> dict[str, str]:
         FROM cgrid, t WHERE n > 0 GROUP BY n
     """
 
+
+    # psi1: Population Stability Index bins over the reference side's
+    # exact nearest-rank deciles (pctl2's pure-integer rank rule);
+    # binning = pure comparison counting; zero bins epsilon-clamped on
+    # both sides; 9-dp pointwise terms (drift1/js1 log discipline)
+    _psi_qs = list(range(10, 100, 10))
+    _psi_edges = ",\n                 ".join(
+        f"MIN(CASE WHEN rc >= ({qq} * n + 99) // 100 THEN value END) AS e{qq}"
+        for qq in _psi_qs
+    )
+    _psi_bin = " + ".join(f"CAST(value > e{qq} AS INT)" for qq in _psi_qs)
+    q["psi1_population_stability"] = f"""
+        WITH va AS (SELECT value FROM events
+                    WHERE event_type = 'view' AND value IS NOT NULL),
+        vb AS (SELECT value FROM events
+               WHERE event_type = 'purchase' AND value IS NOT NULL),
+        nat AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM va),
+        nbt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vb),
+        grid AS (SELECT value, CAST(COUNT(*) AS BIGINT) AS c FROM va GROUP BY 1),
+        cgrid AS (
+          SELECT value, CAST(SUM(c) OVER (ORDER BY value) AS BIGINT) AS rc FROM grid
+        ),
+        edges AS (
+          SELECT {_psi_edges}
+          FROM cgrid, nat
+        ),
+        binned AS (
+          SELECT ({_psi_bin}) AS bin, 1 AS ia, 0 AS ib FROM va, edges
+          UNION ALL
+          SELECT ({_psi_bin}) AS bin, 0 AS ia, 1 AS ib FROM vb, edges
+        ),
+        counts AS (
+          SELECT bin, CAST(SUM(ia) AS BIGINT) AS ca, CAST(SUM(ib) AS BIGINT) AS cb
+          FROM binned GROUP BY 1
+        ),
+        filled AS (
+          SELECT CAST(r.i AS INT) AS bin,
+                 COALESCE(ca, 0) AS n_a, COALESCE(cb, 0) AS n_b
+          FROM UNNEST(range(0, 10)) AS r(i)
+          LEFT JOIN counts ON counts.bin = r.i
+        )
+        SELECT bin, n_a, n_b,
+               n_a::DOUBLE / nat.n AS p_a,
+               n_b::DOUBLE / nbt.n AS p_b,
+               round((greatest(n_a::DOUBLE / nat.n, 0.000001)
+                      - greatest(n_b::DOUBLE / nbt.n, 0.000001))
+                     * ln(greatest(n_a::DOUBLE / nat.n, 0.000001)
+                          / greatest(n_b::DOUBLE / nbt.n, 0.000001)), 9) + 0.0
+                 AS psi_term
+        FROM filled, nat, nbt
+        WHERE nat.n > 0 AND nbt.n > 0
+        ORDER BY bin
+    """
 
     # bqrec1: lshrec1's discipline for the binary pass — both sides are
     # the oracle-paired operators' SQL verbatim

@@ -113,6 +113,7 @@ EXTRA = [
     # round-10 additions
     "pcarec1_pca_recall_audit",
     "mmd1_embedding_drift",
+    "psi1_population_stability",
 ]
 
 # the five heaviest fit-per-call EXTRA entries also get a WARM

@@ -445,6 +445,11 @@ def mmd1_embedding_drift(embeddings: DataFrame) -> DataFrame:
         )
         .groupBy("label", "dim")
         .agg(F.sum("v9").alias("s"), F.count(F.lit(1)).alias("n"))
+        # materialize the |labels|·d-row reduction ONCE: both sides of
+        # the pairwise self-join read it, and without the pin each side
+        # would re-run the full corpus scan+agg (the kmeans1/sil1
+        # construction-job sanction; bounded rows)
+        .localCheckpoint(eager=True)
     )
     pa = per.select(
         F.col("label").alias("label_a"), "dim",
@@ -457,7 +462,10 @@ def mmd1_embedding_drift(embeddings: DataFrame) -> DataFrame:
     ma = F.round(F.col("sa").cast("double") / F.col("na"), 9)
     mb = F.round(F.col("sb").cast("double") / F.col("nb"), 9)
     terms = (
-        pa.join(pb, "dim")
+        # pb is the already-reduced (label, dim) table — |labels|·d rows,
+        # provably bounded — so the pairwise stage broadcasts it instead
+        # of re-exchanging both sides on dim
+        pa.join(F.broadcast(pb), "dim")
         .filter(F.col("label_a") < F.col("label_b"))
         .select(
             "label_a", "label_b", "na", "nb",

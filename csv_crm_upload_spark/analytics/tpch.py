@@ -2559,6 +2559,101 @@ def cvm1_value_drift(
     )
 
 
+def psi1_population_stability(
+    events: DataFrame,
+    type_a: str = "view",
+    type_b: str = "purchase",
+    n_bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index bins — the scorecard-monitoring drift
+    metric (the one risk/ML-ops dashboards actually page on) joining the
+    family: ks1 = sup norm, w1d1 = L1 transport, cvm1 = L2, PSI = the
+    BINNED symmetric KL Σ_bins (p_a − p_b)·ln(p_a/p_b) over the
+    REFERENCE side's decile bins. Returns the per-bin audit table
+    (bin, counts, proportions, psi_term), ordered by bin — the drift
+    dashboard view; the scalar PSI is SUM(psi_term) (>0.25 = act).
+
+    Bin edges are EXACT nearest-rank deciles of the reference
+    distribution (pctl2's pure-integer rank discipline — (q·n+99)//100
+    thresholds over ONE distributed_prefix_sums pass, never a buffered
+    global percentile), riding into the binning expression as literals.
+    Binning is pure comparison counting (bin = #edges < value), so both
+    engines bin identically. Zero-count bins are handled by the standard
+    epsilon clamp (p → max(p, eps), applied on BOTH sides' proportions
+    with the same literal): ln stays finite and the term keeps its
+    ≥ 0 sign. Each term is a POINTWISE 9-dp-rounded double of exact
+    integer-ratio proportions (the drift1/js1 log discipline; no
+    cross-row sum happens here, so no decimal carrier is needed) with
+    the signed-zero normalizer. Either side empty → EMPTY frame (PSI
+    undefined), identically cross-engine.
+
+    Scale shape: one (value)-grid combining agg + one prefix-sums pass
+    for the edges (reference side only), then ONE map-side-combining
+    groupBy over the scan for the bin counts; |n_bins| output rows."""
+    va = events.filter(
+        (F.col("event_type") == type_a) & F.col("value").isNotNull()
+    ).select("value")
+    ga = va.groupBy("value").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    c, totals = distributed_prefix_sums(ga, ["value"], ["c"], ["cum"])
+    n_a = totals["c"]
+    spark = events.sparkSession
+    empty = (
+        "bin int, n_a long, n_b long, p_a double, p_b double, psi_term double"
+    )
+    if n_a == 0:
+        return spark.createDataFrame([], empty)
+    qs = [100 * i // n_bins for i in range(1, n_bins)]  # 10, 20, ..., 90
+    edges_row = c.agg(
+        *[
+            F.min(
+                F.when(F.col("cum") >= F.lit((q * n_a + 99) // 100), F.col("value"))
+            ).alias(f"e{q}")
+            for q in qs
+        ]
+    ).first()
+    edges = [edges_row[f"e{q}"] for q in qs]
+    both = events.filter(
+        F.col("event_type").isin(type_a, type_b) & F.col("value").isNotNull()
+    )
+    # bin = number of reference edges strictly below the value — a pure
+    # comparison count both engines evaluate identically on doubles
+    bin_expr = sum(
+        (F.col("value") > F.lit(float(e))).cast("int") for e in edges
+    ).alias("bin")
+    counts = both.select(
+        bin_expr,
+        F.when(F.col("event_type") == type_a, 1).otherwise(0).alias("ia"),
+        F.when(F.col("event_type") == type_b, 1).otherwise(0).alias("ib"),
+    ).groupBy("bin").agg(
+        F.sum("ia").cast("long").alias("n_a"),
+        F.sum("ib").cast("long").alias("n_b"),
+    )
+    n_b_total = both.filter(F.col("event_type") == type_b).count()
+    if n_b_total == 0:
+        return spark.createDataFrame([], empty)
+    # densify: every bin 0..n_bins-1 appears even when one side (or the
+    # pooled corpus) left it empty — the dashboard reads absence as 0
+    bins = spark.createDataFrame([(i,) for i in range(n_bins)], "bin int")
+    filled = (
+        bins.join(counts, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce(F.col("n_a"), F.lit(0)).cast("long").alias("n_a"),
+            F.coalesce(F.col("n_b"), F.lit(0)).cast("long").alias("n_b"),
+        )
+    )
+    p_a = F.col("n_a").cast("double") / F.lit(float(n_a))
+    p_b = F.col("n_b").cast("double") / F.lit(float(n_b_total))
+    pa_c = F.greatest(p_a, F.lit(float(eps)))
+    pb_c = F.greatest(p_b, F.lit(float(eps)))
+    term = F.round((pa_c - pb_c) * F.log(pa_c / pb_c), 9) + F.lit(0.0)
+    return filled.select(
+        "bin", "n_a", "n_b",
+        p_a.alias("p_a"), p_b.alias("p_b"), term.alias("psi_term"),
+    ).orderBy("bin")
+
+
 def w1d1_value_drift(
     events: DataFrame, type_a: str = "view", type_b: str = "purchase"
 ) -> DataFrame:

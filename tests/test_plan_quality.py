@@ -687,6 +687,34 @@ def test_round8_second_batch_shuffle_budgets(spark, sf_dir):
         assert len(ids) <= budget, f"{name}: {len(ids)} shuffles > budget {budget}\n{plan}"
 
 
+def test_round10_operator_shuffle_budgets(spark, sf_dir):
+    """Budgets for the round-10 additions (ceilings, broadcasts
+    excluded), measured on the RETURNED plan:
+      psi1    2 — ONE map-side-combining bin-count groupBy over the scan
+              + the result order; the reference-decile edges ride in as
+              literals from the construction-time prefix-sums pass and
+              the 10-row densify frame broadcasts
+      mmd1    2 — the (label, dim) reduction is checkpointed ONCE
+              (bounded |labels|·d rows) so the pairwise self-join reads
+              it with a broadcast right side instead of re-scanning the
+              corpus; final rollup + order
+      pcarec1 6 — pure composition over the persisted snapshot: two
+              kNN top-k window pairs + the recall join re-exchanges +
+              rollup + order (one fewer than lshrec1: the snapshot scan
+              replaces the corpus-side bucket stage)
+    """
+    _reset_plan_state(spark)
+    budgets = {
+        "psi1_population_stability": 2,
+        "mmd1_embedding_drift": 2,
+        "pcarec1_pca_recall_audit": 6,
+    }
+    for name, budget in budgets.items():
+        plan = plan_of(QUERIES[name](spark, sf_dir))
+        ids = set(re.findall(r"(?<!Broadcast)Exchange \((\d+)\)", plan))
+        assert len(ids) <= budget, f"{name}: {len(ids)} shuffles > budget {budget}\n{plan}"
+
+
 def test_round9_operator_shuffle_budgets(spark, sf_dir):
     """Budgets for the round-9 additions (ceilings, broadcasts
     excluded), all measured on the RETURNED plan — the kmeans-family

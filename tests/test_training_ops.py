@@ -1174,3 +1174,44 @@ def test_binary_recall_audit_bounds(spark):
     for r in rows.values():
         assert 0 <= r["n_hit"] <= r["n_exact"] <= 5
     assert rows[1]["n_hit"] >= 1
+
+
+def test_psi1_identical_and_shifted_populations(spark):
+    """PSI semantics pinned on constructed data: an identical pair
+    reports psi_term 0.0 in every bin (same proportions); a shifted
+    pair concentrates reference mass below and current mass above, and
+    every bin's term is >= 0 (the symmetric-KL sign guarantee). Exact
+    decile edges put exactly n/10 reference values per bin for a
+    100-distinct-value reference."""
+    from csv_crm_upload_spark.analytics.tpch import psi1_population_stability
+
+    def ev(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, event_type string, value double"
+        )
+
+    # identical populations: values 1..100 on both sides
+    same = ev(
+        [(i, "view", float(i % 100 + 1)) for i in range(300)]
+        + [(1000 + i, "purchase", float(i % 100 + 1)) for i in range(300)]
+    )
+    out = psi1_population_stability(same).collect()
+    assert [r["bin"] for r in out] == list(range(10))
+    assert all(r["psi_term"] == 0.0 for r in out), out
+    assert all(r["n_a"] == 30 and r["n_b"] == 30 for r in out)
+
+    # shifted current population: reference 1..100, current 51..150
+    shifted = ev(
+        [(i, "view", float(i % 100 + 1)) for i in range(300)]
+        + [(1000 + i, "purchase", float(i % 100 + 51)) for i in range(300)]
+    )
+    out2 = {r["bin"]: r for r in psi1_population_stability(shifted).collect()}
+    assert all(r["psi_term"] >= 0.0 for r in out2.values())
+    assert sum(r["psi_term"] for r in out2.values()) > 0.25  # "act" threshold
+    assert out2[0]["n_b"] == 0  # nothing current below the first decile
+    assert out2[9]["n_b"] > out2[9]["n_a"]  # mass pushed into the top bin
+
+    # one side empty -> EMPTY frame (PSI undefined), never a div-by-zero
+    only_a = ev([(i, "view", float(i)) for i in range(10)])
+    assert psi1_population_stability(only_a).count() == 0
+    assert psi1_population_stability(ev([])).count() == 0
