@@ -247,6 +247,7 @@ _ROTATION_FRONT = [
     "pcarec1_pca_recall_audit",
     "mmd1_embedding_drift",
     "psi1_population_stability",
+    "chi21_lang_source_chi2",
     "auc1_classifier_auc",
     "cart1_dataset_cartography",
     "cal1_calibration_bins",
@@ -532,6 +533,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reference deciles (per-bin audit table; scalar = SUM(psi_term))
         "psi1_population_stability": lambda s, sf: tpch.psi1_population_stability(
             _t("events")(s, sf)
+        ),
+        # round-10: chi-square independence cells for (lang, source) —
+        # mi1's frequentist companion, zero cells included
+        "chi21_lang_source_chi2": lambda s, sf: ts.chi21_lang_source_chi2(
+            _t("documents")(s, sf)
         ),
         # exact global nearest-rank percentiles via distributed prefix sums
         "pctl2_exact_value_percentiles": lambda s, sf: (
@@ -5735,6 +5741,39 @@ def oracle_sql() -> dict[str, str]:
                  AS mi_contrib_bits
         FROM j JOIN mx USING (lang) JOIN my USING (source) CROSS JOIN t
         ORDER BY lang, source
+    """
+
+    # chi21: Pearson chi-square cells over the SAME (lang, source) joint
+    # as mi1, densified to every cell of the contingency table (a zero
+    # observed cell contributes its full expected count — chi2 needs it
+    # where MI's 0·log0 drops it); expected/term are pointwise doubles
+    # of exact integer margins, 9-dp + signed-zero normalized
+    q["chi21_lang_source_chi2"] = """
+        WITH live AS (
+          SELECT lang, source FROM documents
+          WHERE text IS NOT NULL AND lang IS NOT NULL AND source IS NOT NULL
+        ),
+        j AS (
+          SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_xy
+          FROM live GROUP BY 1, 2
+        ),
+        mx AS (SELECT lang, CAST(SUM(n_xy) AS BIGINT) AS n_x FROM j GROUP BY 1),
+        my AS (SELECT source, CAST(SUM(n_xy) AS BIGINT) AS n_y FROM j GROUP BY 1),
+        t AS (SELECT CAST(COALESCE(SUM(n_xy), 0) AS BIGINT) AS n FROM j),
+        cells AS (SELECT lang, source, n_x, n_y FROM mx CROSS JOIN my)
+        SELECT c.lang, c.source,
+               CAST(COALESCE(j.n_xy, 0) AS BIGINT) AS n_obs,
+               round(CAST(c.n_x AS DOUBLE) * CAST(c.n_y AS DOUBLE) / CAST(t.n AS DOUBLE), 9) + 0.0 AS n_exp,
+               round((CAST(COALESCE(j.n_xy, 0) AS DOUBLE)
+                      - CAST(c.n_x AS DOUBLE) * CAST(c.n_y AS DOUBLE) / CAST(t.n AS DOUBLE))
+                     * (CAST(COALESCE(j.n_xy, 0) AS DOUBLE)
+                        - CAST(c.n_x AS DOUBLE) * CAST(c.n_y AS DOUBLE) / CAST(t.n AS DOUBLE))
+                     / (CAST(c.n_x AS DOUBLE) * CAST(c.n_y AS DOUBLE) / CAST(t.n AS DOUBLE)), 9) + 0.0
+                 AS chi2_term
+        FROM cells c
+        LEFT JOIN j ON j.lang = c.lang AND j.source = c.source
+        CROSS JOIN t
+        ORDER BY c.lang, c.source
     """
 
     return q

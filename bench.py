@@ -114,6 +114,7 @@ EXTRA = [
     "pcarec1_pca_recall_audit",
     "mmd1_embedding_drift",
     "psi1_population_stability",
+    "chi21_lang_source_chi2",
 ]
 
 # the five heaviest fit-per-call EXTRA entries also get a WARM

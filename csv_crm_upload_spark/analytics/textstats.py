@@ -2247,3 +2247,60 @@ def mi1_lang_source_mi(documents: DataFrame) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+def chi21_lang_source_chi2(documents: DataFrame) -> DataFrame:
+    """Chi-square independence cells for the (lang, source) contingency
+    table — mi1's frequentist companion: where MI reports the association
+    STRENGTH in bits, the chi² cells say which (lang, source) pairings
+    are significantly over/under-represented against the independence
+    expectation e = n_x·n_y/n (Pearson's classic). Returns EVERY cell of
+    the |langs|×|sources| table — including observed-ZERO cells, whose
+    (0−e)²/e = e contribution MI silently drops but chi² requires —
+    with observed count, expected count, and the per-cell term; the
+    statistic is SUM(chi2_term), dof = (|langs|−1)·(|sources|−1).
+
+    Cross-engine exactness: observed counts are exact longs; expected
+    and each term are POINTWISE IEEE doubles of those longs (identical
+    in both engines), 9-dp rounded with the signed-zero normalizer; no
+    cross-row float sum happens here. NULL lang/source rows are excluded
+    as in mi1 (absence-of-label, not a label).
+
+    Scale shape: ONE (lang, source) combining agg over the scan,
+    checkpointed at its bounded |langs|·|sources| size (the mi1 pin);
+    marginals, the densifying lang×source cross join (both domains
+    provably bounded — the js1 sanction), and the observed join all
+    read/broadcast that tiny table. Zero corpus rows → EMPTY frame."""
+    live = documents.filter(
+        F.col("text").isNotNull()
+        & F.col("lang").isNotNull()
+        & F.col("source").isNotNull()
+    )
+    joint = (
+        live.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_xy"))
+        .localCheckpoint(eager=True)
+    )
+    n_total = joint.agg(F.sum("n_xy").cast("long").alias("n"))
+    mx = joint.groupBy("lang").agg(F.sum("n_xy").cast("long").alias("n_x"))
+    my = joint.groupBy("source").agg(F.sum("n_xy").cast("long").alias("n_y"))
+    e = (
+        F.col("n_x").cast("double")
+        * F.col("n_y").cast("double")
+        / F.col("n").cast("double")
+    )
+    obs = F.coalesce(F.col("n_xy"), F.lit(0)).cast("long")
+    term = F.round((obs.cast("double") - e) * (obs.cast("double") - e) / e, 9)
+    return (
+        mx.crossJoin(F.broadcast(my))
+        .join(F.broadcast(joint), ["lang", "source"], "left")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "lang",
+            "source",
+            obs.alias("n_obs"),
+            (F.round(e, 9) + F.lit(0.0)).alias("n_exp"),
+            (term + F.lit(0.0)).alias("chi2_term"),
+        )
+        .orderBy("lang", "source")
+    )

@@ -708,6 +708,11 @@ def test_round10_operator_shuffle_budgets(spark, sf_dir):
         "psi1_population_stability": 2,
         "mmd1_embedding_drift": 2,
         "pcarec1_pca_recall_audit": 6,
+        # chi21: the corpus agg is checkpointed at construction (the mi1
+        # pin); the 4 exchanges are the two bounded marginal rollups,
+        # the densify join's right side, and the result order — every
+        # one over |langs|·|sources|-bounded rows
+        "chi21_lang_source_chi2": 4,
     }
     for name, budget in budgets.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))

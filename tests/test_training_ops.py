@@ -1215,3 +1215,35 @@ def test_psi1_identical_and_shifted_populations(spark):
     only_a = ev([(i, "view", float(i)) for i in range(10)])
     assert psi1_population_stability(only_a).count() == 0
     assert psi1_population_stability(ev([])).count() == 0
+
+
+def test_chi21_independence_and_zero_cells(spark):
+    """Chi-square cell semantics pinned on constructed data: a perfectly
+    independent table reports every term 0.0; a (lang, source) pair that
+    never occurs still gets a cell whose term equals its full expected
+    count (the zero-cell contribution MI drops but chi2 requires)."""
+    from csv_crm_upload_spark.analytics.textstats import chi21_lang_source_chi2
+
+    def docs(rows):
+        return spark.createDataFrame(
+            [(i, "t", lg, src, 1) for i, (lg, src) in enumerate(rows)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+
+    # independent: every (lang, source) cell has exactly 5 docs
+    indep = docs([(lg, src) for lg in ("en", "fr") for src in ("a", "b") for _ in range(5)])
+    out = chi21_lang_source_chi2(indep).collect()
+    assert len(out) == 4
+    assert all(r["chi2_term"] == 0.0 and r["n_exp"] == 5.0 for r in out)
+
+    # ('fr', 'b') never occurs: expected = 10*10/30, term = e itself
+    dep = docs(
+        [("en", "a")] * 10 + [("en", "b")] * 10 + [("fr", "a")] * 10
+    )
+    cells = {(r["lang"], r["source"]): r for r in chi21_lang_source_chi2(dep).collect()}
+    assert set(cells) == {("en", "a"), ("en", "b"), ("fr", "a"), ("fr", "b")}
+    zc = cells[("fr", "b")]
+    assert zc["n_obs"] == 0
+    assert abs(zc["n_exp"] - 10 * 10 / 30) < 1e-9
+    assert abs(zc["chi2_term"] - zc["n_exp"]) < 1e-9
+    assert chi21_lang_source_chi2(docs([])).count() == 0
