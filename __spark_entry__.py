@@ -248,6 +248,7 @@ _ROTATION_FRONT = [
     "mmd1_embedding_drift",
     "psi1_population_stability",
     "chi21_lang_source_chi2",
+    "iqr1_source_length_outliers",
     "auc1_classifier_auc",
     "cart1_dataset_cartography",
     "cal1_calibration_bins",
@@ -537,6 +538,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-10: chi-square independence cells for (lang, source) —
         # mi1's frequentist companion, zero cells included
         "chi21_lang_source_chi2": lambda s, sf: ts.chi21_lang_source_chi2(
+            _t("documents")(s, sf)
+        ),
+        # round-10: per-source Tukey-fence length-outlier audit over
+        # exact nearest-rank quartiles
+        "iqr1_source_length_outliers": lambda s, sf: ts.iqr1_source_length_outliers(
             _t("documents")(s, sf)
         ),
         # exact global nearest-rank percentiles via distributed prefix sums
@@ -5741,6 +5747,49 @@ def oracle_sql() -> dict[str, str]:
                  AS mi_contrib_bits
         FROM j JOIN mx USING (lang) JOIN my USING (source) CROSS JOIN t
         ORDER BY lang, source
+    """
+
+    # iqr1: per-source Tukey-fence outliers over exact nearest-rank
+    # quartiles — pctl2's integer-rank rule applied per source (the
+    # running counts window partitions by source, parallel across
+    # sources); fences are pointwise doubles of exact longs
+    q["iqr1_source_length_outliers"] = """
+        WITH live AS (
+          SELECT source, n_chars FROM documents
+          WHERE source IS NOT NULL AND n_chars IS NOT NULL
+        ),
+        grid AS (
+          SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS c
+          FROM live GROUP BY 1, 2
+        ),
+        cgrid AS (
+          SELECT source, n_chars,
+                 CAST(SUM(c) OVER (PARTITION BY source ORDER BY n_chars) AS BIGINT) AS cum
+          FROM grid
+        ),
+        tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs FROM grid GROUP BY 1),
+        picks AS (
+          SELECT g.source, MAX(t.n_docs) AS n_docs,
+                 MIN(CASE WHEN cum >= (25 * t.n_docs + 99) // 100 THEN n_chars END) AS q1,
+                 MIN(CASE WHEN cum >= (75 * t.n_docs + 99) // 100 THEN n_chars END) AS q3
+          FROM cgrid g JOIN tot t USING (source) GROUP BY 1
+        ),
+        th AS (
+          SELECT source, n_docs, q1, q3,
+                 q1::DOUBLE - 1.5 * (q3::DOUBLE - q1::DOUBLE) AS lo,
+                 q3::DOUBLE + 1.5 * (q3::DOUBLE - q1::DOUBLE) AS hi
+          FROM picks
+        )
+        SELECT l.source,
+               CAST(MAX(t.n_docs) AS BIGINT) AS n_docs,
+               CAST(MAX(t.q1) AS BIGINT) AS q1,
+               CAST(MAX(t.q3) AS BIGINT) AS q3,
+               CAST(SUM(CASE WHEN l.n_chars::DOUBLE < t.lo OR l.n_chars::DOUBLE > t.hi
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+               round(SUM(CASE WHEN l.n_chars::DOUBLE < t.lo OR l.n_chars::DOUBLE > t.hi
+                              THEN 1 ELSE 0 END)::DOUBLE / MAX(t.n_docs), 6) AS outlier_rate
+        FROM live l JOIN th t USING (source)
+        GROUP BY 1 ORDER BY 1
     """
 
     # chi21: Pearson chi-square cells over the SAME (lang, source) joint

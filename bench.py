@@ -115,6 +115,7 @@ EXTRA = [
     "mmd1_embedding_drift",
     "psi1_population_stability",
     "chi21_lang_source_chi2",
+    "iqr1_source_length_outliers",
 ]
 
 # the five heaviest fit-per-call EXTRA entries also get a WARM

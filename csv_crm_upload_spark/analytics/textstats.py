@@ -2304,3 +2304,84 @@ def chi21_lang_source_chi2(documents: DataFrame) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+def iqr1_source_length_outliers(documents: DataFrame) -> DataFrame:
+    """Per-source document-length outlier audit via the Tukey fence —
+    the curation triage view: for each source, the EXACT nearest-rank
+    quartiles of n_chars, the count of documents outside
+    [q1 − 1.5·IQR, q3 + 1.5·IQR], and the outlier rate. A source whose
+    rate spikes is shipping truncated fragments or concatenated blobs;
+    its mixing weight and dedup settings should see this before the
+    tokenizer does.
+
+    Exactness: quartiles use pctl2's pure-integer nearest-rank rule
+    ((q·n + 99) // 100 thresholds, MIN over the qualifying tail — no
+    interpolation), computed per source over the (source, n_chars)
+    DISTINCT-value grid; fences are pointwise IEEE doubles of exact
+    longs; the flag is a pure comparison. Both engines agree bit-wise
+    at every step. NULL source/n_chars rows are excluded identically.
+
+    Scale shape: one (source, n_chars) combining agg collapses 100 TB
+    to the bounded grid (|sources| · distinct lengths); the running
+    counts window partitions BY SOURCE over that grid — parallel across
+    sources, never a single-task global window (each source's grid is
+    length-domain-bounded, the asof/session convention); thresholds are
+    a |sources|-row broadcast back onto the scan-shaped flag pass."""
+    from pyspark.sql import Window
+
+    live = documents.filter(
+        F.col("source").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    grid = live.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = grid.withColumn("cum", F.sum("c").over(w).cast("long"))
+    # per-source totals are the running count's own partition max — the
+    # unordered max window shares the source hash partitioning with the
+    # running sum (and the groupBy below), so quartile extraction adds
+    # ZERO exchanges beyond the one the window already pays
+    cg = cum.withColumn(
+        "n_docs", F.max("cum").over(Window.partitionBy("source")).cast("long")
+    )
+
+    def rank(q: int):
+        # pure-integer nearest-rank threshold (the pctl2 rule): never a
+        # float q·n whose last ulp could flip the ceiling at exact
+        # multiples once n outgrows double's exact range
+        return F.expr(f"CAST(({q} * n_docs + 99) DIV 100 AS BIGINT)")
+
+    picks = cg.groupBy("source").agg(
+        F.max("n_docs").alias("n_docs"),
+        F.min(F.when(F.col("cum") >= rank(25), F.col("n_chars"))).alias("q1"),
+        F.min(F.when(F.col("cum") >= rank(75), F.col("n_chars"))).alias("q3"),
+    )
+    iqr = F.col("q3").cast("double") - F.col("q1").cast("double")
+    lo = F.col("q1").cast("double") - F.lit(1.5) * iqr
+    hi = F.col("q3").cast("double") + F.lit(1.5) * iqr
+    th = picks.select("source", "n_docs", "q1", "q3", lo.alias("lo"), hi.alias("hi"))
+    flagged = live.join(F.broadcast(th), "source").select(
+        "source", "n_docs", "q1", "q3",
+        (
+            (F.col("n_chars").cast("double") < F.col("lo"))
+            | (F.col("n_chars").cast("double") > F.col("hi"))
+        ).cast("int").alias("is_out"),
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.max("n_docs").cast("long").alias("n_docs"),
+            F.max("q1").cast("long").alias("q1"),
+            F.max("q3").cast("long").alias("q3"),
+            F.sum("is_out").cast("long").alias("n_outliers"),
+            F.round(
+                F.sum("is_out").cast("double") / F.max("n_docs").cast("double"), 6
+            ).alias("outlier_rate"),
+        )
+        .orderBy("source")
+    )

@@ -713,6 +713,10 @@ def test_round10_operator_shuffle_budgets(spark, sf_dir):
         # the densify join's right side, and the result order — every
         # one over |langs|·|sources|-bounded rows
         "chi21_lang_source_chi2": 4,
+        # iqr1: grid agg + ONE source-partitioned window exchange (the
+        # running count, the per-source total max, and the quartile
+        # groupBy all share it) + the flag-pass agg + result order
+        "iqr1_source_length_outliers": 4,
     }
     for name, budget in budgets.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))

@@ -1247,3 +1247,34 @@ def test_chi21_independence_and_zero_cells(spark):
     assert abs(zc["n_exp"] - 10 * 10 / 30) < 1e-9
     assert abs(zc["chi2_term"] - zc["n_exp"]) < 1e-9
     assert chi21_lang_source_chi2(docs([])).count() == 0
+
+
+def test_iqr1_fence_semantics(spark):
+    """Tukey-fence audit pinned on constructed data: a tight cluster
+    with two extreme points flags exactly those two; a constant-length
+    source (IQR 0) flags anything off the constant; NULLs excluded."""
+    from csv_crm_upload_spark.analytics.textstats import (
+        iqr1_source_length_outliers,
+    )
+
+    rows = (
+        # source "a": lengths 100..119 (tight) + 1 and 10000 (outliers)
+        [(i, "t", "en", "a", 100 + i % 20) for i in range(40)]
+        + [(100, "t", "en", "a", 1), (101, "t", "en", "a", 10000)]
+        # source "b": all the same length -> IQR 0, fence collapses to
+        # the constant; one off-constant doc is an outlier
+        + [(200 + i, "t", "en", "b", 500) for i in range(10)]
+        + [(299, "t", "en", "b", 501)]
+        + [(300, "t", "en", None, 5), (301, "t", "en", "a", None)]
+    )
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r["source"]: r for r in iqr1_source_length_outliers(df).collect()}
+    assert set(out) == {"a", "b"}
+    a = out["a"]
+    assert a["n_docs"] == 42 and a["n_outliers"] == 2
+    assert 100 <= a["q1"] <= a["q3"] <= 119
+    b = out["b"]
+    assert b["q1"] == 500 and b["q3"] == 500 and b["n_outliers"] == 1
+    assert abs(b["outlier_rate"] - 1 / 11) < 1e-6
