@@ -249,6 +249,7 @@ _ROTATION_FRONT = [
     "psi1_population_stability",
     "chi21_lang_source_chi2",
     "iqr1_source_length_outliers",
+    "conc1_source_concentration",
     "auc1_classifier_auc",
     "cart1_dataset_cartography",
     "cal1_calibration_bins",
@@ -543,6 +544,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-10: per-source Tukey-fence length-outlier audit over
         # exact nearest-rank quartiles
         "iqr1_source_length_outliers": lambda s, sf: ts.iqr1_source_length_outliers(
+            _t("documents")(s, sf)
+        ),
+        # round-10: corpus concentration (Gini + HHI of source counts)
+        "conc1_source_concentration": lambda s, sf: ts.conc1_source_concentration(
             _t("documents")(s, sf)
         ),
         # exact global nearest-rank percentiles via distributed prefix sums
@@ -5747,6 +5752,36 @@ def oracle_sql() -> dict[str, str]:
                  AS mi_contrib_bits
         FROM j JOIN mx USING (lang) JOIN my USING (source) CROSS JOIN t
         ORDER BY lang, source
+    """
+
+    # conc1: source-concentration readout — Gini via the EXACT integer
+    # rank form over sources ranked ascending by (count, source); HHI
+    # via 12-dp decimal share² sums; one double division each at the end
+    q["conc1_source_concentration"] = """
+        WITH per AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS c FROM documents
+          WHERE source IS NOT NULL GROUP BY 1
+        ),
+        ranked AS (
+          SELECT c, CAST(ROW_NUMBER() OVER (ORDER BY c, source) AS BIGINT) AS i
+          FROM per
+        ),
+        stats AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS s,
+                 CAST(SUM(c) AS BIGINT) AS n,
+                 CAST(SUM(2 * i * c) AS BIGINT) AS wsum
+          FROM ranked
+        ),
+        hhi AS (
+          SELECT round(CAST(SUM(CAST(round((c::DOUBLE / n) * (c::DOUBLE / n), 12)
+                                    AS DECIMAL(38,12))) AS DOUBLE), 6) AS hhi
+          FROM ranked, stats
+        )
+        SELECT s AS n_sources, n AS n_docs,
+               round((wsum::DOUBLE - (s + 1)::DOUBLE * n::DOUBLE)
+                     / (s::DOUBLE * n::DOUBLE), 6) + 0.0 AS gini,
+               hhi
+        FROM stats, hhi WHERE s > 0
     """
 
     # iqr1: per-source Tukey-fence outliers over exact nearest-rank

@@ -116,6 +116,7 @@ EXTRA = [
     "psi1_population_stability",
     "chi21_lang_source_chi2",
     "iqr1_source_length_outliers",
+    "conc1_source_concentration",
 ]
 
 # the five heaviest fit-per-call EXTRA entries also get a WARM

@@ -2385,3 +2385,77 @@ def iqr1_source_length_outliers(documents: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def conc1_source_concentration(documents: DataFrame) -> DataFrame:
+    """Corpus-composition concentration in one row — the balance audit a
+    curator reads before setting mixing weights: the Gini coefficient
+    and the Herfindahl–Hirschman index of document counts across
+    sources. Gini near 0 = evenly scraped; near 1 = one source IS the
+    corpus (so per-source quality signals are really global signals and
+    a single takedown request guts the dataset). HHI is the antitrust
+    cousin on a 0–1 scale (Σ share²).
+
+    Exactness: counts are exact longs; Gini uses the integer rank form
+    G = Σᵢ (2i − S − 1)·cᵢ / (S·n) over sources ranked ascending by
+    (count, source) — the numerator and denominator are EXACT integer
+    arithmetic, one double division at the end (both engines identical);
+    HHI terms round to 12 dp into DECIMAL(38,12) (order-free sums), one
+    6-dp readout each. NULL sources excluded (absence-of-label).
+
+    Scale shape: ONE combining groupBy collapses the corpus to
+    |sources| rows; the rank window runs over THAT bounded frame (a
+    |sources|-row single partition — domain-bounded, never corpus-
+    sized); the readout is one row."""
+    from pyspark.sql import Window
+
+    per = (
+        documents.filter(F.col("source").isNotNull())
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w = Window.orderBy("c", "source")
+    # checkpoint the |sources|-row reduction ONCE: the gini stats and
+    # the hhi branch both read it, and without the pin each branch
+    # would re-run the corpus groupBy (the mmd1/mi1 sanction)
+    ranked = per.select(
+        "c",
+        F.row_number().over(w).cast("long").alias("i"),
+    ).localCheckpoint(eager=True)
+    hhi_term = F.round(
+        (F.col("c").cast("double") / F.col("n").cast("double"))
+        * (F.col("c").cast("double") / F.col("n").cast("double")),
+        12,
+    ).cast("decimal(38,12)")
+    stats = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("s"),
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("i") * F.col("c") * F.lit(2)).cast("long").alias("wsum"),
+    )
+    base = stats.select(
+        F.col("s").alias("n_sources"),
+        F.col("n").alias("n_docs"),
+        F.round(
+            (
+                F.col("wsum").cast("double")
+                - (F.col("s") + F.lit(1)).cast("double") * F.col("n").cast("double")
+            )
+            / (F.col("s").cast("double") * F.col("n").cast("double")),
+            6,
+        ).alias("gini"),
+    )
+    hhi = (
+        ranked.crossJoin(F.broadcast(stats.select("n")))
+        .select(hhi_term.alias("t"))
+        .agg(F.round(F.sum("t").cast("double"), 6).alias("hhi"))
+    )
+    return (
+        base.crossJoin(F.broadcast(hhi))
+        .select(
+            "n_sources", "n_docs",
+            (F.col("gini") + F.lit(0.0)).alias("gini"), "hhi",
+        )
+        # zero live sources: concentration of nothing is undefined —
+        # EMPTY frame, not a 0/0 NaN row (identically cross-engine)
+        .filter(F.col("n_sources") > 0)
+    )

@@ -717,6 +717,10 @@ def test_round10_operator_shuffle_budgets(spark, sf_dir):
         # running count, the per-source total max, and the quartile
         # groupBy all share it) + the flag-pass agg + result order
         "iqr1_source_length_outliers": 4,
+        # conc1: the |sources|-row reduction is checkpointed at
+        # construction; the 3 exchanges are its rank window (a bounded
+        # single partition) and the two 1-row readout aggs
+        "conc1_source_concentration": 3,
     }
     for name, budget in budgets.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))

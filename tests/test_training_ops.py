@@ -1278,3 +1278,37 @@ def test_iqr1_fence_semantics(spark):
     b = out["b"]
     assert b["q1"] == 500 and b["q3"] == 500 and b["n_outliers"] == 1
     assert abs(b["outlier_rate"] - 1 / 11) < 1e-6
+
+
+def test_conc1_gini_and_hhi_semantics(spark):
+    """Concentration readout pinned on constructed data: equal sources
+    -> gini 0, hhi 1/S; total monopoly of S sources approaches
+    (S-1)/S; the discrete two-source 90/10 split has closed forms."""
+    from csv_crm_upload_spark.analytics.textstats import (
+        conc1_source_concentration,
+    )
+
+    def docs(counts):
+        rows, i = [], 0
+        for src, c in counts.items():
+            for _ in range(c):
+                rows.append((i, "t", "en", src, 1)); i += 1
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+
+    even = conc1_source_concentration(docs({"a": 10, "b": 10, "c": 10, "d": 10})).first()
+    assert even["n_sources"] == 4 and even["n_docs"] == 40
+    assert even["gini"] == 0.0 and abs(even["hhi"] - 0.25) < 1e-9
+
+    # 90/10 two-source split: G = (2*1*10 + 2*2*90 - 3*100)/(2*100) = 0.4
+    skew = conc1_source_concentration(docs({"big": 90, "small": 10})).first()
+    assert abs(skew["gini"] - 0.4) < 1e-9
+    assert abs(skew["hhi"] - (0.81 + 0.01)) < 1e-9
+
+    # no live sources -> EMPTY, never a 0/0 NaN row
+    none = spark.createDataFrame(
+        [(0, "t", "en", None, 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    assert conc1_source_concentration(none).count() == 0
