@@ -431,11 +431,24 @@ def mmd1_embedding_drift(embeddings: DataFrame) -> DataFrame:
     out_schema = (
         "label_a int, label_b int, n_a long, n_b long, mmd2 double"
     )
-    valid = valid_vectors(embeddings).filter(F.col("label").isNotNull())
-    first = valid.orderBy("vec_id").select(F.size("embedding").alias("d")).first()
+    # fit width from the first valid vector of the WHOLE table (the
+    # _FIT_W rule all kmeans-family fits share — NOT the first labeled
+    # one: the oracle's width subquery has no label filter, and a
+    # min-vec_id valid-but-unlabeled vector of a different width would
+    # otherwise gate the two engines to different row sets)
+    first = (
+        valid_vectors(embeddings)
+        .orderBy("vec_id")
+        .select(F.size("embedding").alias("d"))
+        .first()
+    )
     if first is None:
         return embeddings.sparkSession.createDataFrame([], out_schema)
-    gated = valid.filter(F.size("embedding") == first["d"])
+    gated = (
+        valid_vectors(embeddings)
+        .filter(F.col("label").isNotNull())
+        .filter(F.size("embedding") == first["d"])
+    )
     per = (
         gated.select("label", F.posexplode(F.col("embedding")).alias("dim", "v"))
         .select(

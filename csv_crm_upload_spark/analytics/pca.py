@@ -162,11 +162,16 @@ def fit_pca(embeddings: DataFrame, r: int = 16) -> tuple[list[list[float]], list
     return _loadings_from_cov_rows(pca1_covariance(embeddings).collect(), r)
 
 
-def pca_project(embeddings: DataFrame, loadings: list[list[float]]) -> DataFrame:
-    """(vec_id, label, proj) — each vector's coordinates on the given
-    components. MAP-ONLY: the loadings enter the plan as literal arrays
-    and each coordinate is one zip_with/aggregate dot product riding
-    the scan; projecting 100 TB is a pure pass.
+def _gated_projection(
+    embeddings: DataFrame, loadings: list[list[float]], cols: list
+) -> DataFrame:
+    """The ONE projection pass every consumer shares (pca_project and
+    the pcarec1 snapshot writer — r10 review: two inline copies of the
+    fold + gate drift independently): valid fit-width rows only, with
+    the projected coordinates available as the `proj` column among
+    whatever `cols` the caller selects. Map-only — loadings ride as
+    literal arrays and each coordinate is one zip_with/aggregate dot
+    riding the scan.
 
     Corrupt rows are SKIPPED explicitly (the valid_vectors discipline
     the sufficient-stats and LSH paths use): a NULL/empty vector, or one
@@ -193,8 +198,14 @@ def pca_project(embeddings: DataFrame, loadings: list[list[float]]) -> DataFrame
     return (
         valid_vectors(embeddings)
         .filter(F.size(emb) == len(loadings[0]))
-        .select("vec_id", "label", F.array(*coords).alias("proj"))
+        .select(*cols, F.array(*coords).alias("proj"))
     )
+
+
+def pca_project(embeddings: DataFrame, loadings: list[list[float]]) -> DataFrame:
+    """(vec_id, label, proj) — each vector's coordinates on the given
+    components; see _gated_projection for the shared gate + fold."""
+    return _gated_projection(embeddings, loadings, ["vec_id", "label"])
 
 
 def pca2_projected_knn(
@@ -297,27 +308,16 @@ def pcarec1_recall_audit(
         )
     else:
         loadings, _ = fit_pca(embeddings, r)
-        coords = [
-            F.aggregate(
-                F.zip_with(
-                    F.col("embedding"),
-                    F.array(*[F.lit(x) for x in w]),
-                    lambda a, b: a.cast("double") * b,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            for w in loadings
-        ]
         (
-            valid_vectors(embeddings)
-            .filter(F.size("embedding") == len(loadings[0]))
-            .select(
-                "vec_id",
-                F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
-                    "embedding"
-                ),
-                F.array(*coords).alias("proj"),
+            _gated_projection(
+                embeddings,
+                loadings,
+                [
+                    "vec_id",
+                    F.transform(
+                        F.col("embedding"), lambda x: x.cast("double")
+                    ).alias("embedding"),
+                ],
             )
             .write.mode("overwrite")
             .parquet(snapshot_path)

@@ -246,6 +246,23 @@ def test_mmd1_planted_mean_shift(spark):
     assert out[(0, 2)]["n_a"] == n and out[(0, 2)]["n_b"] == n
 
 
+def test_mmd1_fit_width_ignores_labels(spark):
+    """The fit width comes from the first valid vector of the WHOLE
+    table (the _FIT_W rule), not the first LABELED one: a min-vec_id
+    valid-but-unlabeled vector of a different width must gate both
+    engines to the same (empty here) row set — the r10 review's
+    cross-engine divergence scenario."""
+    from csv_crm_upload_spark.analytics.clustering import mmd1_embedding_drift
+
+    emb = spark.createDataFrame(
+        [(0, [1.0] * 8, None)]  # first valid vector: width 8, no label
+        + [(i, [float(i), 1.0] * 8, i % 2) for i in range(1, 9)],  # width 16
+        "vec_id long, embedding array<float>, label int",
+    )
+    # labeled rows are all width 16 != fit width 8 -> absent, both engines
+    assert mmd1_embedding_drift(emb).count() == 0
+
+
 def test_mmd1_degenerate_empty(spark):
     from csv_crm_upload_spark.analytics.clustering import mmd1_embedding_drift
 
