@@ -250,6 +250,7 @@ _ROTATION_FRONT = [
     "chi21_lang_source_chi2",
     "iqr1_source_length_outliers",
     "conc1_source_concentration",
+    "acf1_daily_autocorrelation",
     "auc1_classifier_auc",
     "cart1_dataset_cartography",
     "cal1_calibration_bins",
@@ -689,6 +690,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk1_doc_chunks": lambda s, sf: ts.chunk1_doc_chunks(_t("documents")(s, sf)),
         "ohlc1_hourly_value": lambda s, sf: tpch.ohlc1_hourly_value(_t("events")(s, sf)),
         "ts1_gapfill_hourly": lambda s, sf: tpch.ts1_gapfill_hourly(_t("events")(s, sf)),
+        # round-10: lag-1..7 autocorrelation of gap-filled daily volume
+        "acf1_daily_autocorrelation": lambda s, sf: tpch.acf1_daily_autocorrelation(
+            _t("events")(s, sf)
+        ),
         # derived-partsupp TPC-H completion (Q2/Q9/Q11/Q16/Q20): partsupp is
         # built deterministically from part × supplier with the identical
         # integer arithmetic in the oracle CTE — see tpch.derived_partsupp
@@ -5752,6 +5757,43 @@ def oracle_sql() -> dict[str, str]:
                  AS mi_contrib_bits
         FROM j JOIN mx USING (lang) JOIN my USING (source) CROSS JOIN t
         ORDER BY lang, source
+    """
+
+    # acf1: lag-k autocorrelation of the zero-filled daily event volume
+    # — exact long counts, ONE double mean division, 12-dp decimal
+    # product sums (order-free), constant series (den=0) drops all rows
+    q["acf1_daily_autocorrelation"] = """
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+          FROM events WHERE ts IS NOT NULL GROUP BY 1
+        ),
+        st AS (SELECT MIN(day) AS d0, MAX(day) AS d1,
+                      CAST(SUM(c) AS BIGINT) AS tot FROM daily),
+        spine AS (
+          SELECT r.s::DATE AS day,
+                 CAST(date_diff('day', d0, d1) + 1 AS BIGINT) AS n_days, tot
+          FROM st, UNNEST(generate_series(d0::TIMESTAMP, d1::TIMESTAMP,
+                                          INTERVAL 1 DAY)) AS r(s)
+        ),
+        devs AS (
+          SELECT s.day,
+                 COALESCE(d.c, 0)::DOUBLE - tot::DOUBLE / n_days::DOUBLE AS dev
+          FROM spine s LEFT JOIN daily d USING (day)
+        ),
+        den AS (SELECT SUM(CAST(round(dev * dev, 12) AS DECIMAL(38,12))) AS den
+                FROM devs),
+        b AS (
+          SELECT dev AS dev_b, CAST(r.l AS INT) AS lag, day - CAST(r.l AS INT) AS day_a
+          FROM devs, UNNEST(range(1, 8)) AS r(l)
+        ),
+        lagged AS (
+          SELECT b.lag, CAST(round(a.dev * b.dev_b, 12) AS DECIMAL(38,12)) AS t
+          FROM devs a JOIN b ON a.day = b.day_a
+        )
+        SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               round(SUM(t)::DOUBLE / den::DOUBLE, 6) + 0.0 AS acf
+        FROM lagged, den WHERE den <> 0
+        GROUP BY lag, den ORDER BY lag
     """
 
     # conc1: source-concentration readout — Gini via the EXACT integer

@@ -117,6 +117,7 @@ EXTRA = [
     "chi21_lang_source_chi2",
     "iqr1_source_length_outliers",
     "conc1_source_concentration",
+    "acf1_daily_autocorrelation",
 ]
 
 # the five heaviest fit-per-call EXTRA entries also get a WARM

@@ -1185,6 +1185,99 @@ def ts1_gapfill_hourly(events: DataFrame) -> DataFrame:
     )
 
 
+def acf1_daily_autocorrelation(events: DataFrame, max_lag: int = 7) -> DataFrame:
+    """Lag-1..max_lag autocorrelation of the gap-filled DAILY event
+    volume — the seasonality detector of the time-series family: a
+    spike at lag 7 is a weekly cycle, slow decay is trend, ~0
+    everywhere is stationary noise. The readout that decides whether a
+    traffic model needs seasonal terms before anyone plots anything.
+
+    r_k = Σ_t (x_t − μ)(x_{t+k} − μ) / Σ_t (x_t − μ)², over the
+    ZERO-FILLED day spine (ts1_gapfill's discipline — a missing day is
+    a 0-count observation, not an absent row; ACF over a gappy series
+    silently shifts every lag otherwise).
+
+    Cross-engine exactness: daily counts are exact longs; μ = total /
+    n_days is ONE IEEE double division of exact integers (identical
+    both engines); every deviation is exact-long minus that double;
+    products round to 12 dp into DECIMAL(38,12) sums (order-free); the
+    readout is one 6-dp rounded quotient. A constant series
+    (denominator 0) returns zero rows rather than a NaN column; so do
+    corpora with no timestamps.
+
+    Scale shape: ONE day-grained combining agg collapses 100 TB to
+    |days| rows (calendar-bounded); the spine join, the lag pairing
+    (one range-condition join over the tiny spine, lag = datediff), and
+    both sums run at that grain. No corpus-sized shuffle after the
+    first agg."""
+    day = F.to_date(F.col("ts")).alias("day")
+    daily = (
+        events.filter(F.col("ts").isNotNull())
+        .groupBy(day)
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        # bounded |days| rows; the spine, both deviation sums, and the
+        # lag join all read this — without the pin each consumer
+        # re-runs the corpus agg (the mmd1/conc1 sanction)
+        .localCheckpoint(eager=True)
+    )
+    stats = daily.agg(
+        F.min("day").alias("d0"),
+        F.max("day").alias("d1"),
+        F.sum("c").cast("long").alias("tot"),
+    )
+    spine = stats.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day"),
+        (F.datediff(F.col("d1"), F.col("d0")) + F.lit(1)).cast("long").alias("n_days"),
+        "tot",
+    )
+    mu = F.col("tot").cast("double") / F.col("n_days").cast("double")
+    devs = (
+        spine.join(daily, "day", "left")
+        .select(
+            "day",
+            (F.coalesce(F.col("c"), F.lit(0)).cast("double") - mu).alias("dev"),
+        )
+        # tiny, but consumed by the denominator agg AND both sides of
+        # the lag join — pin once
+        .localCheckpoint(eager=True)
+    )
+    den = devs.agg(
+        F.sum(F.round(F.col("dev") * F.col("dev"), 12).cast("decimal(38,12)")).alias(
+            "den"
+        )
+    )
+    a = devs.select(F.col("day").alias("day_a"), F.col("dev").alias("dev_a"))
+    # each later observation pairs with its lag-1..max_lag predecessor
+    # via an exploded EQUI key (day_b − lag) — a broadcast hash join,
+    # never a nested-loop range join
+    b = devs.select(
+        F.col("dev").alias("dev_b"),
+        F.explode(F.array(*[F.lit(k) for k in range(1, max_lag + 1)])).alias("lag"),
+        F.col("day").alias("day_b"),
+    ).select("dev_b", "lag", F.date_sub(F.col("day_b"), F.col("lag")).alias("day_a"))
+    lagged = a.join(F.broadcast(b), "day_a").select(
+        "lag",
+        F.round(F.col("dev_a") * F.col("dev_b"), 12)
+        .cast("decimal(38,12)")
+        .alias("t"),
+    )
+    return (
+        lagged.groupBy("lag")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"), F.sum("t").alias("num"))
+        .crossJoin(F.broadcast(den))
+        .filter(F.col("den") != 0)
+        .select(
+            "lag",
+            "n_pairs",
+            (
+                F.round(F.col("num").cast("double") / F.col("den").cast("double"), 6)
+                + F.lit(0.0)
+            ).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Derived-partsupp TPC-H completion: Q2 / Q9 / Q11 / Q16 / Q20
 # ---------------------------------------------------------------------------

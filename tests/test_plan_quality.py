@@ -721,6 +721,10 @@ def test_round10_operator_shuffle_budgets(spark, sf_dir):
         # construction; the 3 exchanges are its rank window (a bounded
         # single partition) and the two 1-row readout aggs
         "conc1_source_concentration": 3,
+        # acf1: daily grain + devs both checkpointed at construction;
+        # the 3 exchanges are the 1-row denominator agg, the per-lag
+        # rollup, and the result order — all calendar-bounded
+        "acf1_daily_autocorrelation": 3,
     }
     for name, budget in budgets.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))

@@ -1312,3 +1312,39 @@ def test_conc1_gini_and_hhi_semantics(spark):
         "doc_id long, text string, lang string, source string, n_chars long",
     )
     assert conc1_source_concentration(none).count() == 0
+
+
+def test_acf1_planted_weekly_cycle(spark):
+    """ACF semantics pinned on constructed data: a strict 7-day cycle
+    (high weekends) peaks at lag 7 and dips negative at the half-cycle;
+    a constant series (zero variance) reports NO rows; missing days are
+    zero-filled observations, not absent rows."""
+    import datetime as dt
+
+    from csv_crm_upload_spark.analytics.tpch import acf1_daily_autocorrelation
+
+    def ev(day_counts):
+        rows, eid = [], 0
+        for off, c in day_counts.items():
+            t = dt.datetime(2026, 1, 1) + dt.timedelta(days=off)
+            for _ in range(c):
+                rows.append((eid, t)); eid += 1
+        return spark.createDataFrame(rows, "event_id long, ts timestamp")
+
+    # 8 full weeks, counts cycle 1,1,1,1,1,20,20
+    cyc = ev({d: (20 if d % 7 >= 5 else 1) for d in range(56)})
+    out = {r["lag"]: r for r in acf1_daily_autocorrelation(cyc).collect()}
+    assert set(out) == set(range(1, 8))
+    assert out[7]["acf"] > 0.8                    # weekly peak
+    assert out[7]["acf"] > out[3]["acf"]          # half-cycle dip below peak
+    assert out[1]["n_pairs"] == 55                # 56 days -> 55 lag-1 pairs
+
+    # a skipped day is a ZERO observation: spine still spans it
+    gappy = ev({0: 5, 2: 5})
+    g = {r["lag"]: r for r in acf1_daily_autocorrelation(gappy).collect()}
+    assert g[1]["n_pairs"] == 2  # 3 spine days (one zero-filled)
+
+    # constant series -> zero variance -> empty frame
+    flat = ev({d: 3 for d in range(10)})
+    assert acf1_daily_autocorrelation(flat).count() == 0
+    assert acf1_daily_autocorrelation(ev({})).count() == 0
