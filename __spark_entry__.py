@@ -251,6 +251,12 @@ _ROTATION_FRONT = [
     "iqr1_source_length_outliers",
     "conc1_source_concentration",
     "acf1_daily_autocorrelation",
+    "dow1_weekly_profile",
+    "tsen1_daily_trend",
+    "cpd1_mean_shift",
+    "ben1_benford_audit",
+    "ndcg1_retrieval_quality",
+    "mhcal1_minhash_calibration",
     "auc1_classifier_auc",
     "cart1_dataset_cartography",
     "cal1_calibration_bins",
@@ -694,6 +700,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf1_daily_autocorrelation": lambda s, sf: tpch.acf1_daily_autocorrelation(
             _t("events")(s, sf)
         ),
+        # round-10 second batch: daily-grain trend/seasonality/changepoint
+        # readouts (all ride the shared _daily_spine agg) + Benford audit
+        "dow1_weekly_profile": lambda s, sf: tpch.dow1_weekly_profile(
+            _t("events")(s, sf)
+        ),
+        "tsen1_daily_trend": lambda s, sf: tpch.tsen1_daily_trend(
+            _t("events")(s, sf)
+        ),
+        "cpd1_mean_shift": lambda s, sf: tpch.cpd1_mean_shift(_t("events")(s, sf)),
+        "ben1_benford_audit": lambda s, sf: tpch.ben1_benford_audit(
+            _t("orders")(s, sf)
+        ),
         # derived-partsupp TPC-H completion (Q2/Q9/Q11/Q16/Q20): partsupp is
         # built deterministically from part × supplier with the identical
         # integer arithmetic in the oracle CTE — see tpch.derived_partsupp
@@ -759,6 +777,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "win1_winsorized_prices": lambda s, sf: tpch.win1_winsorized_prices(_t("orders")(s, sf)),
         "bm25_1_search": lambda s, sf: rtr.bm25_search(_t("documents")(s, sf)),
+        # round-10 second batch: NDCG@10 / reciprocal-rank audit of the
+        # BM25 ranking against deterministic term-coverage grades
+        "ndcg1_retrieval_quality": lambda s, sf: rtr.ndcg1_retrieval_quality(
+            _t("documents")(s, sf)
+        ),
         "rag1_hybrid_search": lambda s, sf: rtr.hybrid_search(
             _t("documents")(s, sf), _t("embeddings")(s, sf)
         ),
@@ -910,6 +933,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_exact_dups": lambda s, sf: dd.d_exact_dups(_t("documents")(s, sf)),
         "dd_ngram_jaccard": lambda s, sf: dd.d_ngram_jaccard_pairs(_t("documents")(s, sf)),
         "dd_minhash_lsh": lambda s, sf: dd.d_minhash_lsh_pairs(_t("documents")(s, sf)),
+        # round-10 second batch: per-decile calibration of the MinHash
+        # estimate vs exact shingle Jaccard on the LSH candidate stream
+        "mhcal1_minhash_calibration": lambda s, sf: dd.mhcal1_minhash_calibration(
+            _t("documents")(s, sf)
+        ),
         "dd_dup_clusters": lambda s, sf: dd.d_dup_clusters(_t("documents")(s, sf)),
         "dd_simhash": lambda s, sf: dd.d_simhash(_t("documents")(s, sf)),
         # training-data pipeline: similarity search
@@ -1548,6 +1576,54 @@ def oracle_sql() -> dict[str, str]:
                round(SUM(is_dup)::DOUBLE / COUNT(*), 6) AS neardup_rate
         FROM flagged GROUP BY source ORDER BY source
     """
+    # mhcal1: MinHash-estimate calibration per decile over the UNGATED
+    # candidate stream (no 0.5 threshold — calibration wants the full
+    # range); est = agree/16 is dyadic-exact, exact Jaccard is one shared
+    # double division, per-pair terms round to 9 dp into DECIMAL sums
+    q["mhcal1_minhash_calibration"] = f"""
+        WITH {_SHINGLE_CTE},
+        {_minhash_sig_sql()},
+        bands AS (SELECT doc_id, {band_exprs} FROM sig),
+        stacked AS (
+          {stacked_union}
+        ),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+          FROM stacked x JOIN stacked y USING (band, bucket)
+          WHERE x.doc_id < y.doc_id
+        ),
+        pairs AS (
+          SELECT doc_a, doc_b, round(({agree}) / {k}.0, 6) AS est
+          FROM cand
+          JOIN sig sa ON sa.doc_id = doc_a
+          JOIN sig sb ON sb.doc_id = doc_b
+        ),
+        sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS set_size FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT p.doc_a, p.doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+          FROM pairs p
+          JOIN sh a ON a.doc_id = p.doc_a
+          JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+          GROUP BY 1, 2
+        ),
+        scored AS (
+          SELECT p.est,
+                 round(COALESCE(i.n_inter, 0)::DOUBLE
+                       / (sa.set_size + sb.set_size - COALESCE(i.n_inter, 0)), 6) AS exact
+          FROM pairs p
+          JOIN sizes sa ON sa.doc_id = p.doc_a
+          JOIN sizes sb ON sb.doc_id = p.doc_b
+          LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+        )
+        SELECT CAST(least(floor(est * 10), 9) AS INT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               round(SUM(CAST(round(est, 9) AS DECIMAL(38,12)))::DOUBLE / COUNT(*), 6) + 0.0 AS mean_est,
+               round(SUM(CAST(round(exact, 9) AS DECIMAL(38,12)))::DOUBLE / COUNT(*), 6) + 0.0 AS mean_exact,
+               round(SUM(CAST(round(abs(est - exact), 9) AS DECIMAL(38,12)))::DOUBLE / COUNT(*), 6) + 0.0 AS mae,
+               round(SUM(CAST(round(est - exact, 9) AS DECIMAL(38,12)))::DOUBLE / COUNT(*), 6) + 0.0 AS bias
+        FROM scored GROUP BY bucket ORDER BY bucket
+    """
+
     # clusters: connected components of the near-dup graph, labeled by the
     # min doc_id — recursive reachability closure over undirected edges
     q["dd_dup_clusters"] = f"""
@@ -5185,6 +5261,78 @@ def oracle_sql() -> dict[str, str]:
         ) WHERE rn <= 5
     """
 
+    # ndcg1: NDCG@10 + reciprocal rank of the BM25 ranking vs the
+    # deterministic term-coverage grade rel(q,d) = #distinct query terms
+    # in d — gains rounded to 9 dp into DECIMAL sums, IDCG from the
+    # grade histogram (no per-query doc sort), rr = 1/first best-grade
+    # hit (0.0 when the top-k misses every best-grade doc)
+    q["ndcg1_retrieval_quality"] = f"""
+        WITH {_BM25_CTES},
+        topk AS (
+          SELECT query_id, doc_id, bm25, CAST(rn AS INT) AS rank FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY bm25 DESC, doc_id) AS rn
+            FROM scored
+          ) WHERE rn <= 10
+        ),
+        grades AS (
+          SELECT qt.query_id, tfdl.doc_id, CAST(COUNT(*) AS BIGINT) AS rel
+          FROM tfdl JOIN qt USING (tok) GROUP BY 1, 2
+        ),
+        hist AS (
+          SELECT query_id, rel, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM grades GROUP BY 1, 2
+        ),
+        cum AS (
+          SELECT query_id, rel, cnt,
+                 SUM(cnt) OVER (PARTITION BY query_id ORDER BY rel DESC) AS cum_cnt
+          FROM hist
+        ),
+        ranks AS (
+          SELECT DISTINCT query_id, CAST(r.k AS INT) AS rank
+          FROM hist, UNNEST(range(1, 11)) AS r(k)
+        ),
+        ideal AS (
+          SELECT r.query_id, r.rank, c.rel
+          FROM ranks r JOIN cum c USING (query_id)
+          WHERE r.rank <= c.cum_cnt AND r.rank > c.cum_cnt - c.cnt
+        ),
+        idcg AS (
+          SELECT query_id,
+                 SUM(CAST(round((pow(2.0, rel) - 1.0) / log2(rank + 1.0), 9)
+                          AS DECIMAL(38,12))) AS idcg
+          FROM ideal GROUP BY query_id
+        ),
+        dcgt AS (
+          SELECT t.query_id, t.rank, g.rel
+          FROM topk t JOIN grades g ON g.query_id = t.query_id AND g.doc_id = t.doc_id
+        ),
+        dcg AS (
+          SELECT query_id,
+                 SUM(CAST(round((pow(2.0, rel) - 1.0) / log2(rank + 1.0), 9)
+                          AS DECIMAL(38,12))) AS dcg
+          FROM dcgt GROUP BY query_id
+        ),
+        mx AS (
+          SELECT query_id, CAST(MAX(rel) AS INT) AS max_rel,
+                 CAST(SUM(cnt) AS BIGINT) AS n_graded
+          FROM hist GROUP BY query_id
+        ),
+        fb AS (
+          SELECT d.query_id, MIN(d.rank) AS first_best
+          FROM dcgt d JOIN mx USING (query_id)
+          WHERE d.rel = mx.max_rel GROUP BY d.query_id
+        )
+        SELECT m.query_id, m.n_graded, m.max_rel,
+               round(dcg::DOUBLE, 6) + 0.0 AS dcg,
+               round(idcg::DOUBLE, 6) + 0.0 AS idcg,
+               round(dcg::DOUBLE / idcg::DOUBLE, 6) + 0.0 AS ndcg,
+               round(COALESCE(1.0 / first_best, 0.0), 6) + 0.0 AS rr
+        FROM mx m JOIN dcg USING (query_id) JOIN idcg USING (query_id)
+        LEFT JOIN fb ON fb.query_id = m.query_id
+        ORDER BY m.query_id
+    """
+
     _pair_cos = (
         "round("
         "list_sum(list_transform(range(1, len(embedding) + 1), i -> embedding[i]::DOUBLE * q_emb[i]::DOUBLE))"
@@ -5794,6 +5942,122 @@ def oracle_sql() -> dict[str, str]:
                round(SUM(t)::DOUBLE / den::DOUBLE, 6) + 0.0 AS acf
         FROM lagged, den WHERE den <> 0
         GROUP BY lag, den ORDER BY lag
+    """
+
+    # shared zero-filled daily spine for the r10 second-batch time-series
+    # ops (mirrors tpch._daily_spine: exact long counts, calendar-bounded)
+    _DAILY_SPINE = """
+        daily AS (
+          SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+          FROM events WHERE ts IS NOT NULL GROUP BY 1
+        ),
+        st AS (SELECT MIN(day) AS d0, MAX(day) AS d1,
+                      CAST(SUM(c) AS BIGINT) AS tot FROM daily),
+        spine AS (
+          SELECT r.s::DATE AS day,
+                 CAST(date_diff('day', d0, d1) + 1 AS BIGINT) AS n_days, tot
+          FROM st, UNNEST(generate_series(d0::TIMESTAMP, d1::TIMESTAMP,
+                                          INTERVAL 1 DAY)) AS r(s)
+        ),
+        filled AS (
+          SELECT s.day, COALESCE(d.c, 0)::BIGINT AS c, n_days, tot
+          FROM spine s LEFT JOIN daily d USING (day)
+        )"""
+
+    # dow1: day-of-week seasonality index over the zero-filled spine —
+    # exact long counts, one double division per mean, isodow 1=Monday
+    # on both engines
+    q["dow1_weekly_profile"] = f"""
+        WITH {_DAILY_SPINE}
+        SELECT CAST(isodow(day) AS INT) AS isodow,
+               CAST(COUNT(*) AS BIGINT) AS n_dow_days,
+               CAST(SUM(c) AS BIGINT) AS n_events,
+               round(SUM(c)::DOUBLE / COUNT(*), 6) + 0.0 AS mean_daily,
+               round((SUM(c)::DOUBLE / COUNT(*))
+                     / (tot::DOUBLE / n_days::DOUBLE), 6) + 0.0 AS dow_index
+        FROM filled WHERE tot > 0
+        GROUP BY isodow, n_days, tot ORDER BY isodow
+    """
+
+    # tsen1: Theil–Sen slope (nearest-rank median of pairwise slopes,
+    # pctl2's ceil(n/2) rule) + exact-integer Mann–Kendall S over the
+    # calendar-bounded pair set
+    q["tsen1_daily_trend"] = f"""
+        WITH {_DAILY_SPINE},
+        pairs AS (
+          SELECT a.day AS day_a, b.day AS day_b, b.n_days,
+                 (b.c - a.c)::DOUBLE
+                   / date_diff('day', a.day, b.day)::DOUBLE AS slope,
+                 CAST(sign(b.c - a.c) AS BIGINT) AS sgn
+          FROM filled a JOIN filled b ON a.day < b.day
+        ),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (ORDER BY slope, day_a, day_b) AS rn,
+                 COUNT(*) OVER () AS np
+          FROM pairs
+        ),
+        mk AS (SELECT CAST(SUM(sgn) AS BIGINT) AS mk_s FROM pairs)
+        SELECT n_days, CAST(np AS BIGINT) AS n_pairs, mk_s,
+               round(slope, 6) + 0.0 AS sen_slope
+        FROM ranked, mk WHERE rn = CAST(ceil(np / 2.0) AS BIGINT)
+    """
+
+    # cpd1: CUSUM mean-shift — prefix sums of exact longs, μ one double
+    # division, deviations rounded to 9 dp BEFORE the argmax, |S| ties
+    # break on the earliest day, interior splits only
+    q["cpd1_mean_shift"] = f"""
+        WITH {_DAILY_SPINE},
+        pre AS (
+          SELECT day, n_days, tot,
+                 CAST(SUM(c) OVER (ORDER BY day) AS BIGINT) AS cum_c,
+                 CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS cum_n
+          FROM filled
+        ),
+        devs AS (
+          SELECT day, cum_c, cum_n, n_days, tot,
+                 round(cum_c::DOUBLE
+                       - cum_n::DOUBLE * (tot::DOUBLE / n_days::DOUBLE), 9) AS s
+          FROM pre WHERE cum_n < n_days
+        ),
+        mx AS (SELECT MAX(abs(s)) AS m FROM devs),
+        best AS (
+          SELECT d.n_days, d.tot, m, MIN(d.day) AS best_day,
+                 arg_min(d.cum_c, d.day) AS cum_c,
+                 arg_min(d.cum_n, d.day) AS cum_n
+          FROM devs d, mx WHERE abs(d.s) = m
+          GROUP BY d.n_days, d.tot, m
+        )
+        SELECT n_days, best_day,
+               round(m, 6) + 0.0 AS cusum_stat,
+               round(cum_c::DOUBLE / cum_n::DOUBLE, 6) + 0.0 AS mean_before,
+               round((tot - cum_c)::DOUBLE / (n_days - cum_n)::DOUBLE, 6) + 0.0
+                 AS mean_after,
+               round((tot - cum_c)::DOUBLE / (n_days - cum_n)::DOUBLE
+                     - cum_c::DOUBLE / cum_n::DOUBLE, 6) + 0.0 AS shift
+        FROM best
+    """
+
+    # ben1: Benford leading-digit audit — exact integer cents, leading
+    # digit from the canonical integer string (no float log/pow in the
+    # digit path), all nine digits densified, dev composed from the
+    # already-rounded shares
+    q["ben1_benford_audit"] = """
+        WITH d AS (
+          SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit
+          FROM (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                FROM orders)
+          WHERE cents > 0
+        ),
+        cnt AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM cnt),
+        spine AS (SELECT CAST(r.d AS INT) AS digit FROM UNNEST(range(1, 10)) AS r(d))
+        SELECT s.digit, COALESCE(c.n, 0)::BIGINT AS n_orders,
+               round(COALESCE(c.n, 0)::DOUBLE / total, 6) + 0.0 AS obs_share,
+               round(log10(1.0 + 1.0 / s.digit), 6) + 0.0 AS exp_share,
+               round(round(COALESCE(c.n, 0)::DOUBLE / total, 6)
+                     - round(log10(1.0 + 1.0 / s.digit), 6), 6) + 0.0 AS dev
+        FROM spine s LEFT JOIN cnt c USING (digit) CROSS JOIN tot
+        WHERE total > 0 ORDER BY s.digit
     """
 
     # conc1: source-concentration readout — Gini via the EXACT integer

@@ -401,6 +401,93 @@ def d_minhash_lsh_pairs(
     return _verify_pairs(cand, sig, threshold)
 
 
+def mhcal1_minhash_calibration(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Estimator-calibration audit of the MinHash Jaccard ESTIMATE
+    against the EXACT shingle Jaccard, per estimate decile, over the
+    LSH candidate pairs — the lshrec1 discipline applied to VALUE
+    calibration instead of recall: dd_minhash_lsh keeps pairs by the
+    k=16 signature agreement rate, and this readout reports how far
+    that estimate sits from the truth in each decile (Broder 1997's
+    unbiasedness only holds marginally; banding SELECTS FOR collision-
+    lucky pairs, so the low deciles of the candidate stream carry
+    positive bias — the audit makes the production threshold's real
+    meaning visible before anyone tunes it).
+
+    Columns per decile bucket: n_pairs, mean_est, mean_exact,
+    mae = mean |est − exact|, bias = mean (est − exact).
+
+    Cross-engine exactness: est = agree/16 is BINARY-exact (dyadic);
+    bucket = floor(est·10) clamped to 9 is exact arithmetic on dyadic
+    doubles; the exact Jaccard is the one double division both engines
+    share rounded to 6 dp; every per-pair term rounds to 9 dp into
+    order-free DECIMAL(38,12) sums; one double division per mean.
+
+    Scale shape: candidates come from the banded buckets (ONE shuffle
+    on the bucket key — never all-pairs); the exact-Jaccard join is
+    pair-ANCHORED (pairs → A-shingles → match B side on (doc_b,
+    shingle)), so the intersection work is Σ_pairs |A| keyed-join rows,
+    bounded by the candidate set — NOT the d_ngram all-rare-pairs
+    self-join; set sizes are one combining agg. Readout is a ≤10-row
+    rollup."""
+    sig = _memo_signatures(documents, n)
+    stacked = _band_buckets(sig)
+    cand = (
+        stacked.alias("x")
+        .join(stacked.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    est = _verify_pairs(cand, sig, threshold=0.0)
+    sh = _spread(_with_content(documents)).select(
+        "doc_id", F.explode(_shingles(n)).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("set_size"))
+    inter = (
+        est.select("doc_a", "doc_b")
+        .join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    ni = F.coalesce(F.col("n_inter"), F.lit(0)).cast("long")
+    scored = (
+        est.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b")), "doc_b")
+        .select(
+            F.col("est_jaccard").alias("est"),
+            F.round(
+                ni.cast("double") / (F.col("size_a") + F.col("size_b") - ni),
+                6,
+            ).alias("exact"),
+        )
+    )
+    def _dsum(c):
+        return F.sum(F.round(c, 9).cast("decimal(38,12)"))
+    return (
+        scored.groupBy(
+            F.least(F.floor(F.col("est") * 10), F.lit(9)).cast("int").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            _dsum(F.col("est")).alias("s_est"),
+            _dsum(F.col("exact")).alias("s_exact"),
+            _dsum(F.abs(F.col("est") - F.col("exact"))).alias("s_mae"),
+            _dsum(F.col("est") - F.col("exact")).alias("s_bias"),
+        )
+        .select(
+            "bucket",
+            "n_pairs",
+            (F.round(F.col("s_est").cast("double") / F.col("n_pairs"), 6) + F.lit(0.0)).alias("mean_est"),
+            (F.round(F.col("s_exact").cast("double") / F.col("n_pairs"), 6) + F.lit(0.0)).alias("mean_exact"),
+            (F.round(F.col("s_mae").cast("double") / F.col("n_pairs"), 6) + F.lit(0.0)).alias("mae"),
+            (F.round(F.col("s_bias").cast("double") / F.col("n_pairs"), 6) + F.lit(0.0)).alias("bias"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def dd4_source_neardup_rates(
     documents: DataFrame,
     n: int = 3,

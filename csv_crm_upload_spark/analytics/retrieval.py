@@ -598,3 +598,134 @@ def tfidf_indexed_top_terms(spark, index_path: str, k: int = 3) -> DataFrame:
         .select("doc_id", "term", "score", "rnk")
         .orderBy("doc_id", "rnk")
     )
+
+
+def ndcg1_retrieval_quality(
+    documents: DataFrame,
+    queries: dict[int, list[str]] | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """Retrieval-effectiveness audit of the BM25 ranking: NDCG@k and
+    reciprocal rank per query against a DETERMINISTIC graded-relevance
+    label — rel(q, d) = the number of distinct query terms d contains.
+    The standard eval loop of a retrieval stack (Järvelin & Kekäläinen
+    2002), runnable without human judgments: term-coverage is the
+    natural machine label for conjunctive intent, and because it is a
+    pure function of the same tokenization BM25 reads, both engines
+    derive identical labels.
+
+    DCG@k = Σ_{rank≤k} (2^rel − 1)/log2(rank+1) over the BM25 top-k;
+    IDCG@k re-ranks by (rel DESC) — computed from the per-grade
+    HISTOGRAM, never a per-query global sort of matched docs: the
+    grade-at-ideal-rank is read off cumulative grade counts joined to a
+    rank spine, so the per-query window touches ≤|grade levels| rows
+    even when a term matches half the corpus. rr = 1/rank of the first
+    top-k hit carrying the query's maximum grade (0.0 if the ranking
+    misses every best-grade doc).
+
+    Cross-engine exactness: grades and counts are exact longs;
+    2^rel − 1 is exact in doubles; each gain term rounds to 9 dp before
+    the order-free DECIMAL(38,12) sum; ndcg is ONE double division of
+    the two decimal sums; rr is one reciprocal of an exact int.
+    Queries matching zero documents emit no row (they have no ranking
+    to score).
+
+    Scale shape — TWO corpus-posting passes, each consumed once:
+    bm25_search produces the top-k (checkpointed at its bounded |q|·k
+    size), and ONE lean matched-token agg produces the grades (the
+    broadcast query-term join runs before the agg, so only matched
+    postings move — no dl window, grades doesn't pay bm25's frame).
+    The top-k is folded into the grades stream with a broadcast join
+    INSIDE the same aggregation tree — the grouped `cells` frame
+    (query, rel, rank) is ≤|q|·levels·(k+1) rows, checkpointed once
+    (the mmd1/conc1 sanction), and every downstream readout (histogram,
+    ideal ranking, DCG, first-best) runs at that bounded grain."""
+    queries = DEFAULT_QUERIES if queries is None else queries
+    spark = documents.sparkSession
+    # bounded |q|·k rows; construction-time jobs are the pctl2 sanction
+    topk = bm25_search(documents, queries, k=k).localCheckpoint(eager=True)
+    has_text = F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    toks = (
+        documents.filter(has_text)
+        .select("doc_id", F.explode(_tokens()).alias("tok"))
+        .withColumn("tok", F.lower(F.col("tok")))
+    )
+    grades = (
+        toks.join(F.broadcast(_query_terms_df(spark, queries)), "tok")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count_distinct(F.col("tok")).cast("long").alias("rel"))
+    )
+    cells = (
+        grades.join(
+            F.broadcast(topk.select("query_id", "doc_id", "rank")),
+            ["query_id", "doc_id"],
+            "left",
+        )
+        .groupBy("query_id", "rel", "rank")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        # bounded ≤ |q|·|grade levels|·(k+1) rows; checkpointed so the
+        # five readouts below read it instead of re-running the corpus agg
+        .localCheckpoint(eager=True)
+    )
+    hist = cells.groupBy("query_id", "rel").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+    # cumulative grade counts, best grade first — the window partition
+    # holds ≤|grade levels| rows per query, never the matched-doc set
+    wq = (
+        Window.partitionBy("query_id")
+        .orderBy(F.col("rel").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("cum_cnt", F.sum("cnt").over(wq))
+    ranks = hist.select("query_id").distinct().crossJoin(
+        F.broadcast(spark.range(1, k + 1).select(F.col("id").cast("int").alias("rank")))
+    )
+    ideal = ranks.join(cum, "query_id").filter(
+        (F.col("rank") <= F.col("cum_cnt"))
+        & (F.col("rank") > F.col("cum_cnt") - F.col("cnt"))
+    )
+
+    def _gain():
+        return F.round(
+            (F.pow(F.lit(2.0), F.col("rel")) - F.lit(1.0))
+            / F.log2(F.col("rank") + F.lit(1.0)),
+            9,
+        ).cast("decimal(38,12)")
+
+    idcg = ideal.groupBy("query_id").agg(F.sum(_gain()).alias("idcg"))
+    dcgt = cells.filter(F.col("rank").isNotNull()).select("query_id", "rank", "rel")
+    dcg = dcgt.groupBy("query_id").agg(F.sum(_gain()).alias("dcg"))
+    mx = hist.groupBy("query_id").agg(
+        F.max("rel").cast("int").alias("max_rel"),
+        F.sum("cnt").cast("long").alias("n_graded"),
+    )
+    first_best = (
+        dcgt.join(mx.select("query_id", "max_rel"), "query_id")
+        .filter(F.col("rel") == F.col("max_rel"))
+        .groupBy("query_id")
+        .agg(F.min("rank").alias("first_best"))
+    )
+    return (
+        mx.join(dcg, "query_id")
+        .join(idcg, "query_id")
+        .join(first_best, "query_id", "left")
+        .select(
+            "query_id",
+            "n_graded",
+            "max_rel",
+            (F.round(F.col("dcg").cast("double"), 6) + F.lit(0.0)).alias("dcg"),
+            (F.round(F.col("idcg").cast("double"), 6) + F.lit(0.0)).alias("idcg"),
+            (
+                F.round(F.col("dcg").cast("double") / F.col("idcg").cast("double"), 6)
+                + F.lit(0.0)
+            ).alias("ndcg"),
+            (
+                F.round(
+                    F.coalesce(F.lit(1.0) / F.col("first_best"), F.lit(0.0)), 6
+                )
+                + F.lit(0.0)
+            ).alias("rr"),
+        )
+        .orderBy("query_id")
+    )

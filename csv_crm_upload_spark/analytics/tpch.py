@@ -1210,26 +1210,7 @@ def acf1_daily_autocorrelation(events: DataFrame, max_lag: int = 7) -> DataFrame
     (one range-condition join over the tiny spine, lag = datediff), and
     both sums run at that grain. No corpus-sized shuffle after the
     first agg."""
-    day = F.to_date(F.col("ts")).alias("day")
-    daily = (
-        events.filter(F.col("ts").isNotNull())
-        .groupBy(day)
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        # bounded |days| rows; the spine, both deviation sums, and the
-        # lag join all read this — without the pin each consumer
-        # re-runs the corpus agg (the mmd1/conc1 sanction)
-        .localCheckpoint(eager=True)
-    )
-    stats = daily.agg(
-        F.min("day").alias("d0"),
-        F.max("day").alias("d1"),
-        F.sum("c").cast("long").alias("tot"),
-    )
-    spine = stats.select(
-        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day"),
-        (F.datediff(F.col("d1"), F.col("d0")) + F.lit(1)).cast("long").alias("n_days"),
-        "tot",
-    )
+    daily, spine = _daily_spine(events)
     mu = F.col("tot").cast("double") / F.col("n_days").cast("double")
     devs = (
         spine.join(daily, "day", "left")
@@ -1276,6 +1257,275 @@ def acf1_daily_autocorrelation(events: DataFrame, max_lag: int = 7) -> DataFrame
         )
         .orderBy("lag")
     )
+
+
+def _daily_spine(events: DataFrame):
+    """(daily, spine) shared by the daily time-series family (acf1's
+    discipline, factored): `daily` is the checkpointed exact-long count
+    per observed day; `spine` is every calendar day between the observed
+    bounds carrying (n_days, tot) — a missing day is a 0-count
+    observation after the left join, never an absent row.
+
+    Scale shape: ONE day-grained combining agg collapses 100 TB to
+    |days| rows (calendar-bounded); everything downstream runs at that
+    grain. The checkpoint pins the bounded daily table so the bounds
+    agg and every consumer read it instead of re-running the corpus
+    scan."""
+    day = F.to_date(F.col("ts")).alias("day")
+    daily = (
+        events.filter(F.col("ts").isNotNull())
+        .groupBy(day)
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    stats = daily.agg(
+        F.min("day").alias("d0"),
+        F.max("day").alias("d1"),
+        F.sum("c").cast("long").alias("tot"),
+    )
+    spine = stats.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day"),
+        (F.datediff(F.col("d1"), F.col("d0")) + F.lit(1)).cast("long").alias("n_days"),
+        "tot",
+    )
+    return daily, spine
+
+
+def dow1_weekly_profile(events: DataFrame) -> DataFrame:
+    """Day-of-week seasonality profile of the zero-filled daily event
+    volume — the companion readout to acf1: WHERE the weekly cycle sits
+    (weekend peak vs weekday trough), not just whether lag-7 spikes.
+    `dow_index` is the classical seasonal index mean_dow / mean_overall
+    (1.0 = flat).
+
+    Cross-engine exactness: per-dow day and event counts are exact
+    longs over the zero-filled spine; mean_daily is ONE double division
+    of exact integers; dow_index is one further IEEE division of those
+    two quotients, written identically in the oracle. isodow is
+    1=Monday..7=Sunday on both engines (Spark weekday()+1, DuckDB
+    isodow()).
+
+    Scale: everything after the shared daily agg runs on the calendar-
+    bounded spine (≤7 output rows)."""
+    daily, spine = _daily_spine(events)
+    filled = spine.join(daily, "day", "left").select(
+        (F.weekday(F.col("day")) + F.lit(1)).cast("int").alias("isodow"),
+        F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c"),
+        "n_days",
+        "tot",
+    )
+    mean_dow = F.col("n_events").cast("double") / F.col("n_dow_days").cast("double")
+    mean_all = F.col("tot").cast("double") / F.col("n_days").cast("double")
+    return (
+        filled.groupBy("isodow", "n_days", "tot")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dow_days"),
+            F.sum("c").cast("long").alias("n_events"),
+        )
+        .filter(F.col("tot") > 0)
+        .select(
+            "isodow",
+            "n_dow_days",
+            "n_events",
+            (F.round(mean_dow, 6) + F.lit(0.0)).alias("mean_daily"),
+            (F.round(mean_dow / mean_all, 6) + F.lit(0.0)).alias("dow_index"),
+        )
+        .orderBy("isodow")
+    )
+
+
+def tsen1_daily_trend(events: DataFrame) -> DataFrame:
+    """Robust trend readout over the zero-filled daily event volume:
+    the Theil–Sen slope (median of all pairwise day-to-day slopes —
+    breakdown point 29%, immune to the outlier days an OLS line chases)
+    plus the Mann–Kendall S statistic (Σ sign(c_j − c_i), the exact-
+    integer companion trend test). The standard robust pair for "is
+    traffic actually growing" before anyone fits a model.
+
+    Cross-engine exactness: counts and day offsets are exact longs;
+    each slope is ONE double division of exact integers (identical
+    IEEE result both engines); the median is the nearest-rank value
+    (pctl2's rule: rank ceil(n/2) over slope ASC with (day_a, day_b)
+    tiebreak — ties in slope don't change the value at a rank);
+    mk_s is a pure integer sum.
+
+    Scale shape: the pairwise self-join runs on the CALENDAR-bounded
+    spine (n_days rows → n_days² /2 pairs — bounded by time span, not
+    corpus size; a 10-year span is ~6.6M pairs). The median rank comes
+    from distributed_rank (range-repartition + offsets), never a
+    single-partition global window."""
+    daily, spine = _daily_spine(events)
+    filled = (
+        spine.join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c"),
+            "n_days",
+        )
+        # bounded |days| rows, consumed by BOTH sides of the pair join
+        .localCheckpoint(eager=True)
+    )
+    a = filled.select(F.col("day").alias("day_a"), F.col("c").alias("c_a"))
+    b = filled.select(F.col("day").alias("day_b"), F.col("c").alias("c_b"), "n_days")
+    pairs = (
+        a.join(b, F.col("day_a") < F.col("day_b"))
+        .select(
+            "day_a",
+            "day_b",
+            "n_days",
+            (
+                (F.col("c_b") - F.col("c_a")).cast("double")
+                / F.datediff(F.col("day_b"), F.col("day_a")).cast("double")
+            ).alias("slope"),
+            F.signum((F.col("c_b") - F.col("c_a")).cast("double"))
+            .cast("long")
+            .alias("sgn"),
+        )
+    )
+    ranked, n_pairs = _distributed_rank_and_total(
+        pairs, ["slope", "day_a", "day_b"], "_rn"
+    )
+    if n_pairs == 0:
+        return ranked.select(
+            F.col("n_days"),
+            F.lit(0).cast("long").alias("n_pairs"),
+            F.lit(0).cast("long").alias("mk_s"),
+            F.lit(0.0).alias("sen_slope"),
+        ).limit(0)
+    med_rank = -(-n_pairs // 2)  # ceil(n/2): pctl2's nearest-rank rule
+    med = ranked.filter(F.col("_rn") == med_rank).select(
+        "n_days", (F.round(F.col("slope"), 6) + F.lit(0.0)).alias("sen_slope")
+    )
+    mk = ranked.agg(F.sum("sgn").cast("long").alias("mk_s"))
+    return med.crossJoin(F.broadcast(mk)).select(
+        "n_days",
+        F.lit(n_pairs).cast("long").alias("n_pairs"),
+        "mk_s",
+        "sen_slope",
+    )
+
+
+def cpd1_mean_shift(events: DataFrame) -> DataFrame:
+    """CUSUM change-point detection on the zero-filled daily event
+    volume: S_t = Σ_{i≤t}(x_i − μ); the split with the largest |S_t| is
+    the most likely single mean-shift point (Page 1954 / Pettitt's
+    pointer), reported with the exact before/after means so the
+    magnitude of the level change is read straight off the row.
+
+    Cross-engine exactness: prefix sums of counts and day indexes are
+    exact longs (distributed_prefix_sums — no single-partition window);
+    μ is ONE double division of exact integers; each deviation
+    S_t = cum_c − t·μ is computed identically both engines and rounded
+    to 9 dp BEFORE the argmax comparison; the best split breaks |S|
+    ties on the earliest day. Before/after means are double divisions
+    of exact longs. A span of <2 days (or no timestamps) returns zero
+    rows — there is no interior split to score.
+
+    Scale shape: the prefix pass runs over the calendar-bounded spine;
+    the argmax is one bounded agg + one broadcast join back."""
+    daily, spine = _daily_spine(events)
+    filled = spine.join(daily, "day", "left").select(
+        "day",
+        F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c"),
+        F.lit(1).cast("long").alias("one"),
+        "n_days",
+        "tot",
+    )
+    pre, totals = distributed_prefix_sums(
+        filled, ["day"], ["c", "one"], ["cum_c", "cum_n"]
+    )
+    n_days, tot = totals.get("one", 0), totals.get("c", 0)
+    if n_days < 2:
+        return pre.select(
+            F.col("n_days"),
+            F.col("day").alias("best_day"),
+            F.lit(0.0).alias("cusum_stat"),
+            F.lit(0.0).alias("mean_before"),
+            F.lit(0.0).alias("mean_after"),
+            F.lit(0.0).alias("shift"),
+        ).limit(0)
+    mu = F.lit(tot).cast("double") / F.lit(n_days).cast("double")
+    # interior splits only: cum_n = n_days has an empty "after" side
+    # (and its S_n is FP noise around 0 anyway)
+    devs = pre.filter(F.col("cum_n") < F.lit(n_days)).select(
+        "day",
+        "cum_c",
+        "cum_n",
+        F.round(F.col("cum_c").cast("double") - F.col("cum_n").cast("double") * mu, 9)
+        .alias("s"),
+    )
+    best = (
+        devs.crossJoin(
+            F.broadcast(devs.agg(F.max(F.abs(F.col("s"))).alias("m")))
+        )
+        .filter(F.abs(F.col("s")) == F.col("m"))
+        .groupBy("m")
+        .agg(
+            F.min("day").alias("best_day"),
+            F.min_by("cum_c", "day").alias("cum_c"),
+            F.min_by("cum_n", "day").alias("cum_n"),
+        )
+    )
+    before = F.col("cum_c").cast("double") / F.col("cum_n").cast("double")
+    after = (F.lit(tot) - F.col("cum_c")).cast("double") / (
+        F.lit(n_days) - F.col("cum_n")
+    ).cast("double")
+    return best.select(
+        F.lit(n_days).cast("long").alias("n_days"),
+        "best_day",
+        (F.round(F.col("m"), 6) + F.lit(0.0)).alias("cusum_stat"),
+        (F.round(before, 6) + F.lit(0.0)).alias("mean_before"),
+        (F.round(after, 6) + F.lit(0.0)).alias("mean_after"),
+        (F.round(after - before, 6) + F.lit(0.0)).alias("shift"),
+    )
+
+
+def ben1_benford_audit(orders: DataFrame) -> DataFrame:
+    """Benford's-law audit of the leading digit of order values — the
+    classical fabricated-data / synthetic-data smell test (Benford
+    1938; Nigrini's forensic-accounting battery): organically-grown
+    monetary amounts follow P(d) = log10(1 + 1/d); a synthesizer or a
+    truncated pipeline shows up as a flat or spiked digit histogram.
+
+    Cross-engine exactness: money converts to exact integer CENTS
+    first (the house money rule); the leading digit is the FIRST
+    CHARACTER of the integer's decimal string — integer-to-string is
+    canonical on both engines, so no log10/pow float path touches the
+    digit extraction. All nine digits are densified (chi21's rule: an
+    absent digit is a 0-count row, not a missing one). Shares and the
+    Benford expectation are pointwise doubles rounded to 6 dp; `dev`
+    is composed from the already-rounded shares so both engines
+    subtract identical values.
+
+    Scale: one combining digit agg over the scan (9 groups), then
+    spine arithmetic."""
+    cents = F.round(F.col("o_totalprice") * F.lit(100), 0).cast("long")
+    digits = (
+        orders.select(cents.alias("cents"))
+        .filter(F.col("cents") > 0)
+        .select(F.substring(F.col("cents").cast("string"), 1, 1).cast("int").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    spark = orders.sparkSession
+    spine = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    dense = (
+        spine.join(digits, "digit", "left")
+        .select("digit", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_orders"))
+        .crossJoin(
+            F.broadcast(digits.agg(F.sum("n").cast("long").alias("total")))
+        )
+        .filter(F.col("total") > 0)
+    )
+    obs = F.round(F.col("n_orders").cast("double") / F.col("total").cast("double"), 6)
+    exp = F.round(F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double")), 6)
+    return dense.select(
+        "digit",
+        "n_orders",
+        (obs + F.lit(0.0)).alias("obs_share"),
+        (exp + F.lit(0.0)).alias("exp_share"),
+        (F.round(obs - exp, 6) + F.lit(0.0)).alias("dev"),
+    ).orderBy("digit")
 
 
 # ---------------------------------------------------------------------------

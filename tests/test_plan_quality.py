@@ -732,6 +732,52 @@ def test_round10_operator_shuffle_budgets(spark, sf_dir):
         assert len(ids) <= budget, f"{name}: {len(ids)} shuffles > budget {budget}\n{plan}"
 
 
+def test_round10_second_batch_shuffle_budgets(spark, sf_dir):
+    """Budgets for the round-10 second batch (ceilings, broadcasts
+    excluded), measured on the RETURNED plan. All four run their heavy
+    reduction at the DAY / digit grain — calendar- or domain-bounded —
+    so every exchange below moves bounded rows:
+      dow1  2 — the daily grain is checkpointed at construction; the
+            bounds agg fuses with the spine explode, leaving the isodow
+            rollup + the result order over ≤7 rows
+      tsen1 2 — the pairwise-slope frame is the checkpointed output of
+            distributed_rank (construction-time, the pctl2 sanction);
+            the returned plan is the median filter + the 1-row
+            Mann–Kendall agg broadcast back (the day_a<day_b pairing is
+            a BroadcastNestedLoopJoin over the calendar-bounded spine —
+            sanctioned, both sides ≤|days| rows)
+      cpd1  4 — prefix sums ride the construction-time checkpoint; the
+            exchanges are the 1-row max-|S| agg, its broadcast-back
+            grouping, and the bounded readout rollup
+      ben1  4 — ONE map-side-combining digit agg over the orders scan
+            (9 groups); the rest are the 1-row total agg, the 9-row
+            densify join side, and the result order
+    """
+    _reset_plan_state(spark)
+    budgets = {
+        "dow1_weekly_profile": 2,
+        "tsen1_daily_trend": 2,
+        "cpd1_mean_shift": 4,
+        "ben1_benford_audit": 4,
+        # ndcg1: the BM25 top-k and the (query, rel, rank) cells frame
+        # are both checkpointed at their bounded sizes at construction;
+        # the 12 budget covers the small-grain readout lattice
+        # (histogram, cumulative window, ideal join, two gain sums,
+        # max/first-best, final joins + order) — every exchange moves
+        # ≤|q|·levels·(k+1) rows
+        "ndcg1_retrieval_quality": 12,
+        # mhcal1: banded-bucket candidate generation (one shuffle on the
+        # bucket key), pair-anchored exact-Jaccard joins (keyed on the
+        # bounded candidate set — never the all-rare-pairs self-join),
+        # set-size agg, and the ≤10-row decile rollup + order
+        "mhcal1_minhash_calibration": 9,
+    }
+    for name, budget in budgets.items():
+        plan = plan_of(QUERIES[name](spark, sf_dir))
+        ids = set(re.findall(r"(?<!Broadcast)Exchange \((\d+)\)", plan))
+        assert len(ids) <= budget, f"{name}: {len(ids)} shuffles > budget {budget}\n{plan}"
+
+
 def test_round9_operator_shuffle_budgets(spark, sf_dir):
     """Budgets for the round-9 additions (ceilings, broadcasts
     excluded), all measured on the RETURNED plan — the kmeans-family

@@ -255,3 +255,58 @@ def test_tfidf_indexed_equals_fresh_recomputation_and_append(spark, sf_dir, tmp_
     rtr.update_text_index(part_b, inc)
     got_inc = sorted(tuple(r) for r in rtr.tfidf_indexed_top_terms(spark, inc).collect())
     assert got_inc == want
+
+
+def test_ndcg1_perfect_ranking_scores_one(spark):
+    """A corpus where BM25's order coincides with the grade order: the
+    both-terms doc leads and the two one-term docs follow (their mutual
+    order is grade-irrelevant), so DCG's term multiset equals IDCG's
+    and ndcg == 1.0 exactly; rr == 1.0 (the best-grade doc is rank 1);
+    the zero-match doc never appears in the grades; a no-match query
+    emits NO row."""
+    docs = _docs(
+        spark,
+        [
+            "alpha beta filler",      # rel 2 — both terms
+            "alpha filler pad",       # rel 1
+            "beta beta beta pad",     # rel 1 (distinct-term grade, not tf)
+            "other words only",       # rel 0 — absent from grades
+        ],
+    )
+    out = rtr.ndcg1_retrieval_quality(
+        docs, {0: ["alpha", "beta"], 1: ["zzz"]}, k=10
+    ).collect()
+    assert [r["query_id"] for r in out] == [0]  # q1 matched nothing
+    r = out[0]
+    assert r["n_graded"] == 3 and r["max_rel"] == 2
+    # DCG = 3/log2(2) + 1/log2(3) + 1/log2(4) = 3 + 0.630930 + 0.5
+    assert abs(r["dcg"] - 4.13093) < 1e-5
+    assert r["ndcg"] == 1.0 and r["rr"] == 1.0
+    assert r["dcg"] == r["idcg"]
+
+
+def test_ndcg1_rr_tracks_first_best_grade_hit(spark):
+    """rr must point at the first TOP-GRADE doc in the BM25 order, not
+    the first retrieved doc — consistency is pinned against the public
+    bm25_search ranking so the test can't drift from the scorer."""
+    docs = _docs(
+        spark,
+        [
+            "gamma " + "pad" + " filler" * 150,  # rel 1, buried by length
+            "gamma delta " + "x y z " * 120,     # rel 2 (max), long
+            "gamma gamma gamma gamma",           # rel 1, short and saturated
+        ],
+    )
+    q = {0: ["gamma", "delta"]}
+    audit = rtr.ndcg1_retrieval_quality(docs, q, k=10).first()
+    ranking = rtr.bm25_search(docs, q, k=10).collect()
+    rel = {0: 1, 1: 2, 2: 1}
+    best_rank = min(r["rank"] for r in ranking if rel[r["doc_id"]] == 2)
+    assert audit["rr"] == round(1.0 / best_rank, 6)
+    assert audit["max_rel"] == 2 and audit["n_graded"] == 3
+    assert 0.0 < audit["ndcg"] <= 1.0
+
+
+def test_ndcg1_empty_inputs(spark):
+    assert rtr.ndcg1_retrieval_quality(_docs(spark, []), {0: ["x"]}).count() == 0
+    assert rtr.ndcg1_retrieval_quality(_docs(spark, ["a b c"]), {}).count() == 0

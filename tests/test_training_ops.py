@@ -1348,3 +1348,151 @@ def test_acf1_planted_weekly_cycle(spark):
     flat = ev({d: 3 for d in range(10)})
     assert acf1_daily_autocorrelation(flat).count() == 0
     assert acf1_daily_autocorrelation(ev({})).count() == 0
+
+
+def _daily_events(spark, day_counts):
+    """events frame with `count` rows on day-offset `off` from 2026-01-01."""
+    import datetime as dt
+
+    rows, eid = [], 0
+    for off, c in day_counts.items():
+        t = dt.datetime(2026, 1, 1) + dt.timedelta(days=off)
+        for _ in range(c):
+            rows.append((eid, t)); eid += 1
+    return spark.createDataFrame(rows, "event_id long, ts timestamp")
+
+
+def test_dow1_weekly_profile_semantics(spark):
+    """Seasonality index pinned on a planted weekly cycle: weekend days
+    index above 1, weekdays below; a skipped day is a ZERO observation
+    of its weekday (the spine fills it); empty input -> empty frame.
+    2026-01-01 is a Thursday (isodow 4)."""
+    from csv_crm_upload_spark.analytics.tpch import dow1_weekly_profile
+
+    # 2 full weeks; offsets 2,3 / 9,10 are Sat/Sun (isodow 6,7)
+    cyc = _daily_events(
+        spark, {d: (30 if d % 7 in (2, 3) else 10) for d in range(14)}
+    )
+    out = {r["isodow"]: r for r in dow1_weekly_profile(cyc).collect()}
+    assert set(out) == set(range(1, 8))
+    assert out[6]["dow_index"] > 1.5 and out[7]["dow_index"] > 1.5
+    assert out[1]["dow_index"] < 1.0
+    assert out[6]["n_dow_days"] == 2 and out[6]["n_events"] == 60
+    assert out[6]["mean_daily"] == 30.0
+
+    # offset 1 (Friday) missing entirely -> still a spine day at count 0
+    gap = dow1_weekly_profile(_daily_events(spark, {0: 4, 2: 4}))
+    rows = {r["isodow"]: r for r in gap.collect()}
+    assert rows[5]["n_dow_days"] == 1 and rows[5]["n_events"] == 0
+    assert rows[5]["mean_daily"] == 0.0
+
+    assert dow1_weekly_profile(_daily_events(spark, {})).count() == 0
+
+
+def test_tsen1_daily_trend_semantics(spark):
+    """Theil-Sen slope pinned on constructed series: an exact linear
+    ramp reports its slope with Mann-Kendall S = n_pairs; ONE wild
+    outlier day does not move the median slope (the robustness the
+    estimator exists for); a flat series reports slope 0 / S 0; a
+    single-day span has no pairs -> empty."""
+    from csv_crm_upload_spark.analytics.tpch import tsen1_daily_trend
+
+    ramp = tsen1_daily_trend(
+        _daily_events(spark, {d: 10 + 2 * d for d in range(12)})
+    ).first()
+    assert ramp["sen_slope"] == 2.0
+    assert ramp["n_pairs"] == 66 and ramp["mk_s"] == 66
+
+    spiked = {d: 10 + 2 * d for d in range(12)}; spiked[5] = 500
+    rob = tsen1_daily_trend(_daily_events(spark, spiked)).first()
+    assert abs(rob["sen_slope"] - 2.0) < 0.5  # median ignores the spike
+
+    flat = tsen1_daily_trend(_daily_events(spark, {d: 7 for d in range(6)})).first()
+    assert flat["sen_slope"] == 0.0 and flat["mk_s"] == 0
+
+    assert tsen1_daily_trend(_daily_events(spark, {0: 5})).count() == 0
+    assert tsen1_daily_trend(_daily_events(spark, {})).count() == 0
+
+
+def test_cpd1_mean_shift_semantics(spark):
+    """CUSUM change point pinned on a planted step: the best split is
+    the LAST day of the low regime, and the before/after means read the
+    two levels exactly. A flat series scores 0 with the earliest-day
+    tie-break; spans under 2 days are empty."""
+    import datetime as dt
+
+    from csv_crm_upload_spark.analytics.tpch import cpd1_mean_shift
+
+    step = cpd1_mean_shift(
+        _daily_events(spark, {d: (5 if d < 10 else 50) for d in range(20)})
+    ).first()
+    assert step["best_day"] == dt.date(2026, 1, 10)  # offset 9: low regime's last day
+    assert step["mean_before"] == 5.0 and step["mean_after"] == 50.0
+    assert step["shift"] == 45.0 and step["n_days"] == 20
+    # max |S| at the boundary: 10 days * (27.5 - 5) = 225
+    assert step["cusum_stat"] == 225.0
+
+    flat = cpd1_mean_shift(_daily_events(spark, {d: 3 for d in range(5)})).first()
+    assert flat["cusum_stat"] == 0.0 and flat["best_day"] == dt.date(2026, 1, 1)
+    assert flat["shift"] == 0.0
+
+    assert cpd1_mean_shift(_daily_events(spark, {0: 9})).count() == 0
+    assert cpd1_mean_shift(_daily_events(spark, {})).count() == 0
+
+
+def test_ben1_benford_audit_semantics(spark):
+    """Benford audit pinned on constructed prices: the leading digit
+    comes from exact integer cents (1234.56 -> digit 1), absent digits
+    densify to 0-count rows, non-positive prices are excluded, and the
+    expectation column is log10(1 + 1/d)."""
+    from csv_crm_upload_spark.analytics.tpch import ben1_benford_audit
+
+    orders = spark.createDataFrame(
+        [(1, 1234.56), (2, 0.97), (3, 2.00), (4, 250.0), (5, -3.0), (6, 0.0)],
+        "o_orderkey long, o_totalprice double",
+    )
+    out = {r["digit"]: r for r in ben1_benford_audit(orders).collect()}
+    assert set(out) == set(range(1, 10))
+    assert out[1]["n_orders"] == 1      # 123456 cents
+    assert out[9]["n_orders"] == 1      # 97 cents
+    assert out[2]["n_orders"] == 2      # 200 and 25000 cents
+    assert out[3]["n_orders"] == 0      # densified zero row
+    assert abs(out[1]["exp_share"] - 0.30103) < 1e-6
+    assert abs(out[1]["obs_share"] - 0.25) < 1e-9
+    assert out[1]["dev"] == round(0.25 - 0.30103, 6)
+
+    empty = spark.createDataFrame([], "o_orderkey long, o_totalprice double")
+    assert ben1_benford_audit(empty).count() == 0
+
+
+def test_mhcal1_calibration_semantics(spark):
+    """Calibration readout pinned on planted clones: an exact duplicate
+    pair lands in the top decile with est = exact = 1.0 and zero
+    error; per-bucket mae >= |bias| by construction; a corpus with no
+    LSH candidates (or no text) reports an empty frame."""
+    base = "the quick brown fox jumps over the lazy dog again today"
+    docs = spark.createDataFrame(
+        [
+            (0, base, "en", "s0", len(base)),
+            (1, base, "en", "s0", len(base)),          # exact clone of 0
+            (2, "completely different words " * 4, "en", "s0", 100),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    dd.clear_signature_memo()
+    out = dd.mhcal1_minhash_calibration(docs).collect()
+    assert out, "clone pair must surface as a candidate"
+    by_bucket = {r["bucket"]: r for r in out}
+    top = by_bucket[9]
+    assert top["n_pairs"] >= 1
+    assert top["mean_est"] == 1.0 and top["mean_exact"] == 1.0
+    assert top["mae"] == 0.0 and top["bias"] == 0.0
+    for r in out:
+        assert r["mae"] >= abs(r["bias"]) - 1e-9
+
+    lonely = spark.createDataFrame(
+        [(0, "just one doc", "en", "s0", 12)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    dd.clear_signature_memo()
+    assert dd.mhcal1_minhash_calibration(lonely).count() == 0
