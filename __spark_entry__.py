@@ -35,6 +35,7 @@ from csv_crm_upload_spark.analytics import bpe
 from csv_crm_upload_spark.analytics import clustering as clus
 from csv_crm_upload_spark.analytics import logreg
 from csv_crm_upload_spark.analytics import pca
+from csv_crm_upload_spark.analytics import rollup as rlp
 from csv_crm_upload_spark.analytics import nbayes
 from csv_crm_upload_spark.plans import corpus_prep as prep
 from csv_crm_upload_spark.analytics import ivfpq as ivfpqm
@@ -257,6 +258,8 @@ _ROTATION_FRONT = [
     "ben1_benford_audit",
     "ndcg1_retrieval_quality",
     "mhcal1_minhash_calibration",
+    "roll1_indexed_acf",
+    "roll2_indexed_dow",
     "auc1_classifier_auc",
     "cart1_dataset_cartography",
     "cal1_calibration_bins",
@@ -709,6 +712,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t("events")(s, sf)
         ),
         "cpd1_mean_shift": lambda s, sf: tpch.cpd1_mean_shift(_t("events")(s, sf)),
+        # round-10 second batch: the persisted daily-rollup artifact's
+        # build→probe chain, audited against the inline operators' own
+        # oracles (a hash match proves store→sum-merge→probe preserves
+        # the semantics). Path baked at BUILD time (pcarec1 discipline)
+        # so concurrent harnesses roll up into separate artifacts.
+        "roll1_indexed_acf": (
+            lambda p: lambda s, sf: rlp.roll1_indexed_acf(s, _t("events")(s, sf), p)
+        )(rlp.rollup_query_path()),
+        "roll2_indexed_dow": (
+            lambda p: lambda s, sf: rlp.roll2_indexed_dow(s, _t("events")(s, sf), p)
+        )(rlp.rollup_query_path()),
         "ben1_benford_audit": lambda s, sf: tpch.ben1_benford_audit(
             _t("orders")(s, sf)
         ),
@@ -6036,6 +6050,13 @@ def oracle_sql() -> dict[str, str]:
                      - cum_c::DOUBLE / cum_n::DOUBLE, 6) + 0.0 AS shift
         FROM best
     """
+
+    # roll1/roll2: the daily-rollup artifact probes — the oracle is the
+    # INLINE operator's own raw-events SQL (acf1 / dow1 verbatim): a
+    # hash match proves the artifact's store→sum-merge→probe chain is
+    # value-identical to recomputing from the event stream
+    q["roll1_indexed_acf"] = q["acf1_daily_autocorrelation"]
+    q["roll2_indexed_dow"] = q["dow1_weekly_profile"]
 
     # ben1: Benford leading-digit audit — exact integer cents, leading
     # digit from the canonical integer string (no float log/pow in the

@@ -194,6 +194,8 @@ def main() -> None:
     os.environ.setdefault(
         "SPARK_GRAFT_PCAREC1_SNAPSHOT", "/tmp/spark_graft_pcarec1_snapshot_bench.parquet"
     )
+    # same scoping for the daily-rollup artifact roll1/roll2 build
+    os.environ.setdefault("SPARK_GRAFT_ROLLUP_DIR", "/tmp/spark_graft_rollup_bench")
     queries = entrymod.queries()
 
     # warm-up (not counted): the scan-count primes the JVM and parquet

@@ -1266,18 +1266,29 @@ def _daily_spine(events: DataFrame):
     bounds carrying (n_days, tot) — a missing day is a 0-count
     observation after the left join, never an absent row.
 
+    Accepts EITHER a raw events frame (`ts` column — one day-grained
+    combining agg collapses it) OR a pre-aggregated day-grain frame
+    (`day` DATE, `c` LONG — the daily-rollup artifact's probe path,
+    analytics/rollup.py): the rollup stores exactly this aggregation,
+    so both inputs produce identical downstream semantics.
+
     Scale shape: ONE day-grained combining agg collapses 100 TB to
     |days| rows (calendar-bounded); everything downstream runs at that
     grain. The checkpoint pins the bounded daily table so the bounds
     agg and every consumer read it instead of re-running the corpus
     scan."""
-    day = F.to_date(F.col("ts")).alias("day")
-    daily = (
-        events.filter(F.col("ts").isNotNull())
-        .groupBy(day)
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint(eager=True)
-    )
+    if "ts" in events.columns:
+        day = F.to_date(F.col("ts")).alias("day")
+        daily = (
+            events.filter(F.col("ts").isNotNull())
+            .groupBy(day)
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+    else:
+        daily = events.select(
+            "day", F.col("c").cast("long").alias("c")
+        ).localCheckpoint(eager=True)
     stats = daily.agg(
         F.min("day").alias("d0"),
         F.max("day").alias("d1"),

@@ -61,6 +61,9 @@ INDEX_LAYOUTS: dict[str, tuple[list[str], dict[str, str]]] = {
     # n-gram LM: epoch-RANGED additive unigram/bigram counts (probes sum
     # the live range; compaction sum-merges both tables)
     "ngramlm": (["unigrams", "bigrams"], {}),
+    # daily event rollup: epoch-RANGED additive (day, event_type) counts
+    # (probes sum the live range; compaction sum-merges)
+    "rollup": (["days"], {}),
 }
 
 
@@ -96,6 +99,7 @@ class CorpusIndexService:
         spark,
         docs_dir: str | None = None,
         emb_dir: str | None = None,
+        events_dir: str | None = None,
         text_index: str | None = None,
         dedup_index: str | None = None,
         ivf_index: str | None = None,
@@ -107,15 +111,19 @@ class CorpusIndexService:
         pca_model: str | None = None,
         substr_index: str | None = None,
         ngram_model: str | None = None,
+        daily_rollup: str | None = None,
         cursor_path: str | None = None,
         compact_after: int | None = None,
         adopt_artifact_seq: bool = False,
     ) -> None:
-        if docs_dir is None and emb_dir is None:
-            raise ValueError("at least one of docs_dir/emb_dir is required")
+        if docs_dir is None and emb_dir is None and events_dir is None:
+            raise ValueError(
+                "at least one of docs_dir/emb_dir/events_dir is required"
+            )
         self.spark = spark
         self.docs_dir = docs_dir
         self.emb_dir = emb_dir
+        self.events_dir = events_dir
         self.text_index = text_index
         self.dedup_index = dedup_index
         self.ivf_index = ivf_index
@@ -127,8 +135,9 @@ class CorpusIndexService:
         self.pca_model = pca_model
         self.substr_index = substr_index
         self.ngram_model = ngram_model
+        self.daily_rollup = daily_rollup
         self.cursor_path = cursor_path or os.path.join(
-            docs_dir or emb_dir, "_index_service_cursor.json"
+            docs_dir or emb_dir or events_dir, "_index_service_cursor.json"
         )
         self.compact_after = compact_after
         self._seen: set[str] = set()
@@ -198,6 +207,7 @@ class CorpusIndexService:
             self.pca_model,
             self.substr_index,
             self.ngram_model,
+            self.daily_rollup,
         ):
             if path is None:
                 continue
@@ -205,7 +215,12 @@ class CorpusIndexService:
                 last = read_manifest(path).get("last_txn", {})
             except Exception:
                 continue
-            mx = max(mx, last.get("tick-docs", 0), last.get("tick-emb", 0))
+            mx = max(
+                mx,
+                last.get("tick-docs", 0),
+                last.get("tick-emb", 0),
+                last.get("tick-events", 0),
+            )
         return mx
 
     def _commit_cursor(self, inflight: dict | None = None) -> None:
@@ -304,6 +319,13 @@ class CorpusIndexService:
 
             update_pca_model(new_emb, self.pca_model, txn=txn)
 
+    def _fold_events(self, event_shards: list[str], txn: tuple[str, int]) -> None:
+        new_events = self.spark.read.parquet(*event_shards)
+        if self.daily_rollup is not None:
+            from csv_crm_upload_spark.analytics.rollup import update_daily_rollup
+
+            update_daily_rollup(new_events, self.daily_rollup, txn=txn)
+
     def _fold_batch(self, batch: dict) -> None:
         """Fold one intent-logged shard batch into every registered
         index with this batch's txn seq, then commit the cursor with
@@ -325,8 +347,11 @@ class CorpusIndexService:
             self._fold_docs(batch["docs"], ("tick-docs", seq))
         if batch.get("embeddings"):
             self._fold_emb(batch["embeddings"], ("tick-emb", seq))
+        if batch.get("events"):
+            self._fold_events(batch["events"], ("tick-events", seq))
         self._seen.update(batch.get("docs", []))
         self._seen.update(batch.get("embeddings", []))
+        self._seen.update(batch.get("events", []))
         self._txn_seq = seq
         self._commit_cursor()
 
@@ -343,8 +368,13 @@ class CorpusIndexService:
 
         doc_shards = self._new_shards(self.docs_dir, self._seen)
         emb_shards = self._new_shards(self.emb_dir, self._seen)
-        if doc_shards or emb_shards:
-            batch = {"docs": doc_shards, "embeddings": emb_shards}
+        event_shards = self._new_shards(self.events_dir, self._seen)
+        if doc_shards or emb_shards or event_shards:
+            batch = {
+                "docs": doc_shards,
+                "embeddings": emb_shards,
+                "events": event_shards,
+            }
             self._commit_cursor(inflight=batch)  # write-ahead intent
             self._fold_batch(batch)
         if self.compact_after is not None:
@@ -352,6 +382,7 @@ class CorpusIndexService:
         return {
             "docs": recovered.get("docs", []) + doc_shards,
             "embeddings": recovered.get("embeddings", []) + emb_shards,
+            "events": recovered.get("events", []) + event_shards,
         }
 
     def _maybe_compact(self) -> None:
@@ -394,6 +425,10 @@ class CorpusIndexService:
             from csv_crm_upload_spark.analytics.ngramlm import compact_ngramlm_model
 
             compactors.append((self.ngram_model, compact_ngramlm_model))
+        if self.daily_rollup is not None:
+            from csv_crm_upload_spark.analytics.rollup import compact_daily_rollup
+
+            compactors.append((self.daily_rollup, compact_daily_rollup))
         for path, compactor in compactors:
             m = read_manifest(path)
             if m["epoch"] - m.get("base_epoch", 0) >= self.compact_after:
@@ -420,6 +455,7 @@ class CorpusIndexService:
             ("pca", self.pca_model),
             ("substr", self.substr_index),
             ("ngramlm", self.ngram_model),
+            ("rollup", self.daily_rollup),
         ):
             if idx_path is not None:
                 ranged, pinned = INDEX_LAYOUTS[kind]
@@ -441,6 +477,7 @@ def run_index_maintenance_stream(
     winnow_index: str | None = None,
     bpe_model: str | None = None,
     pca_model: str | None = None,
+    daily_rollup: str | None = None,
     available_now: bool = True,
     app_id: str | None = None,
 ):
@@ -458,7 +495,8 @@ def run_index_maintenance_stream(
     — so a replayed batch no-ops per index and the fold is EXACTLY-ONCE
     in effect, with no cross-commit window at all. `kind` selects the
     shard schema: "documents" feeds the text/dedup indexes,
-    "embeddings" feeds the vector indexes."""
+    "embeddings" feeds the vector indexes, "events" feeds the daily
+    rollup."""
     from csv_crm_upload_spark.schemas import TESTDATA_SCHEMAS
 
     app = app_id or f"index-maint-{kind}"
@@ -508,6 +546,10 @@ def run_index_maintenance_stream(
             from csv_crm_upload_spark.analytics.pca import update_pca_model
 
             update_pca_model(batch_df, pca_model, txn=txn)
+        if daily_rollup is not None:
+            from csv_crm_upload_spark.analytics.rollup import update_daily_rollup
+
+            update_daily_rollup(batch_df, daily_rollup, txn=txn)
 
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

@@ -61,7 +61,7 @@ def test_dropped_shard_indexed_on_next_tick(spark, sf_dir, tmp_path):
     )
 
     # tick with nothing landed: free and a no-op
-    assert svc.tick() == {"docs": [], "embeddings": []}
+    assert svc.tick() == {"docs": [], "embeddings": [], "events": []}
     assert all(
         _epochs(p) == 0 for p in (text_idx, dedup_idx, ivf_idx, pq_idx, ivfpq_idx)
     )
@@ -116,7 +116,7 @@ def test_dropped_shard_indexed_on_next_tick(spark, sf_dir, tmp_path):
         assert got == new_vecs, f"{idx}/{sub} epoch-1 is not shard-only"
 
     # second tick: nothing new, nothing re-folded
-    assert svc.tick() == {"docs": [], "embeddings": []}
+    assert svc.tick() == {"docs": [], "embeddings": [], "events": []}
     assert all(
         _epochs(p) == 1 for p in (text_idx, dedup_idx, ivf_idx, pq_idx, ivfpq_idx)
     )
@@ -132,7 +132,7 @@ def test_dropped_shard_indexed_on_next_tick(spark, sf_dir, tmp_path):
         pq_index=pq_idx,
         ivfpq_index=ivfpq_idx,
     )
-    assert svc2.tick() == {"docs": [], "embeddings": []}
+    assert svc2.tick() == {"docs": [], "embeddings": [], "events": []}
     assert all(
         _epochs(p) == 1 for p in (text_idx, dedup_idx, ivf_idx, pq_idx, ivfpq_idx)
     )
@@ -283,7 +283,7 @@ def test_in_flight_shard_directories_are_not_folded(spark, sf_dir, tmp_path):
     os.remove(success)  # simulate the writer mid-flight
 
     svc = CorpusIndexService(spark, docs_dir=drop, text_index=idx)
-    assert svc.tick() == {"docs": [], "embeddings": []}
+    assert svc.tick() == {"docs": [], "embeddings": [], "events": []}
     assert read_manifest(idx)["epoch"] == 0  # nothing folded, nothing seen
 
     open(success, "w").close()  # writer finishes
@@ -305,6 +305,7 @@ def test_soak_sustained_appends_bounded_epochs_and_vacuum(spark, sf_dir, tmp_pat
     from csv_crm_upload_spark.analytics.pca import save_pca_model
     from csv_crm_upload_spark.analytics.nbayes import save_nb_model
     from csv_crm_upload_spark.analytics.ngramlm import save_ngramlm_model
+    from csv_crm_upload_spark.analytics.rollup import save_daily_rollup
     from csv_crm_upload_spark.analytics.substr import save_substr_index
     from csv_crm_upload_spark.analytics.winnow import save_winnow_index
     from csv_crm_upload_spark.operators.manifest import read_manifest
@@ -312,8 +313,10 @@ def test_soak_sustained_appends_bounded_epochs_and_vacuum(spark, sf_dir, tmp_pat
 
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
+    events = load_table(spark, sf_dir, "events")
     base_docs = docs.filter(F.col("doc_id") % 12 == 0)
     base_emb = emb.filter(F.col("vec_id") % 12 == 0)
+    base_events = events.filter(F.col("event_id") % 12 == 0)
 
     paths = {k: str(tmp_path / f"{k}_idx") for k in INDEX_LAYOUTS}
     rtr.save_text_index(base_docs, paths["text"], n_buckets=16)
@@ -327,16 +330,20 @@ def test_soak_sustained_appends_bounded_epochs_and_vacuum(spark, sf_dir, tmp_pat
     save_pca_model(base_emb, paths["pca"], r=4)
     save_substr_index(base_docs, paths["substr"])
     save_ngramlm_model(base_docs, paths["ngramlm"])
+    save_daily_rollup(base_events, paths["rollup"])
 
     docs_drop = str(tmp_path / "docs_drop")
     emb_drop = str(tmp_path / "emb_drop")
+    events_drop = str(tmp_path / "events_drop")
     os.makedirs(docs_drop)
     os.makedirs(emb_drop)
+    os.makedirs(events_drop)
     COMPACT_AFTER = 3
     svc = CorpusIndexService(
         spark,
         docs_dir=docs_drop,
         emb_dir=emb_drop,
+        events_dir=events_drop,
         text_index=paths["text"],
         dedup_index=paths["dedup"],
         ivf_index=paths["ivf"],
@@ -348,6 +355,7 @@ def test_soak_sustained_appends_bounded_epochs_and_vacuum(spark, sf_dir, tmp_pat
         pca_model=paths["pca"],
         substr_index=paths["substr"],
         ngram_model=paths["ngramlm"],
+        daily_rollup=paths["rollup"],
         compact_after=COMPACT_AFTER,
     )
 
@@ -359,8 +367,13 @@ def test_soak_sustained_appends_bounded_epochs_and_vacuum(spark, sf_dir, tmp_pat
         emb.filter(F.col("vec_id") % 12 == t % 12).write.parquet(
             f"{emb_drop}/shard_{t}"
         )
+        events.filter(F.col("event_id") % 12 == t % 12).write.parquet(
+            f"{events_drop}/shard_{t}"
+        )
         folded = svc.tick()
-        assert folded["docs"] and folded["embeddings"], f"tick {t} folded nothing"
+        assert folded["docs"] and folded["embeddings"] and folded["events"], (
+            f"tick {t} folded nothing"
+        )
         # the boundedness invariant: auto-compact keeps every live chain
         # short no matter how many ticks have passed
         for kind, path in paths.items():
@@ -485,7 +498,7 @@ def test_tick_crash_between_fold_and_cursor_does_not_double_fold(
     # cursor is clean and a further tick is quiet
     cur = json.load(open(svc2.cursor_path))
     assert cur["inflight"] == {} and cur["txn_seq"] == 1
-    assert svc2.tick() == {"docs": [], "embeddings": []}
+    assert svc2.tick() == {"docs": [], "embeddings": [], "events": []}
 
     # the additive models equal a clean rebuild over the union
     full_pca = str(tmp_path / "pca_full")
@@ -662,7 +675,7 @@ def test_concurrent_probes_see_old_or_new_through_crash_recovery(
         )
         assert svc2._inflight
         svc2.tick()
-        assert svc2.tick() == {"docs": [], "embeddings": []}
+        assert svc2.tick() == {"docs": [], "embeddings": [], "events": []}
     finally:
         stop.set()
         t.join(timeout=120)

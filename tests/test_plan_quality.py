@@ -771,6 +771,12 @@ def test_round10_second_batch_shuffle_budgets(spark, sf_dir):
         # bounded candidate set — never the all-rare-pairs self-join),
         # set-size agg, and the ≤10-row decile rollup + order
         "mhcal1_minhash_calibration": 9,
+        # roll1/roll2: the artifact probes — the day grain is READ from
+        # the rollup's sum-merge (one bounded exchange) and checkpointed
+        # by _daily_spine; the rest is the inline readout over ≤|days|
+        # rows (the build itself runs at construction, the pq1 sanction)
+        "roll1_indexed_acf": 4,
+        "roll2_indexed_dow": 3,
     }
     for name, budget in budgets.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))

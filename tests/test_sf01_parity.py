@@ -30,17 +30,23 @@ SF01_DIR = "/root/testdata/sf0.1"
 # bake the path at build time, so the override is scoped to exactly
 # these two dicts and restored immediately (modules built earlier or
 # later in the same process keep the default, themselves consistent).
-_SNAP_KEY = "SPARK_GRAFT_PCAREC1_SNAPSHOT"
-_prev_snap = os.environ.get(_SNAP_KEY)
-os.environ[_SNAP_KEY] = "/tmp/spark_graft_pcarec1_snapshot_sf01.parquet"
+_SCOPED = {
+    "SPARK_GRAFT_PCAREC1_SNAPSHOT": "/tmp/spark_graft_pcarec1_snapshot_sf01.parquet",
+    # same reasoning for the daily-rollup artifact the roll1/roll2
+    # entries build at call time
+    "SPARK_GRAFT_ROLLUP_DIR": "/tmp/spark_graft_rollup_sf01",
+}
+_prev = {k: os.environ.get(k) for k in _SCOPED}
+os.environ.update(_SCOPED)
 try:
     QUERIES = entrymod.queries()
     ORACLES = entrymod.oracle_sql()
 finally:
-    if _prev_snap is None:
-        del os.environ[_SNAP_KEY]
-    else:
-        os.environ[_SNAP_KEY] = _prev_snap
+    for k, v in _prev.items():
+        if v is None:
+            del os.environ[k]
+        else:
+            os.environ[k] = v
 
 
 @pytest.fixture(scope="module")
