@@ -260,6 +260,8 @@ _ROTATION_FRONT = [
     "mhcal1_minhash_calibration",
     "roll1_indexed_acf",
     "roll2_indexed_dow",
+    "stl1_seasonal_strength",
+    "rbo1_rank_agreement",
     "auc1_classifier_auc",
     "cart1_dataset_cartography",
     "cal1_calibration_bins",
@@ -281,8 +283,9 @@ _ROTATION_FRONT = [
     "sil1_cluster_margins",
     "pmi1_collocations",
     "kn1_kneser_ney_logloss",
-    "prune1_prototype_pruning",
-    "vq1_quantized_knn",
+    # prune1 / vq1 (the freshest-greened tail of the r9-verdict cohort,
+    # r7/r8 driver rows) are displaced by the round-10 second batch's
+    # first-contact keys — the 50-slot window is full at 12 + 38
 ]
 
 
@@ -712,6 +715,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t("events")(s, sf)
         ),
         "cpd1_mean_shift": lambda s, sf: tpch.cpd1_mean_shift(_t("events")(s, sf)),
+        "stl1_seasonal_strength": lambda s, sf: tpch.stl1_seasonal_strength(
+            _t("events")(s, sf)
+        ),
         # round-10 second batch: the persisted daily-rollup artifact's
         # build→probe chain, audited against the inline operators' own
         # oracles (a hash match proves store→sum-merge→probe preserves
@@ -795,6 +801,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # BM25 ranking against deterministic term-coverage grades
         "ndcg1_retrieval_quality": lambda s, sf: rtr.ndcg1_retrieval_quality(
             _t("documents")(s, sf)
+        ),
+        # round-10 second batch: lexical-vs-hybrid rank agreement
+        "rbo1_rank_agreement": lambda s, sf: rtr.rbo1_rank_agreement(
+            _t("documents")(s, sf), _t("embeddings")(s, sf)
         ),
         "rag1_hybrid_search": lambda s, sf: rtr.hybrid_search(
             _t("documents")(s, sf), _t("embeddings")(s, sf)
@@ -5354,8 +5364,9 @@ def oracle_sql() -> dict[str, str]:
         " * sqrt(list_sum(list_transform(q_emb, x -> x::DOUBLE * x::DOUBLE)))), 6)"
     )
     _QIDS = ",".join(str(k) for k in sorted(rtr.DEFAULT_QUERIES))
-    q["rag1_hybrid_search"] = f"""
-        WITH {_BM25_CTES},
+    # hybrid-retrieval CTE tail, shared by rag1 and the rbo1 agreement
+    # audit (one encoding of the candidate→cosine→blend chain)
+    _RAG_TAIL = f"""
         cand AS (
           SELECT query_id, doc_id, bm25 FROM (
             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rn
@@ -5383,12 +5394,69 @@ def oracle_sql() -> dict[str, str]:
                                   - MIN(cos_sim) OVER (PARTITION BY query_id), 1e-12)
                  , 4) AS blend
           FROM cs
-        )
+        )"""
+
+    q["rag1_hybrid_search"] = f"""
+        WITH {_BM25_CTES},
+        {_RAG_TAIL}
         SELECT query_id, doc_id, bm25, cos_sim, blend, CAST(rn AS INT) AS rank
         FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY blend DESC, doc_id) AS rn
           FROM blended
         ) WHERE rn <= 5
+    """
+
+    # rbo1: rank agreement between the lexical and hybrid top-5 — per
+    # matched doc the AO depth sum telescopes to the harmonic tail
+    # Σ_{{d≥max(rank_a,rank_b)}} 1/d, written as the same left-
+    # associated 1.0/d chains the Spark side builds; 9-dp rounded
+    # DECIMAL sums, one double division per readout
+    _HARM = " ".join(
+        "WHEN {m} THEN {expr}".format(
+            m=m, expr=" + ".join(f"1.0/{d}.0" for d in range(m, 6))
+        )
+        for m in range(1, 6)
+    )
+    q["rbo1_rank_agreement"] = f"""
+        WITH {_BM25_CTES},
+        {_RAG_TAIL},
+        a AS (
+          SELECT query_id, doc_id, CAST(rn AS INT) AS rank_a FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY bm25 DESC, doc_id) AS rn
+            FROM scored
+          ) WHERE rn <= 5
+        ),
+        b AS (
+          SELECT query_id, doc_id, CAST(rn AS INT) AS rank_b FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY blend DESC, doc_id) AS rn
+            FROM blended
+          ) WHERE rn <= 5
+        ),
+        ca AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_a FROM a GROUP BY 1),
+        cb AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_b FROM b GROUP BY 1),
+        per AS (
+          SELECT a.query_id, CAST(COUNT(*) AS BIGINT) AS n_common,
+                 SUM(CAST(round(
+                   CASE greatest(a.rank_a, b.rank_b) {_HARM} END, 9)
+                   AS DECIMAL(38,12))) AS wsum
+          FROM a JOIN b USING (query_id, doc_id)
+          GROUP BY a.query_id
+        ),
+        base AS (
+          SELECT COALESCE(ca.query_id, cb.query_id) AS query_id,
+                 COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+          FROM ca FULL JOIN cb ON ca.query_id = cb.query_id
+        )
+        SELECT base.query_id, n_a, n_b,
+               COALESCE(n_common, 0) AS n_common,
+               round(COALESCE(n_common, 0)::DOUBLE
+                     / (n_a + n_b - COALESCE(n_common, 0))::DOUBLE, 6) + 0.0
+                 AS jaccard_k,
+               round(COALESCE(wsum, 0)::DOUBLE / 5.0, 6) + 0.0 AS avg_overlap
+        FROM base LEFT JOIN per ON per.query_id = base.query_id
+        ORDER BY base.query_id
     """
 
     q["rrf1_rank_fusion"] = f"""
@@ -6049,6 +6117,61 @@ def oracle_sql() -> dict[str, str]:
                round((tot - cum_c)::DOUBLE / (n_days - cum_n)::DOUBLE
                      - cum_c::DOUBLE / cum_n::DOUBLE, 6) + 0.0 AS shift
         FROM best
+    """
+
+    # stl1: classical decomposition strengths — exact-long 7-day window
+    # sums via exploded EQUI offsets, one double division per moment,
+    # 12-dp decimal variance terms, constant-series guard on both
+    # denominators
+    q["stl1_seasonal_strength"] = f"""
+        WITH {_DAILY_SPINE},
+        member AS (
+          SELECT c AS c_nbr, day - CAST(r.o AS INT) AS day
+          FROM filled, UNNEST(range(-3, 4)) AS r(o)
+        ),
+        trend AS (
+          SELECT f.day, f.c, f.n_days,
+                 CAST(SUM(m.c_nbr) AS BIGINT)::DOUBLE / 7.0 AS trend
+          FROM filled f JOIN member m USING (day)
+          GROUP BY f.day, f.c, f.n_days
+          HAVING COUNT(*) = 7
+        ),
+        z AS (
+          SELECT day, c, n_days, CAST(isodow(day) AS INT) AS isodow,
+                 c::DOUBLE - trend AS z
+          FROM trend
+        ),
+        sea AS (
+          SELECT isodow,
+                 SUM(CAST(round(z, 9) AS DECIMAL(38,12)))::DOUBLE
+                   / COUNT(*)::DOUBLE AS s
+          FROM z GROUP BY isodow
+        ),
+        terms AS (
+          SELECT n_days, z, z - s AS r, c::DOUBLE - s AS ds
+          FROM z JOIN sea USING (isodow)
+        ),
+        v AS (
+          SELECT n_days, CAST(COUNT(*) AS BIGINT) AS n_interior,
+                 SUM(CAST(round(z * z, 12) AS DECIMAL(38,12)))::DOUBLE / COUNT(*)::DOUBLE
+                   - (SUM(CAST(round(z, 12) AS DECIMAL(38,12)))::DOUBLE / COUNT(*)::DOUBLE)
+                     * (SUM(CAST(round(z, 12) AS DECIMAL(38,12)))::DOUBLE / COUNT(*)::DOUBLE) AS var_z,
+                 SUM(CAST(round(r * r, 12) AS DECIMAL(38,12)))::DOUBLE / COUNT(*)::DOUBLE
+                   - (SUM(CAST(round(r, 12) AS DECIMAL(38,12)))::DOUBLE / COUNT(*)::DOUBLE)
+                     * (SUM(CAST(round(r, 12) AS DECIMAL(38,12)))::DOUBLE / COUNT(*)::DOUBLE) AS var_r,
+                 SUM(CAST(round(ds * ds, 12) AS DECIMAL(38,12)))::DOUBLE / COUNT(*)::DOUBLE
+                   - (SUM(CAST(round(ds, 12) AS DECIMAL(38,12)))::DOUBLE / COUNT(*)::DOUBLE)
+                     * (SUM(CAST(round(ds, 12) AS DECIMAL(38,12)))::DOUBLE / COUNT(*)::DOUBLE) AS var_ds
+          FROM terms GROUP BY n_days
+        )
+        SELECT n_days, n_interior,
+               round(CASE WHEN var_z > 0
+                          THEN greatest(0.0, 1.0 - var_r / var_z)
+                          ELSE 0.0 END, 6) + 0.0 AS seasonal_strength,
+               round(CASE WHEN var_ds > 0
+                          THEN greatest(0.0, 1.0 - var_r / var_ds)
+                          ELSE 0.0 END, 6) + 0.0 AS trend_strength
+        FROM v WHERE n_interior >= 2
     """
 
     # roll1/roll2: the daily-rollup artifact probes — the oracle is the

@@ -118,6 +118,17 @@ EXTRA = [
     "iqr1_source_length_outliers",
     "conc1_source_concentration",
     "acf1_daily_autocorrelation",
+    # round-10 second batch
+    "dow1_weekly_profile",
+    "tsen1_daily_trend",
+    "cpd1_mean_shift",
+    "ben1_benford_audit",
+    "ndcg1_retrieval_quality",
+    "mhcal1_minhash_calibration",
+    "roll1_indexed_acf",
+    "roll2_indexed_dow",
+    "stl1_seasonal_strength",
+    "rbo1_rank_agreement",
 ]
 
 # the five heaviest fit-per-call EXTRA entries also get a WARM

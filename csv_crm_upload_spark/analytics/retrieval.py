@@ -729,3 +729,97 @@ def ndcg1_retrieval_quality(
         )
         .orderBy("query_id")
     )
+
+
+def rbo1_rank_agreement(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    queries: dict[int, list[str]] | None = None,
+    k: int = 5,
+) -> DataFrame:
+    """Rank-agreement audit between the LEXICAL (BM25) and HYBRID
+    (blended) top-k rankings — the readout that says what the semantic
+    re-rank actually changes before anyone swaps rankers in production:
+    per query, Jaccard@k of the two result sets and Fagin's average
+    overlap AO@k = (1/k)·Σ_{d=1..k} |A_d ∩ B_d|/d (the prefix-weighted
+    agreement the rank-biased-overlap family truncates to at finite
+    depth). AO = 1 means the hybrid stage is a no-op (identical full-k
+    prefixes — the fixed-depth-k denominator deliberately penalizes
+    short result lists, so two identical 3-item rankings score 0.87 at
+    k=5); AO ≈ 0 means the blend replaces the lexical order wholesale.
+
+    Per matched doc the depth sum telescopes to the harmonic tail
+    Σ_{d≥max(rank_a, rank_b)} 1/d, so AO needs no depth explosion —
+    one join on (query, doc) and a ≤k-case weight.
+
+    Cross-engine exactness: ranks are ints from the same 4-dp-rounded
+    orderings both engines already hash-match (bm25_1_search / rag1);
+    the harmonic weights are IDENTICALLY-WRITTEN left-associated sums
+    of 1.0/d (same IEEE result), rounded to 9 dp into DECIMAL sums;
+    Jaccard and AO are one double division each. Queries retrieved by
+    neither system emit no row; a query with an empty hybrid side
+    (e.g. no query vector) scores 0 agreement.
+
+    Scale shape: both rankings are bounded |queries|·k rows
+    (checkpointed); every join and rollup below runs at that grain —
+    the corpus cost is the two rankers' own audited plans."""
+    queries = DEFAULT_QUERIES if queries is None else queries
+    a = (
+        bm25_search(documents, queries, k=k)
+        .select("query_id", "doc_id", F.col("rank").alias("rank_a"))
+        .localCheckpoint(eager=True)
+    )
+    b = (
+        hybrid_search(documents, embeddings, queries, k=k)
+        .select("query_id", "doc_id", F.col("rank").alias("rank_b"))
+        .localCheckpoint(eager=True)
+    )
+    ca = a.groupBy("query_id").agg(F.count(F.lit(1)).cast("long").alias("n_a"))
+    cb = b.groupBy("query_id").agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+    mx = F.greatest(F.col("rank_a"), F.col("rank_b"))
+    # harmonic tail Σ_{d=m..k} 1/d, written as the same left-associated
+    # 1.0/d chain the oracle spells out
+    w = None
+    for m in range(1, k + 1):
+        tail = F.lit(1.0) / F.lit(float(m))
+        for d in range(m + 1, k + 1):
+            tail = tail + F.lit(1.0) / F.lit(float(d))
+        w = F.when(mx == m, tail) if w is None else w.when(mx == m, tail)
+    per = (
+        a.join(b, ["query_id", "doc_id"])
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum(F.round(w, 9).cast("decimal(38,12)")).alias("wsum"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    out = (
+        ca.join(cb, "query_id", "full")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_a"), zero).alias("n_a"),
+            F.coalesce(F.col("n_b"), zero).alias("n_b"),
+        )
+        .join(per, "query_id", "left")
+        .select(
+            "query_id",
+            "n_a",
+            "n_b",
+            F.coalesce(F.col("n_common"), zero).alias("n_common"),
+            F.coalesce(F.col("wsum"), F.lit(0).cast("decimal(38,12)")).alias("wsum"),
+        )
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    ).cast("double")
+    return out.select(
+        "query_id",
+        "n_a",
+        "n_b",
+        "n_common",
+        (F.round(jac, 6) + F.lit(0.0)).alias("jaccard_k"),
+        (
+            F.round(F.col("wsum").cast("double") / F.lit(float(k)), 6) + F.lit(0.0)
+        ).alias("avg_overlap"),
+    ).orderBy("query_id")

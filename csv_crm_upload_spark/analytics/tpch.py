@@ -1491,6 +1491,115 @@ def cpd1_mean_shift(events: DataFrame) -> DataFrame:
     )
 
 
+def stl1_seasonal_strength(events: DataFrame) -> DataFrame:
+    """Classical additive decomposition of the zero-filled daily event
+    volume with Hyndman's strength-of-component readouts (FPP3 §4.5):
+    trend = centered 7-day moving average (interior days only — the
+    first/last 3 days have no full window), detrended z = c − trend,
+    seasonal s(dow) = per-weekday mean of z, remainder r = z − s(dow);
+    seasonal_strength = max(0, 1 − Var(r)/Var(z)) and trend_strength =
+    max(0, 1 − Var(r)/Var(c − s)) — the two numbers that say whether
+    acf1's lag-7 spike and tsen1's slope are worth modeling.
+
+    Cross-engine exactness: the 7-day window sum is an exact long
+    (EQUI-joined lag pairing over the spine — acf1's exploded-offset
+    discipline, never a window range join); trend is ONE double
+    division by 7; z and every downstream term are identical IEEE
+    compositions; per-day variance terms round to 12 dp into
+    DECIMAL(38,12) sums; population variance Σx²/n − (Σx/n)² uses one
+    double division per moment. Degenerate guards: fewer than 7 spine
+    days → no interior days → empty; a constant series (Var(z) = 0
+    or Var(c−s) = 0) → empty, never a 0/0 row.
+
+    Scale shape: everything after the shared daily agg runs on the
+    calendar-bounded spine; the MA pairing is a broadcast equi-join
+    (7 offsets × |days| rows); the two variance readouts are bounded
+    aggs; s(dow) is a ≤7-row broadcast back onto the spine."""
+    daily, spine = _daily_spine(events)
+    filled = (
+        spine.join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c"),
+            "n_days",
+        )
+        # bounded |days| rows; consumed by both sides of the MA join,
+        # the dow means, and the variance readouts
+        .localCheckpoint(eager=True)
+    )
+    # centered 7-day MA via exploded EQUI offsets: day_t gathers
+    # day_t+o for o in [-3, 3]
+    member = filled.select(
+        F.col("c").alias("c_nbr"),
+        F.explode(F.array(*[F.lit(o) for o in range(-3, 4)])).alias("o"),
+        F.col("day").alias("day_nbr"),
+    ).select("c_nbr", F.date_sub(F.col("day_nbr"), F.col("o")).alias("day"))
+    trend = (
+        filled.join(F.broadcast(member), "day")
+        .groupBy("day", "c", "n_days")
+        .agg(
+            F.count(F.lit(1)).alias("n_win"),
+            F.sum("c_nbr").cast("long").alias("win_sum"),
+        )
+        .filter(F.col("n_win") == 7)  # interior days only
+        .select(
+            "day",
+            "c",
+            "n_days",
+            (F.col("win_sum").cast("double") / F.lit(7.0)).alias("trend"),
+        )
+    )
+    z = trend.select(
+        "day",
+        "c",
+        "n_days",
+        (F.weekday(F.col("day")) + F.lit(1)).cast("int").alias("isodow"),
+        (F.col("c").cast("double") - F.col("trend")).alias("z"),
+    ).localCheckpoint(eager=True)  # bounded interior rows, 3 consumers
+    sea = z.groupBy("isodow").agg(
+        (
+            F.sum(F.round(F.col("z"), 9).cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("s")
+    )
+    terms = z.join(F.broadcast(sea), "isodow").select(
+        "n_days",
+        F.col("z"),
+        (F.col("z") - F.col("s")).alias("r"),
+        (F.col("c").cast("double") - F.col("s")).alias("ds"),
+    )
+
+    def _var(c):
+        n = F.count(F.lit(1)).cast("double")
+        sq = F.sum(F.round(c * c, 12).cast("decimal(38,12)")).cast("double")
+        sm = F.sum(F.round(c, 12).cast("decimal(38,12)")).cast("double")
+        return sq / n - (sm / n) * (sm / n)
+
+    out = terms.groupBy("n_days").agg(
+        F.count(F.lit(1)).cast("long").alias("n_interior"),
+        _var(F.col("z")).alias("var_z"),
+        _var(F.col("r")).alias("var_r"),
+        _var(F.col("ds")).alias("var_ds"),
+    )
+    # per-component zero guards (NOT a row drop): a PURE weekly cycle
+    # has var_ds = 0 (deseasonalized series is flat → trend strength 0)
+    # and a PURE linear ramp has var_z = 0 (the centered MA absorbs a
+    # linear trend exactly → seasonal strength 0); each denominator
+    # guards its own strength so both degenerate shapes still report
+    def _strength(denom):
+        return F.when(
+            F.col(denom) > 0,
+            F.greatest(F.lit(0.0), F.lit(1.0) - F.col("var_r") / F.col(denom)),
+        ).otherwise(F.lit(0.0))
+
+    return out.filter(F.col("n_interior") >= 2).select(
+        "n_days",
+        "n_interior",
+        (F.round(_strength("var_z"), 6) + F.lit(0.0)).alias("seasonal_strength"),
+        (F.round(_strength("var_ds"), 6) + F.lit(0.0)).alias("trend_strength"),
+    )
+
+
 def ben1_benford_audit(orders: DataFrame) -> DataFrame:
     """Benford's-law audit of the leading digit of order values — the
     classical fabricated-data / synthetic-data smell test (Benford

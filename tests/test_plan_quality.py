@@ -777,6 +777,15 @@ def test_round10_second_batch_shuffle_budgets(spark, sf_dir):
         # rows (the build itself runs at construction, the pq1 sanction)
         "roll1_indexed_acf": 4,
         "roll2_indexed_dow": 3,
+        # stl1: filled spine and interior-z both checkpointed at
+        # construction; the returned plan is the ≤7-row dow-mean agg
+        # and the variance rollup over interior rows
+        "stl1_seasonal_strength": 2,
+        # rbo1: both rankings checkpointed at their bounded |q|·k size
+        # (construction-time, the pctl2 sanction); the agreement lattice
+        # (two counts, pair join, full-outer base, readout order) runs
+        # at that grain
+        "rbo1_rank_agreement": 7,
     }
     for name, budget in budgets.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))

@@ -310,3 +310,50 @@ def test_ndcg1_rr_tracks_first_best_grade_hit(spark):
 def test_ndcg1_empty_inputs(spark):
     assert rtr.ndcg1_retrieval_quality(_docs(spark, []), {0: ["x"]}).count() == 0
     assert rtr.ndcg1_retrieval_quality(_docs(spark, ["a b c"]), {}).count() == 0
+
+
+def test_rbo1_agreement_bounds_and_self_identity(spark):
+    """Agreement semantics: when the hybrid stage cannot change the
+    order (no query vectors -> empty hybrid side), agreement is 0 with
+    n_b = 0; when both rankings are computed over the same corpus the
+    readouts stay in [0, 1] and AO == 1 exactly iff the top-k sets AND
+    prefixes coincide at full depth k; two IDENTICAL 3-item rankings
+    score (1 + 1 + 1 + 3/4 + 3/5)/5 = 0.87 — the fixed-depth-k
+    denominator penalizes short result lists by design."""
+    from pyspark.sql import Row
+
+    docs = _docs(
+        spark,
+        [
+            "spark join window spark",
+            "spark table join",
+            "join window batch",
+            "filter sort value",
+        ],
+    )
+    q = {0: ["spark", "join"]}
+    # no embeddings at all -> hybrid side empty
+    no_vecs = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    )
+    r = rtr.rbo1_rank_agreement(docs, no_vecs, q, k=5).first()
+    assert r["n_a"] > 0 and r["n_b"] == 0
+    assert r["n_common"] == 0 and r["jaccard_k"] == 0.0 and r["avg_overlap"] == 0.0
+
+    # identical aligned embeddings -> cosine re-rank is a tie -> blend
+    # falls back to bm25-normalized order; agreement readouts bounded
+    vecs = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[1.0, 0.0], label=0) for i in range(4)]
+    )
+    out = {row["query_id"]: row for row in rtr.rbo1_rank_agreement(docs, vecs, q, k=5).collect()}
+    row = out[0]
+    assert 0.0 <= row["jaccard_k"] <= 1.0 and 0.0 <= row["avg_overlap"] <= 1.0
+    a = {r2["doc_id"]: r2["rank"] for r2 in rtr.bm25_search(docs, q, k=5).collect()}
+    b = {r2["doc_id"]: r2["rank"] for r2 in rtr.hybrid_search(docs, vecs, q, k=5).collect()}
+    assert row["n_common"] == len(set(a) & set(b))
+    if a == b:
+        assert row["jaccard_k"] == 1.0
+        if len(a) == 5:
+            assert row["avg_overlap"] == 1.0
+        elif len(a) == 3:
+            assert row["avg_overlap"] == 0.87  # (1+1+1+3/4+3/5)/5

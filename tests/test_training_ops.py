@@ -1496,3 +1496,33 @@ def test_mhcal1_calibration_semantics(spark):
     )
     dd.clear_signature_memo()
     assert dd.mhcal1_minhash_calibration(lonely).count() == 0
+
+
+def test_stl1_strengths_on_constructed_shapes(spark):
+    """Decomposition strengths pinned on the canonical shapes: a strict
+    weekly cycle scores seasonal ~1 / trend 0 (deseasonalized series is
+    flat); a pure linear ramp scores trend ~1 / seasonal 0 (the
+    centered 7-day MA absorbs a line exactly); a flat series reports
+    both 0; spans under 8 days have <2 interior days -> empty."""
+    from csv_crm_upload_spark.analytics.tpch import stl1_seasonal_strength
+
+    cyc = stl1_seasonal_strength(
+        _daily_events(spark, {d: (20 if d % 7 >= 5 else 1) for d in range(35)})
+    ).first()
+    assert cyc["seasonal_strength"] > 0.99
+    assert cyc["trend_strength"] == 0.0
+    assert cyc["n_interior"] == 35 - 6
+
+    ramp = stl1_seasonal_strength(
+        _daily_events(spark, {d: 10 + 3 * d for d in range(35)})
+    ).first()
+    assert ramp["trend_strength"] > 0.99
+    assert ramp["seasonal_strength"] == 0.0
+
+    flat = stl1_seasonal_strength(
+        _daily_events(spark, {d: 5 for d in range(20)})
+    ).first()
+    assert flat["seasonal_strength"] == 0.0 and flat["trend_strength"] == 0.0
+
+    assert stl1_seasonal_strength(_daily_events(spark, {d: d for d in range(7)})).count() == 0
+    assert stl1_seasonal_strength(_daily_events(spark, {})).count() == 0
