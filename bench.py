@@ -442,6 +442,31 @@ def main() -> None:
     finally:
         shutil.rmtree(bpe_dir, ignore_errors=True)
 
+    # persisted daily rollup: ONE (day, event_type) combining agg is the
+    # build; probes run entirely at the stored day grain (≡ inline
+    # acf1/dow1, pinned by tests/test_rollup_index.py).
+    from csv_crm_upload_spark.analytics import rollup as rlpmod
+
+    roll_dir = tempfile.mkdtemp(prefix="bench_rollup_")
+    stage = "rollup_build"
+    try:
+        events = load_table(spark, sf_dir, "events")
+        t0 = time.perf_counter()
+        rlpmod.save_daily_rollup(events, roll_dir)
+        extra["rollup_build"] = round(time.perf_counter() - t0, 3)
+        stage = "rollup_indexed_acf"
+        t0 = time.perf_counter()
+        rlpmod.acf1_indexed(spark, roll_dir).agg({"*": "count"}).collect()
+        extra["rollup_indexed_acf"] = round(time.perf_counter() - t0, 3)
+        stage = "rollup_indexed_dow"
+        t0 = time.perf_counter()
+        rlpmod.dow1_indexed(spark, roll_dir).agg({"*": "count"}).collect()
+        extra["rollup_indexed_dow"] = round(time.perf_counter() - t0, 3)
+    except Exception as e:
+        errors[stage] = f"{type(e).__name__}: {e}"[:200]
+    finally:
+        shutil.rmtree(roll_dir, ignore_errors=True)
+
     # persisted PCA model: the sufficient-statistic build (one combining
     # shuffle + d²-bounded write) vs the map-only projection against the
     # stored sums (≡ inline fit+project, pinned by tests/test_pca.py).
