@@ -262,6 +262,7 @@ _ROTATION_FRONT = [
     "roll2_indexed_dow",
     "stl1_seasonal_strength",
     "rbo1_rank_agreement",
+    "hurst1_long_memory",
     "auc1_classifier_auc",
     "cart1_dataset_cartography",
     "cal1_calibration_bins",
@@ -280,7 +281,8 @@ _ROTATION_FRONT = [
     "bq1_binary_hamming_knn",
     "lshrec1_recall_audit",
     "bqrec1_binary_recall_audit",
-    "sil1_cluster_margins",
+    # sil1 (r8 driver row, the next-freshest cohort key) displaced by
+    # hurst1's first contact — window stays exactly 50
     "pmi1_collocations",
     "kn1_kneser_ney_logloss",
     # prune1 / vq1 (the freshest-greened tail of the r9-verdict cohort,
@@ -716,6 +718,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "cpd1_mean_shift": lambda s, sf: tpch.cpd1_mean_shift(_t("events")(s, sf)),
         "stl1_seasonal_strength": lambda s, sf: tpch.stl1_seasonal_strength(
+            _t("events")(s, sf)
+        ),
+        "hurst1_long_memory": lambda s, sf: tpch.hurst1_long_memory(
             _t("events")(s, sf)
         ),
         # round-10 second batch: the persisted daily-rollup artifact's
@@ -6172,6 +6177,68 @@ def oracle_sql() -> dict[str, str]:
                           THEN greatest(0.0, 1.0 - var_r / var_ds)
                           ELSE 0.0 END, 6) + 0.0 AS trend_strength
         FROM v WHERE n_interior >= 2
+    """
+
+    # hurst1: R/S long-memory exponent — exact long counts, ordered
+    # left-to-right cumulative folds inside (w, win) partitions, 12-dp
+    # decimal σ² terms, 9-dp log2 points, one OLS-slope expression
+    q["hurst1_long_memory"] = f"""
+        WITH {_DAILY_SPINE},
+        base AS (
+          SELECT c, n_days, CAST(date_diff('day', d0, day) AS BIGINT) AS t, day
+          FROM filled, st
+        ),
+        member AS (
+          SELECT c, n_days, t, day, CAST(r.w AS BIGINT) AS w
+          FROM base, (VALUES (4), (8), (16), (32), (64)) AS r(w)
+          WHERE (CAST(floor(t::DOUBLE / r.w) AS BIGINT) + 1) * r.w <= n_days
+            AND n_days >= r.w * 2
+        ),
+        win AS (
+          SELECT c, w, day, CAST(floor(t::DOUBLE / w) AS BIGINT) AS win FROM member
+        ),
+        stats AS (
+          SELECT w, win, CAST(SUM(c) AS BIGINT)::DOUBLE / w AS mu
+          FROM win GROUP BY w, win
+        ),
+        dev AS (
+          SELECT v.w, v.win, v.day, v.c::DOUBLE - s.mu AS d
+          FROM win v JOIN stats s ON s.w = v.w AND s.win = v.win
+        ),
+        cum AS (
+          SELECT w, win, d,
+                 SUM(d) OVER (PARTITION BY w, win ORDER BY day) AS cd
+          FROM dev
+        ),
+        rs AS (
+          SELECT w, r / s AS rs FROM (
+            SELECT w, win, MAX(cd) - MIN(cd) AS r,
+                   sqrt(SUM(CAST(round(d * d, 12) AS DECIMAL(38,12)))::DOUBLE
+                        / COUNT(*)::DOUBLE) AS s
+            FROM cum GROUP BY w, win
+          ) WHERE s > 0
+        ),
+        per_size AS (
+          SELECT w, SUM(CAST(round(rs, 9) AS DECIMAL(38,12)))::DOUBLE
+                      / COUNT(*)::DOUBLE AS mean_rs
+          FROM rs GROUP BY w
+        ),
+        pts AS (
+          SELECT log2(w::DOUBLE) AS x, round(log2(mean_rs), 9) AS y FROM per_size
+        ),
+        mom AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(round(x, 9) AS DECIMAL(38,12)))::DOUBLE AS sx,
+                 SUM(CAST(round(y, 9) AS DECIMAL(38,12)))::DOUBLE AS sy,
+                 SUM(CAST(round(x * y, 9) AS DECIMAL(38,12)))::DOUBLE AS sxy,
+                 SUM(CAST(round(x * x, 9) AS DECIMAL(38,12)))::DOUBLE AS sxx
+          FROM pts
+        ),
+        nd AS (SELECT DISTINCT n_days FROM filled)
+        SELECT n_days, n AS n_sizes,
+               round((n::DOUBLE * sxy - sx * sy)
+                     / (n::DOUBLE * sxx - sx * sx), 6) + 0.0 AS hurst
+        FROM mom, nd WHERE n >= 2
     """
 
     # roll1/roll2: the daily-rollup artifact probes — the oracle is the

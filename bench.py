@@ -129,6 +129,7 @@ EXTRA = [
     "roll2_indexed_dow",
     "stl1_seasonal_strength",
     "rbo1_rank_agreement",
+    "hurst1_long_memory",
 ]
 
 # the five heaviest fit-per-call EXTRA entries also get a WARM

@@ -1600,6 +1600,129 @@ def stl1_seasonal_strength(events: DataFrame) -> DataFrame:
     )
 
 
+def hurst1_long_memory(events: DataFrame) -> DataFrame:
+    """Rescaled-range (R/S) Hurst exponent of the zero-filled daily
+    event volume (Hurst 1951; Mandelbrot & Wallis 1969) — the
+    long-memory readout that separates trending traffic (H > 0.5) from
+    mean-reverting load (H < 0.5) and white noise (H ≈ 0.5); the
+    companion acf1 can't give, since slow ACF decay only hints at what
+    the R/S slope measures.
+
+    Procedure: for each dyadic window size w ∈ {4, 8, 16, 32, 64} with at
+    least two full windows in the span, split the spine into
+    consecutive full windows, compute per-window R = range of the
+    cumulative mean-deviation and S = population σ, average R/S per
+    size (S = 0 windows carry no signal and are excluded), and fit the
+    OLS slope of log2(mean R/S) against log2(w) — that slope is H.
+
+    Cross-engine exactness: counts are exact longs; μ_w is one double
+    division; the cumulative deviation is an ORDERED left-to-right
+    fold (window running sum over day order — both engines add the
+    same doubles in the same order); σ² terms round to 12 dp into
+    DECIMAL sums; per-size means are 9-dp decimal sums with one
+    division; log2 outputs round to 9 dp before the (≤4-point) OLS
+    moment sums; the slope is one double expression. Guards: fewer
+    than two qualifying sizes (span < 16 days or a constant series
+    killing every window) → empty frame.
+
+    Scale shape: everything runs on the calendar-bounded spine; window
+    partitions are (size, window_id) — w-bounded and parallel; the OLS
+    is a ≤4-row reduction."""
+    daily, spine = _daily_spine(events)
+    filled = (
+        spine.join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c"),
+            "n_days",
+        )
+        .localCheckpoint(eager=True)
+    )
+    # day offset t without a global window: datediff against the spine
+    # minimum, which is a 1-row broadcast
+    d0 = filled.agg(F.min("day").alias("d0"))
+    base = filled.crossJoin(F.broadcast(d0)).select(
+        "c",
+        "n_days",
+        F.datediff(F.col("day"), F.col("d0")).cast("long").alias("t"),
+        "day",
+    )
+    w_sizes = [4, 8, 16, 32, 64]
+    member = base.select(
+        "c",
+        "n_days",
+        "t",
+        "day",
+        F.explode(F.array(*[F.lit(w) for w in w_sizes])).alias("w"),
+    ).filter(
+        # full windows only, and only sizes with >= 2 full windows
+        (F.floor(F.col("t") / F.col("w")) + 1) * F.col("w") <= F.col("n_days")
+    ).filter(F.col("n_days") >= F.col("w") * 2)
+    win = member.select(
+        "c", "w", "day", F.floor(F.col("t") / F.col("w")).cast("long").alias("win")
+    )
+    stats = win.groupBy("w", "win").agg(
+        (F.sum("c").cast("double") / F.col("w").cast("double")).alias("mu"),
+    )
+    dev = win.join(stats, ["w", "win"]).select(
+        "w",
+        "win",
+        "day",
+        (F.col("c").cast("double") - F.col("mu")).alias("d"),
+    )
+    wf = Window.partitionBy("w", "win").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = dev.withColumn("cd", F.sum("d").over(wf))
+    rs = (
+        cum.groupBy("w", "win")
+        .agg(
+            (F.max("cd") - F.min("cd")).alias("r"),
+            F.sqrt(
+                F.sum(F.round(F.col("d") * F.col("d"), 12).cast("decimal(38,12)"))
+                .cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("s"),
+        )
+        .filter(F.col("s") > 0)
+        .select("w", (F.col("r") / F.col("s")).alias("rs"))
+    )
+    per_size = rs.groupBy("w").agg(
+        (
+            F.sum(F.round(F.col("rs"), 9).cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_rs")
+    )
+    pts = per_size.select(
+        F.log2(F.col("w").cast("double")).alias("x"),
+        F.round(F.log2(F.col("mean_rs")), 9).alias("y"),
+    )
+    mom = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(F.col("x"), 9).cast("decimal(38,12)")).cast("double").alias("sx"),
+        F.sum(F.round(F.col("y"), 9).cast("decimal(38,12)")).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 9).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 9).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    n_days_df = filled.groupBy("n_days").agg(F.count(F.lit(1)).alias("_rows"))
+    slope = (
+        F.col("n").cast("double") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / (F.col("n").cast("double") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return (
+        mom.filter(F.col("n") >= 2)
+        .crossJoin(F.broadcast(n_days_df.select("n_days")))
+        .select(
+            "n_days",
+            F.col("n").alias("n_sizes"),
+            (F.round(slope, 6) + F.lit(0.0)).alias("hurst"),
+        )
+    )
+
+
 def ben1_benford_audit(orders: DataFrame) -> DataFrame:
     """Benford's-law audit of the leading digit of order values — the
     classical fabricated-data / synthetic-data smell test (Benford

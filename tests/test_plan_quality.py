@@ -786,6 +786,11 @@ def test_round10_second_batch_shuffle_budgets(spark, sf_dir):
         # (two counts, pair join, full-outer base, readout order) runs
         # at that grain
         "rbo1_rank_agreement": 7,
+        # hurst1: spine checkpointed at construction; the (w, win)
+        # window-stat lattice (per-window mean, cumulative fold, R/S,
+        # per-size means, 1-row OLS moments) all runs at the calendar-
+        # bounded grain with w-bounded window partitions
+        "hurst1_long_memory": 7,
     }
     for name, budget in budgets.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))

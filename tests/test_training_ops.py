@@ -1526,3 +1526,34 @@ def test_stl1_strengths_on_constructed_shapes(spark):
 
     assert stl1_seasonal_strength(_daily_events(spark, {d: d for d in range(7)})).count() == 0
     assert stl1_seasonal_strength(_daily_events(spark, {})).count() == 0
+
+
+def test_hurst1_long_memory_shapes(spark):
+    """R/S exponent pinned on constructed series: a strongly trending
+    ramp scores high H (persistent), a strict alternation scores near 0
+    (anti-persistent), and a deterministic hash-noise series sits in
+    the middle band; short spans (<16 days: fewer than two dyadic
+    sizes) and constant series report empty."""
+    from csv_crm_upload_spark.analytics.tpch import hurst1_long_memory
+
+    ramp = hurst1_long_memory(
+        _daily_events(spark, {d: 1 + d for d in range(128)})
+    ).first()
+    assert ramp["n_sizes"] == 5 and ramp["hurst"] > 0.8
+
+    alt = hurst1_long_memory(
+        _daily_events(spark, {d: (10 if d % 2 else 0) for d in range(128)})
+    ).first()
+    assert alt["hurst"] < 0.3
+
+    import random
+
+    rng = random.Random(12345)
+    noise = hurst1_long_memory(
+        _daily_events(spark, {d: rng.randrange(0, 97) for d in range(128)})
+    ).first()
+    assert 0.25 < noise["hurst"] < 0.85
+
+    assert hurst1_long_memory(_daily_events(spark, {d: d for d in range(15)})).count() == 0
+    assert hurst1_long_memory(_daily_events(spark, {d: 5 for d in range(64)})).count() == 0
+    assert hurst1_long_memory(_daily_events(spark, {})).count() == 0
