@@ -429,16 +429,9 @@ def mhcal1_minhash_calibration(documents: DataFrame, n: int = 3) -> DataFrame:
     bounded by the candidate set — NOT the d_ngram all-rare-pairs
     self-join; set sizes are one combining agg. Readout is a ≤10-row
     rollup."""
-    sig = _memo_signatures(documents, n)
-    stacked = _band_buckets(sig)
-    cand = (
-        stacked.alias("x")
-        .join(stacked.alias("y"), ["band", "bucket"])
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    est = _verify_pairs(cand, sig, threshold=0.0)
+    # the UNGATED production candidate stream — one encoding of the
+    # banding/verification protocol (threshold=0.0 keeps every pair)
+    est = d_minhash_lsh_pairs(documents, n, threshold=0.0)
     sh = _spread(_with_content(documents)).select(
         "doc_id", F.explode(_shingles(n)).alias("shingle")
     )

@@ -19,7 +19,7 @@ others). A quiet tick costs one directory listing.
 Crash contract — EXACTLY-ONCE per shard batch: before any fold, the
 exact shard list is written to the cursor as a WRITE-AHEAD INTENT
 together with the batch's txn sequence number; every index update then
-commits ("tick-docs"/"tick-emb", seq) inside its own atomic manifest
+commits ("tick-docs"/"tick-emb"/"tick-events", seq) inside its own atomic manifest
 (manifest.txn_already_applied); the final cursor commit marks the
 batch seen and clears the intent. A crash at ANY point replays
 precisely the intent-logged batch with the same seq on restart —
@@ -152,7 +152,7 @@ class CorpusIndexService:
             self._txn_seq = cur.get("txn_seq", 0)
             self._inflight = cur.get("inflight", {}) or {}
         # LOST/FOREIGN-CURSOR GUARD: the exactly-once protocol keys every
-        # fold txn as ("tick-docs"/"tick-emb", seq) with seq living ONLY
+        # fold txn as ("tick-docs"/"tick-emb"/"tick-events", seq) with seq living ONLY
         # in the cursor file, while each artifact's manifest guard is
         # monotonic (last_txn[app] >= seq no-ops). If the cursor is lost
         # or a second service brings its own cursor to the same artifact
@@ -187,7 +187,7 @@ class CorpusIndexService:
             self._txn_seq = recorded
 
     def _max_artifact_tick_seq(self) -> int:
-        """Highest ("tick-docs"/"tick-emb") txn seq any registered
+        """Highest ("tick-docs"/"tick-emb"/"tick-events") txn seq any registered
         artifact has committed — the cross-check that detects a cursor
         file running BEHIND the artifacts it coordinates (see __init__).
         Artifacts without a readable manifest are skipped: save_* may
