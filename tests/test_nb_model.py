@@ -110,7 +110,7 @@ def test_nb_model_folds_on_service_tick(spark, sf_dir, tmp_path):
     drop = str(tmp_path / "docs_drop")
     os.makedirs(drop)
     svc = CorpusIndexService(spark, docs_dir=drop, nb_model=model)
-    assert svc.tick() == {"docs": [], "embeddings": []}  # quiet tick
+    assert svc.tick() == {"docs": [], "embeddings": [], "events": []}  # quiet tick
 
     shard.write.parquet(f"{drop}/shard_a")
     folded = svc.tick()

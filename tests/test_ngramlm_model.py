@@ -166,7 +166,7 @@ def test_service_tick_folds_ngramlm_model(spark, sf_dir, tmp_path):
         ppl1_unigram_logloss(docs)
     )
     # quiet tick: no re-fold
-    assert svc.tick() == {"docs": [], "embeddings": []}
+    assert svc.tick() == {"docs": [], "embeddings": [], "events": []}
     assert read_manifest(path)["epoch"] == 1
 
 

@@ -134,7 +134,7 @@ def test_service_tick_folds_substr_index(spark, sf_dir, tmp_path):
         xsd1_exact_substring_dedup(docs)
     )
     # quiet tick: no re-fold
-    assert svc.tick() == {"docs": [], "embeddings": []}
+    assert svc.tick() == {"docs": [], "embeddings": [], "events": []}
     assert read_manifest(path)["epoch"] == 1
 
 
