@@ -263,6 +263,7 @@ _ROTATION_FRONT = [
     "stl1_seasonal_strength",
     "rbo1_rank_agreement",
     "hurst1_long_memory",
+    "cal2_brier_decomposition",
     "auc1_classifier_auc",
     "cart1_dataset_cartography",
     "cal1_calibration_bins",
@@ -280,9 +281,9 @@ _ROTATION_FRONT = [
     "anon2_l_diversity",
     "bq1_binary_hamming_knn",
     "lshrec1_recall_audit",
-    "bqrec1_binary_recall_audit",
-    # sil1 (r8 driver row, the next-freshest cohort key) displaced by
-    # hurst1's first contact — window stays exactly 50
+    # bqrec1 / sil1 (r8 driver rows, the freshest remaining cohort keys)
+    # displaced by cal2's / hurst1's first contact — window stays
+    # exactly 50
     "pmi1_collocations",
     "kn1_kneser_ney_logloss",
     # prune1 / vq1 (the freshest-greened tail of the r9-verdict cohort,
@@ -516,6 +517,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # reliability diagram + ECE summands of the lr1 gate
         "cal1_calibration_bins": lambda s, sf: logreg.cal1_calibration_bins(
+            _t("documents")(s, sf)
+        ),
+        # round-10 second batch: Murphy decomposition of the lr1 Brier
+        # score (scalar summary of cal1's reliability diagram)
+        "cal2_brier_decomposition": lambda s, sf: logreg.cal2_brier_decomposition(
             _t("documents")(s, sf)
         ),
         # 1-bit sign quantization + Hamming top-k (binary ANN baseline)
@@ -5671,6 +5677,59 @@ def oracle_sql() -> dict[str, str]:
     # cal1: the SAME trained it2 weights, binned on the already-rounded
     # 9-dp score (integer bin arithmetic — both engines bin identically);
     # bin means DECIMAL-summed, gap computed on the rounded outputs
+    # cal2: Murphy decomposition of the lr1 Brier score — cal1's 9-dp
+    # scores and decile bins, raw Brier terms in 12-dp decimal sums,
+    # per-bin n·(·)² decomposition terms in 9-dp decimal sums over ≤10
+    # bins, one double division per readout
+    q["cal2_brier_decomposition"] = _lr_chain + """
+        , cscored AS (
+          SELECT f.doc_id, f.y,
+                 round(1.0 / (1.0 + exp(-(w.w0 * x0 + w.w1 * x1
+                                          + w.w2 * x2 + w.w3 * x3))), 9) AS p
+          FROM f CROSS JOIN it2 w
+        ),
+        binned AS (
+          SELECT *, CAST(least(floor(p * 10), 9) AS INT) AS bin FROM cscored
+        ),
+        per_bin AS (
+          SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+                 CAST(SUM(CAST(round(p * 1000000000, 0) AS BIGINT)) AS BIGINT)
+                   AS psum_nano,
+                 SUM(CAST(round((p - y) * (p - y), 12) AS DECIMAL(38,12))) AS bsum
+          FROM binned GROUP BY bin
+        ),
+        tot AS (
+          SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(pos) AS BIGINT) AS tpos,
+                 SUM(bsum) AS tb
+          FROM per_bin
+        ),
+        terms AS (
+          SELECT n, nn, tb,
+                 psum_nano::DOUBLE / n / 1000000000.0 AS mean_p,
+                 pos::DOUBLE / n AS o,
+                 tpos::DOUBLE / nn AS ybar
+          FROM per_bin, tot
+        ),
+        agg AS (
+          SELECT nn, tb,
+                 SUM(CAST(round(n * (mean_p - o) * (mean_p - o), 9)
+                          AS DECIMAL(38,12))) AS rel,
+                 SUM(CAST(round(n * (o - ybar) * (o - ybar), 9)
+                          AS DECIMAL(38,12))) AS res,
+                 SUM(CAST(round(n * abs(mean_p - o), 9) AS DECIMAL(38,12))) AS ece_n,
+                 MAX(ybar) AS ybar
+          FROM terms GROUP BY nn, tb
+        )
+        SELECT nn AS n,
+               round(tb::DOUBLE / nn, 6) + 0.0 AS brier,
+               round(ece_n::DOUBLE / nn, 6) + 0.0 AS ece,
+               round(rel::DOUBLE / nn, 6) + 0.0 AS reliability,
+               round(res::DOUBLE / nn, 6) + 0.0 AS resolution,
+               round(ybar * (1.0 - ybar), 6) + 0.0 AS uncertainty
+        FROM agg WHERE nn > 0
+    """
+
     q["cal1_calibration_bins"] = _lr_chain + """
         , cscored AS (
           SELECT f.doc_id, f.y,

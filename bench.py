@@ -130,6 +130,7 @@ EXTRA = [
     "stl1_seasonal_strength",
     "rbo1_rank_agreement",
     "hurst1_long_memory",
+    "cal2_brier_decomposition",
 ]
 
 # the five heaviest fit-per-call EXTRA entries also get a WARM

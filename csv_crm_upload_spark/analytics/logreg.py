@@ -83,6 +83,12 @@ def train_weight_history(
     history: list[list[float]] = []
     try:
         n = feats.count()  # bounded driver scalar (fixed by the corpus)
+        if n == 0:
+            # nothing to fit: callers fall back to the zero-weight
+            # score (constant p = 0.5) over an empty frame — every
+            # readout downstream is empty rather than a None-weight
+            # crash at construction
+            return history
         w = [0.0, 0.0, 0.0, 0.0]
         for _ in range(iters):
             z = (
@@ -339,3 +345,100 @@ def cal1_calibration_bins(documents: DataFrame, iters: int = 2) -> DataFrame:
     )
     feats.unpersist()
     return out
+
+
+def cal2_brier_decomposition(documents: DataFrame, iters: int = 2) -> DataFrame:
+    """Murphy decomposition of the lr1 gate's Brier score (Murphy 1973):
+    BS_binned = reliability − resolution + uncertainty over cal1's
+    probability deciles, reported next to the RAW Brier score and the
+    bin-weighted ECE — the one-row readout that says whether a bad
+    Brier comes from MIScalibration (reliability up) or from the
+    classifier simply not separating (resolution down vs uncertainty).
+    cal1 shows the reliability diagram; this is its scalar summary.
+
+    Cross-engine exactness: p is the same 9-dp score cal1 bins, so
+    bin ids and the nano-unit mean_p sums are exact integers; raw
+    Brier terms (p−y)² round to 12 dp into DECIMAL sums; per-bin
+    decomposition terms n·(·)² round to 9 dp into DECIMAL sums over
+    ≤10 bins; every readout is one double division of those exact
+    pieces (the cal1 no-post-division-rounding discipline). An empty
+    scored corpus emits no row.
+
+    Scale shape: map-only scoring (weights are plan literals) + ONE
+    ≤10-group agg; the decomposition runs on the checkpointed ≤10-row
+    bin table with a 1-row totals broadcast."""
+    feats = _feature_frame(documents).persist()
+    hist = train_weight_history(documents, iters, feats=feats)
+    w = hist[-1] if hist else [0.0, 0.0, 0.0, 0.0]
+    z = (
+        F.lit(w[0]) * F.col("x0")
+        + F.lit(w[1]) * F.col("x1")
+        + F.lit(w[2]) * F.col("x2")
+        + F.lit(w[3]) * F.col("x3")
+    )
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9)
+    binned = feats.select(
+        F.least(F.floor(p * 10).cast("int"), F.lit(9)).alias("bin"),
+        p.alias("p"),
+        "y",
+    )
+    per_bin = (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0)).cast("long").alias("pos"),
+            F.sum(F.round(F.col("p") * F.lit(1000000000.0), 0).cast("long"))
+            .cast("long")
+            .alias("psum_nano"),
+            F.sum(
+                F.round((F.col("p") - F.col("y")) * (F.col("p") - F.col("y")), 12)
+                .cast("decimal(38,12)")
+            ).alias("bsum"),
+        )
+        .localCheckpoint(eager=True)  # <= 10 rows, read by totals AND terms
+    )
+    feats.unpersist()
+    tot = per_bin.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("pos").cast("long").alias("tpos"),
+        F.sum("bsum").alias("tb"),
+    )
+    mean_p = F.col("psum_nano").cast("double") / F.col("n") / F.lit(1000000000.0)
+    o = F.col("pos").cast("double") / F.col("n")
+    ybar = F.col("tpos").cast("double") / F.col("nn")
+    terms = per_bin.crossJoin(F.broadcast(tot)).select(
+        "n",
+        "nn",
+        "tb",
+        mean_p.alias("mean_p"),
+        o.alias("o"),
+        ybar.alias("ybar"),
+    )
+
+    def _dsum(c):
+        return F.sum(F.round(c, 9).cast("decimal(38,12)"))
+
+    agg = terms.groupBy("nn", "tb").agg(
+        _dsum(
+            F.col("n") * (F.col("mean_p") - F.col("o")) * (F.col("mean_p") - F.col("o"))
+        ).alias("rel"),
+        _dsum(
+            F.col("n") * (F.col("o") - F.col("ybar")) * (F.col("o") - F.col("ybar"))
+        ).alias("res"),
+        _dsum(F.col("n") * F.abs(F.col("mean_p") - F.col("o"))).alias("ece_n"),
+        F.max("ybar").alias("ybar"),
+    )
+    return agg.filter(F.col("nn") > 0).select(
+        F.col("nn").alias("n"),
+        (F.round(F.col("tb").cast("double") / F.col("nn"), 6) + F.lit(0.0)).alias("brier"),
+        (F.round(F.col("ece_n").cast("double") / F.col("nn"), 6) + F.lit(0.0)).alias("ece"),
+        (F.round(F.col("rel").cast("double") / F.col("nn"), 6) + F.lit(0.0)).alias(
+            "reliability"
+        ),
+        (F.round(F.col("res").cast("double") / F.col("nn"), 6) + F.lit(0.0)).alias(
+            "resolution"
+        ),
+        (
+            F.round(F.col("ybar") * (F.lit(1.0) - F.col("ybar")), 6) + F.lit(0.0)
+        ).alias("uncertainty"),
+    )

@@ -127,3 +127,42 @@ def test_calibration_bins_partition_the_corpus(spark, sf_dir):
         assert lo - 1e-6 <= r["mean_p"] <= hi + 1e-6, r
         assert 0.0 <= r["pos_rate"] <= 1.0
         assert r["abs_gap"] == abs(r["mean_p"] - r["pos_rate"])
+
+
+def test_cal2_brier_decomposition_invariants(spark, sf_dir):
+    """Murphy decomposition sanity over the live corpus: components are
+    non-negative with uncertainty = ybar(1-ybar) <= 0.25, the raw Brier
+    dominates the binned decomposition (BS_raw = rel - res + unc +
+    within-bin variance >= rel - res + unc), Cauchy-Schwarz bounds
+    ECE^2 <= reliability, n counts every scored doc, and an empty
+    corpus emits no row."""
+    from pyspark.sql import functions as F
+
+    from csv_crm_upload_spark.analytics.logreg import cal2_brier_decomposition
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    r = cal2_brier_decomposition(docs).first()
+    live = docs.filter(F.col("text").isNotNull()).count()
+    assert r["n"] == live
+    assert r["reliability"] >= 0.0 and r["resolution"] >= 0.0
+    assert 0.0 <= r["uncertainty"] <= 0.25
+    assert 0.0 <= r["brier"] <= 1.0
+    # residual = within-bin variance - 2*within-bin covariance of (p,y);
+    # for 0.1-wide bins it is bounded well under 0.06 in magnitude
+    assert abs(r["brier"] - (r["reliability"] - r["resolution"] + r["uncertainty"])) < 0.06
+    assert r["ece"] * r["ece"] <= r["reliability"] + 1e-5  # Jensen; 6-dp rounding slack
+
+    # bin-constant corpus (identical text -> identical p -> one bin):
+    # the Murphy identity BS = rel - res + unc holds EXACTLY
+    text = "the of and to spark join"
+    const = _docs(
+        spark,
+        [(i, text, ("en" if i % 2 else "de"), "s", len(text)) for i in range(10)],
+    )
+    c = cal2_brier_decomposition(const).first()
+    assert abs(c["brier"] - (c["reliability"] - c["resolution"] + c["uncertainty"])) < 2e-6
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    assert cal2_brier_decomposition(empty).count() == 0

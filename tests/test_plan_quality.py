@@ -791,6 +791,9 @@ def test_round10_second_batch_shuffle_budgets(spark, sf_dir):
         # per-size means, 1-row OLS moments) all runs at the calendar-
         # bounded grain with w-bounded window partitions
         "hurst1_long_memory": 7,
+        # cal2: map-only scoring + ONE ≤10-group bin agg (checkpointed);
+        # the decomposition is a 1-row totals broadcast + tiny rollup
+        "cal2_brier_decomposition": 2,
     }
     for name, budget in budgets.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))
