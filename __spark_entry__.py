@@ -5694,7 +5694,7 @@ def oracle_sql() -> dict[str, str]:
         per_bin AS (
           SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
                  CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS pos,
-                 CAST(SUM(CAST(round(p * 1000000000, 0) AS BIGINT)) AS BIGINT)
+                 SUM(CAST(round(p * 1000000000, 0) AS DECIMAL(38,0)))
                    AS psum_nano,
                  SUM(CAST(round((p - y) * (p - y), 12) AS DECIMAL(38,12))) AS bsum
           FROM binned GROUP BY bin
@@ -5738,11 +5738,11 @@ def oracle_sql() -> dict[str, str]:
           FROM f CROSS JOIN it2 w
         )
         SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(round(p * 1000000000, 0) AS BIGINT)) AS DOUBLE)
+               CAST(SUM(CAST(round(p * 1000000000, 0) AS DECIMAL(38,0))) AS DOUBLE)
                  / COUNT(*) / 1000000000.0 AS mean_p,
                CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
                  AS pos_rate,
-               abs(CAST(SUM(CAST(round(p * 1000000000, 0) AS BIGINT)) AS DOUBLE)
+               abs(CAST(SUM(CAST(round(p * 1000000000, 0) AS DECIMAL(38,0))) AS DOUBLE)
                      / COUNT(*) / 1000000000.0
                    - CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE)
                      / COUNT(*)) AS abs_gap
@@ -6257,21 +6257,28 @@ def oracle_sql() -> dict[str, str]:
           SELECT c, w, day, CAST(floor(t::DOUBLE / w) AS BIGINT) AS win FROM member
         ),
         stats AS (
-          SELECT w, win, CAST(SUM(c) AS BIGINT)::DOUBLE / w AS mu
+          SELECT w, win, CAST(SUM(c) AS BIGINT) AS sum_w
           FROM win GROUP BY w, win
         ),
         dev AS (
-          SELECT v.w, v.win, v.day, v.c::DOUBLE - s.mu AS d
+          SELECT v.w, v.win, v.day, v.c, s.sum_w,
+                 v.c::DOUBLE - s.sum_w::DOUBLE / v.w::DOUBLE AS d
           FROM win v JOIN stats s ON s.w = v.w AND s.win = v.win
         ),
+        -- exact-integer cumulative deviation numerator (r10 advice): a
+        -- double window fold's association is engine-internal, so the
+        -- running sum folds LONGS: num_k = w*cum_c_k - k*sum_w = w*cd_k
         cum AS (
           SELECT w, win, d,
-                 SUM(d) OVER (PARTITION BY w, win ORDER BY day) AS cd
+                 w * SUM(c) OVER (PARTITION BY w, win ORDER BY day)
+                   - CAST(ROW_NUMBER() OVER (PARTITION BY w, win ORDER BY day)
+                          AS BIGINT) * sum_w AS num
           FROM dev
         ),
         rs AS (
           SELECT w, r / s AS rs FROM (
-            SELECT w, win, MAX(cd) - MIN(cd) AS r,
+            SELECT w, win,
+                   CAST(MAX(num) - MIN(num) AS DOUBLE) / w::DOUBLE AS r,
                    sqrt(SUM(CAST(round(d * d, 12) AS DECIMAL(38,12)))::DOUBLE
                         / COUNT(*)::DOUBLE) AS s
             FROM cum GROUP BY w, win

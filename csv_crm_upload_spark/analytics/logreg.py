@@ -321,15 +321,21 @@ def cal1_calibration_bins(documents: DataFrame, iters: int = 2) -> DataFrame:
     )
     # NO post-division rounding anywhere (the kmeans1/sil1 half-way
     # class): mean_p = exact nano-unit integer sum (p is 9-dp, so p·1e9
-    # rounds to an exact BIGINT both engines) divided twice in IEEE;
+    # rounds to an exact integer both engines) divided twice in IEEE;
     # pos_rate = raw int/int double division; abs_gap = |difference| of
-    # two already-identical doubles — every column matches bit-for-bit
+    # two already-identical doubles — every column matches bit-for-bit.
+    # The nano-units accumulate in DECIMAL(38,0), not BIGINT: a decile
+    # bin holding > ~9.2e9 scored docs would wrap a long sum silently
+    # (Spark non-ANSI) while DuckDB promotes to HUGEINT — the r10-advice
+    # overflow divergence class (decimal sums are exact to 1e38).
     out = (
         binned.groupBy("bin")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
             (
-                F.sum(F.round(F.col("p") * F.lit(1000000000.0), 0).cast("long"))
+                F.sum(
+                    F.round(F.col("p") * F.lit(1000000000.0), 0).cast("decimal(38,0)")
+                )
                 .cast("double")
                 / F.count(F.lit(1))
                 / F.lit(1000000000.0)
@@ -387,9 +393,12 @@ def cal2_brier_decomposition(documents: DataFrame, iters: int = 2) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0)).cast("long").alias("pos"),
-            F.sum(F.round(F.col("p") * F.lit(1000000000.0), 0).cast("long"))
-            .cast("long")
-            .alias("psum_nano"),
+            # DECIMAL(38,0), not BIGINT (cal1's discipline, r10 advice):
+            # a >9.2e9-doc bin would wrap a long sum silently in Spark
+            # while DuckDB promotes to HUGEINT — engines would diverge
+            F.sum(
+                F.round(F.col("p") * F.lit(1000000000.0), 0).cast("decimal(38,0)")
+            ).alias("psum_nano"),
             F.sum(
                 F.round((F.col("p") - F.col("y")) * (F.col("p") - F.col("y")), 12)
                 .cast("decimal(38,12)")

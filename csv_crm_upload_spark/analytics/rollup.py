@@ -49,10 +49,14 @@ ROLLUP_SUBDIRS = ["days"]
 #: rule, or the micro-unit scale changes.
 KEY_FORMAT = "utc-day-type-micros-v1"
 
-#: env-scopable artifact path for the self-contained oracle-paired
-#: queries (the pcarec1 discipline): concurrent harnesses (full suite /
-#: sf0.1 sweep / bench) build separate rollups instead of racing one
-#: manifest.
+#: env-scopable artifact path PREFIX for the self-contained
+#: oracle-paired queries (the pcarec1 discipline): the default is
+#: PID-scoped (r10 advice) so two concurrent unscoped processes (e.g.
+#: parallel pytest + bench) never race save_daily_rollup's rebuild on
+#: one manifest — a probe could read a mid-rebuild epoch layout. The
+#: roll1/roll2 oracles recompute from RAW events, so the path is only
+#: ever read by the process that wrote it; env override kept for
+#: harnesses that want an explicit scope.
 ROLLUP_QUERY_PATH = "/tmp/spark_graft_rollup_q"
 
 
@@ -61,7 +65,9 @@ def rollup_query_path() -> str:
     needs it, so one process's override stays self-consistent."""
     import os
 
-    return os.environ.get("SPARK_GRAFT_ROLLUP_DIR", ROLLUP_QUERY_PATH)
+    return os.environ.get(
+        "SPARK_GRAFT_ROLLUP_DIR", f"{ROLLUP_QUERY_PATH}_{os.getpid()}"
+    )
 
 
 def _day_partials(events: DataFrame, n_buckets: int) -> DataFrame:
@@ -179,10 +185,14 @@ def update_daily_rollup(
     if txn_already_applied(m, txn):
         return  # replayed streaming batch: already folded
     epoch = m["epoch"]
-    remove_orphan_epochs(path, ROLLUP_SUBDIRS, epoch)
     partials = _day_partials(new_events, m["n_buckets"]).localCheckpoint(eager=True)
     if not partials.limit(1).count():
-        return  # nothing with a timestamp — clean no-op before any write
+        # nothing with a timestamp — clean no-op BEFORE any directory
+        # mutation (r10 advice): orphan self-heal must not run on a
+        # no-op append, or the documented no-op contract silently
+        # deletes an in-flight concurrent writer's epoch dir
+        return
+    remove_orphan_epochs(path, ROLLUP_SUBDIRS, epoch)
     partials.write.mode("overwrite").partitionBy("dbucket").parquet(
         f"{path}/days/epoch={epoch + 1}"
     )

@@ -1616,14 +1616,18 @@ def hurst1_long_memory(events: DataFrame) -> DataFrame:
     OLS slope of log2(mean R/S) against log2(w) — that slope is H.
 
     Cross-engine exactness: counts are exact longs; μ_w is one double
-    division; the cumulative deviation is an ORDERED left-to-right
-    fold (window running sum over day order — both engines add the
-    same doubles in the same order); σ² terms round to 12 dp into
-    DECIMAL sums; per-size means are 9-dp decimal sums with one
-    division; log2 outputs round to 9 dp before the (≤4-point) OLS
-    moment sums; the slope is one double expression. Guards: fewer
-    than two qualifying sizes (span < 16 days or a constant series
-    killing every window) → empty frame.
+    division; the cumulative deviation is carried as an EXACT INTEGER
+    numerator — cd_k = Σ_{i≤k} c_i − k·μ_w = (w·cum_c − k·sum_w)/w, so
+    the running-sum window only ever folds LONGS (w·cum_c − k·sum_w)
+    and R = (max − min of that numerator)/w is ONE double division
+    (r10 advice: a double-valued window fold's association is not
+    contractual across engines — DuckDB may segment-tree it — so the
+    fold must be exact); σ² terms round to 12 dp into DECIMAL sums;
+    per-size means are 9-dp decimal sums with one division; log2
+    outputs round to 9 dp before the (≤4-point) OLS moment sums; the
+    slope is one double expression. Guards: fewer than two qualifying
+    sizes (span < 16 days or a constant series killing every window)
+    → empty frame.
 
     Scale shape: everything runs on the calendar-bounded spine; window
     partitions are (size, window_id) — w-bounded and parallel; the OLS
@@ -1661,23 +1665,38 @@ def hurst1_long_memory(events: DataFrame) -> DataFrame:
     win = member.select(
         "c", "w", "day", F.floor(F.col("t") / F.col("w")).cast("long").alias("win")
     )
-    stats = win.groupBy("w", "win").agg(
-        (F.sum("c").cast("double") / F.col("w").cast("double")).alias("mu"),
-    )
+    stats = win.groupBy("w", "win").agg(F.sum("c").cast("long").alias("sum_w"))
+    # d (for σ only) is a per-row double expression — deterministic, no
+    # fold; the cumulative deviation numerator is pure long arithmetic:
+    # num_k = w·cum_c_k − k·sum_w (≡ w·cd_k), so the window sum folds
+    # exact integers and association can't matter
     dev = win.join(stats, ["w", "win"]).select(
         "w",
         "win",
         "day",
-        (F.col("c").cast("double") - F.col("mu")).alias("d"),
+        "c",
+        "sum_w",
+        (
+            F.col("c").cast("double")
+            - F.col("sum_w").cast("double") / F.col("w").cast("double")
+        ).alias("d"),
     )
     wf = Window.partitionBy("w", "win").orderBy("day").rowsBetween(
         Window.unboundedPreceding, 0
     )
-    cum = dev.withColumn("cd", F.sum("d").over(wf))
+    ww = Window.partitionBy("w", "win").orderBy("day")
+    cum = dev.withColumn(
+        "num",
+        F.col("w") * F.sum("c").over(wf)
+        - F.row_number().over(ww).cast("long") * F.col("sum_w"),
+    )
     rs = (
         cum.groupBy("w", "win")
         .agg(
-            (F.max("cd") - F.min("cd")).alias("r"),
+            (
+                (F.max("num") - F.min("num")).cast("double")
+                / F.col("w").cast("double")
+            ).alias("r"),
             F.sqrt(
                 F.sum(F.round(F.col("d") * F.col("d"), 12).cast("decimal(38,12)"))
                 .cast("double")
