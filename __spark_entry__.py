@@ -36,6 +36,7 @@ from csv_crm_upload_spark.analytics import clustering as clus
 from csv_crm_upload_spark.analytics import logreg
 from csv_crm_upload_spark.analytics import pca
 from csv_crm_upload_spark.analytics import rollup as rlp
+from csv_crm_upload_spark.analytics import sketch_audit as ska
 from csv_crm_upload_spark.analytics import nbayes
 from csv_crm_upload_spark.plans import corpus_prep as prep
 from csv_crm_upload_spark.analytics import ivfpq as ivfpqm
@@ -311,8 +312,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rows-only `pca2` sits outside the window with its sketch/learned
     peers);
     the rest of the window re-samples round-5 keys (all green in r5).
-    hll1/mm2/mm3/approx_*/pca2 are oracle-free rows-only whenever
-    sampled (all six swept by test_degenerate_rows_only_queries_execute;
+    mm2/mm3/pca2 are oracle-free rows-only whenever sampled (swept by
+    test_degenerate_rows_only_queries_execute; round 11 retired the
+    hll1/approx_* rows-only entries — the adrec1/pxrec1/hllrec1
+    snapshot audits run the same sketches oracle-paired;
     round 9 moved sim_knn_ivf, pq1 and raw-mode ivfpq1 OUT of this set —
     their fits now ride the distributed kmeans discipline and all three
     are oracle-paired, with ivfrec1/pqrec1 recall audits composed on
@@ -997,11 +1000,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pctl_order_value": lambda s, sf: tpch.pctl_order_value(_t("orders")(s, sf)),
         "w3_order_quartiles": lambda s, sf: tpch.w3_order_quartiles(_t("orders")(s, sf)),
         "str1_name_features": lambda s, sf: tpch.str1_name_features(_t("customer")(s, sf)),
-        # sketch-based approximations: deliberately NO oracle entries —
-        # estimates are engine-specific; error envelopes are pinned in
-        # tests/test_training_ops.py instead
-        "approx_distinct_users": lambda s, sf: tpch.approx_distinct_users(_t("events")(s, sf)),
-        "approx_value_percentiles": lambda s, sf: tpch.approx_value_percentiles(_t("events")(s, sf)),
+        # sketch-based approximations: the rows-only driver entries were
+        # retired in round 11 — adrec1/pxrec1/hllrec1 below run the SAME
+        # sketches, persist their outputs as the audit snapshot, and
+        # oracle-pair the error readout (r10 verdict ask #1), so the
+        # sketch surface is now driver-VERIFIED rather than merely
+        # driver-executed; estimate envelopes stay pinned in
+        # tests/test_training_ops.py, and the operators remain public
+        # API (tpch.approx_distinct_users / approx_value_percentiles /
+        # hll1_mergeable_daily_uniques).
         "asof_purchase_view": lambda s, sf: tpch.asof_purchase_view(_t("events")(s, sf)),
         # REAL media decode (WAV/BMP parsed executor-side; codec-bound
         # rows quarantined) — no SQL oracle: DuckDB can't parse media
@@ -1017,9 +1024,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.sum(F.coalesce(F.octet_length("resized"), F.lit(0))).alias("resized_bytes"),
             ).orderBy("kind")
         )(mm.resize_images(mm.media_table_real(_t("documents")(s, sf)))),
-        "hll1_mergeable_daily_uniques": lambda s, sf: tpch.hll1_mergeable_daily_uniques(
-            _t("events")(s, sf)
-        ),
         # rows-only BY NATURE (driver-side eigh has no SQL oracle);
         # contracts pinned by tests/test_pca.py: full-rank rotation
         # invariance, recall floor on planted low-rank data
@@ -1039,6 +1043,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 _t("embeddings")(s, sf), p
             )
         )(pca.pcarec1_snapshot_path()),
+        # round-11: the sketch family's driver-visible error audits
+        # (r10 verdict ask #1) — the pcarec1 snapshot pattern applied to
+        # approx_count_distinct / percentile_approx / hll_sketch_agg:
+        # Spark persists the estimates once, then BOTH engines join them
+        # against exact ground truth from raw events and hash-compare
+        # the error readout (see analytics/sketch_audit.py). Paths baked
+        # at queries()-BUILD time, the pcarec1 discipline.
+        "adrec1_distinct_error_audit": (
+            lambda p: lambda s, sf: ska.adrec1_distinct_error_audit(
+                _t("events")(s, sf), p
+            )
+        )(ska.adrec1_snapshot_path()),
+        "pxrec1_percentile_rank_audit": (
+            lambda p: lambda s, sf: ska.pxrec1_percentile_rank_audit(
+                _t("events")(s, sf), p
+            )
+        )(ska.pxrec1_snapshot_path()),
+        "hllrec1_merge_error_audit": (
+            lambda p: lambda s, sf: ska.hllrec1_merge_error_audit(
+                _t("events")(s, sf), p
+            )
+        )(ska.hllrec1_snapshot_path()),
     }
     # Round-7 rotation (driver samples the FIRST 50 entries): slots 1-12
     # stay the pinned reference core; _ROTATION_FRONT then re-verifies the
@@ -1949,6 +1975,105 @@ def oracle_sql() -> dict[str, str]:
         FROM exact e
         LEFT JOIN prj p ON p.query_id = e.query_id AND p.vec_id = e.vec_id
         GROUP BY e.query_id ORDER BY e.query_id
+    """
+
+    # --- round-11 sketch-error audits (r10 verdict ask #1): every
+    # estimate below comes from the Spark-written snapshot parquet
+    # (paths baked at build time, the pcarec1 discipline); exact ground
+    # truth is recomputed from raw events in BOTH engines, so the whole
+    # error readout — abs/rel error, rank distance, the within-bound
+    # verdict — is hash-comparable. Bounds are the module constants
+    # (3-sigma HLL envelopes; eps*n + 1 rank for percentile_approx).
+    q["adrec1_distinct_error_audit"] = f"""
+        WITH snap AS (
+          SELECT event_type, approx_users
+          FROM read_parquet('{ska.adrec1_snapshot_path()}/*.parquet')
+        ),
+        exact AS (
+          SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+          FROM events GROUP BY event_type
+        )
+        SELECT e.event_type, e.exact_users, s.approx_users,
+               CAST(abs(s.approx_users - e.exact_users) AS BIGINT) AS abs_err,
+               round(abs(s.approx_users - e.exact_users)::DOUBLE
+                     / greatest(e.exact_users, 1)::DOUBLE, 9) + 0.0 AS rel_err,
+               (round(abs(s.approx_users - e.exact_users)::DOUBLE
+                      / greatest(e.exact_users, 1)::DOUBLE, 9) + 0.0)
+                 <= {ska.ADREC1_BOUND} AS within_bound
+        FROM exact e JOIN snap s USING (event_type)
+        ORDER BY e.event_type
+    """
+
+    q["pxrec1_percentile_rank_audit"] = f"""
+        WITH snap AS (
+          SELECT event_type, p50, p95, p99
+          FROM read_parquet('{ska.pxrec1_snapshot_path()}/*.parquet')
+        ),
+        vals AS (
+          SELECT e.event_type, e.value, s.p50, s.p95, s.p99
+          FROM events e JOIN snap s USING (event_type)
+          WHERE e.value IS NOT NULL
+        ),
+        per_type AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN value < p50 THEN 1 ELSE 0 END) AS BIGINT) AS lo50,
+                 CAST(SUM(CASE WHEN value <= p50 THEN 1 ELSE 0 END) AS BIGINT) AS hi50,
+                 CAST(SUM(CASE WHEN value < p95 THEN 1 ELSE 0 END) AS BIGINT) AS lo95,
+                 CAST(SUM(CASE WHEN value <= p95 THEN 1 ELSE 0 END) AS BIGINT) AS hi95,
+                 CAST(SUM(CASE WHEN value < p99 THEN 1 ELSE 0 END) AS BIGINT) AS lo99,
+                 CAST(SUM(CASE WHEN value <= p99 THEN 1 ELSE 0 END) AS BIGINT) AS hi99
+          FROM vals GROUP BY event_type
+        ),
+        un AS (
+          SELECT event_type, 'p50' AS quantile, CAST(0.50 AS DOUBLE) AS qfrac,
+                 n, lo50 AS lo_rank, hi50 AS hi_rank FROM per_type
+          UNION ALL
+          SELECT event_type, 'p95', CAST(0.95 AS DOUBLE), n, lo95, hi95 FROM per_type
+          UNION ALL
+          SELECT event_type, 'p99', CAST(0.99 AS DOUBLE), n, lo99, hi99 FROM per_type
+        ),
+        dist AS (
+          SELECT event_type, quantile, n, lo_rank, hi_rank,
+                 CASE WHEN qfrac * n < lo_rank::DOUBLE THEN lo_rank - qfrac * n
+                      WHEN qfrac * n > hi_rank::DOUBLE THEN qfrac * n - hi_rank
+                      ELSE 0.0 END AS d
+          FROM un
+        )
+        SELECT event_type, quantile, n, lo_rank, hi_rank,
+               round(d / n::DOUBLE, 9) + 0.0 AS rank_err,
+               d <= {ska.PXREC1_EPS} * n::DOUBLE + 1.0 AS within_bound
+        FROM dist ORDER BY event_type, quantile
+    """
+
+    q["hllrec1_merge_error_audit"] = f"""
+        WITH snap AS (
+          SELECT day, est_unique_users
+          FROM read_parquet('{ska.hllrec1_snapshot_path()}/*.parquet')
+          WHERE est_unique_users IS NOT NULL
+        ),
+        per_day AS (
+          -- explicit format: DuckDB's VARCHAR cast trims ' 00:00:00'
+          -- from midnight timestamps; Spark's string cast keeps it
+          SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS day,
+                 CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+          FROM events GROUP BY 1
+        ),
+        exact AS (
+          SELECT * FROM per_day
+          UNION ALL
+          SELECT 'all_days' AS day,
+                 CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+          FROM events
+        )
+        SELECT e.day, e.exact_users, s.est_unique_users AS approx_users,
+               CAST(abs(s.est_unique_users - e.exact_users) AS BIGINT) AS abs_err,
+               round(abs(s.est_unique_users - e.exact_users)::DOUBLE
+                     / greatest(e.exact_users, 1)::DOUBLE, 9) + 0.0 AS rel_err,
+               (round(abs(s.est_unique_users - e.exact_users)::DOUBLE
+                      / greatest(e.exact_users, 1)::DOUBLE, 9) + 0.0)
+                 <= {ska.HLLREC1_BOUND} AS within_bound
+        FROM exact e JOIN snap s USING (day)
+        ORDER BY e.day
     """
 
     q["mm_media_stats"] = """

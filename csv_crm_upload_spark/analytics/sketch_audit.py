@@ -1,0 +1,272 @@
+"""Driver-visible error audits for the sketch family (r10 verdict ask
+#1) — the pcarec1 snapshot-audit pattern applied to the three
+rows-only sketch readouts:
+
+  adrec1  — approx_count_distinct (HLL++) per-type cardinality error
+  pxrec1  — percentile_approx (GK/KLL-style) rank error of p50/p95/p99
+  hllrec1 — hll_sketch_agg daily sketches + the UNIONED all-days
+            estimate (mergeability error, driver-visible)
+
+The sketches themselves have no SQL oracle BY NATURE: Spark's HLL++ /
+quantile-summary internals differ from DuckDB's, so estimate values
+are engine-specific. But the AUDIT — how far the estimate sits from
+the exact answer, normalized against the sketch's documented error
+bound — is a pure relational function of (a) a Spark-written snapshot
+holding the estimates and (b) the raw events both engines read. So:
+
+  1. Spark runs the sketch and persists ONE snapshot parquet of
+     (key, estimate) — overwritten on every call, always the corpus
+     under test (the pcarec1 discipline: the Spark side runs before
+     the paired oracle in every harness, and correctness depends only
+     on both sides reading the SAME snapshot, never on which corpus
+     was snapshotted);
+  2. BOTH engines compute exact ground truth from the raw events and
+     join it against the snapshot — every audited number (abs error,
+     relative error, rank distance, the within-bound verdict) is then
+     hash-comparable cross-engine.
+
+This converts "trust the sketch" into a driver-verified contract: the
+CORRECTNESS row proves not just that the audit query agrees, but that
+the recorded estimates sit inside their published envelopes on the
+corpus under test (each audit also carries a pytest pinning the
+within_bound column TRUE on the clean fixtures).
+
+Snapshot paths are PID-scoped by default (the rollup_query_path
+discipline): concurrent unscoped harnesses (full suite / sf0.1 sweep /
+bench) audit separate snapshots instead of racing one file between a
+Spark write and a paired DuckDB read. Env overrides keep explicit
+scoping possible; both queries() and oracle_sql() read the path at
+dict-BUILD time, so one process stays self-consistent.
+
+Reference parity note: the reference repo (csv-crm-upload,
+database/database.go) has no sketch surface; this is part of the
+widened 100 TB analytics family (SURVEY §6) where approximate
+cardinalities/percentiles are the only affordable form of the readout.
+
+Scale shape: each audit is one sketch pass (map-side combining, fixed
+memory per group), one exact-agg pass (the expensive shuffle the
+sketch exists to avoid — affordable HERE because the audit runs on a
+sampled/QA slice, and the whole point is to measure the sketch against
+it), and a broadcast join of the ≤|groups|-row snapshot.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: 3-sigma relative-error envelope for approx_count_distinct at the
+#: default rsd=0.02 used by approx_distinct_users.
+ADREC1_BOUND = 0.06
+
+#: percentile_approx(accuracy=10000) guarantees a returned element
+#: whose rank sits within n/accuracy of the target rank; the audit
+#: allows that plus ONE rank of tie/discreteness slack.
+PXREC1_EPS = 1.0 / 10000.0
+
+#: 3-sigma envelope for hll_sketch_agg at its default lgConfigK=12
+#: (rsd = 1.04/sqrt(2^12) ≈ 1.63%) — applies to the per-day sketches
+#: AND the unioned all-days estimate (HLL union is lossless: the
+#: merged register array is exactly the sketch of the union).
+HLLREC1_BOUND = 0.05
+
+_SNAPSHOT_DIR = "/tmp/spark_graft_sketch_snapshots"
+
+
+def sketch_snapshot_dir() -> str:
+    """Base directory for the three audit snapshots — PID-scoped
+    default, env-overridable (SPARK_GRAFT_SKETCH_SNAPSHOT_DIR)."""
+    return os.environ.get(
+        "SPARK_GRAFT_SKETCH_SNAPSHOT_DIR", f"{_SNAPSHOT_DIR}_{os.getpid()}"
+    )
+
+
+def adrec1_snapshot_path() -> str:
+    return f"{sketch_snapshot_dir()}/adrec1.parquet"
+
+
+def pxrec1_snapshot_path() -> str:
+    return f"{sketch_snapshot_dir()}/pxrec1.parquet"
+
+
+def hllrec1_snapshot_path() -> str:
+    return f"{sketch_snapshot_dir()}/hllrec1.parquet"
+
+
+def adrec1_distinct_error_audit(
+    events: DataFrame, snapshot_path: str | None = None
+) -> DataFrame:
+    """Relative error of the HLL++ per-type user cardinalities against
+    exact COUNT(DISTINCT), with the 3-sigma verdict column.
+
+    rel_err divides by greatest(exact, 1): a group whose user_ids are
+    all NULL has exact = 0 (count_distinct ignores NULLs in both
+    engines) and approx = 0 — the guard keeps the readout 0.0 instead
+    of NULL/NaN (the zipf1 divergence class)."""
+    from csv_crm_upload_spark.analytics.tpch import approx_distinct_users
+
+    path = snapshot_path or adrec1_snapshot_path()
+    spark = events.sparkSession
+    approx_distinct_users(events).select("event_type", "approx_users").write.mode(
+        "overwrite"
+    ).parquet(path)
+    # read BACK (never the in-memory lineage): the audit must be a pure
+    # function of the files the DuckDB oracle will read
+    snap = spark.read.schema("event_type string, approx_users long").parquet(path)
+    exact = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_users")
+    )
+    abs_err = F.abs(F.col("approx_users") - F.col("exact_users")).cast("long")
+    rel_err = F.round(
+        abs_err.cast("double") / F.greatest(F.col("exact_users"), F.lit(1)).cast("double"),
+        9,
+    ) + F.lit(0.0)
+    return (
+        exact.join(F.broadcast(snap), "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            "approx_users",
+            abs_err.alias("abs_err"),
+            rel_err.alias("rel_err"),
+            (rel_err <= F.lit(ADREC1_BOUND)).alias("within_bound"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def pxrec1_percentile_rank_audit(
+    events: DataFrame, snapshot_path: str | None = None
+) -> DataFrame:
+    """Rank error of percentile_approx's p50/p95/p99 against the exact
+    order statistics — the KLL/GK audit in the guarantee's own terms:
+    the sketch promises a returned ELEMENT whose rank is within
+    n/accuracy of q·n, so the audit measures the distance from the
+    target rank q·n to the returned value's tie interval
+    [count(v < x), count(v <= x)] (0 when the target falls inside),
+    never a value-space delta (value error is data-scale-dependent and
+    unbounded; rank error is the contract).
+
+    within_bound allows eps·n plus ONE rank of discreteness slack.
+    Groups with zero non-NULL values drop out of the inner join (the
+    sketch returns NULL there and exact has no row — both engines)."""
+    from csv_crm_upload_spark.analytics.tpch import approx_value_percentiles
+
+    path = snapshot_path or pxrec1_snapshot_path()
+    spark = events.sparkSession
+    approx_value_percentiles(events).select("event_type", "p50", "p95", "p99").write.mode(
+        "overwrite"
+    ).parquet(path)
+    snap = spark.read.schema(
+        "event_type string, p50 double, p95 double, p99 double"
+    ).parquet(path)
+    vals = events.filter(F.col("value").isNotNull()).select("event_type", "value")
+    joined = vals.join(F.broadcast(snap), "event_type")
+
+    def lo(p):  # strictly-below count: the tie interval's left edge
+        return F.sum((F.col("value") < F.col(p)).cast("long")).cast("long")
+
+    def hi(p):
+        return F.sum((F.col("value") <= F.col(p)).cast("long")).cast("long")
+
+    per_type = joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        lo("p50").alias("lo50"),
+        hi("p50").alias("hi50"),
+        lo("p95").alias("lo95"),
+        hi("p95").alias("hi95"),
+        lo("p99").alias("lo99"),
+        hi("p99").alias("hi99"),
+    )
+    q_rows = F.array(
+        *[
+            F.struct(
+                F.lit(label).alias("quantile"),
+                F.lit(frac).alias("qfrac"),
+                F.col(l).alias("lo_rank"),
+                F.col(h).alias("hi_rank"),
+            )
+            for label, frac, l, h in [
+                ("p50", 0.50, "lo50", "hi50"),
+                ("p95", 0.95, "lo95", "hi95"),
+                ("p99", 0.99, "lo99", "hi99"),
+            ]
+        ]
+    )
+    un = per_type.select("event_type", "n", F.explode(q_rows).alias("q")).select(
+        "event_type",
+        F.col("q.quantile").alias("quantile"),
+        F.col("q.qfrac").alias("qfrac"),
+        "n",
+        F.col("q.lo_rank").alias("lo_rank"),
+        F.col("q.hi_rank").alias("hi_rank"),
+    )
+    target = F.col("qfrac") * F.col("n").cast("double")
+    dist = F.when(target < F.col("lo_rank").cast("double"), F.col("lo_rank") - target) \
+        .when(target > F.col("hi_rank").cast("double"), target - F.col("hi_rank")) \
+        .otherwise(F.lit(0.0))
+    rank_err = F.round(dist / F.col("n").cast("double"), 9) + F.lit(0.0)
+    return un.select(
+        "event_type",
+        "quantile",
+        "n",
+        "lo_rank",
+        "hi_rank",
+        rank_err.alias("rank_err"),
+        (dist <= F.lit(PXREC1_EPS) * F.col("n").cast("double") + F.lit(1.0)).alias(
+            "within_bound"
+        ),
+    ).orderBy("event_type", "quantile")
+
+
+def hllrec1_merge_error_audit(
+    events: DataFrame, snapshot_path: str | None = None
+) -> DataFrame:
+    """Relative error of the persisted daily HLL estimates AND of the
+    union-of-sketches all-days estimate against exact distinct counts —
+    the mergeability contract made driver-visible: the `all_days` row's
+    estimate comes from hll_union_agg over the per-day sketches (never
+    a rescan), so its error staying inside the same envelope as the
+    per-day rows proves union-of-sketches ≈ sketch-of-union on the
+    corpus under test (bit-exactness of the union is pinned separately
+    in pytest, where both sketch binaries are visible)."""
+    from csv_crm_upload_spark.analytics.tpch import hll1_mergeable_daily_uniques
+
+    path = snapshot_path or hllrec1_snapshot_path()
+    spark = events.sparkSession
+    hll1_mergeable_daily_uniques(events).write.mode("overwrite").parquet(path)
+    # a zero-row corpus records ('all_days', NULL) — hll_union_agg over
+    # nothing estimates nothing; the audit covers recorded ESTIMATES
+    # only (NULL-vs-0 arithmetic would diverge cross-engine)
+    snap = (
+        spark.read.schema("day string, est_unique_users long")
+        .parquet(path)
+        .filter(F.col("est_unique_users").isNotNull())
+    )
+    per_day = events.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("string").alias("day")
+    ).agg(F.count_distinct("user_id").cast("long").alias("exact_users"))
+    total = events.agg(
+        F.lit("all_days").alias("day"),
+        F.count_distinct("user_id").cast("long").alias("exact_users"),
+    )
+    exact = per_day.unionByName(total)
+    abs_err = F.abs(F.col("est_unique_users") - F.col("exact_users")).cast("long")
+    rel_err = F.round(
+        abs_err.cast("double") / F.greatest(F.col("exact_users"), F.lit(1)).cast("double"),
+        9,
+    ) + F.lit(0.0)
+    return (
+        exact.join(F.broadcast(snap), "day")
+        .select(
+            "day",
+            "exact_users",
+            F.col("est_unique_users").alias("approx_users"),
+            abs_err.alias("abs_err"),
+            rel_err.alias("rel_err"),
+            (rel_err <= F.lit(HLLREC1_BOUND)).alias("within_bound"),
+        )
+        .orderBy("day")
+    )

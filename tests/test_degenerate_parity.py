@@ -281,11 +281,13 @@ def test_rows_only_queries_declared():
     # round 9 removed sim_knn_ivf, pq1_quantized_knn AND (raw-mode)
     # ivfpq1_quantized_knn from this list: their fits moved onto the
     # distributed kmeans discipline and all three are oracle-paired now
-    # (with ivfrec1/pqrec1 recall audits on top)
+    # (with ivfrec1/pqrec1 recall audits on top). Round 11 retired the
+    # three rows-only sketch entries (approx_distinct_users,
+    # approx_value_percentiles, hll1_mergeable_daily_uniques): the
+    # adrec1/pxrec1/hllrec1 snapshot audits run the same sketches and
+    # oracle-pair their error readouts, so only the by-nature trio
+    # remains (media decode ×2, driver-side eigh).
     assert ROWS_ONLY == [
-        "approx_distinct_users",
-        "approx_value_percentiles",
-        "hll1_mergeable_daily_uniques",
         "mm2_real_media_features",
         "mm3_resize_stats",
         "pca2_projected_knn",

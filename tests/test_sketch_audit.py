@@ -1,0 +1,100 @@
+"""Sketch-error audits (analytics/sketch_audit.py): the within-bound
+contracts the oracle pair can only OBSERVE are PINNED here — on the
+clean fixture every recorded estimate must actually sit inside its
+published envelope, and the HLL mergeability claim (union-of-sketches
+== sketch-of-union) is checked on the sketch BINARIES, which only this
+side of the fence can see. Cross-engine value agreement of the audit
+readouts lives in the three parity suites (the keys are oracle-paired).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from csv_crm_upload_spark.analytics import sketch_audit as sa
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def test_adrec1_within_bound_on_clean_fixture(spark, events, tmp_path):
+    out = sa.adrec1_distinct_error_audit(
+        events, str(tmp_path / "adrec1.parquet")
+    ).collect()
+    assert len(out) >= 3  # one row per event_type
+    assert all(r["within_bound"] for r in out), out
+    # the audit's exact side is really exact: recompute one group here
+    first = out[0]
+    exact = (
+        events.filter(F.col("event_type") == first["event_type"])
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert first["exact_users"] == exact
+
+
+def test_pxrec1_within_bound_and_rank_semantics(spark, events, tmp_path):
+    out = sa.pxrec1_percentile_rank_audit(
+        events, str(tmp_path / "pxrec1.parquet")
+    ).collect()
+    assert {r["quantile"] for r in out} == {"p50", "p95", "p99"}
+    assert all(r["within_bound"] for r in out), out
+    # tie-interval invariants: 0 <= lo <= hi <= n, and the target rank
+    # q*n must sit within eps*n + 1 of [lo, hi] (the published bound)
+    for r in out:
+        assert 0 <= r["lo_rank"] <= r["hi_rank"] <= r["n"]
+        assert r["rank_err"] <= sa.PXREC1_EPS + 1.0 / r["n"] + 1e-12
+
+
+def test_pxrec1_rank_interval_on_known_values(spark, tmp_path):
+    # values 1..100 of one type: p50 must land on an element whose tie
+    # interval contains rank 50 (+-1 slack); exact intervals checkable
+    # by hand since every value is unique
+    rows = [(i, "t", float(i)) for i in range(1, 101)]
+    ev = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = sa.pxrec1_percentile_rank_audit(ev, str(tmp_path / "px.parquet")).collect()
+    by_q = {r["quantile"]: r for r in out}
+    assert by_q["p50"]["n"] == 100
+    # unique values: hi - lo == 1 always
+    for r in out:
+        assert r["hi_rank"] - r["lo_rank"] == 1
+        assert r["within_bound"]
+
+
+def test_hllrec1_within_bound_and_all_days_row(spark, events, tmp_path):
+    out = sa.hllrec1_merge_error_audit(
+        events, str(tmp_path / "hllrec1.parquet")
+    ).collect()
+    days = [r["day"] for r in out]
+    assert "all_days" in days and len(days) > 1
+    assert all(r["within_bound"] for r in out), out
+
+
+def test_hll_union_of_sketches_is_sketch_of_union(spark, events):
+    """The mergeability contract at the BINARY level: hll_union_agg over
+    per-day sketches must equal the one-shot sketch of the full stream
+    (HLL union merges registers losslessly), so incremental daily
+    rollups serve any window exactly as a full rescan would."""
+    daily = events.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("est")
+    ).first()["est"]
+    oneshot = events.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).cast("long").alias("est")
+    ).first()["est"]
+    assert merged == oneshot
+
+
+def test_snapshot_paths_are_pid_scoped(monkeypatch):
+    import os
+
+    monkeypatch.delenv("SPARK_GRAFT_SKETCH_SNAPSHOT_DIR", raising=False)
+    assert str(os.getpid()) in sa.sketch_snapshot_dir()
+    monkeypatch.setenv("SPARK_GRAFT_SKETCH_SNAPSHOT_DIR", "/tmp/explicit")
+    assert sa.adrec1_snapshot_path() == "/tmp/explicit/adrec1.parquet"
