@@ -53,6 +53,23 @@ def fit_centroids(
     keep ivfrec1_recall_audit in the production tuning loop to measure
     the actual recall floor at the deployed n_cells/nprobe; the floors
     pinned in tests are at test scale only."""
+    from csv_crm_upload_spark.analytics.fitmemo import memo_fit
+
+    # fit-memoized (r10 verdict ask #2): the fit is deterministic
+    # (fixed init/iters, decimal recompute), so a repeat caller in the
+    # same process (ivfpq1 after sim_knn_ivf, the parity sweep's warm
+    # pass) reuses the centroid matrix instead of re-running Lloyd's
+    return memo_fit(
+        "ivf_centroids",
+        embeddings,
+        (n_cells, iters),
+        lambda: _fit_centroids_impl(embeddings, n_cells, iters),
+    )
+
+
+def _fit_centroids_impl(
+    embeddings: DataFrame, n_cells: int, iters: int
+) -> np.ndarray:
     from csv_crm_upload_spark.analytics.clustering import _fitted_centroids
     from csv_crm_upload_spark.analytics.similarity import valid_vectors
 

@@ -123,6 +123,23 @@ def _assign_and_encode(
 def _fit_residual_codebooks(
     embeddings: DataFrame, centroids: np.ndarray, m: int, k: int, iters: int = 2
 ) -> tuple[np.ndarray, np.ndarray]:
+    """Fit-memoized front door for _fit_residual_codebooks_impl (r10
+    verdict ask #2): the quantizer bytes ride the key, so the memo hit
+    is exactly the re-fit a caller with the same corpus AND the same
+    coarse centroids would compute."""
+    from csv_crm_upload_spark.analytics.fitmemo import memo_fit
+
+    return memo_fit(
+        "ivfpq_residual",
+        embeddings,
+        (m, k, iters, centroids.shape, centroids.tobytes()),
+        lambda: _fit_residual_codebooks_impl(embeddings, centroids, m, k, iters),
+    )
+
+
+def _fit_residual_codebooks_impl(
+    embeddings: DataFrame, centroids: np.ndarray, m: int, k: int, iters: int = 2
+) -> tuple[np.ndarray, np.ndarray]:
     """(codebooks, cell means): the DISTRIBUTED residual codec fit
     (round 9 — replaces the sampled numpy fit, making residual IVF-PQ
     oracle-derivable like the raw path):

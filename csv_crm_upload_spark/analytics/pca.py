@@ -79,6 +79,21 @@ def _cov_from_stats(pairs: DataFrame, dims: DataFrame) -> DataFrame:
 
 
 def _sufficient_stats(embeddings: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Fit-memoized (pair sums, dim sums) — the stats are exact decimal
+    sums (order-free, bit-deterministic), so serving a persisted copy
+    to a repeat caller (pca1 re-queried, fit_pca after a model build)
+    is identical to re-aggregating; the d²-bounded frames persist at
+    negligible cost (fitmemo.py, r10 verdict ask #2)."""
+    from csv_crm_upload_spark.analytics.fitmemo import memo_fit
+
+    def _build():
+        pairs, dims = _sufficient_stats_impl(embeddings)
+        return pairs.persist(), dims.persist()
+
+    return memo_fit("pca_suffstats", embeddings, (), _build)
+
+
+def _sufficient_stats_impl(embeddings: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(pair sums, dim sums) — the ADDITIVE sufficient statistics of
     the covariance: per (i, j ≥ i) the DECIMAL(38,12) sum of 12-dp
     product terms + the vector count, per dim the DECIMAL(28,9) sum of
@@ -158,8 +173,18 @@ def fit_pca(embeddings: DataFrame, r: int = 16) -> tuple[list[list[float]], list
     """Top-r principal axes from the exact covariance — (loadings,
     eigenvalues), loadings[k] the k-th component's d weights. The ONLY
     driver work is numpy's eigh over the d×d matrix collected from
-    pca1_covariance (d² bounded rows — the IVF-centroid convention)."""
-    return _loadings_from_cov_rows(pca1_covariance(embeddings).collect(), r)
+    pca1_covariance (d² bounded rows — the IVF-centroid convention).
+
+    The collected covariance triangle is fit-memoized (fitmemo.py, r10
+    verdict ask #2) — it is independent of r, so every consumer
+    (pca2 / pcarec1 / any r) shares ONE covariance job per corpus per
+    process; the driver-side eigh re-runs per call (d×d, microseconds)."""
+    from csv_crm_upload_spark.analytics.fitmemo import memo_fit
+
+    tri = memo_fit(
+        "pca_cov_tri", embeddings, (), lambda: pca1_covariance(embeddings).collect()
+    )
+    return _loadings_from_cov_rows(tri, r)
 
 
 def _gated_projection(

@@ -52,6 +52,21 @@ def fit_pq_codebooks(
     degrade to empty results). Fit width = the FIRST valid vector's
     width (the kmeans-family `_FIT_W` convention the oracle mirrors);
     a width not divisible by m fails loudly."""
+    from csv_crm_upload_spark.analytics.fitmemo import memo_fit
+
+    # fit-memoized (r10 verdict ask #2): deterministic per the module
+    # docstring, so repeat callers share one distributed Lloyd's run
+    return memo_fit(
+        "pq_codebooks",
+        embeddings,
+        (m, k, iters),
+        lambda: _fit_pq_codebooks_impl(embeddings, m, k, iters),
+    )
+
+
+def _fit_pq_codebooks_impl(
+    embeddings: DataFrame, m: int, k: int, iters: int
+) -> np.ndarray:
     from csv_crm_upload_spark.analytics.similarity import valid_vectors
 
     valid = valid_vectors(embeddings)

@@ -274,13 +274,33 @@ def cpd1_indexed(spark, path: str) -> DataFrame:
 # proves the artifact's store→merge→probe chain preserves the semantics)
 # ---------------------------------------------------------------------------
 
+def _ensure_query_rollup(events: DataFrame, p: str) -> None:
+    """Build the rollup at `p` once per (corpus, path) per process —
+    fit-memoized (fitmemo.py, r10 verdict ask #2): roll1 and roll2 over
+    the same corpus share one build instead of each query invocation
+    rebuilding the artifact. The validate hook re-checks the MANIFEST
+    still exists, so an externally-deleted scratch dir re-builds
+    instead of serving a dangling memo."""
+    import os
+
+    from csv_crm_upload_spark.analytics.fitmemo import memo_fit
+
+    memo_fit(
+        "daily_rollup_build",
+        events,
+        (p,),
+        lambda: (save_daily_rollup(events, p), p)[1],
+        validate=lambda built: os.path.exists(os.path.join(built, "MANIFEST")),
+    )
+
+
 def roll1_indexed_acf(spark, events: DataFrame, path: str | None = None) -> DataFrame:
     p = path or rollup_query_path()
-    save_daily_rollup(events, p)
+    _ensure_query_rollup(events, p)
     return acf1_indexed(spark, p)
 
 
 def roll2_indexed_dow(spark, events: DataFrame, path: str | None = None) -> DataFrame:
     p = path or rollup_query_path()
-    save_daily_rollup(events, p)
+    _ensure_query_rollup(events, p)
     return dow1_indexed(spark, p)
