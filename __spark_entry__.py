@@ -239,57 +239,60 @@ def _q_skw3(s: SparkSession, sf: str) -> DataFrame:
     ).orderBy("event_type")
 
 
-# Round-10 driver-verification window (slots 13+, in order): the new
-# pcarec1 audit leads (first driver contact, per the house rule that an
-# operator ships with a driver row in its shipping round); then the
-# r9-verdict ask #4 cohort — the oracle-paired keys whose last green
-# driver row is now OLDEST (the r6-r8 batches; the r9 window re-greened
-# the r1-r5 tail, so this is the stalest cohort).
+# Round-11 driver-verification window (slots 13+, in order), per the
+# r10 verdict ask #5: (a) the three first-contact sketch-error audits
+# (the house rule: an operator ships with a driver row in its shipping
+# round); (b) the cohort the verdict names — the r9-greened ANN batch
+# plus the keys displaced from the r10 window for first-contact slots
+# (prune1/vq1/sil1/bqrec1, r7/r8 driver rows); (c) the 18 stalest
+# remaining keys — the round-2 cohort (TPC-H headliners, the dedup
+# family, text batteries), whose last green rows are the oldest in the
+# ledger. The nine r2 keys that don't fit (t3_lang_id, t4_fingerprint,
+# top_customers, w1_top_orders_per_customer, set1_status_overlap,
+# set2_exclusive_open, str1_name_features, t1_token_count,
+# t2_quality_score) lead the r12 stale cohort.
 _ROTATION_FRONT = [
-    "pcarec1_pca_recall_audit",
-    "mmd1_embedding_drift",
-    "psi1_population_stability",
-    "chi21_lang_source_chi2",
-    "iqr1_source_length_outliers",
-    "conc1_source_concentration",
-    "acf1_daily_autocorrelation",
-    "dow1_weekly_profile",
-    "tsen1_daily_trend",
-    "cpd1_mean_shift",
-    "ben1_benford_audit",
-    "ndcg1_retrieval_quality",
-    "mhcal1_minhash_calibration",
-    "roll1_indexed_acf",
-    "roll2_indexed_dow",
-    "stl1_seasonal_strength",
-    "rbo1_rank_agreement",
-    "hurst1_long_memory",
-    "cal2_brier_decomposition",
-    "auc1_classifier_auc",
-    "cart1_dataset_cartography",
-    "cal1_calibration_bins",
-    "lex1_lexical_diversity",
-    "heaps1_vocab_growth",
-    "cov1_vocab_coverage",
-    "tfidf1_top_terms",
-    "rd1_readability",
-    "js1_source_divergence",
-    "ks1_value_drift",
-    "mi1_lang_source_mi",
-    "ccnet1_perplexity_buckets",
-    "pctl2_exact_value_percentiles",
-    "shard1_balanced_shards",
-    "anon2_l_diversity",
-    "bq1_binary_hamming_knn",
-    "lshrec1_recall_audit",
-    # bqrec1 / sil1 (r8 driver rows, the freshest remaining cohort keys)
-    # displaced by cal2's / hurst1's first contact — window stays
-    # exactly 50
-    "pmi1_collocations",
-    "kn1_kneser_ney_logloss",
-    # prune1 / vq1 (the freshest-greened tail of the r9-verdict cohort,
-    # r7/r8 driver rows) are displaced by the round-10 second batch's
-    # first-contact keys — the 50-slot window is full at 12 + 38
+    # (a) first contact — round-11 sketch-error audits + operator batch
+    "adrec1_distinct_error_audit",
+    "pxrec1_percentile_rank_audit",
+    "hllrec1_merge_error_audit",
+    "mgrec1_heavy_hitter_audit",
+    "mb1_part_affinity",
+    "burst1_interarrival_burstiness",
+    "anom1_seasonal_anomalies",
+    "id1_intrinsic_dimension",
+    # (b) the r10-verdict-named cohort
+    "sim_knn_ivf",
+    "pq1_quantized_knn",
+    "ivfpq1_quantized_knn",
+    "ivfpq2_residual_knn",
+    "ivfrec1_ivf_recall_audit",
+    "pqrec1_pq_recall_audit",
+    "w1d1_value_drift",
+    "cvm1_value_drift",
+    "prune1_prototype_pruning",
+    "vq1_quantized_knn",
+    "sil1_cluster_margins",
+    "bqrec1_binary_recall_audit",
+    # (c) the stalest cohort (last green: round 2)
+    "asof_purchase_view",
+    "d1_orders_by_month",
+    "dagg1_distinct_suppliers",
+    "dd_dup_clusters",
+    "dd_embed_neardup",
+    "dd_exact_dups",
+    "dd_minhash_lsh",
+    "dd_ngram_jaccard",
+    "dd_simhash",
+    "e1_sessionize",
+    "g1_rollup_revenue",
+    "h1_active_customers",
+    "j1_brand_margin",
+    "mm_media_stats",
+    "pctl_order_value",
+    "q1_pricing_summary",
+    "q3_top_unshipped",
+    "q5_region_revenue",
 ]
 
 
@@ -336,7 +339,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     21-50 re-sample the keys
     whose last driver row is oldest (rounds 1-5: TPC-H completion, the
     round-3 retrieval family, the streaming-window trio, the skew
-    family, the window battery, event/session classics)."""
+    family, the window battery, event/session classics). Round 11: the
+    three first-contact sketch-error audits lead; then the r10-verdict
+    cohort (the r9-greened ANN batch + prune1/vq1/sil1/bqrec1); then
+    the stalest (round-2) 23 keys — see _ROTATION_FRONT's comment."""
     q = {
         # reference-faithful core (SURVEY §2 ids) — pinned slots 1-12
         "s1_scan_customer": q_s1_scan_customer,
@@ -1065,6 +1071,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 _t("events")(s, sf), p
             )
         )(ska.hllrec1_snapshot_path()),
+        # round-11 operator batch: basket affinity, traffic burstiness,
+        # seasonal anomaly days, intrinsic dimension, and the MG
+        # heavy-hitter audit (the fourth snapshot-audited sketch)
+        "mb1_part_affinity": lambda s, sf: tpch.mb1_part_affinity(
+            _t("lineitem")(s, sf)
+        ),
+        "burst1_interarrival_burstiness": lambda s, sf: (
+            tpch.burst1_interarrival_burstiness(_t("events")(s, sf))
+        ),
+        "anom1_seasonal_anomalies": lambda s, sf: tpch.anom1_seasonal_anomalies(
+            _t("events")(s, sf)
+        ),
+        "id1_intrinsic_dimension": lambda s, sf: sim.id1_intrinsic_dimension(
+            _t("embeddings")(s, sf)
+        ),
+        "mgrec1_heavy_hitter_audit": (
+            lambda p: lambda s, sf: ska.mgrec1_heavy_hitter_audit(
+                _t("documents")(s, sf), p
+            )
+        )(ska.mgrec1_snapshot_path()),
     }
     # Round-7 rotation (driver samples the FIRST 50 entries): slots 1-12
     # stay the pinned reference core; _ROTATION_FRONT then re-verifies the
@@ -6438,6 +6464,170 @@ def oracle_sql() -> dict[str, str]:
     # value-identical to recomputing from the event stream
     q["roll1_indexed_acf"] = q["acf1_daily_autocorrelation"]
     q["roll2_indexed_dow"] = q["dow1_weekly_profile"]
+
+    # --- round-11 operator batch ---
+
+    # mb1: market-basket affinity — every count an exact long (baskets
+    # are DISTINCT (order, part) sets; n_baskets counts NON-NULL order
+    # keys, the COUNT(DISTINCT) convention both engines share), three
+    # single double divisions, count-first total order at the cut
+    q["mb1_part_affinity"] = """
+        WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        nb AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_baskets
+               FROM basket),
+        pairs AS (
+          SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_both
+          FROM basket a JOIN basket b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2
+        ),
+        item AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_item
+                 FROM basket GROUP BY 1)
+        SELECT p.part_a, p.part_b, p.n_both,
+               ia.n_item AS n_a, ib.n_item AS n_b, nb.n_baskets,
+               round(p.n_both::DOUBLE / nb.n_baskets::DOUBLE, 6) + 0.0 AS support,
+               round(p.n_both::DOUBLE / ia.n_item::DOUBLE, 6) + 0.0 AS confidence,
+               round(p.n_both::DOUBLE * nb.n_baskets::DOUBLE
+                     / (ia.n_item::DOUBLE * ib.n_item::DOUBLE), 6) + 0.0 AS lift
+        FROM pairs p
+        JOIN item ia ON p.part_a = ia.l_partkey
+        JOIN item ib ON p.part_b = ib.l_partkey
+        CROSS JOIN nb
+        ORDER BY p.n_both DESC, p.part_a, p.part_b
+        LIMIT 100
+    """
+
+    # burst1: inter-arrival burstiness — integer-second gaps
+    # (date_diff('second') ≡ unix_timestamp difference, the lag1
+    # convention), long/DECIMAL(38,0) moment sums, one double chain
+    q["burst1_interarrival_burstiness"] = """
+        WITH ev AS (
+          SELECT event_type, ts, event_id FROM events WHERE ts IS NOT NULL
+        ),
+        gaps AS (
+          SELECT event_type,
+                 CAST(date_diff('second',
+                      LAG(ts) OVER (PARTITION BY event_type
+                                    ORDER BY ts, event_id), ts) AS BIGINT) AS g
+          FROM ev
+        ),
+        mom AS (
+          SELECT event_type, CAST(COUNT(g) AS BIGINT) AS n_gaps,
+                 CAST(SUM(g) AS BIGINT) AS sg,
+                 SUM(CAST(g * g AS DECIMAL(38,0))) AS sgg
+          FROM gaps WHERE g IS NOT NULL GROUP BY event_type
+        ),
+        r AS (
+          SELECT event_type, n_gaps,
+                 sg::DOUBLE / n_gaps::DOUBLE AS mu,
+                 sqrt(greatest(sgg::DOUBLE / n_gaps::DOUBLE
+                               - (sg::DOUBLE / n_gaps::DOUBLE)
+                                 * (sg::DOUBLE / n_gaps::DOUBLE), 0.0)) AS sigma
+          FROM mom WHERE n_gaps >= 2
+        )
+        SELECT event_type, n_gaps,
+               round(mu, 6) + 0.0 AS mean_gap_s,
+               round(sigma / mu, 6) + 0.0 AS cv,
+               round((sigma - mu) / (sigma + mu), 6) + 0.0 AS burstiness
+        FROM r WHERE sigma + mu > 0 ORDER BY event_type
+    """
+
+    # anom1: stl1's trend/seasonal/remainder chain verbatim; the flag
+    # compares r² > 4·Var(r) on identical double compositions, rounding
+    # only the displayed columns after the decision
+    q["anom1_seasonal_anomalies"] = f"""
+        WITH {_DAILY_SPINE},
+        member AS (
+          SELECT c AS c_nbr, day - CAST(r.o AS INT) AS day
+          FROM filled, UNNEST(range(-3, 4)) AS r(o)
+        ),
+        trend AS (
+          SELECT f.day, f.c,
+                 CAST(SUM(m.c_nbr) AS BIGINT)::DOUBLE / 7.0 AS trend
+          FROM filled f JOIN member m USING (day)
+          GROUP BY f.day, f.c
+          HAVING COUNT(*) = 7
+        ),
+        z AS (
+          SELECT day, c, trend, CAST(isodow(day) AS INT) AS isodow,
+                 c::DOUBLE - trend AS z
+          FROM trend
+        ),
+        sea AS (
+          SELECT isodow,
+                 SUM(CAST(round(z, 9) AS DECIMAL(38,12)))::DOUBLE
+                   / COUNT(*)::DOUBLE AS s
+          FROM z GROUP BY isodow
+        ),
+        terms AS (
+          SELECT day, c, trend, s, z - s AS r FROM z JOIN sea USING (isodow)
+        ),
+        v AS (
+          SELECT SUM(CAST(round(r * r, 12) AS DECIMAL(38,12)))::DOUBLE / COUNT(*)::DOUBLE
+                   - (SUM(CAST(round(r, 12) AS DECIMAL(38,12)))::DOUBLE / COUNT(*)::DOUBLE)
+                     * (SUM(CAST(round(r, 12) AS DECIMAL(38,12)))::DOUBLE / COUNT(*)::DOUBLE)
+                   AS var_r
+          FROM terms
+        )
+        SELECT day, c,
+               round(trend + s, 6) + 0.0 AS expected,
+               round(r, 6) + 0.0 AS residual,
+               round(r / sqrt(var_r), 6) + 0.0 AS z_score
+        FROM terms, v
+        WHERE var_r > 0 AND r * r > 4.0 * var_r
+        ORDER BY day
+    """
+
+    # id1: two-NN intrinsic dimension composed on the oracle-paired kNN
+    # (rank 1-2 of the same 6-dp cosine surface), 9-dp decimal ln sums
+    q["id1_intrinsic_dimension"] = f"""
+        WITH nn AS ({q["sim_knn_bruteforce"]}),
+        per_q AS (
+          SELECT query_id,
+                 1.0 - MAX(CASE WHEN rank = 1 THEN cos_sim END) AS d1,
+                 1.0 - MAX(CASE WHEN rank = 2 THEN cos_sim END) AS d2
+          FROM nn WHERE rank <= 2 GROUP BY query_id
+        ),
+        usable AS (SELECT * FROM per_q WHERE d2 IS NOT NULL AND d1 > 0),
+        mom AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+                 SUM(CAST(round(ln(d2 / d1), 9) AS DECIMAL(38,12)))::DOUBLE AS slog
+          FROM usable
+        )
+        SELECT n_queries,
+               round(n_queries::DOUBLE / slog, 6) + 0.0 AS intrinsic_dim
+        FROM mom WHERE n_queries > 0 AND slog > 0
+    """
+
+    # mgrec1: the Misra-Gries audit — estimates frozen in the snapshot
+    # (MG's counter set is not even run-deterministic, so the snapshot
+    # is the ONLY auditable surface); exact recount with the sketch's
+    # own tokenization; verdicts in pure integer arithmetic
+    q["mgrec1_heavy_hitter_audit"] = f"""
+        WITH snap AS (
+          SELECT tok, est_count, n_total
+          FROM read_parquet('{ska.mgrec1_snapshot_path()}/*.parquet')
+        ),
+        toks AS (
+          SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+          FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+        ),
+        exact AS (
+          SELECT t.tok, CAST(COUNT(*) AS BIGINT) AS exact_n
+          FROM toks t JOIN (SELECT DISTINCT tok FROM snap) s USING (tok)
+          GROUP BY t.tok
+        )
+        SELECT s.tok, s.est_count,
+               COALESCE(e.exact_n, 0)::BIGINT AS exact_n,
+               s.n_total,
+               CAST(COALESCE(e.exact_n, 0) - s.est_count AS BIGINT) AS undercount,
+               (COALESCE(e.exact_n, 0) - s.est_count >= 0
+                AND (COALESCE(e.exact_n, 0) - s.est_count) * {ska.MGREC1_K}
+                    <= s.n_total) AS within_bound
+        FROM snap s LEFT JOIN exact e USING (tok)
+        ORDER BY s.est_count DESC, s.tok
+    """
 
     # ben1: Benford leading-digit audit — exact integer cents, leading
     # digit from the canonical integer string (no float log/pow in the

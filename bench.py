@@ -222,7 +222,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
-    warm2: dict[str, float] = {}
+    warm_samples: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = queries[name]
@@ -233,21 +233,20 @@ def main() -> None:
             # through a cheap but complete aggregation of all output rows
             df.agg({"*": "count"}).collect()
             timings[name] = round(time.perf_counter() - t0, 3)
-            # warm pass: same plan re-executed after JIT/codegen — the
-            # steady-state per-query cost (at real scale task time
-            # amortizes the one-time compile that dominates at sf0.1)
-            t1 = time.perf_counter()
-            fn(spark, sf_dir).agg({"*": "count"}).collect()
-            warm[name] = round(time.perf_counter() - t1, 3)
-            # self-diagnosis (round-5 lesson): a warm pass slower than
-            # its own cold pass is either noise (GC, host) or a real
-            # plan/caching defect — a SECOND warm sample distinguishes
-            # them in the record itself instead of leaving the anomaly
-            # unexplained for a round
-            if warm[name] > timings[name]:
-                t2 = time.perf_counter()
+            # warm = MEDIAN of three re-executions of the same plan after
+            # JIT/codegen (r10 verdict ask #3: the committed r10 record
+            # carried a one-off scheduler hiccup as THE warm number —
+            # 1.374 s where the harness's own re-run measured 0.917 s;
+            # the median rejects a single outlier by construction, so no
+            # anomaly-triggered warm2 re-sampling is needed anymore).
+            # All three samples go to BENCH_DETAIL for dispersion reads.
+            samples = []
+            for _ in range(3):
+                t1 = time.perf_counter()
                 fn(spark, sf_dir).agg({"*": "count"}).collect()
-                warm2[name] = round(time.perf_counter() - t2, 3)
+                samples.append(round(time.perf_counter() - t1, 3))
+            warm_samples[name] = samples
+            warm[name] = sorted(samples)[1]
         except Exception as e:  # one broken query must not sink the record
             errors[name] = f"{type(e).__name__}: {e}"[:200]
 
@@ -508,7 +507,7 @@ def main() -> None:
     # parses the final JSON line.  BENCH_r07.json failed to parse because
     # the single record line outgrew that window (the tail no longer
     # contained the line's opening brace).  So: the FULL record (extra_sec,
-    # per-query duckdb, warm2, errors) goes to BENCH_DETAIL.json next to
+    # per-query duckdb, warm samples, errors) goes to BENCH_DETAIL.json next to
     # this script, and the final printed line is a compact headline-only
     # record whose size is bounded by the fixed 10-query HEADLINE set
     # (~1.3 KB) — it always fits the tail window whole.
@@ -516,7 +515,7 @@ def main() -> None:
         "extra_sec": extra,
         "extra_warm_sec": extra_warm,
         "duckdb_sec": duckdb_timings,
-        "warm2_sec": warm2,
+        "warm_samples_sec": warm_samples,
         "sf": sf,
         "queries": timings,
         "warm_sec": warm,

@@ -724,3 +724,64 @@ def bqrec1_binary_recall_audit(
         knn_bruteforce(embeddings, query_ids, k),
         bq1_binary_hamming_knn(embeddings, query_ids, k),
     )
+
+
+def id1_intrinsic_dimension(
+    embeddings: DataFrame, query_ids: list[int] | None = None
+) -> DataFrame:
+    """Two-NN intrinsic-dimension estimate (Facco, d'Errico, Rodriguez
+    & Laio 2017) over a deterministic query panel: for each panel
+    vector, mu = d2/d1 — the ratio of its 2nd- and 1st-nearest cosine
+    DISTANCES (1 − cos_sim) — and the MLE of the manifold's intrinsic
+    dimension is n / SUM(ln mu). The "how compressed can this embedding
+    space get" readout that tells you whether pca2's r or pq1's m/k are
+    sized against the data's true dimensionality or against its ambient
+    one.
+
+    Estimation note: the canonical estimator averages over ALL points
+    (an n² pairing at corpus scale); this panel form is the bounded
+    production variant — the same q·n broadcast pass every kNN audit
+    here uses, over the shared default panel. Panel queries whose d1 is
+    0 (an exact duplicate's cosine rounds to 1.0) are excluded: their
+    ratio is undefined; a panel left with SUM(ln mu) = 0 (all ties)
+    reports no row rather than an infinite dimension.
+
+    Cross-engine exactness: distances derive from the SAME 6-dp rounded
+    cos_sim the kNN oracle computes, so ln() sees identical doubles;
+    per-query ln terms round to 9 dp into DECIMAL sums; the estimate is
+    one double division rounded to 6 dp.
+
+    Scale shape: knn_bruteforce with k=2 (broadcast panel, one small
+    top-k agg) + a |panel|-row pivot and a 1-row readout."""
+    if query_ids is None:
+        query_ids = list(range(10))
+    nn = knn_bruteforce(embeddings, query_ids, k=2)
+    per_q = (
+        nn.groupBy("query_id")
+        .agg(
+            F.max(F.when(F.col("rank") == 1, F.col("cos_sim"))).alias("c1"),
+            F.max(F.when(F.col("rank") == 2, F.col("cos_sim"))).alias("c2"),
+        )
+        .filter(F.col("c2").isNotNull())  # a 1-vector corpus has no 2nd NN
+        .select(
+            "query_id",
+            (F.lit(1.0) - F.col("c1")).alias("d1"),
+            (F.lit(1.0) - F.col("c2")).alias("d2"),
+        )
+        .filter(F.col("d1") > 0)
+    )
+    mom = per_q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum(
+            F.round(F.log(F.col("d2") / F.col("d1")), 9).cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("slog"),
+    )
+    return mom.filter((F.col("n_queries") > 0) & (F.col("slog") > 0)).select(
+        "n_queries",
+        (
+            F.round(F.col("n_queries").cast("double") / F.col("slog"), 6)
+            + F.lit(0.0)
+        ).alias("intrinsic_dim"),
+    )

@@ -270,3 +270,67 @@ def hllrec1_merge_error_audit(
         )
         .orderBy("day")
     )
+
+
+def mgrec1_snapshot_path() -> str:
+    return f"{sketch_snapshot_dir()}/mgrec1.parquet"
+
+
+#: hh1's Misra-Gries parameters, repeated here because the WITHIN-BOUND
+#: verdict is stated in their terms: merged lower bounds undercount by
+#: at most N/MGREC1_K total (Agarwal et al. 2012 mergeability).
+MGREC1_K = 200
+MGREC1_THRESHOLD_K = 100
+
+
+def mgrec1_heavy_hitter_audit(
+    documents: DataFrame, snapshot_path: str | None = None
+) -> DataFrame:
+    """Error audit for the Misra-Gries heavy-hitter sketch
+    (textstats.hh1_heavy_hitter_tokens) — the fourth sketch under the
+    snapshot-audit pattern, and the one whose ESTIMATES are not even
+    run-deterministic (the surviving counter set depends on partition
+    stream order), which is exactly why the snapshot pattern is the
+    only way to drive-verify it: the reported (token, lower bound)
+    rows are frozen to parquet, then BOTH engines recount those tokens
+    exactly and check the MG contract — every lower bound undercounts
+    (undercount >= 0) by at most N/k in merged total
+    (undercount * k <= N, pure integer arithmetic).
+
+    The exact side tokenizes as the sketch does (lowered, trimmed,
+    whitespace-split); N is the sketch's own recorded token total, so
+    the verdict tests the sketch against the stream it actually saw."""
+    from csv_crm_upload_spark.analytics.textstats import hh1_heavy_hitter_tokens
+
+    path = snapshot_path or mgrec1_snapshot_path()
+    spark = documents.sparkSession
+    hh1_heavy_hitter_tokens(
+        documents, k=MGREC1_K, threshold_k=MGREC1_THRESHOLD_K
+    ).write.mode("overwrite").parquet(path)
+    snap = spark.read.schema("tok string, est_count long, n_total long").parquet(path)
+    toks = (
+        documents.filter(F.col("text").isNotNull() & (F.trim(F.col("text")) != ""))
+        .select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok")
+        )
+    )
+    exact = (
+        toks.join(F.broadcast(snap.select("tok")), "tok")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+    )
+    under = (F.coalesce(F.col("exact_n"), F.lit(0)) - F.col("est_count")).cast("long")
+    return (
+        snap.join(exact, "tok", "left")
+        .select(
+            "tok",
+            "est_count",
+            F.coalesce(F.col("exact_n"), F.lit(0)).cast("long").alias("exact_n"),
+            "n_total",
+            under.alias("undercount"),
+            (
+                (under >= 0) & (under * F.lit(MGREC1_K) <= F.col("n_total"))
+            ).alias("within_bound"),
+        )
+        .orderBy(F.col("est_count").desc(), "tok")
+    )

@@ -1742,6 +1742,262 @@ def hurst1_long_memory(events: DataFrame) -> DataFrame:
     )
 
 
+def mb1_part_affinity(lineitem: DataFrame, top_k: int = 100) -> DataFrame:
+    """Market-basket association rules over order baskets (Agrawal &
+    Srikant 1994's support/confidence plus lift): which parts are
+    co-ordered beyond chance — the affinity readout behind "frequently
+    bought together" and assortment planning.
+
+    Semantics: a basket is an order's DISTINCT part set (a part twice
+    in one order counts once); for an unordered pair {a < b}:
+    support = n_both/n_baskets, confidence(a→b) = n_both/n_a,
+    lift = n_both·n_baskets/(n_a·n_b). Top `top_k` pairs by
+    (n_both desc, part_a, part_b) — count-first ordering is exact
+    integer, so the cut is deterministic cross-engine.
+
+    Cross-engine exactness: every count is an exact long; the three
+    ratios are single double divisions of identical integers, rounded
+    to 6 dp (no post-division composition).
+
+    Scale shape: the pair explosion is per-basket quadratic but basket
+    size is bounded (TPC-H: ≤7 lines/order; a retail basket: dozens) —
+    the classic a-priori observation that pairs-within-basket is
+    O(rows·basket), never corpus². Plan: one distinct on (order, part)
+    (map-side combining), a self-equi-join on orderkey (co-partitioned
+    — ONE shuffle feeds both sides), two bounded dim-sized aggs joined
+    back on partkey, and a global top-k (TakeOrderedAndProject, never a
+    full sort)."""
+    basket = lineitem.select("l_orderkey", "l_partkey").distinct()
+    # COUNT(DISTINCT) semantics: NULL order keys are not baskets (they
+    # cannot join into pairs either) — mirrors the oracle exactly
+    n_baskets = (
+        basket.filter(F.col("l_orderkey").isNotNull())
+        .select("l_orderkey")
+        .distinct()
+        .count()
+    )
+    if n_baskets == 0:
+        return lineitem.sparkSession.createDataFrame(
+            [],
+            "part_a long, part_b long, n_both long, n_a long, n_b long, "
+            "n_baskets long, support double, confidence double, lift double",
+        )
+    a = basket.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = basket.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    item = basket.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_item")
+    )
+    nb = F.lit(n_baskets).cast("long")
+    out = (
+        pairs.join(item.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a")), "part_a")
+        .join(item.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b")), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            nb.alias("n_baskets"),
+            (F.round(F.col("n_both").cast("double") / nb.cast("double"), 6) + F.lit(0.0)).alias("support"),
+            (
+                F.round(F.col("n_both").cast("double") / F.col("n_a").cast("double"), 6)
+                + F.lit(0.0)
+            ).alias("confidence"),
+            (
+                F.round(
+                    F.col("n_both").cast("double")
+                    * nb.cast("double")
+                    / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("lift"),
+        )
+    )
+    return out.orderBy(F.col("n_both").desc(), "part_a", "part_b").limit(top_k)
+
+
+def burst1_interarrival_burstiness(events: DataFrame) -> DataFrame:
+    """Inter-arrival burstiness per event type (Goh & Barabási 2008):
+    B = (σ−μ)/(σ+μ) over the gaps between consecutive events —
+    B → −1 for a regular clock, ≈ 0 for a Poisson stream, → 1 for
+    heavy-tailed bursts; with the coefficient of variation σ/μ
+    alongside. The traffic-shape readout capacity planning wants that
+    the daily rollup's volume curves cannot give.
+
+    Cross-engine exactness: gaps are exact integer seconds
+    (unix-timestamp differences); Σg sums as long, Σg² as
+    DECIMAL(38,0) (g² overflows a long for multi-century gaps — the
+    cal2 lesson applied up front); μ, σ², σ and the two readouts are
+    one double composition of those exact integers, rounded to 6 dp.
+    Groups need ≥ 2 gaps and σ+μ > 0 (a single-gap or all-equal-ts
+    group has no dispersion to report).
+
+    Scale shape: event_type is LOW-cardinality, so consecutive pairing
+    rides distributed_grouped_rank (group-prefixed range partitioning —
+    never one task per type) and an equi-join of rn ↔ rn+1 on
+    (type, rn); the moment agg is map-side combining."""
+    ev = events.filter(F.col("ts").isNotNull()).select(
+        "event_type", "ts", "event_id"
+    )
+    ranked = distributed_grouped_rank(
+        ev, ["event_type"], ["ts", "event_id"], "rn"
+    )
+    cur = ranked.select(
+        "event_type", F.col("rn").alias("rn"), F.unix_timestamp("ts").alias("t1")
+    )
+    nxt = ranked.select(
+        F.col("event_type").alias("et2"),
+        (F.col("rn") - 1).alias("rn2"),
+        F.unix_timestamp("ts").alias("t2"),
+    )
+    # NULL-SAFE type equality: an untyped (NULL event_type) stream is a
+    # group like any other — GROUP BY and window PARTITION BY both treat
+    # NULL as one group in both engines, so the pairing join must too
+    # (a plain equi-join would silently drop the NULL stream)
+    gaps = cur.join(
+        nxt,
+        F.col("event_type").eqNullSafe(F.col("et2")) & (F.col("rn") == F.col("rn2")),
+    ).select("event_type", (F.col("t2") - F.col("t1")).cast("long").alias("g"))
+    mom = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("g").cast("long").alias("sg"),
+        F.sum((F.col("g") * F.col("g")).cast("decimal(38,0)")).alias("sgg"),
+    )
+    n = F.col("n_gaps").cast("double")
+    mu = F.col("sg").cast("double") / n
+    var = F.col("sgg").cast("double") / n - mu * mu
+    sigma = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return (
+        mom.filter(F.col("n_gaps") >= 2)
+        .select(
+            "event_type",
+            "n_gaps",
+            (F.round(mu, 6) + F.lit(0.0)).alias("mean_gap_s"),
+            sigma.alias("_sigma"),
+            mu.alias("_mu"),
+        )
+        .filter(F.col("_sigma") + F.col("_mu") > 0)
+        .select(
+            "event_type",
+            "n_gaps",
+            "mean_gap_s",
+            (F.round(F.col("_sigma") / F.col("_mu"), 6) + F.lit(0.0)).alias("cv"),
+            (
+                F.round(
+                    (F.col("_sigma") - F.col("_mu")) / (F.col("_sigma") + F.col("_mu")),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("burstiness"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def anom1_seasonal_anomalies(events: DataFrame) -> DataFrame:
+    """Seasonally-adjusted anomaly days: the stl1 decomposition's
+    remainder scored against its own dispersion — a day is anomalous
+    when its residual (after removing the 7-day moving-average trend
+    and the day-of-week profile) exceeds 2 remainder-sigmas. The
+    incident-detection readout on top of the time-series family: cpd1
+    finds the one structural break, THIS finds the individually-odd
+    days around an otherwise-stable profile.
+
+    Cross-engine exactness: the trend/seasonal/remainder chain is
+    stl1's verbatim (exact long window sums, one division by 7, 9-dp
+    decimal dow means); Var(r) uses stl1's 12-dp decimal moment sums;
+    the anomaly decision compares r² > 4·Var(r) — both operands are
+    the SAME double composition in both engines, so the flag cannot
+    diverge; displayed residual/z round to 6 dp after the decision.
+
+    Scale shape: everything past the shared daily agg runs on the
+    calendar-bounded spine (stl1's shapes: broadcast MA equi-join,
+    ≤7-row dow broadcast, 1-row variance broadcast)."""
+    daily, spine = _daily_spine(events)
+    filled = (
+        spine.join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c"),
+            "n_days",
+        )
+        .localCheckpoint(eager=True)
+    )
+    member = filled.select(
+        F.col("c").alias("c_nbr"),
+        F.explode(F.array(*[F.lit(o) for o in range(-3, 4)])).alias("o"),
+        F.col("day").alias("day_nbr"),
+    ).select("c_nbr", F.date_sub(F.col("day_nbr"), F.col("o")).alias("day"))
+    trend = (
+        filled.join(F.broadcast(member), "day")
+        .groupBy("day", "c", "n_days")
+        .agg(
+            F.count(F.lit(1)).alias("n_win"),
+            F.sum("c_nbr").cast("long").alias("win_sum"),
+        )
+        .filter(F.col("n_win") == 7)
+        .select(
+            "day",
+            "c",
+            "n_days",
+            (F.col("win_sum").cast("double") / F.lit(7.0)).alias("trend"),
+        )
+    )
+    z = trend.select(
+        "day",
+        "c",
+        "n_days",
+        "trend",
+        (F.weekday(F.col("day")) + F.lit(1)).cast("int").alias("isodow"),
+        (F.col("c").cast("double") - F.col("trend")).alias("z"),
+    ).localCheckpoint(eager=True)  # bounded interior rows, 3 consumers
+    sea = z.groupBy("isodow").agg(
+        (
+            F.sum(F.round(F.col("z"), 9).cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("s")
+    )
+    terms = z.join(F.broadcast(sea), "isodow").select(
+        "day", "c", "trend", "s", (F.col("z") - F.col("s")).alias("r")
+    ).localCheckpoint(eager=True)
+    v = terms.agg(
+        (
+            F.sum(F.round(F.col("r") * F.col("r"), 12).cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+            - (
+                F.sum(F.round(F.col("r"), 12).cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            )
+            * (
+                F.sum(F.round(F.col("r"), 12).cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            )
+        ).alias("var_r"),
+    )
+    return (
+        terms.crossJoin(F.broadcast(v))
+        .filter(
+            (F.col("var_r") > 0)
+            & (F.col("r") * F.col("r") > F.lit(4.0) * F.col("var_r"))
+        )
+        .select(
+            "day",
+            "c",
+            (F.round(F.col("trend") + F.col("s"), 6) + F.lit(0.0)).alias("expected"),
+            (F.round(F.col("r"), 6) + F.lit(0.0)).alias("residual"),
+            (F.round(F.col("r") / F.sqrt(F.col("var_r")), 6) + F.lit(0.0)).alias("z_score"),
+        )
+        .orderBy("day")
+    )
+
+
 def ben1_benford_audit(orders: DataFrame) -> DataFrame:
     """Benford's-law audit of the leading digit of order values — the
     classical fabricated-data / synthetic-data smell test (Benford

@@ -838,3 +838,42 @@ def test_round9_operator_shuffle_budgets(spark, sf_dir):
         plan = plan_of(QUERIES[name](spark, sf_dir))
         ids = set(re.findall(r"(?<!Broadcast)Exchange \((\d+)\)", plan))
         assert len(ids) <= budget, f"{name}: {len(ids)} shuffles > budget {budget}\n{plan}"
+
+
+def test_round11_operator_shuffle_budgets(spark, sf_dir):
+    """Budgets for the round-11 additions (ceilings, broadcasts
+    excluded), measured on the RETURNED plan:
+      adrec1/pxrec1/hllrec1/mgrec1 — the sketch-error audits: each is
+            the exact-side reduction over the raw scan (map-side
+            combining), the ≤|groups|-row snapshot broadcast-joined,
+            and the result order; hllrec1 adds the union branch and
+            the all-days 1-row agg
+      mb1   7 — (order, part) distinct + the orderkey self-join feed +
+            pair/item aggs + the two partkey joins; the top-k cut is
+            TakeOrderedAndProject, never a full sort
+      burst1 6 — distributed_grouped_rank's range exchange rides the
+            construction-time checkpoint; the rn↔rn+1 null-safe
+            equi-join re-exchanges both bounded sides, then one
+            map-side-combining moment agg + result order
+      anom1 2 — the stl1 chain: spine/interior frames are checkpointed
+            at construction; the returned plan is the dow rollup and
+            the result order (trend MA join broadcasts, variance is a
+            1-row broadcast)
+      id1   2 — knn_bruteforce's top-k window exchange + the ≤|panel|
+            pivot agg; the readout is a 1-row filter
+    """
+    _reset_plan_state(spark)
+    budgets = {
+        "adrec1_distinct_error_audit": 3,
+        "pxrec1_percentile_rank_audit": 2,
+        "hllrec1_merge_error_audit": 5,
+        "mgrec1_heavy_hitter_audit": 2,
+        "mb1_part_affinity": 7,
+        "burst1_interarrival_burstiness": 6,
+        "anom1_seasonal_anomalies": 2,
+        "id1_intrinsic_dimension": 2,
+    }
+    for name, budget in budgets.items():
+        plan = plan_of(QUERIES[name](spark, sf_dir))
+        ids = set(re.findall(r"(?<!Broadcast)Exchange \((\d+)\)", plan))
+        assert len(ids) <= budget, f"{name}: {len(ids)} shuffles > budget {budget}\n{plan}"

@@ -1,0 +1,121 @@
+"""Round-11 operator batch: hand-computable fixtures for mb1 basket
+affinity, burst1 inter-arrival burstiness, anom1 seasonal anomalies and
+id1 intrinsic dimension (cross-engine value agreement lives in the
+three parity suites; THESE pin the semantics against worked examples)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from csv_crm_upload_spark.analytics import tpch
+from csv_crm_upload_spark.analytics.similarity import id1_intrinsic_dimension
+
+
+def test_mb1_support_confidence_lift_by_hand(spark):
+    rows = [
+        (1, 10), (1, 20), (1, 30),
+        (2, 10), (2, 20),
+        (3, 10),
+        (2, 20),  # duplicate line in one order: counted once
+    ]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    out = {(r["part_a"], r["part_b"]): r for r in tpch.mb1_part_affinity(li).collect()}
+    ab = out[(10, 20)]
+    assert ab["n_both"] == 2 and ab["n_a"] == 3 and ab["n_b"] == 2
+    assert ab["n_baskets"] == 3
+    assert ab["support"] == pytest.approx(2 / 3, abs=1e-6)
+    assert ab["confidence"] == pytest.approx(2 / 3, abs=1e-6)
+    assert ab["lift"] == pytest.approx(2 * 3 / (3 * 2), abs=1e-6)
+    assert (10, 30) in out and (20, 30) in out and len(out) == 3
+
+
+def test_mb1_empty_is_typed_empty(spark):
+    li = spark.createDataFrame([], "l_orderkey long, l_partkey long")
+    df = tpch.mb1_part_affinity(li)
+    assert df.count() == 0
+    assert "lift" in df.columns
+
+
+def _ev(rows):
+    return [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s), t)
+        for i, (s, t) in enumerate(rows)
+    ]
+
+
+def test_burst1_clock_vs_bursty(spark):
+    clock = [(60 * i, "clock") for i in range(10)]
+    bursty = [(s, "bursty") for s in [0, 1, 2, 3, 4, 1000, 1001, 1002, 1003, 2000]]
+    ev = spark.createDataFrame(
+        _ev(clock + bursty), "event_id long, ts timestamp, event_type string"
+    )
+    out = {r["event_type"]: r for r in tpch.burst1_interarrival_burstiness(ev).collect()}
+    # a perfect clock: sigma = 0 -> B = -1, cv = 0
+    assert out["clock"]["burstiness"] == pytest.approx(-1.0, abs=1e-6)
+    assert out["clock"]["cv"] == pytest.approx(0.0, abs=1e-6)
+    assert out["clock"]["mean_gap_s"] == pytest.approx(60.0, abs=1e-6)
+    # bursts: dispersion >> mean gap -> B well above the clock's -1
+    assert out["bursty"]["burstiness"] > 0.0
+    assert out["bursty"]["n_gaps"] == 9
+
+
+def test_burst1_small_groups_dropped(spark):
+    ev = spark.createDataFrame(
+        _ev([(0, "solo"), (10, "pair"), (20, "pair"), (0, "trio"), (10, "trio"), (40, "trio")]),
+        "event_id long, ts timestamp, event_type string",
+    )
+    out = {r["event_type"] for r in tpch.burst1_interarrival_burstiness(ev).collect()}
+    # solo: no gap; pair: one gap (n_gaps < 2) — both dropped; trio stays
+    assert out == {"trio"}
+
+
+def test_anom1_flags_the_planted_spike(spark):
+    rows = []
+    eid = 0
+    for d in range(28):
+        n = 500 if d == 14 else 100
+        for _ in range(n):
+            rows.append((eid, dt.datetime(2024, 1, 1 + d, 12, 0, 0)))
+            eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    out = tpch.anom1_seasonal_anomalies(ev).collect()
+    days = {r["day"].isoformat() for r in out}
+    assert "2024-01-15" in days  # the spike day
+    spike = next(r for r in out if r["day"].isoformat() == "2024-01-15")
+    assert spike["residual"] > 0 and spike["z_score"] > 2.0
+
+
+def test_anom1_constant_series_is_empty(spark):
+    rows = [
+        (d * 10 + j, dt.datetime(2024, 1, 1 + d, 12, 0, 0))
+        for d in range(21)
+        for j in range(5)
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    assert tpch.anom1_seasonal_anomalies(ev).count() == 0  # var_r = 0
+
+
+def test_id1_recovers_low_dimension_and_drops_duplicates(spark):
+    import math
+    import random
+
+    rng = random.Random(7)
+    # points on a 1-D curve embedded in 8-D: intrinsic dim should read
+    # far below ambient; vec 0 gets an exact duplicate (vec 100) so the
+    # d1=0 exclusion path is exercised
+    def pt(t):
+        return [math.cos(t), math.sin(t), t, 2 * t, 0.5 * t, math.cos(2 * t), math.sin(2 * t), 1.0]
+
+    rows = [(i, "a", pt(rng.random() * 6)) for i in range(100)]
+    rows.append((100, "a", rows[0][2]))
+    emb = spark.createDataFrame(rows, "vec_id long, label string, embedding array<float>")
+    out = id1_intrinsic_dimension(emb).collect()
+    assert len(out) == 1
+    r = out[0]
+    # query 0's nearest is its exact duplicate -> dropped; other panel
+    # queries may ALSO drop when a curve neighbor's cosine rounds to
+    # 1.0 at 6 dp (the same d1=0 exclusion, by design)
+    assert 5 <= r["n_queries"] <= 9
+    assert 0.1 < r["intrinsic_dim"] < 4.0

@@ -98,3 +98,13 @@ def test_snapshot_paths_are_pid_scoped(monkeypatch):
     assert str(os.getpid()) in sa.sketch_snapshot_dir()
     monkeypatch.setenv("SPARK_GRAFT_SKETCH_SNAPSHOT_DIR", "/tmp/explicit")
     assert sa.adrec1_snapshot_path() == "/tmp/explicit/adrec1.parquet"
+
+
+def test_mgrec1_within_bound_on_clean_fixture(spark, sf_dir, tmp_path):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = sa.mgrec1_heavy_hitter_audit(docs, str(tmp_path / "mg.parquet")).collect()
+    assert len(out) > 0  # the fixture corpus has heavy tokens
+    assert all(r["within_bound"] for r in out), out[:5]
+    # MG lower bounds never overcount and the recount is really exact
+    for r in out:
+        assert 0 <= r["undercount"] <= r["n_total"] // sa.MGREC1_K
