@@ -244,13 +244,16 @@ def _q_skw3(s: SparkSession, sf: str) -> DataFrame:
 # (the house rule: an operator ships with a driver row in its shipping
 # round); (b) the cohort the verdict names — the r9-greened ANN batch
 # plus the keys displaced from the r10 window for first-contact slots
-# (prune1/vq1/sil1/bqrec1, r7/r8 driver rows); (c) the 18 stalest
+# (prune1/vq1/sil1/bqrec1, r7/r8 driver rows); (c) the 16 stalest
 # remaining keys — the round-2 cohort (TPC-H headliners, the dedup
 # family, text batteries), whose last green rows are the oldest in the
-# ledger. The nine r2 keys that don't fit (t3_lang_id, t4_fingerprint,
-# top_customers, w1_top_orders_per_customer, set1_status_overlap,
-# set2_exclusive_open, str1_name_features, t1_token_count,
-# t2_quality_score) lead the r12 stale cohort.
+# ledger. The eleven r2 keys that don't fit (t3_lang_id,
+# t4_fingerprint, top_customers, w1_top_orders_per_customer,
+# set1_status_overlap, set2_exclusive_open, str1_name_features,
+# t1_token_count, t2_quality_score, q3_top_unshipped,
+# q5_region_revenue) lead the r12 stale cohort — q3/q5/t2/top/w1 also
+# run every round as bench HEADLINE queries, so their freshness risk
+# is the lowest of the cohort.
 _ROTATION_FRONT = [
     # (a) first contact — round-11 sketch-error audits + operator batch
     "adrec1_distinct_error_audit",
@@ -261,6 +264,8 @@ _ROTATION_FRONT = [
     "burst1_interarrival_burstiness",
     "anom1_seasonal_anomalies",
     "id1_intrinsic_dimension",
+    "surv1_conversion_survival",
+    "pur1_cluster_purity",
     # (b) the r10-verdict-named cohort
     "sim_knn_ivf",
     "pq1_quantized_knn",
@@ -291,8 +296,6 @@ _ROTATION_FRONT = [
     "mm_media_stats",
     "pctl_order_value",
     "q1_pricing_summary",
-    "q3_top_unshipped",
-    "q5_region_revenue",
 ]
 
 
@@ -1091,6 +1094,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 _t("documents")(s, sf), p
             )
         )(ska.mgrec1_snapshot_path()),
+        # round-11 second batch: Kaplan-Meier conversion survival and
+        # the kmeans external-quality (purity) audit
+        "surv1_conversion_survival": lambda s, sf: tpch.surv1_conversion_survival(
+            _t("events")(s, sf)
+        ),
+        "pur1_cluster_purity": lambda s, sf: clus.pur1_cluster_purity(
+            _t("embeddings")(s, sf)
+        ),
     }
     # Round-7 rotation (driver samples the FIRST 50 entries): slots 1-12
     # stay the pinned reference core; _ROTATION_FRONT then re-verifies the
@@ -6598,6 +6609,93 @@ def oracle_sql() -> dict[str, str]:
         SELECT n_queries,
                round(n_queries::DOUBLE / slog, 6) + 0.0 AS intrinsic_dim
         FROM mom WHERE n_queries > 0 AND slog > 0
+    """
+
+    # surv1: Kaplan-Meier — integer day durations, exact-integer risk
+    # sets, per-event-day ln(1-d/n) frozen to integer nano-units so the
+    # cumulative product folds longs (the hurst1 association rule);
+    # d = n carries an explicit zero flag (ln(0) is not a number)
+    q["surv1_conversion_survival"] = """
+        WITH views AS (
+          SELECT user_id, MIN(ts) AS fv FROM events
+          WHERE event_type = 'view' AND ts IS NOT NULL GROUP BY 1
+        ),
+        fp AS (
+          SELECT e.user_id, MIN(e.ts) AS fp
+          FROM events e JOIN views v USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts >= v.fv GROUP BY 1
+        ),
+        le AS (
+          SELECT e.user_id, MAX(e.ts) AS le
+          FROM events e JOIN views v USING (user_id) GROUP BY 1
+        ),
+        subj AS (
+          SELECT CAST(date_diff('day', CAST(v.fv AS DATE),
+                                 CAST(COALESCE(p.fp, l.le) AS DATE)) AS BIGINT)
+                   AS t_days,
+                 CASE WHEN p.fp IS NOT NULL THEN 1 ELSE 0 END AS obs
+          FROM views v LEFT JOIN fp p USING (user_id) JOIN le l USING (user_id)
+        ),
+        counts AS (
+          SELECT t_days, CAST(SUM(obs) AS BIGINT) AS n_ev,
+                 CAST(SUM(1 - obs) AS BIGINT) AS n_cens
+          FROM subj GROUP BY 1
+        ),
+        tot AS (SELECT CAST(SUM(n_ev + n_cens) AS BIGINT) AS n_total FROM counts),
+        pre AS (
+          SELECT t_days, n_ev, n_cens,
+                 CAST(n_total - (SUM(n_ev + n_cens) OVER (ORDER BY t_days)
+                                 - n_ev - n_cens) AS BIGINT) AS n_at_risk
+          FROM counts, tot
+        ),
+        evd AS (
+          SELECT t_days, n_ev, n_cens, n_at_risk,
+                 CASE WHEN n_ev = n_at_risk THEN CAST(0 AS BIGINT)
+                      ELSE CAST(round(ln(1.0 - n_ev::DOUBLE / n_at_risk::DOUBLE)
+                                      * 1000000000.0, 0) AS BIGINT) END AS ln_nano,
+                 CASE WHEN n_ev = n_at_risk THEN 1 ELSE 0 END AS zf
+          FROM pre WHERE n_ev > 0
+        ),
+        km AS (
+          SELECT t_days, n_at_risk, n_ev, n_cens,
+                 SUM(ln_nano) OVER (ORDER BY t_days) AS cum_ln,
+                 SUM(zf) OVER (ORDER BY t_days) AS cum_z
+          FROM evd
+        )
+        SELECT t_days, n_at_risk, n_ev AS n_events, n_cens AS n_censored,
+               CASE WHEN cum_z > 0 THEN 0.0
+                    ELSE round(exp(cum_ln::DOUBLE / 1000000000.0), 6) END + 0.0
+                 AS survival
+        FROM km ORDER BY t_days
+    """
+
+    # pur1: majority-label purity over the kmeans fit chain — the a2
+    # assignment joined back to labels; majority pick (count DESC,
+    # label ASC NULLS FIRST — explicit: default null order differs
+    # across engines); one double division of exact longs
+    q["pur1_cluster_purity"] = f"""
+        WITH {_km_prefix},
+        a2 AS (SELECT vec_id, cluster_id FROM r2 WHERE rn = 1),
+        cl AS (
+          SELECT a.cluster_id, e.label, CAST(COUNT(*) AS BIGINT) AS n
+          FROM a2 a JOIN embeddings e USING (vec_id)
+          GROUP BY 1, 2
+        ),
+        tot AS (
+          SELECT cluster_id, CAST(SUM(n) AS BIGINT) AS n_members
+          FROM cl GROUP BY 1
+        ),
+        top AS (
+          SELECT cluster_id, label AS top_label, n AS n_top
+          FROM (SELECT *, row_number() OVER (
+                  PARTITION BY cluster_id
+                  ORDER BY n DESC, label ASC NULLS FIRST) AS rn FROM cl)
+          WHERE rn = 1
+        )
+        SELECT t.cluster_id, o.n_members, t.top_label, t.n_top,
+               round(t.n_top::DOUBLE / o.n_members::DOUBLE, 6) + 0.0 AS purity
+        FROM top t JOIN tot o USING (cluster_id)
+        ORDER BY t.cluster_id
     """
 
     # mgrec1: the Misra-Gries audit — estimates frozen in the snapshot

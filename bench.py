@@ -131,6 +131,17 @@ EXTRA = [
     "rbo1_rank_agreement",
     "hurst1_long_memory",
     "cal2_brier_decomposition",
+    # round-11 additions (sketch-error audits + operator batch)
+    "adrec1_distinct_error_audit",
+    "pxrec1_percentile_rank_audit",
+    "hllrec1_merge_error_audit",
+    "mgrec1_heavy_hitter_audit",
+    "mb1_part_affinity",
+    "burst1_interarrival_burstiness",
+    "anom1_seasonal_anomalies",
+    "id1_intrinsic_dimension",
+    "surv1_conversion_survival",
+    "pur1_cluster_purity",
 ]
 
 # the five heaviest fit-per-call EXTRA entries also get a WARM

@@ -667,3 +667,54 @@ def prune1_prototype_pruning(
             <= F.col("n_label") * F.lit(keep_num)
         ).alias("keep"),
     ).orderBy("label", "prune_rank")
+
+
+def pur1_cluster_purity(
+    embeddings: DataFrame, k: int = 8, iters: int = 2
+) -> DataFrame:
+    """External cluster-quality audit of the kmeans1 fit against the
+    corpus labels: per cluster, the majority label's share (purity) —
+    the label-agreement readout that says whether kmeans1's topic
+    slices line up with a known taxonomy (sil1 measures geometric
+    separation; THIS measures semantic agreement; both read the same
+    shared fit).
+
+    Determinism: the assignment is kmeans_assignments' (the oracle-
+    unrolled fit chain); majority pick orders by (count DESC, label ASC
+    NULLS FIRST) — explicit null placement because the engines' default
+    null ordering differs and an unlabeled (NULL-label) group is a
+    legitimate tie contender. Purity is one double division of exact
+    longs rounded to 6 dp.
+
+    Scale shape: the fit is kmeans1's; the readout is one (cluster,
+    label) combining agg + a ≤k·|labels| window + a ≤k-row rollup."""
+    from pyspark.sql import Window
+
+    asg = kmeans_assignments(embeddings, k, iters).select("vec_id", "cluster_id")
+    cl = (
+        asg.join(embeddings.select("vec_id", "label"), "vec_id")
+        .groupBy("cluster_id", "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n").desc(), F.col("label").asc_nulls_first()
+    )
+    ranked = cl.withColumn("rn", F.row_number().over(w))
+    tot = cl.groupBy("cluster_id").agg(F.sum("n").cast("long").alias("n_members"))
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .join(tot, "cluster_id")
+        .select(
+            "cluster_id",
+            "n_members",
+            F.col("label").alias("top_label"),
+            F.col("n").alias("n_top"),
+            (
+                F.round(
+                    F.col("n").cast("double") / F.col("n_members").cast("double"), 6
+                )
+                + F.lit(0.0)
+            ).alias("purity"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -1998,6 +1998,114 @@ def anom1_seasonal_anomalies(events: DataFrame) -> DataFrame:
     )
 
 
+def surv1_conversion_survival(events: DataFrame) -> DataFrame:
+    """Kaplan–Meier product-limit estimator (Kaplan & Meier 1958) of
+    the view→purchase conversion time, with right-censoring: subjects
+    are users with ≥1 view; the event is their first purchase at or
+    after the first view; users who never convert are CENSORED at
+    their last observed activity — the survival curve S(t) = P(still
+    unconverted after t days) that lag1's quartiles (converted users
+    only) silently bias.
+
+    Cross-engine exactness: durations are calendar-day integers; the
+    risk set n(t) = total − (started earlier) is exact integer prefix
+    arithmetic; each event day's log term ln(1 − d/n) is one double ln
+    of an exact-integer ratio, rounded to integer NANO-units, so the
+    cumulative product Π(1 − d/n) = exp(Σ ln-nanos / 1e9) folds exact
+    longs (the hurst1 association rule) — with an explicit zero flag
+    for a day where d = n (S drops to exactly 0; ln(0) is not a
+    number). Subjects whose first view has no timestamp are excluded
+    up front (a NULL duration would order differently across engines).
+
+    Scale shape: three user-keyed aggs (one shuffle each), then
+    everything runs at the duration-day grain (calendar-bounded):
+    both cumulative passes ride distributed_prefix_sums (range
+    partitioning — never a single-partition window)."""
+    views = (
+        events.filter((F.col("event_type") == "view") & F.col("ts").isNotNull())
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fv"))
+    )
+    purch = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(views, "user_id")
+        .filter(F.col("ts") >= F.col("fv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fp"))
+    )
+    last = (
+        events.join(views.select("user_id"), "user_id")
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("le"))
+    )
+    subj = (
+        views.join(purch, "user_id", "left")
+        .join(last, "user_id")
+        .select(
+            F.datediff(
+                F.to_date(F.coalesce(F.col("fp"), F.col("le"))), F.to_date(F.col("fv"))
+            )
+            .cast("long")
+            .alias("t_days"),
+            F.when(F.col("fp").isNotNull(), 1).otherwise(0).alias("obs"),
+        )
+    )
+    counts = subj.groupBy("t_days").agg(
+        F.sum("obs").cast("long").alias("n_ev"),
+        F.sum(F.lit(1) - F.col("obs")).cast("long").alias("n_cens"),
+    )
+    pre, totals = distributed_prefix_sums(
+        counts, ["t_days"], ["n_ev", "n_cens"], ["cum_ev", "cum_cens"]
+    )
+    n_total = totals.get("n_ev", 0) + totals.get("n_cens", 0)
+    if n_total == 0:
+        return events.sparkSession.createDataFrame(
+            [],
+            "t_days long, n_at_risk long, n_events long, n_censored long, "
+            "survival double",
+        )
+    risk = (
+        F.lit(n_total)
+        - (F.col("cum_ev") + F.col("cum_cens") - F.col("n_ev") - F.col("n_cens"))
+    ).cast("long")
+    evd = pre.filter(F.col("n_ev") > 0).select(
+        "t_days",
+        "n_ev",
+        "n_cens",
+        risk.alias("n_at_risk"),
+    )
+    ln_nano = F.when(F.col("n_ev") == F.col("n_at_risk"), F.lit(0).cast("long")).otherwise(
+        F.round(
+            F.log(
+                F.lit(1.0)
+                - F.col("n_ev").cast("double") / F.col("n_at_risk").cast("double")
+            )
+            * F.lit(1000000000.0),
+            0,
+        ).cast("long")
+    )
+    zf = F.when(F.col("n_ev") == F.col("n_at_risk"), 1).otherwise(0).cast("long")
+    evd2 = evd.select(
+        "t_days", "n_ev", "n_cens", "n_at_risk", ln_nano.alias("ln_nano"), zf.alias("zf")
+    )
+    km, _ = distributed_prefix_sums(
+        evd2, ["t_days"], ["ln_nano", "zf"], ["cum_ln", "cum_z"]
+    )
+    surv = (
+        F.when(F.col("cum_z") > 0, F.lit(0.0)).otherwise(
+            F.round(F.exp(F.col("cum_ln").cast("double") / F.lit(1000000000.0)), 6)
+        )
+        + F.lit(0.0)
+    )
+    return km.select(
+        "t_days",
+        "n_at_risk",
+        F.col("n_ev").alias("n_events"),
+        F.col("n_cens").alias("n_censored"),
+        surv.alias("survival"),
+    ).orderBy("t_days")
+
+
 def ben1_benford_audit(orders: DataFrame) -> DataFrame:
     """Benford's-law audit of the leading digit of order values — the
     classical fabricated-data / synthetic-data smell test (Benford

@@ -872,6 +872,14 @@ def test_round11_operator_shuffle_budgets(spark, sf_dir):
         "burst1_interarrival_burstiness": 6,
         "anom1_seasonal_anomalies": 2,
         "id1_intrinsic_dimension": 2,
+        # surv1: the three user-keyed aggs feed the construction-time
+        # prefix-sum checkpoints; the returned plan is the final KM
+        # readout + result order over duration-day-bounded rows
+        "surv1_conversion_survival": 2,
+        # pur1: the fit is kmeans1's (construction-time); the readout is
+        # the (cluster, label) agg, its vec_id assignment join, the
+        # ≤k·|labels| majority window, the ≤k totals rollup + order
+        "pur1_cluster_purity": 5,
     }
     for name, budget in budgets.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))

@@ -119,3 +119,56 @@ def test_id1_recovers_low_dimension_and_drops_duplicates(spark):
     # 1.0 at 6 dp (the same d1=0 exclusion, by design)
     assert 5 <= r["n_queries"] <= 9
     assert 0.1 < r["intrinsic_dim"] < 4.0
+
+
+def test_surv1_km_by_hand(spark):
+    base = dt.datetime(2024, 3, 1, 10, 0, 0)
+
+    def at(day):
+        return base + dt.timedelta(days=day)
+
+    rows = [
+        # u1, u2: view d0 -> purchase d2
+        (1, at(0), 1, "view"), (2, at(2), 1, "purchase"),
+        (3, at(0), 2, "view"), (4, at(2), 2, "purchase"),
+        # u3: view d0, last activity d5, never purchases (censored)
+        (5, at(0), 3, "view"), (6, at(5), 3, "cart"),
+        # u4: view d0 -> purchase d7 (the last at-risk subject: S -> 0)
+        (7, at(0), 4, "view"), (8, at(7), 4, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {r["t_days"]: r for r in tpch.surv1_conversion_survival(ev).collect()}
+    assert set(out) == {2, 7}
+    assert out[2]["n_at_risk"] == 4 and out[2]["n_events"] == 2
+    assert out[2]["survival"] == pytest.approx(0.5, abs=1e-6)
+    # at t=7 the sole remaining subject converts: d = n -> S drops to 0
+    assert out[7]["n_at_risk"] == 1 and out[7]["survival"] == 0.0
+
+
+def test_surv1_no_viewers_is_empty(spark):
+    ev = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1, "purchase")],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    assert tpch.surv1_conversion_survival(ev).count() == 0
+
+
+def test_pur1_purity_on_planted_clusters(spark):
+    from csv_crm_upload_spark.analytics.clustering import pur1_cluster_purity
+
+    rows = [
+        (0, "a", [1.0, 0.0]),
+        (1, "b", [0.0, 1.0]),
+        (2, "a", [0.9, 0.1]),
+        (3, "a", [0.9, 0.1]),
+        (4, "b", [0.95, 0.05]),
+        (5, "b", [0.1, 0.9]),
+        (6, "b", [0.1, 0.9]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, label string, embedding array<float>")
+    out = {r["cluster_id"]: r for r in pur1_cluster_purity(emb, k=2).collect()}
+    assert out[0]["top_label"] == "a" and out[0]["n_members"] == 4
+    assert out[0]["purity"] == pytest.approx(0.75, abs=1e-6)
+    assert out[1]["top_label"] == "b" and out[1]["purity"] == pytest.approx(1.0)
