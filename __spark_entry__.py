@@ -244,16 +244,16 @@ def _q_skw3(s: SparkSession, sf: str) -> DataFrame:
 # (the house rule: an operator ships with a driver row in its shipping
 # round); (b) the cohort the verdict names — the r9-greened ANN batch
 # plus the keys displaced from the r10 window for first-contact slots
-# (prune1/vq1/sil1/bqrec1, r7/r8 driver rows); (c) the 16 stalest
+# (prune1/vq1/sil1/bqrec1, r7/r8 driver rows); (c) the 14 stalest
 # remaining keys — the round-2 cohort (TPC-H headliners, the dedup
 # family, text batteries), whose last green rows are the oldest in the
-# ledger. The eleven r2 keys that don't fit (t3_lang_id,
+# ledger. The thirteen r2 keys that don't fit (t3_lang_id,
 # t4_fingerprint, top_customers, w1_top_orders_per_customer,
 # set1_status_overlap, set2_exclusive_open, str1_name_features,
 # t1_token_count, t2_quality_score, q3_top_unshipped,
-# q5_region_revenue) lead the r12 stale cohort — q3/q5/t2/top/w1 also
-# run every round as bench HEADLINE queries, so their freshness risk
-# is the lowest of the cohort.
+# q5_region_revenue, q1_pricing_summary, e1_sessionize) lead the r12
+# stale cohort — eight of those thirteen also run every round as bench
+# HEADLINE queries.
 _ROTATION_FRONT = [
     # (a) first contact — round-11 sketch-error audits + operator batch
     "adrec1_distinct_error_audit",
@@ -266,6 +266,8 @@ _ROTATION_FRONT = [
     "id1_intrinsic_dimension",
     "surv1_conversion_survival",
     "pur1_cluster_purity",
+    "ent1_transition_entropy",
+    "wau1_rolling_weekly_active",
     # (b) the r10-verdict-named cohort
     "sim_knn_ivf",
     "pq1_quantized_knn",
@@ -289,13 +291,11 @@ _ROTATION_FRONT = [
     "dd_minhash_lsh",
     "dd_ngram_jaccard",
     "dd_simhash",
-    "e1_sessionize",
     "g1_rollup_revenue",
     "h1_active_customers",
     "j1_brand_margin",
     "mm_media_stats",
     "pctl_order_value",
-    "q1_pricing_summary",
 ]
 
 
@@ -1101,6 +1101,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "pur1_cluster_purity": lambda s, sf: clus.pur1_cluster_purity(
             _t("embeddings")(s, sf)
+        ),
+        # round-11 third batch: journey predictability and the WAU curve
+        "ent1_transition_entropy": lambda s, sf: tpch.ent1_transition_entropy(
+            _t("events")(s, sf)
+        ),
+        "wau1_rolling_weekly_active": lambda s, sf: tpch.wau1_rolling_weekly_active(
+            _t("events")(s, sf)
         ),
     }
     # Round-7 rotation (driver samples the FIRST 50 entries): slots 1-12
@@ -6696,6 +6703,53 @@ def oracle_sql() -> dict[str, str]:
                round(t.n_top::DOUBLE / o.n_members::DOUBLE, 6) + 0.0 AS purity
         FROM top t JOIN tot o USING (cluster_id)
         ORDER BY t.cluster_id
+    """
+
+    # ent1: conditional entropy over m1's transition matrix — exact
+    # long counts, 9-dp decimal −p·log2(p) term sums, log2(1) guard
+    q["ent1_transition_entropy"] = f"""
+        WITH trans AS ({q["m1_event_transitions"]}),
+        tot AS (
+          SELECT prev_type, CAST(SUM(n_transitions) AS BIGINT) AS n_from,
+                 CAST(COUNT(*) AS BIGINT) AS n_next
+          FROM trans GROUP BY prev_type
+        ),
+        terms AS (
+          SELECT t.prev_type, o.n_from, o.n_next,
+                 CAST(round(-(t.n_transitions::DOUBLE / o.n_from::DOUBLE)
+                            * log2(t.n_transitions::DOUBLE / o.n_from::DOUBLE), 9)
+                      AS DECIMAL(38,12)) AS term
+          FROM trans t JOIN tot o USING (prev_type)
+        )
+        SELECT prev_type, n_from, n_next AS n_distinct_next,
+               round(SUM(term)::DOUBLE, 6) + 0.0 AS entropy_bits,
+               CASE WHEN n_next > 1
+                    THEN round(SUM(term)::DOUBLE / log2(n_next::DOUBLE), 6)
+                    ELSE 0.0 END + 0.0 AS norm_entropy
+        FROM terms GROUP BY prev_type, n_from, n_next
+        ORDER BY prev_type
+    """
+
+    # wau1: sliding 7-day distinct actives — the (user, day) dedup votes
+    # into its 7 window-end days (exploded equi offsets, never a range
+    # self-join); zero-filled off the calendar spine
+    q["wau1_rolling_weekly_active"] = f"""
+        WITH {_DAILY_SPINE},
+        ud AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+          FROM events WHERE ts IS NOT NULL
+        ),
+        votes AS (
+          SELECT user_id, day + CAST(r.o AS INT) AS day
+          FROM ud, UNNEST(range(0, 7)) AS r(o)
+        ),
+        wau AS (
+          SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+          FROM votes GROUP BY day
+        )
+        SELECT s.day, COALESCE(w.wau, 0)::BIGINT AS wau
+        FROM filled s LEFT JOIN wau w USING (day)
+        ORDER BY s.day
     """
 
     # mgrec1: the Misra-Gries audit — estimates frozen in the snapshot

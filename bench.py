@@ -142,6 +142,8 @@ EXTRA = [
     "id1_intrinsic_dimension",
     "surv1_conversion_survival",
     "pur1_cluster_purity",
+    "ent1_transition_entropy",
+    "wau1_rolling_weekly_active",
 ]
 
 # the five heaviest fit-per-call EXTRA entries also get a WARM

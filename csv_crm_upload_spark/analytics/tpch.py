@@ -2989,6 +2989,94 @@ def m1_event_transitions(events: DataFrame) -> DataFrame:
     )
 
 
+def ent1_transition_entropy(events: DataFrame) -> DataFrame:
+    """Per-state conditional entropy of the user-journey Markov chain
+    (Shannon 1948 over m1's transition counts): for each previous
+    event type, H(next | prev) in bits plus its normalized form
+    H / log2(|next alphabet|) — the predictability readout: a state
+    with near-zero entropy funnels users deterministically; near-1
+    normalized entropy means the next step is anyone's guess.
+
+    Cross-engine exactness: transition counts are exact longs; each
+    −p·log2(p) term is one double composition of an exact integer
+    ratio rounded to 9 dp into DECIMAL sums (order-free); the readout
+    divides/rounds once. A prev state with ONE distinct successor has
+    log2(1) = 0 in the denominator — normalized entropy is defined 0
+    there (the state is perfectly predictable), never 0/0.
+
+    Scale shape: m1's keyed window + combining agg collapse the corpus
+    to the |types|² transition matrix; everything here runs at that
+    bounded grain."""
+    trans = m1_event_transitions(events)
+    tot = trans.groupBy("prev_type").agg(
+        F.sum("n_transitions").cast("long").alias("n_from"),
+        F.count(F.lit(1)).cast("long").alias("n_next"),
+    )
+    p = F.col("n_transitions").cast("double") / F.col("n_from").cast("double")
+    terms = trans.join(tot, "prev_type").select(
+        "prev_type",
+        "n_from",
+        "n_next",
+        F.round(-p * F.log2(p), 9).cast("decimal(38,12)").alias("term"),
+    )
+    h = F.col("h_raw").cast("double")
+    return (
+        terms.groupBy("prev_type", "n_from", "n_next")
+        .agg(F.sum("term").alias("h_raw"))
+        .select(
+            "prev_type",
+            "n_from",
+            F.col("n_next").alias("n_distinct_next"),
+            (F.round(h, 6) + F.lit(0.0)).alias("entropy_bits"),
+            (
+                F.when(F.col("n_next") > 1, F.round(h / F.log2(F.col("n_next").cast("double")), 6))
+                .otherwise(F.lit(0.0))
+                + F.lit(0.0)
+            ).alias("norm_entropy"),
+        )
+        .orderBy("prev_type")
+    )
+
+
+def wau1_rolling_weekly_active(events: DataFrame) -> DataFrame:
+    """Rolling 7-day active users per calendar day — THE engagement
+    curve (WAU at day grain). A sliding DISTINCT is not a sum of daily
+    distincts; the scalable exact form dedups to (user, day) pairs
+    once, then each pair votes for the 7 window-END days it keeps
+    active ([day, day+6] — an exploded EQUI join, acf1's offset
+    discipline, never a range self-join), and one count-distinct per
+    end day finishes it. Days inside the observed span with no active
+    window are zero-filled off the calendar spine.
+
+    Cross-engine exactness: everything is exact integer counting on
+    calendar dates (count_distinct ignores NULL user ids in both
+    engines).
+
+    Scale shape: the (user, day) dedup is the one corpus-sized shuffle
+    (map-side combining); the vote explode is a fixed 7× of the
+    DEDUPED pairs; the per-day distinct agg shuffles (day, user) keys;
+    the spine join is calendar-bounded."""
+    daily, spine = _daily_spine(events)
+    ud = (
+        events.filter(F.col("ts").isNotNull())
+        .select("user_id", F.to_date(F.col("ts")).alias("day"))
+        .distinct()
+    )
+    votes = ud.select(
+        "user_id",
+        F.explode(F.array(*[F.lit(o) for o in range(7)])).alias("o"),
+        "day",
+    ).select("user_id", F.date_add(F.col("day"), F.col("o")).alias("day"))
+    wau = votes.groupBy("day").agg(
+        F.count_distinct("user_id").cast("long").alias("wau")
+    )
+    return (
+        spine.join(wau, "day", "left")
+        .select("day", F.coalesce(F.col("wau"), F.lit(0)).cast("long").alias("wau"))
+        .orderBy("day")
+    )
+
+
 def asof1_purchase_view_asof(events: DataFrame) -> DataFrame:
     """AS-OF join — for every purchase, the most recent prior 'view' by
     the same user (attribution: "which impression led to this sale").

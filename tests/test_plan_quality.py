@@ -880,6 +880,12 @@ def test_round11_operator_shuffle_budgets(spark, sf_dir):
         # the (cluster, label) agg, its vec_id assignment join, the
         # ≤k·|labels| majority window, the ≤k totals rollup + order
         "pur1_cluster_purity": 5,
+        # ent1: m1's keyed lag window + transition agg, then the
+        # |types|-bounded totals join, term agg and order
+        "ent1_transition_entropy": 6,
+        # wau1: the (user, day) dedup + the (day, user) distinct agg are
+        # the two corpus shuffles; spine join + order are day-bounded
+        "wau1_rolling_weekly_active": 4,
     }
     for name, budget in budgets.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))

@@ -172,3 +172,44 @@ def test_pur1_purity_on_planted_clusters(spark):
     assert out[0]["top_label"] == "a" and out[0]["n_members"] == 4
     assert out[0]["purity"] == pytest.approx(0.75, abs=1e-6)
     assert out[1]["top_label"] == "b" and out[1]["purity"] == pytest.approx(1.0)
+
+
+def test_ent1_deterministic_vs_uniform_state(spark):
+    # 'det' always goes to 'x' (H = 0); 'unif' splits evenly over
+    # x/y/z/w (H = 2 bits, normalized 1.0)
+    rows = []
+    eid = 0
+    for u, seq in enumerate(
+        [["det", "x"]] * 4
+        + [["unif", "x"], ["unif", "y"], ["unif", "z"], ["unif", "w"]]
+    ):
+        for i, t in enumerate(seq):
+            rows.append((eid, dt.datetime(2024, 1, 1, 0, 0, eid % 60), u, t))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {r["prev_type"]: r for r in tpch.ent1_transition_entropy(ev).collect()}
+    assert out["det"]["entropy_bits"] == pytest.approx(0.0, abs=1e-6)
+    assert out["det"]["norm_entropy"] == 0.0  # log2(1) guard
+    assert out["unif"]["entropy_bits"] == pytest.approx(2.0, abs=1e-6)
+    assert out["unif"]["norm_entropy"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_wau1_sliding_distinct_by_hand(spark):
+    base = dt.datetime(2024, 5, 1, 9, 0, 0)
+    rows = [
+        (1, base, 1),                             # u1 active day 0
+        (2, base, 1),                             # same user+day: dedup
+        (3, base + dt.timedelta(days=3), 2),      # u2 day 3
+        (4, base + dt.timedelta(days=9), 1),      # u1 day 9
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    out = {r["day"].isoformat(): r["wau"] for r in tpch.wau1_rolling_weekly_active(ev).collect()}
+    # span = day0..day9 (10 spine days)
+    assert len(out) == 10
+    assert out["2024-05-01"] == 1          # window [-6, 0]: u1
+    assert out["2024-05-04"] == 2          # u1 (day0) + u2 (day3)
+    assert out["2024-05-07"] == 2          # day0 still in [1,7]... u1@0 in, u2@3 in
+    assert out["2024-05-08"] == 1          # u1@0 aged out, u2@3 in
+    assert out["2024-05-10"] == 2          # u2@3 still in (<=9), u1@9 in
