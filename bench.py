@@ -155,6 +155,12 @@ EXTRA_WARM = {
     "pca2_projected_knn",
     "pca1_covariance",
     "ivfpq1_quantized_knn",
+    # round-11: the warm samples now measure the fit-MEMO hit path
+    # (fitmemo.py) — warm << cold here is the memo working as designed,
+    # and pcarec1 joins the set so the r11 extras table can show it
+    "pcarec1_pca_recall_audit",
+    "pq1_quantized_knn",
+    "sim_knn_ivf",
 }
 # pca_model_build (the fifth) lives in the build/probe section below
 # and gets its warm sample there.
