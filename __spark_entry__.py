@@ -244,16 +244,16 @@ def _q_skw3(s: SparkSession, sf: str) -> DataFrame:
 # (the house rule: an operator ships with a driver row in its shipping
 # round); (b) the cohort the verdict names — the r9-greened ANN batch
 # plus the keys displaced from the r10 window for first-contact slots
-# (prune1/vq1/sil1/bqrec1, r7/r8 driver rows); (c) the 14 stalest
+# (prune1/vq1/sil1/bqrec1, r7/r8 driver rows); (c) the 12 stalest
 # remaining keys — the round-2 cohort (TPC-H headliners, the dedup
 # family, text batteries), whose last green rows are the oldest in the
-# ledger. The thirteen r2 keys that don't fit (t3_lang_id,
+# ledger. The fifteen r2 keys that don't fit (t3_lang_id,
 # t4_fingerprint, top_customers, w1_top_orders_per_customer,
 # set1_status_overlap, set2_exclusive_open, str1_name_features,
 # t1_token_count, t2_quality_score, q3_top_unshipped,
-# q5_region_revenue, q1_pricing_summary, e1_sessionize) lead the r12
-# stale cohort — eight of those thirteen also run every round as bench
-# HEADLINE queries.
+# q5_region_revenue, q1_pricing_summary, e1_sessionize, dd_exact_dups,
+# dd_minhash_lsh) lead the r12 stale cohort — ten of those fifteen
+# also run every round as bench HEADLINE queries.
 _ROTATION_FRONT = [
     # (a) first contact — round-11 sketch-error audits + operator batch
     "adrec1_distinct_error_audit",
@@ -268,6 +268,8 @@ _ROTATION_FRONT = [
     "pur1_cluster_purity",
     "ent1_transition_entropy",
     "wau1_rolling_weekly_active",
+    "hll2_overlap_audit",
+    "ret1_rolling_retention",
     # (b) the r10-verdict-named cohort
     "sim_knn_ivf",
     "pq1_quantized_knn",
@@ -287,8 +289,6 @@ _ROTATION_FRONT = [
     "dagg1_distinct_suppliers",
     "dd_dup_clusters",
     "dd_embed_neardup",
-    "dd_exact_dups",
-    "dd_minhash_lsh",
     "dd_ngram_jaccard",
     "dd_simhash",
     "g1_rollup_revenue",
@@ -1107,6 +1107,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t("events")(s, sf)
         ),
         "wau1_rolling_weekly_active": lambda s, sf: tpch.wau1_rolling_weekly_active(
+            _t("events")(s, sf)
+        ),
+        # round-11 fourth batch: sketch-ALGEBRA audit (inclusion-
+        # exclusion overlap) and the forward-retention curve
+        "hll2_overlap_audit": (
+            lambda p: lambda s, sf: ska.hll2_overlap_audit(_t("events")(s, sf), p)
+        )(ska.hll2_snapshot_path()),
+        "ret1_rolling_retention": lambda s, sf: tpch.ret1_rolling_retention(
             _t("events")(s, sf)
         ),
     }
@@ -6750,6 +6758,68 @@ def oracle_sql() -> dict[str, str]:
         SELECT s.day, COALESCE(w.wau, 0)::BIGINT AS wau
         FROM filled s LEFT JOIN wau w USING (day)
         ORDER BY s.day
+    """
+
+    # hll2: inclusion-exclusion overlap audit — per-pair estimates
+    # frozen in the snapshot; exact overlap recounted from raw events;
+    # the verdict allows HLL2_BOUND of the summed estimate magnitudes
+    # (subtracting three sketches ADDS absolute errors)
+    q["hll2_overlap_audit"] = f"""
+        WITH snap AS (
+          SELECT type_a, type_b, est_a, est_b, est_union
+          FROM read_parquet('{ska.hll2_snapshot_path()}/*.parquet')
+        ),
+        tu AS (
+          SELECT DISTINCT event_type, user_id FROM events
+          WHERE user_id IS NOT NULL
+        ),
+        exact AS (
+          SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 CAST(COUNT(*) AS BIGINT) AS exact_intersect
+          FROM tu a JOIN tu b
+            ON a.user_id = b.user_id AND a.event_type < b.event_type
+          GROUP BY 1, 2
+        )
+        SELECT s.type_a, s.type_b,
+               CAST(s.est_a + s.est_b - s.est_union AS BIGINT) AS est_intersect,
+               COALESCE(e.exact_intersect, 0)::BIGINT AS exact_intersect,
+               CAST(abs(s.est_a + s.est_b - s.est_union
+                        - COALESCE(e.exact_intersect, 0)) AS BIGINT) AS abs_err,
+               abs(s.est_a + s.est_b - s.est_union
+                   - COALESCE(e.exact_intersect, 0))::DOUBLE
+                 <= {ska.HLL2_BOUND} * (s.est_a + s.est_b + s.est_union)::DOUBLE
+                 AS within_bound
+        FROM snap s LEFT JOIN exact e USING (type_a, type_b)
+        ORDER BY s.type_a, s.type_b
+    """
+
+    # ret1: forward 7-day retention — return visits vote into the 7
+    # PRIOR days (exploded equi offsets); integer distinct counts, one
+    # double division; active-days only
+    q["ret1_rolling_retention"] = """
+        WITH ud AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+          FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        ),
+        future AS (
+          SELECT user_id, day - CAST(r.o AS INT) AS day
+          FROM ud, UNNEST(range(1, 8)) AS r(o)
+        ),
+        retained AS (
+          SELECT u.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS n_retained
+          FROM ud u JOIN future f ON u.user_id = f.user_id AND u.day = f.day
+          GROUP BY u.day
+        ),
+        active AS (
+          SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+          FROM ud GROUP BY day
+        )
+        SELECT a.day, a.n_active,
+               COALESCE(r.n_retained, 0)::BIGINT AS n_retained,
+               round(COALESCE(r.n_retained, 0)::DOUBLE / a.n_active::DOUBLE, 6)
+                 + 0.0 AS retention
+        FROM active a LEFT JOIN retained r USING (day)
+        ORDER BY a.day
     """
 
     # mgrec1: the Misra-Gries audit — estimates frozen in the snapshot

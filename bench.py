@@ -144,6 +144,8 @@ EXTRA = [
     "pur1_cluster_purity",
     "ent1_transition_entropy",
     "wau1_rolling_weekly_active",
+    "hll2_overlap_audit",
+    "ret1_rolling_retention",
 ]
 
 # the five heaviest fit-per-call EXTRA entries also get a WARM

@@ -334,3 +334,104 @@ def mgrec1_heavy_hitter_audit(
         )
         .orderBy(F.col("est_count").desc(), "tok")
     )
+
+
+def hll2_snapshot_path() -> str:
+    return f"{sketch_snapshot_dir()}/hll2.parquet"
+
+
+#: 3-sigma-ish envelope for the inclusion-exclusion INTERSECTION
+#: estimate: each of the three HLL cardinalities (|A|, |B|, |A∪B|)
+#: carries rsd ≈ 1.63% at the default lgConfigK=12, and the estimator
+#: subtracts them, so errors ADD in the worst case — the audit allows
+#: 5% of the summed magnitudes (≈ 3σ with full correlation headroom).
+HLL2_BOUND = 0.05
+
+
+def hll2_overlap_estimates(events: DataFrame) -> DataFrame:
+    """Sketch-algebra audience overlap: |A ∩ B| per event-type pair by
+    inclusion-exclusion over HLL sketches (est_a + est_b − est_union,
+    the union via lossless register merge) — THE cross-audience
+    question ("how many purchasers also error?") answered from stored
+    per-segment sketches without rescanning raw events. One corpus
+    scan builds |types| sketches; the pair table is |types|²-bounded.
+    Estimates are engine-specific (rows-only by nature) — the
+    oracle-paired surface is hll2_overlap_audit below."""
+    from pyspark.sql import functions as F  # noqa: F811 (local alias)
+
+    sk = events.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).cast("long").alias("est"),
+    )
+    a = sk.select(
+        F.col("event_type").alias("type_a"), F.col("sk").alias("sk_a"), F.col("est").alias("est_a")
+    )
+    b = sk.select(
+        F.col("event_type").alias("type_b"), F.col("sk").alias("sk_b"), F.col("est").alias("est_b")
+    )
+    return (
+        a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            "est_a",
+            "est_b",
+            F.hll_sketch_estimate(F.hll_union(F.col("sk_a"), F.col("sk_b")))
+            .cast("long")
+            .alias("est_union"),
+        )
+    )
+
+
+def hll2_overlap_audit(
+    events: DataFrame, snapshot_path: str | None = None
+) -> DataFrame:
+    """Error audit for the inclusion-exclusion overlap estimator — the
+    sketch-ALGEBRA audit (adrec1 checks one sketch; THIS checks a
+    composition of three): the per-pair estimates freeze to the
+    snapshot, both engines recount the exact overlap from raw events,
+    and the verdict allows HLL2_BOUND of the summed estimate
+    magnitudes (subtraction ADDS absolute errors). est_intersect can
+    legitimately be negative on near-disjoint segments — it is
+    reported raw, never clamped, so the driver sees the estimator's
+    true behavior."""
+    path = snapshot_path or hll2_snapshot_path()
+    spark = events.sparkSession
+    hll2_overlap_estimates(events).write.mode("overwrite").parquet(path)
+    snap = spark.read.schema(
+        "type_a string, type_b string, est_a long, est_b long, est_union long"
+    ).parquet(path)
+    tu = events.filter(F.col("user_id").isNotNull()).select(
+        "event_type", "user_id"
+    ).distinct()
+    ua = tu.select(F.col("event_type").alias("type_a"), "user_id")
+    ub = tu.select(F.col("event_type").alias("type_b"), "user_id")
+    exact = (
+        ua.join(ub, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_intersect"))
+    )
+    est_int = (F.col("est_a") + F.col("est_b") - F.col("est_union")).cast("long")
+    bound = F.lit(HLL2_BOUND) * (
+        F.col("est_a") + F.col("est_b") + F.col("est_union")
+    ).cast("double")
+    return (
+        snap.join(exact, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            est_int.alias("est_intersect"),
+            F.coalesce(F.col("exact_intersect"), F.lit(0)).cast("long").alias("exact_intersect"),
+            F.abs(est_int - F.coalesce(F.col("exact_intersect"), F.lit(0)))
+            .cast("long")
+            .alias("abs_err"),
+            (
+                F.abs(
+                    est_int - F.coalesce(F.col("exact_intersect"), F.lit(0))
+                ).cast("double")
+                <= bound
+            ).alias("within_bound"),
+        )
+        .orderBy("type_a", "type_b")
+    )

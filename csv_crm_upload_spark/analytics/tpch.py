@@ -3077,6 +3077,61 @@ def wau1_rolling_weekly_active(events: DataFrame) -> DataFrame:
     )
 
 
+def ret1_rolling_retention(events: DataFrame) -> DataFrame:
+    """Forward 7-day rolling retention: of the users active on day d,
+    the share seen again within [d+1, d+7] — the growth metric next to
+    wau1's volume curve (coh1 answers this for signup cohorts at week
+    grain; THIS answers it for every activity day). Users without an
+    id are excluded up front (both counts must share one population —
+    the COUNT(DISTINCT) convention).
+
+    Cross-engine exactness: pure integer counting on calendar dates;
+    the rate is one double division rounded to 6 dp. Only days with
+    ≥1 active user emit (retention of an empty population is
+    undefined, not 0).
+
+    Scale shape: ONE (user, day) dedup shuffle; return visits vote
+    into the 7 PRIOR days via exploded equi offsets (wau1's
+    discipline — never a range self-join), and the retained count is
+    a (day, user)-keyed distinct agg; the final join runs at day
+    grain... bounded by the calendar, not the corpus."""
+    ud = (
+        events.filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select("user_id", F.to_date(F.col("ts")).alias("day"))
+        .distinct()
+    )
+    future = ud.select(
+        "user_id",
+        F.explode(F.array(*[F.lit(o) for o in range(1, 8)])).alias("o"),
+        F.col("day").alias("visit_day"),
+    ).select("user_id", F.date_sub(F.col("visit_day"), F.col("o")).alias("day"))
+    retained = (
+        ud.join(future, ["user_id", "day"])
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").cast("long").alias("n_retained"))
+    )
+    active = ud.groupBy("day").agg(
+        F.count_distinct("user_id").cast("long").alias("n_active")
+    )
+    return (
+        active.join(retained, "day", "left")
+        .select(
+            "day",
+            "n_active",
+            F.coalesce(F.col("n_retained"), F.lit(0)).cast("long").alias("n_retained"),
+            (
+                F.round(
+                    F.coalesce(F.col("n_retained"), F.lit(0)).cast("double")
+                    / F.col("n_active").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("retention"),
+        )
+        .orderBy("day")
+    )
+
+
 def asof1_purchase_view_asof(events: DataFrame) -> DataFrame:
     """AS-OF join — for every purchase, the most recent prior 'view' by
     the same user (attribution: "which impression led to this sale").

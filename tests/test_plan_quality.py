@@ -886,6 +886,13 @@ def test_round11_operator_shuffle_budgets(spark, sf_dir):
         # wau1: the (user, day) dedup + the (day, user) distinct agg are
         # the two corpus shuffles; spine join + order are day-bounded
         "wau1_rolling_weekly_active": 4,
+        # hll2: the exact-overlap self-join keys on user_id (one dedup +
+        # one join exchange), the pair agg, the |pairs|-row snapshot
+        # join side + order
+        "hll2_overlap_audit": 5,
+        # ret1: ONE (user, day) dedup feeds both sides; the retained
+        # join + distinct agg, the actives agg, day-grain join + order
+        "ret1_rolling_retention": 6,
     }
     for name, budget in budgets.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))

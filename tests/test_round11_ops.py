@@ -213,3 +213,44 @@ def test_wau1_sliding_distinct_by_hand(spark):
     assert out["2024-05-07"] == 2          # day0 still in [1,7]... u1@0 in, u2@3 in
     assert out["2024-05-08"] == 1          # u1@0 aged out, u2@3 in
     assert out["2024-05-10"] == 2          # u2@3 still in (<=9), u1@9 in
+
+
+def test_ret1_retention_by_hand(spark):
+    base = dt.datetime(2024, 6, 1, 12, 0, 0)
+    rows = [
+        # day0: u1, u2 active; u1 returns day3 (retained), u2 never does
+        (1, base, 1), (2, base, 2),
+        (3, base + dt.timedelta(days=3), 1),
+        # day3: u1 active, returns day12 (outside the 7-day horizon)
+        (4, base + dt.timedelta(days=12), 1),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    out = {r["day"].isoformat(): r for r in tpch.ret1_rolling_retention(ev).collect()}
+    assert out["2024-06-01"]["n_active"] == 2
+    assert out["2024-06-01"]["n_retained"] == 1
+    assert out["2024-06-01"]["retention"] == pytest.approx(0.5, abs=1e-6)
+    assert out["2024-06-04"]["n_retained"] == 0  # day12 is beyond +7
+    assert out["2024-06-13"]["n_retained"] == 0  # nothing after
+    assert len(out) == 3  # only ACTIVE days emit
+
+
+def test_hll2_overlap_audit_within_bound(spark, sf_dir, tmp_path):
+    from csv_crm_upload_spark.analytics import sketch_audit as sa
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = sa.hll2_overlap_audit(ev, str(tmp_path / "hll2.parquet")).collect()
+    assert len(out) >= 3  # pairs of the >=3 event types
+    assert all(r["within_bound"] for r in out), out[:5]
+    # exact side really is the exact overlap for one pair
+    first = out[0]
+    a = {
+        r["user_id"]
+        for r in ev.filter(ev.event_type == first["type_a"])
+        .select("user_id").distinct().collect()
+    }
+    b = {
+        r["user_id"]
+        for r in ev.filter(ev.event_type == first["type_b"])
+        .select("user_id").distinct().collect()
+    }
+    assert first["exact_intersect"] == len((a & b) - {None})
