@@ -343,9 +343,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     whose last driver row is oldest (rounds 1-5: TPC-H completion, the
     round-3 retrieval family, the streaming-window trio, the skew
     family, the window battery, event/session classics). Round 11: the
-    three first-contact sketch-error audits lead; then the r10-verdict
-    cohort (the r9-greened ANN batch + prune1/vq1/sil1/bqrec1); then
-    the stalest (round-2) 23 keys — see _ROTATION_FRONT's comment."""
+    fourteen first-contact keys (five sketch/sketch-algebra audits +
+    the nine-operator batch) lead; then the r10-verdict cohort (the
+    r9-greened ANN batch + prune1/vq1/sil1/bqrec1); then the stalest
+    (round-2) 12 keys — see _ROTATION_FRONT's comment for the exact
+    split and the 15 deferred r2 keys."""
     q = {
         # reference-faithful core (SURVEY §2 ids) — pinned slots 1-12
         "s1_scan_customer": q_s1_scan_customer,
@@ -6364,33 +6366,43 @@ def oracle_sql() -> dict[str, str]:
     # sums via exploded EQUI offsets, one double division per moment,
     # 12-dp decimal variance terms, constant-series guard on both
     # denominators
-    q["stl1_seasonal_strength"] = f"""
-        WITH {_DAILY_SPINE},
-        member AS (
+    # the ONE classical-decomposition CTE chain stl1 and anom1 share
+    # (the Spark twin is tpch._stl_detrended — review r11: two inline
+    # copies of the determinism-critical chain would drift): builds on
+    # _DAILY_SPINE's `filled` and ends in `sterms`
+    # (day, c, n_days, trend, s, isodow, z, r) over interior days
+    _STL_PREFIX = """member AS (
           SELECT c AS c_nbr, day - CAST(r.o AS INT) AS day
           FROM filled, UNNEST(range(-3, 4)) AS r(o)
         ),
-        trend AS (
+        strend AS (
           SELECT f.day, f.c, f.n_days,
                  CAST(SUM(m.c_nbr) AS BIGINT)::DOUBLE / 7.0 AS trend
           FROM filled f JOIN member m USING (day)
           GROUP BY f.day, f.c, f.n_days
           HAVING COUNT(*) = 7
         ),
-        z AS (
-          SELECT day, c, n_days, CAST(isodow(day) AS INT) AS isodow,
+        sz AS (
+          SELECT day, c, n_days, trend, CAST(isodow(day) AS INT) AS isodow,
                  c::DOUBLE - trend AS z
-          FROM trend
+          FROM strend
         ),
-        sea AS (
+        ssea AS (
           SELECT isodow,
                  SUM(CAST(round(z, 9) AS DECIMAL(38,12)))::DOUBLE
                    / COUNT(*)::DOUBLE AS s
-          FROM z GROUP BY isodow
+          FROM sz GROUP BY isodow
         ),
+        sterms AS (
+          SELECT day, c, n_days, trend, s, isodow, z, z - s AS r
+          FROM sz JOIN ssea USING (isodow)
+        )"""
+
+    q["stl1_seasonal_strength"] = f"""
+        WITH {_DAILY_SPINE},
+        {_STL_PREFIX},
         terms AS (
-          SELECT n_days, z, z - s AS r, c::DOUBLE - s AS ds
-          FROM z JOIN sea USING (isodow)
+          SELECT n_days, z, r, c::DOUBLE - s AS ds FROM sterms
         ),
         v AS (
           SELECT n_days, CAST(COUNT(*) AS BIGINT) AS n_interior,
@@ -6564,43 +6576,19 @@ def oracle_sql() -> dict[str, str]:
     # only the displayed columns after the decision
     q["anom1_seasonal_anomalies"] = f"""
         WITH {_DAILY_SPINE},
-        member AS (
-          SELECT c AS c_nbr, day - CAST(r.o AS INT) AS day
-          FROM filled, UNNEST(range(-3, 4)) AS r(o)
-        ),
-        trend AS (
-          SELECT f.day, f.c,
-                 CAST(SUM(m.c_nbr) AS BIGINT)::DOUBLE / 7.0 AS trend
-          FROM filled f JOIN member m USING (day)
-          GROUP BY f.day, f.c
-          HAVING COUNT(*) = 7
-        ),
-        z AS (
-          SELECT day, c, trend, CAST(isodow(day) AS INT) AS isodow,
-                 c::DOUBLE - trend AS z
-          FROM trend
-        ),
-        sea AS (
-          SELECT isodow,
-                 SUM(CAST(round(z, 9) AS DECIMAL(38,12)))::DOUBLE
-                   / COUNT(*)::DOUBLE AS s
-          FROM z GROUP BY isodow
-        ),
-        terms AS (
-          SELECT day, c, trend, s, z - s AS r FROM z JOIN sea USING (isodow)
-        ),
+        {_STL_PREFIX},
         v AS (
           SELECT SUM(CAST(round(r * r, 12) AS DECIMAL(38,12)))::DOUBLE / COUNT(*)::DOUBLE
                    - (SUM(CAST(round(r, 12) AS DECIMAL(38,12)))::DOUBLE / COUNT(*)::DOUBLE)
                      * (SUM(CAST(round(r, 12) AS DECIMAL(38,12)))::DOUBLE / COUNT(*)::DOUBLE)
                    AS var_r
-          FROM terms
+          FROM sterms
         )
         SELECT day, c,
                round(trend + s, 6) + 0.0 AS expected,
                round(r, 6) + 0.0 AS residual,
                round(r / sqrt(var_r), 6) + 0.0 AS z_score
-        FROM terms, v
+        FROM sterms, v
         WHERE var_r > 0 AND r * r > 4.0 * var_r
         ORDER BY day
     """
@@ -6832,8 +6820,14 @@ def oracle_sql() -> dict[str, str]:
           FROM read_parquet('{ska.mgrec1_snapshot_path()}/*.parquet')
         ),
         toks AS (
-          SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
-          FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+          -- no trim: split unstripped lowered text on ASCII \\s+ and
+          -- drop empty fragments — the ONE whitespace discipline the
+          -- sketch and the Spark recount share (Python unicode
+          -- trim/split must not sneak in on any surface)
+          SELECT tok FROM (
+            SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok
+            FROM documents WHERE text IS NOT NULL
+          ) WHERE tok <> ''
         ),
         exact AS (
           SELECT t.tok, CAST(COUNT(*) AS BIGINT) AS exact_n

@@ -63,21 +63,40 @@ def memo_fit(
     entry and re-fits."""
     key_files = _files_key(df)
     for i, e in enumerate(_FIT_MEMO):
-        if (
-            e["tag"] == tag
-            and e["params"] == params
-            and e["files"] == key_files
-            and df.sameSemantics(e["df"])
-        ):
-            if validate is not None and not validate(e["value"]):
-                _FIT_MEMO.pop(i)
-                break
-            _STATS["hit"] += 1
-            return e["value"]
+        if e["tag"] != tag or e["params"] != params or e["files"] != key_files:
+            continue
+        # entries are SESSION-BOUND (review r11): a memoized value may
+        # hold persisted DataFrames or rows belonging to a stopped
+        # SparkSession — serving them (or even probing sameSemantics
+        # against a dead session's plan) raises deep in py4j. A new
+        # session must MISS and re-fit; a broken entry is dropped.
+        if e["session"] is not df.sparkSession:
+            _FIT_MEMO.pop(i)
+            _unpersist_value(e["value"])
+            break
+        try:
+            same = df.sameSemantics(e["df"])
+        except Exception:
+            _FIT_MEMO.pop(i)
+            break
+        if not same:
+            continue
+        if validate is not None and not validate(e["value"]):
+            _FIT_MEMO.pop(i)
+            break
+        _STATS["hit"] += 1
+        return e["value"]
     value = fit()
     _STATS["miss"] += 1
     _FIT_MEMO.append(
-        {"tag": tag, "params": params, "files": key_files, "df": df, "value": value}
+        {
+            "tag": tag,
+            "params": params,
+            "files": key_files,
+            "df": df,
+            "session": df.sparkSession,
+            "value": value,
+        }
     )
     while len(_FIT_MEMO) > _FIT_MEMO_MAX:
         _unpersist_value(_FIT_MEMO.pop(0)["value"])

@@ -278,20 +278,30 @@ def _ensure_query_rollup(events: DataFrame, p: str) -> None:
     """Build the rollup at `p` once per (corpus, path) per process —
     fit-memoized (fitmemo.py, r10 verdict ask #2): roll1 and roll2 over
     the same corpus share one build instead of each query invocation
-    rebuilding the artifact. The validate hook re-checks the MANIFEST
-    still exists, so an externally-deleted scratch dir re-builds
-    instead of serving a dangling memo."""
-    import os
+    rebuilding the artifact.
 
+    The validate hook re-reads the MANIFEST and requires it to EQUAL
+    the one this build committed (review r11): existence alone is not
+    enough — in an A→B→A corpus alternation at one path, B's rebuild
+    overwrites the artifact while A's memo entry stays live, and a bare
+    existence check would serve B's rollup to A's probe. Any manifest
+    change (epoch advance, rebuild, external delete) misses and
+    re-builds."""
     from csv_crm_upload_spark.analytics.fitmemo import memo_fit
+    from csv_crm_upload_spark.operators.manifest import read_manifest
 
-    memo_fit(
-        "daily_rollup_build",
-        events,
-        (p,),
-        lambda: (save_daily_rollup(events, p), p)[1],
-        validate=lambda built: os.path.exists(os.path.join(built, "MANIFEST")),
-    )
+    def _build():
+        save_daily_rollup(events, p)
+        return p, read_manifest(p)
+
+    def _still_mine(built) -> bool:
+        path, stamped = built
+        try:
+            return read_manifest(path) == stamped
+        except Exception:
+            return False
+
+    memo_fit("daily_rollup_build", events, (p,), _build, validate=_still_mine)
 
 
 def roll1_indexed_acf(spark, events: DataFrame, path: str | None = None) -> DataFrame:

@@ -297,9 +297,12 @@ def mgrec1_heavy_hitter_audit(
     (undercount >= 0) by at most N/k in merged total
     (undercount * k <= N, pure integer arithmetic).
 
-    The exact side tokenizes as the sketch does (lowered, trimmed,
-    whitespace-split); N is the sketch's own recorded token total, so
-    the verdict tests the sketch against the stream it actually saw."""
+    The exact side tokenizes as the sketch does — lowered, ASCII-\\s+
+    split, empty fragments dropped (one whitespace class on all three
+    surfaces: the sketch's Python regex, Spark's Java regex, the
+    oracle's RE2 regex — review r11); N is the sketch's own recorded
+    token total, so the verdict tests the sketch against the stream it
+    actually saw."""
     from csv_crm_upload_spark.analytics.textstats import hh1_heavy_hitter_tokens
 
     path = snapshot_path or mgrec1_snapshot_path()
@@ -309,10 +312,9 @@ def mgrec1_heavy_hitter_audit(
     ).write.mode("overwrite").parquet(path)
     snap = spark.read.schema("tok string, est_count long, n_total long").parquet(path)
     toks = (
-        documents.filter(F.col("text").isNotNull() & (F.trim(F.col("text")) != ""))
-        .select(
-            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok")
-        )
+        documents.filter(F.col("text").isNotNull())
+        .select(F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
     )
     exact = (
         toks.join(F.broadcast(snap.select("tok")), "tok")
@@ -357,11 +359,12 @@ def hll2_overlap_estimates(events: DataFrame) -> DataFrame:
     scan builds |types| sketches; the pair table is |types|²-bounded.
     Estimates are engine-specific (rows-only by nature) — the
     oracle-paired surface is hll2_overlap_audit below."""
-    from pyspark.sql import functions as F  # noqa: F811 (local alias)
-
+    # aggregate the sketch ONCE per group; the estimate is a projection
+    # of the finished register array, not a second aggregation
     sk = events.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id").alias("sk"),
-        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).cast("long").alias("est"),
+        F.hll_sketch_agg("user_id").alias("sk")
+    ).select(
+        "event_type", "sk", F.hll_sketch_estimate("sk").cast("long").alias("est")
     )
     a = sk.select(
         F.col("event_type").alias("type_a"), F.col("sk").alias("sk_a"), F.col("est").alias("est_a")

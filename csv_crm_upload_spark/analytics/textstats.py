@@ -271,7 +271,22 @@ def hh1_heavy_hitter_tokens(documents: DataFrame, k: int = 200, threshold_k: int
     test instead. At 100 TB: vocabulary can exceed executor memory, so
     the exact t7 groupBy is the verifier and THIS is the scan-time
     monitor."""
+    import re
+
     import pandas as pd
+
+    # ASCII \s+ split with empty-fragment filtering, NO unicode strip —
+    # the SAME whitespace class the relational tokenizers (_tokens'
+    # Java regex, the oracle's RE2 regex) and the mgrec1 audit recount
+    # use. Python str.strip()/str.split() are UNICODE-whitespace (NBSP,
+    # thin space, ...), which silently disagreed with the sketch's own
+    # n_total denominator — and with the audit's exact recount — on
+    # exotic-whitespace text (review r11): one whitespace class
+    # everywhere, or the audit flags contract violations that never
+    # happened. Splitting unstripped text and dropping empty fragments
+    # is exactly Java trim-then-split for ASCII whitespace, without
+    # Python's unicode trim semantics sneaking in.
+    _ws = re.compile(r"\s+", re.ASCII)
 
     def mg_partition(batches):
         counters: dict[str, int] = {}
@@ -279,7 +294,7 @@ def hh1_heavy_hitter_tokens(documents: DataFrame, k: int = 200, threshold_k: int
             for text in pdf["text"]:
                 if text is None:
                     continue
-                for tok in text.strip().lower().split():
+                for tok in (t for t in _ws.split(text.lower()) if t):
                     if tok in counters:
                         counters[tok] += 1
                     elif len(counters) < k:

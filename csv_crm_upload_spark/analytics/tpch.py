@@ -1491,30 +1491,18 @@ def cpd1_mean_shift(events: DataFrame) -> DataFrame:
     )
 
 
-def stl1_seasonal_strength(events: DataFrame) -> DataFrame:
-    """Classical additive decomposition of the zero-filled daily event
-    volume with Hyndman's strength-of-component readouts (FPP3 §4.5):
-    trend = centered 7-day moving average (interior days only — the
-    first/last 3 days have no full window), detrended z = c − trend,
-    seasonal s(dow) = per-weekday mean of z, remainder r = z − s(dow);
-    seasonal_strength = max(0, 1 − Var(r)/Var(z)) and trend_strength =
-    max(0, 1 − Var(r)/Var(c − s)) — the two numbers that say whether
-    acf1's lag-7 spike and tsen1's slope are worth modeling.
-
-    Cross-engine exactness: the 7-day window sum is an exact long
-    (EQUI-joined lag pairing over the spine — acf1's exploded-offset
-    discipline, never a window range join); trend is ONE double
-    division by 7; z and every downstream term are identical IEEE
-    compositions; per-day variance terms round to 12 dp into
-    DECIMAL(38,12) sums; population variance Σx²/n − (Σx/n)² uses one
-    double division per moment. Degenerate guards: fewer than 7 spine
-    days → no interior days → empty; a constant series (Var(z) = 0
-    or Var(c−s) = 0) → empty, never a 0/0 row.
-
-    Scale shape: everything after the shared daily agg runs on the
-    calendar-bounded spine; the MA pairing is a broadcast equi-join
-    (7 offsets × |days| rows); the two variance readouts are bounded
-    aggs; s(dow) is a ≤7-row broadcast back onto the spine."""
+def _stl_detrended(events: DataFrame) -> DataFrame:
+    """The ONE classical-decomposition core stl1 and anom1 share
+    (review r11: two inline copies of the determinism-critical chain
+    would drift): zero-filled daily counts on the calendar spine,
+    centered 7-day moving-average trend over interior days (exploded
+    EQUI offsets — acf1's discipline, never a window range join),
+    detrended z = c − trend, per-weekday seasonal mean s (9-dp decimal
+    sums), remainder r = z − s. Returns the checkpointed interior-day
+    frame (day, c, n_days, trend, s, isodow, z, r) — bounded by the
+    calendar, consumed by multiple readout aggs in both callers. The
+    oracle twin is the shared _STL_PREFIX CTE chain in
+    __spark_entry__.oracle_sql."""
     daily, spine = _daily_spine(events)
     filled = (
         spine.join(daily, "day", "left")
@@ -1523,8 +1511,7 @@ def stl1_seasonal_strength(events: DataFrame) -> DataFrame:
             F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c"),
             "n_days",
         )
-        # bounded |days| rows; consumed by both sides of the MA join,
-        # the dow means, and the variance readouts
+        # bounded |days| rows; consumed by both sides of the MA join
         .localCheckpoint(eager=True)
     )
     # centered 7-day MA via exploded EQUI offsets: day_t gathers
@@ -1553,19 +1540,60 @@ def stl1_seasonal_strength(events: DataFrame) -> DataFrame:
         "day",
         "c",
         "n_days",
+        "trend",
         (F.weekday(F.col("day")) + F.lit(1)).cast("int").alias("isodow"),
         (F.col("c").cast("double") - F.col("trend")).alias("z"),
-    ).localCheckpoint(eager=True)  # bounded interior rows, 3 consumers
+    ).localCheckpoint(eager=True)  # bounded interior rows, 2 consumers
     sea = z.groupBy("isodow").agg(
         (
             F.sum(F.round(F.col("z"), 9).cast("decimal(38,12)")).cast("double")
             / F.count(F.lit(1)).cast("double")
         ).alias("s")
     )
-    terms = z.join(F.broadcast(sea), "isodow").select(
+    return (
+        z.join(F.broadcast(sea), "isodow")
+        .select(
+            "day",
+            "c",
+            "n_days",
+            "trend",
+            "s",
+            "isodow",
+            "z",
+            (F.col("z") - F.col("s")).alias("r"),
+        )
+        .localCheckpoint(eager=True)  # bounded; multiple readout aggs
+    )
+
+
+def stl1_seasonal_strength(events: DataFrame) -> DataFrame:
+    """Classical additive decomposition of the zero-filled daily event
+    volume with Hyndman's strength-of-component readouts (FPP3 §4.5):
+    trend = centered 7-day moving average (interior days only — the
+    first/last 3 days have no full window), detrended z = c − trend,
+    seasonal s(dow) = per-weekday mean of z, remainder r = z − s(dow);
+    seasonal_strength = max(0, 1 − Var(r)/Var(z)) and trend_strength =
+    max(0, 1 − Var(r)/Var(c − s)) — the two numbers that say whether
+    acf1's lag-7 spike and tsen1's slope are worth modeling.
+
+    Cross-engine exactness: the 7-day window sum is an exact long
+    (EQUI-joined lag pairing over the spine — acf1's exploded-offset
+    discipline, never a window range join); trend is ONE double
+    division by 7; z and every downstream term are identical IEEE
+    compositions; per-day variance terms round to 12 dp into
+    DECIMAL(38,12) sums; population variance Σx²/n − (Σx/n)² uses one
+    double division per moment. Degenerate guards: fewer than 7 spine
+    days → no interior days → empty; a constant series (Var(z) = 0
+    or Var(c−s) = 0) → empty, never a 0/0 row.
+
+    Scale shape: everything after the shared daily agg runs on the
+    calendar-bounded spine; the MA pairing is a broadcast equi-join
+    (7 offsets × |days| rows); the two variance readouts are bounded
+    aggs; s(dow) is a ≤7-row broadcast back onto the spine."""
+    terms = _stl_detrended(events).select(
         "n_days",
         F.col("z"),
-        (F.col("z") - F.col("s")).alias("r"),
+        "r",
         (F.col("c").cast("double") - F.col("s")).alias("ds"),
     )
 
@@ -1918,55 +1946,10 @@ def anom1_seasonal_anomalies(events: DataFrame) -> DataFrame:
     diverge; displayed residual/z round to 6 dp after the decision.
 
     Scale shape: everything past the shared daily agg runs on the
-    calendar-bounded spine (stl1's shapes: broadcast MA equi-join,
-    ≤7-row dow broadcast, 1-row variance broadcast)."""
-    daily, spine = _daily_spine(events)
-    filled = (
-        spine.join(daily, "day", "left")
-        .select(
-            "day",
-            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c"),
-            "n_days",
-        )
-        .localCheckpoint(eager=True)
-    )
-    member = filled.select(
-        F.col("c").alias("c_nbr"),
-        F.explode(F.array(*[F.lit(o) for o in range(-3, 4)])).alias("o"),
-        F.col("day").alias("day_nbr"),
-    ).select("c_nbr", F.date_sub(F.col("day_nbr"), F.col("o")).alias("day"))
-    trend = (
-        filled.join(F.broadcast(member), "day")
-        .groupBy("day", "c", "n_days")
-        .agg(
-            F.count(F.lit(1)).alias("n_win"),
-            F.sum("c_nbr").cast("long").alias("win_sum"),
-        )
-        .filter(F.col("n_win") == 7)
-        .select(
-            "day",
-            "c",
-            "n_days",
-            (F.col("win_sum").cast("double") / F.lit(7.0)).alias("trend"),
-        )
-    )
-    z = trend.select(
-        "day",
-        "c",
-        "n_days",
-        "trend",
-        (F.weekday(F.col("day")) + F.lit(1)).cast("int").alias("isodow"),
-        (F.col("c").cast("double") - F.col("trend")).alias("z"),
-    ).localCheckpoint(eager=True)  # bounded interior rows, 3 consumers
-    sea = z.groupBy("isodow").agg(
-        (
-            F.sum(F.round(F.col("z"), 9).cast("decimal(38,12)")).cast("double")
-            / F.count(F.lit(1)).cast("double")
-        ).alias("s")
-    )
-    terms = z.join(F.broadcast(sea), "isodow").select(
-        "day", "c", "trend", "s", (F.col("z") - F.col("s")).alias("r")
-    ).localCheckpoint(eager=True)
+    calendar-bounded spine (the shared _stl_detrended core: broadcast
+    MA equi-join, ≤7-row dow broadcast, then a 1-row variance
+    broadcast here)."""
+    terms = _stl_detrended(events).select("day", "c", "trend", "s", "r")
     v = terms.agg(
         (
             F.sum(F.round(F.col("r") * F.col("r"), 12).cast("decimal(38,12)")).cast("double")

@@ -116,3 +116,30 @@ def test_memo_is_fifo_bounded(spark):
     assert len(fm._FIT_MEMO) == fm._FIT_MEMO_MAX
     fm.clear_fit_memo()
     assert len(fm._FIT_MEMO) == 0
+
+
+def test_rollup_memo_rejects_cross_corpus_alternation(spark, tmp_path):
+    """A -> B -> A at ONE path (review r11): B's rebuild overwrites the
+    artifact while A's memo entry is still live; the manifest-equality
+    validate must MISS and rebuild for A instead of serving B's rollup."""
+    import datetime as dt
+
+    from csv_crm_upload_spark.analytics import rollup as rlp
+
+    def events(n_days):
+        rows = [
+            (d, dt.datetime(2024, 1, 1 + d, 12, 0, 0), 1, "view", 1.0)
+            for d in range(n_days)
+        ]
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+
+    p = str(tmp_path / "roll_alt")
+    a, b = events(8), events(14)
+    out_a1 = rlp.roll2_indexed_dow(spark, a, p).collect()
+    out_b = rlp.roll2_indexed_dow(spark, b, p).collect()
+    out_a2 = rlp.roll2_indexed_dow(spark, a, p).collect()
+    assert out_a1 == out_a2
+    assert sum(r["n_events"] for r in out_a2) == 8
+    assert sum(r["n_events"] for r in out_b) == 14

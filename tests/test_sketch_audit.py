@@ -108,3 +108,25 @@ def test_mgrec1_within_bound_on_clean_fixture(spark, sf_dir, tmp_path):
     # MG lower bounds never overcount and the recount is really exact
     for r in out:
         assert 0 <= r["undercount"] <= r["n_total"] // sa.MGREC1_K
+
+
+def test_empty_snapshot_stays_duckdb_readable(spark, tmp_path):
+    """A degenerate corpus writes an EMPTY snapshot; the DuckDB oracle
+    reads it via read_parquet('<path>/*.parquet'), which errors if the
+    write produced no part files. Spark 4.1 emits a schema-only part
+    for empty frames — pinned here so an engine upgrade that stops
+    doing so surfaces as THIS failure, not a cryptic oracle error."""
+    import glob
+
+    import duckdb
+
+    one_type = spark.createDataFrame(
+        [(1, None, 5, "view", 1.0)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    p = str(tmp_path / "hll2_one_type.parquet")
+    assert sa.hll2_overlap_audit(one_type, p).count() == 0  # no pairs
+    assert glob.glob(f"{p}/*.parquet"), "empty snapshot wrote no part files"
+    assert duckdb.connect().execute(
+        f"SELECT COUNT(*) FROM read_parquet('{p}/*.parquet')"
+    ).fetchall() == [(0,)]
