@@ -368,7 +368,13 @@ def nb2_holdout_accuracy(documents: DataFrame) -> DataFrame:
             pred.groupBy("split")
             .agg(
                 F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-                F.sum((F.col("cand") == F.col("lang")).cast("long"))
+                # NULL-safe correctness count (fuzz seed 77717, r11): a
+                # holdout doc with NULL lang makes (cand == lang) NULL;
+                # the bare cast-sum returned NULL where the oracle's
+                # CASE WHEN counts 0 — when/otherwise routes NULL to 0
+                F.sum(
+                    F.when(F.col("cand") == F.col("lang"), 1).otherwise(0).cast("long")
+                )
                 .cast("bigint")
                 .alias("n_correct"),
             )
