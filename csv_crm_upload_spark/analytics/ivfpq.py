@@ -357,10 +357,26 @@ def ivfpq1_quantized_knn(
     qvecs, probe_df = _probe_plan(embeddings, centroids, query_ids, nprobe, means=means)
     # materialize the fused assign+encode ONCE (the pq1 lesson, bench
     # r9): left lazy, the ADC ranking and the rerank join each re-ANALYZE
-    # the cell+codes literal tree; the persisted path reads parquet codes
-    cell_codes = _assign_and_encode(
-        embeddings, centroids, books, means=means
-    ).localCheckpoint(eager=True)
+    # the cell+codes literal tree; the persisted path reads parquet
+    # codes. Fit-memoized alongside the quantizers (r11): the code
+    # table is a pure function of (corpus, centroids, books, means),
+    # so a repeat caller reuses the materialized scan.
+    from csv_crm_upload_spark.analytics.fitmemo import memo_fit
+
+    cell_codes = memo_fit(
+        "ivfpq_codes",
+        embeddings,
+        (
+            centroids.shape,
+            centroids.tobytes(),
+            books.shape,
+            books.tobytes(),
+            None if means is None else means.tobytes(),
+        ),
+        lambda: _assign_and_encode(
+            embeddings, centroids, books, means=means
+        ).localCheckpoint(eager=True),
+    )
     return _search(cell_codes, books, embeddings, qvecs, probe_df, k, n_candidates)
 
 

@@ -397,8 +397,18 @@ def pq1_quantized_knn(
     # rerank's candidate join each consume the codes — left lazy, every
     # consumer re-ANALYZES the m·k-literal encode tree (bench r9: that
     # analysis, not data, dominated pq1's cold cost); the persisted-index
-    # path gets the same effect from its parquet codes
-    codes = pq_encode(embeddings, books).localCheckpoint(eager=True)
+    # path gets the same effect from its parquet codes. The checkpointed
+    # table is fit-memoized alongside the codebooks (r11): encoding is a
+    # pure function of (corpus, books), so a repeat caller in one
+    # process reuses the materialized codes instead of re-scanning.
+    from csv_crm_upload_spark.analytics.fitmemo import memo_fit
+
+    codes = memo_fit(
+        "pq_codes",
+        embeddings,
+        (books.shape, books.tobytes()),
+        lambda: pq_encode(embeddings, books).localCheckpoint(eager=True),
+    )
     return _pq_search(codes, books, embeddings, query_ids, k, n_candidates)
 
 
