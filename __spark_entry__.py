@@ -239,63 +239,60 @@ def _q_skw3(s: SparkSession, sf: str) -> DataFrame:
     ).orderBy("event_type")
 
 
-# Round-11 driver-verification window (slots 13+, in order), per the
-# r10 verdict ask #5: (a) the three first-contact sketch-error audits
-# (the house rule: an operator ships with a driver row in its shipping
-# round); (b) the cohort the verdict names — the r9-greened ANN batch
-# plus the keys displaced from the r10 window for first-contact slots
-# (prune1/vq1/sil1/bqrec1, r7/r8 driver rows); (c) the 12 stalest
-# remaining keys — the round-2 cohort (TPC-H headliners, the dedup
-# family, text batteries), whose last green rows are the oldest in the
-# ledger. The fifteen r2 keys that don't fit (t3_lang_id,
-# t4_fingerprint, top_customers, w1_top_orders_per_customer,
-# set1_status_overlap, set2_exclusive_open, str1_name_features,
-# t1_token_count, t2_quality_score, q3_top_unshipped,
-# q5_region_revenue, q1_pricing_summary, e1_sessionize, dd_exact_dups,
-# dd_minhash_lsh) lead the r12 stale cohort — ten of those fifteen
-# also run every round as bench HEADLINE queries.
+# Round-12 driver-verification window (slots 13+, in order), per the
+# r11 verdict ask #1: the 37 oracle-paired keys whose latest green
+# driver row is from round 2 or 3 — ten of the round-2 fifteen are
+# bench HEADLINE queries, and several (q1/q3/q5, top_customers, w1,
+# e1_sessionize, dd_exact/dd_minhash) had their plans rewritten in the
+# round-7 rank-plan pass AFTER their last driver contact, so the
+# driver ledger should reflect post-rewrite verification. They pass
+# the local sf0.001/sf0.01/sf0.1 sweeps every round (informational
+# staleness, not correctness risk). Slot 50 takes the stalest round-4
+# key (batch1_length_buckets) so the 38-slot window is full. The
+# ledger-stale census after this window lands: nothing older than
+# round 4.
 _ROTATION_FRONT = [
-    # (a) first contact — round-11 sketch-error audits + operator batch
-    "adrec1_distinct_error_audit",
-    "pxrec1_percentile_rank_audit",
-    "hllrec1_merge_error_audit",
-    "mgrec1_heavy_hitter_audit",
-    "mb1_part_affinity",
-    "burst1_interarrival_burstiness",
-    "anom1_seasonal_anomalies",
-    "id1_intrinsic_dimension",
-    "surv1_conversion_survival",
-    "pur1_cluster_purity",
-    "ent1_transition_entropy",
-    "wau1_rolling_weekly_active",
-    "hll2_overlap_audit",
-    "ret1_rolling_retention",
-    # (b) the r10-verdict-named cohort
-    "sim_knn_ivf",
-    "pq1_quantized_knn",
-    "ivfpq1_quantized_knn",
-    "ivfpq2_residual_knn",
-    "ivfrec1_ivf_recall_audit",
-    "pqrec1_pq_recall_audit",
-    "w1d1_value_drift",
-    "cvm1_value_drift",
-    "prune1_prototype_pruning",
-    "vq1_quantized_knn",
-    "sil1_cluster_margins",
-    "bqrec1_binary_recall_audit",
-    # (c) the stalest cohort (last green: round 2)
-    "asof_purchase_view",
-    "d1_orders_by_month",
-    "dagg1_distinct_suppliers",
-    "dd_dup_clusters",
-    "dd_embed_neardup",
-    "dd_ngram_jaccard",
-    "dd_simhash",
-    "g1_rollup_revenue",
-    "h1_active_customers",
-    "j1_brand_margin",
-    "mm_media_stats",
-    "pctl_order_value",
+    # (a) round-2 cohort — last green driver row: CORRECTNESS_r02
+    "q1_pricing_summary",
+    "q3_top_unshipped",
+    "q5_region_revenue",
+    "top_customers",
+    "w1_top_orders_per_customer",
+    "e1_sessionize",
+    "dd_exact_dups",
+    "dd_minhash_lsh",
+    "set1_status_overlap",
+    "set2_exclusive_open",
+    "str1_name_features",
+    "t1_token_count",
+    "t2_quality_score",
+    "t3_lang_id",
+    "t4_fingerprint",
+    # (b) round-3 cohort — last green driver row: CORRECTNESS_r03
+    "arr1_embedding_stats",
+    "emb_label_centroids",
+    "er1_fuzzy_name_pairs",
+    "fo1_order_event_coverage",
+    "g2_grouping_sets",
+    "g3_cube_status_priority",
+    "hist1_price_histogram",
+    "l1_latest_order",
+    "mix1_corpus_mixture",
+    "pack1_sequence_packing",
+    "pd1_source_char_stats",
+    "pv1_status_by_priority",
+    "q7_nation_trade",
+    "rj1_nearby_errors",
+    "rx1_doc_mentions",
+    "sc1_above_avg_orders",
+    "sq1_big_spenders",
+    "t5_redact_pii",
+    "t6_char_entropy",
+    "t7_vocab_topk",
+    "t8_bigrams_udtf",
+    "t9_top_tokens_per_source",
+    # (c) slot 50 — the stalest round-4 key
+    "batch1_length_buckets",
 ]
 
 
@@ -346,8 +343,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     fourteen first-contact keys (five sketch/sketch-algebra audits +
     the nine-operator batch) lead; then the r10-verdict cohort (the
     r9-greened ANN batch + prune1/vq1/sil1/bqrec1); then the stalest
-    (round-2) 12 keys — see _ROTATION_FRONT's comment for the exact
-    split and the 15 deferred r2 keys."""
+    (round-2) 12 keys. Round 12 (this file): the full remaining
+    round-2/3-stale cohort — all 37 keys whose last green driver row
+    is r2/r3 (per the r11 verdict ask #1) plus the stalest r4 key —
+    see _ROTATION_FRONT's comment."""
     q = {
         # reference-faithful core (SURVEY §2 ids) — pinned slots 1-12
         "s1_scan_customer": q_s1_scan_customer,
