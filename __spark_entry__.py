@@ -6819,12 +6819,13 @@ def oracle_sql() -> dict[str, str]:
           FROM read_parquet('{ska.mgrec1_snapshot_path()}/*.parquet')
         ),
         toks AS (
-          -- no trim: split unstripped lowered text on ASCII \\s+ and
-          -- drop empty fragments — the ONE whitespace discipline the
-          -- sketch and the Spark recount share (Python unicode
-          -- trim/split must not sneak in on any surface)
+          -- no trim: split unstripped lowered text on the EXPLICIT
+          -- class MGREC1_WS_SQL and drop empty fragments — the ONE
+          -- whitespace discipline all three surfaces share verbatim
+          -- (RE2's \\s lacks \\x0B, Python/Java \\s include it, so a
+          -- spelled-out class is the only cross-engine-exact choice)
           SELECT tok FROM (
-            SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok
+            SELECT unnest(string_split_regex(lower(text), '{ska.MGREC1_WS_SQL}')) AS tok
             FROM documents WHERE text IS NOT NULL
           ) WHERE tok <> ''
         ),

@@ -36,6 +36,18 @@ from pyspark.sql import DataFrame
 #: across corpora at negligible memory.
 _FIT_MEMO_MAX = 12
 
+#: Tags whose values are CORPUS-SCALE materializations (localCheckpointed
+#: code tables — one row per corpus vector), not tiny driver artifacts
+#: (advice r11): letting those ride the same 12-deep FIFO would pin up
+#: to 12 corpus-scale checkpoints in executor storage, and a truncated
+#: localCheckpoint is irrecoverable on executor loss, so the blast
+#: radius of each pinned entry is larger too. They get their own
+#: 2-deep FIFO — enough for one parity sweep's A/B corpus alternation
+#: (the observed access pattern) while bounding storage at two corpora
+#: of m-byte codes.
+_CORPUS_SCALE_TAGS = frozenset({"pq_codes", "ivfpq_codes"})
+_CORPUS_SCALE_MAX = 2
+
 _FIT_MEMO: list[dict[str, Any]] = []
 
 #: observability for the hit-rate pin (tests) and bench diagnostics
@@ -88,6 +100,7 @@ def memo_fit(
         return e["value"]
     value = fit()
     _STATS["miss"] += 1
+    _freeze_arrays(value)
     _FIT_MEMO.append(
         {
             "tag": tag,
@@ -100,7 +113,27 @@ def memo_fit(
     )
     while len(_FIT_MEMO) > _FIT_MEMO_MAX:
         _unpersist_value(_FIT_MEMO.pop(0)["value"])
+    corpus_scale = [
+        i for i, e in enumerate(_FIT_MEMO) if e["tag"] in _CORPUS_SCALE_TAGS
+    ]
+    while len(corpus_scale) > _CORPUS_SCALE_MAX:
+        _unpersist_value(_FIT_MEMO.pop(corpus_scale.pop(0))["value"])
+        corpus_scale = [i - 1 for i in corpus_scale]
     return value
+
+
+def _freeze_arrays(value: Any) -> None:
+    """Mark memoized numpy arrays read-only (advice r11): memo hits
+    serve the SAME object to every caller (`a is b` is test-pinned), so
+    an in-place mutation by any future caller would silently poison all
+    later hits with no key change to catch it — freezing makes the
+    mutation raise at the mutation site instead."""
+    import numpy as np
+
+    vals = value if isinstance(value, (tuple, list)) else (value,)
+    for v in vals:
+        if isinstance(v, np.ndarray):
+            v.setflags(write=False)
 
 
 def _unpersist_value(value: Any) -> None:

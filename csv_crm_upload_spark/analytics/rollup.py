@@ -62,12 +62,21 @@ ROLLUP_QUERY_PATH = "/tmp/spark_graft_rollup_q"
 
 def rollup_query_path() -> str:
     """Read at CALL time in both the queries() entry and any oracle that
-    needs it, so one process's override stays self-consistent."""
+    needs it, so one process's override stays self-consistent. The
+    PID-scoped default registers a best-effort atexit reap (advice r11:
+    nothing else deletes these, so repeated runs would accumulate
+    parquet under /tmp); an env-overridden path is the harness's to
+    manage."""
     import os
 
-    return os.environ.get(
-        "SPARK_GRAFT_ROLLUP_DIR", f"{ROLLUP_QUERY_PATH}_{os.getpid()}"
-    )
+    override = os.environ.get("SPARK_GRAFT_ROLLUP_DIR")
+    if override is not None:
+        return override
+    from csv_crm_upload_spark.analytics.sketch_audit import _reap_at_exit
+
+    path = f"{ROLLUP_QUERY_PATH}_{os.getpid()}"
+    _reap_at_exit(path)
+    return path
 
 
 def _day_partials(events: DataFrame, n_buckets: int) -> DataFrame:

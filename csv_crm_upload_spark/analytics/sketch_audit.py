@@ -75,12 +75,33 @@ HLLREC1_BOUND = 0.05
 _SNAPSHOT_DIR = "/tmp/spark_graft_sketch_snapshots"
 
 
+def _reap_at_exit(path: str) -> None:
+    """Best-effort atexit removal of a PID-scoped default dir (advice
+    r11): nothing else ever deletes them, so repeated suite/bench runs
+    would accumulate unbounded parquet under /tmp. Only the PID-scoped
+    DEFAULTS are registered — an env-overridden path is the harness's
+    to manage. Idempotent per path per process."""
+    import atexit
+    import shutil
+
+    if path in _REAP_REGISTERED:
+        return
+    _REAP_REGISTERED.add(path)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+
+
+_REAP_REGISTERED: set[str] = set()
+
+
 def sketch_snapshot_dir() -> str:
     """Base directory for the three audit snapshots — PID-scoped
     default, env-overridable (SPARK_GRAFT_SKETCH_SNAPSHOT_DIR)."""
-    return os.environ.get(
-        "SPARK_GRAFT_SKETCH_SNAPSHOT_DIR", f"{_SNAPSHOT_DIR}_{os.getpid()}"
-    )
+    override = os.environ.get("SPARK_GRAFT_SKETCH_SNAPSHOT_DIR")
+    if override is not None:
+        return override
+    path = f"{_SNAPSHOT_DIR}_{os.getpid()}"
+    _reap_at_exit(path)
+    return path
 
 
 def adrec1_snapshot_path() -> str:
@@ -282,6 +303,12 @@ def mgrec1_snapshot_path() -> str:
 MGREC1_K = 200
 MGREC1_THRESHOLD_K = 100
 
+#: The shared explicit whitespace class (textstats.MG_WS) as the regex
+#: the DuckDB oracle's string_split_regex must use — spelled out
+#: because Python/Java \s include \x0B while RE2's does not (advice
+#: r11); all three dialects read this class identically.
+MGREC1_WS_SQL = r"[ \t\n\x0B\f\r]+"
+
 
 def mgrec1_heavy_hitter_audit(
     documents: DataFrame, snapshot_path: str | None = None
@@ -297,13 +324,15 @@ def mgrec1_heavy_hitter_audit(
     (undercount >= 0) by at most N/k in merged total
     (undercount * k <= N, pure integer arithmetic).
 
-    The exact side tokenizes as the sketch does — lowered, ASCII-\\s+
-    split, empty fragments dropped (one whitespace class on all three
-    surfaces: the sketch's Python regex, Spark's Java regex, the
-    oracle's RE2 regex — review r11); N is the sketch's own recorded
-    token total, so the verdict tests the sketch against the stream it
-    actually saw."""
-    from csv_crm_upload_spark.analytics.textstats import hh1_heavy_hitter_tokens
+    The exact side tokenizes as the sketch does — lowered, split on
+    the EXPLICIT class MG_WS == MGREC1_WS_SQL, empty fragments dropped
+    (one spelled-out whitespace class on all three surfaces: the
+    sketch's Python regex, Spark's Java regex, the oracle's RE2 regex —
+    each engine's own \\s differs on \\x0B, advice r11); N is the
+    sketch's own recorded token total, counted with the same
+    empty-dropping tokenization the MG loop consumed, so the verdict
+    tests the sketch against exactly the stream it saw."""
+    from csv_crm_upload_spark.analytics.textstats import MG_WS, hh1_heavy_hitter_tokens
 
     path = snapshot_path or mgrec1_snapshot_path()
     spark = documents.sparkSession
@@ -313,7 +342,7 @@ def mgrec1_heavy_hitter_audit(
     snap = spark.read.schema("tok string, est_count long, n_total long").parquet(path)
     toks = (
         documents.filter(F.col("text").isNotNull())
-        .select(F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"))
+        .select(F.explode(F.split(F.lower(F.col("text")), MG_WS + "+")).alias("tok"))
         .filter(F.col("tok") != "")
     )
     exact = (

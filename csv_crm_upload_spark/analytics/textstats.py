@@ -19,6 +19,14 @@ from csv_crm_upload_spark.functions.hashing import md5_60, md5_60_id
 EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
 
 
+#: The ONE whitespace character class shared verbatim by the MG sketch
+#: (Python regex), the mgrec1 Spark recount (Java regex), and the
+#: mgrec1 DuckDB oracle (RE2 regex) — spelled out because the engines'
+#: \s classes disagree on \x0B (advice r11). All three regex dialects
+#: read this string identically.
+MG_WS = r"[ \t\n\x0B\f\r]"
+
+
 def _tokens(col: str = "text") -> F.Column:
     """Whitespace tokenization of trimmed text; empty text → empty array."""
     t = F.trim(F.col(col))
@@ -275,18 +283,17 @@ def hh1_heavy_hitter_tokens(documents: DataFrame, k: int = 200, threshold_k: int
 
     import pandas as pd
 
-    # ASCII \s+ split with empty-fragment filtering, NO unicode strip —
-    # the SAME whitespace class the relational tokenizers (_tokens'
-    # Java regex, the oracle's RE2 regex) and the mgrec1 audit recount
-    # use. Python str.strip()/str.split() are UNICODE-whitespace (NBSP,
-    # thin space, ...), which silently disagreed with the sketch's own
-    # n_total denominator — and with the audit's exact recount — on
-    # exotic-whitespace text (review r11): one whitespace class
-    # everywhere, or the audit flags contract violations that never
-    # happened. Splitting unstripped text and dropping empty fragments
-    # is exactly Java trim-then-split for ASCII whitespace, without
-    # Python's unicode trim semantics sneaking in.
-    _ws = re.compile(r"\s+", re.ASCII)
+    # ONE explicit whitespace class on every surface (advice r11): each
+    # engine's \s differs at the edges — Python re.ASCII \s and Java \s
+    # include vertical tab \x0B, DuckDB's RE2 \s is [\t\n\f\r ] — so a
+    # document containing \x0B would tokenize differently in the oracle
+    # recount than in this sketch. MG_WS spells the class out verbatim
+    # for the Python regex, the Spark split, and the DuckDB
+    # string_split_regex (sketch_audit.MGREC1_WS_SQL), so no engine's
+    # \s semantics can sneak in. Unstripped split + empty-fragment drop
+    # replaces trim (Python's strip is unicode-whitespace; Spark's trim
+    # strips only 0x20).
+    _ws = re.compile(MG_WS + "+")
 
     def mg_partition(batches):
         counters: dict[str, int] = {}
@@ -311,9 +318,17 @@ def hh1_heavy_hitter_tokens(documents: DataFrame, k: int = 200, threshold_k: int
         )
 
     summaries = documents.select("text").mapInPandas(mg_partition, "tok string, lb long")
-    total = documents.select(F.size(_tokens()).alias("nt")).agg(
-        F.sum("nt").alias("n_total")
-    )
+    # n_total must count the SAME token stream the MG loop consumed
+    # (advice r11): _tokens() trims only 0x20, so text starting with
+    # \t/\n kept a leading empty fragment and inflated N past the
+    # stream the sketch saw — split on MG_WS and drop empty fragments
+    # instead, exactly the mg_partition tokenizer. NULL text → NULL
+    # size, skipped by SUM, matching the loop's None skip.
+    total = documents.select(
+        F.size(F.filter(F.split(F.col("text"), MG_WS + "+"), lambda t: t != "")).alias(
+            "nt"
+        )
+    ).agg(F.sum("nt").alias("n_total"))
     return (
         summaries.groupBy("tok")
         .agg(F.sum("lb").alias("est_count"))

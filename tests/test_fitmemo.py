@@ -143,3 +143,38 @@ def test_rollup_memo_rejects_cross_corpus_alternation(spark, tmp_path):
     assert out_a1 == out_a2
     assert sum(r["n_events"] for r in out_a2) == 8
     assert sum(r["n_events"] for r in out_b) == 14
+
+
+def test_corpus_scale_tags_have_their_own_two_deep_fifo(spark):
+    """pq_codes/ivfpq_codes memoize CORPUS-SCALE checkpointed code
+    tables (advice r11): at the shared 12-deep cap they could pin a
+    dozen corpus materializations in executor storage. They ride a
+    2-deep FIFO of their own; tiny-artifact tags keep the 12-deep cap,
+    and one class's eviction never touches the other's entries."""
+    for i in range(4):
+        fm.memo_fit("pq_codes", spark.range(i + 1), (i,), lambda i=i: i)
+    heavy = [e for e in fm._FIT_MEMO if e["tag"] == "pq_codes"]
+    assert [e["params"] for e in heavy] == [(2,), (3,)]  # oldest two evicted
+    # tiny entries are untouched by the corpus-scale eviction...
+    for i in range(6):
+        fm.memo_fit("tiny", spark.range(100 + i), (i,), lambda i=i: i)
+    assert len([e for e in fm._FIT_MEMO if e["tag"] == "pq_codes"]) == 2
+    assert len([e for e in fm._FIT_MEMO if e["tag"] == "tiny"]) == 6
+    # ...and both heavy entries still HIT (the A/B alternation pattern)
+    before = fm.memo_stats()["hit"]
+    assert fm.memo_fit("pq_codes", spark.range(4), ((3,)[0],), lambda: None) == 3
+    assert fm.memo_stats()["hit"] == before + 1
+
+
+def test_memoized_numpy_arrays_are_frozen(spark):
+    """Memo hits serve the SAME object to every caller, so an in-place
+    mutation would poison all later hits (advice r11) — stored arrays
+    are read-only; mutation raises at the mutation site."""
+    df = spark.range(5)
+    arr = fm.memo_fit("cent", df, (), lambda: np.ones((2, 3)))
+    assert not arr.flags.writeable
+    with pytest.raises(ValueError):
+        arr[0, 0] = 9.0
+    # tuple-valued fits freeze every array member
+    tup = fm.memo_fit("pair", df, (), lambda: (np.zeros(3), np.ones(3)))
+    assert all(not a.flags.writeable for a in tup)

@@ -110,6 +110,58 @@ def test_mgrec1_within_bound_on_clean_fixture(spark, sf_dir, tmp_path):
         assert 0 <= r["undercount"] <= r["n_total"] // sa.MGREC1_K
 
 
+def test_mgrec1_whitespace_class_agrees_on_vertical_tab(spark, tmp_path):
+    """The \\x0B fixture-rotation bomb (advice r11): Python re.ASCII \\s
+    and Java \\s include vertical tab, DuckDB's RE2 \\s is [\\t\\n\\f\\r ] —
+    so each engine's OWN \\s tokenizes 'a\\x0Bb' differently. The shared
+    explicit class (textstats.MG_WS == sketch_audit.MGREC1_WS_SQL) must
+    make all three surfaces produce the SAME token stream, pinned here
+    on a corpus where \\x0B both separates tokens and leads/ends text:
+    the audit's exact_n equals a DuckDB recount using MGREC1_WS_SQL,
+    undercount is 0 (k=200 counters never evict on 4 distinct tokens),
+    and n_total counts only non-empty fragments."""
+    import duckdb
+
+    from csv_crm_upload_spark.analytics.textstats import MG_WS
+
+    assert MG_WS + "+" == sa.MGREC1_WS_SQL
+    docs = spark.createDataFrame(
+        [
+            (1, "s", "alpha\x0Bbeta alpha"),
+            (2, "s", "\x0Balpha\x0B\x0Bgamma\x0B"),  # leading/double/trailing VT
+            (3, "s", "beta\tdelta\nalpha"),
+            (4, "s", None),
+        ],
+        "doc_id long, source string, text string",
+    )
+    p = str(tmp_path / "mg_vt.parquet")
+    out = {r["tok"]: r for r in sa.mgrec1_heavy_hitter_audit(docs, p).collect()}
+    assert out, "4-token corpus must report heavy hitters at k=200"
+    # one token stream on all surfaces: alpha x4, beta x2, gamma, delta
+    expected = {"alpha": 4, "beta": 2, "gamma": 1, "delta": 1}
+    n_total = sum(expected.values())
+    for tok, r in out.items():
+        assert r["exact_n"] == expected[tok], (tok, r)
+        assert r["est_count"] == expected[tok]  # no eviction => exact
+        assert r["undercount"] == 0 and r["within_bound"]
+        assert r["n_total"] == n_total  # empty fragments never counted
+    # the DuckDB side of the same class, on the same text
+    con = duckdb.connect()
+    duck = dict(
+        con.execute(
+            f"""
+        SELECT tok, COUNT(*) FROM (
+          SELECT unnest(string_split_regex(lower(text), '{sa.MGREC1_WS_SQL}')) AS tok
+          FROM (VALUES ('alpha\x0Bbeta alpha'), (CHR(11) || 'alpha' || CHR(11)
+                || CHR(11) || 'gamma' || CHR(11)), ('beta' || CHR(9) || 'delta'
+                || CHR(10) || 'alpha')) t(text)
+        ) WHERE tok <> '' GROUP BY tok
+        """
+        ).fetchall()
+    )
+    assert duck == expected
+
+
 def test_empty_snapshot_stays_duckdb_readable(spark, tmp_path):
     """A degenerate corpus writes an EMPTY snapshot; the DuckDB oracle
     reads it via read_parquet('<path>/*.parquet'), which errors if the
