@@ -36,6 +36,7 @@ from csv_crm_upload_spark.analytics import clustering as clus
 from csv_crm_upload_spark.analytics import logreg
 from csv_crm_upload_spark.analytics import pca
 from csv_crm_upload_spark.analytics import rollup as rlp
+from csv_crm_upload_spark.analytics import auditlog as alog
 from csv_crm_upload_spark.analytics import sketch_audit as ska
 from csv_crm_upload_spark.analytics import nbayes
 from csv_crm_upload_spark.plans import corpus_prep as prep
@@ -1118,6 +1119,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ret1_rolling_retention": lambda s, sf: tpch.ret1_rolling_retention(
             _t("events")(s, sf)
         ),
+        # round-12: the streaming sketch-audit cadence as a persisted
+        # artifact (r11 verdict ask #4) — three deterministic event
+        # batches each append their HLL-vs-exact verdict rows to the
+        # epoch-manifested audit log; the probe unions the stored rows
+        # and the oracle recomputes every derived column from raw
+        # events against the SAME stored estimates
+        "audlog1_batch_audit_log": (
+            lambda p: lambda s, sf: alog.audlog1_batch_audit_log(
+                _t("events")(s, sf), p
+            )
+        )(alog.auditlog_query_path()),
     }
     # Round-7 rotation (driver samples the FIRST 50 entries): slots 1-12
     # stay the pinned reference core; _ROTATION_FRONT then re-verifies the
@@ -6843,6 +6855,43 @@ def oracle_sql() -> dict[str, str]:
                     <= s.n_total) AS within_bound
         FROM snap s LEFT JOIN exact e USING (tok)
         ORDER BY s.est_count DESC, s.tok
+    """
+
+    # audlog1: the persisted per-batch audit log — stored ESTIMATES are
+    # read back from the artifact's live rows (paths baked at build
+    # time, stale epochs GC'd by the builder); the batch split
+    # (pmod(event_id, 3), NULL → 0) and exact ground truth are
+    # recomputed from raw events; every derived column mirrors the
+    # adrec1 arithmetic; the join is NULL-SAFE on event_type so the
+    # NULL group's audit row is verified rather than dropped
+    q["audlog1_batch_audit_log"] = f"""
+        WITH snap AS (
+          SELECT batch_key, event_type, approx_users
+          FROM read_parquet('{alog.auditlog_query_path()}/rows/*/*.parquet')
+        ),
+        ev AS (
+          SELECT 'b' || CAST(coalesce(((event_id % {alog.AUDLOG1_N_BATCHES})
+                 + {alog.AUDLOG1_N_BATCHES}) % {alog.AUDLOG1_N_BATCHES}, 0)
+                 AS VARCHAR) AS batch_key,
+                 event_type, user_id
+          FROM events
+        ),
+        exact AS (
+          SELECT batch_key, event_type,
+                 CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+          FROM ev GROUP BY batch_key, event_type
+        )
+        SELECT e.batch_key, e.event_type, e.exact_users, s.approx_users,
+               CAST(abs(s.approx_users - e.exact_users) AS BIGINT) AS abs_err,
+               round(abs(s.approx_users - e.exact_users)::DOUBLE
+                     / greatest(e.exact_users, 1)::DOUBLE, 9) + 0.0 AS rel_err,
+               (round(abs(s.approx_users - e.exact_users)::DOUBLE
+                      / greatest(e.exact_users, 1)::DOUBLE, 9) + 0.0)
+                 <= {ska.ADREC1_BOUND} AS within_bound
+        FROM exact e JOIN snap s
+          ON e.batch_key = s.batch_key
+         AND e.event_type IS NOT DISTINCT FROM s.event_type
+        ORDER BY e.batch_key, e.event_type
     """
 
     # ben1: Benford leading-digit audit — exact integer cents, leading

@@ -146,26 +146,37 @@ EXTRA = [
     "wau1_rolling_weekly_active",
     "hll2_overlap_audit",
     "ret1_rolling_retention",
+    # round-12 additions
+    "audlog1_batch_audit_log",
 ]
 
-# the five heaviest fit-per-call EXTRA entries also get a WARM
-# (second-run) sample (r9 verdict ask #3): these are self-contained
-# oracle designs whose cold time mixes quantizer/eigen fit cost with
-# probe cost — the warm sample keeps the two separable in the record.
+# EVERY fit/memo-family EXTRA entry gets a WARM (second-run) sample
+# plus the fit-memo hit/miss delta of that re-run (r11 verdict ask #2:
+# not just the top-5) — these are self-contained oracle designs whose
+# cold time mixes quantizer/eigen/artifact-build cost with probe cost;
+# the warm sample + memo delta keep the three separable in the record,
+# so a cold regression is attributable (host-speed vs fit vs probe)
+# without oral history.
 EXTRA_WARM = {
+    # distributed Lloyd's / covariance fits through fitmemo
     "ivfpq2_residual_knn",
     "pca2_projected_knn",
     "pca1_covariance",
     "ivfpq1_quantized_knn",
-    # round-11: the warm samples now measure the fit-MEMO hit path
-    # (fitmemo.py) — warm << cold here is the memo working as designed,
-    # and pcarec1 joins the set so the r11 extras table can show it
     "pcarec1_pca_recall_audit",
     "pq1_quantized_knn",
     "sim_knn_ivf",
+    "ivfrec1_ivf_recall_audit",
+    "pqrec1_pq_recall_audit",
+    # artifact builds through fitmemo (rollup / audit log)
+    "roll1_indexed_acf",
+    "roll2_indexed_dow",
+    "audlog1_batch_audit_log",
+    # minhash signature-memo riders
+    "mhcal1_minhash_calibration",
 }
-# pca_model_build (the fifth) lives in the build/probe section below
-# and gets its warm sample there.
+# pca_model_build lives in the build/probe section below and gets its
+# warm sample there.
 
 # graph family: timed AS A PIPELINE (round 4) — the LSH candidate-pair
 # table is materialized ONCE (dd_index_build) and every graph query
@@ -190,10 +201,18 @@ TABLES = [
 ]
 
 
-def _duckdb_timings(sf_dir: str, oracle: dict[str, str]) -> dict[str, float]:
+def _duckdb_timings(
+    sf_dir: str, oracle: dict[str, str], prime: bool = False
+) -> dict[str, float]:
     """Head-to-head single-node baseline: run the SAME oracle SQL in
     DuckDB over the SAME parquet files. Measures end-to-end (plan +
-    execute + drain) per query, matching the Spark timing method."""
+    execute + drain) per query, matching the Spark timing method.
+
+    `prime=True` runs the first headline oracle once UNRECORDED before
+    timing — used for the pre-extras anchor so host_ratio compares two
+    equally-warm DuckDB passes (host drift), not DuckDB's one-off
+    cold-start against a warm second pass. The post pass stays
+    unprimed, keeping duckdb_total_sec comparable to prior rounds."""
     import duckdb
 
     con = duckdb.connect()
@@ -201,6 +220,14 @@ def _duckdb_timings(sf_dir: str, oracle: dict[str, str]) -> dict[str, float]:
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(path):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    if prime:
+        for name in HEADLINE:
+            if oracle.get(name):
+                try:
+                    con.execute(oracle[name]).fetchall()
+                except Exception:
+                    pass
+                break
     out: dict[str, float] = {}
     for name in HEADLINE:
         sql = oracle.get(name)
@@ -271,8 +298,22 @@ def main() -> None:
         except Exception as e:  # one broken query must not sink the record
             errors[name] = f"{type(e).__name__}: {e}"[:200]
 
+    # DuckDB anchor IMMEDIATELY BEFORE the extras pass (r11 verdict ask
+    # #2): the same headline oracle suite the ratio uses, run twice per
+    # bench (pre/post extras). Cross-round extras comparisons read in
+    # anchor-normalized units (entry ÷ anchor mean, see COVERAGE.md),
+    # and a host-speed swing DURING the run shows up as host_ratio far
+    # from 1.0 instead of masquerading as per-entry regressions — the
+    # r11 record needed oral history to explain a +10 s ivfpq2 cold
+    # that was really the host (the anchor itself swung 1.6→2.6 s).
+    oracle = entrymod.oracle_sql()
+    anchor_pre = _duckdb_timings(sf_dir, oracle, prime=True)
+
+    from csv_crm_upload_spark.analytics.fitmemo import memo_stats
+
     extra: dict[str, float] = {}
     extra_warm: dict[str, float] = {}
+    extra_warm_memo: dict[str, dict[str, int]] = {}
     for name in EXTRA:
         fn = queries.get(name)
         if fn is None:
@@ -281,14 +322,22 @@ def main() -> None:
         try:
             fn(spark, sf_dir).agg({"*": "count"}).collect()
             extra[name] = round(time.perf_counter() - t0, 3)
-            # warm sample for the fit-per-call heavyweights (r9 verdict
-            # ask #3): their cold number mixes fit cost with probe cost;
-            # the warm pass separates "the fit got slower" from "the
-            # probe got slower" round-over-round.
+            # warm sample for every fit/memo-family entry (r9 ask #3,
+            # widened per r11 ask #2): the cold number mixes fit cost
+            # with probe cost; the warm pass separates "the fit got
+            # slower" from "the probe got slower" round-over-round, and
+            # the memo hit/miss delta of the re-run proves whether the
+            # warm number is the memo-hit path or a genuine re-fit.
             if name in EXTRA_WARM:
+                m0 = memo_stats()
                 t1 = time.perf_counter()
                 fn(spark, sf_dir).agg({"*": "count"}).collect()
                 extra_warm[name] = round(time.perf_counter() - t1, 3)
+                m1 = memo_stats()
+                extra_warm_memo[name] = {
+                    "hit": m1["hit"] - m0["hit"],
+                    "miss": m1["miss"] - m0["miss"],
+                }
         except Exception as e:
             errors[name] = f"{type(e).__name__}: {e}"[:200]
 
@@ -516,7 +565,18 @@ def main() -> None:
     finally:
         shutil.rmtree(pca_dir, ignore_errors=True)
 
-    duckdb_timings = _duckdb_timings(sf_dir, entrymod.oracle_sql())
+    # DuckDB anchor IMMEDIATELY AFTER the extras pass — doubles as the
+    # per-query baseline the headline ratios use (same end-of-run
+    # position as every prior round's single measurement, so the ratio
+    # series stays comparable).
+    duckdb_timings = _duckdb_timings(sf_dir, oracle)
+    anchor_pre_total = round(sum(anchor_pre.values()), 3)
+    anchor_post_total = round(sum(duckdb_timings.values()), 3)
+    host_ratio = (
+        round(anchor_post_total / anchor_pre_total, 3)
+        if anchor_pre_total > 0
+        else None
+    )
     ratios = {
         n: round(timings[n] / duckdb_timings[n], 2)
         for n in timings
@@ -535,7 +595,12 @@ def main() -> None:
     full = {
         "extra_sec": extra,
         "extra_warm_sec": extra_warm,
+        "extra_warm_memo": extra_warm_memo,
+        "fit_memo_stats": memo_stats(),
         "duckdb_sec": duckdb_timings,
+        "duckdb_anchor_pre_sec": anchor_pre_total,
+        "duckdb_anchor_pre_queries": anchor_pre,
+        "host_ratio": host_ratio,
         "warm_samples_sec": warm_samples,
         "sf": sf,
         "queries": timings,
@@ -562,6 +627,7 @@ def main() -> None:
         "ratio_vs_duckdb": ratios,
         "duckdb_total_sec": full["duckdb_total_sec"],
         "warm_total_sec": full["warm_total_sec"],
+        "host_ratio": host_ratio,
         "n_errors": len(errors),
         "detail": "BENCH_DETAIL.json",
         "metric": "headline_queries_total_sec",

@@ -1,0 +1,259 @@
+"""Persisted per-batch sketch-audit log — the STREAMING TWIN of the
+sketch-error audits (r11 verdict ask #4): sketch_audit.py's batch
+audits prove the sketches' error contracts once, over a whole corpus;
+production runs them PER INGEST BATCH and alerts on within_bound=false
+(SCALE.md "Audit cadence at scale"). This module turns that cadence
+story into code: each event batch appends its own audit rows — the
+HLL++ distinct-users estimate vs the batch's exact COUNT(DISTINCT) per
+event_type, with the adrec1 error readout — to a persisted, epoch-
+manifested audit log (the 13th artifact), exactly-once under the same
+txn protocol as the daily rollup, so a replayed foreachBatch/tick
+never double-logs a batch.
+
+Shape and scale: the audit runs on ONE micro-batch, not the corpus —
+the exact side is a batch-bounded COUNT(DISTINCT) (the documented
+calibration cost, paid at batch grain where it is cheap), the sketch
+side is the same fixed-memory HLL the monitoring query uses, and each
+append writes ≤|event types| rows. The log itself grows by audit rows
+(facts, not additive counts), so the probe view is a plain union of
+the live epoch range and compaction is a plain fold — no sum-merge.
+
+Reference parity note: the reference engine (csv-crm-upload) has no
+sketch surface at all; this family extends the engine for the
+100 TB monitoring loop, with cross-engine verification via the
+audlog1 oracle pair (the stored estimates are read back by BOTH
+engines; exact ground truth and every verdict column are recomputed
+independently — the adrec1 discipline applied to the persisted log).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from csv_crm_upload_spark.analytics.sketch_audit import ADREC1_BOUND
+
+AUDITLOG_SUBDIRS = ["rows"]
+
+#: derived-key format stamp (manifest.check_key_format): one row per
+#: (batch_key, event_type) with the adrec1 distinct-users error
+#: readout at rsd=0.02. Bump when the audit set, the grouping, or the
+#: bound changes.
+KEY_FORMAT = "batch-distinct-audit-v1"
+
+#: explicit read schema (the substr lesson): an empty init epoch holds
+#: a schema-only part file that inference alone cannot type
+_ROW_COLS = (
+    "batch_key string, event_type string, exact_users long, "
+    "approx_users long, abs_err long, rel_err double, "
+    "within_bound boolean"
+)
+_ROWS_SCHEMA = _ROW_COLS + ", epoch int"
+
+
+def save_audit_log(spark, path: str) -> None:
+    """Initialize (or atomically reset) the audit log: an EMPTY rows
+    epoch plus the manifest. Rebuild over a live log advances the epoch
+    chain in one commit and preserves last_txn (the replay guard), like
+    every other artifact."""
+    from csv_crm_upload_spark.operators.manifest import commit_manifest, rebuild_epoch
+
+    new_epoch, prior = rebuild_epoch(path)
+    empty = spark.createDataFrame([], _ROW_COLS)
+    empty.write.mode("overwrite").parquet(f"{path}/rows/epoch={new_epoch}")
+    commit_manifest(
+        path,
+        {
+            **prior,
+            "epoch": new_epoch,
+            "base_epoch": new_epoch,
+            "key_format": KEY_FORMAT,
+        },
+    )
+
+
+def batch_audit_rows(events_batch: DataFrame, batch_key: str) -> DataFrame:
+    """The adrec1 error readout computed ON one batch: HLL++
+    approx_count_distinct(user_id, 0.02) vs the batch's exact
+    COUNT(DISTINCT user_id) per event_type, abs/rel error, and the
+    3-sigma within_bound verdict. One aggregation produces BOTH sides
+    (the batch is the snapshot — persisting the output row freezes the
+    estimate exactly like adrec1's parquet snapshot does), so the
+    append costs a single batch-grain shuffle. NULL event_type groups
+    are audited too (count_distinct ignores NULL user_ids in both
+    engines; the oracle's join-key semantics drop the NULL group on
+    both sides identically)."""
+    both = events_batch.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.02).cast("long").alias("approx_users"),
+    )
+    abs_err = F.abs(F.col("approx_users") - F.col("exact_users")).cast("long")
+    rel_err = F.round(
+        abs_err.cast("double")
+        / F.greatest(F.col("exact_users"), F.lit(1)).cast("double"),
+        9,
+    ) + F.lit(0.0)
+    return both.select(
+        F.lit(batch_key).alias("batch_key"),
+        "event_type",
+        "exact_users",
+        "approx_users",
+        abs_err.alias("abs_err"),
+        rel_err.alias("rel_err"),
+        (rel_err <= F.lit(ADREC1_BOUND)).alias("within_bound"),
+    )
+
+
+def append_batch_audit(
+    events_batch: DataFrame,
+    path: str,
+    batch_key: str,
+    txn: tuple[str, int] | None = None,
+) -> None:
+    """Append one batch's audit rows as a new epoch — exactly-once: the
+    txn guard no-ops a replayed streaming batch (the rows would be
+    recomputed identically — HLL register merges are order-free — but
+    the log must not carry the batch twice). An empty batch is a clean
+    no-op BEFORE any directory mutation (the rollup rule: orphan
+    self-heal must not run on a no-op, or it deletes an in-flight
+    concurrent writer's epoch dir)."""
+    from csv_crm_upload_spark.operators.manifest import (
+        check_key_format,
+        commit_manifest,
+        read_manifest,
+        remove_orphan_epochs,
+        txn_already_applied,
+        with_txn,
+    )
+
+    m = read_manifest(path)
+    check_key_format(m, path, KEY_FORMAT)
+    if txn_already_applied(m, txn):
+        return  # replayed streaming batch: already logged
+    epoch = m["epoch"]
+    rows = batch_audit_rows(events_batch, batch_key).localCheckpoint(eager=True)
+    if not rows.limit(1).count():
+        return
+    remove_orphan_epochs(path, AUDITLOG_SUBDIRS, epoch)
+    rows.write.mode("overwrite").parquet(f"{path}/rows/epoch={epoch + 1}")
+    commit_manifest(path, with_txn({**m, "epoch": epoch + 1}, txn))
+
+
+def read_audit_rows(spark, path: str) -> DataFrame:
+    """Every logged audit row in the live [base_epoch, epoch] range —
+    a plain union (rows are per-batch FACTS, not additive counts), with
+    the manifest resolved once per probe (old-or-new, never partial)."""
+    from csv_crm_upload_spark.operators.manifest import check_key_format, read_manifest
+
+    m = read_manifest(path)
+    check_key_format(m, path, KEY_FORMAT)
+    epoch, base = m["epoch"], m.get("base_epoch", 0)
+    return (
+        spark.read.schema(_ROWS_SCHEMA)
+        .parquet(f"{path}/rows")
+        .filter((F.col("epoch") >= base) & (F.col("epoch") <= epoch))
+        .drop("epoch")
+    )
+
+
+def audit_alerts(spark, path: str) -> DataFrame:
+    """The alerting readout the cadence story promises: every logged
+    row whose estimate fell OUTSIDE its published envelope. Empty on a
+    healthy pipeline; each row names the batch and group to re-audit."""
+    return read_audit_rows(spark, path).filter(~F.col("within_bound"))
+
+
+# ---------------------------------------------------------------------------
+# Self-contained oracle-paired entry (the roll1/pq1 fit-per-call
+# discipline): simulate the streaming cadence by splitting the events
+# table into three deterministic batches, append each batch's audit
+# rows, then probe the stored log. The DuckDB oracle reads the SAME
+# stored estimates back and independently recomputes exact ground truth
+# and every verdict column from raw events — a hash match proves the
+# append→store→union-probe chain preserves the adrec1 semantics.
+# ---------------------------------------------------------------------------
+
+AUDITLOG_QUERY_PATH = "/tmp/spark_graft_auditlog_q"
+
+#: deterministic batch count for the audlog1 simulation — batch i holds
+#: the events with pmod(event_id, 3) == i (NULL event_id → batch 0),
+#: a rule both engines state identically
+AUDLOG1_N_BATCHES = 3
+
+
+def auditlog_query_path() -> str:
+    """Artifact path for the audlog1 oracle entry — PID-scoped default
+    with the atexit reap, env-overridable (SPARK_GRAFT_AUDITLOG_DIR);
+    read at call time so one process's override stays self-consistent."""
+    import os
+
+    override = os.environ.get("SPARK_GRAFT_AUDITLOG_DIR")
+    if override is not None:
+        return override
+    from csv_crm_upload_spark.analytics.sketch_audit import _reap_at_exit
+
+    path = f"{AUDITLOG_QUERY_PATH}_{os.getpid()}"
+    _reap_at_exit(path)
+    return path
+
+
+def _batch_of(events: DataFrame, i: int) -> DataFrame:
+    return events.filter(
+        F.coalesce(F.pmod(F.col("event_id"), F.lit(AUDLOG1_N_BATCHES)), F.lit(0))
+        == F.lit(i)
+    )
+
+
+def _ensure_query_auditlog(events: DataFrame, p: str) -> None:
+    """Build the audit log at `p` once per (corpus, path) per process —
+    fit-memoized with the rollup's manifest-EQUALITY validate (an A→B→A
+    corpus alternation at one path must miss and rebuild, never serve
+    B's log to A's probe). After the build, stale pre-rebuild epochs
+    are GC'd so the oracle's file glob reads exactly the live range —
+    safe here because the path is process-scoped by construction (no
+    concurrent probe can hold an older manifest)."""
+    from csv_crm_upload_spark.analytics.fitmemo import memo_fit
+    from csv_crm_upload_spark.operators.manifest import gc_stale_epochs, read_manifest
+
+    spark = events.sparkSession
+
+    def _build():
+        save_audit_log(spark, p)
+        for i in range(AUDLOG1_N_BATCHES):
+            append_batch_audit(_batch_of(events, i), p, f"b{i}")
+        gc_stale_epochs(p, AUDITLOG_SUBDIRS)
+        return p, read_manifest(p)
+
+    def _still_mine(built) -> bool:
+        path, stamped = built
+        try:
+            return read_manifest(path) == stamped
+        except Exception:
+            return False
+
+    memo_fit("auditlog_build", events, (p,), _build, validate=_still_mine)
+
+
+def audlog1_batch_audit_log(events: DataFrame, path: str | None = None) -> DataFrame:
+    """The streaming audit cadence as an oracle-paired batch query:
+    build the per-batch audit log over the three-way event_id split,
+    then return every stored row. NULL event_type groups are kept (the
+    oracle joins NULL-safely), so the readout covers exactly the groups
+    the batches audited."""
+    p = path or auditlog_query_path()
+    _ensure_query_auditlog(events, p)
+    return read_audit_rows(events.sparkSession, p).orderBy("batch_key", "event_type")
+
+
+def compact_audit_log(spark, path: str) -> bool:
+    """OPTIMIZE: fold the live epoch chain into one epoch (plain union
+    — exact because rows are facts logged exactly once) in one atomic
+    manifest commit. Returns False when already compact."""
+    from csv_crm_upload_spark.operators.manifest import (
+        check_key_format,
+        compact_epochs,
+        read_manifest,
+    )
+
+    check_key_format(read_manifest(path), path, KEY_FORMAT)
+    return compact_epochs(spark, path, {"rows": []})

@@ -64,6 +64,9 @@ INDEX_LAYOUTS: dict[str, tuple[list[str], dict[str, str]]] = {
     # daily event rollup: epoch-RANGED additive (day, event_type) counts
     # (probes sum the live range; compaction sum-merges)
     "rollup": (["days"], {}),
+    # per-batch sketch-audit log: epoch-RANGED audit FACTS (probes union
+    # the live range; compaction plain-folds — rows are logged once)
+    "auditlog": (["rows"], {}),
 }
 
 
@@ -112,6 +115,7 @@ class CorpusIndexService:
         substr_index: str | None = None,
         ngram_model: str | None = None,
         daily_rollup: str | None = None,
+        audit_log: str | None = None,
         cursor_path: str | None = None,
         compact_after: int | None = None,
         adopt_artifact_seq: bool = False,
@@ -136,6 +140,7 @@ class CorpusIndexService:
         self.substr_index = substr_index
         self.ngram_model = ngram_model
         self.daily_rollup = daily_rollup
+        self.audit_log = audit_log
         self.cursor_path = cursor_path or os.path.join(
             docs_dir or emb_dir or events_dir, "_index_service_cursor.json"
         )
@@ -208,6 +213,7 @@ class CorpusIndexService:
             self.substr_index,
             self.ngram_model,
             self.daily_rollup,
+            self.audit_log,
         ):
             if path is None:
                 continue
@@ -325,6 +331,14 @@ class CorpusIndexService:
             from csv_crm_upload_spark.analytics.rollup import update_daily_rollup
 
             update_daily_rollup(new_events, self.daily_rollup, txn=txn)
+        if self.audit_log is not None:
+            from csv_crm_upload_spark.analytics.auditlog import append_batch_audit
+
+            # batch_key names the fold txn so a log row is traceable to
+            # the exact shard batch the cursor's intent recorded
+            append_batch_audit(
+                new_events, self.audit_log, f"{txn[0]}-{txn[1]}", txn=txn
+            )
 
     def _fold_batch(self, batch: dict) -> None:
         """Fold one intent-logged shard batch into every registered
@@ -429,6 +443,10 @@ class CorpusIndexService:
             from csv_crm_upload_spark.analytics.rollup import compact_daily_rollup
 
             compactors.append((self.daily_rollup, compact_daily_rollup))
+        if self.audit_log is not None:
+            from csv_crm_upload_spark.analytics.auditlog import compact_audit_log
+
+            compactors.append((self.audit_log, compact_audit_log))
         for path, compactor in compactors:
             m = read_manifest(path)
             if m["epoch"] - m.get("base_epoch", 0) >= self.compact_after:
@@ -456,6 +474,7 @@ class CorpusIndexService:
             ("substr", self.substr_index),
             ("ngramlm", self.ngram_model),
             ("rollup", self.daily_rollup),
+            ("auditlog", self.audit_log),
         ):
             if idx_path is not None:
                 ranged, pinned = INDEX_LAYOUTS[kind]
@@ -478,6 +497,7 @@ def run_index_maintenance_stream(
     bpe_model: str | None = None,
     pca_model: str | None = None,
     daily_rollup: str | None = None,
+    audit_log: str | None = None,
     available_now: bool = True,
     app_id: str | None = None,
 ):
@@ -550,6 +570,13 @@ def run_index_maintenance_stream(
             from csv_crm_upload_spark.analytics.rollup import update_daily_rollup
 
             update_daily_rollup(batch_df, daily_rollup, txn=txn)
+        if audit_log is not None:
+            from csv_crm_upload_spark.analytics.auditlog import append_batch_audit
+
+            # the per-batch audit cadence in runnable form: every event
+            # micro-batch logs its own sketch-vs-exact verdict rows,
+            # exactly-once via the same (app, batch_id) manifest guard
+            append_batch_audit(batch_df, audit_log, f"{app}-{batch_id}", txn=txn)
 
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

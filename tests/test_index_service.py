@@ -305,6 +305,10 @@ def test_soak_sustained_appends_bounded_epochs_and_vacuum(spark, sf_dir, tmp_pat
     from csv_crm_upload_spark.analytics.pca import save_pca_model
     from csv_crm_upload_spark.analytics.nbayes import save_nb_model
     from csv_crm_upload_spark.analytics.ngramlm import save_ngramlm_model
+    from csv_crm_upload_spark.analytics.auditlog import (
+        read_audit_rows,
+        save_audit_log,
+    )
     from csv_crm_upload_spark.analytics.rollup import save_daily_rollup
     from csv_crm_upload_spark.analytics.substr import save_substr_index
     from csv_crm_upload_spark.analytics.winnow import save_winnow_index
@@ -331,6 +335,7 @@ def test_soak_sustained_appends_bounded_epochs_and_vacuum(spark, sf_dir, tmp_pat
     save_substr_index(base_docs, paths["substr"])
     save_ngramlm_model(base_docs, paths["ngramlm"])
     save_daily_rollup(base_events, paths["rollup"])
+    save_audit_log(spark, paths["auditlog"])
 
     docs_drop = str(tmp_path / "docs_drop")
     emb_drop = str(tmp_path / "emb_drop")
@@ -356,6 +361,7 @@ def test_soak_sustained_appends_bounded_epochs_and_vacuum(spark, sf_dir, tmp_pat
         substr_index=paths["substr"],
         ngram_model=paths["ngramlm"],
         daily_rollup=paths["rollup"],
+        audit_log=paths["auditlog"],
         compact_after=COMPACT_AFTER,
     )
 
@@ -380,6 +386,15 @@ def test_soak_sustained_appends_bounded_epochs_and_vacuum(spark, sf_dir, tmp_pat
             m = read_manifest(path)
             live = m["epoch"] - m.get("base_epoch", 0)
             assert live < COMPACT_AFTER, f"{kind}: live chain {live} after tick {t}"
+
+    # the audit LOG kept pace with the folds: every tick's event batch
+    # logged its verdict rows exactly once, traceable by batch_key, and
+    # compaction (a plain fold for facts) never dropped or doubled one
+    audit = read_audit_rows(spark, paths["auditlog"]).collect()
+    keys = {r["batch_key"] for r in audit}
+    assert len(keys) == N_TICKS, f"expected {N_TICKS} logged batches, got {keys}"
+    assert all(k.startswith("tick-events-") for k in keys)
+    assert all(r["abs_err"] >= 0 and r["rel_err"] >= 0.0 for r in audit)
 
     removed = svc.vacuum()
     assert removed, "ten ticks of appends/compactions left nothing to vacuum?"

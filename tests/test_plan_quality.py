@@ -898,3 +898,20 @@ def test_round11_operator_shuffle_budgets(spark, sf_dir):
         plan = plan_of(QUERIES[name](spark, sf_dir))
         ids = set(re.findall(r"(?<!Broadcast)Exchange \((\d+)\)", plan))
         assert len(ids) <= budget, f"{name}: {len(ids)} shuffles > budget {budget}\n{plan}"
+
+
+def test_round12_audlog1_probe_plan(spark, sf_dir):
+    """audlog1's RETURNED plan must be the stored-log read, nothing
+    more: the per-batch audit appends are construction-time side
+    effects (each one batch-grain agg), so the probe is a parquet scan
+    whose epoch-range predicate reaches PartitionFilters (stale epochs
+    never read), the epoch column is pruned away, and the only
+    exchange is the result order."""
+    _reset_plan_state(spark)
+    plan = plan_of(QUERIES["audlog1_batch_audit_log"](spark, sf_dir))
+    ids = set(re.findall(r"(?<!Broadcast)Exchange \((\d+)\)", plan))
+    assert len(ids) <= 1, f"audlog1: {len(ids)} shuffles > budget 1\n{plan}"
+    assert "PartitionFilters: [isnotnull(epoch" in plan, plan
+    assert "epoch" not in plan.split("ReadSchema:", 1)[1].split("\n", 1)[0], (
+        "epoch must be partition-pruned out of the read schema"
+    )
