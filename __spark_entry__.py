@@ -1130,6 +1130,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 _t("events")(s, sf), p
             )
         )(alog.auditlog_query_path()),
+        # round-12 operator batch
+        # cms1: the Count-Min OVERCOUNT audit — the complement of
+        # mgrec1's Misra-Gries undercount (the monitoring stack wants
+        # upper and lower bounds); the ≤1024-cell groupBy IS the sketch
+        "cms1_countmin_audit": (
+            lambda p: lambda s, sf: ska.cms1_countmin_audit(
+                _t("documents")(s, sf), p
+            )
+        )(ska.cms1_snapshot_path()),
+        # fun1: ordered min-time-cascade conversion funnel
+        "fun1_ordered_funnel": lambda s, sf: tpch.fun1_ordered_funnel(
+            _t("events")(s, sf)
+        ),
+        # gt1: Good-Turing unseen mass + Turing discount per source
+        "gt1_good_turing": lambda s, sf: ts.gt1_good_turing_mass(
+            _t("documents")(s, sf)
+        ),
+        # ney1: Neyman-optimal sample allocation across sources
+        "ney1_neyman_allocation": lambda s, sf: ts.ney1_neyman_allocation(
+            _t("documents")(s, sf)
+        ),
+        # kap1: Cohen's kappa of the t3 lang-ID heuristic vs labels
+        "kap1_cohens_kappa": lambda s, sf: ts.kap1_cohens_kappa(
+            _t("documents")(s, sf)
+        ),
     }
     # Round-7 rotation (driver samples the FIRST 50 entries): slots 1-12
     # stay the pinned reference core; _ROTATION_FRONT then re-verifies the
@@ -6892,6 +6917,196 @@ def oracle_sql() -> dict[str, str]:
           ON e.batch_key = s.batch_key
          AND e.event_type IS NOT DISTINCT FROM s.event_type
         ORDER BY e.batch_key, e.event_type
+    """
+
+    # cms1: Count-Min overcount audit — stored estimates read back from
+    # the snapshot, exact recount with the shared explicit whitespace
+    # class, verdicts in pure integer arithmetic (mirror of mgrec1 with
+    # the inequality flipped: CMS can only OVERcount)
+    q["cms1_countmin_audit"] = f"""
+        WITH snap AS (
+          SELECT tok, est_count, n_total
+          FROM read_parquet('{ska.cms1_snapshot_path()}/*.parquet')
+        ),
+        toks AS (
+          SELECT tok FROM (
+            SELECT unnest(string_split_regex(lower(text), '{ska.MGREC1_WS_SQL}')) AS tok
+            FROM documents WHERE text IS NOT NULL
+          ) WHERE tok <> ''
+        ),
+        exact AS (
+          SELECT t.tok, CAST(COUNT(*) AS BIGINT) AS exact_n
+          FROM toks t JOIN (SELECT DISTINCT tok FROM snap) s USING (tok)
+          GROUP BY t.tok
+        )
+        SELECT s.tok, s.est_count,
+               COALESCE(e.exact_n, 0)::BIGINT AS exact_n,
+               s.n_total,
+               CAST(s.est_count - COALESCE(e.exact_n, 0) AS BIGINT) AS overcount,
+               (s.est_count - COALESCE(e.exact_n, 0) >= 0
+                AND (s.est_count - COALESCE(e.exact_n, 0)) * {ska.CMS1_W}
+                    <= s.n_total * {ska.CMS1_SLACK}) AS within_bound
+        FROM snap s LEFT JOIN exact e USING (tok)
+        ORDER BY s.est_count DESC, s.tok
+    """
+
+    # fun1: ordered funnel — min-time cascade (t_k strictly after
+    # t_{k-1}), exact timestamp MINs and integer counts; every step
+    # row emits even at zero reach (COUNT over an empty frontier is 0)
+    q["fun1_ordered_funnel"] = """
+        WITH ev AS (
+          SELECT user_id, event_type, ts FROM events
+          WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        ),
+        s1 AS (
+          SELECT user_id, MIN(ts) AS t FROM ev
+          WHERE event_type = 'view' GROUP BY user_id
+        ),
+        s2 AS (
+          SELECT e.user_id, MIN(e.ts) AS t
+          FROM ev e JOIN s1 USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > s1.t
+          GROUP BY e.user_id
+        ),
+        s3 AS (
+          SELECT e.user_id, MIN(e.ts) AS t
+          FROM ev e JOIN s2 USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > s2.t
+          GROUP BY e.user_id
+        ),
+        n AS (
+          SELECT 1 AS step, 'view' AS event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+          UNION ALL
+          SELECT 2, 'click', CAST(COUNT(*) AS BIGINT) FROM s2
+          UNION ALL
+          SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3
+        ),
+        ent AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_entered FROM s1)
+        SELECT CAST(step AS INT) AS step, event_type, n_users,
+               round(n_users::DOUBLE / greatest(n_entered, 1)::DOUBLE, 6)
+                 + 0.0 AS conversion
+        FROM n CROSS JOIN ent ORDER BY step
+    """
+
+    # gt1: Good-Turing — exact long counts over the shared whitespace
+    # class; ratios NULL when their denominator is zero
+    q["gt1_good_turing"] = f"""
+        WITH toks AS (
+          SELECT source, tok FROM (
+            SELECT source,
+                   unnest(string_split_regex(lower(text), '{ska.MGREC1_WS_SQL}')) AS tok
+            FROM documents WHERE text IS NOT NULL
+          ) WHERE tok <> ''
+        ),
+        counts AS (
+          SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+          FROM toks GROUP BY source, tok
+        ),
+        agg AS (
+          SELECT source,
+                 CAST(SUM(c) AS BIGINT) AS n_tokens,
+                 CAST(COUNT(*) AS BIGINT) AS n_vocab,
+                 CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+                 CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dis
+          FROM counts GROUP BY source
+        )
+        SELECT source, n_tokens, n_vocab, n_hapax, n_dis,
+               CASE WHEN n_tokens > 0
+                    THEN round(n_hapax::DOUBLE / n_tokens::DOUBLE, 6) + 0.0
+               END AS p_unseen,
+               CASE WHEN n_hapax > 0
+                    THEN round(2.0 * n_dis::DOUBLE / n_hapax::DOUBLE, 6) + 0.0
+               END AS r1_star
+        FROM agg ORDER BY source
+    """
+
+    # ney1: Neyman allocation — DECIMAL(38,0) sufficient statistics →
+    # one double division → one sqrt (both correctly rounded IEEE, so
+    # S_h is bit-identical); the cross-stratum normalizer sums integer
+    # MICROS (order-free), never doubles
+    q["ney1_neyman_allocation"] = """
+        WITH stats AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 SUM(CAST(n_chars AS DECIMAL(38,0))) AS sx,
+                 SUM(CAST(n_chars AS DECIMAL(38,0))
+                     * CAST(n_chars AS DECIMAL(38,0))) AS sxx
+          FROM documents WHERE n_chars IS NOT NULL GROUP BY source
+        ),
+        v AS (
+          SELECT source, n_docs,
+                 CASE WHEN n_docs > 1 THEN greatest(
+                     (CAST(n_docs AS DECIMAL(38,0)) * sxx - sx * sx)::DOUBLE
+                     / (n_docs::DOUBLE * (n_docs - 1)::DOUBLE), 0.0)
+                 ELSE 0.0 END AS var
+          FROM stats
+        ),
+        w AS (
+          SELECT source, n_docs,
+                 round(sqrt(var), 6) AS s_chars,
+                 CAST(round(n_docs::DOUBLE * sqrt(var) * 1e6, 0) AS BIGINT)
+                   AS w_micros
+          FROM v
+        ),
+        tot AS (
+          SELECT CAST(COALESCE(SUM(w_micros), 0) AS BIGINT) AS w_total FROM w
+        )
+        SELECT source, n_docs, s_chars,
+               CASE WHEN w_total > 0
+                    THEN round(1000.0 * w_micros::DOUBLE / w_total::DOUBLE, 6)
+                         + 0.0
+               END AS alloc_exact,
+               CASE WHEN w_total > 0
+                    THEN CAST(floor(1000.0 * w_micros::DOUBLE / w_total::DOUBLE)
+                              AS BIGINT)
+               END AS n_alloc_floor
+        FROM w CROSS JOIN tot ORDER BY source
+    """
+
+    # kap1: Cohen's kappa over the t3 heuristic, binarized en/other —
+    # exact long confusion cells; kappa NULL at p_e = 1; empty corpus
+    # emits no row (SUM over zero rows is NULL, filtered)
+    q["kap1_cohens_kappa"] = f"""
+        WITH pred AS (
+          SELECT lang,
+                 CASE WHEN round(CAST(len(list_filter({_RAW_TOKS},
+                        t -> list_contains({_STOP}, lower(t)))) AS INT)::DOUBLE
+                        / greatest(CAST(len({_RAW_TOKS}) AS INT), 1), 6) >= 0.08
+                      THEN 'en' ELSE 'other' END AS lang_pred
+          FROM documents
+        ),
+        cells AS (
+          SELECT
+            CAST(SUM(CASE WHEN lang_pred = 'en'
+                          AND lang IS NOT DISTINCT FROM 'en'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS a,
+            CAST(SUM(CASE WHEN lang_pred = 'en'
+                          AND lang IS DISTINCT FROM 'en'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS b,
+            CAST(SUM(CASE WHEN lang_pred = 'other'
+                          AND lang IS NOT DISTINCT FROM 'en'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS c,
+            CAST(SUM(CASE WHEN lang_pred = 'other'
+                          AND lang IS DISTINCT FROM 'en'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS d
+          FROM pred
+        ),
+        k AS (
+          SELECT a, b, c, d,
+                 (a + b + c + d)::DOUBLE AS n,
+                 (a + d)::DOUBLE AS agree,
+                 ((a + b)::DOUBLE * (a + c)::DOUBLE
+                  + (c + d)::DOUBLE * (b + d)::DOUBLE) AS chance_num
+          FROM cells WHERE (a + b + c + d) > 0
+        )
+        SELECT a, b, c, d,
+               round(agree / n, 6) + 0.0 AS p_observed,
+               round(chance_num / (n * n), 6) + 0.0 AS p_expected,
+               CASE WHEN chance_num / (n * n) < 1.0
+                    THEN round((agree / n - chance_num / (n * n))
+                               / (1.0 - chance_num / (n * n)), 6) + 0.0
+               END AS kappa
+        FROM k
     """
 
     # ben1: Benford leading-digit audit — exact integer cents, leading

@@ -148,6 +148,11 @@ EXTRA = [
     "ret1_rolling_retention",
     # round-12 additions
     "audlog1_batch_audit_log",
+    "cms1_countmin_audit",
+    "fun1_ordered_funnel",
+    "gt1_good_turing",
+    "ney1_neyman_allocation",
+    "kap1_cohens_kappa",
 ]
 
 # EVERY fit/memo-family EXTRA entry gets a WARM (second-run) sample

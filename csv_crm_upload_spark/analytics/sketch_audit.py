@@ -367,6 +367,108 @@ def mgrec1_heavy_hitter_audit(
     )
 
 
+def cms1_snapshot_path() -> str:
+    return f"{sketch_snapshot_dir()}/cms1.parquet"
+
+
+#: Count-Min table shape: CMS1_D independent hash rows of CMS1_W
+#: counters (4 KiB of longs — fixed memory regardless of vocabulary).
+CMS1_D = 4
+CMS1_W = 256
+
+#: Per-row Markov envelope multiple: a single row overcounts a token by
+#: the collision mass in its cell, expectation ≤ N/W, so
+#: P[over > CMS1_SLACK·N/W] ≤ 1/CMS1_SLACK per row (Markov) and the
+#: MIN over CMS1_D independent rows fails all four with probability
+#: ≤ (1/CMS1_SLACK)^CMS1_D ≈ 2.4e-4 at 8⁴ — tight enough that a
+#: within_bound=false row on a real corpus means a broken sketch, not
+#: bad luck. Cormode & Muthukrishnan 2005 give the standard e/W·ln(1/δ)
+#: form; the audit states the bound in the same integer units as the
+#: table.
+CMS1_SLACK = 8
+
+
+def cms1_countmin_audit(
+    documents: DataFrame, snapshot_path: str | None = None
+) -> DataFrame:
+    """Error audit for a Count-Min sketch over the corpus token stream —
+    the OVERCOUNT complement to mgrec1's undercount audit (Misra-Gries
+    lower-bounds, Count-Min upper-bounds; a monitoring stack wants
+    both): one map-side-combining pass folds every token into a
+    CMS1_D×CMS1_W counter table (the groupBy(row, col) agg IS the
+    sketch — ≤1024 cells however large the vocabulary), the probe set
+    is the MG sketch's own reported heavy hitters (the classic
+    CMS+heavy-hitter composition: MG names candidates, CMS bounds their
+    counts), and the frozen (tok, est, n_total) snapshot is recounted
+    exactly by BOTH engines.
+
+    Verdicts in pure integer arithmetic: overcount = est − exact must
+    be ≥ 0 (a CMS cell holds the token's full count plus nonnegative
+    collision mass — deterministic, not probabilistic) and
+    overcount·W ≤ CMS1_SLACK·N (the Markov-by-rows envelope above).
+    N is the sketch's own stream total — read back from the row-0
+    counters it already holds (Σ cells of one row ≡ the token count),
+    so the audit tests the sketch against exactly the stream it folded.
+    Tokenization is the shared explicit class (textstats.MG_WS ==
+    MGREC1_WS_SQL) on all three surfaces."""
+    from csv_crm_upload_spark.analytics.textstats import MG_WS, hh1_heavy_hitter_tokens
+
+    path = snapshot_path or cms1_snapshot_path()
+    spark = documents.sparkSession
+    toks = (
+        documents.filter(F.col("text").isNotNull())
+        .select(F.explode(F.split(F.lower(F.col("text")), MG_WS + "+")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    hashes = [
+        F.pmod(F.xxhash64(F.col("tok"), F.lit(r)), F.lit(CMS1_W)).cast("int")
+        for r in range(CMS1_D)
+    ]
+    cells = (
+        toks.select(F.posexplode(F.array(*hashes)).alias("row", "col"))
+        .groupBy("row", "col")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    # est(tok) = min over rows of its cell; the cells table is ≤ D·W
+    # rows, broadcast to the ≤k-row probe set. n_total rides row 0's
+    # counters (every token lands in exactly one cell per row).
+    probe = hh1_heavy_hitter_tokens(documents).select("tok")
+    probe_cells = probe.select(
+        "tok", F.posexplode(F.array(*hashes)).alias("row", "col")
+    )
+    est = (
+        probe_cells.join(F.broadcast(cells), ["row", "col"])
+        .groupBy("tok")
+        .agg(F.min("c").cast("long").alias("est_count"))
+    )
+    total = cells.filter(F.col("row") == 0).agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_total")
+    )
+    est.crossJoin(F.broadcast(total)).write.mode("overwrite").parquet(path)
+    snap = spark.read.schema("tok string, est_count long, n_total long").parquet(path)
+    exact = (
+        toks.join(F.broadcast(snap.select("tok")), "tok")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+    )
+    over = (F.col("est_count") - F.coalesce(F.col("exact_n"), F.lit(0))).cast("long")
+    return (
+        snap.join(exact, "tok", "left")
+        .select(
+            "tok",
+            "est_count",
+            F.coalesce(F.col("exact_n"), F.lit(0)).cast("long").alias("exact_n"),
+            "n_total",
+            over.alias("overcount"),
+            (
+                (over >= 0)
+                & (over * F.lit(CMS1_W) <= F.col("n_total") * F.lit(CMS1_SLACK))
+            ).alias("within_bound"),
+        )
+        .orderBy(F.col("est_count").desc(), "tok")
+    )
+
+
 def hll2_snapshot_path() -> str:
     return f"{sketch_snapshot_dir()}/hll2.parquet"
 

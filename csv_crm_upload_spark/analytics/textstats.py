@@ -2489,3 +2489,195 @@ def conc1_source_concentration(documents: DataFrame) -> DataFrame:
         # EMPTY frame, not a 0/0 NaN row (identically cross-engine)
         .filter(F.col("n_sources") > 0)
     )
+
+
+def gt1_good_turing_mass(documents: DataFrame) -> DataFrame:
+    """Good–Turing unseen-probability mass per source (Good 1953): the
+    share of the next token expected to be NOVEL is estimated by the
+    hapax rate N1/N, and the Turing-discounted count for
+    once-seen tokens is r* = 2·N2/N1 — the coverage diagnostics a
+    tokenizer/LM pipeline reads next to heaps1's vocab growth and
+    cov1's coverage curve (kn1's absolute discount is the same idea
+    baked into a smoother; THIS reports the raw mass).
+
+    Scale shape: one (source, tok) combining agg over the token scan,
+    then a per-source rollup of the ≤|vocab| count rows — the t7/t9
+    shuffle shape, no new pattern.
+
+    Cross-engine exactness: N, V, N1, N2 are exact longs from the
+    shared explicit whitespace class (MG_WS — each engine's own \\s
+    differs on \\x0B); the two ratios are double divisions of exact
+    longs rounded to 6 dp, NULL when their denominator is zero (a
+    source of all-empty docs has no hapax rate, and r* is undefined
+    without hapaxes)."""
+    toks = (
+        documents.filter(F.col("text").isNotNull())
+        .select(
+            "source",
+            F.explode(F.split(F.lower(F.col("text")), MG_WS + "+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    counts = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    n1 = F.sum((F.col("c") == 1).cast("long")).cast("long")
+    n2 = F.sum((F.col("c") == 2).cast("long")).cast("long")
+    agg = counts.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_vocab"),
+        n1.alias("n_hapax"),
+        n2.alias("n_dis"),
+    )
+    p_unseen = F.when(
+        F.col("n_tokens") > 0,
+        F.round(F.col("n_hapax").cast("double") / F.col("n_tokens").cast("double"), 6)
+        + F.lit(0.0),
+    )
+    r1_star = F.when(
+        F.col("n_hapax") > 0,
+        F.round(
+            F.lit(2.0) * F.col("n_dis").cast("double") / F.col("n_hapax").cast("double"),
+            6,
+        )
+        + F.lit(0.0),
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        "n_vocab",
+        "n_hapax",
+        "n_dis",
+        p_unseen.alias("p_unseen"),
+        r1_star.alias("r1_star"),
+    ).orderBy("source")
+
+
+def ney1_neyman_allocation(documents: DataFrame, budget: int = 1000) -> DataFrame:
+    """Neyman-optimal sample allocation across sources (Neyman 1934):
+    stratum h of size N_h with in-stratum std-dev S_h (of document
+    length) gets budget · N_h·S_h / Σ N_k·S_k — the
+    minimum-variance way to spend a labeling/eval budget over a mixed
+    corpus, the quantitative sibling of mix1's share table.
+
+    Scale shape: ONE map-side-combining agg produces each stratum's
+    exact integer sufficient statistics (n, Σx, Σx²); everything after
+    runs on ≤|sources| rows.
+
+    Cross-engine exactness: the variance is computed from DECIMAL(38,0)
+    integer sums via the textbook identity n·Σx² − (Σx)² over n(n−1)
+    (exact integers → one double division → one correctly-rounded
+    sqrt, so S_h is bit-identical in both engines); the cross-stratum
+    normalizer uses the house micro-unit pattern — each stratum's
+    N_h·S_h is rounded to integer MICROS and summed as BIGINT (exact,
+    order-free) so no float-sum association order can leak in.
+    Singleton and constant strata get S_h = 0 (no variance information
+    → no Neyman weight); if EVERY stratum is weightless the allocation
+    is NULL (undefined), not 0/0."""
+    d38 = "decimal(38,0)"
+    x = F.col("n_chars").cast(d38)
+    stats = (
+        documents.filter(F.col("n_chars").isNotNull())
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(x).cast(d38).alias("sx"),
+            F.sum(x * x).cast(d38).alias("sxx"),
+        )
+    )
+    var = F.when(
+        F.col("n_docs") > 1,
+        (
+            (
+                F.col("n_docs").cast(d38) * F.col("sxx")
+                - F.col("sx") * F.col("sx")
+            ).cast("double")
+            / (F.col("n_docs").cast("double") * (F.col("n_docs") - 1).cast("double"))
+        ),
+    ).otherwise(F.lit(0.0))
+    s_h = F.sqrt(F.greatest(var, F.lit(0.0)))
+    weighted = stats.select(
+        "source",
+        "n_docs",
+        F.round(s_h, 6).alias("s_chars"),
+        F.round(F.col("n_docs").cast("double") * s_h * F.lit(1e6), 0)
+        .cast("long")
+        .alias("w_micros"),
+    )
+    total = weighted.agg(
+        F.coalesce(F.sum("w_micros"), F.lit(0)).cast("long").alias("w_total")
+    )
+    alloc = F.when(
+        F.col("w_total") > 0,
+        F.round(
+            F.lit(float(budget))
+            * F.col("w_micros").cast("double")
+            / F.col("w_total").cast("double"),
+            6,
+        )
+        + F.lit(0.0),
+    )
+    n_floor = F.when(
+        F.col("w_total") > 0,
+        F.floor(
+            F.lit(float(budget))
+            * F.col("w_micros").cast("double")
+            / F.col("w_total").cast("double")
+        ).cast("long"),
+    )
+    return (
+        weighted.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            "s_chars",
+            alloc.alias("alloc_exact"),
+            n_floor.alias("n_alloc_floor"),
+        )
+        .orderBy("source")
+    )
+
+
+def kap1_cohens_kappa(documents: DataFrame) -> DataFrame:
+    """Cohen's kappa (Cohen 1960) between the t3 lang-ID heuristic and
+    the labeled language, binarized to en/other — chance-corrected
+    agreement, the eval-family companion to nb2's raw holdout accuracy
+    (accuracy alone flatters a classifier on a skewed label mix; kappa
+    subtracts the agreement a label-marginal guesser would get).
+
+    Scale shape: t3's map-only scoring pass, then ONE 4-cell
+    conditional agg — a scan plus a 1-row reduction.
+
+    Cross-engine exactness: the 2×2 confusion cells are exact longs;
+    p_o, p_e and kappa are arithmetic on those longs rounded to 6 dp;
+    kappa is NULL when p_e = 1 (a single-cell confusion matrix has no
+    chance-corrected signal — both engines would otherwise 0/0). NULL
+    labels count as 'other' via NULL-safe equality, so every scored
+    doc lands in exactly one cell."""
+    pred = t3_lang_id(documents)
+    pred_en = F.col("lang_pred") == "en"
+    true_en = F.col("lang").eqNullSafe(F.lit("en"))
+    cells = pred.agg(
+        F.sum((pred_en & true_en).cast("long")).cast("long").alias("a"),
+        F.sum((pred_en & ~true_en).cast("long")).cast("long").alias("b"),
+        F.sum(((~pred_en) & true_en).cast("long")).cast("long").alias("c"),
+        F.sum(((~pred_en) & ~true_en).cast("long")).cast("long").alias("d"),
+    )
+    n = (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast("double")
+    po = (F.col("a") + F.col("d")).cast("double") / n
+    pe = (
+        (F.col("a") + F.col("b")).cast("double") * (F.col("a") + F.col("c")).cast("double")
+        + (F.col("c") + F.col("d")).cast("double") * (F.col("b") + F.col("d")).cast("double")
+    ) / (n * n)
+    kappa = F.when(
+        pe < 1.0, F.round((po - pe) / (F.lit(1.0) - pe), 6) + F.lit(0.0)
+    )
+    return cells.filter((F.col("a") + F.col("b") + F.col("c") + F.col("d")) > 0).select(
+        "a",
+        "b",
+        "c",
+        "d",
+        (F.round(po, 6) + F.lit(0.0)).alias("p_observed"),
+        (F.round(pe, 6) + F.lit(0.0)).alias("p_expected"),
+        kappa.alias("kappa"),
+    )

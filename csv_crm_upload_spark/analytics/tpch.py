@@ -3899,3 +3899,67 @@ def pctl2_exact_value_percentiles(events: DataFrame) -> DataFrame:
         F.col("p90").alias("p90"),
         F.col("p99").alias("p99"),
     )
+
+
+def fun1_ordered_funnel(
+    events: DataFrame, steps: tuple[str, ...] = ("view", "click", "purchase")
+) -> DataFrame:
+    """Ordered conversion funnel — the product-analytics classic the
+    journey family (e1 sessions, ent1 transitions, surv1 survival,
+    ret1 retention) was missing: of the users who ever did step 1, how
+    many went on to step 2 STRICTLY AFTER their first step-1 moment,
+    then step 3 strictly after that, and so on. The min-time cascade
+    semantics (first qualifying timestamp per step) make reach
+    monotone by construction and SQL-exact: t_k(user) =
+    MIN(ts of step-k events with ts > t_{k-1}(user)).
+
+    Scale shape: step 1 is one user-keyed combining agg over the
+    filtered scan; each later step joins the (≤ reached-users)-row
+    frontier back to that step's events on user_id and re-aggregates —
+    k−1 bounded joins, never a window over the whole stream, no
+    cross-step state. At 100 TB the frontier shrinks every step, so
+    the cascade's cost is dominated by the FIRST step's scan.
+
+    Cross-engine exactness: pure timestamp MINs and integer COUNTs;
+    conversion is one double division of exact longs, rounded to 6 dp.
+    NULL-ts and NULL-user events are excluded up front (every step
+    must measure the same population); ties (a step-k event at
+    EXACTLY t_{k-1}) do not qualify — strictly-greater on both
+    engines."""
+    ev = events.filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    ).select("user_id", "event_type", "ts")
+    frontier = (
+        ev.filter(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    reached = [frontier]
+    for step in steps[1:]:
+        frontier = (
+            ev.filter(F.col("event_type") == step)
+            .join(frontier, "user_id")
+            .filter(F.col("ts") > F.col("t"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+        )
+        reached.append(frontier)
+    rows = None
+    for i, (step, fr) in enumerate(zip(steps, reached), start=1):
+        one = fr.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+            F.lit(i).alias("step"),
+            F.lit(step).alias("event_type"),
+            "n_users",
+        )
+        rows = one if rows is None else rows.unionByName(one)
+    entered = reached[0].agg(F.count(F.lit(1)).cast("long").alias("n_entered"))
+    conv = F.round(
+        F.col("n_users").cast("double")
+        / F.greatest(F.col("n_entered"), F.lit(1)).cast("double"),
+        6,
+    ) + F.lit(0.0)
+    return (
+        rows.crossJoin(F.broadcast(entered))
+        .select("step", "event_type", "n_users", conv.alias("conversion"))
+        .orderBy("step")
+    )

@@ -915,3 +915,36 @@ def test_round12_audlog1_probe_plan(spark, sf_dir):
     assert "epoch" not in plan.split("ReadSchema:", 1)[1].split("\n", 1)[0], (
         "epoch must be partition-pruned out of the read schema"
     )
+
+
+def test_round12_operator_shuffle_budgets(spark, sf_dir):
+    """Budgets for the round-12 batch (ceilings, broadcasts excluded),
+    measured on the RETURNED plan:
+      cms1 3 — the ≤1024-cell CMS table agg (which IS the sketch) +
+            the exact-recount agg on the probe-token semi-join + the
+            result order; the est lookup rides a broadcast of the
+            bounded cells table
+      fun1 10 — the 3-step min-time cascade: each step shuffles that
+            step's filtered events for its user-keyed join+agg and the
+            shrinking frontier reuses its agg partitioning; the step
+            counts are 1-row aggs and the entered divisor is a 1-row
+            broadcast (the BNL the cartesian test allows)
+      gt1 3 — the (source, tok) combining agg + the per-source rollup
+            + the result order
+      ney1 4 — ONE sufficient-statistics agg + the 1-row micro-unit
+            normalizer agg + result order
+      kap1 1 — t3's map-only scoring collapses into a single 4-cell
+            reduction
+    """
+    _reset_plan_state(spark)
+    budgets = {
+        "cms1_countmin_audit": 3,
+        "fun1_ordered_funnel": 10,
+        "gt1_good_turing": 3,
+        "ney1_neyman_allocation": 4,
+        "kap1_cohens_kappa": 1,
+    }
+    for name, budget in budgets.items():
+        plan = plan_of(QUERIES[name](spark, sf_dir))
+        ids = set(re.findall(r"(?<!Broadcast)Exchange \((\d+)\)", plan))
+        assert len(ids) <= budget, f"{name}: {len(ids)} shuffles > budget {budget}\n{plan}"

@@ -1,0 +1,141 @@
+"""Round-12 operator batch contracts — the invariants the oracle pairs
+cannot state (they only prove cross-engine equality): CMS's
+deterministic overcount direction, the funnel's strict-order cascade
+semantics, Good-Turing's count bookkeeping, Neyman's proportionality,
+kappa's endpoints."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from csv_crm_upload_spark.analytics import sketch_audit as sa
+from csv_crm_upload_spark.analytics import textstats as ts
+from csv_crm_upload_spark.analytics import tpch
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_cms1_overcount_is_deterministically_nonnegative(spark, docs, tmp_path):
+    """est >= exact is NOT probabilistic: a CMS cell holds the token's
+    own full count plus collision mass, so every reported estimate
+    upper-bounds truth — and on the clean fixture the Markov envelope
+    holds too. n_total must equal the exact stream total (row 0's
+    counters sum to the token count by construction)."""
+    out = sa.cms1_countmin_audit(docs, str(tmp_path / "cms.parquet")).collect()
+    assert out, "fixture corpus has heavy tokens to probe"
+    from csv_crm_upload_spark.analytics.textstats import MG_WS
+
+    n_exact = (
+        docs.filter(F.col("text").isNotNull())
+        .select(F.explode(F.split(F.lower(F.col("text")), MG_WS + "+")).alias("t"))
+        .filter(F.col("t") != "")
+        .count()
+    )
+    for r in out:
+        assert r["overcount"] >= 0, r  # deterministic, never luck
+        assert r["est_count"] >= r["exact_n"]
+        assert r["within_bound"], r
+        assert r["n_total"] == n_exact
+
+
+def test_fun1_strict_order_cascade_semantics(spark):
+    """The min-time cascade on a hand-built timeline: a click BEFORE
+    the first view doesn't count, a purchase AT EXACTLY the click time
+    doesn't count (strictly-after), and reach is monotone."""
+    import datetime as dt
+
+    t = lambda m: dt.datetime(2024, 1, 1, 12, m, 0)
+    rows = [
+        # u1 converts fully: view@0 -> click@2 -> purchase@3
+        (1, t(0), 1, "view", None), (2, t(2), 1, "click", None),
+        (3, t(3), 1, "purchase", None),
+        # u2: click BEFORE its first view -> never reaches step 2
+        (4, t(1), 2, "click", None), (5, t(2), 2, "view", None),
+        # u3: purchase at EXACTLY the click time -> step 3 not reached
+        (6, t(0), 3, "view", None), (7, t(1), 3, "click", None),
+        (8, t(1), 3, "purchase", None),
+        # u4: view only
+        (9, t(0), 4, "view", None),
+        # NULL user / NULL ts rows are excluded from the population
+        (10, t(0), None, "view", None), (11, None, 1, "purchase", None),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = {r["step"]: r for r in tpch.fun1_ordered_funnel(ev).collect()}
+    assert out[1]["n_users"] == 4 and out[1]["conversion"] == 1.0
+    assert out[2]["n_users"] == 2  # u1 and u3
+    assert out[3]["n_users"] == 1  # u1 only (u3's tie rejected)
+    assert out[2]["n_users"] >= out[3]["n_users"]  # monotone
+    assert out[3]["conversion"] == 0.25
+
+
+def test_gt1_counts_on_known_corpus(spark):
+    """alpha×3 beta×2 gamma×1 delta×1 in one source: N=7, V=4, N1=2,
+    N2=1, p_unseen=2/7, r*=2·1/2=1; an all-NULL-text source vanishes."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", "en", "s1", 16),
+            (2, "alpha beta\talpha\ndelta", "en", "s1", 22),
+            (3, None, "en", "s2", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = ts.gt1_good_turing_mass(docs).collect()
+    assert len(out) == 1 and out[0]["source"] == "s1"
+    r = out[0]
+    assert (r["n_tokens"], r["n_vocab"], r["n_hapax"], r["n_dis"]) == (7, 4, 2, 1)
+    assert r["p_unseen"] == round(2 / 7, 6)
+    assert r["r1_star"] == 1.0
+
+
+def test_ney1_allocation_proportional_and_bounded(spark):
+    """Two strata with equal size and 2:1 std-dev ratio allocate 2:1;
+    a singleton stratum gets zero weight; floor allocations never
+    exceed the budget."""
+    rows = []
+    # s_hi: lengths alternate 100/300 (sd ~ 103.28), s_lo: 150/250 (sd ~ 51.64)
+    for i in range(40):
+        rows.append((i, "x", "en", "hi", 100 if i % 2 else 300))
+    for i in range(40, 80):
+        rows.append((i, "x", "en", "lo", 150 if i % 2 else 250))
+    rows.append((80, "x", "en", "single", 9999))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r["source"]: r for r in ts.ney1_neyman_allocation(docs, budget=90).collect()}
+    assert out["single"]["s_chars"] == 0.0
+    assert out["single"]["alloc_exact"] == 0.0
+    assert math.isclose(
+        out["hi"]["alloc_exact"] / out["lo"]["alloc_exact"], 2.0, rel_tol=1e-6
+    )
+    assert sum(r["n_alloc_floor"] for r in out.values()) <= 90
+    assert out["hi"]["alloc_exact"] + out["lo"]["alloc_exact"] == pytest.approx(
+        90.0, abs=2e-6
+    )
+
+
+def test_kap1_endpoints(spark):
+    """Perfect agreement → kappa 1; a single-cell confusion matrix
+    (p_e = 1) → kappa NULL, not 0/0."""
+    stop_text = "the of and to in is it the a"  # ratio >> 0.08 -> 'en'
+    agree = spark.createDataFrame(
+        [(1, stop_text, "en", "s", 1), (2, "zz qq ww rr tt yy uu", "de", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    r = ts.kap1_cohens_kappa(agree).collect()[0]
+    assert (r["a"], r["b"], r["c"], r["d"]) == (1, 0, 0, 1)
+    assert r["kappa"] == 1.0
+    one_cell = spark.createDataFrame(
+        [(1, "zz qq", "de", "s", 1), (2, "ww rr", "fr", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    r2 = ts.kap1_cohens_kappa(one_cell).collect()[0]
+    assert (r2["a"], r2["b"], r2["c"], r2["d"]) == (0, 0, 0, 2)
+    assert r2["p_expected"] == 1.0 and r2["kappa"] is None
