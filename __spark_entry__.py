@@ -1155,6 +1155,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kap1_cohens_kappa": lambda s, sf: ts.kap1_cohens_kappa(
             _t("documents")(s, sf)
         ),
+        # round-12 second wave
+        # deg1: degree histogram of the near-dup pair graph
+        "deg1_dup_degree_hist": lambda s, sf: dd.deg1_dup_degree_hist(
+            _t("documents")(s, sf)
+        ),
+        # mad1: exact nearest-rank median absolute deviation (pctl2
+        # discipline twice — never a buffered percentile state)
+        "mad1_value_mad": lambda s, sf: tpch.mad1_value_mad(_t("events")(s, sf)),
+        # theil1: decomposable inequality index of customer spend
+        "theil1_spend_inequality": lambda s, sf: tpch.theil1_spend_inequality(
+            _t("orders")(s, sf)
+        ),
+        # simp1: Simpson token diversity per source (pairwise form)
+        "simp1_simpson_diversity": lambda s, sf: ts.simp1_simpson_diversity(
+            _t("documents")(s, sf)
+        ),
+        # cha1: Chao1 unseen-vocabulary richness per source
+        "cha1_chao1_richness": lambda s, sf: ts.cha1_chao1_richness(
+            _t("documents")(s, sf)
+        ),
     }
     # Round-7 rotation (driver samples the FIRST 50 entries): slots 1-12
     # stay the pinned reference core; _ROTATION_FRONT then re-verifies the
@@ -7107,6 +7127,145 @@ def oracle_sql() -> dict[str, str]:
                                / (1.0 - chance_num / (n * n)), 6) + 0.0
                END AS kappa
         FROM k
+    """
+
+    # deg1: degree histogram over the SAME banded lsh_pairs fragment
+    # the graph family shares — pure integer counting
+    q["deg1_dup_degree_hist"] = f"""
+        WITH {_lsh_ctes},
+        ends AS (
+          SELECT doc_a AS doc_id FROM lsh_pairs
+          UNION ALL SELECT doc_b FROM lsh_pairs
+        ),
+        deg AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree
+          FROM ends GROUP BY doc_id
+        )
+        SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM deg GROUP BY degree ORDER BY degree
+    """
+
+    # mad1: exact nearest-rank MAD — the pctl2 integer-rank rule twice;
+    # the median scalar feeds the deviation stage as a subquery scalar
+    q["mad1_value_mad"] = """
+        WITH v AS (SELECT value FROM events WHERE value IS NOT NULL),
+        g AS (SELECT value, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY value),
+        cgrid AS (
+          SELECT value, CAST(SUM(c) OVER (ORDER BY value) AS BIGINT) AS cum FROM g
+        ),
+        t AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n FROM g),
+        med AS (
+          SELECT n, MIN(CASE WHEN cum >= (50 * n + 99) // 100 THEN value END) AS m
+          FROM cgrid, t WHERE n > 0 GROUP BY n
+        ),
+        d AS (SELECT abs(value - m) AS dev FROM v, med),
+        g2 AS (SELECT dev, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY dev),
+        cgrid2 AS (
+          SELECT dev, CAST(SUM(c) OVER (ORDER BY dev) AS BIGINT) AS cum FROM g2
+        )
+        SELECT n AS n_values, m AS median,
+               MIN(CASE WHEN cum >= (50 * n + 99) // 100 THEN dev END) AS mad,
+               round(MIN(CASE WHEN cum >= (50 * n + 99) // 100 THEN dev END)
+                     * 1.4826, 6) + 0.0 AS sigma_robust
+        FROM cgrid2, med GROUP BY n, m
+    """
+
+    # theil1: exact decimal spends; per-customer r·ln(r) terms rounded
+    # to 9 dp into an order-free BIGINT nano sum (the ent1/drift1 log
+    # discipline); zero-spend customers contribute the r·ln(r)→0 limit
+    q["theil1_spend_inequality"] = """
+        WITH per_cust AS (
+          SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+          FROM orders GROUP BY o_custkey
+        ),
+        tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+                 SUM(spend) AS total_spend
+          FROM per_cust
+        ),
+        terms AS (
+          SELECT n_customers, total_spend,
+                 CAST(round(
+                   (n_customers::DOUBLE * (spend::DOUBLE / total_spend::DOUBLE))
+                   * ln(n_customers::DOUBLE * (spend::DOUBLE / total_spend::DOUBLE))
+                   * 1e9, 0) AS BIGINT) AS nanos
+          FROM per_cust CROSS JOIN tot WHERE spend > 0
+        )
+        SELECT MAX(n_customers)::BIGINT AS n_customers,
+               round(MAX(total_spend), 2)::DOUBLE AS total_spend,
+               round(CAST(COALESCE(SUM(nanos), 0) AS BIGINT)::DOUBLE / 1e9
+                     / MAX(n_customers)::DOUBLE, 6) + 0.0 AS theil_t
+        FROM terms HAVING MAX(n_customers) > 0
+    """
+
+    # simp1: same-type pair mass as exact DECIMAL(38,0); one rounded
+    # division; NULL below two tokens
+    q["simp1_simpson_diversity"] = f"""
+        WITH toks AS (
+          SELECT source, tok FROM (
+            SELECT source,
+                   unnest(string_split_regex(lower(text), '{ska.MGREC1_WS_SQL}')) AS tok
+            FROM documents WHERE text IS NOT NULL
+          ) WHERE tok <> ''
+        ),
+        counts AS (
+          SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+          FROM toks GROUP BY source, tok
+        ),
+        agg AS (
+          SELECT source,
+                 CAST(SUM(c) AS BIGINT) AS n_tokens,
+                 CAST(COUNT(*) AS BIGINT) AS n_vocab,
+                 SUM(CAST(c AS DECIMAL(38,0))
+                     * (CAST(c AS DECIMAL(38,0)) - 1)) AS same_pairs
+          FROM counts GROUP BY source
+        )
+        SELECT source, n_tokens, n_vocab,
+               CASE WHEN n_tokens > 1 THEN
+                 round(same_pairs::DOUBLE
+                       / (CAST(n_tokens AS DECIMAL(38,0))
+                          * (CAST(n_tokens AS DECIMAL(38,0)) - 1))::DOUBLE, 6)
+                 + 0.0
+               END AS simpson_d,
+               CASE WHEN n_tokens > 1 THEN
+                 round(1.0 - same_pairs::DOUBLE
+                       / (CAST(n_tokens AS DECIMAL(38,0))
+                          * (CAST(n_tokens AS DECIMAL(38,0)) - 1))::DOUBLE, 6)
+                 + 0.0
+               END AS diversity
+        FROM agg ORDER BY source
+    """
+
+    # cha1: exact long species counts; the bias-corrected Chao1 form
+    # (defined at N2 = 0) as one double expression
+    q["cha1_chao1_richness"] = f"""
+        WITH toks AS (
+          SELECT source, tok FROM (
+            SELECT source,
+                   unnest(string_split_regex(lower(text), '{ska.MGREC1_WS_SQL}')) AS tok
+            FROM documents WHERE text IS NOT NULL
+          ) WHERE tok <> ''
+        ),
+        counts AS (
+          SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+          FROM toks GROUP BY source, tok
+        ),
+        agg AS (
+          SELECT source,
+                 CAST(COUNT(*) AS BIGINT) AS n_vocab,
+                 CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+                 CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dis
+          FROM counts GROUP BY source
+        )
+        SELECT source, n_vocab, n_hapax, n_dis,
+               round(n_vocab::DOUBLE
+                     + n_hapax::DOUBLE * (n_hapax::DOUBLE - 1.0)
+                       / (2.0 * (n_dis::DOUBLE + 1.0)), 6) + 0.0 AS chao1_est,
+               round(n_vocab::DOUBLE
+                     / (n_vocab::DOUBLE
+                        + n_hapax::DOUBLE * (n_hapax::DOUBLE - 1.0)
+                          / (2.0 * (n_dis::DOUBLE + 1.0))), 6) + 0.0 AS coverage
+        FROM agg ORDER BY source
     """
 
     # ben1: Benford leading-digit audit — exact integer cents, leading

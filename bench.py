@@ -153,6 +153,10 @@ EXTRA = [
     "gt1_good_turing",
     "ney1_neyman_allocation",
     "kap1_cohens_kappa",
+    "mad1_value_mad",
+    "theil1_spend_inequality",
+    "simp1_simpson_diversity",
+    "cha1_chao1_richness",
 ]
 
 # EVERY fit/memo-family EXTRA entry gets a WARM (second-run) sample
@@ -197,6 +201,8 @@ GRAPH_EXTRA = [
     "dd4_source_neardup_rates",
     # the composed corpus-prep pipeline consumes the same pair index
     "prep1_corpus_manifest",
+    # round-12: degree histogram over the same persisted pair table
+    "deg1_dup_degree_hist",
 ]
 
 
@@ -369,6 +375,7 @@ def main() -> None:
             "dd2_dedup_corpus": dd.dd2_dedup_corpus,
             "dd4_source_neardup_rates": dd.dd4_source_neardup_rates,
             "prep1_corpus_manifest": prepare_training_corpus,
+            "deg1_dup_degree_hist": dd.deg1_dup_degree_hist,
         }
         for name in GRAPH_EXTRA:
             t0 = time.perf_counter()

@@ -1271,3 +1271,34 @@ def substr_gram_frame(documents: DataFrame, min_len: int = 10) -> DataFrame:
             ),
         )
     )
+
+
+def deg1_dup_degree_hist(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Degree histogram of the near-dup pair graph: how many documents
+    have exactly d near-duplicates — the curator's one-glance read on
+    dup STRUCTURE (a fat tail here means template/boilerplate families
+    that cluster-level views like dd_dup_clusters summarize away; a
+    spike at d=1 means isolated pairs). Composes the same banded LSH
+    candidate table as the rest of the graph family (pass `pairs` to
+    reuse a persisted index; never all-pairs).
+
+    Scale shape: explode each pair into its two endpoints, ONE
+    map-side-combining count per doc, ONE count per degree — both
+    bounded by the pair table, which the banding already bounded.
+
+    Cross-engine exactness: pure integer counting."""
+    p = pairs if pairs is not None else d_minhash_lsh_pairs(documents, n, threshold)
+    ends = p.select(F.col("doc_a").alias("doc_id")).unionByName(
+        p.select(F.col("doc_b").alias("doc_id"))
+    )
+    deg = ends.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("degree")
+    )

@@ -2681,3 +2681,103 @@ def kap1_cohens_kappa(documents: DataFrame) -> DataFrame:
         (F.round(pe, 6) + F.lit(0.0)).alias("p_expected"),
         kappa.alias("kappa"),
     )
+
+
+def simp1_simpson_diversity(documents: DataFrame) -> DataFrame:
+    """Simpson's diversity of the token distribution per source
+    (Simpson 1949): D = Σ c·(c−1) / (N·(N−1)) is the probability two
+    tokens drawn WITHOUT replacement are the same type; 1−D is the
+    diversity curators track next to lex1's type/token ratio (TTR
+    moves with document length; Simpson's pairwise form does not).
+
+    Scale shape: the gt1/t7 shuffle shape — one (source, tok)
+    combining agg, one per-source rollup of ≤|vocab| rows.
+
+    Cross-engine exactness: c·(c−1) summed as exact DECIMAL(38,0)
+    (c ≤ N can square past BIGINT at corpus scale), one double
+    division rounded to 6 dp, NULL when N < 2 (no pair to draw)."""
+    toks = (
+        documents.filter(F.col("text").isNotNull())
+        .select(
+            "source",
+            F.explode(F.split(F.lower(F.col("text")), MG_WS + "+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    counts = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    d38 = "decimal(38,0)"
+    c38 = F.col("c").cast(d38)
+    agg = counts.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_vocab"),
+        F.sum(c38 * (c38 - F.lit(1).cast(d38))).cast(d38).alias("same_pairs"),
+    )
+    n38 = F.col("n_tokens").cast(d38)
+    denom = (n38 * (n38 - F.lit(1).cast(d38))).cast("double")
+    simpson = F.when(
+        F.col("n_tokens") > 1,
+        F.round(F.col("same_pairs").cast("double") / denom, 6) + F.lit(0.0),
+    )
+    diversity = F.when(
+        F.col("n_tokens") > 1,
+        F.round(
+            F.lit(1.0) - F.col("same_pairs").cast("double") / denom, 6
+        )
+        + F.lit(0.0),
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        "n_vocab",
+        simpson.alias("simpson_d"),
+        diversity.alias("diversity"),
+    ).orderBy("source")
+
+
+def cha1_chao1_richness(documents: DataFrame) -> DataFrame:
+    """Chao1 species-richness estimate of the TRUE vocabulary per
+    source (Chao 1984, bias-corrected form): V_est = V_obs +
+    N1·(N1−1) / (2·(N2+1)) — "how much vocabulary haven't we seen
+    yet", the forward-looking companion to gt1's unseen MASS (gt1
+    says how often the next token is novel; Chao1 says how many novel
+    TYPES remain). The bias-corrected form stays defined at N2 = 0.
+
+    Scale shape and tokenization: identical to gt1 (one (source, tok)
+    agg + one rollup; the shared explicit whitespace class).
+
+    Cross-engine exactness: V, N1, N2 are exact longs; the correction
+    is one double expression of those longs rounded to 6 dp; coverage
+    = V_obs / V_est from the same exact inputs."""
+    toks = (
+        documents.filter(F.col("text").isNotNull())
+        .select(
+            "source",
+            F.explode(F.split(F.lower(F.col("text")), MG_WS + "+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    counts = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    agg = counts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vocab"),
+        F.sum((F.col("c") == 1).cast("long")).cast("long").alias("n_hapax"),
+        F.sum((F.col("c") == 2).cast("long")).cast("long").alias("n_dis"),
+    )
+    n1 = F.col("n_hapax").cast("double")
+    n2 = F.col("n_dis").cast("double")
+    est = F.col("n_vocab").cast("double") + n1 * (n1 - F.lit(1.0)) / (
+        F.lit(2.0) * (n2 + F.lit(1.0))
+    )
+    return agg.select(
+        "source",
+        "n_vocab",
+        "n_hapax",
+        "n_dis",
+        (F.round(est, 6) + F.lit(0.0)).alias("chao1_est"),
+        (F.round(F.col("n_vocab").cast("double") / est, 6) + F.lit(0.0)).alias(
+            "coverage"
+        ),
+    ).orderBy("source")

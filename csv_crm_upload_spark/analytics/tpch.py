@@ -3963,3 +3963,93 @@ def fun1_ordered_funnel(
         .select("step", "event_type", "n_users", conv.alias("conversion"))
         .orderBy("step")
     )
+
+
+def mad1_value_mad(events: DataFrame) -> DataFrame:
+    """EXACT global median absolute deviation of event value — the
+    robust dispersion number an outlier-heavy 100 TB column needs
+    (iqr1's quartile spread reads the middle half; MAD reads distance
+    from the center and feeds the 1.4826·MAD robust-sigma rule every
+    anomaly threshold uses): m = exact nearest-rank median, then the
+    exact nearest-rank median of |x − m|.
+
+    Scale shape: the pctl2 discipline twice — one distinct-value
+    combining agg + one distributed_prefix_sums pass per stage, a
+    map-only |x − m| in between; the only driver state is the two
+    scalars the next stage folds back in as literals. Never a
+    single-partition sort, never a buffered percentile() state.
+
+    Cross-engine exactness: pure-integer nearest-rank thresholds
+    ((50·N + 99) // 100), MIN-above-rank picks (no interpolation), and
+    |x − m| is one IEEE subtraction of identical doubles — bit-equal
+    in both engines. The robust sigma is the single rounded product.
+    An all-NULL column returns an EMPTY frame, identically."""
+    v = events.filter(F.col("value").isNotNull()).select("value")
+    g = v.groupBy("value").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    c, totals = distributed_prefix_sums(g, ["value"], ["c"], ["cum"])
+    n = totals["c"]
+    spark = events.sparkSession
+    empty = "n_values long, median double, mad double, sigma_robust double"
+    if n == 0:
+        return spark.createDataFrame([], empty)
+    rank = (50 * n + 99) // 100
+    m = c.agg(
+        F.min(F.when(F.col("cum") >= F.lit(rank), F.col("value")))
+    ).collect()[0][0]
+    d = v.select(F.abs(F.col("value") - F.lit(float(m))).alias("dev"))
+    g2 = d.groupBy("dev").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    c2, _ = distributed_prefix_sums(g2, ["dev"], ["c"], ["cum"])
+    mad = F.min(F.when(F.col("cum") >= F.lit(rank), F.col("dev")))
+    return c2.agg(mad.alias("mad")).select(
+        F.lit(n).cast("long").alias("n_values"),
+        F.lit(float(m)).alias("median"),
+        F.col("mad"),
+        (F.round(F.col("mad") * F.lit(1.4826), 6) + F.lit(0.0)).alias("sigma_robust"),
+    )
+
+
+def theil1_spend_inequality(orders: DataFrame) -> DataFrame:
+    """Theil T index of customer spend (Theil 1967) — gini1's
+    decomposable sibling: T = (1/n)·Σ (xᵢ/μ)·ln(xᵢ/μ), 0 at perfect
+    equality, ln(n) at total concentration. Ordering-free (no ranks),
+    so at 100 TB it is ONE customer-keyed combining agg + one 1-row
+    total + one term reduction — strictly cheaper than Gini's
+    distributed rank, which is why dashboards that track inequality
+    per-slice use Theil (it sums across slices; Gini does not).
+
+    Cross-engine exactness: spends are exact DECIMAL(18,2) sums; the
+    ratio r = n·x/X is one double expression of exact decimals, each
+    customer's r·ln(r) term is rounded to 9 dp into an exact BIGINT
+    nano sum (order-free — the drift1/ent1 log discipline), and the
+    index is the single rounded division at the end."""
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend")
+    )
+    tot = per_cust.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("spend").alias("total_spend"),
+    )
+    r = (
+        F.col("n_customers").cast("double")
+        * (F.col("spend").cast("double") / F.col("total_spend").cast("double"))
+    )
+    term_nanos = F.round(r * F.log(r) * F.lit(1e9), 0).cast("long")
+    agg = (
+        per_cust.crossJoin(F.broadcast(tot))
+        .filter(F.col("spend") > 0)
+        .agg(
+            F.max("n_customers").cast("long").alias("n_customers"),
+            F.max("total_spend").alias("ts"),
+            F.coalesce(F.sum(term_nanos), F.lit(0)).cast("long").alias("nanos"),
+        )
+    )
+    theil = (
+        F.col("nanos").cast("double")
+        / F.lit(1e9)
+        / F.col("n_customers").cast("double")
+    )
+    return agg.filter(F.col("n_customers") > 0).select(
+        "n_customers",
+        F.round(F.col("ts"), 2).cast("double").alias("total_spend"),
+        (F.round(theil, 6) + F.lit(0.0)).alias("theil_t"),
+    )

@@ -943,6 +943,21 @@ def test_round12_operator_shuffle_budgets(spark, sf_dir):
         "gt1_good_turing": 3,
         "ney1_neyman_allocation": 4,
         "kap1_cohens_kappa": 1,
+        # second wave:
+        # deg1 — the LSH band/bucket candidate stages (shared with the
+        #        dd_minhash family) + the endpoint degree agg + the
+        #        degree histogram agg + result order
+        "deg1_dup_degree_hist": 6,
+        # mad1 — the RETURNED plan is the deviation stage's distinct agg
+        #        + its prefix-sum range exchange (the median stage ran
+        #        at construction, pctl2 discipline)
+        "mad1_value_mad": 2,
+        # theil1 — customer-keyed spend agg + the 1-row total + the
+        #        nano-term reduction
+        "theil1_spend_inequality": 4,
+        # simp1/cha1 — (source, tok) agg + per-source rollup + order
+        "simp1_simpson_diversity": 3,
+        "cha1_chao1_richness": 3,
     }
     for name, budget in budgets.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))

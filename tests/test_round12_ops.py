@@ -139,3 +139,74 @@ def test_kap1_endpoints(spark):
     r2 = ts.kap1_cohens_kappa(one_cell).collect()[0]
     assert (r2["a"], r2["b"], r2["c"], r2["d"]) == (0, 0, 0, 2)
     assert r2["p_expected"] == 1.0 and r2["kappa"] is None
+
+
+def test_mad1_known_values_and_all_null(spark):
+    """values 1..9 of one type: median = 5 (nearest rank), deviations
+    {0,1,1,2,2,3,3,4,4} → MAD = 2; an all-NULL column is an EMPTY
+    frame, not a NULL row."""
+    rows = [(i, None, i, "t", float(i)) for i in range(1, 10)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    r = tpch.mad1_value_mad(ev).collect()[0]
+    assert (r["n_values"], r["median"], r["mad"]) == (9, 5.0, 2.0)
+    assert r["sigma_robust"] == round(2 * 1.4826, 6)
+    nulls = spark.createDataFrame(
+        [(1, None, 1, "t", None)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    assert tpch.mad1_value_mad(nulls).count() == 0
+
+
+def test_theil1_equality_is_zero_and_concentration_is_ln_n(spark):
+    """Equal spends → T = 0; all spend on one of n customers → ln(n)
+    (the index's two endpoints, Theil 1967)."""
+    import math as m
+
+    def orders(spends):
+        return spark.createDataFrame(
+            [(i, i, float(s)) for i, s in enumerate(spends)],
+            "o_orderkey long, o_custkey long, o_totalprice double",
+        )
+
+    eq = tpch.theil1_spend_inequality(orders([100.0] * 8)).collect()[0]
+    assert eq["theil_t"] == 0.0
+    # one whale, seven zero-spend customers: terms only from x>0,
+    # r = n·x/X = 8 for the whale → T = (1/8)·8·ln(8) = ln(8)
+    conc = tpch.theil1_spend_inequality(orders([800.0, 0, 0, 0, 0, 0, 0, 0])).collect()[0]
+    assert conc["theil_t"] == pytest.approx(m.log(8), abs=1e-6)
+
+
+def test_simp1_and_cha1_on_known_corpus(spark):
+    """alpha×3 beta×2 gamma delta (N=7, V=4, N1=2, N2=1):
+    Simpson D = (6+2)/(42) = 4/21; Chao1 = 4 + 2·1/(2·2) = 4.5."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma", "en", "s1", 1),
+         (2, "alpha beta alpha delta", "en", "s1", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    s = ts.simp1_simpson_diversity(docs).collect()[0]
+    assert s["simpson_d"] == round(8 / 42, 6)
+    assert s["diversity"] == round(1 - 8 / 42, 6)
+    c = ts.cha1_chao1_richness(docs).collect()[0]
+    assert c["chao1_est"] == 4.5
+    assert c["coverage"] == round(4 / 4.5, 6)
+
+
+def test_deg1_degree_histogram_consistency(spark, docs):
+    """The histogram must account for every pair endpoint: Σ d·n_docs
+    = 2·|pairs|, and membership equals dd4's near-dup member count."""
+    from csv_crm_upload_spark.analytics import dedup as dd
+
+    pairs = dd.d_minhash_lsh_pairs(docs)
+    n_pairs = pairs.count()
+    hist = dd.deg1_dup_degree_hist(docs).collect()
+    assert sum(r["degree"] * r["n_docs"] for r in hist) == 2 * n_pairs
+    n_members = (
+        pairs.select(F.col("doc_a").alias("d"))
+        .unionByName(pairs.select(F.col("doc_b").alias("d")))
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_docs"] for r in hist) == n_members
