@@ -3908,61 +3908,80 @@ def fun1_ordered_funnel(
     journey family (e1 sessions, ent1 transitions, surv1 survival,
     ret1 retention) was missing: of the users who ever did step 1, how
     many went on to step 2 STRICTLY AFTER their first step-1 moment,
-    then step 3 strictly after that, and so on. The min-time cascade
-    semantics (first qualifying timestamp per step) make reach
-    monotone by construction and SQL-exact: t_k(user) =
-    MIN(ts of step-k events with ts > t_{k-1}(user)).
+    then step 3 strictly after that, and so on. Semantics are the
+    min-time cascade — t_k(user) = MIN(ts of step-k events with
+    ts > t_{k-1}(user)) — which the SQL oracle states directly as k
+    chained MIN subqueries.
 
-    Scale shape: step 1 is one user-keyed combining agg over the
-    filtered scan; each later step joins the (≤ reached-users)-row
-    frontier back to that step's events on user_id and re-aggregates —
-    k−1 bounded joins, never a window over the whole stream, no
-    cross-step state. At 100 TB the frontier shrinks every step, so
-    the cascade's cost is dominated by the FIRST step's scan.
+    Scale shape: ONE user-keyed shuffle. Each user's events fold
+    time-sorted through a 2-field accumulator (stage reached, stage
+    timestamp) via F.aggregate — advancing on the FIRST qualifying
+    step event in time order IS the min-time cascade (the first
+    step-k event after t_{k-1} is the MIN such event), so the k−1
+    frontier joins a naive cascade needs collapse into array work
+    inside one combining agg. Per-user state is that user's own
+    events (the e1-sessionize bound); step counts then reduce in one
+    1-row agg and fan out to k rows plan-side. At 100 TB: one
+    exchange of the filtered stream, no repeated scans, no window
+    over the whole stream.
 
-    Cross-engine exactness: pure timestamp MINs and integer COUNTs;
-    conversion is one double division of exact longs, rounded to 6 dp.
-    NULL-ts and NULL-user events are excluded up front (every step
-    must measure the same population); ties (a step-k event at
-    EXACTLY t_{k-1}) do not qualify — strictly-greater on both
-    engines."""
+    Cross-engine exactness: pure timestamp comparisons and integer
+    COUNTs; conversion is one double division of exact longs, rounded
+    to 6 dp. NULL-ts and NULL-user events are excluded up front (every
+    step must measure the same population); ties (a step-k event at
+    EXACTLY t_{k-1}) do not qualify — strictly-greater in the fold and
+    in the oracle. Tie-breaking inside sort_array cannot matter: an
+    equal-ts event can never qualify for the NEXT stage, and for the
+    same stage every equal-ts candidate yields the same t_k."""
     ev = events.filter(
         F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+        & F.col("event_type").isin(*steps)
     ).select("user_id", "event_type", "ts")
-    frontier = (
-        ev.filter(F.col("event_type") == steps[0])
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t"))
+    seq = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("ts", "event_type"))).alias("seq")
     )
-    reached = [frontier]
-    for step in steps[1:]:
-        frontier = (
-            ev.filter(F.col("event_type") == step)
-            .join(frontier, "user_id")
-            .filter(F.col("ts") > F.col("t"))
-            .groupBy("user_id")
-            .agg(F.min("ts").alias("t"))
-        )
-        reached.append(frontier)
-    rows = None
-    for i, (step, fr) in enumerate(zip(steps, reached), start=1):
-        one = fr.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
-            F.lit(i).alias("step"),
-            F.lit(step).alias("event_type"),
-            "n_users",
-        )
-        rows = one if rows is None else rows.unionByName(one)
-    entered = reached[0].agg(F.count(F.lit(1)).cast("long").alias("n_entered"))
+    step_arr = F.array(*[F.lit(st) for st in steps])
+    init = F.struct(
+        F.lit(0).alias("stage"), F.lit(None).cast("timestamp").alias("t")
+    )
+    fold = F.aggregate(
+        F.col("seq"),
+        init,
+        lambda acc, e: F.when(
+            (acc["stage"] < F.lit(len(steps)))
+            & (e["event_type"] == F.element_at(step_arr, acc["stage"] + 1))
+            & ((acc["stage"] == 0) | (e["ts"] > acc["t"])),
+            F.struct((acc["stage"] + 1).alias("stage"), e["ts"].alias("t")),
+        ).otherwise(acc),
+    )
+    staged = seq.select(fold["stage"].alias("stage"))
+    # coalesce: an empty stream must yield step counts of 0 (the
+    # oracle's COUNT over an empty frontier), not NULL sums
+    counts = staged.agg(
+        *[
+            F.coalesce(F.sum((F.col("stage") >= F.lit(i)).cast("long")), F.lit(0))
+            .cast("long")
+            .alias(f"n{i}")
+            for i in range(1, len(steps) + 1)
+        ]
+    )
+    rows = counts.select(
+        F.posexplode(
+            F.array(*[F.col(f"n{i}") for i in range(1, len(steps) + 1)])
+        ).alias("idx", "n_users"),
+        F.col("n1").alias("n_entered"),
+    )
     conv = F.round(
         F.col("n_users").cast("double")
         / F.greatest(F.col("n_entered"), F.lit(1)).cast("double"),
         6,
     ) + F.lit(0.0)
-    return (
-        rows.crossJoin(F.broadcast(entered))
-        .select("step", "event_type", "n_users", conv.alias("conversion"))
-        .orderBy("step")
-    )
+    return rows.select(
+        (F.col("idx") + 1).cast("int").alias("step"),
+        F.element_at(step_arr, F.col("idx") + 1).alias("event_type"),
+        F.col("n_users"),
+        conv.alias("conversion"),
+    ).orderBy("step")
 
 
 def mad1_value_mad(events: DataFrame) -> DataFrame:

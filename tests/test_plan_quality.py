@@ -924,11 +924,11 @@ def test_round12_operator_shuffle_budgets(spark, sf_dir):
             the exact-recount agg on the probe-token semi-join + the
             result order; the est lookup rides a broadcast of the
             bounded cells table
-      fun1 10 — the 3-step min-time cascade: each step shuffles that
-            step's filtered events for its user-keyed join+agg and the
-            shrinking frontier reuses its agg partitioning; the step
-            counts are 1-row aggs and the entered divisor is a 1-row
-            broadcast (the BNL the cartesian test allows)
+      fun1 2 — the whole 3-step cascade folds inside ONE user-keyed
+            combining agg (time-sorted array fold; first qualifying
+            event per stage == the min-time cascade) + the 1-row step
+            count reduction; rewritten down from the naive 10-shuffle
+            per-step join chain
       gt1 3 — the (source, tok) combining agg + the per-source rollup
             + the result order
       ney1 4 — ONE sufficient-statistics agg + the 1-row micro-unit
@@ -939,7 +939,7 @@ def test_round12_operator_shuffle_budgets(spark, sf_dir):
     _reset_plan_state(spark)
     budgets = {
         "cms1_countmin_audit": 3,
-        "fun1_ordered_funnel": 10,
+        "fun1_ordered_funnel": 2,
         "gt1_good_turing": 3,
         "ney1_neyman_allocation": 4,
         "kap1_cohens_kappa": 1,
