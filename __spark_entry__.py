@@ -1175,6 +1175,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cha1_chao1_richness": lambda s, sf: ts.cha1_chao1_richness(
             _t("documents")(s, sf)
         ),
+        # spr1: tie-corrected Spearman rank correlation via doubled
+        # average ranks — every sufficient statistic an exact integer
+        "spr1_spearman_rank_corr": lambda s, sf: tpch.spr1_spearman_rank_corr(
+            _t("orders")(s, sf), _t("customer")(s, sf)
+        ),
+        # ptt1: Pettitt rank change point on the daily volume (the
+        # rank-based complement of cpd1's mean split)
+        "ptt1_pettitt_change_point": lambda s, sf: tpch.ptt1_pettitt_change_point(
+            _t("events")(s, sf)
+        ),
     }
     # Round-7 rotation (driver samples the FIRST 50 entries): slots 1-12
     # stay the pinned reference core; _ROTATION_FRONT then re-verifies the
@@ -7266,6 +7276,95 @@ def oracle_sql() -> dict[str, str]:
                         + n_hapax::DOUBLE * (n_hapax::DOUBLE - 1.0)
                           / (2.0 * (n_dis::DOUBLE + 1.0))), 6) + 0.0 AS coverage
         FROM agg ORDER BY source
+    """
+
+    # spr1: Spearman via DOUBLED average ranks (2·cum_before + cnt + 1
+    # stays an exact long under ties), Pearson-on-ranks from
+    # DECIMAL(38,0) sufficient sums, one rounded double expression;
+    # NULL on zero rank variance
+    q["spr1_spearman_rank_corr"] = """
+        WITH pairs AS (
+          SELECT o_totalprice AS x, c_acctbal AS y
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          WHERE o_totalprice IS NOT NULL AND c_acctbal IS NOT NULL
+        ),
+        gx AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt FROM pairs GROUP BY x),
+        rx AS (
+          SELECT x, CAST(2 * (SUM(cnt) OVER (ORDER BY x) - cnt) + cnt + 1
+                         AS BIGINT) AS u
+          FROM gx
+        ),
+        gy AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS cnt FROM pairs GROUP BY y),
+        ry AS (
+          SELECT y, CAST(2 * (SUM(cnt) OVER (ORDER BY y) - cnt) + cnt + 1
+                         AS BIGINT) AS v
+          FROM gy
+        ),
+        ranked AS (
+          SELECT u, v FROM pairs JOIN rx USING (x) JOIN ry USING (y)
+        ),
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(u AS DECIMAL(38,0))) AS su,
+                 SUM(CAST(v AS DECIMAL(38,0))) AS sv,
+                 SUM(CAST(u AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0))) AS suv,
+                 SUM(CAST(u AS DECIMAL(38,0)) * CAST(u AS DECIMAL(38,0))) AS suu,
+                 SUM(CAST(v AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0))) AS svv
+          FROM ranked
+        )
+        SELECT n AS n_pairs,
+               CASE WHEN (CAST(n AS DECIMAL(38,0)) * suu - su * su)::DOUBLE > 0
+                     AND (CAST(n AS DECIMAL(38,0)) * svv - sv * sv)::DOUBLE > 0
+                    THEN round(
+                      (CAST(n AS DECIMAL(38,0)) * suv - su * sv)::DOUBLE
+                      / sqrt((CAST(n AS DECIMAL(38,0)) * suu - su * su)::DOUBLE
+                             * (CAST(n AS DECIMAL(38,0)) * svv - sv * sv)::DOUBLE),
+                      6) + 0.0
+               END AS spearman_rho
+        FROM agg WHERE n > 0
+    """
+
+    # ptt1: Pettitt — doubled ranks make W2_t exact; u2 = w2 − t·(n+1)
+    # IS U_t by the rank-sum identity; argmax by (|U| DESC, day ASC);
+    # only the approximate p-value is a rounded double of exact ints
+    q["ptt1_pettitt_change_point"] = """
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+          FROM events WHERE ts IS NOT NULL GROUP BY 1
+        ),
+        st AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+        spine AS (
+          SELECT r.s::DATE AS day,
+                 CAST(date_diff('day', d0, d1) + 1 AS BIGINT) AS nd
+          FROM st, UNNEST(generate_series(d0::TIMESTAMP, d1::TIMESTAMP,
+                                          INTERVAL 1 DAY)) AS r(s)
+        ),
+        filled AS (
+          SELECT s.day, s.nd, COALESCE(d.c, 0)::BIGINT AS c
+          FROM spine s LEFT JOIN daily d USING (day)
+        ),
+        g AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS cnt FROM filled GROUP BY c),
+        r AS (
+          SELECT c, CAST(2 * (SUM(cnt) OVER (ORDER BY c) - cnt) + cnt + 1
+                         AS BIGINT) AS r2
+          FROM g
+        ),
+        wt AS (
+          SELECT f.day, f.nd,
+                 CAST(SUM(r.r2) OVER (ORDER BY f.day) AS BIGINT) AS w2,
+                 CAST(ROW_NUMBER() OVER (ORDER BY f.day) AS BIGINT) AS t
+          FROM filled f JOIN r USING (c)
+        ),
+        u AS (
+          SELECT day, nd, CAST(w2 - t * (nd + 1) AS BIGINT) AS u2
+          FROM wt WHERE t < nd
+        )
+        SELECT nd AS n_days, day AS change_day,
+               CAST(abs(u2) AS BIGINT) AS k_stat,
+               least(round(2.0 * exp(-6.0 * (abs(u2)::DOUBLE * abs(u2)::DOUBLE)
+                     / (nd::DOUBLE * nd::DOUBLE * nd::DOUBLE
+                        + nd::DOUBLE * nd::DOUBLE)), 6) + 0.0, 1.0) AS p_approx
+        FROM u ORDER BY abs(u2) DESC, day ASC LIMIT 1
     """
 
     # ben1: Benford leading-digit audit — exact integer cents, leading

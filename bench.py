@@ -157,6 +157,8 @@ EXTRA = [
     "theil1_spend_inequality",
     "simp1_simpson_diversity",
     "cha1_chao1_richness",
+    "spr1_spearman_rank_corr",
+    "ptt1_pettitt_change_point",
 ]
 
 # EVERY fit/memo-family EXTRA entry gets a WARM (second-run) sample

@@ -4072,3 +4072,140 @@ def theil1_spend_inequality(orders: DataFrame) -> DataFrame:
         F.round(F.col("ts"), 2).cast("double").alias("total_spend"),
         (F.round(theil, 6) + F.lit(0.0)).alias("theil_t"),
     )
+
+
+def _rank2x(df: DataFrame, col: str) -> DataFrame:
+    """(value → 2·average-rank) for tie-corrected rank statistics:
+    average rank of a tied block = cum_before + (cnt+1)/2, so DOUBLING
+    it (2·cum_before + cnt + 1) keeps every rank an EXACT LONG —
+    Spearman/Pettitt arithmetic then runs on integers with no float
+    rank in sight. One distinct-value combining agg + one
+    distributed_prefix_sums pass; join back by value (≤|distinct|
+    rows, the pctl2 grain)."""
+    g = df.groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    c, _ = distributed_prefix_sums(g, [col], ["cnt"], ["cum"])
+    return c.select(
+        col,
+        (
+            F.lit(2) * (F.col("cum") - F.col("cnt")) + F.col("cnt") + F.lit(1)
+        )
+        .cast("long")
+        .alias("r2"),
+    )
+
+
+def spr1_spearman_rank_corr(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Tie-corrected Spearman rank correlation between a customer's
+    account balance and their orders' prices — "do rich-balance
+    customers place big orders?" as one monotone-association number
+    (Spearman 1904), robust to the heavy price tails Pearson chases.
+    The eval family's missing rank-space primitive (rbo1 compares two
+    RANKINGS; this correlates two VALUE columns via ranks).
+
+    Scale shape: two _rank2x passes (distinct-value grain), a join of
+    those ≤|distinct|-row rank tables back onto the pair stream (AQE
+    broadcasts when the value grid is small, sort-merges otherwise —
+    no hint, since a continuous column's distinct count can approach
+    n), ONE combining agg of five integer sums. No pairwise work, no
+    window over the stream.
+
+    Cross-engine exactness: with doubled average ranks every
+    sufficient statistic (Σu, Σv, Σuv, Σu², Σv², n) is an exact
+    DECIMAL(38,0); rho = Pearson on ranks is one double expression of
+    those exact sums, rounded to 6 dp (the doubling cancels). NULL on
+    zero rank variance (a constant column has no rank order)."""
+    pairs = (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .filter(F.col("o_totalprice").isNotNull() & F.col("c_acctbal").isNotNull())
+        .select(
+            F.col("o_totalprice").alias("x"), F.col("c_acctbal").alias("y")
+        )
+    )
+    rx = _rank2x(pairs, "x").withColumnRenamed("r2", "u")
+    ry = _rank2x(pairs, "y").withColumnRenamed("r2", "v")
+    ranked = pairs.join(rx, "x").join(ry, "y")
+    d38 = "decimal(38,0)"
+    u, v = F.col("u").cast(d38), F.col("v").cast(d38)
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(u).cast(d38).alias("su"),
+        F.sum(v).cast(d38).alias("sv"),
+        F.sum(u * v).cast(d38).alias("suv"),
+        F.sum(u * u).cast(d38).alias("suu"),
+        F.sum(v * v).cast(d38).alias("svv"),
+    )
+    n = F.col("n").cast(d38)
+    cov = (n * F.col("suv") - F.col("su") * F.col("sv")).cast("double")
+    varu = (n * F.col("suu") - F.col("su") * F.col("su")).cast("double")
+    varv = (n * F.col("svv") - F.col("sv") * F.col("sv")).cast("double")
+    rho = F.when(
+        (varu > 0) & (varv > 0),
+        F.round(cov / F.sqrt(varu * varv), 6) + F.lit(0.0),
+    )
+    return agg.filter(F.col("n") > 0).select(
+        F.col("n").alias("n_pairs"), rho.alias("spearman_rho")
+    )
+
+
+def ptt1_pettitt_change_point(events: DataFrame) -> DataFrame:
+    """Pettitt's nonparametric change-point test (Pettitt 1979) on the
+    zero-filled daily event volume: U_t = 2·W_t − t·(n+1) where W_t is
+    the rank sum of the first t days (average ranks for ties), and the
+    change point is the day maximizing |U_t| — the RANK-based
+    complement to cpd1's mean-shift split (immune to the outlier days
+    that drag a mean), with the standard approximate significance
+    p ≈ 2·exp(−6K²/(n³+n²)).
+
+    Scale shape: everything after the one day-grained combining agg
+    runs on the calendar-bounded spine — a _rank2x pass over ≤|days|
+    counts, one prefix-sum pass for W_t, and a TakeOrdered(1) for the
+    argmax. Never a day² join (unlike tsen1's pair median, Pettitt is
+    linear in days by the rank-sum identity).
+
+    Cross-engine exactness: doubled ranks make W2_t and U2_t = 2·U_t
+    exact longs; K and the argmax day are integer comparisons (|U2|
+    DESC, day ASC tiebreak — first maximizer both engines); only the
+    p-value is a double expression of exact integers, rounded 6 dp."""
+    daily, spine = _daily_spine(events)
+    filled = (
+        spine.join(daily, "day", "left")
+        .select("day", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c"))
+    )
+    r = _rank2x(filled, "c")  # 2·avg-rank per distinct count value
+    ranked = filled.join(F.broadcast(r), "c").select("day", "r2")
+    w, totals = distributed_prefix_sums(ranked, ["day"], ["r2"], ["w2"])
+    n = totals["r2"]  # Σ 2·rank = n·(n+1); recover n from the identity
+    import math
+
+    n_days = int((math.isqrt(4 * n + 1) - 1) // 2) if n else 0
+    if n_days < 2:
+        return events.sparkSession.createDataFrame(
+            [], "n_days long, change_day date, k_stat long, p_approx double"
+        )
+    t_idx, _ = distributed_prefix_sums(
+        w.select("day", "w2", F.lit(1).alias("one")), ["day"], ["one"], ["t"]
+    )
+    u2 = (F.col("w2") - F.col("t").cast("long") * F.lit(n_days + 1)).cast("long")
+    candidates = t_idx.filter(F.col("t") < n_days).select(
+        "day", u2.alias("u2"), F.abs(u2).alias("abs_u2")
+    )
+    top = candidates.orderBy(F.col("abs_u2").desc(), F.col("day").asc()).limit(1)
+    # w2 = 2·W_t makes u2 = w2 − t·(n+1) EQUAL U_t = 2·W_t − t·(n+1)
+    # directly (the doubling is already inside the identity), so K is
+    # |u2| with no rescale
+    k = F.col("abs_u2").cast("long")
+    nd = float(n_days)
+    p = F.round(
+        F.lit(2.0)
+        * F.exp(
+            F.lit(-6.0) * (k.cast("double") * k.cast("double"))
+            / F.lit(nd * nd * nd + nd * nd)
+        ),
+        6,
+    ) + F.lit(0.0)
+    return top.select(
+        F.lit(n_days).cast("long").alias("n_days"),
+        F.col("day").alias("change_day"),
+        k.alias("k_stat"),
+        F.least(p, F.lit(1.0)).alias("p_approx"),
+    )

@@ -958,6 +958,14 @@ def test_round12_operator_shuffle_budgets(spark, sf_dir):
         # simp1/cha1 — (source, tok) agg + per-source rollup + order
         "simp1_simpson_diversity": 3,
         "cha1_chao1_richness": 3,
+        # spr1 — the pair join + two _rank2x value aggs (each: distinct
+        #        agg + prefix-sum range exchange) + the rank-table
+        #        joins back onto the stream + one 5-sum reduction
+        "spr1_spearman_rank_corr": 7,
+        # ptt1 — construction-time _daily_spine/_rank2x/prefix passes
+        #        are checkpointed; the returned plan is the bounded
+        #        day-grain argmax (TakeOrdered) + one exchange
+        "ptt1_pettitt_change_point": 2,
     }
     for name, budget in budgets.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))

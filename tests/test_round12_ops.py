@@ -210,3 +210,55 @@ def test_deg1_degree_histogram_consistency(spark, docs):
         .count()
     )
     assert sum(r["n_docs"] for r in hist) == n_members
+
+
+def test_spr1_endpoints_and_ties(spark):
+    """Monotone pairs → rho = 1 exactly (rank arithmetic, not float
+    luck); anti-monotone → −1; a constant column → NULL (zero rank
+    variance); tied blocks use average ranks."""
+    def frames(pairs):
+        orders = spark.createDataFrame(
+            [(i, i, float(x)) for i, (x, _) in enumerate(pairs)],
+            "o_orderkey long, o_custkey long, o_totalprice double",
+        )
+        cust = spark.createDataFrame(
+            [(i, float(y)) for i, (_, y) in enumerate(pairs)],
+            "c_custkey long, c_acctbal double",
+        )
+        return orders, cust
+
+    up = tpch.spr1_spearman_rank_corr(*frames([(1, 10), (2, 20), (3, 30), (4, 40)]))
+    assert up.collect()[0]["spearman_rho"] == 1.0
+    down = tpch.spr1_spearman_rank_corr(*frames([(1, 40), (2, 30), (3, 20), (4, 10)]))
+    assert down.collect()[0]["spearman_rho"] == -1.0
+    const = tpch.spr1_spearman_rank_corr(*frames([(1, 5), (2, 5), (3, 5)]))
+    assert const.collect()[0]["spearman_rho"] is None
+    # ties: x = (1,1,2), y = (3,4,9) — avg rank of the tied 1s is 1.5;
+    # classical tie-corrected rho = 0.866025
+    tied = tpch.spr1_spearman_rank_corr(*frames([(1, 3), (1, 4), (2, 9)]))
+    assert tied.collect()[0]["spearman_rho"] == pytest.approx(0.866025, abs=1e-6)
+
+
+def test_ptt1_step_series_change_point(spark):
+    """Step series 1×4 then 10×4 over 8 days: average ranks 2.5/6.5,
+    W_4 = 10, U_4 = 2·10 − 4·9 = −16 → K = 16 at day 4, the hand
+    arithmetic of Pettitt's rank-sum identity; a 1-day series is
+    empty (no interior split)."""
+    import datetime as dt
+
+    rows, eid = [], 0
+    for d in range(8):
+        for _ in range(1 if d < 4 else 10):
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 1, 1 + d, 12, 0, 0), 1, "view", 1.0))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    r = tpch.ptt1_pettitt_change_point(ev).collect()[0]
+    assert (r["n_days"], r["k_stat"]) == (8, 16)
+    assert r["change_day"] == dt.date(2024, 1, 4)
+    one = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 12, 0, 0), 1, "view", 1.0)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    assert tpch.ptt1_pettitt_change_point(one).count() == 0
