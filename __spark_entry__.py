@@ -1185,6 +1185,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ptt1_pettitt_change_point": lambda s, sf: tpch.ptt1_pettitt_change_point(
             _t("events")(s, sf)
         ),
+        # round-12 fourth wave
+        # anova1: one-way ANOVA F of order value by priority (the
+        # parametric complement of kw1's rank test)
+        "anova1_priority_anova": lambda s, sf: tpch.anova1_priority_anova(
+            _t("orders")(s, sf)
+        ),
+        # kw1: tie-corrected Kruskal-Wallis H of doc length by source
+        "kw1_kruskal_wallis": lambda s, sf: tpch.kw1_kruskal_wallis(
+            _t("documents")(s, sf)
+        ),
     }
     # Round-7 rotation (driver samples the FIRST 50 entries): slots 1-12
     # stay the pinned reference core; _ROTATION_FRONT then re-verifies the
@@ -7494,6 +7504,113 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN j ON j.lang = c.lang AND j.source = c.source
         CROSS JOIN t
         ORDER BY c.lang, c.source
+    """
+
+    # anova1: cents in DECIMAL(38,0) sufficient stats; the per-group
+    # between-variance term (nj/n)*(mj-m)^2 in DOLLARS rides the
+    # micro-unit LONG sum (order-free, theil1 discipline); SST/n is one
+    # 1-row double expression; NULL F on zero within-variance
+    q["anova1_priority_anova"] = """
+        WITH base AS (
+          SELECT o_orderpriority AS grp,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS x
+          FROM orders
+          WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+        ),
+        per AS (
+          SELECT grp, CAST(COUNT(*) AS BIGINT) AS nj,
+                 CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sj,
+                 CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+                      AS DECIMAL(38,0)) AS ssj
+          FROM base GROUP BY grp
+        ),
+        gstats AS (
+          SELECT CAST(SUM(nj) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+                 CAST(SUM(sj) AS DECIMAL(38,0)) AS s,
+                 CAST(SUM(ssj) AS DECIMAL(38,0)) AS ssq
+          FROM per
+        ),
+        summed AS (
+          SELECT CAST(SUM(CAST(round(
+                   (nj::DOUBLE / n::DOUBLE)
+                   * (sj::DOUBLE / (nj::DOUBLE * 100.0)
+                      - s::DOUBLE / (n::DOUBLE * 100.0))
+                   * (sj::DOUBLE / (nj::DOUBLE * 100.0)
+                      - s::DOUBLE / (n::DOUBLE * 100.0))
+                   * 1e6) AS BIGINT)) AS BIGINT) AS ssb_micro
+          FROM per CROSS JOIN gstats
+        )
+        SELECT n AS n_orders, k AS k_groups,
+               CASE WHEN (ssq::DOUBLE / (n::DOUBLE * 1e4)
+                          - (s::DOUBLE / (n::DOUBLE * 100.0))
+                            * (s::DOUBLE / (n::DOUBLE * 100.0))
+                          - ssb_micro::DOUBLE / 1e6) > 0
+                    THEN round((n::DOUBLE - k::DOUBLE) / (k::DOUBLE - 1.0)
+                         * (ssb_micro::DOUBLE / 1e6)
+                         / (ssq::DOUBLE / (n::DOUBLE * 1e4)
+                            - (s::DOUBLE / (n::DOUBLE * 100.0))
+                              * (s::DOUBLE / (n::DOUBLE * 100.0))
+                            - ssb_micro::DOUBLE / 1e6), 6) + 0.0
+               END AS f_stat,
+               CASE WHEN (ssq::DOUBLE / (n::DOUBLE * 1e4)
+                          - (s::DOUBLE / (n::DOUBLE * 100.0))
+                            * (s::DOUBLE / (n::DOUBLE * 100.0))) > 0
+                    THEN round(ssb_micro::DOUBLE / 1e6
+                         / (ssq::DOUBLE / (n::DOUBLE * 1e4)
+                            - (s::DOUBLE / (n::DOUBLE * 100.0))
+                              * (s::DOUBLE / (n::DOUBLE * 100.0))), 6) + 0.0
+               END AS eta_sq
+        FROM summed CROSS JOIN gstats
+        WHERE k >= 2 AND n > k
+    """
+
+    # kw1: doubled average ranks (spr1 discipline) keep rank sums exact
+    # DECIMAL; the per-group H term 3*R2j^2/(nj*n*(n+1)) rides the
+    # micro-unit LONG sum; tie correction from exact DECIMAL t^3-t
+    q["kw1_kruskal_wallis"] = """
+        WITH base AS (
+          SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents
+          WHERE n_chars IS NOT NULL AND source IS NOT NULL
+        ),
+        g AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt FROM base GROUP BY x),
+        r AS (
+          SELECT x, CAST(2 * (SUM(cnt) OVER (ORDER BY x) - cnt) + cnt + 1
+                         AS BIGINT) AS r2
+          FROM g
+        ),
+        per AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS nj,
+                 CAST(SUM(CAST(r2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS r2j
+          FROM base JOIN r USING (x) GROUP BY source
+        ),
+        ties AS (
+          SELECT CAST(SUM(CAST(cnt AS DECIMAL(38,0)) * CAST(cnt AS DECIMAL(38,0))
+                          * CAST(cnt AS DECIMAL(38,0))
+                          - CAST(cnt AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS tie3
+          FROM g
+        ),
+        gstats AS (
+          SELECT CAST(SUM(nj) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k
+          FROM per
+        ),
+        summed AS (
+          SELECT CAST(SUM(CAST(round(3.0 * r2j::DOUBLE * r2j::DOUBLE
+                    / (nj::DOUBLE * n::DOUBLE * (n::DOUBLE + 1.0))
+                    * 1e6) AS BIGINT)) AS BIGINT) AS h_micro
+          FROM per CROSS JOIN gstats
+        )
+        SELECT n AS n_docs, k AS k_sources, CAST(k - 1 AS BIGINT) AS df,
+               round(h_micro::DOUBLE / 1e6 - 3.0 * (n::DOUBLE + 1.0), 6) + 0.0
+                 AS h_stat,
+               CASE WHEN 1.0 - tie3::DOUBLE
+                          / (n::DOUBLE * n::DOUBLE * n::DOUBLE - n::DOUBLE) > 0
+                    THEN round((h_micro::DOUBLE / 1e6 - 3.0 * (n::DOUBLE + 1.0))
+                         / (1.0 - tie3::DOUBLE
+                            / (n::DOUBLE * n::DOUBLE * n::DOUBLE - n::DOUBLE)),
+                         6) + 0.0
+               END AS h_adj
+        FROM summed CROSS JOIN gstats CROSS JOIN ties
+        WHERE k >= 2 AND n > k
     """
 
     return q

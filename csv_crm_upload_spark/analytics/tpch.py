@@ -4209,3 +4209,151 @@ def ptt1_pettitt_change_point(events: DataFrame) -> DataFrame:
         k.alias("k_stat"),
         F.least(p, F.lit(1.0)).alias("p_approx"),
     )
+
+
+def anova1_priority_anova(orders: DataFrame) -> DataFrame:
+    """One-way ANOVA F-test of order value across order priorities —
+    the parametric complement of kw1's rank test (Fisher 1925): does
+    the MEAN order value differ by priority, measured as the ratio of
+    between-group to within-group variance? A pipeline runs this to
+    decide whether a categorical facet is worth stratifying on before
+    sampling (ney1 allocates BY variance; anova1 asks whether the
+    strata differ at all).
+
+    Scale shape: ONE priority-keyed combining agg collapses the corpus
+    to ≤|priorities| sufficient-statistic rows (n_j, Σx, Σx² — all
+    map-side partial); the global row is a re-combine of that bounded
+    table; every downstream expression runs at the ≤|priorities| grain.
+    No window, no second corpus pass.
+
+    Cross-engine exactness: sums ride exact integer cents in
+    DECIMAL(38,0); the per-group between-variance term (n_j/n)·(m_j−m)²
+    is ONE fixed double expression of those exact stats, rounded to
+    MICRO-units and summed as LONGS (order-free — the theil1 nano
+    discipline, sized for dollar² magnitudes); SST/n is a single
+    1-row double expression. F and eta² are rounded to 6 dp; NULL when
+    the within-variance hits zero (identical group means)."""
+    d38 = "decimal(38,0)"
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    base = orders.filter(
+        F.col("o_totalprice").isNotNull() & F.col("o_orderpriority").isNotNull()
+    ).select(F.col("o_orderpriority").alias("grp"), cents.alias("x"))
+    per = base.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("nj"),
+        F.sum(F.col("x").cast(d38)).cast(d38).alias("sj"),
+        F.sum((F.col("x").cast(d38)) * (F.col("x").cast(d38))).cast(d38).alias("ssj"),
+    )
+    glob = per.agg(
+        F.sum("nj").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("sj").cast(d38).alias("s"),
+        F.sum("ssj").cast(d38).alias("ssq"),
+    )
+    # dollars keep every double under ~1e12 so micro-unit longs never
+    # approach 2^63 (fuzz cents <= 2e7; sf tables <= 6e7)
+    nd, njd = F.col("n").cast("double"), F.col("nj").cast("double")
+    m = F.col("s").cast("double") / (nd * F.lit(100.0))
+    mj = F.col("sj").cast("double") / (njd * F.lit(100.0))
+    term = (njd / nd) * (mj - m) * (mj - m)
+    ssb_micro = F.round(term * F.lit(1e6), 0).cast("long")
+    summed = (
+        per.crossJoin(F.broadcast(glob))
+        .agg(F.sum(ssb_micro).cast("long").alias("ssb_micro"))
+    )
+    joined = summed.crossJoin(F.broadcast(glob)).filter(
+        (F.col("k") >= 2) & (F.col("n") > F.col("k"))
+    )
+    ssb_n = F.col("ssb_micro").cast("double") / F.lit(1e6)
+    sst_n = F.col("ssq").cast("double") / (nd * F.lit(1e4)) - (
+        F.col("s").cast("double") / (nd * F.lit(100.0))
+    ) * (F.col("s").cast("double") / (nd * F.lit(100.0)))
+    ssw_n = sst_n - ssb_n
+    kd = F.col("k").cast("double")
+    f_stat = F.when(
+        ssw_n > 0,
+        F.round(((nd - kd) / (kd - F.lit(1.0))) * ssb_n / ssw_n, 6) + F.lit(0.0),
+    )
+    eta = F.when(sst_n > 0, F.round(ssb_n / sst_n, 6) + F.lit(0.0))
+    return joined.select(
+        F.col("n").alias("n_orders"),
+        F.col("k").alias("k_groups"),
+        f_stat.alias("f_stat"),
+        eta.alias("eta_sq"),
+    )
+
+
+def kw1_kruskal_wallis(documents: DataFrame) -> DataFrame:
+    """Kruskal-Wallis H test of document length across sources
+    (Kruskal & Wallis 1952) — the K-group generalization of the rank
+    tests the repo already runs pairwise (spr1 correlates two value
+    columns; kw1 asks whether K length DISTRIBUTIONS share a location),
+    tie-corrected because length grids tie heavily. The rank-based
+    complement of anova1: immune to the heavy document-length tails
+    that drag a mean.
+
+    Scale shape: spr1's discipline — one value-grain combining agg +
+    one distributed_prefix_sums pass build the 2x-rank table
+    (≤|distinct lengths| rows), a join back onto the (source, length)
+    stream, then ONE source-keyed agg of exact integer rank sums; the
+    tie-correction term re-combines the bounded value-grain table. No
+    window over the corpus, no pairwise work.
+
+    Cross-engine exactness: doubled average ranks keep every rank an
+    exact LONG; per-source rank sums ride DECIMAL(38,0); the per-group
+    H term 3·R2_j²/(n_j·n·(n+1)) is one fixed double expression of
+    exact stats, rounded to MICRO-units and summed as LONGS
+    (order-free); Σ(t³−t) is exact DECIMAL. H and the tie-adjusted
+    H/C round to 6 dp; NULL adjustment when every value ties (C=0)."""
+    d38 = "decimal(38,0)"
+    base = documents.filter(
+        F.col("n_chars").isNotNull() & F.col("source").isNotNull()
+    ).select("source", F.col("n_chars").cast("long").alias("x"))
+    r = _rank2x(base, "x")
+    ranked = base.join(r, "x")
+    per = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("nj"),
+        F.sum(F.col("r2").cast(d38)).cast(d38).alias("r2j"),
+    )
+    ties = (
+        base.groupBy("x")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .agg(
+            F.sum(
+                F.col("t").cast(d38) * F.col("t").cast(d38) * F.col("t").cast(d38)
+                - F.col("t").cast(d38)
+            )
+            .cast(d38)
+            .alias("tie3")
+        )
+    )
+    glob = per.agg(
+        F.sum("nj").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    nd, njd = F.col("n").cast("double"), F.col("nj").cast("double")
+    r2d = F.col("r2j").cast("double")
+    # H = 12/(n(n+1)) * sum_j R_j^2/n_j - 3(n+1) with R_j = R2_j/2
+    #   = sum_j 3*R2_j^2/(n_j*n*(n+1)) - 3(n+1)
+    term = F.lit(3.0) * r2d * r2d / (njd * nd * (nd + F.lit(1.0)))
+    h_micro = F.round(term * F.lit(1e6), 0).cast("long")
+    summed = (
+        per.crossJoin(F.broadcast(glob))
+        .agg(F.sum(h_micro).cast("long").alias("h_micro"))
+    )
+    joined = (
+        summed.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(ties))
+        .filter((F.col("k") >= 2) & (F.col("n") > F.col("k")))
+    )
+    h = F.col("h_micro").cast("double") / F.lit(1e6) - F.lit(3.0) * (
+        nd + F.lit(1.0)
+    )
+    corr = F.lit(1.0) - F.col("tie3").cast("double") / (nd * nd * nd - nd)
+    h_adj = F.when(corr > 0, F.round(h / corr, 6) + F.lit(0.0))
+    return joined.select(
+        F.col("n").alias("n_docs"),
+        F.col("k").alias("k_sources"),
+        (F.col("k") - F.lit(1)).cast("long").alias("df"),
+        (F.round(h, 6) + F.lit(0.0)).alias("h_stat"),
+        h_adj.alias("h_adj"),
+    )
