@@ -1195,6 +1195,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kw1_kruskal_wallis": lambda s, sf: tpch.kw1_kruskal_wallis(
             _t("documents")(s, sf)
         ),
+        # ktau1: Kendall tau-b of daily order count vs daily value
+        # (sign-only concordance; the robust sibling of spr1)
+        "ktau1_kendall_tau": lambda s, sf: tpch.ktau1_kendall_tau(
+            _t("orders")(s, sf)
+        ),
+        # cusum1: Page's CUSUM drift detector via the running-extremum
+        # identity (sequential complement of ptt1/cpd1's retrospective
+        # change points)
+        "cusum1_cusum_drift": lambda s, sf: tpch.cusum1_cusum_drift(
+            _t("events")(s, sf)
+        ),
     }
     # Round-7 rotation (driver samples the FIRST 50 entries): slots 1-12
     # stay the pinned reference core; _ROTATION_FRONT then re-verifies the
@@ -7611,6 +7622,121 @@ def oracle_sql() -> dict[str, str]:
                END AS h_adj
         FROM summed CROSS JOIN gstats CROSS JOIN ties
         WHERE k >= 2 AND n > k
+    """
+
+    # ktau1: observed-day grain; pair classes are integer sign tests
+    # summed as exact LONGS; tau-b and the z approximation are single
+    # rounded double expressions (day-grain products < 2^53)
+    q["ktau1_kendall_tau"] = """
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 CAST(COUNT(*) AS BIGINT) AS x,
+                 CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS y
+          FROM orders
+          WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+          GROUP BY 1
+        ),
+        nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+        pairs AS (
+          SELECT CAST(sign(b.x - a.x) AS BIGINT) AS dx,
+                 CAST(sign(b.y - a.y) AS BIGINT) AS dy
+          FROM daily a JOIN daily b ON a.day < b.day
+        ),
+        agg AS (
+          SELECT
+            CAST(SUM(CASE WHEN dx * dy = 1 THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+            CAST(SUM(CASE WHEN dx * dy = -1 THEN 1 ELSE 0 END) AS BIGINT) AS disc,
+            CAST(SUM(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+            CAST(SUM(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ty
+          FROM pairs
+        )
+        SELECT n AS n_days,
+               CAST(COALESCE(conc, 0) AS BIGINT) AS concordant,
+               CAST(COALESCE(disc, 0) AS BIGINT) AS discordant,
+               CASE WHEN (n::DOUBLE * (n::DOUBLE - 1.0) / 2.0
+                          - COALESCE(tx, 0)::DOUBLE) > 0
+                     AND (n::DOUBLE * (n::DOUBLE - 1.0) / 2.0
+                          - COALESCE(ty, 0)::DOUBLE) > 0
+                    THEN round(
+                      (COALESCE(conc, 0) - COALESCE(disc, 0))::DOUBLE
+                      / sqrt((n::DOUBLE * (n::DOUBLE - 1.0) / 2.0
+                              - COALESCE(tx, 0)::DOUBLE)
+                             * (n::DOUBLE * (n::DOUBLE - 1.0) / 2.0
+                                - COALESCE(ty, 0)::DOUBLE)), 6) + 0.0
+               END AS tau_b,
+               CASE WHEN n > 2
+                    THEN round(3.0 * (COALESCE(conc, 0) - COALESCE(disc, 0))::DOUBLE
+                         / sqrt(n::DOUBLE * (n::DOUBLE - 1.0)
+                                * (2.0 * n::DOUBLE + 5.0) / 2.0), 6) + 0.0
+               END AS z_approx
+        FROM agg CROSS JOIN nr
+        WHERE n >= 2
+    """
+
+    # cusum1: the CUSUM recursion collapsed to running extrema of the
+    # n-scaled drifted prefix R'_t = n*P_t - t*T (exact longs); peak
+    # days and magnitudes are integer argmax (earliest-day tiebreak);
+    # only the event-unit peaks and sigma units are rounded doubles
+    q["cusum1_cusum_drift"] = """
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+          FROM events WHERE ts IS NOT NULL GROUP BY 1
+        ),
+        st AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+        spine AS (
+          SELECT r.s::DATE AS day
+          FROM st, UNNEST(generate_series(d0::TIMESTAMP, d1::TIMESTAMP,
+                                          INTERVAL 1 DAY)) AS r(s)
+        ),
+        filled AS (
+          SELECT s.day, COALESCE(d.c, 0)::BIGINT AS c
+          FROM spine s LEFT JOIN daily d USING (day)
+        ),
+        tot AS (
+          SELECT CAST(SUM(c) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)))
+                      AS DECIMAL(38,0)) AS ssq
+          FROM filled
+        ),
+        rr AS (
+          SELECT f.day,
+                 CAST(t2.n * SUM(f.c) OVER (ORDER BY f.day)
+                      - (ROW_NUMBER() OVER (ORDER BY f.day)) * t2.t
+                      AS BIGINT) AS r
+          FROM filled f CROSS JOIN tot t2
+        ),
+        s AS (
+          SELECT day,
+                 CAST(r - least(MIN(r) OVER (ORDER BY day), 0) AS BIGINT) AS sp,
+                 CAST(greatest(MAX(r) OVER (ORDER BY day), 0) - r AS BIGINT) AS sn
+          FROM rr
+        ),
+        tp AS (SELECT day AS pos_day, sp FROM s ORDER BY sp DESC, day ASC LIMIT 1),
+        tn AS (SELECT day AS neg_day, sn FROM s ORDER BY sn DESC, day ASC LIMIT 1)
+        SELECT n AS n_days, t AS total_events,
+               pos_day,
+               round(sp::DOUBLE / n::DOUBLE, 6) + 0.0 AS cusum_pos,
+               CASE WHEN sqrt(greatest(ssq::DOUBLE / n::DOUBLE
+                          - (t::DOUBLE / n::DOUBLE) * (t::DOUBLE / n::DOUBLE),
+                          0.0)) > 0
+                    THEN round((sp::DOUBLE / n::DOUBLE)
+                         / sqrt(greatest(ssq::DOUBLE / n::DOUBLE
+                             - (t::DOUBLE / n::DOUBLE) * (t::DOUBLE / n::DOUBLE),
+                             0.0)), 6) + 0.0
+               END AS pos_sigma_units,
+               neg_day,
+               round(sn::DOUBLE / n::DOUBLE, 6) + 0.0 AS cusum_neg,
+               CASE WHEN sqrt(greatest(ssq::DOUBLE / n::DOUBLE
+                          - (t::DOUBLE / n::DOUBLE) * (t::DOUBLE / n::DOUBLE),
+                          0.0)) > 0
+                    THEN round((sn::DOUBLE / n::DOUBLE)
+                         / sqrt(greatest(ssq::DOUBLE / n::DOUBLE
+                             - (t::DOUBLE / n::DOUBLE) * (t::DOUBLE / n::DOUBLE),
+                             0.0)), 6) + 0.0
+               END AS neg_sigma_units
+        FROM tp CROSS JOIN tn CROSS JOIN tot
+        WHERE n >= 2
     """
 
     return q

@@ -4357,3 +4357,250 @@ def kw1_kruskal_wallis(documents: DataFrame) -> DataFrame:
         (F.round(h, 6) + F.lit(0.0)).alias("h_stat"),
         h_adj.alias("h_adj"),
     )
+
+
+def distributed_prefix_extrema(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    out_min: str,
+    out_max: str,
+    n_parts: int | None = None,
+):
+    """Global running MIN and MAX over a total order WITHOUT a
+    single-partition window — the extremum sibling of
+    distributed_prefix_sums: range-repartition on the order columns
+    (pinned by an eager localCheckpoint so the offset job and the
+    window job see identical partitions), per-partition running
+    extrema, then each partition folds in the collected extremum of
+    everything before it (n_parts driver cells per side). min/max are
+    associative AND idempotent, so unlike the sums sibling the offset
+    merge is a plain least/greatest — no exactness caveat at all.
+    `order_cols` must end in a unique tiebreaker."""
+    spark = df.sparkSession
+    n_parts = n_parts or spark.sparkContext.defaultParallelism
+    parted = (
+        df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    ext = {
+        r["_pid"]: (r["_mn"], r["_mx"])
+        for r in parted.groupBy("_pid")
+        .agg(F.min(value_col).alias("_mn"), F.max(value_col).alias("_mx"))
+        .collect()
+    }
+    mins, maxs = {}, {}
+    run_mn, run_mx = None, None
+    for pid in sorted(ext):
+        mins[pid], maxs[pid] = run_mn, run_mx
+        mn, mx = ext[pid]
+        run_mn = mn if run_mn is None else min(run_mn, mn)
+        run_mx = mx if run_mx is None else max(run_mx, mx)
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    def _offmap(d):
+        pairs = []
+        for pid in sorted(d):
+            pairs.extend([F.lit(pid), F.lit(d[pid])])
+        return F.create_map(*pairs) if pairs else F.create_map(F.lit(0), F.lit(None))
+    out = (
+        parted.withColumn(
+            out_min,
+            F.least(
+                F.min(value_col).over(w),
+                F.coalesce(_offmap(mins)[F.col("_pid")], F.min(value_col).over(w)),
+            ),
+        )
+        .withColumn(
+            out_max,
+            F.greatest(
+                F.max(value_col).over(w),
+                F.coalesce(_offmap(maxs)[F.col("_pid")], F.max(value_col).over(w)),
+            ),
+        )
+        .drop("_pid")
+    )
+    return out
+
+
+def ktau1_kendall_tau(orders: DataFrame) -> DataFrame:
+    """Kendall tau-b concordance between the daily ORDER COUNT and the
+    daily ORDER VALUE on the observed-day grain (Kendall 1938) — "do
+    busier days also move more money?" as a pure sign statistic:
+    spr1's Spearman weights the SIZE of rank gaps, tau counts only
+    pair ORDERINGS, so one wild day cannot drag the association. The
+    tie-corrected tau-b form, because integer daily counts tie often.
+
+    Scale shape: ONE day-grained combining agg collapses the corpus to
+    |days| (calendar-bounded) rows, pinned by a localCheckpoint; the
+    pair stream is the tsen1-precedent bounded day-pair join (|days|²
+    pairs of a calendar-bounded side — never corpus²); classification
+    collapses in ONE five-counter integer reduction.
+
+    Cross-engine exactness: x is an exact count, y exact summed cents;
+    pair classes are integer sign tests; all five counters are exact
+    LONGS; tau-b and the normal-approximation z are single rounded
+    double expressions of those longs (day-grain products stay under
+    2^53). NULL tau when either tie denominator hits zero."""
+    daily = (
+        orders.filter(
+            F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()
+        )
+        .groupBy(F.to_date(F.col("o_orderdate")).alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("x"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("y"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_row = daily.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = daily.select(
+        F.col("day").alias("day_a"), F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    b = daily.select(
+        F.col("day").alias("day_b"), F.col("x").alias("xb"), F.col("y").alias("yb")
+    )
+    dx = F.signum((F.col("xb") - F.col("xa")).cast("double")).cast("long")
+    dy = F.signum((F.col("yb") - F.col("ya")).cast("double")).cast("long")
+    pairs = a.join(b, F.col("day_a") < F.col("day_b")).select(
+        dx.alias("dx"), dy.alias("dy")
+    )
+    agg = pairs.agg(
+        F.sum(((F.col("dx") * F.col("dy")) == 1).cast("long"))
+        .cast("long")
+        .alias("conc"),
+        F.sum(((F.col("dx") * F.col("dy")) == -1).cast("long"))
+        .cast("long")
+        .alias("disc"),
+        F.sum((F.col("dx") == 0).cast("long")).cast("long").alias("tx"),
+        F.sum((F.col("dy") == 0).cast("long")).cast("long").alias("ty"),
+    )
+    joined = agg.crossJoin(F.broadcast(n_row)).filter(F.col("n") >= 2)
+    nd = F.col("n").cast("double")
+    n0 = nd * (nd - F.lit(1.0)) / F.lit(2.0)
+    cd = (F.coalesce(F.col("conc"), F.lit(0)) - F.coalesce(F.col("disc"), F.lit(0))).cast(
+        "double"
+    )
+    den_x = n0 - F.coalesce(F.col("tx"), F.lit(0)).cast("double")
+    den_y = n0 - F.coalesce(F.col("ty"), F.lit(0)).cast("double")
+    tau = F.when(
+        (den_x > 0) & (den_y > 0),
+        F.round(cd / F.sqrt(den_x * den_y), 6) + F.lit(0.0),
+    )
+    z = F.when(
+        nd > 2,
+        F.round(
+            F.lit(3.0)
+            * cd
+            / F.sqrt(nd * (nd - F.lit(1.0)) * (F.lit(2.0) * nd + F.lit(5.0)) / F.lit(2.0)),
+            6,
+        )
+        + F.lit(0.0),
+    )
+    return joined.select(
+        F.col("n").alias("n_days"),
+        F.coalesce(F.col("conc"), F.lit(0)).cast("long").alias("concordant"),
+        F.coalesce(F.col("disc"), F.lit(0)).cast("long").alias("discordant"),
+        tau.alias("tau_b"),
+        z.alias("z_approx"),
+    )
+
+
+def cusum1_cusum_drift(events: DataFrame) -> DataFrame:
+    """Page's CUSUM drift detector (Page 1954) on the zero-filled daily
+    event volume, via the running-extremum identity: with the drifted
+    prefix R_t = Σ_{i≤t}(x_i − μ) (and R_0 = 0), the one-sided CUSUM
+    recursions S⁺_t = max(0, S⁺_{t−1} + x_t − μ) and S⁻ collapse to
+    S⁺_t = R_t − min_{0≤j≤t} R_j and S⁻_t = max_{0≤j≤t} R_j − R_t —
+    so the SEQUENTIAL detector (ptt1/cpd1 locate one retrospective
+    change; CUSUM is what a monitor runs per batch) becomes two
+    prefix passes, no recursion and no day² work.
+
+    Scale shape: one day-grained combining agg, then everything runs
+    on the calendar-bounded spine — ONE distributed_prefix_sums pass
+    (counts + day index together) and ONE distributed_prefix_extrema
+    pass; the two argmax probes are TakeOrdered(1).
+
+    Cross-engine exactness: scaling by n clears μ = T/n into integers
+    — R'_t = n·P_t − t·T is an exact LONG, running extrema of exact
+    longs are exact, so BOTH peak days and raw peak magnitudes are
+    integer comparisons (ties → earliest day, both engines); only the
+    event-unit peaks (S/n) and the σ-normalized magnitudes are rounded
+    double expressions of exact stats (σ from DECIMAL Σc²)."""
+    daily, spine = _daily_spine(events)
+    filled = spine.join(daily, "day", "left").select(
+        "day",
+        F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c"),
+        F.lit(1).alias("one"),
+    )
+    pre, totals = distributed_prefix_sums(
+        filled, ["day"], ["c", "one"], ["p", "t"]
+    )
+    n, tot = totals["one"], totals["c"]
+    if n < 2:
+        return events.sparkSession.createDataFrame(
+            [],
+            "n_days long, total_events long, pos_day date, cusum_pos double, "
+            "pos_sigma_units double, neg_day date, cusum_neg double, "
+            "neg_sigma_units double",
+        )
+    r = pre.select(
+        "day",
+        (
+            F.lit(n) * F.col("p") - F.col("t") * F.lit(tot)
+        )
+        .cast("long")
+        .alias("r"),
+    )
+    ext = distributed_prefix_extrema(r, ["day"], "r", "mn", "mx")
+    s = ext.select(
+        "day",
+        (F.col("r") - F.least(F.col("mn"), F.lit(0))).cast("long").alias("sp"),
+        (F.greatest(F.col("mx"), F.lit(0)) - F.col("r")).cast("long").alias("sn"),
+    ).localCheckpoint(eager=True)
+    top_p = (
+        s.orderBy(F.col("sp").desc(), F.col("day").asc())
+        .limit(1)
+        .select(F.col("day").alias("pos_day"), F.col("sp").alias("sp"))
+    )
+    top_n = (
+        s.orderBy(F.col("sn").desc(), F.col("day").asc())
+        .limit(1)
+        .select(F.col("day").alias("neg_day"), F.col("sn").alias("sn"))
+    )
+    d38 = "decimal(38,0)"
+    sig = filled.agg(
+        F.sum((F.col("c").cast(d38)) * (F.col("c").cast(d38)))
+        .cast(d38)
+        .alias("ssq")
+    )
+    nd = float(n)
+    mu = float(tot) / nd
+    var = F.col("ssq").cast("double") / F.lit(nd) - F.lit(mu * mu)
+    sigma = F.sqrt(F.greatest(var, F.lit(0.0)))
+    cp = F.col("sp").cast("double") / F.lit(nd)
+    cn = F.col("sn").cast("double") / F.lit(nd)
+    return (
+        top_p.crossJoin(top_n)
+        .crossJoin(F.broadcast(sig))
+        .select(
+            F.lit(n).cast("long").alias("n_days"),
+            F.lit(tot).cast("long").alias("total_events"),
+            "pos_day",
+            (F.round(cp, 6) + F.lit(0.0)).alias("cusum_pos"),
+            F.when(sigma > 0, F.round(cp / sigma, 6) + F.lit(0.0)).alias(
+                "pos_sigma_units"
+            ),
+            "neg_day",
+            (F.round(cn, 6) + F.lit(0.0)).alias("cusum_neg"),
+            F.when(sigma > 0, F.round(cn / sigma, 6) + F.lit(0.0)).alias(
+                "neg_sigma_units"
+            ),
+        )
+    )
