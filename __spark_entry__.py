@@ -1206,6 +1206,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum1_cusum_drift": lambda s, sf: tpch.cusum1_cusum_drift(
             _t("events")(s, sf)
         ),
+        # llr1: Dunning log-likelihood collocations (the count-weighted
+        # fix for pmi1's rare-pair bias)
+        "llr1_dunning_collocations": lambda s, sf: ts.llr1_dunning_collocations(
+            _t("documents")(s, sf)
+        ),
+        # dpn1: eps-DP noisy histogram under the two-sided geometric
+        # mechanism, integer-exact engine-shared noise (audit view)
+        "dpn1_dp_noisy_counts": lambda s, sf: ts.dpn1_dp_noisy_counts(
+            _t("documents")(s, sf)
+        ),
     }
     # Round-7 rotation (driver samples the FIRST 50 entries): slots 1-12
     # stay the pinned reference core; _ROTATION_FRONT then re-verifies the
@@ -7737,6 +7747,75 @@ def oracle_sql() -> dict[str, str]:
                END AS neg_sigma_units
         FROM tp CROSS JOIN tn CROSS JOIN tot
         WHERE n >= 2
+    """
+
+    # llr1: Dunning G^2 over the bigram 2x2 contingency — all nine
+    # cells exact longs from position marginals; the x*ln(x) tree is
+    # mirrored left-associative term-for-term from the Spark plan
+    def _xlx(e: str) -> str:
+        return (
+            f"(CASE WHEN ({e}) > 0 THEN CAST({e} AS DOUBLE)"
+            f" * ln(CAST({e} AS DOUBLE)) ELSE 0.0 END)"
+        )
+
+    _k11, _k12 = "sp.c_bg", "r1 - sp.c_bg"
+    _k21, _k22 = "c1 - sp.c_bg", "nn - r1 - c1 + sp.c_bg"
+    q["llr1_dunning_collocations"] = f"""
+        WITH t AS (SELECT {_TOKS} AS l FROM documents WHERE text IS NOT NULL),
+        g AS (
+          SELECT l[r.i] || chr(1) || l[r.i + 1] AS bg
+          FROM t, UNNEST(range(1, len(l))) AS r(i)
+          WHERE len(l) >= 2
+        ),
+        bc AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c_bg FROM g GROUP BY 1),
+        sp AS (
+          SELECT string_split(bg, chr(1))[1] AS w1,
+                 string_split(bg, chr(1))[2] AS w2, c_bg
+          FROM bc
+        ),
+        fm AS (SELECT w1, CAST(SUM(c_bg) AS BIGINT) AS r1 FROM sp GROUP BY 1),
+        sm AS (SELECT w2, CAST(SUM(c_bg) AS BIGINT) AS c1 FROM sp GROUP BY 1),
+        nb AS (SELECT CAST(SUM(c_bg) AS BIGINT) AS nn FROM sp)
+        SELECT sp.w1, sp.w2, CAST(sp.c_bg AS BIGINT) AS c_bigram,
+               round(2.0 * ({_xlx(_k11)} + {_xlx(_k12)} + {_xlx(_k21)}
+                     + {_xlx(_k22)} - {_xlx("r1")} - {_xlx("nn - r1")}
+                     - {_xlx("c1")} - {_xlx("nn - c1")} + {_xlx("nn")}),
+                     6) + 0.0 AS llr
+        FROM sp JOIN fm USING (w1) JOIN sm USING (w2) CROSS JOIN nb
+        WHERE sp.c_bg >= 5
+        ORDER BY llr DESC, w1, w2
+        LIMIT 20
+    """
+
+    # dpn1: two-sided geometric noise drawn as the DIFFERENCE of two
+    # trailing-ones counts of md5-derived integers — pure integer ops,
+    # bit-identical across engines; CHR(1) sentinels keep NULL cells
+    q["dpn1_dp_noisy_counts"] = """
+        WITH cells AS (
+          SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS true_n
+          FROM documents GROUP BY source, lang
+        ),
+        h AS (
+          SELECT source, lang, true_n,
+                 ('0x' || substr(md5(concat_ws('|', 'dpn1',
+                      COALESCE(source, chr(1)), COALESCE(lang, chr(1)), 'a')),
+                      1, 15))::BIGINT AS ha,
+                 ('0x' || substr(md5(concat_ws('|', 'dpn1',
+                      COALESCE(source, chr(1)), COALESCE(lang, chr(1)), 'b')),
+                      1, 15))::BIGINT AS hb
+          FROM cells
+        ),
+        n AS (
+          SELECT source, lang, true_n,
+                 CAST((bit_count(xor(ha, ha + 1)) - 1)
+                      - (bit_count(xor(hb, hb + 1)) - 1) AS BIGINT) AS noise
+          FROM h
+        )
+        SELECT source, lang, true_n, noise,
+               CAST(true_n + noise AS BIGINT) AS noisy_n,
+               CAST(greatest(true_n + noise, 0) AS BIGINT) AS released_n
+        FROM n
+        ORDER BY source NULLS FIRST, lang NULLS FIRST
     """
 
     return q

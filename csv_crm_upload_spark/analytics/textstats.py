@@ -2781,3 +2781,147 @@ def cha1_chao1_richness(documents: DataFrame) -> DataFrame:
             "coverage"
         ),
     ).orderBy("source")
+
+
+def llr1_dunning_collocations(
+    documents: DataFrame, min_count: int = 5, k: int = 20
+) -> DataFrame:
+    """Top-k bigram collocations by Dunning's log-likelihood ratio
+    (Dunning 1993, "Accurate Methods for the Statistics of Surprise
+    and Coincidence") — the collocation test that FIXES pmi1's known
+    bias: PMI is maximized by rare pairs, while G² = 2·Σ k·ln(k·N/E)
+    over the 2×2 contingency table weights evidence by count, so
+    frequent-but-dependent pairs rank first (the published reason
+    corpus toolkits default to LLR). Marginals are POSITION counts
+    (bigrams starting with w1 / ending with w2), the exact contingency
+    the bigram stream defines — not pmi1's token-frequency proxies.
+
+    Scale shape: pmi1's plan — one bigram combining agg; both marginal
+    tables are vocab-bounded RE-COMBINES of it; the 1-row total
+    broadcasts; top-k is TakeOrderedAndProject on the rounded score
+    with a (w1, w2) total-order tiebreak. No window, no driver data
+    beyond k rows.
+
+    Cross-engine exactness: all nine cells/marginals are exact LONGS;
+    G² is one fixed tree of x·ln(x) terms over those integers (the
+    pmi1/bm25 ln-agreement precedent), rounded to 6 dp before the
+    top-k order."""
+    base = documents.filter(F.col("text").isNotNull())
+    grams = base.select(F.explode(_word_ngrams(_norm_tokens(), 2)).alias("bg"))
+    bg_counts = grams.groupBy("bg").agg(
+        F.count(F.lit(1)).cast("long").alias("c_bg")
+    )
+    split = bg_counts.select(
+        F.split(F.col("bg"), "\x01").getItem(0).alias("w1"),
+        F.split(F.col("bg"), "\x01").getItem(1).alias("w2"),
+        "c_bg",
+    )
+    first = split.groupBy("w1").agg(F.sum("c_bg").cast("long").alias("r1"))
+    second = split.groupBy("w2").agg(F.sum("c_bg").cast("long").alias("c1"))
+    tot = split.agg(F.sum("c_bg").cast("long").alias("nn"))
+    cand = split.filter(F.col("c_bg") >= min_count)
+
+    def xlx(c):
+        d = c.cast("double")
+        return F.when(c > 0, d * F.log(d)).otherwise(F.lit(0.0))
+
+    k11 = F.col("c_bg")
+    k12 = F.col("r1") - F.col("c_bg")
+    k21 = F.col("c1") - F.col("c_bg")
+    k22 = F.col("nn") - F.col("r1") - F.col("c1") + F.col("c_bg")
+    r2_ = F.col("nn") - F.col("r1")
+    c2_ = F.col("nn") - F.col("c1")
+    g2 = F.lit(2.0) * (
+        xlx(k11)
+        + xlx(k12)
+        + xlx(k21)
+        + xlx(k22)
+        - xlx(F.col("r1"))
+        - xlx(r2_)
+        - xlx(F.col("c1"))
+        - xlx(c2_)
+        + xlx(F.col("nn"))
+    )
+    return (
+        cand.join(first, "w1")
+        .join(second, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_bg").cast("long").alias("c_bigram"),
+            (F.round(g2, 6) + F.lit(0.0)).alias("llr"),
+        )
+        .orderBy(F.desc("llr"), "w1", "w2")
+        .limit(k)
+    )
+
+
+def dpn1_dp_noisy_counts(documents: DataFrame) -> DataFrame:
+    """ε-differentially-private release of the (source, lang) document
+    histogram under the two-sided geometric mechanism (Ghosh, Roughgarden
+    & Sundararajan 2009 — the UTILITY-OPTIMAL discrete mechanism for
+    count queries), in the sketch-audit family's CALIBRATION view: the
+    true count rides beside the noised one so the realized error is
+    auditable; a production release projects `released_n` only.
+
+    Noise: G₁ − G₂ with Gᵢ ~ Geometric(1/2) gives the two-sided
+    geometric with α = 1/2, i.e. ε = ln 2 per unit sensitivity. Each
+    Gᵢ is drawn WITHOUT any float math: the trailing-ones count of a
+    uniform md5-derived integer is exactly Geometric(1/2)
+    (P(g ≥ j) = 2^{-j}), computed as bit_count(h XOR (h+1)) − 1 —
+    pure integer ops both engines share bit-for-bit, so the "random"
+    draw is deterministic per cell key and engine-identical (the
+    md5_60 gate convention, extended to bit level).
+
+    Scale shape: ONE (source, lang)-keyed combining agg; noise is a
+    map-only expression on the ≤|sources|·|langs| result. NULL keys
+    keep their cell via a CHR(1) hash sentinel (a byte no token
+    carries), so the adversarial corpus exercises them."""
+    h_a = md5_60(
+        F.concat_ws(
+            "|",
+            F.lit("dpn1"),
+            F.coalesce(F.col("source"), F.lit("\x01")),
+            F.coalesce(F.col("lang"), F.lit("\x01")),
+            F.lit("a"),
+        )
+    )
+    h_b = md5_60(
+        F.concat_ws(
+            "|",
+            F.lit("dpn1"),
+            F.coalesce(F.col("source"), F.lit("\x01")),
+            F.coalesce(F.col("lang"), F.lit("\x01")),
+            F.lit("b"),
+        )
+    )
+
+    def trailing_ones(h):
+        return (F.bit_count(h.bitwiseXOR(h + F.lit(1))) - F.lit(1)).cast("long")
+
+    cells = documents.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("true_n")
+    )
+    noise = (trailing_ones(h_a) - trailing_ones(h_b)).alias("noise")
+    return (
+        cells.select(
+            "source",
+            "lang",
+            "true_n",
+            noise,
+        )
+        .select(
+            "source",
+            "lang",
+            "true_n",
+            "noise",
+            (F.col("true_n") + F.col("noise")).cast("long").alias("noisy_n"),
+            F.greatest(F.col("true_n") + F.col("noise"), F.lit(0))
+            .cast("long")
+            .alias("released_n"),
+        )
+        .orderBy(
+            F.col("source").asc_nulls_first(), F.col("lang").asc_nulls_first()
+        )
+    )
