@@ -1216,6 +1216,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dpn1_dp_noisy_counts": lambda s, sf: ts.dpn1_dp_noisy_counts(
             _t("documents")(s, sf)
         ),
+        # delta1: Burrows' Delta stylometric distance between sources
+        # over the top-25 corpus tokens (provenance-leak detector)
+        "delta1_burrows_delta": lambda s, sf: ts.delta1_burrows_delta(
+            _t("documents")(s, sf)
+        ),
     }
     # Round-7 rotation (driver samples the FIRST 50 entries): slots 1-12
     # stay the pinned reference core; _ROTATION_FRONT then re-verifies the
@@ -7816,6 +7821,72 @@ def oracle_sql() -> dict[str, str]:
                CAST(greatest(true_n + noise, 0) AS BIGINT) AS released_n
         FROM n
         ORDER BY source NULLS FIRST, lang NULLS FIRST
+    """
+
+    # delta1: dense |sources|·m grid (0-count cells are real
+    # observations); nano-per-mille frequencies, micro-unit deviation
+    # and |z|-difference sums (order-free); every double tree mirrored
+    q["delta1_burrows_delta"] = f"""
+        WITH t AS (
+          SELECT source, {_TOKS} AS l FROM documents
+          WHERE text IS NOT NULL AND source IS NOT NULL
+        ),
+        tk AS (
+          SELECT source, tok FROM (SELECT source, unnest(l) AS tok FROM t)
+          WHERE tok <> ''
+        ),
+        cnt AS (
+          SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+          FROM tk GROUP BY 1, 2
+        ),
+        topm AS (
+          SELECT tok FROM (
+            SELECT tok, CAST(SUM(c) AS BIGINT) AS ctot FROM cnt GROUP BY tok
+          ) ORDER BY ctot DESC, tok LIMIT 25
+        ),
+        tot AS (
+          SELECT source, CAST(SUM(c) AS BIGINT) AS t FROM cnt GROUP BY source
+        ),
+        gfi AS (
+          SELECT tt.source, m.tok,
+                 CAST(round(COALESCE(c.c, 0)::DOUBLE * 1000.0 / tt.t::DOUBLE
+                      * 1e9) AS BIGINT) AS fi
+          FROM tot tt CROSS JOIN topm m
+          LEFT JOIN cnt c ON c.source = tt.source AND c.tok = m.tok
+        ),
+        ms AS (
+          SELECT tok, CAST(COUNT(*) AS BIGINT) AS s,
+                 CAST(SUM(fi) AS BIGINT) AS sfi
+          FROM gfi GROUP BY tok
+        ),
+        g2 AS (
+          SELECT g.source, g.tok, g.fi, ms.s, ms.sfi,
+                 CAST(round((g.fi::DOUBLE / 1e9
+                        - ms.sfi::DOUBLE / ms.s::DOUBLE / 1e9)
+                      * (g.fi::DOUBLE / 1e9
+                         - ms.sfi::DOUBLE / ms.s::DOUBLE / 1e9)
+                      * 1e6) AS BIGINT) AS d2i
+          FROM gfi g JOIN ms ON g.tok = ms.tok
+        ),
+        vs AS (
+          SELECT tok, CAST(SUM(d2i) AS BIGINT) AS sd2 FROM g2 GROUP BY tok
+        ),
+        z AS (
+          SELECT g2.source, g2.tok,
+                 (g2.fi::DOUBLE / 1e9 - g2.sfi::DOUBLE / g2.s::DOUBLE / 1e9)
+                 / sqrt(vs.sd2::DOUBLE / g2.s::DOUBLE / 1e6) AS z
+          FROM g2 JOIN vs ON g2.tok = vs.tok
+          WHERE vs.sd2::DOUBLE / g2.s::DOUBLE / 1e6 > 0
+        ),
+        p AS (
+          SELECT a.source AS source_a, b.source AS source_b,
+                 CAST(round(abs(a.z - b.z) * 1e6) AS BIGINT) AS zdi
+          FROM z a JOIN z b ON a.tok = b.tok AND a.source < b.source
+        )
+        SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_terms,
+               round(CAST(SUM(zdi) AS BIGINT)::DOUBLE / COUNT(*)::DOUBLE / 1e6,
+                     6) + 0.0 AS delta
+        FROM p GROUP BY 1, 2 ORDER BY 1, 2
     """
 
     return q
