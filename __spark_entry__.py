@@ -1221,6 +1221,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta1_burrows_delta": lambda s, sf: ts.delta1_burrows_delta(
             _t("documents")(s, sf)
         ),
+        # zord1: Z-order layout-quality audit — measured file-skipping
+        # power of Morton clustering vs single-column sorts
+        "zord1_zorder_layout": lambda s, sf: tpch.zord1_zorder_layout(
+            _t("lineitem")(s, sf)
+        ),
     }
     # Round-7 rotation (driver samples the FIRST 50 entries): slots 1-12
     # stay the pinned reference core; _ROTATION_FRONT then re-verifies the
@@ -7887,6 +7892,73 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(SUM(zdi) AS BIGINT)::DOUBLE / COUNT(*)::DOUBLE / 1e6,
                      6) + 0.0 AS delta
         FROM p GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+    # zord1: NTILE bins + 8 integer bit-terms build the Morton key;
+    # per-file spans ride micro-unit long sums; three layouts share
+    # one scan relation
+    _zexpr = " + ".join(
+        f"((((bx - 1) >> {i}) & 1) << {2 * i})"
+        f" + ((((by - 1) >> {i}) & 1) << {2 * i + 1})"
+        for i in range(4)
+    )
+
+    def _zspan(name: str, fcol: str) -> str:
+        return f"""
+        SELECT '{name}' AS layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+               CAST(SUM(CASE WHEN gx1 > gx0
+                    THEN CAST(round((mxx - mnx)::DOUBLE / (gx1 - gx0)::DOUBLE
+                         * 1e6) AS BIGINT) ELSE 0 END) AS BIGINT) AS sx,
+               CAST(SUM(CASE WHEN gy1 > gy0
+                    THEN CAST(round((mxy - mny)::DOUBLE / (gy1 - gy0)::DOUBLE
+                         * 1e6) AS BIGINT) ELSE 0 END) AS BIGINT) AS sy
+        FROM (SELECT {fcol} AS fid, MIN(x) AS mnx, MAX(x) AS mxx,
+                     MIN(y) AS mny, MAX(y) AS mxy
+              FROM f GROUP BY {fcol}) CROSS JOIN g
+        """
+
+    q["zord1_zorder_layout"] = f"""
+        WITH base AS (
+          SELECT CAST(l_quantity AS BIGINT) AS x,
+                 CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
+                 l_orderkey AS okey, l_linenumber AS lno
+          FROM lineitem
+          WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        ),
+        b AS (
+          SELECT x, y, okey, lno,
+                 NTILE(16) OVER (ORDER BY x, okey, lno) AS bx,
+                 NTILE(16) OVER (ORDER BY y, okey, lno) AS by
+          FROM base
+        ),
+        zt AS (
+          SELECT x, y, okey, lno, CAST({_zexpr} AS BIGINT) AS z FROM b
+        ),
+        f AS (
+          SELECT x, y,
+                 NTILE(64) OVER (ORDER BY z, x, y, okey, lno) AS fz,
+                 NTILE(64) OVER (ORDER BY x, y, okey, lno) AS fx,
+                 NTILE(64) OVER (ORDER BY y, x, okey, lno) AS fy
+          FROM zt
+        ),
+        g AS (
+          SELECT MIN(x) AS gx0, MAX(x) AS gx1, MIN(y) AS gy0, MAX(y) AS gy1
+          FROM zt
+        ),
+        spans AS (
+          {_zspan("zorder", "fz")}
+          UNION ALL
+          {_zspan("by_qty", "fx")}
+          UNION ALL
+          {_zspan("by_price", "fy")}
+        )
+        SELECT layout, n_files,
+               round(sx::DOUBLE / n_files::DOUBLE / 1e6, 6) + 0.0
+                 AS avg_span_qty,
+               round(sy::DOUBLE / n_files::DOUBLE / 1e6, 6) + 0.0
+                 AS avg_span_price
+        FROM spans
+        ORDER BY layout
     """
 
     return q

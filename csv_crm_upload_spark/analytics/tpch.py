@@ -4604,3 +4604,115 @@ def cusum1_cusum_drift(events: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def zord1_zorder_layout(lineitem: DataFrame, n_files: int = 64) -> DataFrame:
+    """Z-order data-layout quality audit — OPTIMIZE ... ZORDER BY's
+    effectiveness measured instead of asserted (Morton 1966 curves;
+    the Delta Lake / Databricks layout practice): quantile-bin
+    l_quantity and l_extendedprice to 4 bits each via ANSI NTILE,
+    interleave the bits into a Morton key, split the table into
+    `n_files` equal files under three candidate clusterings (z-order,
+    sort-by-quantity, sort-by-price), and report each file's AVERAGE
+    NORMALIZED min/max span per column — exactly the statistic a
+    format's file-skipping consults, so `avg_span` IS the expected
+    fraction of files a uniform point predicate fails to prune.
+    Single-column sorts win their own column and forfeit the other;
+    the z-order rows quantify the two-column compromise. Complements
+    operators/layout.py:cluster_zorder (the WRITER this audits) and
+    store.py compact(zorder_by=...).
+
+    Scale shape: distributed_ntile passes only (range repartition +
+    per-partition windows + bounded driver offsets — never a
+    single-task global sort); per-file min/max is one ≤n_files-row
+    combining agg per layout; span averages run at the n_files grain.
+
+    Cross-engine exactness: NTILE is pure integer arithmetic on the
+    distributed rank (bit-identical to the ANSI window by the
+    grouped_ntile_expr contract); the Morton key is 8 integer
+    bit-terms; spans ride micro-unit LONG sums; only the final
+    averages are rounded doubles."""
+    base = lineitem.filter(
+        F.col("l_quantity").isNotNull() & F.col("l_extendedprice").isNotNull()
+    ).select(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("y"),
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("lno"),
+    )
+    b1 = distributed_ntile(base, ["x", "okey", "lno"], 16, "bx")
+    b2 = distributed_ntile(b1, ["y", "okey", "lno"], 16, "by")
+    bxm, bym = F.col("bx") - F.lit(1), F.col("by") - F.lit(1)
+    z = F.lit(0)
+    for i in range(4):
+        z = z + F.shiftleft(
+            F.shiftright(bxm, i).bitwiseAND(F.lit(1)), 2 * i
+        ) + F.shiftleft(F.shiftright(bym, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+    zt = b2.withColumn("z", z.cast("long")).localCheckpoint(eager=True)
+    g = zt.agg(
+        F.min("x").alias("gx0"),
+        F.max("x").alias("gx1"),
+        F.min("y").alias("gy0"),
+        F.max("y").alias("gy1"),
+    )
+
+    def _layout(name: str, order_cols: list) -> DataFrame:
+        f = distributed_ntile(zt, order_cols, n_files, "fid")
+        per = f.groupBy("fid").agg(
+            F.min("x").alias("mnx"),
+            F.max("x").alias("mxx"),
+            F.min("y").alias("mny"),
+            F.max("y").alias("mxy"),
+        )
+        span_x = F.when(
+            F.col("gx1") > F.col("gx0"),
+            F.round(
+                (F.col("mxx") - F.col("mnx")).cast("double")
+                / (F.col("gx1") - F.col("gx0")).cast("double")
+                * F.lit(1e6),
+                0,
+            ).cast("long"),
+        ).otherwise(F.lit(0))
+        span_y = F.when(
+            F.col("gy1") > F.col("gy0"),
+            F.round(
+                (F.col("mxy") - F.col("mny")).cast("double")
+                / (F.col("gy1") - F.col("gy0")).cast("double")
+                * F.lit(1e6),
+                0,
+            ).cast("long"),
+        ).otherwise(F.lit(0))
+        agg = per.crossJoin(F.broadcast(g)).agg(
+            F.count(F.lit(1)).cast("long").alias("nf"),
+            F.sum(span_x).cast("long").alias("sx"),
+            F.sum(span_y).cast("long").alias("sy"),
+        )
+        return agg.select(
+            F.lit(name).alias("layout"),
+            F.col("nf").alias("n_files"),
+            (
+                F.round(
+                    F.col("sx").cast("double")
+                    / F.col("nf").cast("double")
+                    / F.lit(1e6),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("avg_span_qty"),
+            (
+                F.round(
+                    F.col("sy").cast("double")
+                    / F.col("nf").cast("double")
+                    / F.lit(1e6),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("avg_span_price"),
+        )
+
+    out = (
+        _layout("by_price", ["y", "x", "okey", "lno"])
+        .unionByName(_layout("by_qty", ["x", "y", "okey", "lno"]))
+        .unionByName(_layout("zorder", ["z", "x", "y", "okey", "lno"]))
+    )
+    return out.orderBy("layout")
