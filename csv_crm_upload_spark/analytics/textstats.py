@@ -2811,11 +2811,14 @@ def llr1_dunning_collocations(
     bg_counts = grams.groupBy("bg").agg(
         F.count(F.lit(1)).cast("long").alias("c_bg")
     )
+    # bigram-type grain (vocab²-bounded), checkpointed: FOUR consumers
+    # (marginals, total, candidates) read it — without the pin each
+    # would re-run the corpus-scale bigram agg
     split = bg_counts.select(
         F.split(F.col("bg"), "\x01").getItem(0).alias("w1"),
         F.split(F.col("bg"), "\x01").getItem(1).alias("w2"),
         "c_bg",
-    )
+    ).localCheckpoint(eager=True)
     first = split.groupBy("w1").agg(F.sum("c_bg").cast("long").alias("r1"))
     second = split.groupBy("w2").agg(F.sum("c_bg").cast("long").alias("c1"))
     tot = split.agg(F.sum("c_bg").cast("long").alias("nn"))
@@ -2957,9 +2960,11 @@ def delta1_burrows_delta(documents: DataFrame, m: int = 25) -> DataFrame:
         .select("source", F.explode(_norm_tokens()).alias("tok"))
         .filter(F.col("tok") != "")
     )
+    # the ONE corpus pass — (source, token) grain, vocab-bounded,
+    # checkpointed for its three consumers (top-m, totals, grid join)
     cnt = toks.groupBy("source", "tok").agg(
         F.count(F.lit(1)).cast("long").alias("c")
-    )
+    ).localCheckpoint(eager=True)
     topm = (
         cnt.groupBy("tok")
         .agg(F.sum("c").cast("long").alias("ctot"))
@@ -2983,7 +2988,8 @@ def delta1_burrows_delta(documents: DataFrame, m: int = 25) -> DataFrame:
         * F.lit(1e9),
         0,
     ).cast("long")
-    grid = grid.withColumn("fi", fi)
+    # |sources|·m rows: every stats pass below runs on this pin
+    grid = grid.withColumn("fi", fi).localCheckpoint(eager=True)
     mstats = grid.groupBy("tok").agg(
         F.count(F.lit(1)).cast("long").alias("s"),
         F.sum("fi").cast("long").alias("sfi"),
@@ -3004,6 +3010,8 @@ def delta1_burrows_delta(documents: DataFrame, m: int = 25) -> DataFrame:
             > 0
         )
         .select("source", "tok", (dev / sigma).alias("z"))
+        # ≤|sources|·m rows, read twice (both pair-join sides)
+        .localCheckpoint(eager=True)
     )
     za = z.select(
         F.col("source").alias("source_a"), "tok", F.col("z").alias("z_a")

@@ -4238,11 +4238,13 @@ def anova1_priority_anova(orders: DataFrame) -> DataFrame:
     base = orders.filter(
         F.col("o_totalprice").isNotNull() & F.col("o_orderpriority").isNotNull()
     ).select(F.col("o_orderpriority").alias("grp"), cents.alias("x"))
+    # the ONE corpus pass — checkpointed (≤|priorities| rows) so the
+    # three consumers (glob, summed, joined) never re-scan the corpus
     per = base.groupBy("grp").agg(
         F.count(F.lit(1)).cast("long").alias("nj"),
         F.sum(F.col("x").cast(d38)).cast(d38).alias("sj"),
         F.sum((F.col("x").cast(d38)) * (F.col("x").cast(d38))).cast(d38).alias("ssj"),
-    )
+    ).localCheckpoint(eager=True)
     glob = per.agg(
         F.sum("nj").cast("long").alias("n"),
         F.count(F.lit(1)).cast("long").alias("k"),
@@ -4308,23 +4310,29 @@ def kw1_kruskal_wallis(documents: DataFrame) -> DataFrame:
     base = documents.filter(
         F.col("n_chars").isNotNull() & F.col("source").isNotNull()
     ).select("source", F.col("n_chars").cast("long").alias("x"))
-    r = _rank2x(base, "x")
+    # _rank2x inlined so the tie-correction re-reads the SAME
+    # checkpointed value-grain table the prefix pass pinned — the tie
+    # sum costs no second corpus agg
+    gv = base.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    cgrid, _ = distributed_prefix_sums(gv, ["x"], ["cnt"], ["cum"])
+    r = cgrid.select(
+        "x",
+        (F.lit(2) * (F.col("cum") - F.col("cnt")) + F.col("cnt") + F.lit(1))
+        .cast("long")
+        .alias("r2"),
+    )
     ranked = base.join(r, "x")
     per = ranked.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("nj"),
         F.sum(F.col("r2").cast(d38)).cast(d38).alias("r2j"),
-    )
-    ties = (
-        base.groupBy("x")
-        .agg(F.count(F.lit(1)).cast("long").alias("t"))
-        .agg(
-            F.sum(
-                F.col("t").cast(d38) * F.col("t").cast(d38) * F.col("t").cast(d38)
-                - F.col("t").cast(d38)
-            )
-            .cast(d38)
-            .alias("tie3")
+    ).localCheckpoint(eager=True)
+    ties = cgrid.agg(
+        F.sum(
+            F.col("cnt").cast(d38) * F.col("cnt").cast(d38) * F.col("cnt").cast(d38)
+            - F.col("cnt").cast(d38)
         )
+        .cast(d38)
+        .alias("tie3")
     )
     glob = per.agg(
         F.sum("nj").cast("long").alias("n"),

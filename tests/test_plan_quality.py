@@ -971,3 +971,47 @@ def test_round12_operator_shuffle_budgets(spark, sf_dir):
         plan = plan_of(QUERIES[name](spark, sf_dir))
         ids = set(re.findall(r"(?<!Broadcast)Exchange \((\d+)\)", plan))
         assert len(ids) <= budget, f"{name}: {len(ids)} shuffles > budget {budget}\n{plan}"
+
+
+def test_round12_wave4_shuffle_budgets(spark, sf_dir):
+    """Budgets for the fourth-wave batch (ceilings on the RETURNED
+    plan, broadcasts excluded). Each op's single corpus-scale agg is
+    checkpointed at a bounded grain so its multiple consumers never
+    re-scan the corpus — the budgets pin that (the pre-fix plans ran
+    6/9/7/45 shuffles for anova1/kw1/llr1/delta1 because every
+    consumer subtree re-evaluated the corpus agg):
+      anova1 3 — the priority-keyed sufficient-stats agg (checkpointed)
+            + the 1-row global re-combine + the micro-term reduction
+      kw1   4 — value-grain agg + its prefix-sum range exchange +
+            the rank join back onto the stream feeding the per-source
+            agg + the 1-row re-combines (ties ride the same pin)
+      ktau1 2 — the day-grain combining agg (checkpoint construction)
+            + the five-counter pair reduction; the day-pair join is a
+            broadcast BNL of a calendar-bounded side
+      cusum1 1 — everything after the construction-time spine/prefix/
+            extrema passes is the bounded day-grain argmax probes
+      llr1  3 — the bigram-type agg (checkpointed) + marginal
+            re-combines + TakeOrdered
+      dpn1  2 — the (source, lang) cell agg + result order; noise is
+            map-only
+      delta1 4 — the (source, token) corpus agg (checkpointed) + the
+            bounded grid/stat re-combines + the pair-grain agg
+      zord1 12 — five distributed_ntile range exchanges (2 bin dims +
+            3 layouts) + three per-file aggs + final combines; every
+            pass reads the previous pin, never the raw scan twice
+    """
+    _reset_plan_state(spark)
+    budgets = {
+        "anova1_priority_anova": 3,
+        "kw1_kruskal_wallis": 4,
+        "ktau1_kendall_tau": 2,
+        "cusum1_cusum_drift": 1,
+        "llr1_dunning_collocations": 3,
+        "dpn1_dp_noisy_counts": 2,
+        "delta1_burrows_delta": 4,
+        "zord1_zorder_layout": 12,
+    }
+    for name, budget in budgets.items():
+        plan = plan_of(QUERIES[name](spark, sf_dir))
+        ids = set(re.findall(r"(?<!Broadcast)Exchange \((\d+)\)", plan))
+        assert len(ids) <= budget, f"{name}: {len(ids)} shuffles > budget {budget}\n{plan}"
