@@ -1226,6 +1226,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zord1_zorder_layout": lambda s, sf: tpch.zord1_zorder_layout(
             _t("lineitem")(s, sf)
         ),
+        # round-12 fifth wave
+        # dw1: Durbin-Watson lag-1 readout (the mean cancels in the
+        # numerator — exact-long squared day diffs)
+        "dw1_durbin_watson": lambda s, sf: tpch.dw1_durbin_watson(
+            _t("events")(s, sf)
+        ),
+        # runs1: Wald-Wolfowitz runs test about the exact daily median
+        "runs1_runs_test": lambda s, sf: tpch.runs1_runs_test(
+            _t("events")(s, sf)
+        ),
     }
     # Round-7 rotation (driver samples the FIRST 50 entries): slots 1-12
     # stay the pinned reference core; _ROTATION_FRONT then re-verifies the
@@ -7959,6 +7969,119 @@ def oracle_sql() -> dict[str, str]:
                  AS avg_span_price
         FROM spans
         ORDER BY layout
+    """
+
+    # dw1: the mean cancels in the numerator, so squared lag-1 diffs
+    # are exact longs in DECIMAL(38,0); denominator is one double
+    # expression of exact stats
+    q["dw1_durbin_watson"] = """
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+          FROM events WHERE ts IS NOT NULL GROUP BY 1
+        ),
+        st AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+        spine AS (
+          SELECT r.s::DATE AS day
+          FROM st, UNNEST(generate_series(d0::TIMESTAMP, d1::TIMESTAMP,
+                                          INTERVAL 1 DAY)) AS r(s)
+        ),
+        filled AS (
+          SELECT s.day, COALESCE(d.c, 0)::BIGINT AS c
+          FROM spine s LEFT JOIN daily d USING (day)
+        ),
+        stats AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS t,
+                 CAST(SUM(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)))
+                      AS DECIMAL(38,0)) AS ssq
+          FROM filled
+        ),
+        num AS (
+          SELECT CAST(SUM(CAST((b.c - a.c) * (b.c - a.c) AS DECIMAL(38,0)))
+                      AS DECIMAL(38,0)) AS num
+          FROM filled a JOIN filled b ON b.day = a.day + INTERVAL 1 DAY
+        )
+        SELECT n AS n_days,
+               round(num::DOUBLE
+                     / (ssq::DOUBLE - n::DOUBLE * (t::DOUBLE / n::DOUBLE)
+                        * (t::DOUBLE / n::DOUBLE)), 6) + 0.0 AS dw_stat,
+               round(1.0 - num::DOUBLE
+                     / (ssq::DOUBLE - n::DOUBLE * (t::DOUBLE / n::DOUBLE)
+                        * (t::DOUBLE / n::DOUBLE)) / 2.0, 6) + 0.0
+                 AS rho1_approx
+        FROM num CROSS JOIN stats
+        WHERE n >= 2
+          AND (ssq::DOUBLE - n::DOUBLE * (t::DOUBLE / n::DOUBLE)
+               * (t::DOUBLE / n::DOUBLE)) > 0
+    """
+
+    # runs1: exact nearest-rank median by integer cumulative-rank
+    # comparison; R and both side counts exact longs; the z guard
+    # keeps both engines off the 0/0 path
+    q["runs1_runs_test"] = """
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+          FROM events WHERE ts IS NOT NULL GROUP BY 1
+        ),
+        st AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+        spine AS (
+          SELECT r.s::DATE AS day
+          FROM st, UNNEST(generate_series(d0::TIMESTAMP, d1::TIMESTAMP,
+                                          INTERVAL 1 DAY)) AS r(s)
+        ),
+        filled AS (
+          SELECT s.day, COALESCE(d.c, 0)::BIGINT AS c
+          FROM spine s LEFT JOIN daily d USING (day)
+        ),
+        na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM filled),
+        med AS (
+          SELECT c AS med FROM (
+            SELECT g.c, SUM(g.cnt) OVER (ORDER BY g.c) AS cum, na.n_all
+            FROM (SELECT c, CAST(COUNT(*) AS BIGINT) AS cnt
+                  FROM filled GROUP BY c) g
+            CROSS JOIN na
+          )
+          WHERE cum >= (n_all + 1) // 2
+          ORDER BY c LIMIT 1
+        ),
+        ranked AS (
+          SELECT day, s, ROW_NUMBER() OVER (ORDER BY day) AS rn
+          FROM (
+            SELECT day, CASE WHEN c > med THEN 1 ELSE 0 END AS s
+            FROM filled CROSS JOIN med WHERE c != med
+          )
+        ),
+        chg AS (
+          SELECT CAST(SUM(CASE WHEN a.s != b.s THEN 1 ELSE 0 END) AS BIGINT)
+                   AS chg
+          FROM ranked a JOIN ranked b ON b.rn = a.rn + 1
+        ),
+        cnts AS (
+          SELECT CAST(SUM(s) AS BIGINT) AS n1,
+                 CAST(SUM(1 - s) AS BIGINT) AS n2
+          FROM ranked
+        )
+        SELECT CAST(n1 + n2 AS BIGINT) AS n_days_used,
+               n1 AS n_above, n2 AS n_below,
+               CAST(COALESCE(chg, 0) + 1 AS BIGINT) AS n_runs,
+               CASE WHEN n1 > 0 AND n2 > 0
+                     AND (2.0 * n1::DOUBLE * n2::DOUBLE
+                          * (2.0 * n1::DOUBLE * n2::DOUBLE
+                             - n1::DOUBLE - n2::DOUBLE)
+                          / ((n1::DOUBLE + n2::DOUBLE)
+                             * (n1::DOUBLE + n2::DOUBLE)
+                             * (n1::DOUBLE + n2::DOUBLE - 1.0))) > 0
+                    THEN round(((COALESCE(chg, 0) + 1)::DOUBLE
+                         - (2.0 * n1::DOUBLE * n2::DOUBLE
+                            / (n1::DOUBLE + n2::DOUBLE) + 1.0))
+                         / sqrt(2.0 * n1::DOUBLE * n2::DOUBLE
+                            * (2.0 * n1::DOUBLE * n2::DOUBLE
+                               - n1::DOUBLE - n2::DOUBLE)
+                            / ((n1::DOUBLE + n2::DOUBLE)
+                               * (n1::DOUBLE + n2::DOUBLE)
+                               * (n1::DOUBLE + n2::DOUBLE - 1.0))), 6) + 0.0
+               END AS z_approx
+        FROM chg CROSS JOIN cnts
+        WHERE COALESCE(n1 + n2, 0) > 0
     """
 
     return q

@@ -4724,3 +4724,161 @@ def zord1_zorder_layout(lineitem: DataFrame, n_files: int = 64) -> DataFrame:
         .unionByName(_layout("zorder", ["z", "x", "y", "okey", "lno"]))
     )
     return out.orderBy("layout")
+
+
+def dw1_durbin_watson(events: DataFrame) -> DataFrame:
+    """Durbin-Watson first-order autocorrelation statistic
+    (Durbin & Watson 1950) of the zero-filled daily event volume's
+    mean residuals — the one-number lag-1 readout next to acf1's full
+    curve: DW = Σ(e_t − e_{t−1})² / Σe_t² ≈ 2(1−ρ₁), so DW≈2 is
+    independence, →0 positive trend/stickiness, →4 oscillation. The
+    monitoring stack's cheapest "is today like yesterday" alarm.
+
+    Scale shape: acf1's discipline — one day-grained combining agg,
+    then the lag-1 pairing is a date_sub EQUI join over the
+    calendar-bounded spine (broadcast, never a nested-loop range
+    join); both sums run at the |days| grain.
+
+    Cross-engine exactness: the mean CANCELS in the numerator —
+    e_t − e_{t−1} = c_t − c_{t−1} — so every squared difference is an
+    exact LONG and the numerator an exact DECIMAL(38,0); the
+    denominator Σe² = Σc² − n·μ² is one double expression of exact
+    stats. DW and ρ₁ = 1 − DW/2 round to 6 dp; zero-variance series
+    (den 0) yield no row."""
+    daily, spine = _daily_spine(events)
+    filled = (
+        spine.join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c"),
+            "n_days",
+            "tot",
+        )
+        .localCheckpoint(eager=True)
+    )
+    d38 = "decimal(38,0)"
+    stats = filled.agg(
+        F.max("n_days").cast("long").alias("n"),
+        F.max("tot").cast("long").alias("t"),
+        F.sum((F.col("c").cast(d38)) * (F.col("c").cast(d38)))
+        .cast(d38)
+        .alias("ssq"),
+    )
+    a = filled.select(F.col("day").alias("day_a"), F.col("c").alias("c_a"))
+    b = filled.select(
+        F.col("c").alias("c_b"), F.date_sub(F.col("day"), 1).alias("day_a")
+    )
+    diffs = a.join(F.broadcast(b), "day_a").select(
+        ((F.col("c_b") - F.col("c_a")) * (F.col("c_b") - F.col("c_a")))
+        .cast(d38)
+        .alias("d2")
+    )
+    num = diffs.agg(F.sum("d2").cast(d38).alias("num"))
+    joined = num.crossJoin(F.broadcast(stats)).filter(F.col("n") >= 2)
+    nd = F.col("n").cast("double")
+    mu = F.col("t").cast("double") / nd
+    den = F.col("ssq").cast("double") - nd * mu * mu
+    dw = F.col("num").cast("double") / den
+    return joined.filter(den > 0).select(
+        F.col("n").alias("n_days"),
+        (F.round(dw, 6) + F.lit(0.0)).alias("dw_stat"),
+        (F.round(F.lit(1.0) - dw / F.lit(2.0), 6) + F.lit(0.0)).alias(
+            "rho1_approx"
+        ),
+    )
+
+
+def runs1_runs_test(events: DataFrame) -> DataFrame:
+    """Wald-Wolfowitz runs test (Wald & Wolfowitz 1940) for randomness
+    of the daily event volume about its MEDIAN: days at the exact
+    median are dropped (the standard treatment), the rest become an
+    above/below sign sequence, and the run count R is compared with
+    its null mean 2·n₁·n₂/(n₁+n₂) + 1 — too FEW runs is trend or
+    regime-stickiness (each regime is one long run), too MANY is
+    oscillation. The distribution-free cousin of dw1: no variance, no
+    residuals, just signs — the pair covers both alarm styles.
+
+    Scale shape: one day-grained combining agg, a value-grain prefix
+    pass for the exact nearest-rank median (pctl2 discipline), then a
+    distributed rank over the ≤|days| surviving sign sequence and a
+    rank+1 EQUI self-join counts sign changes. Everything after the
+    first agg runs at the calendar-bounded grain.
+
+    Cross-engine exactness: the median is an integer count picked by
+    integer cumulative-rank comparison; n₁, n₂ and R are exact LONGS;
+    only the closed-form z is a rounded double expression of those
+    integers (NULL when σ_R = 0, i.e. either side is empty)."""
+    daily, spine = _daily_spine(events)
+    filled = (
+        spine.join(daily, "day", "left")
+        .select("day", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    gv = filled.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    cgrid, totals = distributed_prefix_sums(gv, ["c"], ["cnt"], ["cum"])
+    n_all = totals["cnt"]
+    if n_all < 2:
+        return events.sparkSession.createDataFrame(
+            [],
+            "n_days_used long, n_above long, n_below long, n_runs long, "
+            "z_approx double",
+        )
+    target = (n_all + 1) // 2  # nearest-rank lower median position
+    med_row = (
+        cgrid.filter(F.col("cum") >= F.lit(target))
+        .orderBy(F.col("c").asc())
+        .limit(1)
+        .select(F.col("c").alias("med"))
+    )
+    signed = (
+        filled.crossJoin(F.broadcast(med_row))
+        .filter(F.col("c") != F.col("med"))
+        .select("day", (F.col("c") > F.col("med")).cast("int").alias("s"))
+    )
+    ranked, n_used = _distributed_rank_and_total(signed, ["day"], "rn")
+    if n_used == 0:
+        return events.sparkSession.createDataFrame(
+            [],
+            "n_days_used long, n_above long, n_below long, n_runs long, "
+            "z_approx double",
+        )
+    a = ranked.select(F.col("rn").alias("rn_a"), F.col("s").alias("s_a"))
+    b = ranked.select((F.col("rn") - 1).alias("rn_a"), F.col("s").alias("s_b"))
+    changes = (
+        a.join(b, "rn_a")
+        .agg(
+            F.sum((F.col("s_a") != F.col("s_b")).cast("long"))
+            .cast("long")
+            .alias("chg")
+        )
+    )
+    counts = ranked.agg(
+        F.sum("s").cast("long").alias("n1"),
+        F.sum(F.lit(1) - F.col("s")).cast("long").alias("n2"),
+    )
+    joined = changes.crossJoin(F.broadcast(counts))
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    nd = n1d + n2d
+    runs = (F.coalesce(F.col("chg"), F.lit(0)) + F.lit(1)).cast("long")
+    mu_r = F.lit(2.0) * n1d * n2d / nd + F.lit(1.0)
+    var_r = (
+        F.lit(2.0)
+        * n1d
+        * n2d
+        * (F.lit(2.0) * n1d * n2d - n1d - n2d)
+        / (nd * nd * (nd - F.lit(1.0)))
+    )
+    # the n1>0 & n2>0 pre-guard keeps var_r's expression off the 0/0
+    # path entirely (Spark NaN vs DuckDB NULL is a known divergence
+    # class — never let either engine evaluate it)
+    z = F.when(
+        (F.col("n1") > 0) & (F.col("n2") > 0) & (var_r > 0),
+        F.round((runs.cast("double") - mu_r) / F.sqrt(var_r), 6) + F.lit(0.0),
+    )
+    return joined.select(
+        (F.col("n1") + F.col("n2")).cast("long").alias("n_days_used"),
+        F.col("n1").alias("n_above"),
+        F.col("n2").alias("n_below"),
+        runs.alias("n_runs"),
+        z.alias("z_approx"),
+    )
