@@ -1236,6 +1236,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "runs1_runs_test": lambda s, sf: tpch.runs1_runs_test(
             _t("events")(s, sf)
         ),
+        # welch1: unequal-variance t between the two largest sources
+        "welch1_source_welch_t": lambda s, sf: ts.welch1_source_welch_t(
+            _t("documents")(s, sf)
+        ),
+        # mwu1: Mann-Whitney U + rank-biserial effect size (welch1's
+        # distribution-free twin, kw1's K=2 drill-down)
+        "mwu1_mann_whitney": lambda s, sf: ts.mwu1_mann_whitney(
+            _t("documents")(s, sf)
+        ),
     }
     # Round-7 rotation (driver samples the FIRST 50 entries): slots 1-12
     # stay the pinned reference core; _ROTATION_FRONT then re-verifies the
@@ -8082,6 +8091,128 @@ def oracle_sql() -> dict[str, str]:
                END AS z_approx
         FROM chg CROSS JOIN cnts
         WHERE COALESCE(n1 + n2, 0) > 0
+    """
+
+    # welch1: DECIMAL(38,0) sufficient stats; means/variances/t/df are
+    # one double tree mirrored from the Spark plan; top-2 selection by
+    # (n DESC, source) row number
+    q["welch1_source_welch_t"] = """
+        WITH base AS (
+          SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents
+          WHERE source IS NOT NULL AND n_chars IS NOT NULL
+        ),
+        stats AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,
+                 CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+                      AS DECIMAL(38,0)) AS ssq
+          FROM base GROUP BY source
+        ),
+        rk AS (
+          SELECT *, ROW_NUMBER() OVER (ORDER BY n DESC, source) AS rn
+          FROM stats
+        ),
+        a AS (SELECT source AS source_a, n AS na, s AS suma, ssq AS ssqa
+              FROM rk WHERE rn = 1),
+        b AS (SELECT source AS source_b, n AS nb, s AS sumb, ssq AS ssqb
+              FROM rk WHERE rn = 2),
+        e AS (
+          SELECT source_a, source_b, na, nb,
+                 suma::DOUBLE / na::DOUBLE AS ma,
+                 sumb::DOUBLE / nb::DOUBLE AS mb,
+                 (ssqa::DOUBLE - na::DOUBLE * (suma::DOUBLE / na::DOUBLE)
+                  * (suma::DOUBLE / na::DOUBLE)) / (na::DOUBLE - 1.0) AS va,
+                 (ssqb::DOUBLE - nb::DOUBLE * (sumb::DOUBLE / nb::DOUBLE)
+                  * (sumb::DOUBLE / nb::DOUBLE)) / (nb::DOUBLE - 1.0) AS vb
+          FROM a CROSS JOIN b
+        )
+        SELECT source_a, source_b, na AS n_a, nb AS n_b,
+               round(ma, 6) + 0.0 AS mean_a,
+               round(mb, 6) + 0.0 AS mean_b,
+               CASE WHEN na >= 2 AND nb >= 2
+                     AND (va / na::DOUBLE + vb / nb::DOUBLE) > 0
+                    THEN round((ma - mb)
+                         / sqrt(va / na::DOUBLE + vb / nb::DOUBLE), 6) + 0.0
+               END AS t_stat,
+               CASE WHEN na >= 2 AND nb >= 2
+                     AND (va / na::DOUBLE + vb / nb::DOUBLE) > 0
+                    THEN round((va / na::DOUBLE + vb / nb::DOUBLE)
+                         * (va / na::DOUBLE + vb / nb::DOUBLE)
+                         / ((va / na::DOUBLE) * (va / na::DOUBLE)
+                            / (na::DOUBLE - 1.0)
+                            + (vb / nb::DOUBLE) * (vb / nb::DOUBLE)
+                              / (nb::DOUBLE - 1.0)), 6) + 0.0
+               END AS df_welch
+        FROM e
+    """
+
+    # mwu1: doubled ranks keep U2 = R2_a - na*(na+1) an exact long;
+    # effect size and tie-corrected z as rounded doubles of exact ints
+    q["mwu1_mann_whitney"] = """
+        WITH base AS (
+          SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents
+          WHERE source IS NOT NULL AND n_chars IS NOT NULL
+        ),
+        sizes AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+          FROM base GROUP BY source
+        ),
+        rk AS (
+          SELECT source, ROW_NUMBER() OVER (ORDER BY n DESC, source) AS rn
+          FROM sizes
+        ),
+        sel AS (
+          SELECT MAX(CASE WHEN rn = 1 THEN source END) AS sa,
+                 MAX(CASE WHEN rn = 2 THEN source END) AS sb
+          FROM rk WHERE rn <= 2
+        ),
+        pool AS (
+          SELECT source, x FROM base CROSS JOIN sel
+          WHERE source IN (sa, sb)
+        ),
+        g AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt FROM pool GROUP BY x),
+        r AS (
+          SELECT x, CAST(2 * (SUM(cnt) OVER (ORDER BY x) - cnt) + cnt + 1
+                         AS BIGINT) AS r2
+          FROM g
+        ),
+        per AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(r2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS r2s
+          FROM pool JOIN r USING (x) GROUP BY source
+        ),
+        ties AS (
+          SELECT CAST(SUM(CAST(cnt AS DECIMAL(38,0)) * CAST(cnt AS DECIMAL(38,0))
+                          * CAST(cnt AS DECIMAL(38,0))
+                          - CAST(cnt AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS tie3
+          FROM g
+        ),
+        a AS (
+          SELECT per.source AS source_a, n AS na,
+                 CAST(CAST(r2s AS BIGINT) - n * (n + 1) AS BIGINT) AS u2
+          FROM per CROSS JOIN sel WHERE per.source = sa
+        ),
+        b AS (
+          SELECT per.source AS source_b, n AS nb
+          FROM per CROSS JOIN sel WHERE per.source = sb
+        )
+        SELECT source_a, source_b, na AS n_a, nb AS n_b,
+               round(u2::DOUBLE / 2.0, 6) + 0.0 AS u_stat,
+               round(1.0 - u2::DOUBLE / (na::DOUBLE * nb::DOUBLE), 6) + 0.0
+                 AS rank_biserial,
+               CASE WHEN (na::DOUBLE * nb::DOUBLE / 12.0
+                          * (((na::DOUBLE + nb::DOUBLE) + 1.0)
+                             - tie3::DOUBLE / ((na::DOUBLE + nb::DOUBLE)
+                                * ((na::DOUBLE + nb::DOUBLE) - 1.0)))) > 0
+                    THEN round((u2::DOUBLE / 2.0
+                         - na::DOUBLE * nb::DOUBLE / 2.0)
+                         / sqrt(na::DOUBLE * nb::DOUBLE / 12.0
+                            * (((na::DOUBLE + nb::DOUBLE) + 1.0)
+                               - tie3::DOUBLE / ((na::DOUBLE + nb::DOUBLE)
+                                  * ((na::DOUBLE + nb::DOUBLE) - 1.0)))),
+                         6) + 0.0
+               END AS z_approx
+        FROM a CROSS JOIN b CROSS JOIN ties
     """
 
     return q

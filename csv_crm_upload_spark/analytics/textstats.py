@@ -3045,3 +3045,196 @@ def delta1_burrows_delta(documents: DataFrame, m: int = 25) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+def welch1_source_welch_t(documents: DataFrame) -> DataFrame:
+    """Welch's unequal-variance t-test (Welch 1947) of document length
+    between the two LARGEST sources — the pairwise drill-down under
+    anova1's K-group F: "are web and wiki docs the same length on
+    average?" asked the way a statistician would (never pooling
+    variances two crawl sources have no reason to share). The pair is
+    chosen deterministically (doc count DESC, source ASC) from the
+    same sufficient-statistics pass that feeds the test — no second
+    corpus scan.
+
+    Scale shape: ONE source-keyed combining agg (n, Σx, Σx² —
+    map-side partial), checkpointed at the ≤|sources| grain; the
+    top-2 probe and the final 1-row expression read the pin.
+
+    Cross-engine exactness: sums ride DECIMAL(38,0); means, sample
+    variances, t and the Welch-Satterthwaite df are ONE fixed double
+    tree of those exact stats, rounded to 6 dp; NULL t/df when either
+    side has n < 2 or the pooled standard error is 0."""
+    d38 = "decimal(38,0)"
+    base = documents.filter(
+        F.col("source").isNotNull() & F.col("n_chars").isNotNull()
+    ).select("source", F.col("n_chars").cast("long").alias("x"))
+    stats = (
+        base.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("x").cast(d38)).cast(d38).alias("s"),
+            F.sum((F.col("x").cast(d38)) * (F.col("x").cast(d38)))
+            .cast(d38)
+            .alias("ssq"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    top = stats.orderBy(F.desc("n"), "source").limit(2).collect()
+    if len(top) < 2:
+        return documents.sparkSession.createDataFrame(
+            [],
+            "source_a string, source_b string, n_a long, n_b long, "
+            "mean_a double, mean_b double, t_stat double, df_welch double",
+        )
+    sa, sb = top[0]["source"], top[1]["source"]
+    a = stats.filter(F.col("source") == sa).select(
+        F.col("source").alias("source_a"),
+        F.col("n").alias("na"),
+        F.col("s").alias("suma"),
+        F.col("ssq").alias("ssqa"),
+    )
+    b = stats.filter(F.col("source") == sb).select(
+        F.col("source").alias("source_b"),
+        F.col("n").alias("nb"),
+        F.col("s").alias("sumb"),
+        F.col("ssq").alias("ssqb"),
+    )
+    j = a.crossJoin(b)
+    nad, nbd = F.col("na").cast("double"), F.col("nb").cast("double")
+    ma = F.col("suma").cast("double") / nad
+    mb = F.col("sumb").cast("double") / nbd
+    va = (F.col("ssqa").cast("double") - nad * ma * ma) / (nad - F.lit(1.0))
+    vb = (F.col("ssqb").cast("double") - nbd * mb * mb) / (nbd - F.lit(1.0))
+    se2 = va / nad + vb / nbd
+    ok = (F.col("na") >= 2) & (F.col("nb") >= 2) & (se2 > 0)
+    t = F.when(ok, F.round((ma - mb) / F.sqrt(se2), 6) + F.lit(0.0))
+    df = F.when(
+        ok,
+        F.round(
+            se2
+            * se2
+            / (
+                (va / nad) * (va / nad) / (nad - F.lit(1.0))
+                + (vb / nbd) * (vb / nbd) / (nbd - F.lit(1.0))
+            ),
+            6,
+        )
+        + F.lit(0.0),
+    )
+    return j.select(
+        "source_a",
+        "source_b",
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        (F.round(ma, 6) + F.lit(0.0)).alias("mean_a"),
+        (F.round(mb, 6) + F.lit(0.0)).alias("mean_b"),
+        t.alias("t_stat"),
+        df.alias("df_welch"),
+    )
+
+
+def mwu1_mann_whitney(documents: DataFrame) -> DataFrame:
+    """Mann-Whitney U test with rank-biserial effect size between the
+    two largest sources' document lengths (Mann & Whitney 1947;
+    rank-biserial per Cureton 1956) — welch1's distribution-free twin
+    and kw1's K=2 drill-down that additionally reports the EFFECT SIZE
+    r = 1 − 2U/(n₁n₂) ∈ [−1, 1], the number a curator actually reads
+    ("what fraction of cross-source doc pairs go the expected way").
+
+    Scale shape: kw1's discipline on the two-source pool — one
+    value-grain combining agg + one distributed_prefix_sums pass for
+    the 2x ranks (tie sum rides the same pin), a rank join back, one
+    per-source agg checkpointed at 2 rows.
+
+    Cross-engine exactness: doubled ranks keep U doubled an exact
+    LONG (U2 = R2₁ − n₁(n₁+1)); u_stat = U2/2, the effect size and
+    the tie-corrected z are single rounded double expressions of
+    exact integers; NULL z when σ_U = 0 (all values tied)."""
+    d38 = "decimal(38,0)"
+    base = documents.filter(
+        F.col("source").isNotNull() & F.col("n_chars").isNotNull()
+    ).select("source", F.col("n_chars").cast("long").alias("x"))
+    sizes = (
+        base.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    top = sizes.orderBy(F.desc("n"), "source").limit(2).collect()
+    if len(top) < 2:
+        return documents.sparkSession.createDataFrame(
+            [],
+            "source_a string, source_b string, n_a long, n_b long, "
+            "u_stat double, rank_biserial double, z_approx double",
+        )
+    sa, sb = top[0]["source"], top[1]["source"]
+    pool = base.filter(F.col("source").isin([sa, sb]))
+    gv = pool.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    # tpch hosts the distributed rank machinery; the import is lazy to
+    # keep the module graph acyclic (tpch does not import textstats)
+    from csv_crm_upload_spark.analytics.tpch import distributed_prefix_sums
+
+    cgrid, _ = distributed_prefix_sums(gv, ["x"], ["cnt"], ["cum"])
+    r = cgrid.select(
+        "x",
+        (F.lit(2) * (F.col("cum") - F.col("cnt")) + F.col("cnt") + F.lit(1))
+        .cast("long")
+        .alias("r2"),
+    )
+    per = (
+        pool.join(r, "x")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("r2").cast(d38)).cast(d38).alias("r2s"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ties = cgrid.agg(
+        F.sum(
+            F.col("cnt").cast(d38) * F.col("cnt").cast(d38) * F.col("cnt").cast(d38)
+            - F.col("cnt").cast(d38)
+        )
+        .cast(d38)
+        .alias("tie3")
+    )
+    a = per.filter(F.col("source") == sa).select(
+        F.col("source").alias("source_a"),
+        F.col("n").alias("na"),
+        F.col("r2s").alias("r2a"),
+    )
+    b = per.filter(F.col("source") == sb).select(
+        F.col("source").alias("source_b"), F.col("n").alias("nb")
+    )
+    j = a.crossJoin(b).crossJoin(F.broadcast(ties))
+    # U2 = 2*U1 = R2_a - n_a*(n_a+1): exact long arithmetic
+    u2 = (
+        F.col("r2a").cast("long")
+        - F.col("na") * (F.col("na") + F.lit(1))
+    ).cast("long")
+    nad, nbd = F.col("na").cast("double"), F.col("nb").cast("double")
+    nd = nad + nbd
+    u2d = u2.cast("double")
+    rb = F.lit(1.0) - u2d / (nad * nbd)
+    var_u = (
+        nad
+        * nbd
+        / F.lit(12.0)
+        * ((nd + F.lit(1.0)) - F.col("tie3").cast("double") / (nd * (nd - F.lit(1.0))))
+    )
+    z = F.when(
+        var_u > 0,
+        F.round(
+            (u2d / F.lit(2.0) - nad * nbd / F.lit(2.0)) / F.sqrt(var_u), 6
+        )
+        + F.lit(0.0),
+    )
+    return j.select(
+        "source_a",
+        "source_b",
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        (F.round(u2d / F.lit(2.0), 6) + F.lit(0.0)).alias("u_stat"),
+        (F.round(rb, 6) + F.lit(0.0)).alias("rank_biserial"),
+        z.alias("z_approx"),
+    )
