@@ -1245,6 +1245,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mwu1_mann_whitney": lambda s, sf: ts.mwu1_mann_whitney(
             _t("documents")(s, sf)
         ),
+        # qq1: decile Q-Q profile between the two largest sources
+        # (WHERE the distributions diverge, not just whether)
+        "qq1_source_length_qq": lambda s, sf: ts.qq1_source_length_qq(
+            _t("documents")(s, sf)
+        ),
+        # cdc1: content-defined chunk dedup stats (LBFS rolling-cut at
+        # word level — sub-document boilerplate detector)
+        "cdc1_chunk_dedup": lambda s, sf: ts.cdc1_chunk_dedup(
+            _t("documents")(s, sf)
+        ),
     }
     # Round-7 rotation (driver samples the FIRST 50 entries): slots 1-12
     # stay the pinned reference core; _ROTATION_FRONT then re-verifies the
@@ -8213,6 +8223,105 @@ def oracle_sql() -> dict[str, str]:
                          6) + 0.0
                END AS z_approx
         FROM a CROSS JOIN b CROSS JOIN ties
+    """
+
+    # qq1: exact nearest-rank deciles by integer cumulative-rank
+    # comparison ((q*N + 99) // 100 thresholds, pctl2 discipline)
+    q["qq1_source_length_qq"] = """
+        WITH base AS (
+          SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents
+          WHERE source IS NOT NULL AND n_chars IS NOT NULL
+        ),
+        sizes AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+          FROM base GROUP BY source
+        ),
+        rk AS (
+          SELECT source, n, ROW_NUMBER() OVER (ORDER BY n DESC, source) AS rn
+          FROM sizes
+        ),
+        sel AS (
+          SELECT MAX(CASE WHEN rn = 1 THEN source END) AS sa,
+                 MAX(CASE WHEN rn = 1 THEN n END) AS na,
+                 MAX(CASE WHEN rn = 2 THEN source END) AS sb,
+                 MAX(CASE WHEN rn = 2 THEN n END) AS nb
+          FROM rk WHERE rn <= 2
+        ),
+        deciles AS (
+          SELECT CAST(r.q * 10 AS BIGINT) AS decile
+          FROM UNNEST(range(1, 10)) AS r(q)
+        ),
+        ga AS (
+          SELECT x, SUM(cnt) OVER (ORDER BY x) AS cum FROM (
+            SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM base CROSS JOIN sel WHERE source = sa GROUP BY x
+          )
+        ),
+        gb AS (
+          SELECT x, SUM(cnt) OVER (ORDER BY x) AS cum FROM (
+            SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM base CROSS JOIN sel WHERE source = sb GROUP BY x
+          )
+        ),
+        pa AS (
+          SELECT decile, CAST(MIN(x) AS BIGINT) AS val_a
+          FROM ga CROSS JOIN deciles CROSS JOIN sel
+          WHERE cum >= (decile * na + 99) // 100 GROUP BY decile
+        ),
+        pb AS (
+          SELECT decile, CAST(MIN(x) AS BIGINT) AS val_b
+          FROM gb CROSS JOIN deciles CROSS JOIN sel
+          WHERE cum >= (decile * nb + 99) // 100 GROUP BY decile
+        )
+        SELECT decile, val_a, val_b,
+               CAST(val_b - val_a AS BIGINT) AS diff,
+               CASE WHEN val_a != 0
+                    THEN round(val_b::DOUBLE / val_a::DOUBLE, 6) + 0.0
+               END AS ratio
+        FROM pa JOIN pb USING (decile)
+        ORDER BY decile
+    """
+
+    # cdc1: md5_60 boundary classes cut chunks; chunk identity is md5
+    # of the pos-ordered token join; windows are doc-bounded
+    q["cdc1_chunk_dedup"] = f"""
+        WITH t AS (
+          SELECT doc_id, source, {_TOKS} AS l FROM documents
+          WHERE text IS NOT NULL
+        ),
+        tok AS (
+          SELECT doc_id, source, r.i AS pos, l[r.i] AS tok
+          FROM t, UNNEST(range(1, len(l) + 1)) AS r(i)
+          WHERE l[r.i] <> ''
+        ),
+        b AS (
+          SELECT doc_id, source, pos, tok,
+                 CASE WHEN ('0x' || substr(md5(tok), 1, 15))::BIGINT % 16 = 0
+                      THEN 1 ELSE 0 END AS bd
+          FROM tok
+        ),
+        c AS (
+          SELECT doc_id, source, pos, tok,
+                 COALESCE(SUM(bd) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS cid
+          FROM b
+        ),
+        ch AS (
+          SELECT doc_id, source, cid,
+                 CAST(COUNT(*) AS BIGINT) AS n_tok,
+                 md5(string_agg(tok, ' ' ORDER BY pos)) AS h
+          FROM c GROUP BY doc_id, source, cid
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct,
+               round(1.0 - COUNT(DISTINCT h)::DOUBLE / COUNT(*)::DOUBLE, 6)
+                 + 0.0 AS dup_share,
+               round(CAST(SUM(n_tok) AS BIGINT)::DOUBLE / COUNT(*)::DOUBLE, 6)
+                 + 0.0 AS mean_chunk_tokens
+        FROM ch GROUP BY source
+        ORDER BY source NULLS FIRST
     """
 
     return q

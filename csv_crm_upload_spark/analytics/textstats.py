@@ -3238,3 +3238,159 @@ def mwu1_mann_whitney(documents: DataFrame) -> DataFrame:
         (F.round(rb, 6) + F.lit(0.0)).alias("rank_biserial"),
         z.alias("z_approx"),
     )
+
+
+def qq1_source_length_qq(documents: DataFrame) -> DataFrame:
+    """Decile Q-Q table of document length between the two largest
+    sources — the drift family's PROFILE view: ks1/w1d1/cvm1 compress
+    two distributions into one alarm number; the Q-Q table says WHERE
+    they diverge (a web source whose 90th percentile is 8× wiki's is
+    a long-tail problem, not a location shift). Exact nearest-rank
+    percentiles, pctl2's pure-integer threshold discipline
+    ((q·N + 99) // 100 — no float q·N whose last ulp could flip ceil).
+
+    Scale shape: one sizes agg picks the pair; per source ONE
+    distinct-value combining agg + ONE distributed_prefix_sums pass;
+    the nine thresholds ride in as integer literals and the probe is
+    a ≤|distinct|-row filter + min per decile. No buffered
+    percentile state anywhere.
+
+    Cross-engine exactness: percentile values are exact longs picked
+    by integer cumulative-rank comparison; diff is exact; only the
+    ratio is a rounded double (NULL when the smaller side's decile
+    is 0)."""
+    base = documents.filter(
+        F.col("source").isNotNull() & F.col("n_chars").isNotNull()
+    ).select("source", F.col("n_chars").cast("long").alias("x"))
+    sizes = (
+        base.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    top = sizes.orderBy(F.desc("n"), "source").limit(2).collect()
+    if len(top) < 2:
+        return documents.sparkSession.createDataFrame(
+            [],
+            "decile long, val_a long, val_b long, diff long, ratio double",
+        )
+    (sa, na), (sb, nb) = (
+        (top[0]["source"], top[0]["n"]),
+        (top[1]["source"], top[1]["n"]),
+    )
+    from csv_crm_upload_spark.analytics.tpch import distributed_prefix_sums
+
+    spark = documents.sparkSession
+
+    def _pctls(src: str, n: int, out: str) -> DataFrame:
+        gv = (
+            base.filter(F.col("source") == src)
+            .groupBy("x")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+        cgrid, _ = distributed_prefix_sums(gv, ["x"], ["cnt"], ["cum"])
+        spine = spark.createDataFrame(
+            [(q * 10, (q * 10 * n + 99) // 100) for q in range(1, 10)],
+            "decile long, k long",
+        )
+        return (
+            cgrid.crossJoin(F.broadcast(spine))
+            .filter(F.col("cum") >= F.col("k"))
+            .groupBy("decile")
+            .agg(F.min("x").cast("long").alias(out))
+        )
+    pa = _pctls(sa, na, "val_a")
+    pb = _pctls(sb, nb, "val_b")
+    ratio = F.when(
+        F.col("val_a") != 0,
+        F.round(F.col("val_b").cast("double") / F.col("val_a").cast("double"), 6)
+        + F.lit(0.0),
+    )
+    return (
+        pa.join(pb, "decile")
+        .select(
+            "decile",
+            "val_a",
+            "val_b",
+            (F.col("val_b") - F.col("val_a")).cast("long").alias("diff"),
+            ratio.alias("ratio"),
+        )
+        .orderBy("decile")
+    )
+
+
+def cdc1_chunk_dedup(documents: DataFrame, mask: int = 16) -> DataFrame:
+    """Content-defined chunk deduplication statistics — the STORAGE
+    dedup primitive (Muthitacharoen et al. 2001, LBFS; the rolling-cut
+    idea behind every CDC dedup system) applied at word level: a token
+    whose md5 lands in the 1/`mask` boundary class ENDS a chunk, so
+    chunk cuts follow CONTENT, not offsets — insert one word and only
+    the containing chunk changes, where fixed-width chunking (chunk1)
+    reshuffles every later boundary. Per source: chunk count, distinct
+    chunk count, duplicate-chunk share (the storage dedup ratio), and
+    mean chunk length. High dup_share flags boilerplate/templating
+    below document granularity — the grain xsd1 attacks exactly and
+    near-dup LSH cannot see.
+
+    Scale shape: one doc-keyed window pass assigns chunk ids (windows
+    are DOC-bounded — partition by doc_id, never global), the chunk
+    agg rides the same doc-keyed partitioning, then ONE source-keyed
+    rollup with an exact distinct. No corpus-wide window, no pairs.
+
+    Cross-engine exactness: boundaries are md5_60 integer classes;
+    chunk identity is md5 of the pos-ordered token join (string_agg
+    ORDER BY pos ≡ sort_array(collect_list(struct(pos, tok)))); all
+    counts exact longs; the two ratios are rounded doubles."""
+    toks = (
+        documents.filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            "source",
+            F.posexplode(_norm_tokens()).alias("pos", "tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    bd = (md5_60(F.col("tok")) % F.lit(mask) == 0).cast("int")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = toks.withColumn("bd", bd).withColumn(
+        "cid", F.coalesce(F.sum("bd").over(w), F.lit(0)).cast("long")
+    )
+    chunks = chunked.groupBy("doc_id", "source", "cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tok"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("pos"), F.col("tok")))
+                    ),
+                    lambda s: s["tok"],
+                ),
+            )
+        ).alias("h"),
+    )
+    agg = chunks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.countDistinct("h").cast("long").alias("n_distinct"),
+        F.sum("n_tok").cast("long").alias("tok_total"),
+    )
+    ncd = F.col("n_chunks").cast("double")
+    return agg.select(
+        "source",
+        "n_chunks",
+        "n_distinct",
+        (
+            F.round(
+                F.lit(1.0) - F.col("n_distinct").cast("double") / ncd, 6
+            )
+            + F.lit(0.0)
+        ).alias("dup_share"),
+        (F.round(F.col("tok_total").cast("double") / ncd, 6) + F.lit(0.0)).alias(
+            "mean_chunk_tokens"
+        ),
+    ).orderBy(F.col("source").asc_nulls_first())

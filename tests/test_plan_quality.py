@@ -1010,6 +1010,27 @@ def test_round12_wave4_shuffle_budgets(spark, sf_dir):
         "dpn1_dp_noisy_counts": 2,
         "delta1_burrows_delta": 4,
         "zord1_zorder_layout": 12,
+        # fifth wave:
+        # dw1 — the stats agg + the lag-diff agg, both over the
+        #       checkpointed spine; the lag pairing is a broadcast
+        #       equi join
+        "dw1_durbin_watson": 2,
+        # runs1 — sign-sequence rank exchange + the change/count aggs
+        #       over the bounded day grain
+        "runs1_runs_test": 4,
+        # welch1 — 0: the returned 1-row plan reads only the
+        #       checkpointed per-source stats (broadcast cross joins)
+        "welch1_source_welch_t": 1,
+        # mwu1 — the per-source rank-sum agg over the pooled stream;
+        #       rank grid and sizes ride construction-time pins
+        "mwu1_mann_whitney": 2,
+        # qq1 — two decile min-probes + the decile join + result order
+        #       (both prefix passes are construction-time pins)
+        "qq1_source_length_qq": 5,
+        # cdc1 — ONE doc-keyed exchange feeds both the chunk window
+        #       and the chunk agg; + the source rollup with exact
+        #       distinct + result order
+        "cdc1_chunk_dedup": 4,
     }
     for name, budget in budgets.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))
