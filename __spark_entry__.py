@@ -1255,6 +1255,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc1_chunk_dedup": lambda s, sf: ts.cdc1_chunk_dedup(
             _t("documents")(s, sf)
         ),
+        # round-12 sixth wave
+        # mk1: Mann-Kendall monotone-trend significance (tsen1's
+        # companion — "is there a trend", not "how steep")
+        "mk1_mann_kendall": lambda s, sf: tpch.mk1_mann_kendall(
+            _t("events")(s, sf)
+        ),
+        # lev1: Brown-Forsythe variance homogeneity across sources
+        # (the SPREAD drift signal next to the location tests)
+        "lev1_brown_forsythe": lambda s, sf: tpch.lev1_brown_forsythe(
+            _t("documents")(s, sf)
+        ),
+        # evt1: Gumbel block-maxima fit -> 26/52-week return levels
+        # (the tail story next to the typical-day models)
+        "evt1_gumbel_return_levels": lambda s, sf: tpch.evt1_gumbel_return_levels(
+            _t("events")(s, sf)
+        ),
+        # key1: signed log-likelihood keyness — the vocabulary that
+        # DEFINES each source vs the rest (provenance fingerprint)
+        "key1_source_keyness": lambda s, sf: ts.key1_source_keyness(
+            _t("documents")(s, sf)
+        ),
     }
     # Round-7 rotation (driver samples the FIRST 50 entries): slots 1-12
     # stay the pinned reference core; _ROTATION_FRONT then re-verifies the
@@ -8322,6 +8343,233 @@ def oracle_sql() -> dict[str, str]:
                  + 0.0 AS mean_chunk_tokens
         FROM ch GROUP BY source
         ORDER BY source NULLS FIRST
+    """
+
+    # mk1: S and the tie term are exact integers; Var(S) and the
+    # continuity-corrected z are single rounded doubles; z = 0 is its
+    # own branch (no 0/sigma asymmetry)
+    q["mk1_mann_kendall"] = """
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+          FROM events WHERE ts IS NOT NULL GROUP BY 1
+        ),
+        st AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+        spine AS (
+          SELECT r.s::DATE AS day,
+                 CAST(date_diff('day', d0, d1) + 1 AS BIGINT) AS nd
+          FROM st, UNNEST(generate_series(d0::TIMESTAMP, d1::TIMESTAMP,
+                                          INTERVAL 1 DAY)) AS r(s)
+        ),
+        filled AS (
+          SELECT s.day, s.nd, COALESCE(d.c, 0)::BIGINT AS c
+          FROM spine s LEFT JOIN daily d USING (day)
+        ),
+        nr AS (SELECT CAST(MAX(nd) AS BIGINT) AS n FROM filled),
+        sa AS (
+          SELECT CAST(SUM(CAST(sign(b.c - a.c) AS BIGINT)) AS BIGINT) AS s
+          FROM filled a JOIN filled b ON a.day < b.day
+        ),
+        ties AS (
+          SELECT CAST(SUM(CAST(t AS DECIMAL(38,0))
+                      * (CAST(t AS DECIMAL(38,0)) - CAST(1 AS DECIMAL(38,0)))
+                      * (CAST(2 AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0))
+                         + CAST(5 AS DECIMAL(38,0)))) AS DECIMAL(38,0))
+                   AS tie_term
+          FROM (SELECT c, CAST(COUNT(*) AS BIGINT) AS t
+                FROM filled GROUP BY c)
+        )
+        SELECT n AS n_days,
+               CAST(COALESCE(s, 0) AS BIGINT) AS s_stat,
+               CASE WHEN COALESCE(s, 0) = 0 THEN 0.0
+                    WHEN (n::DOUBLE * (n::DOUBLE - 1.0)
+                          * (2.0 * n::DOUBLE + 5.0)
+                          - tie_term::DOUBLE) / 18.0 > 0
+                    THEN round((COALESCE(s, 0)::DOUBLE
+                         - sign(COALESCE(s, 0)::DOUBLE))
+                         / sqrt((n::DOUBLE * (n::DOUBLE - 1.0)
+                            * (2.0 * n::DOUBLE + 5.0)
+                            - tie_term::DOUBLE) / 18.0), 6) + 0.0
+               END AS z_mk,
+               CASE WHEN COALESCE(s, 0) > 0 THEN 'increasing'
+                    WHEN COALESCE(s, 0) < 0 THEN 'decreasing'
+                    ELSE 'none' END AS direction
+        FROM sa CROSS JOIN nr CROSS JOIN ties
+        WHERE n >= 2
+    """
+
+    # lev1: per-source exact nearest-rank medians by integer
+    # cumulative comparison over the (source, length) grid; ANOVA on
+    # |x - med| with anova1's micro-unit discipline
+    q["lev1_brown_forsythe"] = """
+        WITH base AS (
+          SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents
+          WHERE source IS NOT NULL AND n_chars IS NOT NULL
+        ),
+        gv AS (
+          SELECT source, x, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM base GROUP BY source, x
+        ),
+        cum AS (
+          SELECT source, x, cnt,
+                 CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY x
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cum,
+                 CAST(SUM(cnt) OVER (PARTITION BY source) AS BIGINT) AS ntot
+          FROM gv
+        ),
+        med AS (
+          SELECT source, CAST(MIN(x) AS BIGINT) AS med
+          FROM cum WHERE cum * 2 >= ntot + 1 GROUP BY source
+        ),
+        devs AS (
+          SELECT b.source, CAST(abs(b.x - m.med) AS BIGINT) AS z
+          FROM base b JOIN med m ON b.source = m.source
+        ),
+        per AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS nj,
+                 CAST(SUM(CAST(z AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sj,
+                 CAST(SUM(CAST(z AS DECIMAL(38,0)) * CAST(z AS DECIMAL(38,0)))
+                      AS DECIMAL(38,0)) AS ssj
+          FROM devs GROUP BY source
+        ),
+        gstats AS (
+          SELECT CAST(SUM(nj) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+                 CAST(SUM(sj) AS DECIMAL(38,0)) AS s,
+                 CAST(SUM(ssj) AS DECIMAL(38,0)) AS ssq
+          FROM per
+        ),
+        summed AS (
+          SELECT CAST(SUM(CAST(round(
+                   (nj::DOUBLE / n::DOUBLE)
+                   * (sj::DOUBLE / nj::DOUBLE - s::DOUBLE / n::DOUBLE)
+                   * (sj::DOUBLE / nj::DOUBLE - s::DOUBLE / n::DOUBLE)
+                   * 1e6) AS BIGINT)) AS BIGINT) AS ssb_micro
+          FROM per CROSS JOIN gstats
+        )
+        SELECT n AS n_docs, k AS k_sources,
+               CASE WHEN (ssq::DOUBLE / n::DOUBLE
+                          - (s::DOUBLE / n::DOUBLE) * (s::DOUBLE / n::DOUBLE)
+                          - ssb_micro::DOUBLE / 1e6) > 0
+                    THEN round((n::DOUBLE - k::DOUBLE) / (k::DOUBLE - 1.0)
+                         * (ssb_micro::DOUBLE / 1e6)
+                         / (ssq::DOUBLE / n::DOUBLE
+                            - (s::DOUBLE / n::DOUBLE) * (s::DOUBLE / n::DOUBLE)
+                            - ssb_micro::DOUBLE / 1e6), 6) + 0.0
+               END AS f_bf
+        FROM summed CROSS JOIN gstats
+        WHERE k >= 2 AND n > k
+    """
+
+    # evt1: the Gumbel constants ship as PRECOMPUTED double literals
+    # (repr round-trips the exact IEEE value) so neither engine's libm
+    # is on the parity path; weekly maxima exact longs, suff stats
+    # DECIMAL(38,0), one mirrored double tree
+    import math as _math
+
+    _gam = repr(0.5772156649015329)
+    _sq6 = repr(_math.sqrt(6.0))
+    _pi = repr(_math.pi)
+    _c26 = repr(_math.log(-_math.log(1.0 - 1.0 / 26.0)))
+    _c52 = repr(_math.log(-_math.log(1.0 - 1.0 / 52.0)))
+    q["evt1_gumbel_return_levels"] = f"""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+          FROM events WHERE ts IS NOT NULL GROUP BY 1
+        ),
+        st AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+        spine AS (
+          SELECT r.s::DATE AS day
+          FROM st, UNNEST(generate_series(d0::TIMESTAMP, d1::TIMESTAMP,
+                                          INTERVAL 1 DAY)) AS r(s)
+        ),
+        filled AS (
+          SELECT s.day, COALESCE(d.c, 0)::BIGINT AS c
+          FROM spine s LEFT JOIN daily d USING (day)
+        ),
+        weekly AS (
+          SELECT date_trunc('week', day)::DATE AS week,
+                 CAST(MAX(c) AS BIGINT) AS m
+          FROM filled GROUP BY 1
+        ),
+        stats AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS nw,
+                 CAST(SUM(CAST(m AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sm,
+                 CAST(SUM(CAST(m AS DECIMAL(38,0)) * CAST(m AS DECIMAL(38,0)))
+                      AS DECIMAL(38,0)) AS smm
+          FROM weekly
+        ),
+        e AS (
+          SELECT nw, sm::DOUBLE / nw::DOUBLE AS mean,
+                 (smm::DOUBLE - nw::DOUBLE * (sm::DOUBLE / nw::DOUBLE)
+                  * (sm::DOUBLE / nw::DOUBLE)) / (nw::DOUBLE - 1.0) AS var
+          FROM stats WHERE nw >= 2
+        )
+        SELECT nw AS n_weeks,
+               round(mean, 6) + 0.0 AS mean_weekly_max,
+               CASE WHEN var > 0
+                    THEN round(mean - {_gam} * (sqrt(var) * {_sq6} / {_pi}),
+                               6) + 0.0 END AS gumbel_mu,
+               CASE WHEN var > 0
+                    THEN round(sqrt(var) * {_sq6} / {_pi}, 6) + 0.0
+               END AS gumbel_beta,
+               CASE WHEN var > 0
+                    THEN round((mean - {_gam} * (sqrt(var) * {_sq6} / {_pi}))
+                         - (sqrt(var) * {_sq6} / {_pi}) * {_c26}, 6) + 0.0
+               END AS ret_26w,
+               CASE WHEN var > 0
+                    THEN round((mean - {_gam} * (sqrt(var) * {_sq6} / {_pi}))
+                         - (sqrt(var) * {_sq6} / {_pi}) * {_c52}, 6) + 0.0
+               END AS ret_52w
+        FROM e
+    """
+
+    # key1: llr1's x*ln(x) tree over the token-in-source vs rest 2x2;
+    # direction by integer cross-multiplication; rank on the rounded
+    # score with a token tiebreak
+    _kk11, _kk12 = "c", "ts - c"
+    _kk21, _kk22 = "ct - c", "nn - ts - ct + c"
+    q["key1_source_keyness"] = f"""
+        WITH t AS (
+          SELECT source, {_TOKS} AS l FROM documents
+          WHERE text IS NOT NULL AND source IS NOT NULL
+        ),
+        tk AS (
+          SELECT source, tok FROM (SELECT source, unnest(l) AS tok FROM t)
+          WHERE tok <> ''
+        ),
+        cnt AS (
+          SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+          FROM tk GROUP BY 1, 2
+        ),
+        ts_ AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ts
+                FROM cnt GROUP BY source),
+        ct_ AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS ct
+                FROM cnt GROUP BY tok),
+        nt AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM cnt),
+        cand AS (
+          SELECT cnt.source, cnt.tok, c, ts, ct, nn
+          FROM cnt JOIN ts_ USING (source) JOIN ct_ USING (tok) CROSS JOIN nt
+          WHERE c >= 5
+        ),
+        scored AS (
+          SELECT source, tok, c AS c_in, CAST(ct - c AS BIGINT) AS c_rest,
+                 round(2.0 * ({_xlx(_kk11)} + {_xlx(_kk12)} + {_xlx(_kk21)}
+                       + {_xlx(_kk22)} - {_xlx("ts")} - {_xlx("nn - ts")}
+                       - {_xlx("ct")} - {_xlx("nn - ct")} + {_xlx("nn")}),
+                       6) + 0.0 AS keyness,
+                 CASE WHEN c * nn > ct * ts THEN 'over' ELSE 'under' END
+                   AS direction
+          FROM cand
+        ),
+        rk AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                    ORDER BY keyness DESC, tok) AS rank
+          FROM scored
+        )
+        SELECT source, CAST(rank AS BIGINT) AS rank, tok, c_in, c_rest,
+               keyness, direction
+        FROM rk WHERE rank <= 10
+        ORDER BY source, rank
     """
 
     return q

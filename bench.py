@@ -159,6 +159,25 @@ EXTRA = [
     "cha1_chao1_richness",
     "spr1_spearman_rank_corr",
     "ptt1_pettitt_change_point",
+    # round-12 fourth/fifth-wave additions
+    "anova1_priority_anova",
+    "kw1_kruskal_wallis",
+    "ktau1_kendall_tau",
+    "cusum1_cusum_drift",
+    "llr1_dunning_collocations",
+    "dpn1_dp_noisy_counts",
+    "delta1_burrows_delta",
+    "zord1_zorder_layout",
+    "dw1_durbin_watson",
+    "runs1_runs_test",
+    "welch1_source_welch_t",
+    "mwu1_mann_whitney",
+    "qq1_source_length_qq",
+    "cdc1_chunk_dedup",
+    "mk1_mann_kendall",
+    "lev1_brown_forsythe",
+    "evt1_gumbel_return_levels",
+    "key1_source_keyness",
 ]
 
 # EVERY fit/memo-family EXTRA entry gets a WARM (second-run) sample

@@ -4882,3 +4882,238 @@ def runs1_runs_test(events: DataFrame) -> DataFrame:
         runs.alias("n_runs"),
         z.alias("z_approx"),
     )
+
+
+def mk1_mann_kendall(events: DataFrame) -> DataFrame:
+    """Mann-Kendall trend test (Mann 1945; Kendall 1975) on the
+    zero-filled daily event volume — the SIGNIFICANCE-grade companion
+    to tsen1's Theil-Sen slope (the pairing hydrology standardized):
+    S = Σ_{i<j} sign(c_j − c_i) over day pairs, tie-corrected variance,
+    and the ±1 continuity-corrected z. tsen1 answers "how steep",
+    mk1 answers "is there a monotone trend at all" without assuming
+    any distribution for the daily counts.
+
+    Scale shape: one day-grained combining agg, the tsen1-precedent
+    bounded day-pair join (|days|², calendar-bounded), ONE integer
+    reduction for S; the tie term re-combines the ≤|distinct| value
+    grid. No corpus-scale work after the first agg.
+
+    Cross-engine exactness: S and the tie sum Σt(t−1)(2t+5) are exact
+    LONG/DECIMAL; Var(S) = (n(n−1)(2n+5) − ties)/18 and the
+    continuity-corrected z are single rounded double expressions;
+    z = 0 exactly when S = 0 (its own branch, no 0/σ division
+    asymmetry); NULL z when Var(S) ≤ 0 (all days tied)."""
+    daily, spine = _daily_spine(events)
+    filled = (
+        spine.join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c"),
+            "n_days",
+        )
+        .localCheckpoint(eager=True)
+    )
+    d38 = "decimal(38,0)"
+    n_row = filled.agg(F.max("n_days").cast("long").alias("n"))
+    a = filled.select(F.col("day").alias("day_a"), F.col("c").alias("c_a"))
+    b = filled.select(F.col("day").alias("day_b"), F.col("c").alias("c_b"))
+    s_agg = (
+        a.join(b, F.col("day_a") < F.col("day_b"))
+        .agg(
+            F.sum(
+                F.signum((F.col("c_b") - F.col("c_a")).cast("double")).cast("long")
+            )
+            .cast("long")
+            .alias("s")
+        )
+    )
+    ties = (
+        filled.groupBy("c")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .agg(
+            F.sum(
+                F.col("t").cast(d38)
+                * (F.col("t").cast(d38) - F.lit(1).cast(d38))
+                * (F.lit(2).cast(d38) * F.col("t").cast(d38) + F.lit(5).cast(d38))
+            )
+            .cast(d38)
+            .alias("tie_term")
+        )
+    )
+    j = (
+        s_agg.crossJoin(F.broadcast(n_row))
+        .crossJoin(F.broadcast(ties))
+        .filter(F.col("n") >= 2)
+    )
+    nd = F.col("n").cast("double")
+    var_s = (
+        nd * (nd - F.lit(1.0)) * (F.lit(2.0) * nd + F.lit(5.0))
+        - F.col("tie_term").cast("double")
+    ) / F.lit(18.0)
+    s = F.coalesce(F.col("s"), F.lit(0)).cast("long")
+    sd = s.cast("double")
+    z = F.when(s == 0, F.lit(0.0)).when(
+        var_s > 0,
+        F.round(
+            (sd - F.signum(sd)) / F.sqrt(var_s),
+            6,
+        )
+        + F.lit(0.0),
+    )
+    direction = F.when(s > 0, F.lit("increasing")).when(
+        s < 0, F.lit("decreasing")
+    ).otherwise(F.lit("none"))
+    return j.select(
+        F.col("n").alias("n_days"),
+        s.alias("s_stat"),
+        z.alias("z_mk"),
+        direction.alias("direction"),
+    )
+
+
+def lev1_brown_forsythe(documents: DataFrame) -> DataFrame:
+    """Brown-Forsythe test (Brown & Forsythe 1974 — Levene's test on
+    MEDIAN deviations, the robust form) for homogeneity of document-
+    length VARIANCE across sources: anova1/kw1/welch1 compare
+    locations; lev1 asks whether sources differ in SPREAD — the
+    assumption check behind pooling, and a drift signal of its own (a
+    source whose variance explodes changed its composition even if
+    the mean held).
+
+    Scale shape: one (source, length)-grain combining agg; per-source
+    exact nearest-rank medians come from a window over THAT bounded
+    grid (value-grain, never the corpus); the deviation stream is the
+    corpus stream joined to the ≤grid medians, collapsed by ONE
+    source-keyed sufficient-stats agg; the F expression reuses
+    anova1's micro-unit term discipline.
+
+    Cross-engine exactness: medians are integer counts picked by
+    integer cumulative-rank comparison; |x − med| is an exact LONG;
+    the ANOVA-on-deviations sums ride DECIMAL(38,0) with micro-unit
+    LONG between-group terms; F is one rounded double expression."""
+    d38 = "decimal(38,0)"
+    base = documents.filter(
+        F.col("source").isNotNull() & F.col("n_chars").isNotNull()
+    ).select("source", F.col("n_chars").cast("long").alias("x"))
+    gv = (
+        base.groupBy("source", "x")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    wsum = Window.partitionBy("source").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wtot = Window.partitionBy("source")
+    cum = gv.withColumn("cum", F.sum("cnt").over(wsum).cast("long")).withColumn(
+        "ntot", F.sum("cnt").over(wtot).cast("long")
+    )
+    med = (
+        cum.filter(F.col("cum") * F.lit(2) >= F.col("ntot") + F.lit(1))
+        .groupBy("source")
+        .agg(F.min("x").cast("long").alias("med"))
+    )
+    devs = base.join(med, "source").select(
+        "source", F.abs(F.col("x") - F.col("med")).cast("long").alias("z")
+    )
+    per = (
+        devs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("nj"),
+            F.sum(F.col("z").cast(d38)).cast(d38).alias("sj"),
+            F.sum((F.col("z").cast(d38)) * (F.col("z").cast(d38)))
+            .cast(d38)
+            .alias("ssj"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    glob = per.agg(
+        F.sum("nj").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("sj").cast(d38).alias("s"),
+        F.sum("ssj").cast(d38).alias("ssq"),
+    )
+    nd, njd = F.col("n").cast("double"), F.col("nj").cast("double")
+    m = F.col("s").cast("double") / nd
+    mj = F.col("sj").cast("double") / njd
+    term = (njd / nd) * (mj - m) * (mj - m)
+    ssb_micro = F.round(term * F.lit(1e6), 0).cast("long")
+    summed = per.crossJoin(F.broadcast(glob)).agg(
+        F.sum(ssb_micro).cast("long").alias("ssb_micro")
+    )
+    joined = summed.crossJoin(F.broadcast(glob)).filter(
+        (F.col("k") >= 2) & (F.col("n") > F.col("k"))
+    )
+    ssb_n = F.col("ssb_micro").cast("double") / F.lit(1e6)
+    sst_n = F.col("ssq").cast("double") / nd - m * m
+    ssw_n = sst_n - ssb_n
+    kd = F.col("k").cast("double")
+    f_bf = F.when(
+        ssw_n > 0,
+        F.round(((nd - kd) / (kd - F.lit(1.0))) * ssb_n / ssw_n, 6) + F.lit(0.0),
+    )
+    return joined.select(
+        F.col("n").alias("n_docs"),
+        F.col("k").alias("k_sources"),
+        f_bf.alias("f_bf"),
+    )
+
+
+def evt1_gumbel_return_levels(events: DataFrame) -> DataFrame:
+    """Extreme-value capacity planning: fit a Gumbel distribution to
+    the WEEKLY MAXIMA of daily event volume by the method of moments
+    (Gumbel 1958; the block-maxima EVT route) and report 26- and
+    52-week return levels — "the daily peak you should provision for"
+    read off x_T = μ̂ − β̂·ln(−ln(1 − 1/T)), with β̂ = s·√6/π and
+    μ̂ = m̄ − γβ̂ (γ the Euler-Mascheroni constant). The time-series
+    family's tail story: acf1/dow1/stl1 model the TYPICAL day, evt1
+    bounds the worst one.
+
+    Scale shape: one day-grained combining agg, a week-keyed max over
+    the calendar-bounded spine (ISO Monday weeks both engines), one
+    sufficient-stats reduction over ≤|weeks| rows.
+
+    Cross-engine exactness: weekly maxima are exact longs; Σm and Σm²
+    ride DECIMAL(38,0); mean, sample variance, β̂, μ̂ and both return
+    levels are ONE fixed double tree over those exact stats and shared
+    literals (γ spelled to 16 digits, π from each engine's pi — the
+    same IEEE double), rounded to 6 dp. NULL levels when the maxima
+    have zero variance."""
+    daily, spine = _daily_spine(events)
+    filled = spine.join(daily, "day", "left").select(
+        "day", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c")
+    )
+    weekly = (
+        filled.groupBy(
+            F.date_trunc("week", F.col("day")).cast("date").alias("week")
+        )
+        .agg(F.max("c").cast("long").alias("m"))
+    )
+    d38 = "decimal(38,0)"
+    stats = weekly.agg(
+        F.count(F.lit(1)).cast("long").alias("nw"),
+        F.sum(F.col("m").cast(d38)).cast(d38).alias("sm"),
+        F.sum((F.col("m").cast(d38)) * (F.col("m").cast(d38)))
+        .cast(d38)
+        .alias("smm"),
+    ).filter(F.col("nw") >= 2)
+    import math
+
+    gamma = 0.5772156649015329
+    nwd = F.col("nw").cast("double")
+    mean = F.col("sm").cast("double") / nwd
+    var = (F.col("smm").cast("double") - nwd * mean * mean) / (nwd - F.lit(1.0))
+    beta = F.sqrt(var) * F.lit(math.sqrt(6.0)) / F.lit(math.pi)
+    mu = mean - F.lit(gamma) * beta
+
+    def level(t: float):
+        return mu - beta * F.lit(math.log(-math.log(1.0 - 1.0 / t)))
+
+    ok = var > 0
+    return stats.select(
+        F.col("nw").alias("n_weeks"),
+        (F.round(mean, 6) + F.lit(0.0)).alias("mean_weekly_max"),
+        F.when(ok, F.round(mu, 6) + F.lit(0.0)).alias("gumbel_mu"),
+        F.when(ok, F.round(beta, 6) + F.lit(0.0)).alias("gumbel_beta"),
+        F.when(ok, F.round(level(26.0), 6) + F.lit(0.0)).alias("ret_26w"),
+        F.when(ok, F.round(level(52.0), 6) + F.lit(0.0)).alias("ret_52w"),
+    )

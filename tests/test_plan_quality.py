@@ -1031,6 +1031,19 @@ def test_round12_wave4_shuffle_budgets(spark, sf_dir):
         #       and the chunk agg; + the source rollup with exact
         #       distinct + result order
         "cdc1_chunk_dedup": 4,
+        # sixth wave:
+        # mk1 — S reduction over the bounded day-pair BNL + the
+        #       value-grain tie agg + the 1-row n probe, all over the
+        #       checkpointed spine
+        "mk1_mann_kendall": 4,
+        # lev1 — deviation-stream source agg + 1-row re-combines (the
+        #       (source,length) grid and medians ride the pin)
+        "lev1_brown_forsythe": 3,
+        # evt1 — week-keyed max + the 1-row moment reduction
+        "evt1_gumbel_return_levels": 2,
+        # key1 — marginal re-combines of the checkpointed (source,tok)
+        #       table + the grouped-rank range exchange
+        "key1_source_keyness": 3,
     }
     for name, budget in budgets.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))
