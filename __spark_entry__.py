@@ -1276,6 +1276,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key1_source_keyness": lambda s, sf: ts.key1_source_keyness(
             _t("documents")(s, sf)
         ),
+        # round-12 seventh wave
+        # srm1: sample-ratio-mismatch audit of the split1 hash gate
+        "srm1_split_ratio_mismatch": lambda s, sf: ts.srm1_split_ratio_mismatch(
+            _t("documents")(s, sf)
+        ),
+        # ess1: Kish effective sample size of samp2's length weights
+        "ess1_length_weight_ess": lambda s, sf: ts.ess1_length_weight_ess(
+            _t("documents")(s, sf)
+        ),
+        # jk1: delete-one-source jackknife influence on the corpus mean
+        "jk1_source_jackknife": lambda s, sf: ts.jk1_source_jackknife(
+            _t("documents")(s, sf)
+        ),
+        # prop1: weekend-vs-weekday conversion z + Wilson intervals
+        "prop1_weekend_conversion": lambda s, sf: tpch.prop1_weekend_conversion(
+            _t("events")(s, sf)
+        ),
     }
     # Round-7 rotation (driver samples the FIRST 50 entries): slots 1-12
     # stay the pinned reference core; _ROTATION_FRONT then re-verifies the
@@ -8570,6 +8587,190 @@ def oracle_sql() -> dict[str, str]:
                keyness, direction
         FROM rk WHERE rank <= 10
         ORDER BY source, rank
+    """
+
+    # srm1: densified 3-row split spine (an empty split is the worst
+    # SRM, never a missing row); chi2 terms sum as micro-unit longs
+    q["srm1_split_ratio_mismatch"] = """
+        WITH spine AS (SELECT unnest(['train', 'val', 'test']) AS split),
+        g AS (
+          SELECT CASE
+            WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                 % 100 < 80 THEN 'train'
+            WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                 % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split
+          FROM documents
+        ),
+        oc AS (SELECT split, CAST(COUNT(*) AS BIGINT) AS c FROM g GROUP BY split),
+        obs AS (
+          SELECT s.split, COALESCE(oc.c, 0)::BIGINT AS n_obs
+          FROM spine s LEFT JOIN oc USING (split)
+        ),
+        tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs),
+        j AS (
+          SELECT split, n_obs, n,
+                 CASE WHEN split = 'train' THEN 0.8
+                      WHEN split = 'val' THEN 0.1 ELSE 0.1 END AS p
+          FROM obs CROSS JOIN tot
+        ),
+        chi AS (
+          SELECT CAST(SUM(CASE WHEN n::DOUBLE * p > 0
+                   THEN CAST(round((n_obs::DOUBLE - n::DOUBLE * p)
+                        * (n_obs::DOUBLE - n::DOUBLE * p)
+                        / (n::DOUBLE * p) * 1e6) AS BIGINT)
+                   ELSE 0 END) AS BIGINT) AS chi2_micro
+          FROM j
+        )
+        SELECT split, n_obs,
+               round(n::DOUBLE * p, 6) + 0.0 AS n_expected,
+               CASE WHEN n::DOUBLE * p > 0 AND p < 1
+                    THEN round((n_obs::DOUBLE - n::DOUBLE * p)
+                         / sqrt(n::DOUBLE * p * (1.0 - p)), 6) + 0.0
+               END AS z,
+               round(chi2_micro::DOUBLE / 1e6, 6) + 0.0 AS chi2_total
+        FROM j CROSS JOIN chi
+        ORDER BY split
+    """
+
+    # ess1: Kish ESS from DECIMAL sufficient stats; weights floored
+    # at 1 per samp2's convention
+    q["ess1_length_weight_ess"] = """
+        WITH per AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(CAST(w AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sw,
+                 CAST(SUM(CAST(w AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0)))
+                      AS DECIMAL(38,0)) AS sww
+          FROM (SELECT source, greatest(CAST(n_chars AS BIGINT), 1) AS w
+                FROM documents WHERE n_chars IS NOT NULL)
+          GROUP BY source
+        )
+        SELECT source, n_docs,
+               round(sw::DOUBLE * sw::DOUBLE / sww::DOUBLE, 6) + 0.0 AS ess,
+               round(sw::DOUBLE * sw::DOUBLE / sww::DOUBLE / n_docs::DOUBLE, 6)
+                 + 0.0 AS ess_ratio
+        FROM per ORDER BY source NULLS FIRST
+    """
+
+    # jk1: each leave-one-out mean is closed-form from sufficient
+    # stats; replicate means and squared deviations ride micro-unit
+    # longs before the SE expression
+    q["jk1_source_jackknife"] = """
+        WITH base AS (
+          SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents
+          WHERE source IS NOT NULL AND n_chars IS NOT NULL
+        ),
+        per AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS nj,
+                 CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sj
+          FROM base GROUP BY source
+        ),
+        gs AS (
+          SELECT CAST(SUM(nj) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+                 CAST(SUM(sj) AS DECIMAL(38,0)) AS s
+          FROM per
+        ),
+        j AS (
+          SELECT source, nj, n, k, s,
+                 CAST(round((s::DOUBLE - sj::DOUBLE) / (n - nj)::DOUBLE * 1e6)
+                      AS BIGINT) AS loo_micro
+          FROM per CROSS JOIN gs WHERE k >= 2 AND n > nj
+        ),
+        ms AS (
+          SELECT CAST(SUM(loo_micro) AS BIGINT) AS sl,
+                 CAST(COUNT(*) AS BIGINT) AS kk
+          FROM j
+        ),
+        sa AS (
+          SELECT CAST(SUM(CAST(round((loo_micro::DOUBLE / 1e6
+                      - sl::DOUBLE / kk::DOUBLE / 1e6)
+                      * (loo_micro::DOUBLE / 1e6
+                         - sl::DOUBLE / kk::DOUBLE / 1e6)
+                      * 1e6) AS BIGINT)) AS BIGINT) AS sd2,
+                 CAST(MAX(kk) AS BIGINT) AS kk
+          FROM j CROSS JOIN ms
+        ),
+        ser AS (
+          SELECT CASE WHEN kk::DOUBLE >= 2
+                 THEN round(sqrt((kk::DOUBLE - 1.0) / kk::DOUBLE
+                      * (sd2::DOUBLE / 1e6)), 6) + 0.0 END AS jack_se
+          FROM sa
+        )
+        SELECT source, nj AS n_docs,
+               round(loo_micro::DOUBLE / 1e6, 6) + 0.0 AS loo_mean,
+               round(loo_micro::DOUBLE / 1e6 - s::DOUBLE / n::DOUBLE, 6) + 0.0
+                 AS influence,
+               jack_se
+        FROM j CROSS JOIN ser
+        ORDER BY source
+    """
+
+    # prop1: weekend predicate spelled natively per engine but
+    # semantically identical (Sat/Sun); z2 = 1.96^2 ships as the same
+    # Python-product literal both engines parse to one double
+    _z2 = repr(1.96 * 1.96)
+    q["prop1_weekend_conversion"] = f"""
+        WITH base AS (
+          SELECT ts, event_type FROM events
+          WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        ),
+        agg AS (
+          SELECT CAST(SUM(CASE WHEN isodow(ts) IN (6, 7) THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_we,
+                 CAST(SUM(CASE WHEN isodow(ts) IN (6, 7)
+                      AND event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS x_we,
+                 CAST(SUM(CASE WHEN isodow(ts) NOT IN (6, 7) THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_wd,
+                 CAST(SUM(CASE WHEN isodow(ts) NOT IN (6, 7)
+                      AND event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS x_wd
+          FROM base
+        )
+        SELECT n_we AS n_weekend, x_we AS conv_weekend,
+               round(x_we::DOUBLE / n_we::DOUBLE, 6) + 0.0 AS rate_weekend,
+               round((x_we::DOUBLE / n_we::DOUBLE
+                      + {_z2} / (2.0 * n_we::DOUBLE)
+                      - 1.96 * sqrt(x_we::DOUBLE / n_we::DOUBLE
+                        * (1.0 - x_we::DOUBLE / n_we::DOUBLE) / n_we::DOUBLE
+                        + {_z2} / (4.0 * n_we::DOUBLE * n_we::DOUBLE)))
+                     / (1.0 + {_z2} / n_we::DOUBLE), 6) + 0.0
+                 AS wilson_lo_weekend,
+               round((x_we::DOUBLE / n_we::DOUBLE
+                      + {_z2} / (2.0 * n_we::DOUBLE)
+                      + 1.96 * sqrt(x_we::DOUBLE / n_we::DOUBLE
+                        * (1.0 - x_we::DOUBLE / n_we::DOUBLE) / n_we::DOUBLE
+                        + {_z2} / (4.0 * n_we::DOUBLE * n_we::DOUBLE)))
+                     / (1.0 + {_z2} / n_we::DOUBLE), 6) + 0.0
+                 AS wilson_hi_weekend,
+               n_wd AS n_weekday, x_wd AS conv_weekday,
+               round(x_wd::DOUBLE / n_wd::DOUBLE, 6) + 0.0 AS rate_weekday,
+               round((x_wd::DOUBLE / n_wd::DOUBLE
+                      + {_z2} / (2.0 * n_wd::DOUBLE)
+                      - 1.96 * sqrt(x_wd::DOUBLE / n_wd::DOUBLE
+                        * (1.0 - x_wd::DOUBLE / n_wd::DOUBLE) / n_wd::DOUBLE
+                        + {_z2} / (4.0 * n_wd::DOUBLE * n_wd::DOUBLE)))
+                     / (1.0 + {_z2} / n_wd::DOUBLE), 6) + 0.0
+                 AS wilson_lo_weekday,
+               round((x_wd::DOUBLE / n_wd::DOUBLE
+                      + {_z2} / (2.0 * n_wd::DOUBLE)
+                      + 1.96 * sqrt(x_wd::DOUBLE / n_wd::DOUBLE
+                        * (1.0 - x_wd::DOUBLE / n_wd::DOUBLE) / n_wd::DOUBLE
+                        + {_z2} / (4.0 * n_wd::DOUBLE * n_wd::DOUBLE)))
+                     / (1.0 + {_z2} / n_wd::DOUBLE), 6) + 0.0
+                 AS wilson_hi_weekday,
+               CASE WHEN (x_we + x_wd)::DOUBLE / (n_we + n_wd)::DOUBLE > 0
+                     AND (x_we + x_wd)::DOUBLE / (n_we + n_wd)::DOUBLE < 1
+                    THEN round((x_we::DOUBLE / n_we::DOUBLE
+                         - x_wd::DOUBLE / n_wd::DOUBLE)
+                         / sqrt((x_we + x_wd)::DOUBLE / (n_we + n_wd)::DOUBLE
+                            * (1.0 - (x_we + x_wd)::DOUBLE
+                               / (n_we + n_wd)::DOUBLE)
+                            * (1.0 / n_we::DOUBLE + 1.0 / n_wd::DOUBLE)),
+                         6) + 0.0
+               END AS z_two_prop
+        FROM agg
+        WHERE n_we > 0 AND n_wd > 0
     """
 
     return q

@@ -178,6 +178,10 @@ EXTRA = [
     "lev1_brown_forsythe",
     "evt1_gumbel_return_levels",
     "key1_source_keyness",
+    "srm1_split_ratio_mismatch",
+    "ess1_length_weight_ess",
+    "jk1_source_jackknife",
+    "prop1_weekend_conversion",
 ]
 
 # EVERY fit/memo-family EXTRA entry gets a WARM (second-run) sample

@@ -3100,7 +3100,7 @@ def welch1_source_welch_t(documents: DataFrame) -> DataFrame:
         F.col("s").alias("sumb"),
         F.col("ssq").alias("ssqb"),
     )
-    j = a.crossJoin(b)
+    j = a.crossJoin(F.broadcast(b))
     nad, nbd = F.col("na").cast("double"), F.col("nb").cast("double")
     ma = F.col("suma").cast("double") / nad
     mb = F.col("sumb").cast("double") / nbd
@@ -3206,7 +3206,7 @@ def mwu1_mann_whitney(documents: DataFrame) -> DataFrame:
     b = per.filter(F.col("source") == sb).select(
         F.col("source").alias("source_b"), F.col("n").alias("nb")
     )
-    j = a.crossJoin(b).crossJoin(F.broadcast(ties))
+    j = a.crossJoin(F.broadcast(b)).crossJoin(F.broadcast(ties))
     # U2 = 2*U1 = R2_a - n_a*(n_a+1): exact long arithmetic
     u2 = (
         F.col("r2a").cast("long")
@@ -3488,4 +3488,219 @@ def key1_source_keyness(
             "direction",
         )
         .orderBy("source", "rank")
+    )
+
+
+def srm1_split_ratio_mismatch(documents: DataFrame) -> DataFrame:
+    """Sample-ratio-mismatch (SRM) audit of split1's 80/10/10
+    train/val/test assignment — the experimentation-infra standard
+    check (Fabijan et al. 2019 popularized the alarm): a hash-range
+    split that DOESN'T hit its expected shares within binomial noise
+    means the gate is broken (id skew, collision, truncated hash),
+    which silently biases every downstream eval. Reports per-split
+    observed vs expected counts, the binomial z, and the 2-df χ²
+    repeated per row (the alarm reads any |z| > 3 or χ² > 13.8).
+
+    Scale shape: split1's map-only gate + ONE 3-cell combining agg;
+    everything downstream is arithmetic on the 3-row table (the χ²
+    total sums 3 micro-unit LONGs — order-free even at 3 terms).
+
+    Cross-engine exactness: observed counts exact longs; expected n·p
+    uses the same shared literals both engines parse to one double; z
+    and χ² are single rounded double expressions of exact integers.
+    The 3-row split spine is DENSIFIED — an entirely empty split (the
+    worst SRM there is) shows as n_obs = 0, never a missing row."""
+    gate = F.pmod(md5_60_id(F.col("doc_id")), F.lit(100))
+    split = (
+        F.when(gate < 80, F.lit("train"))
+        .when(gate < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    spark = documents.sparkSession
+    spine = spark.createDataFrame(
+        [("train",), ("val",), ("test",)], "split string"
+    )
+    obs = (
+        spine.join(
+            documents.select(split.alias("split"))
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).cast("long").alias("c")),
+            "split",
+            "left",
+        )
+        .select("split", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("n_obs"))
+        .localCheckpoint(eager=True)
+    )
+    tot = obs.agg(F.sum("n_obs").cast("long").alias("n"))
+    p = (
+        F.when(F.col("split") == "train", F.lit(0.8))
+        .when(F.col("split") == "val", F.lit(0.1))
+        .otherwise(F.lit(0.1))
+    )
+    joined = obs.crossJoin(F.broadcast(tot))
+    nd = F.col("n").cast("double")
+    exp_ = nd * p
+    od = F.col("n_obs").cast("double")
+    z = F.when(
+        (exp_ > 0) & (p < 1),
+        F.round(
+            (od - exp_) / F.sqrt(nd * p * (F.lit(1.0) - p)), 6
+        )
+        + F.lit(0.0),
+    )
+    # exp_ = 0 (empty corpus) must contribute 0, not 0/0 — the NaN
+    # would differ cross-engine and ANSI-throw on the long cast
+    term_micro = F.when(
+        exp_ > 0,
+        F.round((od - exp_) * (od - exp_) / exp_ * F.lit(1e6), 0).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    chi2 = joined.agg(F.sum(term_micro).cast("long").alias("chi2_micro"))
+    return (
+        joined.crossJoin(F.broadcast(chi2))
+        .select(
+            "split",
+            "n_obs",
+            (F.round(exp_, 6) + F.lit(0.0)).alias("n_expected"),
+            z.alias("z"),
+            (
+                F.round(F.col("chi2_micro").cast("double") / F.lit(1e6), 6)
+                + F.lit(0.0)
+            ).alias("chi2_total"),
+        )
+        .orderBy("split")
+    )
+
+
+def ess1_length_weight_ess(documents: DataFrame) -> DataFrame:
+    """Effective sample size of length-proportional sampling weights
+    per source (Kish 1965 design effect; the ESS diagnostic importance
+    sampling reports next to any reweighting): samp2 samples docs with
+    weight ∝ n_chars — ESS = (Σw)²/Σw² says how many EQUALLY-weighted
+    docs that scheme is actually worth, and ess_ratio = ESS/n is the
+    efficiency lost to weight skew (1.0 = uniform lengths, →0 = a few
+    giant docs dominate every draw). The number to check BEFORE
+    trusting any length-weighted mixture.
+
+    Scale shape: ONE source-keyed sufficient-stats agg (n, Σw, Σw² in
+    DECIMAL(38,0), map-side partial); everything else is a 1-row
+    expression per source.
+
+    Cross-engine exactness: weights are exact longs (floored at 1,
+    samp2's convention); ESS and the ratio are single rounded double
+    expressions of the exact decimal sums."""
+    d38 = "decimal(38,0)"
+    w = F.greatest(F.col("n_chars").cast("long"), F.lit(1))
+    per = (
+        documents.filter(F.col("n_chars").isNotNull())
+        .select("source", w.alias("w"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("w").cast(d38)).cast(d38).alias("sw"),
+            F.sum((F.col("w").cast(d38)) * (F.col("w").cast(d38)))
+            .cast(d38)
+            .alias("sww"),
+        )
+    )
+    ess = (
+        F.col("sw").cast("double")
+        * F.col("sw").cast("double")
+        / F.col("sww").cast("double")
+    )
+    return per.select(
+        "source",
+        "n_docs",
+        (F.round(ess, 6) + F.lit(0.0)).alias("ess"),
+        (
+            F.round(ess / F.col("n_docs").cast("double"), 6) + F.lit(0.0)
+        ).alias("ess_ratio"),
+    ).orderBy(F.col("source").asc_nulls_first())
+
+
+def jk1_source_jackknife(documents: DataFrame) -> DataFrame:
+    """Delete-one-GROUP jackknife influence of each source on the
+    corpus mean document length (Quenouille 1956; Tukey 1958; the
+    grouped form is the survey-statistics standard): for each source,
+    the leave-that-source-out mean and its influence (loo − full), plus
+    the jackknife standard error over the k replicates repeated per
+    row. The robustness readout a curator wants before publishing a
+    corpus-level metric: a single source whose removal moves the mean
+    by 3 SEs OWNS that metric.
+
+    Scale shape: ONE source-keyed sufficient-stats agg; every
+    replicate is closed-form from (S − S_j)/(n − n_j) on the
+    ≤|sources| table — the jackknife costs one corpus pass TOTAL,
+    not one per replicate (the whole point of sufficient statistics).
+
+    Cross-engine exactness: sums exact DECIMAL; each loo mean is one
+    double expression, rounded to MICRO-units before the replicate-
+    mean and squared-deviation sums (order-free LONGs, theil1
+    discipline); influence and SE are rounded doubles."""
+    d38 = "decimal(38,0)"
+    base = documents.filter(
+        F.col("source").isNotNull() & F.col("n_chars").isNotNull()
+    ).select("source", F.col("n_chars").cast("long").alias("x"))
+    per = (
+        base.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("nj"),
+            F.sum(F.col("x").cast(d38)).cast(d38).alias("sj"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    glob = per.agg(
+        F.sum("nj").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("sj").cast(d38).alias("s"),
+    )
+    j = per.crossJoin(F.broadcast(glob)).filter(
+        (F.col("k") >= 2) & (F.col("n") > F.col("nj"))
+    )
+    loo = (F.col("s").cast("double") - F.col("sj").cast("double")) / (
+        F.col("n") - F.col("nj")
+    ).cast("double")
+    loo_micro = F.round(loo * F.lit(1e6), 0).cast("long")
+    reps = j.select(
+        "source", "nj", F.col("n").alias("n"), F.col("k").alias("k"),
+        F.col("s").alias("s"), loo_micro.alias("loo_micro"),
+    ).localCheckpoint(eager=True)
+    mstats = reps.agg(
+        F.sum("loo_micro").cast("long").alias("sl"),
+        F.count(F.lit(1)).cast("long").alias("kk"),
+    )
+    withbar = reps.crossJoin(F.broadcast(mstats))
+    bar = F.col("sl").cast("double") / F.col("kk").cast("double") / F.lit(1e6)
+    dev = F.col("loo_micro").cast("double") / F.lit(1e6) - bar
+    d2_micro = F.round(dev * dev * F.lit(1e6), 0).cast("long")
+    se_agg = withbar.agg(
+        F.sum(d2_micro).cast("long").alias("sd2"),
+        F.max("kk").cast("long").alias("kk"),
+    )
+    kd = F.col("kk").cast("double")
+    se = F.sqrt(
+        (kd - F.lit(1.0)) / kd * (F.col("sd2").cast("double") / F.lit(1e6))
+    )
+    se_row = se_agg.select(
+        F.when(kd >= 2, F.round(se, 6) + F.lit(0.0)).alias("jack_se")
+    )
+    full_mean = F.col("s").cast("double") / F.col("n").cast("double")
+    return (
+        withbar.crossJoin(F.broadcast(se_row))
+        .select(
+            "source",
+            F.col("nj").alias("n_docs"),
+            (
+                F.round(F.col("loo_micro").cast("double") / F.lit(1e6), 6)
+                + F.lit(0.0)
+            ).alias("loo_mean"),
+            (
+                F.round(
+                    F.col("loo_micro").cast("double") / F.lit(1e6) - full_mean,
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("influence"),
+            "jack_se",
+        )
+        .orderBy("source")
     )

@@ -5117,3 +5117,86 @@ def evt1_gumbel_return_levels(events: DataFrame) -> DataFrame:
         F.when(ok, F.round(level(26.0), 6) + F.lit(0.0)).alias("ret_26w"),
         F.when(ok, F.round(level(52.0), 6) + F.lit(0.0)).alias("ret_52w"),
     )
+
+
+def prop1_weekend_conversion(events: DataFrame) -> DataFrame:
+    """Two-proportion z-test of purchase conversion, weekend vs
+    weekday (the A/B-reading primitive: pooled-variance z per standard
+    practice), with WILSON 95% intervals per segment (Wilson 1927 —
+    the interval that behaves at small n and extreme rates, which is
+    why every experimentation platform uses it over the Wald
+    interval). One row: both segments' rates + intervals + the z.
+
+    Scale shape: ONE two-cell combining agg (weekend flag × purchase
+    flag collapse map-side); every expression below runs on the 1-row
+    pivot.
+
+    Cross-engine exactness: the weekend predicate is ISO-day
+    arithmetic spelled natively per engine but semantically identical
+    (Sat/Sun); all four counters exact longs; rates, Wilson bounds
+    (z = 1.96 shared literal) and the pooled z are single rounded
+    double expressions. NULL z when either segment is empty or the
+    pooled rate is degenerate (0 or 1)."""
+    base = events.filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+    # Spark dayofweek: 1=Sun..7=Sat -> weekend is {1, 7}
+    we = F.dayofweek(F.col("ts")).isin([1, 7])
+    agg = base.agg(
+        F.sum(we.cast("long")).cast("long").alias("n_we"),
+        F.sum((we & (F.col("event_type") == "purchase")).cast("long"))
+        .cast("long")
+        .alias("x_we"),
+        F.sum((~we).cast("long")).cast("long").alias("n_wd"),
+        F.sum(((~we) & (F.col("event_type") == "purchase")).cast("long"))
+        .cast("long")
+        .alias("x_wd"),
+    )
+
+    zc = 1.96
+
+    def wilson(x, n):
+        p = x.cast("double") / n.cast("double")
+        nd = n.cast("double")
+        z2 = F.lit(zc * zc)
+        center = p + z2 / (F.lit(2.0) * nd)
+        margin = F.lit(zc) * F.sqrt(
+            p * (F.lit(1.0) - p) / nd + z2 / (F.lit(4.0) * nd * nd)
+        )
+        denom = F.lit(1.0) + z2 / nd
+        return (
+            F.round((center - margin) / denom, 6) + F.lit(0.0),
+            F.round((center + margin) / denom, 6) + F.lit(0.0),
+        )
+
+    n_we, x_we = F.col("n_we"), F.col("x_we")
+    n_wd, x_wd = F.col("n_wd"), F.col("x_wd")
+    ok = (n_we > 0) & (n_wd > 0)
+    p_we = x_we.cast("double") / n_we.cast("double")
+    p_wd = x_wd.cast("double") / n_wd.cast("double")
+    pool = (x_we + x_wd).cast("double") / (n_we + n_wd).cast("double")
+    se = F.sqrt(
+        pool
+        * (F.lit(1.0) - pool)
+        * (
+            F.lit(1.0) / n_we.cast("double")
+            + F.lit(1.0) / n_wd.cast("double")
+        )
+    )
+    z = F.when(
+        ok & (pool > 0) & (pool < 1),
+        F.round((p_we - p_wd) / se, 6) + F.lit(0.0),
+    )
+    lo_we, hi_we = wilson(x_we, n_we)
+    lo_wd, hi_wd = wilson(x_wd, n_wd)
+    return agg.filter(ok).select(
+        n_we.alias("n_weekend"),
+        x_we.alias("conv_weekend"),
+        (F.round(p_we, 6) + F.lit(0.0)).alias("rate_weekend"),
+        lo_we.alias("wilson_lo_weekend"),
+        hi_we.alias("wilson_hi_weekend"),
+        n_wd.alias("n_weekday"),
+        x_wd.alias("conv_weekday"),
+        (F.round(p_wd, 6) + F.lit(0.0)).alias("rate_weekday"),
+        lo_wd.alias("wilson_lo_weekday"),
+        hi_wd.alias("wilson_hi_weekday"),
+        z.alias("z_two_prop"),
+    )

@@ -1044,6 +1044,18 @@ def test_round12_wave4_shuffle_budgets(spark, sf_dir):
         # key1 — marginal re-combines of the checkpointed (source,tok)
         #       table + the grouped-rank range exchange
         "key1_source_keyness": 3,
+        # seventh wave:
+        # srm1 — the 3-cell gate agg (checkpoint construction) + the
+        #       1-row total + the chi2 micro reduction + result order
+        "srm1_split_ratio_mismatch": 4,
+        # ess1 — ONE source-keyed sufficient-stats agg + result order
+        "ess1_length_weight_ess": 2,
+        # jk1 — per-source stats pin + replicate-mean and SE
+        #       reductions at the <=|sources| grain + result order
+        "jk1_source_jackknife": 4,
+        # prop1 — ONE four-counter reduction; everything else is a
+        #       1-row expression
+        "prop1_weekend_conversion": 1,
     }
     for name, budget in budgets.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))
