@@ -1293,6 +1293,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prop1_weekend_conversion": lambda s, sf: tpch.prop1_weekend_conversion(
             _t("events")(s, sf)
         ),
+        # round-12 eighth wave
+        # hub1: Huber M-estimate by 3 exact IRLS steps from the exact
+        # median (sufficient-statistics passes, never a sort)
+        "hub1_huber_robust_mean": lambda s, sf: tpch.hub1_huber_robust_mean(
+            _t("orders")(s, sf)
+        ),
+        # sprt1: Wald's sequential test on the daily conversion stream
+        # (nano-integer LLR path, first-crossing decision)
+        "sprt1_conversion_sprt": lambda s, sf: tpch.sprt1_conversion_sprt(
+            _t("events")(s, sf)
+        ),
     }
     # Round-7 rotation (driver samples the FIRST 50 entries): slots 1-12
     # stay the pinned reference core; _ROTATION_FRONT then re-verifies the
@@ -8771,6 +8782,127 @@ def oracle_sql() -> dict[str, str]:
                END AS z_two_prop
         FROM agg
         WHERE n_we > 0 AND n_wd > 0
+    """
+
+    # hub1: exact median/MAD by integer cumulative comparison; every
+    # IRLS step one weighted sufficient-stats agg with micro/nano
+    # terms in DECIMAL(38,0); each step's mu is the SAME double tree
+    # whether collected (Spark) or computed in-query (these CTEs)
+    def _hweight(mu_expr: str) -> str:
+        return (
+            f"(CASE WHEN abs(cents::DOUBLE / 100.0 - {mu_expr}) <= ch"
+            f" THEN 1.0 ELSE ch / abs(cents::DOUBLE / 100.0 - {mu_expr})"
+            f" END)"
+        )
+
+    def _hiter(prev_mu: str) -> str:
+        w = _hweight(prev_mu)
+        return (
+            f"SELECT CAST(SUM(CAST(round({w} * (cents::DOUBLE / 100.0) * 1e6)"
+            f" AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS swx,"
+            f" CAST(SUM(CAST(round({w} * 1e9) AS DECIMAL(38,0)))"
+            f" AS DECIMAL(38,0)) AS sw"
+        )
+
+    q["hub1_huber_robust_mean"] = f"""
+        WITH v AS (
+          SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders WHERE o_totalprice IS NOT NULL
+        ),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+        gc AS (
+          SELECT cents, SUM(cnt) OVER (ORDER BY cents) AS cum
+          FROM (SELECT cents, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM v GROUP BY cents)
+        ),
+        m0t AS (
+          SELECT MIN(CASE WHEN cum >= (50 * n + 99) // 100 THEN cents END)
+                   AS m0
+          FROM gc CROSS JOIN nn
+        ),
+        dv AS (SELECT abs(cents - m0) AS dev FROM v CROSS JOIN m0t),
+        gd AS (
+          SELECT dev, SUM(cnt) OVER (ORDER BY dev) AS cum
+          FROM (SELECT dev, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM dv GROUP BY dev)
+        ),
+        mdt AS (
+          SELECT MIN(CASE WHEN cum >= (50 * n + 99) // 100 THEN dev END)
+                   AS mad
+          FROM gd CROSS JOIN nn
+        ),
+        p AS (
+          SELECT m0, mad,
+                 1.4826 * mad::DOUBLE / 100.0 AS sigma,
+                 1.345 * (1.4826 * mad::DOUBLE / 100.0) AS ch,
+                 m0::DOUBLE / 100.0 AS mu0
+          FROM m0t CROSS JOIN mdt
+        ),
+        i1 AS ({_hiter("mu0")} FROM v CROSS JOIN p),
+        m1 AS (SELECT (swx::DOUBLE / 1e6) / (sw::DOUBLE / 1e9) AS mu1 FROM i1),
+        i2 AS ({_hiter("mu1")} FROM v CROSS JOIN p CROSS JOIN m1),
+        m2 AS (SELECT (swx::DOUBLE / 1e6) / (sw::DOUBLE / 1e9) AS mu2 FROM i2),
+        i3 AS ({_hiter("mu2")} FROM v CROSS JOIN p CROSS JOIN m2),
+        m3 AS (SELECT (swx::DOUBLE / 1e6) / (sw::DOUBLE / 1e9) AS mu3 FROM i3)
+        SELECT n AS n_orders,
+               round(m0::DOUBLE / 100.0, 6) + 0.0 AS median,
+               round(sigma, 6) + 0.0 AS sigma_robust,
+               round(ch, 6) + 0.0 AS c_huber,
+               round(mu0, 6) + 0.0 AS mu0,
+               round(mu1, 6) + 0.0 AS mu1,
+               round(mu2, 6) + 0.0 AS mu2,
+               round(mu3, 6) + 0.0 AS mu3
+        FROM nn CROSS JOIN p CROSS JOIN m1 CROSS JOIN m2 CROSS JOIN m3
+        WHERE n > 0
+    """
+
+    # sprt1: per-day LLR terms nano-rounded BEFORE the cumulative
+    # window (exact integer path); thresholds are integer nano
+    # literals; the crossing is an integer/date comparison
+    import math as _m2
+
+    _l1 = repr(_m2.log(0.04 / 0.02))
+    _l2 = repr(_m2.log((1.0 - 0.04) / (1.0 - 0.02)))
+    _an = int(round(_m2.log((1.0 - 0.05) / 0.05) * 1e9))
+    _bn = int(round(_m2.log(0.05 / (1.0 - 0.05)) * 1e9))
+    q["sprt1_conversion_sprt"] = f"""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS x
+          FROM events
+          WHERE ts IS NOT NULL AND event_type IS NOT NULL
+          GROUP BY 1
+        ),
+        t AS (
+          SELECT day, n, x,
+                 CAST(round((x::DOUBLE * {_l1} + (n - x)::DOUBLE * {_l2})
+                      * 1e9) AS BIGINT) AS t_nano
+          FROM daily
+        ),
+        pre AS (
+          SELECT day, CAST(SUM(t_nano) OVER (ORDER BY day) AS BIGINT)
+                   AS llr_nano
+          FROM t
+        ),
+        tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+                 CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(x) AS BIGINT) AS tx,
+                 CAST(SUM(t_nano) AS BIGINT) AS lt
+          FROM t
+        ),
+        cr AS (
+          SELECT day, CASE WHEN llr_nano >= {_an} THEN 'accept_h1'
+                           ELSE 'accept_h0' END AS decision
+          FROM pre WHERE llr_nano >= {_an} OR llr_nano <= {_bn}
+          ORDER BY day LIMIT 1
+        )
+        SELECT n_days, tn AS total_events, tx AS total_conversions,
+               round(lt::DOUBLE / 1e9, 6) + 0.0 AS final_llr,
+               COALESCE(cr.decision, 'continue') AS decision,
+               cr.day AS decided_day
+        FROM tot LEFT JOIN cr ON TRUE
+        WHERE tn > 0
     """
 
     return q

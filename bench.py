@@ -182,6 +182,8 @@ EXTRA = [
     "ess1_length_weight_ess",
     "jk1_source_jackknife",
     "prop1_weekend_conversion",
+    "hub1_huber_robust_mean",
+    "sprt1_conversion_sprt",
 ]
 
 # EVERY fit/memo-family EXTRA entry gets a WARM (second-run) sample

@@ -5200,3 +5200,195 @@ def prop1_weekend_conversion(events: DataFrame) -> DataFrame:
         hi_wd.alias("wilson_hi_weekday"),
         z.alias("z_two_prop"),
     )
+
+
+def hub1_huber_robust_mean(orders: DataFrame, iters: int = 3) -> DataFrame:
+    """Huber M-estimate of the mean order value (Huber 1964) by
+    exactly `iters` IRLS steps from the exact median, with the tuning
+    constant c = 1.345·σ̂ (95% Gaussian efficiency) and σ̂ = 1.4826·MAD
+    — THE robust location estimate: win1 trims at fixed percentiles,
+    the Huber mean instead downweights smoothly, so a 1%-outlier burst
+    moves it by O(c) rather than O(outlier). Reported per step so the
+    convergence is visible.
+
+    Scale shape: mad1's two value-grain prefix passes pin the exact
+    median/MAD as literals; each IRLS step is ONE corpus
+    sufficient-stats agg whose weighted sums ride micro/nano-unit
+    LONG terms in DECIMAL(38,0) (order-free) — the classic
+    sufficient-statistics trick makes a 3-step M-estimator cost 3
+    map-side-combining passes, no sort, no driver data beyond the
+    per-step scalars (the prefix-totals-as-literals precedent).
+
+    Cross-engine exactness: median and MAD are exact integer cents;
+    every weight is a branch-safe expression (|dev| ≤ c → 1 else
+    c/|dev| — the else branch implies |dev| > 0, so a zero-MAD corpus
+    never divides by zero on either engine); each step's μ is the
+    SAME double expression of exact decimal sums whether collected
+    (Spark, construction-time) or computed in-query (oracle CTEs)."""
+    spark = orders.sparkSession
+    v = (
+        orders.filter(F.col("o_totalprice").isNotNull())
+        .select(F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"))
+        .localCheckpoint(eager=True)
+    )
+    g = v.groupBy("cents").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cgrid, totals = distributed_prefix_sums(g, ["cents"], ["c"], ["cum"])
+    n = totals["c"]
+    empty = (
+        "n_orders long, median double, sigma_robust double, c_huber double, "
+        "mu0 double, mu1 double, mu2 double, mu3 double"
+    )
+    if n == 0:
+        return spark.createDataFrame([], empty)
+    rank = (50 * n + 99) // 100
+    m0 = cgrid.agg(
+        F.min(F.when(F.col("cum") >= F.lit(rank), F.col("cents")))
+    ).collect()[0][0]
+    d = v.select(F.abs(F.col("cents") - F.lit(int(m0))).alias("dev"))
+    g2 = d.groupBy("dev").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    c2, _ = distributed_prefix_sums(g2, ["dev"], ["c"], ["cum"])
+    mad = c2.agg(
+        F.min(F.when(F.col("cum") >= F.lit(rank), F.col("dev")))
+    ).collect()[0][0]
+    sigma = 1.4826 * float(mad) / 100.0
+    c_h = 1.345 * sigma
+    d38 = "decimal(38,0)"
+    mus = [float(m0) / 100.0]
+    for _ in range(iters):
+        mu = mus[-1]
+        x = F.col("cents").cast("double") / F.lit(100.0)
+        dev = x - F.lit(mu)
+        w = F.when(F.abs(dev) <= F.lit(c_h), F.lit(1.0)).otherwise(
+            F.lit(c_h) / F.abs(dev)
+        )
+        row = v.agg(
+            F.sum(F.round(w * x * F.lit(1e6), 0).cast(d38)).cast(d38).alias("swx"),
+            F.sum(F.round(w * F.lit(1e9), 0).cast(d38)).cast(d38).alias("sw"),
+        ).collect()[0]
+        mus.append(
+            (float(row["swx"]) / 1e6) / (float(row["sw"]) / 1e9)
+        )
+    # raw doubles into the frame, HALF_UP rounding in the ENGINE (the
+    # oracle rounds in DuckDB; Python's round() is half-even and would
+    # be a third rounding mode on the parity path)
+    raw = spark.createDataFrame(
+        [(n, float(m0) / 100.0, sigma, c_h, mus[0], mus[1], mus[2], mus[3])],
+        "n_orders long, median double, sigma_robust double, c_huber double, "
+        "mu0 double, mu1 double, mu2 double, mu3 double",
+    )
+    return raw.select(
+        "n_orders",
+        *[
+            (F.round(F.col(c), 6) + F.lit(0.0)).alias(c)
+            for c in [
+                "median", "sigma_robust", "c_huber",
+                "mu0", "mu1", "mu2", "mu3",
+            ]
+        ],
+    )
+
+
+def sprt1_conversion_sprt(
+    events: DataFrame,
+    p0: float = 0.02,
+    p1: float = 0.04,
+    alpha: float = 0.05,
+    beta: float = 0.05,
+) -> DataFrame:
+    """Wald's sequential probability ratio test (Wald 1945) on the
+    daily purchase-conversion stream: cumulative log-likelihood ratio
+    of H1: p = p1 vs H0: p = p0 over day-ordered Bernoulli batches,
+    stopping at the FIRST day the path crosses ln((1−β)/α) (accept
+    H1) or ln(β/(1−α)) (accept H0) — the sequential decision the
+    fixed-horizon tests (prop1) cannot make: SPRT needs ~half the
+    samples on average and reads out WHICH DAY the evidence sufficed.
+    The experimentation-stack companion to cusum1 (CUSUM detects
+    drift with no hypothesis pair; SPRT decides between two).
+
+    Scale shape: one day-grained combining agg; the LLR path is ONE
+    distributed_prefix_sums pass (per-day terms pre-rounded to NANO
+    longs, so the cumulative path is exact integers); the crossing
+    probe is a bounded filter + earliest-day TakeOrdered; thresholds
+    ride as INTEGER nano literals — the crossing comparison is a pure
+    long comparison on both engines.
+
+    Cross-engine exactness: per-day terms are one double expression
+    of exact counts and shared log literals, nano-rounded BEFORE the
+    cumulative sum (no float accumulation anywhere); the decision and
+    day are integer/date comparisons; only the final LLR readout is a
+    rounded double."""
+    import math
+
+    l1 = math.log(p1 / p0)
+    l2 = math.log((1.0 - p1) / (1.0 - p0))
+    a_nano = round(math.log((1.0 - beta) / alpha) * 1e9)
+    b_nano = round(math.log(beta / (1.0 - alpha)) * 1e9)
+    spark = events.sparkSession
+    daily = (
+        events.filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .groupBy(F.to_date(F.col("ts")).alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum((F.col("event_type") == "purchase").cast("long"))
+            .cast("long")
+            .alias("x"),
+        )
+    )
+    term = F.round(
+        (
+            F.col("x").cast("double") * F.lit(l1)
+            + (F.col("n") - F.col("x")).cast("double") * F.lit(l2)
+        )
+        * F.lit(1e9),
+        0,
+    ).cast("long")
+    t = daily.select("day", "n", "x", term.alias("t_nano"))
+    pre, totals = distributed_prefix_sums(
+        t, ["day"], ["t_nano", "n", "x"], ["llr_nano", "cum_n", "cum_x"]
+    )
+    empty = (
+        "n_days long, total_events long, total_conversions long, "
+        "final_llr double, decision string, decided_day date"
+    )
+    n_total, x_total = totals["n"], totals["x"]
+    if n_total == 0:
+        return spark.createDataFrame([], empty)
+    n_days = pre.count()
+    crossing = (
+        pre.filter(
+            (F.col("llr_nano") >= F.lit(a_nano))
+            | (F.col("llr_nano") <= F.lit(b_nano))
+        )
+        .orderBy(F.col("day").asc())
+        .limit(1)
+        .select(
+            "day",
+            F.when(F.col("llr_nano") >= F.lit(a_nano), F.lit("accept_h1"))
+            .otherwise(F.lit("accept_h0"))
+            .alias("decision"),
+        )
+        .collect()
+    )
+    decision = crossing[0]["decision"] if crossing else "continue"
+    decided_day = crossing[0]["day"] if crossing else None
+    raw = spark.createDataFrame(
+        [
+            (
+                int(n_days),
+                int(n_total),
+                int(x_total),
+                totals["t_nano"] / 1e9,
+                decision,
+                decided_day,
+            )
+        ],
+        empty,
+    )
+    return raw.select(
+        "n_days",
+        "total_events",
+        "total_conversions",
+        (F.round(F.col("final_llr"), 6) + F.lit(0.0)).alias("final_llr"),
+        "decision",
+        "decided_day",
+    )

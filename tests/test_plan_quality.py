@@ -1056,6 +1056,12 @@ def test_round12_wave4_shuffle_budgets(spark, sf_dir):
         # prop1 — ONE four-counter reduction; everything else is a
         #       1-row expression
         "prop1_weekend_conversion": 1,
+        # eighth wave: both run their corpus passes at construction
+        # (median/MAD prefix pins + 3 IRLS sufficient-stats aggs;
+        # the day-grain LLR prefix) — the RETURNED plan is a literal
+        # row each
+        "hub1_huber_robust_mean": 1,
+        "sprt1_conversion_sprt": 1,
     }
     for name, budget in budgets.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))
