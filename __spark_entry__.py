@@ -1304,6 +1304,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sprt1_conversion_sprt": lambda s, sf: tpch.sprt1_conversion_sprt(
             _t("events")(s, sf)
         ),
+        # hill1: Hill tail-index over the top-k order statistics (the
+        # heavy-tail check behind evt1's light-tail assumption)
+        "hill1_tail_index": lambda s, sf: tpch.hill1_tail_index(
+            _t("orders")(s, sf)
+        ),
+        # tail1: empirical upper-tail dependence at the exact q95
+        # thresholds (do the EXTREMES co-occur, not average ranks)
+        "tail1_tail_dependence": lambda s, sf: tpch.tail1_tail_dependence(
+            _t("orders")(s, sf), _t("customer")(s, sf)
+        ),
     }
     # Round-7 rotation (driver samples the FIRST 50 entries): slots 1-12
     # stay the pinned reference core; _ROTATION_FRONT then re-verifies the
@@ -8903,6 +8913,89 @@ def oracle_sql() -> dict[str, str]:
                cr.day AS decided_day
         FROM tot LEFT JOIN cr ON TRUE
         WHERE tn > 0
+    """
+
+    # hill1: top-k on an exact integer total order; log terms
+    # nano-rounded into exact long sums; alpha one rounded double
+    q["hill1_tail_index"] = """
+        WITH topk AS (
+          SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey
+          FROM orders WHERE o_totalprice IS NOT NULL
+          ORDER BY cents DESC, o_orderkey ASC LIMIT 100
+        ),
+        thr AS (
+          SELECT CAST(MIN(cents) AS BIGINT) AS xk,
+                 CAST(COUNT(*) AS BIGINT) AS n_top
+          FROM topk
+        ),
+        j AS (SELECT cents, xk FROM topk CROSS JOIN thr WHERE cents > xk),
+        agg AS (
+          SELECT CAST(SUM(CAST(round(ln(cents::DOUBLE / xk::DOUBLE) * 1e9)
+                          AS BIGINT)) AS BIGINT) AS s_nano,
+                 CAST(COUNT(*) AS BIGINT) AS n_exc
+          FROM j
+        )
+        SELECT n_top AS k_used,
+               xk::DOUBLE / 100.0 AS x_k_dollars,
+               CAST(COALESCE(n_exc, 0) AS BIGINT) AS n_exceed,
+               CASE WHEN n_exc >= 2 AND s_nano > 0
+                    THEN round(1.0 / (s_nano::DOUBLE / n_exc::DOUBLE / 1e9),
+                               6) + 0.0 END AS hill_alpha,
+               CASE WHEN n_exc >= 2 AND s_nano > 0
+                    THEN 1.0 / (s_nano::DOUBLE / n_exc::DOUBLE / 1e9) < 2.0
+               END AS infinite_variance
+        FROM agg CROSS JOIN thr
+        WHERE n_top > 0
+    """
+
+    # tail1: both thresholds exact integer cents by cumulative-rank
+    # comparison; the readout one four-counter integer reduction
+    q["tail1_tail_dependence"] = """
+        WITH pairs AS (
+          SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS x,
+                 CAST(round(c_acctbal * 100) AS BIGINT) AS y
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          WHERE o_totalprice IS NOT NULL AND c_acctbal IS NOT NULL
+        ),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pairs),
+        gx AS (
+          SELECT x, SUM(cnt) OVER (ORDER BY x) AS cum
+          FROM (SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM pairs GROUP BY x)
+        ),
+        xqt AS (
+          SELECT MIN(CASE WHEN cum >= (95 * n + 99) // 100 THEN x END) AS xq
+          FROM gx CROSS JOIN nn
+        ),
+        gy AS (
+          SELECT y, SUM(cnt) OVER (ORDER BY y) AS cum
+          FROM (SELECT y, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM pairs GROUP BY y)
+        ),
+        yqt AS (
+          SELECT MIN(CASE WHEN cum >= (95 * n + 99) // 100 THEN y END) AS yq
+          FROM gy CROSS JOIN nn
+        ),
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN x > xq THEN 1 ELSE 0 END) AS BIGINT) AS nx,
+                 CAST(SUM(CASE WHEN y > yq THEN 1 ELSE 0 END) AS BIGINT) AS ny,
+                 CAST(SUM(CASE WHEN x > xq AND y > yq THEN 1 ELSE 0 END)
+                      AS BIGINT) AS nj
+          FROM pairs CROSS JOIN xqt CROSS JOIN yqt
+        )
+        SELECT n AS n_pairs,
+               xq::DOUBLE / 100.0 AS x_q, yq::DOUBLE / 100.0 AS y_q,
+               nx AS n_x_exceed, ny AS n_y_exceed, nj AS n_joint,
+               CASE WHEN ny > 0
+                    THEN round(nj::DOUBLE / ny::DOUBLE, 6) + 0.0
+               END AS lambda_u,
+               CASE WHEN nx > 0
+                    THEN round(nj::DOUBLE / nx::DOUBLE, 6) + 0.0
+               END AS p_y_given_x,
+               round(nj::DOUBLE / n::DOUBLE, 6) + 0.0 AS p_joint
+        FROM agg CROSS JOIN xqt CROSS JOIN yqt
+        WHERE n > 0
     """
 
     return q

@@ -184,6 +184,8 @@ EXTRA = [
     "prop1_weekend_conversion",
     "hub1_huber_robust_mean",
     "sprt1_conversion_sprt",
+    "hill1_tail_index",
+    "tail1_tail_dependence",
 ]
 
 # EVERY fit/memo-family EXTRA entry gets a WARM (second-run) sample

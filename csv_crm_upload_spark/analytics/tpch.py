@@ -5392,3 +5392,159 @@ def sprt1_conversion_sprt(
         "decision",
         "decided_day",
     )
+
+
+def hill1_tail_index(orders: DataFrame, k: int = 100) -> DataFrame:
+    """Hill estimator of the order-value tail index (Hill 1975):
+    α̂ = 1 / mean(ln(x_(i)/x_(k))) over the top-k order statistics —
+    THE heavy-tail diagnostic: α < 2 means infinite variance (sample
+    means of value are unstable no matter the corpus size), α < 1
+    means even the mean diverges. The companion evt1 needs: Gumbel
+    block-maxima assume a light tail; hill1 is the check that the
+    assumption holds. k = 100 keeps the estimator in its classic
+    bias/variance sweet spot and the driver state trivially bounded.
+
+    Scale shape: ONE TakeOrderedAndProject collects the top-k rows
+    (no global sort — the limit rides the scan), pinned by a
+    checkpoint; threshold and log-terms both read the 100-row pin.
+
+    Cross-engine exactness: the top-k set is picked on an exact
+    integer total order (cents DESC, o_orderkey ASC); each log term
+    ln(x_i/x_k) is one double expression nano-rounded into exact LONG
+    sums; α̂ is one rounded double. NULL α when fewer than 2 distinct
+    exceedances carry information (all top-k equal)."""
+    top = (
+        orders.filter(F.col("o_totalprice").isNotNull())
+        .select(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+            "o_orderkey",
+        )
+        .orderBy(F.col("cents").desc(), F.col("o_orderkey").asc())
+        .limit(k)
+        .localCheckpoint(eager=True)
+    )
+    thr = top.agg(
+        F.min("cents").cast("long").alias("xk"),
+        F.count(F.lit(1)).cast("long").alias("n_top"),
+    )
+    j = top.crossJoin(F.broadcast(thr)).filter(F.col("cents") > F.col("xk"))
+    term_nano = F.round(
+        F.log(F.col("cents").cast("double") / F.col("xk").cast("double"))
+        * F.lit(1e9),
+        0,
+    ).cast("long")
+    agg = j.agg(
+        F.sum(term_nano).cast("long").alias("s_nano"),
+        F.count(F.lit(1)).cast("long").alias("n_exc"),
+    )
+    out = agg.crossJoin(F.broadcast(thr)).filter(F.col("n_top") > 0)
+    mean_t = (
+        F.col("s_nano").cast("double")
+        / F.col("n_exc").cast("double")
+        / F.lit(1e9)
+    )
+    alpha = F.when(
+        (F.col("n_exc") >= 2) & (F.col("s_nano") > 0),
+        F.round(F.lit(1.0) / mean_t, 6) + F.lit(0.0),
+    )
+    return out.select(
+        F.col("n_top").alias("k_used"),
+        (F.col("xk").cast("double") / F.lit(100.0)).alias("x_k_dollars"),
+        F.coalesce(F.col("n_exc"), F.lit(0)).cast("long").alias("n_exceed"),
+        alpha.alias("hill_alpha"),
+        F.when(
+            (F.col("n_exc") >= 2) & (F.col("s_nano") > 0),
+            (F.lit(1.0) / mean_t < F.lit(2.0)),
+        ).alias("infinite_variance"),
+    )
+
+
+def tail1_tail_dependence(orders: DataFrame, customer: DataFrame, q: int = 95) -> DataFrame:
+    """Empirical upper-tail dependence between order value and the
+    customer's account balance: λ_U(q) = P(X > x_q | Y > y_q) at the
+    exact nearest-rank q-th percentiles (Sibuya 1960 tail-dependence;
+    the empirical copula diagnostic) — spr1/ktau1 measure WHOLE-range
+    association, λ_U asks whether the EXTREMES co-occur ("do the
+    biggest orders come from the richest balances?"), the question
+    risk/capacity planning actually has: joint extremes, not average
+    rank agreement.
+
+    Scale shape: one pair join collapses to the (x, y) stream, pinned;
+    both thresholds come from value-grain prefix passes whose totals
+    ride in as literals (pctl2 discipline); the readout is ONE
+    four-counter integer reduction.
+
+    Cross-engine exactness: thresholds are exact integer cents picked
+    by integer cumulative-rank comparison; all counters exact longs;
+    the three conditional probabilities are single rounded doubles."""
+    pairs = (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .filter(
+            F.col("o_totalprice").isNotNull() & F.col("c_acctbal").isNotNull()
+        )
+        .select(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("x"),
+            F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("y"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    spark = orders.sparkSession
+
+    def _thr(col: str) -> int | None:
+        g = pairs.groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("c"))
+        cgrid, totals = distributed_prefix_sums(g, [col], ["c"], ["cum"])
+        n = totals["c"]
+        if n == 0:
+            return None
+        rank = (q * n + 99) // 100
+        return cgrid.agg(
+            F.min(F.when(F.col("cum") >= F.lit(rank), F.col(col)))
+        ).collect()[0][0]
+
+    xq = _thr("x")
+    if xq is None:
+        return spark.createDataFrame(
+            [],
+            "n_pairs long, x_q double, y_q double, n_x_exceed long, "
+            "n_y_exceed long, n_joint long, lambda_u double, "
+            "p_y_given_x double, p_joint double",
+        )
+    yq = _thr("y")
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("x") > F.lit(int(xq))).cast("long")).cast("long").alias("nx"),
+        F.sum((F.col("y") > F.lit(int(yq))).cast("long")).cast("long").alias("ny"),
+        F.sum(
+            ((F.col("x") > F.lit(int(xq))) & (F.col("y") > F.lit(int(yq)))).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("nj"),
+    )
+    lam = F.when(
+        F.col("ny") > 0,
+        F.round(F.col("nj").cast("double") / F.col("ny").cast("double"), 6)
+        + F.lit(0.0),
+    )
+    pxy = F.when(
+        F.col("nx") > 0,
+        F.round(F.col("nj").cast("double") / F.col("nx").cast("double"), 6)
+        + F.lit(0.0),
+    )
+    return agg.select(
+        F.col("n").alias("n_pairs"),
+        F.lit(float(xq) / 100.0).alias("x_q"),
+        F.lit(float(yq) / 100.0).alias("y_q"),
+        F.col("nx").alias("n_x_exceed"),
+        F.col("ny").alias("n_y_exceed"),
+        F.col("nj").alias("n_joint"),
+        lam.alias("lambda_u"),
+        pxy.alias("p_y_given_x"),
+        (
+            F.round(
+                F.col("nj").cast("double") / F.col("n").cast("double"), 6
+            )
+            + F.lit(0.0)
+        ).alias("p_joint"),
+    )

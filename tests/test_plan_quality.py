@@ -1062,6 +1062,12 @@ def test_round12_wave4_shuffle_budgets(spark, sf_dir):
         # row each
         "hub1_huber_robust_mean": 1,
         "sprt1_conversion_sprt": 1,
+        # ninth wave:
+        # hill1 — TakeOrderedAndProject pin + the 100-row log-term agg
+        "hill1_tail_index": 2,
+        # tail1 — the pair-join pin's four-counter reduction (both
+        #       threshold prefix passes are construction-time)
+        "tail1_tail_dependence": 2,
     }
     for name, budget in budgets.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))
