@@ -4398,6 +4398,14 @@ def distributed_prefix_extrema(
         .agg(F.min(value_col).alias("_mn"), F.max(value_col).alias("_mx"))
         .collect()
     }
+    if not ext:
+        # empty input: no offsets to fold and no rows to window — the
+        # untyped-null offset map would otherwise fail analysis
+        return (
+            parted.withColumn(out_min, F.col(value_col))
+            .withColumn(out_max, F.col(value_col))
+            .drop("_pid")
+        )
     mins, maxs = {}, {}
     run_mn, run_mx = None, None
     for pid in sorted(ext):
