@@ -1442,21 +1442,26 @@ def cpd1_mean_shift(events: DataFrame) -> DataFrame:
         "n_days",
         "tot",
     )
-    # r12: fully lazy — the spine already carries (n_days, tot) as
-    # columns, so the prefix pass needs no collected totals at all and
-    # the <2-day guard is a filter (ONE job, zero construction work)
-    pre = lazy_prefix_sums(filled, ["day"], ["c", "one"], ["cum_c", "cum_n"])
-    mu = F.col("tot").cast("double") / F.col("n_days").cast("double")
+    pre, totals = distributed_prefix_sums(
+        filled, ["day"], ["c", "one"], ["cum_c", "cum_n"]
+    )
+    n_days, tot = totals.get("one", 0), totals.get("c", 0)
+    if n_days < 2:
+        return pre.select(
+            F.col("n_days"),
+            F.col("day").alias("best_day"),
+            F.lit(0.0).alias("cusum_stat"),
+            F.lit(0.0).alias("mean_before"),
+            F.lit(0.0).alias("mean_after"),
+            F.lit(0.0).alias("shift"),
+        ).limit(0)
+    mu = F.lit(tot).cast("double") / F.lit(n_days).cast("double")
     # interior splits only: cum_n = n_days has an empty "after" side
     # (and its S_n is FP noise around 0 anyway)
-    devs = pre.filter(
-        (F.col("cum_n") < F.col("n_days")) & (F.col("n_days") >= 2)
-    ).select(
+    devs = pre.filter(F.col("cum_n") < F.lit(n_days)).select(
         "day",
         "cum_c",
         "cum_n",
-        "n_days",
-        "tot",
         F.round(F.col("cum_c").cast("double") - F.col("cum_n").cast("double") * mu, 9)
         .alias("s"),
     )
@@ -1470,16 +1475,14 @@ def cpd1_mean_shift(events: DataFrame) -> DataFrame:
             F.min("day").alias("best_day"),
             F.min_by("cum_c", "day").alias("cum_c"),
             F.min_by("cum_n", "day").alias("cum_n"),
-            F.max("n_days").alias("n_days"),
-            F.max("tot").alias("tot"),
         )
     )
     before = F.col("cum_c").cast("double") / F.col("cum_n").cast("double")
-    after = (F.col("tot") - F.col("cum_c")).cast("double") / (
-        F.col("n_days") - F.col("cum_n")
+    after = (F.lit(tot) - F.col("cum_c")).cast("double") / (
+        F.lit(n_days) - F.col("cum_n")
     ).cast("double")
     return best.select(
-        F.col("n_days").cast("long"),
+        F.lit(n_days).cast("long").alias("n_days"),
         "best_day",
         (F.round(F.col("m"), 6) + F.lit(0.0)).alias("cusum_stat"),
         (F.round(before, 6) + F.lit(0.0)).alias("mean_before"),
@@ -2034,14 +2037,18 @@ def surv1_conversion_survival(events: DataFrame) -> DataFrame:
         F.sum("obs").cast("long").alias("n_ev"),
         F.sum(F.lit(1) - F.col("obs")).cast("long").alias("n_cens"),
     )
-    # r12: lazy in-plan passes — n_total rides as the sum of the two
-    # _tot columns (an empty subject table yields an empty frame
-    # structurally, no guard needed: no rows, no output)
-    pre = lazy_prefix_sums(
+    pre, totals = distributed_prefix_sums(
         counts, ["t_days"], ["n_ev", "n_cens"], ["cum_ev", "cum_cens"]
     )
+    n_total = totals.get("n_ev", 0) + totals.get("n_cens", 0)
+    if n_total == 0:
+        return events.sparkSession.createDataFrame(
+            [],
+            "t_days long, n_at_risk long, n_events long, n_censored long, "
+            "survival double",
+        )
     risk = (
-        (F.col("_tot_cum_ev") + F.col("_tot_cum_cens"))
+        F.lit(n_total)
         - (F.col("cum_ev") + F.col("cum_cens") - F.col("n_ev") - F.col("n_cens"))
     ).cast("long")
     evd = pre.filter(F.col("n_ev") > 0).select(
@@ -2064,7 +2071,7 @@ def surv1_conversion_survival(events: DataFrame) -> DataFrame:
     evd2 = evd.select(
         "t_days", "n_ev", "n_cens", "n_at_risk", ln_nano.alias("ln_nano"), zf.alias("zf")
     )
-    km = lazy_prefix_sums(
+    km, _ = distributed_prefix_sums(
         evd2, ["t_days"], ["ln_nano", "zf"], ["cum_ln", "cum_z"]
     )
     surv = (
@@ -3538,89 +3545,6 @@ def distributed_prefix_sums(
     return (out if keep_pid else out.drop("_pid")), totals
 
 
-def lazy_prefix_sums(
-    df: DataFrame,
-    order_cols: list,
-    value_cols: list,
-    out_cols: list,
-    n_parts: int | None = None,
-    keep_pid: bool = False,
-) -> DataFrame:
-    """Fully-LAZY sibling of `distributed_prefix_sums`: the same global
-    running sums over a total order, but the per-partition offsets and
-    the grand totals are computed IN-PLAN instead of by construction-time
-    jobs — zero Spark jobs run until the caller's own action.
-
-    How (one corpus pass, r12 optimization): range-repartition on the
-    order columns with an EXPLICIT partition count (AQE never coalesces
-    a user-specified count, so `spark_partition_id()` is stable across
-    the plan's two consumers of the exchange, which ReuseExchange
-    computes once); a ≤ n_parts-row per-partition aggregate feeds a
-    BOUNDED single-task window (running offsets + grand totals over
-    n_parts pre-aggregated rows — never over data rows) that is
-    broadcast-joined back on `_pid`. Correctness does not depend on
-    where the sampled range boundaries fall: prefix sums over a total
-    order (`order_cols` must end in a unique tiebreaker) are invariant
-    to the partition split, so no localCheckpoint pin is needed.
-
-    vs the eager form: removes BOTH construction jobs (the eager
-    checkpoint materialization and the offsets collect), the checkpoint
-    storage of the grid, and the O(n_parts) literal offset maps baked
-    into the plan. Same two grid shuffles at execution (range + the
-    window's hash-on-_pid), now inside ONE job with the range exchange
-    reused.
-
-    Returns ONE frame: df's columns + `out_cols` (the running sums,
-    exact LONGs) + a `_tot_<out_col>` grand-total column per value col
-    (constant across rows — callers fold totals in-plan instead of as
-    Python literals; an EMPTY input yields an empty frame, so callers'
-    zero-input guards become ordinary filters)."""
-    spark = df.sparkSession
-    n_parts = n_parts or spark.sparkContext.defaultParallelism
-    parted = df.repartitionByRange(
-        n_parts, *[F.col(c) for c in order_cols]
-    ).withColumn("_pid", F.spark_partition_id())
-    per_part = parted.groupBy("_pid").agg(
-        *[F.sum(c).cast("long").alias(f"_s{i}") for i, c in enumerate(value_cols)]
-    )
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    w_tot = Window.orderBy("_pid").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    offs = per_part.select(
-        "_pid",
-        *[
-            F.coalesce(F.sum(f"_s{i}").over(w_off), F.lit(0))
-            .cast("long")
-            .alias(f"_off{i}")
-            for i in range(len(value_cols))
-        ],
-        *[
-            F.coalesce(F.sum(f"_s{i}").over(w_tot), F.lit(0))
-            .cast("long")
-            .alias(f"_tot_{oc}")
-            for i, oc in enumerate(out_cols)
-        ],
-    )
-    w = (
-        Window.partitionBy("_pid")
-        .orderBy(*order_cols)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    out = parted.join(F.broadcast(offs), "_pid")
-    for i, (vc, oc) in enumerate(zip(value_cols, out_cols)):
-        out = out.withColumn(
-            oc, (F.sum(vc).over(w) + F.col(f"_off{i}")).cast("long")
-        )
-    keep = (
-        (["_pid"] if keep_pid else [])
-        + list(df.columns)
-        + list(out_cols)
-        + [f"_tot_{oc}" for oc in out_cols]
-    )
-    return out.select(*keep)
-
-
 def ks1_value_drift(
     events: DataFrame, type_a: str = "view", type_b: str = "purchase"
 ) -> DataFrame:
@@ -3650,24 +3574,20 @@ def ks1_value_drift(
         .cast("long")
         .alias("nb"),
     )
-    # r12: lazy in-plan pass — the totals ride as _tot columns and the
-    # zero-side guard becomes an ordinary filter, so the whole test is
-    # ONE job with no construction-time work
-    c = lazy_prefix_sums(g, ["value"], ["na", "nb"], ["ca", "cb"])
+    c, totals = distributed_prefix_sums(g, ["value"], ["na", "nb"], ["ca", "cb"])
+    ta, tb = totals["na"], totals["nb"]
+    spark = events.sparkSession
+    if ta == 0 or tb == 0:
+        return spark.createDataFrame([], "n_a long, n_b long, ks_d double")
     d = F.abs(
-        F.col("ca").cast("double") / F.col("_tot_ca").cast("double")
-        - F.col("cb").cast("double") / F.col("_tot_cb").cast("double")
+        F.col("ca").cast("double") / F.lit(float(ta))
+        - F.col("cb").cast("double") / F.lit(float(tb))
     )
     return (
-        c.agg(
-            F.max(d).alias("ks_d"),
-            F.max("_tot_ca").alias("n_a"),
-            F.max("_tot_cb").alias("n_b"),
-        )
-        .filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+        c.agg(F.max(d).alias("ks_d"))
         .select(
-            F.col("n_a").cast("long"),
-            F.col("n_b").cast("long"),
+            F.lit(ta).cast("long").alias("n_a"),
+            F.lit(tb).cast("long").alias("n_b"),
             "ks_d",
         )
     )
@@ -3704,36 +3624,31 @@ def cvm1_value_drift(
         .cast("long")
         .alias("nb"),
     )
-    # r12: lazy in-plan pass (the ks1 conversion) — totals as _tot
-    # columns, zero-side guard as a filter, ONE job end to end
-    c = lazy_prefix_sums(g, ["value"], ["na", "nb"], ["ca", "cb"])
-    gap = F.col("ca").cast("double") / F.col("_tot_ca").cast("double") - F.col(
-        "cb"
-    ).cast("double") / F.col("_tot_cb").cast("double")
+    c, totals = distributed_prefix_sums(g, ["value"], ["na", "nb"], ["ca", "cb"])
+    ta, tb = totals["na"], totals["nb"]
+    spark = events.sparkSession
+    if ta == 0 or tb == 0:
+        return spark.createDataFrame([], "n_a long, n_b long, cvm2 double")
+    n_pool = float(ta + tb)
+    gap = F.col("ca").cast("double") / F.lit(float(ta)) - F.col("cb").cast(
+        "double"
+    ) / F.lit(float(tb))
     term = (
-        (F.col("na") + F.col("nb")).cast("double")
-        / (F.col("_tot_ca") + F.col("_tot_cb")).cast("double")
+        (F.col("na") + F.col("nb")).cast("double") / F.lit(n_pool)
     ) * gap * gap * F.lit(1000000000.0)
     unit = F.round(term, 0).cast("long")
     return (
-        c.select(
-            unit.alias("unit"),
-            F.col("_tot_ca").alias("ta"),
-            F.col("_tot_cb").alias("tb"),
-        )
+        c.select(unit.alias("unit"))
         .agg(
             F.round(
                 F.coalesce(F.sum("unit"), F.lit(0)).cast("double")
                 / F.lit(1000000000.0),
                 6,
-            ).alias("cvm2"),
-            F.max("ta").alias("n_a"),
-            F.max("tb").alias("n_b"),
+            ).alias("cvm2")
         )
-        .filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
         .select(
-            F.col("n_a").cast("long"),
-            F.col("n_b").cast("long"),
+            F.lit(ta).cast("long").alias("n_a"),
+            F.lit(tb).cast("long").alias("n_b"),
             "cvm2",
         )
     )
@@ -3964,29 +3879,25 @@ def pctl2_exact_value_percentiles(events: DataFrame) -> DataFrame:
     of nothing are undefined), identically in both engines."""
     v = events.filter(F.col("value").isNotNull()).select("value")
     g = v.groupBy("value").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    # r12: lazy in-plan pass — the nearest-rank thresholds are the same
-    # pure-LONG arithmetic, now on the in-plan grand total ((q·N+99)
-    # DIV 100), and the empty guard is a filter; ONE job end to end
-    c = lazy_prefix_sums(g, ["value"], ["c"], ["cum"])
+    c, totals = distributed_prefix_sums(g, ["value"], ["c"], ["cum"])
+    n = totals["c"]
+    spark = events.sparkSession
+    if n == 0:
+        return spark.createDataFrame(
+            [], "n_values long, p25 double, p50 double, p90 double, p99 double"
+        )
     picks = [
-        F.min(
-            F.when(
-                F.col("cum") >= F.expr(f"({q} * _tot_cum + 99) div 100"),
-                F.col("value"),
-            )
-        ).alias(f"p{q}")
+        F.min(F.when(F.col("cum") >= F.lit((q * n + 99) // 100), F.col("value"))).alias(
+            f"p{q}"
+        )
         for q in (25, 50, 90, 99)
     ]
-    return (
-        c.agg(*picks, F.max("_tot_cum").alias("n"))
-        .filter(F.col("n").isNotNull() & (F.col("n") > 0))
-        .select(
-            F.col("n").cast("long").alias("n_values"),
-            F.col("p25").alias("p25"),
-            F.col("p50").alias("p50"),
-            F.col("p90").alias("p90"),
-            F.col("p99").alias("p99"),
-        )
+    return c.agg(*picks).select(
+        F.lit(n).cast("long").alias("n_values"),
+        F.col("p25").alias("p25"),
+        F.col("p50").alias("p50"),
+        F.col("p90").alias("p90"),
+        F.col("p99").alias("p99"),
     )
 
 
@@ -4094,33 +4005,19 @@ def mad1_value_mad(events: DataFrame) -> DataFrame:
     An all-NULL column returns an EMPTY frame, identically."""
     v = events.filter(F.col("value").isNotNull()).select("value")
     g = v.groupBy("value").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    # r12 hybrid shape: the prefix pass is LAZY (lazy_prefix_sums — no
-    # sampling/checkpoint/offset construction jobs), and the median is
-    # collected ONCE as a scalar. A fully-lazy two-stage chain was
-    # measured SLOWER (10.8 s vs 4.1 s cold): the 1-row median subtree
-    # feeds two consumers and re-executes per broadcast, so the stage-1
-    # machinery ran three times. One bounded .first() keeps stage 2's
-    # plan linear — construction cost is exactly one job.
-    c = lazy_prefix_sums(g, ["value"], ["c"], ["cum"])
-    row = c.agg(
-        F.min(
-            F.when(
-                F.col("cum") >= F.expr("(50 * _tot_cum + 99) div 100"),
-                F.col("value"),
-            )
-        ).alias("m"),
-        F.max("_tot_cum").alias("n"),
-    ).first()
-    n = row["n"] or 0
+    c, totals = distributed_prefix_sums(g, ["value"], ["c"], ["cum"])
+    n = totals["c"]
     spark = events.sparkSession
     empty = "n_values long, median double, mad double, sigma_robust double"
     if n == 0:
         return spark.createDataFrame([], empty)
-    m = row["m"]
     rank = (50 * n + 99) // 100
+    m = c.agg(
+        F.min(F.when(F.col("cum") >= F.lit(rank), F.col("value")))
+    ).collect()[0][0]
     d = v.select(F.abs(F.col("value") - F.lit(float(m))).alias("dev"))
     g2 = d.groupBy("dev").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    c2 = lazy_prefix_sums(g2, ["dev"], ["c"], ["cum"])
+    c2, _ = distributed_prefix_sums(g2, ["dev"], ["c"], ["cum"])
     mad = F.min(F.when(F.col("cum") >= F.lit(rank), F.col("dev")))
     return c2.agg(mad.alias("mad")).select(
         F.lit(n).cast("long").alias("n_values"),
@@ -4186,7 +4083,7 @@ def _rank2x(df: DataFrame, col: str) -> DataFrame:
     distributed_prefix_sums pass; join back by value (≤|distinct|
     rows, the pctl2 grain)."""
     g = df.groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    c = lazy_prefix_sums(g, [col], ["cnt"], ["cum"])
+    c, _ = distributed_prefix_sums(g, [col], ["cnt"], ["cum"])
     return c.select(
         col,
         (
@@ -4275,40 +4172,39 @@ def ptt1_pettitt_change_point(events: DataFrame) -> DataFrame:
         .select("day", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c"))
     )
     r = _rank2x(filled, "c")  # 2·avg-rank per distinct count value
-    ranked = filled.join(F.broadcast(r), "c").select(
-        "day", "r2", F.lit(1).alias("one")
+    ranked = filled.join(F.broadcast(r), "c").select("day", "r2")
+    w, totals = distributed_prefix_sums(ranked, ["day"], ["r2"], ["w2"])
+    n = totals["r2"]  # Σ 2·rank = n·(n+1); recover n from the identity
+    import math
+
+    n_days = int((math.isqrt(4 * n + 1) - 1) // 2) if n else 0
+    if n_days < 2:
+        return events.sparkSession.createDataFrame(
+            [], "n_days long, change_day date, k_stat long, p_approx double"
+        )
+    t_idx, _ = distributed_prefix_sums(
+        w.select("day", "w2", F.lit(1).alias("one")), ["day"], ["one"], ["t"]
     )
-    # r12: ONE lazy prefix pass folds BOTH running sums (rank sum W2_t
-    # and day index t) — was two eager passes plus a collected total;
-    # n_days rides in-plan as the grand total of the day indicator, so
-    # the whole test is a single job with zero construction-time work.
-    # The n_days < 2 guard is structural: t < n_days filters to the
-    # first n_days−1 days, which is empty when n_days ≤ 1.
-    t_idx = lazy_prefix_sums(ranked, ["day"], ["r2", "one"], ["w2", "t"])
-    n_days_l = F.col("_tot_t")
-    u2 = (F.col("w2") - F.col("t") * (n_days_l + F.lit(1))).cast("long")
-    candidates = t_idx.filter(F.col("t") < n_days_l).select(
-        "day",
-        u2.alias("u2"),
-        F.abs(u2).alias("abs_u2"),
-        n_days_l.cast("long").alias("n_days"),
+    u2 = (F.col("w2") - F.col("t").cast("long") * F.lit(n_days + 1)).cast("long")
+    candidates = t_idx.filter(F.col("t") < n_days).select(
+        "day", u2.alias("u2"), F.abs(u2).alias("abs_u2")
     )
     top = candidates.orderBy(F.col("abs_u2").desc(), F.col("day").asc()).limit(1)
     # w2 = 2·W_t makes u2 = w2 − t·(n+1) EQUAL U_t = 2·W_t − t·(n+1)
     # directly (the doubling is already inside the identity), so K is
     # |u2| with no rescale
     k = F.col("abs_u2").cast("long")
-    nd = F.col("n_days").cast("double")
+    nd = float(n_days)
     p = F.round(
         F.lit(2.0)
         * F.exp(
             F.lit(-6.0) * (k.cast("double") * k.cast("double"))
-            / (nd * nd * nd + nd * nd)
+            / F.lit(nd * nd * nd + nd * nd)
         ),
         6,
     ) + F.lit(0.0)
     return top.select(
-        F.col("n_days"),
+        F.lit(n_days).cast("long").alias("n_days"),
         F.col("day").alias("change_day"),
         k.alias("k_stat"),
         F.least(p, F.lit(1.0)).alias("p_approx"),
@@ -4418,10 +4314,6 @@ def kw1_kruskal_wallis(documents: DataFrame) -> DataFrame:
     # checkpointed value-grain table the prefix pass pinned — the tie
     # sum costs no second corpus agg
     gv = base.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    # r12 note: measured BOTH the fully-lazy and hybrid prefix shapes
-    # here — the inherited eager pass + checkpointed grid is faster
-    # (1.3 s vs 1.6-1.9 s cold) because the grid feeds TWO consumers
-    # (ranks + tie correction) and the checkpoint makes both shallow.
     cgrid, _ = distributed_prefix_sums(gv, ["x"], ["cnt"], ["cum"])
     r = cgrid.select(
         "x",
@@ -4551,50 +4443,6 @@ def distributed_prefix_extrema(
     return out
 
 
-def lazy_prefix_extrema(
-    df: DataFrame,
-    order_cols: list,
-    value_col: str,
-    out_min: str,
-    out_max: str,
-    n_parts: int | None = None,
-) -> DataFrame:
-    """Fully-LAZY sibling of `distributed_prefix_extrema` — the same
-    global running MIN/MAX, with the per-partition offsets computed
-    IN-PLAN (the `lazy_prefix_sums` design: explicit-count range
-    exchange shared via ReuseExchange, a bounded ≤ n_parts-row window
-    for the preceding-partition extrema, broadcast join back on _pid).
-    Zero construction-time jobs; correctness is split-invariant because
-    min/max are associative and idempotent. `order_cols` must end in a
-    unique tiebreaker."""
-    spark = df.sparkSession
-    n_parts = n_parts or spark.sparkContext.defaultParallelism
-    parted = df.repartitionByRange(
-        n_parts, *[F.col(c) for c in order_cols]
-    ).withColumn("_pid", F.spark_partition_id())
-    per_part = parted.groupBy("_pid").agg(
-        F.min(value_col).alias("_mn"), F.max(value_col).alias("_mx")
-    )
-    w_prev = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offs = per_part.select(
-        "_pid",
-        F.min("_mn").over(w_prev).alias("_pmn"),
-        F.max("_mx").over(w_prev).alias("_pmx"),
-    )
-    w = (
-        Window.partitionBy("_pid")
-        .orderBy(*order_cols)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    run_mn, run_mx = F.min(value_col).over(w), F.max(value_col).over(w)
-    out = (
-        parted.join(F.broadcast(offs), "_pid")
-        .withColumn(out_min, F.least(run_mn, F.coalesce(F.col("_pmn"), run_mn)))
-        .withColumn(out_max, F.greatest(run_mx, F.coalesce(F.col("_pmx"), run_mx)))
-    )
-    return out.select(*list(df.columns), out_min, out_max)
-
-
 def ktau1_kendall_tau(orders: DataFrame) -> DataFrame:
     """Kendall tau-b concordance between the daily ORDER COUNT and the
     daily ORDER VALUE on the observed-day grain (Kendall 1938) — "do
@@ -4707,11 +4555,6 @@ def cusum1_cusum_drift(events: DataFrame) -> DataFrame:
         F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c"),
         F.lit(1).alias("one"),
     )
-    # r12 note: measured both the fully-lazy and the hybrid chained
-    # shapes here — the inherited two eager passes + checkpoint are
-    # faster (2.8 s vs 3.3-3.7 s cold): the |days|-grain frame feeds
-    # two argmax probes plus the σ agg, and shallow checkpointed reads
-    # beat re-deriving the two-pass chain per consumer. Kept as-is.
     pre, totals = distributed_prefix_sums(
         filled, ["day"], ["c", "one"], ["p", "t"]
     )
@@ -4974,44 +4817,39 @@ def runs1_runs_test(events: DataFrame) -> DataFrame:
     only the closed-form z is a rounded double expression of those
     integers (NULL when σ_R = 0, i.e. either side is empty)."""
     daily, spine = _daily_spine(events)
-    filled = spine.join(daily, "day", "left").select(
-        "day", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c")
+    filled = (
+        spine.join(daily, "day", "left")
+        .select("day", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
     )
-    # r12 hybrid shape: the median pick is ONE bounded collect over the
-    # LAZY prefix pass (was an eager 3-job pass + TakeOrdered job), and
-    # the day rank is the lazy pass checkpointed ONCE at the bounded
-    # |days| grain — its three consumers (the self-join's both sides
-    # and the n1/n2 counts) would otherwise each re-execute the rank
-    # machinery (a fully-lazy version measured 3.8 s vs 2.3 s cold).
     gv = filled.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    cgrid = lazy_prefix_sums(gv, ["c"], ["cnt"], ["cum"])
-    med_row = (
-        cgrid.filter(
-            (F.col("cum") >= F.expr("(_tot_cum + 1) div 2"))
-            & (F.col("_tot_cum") >= 2)
-        )
-        .orderBy(F.col("c").asc())
-        .limit(1)
-        .select(F.col("c").alias("med"))
-        .first()
-    )
-    if med_row is None:  # <2 days (incl. empty span)
+    cgrid, totals = distributed_prefix_sums(gv, ["c"], ["cnt"], ["cum"])
+    n_all = totals["cnt"]
+    if n_all < 2:
         return events.sparkSession.createDataFrame(
             [],
             "n_days_used long, n_above long, n_below long, n_runs long, "
             "z_approx double",
         )
+    target = (n_all + 1) // 2  # nearest-rank lower median position
+    med_row = (
+        cgrid.filter(F.col("cum") >= F.lit(target))
+        .orderBy(F.col("c").asc())
+        .limit(1)
+        .select(F.col("c").alias("med"))
+    )
     signed = (
-        filled.filter(F.col("c") != F.lit(med_row["med"]))
-        .select(
-            "day",
-            (F.col("c") > F.lit(med_row["med"])).cast("int").alias("s"),
-            F.lit(1).alias("one"),
+        filled.crossJoin(F.broadcast(med_row))
+        .filter(F.col("c") != F.col("med"))
+        .select("day", (F.col("c") > F.col("med")).cast("int").alias("s"))
+    )
+    ranked, n_used = _distributed_rank_and_total(signed, ["day"], "rn")
+    if n_used == 0:
+        return events.sparkSession.createDataFrame(
+            [],
+            "n_days_used long, n_above long, n_below long, n_runs long, "
+            "z_approx double",
         )
-    )
-    ranked = lazy_prefix_sums(signed, ["day"], ["one"], ["rn"]).localCheckpoint(
-        eager=True
-    )
     a = ranked.select(F.col("rn").alias("rn_a"), F.col("s").alias("s_a"))
     b = ranked.select((F.col("rn") - 1).alias("rn_a"), F.col("s").alias("s_b"))
     changes = (
@@ -5045,15 +4883,12 @@ def runs1_runs_test(events: DataFrame) -> DataFrame:
         (F.col("n1") > 0) & (F.col("n2") > 0) & (var_r > 0),
         F.round((runs.cast("double") - mu_r) / F.sqrt(var_r), 6) + F.lit(0.0),
     )
-    return (
-        joined.filter(F.col("n1").isNotNull() & F.col("n2").isNotNull())
-        .select(
-            (F.col("n1") + F.col("n2")).cast("long").alias("n_days_used"),
-            F.col("n1").alias("n_above"),
-            F.col("n2").alias("n_below"),
-            runs.alias("n_runs"),
-            z.alias("z_approx"),
-        )
+    return joined.select(
+        (F.col("n1") + F.col("n2")).cast("long").alias("n_days_used"),
+        F.col("n1").alias("n_above"),
+        F.col("n2").alias("n_below"),
+        runs.alias("n_runs"),
+        z.alias("z_approx"),
     )
 
 
@@ -5399,41 +5234,27 @@ def hub1_huber_robust_mean(orders: DataFrame, iters: int = 3) -> DataFrame:
     SAME double expression of exact decimal sums whether collected
     (Spark, construction-time) or computed in-query (oracle CTEs)."""
     spark = orders.sparkSession
-    v = orders.filter(F.col("o_totalprice").isNotNull()).select(
-        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents")
+    v = (
+        orders.filter(F.col("o_totalprice").isNotNull())
+        .select(F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"))
+        .localCheckpoint(eager=True)
     )
-    # r12 hybrid shape (the mad1 lesson): the two prefix passes are
-    # LAZY — each scalar (median, MAD, per-step μ) is ONE bounded
-    # collect over a linear plan, so the estimator costs 5 small jobs
-    # instead of the former ~12 (checkpoint + two eager 3-job prefix
-    # passes + the same collects). A fully-lazy broadcast chain was
-    # measured SLOWER (11.1 s vs 7.2 s cold): each IRLS broadcast
-    # re-executed the whole upstream chain. The corpus side `v` stays
-    # un-checkpointed — it is a 1-column map-only projection whose
-    # re-scan is cheaper than materializing the column at scale.
     g = v.groupBy("cents").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    cgrid = lazy_prefix_sums(g, ["cents"], ["c"], ["cum"])
+    cgrid, totals = distributed_prefix_sums(g, ["cents"], ["c"], ["cum"])
+    n = totals["c"]
     empty = (
         "n_orders long, median double, sigma_robust double, c_huber double, "
         "mu0 double, mu1 double, mu2 double, mu3 double"
     )
-    row = cgrid.agg(
-        F.min(
-            F.when(
-                F.col("cum") >= F.expr("(50 * _tot_cum + 99) div 100"),
-                F.col("cents"),
-            )
-        ).alias("m0"),
-        F.max("_tot_cum").alias("n"),
-    ).first()
-    n = row["n"] or 0
     if n == 0:
         return spark.createDataFrame([], empty)
-    m0 = row["m0"]
     rank = (50 * n + 99) // 100
+    m0 = cgrid.agg(
+        F.min(F.when(F.col("cum") >= F.lit(rank), F.col("cents")))
+    ).collect()[0][0]
     d = v.select(F.abs(F.col("cents") - F.lit(int(m0))).alias("dev"))
     g2 = d.groupBy("dev").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    c2 = lazy_prefix_sums(g2, ["dev"], ["c"], ["cum"])
+    c2, _ = distributed_prefix_sums(g2, ["dev"], ["c"], ["cum"])
     mad = c2.agg(
         F.min(F.when(F.col("cum") >= F.lit(rank), F.col("dev")))
     ).collect()[0][0]
@@ -5460,7 +5281,8 @@ def hub1_huber_robust_mean(orders: DataFrame, iters: int = 3) -> DataFrame:
     # be a third rounding mode on the parity path)
     raw = spark.createDataFrame(
         [(n, float(m0) / 100.0, sigma, c_h, mus[0], mus[1], mus[2], mus[3])],
-        empty,
+        "n_orders long, median double, sigma_robust double, c_huber double, "
+        "mu0 double, mu1 double, mu2 double, mu3 double",
     )
     return raw.select(
         "n_orders",
@@ -5528,58 +5350,55 @@ def sprt1_conversion_sprt(
         * F.lit(1e9),
         0,
     ).cast("long")
-    t = daily.select(
-        "day", "n", "x", term.alias("t_nano"), F.lit(1).alias("one")
+    t = daily.select("day", "n", "x", term.alias("t_nano"))
+    pre, totals = distributed_prefix_sums(
+        t, ["day"], ["t_nano", "n", "x"], ["llr_nano", "cum_n", "cum_x"]
     )
-    # r12: ONE lazy prefix pass also counts the days (the `one` column)
-    # and carries every total in-plan; the crossing probe collapses to
-    # a bounded 1-row aggregate instead of a collected TakeOrdered —
-    # the whole test is a single job, zero construction-time work
-    pre = lazy_prefix_sums(
-        t,
-        ["day"],
-        ["t_nano", "n", "x", "one"],
-        ["llr_nano", "cum_n", "cum_x", "day_idx"],
+    empty = (
+        "n_days long, total_events long, total_conversions long, "
+        "final_llr double, decision string, decided_day date"
     )
-    stats = pre.agg(
-        F.max("_tot_day_idx").alias("n_days"),
-        F.max("_tot_cum_n").alias("n_total"),
-        F.max("_tot_cum_x").alias("x_total"),
-        F.max("_tot_llr_nano").alias("llr_total_nano"),
-    )
-    crossed = (
+    n_total, x_total = totals["n"], totals["x"]
+    if n_total == 0:
+        return spark.createDataFrame([], empty)
+    n_days = pre.count()
+    crossing = (
         pre.filter(
             (F.col("llr_nano") >= F.lit(a_nano))
             | (F.col("llr_nano") <= F.lit(b_nano))
         )
         .orderBy(F.col("day").asc())
         .limit(1)
-        .agg(
-            F.max("day").alias("decided_day"),
-            F.max(
-                F.when(F.col("llr_nano") >= F.lit(a_nano), F.lit("accept_h1"))
-                .otherwise(F.lit("accept_h0"))
-            ).alias("crossed_decision"),
-        )
-    )
-    return (
-        stats.crossJoin(F.broadcast(crossed))
-        .filter(F.col("n_total").isNotNull() & (F.col("n_total") > 0))
         .select(
-            F.col("n_days").cast("long"),
-            F.col("n_total").cast("long").alias("total_events"),
-            F.col("x_total").cast("long").alias("total_conversions"),
-            (
-                F.round(
-                    F.col("llr_total_nano").cast("double") / F.lit(1e9), 6
-                )
-                + F.lit(0.0)
-            ).alias("final_llr"),
-            F.coalesce(F.col("crossed_decision"), F.lit("continue")).alias(
-                "decision"
-            ),
-            F.col("decided_day"),
+            "day",
+            F.when(F.col("llr_nano") >= F.lit(a_nano), F.lit("accept_h1"))
+            .otherwise(F.lit("accept_h0"))
+            .alias("decision"),
         )
+        .collect()
+    )
+    decision = crossing[0]["decision"] if crossing else "continue"
+    decided_day = crossing[0]["day"] if crossing else None
+    raw = spark.createDataFrame(
+        [
+            (
+                int(n_days),
+                int(n_total),
+                int(x_total),
+                totals["t_nano"] / 1e9,
+                decision,
+                decided_day,
+            )
+        ],
+        empty,
+    )
+    return raw.select(
+        "n_days",
+        "total_events",
+        "total_conversions",
+        (F.round(F.col("final_llr"), 6) + F.lit(0.0)).alias("final_llr"),
+        "decision",
+        "decided_day",
     )
 
 
@@ -5675,35 +5494,41 @@ def tail1_tail_dependence(orders: DataFrame, customer: DataFrame, q: int = 95) -
             F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("x"),
             F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("y"),
         )
+        .localCheckpoint(eager=True)
     )
+    spark = orders.sparkSession
 
-    # r12: fully lazy — each threshold is a 1-row frame off its own
-    # lazy prefix pass, broadcast into the final four-counter agg; the
-    # empty guard becomes the final filter. ONE job (was: an eager
-    # pair checkpoint + two 3-job prefix passes + two scalar collects).
-    def _thr(col: str):
+    def _thr(col: str) -> int | None:
         g = pairs.groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("c"))
-        cgrid = lazy_prefix_sums(g, [col], ["c"], ["cum"])
-        rank = F.expr(f"({q} * _tot_cum + 99) div 100")
+        cgrid, totals = distributed_prefix_sums(g, [col], ["c"], ["cum"])
+        n = totals["c"]
+        if n == 0:
+            return None
+        rank = (q * n + 99) // 100
         return cgrid.agg(
-            F.min(F.when(F.col("cum") >= rank, F.col(col))).alias(f"{col}q")
-        )
+            F.min(F.when(F.col("cum") >= F.lit(rank), F.col(col)))
+        ).collect()[0][0]
 
-    agg = pairs.crossJoin(F.broadcast(_thr("x"))).crossJoin(
-        F.broadcast(_thr("y"))
-    ).agg(
+    xq = _thr("x")
+    if xq is None:
+        return spark.createDataFrame(
+            [],
+            "n_pairs long, x_q double, y_q double, n_x_exceed long, "
+            "n_y_exceed long, n_joint long, lambda_u double, "
+            "p_y_given_x double, p_joint double",
+        )
+    yq = _thr("y")
+    agg = pairs.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum((F.col("x") > F.col("xq")).cast("long")).cast("long").alias("nx"),
-        F.sum((F.col("y") > F.col("yq")).cast("long")).cast("long").alias("ny"),
+        F.sum((F.col("x") > F.lit(int(xq))).cast("long")).cast("long").alias("nx"),
+        F.sum((F.col("y") > F.lit(int(yq))).cast("long")).cast("long").alias("ny"),
         F.sum(
-            ((F.col("x") > F.col("xq")) & (F.col("y") > F.col("yq"))).cast(
+            ((F.col("x") > F.lit(int(xq))) & (F.col("y") > F.lit(int(yq)))).cast(
                 "long"
             )
         )
         .cast("long")
         .alias("nj"),
-        F.max("xq").alias("xq"),
-        F.max("yq").alias("yq"),
     )
     lam = F.when(
         F.col("ny") > 0,
@@ -5715,10 +5540,10 @@ def tail1_tail_dependence(orders: DataFrame, customer: DataFrame, q: int = 95) -
         F.round(F.col("nj").cast("double") / F.col("nx").cast("double"), 6)
         + F.lit(0.0),
     )
-    return agg.filter(F.col("n") > 0).select(
+    return agg.select(
         F.col("n").alias("n_pairs"),
-        (F.col("xq").cast("double") / F.lit(100.0)).alias("x_q"),
-        (F.col("yq").cast("double") / F.lit(100.0)).alias("y_q"),
+        F.lit(float(xq) / 100.0).alias("x_q"),
+        F.lit(float(yq) / 100.0).alias("y_q"),
         F.col("nx").alias("n_x_exceed"),
         F.col("ny").alias("n_y_exceed"),
         F.col("nj").alias("n_joint"),

@@ -25,22 +25,6 @@ def plan_of(df) -> str:
     return buf.getvalue()
 
 
-def executed_shuffle_stages(df) -> int:
-    """Distinct shuffle stages the query ACTUALLY runs (AQE final plan).
-
-    The r12 lazy in-plan prefix/rank queries (lazy_prefix_sums /
-    lazy_prefix_extrema) consume shared subtrees from several branches;
-    under AQE the ReuseExchange rule is applied at RUNTIME, so the
-    initial formatted plan prints each shared exchange with a fresh id
-    and the printed-id count overstates the real shuffle work (e.g.
-    surv1 prints 40 ids but executes 18 stages). Distinct executed
-    ShuffleQueryStage ids are the ground truth; broadcast stages are a
-    different node kind and excluded by construction."""
-    df.collect()
-    ex = df._jdf.queryExecution().executedPlan().toString()
-    return len(set(re.findall(r"ShuffleQueryStage (\d+)", ex)))
-
-
 QUERIES = entrymod.queries()
 
 
@@ -660,48 +644,6 @@ def test_round8_operator_shuffle_budgets(spark, sf_dir):
         assert len(ids) <= budget, f"{name}: {len(ids)} shuffles > budget {budget}\n{plan}"
 
 
-def test_r12_lazy_prefix_executed_shuffle_budgets(spark, sf_dir):
-    """EXECUTED-stage budgets for the queries migrated to the lazy
-    in-plan prefix/rank machinery (r12 optimization): construction-time
-    jobs (range sampling, eager checkpoint, offsets collect — 3 per
-    eager pass) are gone; in exchange the machinery is now visible in
-    the plan. Ceilings are measured executed counts + 2 slack.
-
-    Why the higher numbers are NOT a scale regression: per lazy pass,
-    exactly ONE exchange carries data-grain rows (the grid agg — same
-    as the eager form); the added stages move ≤ n_parts pre-aggregated
-    metadata rows (per-pid sums, offsets) or ≤ 1-row aggregates. The
-    corpus is still scanned once per pass — judged by the executed
-    stage ids, each data-grain exchange appears exactly once.
-      ks1/cvm1/pctl2/mad1  7 — one grid pass: grid agg + range +
-             per-pid agg + offsets + _pid window + final partial/single
-      sprt1 13 — one 4-value pass + the crossing probe + stats agg
-             branches (each ≤ |days| rows past the daily agg)
-      cpd1  10 — one 2-value pass + argmax broadcast + best rollup
-      surv1 18 — corpus subject aggs (once) + two chained passes at
-             the duration-day grain
-      spr1  13 — two lazy rank-grid passes + the pair join + 5-sum agg
-      ptt1  12 — daily spine + one rank pass + one 2-value pass
-      tail1 15 — two threshold passes + the four-counter reduction
-    """
-    _reset_plan_state(spark)
-    budgets = {
-        "ks1_value_drift": 9,
-        "cvm1_value_drift": 9,
-        "pctl2_exact_value_percentiles": 9,
-        "mad1_value_mad": 9,
-        "sprt1_conversion_sprt": 15,
-        "cpd1_mean_shift": 12,
-        "surv1_conversion_survival": 20,
-        "spr1_spearman_rank_corr": 15,
-        "ptt1_pettitt_change_point": 14,
-        "tail1_tail_dependence": 17,
-    }
-    for name, budget in budgets.items():
-        n = executed_shuffle_stages(QUERIES[name](spark, sf_dir))
-        assert n <= budget, f"{name}: {n} executed shuffle stages > budget {budget}"
-
-
 def test_round8_second_batch_shuffle_budgets(spark, sf_dir):
     """Budgets for the round-8 second batch (ceilings, broadcasts
     excluded):
@@ -726,7 +668,9 @@ def test_round8_second_batch_shuffle_budgets(spark, sf_dir):
     budgets = {
         "rd1_readability": 0,
         "sil1_cluster_margins": 2,
+        "ks1_value_drift": 2,
         # same CDF shape as ks1: grid agg + <=1-row percentile probe
+        "pctl2_exact_value_percentiles": 2,
         # joint agg + two bounded marginal rollups + result order; the
         # 1-row total and both marginals ride in as broadcasts
         "mi1_lang_source_mi": 5,
@@ -813,6 +757,7 @@ def test_round10_second_batch_shuffle_budgets(spark, sf_dir):
     budgets = {
         "dow1_weekly_profile": 2,
         "tsen1_daily_trend": 2,
+        "cpd1_mean_shift": 4,
         "ben1_benford_audit": 4,
         # ndcg1: the BM25 top-k and the (query, rel, rank) cells frame
         # are both checkpointed at their bounded sizes at construction;
@@ -877,6 +822,7 @@ def test_round9_operator_shuffle_budgets(spark, sf_dir):
     _reset_plan_state(spark)
     budgets = {
         "w1d1_value_drift": 2,
+        "cvm1_value_drift": 2,
         "sim_knn_ivf": 2,
         "pq1_quantized_knn": 1,
         # fused assign+encode is map-only; probe table and luts ride as
@@ -929,6 +875,7 @@ def test_round11_operator_shuffle_budgets(spark, sf_dir):
         # surv1: the three user-keyed aggs feed the construction-time
         # prefix-sum checkpoints; the returned plan is the final KM
         # readout + result order over duration-day-bounded rows
+        "surv1_conversion_survival": 2,
         # pur1: the fit is kmeans1's (construction-time); the readout is
         # the (cluster, label) agg, its vec_id assignment join, the
         # ≤k·|labels| majority window, the ≤k totals rollup + order
@@ -1004,6 +951,7 @@ def test_round12_operator_shuffle_budgets(spark, sf_dir):
         # mad1 — the RETURNED plan is the deviation stage's distinct agg
         #        + its prefix-sum range exchange (the median stage ran
         #        at construction, pctl2 discipline)
+        "mad1_value_mad": 2,
         # theil1 — customer-keyed spend agg + the 1-row total + the
         #        nano-term reduction
         "theil1_spend_inequality": 4,
@@ -1013,9 +961,11 @@ def test_round12_operator_shuffle_budgets(spark, sf_dir):
         # spr1 — the pair join + two _rank2x value aggs (each: distinct
         #        agg + prefix-sum range exchange) + the rank-table
         #        joins back onto the stream + one 5-sum reduction
+        "spr1_spearman_rank_corr": 7,
         # ptt1 — construction-time _daily_spine/_rank2x/prefix passes
         #        are checkpointed; the returned plan is the bounded
         #        day-grain argmax (TakeOrdered) + one exchange
+        "ptt1_pettitt_change_point": 2,
     }
     for name, budget in budgets.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))
@@ -1111,11 +1061,13 @@ def test_round12_wave4_shuffle_budgets(spark, sf_dir):
         # the day-grain LLR prefix) — the RETURNED plan is a literal
         # row each
         "hub1_huber_robust_mean": 1,
+        "sprt1_conversion_sprt": 1,
         # ninth wave:
         # hill1 — TakeOrderedAndProject pin + the 100-row log-term agg
         "hill1_tail_index": 2,
         # tail1 — the pair-join pin's four-counter reduction (both
         #       threshold prefix passes are construction-time)
+        "tail1_tail_dependence": 2,
     }
     for name, budget in budgets.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))
