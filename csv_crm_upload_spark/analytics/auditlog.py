@@ -109,6 +109,7 @@ def append_batch_audit(
     path: str,
     batch_key: str,
     txn: tuple[str, int] | None = None,
+    precomputed_rows: DataFrame | None = None,
 ) -> None:
     """Append one batch's audit rows as a new epoch — exactly-once: the
     txn guard no-ops a replayed streaming batch (the rows would be
@@ -116,7 +117,16 @@ def append_batch_audit(
     the log must not carry the batch twice). An empty batch is a clean
     no-op BEFORE any directory mutation (the rollup rule: orphan
     self-heal must not run on a no-op, or it deletes an in-flight
-    concurrent writer's epoch dir)."""
+    concurrent writer's epoch dir).
+
+    `precomputed_rows` (r12): a caller that audits SEVERAL batches of
+    one corpus (the audlog1 simulation) may aggregate them in one
+    grouped pass and hand each batch's already-materialized slice here
+    — the epoch/manifest/txn protocol is unchanged, only the per-batch
+    corpus aggregation is skipped. Rows must be exactly
+    `batch_audit_rows(events_batch, batch_key)`'s output (per-group
+    HLL/exact aggregates are identical whether the batch is filtered
+    then grouped or grouped by batch key — same groups, same rows)."""
     from csv_crm_upload_spark.operators.manifest import (
         check_key_format,
         commit_manifest,
@@ -131,7 +141,11 @@ def append_batch_audit(
     if txn_already_applied(m, txn):
         return  # replayed streaming batch: already logged
     epoch = m["epoch"]
-    rows = batch_audit_rows(events_batch, batch_key).localCheckpoint(eager=True)
+    rows = (
+        precomputed_rows
+        if precomputed_rows is not None
+        else batch_audit_rows(events_batch, batch_key).localCheckpoint(eager=True)
+    )
     if not rows.limit(1).count():
         return
     remove_orphan_epochs(path, AUDITLOG_SUBDIRS, epoch)
@@ -219,8 +233,45 @@ def _ensure_query_auditlog(events: DataFrame, p: str) -> None:
 
     def _build():
         save_audit_log(spark, p)
+        # r12: ONE grouped corpus pass computes every batch's audit rows
+        # (was one full pass per batch — 3× the scan+agg for identical
+        # stored bytes): grouping by (batch bucket, event_type) feeds
+        # each HLL/exact aggregate exactly the rows the per-batch filter
+        # would, so the per-epoch slices are row-identical. The appends
+        # below keep the unchanged epoch/manifest protocol per batch.
+        bk = F.coalesce(
+            F.pmod(F.col("event_id"), F.lit(AUDLOG1_N_BATCHES)), F.lit(0)
+        )
+        all_rows = (
+            events.withColumn("_bk", bk)
+            .groupBy("_bk", "event_type")
+            .agg(
+                F.count_distinct("user_id").cast("long").alias("exact_users"),
+                F.approx_count_distinct("user_id", 0.02)
+                .cast("long")
+                .alias("approx_users"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        abs_err = F.abs(F.col("approx_users") - F.col("exact_users")).cast("long")
+        rel_err = F.round(
+            abs_err.cast("double")
+            / F.greatest(F.col("exact_users"), F.lit(1)).cast("double"),
+            9,
+        ) + F.lit(0.0)
         for i in range(AUDLOG1_N_BATCHES):
-            append_batch_audit(_batch_of(events, i), p, f"b{i}")
+            rows_i = all_rows.filter(F.col("_bk") == F.lit(i)).select(
+                F.lit(f"b{i}").alias("batch_key"),
+                "event_type",
+                "exact_users",
+                "approx_users",
+                abs_err.alias("abs_err"),
+                rel_err.alias("rel_err"),
+                (rel_err <= F.lit(ADREC1_BOUND)).alias("within_bound"),
+            )
+            append_batch_audit(
+                _batch_of(events, i), p, f"b{i}", precomputed_rows=rows_i
+            )
         gc_stale_epochs(p, AUDITLOG_SUBDIRS)
         return p, read_manifest(p)
 

@@ -426,6 +426,18 @@ def _candidates_with_cosine(
         .filter(F.col("rn") <= n_candidates)
         .drop("rn")
     )
+    return _cosine_for_candidates(cands, embeddings, queries)
+
+
+def _cosine_for_candidates(
+    cands: DataFrame,
+    embeddings: DataFrame,
+    queries: dict[int, list[str]],
+) -> DataFrame:
+    """Cosine-score a (query_id, doc_id, bm25) candidate table against
+    the query vectors — the second half of `_candidates_with_cosine`,
+    split out (r12) so a caller that already holds the ranked candidate
+    table (rbo1) can reuse it without a second bm25 corpus pass."""
     # a candidate doc with a corrupt embedding (NULL/empty/ALL-ZERO/
     # width-mismatched) drops out of the hybrid rerank — a zero vector
     # would divide the cosine by zero (ANSI job abort; round-8 property
@@ -535,6 +547,13 @@ def hybrid_search(
     scan of the vector table; query vectors broadcast."""
     queries = DEFAULT_QUERIES if queries is None else queries
     scored = _candidates_with_cosine(documents, embeddings, queries, n_candidates)
+    return _hybrid_rank(scored, k, alpha)
+
+
+def _hybrid_rank(scored: DataFrame, k: int, alpha: float) -> DataFrame:
+    """Min-max blend + top-k rank over a cosine-scored candidate table —
+    the second half of `hybrid_search`, split out (r12) for callers that
+    derive the candidates from a shared bm25 pass (rbo1)."""
     wq = Window.partitionBy("query_id")
     eps = F.lit(1e-12)
     norm_bm25 = (F.col("bm25") - F.min("bm25").over(wq)) / F.greatest(
@@ -764,16 +783,30 @@ def rbo1_rank_agreement(
     (checkpointed); every join and rollup below runs at that grain —
     the corpus cost is the two rankers' own audited plans."""
     queries = DEFAULT_QUERIES if queries is None else queries
-    a = (
-        bm25_search(documents, queries, k=k)
-        .select("query_id", "doc_id", F.col("rank").alias("rank_a"))
-        .localCheckpoint(eager=True)
+    # r12: ONE bm25 corpus pass feeds BOTH rankings (was two full
+    # bm25_scores passes — 3.9 s → ~2.4 s cold at sf0.1). The lexical
+    # top-k is by construction the first k rows of the hybrid stage's
+    # own candidate ranking (identical window: bm25 DESC, doc_id), so
+    # ranking `a` is a filter on the shared checkpointed candidate
+    # table and ranking `b` is the unchanged blend over the same rows.
+    n_candidates = 20  # hybrid_search's default candidate depth
+    w_cand = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col("doc_id")
     )
-    b = (
-        hybrid_search(documents, embeddings, queries, k=k)
-        .select("query_id", "doc_id", F.col("rank").alias("rank_b"))
-        .localCheckpoint(eager=True)
+    cand = (
+        bm25_scores(documents, queries)
+        .withColumn("rn", F.row_number().over(w_cand))
+        .filter(F.col("rn") <= n_candidates)
+        .localCheckpoint(eager=True)  # ≤ n_candidates·|queries| rows
     )
+    a = cand.filter(F.col("rn") <= k).select(
+        "query_id", "doc_id", F.col("rn").cast("int").alias("rank_a")
+    )
+    b = _hybrid_rank(
+        _cosine_for_candidates(cand.drop("rn"), embeddings, queries),
+        k=k,
+        alpha=0.5,
+    ).select("query_id", "doc_id", F.col("rank").alias("rank_b"))
     ca = a.groupBy("query_id").agg(F.count(F.lit(1)).cast("long").alias("n_a"))
     cb = b.groupBy("query_id").agg(F.count(F.lit(1)).cast("long").alias("n_b"))
     mx = F.greatest(F.col("rank_a"), F.col("rank_b"))

@@ -64,7 +64,14 @@ def q1_pricing_summary(lineitem: DataFrame) -> DataFrame:
             F.round(F.sum(_dec("l_discount")).cast("double") / F.count(F.lit(1)), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        # result order WITHOUT a range exchange (guide §2.4: an orderBy
+        # used only to make output deterministic): the grouped output is
+        # bounded (≤ |returnflag|·|linestatus| = 8 rows at ANY scale),
+        # so one single-partition sort of those rows replaces the range
+        # exchange's boundary-sampling pass — measured 0.58 → 0.33 s
+        # warm at sf0.1. Identical total order, identical rows.
+        .repartition(1)
+        .sortWithinPartitions("l_returnflag", "l_linestatus")
     )
 
 
@@ -109,7 +116,9 @@ def q5_region_revenue(
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
         .agg(_dsum(revenue, "revenue"))
-        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+        # bounded result order (q1's rule): ≤ |nation| = 25 rows
+        .repartition(1)
+        .sortWithinPartitions(F.col("revenue").desc(), F.col("n_name"))
     )
 
 
