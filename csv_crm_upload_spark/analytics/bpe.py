@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from csv_crm_upload_spark.analytics.fanout import fan_out
 from csv_crm_upload_spark.analytics.textstats import norm_tokens
 
 
@@ -43,7 +44,7 @@ def _word_freqs(documents: DataFrame) -> DataFrame:
     shuffle collapses the corpus to its word list; every later BPE pass
     touches only this table (vocab grows ~log corpus)."""
     return (
-        documents.filter(F.col("text").isNotNull() & (F.trim(F.col("text")) != ""))
+        fan_out(documents.filter(F.col("text").isNotNull() & (F.trim(F.col("text")) != "")))
         .select(F.explode(norm_tokens()).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
@@ -146,9 +147,9 @@ def bpe2_segment(
             (r["left"], r["right"])
             for r in bpe1_merge_steps(documents, steps).orderBy("step").collect()
         ]
-    words = documents.filter(
+    words = fan_out(documents.filter(
         F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
-    ).select("doc_id", F.explode(norm_tokens()).alias("word"))
+    )).select("doc_id", F.explode(norm_tokens()).alias("word"))
     s = _spaced_symbols(F.col("word"))
     for left, right in rules:
         s = F.replace(s, F.lit(f" {left} {right}"), F.lit(f" {left}{right}"))
@@ -189,9 +190,9 @@ def bpe3_vocab_coverage(
             (r["left"], r["right"])
             for r in bpe1_merge_steps(documents, steps).orderBy("step").collect()
         ]
-    words = documents.filter(
+    words = fan_out(documents.filter(
         F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
-    ).select(F.explode(norm_tokens()).alias("word"))
+    )).select(F.explode(norm_tokens()).alias("word"))
     s = _spaced_symbols(F.col("word"))
     for left, right in rules:
         s = F.replace(s, F.lit(f" {left} {right}"), F.lit(f" {left}{right}"))
@@ -228,9 +229,9 @@ def bpe4_lang_fertility(
             (r["left"], r["right"])
             for r in bpe1_merge_steps(documents, steps).orderBy("step").collect()
         ]
-    words = documents.filter(
+    words = fan_out(documents.filter(
         F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
-    ).select("lang", F.explode(norm_tokens()).alias("word"))
+    )).select("lang", F.explode(norm_tokens()).alias("word"))
     s = _spaced_symbols(F.col("word"))
     for left, right in rules:
         s = F.replace(s, F.lit(f" {left} {right}"), F.lit(f" {left}{right}"))

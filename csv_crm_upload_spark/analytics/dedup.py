@@ -1244,9 +1244,13 @@ def substr_gram_frame(documents: DataFrame, min_len: int = 10) -> DataFrame:
     tokenization and windowing (one definition, the norm_tokens rule)."""
     L = min_len
     toks = F.split(_norm_text(), " ")
-    base = documents.filter(
-        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
-    ).select("doc_id", toks.alias("t"))
+    from csv_crm_upload_spark.analytics.fanout import fan_out
+
+    base = fan_out(
+        documents.filter(
+            F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+        ).select("doc_id", toks.alias("t"))
+    )
     starts = F.sequence(F.lit(1), F.size("t") - (L - 1))
     return (
         base.filter(F.size("t") >= L)

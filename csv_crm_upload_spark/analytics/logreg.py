@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from csv_crm_upload_spark.analytics.fanout import fan_out
 from csv_crm_upload_spark.analytics.textstats import EN_STOPWORDS, norm_tokens
 
 FEATURES = ["intercept", "stopword_ratio", "len_capped", "avg_tok_len"]
@@ -43,9 +44,9 @@ def _feature_frame(documents: DataFrame) -> DataFrame:
     stop = F.array(*[F.lit(w) for w in EN_STOPWORDS])
     nt = F.size(toks).cast("double")
     nstop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).cast("double")
-    return documents.filter(
+    return fan_out(documents.filter(
         F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
-    ).select(
+    )).select(
         "doc_id",
         "lang",
         F.lit(1.0).alias("x0"),

@@ -29,11 +29,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from csv_crm_upload_spark.analytics.fanout import fan_out
 from csv_crm_upload_spark.analytics.textstats import norm_tokens
 
 
 def _nonempty(documents: DataFrame) -> DataFrame:
-    return documents.filter(F.col("text").isNotNull() & (F.trim(F.col("text")) != ""))
+    return fan_out(
+        documents.filter(F.col("text").isNotNull() & (F.trim(F.col("text")) != ""))
+    )
 
 
 def _base_tokens(documents: DataFrame) -> DataFrame:

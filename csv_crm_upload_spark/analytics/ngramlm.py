@@ -46,6 +46,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from csv_crm_upload_spark.analytics.fanout import fan_out
 from csv_crm_upload_spark.analytics.textstats import _word_ngrams, norm_tokens
 from csv_crm_upload_spark.functions.hashing import md5_60
 
@@ -83,7 +84,7 @@ def _lm_counts(
     tokenization every text operator shares (textstats.norm_tokens /
     _word_ngrams — one definition, so the model can never desynchronize
     from the inline LM operators or the DuckDB oracles)."""
-    base = documents.filter(F.col("text").isNotNull())
+    base = fan_out(documents.filter(F.col("text").isNotNull()))
     uni = (
         base.select(F.explode(norm_tokens()).alias("tok"))
         .select(md5_60(F.col("tok")).alias("tok_h"))
@@ -328,7 +329,7 @@ def _probe_bigrams(documents: DataFrame) -> DataFrame:
     path and both engines, the documented price of the join byte."""
     bg = F.col("bg")
     return (
-        documents.filter(F.col("text").isNotNull())
+        fan_out(documents.filter(F.col("text").isNotNull()))
         .select("doc_id", F.explode(_word_ngrams(norm_tokens(), 2)).alias("bg"))
         .groupBy(
             "doc_id",

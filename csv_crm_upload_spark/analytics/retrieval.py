@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from csv_crm_upload_spark.analytics.fanout import fan_out
 from csv_crm_upload_spark.analytics.textstats import _tokens
 
 # Deterministic demo query set over the synthetic corpus vocabulary.
@@ -70,7 +71,7 @@ def _tf_frame(documents: DataFrame) -> DataFrame:
     persist/unpersist lifecycle."""
     has_text = F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
     toks = (
-        documents.filter(has_text)
+        fan_out(documents.filter(has_text))
         .select("doc_id", F.explode(_tokens()).alias("tok"))
         .withColumn("tok", F.lower(F.col("tok")))
     )
@@ -665,7 +666,7 @@ def ndcg1_retrieval_quality(
     topk = bm25_search(documents, queries, k=k).localCheckpoint(eager=True)
     has_text = F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
     toks = (
-        documents.filter(has_text)
+        fan_out(documents.filter(has_text))
         .select("doc_id", F.explode(_tokens()).alias("tok"))
         .withColumn("tok", F.lower(F.col("tok")))
     )

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from csv_crm_upload_spark.functions.hashing import md5_60, md5_60_id
+from csv_crm_upload_spark.analytics.fanout import fan_out
 
 # deterministic English stopword markers for the lang-ID heuristic
 EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
@@ -35,7 +36,7 @@ def _tokens(col: str = "text") -> F.Column:
 
 def t1_token_count(documents: DataFrame) -> DataFrame:
     """Whitespace + word-regex token counts per document."""
-    return documents.select(
+    return fan_out(documents).select(
         "doc_id",
         F.size(_tokens()).alias("n_tokens"),
         # BPE-ish: words, numbers, or single non-space symbols
@@ -86,7 +87,7 @@ def t2_quality_score(documents: DataFrame) -> DataFrame:
         (n_chars - n_tokens + 1).cast("double") / F.greatest(n_tokens, F.lit(1)), 6
     )
     score = _quality_score_expr()
-    return documents.select(
+    return fan_out(documents).select(
         "doc_id",
         n_tokens.alias("n_tokens"),
         punct_ratio.alias("punct_ratio"),
@@ -105,7 +106,7 @@ def t3_lang_id(documents: DataFrame) -> DataFrame:
     n_tokens = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(EN_STOPWORDS)))
     ratio = F.round(n_stop.cast("double") / F.greatest(n_tokens, F.lit(1)), 6)
-    return documents.select(
+    return fan_out(documents).select(
         "doc_id",
         "lang",
         ratio.alias("en_stopword_ratio"),
@@ -183,7 +184,7 @@ def t6_char_entropy(documents: DataFrame) -> DataFrame:
     _entropy_batch.__annotations__ = {"texts": pd.Series, "return": pd.Series}
     entropy = pandas_udf(_entropy_batch, "double")
 
-    return documents.filter(F.col("text").isNotNull() & (F.length("text") > 0)).select(
+    return fan_out(documents.filter(F.col("text").isNotNull() & (F.length("text") > 0))).select(
         "doc_id", entropy(F.col("text")).alias("char_entropy")
     )
 
@@ -194,7 +195,7 @@ def t7_vocab_topk(documents: DataFrame, k: int = 100, min_df: int = 2) -> DataFr
     explode + one aggregation (map-side combine on the token key); the
     min_df floor drops hapaxes before the top-k sort so the final order-by
     touches only the surviving vocabulary."""
-    toks = documents.filter(F.col("text").isNotNull()).select(
+    toks = fan_out(documents.filter(F.col("text").isNotNull())).select(
         "doc_id", F.explode(_tokens()).alias("tok")
     ).withColumn("tok", F.lower(F.col("tok")))
     return (
@@ -247,7 +248,7 @@ def t9_top_tokens_per_source(documents: DataFrame, k: int = 5) -> DataFrame:
     from pyspark.sql import Window
 
     counts = (
-        documents.filter(F.col("text").isNotNull())
+        fan_out(documents.filter(F.col("text").isNotNull()))
         .select("source", F.explode(_tokens()).alias("tok"))
         .withColumn("tok", F.lower(F.col("tok")))
         .groupBy("source", "tok")
@@ -353,7 +354,7 @@ def t10_tfidf_top_terms(documents: DataFrame, k: int = 3, min_df: int = 2) -> Da
 
     has_text = F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
     toks = (
-        documents.filter(has_text)
+        fan_out(documents.filter(has_text))
         .select("doc_id", F.explode(_tokens()).alias("tok"))
         .withColumn("tok", F.lower(F.col("tok")))
     )
@@ -483,7 +484,7 @@ def pack1_sequence_packing(
     from pyspark.sql import Window
 
     toks = F.size(_tokens())
-    base = documents.filter(F.col("text").isNotNull()).select(
+    base = fan_out(documents.filter(F.col("text").isNotNull())).select(
         "doc_id", "source", toks.alias("n_tokens")
     )
     stream_cols = ["source"]
@@ -544,7 +545,7 @@ def rep1_repetition_stats(documents: DataFrame, n: int = 2) -> DataFrame:
     has no such operator; this extends the documents surface
     (SURVEY.md training-ops mandate)."""
     base = (
-        documents.filter(F.col("text").isNotNull())
+        fan_out(documents.filter(F.col("text").isNotNull()))
         .select("doc_id", F.explode(_word_ngrams(_norm_tokens(), n)).alias("g"))
     )
     counts = base.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
@@ -578,7 +579,7 @@ def decon1_benchmark_overlap(
     the corpus side can never provide. One broadcast join, one keyed
     aggregation on doc_id; the corpus side streams through map-side."""
     grams = F.explode(F.array_distinct(_word_ngrams(_norm_tokens(), n)))
-    base = documents.filter(F.col("text").isNotNull())
+    base = fan_out(documents.filter(F.col("text").isNotNull()))
     gh = md5_60(F.col("g")).alias("gh")
     bench = (
         base.filter(F.col("source") == benchmark_source)
@@ -619,7 +620,7 @@ def ppl1_unigram_logloss(documents: DataFrame) -> DataFrame:
     Plan: one (doc, tok) combining agg + one tok-keyed count agg joined
     back on tok (two keyed shuffles), the 1-row total broadcast — no
     corpus-wide window, no driver data."""
-    toks = documents.filter(F.col("text").isNotNull()).select(
+    toks = fan_out(documents.filter(F.col("text").isNotNull())).select(
         "doc_id", F.explode(_norm_tokens()).alias("tok")
     )
     per_doc_tok = toks.groupBy("doc_id", "tok").agg(
@@ -662,7 +663,7 @@ def ppl2_bigram_logloss(documents: DataFrame) -> DataFrame:
     Plan: one (doc, bigram) combining agg + one bigram-keyed corpus agg
     + its prefix re-combine, joined back on the bigram key, the 1-row
     vocab count broadcast — all keyed shuffles, no windows."""
-    grams = documents.filter(F.col("text").isNotNull()).select(
+    grams = fan_out(documents.filter(F.col("text").isNotNull())).select(
         "doc_id", F.explode(_word_ngrams(_norm_tokens(), 2)).alias("bg")
     )
     per_doc_bg = grams.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
@@ -672,7 +673,7 @@ def ppl2_bigram_logloss(documents: DataFrame) -> DataFrame:
         F.sum("c_bg").alias("c_prev")
     )
     vocab = (
-        documents.filter(F.col("text").isNotNull())
+        fan_out(documents.filter(F.col("text").isNotNull()))
         .select(F.explode(_norm_tokens()).alias("tok"))
         .agg(F.count_distinct("tok").alias("v"))
     )
@@ -713,7 +714,7 @@ def fh1_feature_hash_embed(documents: DataFrame, dim: int = 64) -> DataFrame:
     (collision sum = 0) are dropped. Hash = the md5_60 integer
     convention shared with the oracle: dim = h mod `dim`, sign from the
     next bit."""
-    toks = documents.filter(F.col("text").isNotNull()).select(
+    toks = fan_out(documents.filter(F.col("text").isNotNull())).select(
         "doc_id", F.explode(_norm_tokens()).alias("tok")
     )
     h = md5_60(F.col("tok"))
@@ -771,7 +772,7 @@ def drift1_source_token_kl(documents: DataFrame) -> DataFrame:
     keyed join back on tok and a broadcast of the 1-row corpus total —
     everything hash-partitions on small keys; no windows, no driver
     data."""
-    toks = documents.filter(F.col("text").isNotNull()).select(
+    toks = fan_out(documents.filter(F.col("text").isNotNull())).select(
         "source", F.explode(_norm_tokens()).alias("tok")
     )
     st = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c_st"))
@@ -820,7 +821,7 @@ def dsir1_importance_weights(
     # when/otherwise, not a bare boolean cast: a NULL lang must count as
     # raw (0), not null-propagate its tokens out of both LMs' sums —
     # mirrors the oracle's CASE WHEN lang = 'en' THEN 1 ELSE 0 END
-    toks = documents.filter(F.col("text").isNotNull()).select(
+    toks = fan_out(documents.filter(F.col("text").isNotNull())).select(
         "doc_id",
         F.when(F.col("lang") == target_lang, F.lit(1))
         .otherwise(F.lit(0))
@@ -876,7 +877,7 @@ def zipf1_source_zipf_slope(documents: DataFrame, top_r: int = 100) -> DataFrame
     rank (never a global sort) + one combining per-source agg."""
     from pyspark.sql import Window
 
-    toks = documents.filter(F.col("text").isNotNull()).select(
+    toks = fan_out(documents.filter(F.col("text").isNotNull())).select(
         "source", F.explode(_norm_tokens()).alias("tok")
     )
     counts = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("freq"))
@@ -924,7 +925,7 @@ def leak1_cross_split_leakage(documents: DataFrame, n: int = 5) -> DataFrame:
     broadcast. Output: one row per held-out doc with ≥1 leaked n-gram."""
     from csv_crm_upload_spark.plans.corpus_prep import split_expr
 
-    base = documents.filter(F.col("text").isNotNull()).withColumn(
+    base = fan_out(documents.filter(F.col("text").isNotNull())).withColumn(
         "split", split_expr()
     )
     grams = F.explode(F.array_distinct(_word_ngrams(_norm_tokens(), n)))
@@ -958,7 +959,7 @@ def chunk1_doc_chunks(
     inherits the input's. One output row per chunk."""
     toks = _norm_tokens()
     base = (
-        documents.filter(F.col("text").isNotNull() & (F.trim(F.col("text")) != ""))
+        fan_out(documents.filter(F.col("text").isNotNull() & (F.trim(F.col("text")) != "")))
         .select("doc_id", toks.alias("l"))
     )
     starts = F.sequence(F.lit(1), F.size("l"), F.lit(stride))
@@ -1009,7 +1010,7 @@ def batch1_length_buckets(documents: DataFrame, n_buckets: int = 16) -> DataFram
     reach the driver."""
     from .tpch import distributed_ntile
 
-    toks = documents.filter(F.col("text").isNotNull()).select(
+    toks = fan_out(documents.filter(F.col("text").isNotNull())).select(
         "doc_id", F.size(_tokens()).alias("n_tokens")
     )
     b = distributed_ntile(toks, ["n_tokens", "doc_id"], n_buckets, "bucket")
@@ -1050,7 +1051,7 @@ def wfp1_winnow_fingerprints(
     from pyspark.sql import Window
 
     grams = _word_ngrams(_norm_tokens(), k)
-    g = documents.filter(F.col("text").isNotNull()).select(
+    g = fan_out(documents.filter(F.col("text").isNotNull())).select(
         "doc_id", F.posexplode(grams).alias("pos", "gram")
     )
     h = g.select("doc_id", "pos", md5_60(F.col("gram")).alias("h"))
@@ -1108,9 +1109,9 @@ def msk1_span_corruption_stats(
         F.lit(0),
         lambda acc, b: acc + F.when(block_gate(b), F.lit(1)).otherwise(F.lit(0)),
     )
-    base = documents.filter(
+    base = fan_out(documents.filter(
         F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
-    )
+    ))
     return base.select(
         "doc_id",
         n_tokens.cast("long").alias("n_tokens"),
@@ -1134,7 +1135,7 @@ def nov1_ngram_novelty(documents: DataFrame, n: int = 8) -> DataFrame:
     plus one 6-dp ratio — engine-exact."""
     grams = F.explode(F.array_distinct(_word_ngrams(_norm_tokens(), n)))
     dg = (
-        documents.filter(F.col("text").isNotNull())
+        fan_out(documents.filter(F.col("text").isNotNull()))
         .select("doc_id", grams.alias("g"))
         .select("doc_id", md5_60(F.col("g")).alias("gh"))
     )
@@ -1200,7 +1201,7 @@ def winnow_prints(documents: DataFrame, k: int = 4, w: int = 5) -> DataFrame:
     from pyspark.sql import Window
 
     grams = _word_ngrams(_norm_tokens(), k)
-    g = documents.filter(F.col("text").isNotNull()).select(
+    g = fan_out(documents.filter(F.col("text").isNotNull())).select(
         "doc_id", F.posexplode(grams).alias("pos", "gram")
     )
     h = g.select("doc_id", "pos", md5_60(F.col("gram")).alias("h"))
@@ -1296,9 +1297,9 @@ def bp1_boilerplate_phrases(
     as the shingle stage LSH dedup already runs."""
     toks = _norm_tokens()
     phrases = F.array_distinct(_word_ngrams(toks, n))
-    per_doc = documents.filter(
+    per_doc = fan_out(documents.filter(
         F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
-    ).select("doc_id", F.explode(phrases).alias("phrase"))
+    )).select("doc_id", F.explode(phrases).alias("phrase"))
     return (
         per_doc.groupBy("phrase")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
@@ -1400,7 +1401,7 @@ def mix4_unimax_allocation(
     from pyspark.sql import Window
 
     counts = (
-        documents.filter(F.col("text").isNotNull())
+        fan_out(documents.filter(F.col("text").isNotNull()))
         .select("source", F.size(_norm_tokens()).alias("n"))
         .groupBy("source")
         .agg(F.sum("n").cast("long").alias("n_tokens"))
@@ -1465,7 +1466,7 @@ def phr1_phrase_occurrences(documents: DataFrame, n: int = 3) -> DataFrame:
     only matching grams. A parameterized phrase (user-supplied instead
     of argmax) is the same plan minus the first aggregation."""
     grams = _word_ngrams(_norm_tokens(), n)
-    g = documents.filter(F.col("text").isNotNull()).select(
+    g = fan_out(documents.filter(F.col("text").isNotNull())).select(
         "doc_id", F.explode(grams).alias("gram")
     )
     top = (
@@ -1534,7 +1535,7 @@ def gq1_gopher_quality(documents: DataFrame) -> DataFrame:
     r_symbol_ratio = symbol_ratio <= 0.1
     r_alpha_words = alpha_word_ratio >= 0.8
     r_stopwords = n_stop >= 2
-    return documents.select(
+    return fan_out(documents).select(
         "doc_id",
         n_words.alias("n_words"),
         mean_word_len.alias("mean_word_len"),
@@ -1589,7 +1590,7 @@ def drm1_doremi_weights(
     DIMENSION-SIZED table (the mix4 precedent) — the plan has no
     duplicated corpus subtree for the normalizer, unlike the agg +
     crossJoin-back shape."""
-    toks = documents.filter(F.col("text").isNotNull()).select(
+    toks = fan_out(documents.filter(F.col("text").isNotNull())).select(
         "source", F.explode(_norm_tokens()).alias("tok")
     )
     per_src_tok = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
@@ -1722,7 +1723,7 @@ def pmi1_collocations(
     free) joins token counts on its two word keys, and top-k is
     TakeOrderedAndProject — no global sort, no window, no driver data
     beyond k rows."""
-    base = documents.filter(F.col("text").isNotNull())
+    base = fan_out(documents.filter(F.col("text").isNotNull()))
     toks = base.select(F.explode(_norm_tokens()).alias("tok"))
     tok_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c_tok"))
     n_tok = tok_counts.agg(F.sum("c_tok").alias("n_tok"))
@@ -1786,7 +1787,7 @@ def kn1_kneser_ney_logloss(documents: DataFrame) -> DataFrame:
     bounded, corpus-scale free); the 1-row type total broadcasts; two
     keyed joins back on the bigram's halves. No window, no driver
     data."""
-    grams = documents.filter(F.col("text").isNotNull()).select(
+    grams = fan_out(documents.filter(F.col("text").isNotNull())).select(
         "doc_id", F.explode(_word_ngrams(_norm_tokens(), 2)).alias("bg")
     )
     per_doc_bg = grams.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
@@ -1863,7 +1864,7 @@ def lex1_lexical_diversity(documents: DataFrame) -> DataFrame:
         lambda acc, v: acc + v,
     )
     denom = F.greatest(n, F.lit(1)).cast("double")
-    return documents.filter(F.col("text").isNotNull()).select(
+    return fan_out(documents.filter(F.col("text").isNotNull())).select(
         "doc_id",
         n.cast("long").alias("n_tokens"),
         n_types.cast("long").alias("n_types"),
@@ -1892,7 +1893,7 @@ def heaps1_vocab_growth(documents: DataFrame, buckets: int = 10) -> DataFrame:
     from csv_crm_upload_spark.analytics.tpch import distributed_ntile
     from pyspark.sql import Window
 
-    live = documents.filter(F.col("text").isNotNull())
+    live = fan_out(documents.filter(F.col("text").isNotNull()))
     toks = live.select("doc_id", F.explode(_norm_tokens()).alias("tok"))
     first_occ = toks.groupBy(md5_60(F.col("tok")).alias("th")).agg(
         F.min("doc_id").alias("doc_id")
@@ -1941,7 +1942,7 @@ def cov1_vocab_coverage(
     from csv_crm_upload_spark.analytics.tpch import distributed_rank
     from pyspark.sql import Window
 
-    toks = documents.filter(F.col("text").isNotNull()).select(
+    toks = fan_out(documents.filter(F.col("text").isNotNull())).select(
         F.explode(_norm_tokens()).alias("tok")
     )
     counts = toks.groupBy(md5_60(F.col("tok")).alias("th")).agg(
@@ -1989,7 +1990,7 @@ def tfidf1_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
     document's distinct terms, never a corpus funnel)."""
     from pyspark.sql import Window
 
-    live = documents.filter(F.col("text").isNotNull())
+    live = fan_out(documents.filter(F.col("text").isNotNull()))
     toks = live.select("doc_id", F.explode(_norm_tokens()).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -2043,9 +2044,9 @@ def js1_source_divergence(documents: DataFrame) -> DataFrame:
     surprisal is rounded to 9 dp then DECIMAL-summed (ppl1's
     order-free discipline). NULL sources are excluded identically in
     both engines (a NULL 'source' is not a source)."""
-    toks = documents.filter(
+    toks = fan_out(documents.filter(
         F.col("text").isNotNull() & F.col("source").isNotNull()
-    ).select("source", F.explode(_norm_tokens()).alias("tok"))
+    )).select("source", F.explode(_norm_tokens()).alias("tok"))
     cnt = toks.groupBy("source", md5_60(F.col("tok")).alias("th")).agg(
         F.count(F.lit(1)).alias("c")
     )
@@ -2178,7 +2179,7 @@ def rd1_readability(documents: DataFrame) -> DataFrame:
     ypw = n_vgroups.cast("double") / F.greatest(n_words, F.lit(1)).cast("double")
     score = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * ypw
     return (
-        documents.filter(F.col("text").isNotNull() & (F.trim(F.col("text")) != ""))
+        fan_out(documents.filter(F.col("text").isNotNull() & (F.trim(F.col("text")) != "")))
         .select(
             "doc_id",
             n_words.cast("long").alias("n_words"),
@@ -2207,7 +2208,7 @@ def shard1_balanced_shards(documents: DataFrame, n_shards: int = 8) -> DataFrame
     repartition on shard_id and write partitionBy the same column."""
     from csv_crm_upload_spark.analytics.tpch import distributed_rank
 
-    sized = documents.filter(F.col("text").isNotNull()).select(
+    sized = fan_out(documents.filter(F.col("text").isNotNull())).select(
         "doc_id", F.size(_norm_tokens()).cast("long").alias("n_toks")
     )
     ranked = distributed_rank(
@@ -2511,7 +2512,7 @@ def gt1_good_turing_mass(documents: DataFrame) -> DataFrame:
     source of all-empty docs has no hapax rate, and r* is undefined
     without hapaxes)."""
     toks = (
-        documents.filter(F.col("text").isNotNull())
+        fan_out(documents.filter(F.col("text").isNotNull()))
         .select(
             "source",
             F.explode(F.split(F.lower(F.col("text")), MG_WS + "+")).alias("tok"),
@@ -2697,7 +2698,7 @@ def simp1_simpson_diversity(documents: DataFrame) -> DataFrame:
     (c ≤ N can square past BIGINT at corpus scale), one double
     division rounded to 6 dp, NULL when N < 2 (no pair to draw)."""
     toks = (
-        documents.filter(F.col("text").isNotNull())
+        fan_out(documents.filter(F.col("text").isNotNull()))
         .select(
             "source",
             F.explode(F.split(F.lower(F.col("text")), MG_WS + "+")).alias("tok"),
@@ -2751,7 +2752,7 @@ def cha1_chao1_richness(documents: DataFrame) -> DataFrame:
     is one double expression of those longs rounded to 6 dp; coverage
     = V_obs / V_est from the same exact inputs."""
     toks = (
-        documents.filter(F.col("text").isNotNull())
+        fan_out(documents.filter(F.col("text").isNotNull()))
         .select(
             "source",
             F.explode(F.split(F.lower(F.col("text")), MG_WS + "+")).alias("tok"),
@@ -2806,7 +2807,7 @@ def llr1_dunning_collocations(
     G² is one fixed tree of x·ln(x) terms over those integers (the
     pmi1/bm25 ln-agreement precedent), rounded to 6 dp before the
     top-k order."""
-    base = documents.filter(F.col("text").isNotNull())
+    base = fan_out(documents.filter(F.col("text").isNotNull()))
     grams = base.select(F.explode(_word_ngrams(_norm_tokens(), 2)).alias("bg"))
     bg_counts = grams.groupBy("bg").agg(
         F.count(F.lit(1)).cast("long").alias("c_bg")
@@ -2956,7 +2957,7 @@ def delta1_burrows_delta(documents: DataFrame, m: int = 25) -> DataFrame:
     tree of those integers. Zero-variance tokens (every source at the
     same frequency) are excluded from the term count on both engines."""
     toks = (
-        documents.filter(F.col("text").isNotNull() & F.col("source").isNotNull())
+        fan_out(documents.filter(F.col("text").isNotNull() & F.col("source").isNotNull()))
         .select("source", F.explode(_norm_tokens()).alias("tok"))
         .filter(F.col("tok") != "")
     )
@@ -3341,7 +3342,7 @@ def cdc1_chunk_dedup(documents: DataFrame, mask: int = 16) -> DataFrame:
     ORDER BY pos ≡ sort_array(collect_list(struct(pos, tok)))); all
     counts exact longs; the two ratios are rounded doubles."""
     toks = (
-        documents.filter(F.col("text").isNotNull())
+        fan_out(documents.filter(F.col("text").isNotNull()))
         .select(
             "doc_id",
             "source",
@@ -3421,7 +3422,7 @@ def key1_source_keyness(
     cross-multiplication (c·N vs C_t·T_s — no ratio); ranking is on
     the 6-dp-rounded score with a token tiebreak."""
     toks = (
-        documents.filter(F.col("text").isNotNull() & F.col("source").isNotNull())
+        fan_out(documents.filter(F.col("text").isNotNull() & F.col("source").isNotNull()))
         .select("source", F.explode(_norm_tokens()).alias("tok"))
         .filter(F.col("tok") != "")
     )
