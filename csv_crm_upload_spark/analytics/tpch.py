@@ -4024,8 +4024,16 @@ def mad1_value_mad(events: DataFrame) -> DataFrame:
     m = c.agg(
         F.min(F.when(F.col("cum") >= F.lit(rank), F.col("value")))
     ).collect()[0][0]
-    d = v.select(F.abs(F.col("value") - F.lit(float(m))).alias("dev"))
-    g2 = d.groupBy("dev").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # the deviation grid re-groups the CHECKPOINTED distinct-value grid
+    # (value, c) instead of re-scanning the raw column (guide §1.2: one
+    # unavoidable corpus pass, everything after at the distinct grain):
+    # |v − m| is identical per distinct value, so summing the grid's
+    # counts under abs(value − m) is exactly the per-row regroup.
+    g2 = (
+        c.select(F.abs(F.col("value") - F.lit(float(m))).alias("dev"), "c")
+        .groupBy("dev")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
     c2, _ = distributed_prefix_sums(g2, ["dev"], ["c"], ["cum"])
     mad = F.min(F.when(F.col("cum") >= F.lit(rank), F.col("dev")))
     return c2.agg(mad.alias("mad")).select(
@@ -5243,10 +5251,8 @@ def hub1_huber_robust_mean(orders: DataFrame, iters: int = 3) -> DataFrame:
     SAME double expression of exact decimal sums whether collected
     (Spark, construction-time) or computed in-query (oracle CTEs)."""
     spark = orders.sparkSession
-    v = (
-        orders.filter(F.col("o_totalprice").isNotNull())
-        .select(F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"))
-        .localCheckpoint(eager=True)
+    v = orders.filter(F.col("o_totalprice").isNotNull()).select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents")
     )
     g = v.groupBy("cents").agg(F.count(F.lit(1)).cast("long").alias("c"))
     cgrid, totals = distributed_prefix_sums(g, ["cents"], ["c"], ["cum"])
@@ -5261,8 +5267,15 @@ def hub1_huber_robust_mean(orders: DataFrame, iters: int = 3) -> DataFrame:
     m0 = cgrid.agg(
         F.min(F.when(F.col("cum") >= F.lit(rank), F.col("cents")))
     ).collect()[0][0]
-    d = v.select(F.abs(F.col("cents") - F.lit(int(m0))).alias("dev"))
-    g2 = d.groupBy("dev").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # the MAD grid AND the IRLS passes below run at the distinct-cents
+    # grain of the checkpointed prefix grid (value, c) — one corpus scan
+    # total (the mad1 regroup trick): |cents − m0| is constant per
+    # distinct value, so summing grid counts is exactly the raw regroup.
+    g2 = (
+        cgrid.select(F.abs(F.col("cents") - F.lit(int(m0))).alias("dev"), "c")
+        .groupBy("dev")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
     c2, _ = distributed_prefix_sums(g2, ["dev"], ["c"], ["cum"])
     mad = c2.agg(
         F.min(F.when(F.col("cum") >= F.lit(rank), F.col("dev")))
@@ -5278,9 +5291,18 @@ def hub1_huber_robust_mean(orders: DataFrame, iters: int = 3) -> DataFrame:
         w = F.when(F.abs(dev) <= F.lit(c_h), F.lit(1.0)).otherwise(
             F.lit(c_h) / F.abs(dev)
         )
-        row = v.agg(
-            F.sum(F.round(w * x * F.lit(1e6), 0).cast(d38)).cast(d38).alias("swx"),
-            F.sum(F.round(w * F.lit(1e9), 0).cast(d38)).cast(d38).alias("sw"),
+        # per-row term ≡ per-distinct-value term × count (w and x are
+        # functions of cents alone, and every row of one value rounds
+        # to the SAME integer term), so the corpus agg collapses to a
+        # grid agg: Σ_rows round(t) = Σ_values c · round(t). Exact.
+        row = cgrid.agg(
+            F.sum(
+                F.col("c").cast(d38)
+                * F.round(w * x * F.lit(1e6), 0).cast(d38)
+            ).cast(d38).alias("swx"),
+            F.sum(
+                F.col("c").cast(d38) * F.round(w * F.lit(1e9), 0).cast(d38)
+            ).cast(d38).alias("sw"),
         ).collect()[0]
         mus.append(
             (float(row["swx"]) / 1e6) / (float(row["sw"]) / 1e9)
