@@ -805,13 +805,22 @@ def pr1_doc_pagerank(
             )
         nodes = deg.select(F.col("src").alias("doc_id"))
         teleport = (F.lit(1.0) - F.lit(damping)) / F.lit(float(n_nodes))
+        # fold deg into the edge table ONCE before the power iterations
+        # (guide §2.4: two operations keyed the same way share one
+        # exchange) — each round then pays a single rank join instead of
+        # re-joining deg every time; values are identical, deg is just
+        # carried on the edge row.
+        edges_deg = (
+            edges.join(deg, "src")
+            .select("src", "dst", "deg")
+            .localCheckpoint(eager=True)
+        )
         ranks = nodes.withColumn(
             "rank", F.round(F.lit(1.0) / F.lit(float(n_nodes)), 12)
         ).localCheckpoint(eager=True)
         for _ in range(iters):
             contrib = (
-                edges.join(deg, "src")
-                .join(ranks, edges["src"] == ranks["doc_id"])
+                edges_deg.join(ranks, edges_deg["src"] == ranks["doc_id"])
                 .select(
                     F.col("dst"),
                     F.round(F.col("rank") / F.col("deg"), 12)
