@@ -212,6 +212,11 @@ EXTRA_WARM = {
     "audlog1_batch_audit_log",
     # minhash signature-memo riders
     "mhcal1_minhash_calibration",
+    # kmeans-family riders of the r12 kmeans_centroids memo entry
+    "kmeans1_topic_clusters",
+    "sil1_cluster_margins",
+    "sdd1_semantic_dedup",
+    "pur1_cluster_purity",
 }
 # pca_model_build lives in the build/probe section below and gets its
 # warm sample there.

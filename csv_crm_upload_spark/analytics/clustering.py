@@ -126,6 +126,26 @@ def _assign(valid_embeddings: DataFrame, cent: list[tuple[int, list[float]]]) ->
 def _fitted_centroids(
     valid_embeddings: DataFrame, k: int, iters: int, dim: int
 ) -> list[tuple[int, list[float]]]:
+    """Fit-memoized front door for _fitted_centroids_impl: the fit is
+    bit-deterministic (first-k-by-vec_id init, fixed rounds, order-free
+    decimal sums) and its value is a bounded k×d driver list, so the
+    kmeans family (kmeans1/sil1/sdd1/pur1/…) rides the same
+    process-scoped memo discipline as the ANN/PCA fits (fitmemo.py) —
+    a repeat caller on the same corpus reuses the centroid list instead
+    of re-running Lloyd's."""
+    from csv_crm_upload_spark.analytics.fitmemo import memo_fit
+
+    return memo_fit(
+        "kmeans_centroids",
+        valid_embeddings,
+        (k, iters, dim),
+        lambda: _fitted_centroids_impl(valid_embeddings, k, iters, dim),
+    )
+
+
+def _fitted_centroids_impl(
+    valid_embeddings: DataFrame, k: int, iters: int, dim: int
+) -> list[tuple[int, list[float]]]:
     """The (cluster_id, centroid) list after iters-1 Lloyd's updates
     from the deterministic first-k-by-vec_id init — the state the FINAL
     assignment pass scores against. Shared by kmeans_assignments and

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from csv_crm_upload_spark.analytics.fanout import cluster_for_write
+
 MINHASH_K = 16  # signature length
 LSH_BANDS = 4  # 16 hashes → 4 bands × 4 rows
 
@@ -607,9 +609,9 @@ def save_dedup_index(
         # bands are partitioned BY band so an incremental probe joins
         # band-partition to band-partition (UNCAPPED: the stored band
         # table is the full truth; the cap is a candidate-time filter)
-        bands.write.mode("overwrite").partitionBy("band").parquet(
-            f"{path}/bands/epoch={new_epoch}"
-        )
+        cluster_for_write(bands, "band").write.mode("overwrite").partitionBy(
+            "band"
+        ).parquet(f"{path}/bands/epoch={new_epoch}")
         commit_manifest(
             path,
             {
@@ -733,9 +735,9 @@ def update_dedup_index(
             f"{path}/pairs/epoch={nxt}"
         )
         new_sig.write.mode("overwrite").parquet(f"{path}/signatures/epoch={nxt}")
-        new_bands.write.mode("overwrite").partitionBy("band").parquet(
-            f"{path}/bands/epoch={nxt}"
-        )
+        cluster_for_write(new_bands, "band").write.mode("overwrite").partitionBy(
+            "band"
+        ).parquet(f"{path}/bands/epoch={nxt}")
         commit_manifest(path, with_txn({**m, "epoch": nxt}, txn))
         new_bands.unpersist()
     finally:

@@ -29,6 +29,8 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from csv_crm_upload_spark.analytics.fanout import cluster_for_write
+
 
 def fit_centroids(
     embeddings: DataFrame, n_cells: int = 16, iters: int = 2
@@ -70,7 +72,12 @@ def fit_centroids(
 def _fit_centroids_impl(
     embeddings: DataFrame, n_cells: int, iters: int
 ) -> np.ndarray:
-    from csv_crm_upload_spark.analytics.clustering import _fitted_centroids
+    # the UNmemoized core on purpose: this impl already runs under the
+    # ivf_centroids memo entry — routing through the kmeans-family memo
+    # too would double-count every fresh fit as two misses for zero
+    # extra sharing (the two families gate their input frames
+    # differently, so their plans never collide anyway)
+    from csv_crm_upload_spark.analytics.clustering import _fitted_centroids_impl
     from csv_crm_upload_spark.analytics.similarity import valid_vectors
 
     valid = valid_vectors(embeddings)
@@ -78,7 +85,7 @@ def _fit_centroids_impl(
     if first is None:
         return np.zeros((0, 0))
     dim = len(first["embedding"])
-    cent = _fitted_centroids(
+    cent = _fitted_centroids_impl(
         valid.filter(F.size("embedding") == dim), n_cells, iters, dim
     )
     return np.array([c for _cid, c in cent], dtype=np.float64)
@@ -169,7 +176,9 @@ def save_index(
     spark.createDataFrame(cent_rows, "cell_id int, centroid array<double>").write.mode(
         "overwrite"
     ).parquet(f"{path}/centroids/epoch={new_epoch}")
-    assign_cells(embeddings, centroids).write.mode("overwrite").partitionBy(
+    cluster_for_write(
+        assign_cells(embeddings, centroids), "cell_id"
+    ).write.mode("overwrite").partitionBy(
         "cell_id"
     ).parquet(f"{path}/cells/epoch={new_epoch}")
     commit_manifest(
@@ -218,7 +227,9 @@ def update_index(
         raise ValueError(
             f"appended vectors have dim != the stored centroids' {dim}"
         )
-    assign_cells(new_embeddings, centroids).write.mode("overwrite").partitionBy(
+    cluster_for_write(
+        assign_cells(new_embeddings, centroids), "cell_id"
+    ).write.mode("overwrite").partitionBy(
         "cell_id"
     ).parquet(f"{path}/cells/epoch={epoch + 1}")
     commit_manifest(path, with_txn({**m, "epoch": epoch + 1}, txn))

@@ -76,6 +76,7 @@ from pyspark.sql import functions as F
 
 from csv_crm_upload_spark.analytics import ivf as _ivf
 from csv_crm_upload_spark.analytics import pq as _pq
+from csv_crm_upload_spark.analytics.fanout import cluster_for_write as _cfw
 
 
 def _assign_and_encode(
@@ -433,7 +434,9 @@ def save_ivfpq_index(
     spark.createDataFrame(
         book_rows, "subspace int, code int, entry array<double>"
     ).write.mode("overwrite").parquet(f"{path}/codebooks/epoch={new_epoch}")
-    _assign_and_encode(embeddings, centroids, books, means=means).write.mode(
+    _cfw(
+        _assign_and_encode(embeddings, centroids, books, means=means), "cell_id"
+    ).write.mode(
         "overwrite"
     ).partitionBy("cell_id").parquet(f"{path}/codes/epoch={new_epoch}")
     commit_manifest(
@@ -483,7 +486,9 @@ def update_ivfpq_index(
         raise ValueError(
             f"appended vectors have dim != the stored codec's {dim}"
         )
-    _assign_and_encode(new_embeddings, centroids, books, means=means).write.mode(
+    _cfw(
+        _assign_and_encode(new_embeddings, centroids, books, means=means), "cell_id"
+    ).write.mode(
         "overwrite"
     ).partitionBy("cell_id").parquet(f"{path}/codes/epoch={epoch + 1}")
     commit_manifest(path, with_txn({**man, "epoch": epoch + 1}, txn))

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from csv_crm_upload_spark.analytics.fanout import fan_out
+from csv_crm_upload_spark.analytics.fanout import cluster_for_write, fan_out
 from csv_crm_upload_spark.analytics.textstats import norm_tokens
 
 
@@ -163,7 +163,9 @@ def _write_snapshot(base: DataFrame, path: str, epoch: int, n_buckets: int) -> N
     try:
         bucket = F.pmod(F.hash("tok"), F.lit(n_buckets)).alias("tok_bucket")
         clt = base.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c_lt"))
-        clt.select("lang", "tok", "c_lt", bucket).write.mode("overwrite").partitionBy(
+        cluster_for_write(
+            clt.select("lang", "tok", "c_lt", bucket), "tok_bucket"
+        ).write.mode("overwrite").partitionBy(
             "tok_bucket"
         ).parquet(f"{path}/counts/epoch={epoch}")
         base.groupBy("lang").agg(

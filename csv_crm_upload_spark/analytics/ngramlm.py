@@ -46,7 +46,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from csv_crm_upload_spark.analytics.fanout import fan_out
+from csv_crm_upload_spark.analytics.fanout import cluster_for_write, fan_out
 from csv_crm_upload_spark.analytics.textstats import _word_ngrams, norm_tokens
 from csv_crm_upload_spark.functions.hashing import md5_60
 
@@ -117,12 +117,12 @@ def save_ngramlm_model(
 
     new_epoch, prior = rebuild_epoch(path)
     uni, bi = _lm_counts(documents, n_buckets)
-    uni.write.mode("overwrite").partitionBy("tbucket").parquet(
-        f"{path}/unigrams/epoch={new_epoch}"
-    )
-    bi.write.mode("overwrite").partitionBy("bbucket").parquet(
-        f"{path}/bigrams/epoch={new_epoch}"
-    )
+    cluster_for_write(uni, "tbucket").write.mode("overwrite").partitionBy(
+        "tbucket"
+    ).parquet(f"{path}/unigrams/epoch={new_epoch}")
+    cluster_for_write(bi, "bbucket").write.mode("overwrite").partitionBy(
+        "bbucket"
+    ).parquet(f"{path}/bigrams/epoch={new_epoch}")
     commit_manifest(
         path,
         {
@@ -203,12 +203,12 @@ def update_ngramlm_model(
     bi = bi.localCheckpoint(eager=True)
     if not uni.limit(1).count():
         return  # no non-NULL text in the delta — clean no-op
-    uni.write.mode("overwrite").partitionBy("tbucket").parquet(
-        f"{path}/unigrams/epoch={epoch + 1}"
-    )
-    bi.write.mode("overwrite").partitionBy("bbucket").parquet(
-        f"{path}/bigrams/epoch={epoch + 1}"
-    )
+    cluster_for_write(uni, "tbucket").write.mode("overwrite").partitionBy(
+        "tbucket"
+    ).parquet(f"{path}/unigrams/epoch={epoch + 1}")
+    cluster_for_write(bi, "bbucket").write.mode("overwrite").partitionBy(
+        "bbucket"
+    ).parquet(f"{path}/bigrams/epoch={epoch + 1}")
     commit_manifest(path, with_txn({**m, "epoch": epoch + 1}, txn))
 
 

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from csv_crm_upload_spark.analytics.fanout import fan_out
+from csv_crm_upload_spark.analytics.fanout import cluster_for_write, fan_out
 from csv_crm_upload_spark.analytics.textstats import _tokens
 
 # Deterministic demo query set over the synthetic corpus vocabulary.
@@ -210,11 +210,15 @@ def save_text_index(documents: DataFrame, path: str, n_buckets: int = 64) -> Non
     tf = _tf_frame(documents).persist()
     try:
         bucket = F.pmod(F.hash("tok"), F.lit(n_buckets)).alias("tok_bucket")
-        tf.select("doc_id", "tok", "tf", "dl", bucket).write.mode("overwrite").partitionBy(
+        cluster_for_write(
+            tf.select("doc_id", "tok", "tf", "dl", bucket), "tok_bucket"
+        ).write.mode("overwrite").partitionBy(
             "tok_bucket"
         ).parquet(f"{path}/postings/epoch={new_epoch}")
         dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-        dfreq.select("tok", "df", bucket).write.mode("overwrite").partitionBy(
+        cluster_for_write(
+            dfreq.select("tok", "df", bucket), "tok_bucket"
+        ).write.mode("overwrite").partitionBy(
             "tok_bucket"
         ).parquet(f"{path}/dfreq/epoch={new_epoch}")
         _corpus_stats(documents).write.mode("overwrite").parquet(
@@ -280,7 +284,9 @@ def update_text_index(
             return
         nxt = epoch + 1
         bucket = F.pmod(F.hash("tok"), F.lit(n_buckets)).alias("tok_bucket")
-        tf.select("doc_id", "tok", "tf", "dl", bucket).write.mode("overwrite").partitionBy(
+        cluster_for_write(
+            tf.select("doc_id", "tok", "tf", "dl", bucket), "tok_bucket"
+        ).write.mode("overwrite").partitionBy(
             "tok_bucket"
         ).parquet(f"{path}/postings/epoch={nxt}")
 
@@ -294,9 +300,9 @@ def update_text_index(
             .agg(F.sum("df").alias("df"))
             .select("tok", "df", bucket)
         )
-        merged.write.mode("overwrite").partitionBy("tok_bucket").parquet(
-            f"{path}/dfreq/epoch={nxt}"
-        )
+        cluster_for_write(merged, "tok_bucket").write.mode("overwrite").partitionBy(
+            "tok_bucket"
+        ).parquet(f"{path}/dfreq/epoch={nxt}")
 
         # fold corpus stats with EXACT integer counts, then re-derive
         # avgdl the same way a fresh build does (total/n double division)

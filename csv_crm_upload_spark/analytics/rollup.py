@@ -40,6 +40,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from csv_crm_upload_spark.analytics.fanout import cluster_for_write
+
 DEFAULT_N_BUCKETS = 16
 ROLLUP_SUBDIRS = ["days"]
 
@@ -112,9 +114,9 @@ def save_daily_rollup(
     from csv_crm_upload_spark.operators.manifest import commit_manifest, rebuild_epoch
 
     new_epoch, prior = rebuild_epoch(path)
-    _day_partials(events, n_buckets).write.mode("overwrite").partitionBy(
-        "dbucket"
-    ).parquet(f"{path}/days/epoch={new_epoch}")
+    cluster_for_write(_day_partials(events, n_buckets), "dbucket").write.mode(
+        "overwrite"
+    ).partitionBy("dbucket").parquet(f"{path}/days/epoch={new_epoch}")
     commit_manifest(
         path,
         {
@@ -202,9 +204,9 @@ def update_daily_rollup(
         # deletes an in-flight concurrent writer's epoch dir
         return
     remove_orphan_epochs(path, ROLLUP_SUBDIRS, epoch)
-    partials.write.mode("overwrite").partitionBy("dbucket").parquet(
-        f"{path}/days/epoch={epoch + 1}"
-    )
+    cluster_for_write(partials, "dbucket").write.mode("overwrite").partitionBy(
+        "dbucket"
+    ).parquet(f"{path}/days/epoch={epoch + 1}")
     commit_manifest(path, with_txn({**m, "epoch": epoch + 1}, txn))
 
 
@@ -241,9 +243,9 @@ def compact_daily_rollup(spark, path: str) -> bool:
         )
     )
     nxt = epoch + 1
-    merged.write.mode("overwrite").partitionBy("dbucket").parquet(
-        f"{path}/days/epoch={nxt}"
-    )
+    cluster_for_write(merged, "dbucket").write.mode("overwrite").partitionBy(
+        "dbucket"
+    ).parquet(f"{path}/days/epoch={nxt}")
     commit_manifest(path, {**m, "epoch": nxt, "base_epoch": nxt})
     return True
 

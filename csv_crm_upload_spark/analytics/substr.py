@@ -39,6 +39,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from csv_crm_upload_spark.analytics.fanout import cluster_for_write
+
 from csv_crm_upload_spark.analytics.dedup import (
     coverage_spans,
     substr_gram_frame,
@@ -111,7 +113,9 @@ def save_substr_index(
     from csv_crm_upload_spark.operators.manifest import commit_manifest, rebuild_epoch
 
     new_epoch, prior = rebuild_epoch(path)
-    _gram_counts(documents, min_len, n_buckets).write.mode("overwrite").partitionBy(
+    cluster_for_write(
+        _gram_counts(documents, min_len, n_buckets), "gbucket"
+    ).write.mode("overwrite").partitionBy(
         "gbucket"
     ).parquet(f"{path}/gramcounts/epoch={new_epoch}")
     commit_manifest(
@@ -172,9 +176,9 @@ def update_substr_index(
     ).localCheckpoint(eager=True)
     if not delta.limit(1).count():
         return  # nothing with >= min_len tokens — clean no-op
-    delta.write.mode("overwrite").partitionBy("gbucket").parquet(
-        f"{path}/gramcounts/epoch={epoch + 1}"
-    )
+    cluster_for_write(delta, "gbucket").write.mode("overwrite").partitionBy(
+        "gbucket"
+    ).parquet(f"{path}/gramcounts/epoch={epoch + 1}")
     commit_manifest(path, with_txn({**m, "epoch": epoch + 1}, txn))
 
 
@@ -206,9 +210,9 @@ def compact_substr_index(spark, path: str) -> bool:
         .withColumn("gbucket", F.pmod(F.col("gram_h"), F.lit(m["n_buckets"])))
     )
     nxt = epoch + 1
-    merged.write.mode("overwrite").partitionBy("gbucket").parquet(
-        f"{path}/gramcounts/epoch={nxt}"
-    )
+    cluster_for_write(merged, "gbucket").write.mode("overwrite").partitionBy(
+        "gbucket"
+    ).parquet(f"{path}/gramcounts/epoch={nxt}")
     commit_manifest(path, {**m, "epoch": nxt, "base_epoch": nxt})
     return True
 

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from csv_crm_upload_spark.analytics.fanout import cluster_for_write
+
 from csv_crm_upload_spark.analytics.textstats import (
     shared_print_pairs,
     winnow_prints,
@@ -58,7 +60,9 @@ def save_winnow_index(
     from csv_crm_upload_spark.operators.manifest import commit_manifest, rebuild_epoch
 
     new_epoch, prior = rebuild_epoch(path)
-    _bucketed(winnow_prints(documents, k, w), n_buckets).write.mode(
+    cluster_for_write(
+        _bucketed(winnow_prints(documents, k, w), n_buckets), "bucket"
+    ).write.mode(
         "overwrite"
     ).partitionBy("bucket").parquet(f"{path}/prints/epoch={new_epoch}")
     commit_manifest(
@@ -120,9 +124,9 @@ def update_winnow_index(
     ).localCheckpoint(eager=True)
     if not new_prints.limit(1).count():
         return  # nothing with content — clean no-op before any write
-    new_prints.write.mode("overwrite").partitionBy("bucket").parquet(
-        f"{path}/prints/epoch={epoch + 1}"
-    )
+    cluster_for_write(new_prints, "bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(f"{path}/prints/epoch={epoch + 1}")
     commit_manifest(path, with_txn({**m, "epoch": epoch + 1}, txn))
 
 

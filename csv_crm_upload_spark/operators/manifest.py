@@ -104,12 +104,19 @@ def compact_epochs(
             .filter((F.col("epoch") >= base) & (F.col("epoch") <= epoch))
             .drop("epoch")
         )
+        if partition_cols:
+            # cluster on the physical partition cols so the compacted
+            # epoch is one file per partition value, not one sliver per
+            # (value, task) — the guide §6 small-files fix
+            df = df.repartition(*[F.col(c) for c in partition_cols])
         writer = df.write.mode("overwrite")
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
         writer.parquet(f"{path}/{sub}/epoch={nxt}")
     for sub, partition_cols in snapshot_dirs.items():
         snap = spark.read.parquet(f"{path}/{sub}/epoch={epoch}")
+        if partition_cols:
+            snap = snap.repartition(*[F.col(c) for c in partition_cols])
         writer = snap.write.mode("overwrite")
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
