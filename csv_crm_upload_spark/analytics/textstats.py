@@ -318,15 +318,7 @@ def hh1_heavy_hitter_tokens(documents: DataFrame, k: int = 200, threshold_k: int
             else {"tok": pd.Series([], dtype=str), "lb": pd.Series([], dtype="int64")}
         )
 
-    # fan out the single-row-group scan before the per-row Python MG
-    # loop (guide §2.5/§4): summaries merge by grouped summation, and
-    # the merged undercount bound is Σ N_p/k = N/k for ANY partition
-    # count (Agarwal et al. 2012), so parallelizing the stream changes
-    # only which borderline counters survive — the snapshot-audit
-    # protocol (mgrec1/cms1) freezes whatever set this run reports.
-    summaries = fan_out(documents.select("text")).mapInPandas(
-        mg_partition, "tok string, lb long"
-    )
+    summaries = documents.select("text").mapInPandas(mg_partition, "tok string, lb long")
     # n_total must count the SAME token stream the MG loop consumed
     # (advice r11): _tokens() trims only 0x20, so text starting with
     # \t/\n kept a leading empty fragment and inflated N past the
