@@ -36,7 +36,7 @@ def _tokens(col: str = "text") -> F.Column:
 
 def t1_token_count(documents: DataFrame) -> DataFrame:
     """Whitespace + word-regex token counts per document."""
-    return fan_out(documents).select(
+    return documents.select(
         "doc_id",
         F.size(_tokens()).alias("n_tokens"),
         # BPE-ish: words, numbers, or single non-space symbols
@@ -87,7 +87,7 @@ def t2_quality_score(documents: DataFrame) -> DataFrame:
         (n_chars - n_tokens + 1).cast("double") / F.greatest(n_tokens, F.lit(1)), 6
     )
     score = _quality_score_expr()
-    return fan_out(documents).select(
+    return documents.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
         punct_ratio.alias("punct_ratio"),
@@ -106,7 +106,7 @@ def t3_lang_id(documents: DataFrame) -> DataFrame:
     n_tokens = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(EN_STOPWORDS)))
     ratio = F.round(n_stop.cast("double") / F.greatest(n_tokens, F.lit(1)), 6)
-    return fan_out(documents).select(
+    return documents.select(
         "doc_id",
         "lang",
         ratio.alias("en_stopword_ratio"),
