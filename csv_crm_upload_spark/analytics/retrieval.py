@@ -109,15 +109,31 @@ def bm25_scores(
     postings subtree twice (so no persist, and no cached-frame leak
     across repeated calls)."""
     queries = DEFAULT_QUERIES if queries is None else queries
-    qdf = _query_terms_df(documents.sparkSession, queries)
-    tf = _tf_frame(documents)
+    spark = documents.sparkSession
     # semi-join first (one row per posting — no per-query duplication),
     # so the df window below counts distinct docs exactly
-    matched = tf.join(
-        F.broadcast(_query_toks_df(documents.sparkSession, queries)), "tok", "left_semi"
+    matched = _tf_frame(documents).join(
+        F.broadcast(_query_toks_df(spark, queries)), "tok", "left_semi"
     )
-    matched = matched.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("tok")))
-    stats = _corpus_stats(documents)
+    return _bm25_from_matched(
+        matched,
+        _corpus_stats(documents),
+        _query_terms_df(spark, queries),
+        k1,
+        b,
+    )
+
+
+def _bm25_from_matched(
+    matched: DataFrame, stats: DataFrame, qdf: DataFrame, k1: float, b: float
+) -> DataFrame:
+    """The BM25 scoring tail over an already-semi-joined postings frame
+    (doc_id, tok, tf, dl) — ONE text so bm25_scores and ndcg1 (which
+    checkpoints `matched` and derives its relevance grades from the
+    same rows) are identical by construction."""
+    matched = matched.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("tok"))
+    )
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
@@ -668,16 +684,35 @@ def ndcg1_retrieval_quality(
     ideal ranking, DCG, first-best) runs at that bounded grain."""
     queries = DEFAULT_QUERIES if queries is None else queries
     spark = documents.sparkSession
-    # bounded |q|·k rows; construction-time jobs are the pctl2 sanction
-    topk = bm25_search(documents, queries, k=k).localCheckpoint(eager=True)
-    has_text = F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
-    toks = (
-        fan_out(documents.filter(has_text))
-        .select("doc_id", F.explode(_tokens()).alias("tok"))
-        .withColumn("tok", F.lower(F.col("tok")))
+    # ONE postings pass feeds BOTH the BM25 ranking and the relevance
+    # grades (was: bm25_search's tf pass + a second full corpus explode
+    # for the grades): the query-vocabulary semi-join bounds `matched`
+    # to the postings the query terms touch, it checkpoints at that
+    # grain, and the two consumers read the checkpoint. The BM25 tail
+    # is _bm25_from_matched — textually shared with bm25_scores, so
+    # the ranking is identical by construction; grades count DISTINCT
+    # matched tokens per (query, doc), and the postings frame is
+    # already distinct per (doc, tok), so count_distinct over it is
+    # exactly the old token-stream count.
+    qdf = _query_terms_df(spark, queries)
+    matched = (
+        _tf_frame(documents)
+        .join(F.broadcast(_query_toks_df(spark, queries)), "tok", "left_semi")
+        .localCheckpoint(eager=True)
+    )
+    scored = _bm25_from_matched(
+        matched, _corpus_stats(documents), qdf, k1=1.2, b=0.75
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col("doc_id")
+    )
+    topk = (
+        scored.withColumn("rank", F.row_number().over(w_rank).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "bm25", "rank")
     )
     grades = (
-        toks.join(F.broadcast(_query_terms_df(spark, queries)), "tok")
+        matched.join(F.broadcast(qdf), "tok")
         .groupBy("query_id", "doc_id")
         .agg(F.count_distinct(F.col("tok")).cast("long").alias("rel"))
     )
