@@ -105,7 +105,12 @@ def kmeans_assignments(
 
     embeddings = fan_out(embeddings.filter(F.size("embedding") == dim))
     cent = _fitted_centroids(embeddings, k, iters, dim)
-    return _assign(embeddings, cent)
+    # Arrow-native since round 13: bit-identical to _assign
+    # (tests/test_arrowquant.py) without the k×dim literal tree's
+    # per-call construction/analysis/codegen cost (guide §4.2)
+    from csv_crm_upload_spark.analytics.arrowquant import assign_arrow
+
+    return assign_arrow(embeddings, cent)
 
 
 def _assign(valid_embeddings: DataFrame, cent: list[tuple[int, list[float]]]) -> DataFrame:
@@ -160,8 +165,13 @@ def _fitted_centroids_impl(
     cent: list[tuple[int, list[float]]] = [
         (i, [float(v) for v in r["embedding"]]) for i, r in enumerate(init_rows)
     ]
+    from csv_crm_upload_spark.analytics.arrowquant import assign_arrow
+
     for _ in range(iters - 1):
-        assigned = _assign(valid_embeddings, cent)
+        # Arrow-native assignment (≡ _assign — tests/test_arrowquant.py):
+        # the per-round k×dim literal tree was the fit's dominant
+        # driver-side cost (construction + analysis + codegen per round)
+        assigned = assign_arrow(valid_embeddings, cent)
         # recompute: per-dim decimal-exact means, rounded IN THE PLAN
         # (F.round half-away-from-zero == DuckDB round) before the
         # bounded k-row collect
@@ -254,18 +264,21 @@ def sil1_cluster_margins(
     # kmeans_assignments (single-task scan → per-row k×d scoring)
     emb = fan_out(emb.filter(F.size("embedding") == dim))
     cent = _fitted_centroids(emb, k, iters, dim)
-    sims = F.array(*[F.round(_dot_lit(F.col("embedding"), v), 6) for _cid, v in cent])
-    ids = F.array(*[F.lit(cid) for cid, _v in cent])
-    best_pos = F.array_position(sims, F.array_max(sims)).cast("int") - 1
-    desc = F.reverse(F.array_sort(sims))
-    second = (
-        F.when(F.size(desc) >= 2, F.element_at(desc, 2))
-        .otherwise(F.lit(None).cast("double"))
-    )
-    scored = emb.select(
-        F.element_at(ids, best_pos + 1).alias("cluster_id"),
-        F.round(F.array_max(sims) - second, 6).alias("margin"),
-    )
+    if len(cent) >= 2:
+        # Arrow-native margins (≡ the sims/desc/second expression tail —
+        # tests/test_arrowquant.py), dropping the per-call k×dim literal
+        # tree like kmeans_assignments did (round 13)
+        from csv_crm_upload_spark.analytics.arrowquant import margins_arrow
+
+        scored = margins_arrow(emb, cent)
+    else:
+        # singleton fit: cluster_id is the lone centroid's id and the
+        # second-best sim does not exist → NULL margin (the pre-r13
+        # expression's F.when(size(desc) >= 2, ...) branch)
+        scored = emb.select(
+            F.lit(cent[0][0]).cast("int").alias("cluster_id"),
+            F.lit(None).cast("double").alias("margin"),
+        )
     # exact micro-unit mean — see kmeans1_topic_clusters: a post-division
     # round(…, 6) lands on half-way points where the engines disagree
     return (

@@ -126,12 +126,16 @@ def assign_cells(embeddings: DataFrame, centroids: np.ndarray) -> DataFrame:
     Gated to valid vectors of the quantizer's width: a NULL/empty/
     zero-norm/ragged row degrades to absence from the cell table (the
     valid_vectors discipline) instead of a NULL-dot argmax abort."""
+    from csv_crm_upload_spark.analytics.arrowquant import cells_arrow
     from csv_crm_upload_spark.analytics.similarity import valid_vectors
 
     gated = valid_vectors(embeddings).filter(
         F.size("embedding") == int(centroids.shape[1])
     )
-    return gated.select("vec_id", cell_id_expr(centroids).alias("cell_id"))
+    # Arrow-native since round 13: bit-identical to cell_id_expr
+    # (tests/test_arrowquant.py) without the k×dim literal tree's
+    # construction/analysis/codegen cost per call (guide §4.2)
+    return cells_arrow(gated, centroids)
 
 
 def save_index(

@@ -97,28 +97,18 @@ def _assign_and_encode(
     ABSENCE from the code table (previously a zero vector got a cell,
     its dot being a valid 0.0, and surfaced as a NULL-cosine rerank row
     no oracle could see)."""
+    from csv_crm_upload_spark.analytics.arrowquant import assign_encode_arrow
     from csv_crm_upload_spark.analytics.similarity import valid_vectors
 
     gated = valid_vectors(embeddings).filter(
         F.size("embedding") == int(centroids.shape[1])
     )
-    cell_expr = _ivf.cell_id_expr(centroids)
-    if means is None:
-        return gated.select(
-            "vec_id", _pq.codes_expr(books).alias("codes"), cell_expr.alias("cell_id")
-        )
-    with_cell = gated.select("vec_id", "embedding", cell_expr.alias("cell_id"))
-    mean_table = F.array(
-        *[F.array(*[F.lit(float(v)) for v in means[c]]) for c in range(len(means))]
-    )
-    res = F.zip_with(
-        F.col("embedding"),
-        F.element_at(mean_table, F.col("cell_id") + 1),
-        lambda a, b: a.cast("double") - b,
-    )
-    return with_cell.select(
-        "vec_id", _pq.codes_expr(books, col=res).alias("codes"), "cell_id"
-    )
+    # Arrow-native since round 13 (guide §4.2): one MapInArrow stage
+    # computes the cell argmax, the residual subtraction and the m code
+    # argmins — bit-identical decisions to the fused
+    # cell_id_expr/codes_expr tree (tests/test_arrowquant.py), without
+    # paying that tree's py4j construction + analysis + codegen per call
+    return assign_encode_arrow(gated, centroids, books, means=means)
 
 
 def _fit_residual_codebooks(
@@ -157,11 +147,14 @@ def _fit_residual_codebooks_impl(
     Whole-corpus, one combining shuffle per stage, bounded collects."""
     from csv_crm_upload_spark.analytics.similarity import valid_vectors
 
+    from csv_crm_upload_spark.analytics.arrowquant import cells_arrow
+
     dim = int(centroids.shape[1])
     gated = valid_vectors(embeddings).filter(F.size("embedding") == dim)
-    cells = gated.select(
-        "vec_id", "embedding", _ivf.cell_id_expr(centroids).alias("cell_id")
-    )
+    # Arrow-native cell assignment (bit-identical to cell_id_expr —
+    # tests/test_arrowquant.py); the vector rides through for the
+    # per-cell decimal means below
+    cells = cells_arrow(gated, centroids, with_embedding=True)
     sums = [
         F.round(
             F.sum(
@@ -179,15 +172,12 @@ def _fit_residual_codebooks_impl(
     means = np.array(
         [got.get(c, [float(v) for v in centroids[c]]) for c in range(len(centroids))]
     )
-    mean_table = F.array(
-        *[F.array(*[F.lit(float(v)) for v in means[c]]) for c in range(len(means))]
-    )
-    residual = F.zip_with(
-        F.col("embedding"),
-        F.element_at(mean_table, F.col("cell_id") + 1),
-        lambda a, b: a.cast("double") - b,
-    )
-    vf_res = cells.select("vec_id", residual.alias("embedding"))
+    # residual = emb − mean[cell], elementwise float64 — exact in the
+    # same Arrow stage family (zip_with's a.cast(double) − b is the
+    # identical IEEE subtract)
+    from csv_crm_upload_spark.analytics.arrowquant import residual_arrow
+
+    vf_res = residual_arrow(cells, means)
     books = _pq._fit_books_on_frame(vf_res, dim, m, k, iters)
     return books, means
 

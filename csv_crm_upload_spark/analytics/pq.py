@@ -101,31 +101,6 @@ def _fit_books_on_frame(
     ]
     if not books[0]:
         return np.zeros((m, 0, 0))
-    spark = vf.sparkSession
-    subvecs = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("j"),
-                F.slice(F.col("embedding"), j * sub + 1, sub).alias("sv"),
-            )
-            for j in range(m)
-        ]
-    )
-    long_form = vf.select("vec_id", F.explode(subvecs).alias("p")).select(
-        "vec_id", "p.j", "p.sv"
-    )
-    d2 = F.round(
-        F.aggregate(
-            F.zip_with(
-                F.col("sv"),
-                F.col("entry"),
-                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ),
-        6,
-    )
     sums = [
         F.round(
             F.sum(
@@ -136,34 +111,20 @@ def _fit_books_on_frame(
         ).alias(f"m_{d}")
         for d in range(sub)
     ]
+    from csv_crm_upload_spark.analytics.arrowquant import fit_codes_longform
+
     for _ in range(iters - 1):
-        # assignment as a BROADCAST JOIN against the current books, not
-        # the m·k'-literal expression tree (bench r9: at 2,000 rows the
-        # fit's wall time was Catalyst ANALYSIS of the literal tree, not
-        # data — the codes_expr lesson again; the join form's expressions
-        # are literal-free and the expansion is a trivial m-per-row
-        # explode). Semantics identical: min(struct(d2, code)) orders by
-        # rounded d2 then code — first-min = lowest code, exactly
-        # _sub_code_expr and the oracle's ORDER BY d2, code.
-        books_df = spark.createDataFrame(
-            [
-                (j, c, books[j][c])
-                for j in range(m)
-                for c in range(len(books[j]))
-            ],
-            "j int, code int, entry array<double>",
-        )
-        assigned = (
-            long_form.join(F.broadcast(books_df), "j")
-            .select("vec_id", "j", "sv", "code", d2.alias("d2"))
-            .groupBy("vec_id", "j")
-            .agg(
-                F.min(F.struct("d2", "code")).alias("b"),
-                F.first("sv").alias("sv"),  # constant per (vec_id, j)
-            )
-        )
+        # assignment as an Arrow-native map stage (round 13; guide §4.2)
+        # emitting (j, code, sv) long-form rows directly — replaces the
+        # r9 broadcast-join form (explode → join → min(struct(d2, code))
+        # regroup), whose per-round cost was TWO shuffles plus the d2
+        # expression's analysis. Semantics identical (pinned by
+        # tests/test_arrowquant.py): rounded-d2 argmin, ties → lowest
+        # code, all-invalid rows keep a code like the join-min did. The
+        # decimal mean recompute below stays in the JVM — one combining
+        # agg at (j, code) grain, bounded collect.
         rows = (
-            assigned.select("j", F.col("b.code").alias("code"), "sv")
+            fit_codes_longform(vf, books)
             .groupBy("j", "code")
             .agg(*sums)
             .collect()
@@ -254,12 +215,19 @@ def pq_encode(embeddings: DataFrame, codebooks: np.ndarray) -> DataFrame:
     to valid vectors of the codec's width — a corrupt/ragged row
     degrades to absence from the code table (the assign_cells rule)
     rather than a NULL-code row that every downstream ranking would
-    have to order around."""
+    have to order around.
+
+    Since round 13 the scoring runs as an Arrow-native map stage
+    (arrowquant.encode_arrow): bit-identical decisions to codes_expr
+    (pinned by tests/test_arrowquant.py), without the m·k-literal tree
+    whose py4j construction + Catalyst analysis + codegen dominated the
+    cold cost of every encode (guide §4.2)."""
+    from csv_crm_upload_spark.analytics.arrowquant import encode_arrow
     from csv_crm_upload_spark.analytics.similarity import valid_vectors
 
     m, _k, sub = codebooks.shape
     gated = valid_vectors(embeddings).filter(F.size("embedding") == int(m * sub))
-    return gated.select("vec_id", codes_expr(codebooks).alias("codes"))
+    return encode_arrow(gated, codebooks)
 
 
 def query_luts(spark, query_vectors, codebooks: np.ndarray) -> DataFrame:

@@ -32,16 +32,39 @@ def shuffle_ids(plan: str) -> set[str]:
     helper only fires when the input planned FEWER map tasks than the
     session has cores (single-row-group local testdata), and is a no-op
     wherever a corpus scan already provides map parallelism — so it is
-    a local parallelism floor, not a scale shuffle cost. Keyed
-    repartitions still count."""
+    a local parallelism floor, not a scale shuffle cost.
+
+    Round 13 (verdict ask #7): the exemption matches fan_out's SIGNATURE
+    — `RoundRobinPartitioning(defaultParallelism)` — not every
+    round-robin exchange, so an unconditional `.repartition(n)` with any
+    other n (including the bounded-result `repartition(1)` ordering
+    exchanges, which now count against their queries' budgets) can no
+    longer hide from the pins. Keyed repartitions always count."""
+    from pyspark.sql import SparkSession
+
+    dp = SparkSession.getActiveSession().sparkContext.defaultParallelism
     ids = set(re.findall(r"(?<!Broadcast)Exchange \((\d+)\)", plan))
     rr = set(
         re.findall(
-            r"\((\d+)\) Exchange\s*\nInput[^\n]*\nArguments: RoundRobinPartitioning",
+            r"\((\d+)\) Exchange\s*\nInput[^\n]*\nArguments: RoundRobinPartitioning\("
+            + str(dp)
+            + r"\)",
             plan,
         )
     )
     return ids - rr
+
+
+def test_shuffle_ids_counts_non_fanout_round_robin(spark, sf_dir):
+    """The exemption must be fan_out-shaped ONLY: a deliberate
+    `.repartition(64)` (≠ defaultParallelism) is a real scale shuffle
+    and must count; a fan_out-signature repartition must not."""
+    df = load_table(spark, sf_dir, "orders")
+    dp = spark.sparkContext.defaultParallelism
+    other = 64 if dp != 64 else 65
+    assert len(shuffle_ids(plan_of(df.repartition(other)))) == 1
+    assert len(shuffle_ids(plan_of(df.repartition(1)))) == 1
+    assert len(shuffle_ids(plan_of(df.repartition(dp)))) == 0
 
 
 
@@ -101,13 +124,36 @@ ARROW_SANCTIONED = {"t6_char_entropy"}
 # EvalPythonUDTF node; exempt from the JVM-only rule (documented as the
 # escape hatch, with the Column-algebra shingle builder as the fast path)
 UDTF_SANCTIONED = {"t8_bigrams_udtf"}
+# quantizer-family queries whose assign/encode map stage is the
+# Arrow-native scoring of analytics/arrowquant.py (round 13): the ONE
+# sanctioned MapInArrow boundary — bit-identical decisions to the JVM
+# expression trees (tests/test_arrowquant.py), vectorized numpy instead
+# of the m·k-literal tree's construction/analysis/codegen cost. Most of
+# these materialize the encode behind a localCheckpoint, so the node is
+# only visible in the returned plan where the cell table stays lazy.
+MAPINARROW_SANCTIONED = {
+    # node visible in the returned plan (lazy cell/assignment table)
+    "sim_knn_ivf",
+    "ivfrec1_ivf_recall_audit",
+    "kmeans1_topic_clusters",
+    "sil1_cluster_margins",
+    "pur1_cluster_purity",
+    # node runs at construction time behind a localCheckpoint/persist —
+    # listed so a refactor that un-checkpoints them stays sanctioned
+    "pq1_quantized_knn",
+    "ivfpq1_quantized_knn",
+    "ivfpq2_residual_knn",
+    "pqrec1_pq_recall_audit",
+    "sdd1_semantic_dedup",
+    "prune1_prototype_pruning",
+}
 
 
 def test_no_python_udf_in_relational_paths(spark, sf_dir):
     """Everything except the explicitly-Python paths must stay JVM-side
-    (no BatchEvalPython / ArrowEvalPython in the plan); the sanctioned
-    vectorized queries may use ArrowEvalPython but never the
-    row-at-a-time BatchEvalPython."""
+    (no BatchEvalPython / ArrowEvalPython / MapInArrow in the plan); the
+    sanctioned vectorized queries may use their Arrow-batched node but
+    never the row-at-a-time BatchEvalPython."""
     for name, fn in QUERIES.items():
         plan = plan_of(fn(spark, sf_dir))
         if name in UDTF_SANCTIONED:
@@ -115,6 +161,10 @@ def test_no_python_udf_in_relational_paths(spark, sf_dir):
         assert "BatchEvalPython" not in plan, f"{name} uses a row-at-a-time Python UDF"
         if name not in ARROW_SANCTIONED:
             assert "EvalPython" not in plan, f"{name} fell off the JVM fast path"
+        if name not in MAPINARROW_SANCTIONED:
+            assert "MapInArrow" not in plan, (
+                f"{name} grew an unsanctioned Arrow map stage"
+            )
 
 
 def test_whole_stage_codegen_active(spark, sf_dir):
@@ -314,9 +364,10 @@ def test_headline_shuffle_budgets(spark, sf_dir):
 def test_quantizer_encode_stages_are_shuffle_free(spark, sf_dir):
     """The corpus-wide encode passes of the vector indexes — PQ code
     assignment and the fused IVF-PQ cell+code assignment — must plan
-    ZERO exchanges: they are pure projections over the vector scan
-    (quantizers ride in as literals), which is what makes index builds
-    and O(new docs) appends single-pass at 100 TB."""
+    ZERO exchanges: they are a single Arrow map stage over the vector
+    scan (quantizers ride the pickled closure — arrowquant.py), which is
+    what makes index builds and O(new docs) appends single-pass at
+    100 TB."""
     import numpy as np
 
     from csv_crm_upload_spark.analytics import ivf as _ivf
@@ -838,7 +889,8 @@ def test_round9_operator_shuffle_budgets(spark, sf_dir):
       sim_knn_ivf 2 — probe ranking over the k-row centroid broadcast +
               the per-query exact-rerank top-k window; the cell join is
               broadcast (probe side is <=|q|·nprobe rows)
-      pq1     1 — encode is map-only (codes_expr literals), the ADC is
+      pq1     1 — encode is map-only (the arrowquant MapInArrow stage,
+              checkpointed at construction), the ADC is
               map-only over the broadcast lut; the ONE exchange is the
               candidate/rerank top-k window pair sharing partitioning
       ivfrec1 7 / pqrec1 6 — pure composition: both audited operators'
