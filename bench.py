@@ -313,6 +313,16 @@ def main() -> None:
     for wname in ("j1_brand_margin", "w5_order_gaps"):
         queries[wname](spark, sf_dir).agg({"*": "count"}).collect()
 
+    # DuckDB anchor IMMEDIATELY BEFORE the headline pass (r12 verdict
+    # ask #5): with the pre-extras and post anchors below, the HEADLINE
+    # numbers are now bracketed too, so a host-speed swing during the
+    # headline pass is visible in the record itself (host_ratio_headline)
+    # and the normalized totals read host-proof across rounds. Additive
+    # only — every previously recorded field keeps its meaning, and the
+    # ratio base stays the (unprimed) post anchor.
+    oracle = entrymod.oracle_sql()
+    anchor_headline = _duckdb_timings(sf_dir, oracle, prime=True)
+
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
     warm_samples: dict[str, list[float]] = {}
@@ -351,7 +361,6 @@ def main() -> None:
     # from 1.0 instead of masquerading as per-entry regressions — the
     # r11 record needed oral history to explain a +10 s ivfpq2 cold
     # that was really the host (the anchor itself swung 1.6→2.6 s).
-    oracle = entrymod.oracle_sql()
     anchor_pre = _duckdb_timings(sf_dir, oracle, prime=True)
 
     from csv_crm_upload_spark.analytics.fitmemo import memo_stats
@@ -616,11 +625,24 @@ def main() -> None:
     # position as every prior round's single measurement, so the ratio
     # series stays comparable).
     duckdb_timings = _duckdb_timings(sf_dir, oracle)
+    anchor_hl_total = round(sum(anchor_headline.values()), 3)
     anchor_pre_total = round(sum(anchor_pre.values()), 3)
     anchor_post_total = round(sum(duckdb_timings.values()), 3)
     host_ratio = (
         round(anchor_post_total / anchor_pre_total, 3)
         if anchor_pre_total > 0
+        else None
+    )
+    # drift DURING the headline pass (extras-pre anchor ÷ headline-pre
+    # anchor) — far from 1.0 means the headline colds carry a host swing
+    host_ratio_headline = (
+        round(anchor_pre_total / anchor_hl_total, 3) if anchor_hl_total > 0 else None
+    )
+    # host-proof cross-round units: seconds ÷ the mean of the three
+    # anchors bracketing the run (per-query normalized values in DETAIL)
+    anchor_mean = (
+        round((anchor_hl_total + anchor_pre_total + anchor_post_total) / 3, 3)
+        if anchor_hl_total > 0
         else None
     )
     ratios = {
@@ -638,15 +660,31 @@ def main() -> None:
     # this script, and the final printed line is a compact headline-only
     # record whose size is bounded by the fixed 10-query HEADLINE set
     # (~1.3 KB) — it always fits the tail window whole.
+    total_w = round(sum(warm.values()), 3)
+    normalized = (
+        {
+            "anchor_mean_sec": anchor_mean,
+            "cold_total": round(sum(timings.values()) / anchor_mean, 3),
+            "warm_total": round(total_w / anchor_mean, 3),
+            "cold": {n: round(v / anchor_mean, 3) for n, v in timings.items()},
+            "warm": {n: round(v / anchor_mean, 3) for n, v in warm.items()},
+        }
+        if anchor_mean
+        else None
+    )
     full = {
         "extra_sec": extra,
         "extra_warm_sec": extra_warm,
         "extra_warm_memo": extra_warm_memo,
         "fit_memo_stats": memo_stats(),
         "duckdb_sec": duckdb_timings,
+        "duckdb_anchor_headline_sec": anchor_hl_total,
+        "duckdb_anchor_headline_queries": anchor_headline,
         "duckdb_anchor_pre_sec": anchor_pre_total,
         "duckdb_anchor_pre_queries": anchor_pre,
         "host_ratio": host_ratio,
+        "host_ratio_headline": host_ratio_headline,
+        "normalized": normalized,
         "warm_samples_sec": warm_samples,
         "sf": sf,
         "queries": timings,
@@ -674,6 +712,17 @@ def main() -> None:
         "duckdb_total_sec": full["duckdb_total_sec"],
         "warm_total_sec": full["warm_total_sec"],
         "host_ratio": host_ratio,
+        # round-13 additions (additive; see full record for per-query):
+        # three bracketing DuckDB anchors + anchor-normalized totals so
+        # the headline record self-explains a host swing without prose
+        "anchors_sec": {
+            "headline_pre": anchor_hl_total,
+            "extras_pre": anchor_pre_total,
+            "post": anchor_post_total,
+        },
+        "host_ratio_headline": host_ratio_headline,
+        "normalized_cold_total": None if not normalized else normalized["cold_total"],
+        "normalized_warm_total": None if not normalized else normalized["warm_total"],
         "n_errors": len(errors),
         "detail": "BENCH_DETAIL.json",
         "metric": "headline_queries_total_sec",
