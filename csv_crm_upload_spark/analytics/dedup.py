@@ -293,14 +293,19 @@ def clear_signature_memo() -> None:
         old.unpersist()
 
 
-def _band_buckets(sig: DataFrame) -> DataFrame:
-    """(doc_id, band, bucket) — LSH banding of a signature table: each
-    band's bucket is the md5 of its signature slice."""
+def _band_buckets(sig: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id[, *carry], band, bucket) — LSH banding of a signature
+    table: each band's bucket is the md5 of its signature slice.
+    `carry` names extra columns to ride through the explode (the inline
+    pair query carries the signature array so its verification stays
+    map-only; the persisted-index writer keeps the default narrow
+    shape)."""
     k = MINHASH_K
     rows_per_band = k // LSH_BANDS
     mh_cols = [F.col(f"mh_{i}") for i in range(k)]
     bands = sig.select(
         "doc_id",
+        *carry,
         *[
             F.md5(F.concat_ws("_", F.lit(bi), *mh_cols[bi * rows_per_band : (bi + 1) * rows_per_band])).alias(
                 f"band_{bi}"
@@ -310,10 +315,11 @@ def _band_buckets(sig: DataFrame) -> DataFrame:
     )
     return bands.select(
         "doc_id",
+        *carry,
         F.explode(
             F.array(*[F.struct(F.lit(bi).alias("band"), F.col(f"band_{bi}").alias("bucket")) for bi in range(LSH_BANDS)])
         ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    ).select("doc_id", *carry, "bb.band", "bb.bucket")
 
 
 def _verify_pairs(cand: DataFrame, sig: DataFrame, threshold: float) -> DataFrame:
@@ -380,9 +386,11 @@ def d_minhash_lsh_pairs(
     bucket can still pair via their OTHER bands, and genuinely giant
     duplicate groups are better handled by exact-dedup collapse first).
     """
-    # Materialization point: signatures are tiny (17 longs/doc) but feed
-    # THREE consumers (bands + both sides of the verification join);
-    # without one each consumer would recompute the full shingle+hash map
+    # Materialization point: signatures are tiny (17 longs/doc). Since
+    # round 13 the inline query consumes them ONCE (the signature array
+    # rides the band explode, so verification is map-only), but repeat
+    # callers (the graph family, mhcal1, benchmarks) still reuse the
+    # persisted table instead of recomputing the shingle+hash map
     # stage. Bounded memoization (not a bare persist): a persist() here
     # could never be paired with an unpersist — it leaked one cached
     # table per invocation for the life of the session (the round-5
@@ -392,15 +400,42 @@ def d_minhash_lsh_pairs(
     # _SIG_MEMO_MAX persisted signature tables, keyed by exact
     # canonicalized-plan equality, FIFO-evicted with unpersist.
     sig = _memo_signatures(documents, n)
-    stacked = _filter_hot_buckets(_band_buckets(sig), max_bucket)
-    cand = (
+    # Round 13 (guide §2.4 — remove shuffles outright): the signature
+    # ARRAY rides through the band explode, so the in-bucket self-join
+    # yields both pair members' signatures directly and the agreement
+    # verification becomes MAP-ONLY — the previous shape re-joined the
+    # signature table twice (once per pair side), two extra corpus-keyed
+    # shuffles. The dedup (a pair can collide in several bands) moves
+    # from distinct() to an equivalent groupBy(doc_a, doc_b) with
+    # first(sig) (constant per doc) — same one pair-grain exchange.
+    # agree = |{i : a_i = b_i}| via zip_with/filter ≡ the summed casts of
+    # _verify_pairs; est_jaccard expression unchanged (oracle-identical).
+    k = MINHASH_K
+    sig_arr = F.array(*[F.col(f"mh_{i}") for i in range(k)])
+    stacked = _filter_hot_buckets(
+        _band_buckets(sig.withColumn("sig", sig_arr), carry=("sig",)), max_bucket
+    )
+    paired = (
         stacked.alias("x")
         .join(stacked.alias("y"), ["band", "bucket"])
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.sig").alias("sig_a"),
+            F.col("y.sig").alias("sig_b"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.first("sig_a").alias("sig_a"), F.first("sig_b").alias("sig_b"))
     )
-    return _verify_pairs(cand, sig, threshold)
+    agree = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda a, b: a == b), lambda x: x)
+    )
+    return (
+        paired.withColumn("est_jaccard", F.round(agree.cast("double") / k, 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
 
 
 def mhcal1_minhash_calibration(documents: DataFrame, n: int = 3) -> DataFrame:
