@@ -42,11 +42,13 @@ _FIT_MEMO_MAX = 12
 #: to 12 corpus-scale checkpoints in executor storage, and a truncated
 #: localCheckpoint is irrecoverable on executor loss, so the blast
 #: radius of each pinned entry is larger too. They get their own
-#: 2-deep FIFO — enough for one parity sweep's A/B corpus alternation
-#: (the observed access pattern) while bounding storage at two corpora
-#: of m-byte codes.
-_CORPUS_SCALE_TAGS = frozenset({"pq_codes", "ivfpq_codes"})
-_CORPUS_SCALE_MAX = 2
+#: small FIFO — one slot per artifact FAMILY that alternates within a
+#: bench/sweep (PQ codes, IVF-PQ codes, IVF cells — the cap was 2 when
+#: only the first two families existed; round 13 added ivf_cells), so
+#: cross-query reuse inside one run survives while storage stays
+#: bounded at three corpora of m-byte codes / cell ids.
+_CORPUS_SCALE_TAGS = frozenset({"pq_codes", "ivfpq_codes", "ivf_cells"})
+_CORPUS_SCALE_MAX = 3
 
 _FIT_MEMO: list[dict[str, Any]] = []
 

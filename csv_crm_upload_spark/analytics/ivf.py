@@ -317,8 +317,22 @@ def knn_ivf(
             [], "query_id long, vec_id long, cos_sim double, rank int"
         )
     if cells is None:
-        cells = assign_cells(embeddings, centroids)
-    cells = cells.persist()
+        # inline path: the corpus cell table is a pure function of
+        # (corpus, centroids) — ride the fit memo as a bounded
+        # localCheckpoint like the pq/ivfpq code tables (round 13).
+        # Replaces a bare per-call persist() that (a) leaked one cached
+        # corpus-scale table per invocation for the life of the session
+        # (the round-5 signature-memo leak class — nothing ever
+        # unpersisted it) and (b) bought nothing within a single call,
+        # since the cell table has exactly one consumer in the plan.
+        from csv_crm_upload_spark.analytics.fitmemo import memo_fit
+
+        cells = memo_fit(
+            "ivf_cells",
+            embeddings,
+            (centroids.shape, centroids.tobytes()),
+            lambda: assign_cells(embeddings, centroids).localCheckpoint(eager=True),
+        )
     dim = int(centroids.shape[1])
 
     cent_df = spark.createDataFrame(

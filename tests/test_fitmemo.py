@@ -145,20 +145,21 @@ def test_rollup_memo_rejects_cross_corpus_alternation(spark, tmp_path):
     assert sum(r["n_events"] for r in out_b) == 14
 
 
-def test_corpus_scale_tags_have_their_own_two_deep_fifo(spark):
-    """pq_codes/ivfpq_codes memoize CORPUS-SCALE checkpointed code
+def test_corpus_scale_tags_have_their_own_small_fifo(spark):
+    """pq_codes/ivfpq_codes/ivf_cells memoize CORPUS-SCALE checkpointed
     tables (advice r11): at the shared 12-deep cap they could pin a
     dozen corpus materializations in executor storage. They ride a
-    2-deep FIFO of their own; tiny-artifact tags keep the 12-deep cap,
-    and one class's eviction never touches the other's entries."""
-    for i in range(4):
+    3-deep FIFO of their own (one slot per alternating artifact family
+    — round 13 added ivf_cells); tiny-artifact tags keep the 12-deep
+    cap, and one class's eviction never touches the other's entries."""
+    for i in range(5):
         fm.memo_fit("pq_codes", spark.range(i + 1), (i,), lambda i=i: i)
     heavy = [e for e in fm._FIT_MEMO if e["tag"] == "pq_codes"]
-    assert [e["params"] for e in heavy] == [(2,), (3,)]  # oldest two evicted
+    assert [e["params"] for e in heavy] == [(2,), (3,), (4,)]  # oldest evicted
     # tiny entries are untouched by the corpus-scale eviction...
     for i in range(6):
         fm.memo_fit("tiny", spark.range(100 + i), (i,), lambda i=i: i)
-    assert len([e for e in fm._FIT_MEMO if e["tag"] == "pq_codes"]) == 2
+    assert len([e for e in fm._FIT_MEMO if e["tag"] == "pq_codes"]) == 3
     assert len([e for e in fm._FIT_MEMO if e["tag"] == "tiny"]) == 6
     # ...and both heavy entries still HIT (the A/B alternation pattern)
     before = fm.memo_stats()["hit"]

@@ -150,8 +150,12 @@ def main() -> None:
     work = tempfile.mkdtemp(prefix="scaling_bench_")
     try:
         prepare(sf_dir, work, amplify)
-        sides = {}
-        for cpus in (32, 8):
+        # the sandbox host shows multi-minute 2-6x speed swings, so a
+        # single run per side confounds core count with host phase:
+        # INTERLEAVE the sides (32, 8, 32, 8) and take each query's
+        # per-side MINIMUM — a stall inflates one pass, never both
+        runs: dict[int, list[dict]] = {32: [], 8: []}
+        for cpus in (32, 8, 32, 8):
             env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--run", work],
@@ -167,7 +171,20 @@ def main() -> None:
                 print(out.stdout[-2000:], file=sys.stderr)
                 print(out.stderr[-2000:], file=sys.stderr)
                 raise SystemExit(f"cpus={cpus} side failed")
-            sides[cpus] = json.loads(line[-1][len("SCALING_SIDE "):])
+            runs[cpus].append(json.loads(line[-1][len("SCALING_SIDE "):]))
+        sides = {
+            cpus: {
+                "cpus": cpus,
+                "cold": {
+                    n: min(r["cold"][n] for r in rs) for n in QUERIES
+                },
+                "warm": {
+                    n: min(r["warm"][n] for r in rs) for n in QUERIES
+                },
+                "n_runs": len(rs),
+            }
+            for cpus, rs in runs.items()
+        }
         ratios = {
             n: round(sides[8]["warm"][n] / sides[32]["warm"][n], 2)
             for n in QUERIES
