@@ -87,6 +87,16 @@ def batch_audit_rows(events_batch: DataFrame, batch_key: str) -> DataFrame:
         F.count_distinct("user_id").cast("long").alias("exact_users"),
         F.approx_count_distinct("user_id", 0.02).cast("long").alias("approx_users"),
     )
+    return _audit_readout(both, batch_key)
+
+
+def _audit_readout(both: DataFrame, batch_key: str) -> DataFrame:
+    """The ONE encoding of the error readout (abs_err / rel_err /
+    within_bound) over an (event_type, exact_users, approx_users)
+    frame — shared by batch_audit_rows and the grouped one-pass builder
+    (advice r12: the two copies had to stay bit-identical by hand; a
+    drift in either would silently desynchronize the stored log from
+    the documented readout)."""
     abs_err = F.abs(F.col("approx_users") - F.col("exact_users")).cast("long")
     rel_err = F.round(
         abs_err.cast("double")
@@ -253,21 +263,9 @@ def _ensure_query_auditlog(events: DataFrame, p: str) -> None:
             )
             .localCheckpoint(eager=True)
         )
-        abs_err = F.abs(F.col("approx_users") - F.col("exact_users")).cast("long")
-        rel_err = F.round(
-            abs_err.cast("double")
-            / F.greatest(F.col("exact_users"), F.lit(1)).cast("double"),
-            9,
-        ) + F.lit(0.0)
         for i in range(AUDLOG1_N_BATCHES):
-            rows_i = all_rows.filter(F.col("_bk") == F.lit(i)).select(
-                F.lit(f"b{i}").alias("batch_key"),
-                "event_type",
-                "exact_users",
-                "approx_users",
-                abs_err.alias("abs_err"),
-                rel_err.alias("rel_err"),
-                (rel_err <= F.lit(ADREC1_BOUND)).alias("within_bound"),
+            rows_i = _audit_readout(
+                all_rows.filter(F.col("_bk") == F.lit(i)), f"b{i}"
             )
             append_batch_audit(
                 _batch_of(events, i), p, f"b{i}", precomputed_rows=rows_i

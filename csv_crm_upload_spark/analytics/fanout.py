@@ -35,9 +35,14 @@ from pyspark.sql import DataFrame
 #: exchange; and calling `.rdd` on such a frame would eagerly
 #: materialize its shuffle stages under AQE. Map-side nodes (Filter,
 #: Project, Generate/explode, Union of scans) are fine.
+#: anchored to the START of a plan-tree line (after the tree-drawing
+#: prefix chars), so an attribute/alias that happens to be named like a
+#: node (e.g. a column "Sort#12" printed mid-line inside a Project's
+#: expression list) can no longer turn fan_out into a silent no-op
+#: (advice r12)
 _EXCHANGE_NODES = re.compile(
-    r"\b(Join|Aggregate|Window|Sort|Repartition|RepartitionByExpression|"
-    r"Deduplicate|GlobalLimit|CoGroup|FlatMapGroups)\b"
+    r"(?m)^[\s:+|-]*(?:Join|Aggregate|Window|Sort|Repartition|"
+    r"RepartitionByExpression|Deduplicate|GlobalLimit|CoGroup|FlatMapGroups)\b"
 )
 
 

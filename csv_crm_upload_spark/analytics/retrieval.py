@@ -545,13 +545,21 @@ def rrf1_rank_fusion(
     )
 
 
+#: hybrid retrieval's default candidate depth and lexical/vector blend —
+#: ONE definition shared by hybrid_search and rbo1_rank_agreement
+#: (advice r12: rbo1 hardcoded copies that could silently drift from
+#: the ranker it audits)
+HYBRID_N_CANDIDATES = 20
+HYBRID_ALPHA = 0.5
+
+
 def hybrid_search(
     documents: DataFrame,
     embeddings: DataFrame,
     queries: dict[int, list[str]] | None = None,
     k: int = 5,
-    n_candidates: int = 20,
-    alpha: float = 0.5,
+    n_candidates: int = HYBRID_N_CANDIDATES,
+    alpha: float = HYBRID_ALPHA,
 ) -> DataFrame:
     """Two-stage hybrid retrieval: BM25 candidate generation, embedding
     cosine re-rank, min-max-normalized blend — the standard hybrid
@@ -831,7 +839,12 @@ def rbo1_rank_agreement(
     # own candidate ranking (identical window: bm25 DESC, doc_id), so
     # ranking `a` is a filter on the shared checkpointed candidate
     # table and ranking `b` is the unchanged blend over the same rows.
-    n_candidates = 20  # hybrid_search's default candidate depth
+    # hybrid_search's default candidate depth, shared via the module
+    # constant; rbo1 compares TOP-k prefixes of both rankers, so the
+    # candidate table must be at least k deep for ranking `a` to be the
+    # full lexical top-k (advice r12: a silent truncation at k > 20
+    # would desynchronize the audit from the real rankers)
+    n_candidates = max(k, HYBRID_N_CANDIDATES)
     w_cand = Window.partitionBy("query_id").orderBy(
         F.col("bm25").desc(), F.col("doc_id")
     )
@@ -847,7 +860,7 @@ def rbo1_rank_agreement(
     b = _hybrid_rank(
         _cosine_for_candidates(cand.drop("rn"), embeddings, queries),
         k=k,
-        alpha=0.5,
+        alpha=HYBRID_ALPHA,
     ).select("query_id", "doc_id", F.col("rank").alias("rank_b"))
     ca = a.groupBy("query_id").agg(F.count(F.lit(1)).cast("long").alias("n_a"))
     cb = b.groupBy("query_id").agg(F.count(F.lit(1)).cast("long").alias("n_b"))
