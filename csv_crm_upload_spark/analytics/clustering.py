@@ -149,22 +149,32 @@ def _fitted_centroids(
 
 
 def _fitted_centroids_impl(
-    valid_embeddings: DataFrame, k: int, iters: int, dim: int
+    valid_embeddings: DataFrame,
+    k: int,
+    iters: int,
+    dim: int,
+    init_cent: list[tuple[int, list[float]]] | None = None,
 ) -> list[tuple[int, list[float]]]:
     """The (cluster_id, centroid) list after iters-1 Lloyd's updates
     from the deterministic first-k-by-vec_id init — the state the FINAL
     assignment pass scores against. Shared by kmeans_assignments and
-    sil1_cluster_margins so both readouts see the identical fit."""
-    init_rows = (
-        valid_embeddings.select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .limit(k)
-        .collect()
-    )
-    # (cluster_id, centroid) — cluster ids are the 0-based init order
-    cent: list[tuple[int, list[float]]] = [
-        (i, [float(v) for v in r["embedding"]]) for i, r in enumerate(init_rows)
-    ]
+    sil1_cluster_margins so both readouts see the identical fit.
+    `init_cent` lets a caller that already collected the first-k rows
+    (ivf.fit_centroids' merged width probe) skip the init job — it must
+    be exactly what the query below would return."""
+    if init_cent is not None:
+        cent: list[tuple[int, list[float]]] = init_cent
+    else:
+        init_rows = (
+            valid_embeddings.select("vec_id", "embedding")
+            .orderBy("vec_id")
+            .limit(k)
+            .collect()
+        )
+        # (cluster_id, centroid) — cluster ids are the 0-based init order
+        cent = [
+            (i, [float(v) for v in r["embedding"]]) for i, r in enumerate(init_rows)
+        ]
     from csv_crm_upload_spark.analytics.arrowquant import assign_arrow
 
     for _ in range(iters - 1):

@@ -81,12 +81,21 @@ def _fit_centroids_impl(
     from csv_crm_upload_spark.analytics.similarity import valid_vectors
 
     valid = valid_vectors(embeddings)
-    first = valid.orderBy("vec_id").select("embedding").first()
-    if first is None:
+    # one bounded collect serves the fit-width probe AND (on the common
+    # all-one-width corpus) the Lloyd's init rows — round 13, guide
+    # §1.2: one fewer blocking job per fresh fit; a ragged head falls
+    # back to the exact width-gated init query (semantics unchanged)
+    head = valid.orderBy("vec_id").limit(n_cells).select("vec_id", "embedding").collect()
+    if not head:
         return np.zeros((0, 0))
-    dim = len(first["embedding"])
+    dim = len(head[0]["embedding"])
+    init = (
+        [(i, [float(v) for v in r["embedding"]]) for i, r in enumerate(head)]
+        if all(len(r["embedding"]) == dim for r in head)
+        else None
+    )
     cent = _fitted_centroids_impl(
-        valid.filter(F.size("embedding") == dim), n_cells, iters, dim
+        valid.filter(F.size("embedding") == dim), n_cells, iters, dim, init_cent=init
     )
     return np.array([c for _cid, c in cent], dtype=np.float64)
 

@@ -70,18 +70,31 @@ def _fit_pq_codebooks_impl(
     from csv_crm_upload_spark.analytics.similarity import valid_vectors
 
     valid = valid_vectors(embeddings)
-    first = valid.orderBy("vec_id").select("embedding").first()
-    if first is None:
+    # ONE bounded collect serves both the fit-width probe (first valid
+    # row's width) and — on the common all-one-width corpus — the
+    # Lloyd's init rows, instead of a first() job followed by a second
+    # limit(k) collect (round 13, guide §1.2: fewer blocking jobs per
+    # fresh fit). A head containing a ragged row falls back to the
+    # exact width-gated init query, so init semantics are unchanged:
+    # first k valid fit-width vectors by vec_id.
+    head = valid.orderBy("vec_id").limit(k).select("vec_id", "embedding").collect()
+    if not head:
         return np.zeros((m, 0, 0))
-    dim = len(first["embedding"])
+    dim = len(head[0]["embedding"])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     vf = valid.filter(F.size("embedding") == dim).select("vec_id", "embedding")
-    return _fit_books_on_frame(vf, dim, m, k, iters)
+    init = head if all(len(r["embedding"]) == dim for r in head) else None
+    return _fit_books_on_frame(vf, dim, m, k, iters, init_rows=init)
 
 
 def _fit_books_on_frame(
-    vf: DataFrame, dim: int, m: int, k: int, iters: int
+    vf: DataFrame,
+    dim: int,
+    m: int,
+    k: int,
+    iters: int,
+    init_rows: list | None = None,
 ) -> np.ndarray:
     """The distributed Lloyd's core over a PRE-GATED (vec_id, embedding)
     frame — shared by the raw fit (fit_pq_codebooks gates with
@@ -94,7 +107,8 @@ def _fit_books_on_frame(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
-    init_rows = vf.orderBy("vec_id").limit(k).collect()
+    if init_rows is None:
+        init_rows = vf.orderBy("vec_id").limit(k).collect()
     books = [
         [[float(v) for v in r["embedding"][j * sub : (j + 1) * sub]] for r in init_rows]
         for j in range(m)
