@@ -240,60 +240,64 @@ def _q_skw3(s: SparkSession, sf: str) -> DataFrame:
     ).orderBy("event_type")
 
 
-# Round-12 driver-verification window (slots 13+, in order), per the
-# r11 verdict ask #1: the 37 oracle-paired keys whose latest green
-# driver row is from round 2 or 3 — ten of the round-2 fifteen are
-# bench HEADLINE queries, and several (q1/q3/q5, top_customers, w1,
-# e1_sessionize, dd_exact/dd_minhash) had their plans rewritten in the
-# round-7 rank-plan pass AFTER their last driver contact, so the
-# driver ledger should reflect post-rewrite verification. They pass
-# the local sf0.001/sf0.01/sf0.1 sweeps every round (informational
-# staleness, not correctness risk). Slot 50 takes the stalest round-4
-# key (batch1_length_buckets) so the 38-slot window is full. The
-# ledger-stale census after this window lands: nothing older than
-# round 4.
+# Round-13 driver-verification window (slots 13+, in order). Two
+# priorities: (1) every query whose EXECUTION PATH was rewritten this
+# optimization round gets a post-rewrite driver row (the Arrow-native
+# quantizer/kmeans scoring, the dd_minhash map-only verification, the
+# shared audit readout) — slots 13-27; (2) first driver contact for the
+# round-12 operator-wave keys that have never had a driver row
+# (added in the interrupted r12 build round; the r12 window was spent
+# on the r2/r3-stale cohort per that round's verdict) — slots 28-50,
+# the 23 heaviest/most-load-bearing of them. Still never-contacted
+# after this window (next round's cohort): cha1, cusum1, dpn1,
+# fun1_ordered, gt1, hill1, ney1, prop1, ptt1, simp1, spr1, sprt1,
+# tail1, theil1 (+ the rows-only mm2/mm3/pca2, not driver-checkable),
+# then the round-4-6 stale cohort (bf1/bp1/co1/coh1/cum1/dd2/decay1/
+# dq1/gini1/mix2, lr2/path1/phr1/ri1/samp1, asof1/bpe1/bpe2/bpe4/dd3/
+# drift1/fh1/fun1_stage/leak1/linedd1/mix3/mix4/ppl1/ppl2/prep1/
+# samp2/sess1/unpiv1).
 _ROTATION_FRONT = [
-    # (a) round-2 cohort — last green driver row: CORRECTNESS_r02
-    "q1_pricing_summary",
-    "q3_top_unshipped",
-    "q5_region_revenue",
-    "top_customers",
-    "w1_top_orders_per_customer",
-    "e1_sessionize",
-    "dd_exact_dups",
+    # (a) rewritten-this-round cohort (Arrow scoring / minhash rewire /
+    # audit readout): the driver ledger must hold post-rewrite rows
+    "pq1_quantized_knn",
+    "ivfpq1_quantized_knn",
+    "ivfpq2_residual_knn",
+    "sim_knn_ivf",
+    "pqrec1_pq_recall_audit",
+    "ivfrec1_ivf_recall_audit",
+    "kmeans1_topic_clusters",
+    "sil1_cluster_margins",
+    "sdd1_semantic_dedup",
+    "pur1_cluster_purity",
     "dd_minhash_lsh",
-    "set1_status_overlap",
-    "set2_exclusive_open",
-    "str1_name_features",
-    "t1_token_count",
-    "t2_quality_score",
-    "t3_lang_id",
-    "t4_fingerprint",
-    # (b) round-3 cohort — last green driver row: CORRECTNESS_r03
-    "arr1_embedding_stats",
-    "emb_label_centroids",
-    "er1_fuzzy_name_pairs",
-    "fo1_order_event_coverage",
-    "g2_grouping_sets",
-    "g3_cube_status_priority",
-    "hist1_price_histogram",
-    "l1_latest_order",
-    "mix1_corpus_mixture",
-    "pack1_sequence_packing",
-    "pd1_source_char_stats",
-    "pv1_status_by_priority",
-    "q7_nation_trade",
-    "rj1_nearby_errors",
-    "rx1_doc_mentions",
-    "sc1_above_avg_orders",
-    "sq1_big_spenders",
-    "t5_redact_pii",
-    "t6_char_entropy",
-    "t7_vocab_topk",
-    "t8_bigrams_udtf",
-    "t9_top_tokens_per_source",
-    # (c) slot 50 — the stalest round-4 key
-    "batch1_length_buckets",
+    "mhcal1_minhash_calibration",
+    "audlog1_batch_audit_log",
+    "rbo1_rank_agreement",
+    "deg1_dup_degree_hist",
+    # (b) first-contact round-12-wave keys (no driver row yet)
+    "zord1_zorder_layout",
+    "mad1_value_mad",
+    "hub1_huber_robust_mean",
+    "cms1_countmin_audit",
+    "kap1_cohens_kappa",
+    "anova1_priority_anova",
+    "kw1_kruskal_wallis",
+    "ktau1_kendall_tau",
+    "llr1_dunning_collocations",
+    "delta1_burrows_delta",
+    "cdc1_chunk_dedup",
+    "dw1_durbin_watson",
+    "runs1_runs_test",
+    "welch1_source_welch_t",
+    "mwu1_mann_whitney",
+    "qq1_source_length_qq",
+    "mk1_mann_kendall",
+    "lev1_brown_forsythe",
+    "evt1_gumbel_return_levels",
+    "key1_source_keyness",
+    "srm1_split_ratio_mismatch",
+    "ess1_length_weight_ess",
+    "jk1_source_jackknife",
 ]
 
 
