@@ -11,6 +11,45 @@ os.environ.setdefault("SPARK_GRAFT_CPUS", "4")  # small local runs: fast startup
 
 from csv_crm_upload_spark.session import get_spark  # noqa: E402
 
+#: Deep (opt-in) test files — round-13 verdict ask #1: the default suite
+#: had grown past the driver's pytest budget (1,347 tests / ~72 min;
+#: VERIFY_r12 recorded a TRUNCATED run), so the long integration /
+#: soak / model-loop suites are marked `deep` here and excluded by
+#: pytest.ini's addopts. The default suite keeps the full
+#: oracle+degenerate parity core and every fast unit/contract file
+#: (~1,000 tests, ≈15-25 min). Run everything with `-m "not sf01"`;
+#: the close-out ledger must still show the full suite green.
+#: Classification source: one full-suite `--durations=0` run
+#: (2026-08-18); every file here cost ≥ ~0.8 min, together ~48 of the
+#: 76 total minutes.
+_DEEP_FILES = {
+    "test_plan_quality.py",      # 14.2 min — builds all 283 plans
+    "test_property_parity.py",   # 5.9 — seeded-fuzz oracle sweep
+    "test_index_service.py",     # 5.6 — multi-index soak
+    "test_training_ops.py",      # 3.0
+    "test_store_upload.py",      # 2.9 — HTTP retry/backoff cycles
+    "test_ngramlm_model.py",     # 2.4
+    "test_ivfpq.py",             # 2.1
+    "test_index_compaction.py",  # 1.8
+    "test_retrieval.py",         # 1.7
+    "test_nb_model.py",          # 1.5
+    "test_store_concurrency.py", # 1.1
+    "test_index_concurrency.py", # 1.1
+    "test_key_format.py",        # 1.1
+    "test_corpus_prep.py",       # 0.9
+    "test_cli.py",               # 0.9
+    "test_property_merge.py",    # 0.8
+    "test_substr_index.py",      # 0.6
+    "test_winnow_index.py",      # 0.5
+    "test_jdbc_store.py",        # 0.5
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if os.path.basename(str(item.fspath)) in _DEEP_FILES:
+            item.add_marker(pytest.mark.deep)
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
 
 
